@@ -1,0 +1,106 @@
+"""FT.SEARCH filter algebra vs DuckDB oracle at sf0.001.
+
+Mirrors the reference's integration/test_filter_expressions.py +
+integration/test_non_vector.py shapes (SURVEY.md §5.2) with DuckDB as
+the golden-answer oracle (SURVEY.md §5.3 analogue).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from valkey_search_spark import NumericField, SearchEngine, TagField, TextField
+
+from .conftest import SF_DIR, load
+
+
+@pytest.fixture(scope="module")
+def eng(spark, sf_dir):
+    e = SearchEngine(spark)
+    e.ft_create(
+        "parts",
+        load(spark, sf_dir, "part"),
+        [TagField("p_brand"), TagField("p_type"), NumericField("p_retailprice"),
+         NumericField("p_size"), TextField("p_name")],
+        key_column="p_partkey",
+    )
+    return e
+
+
+def duck(sql: str) -> int:
+    return duckdb.sql(sql.replace("PART", f"'{SF_DIR}/part.parquet'")).fetchall()[0][0]
+
+
+CASES = [
+    # (query, duckdb where-clause)
+    ("@p_brand:{Brand#13}", "p_brand = 'Brand#13'"),
+    ("@p_brand:{Brand#13|Brand#42}", "p_brand IN ('Brand#13','Brand#42')"),
+    ("@p_brand:{Brand#1*}", "p_brand LIKE 'Brand#1%'"),
+    ("@p_retailprice:[905 915]", "p_retailprice BETWEEN 905 AND 915"),
+    ("@p_retailprice:[(905 (915]", "p_retailprice > 905 AND p_retailprice < 915"),
+    ("@p_retailprice:[905 +inf]", "p_retailprice >= 905"),
+    ("@p_retailprice:[-inf (910]", "p_retailprice < 910"),
+    ("@p_retailprice:[905 905]", "p_retailprice = 905"),
+    ("-@p_brand:{Brand#13}", "p_brand <> 'Brand#13'"),
+    ("@p_brand:{Brand#13} @p_retailprice:[905 915]",
+     "p_brand='Brand#13' AND p_retailprice BETWEEN 905 AND 915"),
+    ("@p_brand:{Brand#13} | @p_retailprice:[918 919]",
+     "(p_brand='Brand#13' OR p_retailprice BETWEEN 918 AND 919)"),
+    ("-(@p_brand:{Brand#13} | @p_brand:{Brand#5})",
+     "p_brand NOT IN ('Brand#13','Brand#5')"),
+    ("widget", "regexp_matches(p_name, '(^|[^a-z0-9])widget([^a-z0-9]|$)')"),
+    ("wid*", "regexp_matches(p_name, '(^|[^a-z0-9])wid')"),
+    ("*get", "regexp_matches(p_name, 'get([^a-z0-9]|$)')"),
+    ("*old*", "p_name LIKE '%old%'"),
+    ('"large bolt"', "p_name LIKE '%large bolt%'"),
+    ("@p_name:(widget|bolt)",
+     "regexp_matches(p_name, '(^|[^a-z0-9])(widget|bolt)([^a-z0-9]|$)')"),
+    ("*", "TRUE"),
+]
+
+
+@pytest.mark.parametrize("query,where", CASES, ids=[c[0] for c in CASES])
+def test_count_matches_oracle(eng, query, where):
+    got = eng.ft_search("parts", query, count_only=True)
+    want = duck(f"SELECT count(*) FROM PART WHERE {where}")
+    assert got == want, f"{query}: spark={got} duck={want}"
+
+
+def test_params(eng):
+    n1 = eng.ft_search("parts", "@p_brand:{$b}", params={"b": "Brand#13"}, count_only=True)
+    n2 = eng.ft_search("parts", "@p_retailprice:[$lo $hi]",
+                       params={"lo": 905, "hi": 915}, count_only=True)
+    assert n1 == duck("SELECT count(*) FROM PART WHERE p_brand='Brand#13'")
+    assert n2 == duck("SELECT count(*) FROM PART WHERE p_retailprice BETWEEN 905 AND 915")
+
+
+def test_limit_and_return(eng):
+    df = eng.ft_search("parts", "@p_brand:{Brand#13}", limit=(0, 5),
+                       return_fields=["p_name", "p_retailprice"])
+    rows = df.collect()
+    assert len(rows) == 5
+    assert df.columns == ["__key", "p_name", "p_retailprice"]
+
+
+def test_sortby(eng):
+    df = eng.ft_search("parts", "@p_brand:{Brand#13}", sortby="p_retailprice",
+                       limit=(0, 100))
+    prices = [r.p_retailprice for r in df.collect()]
+    assert prices == sorted(prices)
+
+
+def test_stemming(eng):
+    # "widgets" stems to the same as "widget"
+    n_sing = eng.ft_search("parts", "widget", count_only=True)
+    n_plur = eng.ft_search("parts", "widgets", count_only=True)
+    assert n_sing == n_plur > 0
+
+
+def test_fuzzy(eng):
+    # one edit away (deletion) — matches all docs containing "widget"
+    n = eng.ft_search("parts", "%widgt%", count_only=True)
+    assert n == eng.ft_search("parts", "widget", count_only=True)
+    # %% = distance 2
+    n2 = eng.ft_search("parts", "%%wdgt%%", count_only=True)
+    assert n2 >= n

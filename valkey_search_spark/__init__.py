@@ -1,0 +1,24 @@
+"""valkey_search_spark — a PySpark-native engine with the query and
+data-processing capabilities of valkey-io/valkey-search.
+
+Public surface:
+    SearchEngine        FT.CREATE / FT.SEARCH / FT.AGGREGATE / FT.INFO ...
+    TagField / NumericField / TextField / VectorField
+"""
+
+from .catalog import (
+    Catalog, IndexSchema, NumericField, TagField, TextField, VectorField,
+)
+from .errors import (
+    ExpressionError, QuerySyntaxError, SearchError, UnknownFieldError,
+    UnknownIndexError,
+)
+from .operators.search import ReturnField, SearchEngine
+from .session import get_spark
+
+__all__ = [
+    "Catalog", "IndexSchema", "NumericField", "TagField", "TextField",
+    "VectorField", "SearchEngine", "ReturnField", "get_spark",
+    "SearchError", "QuerySyntaxError", "UnknownFieldError",
+    "UnknownIndexError", "ExpressionError",
+]

@@ -1,0 +1,254 @@
+"""Index catalog: FT.CREATE equivalent for document DataFrames.
+
+The reference declares an index over a schemaless keyspace
+(/root/reference/src/commands/ft_create_parser.cc, src/index_schema.h:86);
+here an ``IndexSchema`` is declared over a document DataFrame (one row per
+document key). Each attribute produces *derived columns* on the frame —
+the Spark-native replacement for the reference's in-memory inverted
+structures (SURVEY.md §1.6):
+
+- TAG    f -> ``_t_f``  array<string>   (split/trim/dedupe/casefold;
+             /root/reference/src/indexes/tag.cc:149-177)
+- NUMERIC f -> ``_n_f`` double          (lenient parse; invalid values
+             become NULL == "untracked", docs/topics/search-data-formats.md:70-100)
+- TEXT   f -> ``_x_f``  array<struct<t,p>> lexed non-stop tokens with word
+             positions, and ``_s_f`` array<string> distinct stems
+             (4-stage pipeline, docs/topics/search-data-formats.md:152-249)
+- VECTOR f -> ``_v_f``  array<float>, L2-normalized when metric=cosine
+             (/root/reference/src/indexes/vector_base.h:46)
+
+Derived columns are *lazy*: Catalyst prunes any the query doesn't touch,
+so at 100 TB a tag-only query never pays for text tokenization. For hot
+indexes, ``materialize()`` persists the derived table as Parquet so the
+scan serves tokenized/normalized columns directly with pushdown.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+from .errors import UnknownFieldError
+from .functions.analysis import (
+    DEFAULT_STOPWORDS,
+    stem_tokens_udf,
+    text_tokens_column,
+)
+
+
+def tag_col(f: str) -> str:
+    return f"_t_{f}"
+
+
+def num_col(f: str) -> str:
+    return f"_n_{f}"
+
+
+def text_col(f: str) -> str:
+    return f"_x_{f}"
+
+
+def stem_col(f: str) -> str:
+    return f"_s_{f}"
+
+
+def vec_col(f: str) -> str:
+    return f"_v_{f}"
+
+
+@dataclass
+class FieldDef:
+    """One SCHEMA attribute: ``identifier [AS alias] TYPE opts``
+    (/root/reference/docs/commands/ft.create.md:12-33)."""
+
+    name: str                    # source column in the document frame
+    alias: str | None = None     # query-visible name (defaults to name)
+
+    @property
+    def attr(self) -> str:
+        return self.alias or self.name
+
+    def derived(self, df: DataFrame) -> dict[str, Column]:
+        raise NotImplementedError
+
+
+@dataclass
+class TagField(FieldDef):
+    """TAG: separator-split, trimmed, deduped, casefolded set of tags
+    (/root/reference/src/indexes/tag.cc:149-177;
+    docs/topics/search-data-formats.md:10-46)."""
+
+    separator: str = ","
+    casesensitive: bool = False
+
+    def derived(self, df: DataFrame) -> dict[str, Column]:
+        src = F.col(self.name).cast("string")
+        parts = F.split(src, re.escape(self.separator))
+        trimmed = F.transform(parts, lambda x: F.trim(x))
+        if not self.casesensitive:
+            trimmed = F.transform(trimmed, lambda x: F.lower(x))
+        tags = F.array_distinct(F.filter(trimmed, lambda x: x != F.lit("")))
+        # empty tag set == untracked for this field (tag.cc:166-170)
+        tags = F.when(F.size(tags) > 0, tags)
+        return {tag_col(self.attr): tags}
+
+    def fold_query_tag(self, t: str) -> str:
+        return t if self.casesensitive else t.lower()
+
+
+@dataclass
+class NumericField(FieldDef):
+    """NUMERIC: lenient float64 parse; int/float/scientific/±inf accepted,
+    anything else -> NULL (untracked), never an error
+    (docs/topics/search-data-formats.md:70-100)."""
+
+    def derived(self, df: DataFrame) -> dict[str, Column]:
+        dtype = dict(df.dtypes).get(self.name)
+        src = F.col(self.name)
+        if dtype == "timestamp":
+            # timestamps enter the numeric domain as unix seconds (FIXTURES.md F5)
+            out = src.cast("double")
+        elif dtype in ("double", "float", "bigint", "int", "smallint", "tinyint", "decimal"):
+            out = src.cast("double")
+        else:
+            s = F.trim(src.cast("string"))
+            out = (
+                F.when(F.lower(s).isin("inf", "+inf", "infinity", "+infinity"), F.lit(float("inf")))
+                .when(F.lower(s).isin("-inf", "-infinity"), F.lit(float("-inf")))
+                .when(F.lower(s) == "nan", F.lit(None).cast("double"))  # NaN rejected -> untracked
+                .otherwise(s.try_cast("double"))
+            )
+        return {num_col(self.attr): out}
+
+
+@dataclass
+class TextField(FieldDef):
+    """TEXT: lexer -> casefold -> stopword removal -> stemming
+    (docs/topics/search-data-formats.md:152-249;
+    /root/reference/src/indexes/text/lexer.cc)."""
+
+    nostem: bool = False
+    min_stem_size: int = 4        # MINSTEMSIZE default (search-data-formats.md:232)
+    stopwords: frozenset[str] = dc_field(default_factory=lambda: DEFAULT_STOPWORDS)
+
+    def derived(self, df: DataFrame) -> dict[str, Column]:
+        toks = text_tokens_column(F.col(self.name).cast("string"), self.stopwords)
+        out = {text_col(self.attr): toks}
+        if not self.nostem:
+            out[stem_col(self.attr)] = stem_tokens_udf(self.min_stem_size)(
+                F.transform(toks, lambda s: s["t"])
+            )
+        return out
+
+
+@dataclass
+class VectorField(FieldDef):
+    """VECTOR: fixed-DIM FLOAT32, metric L2 / IP / COSINE; cosine vectors are
+    L2-normalized at ingest (/root/reference/src/indexes/vector_base.h:46,106-110).
+    ``algo`` is advisory: FLAT -> always exact scan; HNSW -> eligible for the
+    ANN (IVF) path when an index artifact is built (SURVEY.md §2.6)."""
+
+    dim: int = 0
+    metric: str = "l2"           # l2 | ip | cosine
+    algo: str = "flat"           # flat | hnsw
+
+    def derived(self, df: DataFrame) -> dict[str, Column]:
+        v = F.col(self.name).cast(T.ArrayType(T.FloatType()))
+        # wrong-length vectors are rejected -> untracked (search-data-formats.md:131-150)
+        v = F.when(F.size(v) == self.dim, v)
+        if self.metric == "cosine":
+            norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x.cast("double") * x))
+            v = F.when(norm > 0, F.transform(v, lambda x: (x / norm).cast("float")))
+        return {vec_col(self.attr): v}
+
+
+@dataclass
+class IndexSchema:
+    """One FT.CREATE declaration bound to a document DataFrame."""
+
+    name: str
+    doc_df: DataFrame
+    fields: list[FieldDef]
+    key_column: str | None = None   # document key; synthesized if absent
+
+    def __post_init__(self) -> None:
+        self._by_attr: dict[str, FieldDef] = {}
+        for f in self.fields:
+            self._by_attr[f.attr] = f
+
+    def field(self, attr: str) -> FieldDef:
+        try:
+            return self._by_attr[attr]
+        except KeyError:
+            raise UnknownFieldError(f"Unknown field `{attr}` in index `{self.name}`") from None
+
+    @property
+    def text_fields(self) -> list[TextField]:
+        return [f for f in self.fields if isinstance(f, TextField)]
+
+    def indexed_df(self) -> DataFrame:
+        """Document frame + all derived index columns (lazy; pruned by Catalyst)."""
+        df = self.doc_df
+        if self.key_column is None:
+            df = df.withColumn("__key", F.monotonically_increasing_id().cast("string"))
+        else:
+            df = df.withColumn("__key", F.col(self.key_column).cast("string"))
+        derived: dict[str, Column] = {}
+        for f in self.fields:
+            derived.update(f.derived(df))
+        return df.withColumns(derived)
+
+    def materialize(self, path: str, partitions: int | None = None,
+                    bucket_by: str | None = None, num_buckets: int = 64) -> None:
+        """Persist the derived table as Parquet — the 100 TB path: pay
+        tokenization/normalization once, serve queries from a columnar scan
+        with pushdown. ``bucket_by`` co-locates later joins on that key
+        (replaces the reference's per-shard index partitioning, SURVEY.md §3.4)."""
+        df = self.indexed_df()
+        if partitions:
+            df = df.repartition(partitions)
+        if bucket_by:
+            (df.write.mode("overwrite").format("parquet")
+               .bucketBy(num_buckets, bucket_by).option("path", path)
+               .saveAsTable(f"{self.name}_materialized"))
+        else:
+            df.write.mode("overwrite").parquet(path)
+
+
+class Catalog:
+    """Index registry: FT.CREATE / FT.DROPINDEX / FT._LIST / FT.INFO
+    (/root/reference/src/schema_manager.* via SURVEY.md §3.1)."""
+
+    def __init__(self) -> None:
+        self._indexes: dict[str, IndexSchema] = {}
+
+    def create(self, schema: IndexSchema) -> IndexSchema:
+        self._indexes[schema.name] = schema
+        return schema
+
+    def drop(self, name: str) -> None:
+        self._indexes.pop(name, None)
+
+    def list(self) -> list[str]:
+        return sorted(self._indexes)
+
+    def get(self, name: str) -> IndexSchema:
+        from .errors import UnknownIndexError
+
+        try:
+            return self._indexes[name]
+        except KeyError:
+            raise UnknownIndexError(f"no such index: {name}") from None
+
+    def info(self, name: str) -> dict:
+        s = self.get(name)
+        return {
+            "index_name": s.name,
+            "attributes": [
+                {"identifier": f.name, "attribute": f.attr, "type": type(f).__name__}
+                for f in s.fields
+            ],
+            "num_docs": None,  # computed on demand; counting 100 TB is a job, not a stat
+        }

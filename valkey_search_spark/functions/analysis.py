@@ -1,0 +1,83 @@
+"""Text analysis: the 4-stage TEXT ingestion pipeline as Spark columns.
+
+Reference pipeline (docs/topics/search-data-formats.md:152-249;
+/root/reference/src/indexes/text/lexer.cc):
+  1. lexer — split on punctuation/whitespace, backslash escapes join
+     punctuation into a token, must be valid UTF-8
+  2. case folding (lower)
+  3. stop-word removal (default RediSearch list)
+  4. Snowball stemming, words >= MINSTEMSIZE, unless NOSTEM
+
+Stages 1-3 are pure JVM-side Spark expressions (whole-stage codegen,
+zero Python cost); stage 4 is an Arrow-batched pandas UDF (the only
+unavoidable Python hop — stemming is procedural).
+
+Token positions count every lexed word *including* stop words, so
+phrase/proximity gaps survive stop-word removal (positions kept unless
+NOOFFSETS; /root/reference/src/indexes/text/posting.h:72).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, functions as F, types as T
+
+from .porter import porter_stem
+
+# Default stop-word list documented for the reference's text pipeline
+# (docs/topics/search-data-formats.md, RediSearch-compatible default set).
+DEFAULT_STOPWORDS: frozenset[str] = frozenset(
+    """a is the an and are as at be but by for if in into it no not of on or
+    such that their then there these they this to was will with""".split()
+)
+
+# A token is a run of letters/digits, where a backslash-escaped character
+# (any punctuation) is glued into the token (lexer.cc escape handling).
+_TOKEN_RE = r"(?:\\.|[\p{L}\p{N}])+"
+
+
+def raw_tokens_column(src: Column) -> Column:
+    """array<string> of case-folded tokens (stop words INCLUDED), with
+    backslash escapes resolved. Index in this array == word position."""
+    toks = F.regexp_extract_all(src, F.lit(_TOKEN_RE), 0)
+    return F.transform(toks, lambda x: F.lower(F.regexp_replace(x, r"\\", "")))
+
+
+def text_tokens_column(src: Column, stopwords: frozenset[str]) -> Column:
+    """array<struct<t:string,p:int>> — non-stop tokens with word positions."""
+    with_pos = F.transform(
+        raw_tokens_column(src),
+        lambda x, i: F.struct(x.alias("t"), i.alias("p")),
+    )
+    stop_arr = F.array(*[F.lit(s) for s in sorted(stopwords)]) if stopwords else F.array()
+    return F.filter(with_pos, lambda s: ~F.array_contains(stop_arr, s["t"]))
+
+
+def stem_tokens_udf(min_stem_size: int):
+    """pandas UDF: array<string> tokens -> array<string> distinct stems.
+
+    Words shorter than MINSTEMSIZE are kept verbatim
+    (docs/topics/search-data-formats.md:232)."""
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _stem(tokens: pd.Series) -> pd.Series:
+        def go(lst):
+            if lst is None:
+                return None
+            out, seen = [], set()
+            for t in lst:
+                s = porter_stem(t) if len(t) >= min_stem_size else t
+                if s not in seen:
+                    seen.add(s)
+                    out.append(s)
+            return out
+
+        return tokens.apply(go)
+
+    return _stem
+
+
+def stem_query_term(term: str, min_stem_size: int = 4) -> str:
+    """Query-side stemming — same function as ingest, driver-side (cheap)."""
+    return porter_stem(term) if len(term) >= min_stem_size else term

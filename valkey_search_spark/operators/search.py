@@ -1,0 +1,157 @@
+"""FT.SEARCH execution: filter -> (KNN) -> sort -> limit, as one
+declarative DataFrame plan.
+
+The reference's multi-stage lifecycle (parse on main thread, predicate
+-> index-fetcher planning, reader-pool execution, content resolution —
+SURVEY.md §3.1) collapses here to: parse -> build plan -> Catalyst. Its
+planner heuristics (min-cardinality AND child, pre-filter-vs-inline KNN,
+/root/reference/src/query/planner.cc:21-46) are Catalyst's job; the one
+surviving choice — exact vs ANN vector path — lives in operators/knn.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import Catalog, FieldDef, IndexSchema, NumericField, num_col, vec_col, VectorField
+from ..errors import QuerySyntaxError
+from ..functions.distance import distance_column
+from ..parser.ast import And, MatchAll, ParsedQuery, Proximity, TextPred, TERM
+from ..parser.filter_parser import parse_query
+from ..plans.predicate_translator import PredicateTranslator
+
+
+@dataclass
+class ReturnField:
+    """RETURN n f [AS a] (/root/reference/src/query/search.h:82-86)."""
+
+    name: str
+    alias: str | None = None
+
+
+class SearchEngine:
+    """The FT.* command surface over Spark DataFrames
+    (command registry /root/reference/src/commands/commands.h:77)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.catalog = Catalog()
+
+    # -- DDL ---------------------------------------------------------------
+    def ft_create(self, name: str, df: DataFrame, fields: list[FieldDef],
+                  key_column: str | None = None) -> IndexSchema:
+        return self.catalog.create(IndexSchema(name, df, fields, key_column))
+
+    def ft_dropindex(self, name: str) -> None:
+        self.catalog.drop(name)
+
+    def ft_list(self) -> list[str]:
+        return self.catalog.list()
+
+    def ft_info(self, name: str) -> dict:
+        return self.catalog.info(name)
+
+    # -- FT.SEARCH ---------------------------------------------------------
+    def ft_search(
+        self,
+        index: str,
+        query: str,
+        params: dict | None = None,
+        limit: tuple[int, int] = (0, 10),
+        sortby: str | None = None,
+        sortby_desc: bool = False,
+        return_fields: list[ReturnField | str] | None = None,
+        nocontent: bool = False,
+        verbatim: bool = False,
+        slop: int | None = None,
+        inorder: bool = False,
+        count_only: bool = False,
+    ):
+        """Returns a DataFrame (or an int when ``count_only`` — the
+        LIMIT 0 0 shape, /root/reference/src/query/search.h:77-80)."""
+        schema = self.catalog.get(index)
+        parsed = parse_query(query, params)
+        pred = self._maybe_proximity(parsed, slop, inorder)
+        df = schema.indexed_df()
+        translator = PredicateTranslator(schema, verbatim=verbatim)
+        if not isinstance(pred, MatchAll):
+            df = df.filter(translator.translate(pred))
+        if count_only:
+            return df.count()
+
+        if parsed.knn is not None:
+            df = self._knn(schema, df, parsed)
+
+        if sortby is not None:
+            fdef = schema.field(sortby)
+            col = F.col(num_col(fdef.attr)) if isinstance(fdef, NumericField) else F.col(fdef.name)
+            # missing values placed last (docs/commands/ft.search.md SORTBY)
+            df = df.orderBy(col.desc_nulls_last() if sortby_desc else col.asc_nulls_last())
+        elif parsed.knn is not None:
+            df = df.orderBy(F.col(parsed.knn.score_alias()).asc())
+
+        off, n = limit
+        if off:
+            df = df.offset(off)
+        df = df.limit(n)
+        return self._project(schema, df, return_fields, nocontent,
+                             parsed.knn.score_alias() if parsed.knn else None)
+
+    def _maybe_proximity(self, parsed: ParsedQuery, slop: int | None, inorder: bool):
+        """SLOP/INORDER upgrade a multi-term AND within one text field into a
+        positional constraint (/root/reference/src/query/search.cc:226-298)."""
+        pred = parsed.predicate
+        if slop is None and not inorder:
+            return pred
+        if isinstance(pred, And) and all(
+            isinstance(c, TextPred) and c.kind == TERM for c in pred.children
+        ):
+            attrs = {c.attr for c in pred.children}
+            if len(attrs) == 1:
+                return Proximity(
+                    attr=pred.children[0].attr,
+                    words=[c.value for c in pred.children],
+                    slop=slop or 0,
+                    inorder=inorder,
+                )
+        return pred
+
+    def _knn(self, schema: IndexSchema, df: DataFrame, parsed: ParsedQuery) -> DataFrame:
+        knn = parsed.knn
+        fdef = schema.field(knn.attr)
+        if not isinstance(fdef, VectorField):
+            raise QuerySyntaxError(f"KNN field `{knn.attr}` is not VECTOR")
+        score = knn.score_alias()
+        dist = distance_column(F.col(vec_col(fdef.attr)), knn.vector, fdef.metric)
+        df = df.withColumn(score, dist).where(F.col(score).isNotNull())
+        # top-k: Catalyst compiles orderBy+limit to TakeOrderedAndProject —
+        # per-partition heap + driver merge, the same shape as the reference's
+        # per-shard top-k fan-in (/root/reference/src/query/fanout.cc:69)
+        return df.orderBy(F.col(score).asc()).limit(knn.k)
+
+    def _project(self, schema: IndexSchema, df: DataFrame,
+                 return_fields, nocontent: bool, score_col: str | None) -> DataFrame:
+        if nocontent:
+            return df.select("__key")
+        if return_fields is None:
+            cols = ["__key"] + [c for c in schema.doc_df.columns]
+            if score_col:
+                cols.append(score_col)
+            return df.select(*cols)
+        out = [F.col("__key")]
+        for rf in return_fields:
+            if isinstance(rf, str):
+                rf = ReturnField(rf)
+            if rf.name == score_col:
+                out.append(F.col(rf.name).alias(rf.alias or rf.name))
+                continue
+            fdef = schema.field(rf.name) if rf.name in schema._by_attr else None
+            src = fdef.name if fdef else rf.name
+            out.append(F.col(src).alias(rf.alias or rf.name))
+        if score_col and all(
+            (rf.name if isinstance(rf, ReturnField) else rf) != score_col for rf in return_fields
+        ):
+            out.append(F.col(score_col))
+        return df.select(*out)

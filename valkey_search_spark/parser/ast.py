@@ -1,0 +1,113 @@
+"""Predicate AST for the FT.SEARCH filter language.
+
+Node taxonomy mirrors the reference's Predicate tree
+(/root/reference/src/query/predicate.h:41-49: kTag, kNumeric,
+kComposedAnd, kComposedOr, kNegate, kText) plus the parsed KNN clause
+(/root/reference/src/query/search.cc:954-1067).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+class Predicate:
+    pass
+
+
+@dataclass
+class MatchAll(Predicate):
+    """`*` — every key in the index
+    (/root/reference/src/commands/filter_parser.cc:384)."""
+
+
+@dataclass
+class TagPred(Predicate):
+    """`@f:{a|b|ab*}` — tag-set intersection, optional trailing-`*` prefix
+    (/root/reference/src/query/predicate.h:154; src/indexes/tag.cc:383-443)."""
+
+    attr: str
+    tags: list[tuple[str, bool]]  # (value, is_prefix)
+
+
+@dataclass
+class NumericPred(Predicate):
+    """`@f:[(lo (hi]` — inclusive/exclusive bounds, ±inf
+    (/root/reference/src/query/predicate.h:124-152)."""
+
+    attr: str
+    lo: float
+    hi: float
+    lo_excl: bool = False
+    hi_excl: bool = False
+
+
+# Text match kinds (/root/reference SURVEY.md §2.2 rows term..proximity)
+TERM, PREFIX, SUFFIX, INFIX, FUZZY, PHRASE = (
+    "term", "prefix", "suffix", "infix", "fuzzy", "phrase",
+)
+
+
+@dataclass
+class TextPred(Predicate):
+    """Single text-match unit. ``attr=None`` == fieldless -> all TEXT fields
+    (field mask, /root/reference/src/query/predicate.h:182-194)."""
+
+    attr: str | None
+    kind: str                      # term|prefix|suffix|infix|fuzzy|phrase
+    value: str                     # the word (or ignored for phrase)
+    distance: int = 0              # fuzzy: Damerau-Levenshtein budget
+    words: list[str] = field(default_factory=list)  # phrase words, in order
+    verbatim: bool = False         # phrase/VERBATIM: skip stemming
+
+
+@dataclass
+class Proximity(Predicate):
+    """Multi-term AND upgraded to a positional constraint (SLOP/INORDER)
+    within one text field (/root/reference/src/indexes/text/proximity.h:47)."""
+
+    attr: str | None
+    words: list[str]
+    slop: int = 0
+    inorder: bool = False
+    verbatim: bool = False
+
+
+@dataclass
+class And(Predicate):
+    children: list[Predicate]
+
+
+@dataclass
+class Or(Predicate):
+    children: list[Predicate]
+
+
+@dataclass
+class Not(Predicate):
+    """`-p` — complement INCLUDING keys missing/untracked for the field
+    (/root/reference/src/query/predicate.h:113; src/indexes/numeric.h:128)."""
+
+    child: Predicate
+
+
+@dataclass
+class KnnClause:
+    """`=>[KNN k @field $vec EF_RUNTIME n AS name]`
+    (/root/reference/src/query/search.cc:954-1067)."""
+
+    k: int
+    attr: str
+    vector: list[float]
+    ef_runtime: int | None = None
+    score_name: str | None = None
+
+    def score_alias(self, default_prefix: str = "__") -> str:
+        # default score field name `__<vecfield>_score` (src/commands/ft_search.cc:74)
+        return self.score_name or f"{default_prefix}{self.attr}_score"
+
+
+@dataclass
+class ParsedQuery:
+    predicate: Predicate
+    knn: KnnClause | None = None

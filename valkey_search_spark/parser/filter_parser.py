@@ -1,0 +1,331 @@
+"""Recursive-descent parser for the FT.SEARCH filter language.
+
+Grammar per /root/reference/docs/topics/search-query.md:14-44 and the
+reference parser /root/reference/src/commands/filter_parser.cc (1054 LoC,
+ParseExpression at :931). Shapes:
+
+    *                              match all
+    @f:{tag | tag2 | pre*}         tag match / tag prefix
+    @f:[(lo (hi]                   numeric range, ±inf, ( = exclusive
+    @f:word  @f:word* @f:*word* @f:%word%  @f:"exact phrase"
+    word                           fieldless text -> all TEXT fields
+    p1 p2                          AND (whitespace)
+    p1 | p2                        OR
+    -p                             NOT (matches keys missing the field)
+    (...)                          grouping; @f:(w1 w2) field-scoped group
+    <filter>=>[KNN k @v $vec EF_RUNTIME n AS name]
+
+`$name` parameters (PARAMS, /root/reference/src/query/search.cc:937-952)
+are substituted at parse time from the ``params`` dict.
+"""
+
+from __future__ import annotations
+
+import math
+import struct as _struct
+
+from ..errors import QuerySyntaxError
+from .ast import (
+    FUZZY, INFIX, PHRASE, PREFIX, SUFFIX, TERM,
+    And, KnnClause, MatchAll, Not, NumericPred, Or, ParsedQuery, Predicate,
+    TagPred, TextPred,
+)
+
+_TERM_STOP = set(' \t\n\r()|{}[]"@')
+
+
+def _decode_vector(v) -> list[float]:
+    """Accept list[float], or the reference's raw little-endian FLOAT32 blob
+    (docs/topics/search-data-formats.md:104-150)."""
+    if isinstance(v, (bytes, bytearray)):
+        if len(v) % 4:
+            raise QuerySyntaxError("vector blob length not a multiple of 4")
+        return list(_struct.unpack(f"<{len(v) // 4}f", v))
+    return [float(x) for x in v]
+
+
+class FilterParser:
+    def __init__(self, query: str, params: dict | None = None):
+        self.q = query
+        self.i = 0
+        self.params = params or {}
+
+    # -- scanning helpers -------------------------------------------------
+    def _peek(self) -> str:
+        return self.q[self.i] if self.i < len(self.q) else ""
+
+    def _ws(self) -> None:
+        while self.i < len(self.q) and self.q[self.i] in " \t\n\r":
+            self.i += 1
+
+    def _expect(self, ch: str) -> None:
+        if self._peek() != ch:
+            raise QuerySyntaxError(f"expected `{ch}` at offset {self.i} in {self.q!r}")
+        self.i += 1
+
+    def _param(self, name: str):
+        if name not in self.params:
+            raise QuerySyntaxError(f"missing PARAMS value for ${name}")
+        return self.params[name]
+
+    def _read_until(self, stops: set[str]) -> str:
+        out = []
+        while self.i < len(self.q):
+            c = self.q[self.i]
+            if c == "\\" and self.i + 1 < len(self.q):
+                out.append(self.q[self.i + 1])
+                self.i += 2
+                continue
+            if c in stops:
+                break
+            out.append(c)
+            self.i += 1
+        return "".join(out)
+
+    # -- entry ------------------------------------------------------------
+    def parse(self) -> ParsedQuery:
+        # split off `=>[KNN ...]` (PreParseQueryString, search.cc:1069)
+        knn = None
+        base = self.q
+        if "=>" in self.q:
+            base, _, knn_part = self.q.partition("=>")
+            knn = self._parse_knn(knn_part.strip())
+        self.q, self.i = base, 0
+        self._ws()
+        pred = self._or()
+        self._ws()
+        if self.i < len(self.q):
+            raise QuerySyntaxError(f"trailing input at offset {self.i}: {self.q[self.i:]!r}")
+        return ParsedQuery(pred, knn)
+
+    # -- boolean structure --------------------------------------------------
+    def _or(self) -> Predicate:
+        kids = [self._and()]
+        while True:
+            self._ws()
+            if self._peek() == "|":
+                self.i += 1
+                kids.append(self._and())
+            else:
+                break
+        return kids[0] if len(kids) == 1 else Or(kids)
+
+    def _and(self) -> Predicate:
+        kids = []
+        while True:
+            self._ws()
+            c = self._peek()
+            if c == "" or c in "|)":
+                break
+            kids.append(self._unary())
+        if not kids:
+            raise QuerySyntaxError(f"empty clause at offset {self.i} in {self.q!r}")
+        return kids[0] if len(kids) == 1 else And(kids)
+
+    def _unary(self) -> Predicate:
+        self._ws()
+        c = self._peek()
+        if c == "-":
+            self.i += 1
+            return Not(self._unary())
+        if c == "(":
+            self.i += 1
+            inner = self._or()
+            self._ws()
+            self._expect(")")
+            return inner
+        return self._primary()
+
+    # -- primaries ----------------------------------------------------------
+    def _primary(self) -> Predicate:
+        c = self._peek()
+        if c == "*":
+            # match-all, or fieldless suffix/infix *word / *word*
+            nxt = self.q[self.i + 1] if self.i + 1 < len(self.q) else ""
+            if nxt == "" or nxt in " \t\n\r)|":
+                self.i += 1
+                return MatchAll()
+            return self._text_unit(None)
+        if c == "@":
+            return self._field()
+        return self._text_unit(None)
+
+    def _field(self) -> Predicate:
+        self._expect("@")
+        attr = self._read_until(set(":") | _TERM_STOP)
+        self._expect(":")
+        self._ws()
+        c = self._peek()
+        if c == "{":
+            return self._tag(attr)
+        if c == "[":
+            return self._numeric(attr)
+        if c == "(":
+            self.i += 1
+            inner = self._field_scoped_or(attr)
+            self._ws()
+            self._expect(")")
+            return inner
+        return self._text_unit(attr)
+
+    def _field_scoped_or(self, attr: str) -> Predicate:
+        kids = [self._field_scoped_and(attr)]
+        while True:
+            self._ws()
+            if self._peek() == "|":
+                self.i += 1
+                kids.append(self._field_scoped_and(attr))
+            else:
+                break
+        return kids[0] if len(kids) == 1 else Or(kids)
+
+    def _field_scoped_and(self, attr: str) -> Predicate:
+        kids = []
+        while True:
+            self._ws()
+            c = self._peek()
+            if c == "" or c in "|)":
+                break
+            if c == "-":
+                self.i += 1
+                kids.append(Not(self._text_unit(attr)))
+            else:
+                kids.append(self._text_unit(attr))
+        if not kids:
+            raise QuerySyntaxError("empty field-scoped group")
+        return kids[0] if len(kids) == 1 else And(kids)
+
+    def _tag(self, attr: str) -> Predicate:
+        self._expect("{")
+        tags: list[tuple[str, bool]] = []
+        while True:
+            self._ws()
+            raw = self._read_until({"|", "}"}).strip()
+            if raw:
+                if raw.startswith("$"):
+                    raw = str(self._param(raw[1:]))
+                if raw.endswith("*") and len(raw) > 1:
+                    tags.append((raw[:-1], True))
+                else:
+                    tags.append((raw, False))
+            c = self._peek()
+            if c == "|":
+                self.i += 1
+                continue
+            self._expect("}")
+            break
+        if not tags:
+            raise QuerySyntaxError("empty tag set")
+        return TagPred(attr, tags)
+
+    def _numeric(self, attr: str) -> Predicate:
+        self._expect("[")
+        lo, lo_excl = self._bound()
+        hi, hi_excl = self._bound()
+        self._ws()
+        self._expect("]")
+        return NumericPred(attr, lo, hi, lo_excl, hi_excl)
+
+    def _bound(self) -> tuple[float, bool]:
+        self._ws()
+        excl = False
+        if self._peek() == "(":
+            excl = True
+            self.i += 1
+        tok = self._read_until({" ", "\t", "]"})
+        if not tok:
+            raise QuerySyntaxError("empty numeric bound")
+        if tok.startswith("$"):
+            tok = str(self._param(tok[1:]))
+        t = tok.lower()
+        if t in ("inf", "+inf", "infinity"):
+            return math.inf, excl
+        if t in ("-inf", "-infinity"):
+            return -math.inf, excl
+        try:
+            return float(tok), excl
+        except ValueError:
+            raise QuerySyntaxError(f"bad numeric bound {tok!r}") from None
+
+    def _text_unit(self, attr: str | None) -> Predicate:
+        self._ws()
+        c = self._peek()
+        if c == '"':
+            self.i += 1
+            phrase = self._read_until({'"'})
+            self._expect('"')
+            words = phrase.lower().split()
+            if not words:
+                raise QuerySyntaxError("empty phrase")
+            return TextPred(attr, PHRASE, phrase.lower(), words=words, verbatim=True)
+        if c == "%":
+            dist = 0
+            while self._peek() == "%":
+                dist += 1
+                self.i += 1
+            word = self._read_until({"%"} | _TERM_STOP)
+            for _ in range(dist):
+                self._expect("%")
+            if dist > 3:
+                raise QuerySyntaxError("fuzzy distance > 3")  # search.fuzzy-max-distance
+            return TextPred(attr, FUZZY, word.lower(), distance=dist)
+        leading_star = False
+        if c == "*":
+            leading_star = True
+            self.i += 1
+        word = self._read_until(_TERM_STOP | {"*", "%"})
+        trailing_star = False
+        if self._peek() == "*":
+            trailing_star = True
+            self.i += 1
+        if word.startswith("$"):
+            word = str(self._param(word[1:]))
+        word = word.lower()
+        if not word:
+            raise QuerySyntaxError(f"empty term at offset {self.i} in {self.q!r}")
+        if leading_star and trailing_star:
+            return TextPred(attr, INFIX, word)
+        if leading_star:
+            return TextPred(attr, SUFFIX, word)
+        if trailing_star:
+            return TextPred(attr, PREFIX, word)
+        return TextPred(attr, TERM, word)
+
+    # -- KNN clause ---------------------------------------------------------
+    def _parse_knn(self, s: str) -> KnnClause:
+        if not (s.startswith("[") and s.endswith("]")):
+            raise QuerySyntaxError(f"bad KNN clause: {s!r}")
+        toks = s[1:-1].split()
+        if not toks or toks[0].upper() != "KNN":
+            raise QuerySyntaxError(f"bad KNN clause: {s!r}")
+        try:
+            k = int(toks[1])
+            attr_tok = toks[2]
+            vec_tok = toks[3]
+        except (IndexError, ValueError):
+            raise QuerySyntaxError(f"bad KNN clause: {s!r}") from None
+        if not attr_tok.startswith("@"):
+            raise QuerySyntaxError("KNN field must be @field")
+        if not vec_tok.startswith("$"):
+            raise QuerySyntaxError("KNN vector must be a $param")
+        vec = _decode_vector(self._param(vec_tok[1:]))
+        ef = None
+        score_name = None
+        j = 4
+        while j < len(toks):
+            kw = toks[j].upper()
+            if kw == "EF_RUNTIME":
+                raw = toks[j + 1]
+                ef = int(self._param(raw[1:])) if raw.startswith("$") else int(raw)
+                j += 2
+            elif kw == "AS":
+                score_name = toks[j + 1]
+                j += 2
+            else:
+                raise QuerySyntaxError(f"unknown KNN option {toks[j]!r}")
+        return KnnClause(k=k, attr=attr_tok[1:], vector=vec, ef_runtime=ef,
+                         score_name=score_name)
+
+
+def parse_query(query: str, params: dict | None = None) -> ParsedQuery:
+    return FilterParser(query, params).parse()

@@ -1,0 +1,248 @@
+"""Predicate AST -> Spark Column translation.
+
+This replaces the reference's entire physical index layer: what
+valkey-search answers with B+-trees / rax tries / postings
+(/root/reference/src/indexes/), we express as Catalyst boolean
+expressions over the derived columns — predicate pushdown, min/max
+skipping, and whole-stage codegen then do the work of the tries.
+
+Null discipline (the subtle part, SURVEY.md §4.1 "Negation"):
+every leaf is wrapped ``coalesce(p, false)`` so a missing/untracked
+field never matches a positive predicate, while ``NOT p`` *does*
+match keys missing the field (/root/reference/src/query/predicate.h:113,
+untracked-key sets src/indexes/numeric.h:128).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from pyspark.sql import Column, functions as F, types as T
+
+from ..catalog import (
+    IndexSchema, NumericField, TagField, TextField, num_col, stem_col,
+    tag_col, text_col,
+)
+from ..errors import QuerySyntaxError
+from ..functions.analysis import stem_query_term
+from ..parser.ast import (
+    FUZZY, INFIX, PHRASE, PREFIX, SUFFIX, TERM,
+    And, MatchAll, Not, NumericPred, Or, Predicate, Proximity, TagPred,
+    TextPred,
+)
+
+
+def damerau_levenshtein(a: str, b: str) -> int:
+    """Optimal-string-alignment Damerau-Levenshtein. The reference's fuzzy
+    search counts transpositions as one edit
+    (/root/reference/src/indexes/text/fuzzy.h:24, docs/full-text/fuzzy.md) —
+    Spark's builtin ``levenshtein`` does not, hence this Python kernel."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 3:
+        return max(la, lb)
+    prev2: list[int] = []
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if i > 1 and j > 1 and a[i - 1] == b[j - 2] and a[i - 2] == b[j - 1]:
+                cur[j] = min(cur[j], prev2[j - 2] + 1)
+        prev2, prev = prev, cur
+    return prev[lb]
+
+
+def _fuzzy_match_udf(word: str, dist: int):
+    @F.pandas_udf(T.BooleanType())
+    def _match(tokens: pd.Series) -> pd.Series:
+        def go(lst):
+            if lst is None:
+                return False
+            return any(damerau_levenshtein(t, word) <= dist for t in lst)
+
+        return tokens.apply(go)
+
+    return _match
+
+
+def _proximity_udf(words: list[str], slop: int, inorder: bool):
+    """Positional multi-term match: exists an assignment of the query words
+    to token positions with total inter-word gap <= slop, in query order if
+    ``inorder`` (/root/reference/src/indexes/text/proximity.h:47)."""
+    import itertools
+
+    @F.pandas_udf(T.BooleanType())
+    def _match(tok_structs: pd.Series) -> pd.Series:
+        def go(lst):
+            if lst is None:
+                return False
+            pos: dict[str, list[int]] = {}
+            for s in lst:
+                t, p = s["t"], s["p"]
+                if t in set(words):
+                    pos.setdefault(t, []).append(p)
+            if any(w not in pos for w in words):
+                return False
+            for combo in itertools.product(*(pos[w] for w in words)):
+                if len(set(combo)) != len(combo):
+                    continue
+                if inorder and list(combo) != sorted(combo):
+                    continue
+                seq = list(combo) if inorder else sorted(combo)
+                gap = sum(seq[i + 1] - seq[i] - 1 for i in range(len(seq) - 1))
+                if gap <= slop:
+                    return True
+            return False
+
+        return tok_structs.apply(go)
+
+    return _match
+
+
+class PredicateTranslator:
+    """Compiles a Predicate tree to one Spark boolean Column over the
+    index's derived frame (exec-strategy counterpart of
+    /root/reference/src/query/search.cc:300-454)."""
+
+    def __init__(self, schema: IndexSchema, verbatim: bool = False):
+        self.schema = schema
+        self.verbatim = verbatim
+
+    def translate(self, p: Predicate) -> Column:
+        if isinstance(p, MatchAll):
+            return F.lit(True)
+        if isinstance(p, And):
+            col = self.translate(p.children[0])
+            for c in p.children[1:]:
+                col = col & self.translate(c)
+            return col
+        if isinstance(p, Or):
+            col = self.translate(p.children[0])
+            for c in p.children[1:]:
+                col = col | self.translate(c)
+            return col
+        if isinstance(p, Not):
+            return ~self.translate(p.child)
+        if isinstance(p, TagPred):
+            return self._tag(p)
+        if isinstance(p, NumericPred):
+            return self._numeric(p)
+        if isinstance(p, TextPred):
+            return self._text(p)
+        if isinstance(p, Proximity):
+            return self._proximity(p)
+        raise QuerySyntaxError(f"untranslatable predicate {p!r}")
+
+    # -- leaves (all coalesced: missing field never matches) ---------------
+    def _tag(self, p: TagPred) -> Column:
+        fdef = self.schema.field(p.attr)
+        if not isinstance(fdef, TagField):
+            raise QuerySyntaxError(f"field `{p.attr}` is not TAG")
+        col = F.col(tag_col(fdef.attr))
+        exact = [fdef.fold_query_tag(t) for t, pre in p.tags if not pre]
+        prefixes = [fdef.fold_query_tag(t) for t, pre in p.tags if pre]
+        conds: list[Column] = []
+        if exact:
+            conds.append(F.arrays_overlap(col, F.array(*[F.lit(t) for t in exact])))
+        for pre in prefixes:
+            conds.append(F.exists(col, lambda t: t.startswith(pre)))
+        out = conds[0]
+        for c in conds[1:]:
+            out = out | c
+        return F.coalesce(out, F.lit(False))
+
+    def _numeric(self, p: NumericPred) -> Column:
+        fdef = self.schema.field(p.attr)
+        if not isinstance(fdef, NumericField):
+            raise QuerySyntaxError(f"field `{p.attr}` is not NUMERIC")
+        col = F.col(num_col(fdef.attr))
+        conds: list[Column] = []
+        if not (p.lo == -math.inf and not p.lo_excl):
+            conds.append(col > p.lo if p.lo_excl else col >= p.lo)
+        if not (p.hi == math.inf and not p.hi_excl):
+            conds.append(col < p.hi if p.hi_excl else col <= p.hi)
+        if not conds:
+            return col.isNotNull()  # [-inf +inf] == tracked-for-field
+        out = conds[0]
+        for c in conds[1:]:
+            out = out & c
+        return F.coalesce(out, F.lit(False))
+
+    # -- text ---------------------------------------------------------------
+    def _text_attrs(self, attr: str | None) -> list[TextField]:
+        if attr is not None:
+            fdef = self.schema.field(attr)
+            if not isinstance(fdef, TextField):
+                raise QuerySyntaxError(f"field `{attr}` is not TEXT")
+            return [fdef]
+        fields = self.schema.text_fields
+        if not fields:
+            raise QuerySyntaxError("fieldless text query but index has no TEXT fields")
+        return fields
+
+    def _text(self, p: TextPred) -> Column:
+        conds = [self._text_one(f, p) for f in self._text_attrs(p.attr)]
+        out = conds[0]
+        for c in conds[1:]:
+            out = out | c
+        return F.coalesce(out, F.lit(False))
+
+    def _text_one(self, fdef: TextField, p: TextPred) -> Column:
+        toks = F.col(text_col(fdef.attr))
+        w = p.value
+        if p.kind == TERM:
+            if fdef.nostem or self.verbatim or p.verbatim:
+                return F.exists(toks, lambda s: s["t"] == w)
+            qstem = stem_query_term(w, fdef.min_stem_size)
+            return F.array_contains(F.col(stem_col(fdef.attr)), qstem)
+        if p.kind == PREFIX:
+            return F.exists(toks, lambda s: s["t"].startswith(w))
+        if p.kind == SUFFIX:
+            return F.exists(toks, lambda s: s["t"].endswith(w))
+        if p.kind == INFIX:
+            return F.exists(toks, lambda s: s["t"].contains(w))
+        if p.kind == FUZZY:
+            return _fuzzy_match_udf(w, p.distance)(F.transform(toks, lambda s: s["t"]))
+        if p.kind == PHRASE:
+            return self._phrase(fdef, p.words)
+        raise QuerySyntaxError(f"unknown text kind {p.kind}")
+
+    def _phrase(self, fdef: TextField, words: list[str]) -> Column:
+        """Exact phrase: remaining (non-stop) words at their original
+        consecutive offsets — positions count stop words too, so gaps
+        survive removal (docs/topics/search-query.md:171-178)."""
+        toks = F.col(text_col(fdef.attr))
+        offs = [(wd, i) for i, wd in enumerate(words) if wd not in fdef.stopwords]
+        if not offs:
+            return F.lit(False)
+        w0, o0 = offs[0]
+
+        def follower(word: str, delta: int, anchor_pos):
+            def check(u):
+                return (u["t"] == word) & (u["p"] == anchor_pos + delta)
+
+            return check
+
+        def anchored(s):
+            cond = s["t"] == w0
+            for wd, off in offs[1:]:
+                cond = cond & F.exists(toks, follower(wd, off - o0, s["p"]))
+            return cond
+
+        return F.exists(toks, anchored)
+
+    def _proximity(self, p: Proximity) -> Column:
+        # Positions track raw tokens, so proximity matches raw (unstemmed)
+        # tokens — a documented v1 deviation from the reference's
+        # stem-expanded proximity terms (SURVEY.md §2.2 SLOP/INORDER row).
+        conds = []
+        for fdef in self._text_attrs(p.attr):
+            toks = F.col(text_col(fdef.attr))
+            conds.append(_proximity_udf(p.words, p.slop, p.inorder)(toks) & toks.isNotNull())
+        out = conds[0]
+        for c in conds[1:]:
+            out = out | c
+        return F.coalesce(out, F.lit(False))
