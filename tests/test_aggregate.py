@@ -1,0 +1,199 @@
+"""FT.AGGREGATE stages + expression language vs DuckDB oracle at sf0.001.
+
+Mirrors the reference's testing/ft_aggregate_exec_test.cc +
+testing/expr/{expr,value}_test.cc semantics (SURVEY.md §5.1) via the
+golden-answer-against-oracle pattern (§5.3).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from valkey_search_spark import NumericField, SearchEngine, TagField, TextField
+
+from .conftest import SF_DIR, load
+
+
+@pytest.fixture(scope="module")
+def eng(spark, sf_dir):
+    e = SearchEngine(spark)
+    e.ft_create(
+        "li",
+        load(spark, sf_dir, "lineitem"),
+        [TagField("l_returnflag"), TagField("l_linestatus"),
+         NumericField("l_quantity"), NumericField("l_extendedprice"),
+         NumericField("l_discount"), NumericField("l_shipdate")],
+        key_column="l_orderkey",
+    )
+    e.ft_create(
+        "ords",
+        load(spark, sf_dir, "orders"),
+        [TagField("o_orderstatus"), TagField("o_orderpriority"),
+         NumericField("o_totalprice"), NumericField("o_orderdate")],
+        key_column="o_orderkey",
+    )
+    return e
+
+
+def duck_rows(sql: str):
+    sql = sql.replace("LINEITEM", f"'{SF_DIR}/lineitem.parquet'")
+    sql = sql.replace("ORDERS", f"'{SF_DIR}/orders.parquet'")
+    return duckdb.sql(sql).fetchall()
+
+
+def norm(rows, ndigits=4):
+    out = set()
+    for r in rows:
+        vals = []
+        for v in r:
+            if isinstance(v, float):
+                vals.append(round(v, ndigits))
+            else:
+                vals.append(v)
+        out.add(tuple(vals))
+    return out
+
+
+def test_groupby_all_reducers(eng):
+    df = eng.ft_aggregate(
+        "li", "*",
+        'APPLY "@l_extendedprice*(1-@l_discount)" AS dp '
+        "GROUPBY 2 @l_returnflag @l_linestatus "
+        "REDUCE COUNT 0 AS n REDUCE SUM 1 @l_quantity AS sum_qty "
+        "REDUCE AVG 1 @l_discount AS avg_disc REDUCE SUM 1 @dp AS revenue "
+        "REDUCE MIN 1 @l_extendedprice AS min_p REDUCE MAX 1 @l_extendedprice AS max_p "
+        "REDUCE STDDEV 1 @l_quantity AS sd REDUCE COUNT_DISTINCT 1 @l_quantity AS nq",
+    )
+    got = norm([tuple(r) for r in df.collect()], 2)
+    want = norm(duck_rows(
+        "SELECT l_returnflag, l_linestatus, CAST(count(*) AS DOUBLE) n,"
+        " sum(l_quantity) sum_qty, avg(l_discount) avg_disc,"
+        " sum(l_extendedprice*(1-l_discount)) revenue,"
+        " min(l_extendedprice) min_p, max(l_extendedprice) max_p,"
+        " stddev_samp(l_quantity) sd, CAST(count(DISTINCT l_quantity) AS DOUBLE) nq"
+        " FROM LINEITEM GROUP BY 1, 2"), 2)
+    assert got == want
+
+
+def test_filter_stage_and_sortby_max(eng):
+    df = eng.ft_aggregate(
+        "ords", "*",
+        'FILTER "@o_totalprice > 100000" '
+        "GROUPBY 1 @o_orderpriority REDUCE COUNT 0 AS n "
+        "SORTBY 2 @n DESC MAX 3",
+    )
+    got = [(r.o_orderpriority, r.n) for r in df.collect()]
+    want = [tuple(r) for r in duck_rows(
+        "SELECT o_orderpriority, CAST(count(*) AS DOUBLE) n FROM ORDERS"
+        " WHERE o_totalprice > 100000 GROUP BY 1 ORDER BY n DESC, o_orderpriority"
+        " LIMIT 3")]
+    # ties on n possible: compare as sets of counts + same priorities chosen
+    assert norm(got) == norm(want)
+
+
+def test_limit_offset(eng):
+    df = eng.ft_aggregate(
+        "ords", "*",
+        "GROUPBY 1 @o_orderstatus REDUCE COUNT 0 AS n SORTBY 2 @n DESC LIMIT 1 2",
+    )
+    rows = df.collect()
+    assert len(rows) == 2
+
+
+def test_apply_arithmetic_quirks(eng, spark):
+    df = eng.ft_aggregate(
+        "li", "@l_quantity:[1 1]",
+        'APPLY "@l_quantity/0" AS div0 APPLY "@l_quantity^2" AS sq '
+        'APPLY "-@l_quantity + 10" AS neg LIMIT 0 1',
+    )
+    r = df.collect()[0]
+    assert math.isnan(r.div0)      # /0 -> NaN, not NULL (value.cc:351-363)
+    assert r.sq == 1.0
+    assert r.neg == 9.0
+
+
+def test_time_functions(eng):
+    df = eng.ft_aggregate(
+        "ords", "*",
+        'APPLY "year(@o_orderdate)" AS y APPLY "month(@o_orderdate)" AS m0 '
+        'APPLY "dayofweek(@o_orderdate)" AS dw APPLY "dayofyear(@o_orderdate)" AS dy '
+        'APPLY "hour(@o_orderdate)" AS h '
+        "GROUPBY 5 @y @m0 @dw @dy @h REDUCE COUNT 0 AS n",
+    )
+    got = norm([tuple(r) for r in df.collect()])
+    want = norm(duck_rows(
+        "SELECT CAST(year(o_orderdate) AS DOUBLE) y,"
+        " CAST(month(o_orderdate)-1 AS DOUBLE) m0,"          # 0-based month
+        " CAST(dayofweek(o_orderdate) AS DOUBLE) dw,"        # duckdb: 0=Sunday
+        " CAST(dayofyear(o_orderdate)-1 AS DOUBLE) dy,"      # 0-based
+        " CAST(hour(o_orderdate) AS DOUBLE) h,"
+        " CAST(count(*) AS DOUBLE) n FROM ORDERS GROUP BY 1,2,3,4,5"))
+    assert got == want
+
+
+def test_string_functions(eng):
+    df = eng.ft_aggregate(
+        "ords", "*",
+        'APPLY "upper(@o_orderpriority)" AS up APPLY "strlen(@o_orderpriority)" AS sl '
+        'APPLY "substr(@o_orderpriority, 0, 3)" AS s3 '
+        'APPLY "contains(@o_orderpriority, \'e\')" AS ce '
+        'APPLY "concat(@o_orderstatus, \'-\', @o_orderpriority)" AS cc '
+        "GROUPBY 5 @up @sl @s3 @ce @cc REDUCE COUNT 0 AS n",
+    )
+    got = norm([tuple(r) for r in df.collect()])
+    want = norm(duck_rows(
+        "SELECT upper(o_orderpriority) up, CAST(strlen(o_orderpriority) AS DOUBLE) sl,"
+        " substr(o_orderpriority, 1, 3) s3,"
+        " CAST((strlen(o_orderpriority) - strlen(replace(o_orderpriority,'e','')))"
+        "   AS DOUBLE) ce,"
+        " o_orderstatus || '-' || o_orderpriority cc,"
+        " CAST(count(*) AS DOUBLE) n FROM ORDERS GROUP BY 1,2,3,4,5"))
+    assert got == want
+
+
+def test_exists_and_comparison_semantics(eng):
+    # exists() on a present field -> 1; missing field -> Nil==Nil comparisons
+    df = eng.ft_aggregate(
+        "ords", "*",
+        'APPLY "exists(@o_totalprice)" AS e1 APPLY "exists(@nope)" AS e0 '
+        'APPLY "@nope == @nope" AS nilnil APPLY "@nope < @o_totalprice" AS unord '
+        "LIMIT 0 1",
+    )
+    r = df.collect()[0]
+    assert r.e1 == 1.0
+    assert r.e0 == 0.0
+    assert r.nilnil is True        # Nil==Nil EQUAL (value.cc:271-319)
+    assert r.unord is False        # UNORDERED -> false
+
+
+def test_count_distinct_exact(eng):
+    df = eng.ft_aggregate("ords", "*",
+                          "GROUPBY 0 REDUCE COUNT_DISTINCT 1 @o_orderpriority AS d")
+    assert df.collect()[0].d == duck_rows(
+        "SELECT count(DISTINCT o_orderpriority) FROM ORDERS")[0][0]
+
+
+def test_avg_empty_is_zero(eng):
+    # AVG over empty set -> 0.0 not NULL (ft_aggregate_exec.cc:296-309)
+    df = eng.ft_aggregate("ords", "@o_totalprice:[999999999 inf]",
+                          "GROUPBY 0 REDUCE AVG 1 @o_totalprice AS a"
+                          " REDUCE SUM 1 @o_totalprice AS s")
+    rows = df.collect()
+    # empty input: no groups at all (reference: GROUPBY 0 with no rows -> no record)
+    if rows:
+        assert rows[0].a == 0.0 and rows[0].s == 0.0
+
+
+def test_groupby_numeric_field(eng):
+    df = eng.ft_aggregate(
+        "li", "*",
+        "GROUPBY 1 @l_quantity REDUCE COUNT 0 AS n SORTBY 2 @l_quantity ASC MAX 5",
+    )
+    got = [(r.l_quantity, r.n) for r in df.collect()]
+    want = [tuple(r) for r in duck_rows(
+        "SELECT l_quantity, CAST(count(*) AS DOUBLE) FROM LINEITEM"
+        " GROUP BY 1 ORDER BY 1 LIMIT 5")]
+    assert got == want

@@ -107,9 +107,10 @@ class NumericField(FieldDef):
     def derived(self, df: DataFrame) -> dict[str, Column]:
         dtype = dict(df.dtypes).get(self.name)
         src = F.col(self.name)
-        if dtype == "timestamp":
-            # timestamps enter the numeric domain as unix seconds (FIXTURES.md F5)
-            out = src.cast("double")
+        if dtype in ("timestamp", "timestamp_ntz", "date"):
+            # timestamps enter the numeric domain as unix seconds (FIXTURES.md
+            # F5); NTZ values are UTC by session pin, via TIMESTAMP cast
+            out = src.cast("timestamp").cast("double")
         elif dtype in ("double", "float", "bigint", "int", "smallint", "tinyint", "decimal"):
             out = src.cast("double")
         else:

@@ -1,0 +1,376 @@
+"""FT.AGGREGATE: stage parser + DataFrame executor.
+
+The reference folds a fully-materialized RecordSet through stages on one
+thread (/root/reference/src/commands/ft_aggregate_exec.cc); here each stage
+appends to a lazy DataFrame plan, so GROUPBY becomes a distributed hash
+aggregation with map-side partials, SORTBY MAX becomes
+TakeOrderedAndProject, and the whole chain shuffles only where keys change.
+
+Stage registry (complete, /root/reference/src/commands/ft_aggregate_parser.cc:240-258):
+LOAD / APPLY / FILTER / GROUPBY+REDUCE / SORTBY [MAX] / LIMIT / ADDSCORES.
+Reducer registry (complete, ft_aggregate_exec.cc:406-414):
+COUNT, COUNT_DISTINCT, SUM, MIN, MAX, AVG, STDDEV.
+"""
+
+from __future__ import annotations
+
+import shlex
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..catalog import IndexSchema, NumericField, num_col
+from ..errors import ExpressionError, QuerySyntaxError
+from ..parser.expr_parser import Expr, parse_expr
+from ..plans.expr_compiler import (
+    NUM, STR, ExprCompiler, FieldResolver, TypedCol, to_num,
+)
+
+REDUCERS = {"COUNT", "COUNT_DISTINCT", "SUM", "MIN", "MAX", "AVG", "STDDEV"}
+
+
+@dataclass
+class Reduce:
+    func: str
+    args: list[str]          # field refs / literals as written
+    out_name: str
+
+
+@dataclass
+class GroupBy:
+    fields: list[str]
+    reducers: list[Reduce]
+
+
+@dataclass
+class Apply:
+    expr: Expr
+    out_name: str
+
+
+@dataclass
+class Filter:
+    expr: Expr
+
+
+@dataclass
+class SortKey:
+    expr: Expr
+    desc: bool
+    text: str
+
+
+@dataclass
+class SortBy:
+    keys: list[SortKey]
+    max: int | None = None
+
+
+@dataclass
+class Limit:
+    offset: int
+    count: int
+
+
+@dataclass
+class Load:
+    fields: list[str] = dc_field(default_factory=list)
+    star: bool = False
+
+
+@dataclass
+class AddScores:
+    pass
+
+
+Stage = Load | Apply | Filter | GroupBy | SortBy | Limit | AddScores
+
+
+def parse_stages(stage_str: str, params: dict | None = None) -> list[Stage]:
+    """Parse the FT.AGGREGATE argument tail, e.g.
+    ``LOAD 2 @a @b APPLY "@a*2" AS x GROUPBY 1 @x REDUCE SUM 1 @a AS s``.
+    Quoting follows shell rules (expressions with spaces must be quoted —
+    the same shape as the RESP arg list the reference parses)."""
+    toks = shlex.split(stage_str)
+    params = params or {}
+    stages: list[Stage] = []
+    i = 0
+
+    def need(n: int, what: str):
+        if i + n > len(toks):
+            raise QuerySyntaxError(f"truncated {what} clause")
+
+    def strip_at(s: str) -> str:
+        return s[1:] if s.startswith("@") else s
+
+    while i < len(toks):
+        kw = toks[i].upper()
+        if kw == "LOAD":
+            need(2, "LOAD")
+            if toks[i + 1] == "*":
+                stages.append(Load(star=True))
+                i += 2
+                continue
+            n = int(toks[i + 1])
+            fields = []
+            j = i + 2
+            while len(fields) < n:
+                name = strip_at(toks[j])
+                if j + 2 < len(toks) and toks[j + 1].upper() == "AS":
+                    fields.append(name)  # alias folded: records use alias name
+                    j += 3
+                else:
+                    fields.append(name)
+                    j += 1
+            stages.append(Load(fields=fields))
+            i = j
+        elif kw == "APPLY":
+            need(4, "APPLY")
+            if toks[i + 2].upper() != "AS":
+                raise QuerySyntaxError("APPLY requires AS <name>")
+            stages.append(Apply(parse_expr(toks[i + 1], params), toks[i + 3]))
+            i += 4
+        elif kw == "FILTER":
+            need(2, "FILTER")
+            stages.append(Filter(parse_expr(toks[i + 1], params)))
+            i += 2
+        elif kw == "GROUPBY":
+            need(2, "GROUPBY")
+            n = int(toks[i + 1])
+            fields = [strip_at(toks[i + 2 + k]) for k in range(n)]
+            i += 2 + n
+            reducers: list[Reduce] = []
+            while i < len(toks) and toks[i].upper() == "REDUCE":
+                func = toks[i + 1].upper()
+                if func not in REDUCERS:
+                    raise QuerySyntaxError(f"unknown reducer {func}")
+                nargs = int(toks[i + 2])
+                rargs = [toks[i + 3 + k] for k in range(nargs)]
+                i += 3 + nargs
+                if i < len(toks) and toks[i].upper() == "AS":
+                    out = toks[i + 1]
+                    i += 2
+                else:
+                    # default name `name(args)` (ft_aggregate_exec.cc:390-398)
+                    out = f"{func.lower()}({','.join(rargs)})"
+                reducers.append(Reduce(func, rargs, out))
+            stages.append(GroupBy(fields, reducers))
+        elif kw == "SORTBY":
+            need(2, "SORTBY")
+            n = int(toks[i + 1])
+            j = i + 2
+            keys: list[SortKey] = []
+            consumed = 0
+            while consumed < n:
+                text = toks[j]
+                desc = False
+                j += 1
+                consumed += 1
+                if consumed < n and j < len(toks) and toks[j].upper() in ("ASC", "DESC"):
+                    desc = toks[j].upper() == "DESC"
+                    j += 1
+                    consumed += 1
+                keys.append(SortKey(parse_expr(_at_to_expr(text), params), desc, text))
+            mx = None
+            if j < len(toks) and toks[j].upper() == "MAX":
+                mx = int(toks[j + 1])
+                j += 2
+            stages.append(SortBy(keys, mx))
+            i = j
+        elif kw == "LIMIT":
+            need(3, "LIMIT")
+            stages.append(Limit(int(toks[i + 1]), int(toks[i + 2])))
+            i += 3
+        elif kw == "ADDSCORES":
+            stages.append(AddScores())
+            i += 1
+        else:
+            raise QuerySyntaxError(f"unknown aggregate clause {toks[i]!r}")
+    return stages
+
+
+def _at_to_expr(text: str) -> str:
+    """SORTBY keys are either `@field` or full expressions."""
+    return text
+
+
+class RecordResolver(FieldResolver):
+    """@field resolution over the evolving record frame.
+
+    Order (mirrors the name->slot map of
+    /root/reference/src/commands/ft_aggregate_parser.h:85-129):
+    1. columns created by earlier stages (APPLY / REDUCE aliases)
+    2. schema attributes: NUMERIC -> parsed double, others -> raw string
+    3. any other document column present on the frame
+    4. otherwise Nil
+    """
+
+    _NUM_DTYPES = ("double", "float", "bigint", "int", "smallint", "tinyint")
+
+    def __init__(self, schema: IndexSchema, df: DataFrame):
+        self.schema = schema
+        self.created: dict[str, str] = {}   # record name -> kind
+        self.dtypes: dict[str, str] = dict(df.dtypes)
+
+    def note_created(self, name: str, kind: str) -> None:
+        self.created[name] = kind
+
+    def resolve(self, name: str) -> TypedCol:
+        if name in self.created:
+            return TypedCol(F.col(name), self.created[name])
+        if name == "__key" or name == "key":
+            return TypedCol(F.col("__key"), STR)
+        if name in self.schema._by_attr:
+            fdef = self.schema.field(name)
+            if isinstance(fdef, NumericField):
+                return TypedCol(F.col(num_col(fdef.attr)), NUM)
+            return TypedCol(F.col(fdef.name).cast("string"), STR)
+        if name in self.dtypes:
+            dt = self.dtypes[name]
+            if dt in self._NUM_DTYPES or dt.startswith("decimal"):
+                return TypedCol(F.col(name).cast("double"), NUM)
+            if dt in ("timestamp", "timestamp_ntz", "date"):
+                return TypedCol(F.col(name).cast("timestamp").cast("double"), NUM)
+            return TypedCol(F.col(name).cast("string"), STR)
+        # absent field -> Nil (expr.cc:45-72)
+        return TypedCol(F.lit(None).cast("string"), STR)
+
+
+class AggregateExecutor:
+    """Sequential fold of the stage list over a DataFrame
+    (ExecuteAggregationStages, /root/reference/src/commands/ft_aggregate.cc:348-364)."""
+
+    def __init__(self, schema: IndexSchema, df: DataFrame,
+                 score_column: str | None = None):
+        self.schema = schema
+        self.df = df
+        self.score_column = score_column
+        self.resolver = RecordResolver(schema, df)
+        self.compiler = ExprCompiler(self.resolver)
+        # output projection accumulates like the reference's Record fields
+        self.record_cols: list[str] = []
+        self.grouped = False
+
+    def run(self, stages: list[Stage]) -> DataFrame:
+        for st in stages:
+            self._apply_stage(st)
+        return self._project()
+
+    # ------------------------------------------------------------------
+    def _apply_stage(self, st: Stage) -> None:
+        if isinstance(st, Load):
+            if st.star:
+                for c in self.schema.doc_df.columns:
+                    if c not in self.record_cols:
+                        self.record_cols.append(c)
+            else:
+                for f in st.fields:
+                    fdef = self.schema.field(f) if f in self.schema._by_attr else None
+                    from ..catalog import VectorField
+
+                    if isinstance(fdef, VectorField):
+                        # vector fields refuse to LOAD (ft_aggregate.cc:73)
+                        raise QuerySyntaxError(f"cannot LOAD vector field `{f}`")
+                    if f not in self.record_cols:
+                        self.record_cols.append(f)
+        elif isinstance(st, Apply):
+            t = self.compiler.compile(st.expr)
+            self.df = self.df.withColumn(st.out_name, t.col)
+            self.resolver.note_created(st.out_name, t.kind)
+            if st.out_name not in self.record_cols:
+                self.record_cols.append(st.out_name)
+        elif isinstance(st, Filter):
+            self.df = self.df.filter(self.compiler.truthy(st.expr))
+        elif isinstance(st, AddScores):
+            if self.score_column:
+                if self.score_column not in self.record_cols:
+                    self.record_cols.append(self.score_column)
+        elif isinstance(st, GroupBy):
+            self._groupby(st)
+        elif isinstance(st, SortBy):
+            order = []
+            for k in st.keys:
+                t = self.compiler.compile(k.expr)
+                order.append(t.col.desc_nulls_last() if k.desc else t.col.asc_nulls_last())
+            self.df = self.df.orderBy(*order)
+            if st.max is not None:
+                # bounded-heap top-k (ft_aggregate_exec.cc:155-172) ==
+                # TakeOrderedAndProject once Catalyst sees orderBy+limit
+                self.df = self.df.limit(st.max)
+        elif isinstance(st, Limit):
+            if st.offset:
+                self.df = self.df.offset(st.offset)
+            self.df = self.df.limit(st.count)
+        else:
+            raise QuerySyntaxError(f"bad stage {st!r}")
+
+    # ------------------------------------------------------------------
+    def _groupby(self, st: GroupBy) -> None:
+        group_cols = []
+        for f in st.fields:
+            t = self.resolver.resolve(f)
+            group_cols.append(t.col.alias(f))
+        aggs = []
+        out_kinds: dict[str, str] = {}
+        for r in st.reducers:
+            col, kind = self._reducer(r)
+            aggs.append(col.alias(r.out_name))
+            out_kinds[r.out_name] = kind
+        gdf = self.df.groupBy(*group_cols)
+        self.df = gdf.agg(*aggs) if aggs else gdf.agg(F.count(F.lit(1)).alias("__n")).drop("__n")
+        self.grouped = True
+        # the record set is now exactly group fields + reducer outputs
+        self.record_cols = list(st.fields) + [r.out_name for r in st.reducers]
+        self.resolver.created = {}
+        for f, c in zip(st.fields, group_cols):
+            self.resolver.note_created(f, self._group_kind(f))
+        for name, kind in out_kinds.items():
+            self.resolver.note_created(name, kind)
+
+    def _group_kind(self, f: str) -> str:
+        t = (NUM if f in self.schema._by_attr
+             and isinstance(self.schema.field(f), NumericField) else STR)
+        return t
+
+    def _arg_typed(self, raw: str) -> TypedCol:
+        if raw.startswith("@"):
+            return self.resolver.resolve(raw[1:])
+        return self.compiler.compile(parse_expr(raw))
+
+    def _reducer(self, r: Reduce):
+        """Quirk parity (/root/reference/src/commands/ft_aggregate_exec.cc):
+        COUNT -> double; SUM/AVG empty -> 0.0; STDDEV is sample stddev with
+        n<=1 -> 0.0; MIN/MAX polymorphic and Nil-ignoring;
+        COUNT_DISTINCT exact."""
+        f = r.func
+        if f == "COUNT":
+            return F.count(F.lit(1)).cast("double"), NUM
+        t = self._arg_typed(r.args[0])
+        if f == "COUNT_DISTINCT":
+            return F.count_distinct(t.col).cast("double"), NUM
+        if f == "SUM":
+            return F.coalesce(F.sum(to_num(t)), F.lit(0.0)), NUM
+        if f == "AVG":
+            return F.coalesce(F.avg(to_num(t)), F.lit(0.0)), NUM
+        if f == "STDDEV":
+            sd = F.stddev_samp(to_num(t))
+            return F.coalesce(F.when(F.isnan(sd), F.lit(0.0)).otherwise(sd), F.lit(0.0)), NUM
+        if f in ("MIN", "MAX"):
+            # polymorphic by expr::Compare; with static typing: numeric fields
+            # compare numerically, everything else bytewise as strings
+            col = to_num(t) if t.kind == NUM else t.col
+            return (F.min(col) if f == "MIN" else F.max(col)), t.kind
+        raise QuerySyntaxError(f"unknown reducer {f}")
+
+    # ------------------------------------------------------------------
+    def _project(self) -> DataFrame:
+        if not self.record_cols:
+            # no LOAD/APPLY/GROUPBY: records carry just the key
+            return self.df.select("__key")
+        cols: list[Column] = []
+        for name in self.record_cols:
+            if name in self.resolver.created or name in self.df.columns:
+                cols.append(F.col(name))
+            else:
+                cols.append(self.resolver.resolve(name).col.alias(name))
+        return self.df.select(*cols)

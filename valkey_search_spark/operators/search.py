@@ -99,6 +99,34 @@ class SearchEngine:
         return self._project(schema, df, return_fields, nocontent,
                              parsed.knn.score_alias() if parsed.knn else None)
 
+    # -- FT.AGGREGATE ------------------------------------------------------
+    def ft_aggregate(
+        self,
+        index: str,
+        query: str,
+        stages: str = "",
+        params: dict | None = None,
+        verbatim: bool = False,
+    ) -> DataFrame:
+        """FT.AGGREGATE: search phase identical to FT.SEARCH, then the
+        stage pipeline folds the result frame
+        (/root/reference/src/commands/ft_aggregate.cc:95-129, :348-364)."""
+        from .aggregate import AggregateExecutor, parse_stages
+
+        schema = self.catalog.get(index)
+        parsed = parse_query(query, params)
+        df = schema.indexed_df()
+        if not isinstance(parsed.predicate, MatchAll):
+            df = df.filter(
+                PredicateTranslator(schema, verbatim=verbatim).translate(parsed.predicate)
+            )
+        score_col = None
+        if parsed.knn is not None:
+            df = self._knn(schema, df, parsed)
+            score_col = parsed.knn.score_alias()
+        execu = AggregateExecutor(schema, df, score_column=score_col)
+        return execu.run(parse_stages(stages, params))
+
     def _maybe_proximity(self, parsed: ParsedQuery, slop: int | None, inorder: bool):
         """SLOP/INORDER upgrade a multi-term AND within one text field into a
         positional constraint (/root/reference/src/query/search.cc:226-298)."""
