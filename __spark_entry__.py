@@ -1,38 +1,448 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2
+through the public engine API (valkey_search_spark), and ``oracle_sql()``
+gives the DuckDB-equivalent ANSI SQL over the same parquet views.
+Both sides alias/round identically so the driver's order-insensitive
+value-hash comparison is meaningful.
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from valkey_search_spark import (
+    NumericField, SearchEngine, TagField, TextField, VectorField,
+)
+from valkey_search_spark.operators import dedup as dd, textops as tx
+from valkey_search_spark.sources.tables import json_number_field, load_table
+
+ALL = (0, 2_000_000_000)  # LIMIT covering every row (driver compares sets)
+
+# deterministic 64-dim query vector, embedded identically in oracle SQL
+QVEC = [round(math.sin(i + 1), 6) for i in range(64)]
+_QVEC_SQL = "[" + ",".join(str(x) for x in QVEC) + "]::DOUBLE[]"
+_EMB_D = "embedding::DOUBLE[]"
+
+_STOPWORDS = sorted(
+    """a is the an and are as at be but by for if in into it no not of on or
+    such that their then there these they this to was will with""".split()
+)
+_SW_SQL = "(" + ",".join(f"'{w}'" for w in _STOPWORDS) + ")"
+
+_LANG_SQL_MARKERS = {
+    "en": _STOPWORDS,
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "une", "un", "des", "du", "pas"],
+    "es": ["el", "la", "los", "las", "es", "una", "un", "y", "de", "no"],
+}
+
+_ENGINES: dict[tuple[int, str], SearchEngine] = {}
 
 
+def _eng(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    key = (id(spark), sf_dir)
+    if key in _ENGINES:
+        return _ENGINES[key]
+    e = SearchEngine(spark)
+    e.ft_create("parts", load_table(spark, sf_dir, "part"),
+                [TagField("p_brand"), TagField("p_type"),
+                 NumericField("p_retailprice"), NumericField("p_size"),
+                 TextField("p_name")], key_column="p_partkey")
+    e.ft_create("docs", load_table(spark, sf_dir, "documents"),
+                [TextField("text"), TagField("lang"), TagField("source"),
+                 NumericField("n_chars")], key_column="doc_id")
+    e.ft_create("ords", load_table(spark, sf_dir, "orders"),
+                [TagField("o_orderstatus"), TagField("o_orderpriority"),
+                 NumericField("o_totalprice"), NumericField("o_orderdate")],
+                key_column="o_orderkey")
+    e.ft_create("li", load_table(spark, sf_dir, "lineitem"),
+                [TagField("l_returnflag"), TagField("l_linestatus"),
+                 NumericField("l_quantity"), NumericField("l_extendedprice"),
+                 NumericField("l_discount"), NumericField("l_shipdate")],
+                key_column="l_orderkey")
+    ev = json_number_field(load_table(spark, sf_dir, "events"),
+                           "props", "$.k", "props_k")
+    e.ft_create("events", ev,
+                [TagField("event_type"), NumericField("value"),
+                 NumericField("ts"), NumericField("props_k")],
+                key_column="event_id")
+    emb = load_table(spark, sf_dir, "embeddings")
+    for name, metric in (("emb_l2", "l2"), ("emb_cos", "cosine"), ("emb_ip", "ip")):
+        e.ft_create(name, emb,
+                    [VectorField("embedding", dim=64, metric=metric),
+                     NumericField("label")], key_column="vec_id")
+    _ENGINES[key] = e
+    return e
+
+
+def _r(col, nd=4):
+    # round, then +0.0 to normalize -0.0 for hash comparison
+    return F.round(col, nd) + F.lit(0.0)
+
+
+# ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: hybrid filtered KNN on sf0.001."""
+    e = _eng(spark, "/root/testdata/sf0.001")
+    df = e.ft_search("emb_l2", "@label:[3 5]=>[KNN 8 @embedding $v AS dist]",
+                     params={"v": QVEC}, limit=(0, 8))
+    return df.select(F.col("vec_id").cast("long").alias("vec_id"),
+                     F.col("label").cast("int").alias("label"),
+                     _r(F.col("dist")).alias("dist"))
+
+
+# ---------------------------------------------------------------------------
+# FT.SEARCH family
+def _search(index, query, cols, params=None, **kw):
+    def run(spark, sf_dir):
+        df = _eng(spark, sf_dir).ft_search(index, query, params=params,
+                                           limit=ALL, **kw)
+        return df.select(*cols)
+
+    return run
+
+
+def _knn_query(index, query, score="dist"):
+    def run(spark, sf_dir):
+        df = _eng(spark, sf_dir).ft_search(
+            index, query, params={"v": QVEC}, limit=(0, 10))
+        return df.select(F.col("vec_id").cast("long").alias("vec_id"),
+                         _r(F.col(score)).alias(score))
+
+    return run
+
+
+def _agg(index, query, stages, post=None, params=None):
+    def run(spark, sf_dir):
+        df = _eng(spark, sf_dir).ft_aggregate(index, query, stages, params=params)
+        return post(df) if post else df
+
+    return run
+
+
+PART_COLS = ["p_partkey", "p_brand", "p_retailprice"]
+DOC_COLS = ["doc_id", "source"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # -- filter algebra (SURVEY §2.2) -----------------------------------
+    q["tag_match"] = _search("parts", "@p_brand:{Brand#13|Brand#42}", PART_COLS)
+    q["tag_prefix"] = _search("parts", "@p_brand:{Brand#1*}", PART_COLS)
+    q["numeric_range"] = _search("parts", "@p_retailprice:[905 915]", PART_COLS)
+    q["numeric_exclusive"] = _search("parts", "@p_retailprice:[(905 (915]", PART_COLS)
+    q["numeric_halfopen"] = _search("parts", "@p_retailprice:[910 +inf]", PART_COLS)
+    q["and_or"] = _search(
+        "parts", "(@p_brand:{Brand#13}|@p_brand:{Brand#42}) @p_size:[20 40]", PART_COLS)
+    q["negation"] = _search(
+        "parts", "-@p_brand:{Brand#13} @p_retailprice:[900 905]", PART_COLS)
+    q["params_sub"] = _search("parts", "@p_brand:{$b} @p_retailprice:[$lo $hi]",
+                              PART_COLS, params={"b": "Brand#13", "lo": 900, "hi": 910})
+
+    # -- text search (SURVEY §2.2 text rows) ----------------------------
+    q["text_term"] = _search("parts", "widget", ["p_partkey", "p_name"])
+    q["text_term_stem"] = _search("docs", "tables", DOC_COLS)
+    q["text_field_group"] = _search("parts", "@p_name:(widget|bolt)",
+                                    ["p_partkey", "p_name"])
+    q["text_prefix"] = _search("docs", "win*", DOC_COLS)
+    q["text_suffix"] = _search("parts", "*get", ["p_partkey", "p_name"])
+    q["text_infix"] = _search("docs", "*art*", DOC_COLS)
+    q["text_phrase"] = _search("docs", '"batch stream"', DOC_COLS)
+    q["text_fuzzy"] = _search("docs", "%windo%", DOC_COLS)
+    q["text_proximity"] = _search("docs", "batch stream", DOC_COLS,
+                                  slop=1, inorder=True)
+    q["text_and_numeric"] = _search("docs", "vector @n_chars:[300 +inf]", DOC_COLS)
+
+    # -- FT.AGGREGATE (SURVEY §2.4-2.5, §2.8) ---------------------------
+    q["agg_q1"] = _agg(
+        "li", "*",
+        'APPLY "@l_extendedprice*(1-@l_discount)" AS dp '
+        "GROUPBY 2 @l_returnflag @l_linestatus "
+        "REDUCE COUNT 0 AS n REDUCE SUM 1 @l_quantity AS sum_qty "
+        "REDUCE AVG 1 @l_discount AS avg_disc REDUCE SUM 1 @dp AS revenue "
+        "REDUCE MIN 1 @l_extendedprice AS min_p REDUCE MAX 1 @l_extendedprice AS max_p "
+        "REDUCE STDDEV 1 @l_quantity AS sd_qty "
+        "REDUCE COUNT_DISTINCT 1 @l_quantity AS nq",
+        post=lambda df: df.select(
+            "l_returnflag", "l_linestatus", "n", "sum_qty",
+            _r(F.col("avg_disc"), 6).alias("avg_disc"),
+            _r(F.col("revenue"), 2).alias("revenue"),
+            "min_p", "max_p", _r(F.col("sd_qty"), 4).alias("sd_qty"), "nq"))
+    q["agg_filter_stage"] = _agg(
+        "ords", "*",
+        'FILTER "@o_totalprice > 200000" GROUPBY 1 @o_orderpriority '
+        "REDUCE COUNT 0 AS n REDUCE AVG 1 @o_totalprice AS avg_p",
+        post=lambda df: df.select("o_orderpriority", "n",
+                                  _r(F.col("avg_p"), 2).alias("avg_p")))
+    q["agg_sortby_max"] = _agg(
+        "li", "*",
+        "GROUPBY 1 @l_quantity REDUCE COUNT 0 AS n "
+        "SORTBY 4 @n DESC @l_quantity ASC MAX 5")
+    q["agg_limit_offset"] = _agg(
+        "li", "*",
+        "GROUPBY 1 @l_quantity REDUCE COUNT 0 AS n "
+        "SORTBY 2 @l_quantity ASC LIMIT 3 7")
+    q["agg_apply_time"] = _agg(
+        "ords", "*",
+        'APPLY "year(@o_orderdate)" AS y APPLY "month(@o_orderdate)" AS m0 '
+        'APPLY "dayofweek(@o_orderdate)" AS dw '
+        "GROUPBY 3 @y @m0 @dw REDUCE COUNT 0 AS n")
+    q["agg_apply_strings"] = _agg(
+        "ords", "*",
+        'APPLY "upper(@o_orderpriority)" AS up '
+        'APPLY "strlen(@o_orderpriority)" AS sl '
+        'APPLY "substr(@o_orderpriority, 0, 3)" AS s3 '
+        'APPLY "contains(@o_orderpriority, \'e\')" AS ce '
+        'APPLY "concat(@o_orderstatus, \'-\', @o_orderpriority)" AS cc '
+        "GROUPBY 5 @up @sl @s3 @ce @cc REDUCE COUNT 0 AS n")
+    q["agg_expr_math"] = _agg(
+        "ords", "@o_totalprice:[100000 +inf]",
+        'APPLY "sqrt(@o_totalprice)" AS sq APPLY "floor(@o_totalprice/1000)" AS kb '
+        "GROUPBY 1 @kb REDUCE COUNT 0 AS n REDUCE SUM 1 @sq AS sum_sq",
+        post=lambda df: df.select("kb", "n", _r(F.col("sum_sq"), 2).alias("sum_sq")))
+    q["agg_tag_filter_search_phase"] = _agg(
+        "li", "@l_returnflag:{A} @l_quantity:[10 +inf]",
+        "GROUPBY 1 @l_linestatus REDUCE COUNT 0 AS n "
+        "REDUCE SUM 1 @l_extendedprice AS s",
+        post=lambda df: df.select("l_linestatus", "n", _r(F.col("s"), 2).alias("s")))
+    q["agg_events_json"] = _agg(
+        "events", "@event_type:{click|purchase}",
+        "GROUPBY 1 @event_type REDUCE COUNT 0 AS n REDUCE AVG 1 @props_k AS avg_k "
+        "REDUCE SUM 1 @value AS sum_v",
+        post=lambda df: df.select("event_type", "n",
+                                  _r(F.col("avg_k"), 4).alias("avg_k"),
+                                  _r(F.col("sum_v"), 2).alias("sum_v")))
+    q["agg_events_time"] = _agg(
+        "events", "*",
+        'APPLY "hour(@ts)" AS h GROUPBY 1 @h REDUCE COUNT 0 AS n '
+        "SORTBY 2 @h ASC")
+
+    # -- vector search (SURVEY §2.6) ------------------------------------
+    q["knn_l2"] = _knn_query("emb_l2", "*=>[KNN 10 @embedding $v AS dist]")
+    q["knn_cosine"] = _knn_query("emb_cos", "*=>[KNN 10 @embedding $v AS dist]")
+    q["knn_ip"] = _knn_query("emb_ip", "*=>[KNN 10 @embedding $v AS dist]")
+    q["knn_hybrid"] = _knn_query("emb_l2", "@label:[3 5]=>[KNN 10 @embedding $v AS dist]")
+
+    # -- LLM-pipeline: dedup -------------------------------------------
+    def q_dedup_exact(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        return dd.exact_dedup(docs, "doc_id")
+
+    q["dedup_exact"] = q_dedup_exact
+
+    def q_ngram_jaccard(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        return dd.ngram_jaccard_pairs(docs, "doc_id", threshold=0.3)
+
+    q["dedup_ngram_jaccard"] = q_ngram_jaccard
+
+    def q_minhash(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        return dd.minhash_lsh_pairs(docs, "doc_id", threshold=0.5)
+
+    q["dedup_minhash_lsh"] = q_minhash          # rows-only (hash-based)
+
+    def q_simhash(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        return dd.simhash_pairs(docs, "doc_id", max_hamming=6)
+
+    q["dedup_simhash"] = q_simhash              # rows-only (hash-based)
+
+    def q_emb_pairs(spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        return dd.embedding_cosine_pairs(emb, "vec_id", threshold=0.4)
+
+    q["dedup_embedding_cosine"] = q_emb_pairs
+
+    # -- LLM-pipeline: text analysis ------------------------------------
+    def q_text_analysis(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        return tx.analyze_documents(docs).select(
+            "doc_id", "token_count", "stopword_ratio", "quality_score",
+            "lang_id", "fingerprint")
+
+    q["text_analysis"] = q_text_analysis
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+def _part_where(where: str) -> str:
+    return ("SELECT p_partkey, p_brand, p_retailprice FROM part "
+            f"WHERE {where}")
+
+
+def _doc_where(where: str) -> str:
+    return f"SELECT doc_id, source FROM documents WHERE {where}"
+
+
+def _knn_sql(dist_expr: str, where: str = "TRUE") -> str:
+    return (
+        f"SELECT CAST(vec_id AS BIGINT) AS vec_id,"
+        f" ROUND({dist_expr}, 4) + 0.0 AS dist"
+        f" FROM embeddings WHERE {where}"
+        f" ORDER BY {dist_expr}, vec_id LIMIT 10"
+    )
+
+
+def _lang_ratio(markers: list[str]) -> str:
+    inlist = ",".join(f"'{m}'" for m in markers)
+    return ("CAST(len(list_filter(string_split(text,' '), x -> x IN "
+            f"({inlist}))) AS DOUBLE)/len(string_split(text,' '))")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+    o["tag_match"] = _part_where("p_brand IN ('Brand#13','Brand#42')")
+    o["tag_prefix"] = _part_where("p_brand LIKE 'Brand#1%'")
+    o["numeric_range"] = _part_where("p_retailprice BETWEEN 905 AND 915")
+    o["numeric_exclusive"] = _part_where("p_retailprice > 905 AND p_retailprice < 915")
+    o["numeric_halfopen"] = _part_where("p_retailprice >= 910")
+    o["and_or"] = _part_where(
+        "p_brand IN ('Brand#13','Brand#42') AND p_size BETWEEN 20 AND 40")
+    o["negation"] = _part_where(
+        "p_brand <> 'Brand#13' AND p_retailprice BETWEEN 900 AND 905")
+    o["params_sub"] = _part_where(
+        "p_brand = 'Brand#13' AND p_retailprice BETWEEN 900 AND 910")
+
+    W = "[^a-z0-9]"
+    o["text_term"] = (
+        "SELECT p_partkey, p_name FROM part WHERE "
+        f"regexp_matches(p_name, '(^|{W})widget({W}|$)')")
+    o["text_term_stem"] = _doc_where(
+        f"regexp_matches(text, '(^|{W})tables?({W}|$)')")
+    o["text_field_group"] = (
+        "SELECT p_partkey, p_name FROM part WHERE "
+        f"regexp_matches(p_name, '(^|{W})(widget|bolt)({W}|$)')")
+    o["text_prefix"] = _doc_where(f"regexp_matches(text, '(^|{W})win')")
+    o["text_suffix"] = (
+        "SELECT p_partkey, p_name FROM part WHERE "
+        f"regexp_matches(p_name, 'get({W}|$)')")
+    o["text_infix"] = _doc_where("text LIKE '%art%'")
+    o["text_phrase"] = _doc_where(
+        f"regexp_matches(text, '(^|{W})batch{W}+stream({W}|$)')")
+    o["text_fuzzy"] = _doc_where(
+        "EXISTS (SELECT 1 FROM unnest(string_split(text, ' ')) AS u(tok)"
+        " WHERE levenshtein(tok, 'windo') <= 1)")
+    o["text_proximity"] = _doc_where(
+        f"regexp_matches(text, '(^|{W})batch({W}+[a-z0-9]+){{0,1}}{W}+stream({W}|$)')")
+    o["text_and_numeric"] = _doc_where(
+        f"regexp_matches(text, '(^|{W})vector({W}|$)') AND n_chars >= 300")
+
+    o["agg_q1"] = (
+        "SELECT l_returnflag, l_linestatus, CAST(count(*) AS DOUBLE) AS n,"
+        " sum(l_quantity) AS sum_qty,"
+        " ROUND(avg(l_discount), 6) + 0.0 AS avg_disc,"
+        " ROUND(sum(l_extendedprice*(1-l_discount)), 2) + 0.0 AS revenue,"
+        " min(l_extendedprice) AS min_p, max(l_extendedprice) AS max_p,"
+        " ROUND(stddev_samp(l_quantity), 4) + 0.0 AS sd_qty,"
+        " CAST(count(DISTINCT l_quantity) AS DOUBLE) AS nq"
+        " FROM lineitem GROUP BY l_returnflag, l_linestatus")
+    o["agg_filter_stage"] = (
+        "SELECT o_orderpriority, CAST(count(*) AS DOUBLE) AS n,"
+        " ROUND(avg(o_totalprice), 2) + 0.0 AS avg_p"
+        " FROM orders WHERE o_totalprice > 200000 GROUP BY o_orderpriority")
+    o["agg_sortby_max"] = (
+        "SELECT l_quantity, CAST(count(*) AS DOUBLE) AS n FROM lineitem"
+        " GROUP BY l_quantity ORDER BY n DESC, l_quantity ASC LIMIT 5")
+    o["agg_limit_offset"] = (
+        "SELECT l_quantity, CAST(count(*) AS DOUBLE) AS n FROM lineitem"
+        " GROUP BY l_quantity ORDER BY l_quantity ASC LIMIT 7 OFFSET 3")
+    o["agg_apply_time"] = (
+        "SELECT CAST(year(o_orderdate) AS DOUBLE) AS y,"
+        " CAST(month(o_orderdate)-1 AS DOUBLE) AS m0,"
+        " CAST(dayofweek(o_orderdate) AS DOUBLE) AS dw,"
+        " CAST(count(*) AS DOUBLE) AS n"
+        " FROM orders GROUP BY 1, 2, 3")
+    o["agg_apply_strings"] = (
+        "SELECT upper(o_orderpriority) AS up,"
+        " CAST(strlen(o_orderpriority) AS DOUBLE) AS sl,"
+        " substr(o_orderpriority, 1, 3) AS s3,"
+        " CAST(strlen(o_orderpriority)"
+        "  - strlen(replace(o_orderpriority,'e','')) AS DOUBLE) AS ce,"
+        " o_orderstatus || '-' || o_orderpriority AS cc,"
+        " CAST(count(*) AS DOUBLE) AS n"
+        " FROM orders GROUP BY 1, 2, 3, 4, 5")
+    o["agg_expr_math"] = (
+        "SELECT floor(o_totalprice/1000) AS kb, CAST(count(*) AS DOUBLE) AS n,"
+        " ROUND(sum(sqrt(o_totalprice)), 2) + 0.0 AS sum_sq"
+        " FROM orders WHERE o_totalprice >= 100000 GROUP BY 1")
+    o["agg_tag_filter_search_phase"] = (
+        "SELECT l_linestatus, CAST(count(*) AS DOUBLE) AS n,"
+        " ROUND(sum(l_extendedprice), 2) + 0.0 AS s"
+        " FROM lineitem WHERE l_returnflag = 'A' AND l_quantity >= 10"
+        " GROUP BY l_linestatus")
+    o["agg_events_json"] = (
+        "SELECT event_type, CAST(count(*) AS DOUBLE) AS n,"
+        " ROUND(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4)"
+        "  + 0.0 AS avg_k,"
+        " ROUND(sum(value), 2) + 0.0 AS sum_v"
+        " FROM events WHERE event_type IN ('click','purchase')"
+        " GROUP BY event_type")
+    o["agg_events_time"] = (
+        "SELECT CAST(hour(ts) AS DOUBLE) AS h, CAST(count(*) AS DOUBLE) AS n"
+        " FROM events GROUP BY 1 ORDER BY 1")
+
+    o["knn_l2"] = _knn_sql(f"list_distance({_EMB_D}, {_QVEC_SQL})")
+    o["knn_cosine"] = _knn_sql(f"1 - list_cosine_similarity({_EMB_D}, {_QVEC_SQL})")
+    o["knn_ip"] = _knn_sql(f"1 - list_inner_product({_EMB_D}, {_QVEC_SQL})")
+    o["knn_hybrid"] = _knn_sql(f"list_distance({_EMB_D}, {_QVEC_SQL})",
+                               "label BETWEEN 3 AND 5")
+
+    o["dedup_exact"] = (
+        "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,"
+        " CAST(count(*) AS BIGINT) AS dup_count"
+        " FROM documents GROUP BY md5(text)")
+    o["dedup_ngram_jaccard"] = (
+        "WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),"
+        " grams AS (SELECT DISTINCT doc_id,"
+        "   unnest(list_transform(range(1, len(t)-1),"
+        "     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g"
+        "   FROM toks WHERE len(t) >= 3),"
+        " sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),"
+        " shared AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter"
+        "   FROM grams l JOIN grams r ON l.g = r.g AND l.doc_id < r.doc_id"
+        "   GROUP BY 1, 2)"
+        " SELECT a, b,"
+        "  ROUND(CAST(inter AS DOUBLE)/(sa.n + sb.n - inter), 6) AS jaccard"
+        " FROM shared JOIN sizes sa ON sa.doc_id = a"
+        " JOIN sizes sb ON sb.doc_id = b"
+        " WHERE ROUND(CAST(inter AS DOUBLE)/(sa.n + sb.n - inter), 6) >= 0.3")
+    o["dedup_embedding_cosine"] = (
+        "SELECT a.vec_id AS a, b.vec_id AS b,"
+        f" ROUND(list_cosine_similarity(a.{_EMB_D}, b.{_EMB_D}), 6) AS cosine"
+        " FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id"
+        f" WHERE ROUND(list_cosine_similarity(a.{_EMB_D}, b.{_EMB_D}), 6) >= 0.4")
+    # dedup_minhash_lsh / dedup_simhash: hash-function-defined outputs, not
+    # SQL-expressible -> rows-only check (driver records the weaker check).
+
+    n_sql = "len(string_split(text,' '))"
+    sw_sql = (f"CAST(len(list_filter(string_split(text,' '), x -> x IN {_SW_SQL}))"
+              f" AS DOUBLE)/{n_sql}")
+    alen_sql = (f"CAST(list_sum(list_transform(string_split(text,' '),"
+                f" x -> length(x))) AS DOUBLE)/{n_sql}")
+    ratios = {k: _lang_ratio(v) for k, v in _LANG_SQL_MARKERS.items()}
+    lang_case = (
+        "CASE"
+        f" WHEN {ratios['es']} > GREATEST(0.02, {ratios['en']}, {ratios['de']},"
+        f" {ratios['fr']}) THEN 'es'"
+        f" WHEN {ratios['fr']} > GREATEST(0.02, {ratios['en']}, {ratios['de']})"
+        " THEN 'fr'"
+        f" WHEN {ratios['de']} > GREATEST(0.02, {ratios['en']}) THEN 'de'"
+        f" WHEN {ratios['en']} > 0.02 THEN 'en'"
+        " ELSE 'und' END")
+    o["text_analysis"] = (
+        f"SELECT doc_id, CAST({n_sql} AS BIGINT) AS token_count,"
+        f" ROUND({sw_sql}, 6) AS stopword_ratio,"
+        f" ROUND((LEAST({n_sql}/100.0, 1.0) + LEAST({sw_sql}*4, 1.0) +"
+        f"  CASE WHEN {alen_sql} BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)/3,"
+        " 6) AS quality_score,"
+        f" {lang_case} AS lang_id,"
+        " md5(text) AS fingerprint"
+        " FROM documents")
+    return o

@@ -1,0 +1,71 @@
+"""Benchmark harness: runs the headline query shapes from BASELINE.md at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Query-shape coverage mirrors the reference's CI benchmark workloads
+(.github/benchmark_configs/fts-benchmarks-arm.json via BASELINE.md):
+term, multi-term, phrase, prefix, negation, numeric range, tag match,
+hybrid filter+KNN10, aggregate GROUPBY+reducers — plus the LLM-pipeline
+extensions (minhash dedup, text analysis).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from valkey_search_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "tag_match",
+    "numeric_range",
+    "and_or",
+    "negation",
+    "text_term",
+    "text_term_stem",
+    "text_prefix",
+    "text_phrase",
+    "text_proximity",
+    "agg_q1",
+    "agg_filter_stage",
+    "agg_events_json",
+    "knn_l2",
+    "knn_hybrid",
+    "dedup_minhash_lsh",
+    "text_analysis",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    # warmup: JVM + parquet footer caches
+    qs["tag_match"](spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).collect()
+        times[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(times.values()), 4)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

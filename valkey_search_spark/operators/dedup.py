@@ -1,0 +1,253 @@
+"""Deduplication operators for training-data pipelines at 100 TB.
+
+Each operator is expressed as shuffle-conscious DataFrame composition:
+
+- exact_dedup:       hash-groupBy on a fingerprint — one shuffle on the
+                     fingerprint key; no UDFs.
+- minhash_lsh_pairs: shingle -> k minhashes -> band buckets -> bucket
+                     equi-join -> exact-Jaccard verify. The join is on
+                     (band, bucket) so candidate generation never goes
+                     O(n^2); skewed buckets are handled by AQE skew join.
+- simhash:           64-bit sign fingerprint (Charikar); near-dups share
+                     Hamming-close codes, found via band equi-join.
+- ngram_jaccard_pairs: exact n-gram Jaccard via token-gram inverted join
+                     (explode -> join on gram -> count shared / union).
+- embedding_pairs:   cosine near-dup over array<float> embeddings; exact
+                     path broadcasts one side per block, scale path
+                     pre-buckets with random-hyperplane LSH.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..functions.analysis import raw_tokens_column
+
+
+def _word_shingles(text_col, n: int = 3):
+    """array<string> of word n-grams of the token stream."""
+    toks = raw_tokens_column(text_col)
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(1)))
+    return F.when(cnt >= n,
+                  F.array_distinct(F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))))
+
+
+# ---------------------------------------------------------------------------
+def exact_dedup(df: DataFrame, key: str, text_col: str = "text") -> DataFrame:
+    """Keep one representative (min key) per identical normalized text.
+    One shuffle on the md5 fingerprint; survives any scale."""
+    from .textops import fingerprint_col
+
+    fp = df.withColumn("__fp", fingerprint_col(F.col(text_col)))
+    return (fp.groupBy("__fp")
+              .agg(F.min(key).alias(key), F.count(F.lit(1)).alias("dup_count"))
+              .drop("__fp"))
+
+
+# ---------------------------------------------------------------------------
+def minhash_signature(text_col, num_hashes: int = 32, shingle_n: int = 3):
+    """array<bigint> of k minhashes — min over shingles of seeded xxhash64.
+    Pure JVM expressions: no Python, no shuffle."""
+    sh = _word_shingles(text_col, shingle_n)
+    return F.when(
+        sh.isNotNull(),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda seed: F.array_min(F.transform(sh, lambda g: F.xxhash64(g, seed))),
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    key: str,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs (a < b) with exact Jaccard >= threshold, using
+    MinHash banding for candidate generation (the classic s-curve: with
+    32 hashes / 8 bands / rows=4, the 50% crossover sits near J≈0.59).
+
+    Plan shape: explode bands (xN rows) -> shuffle on (band, bucket) ->
+    self-join inside buckets -> dedupe candidates -> verify with exact
+    Jaccard on shingle sets. At 100 TB the only O(n^2) danger is a hot
+    bucket; AQE skew-join splits those."""
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(key).alias("k"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"),
+        _word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    ).where(F.col("sig").isNotNull())
+
+    banded = sig.select(
+        "k", "sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.array_join(
+                        F.transform(F.slice(F.col("sig"), b * rows + 1, rows),
+                                    lambda h: h.cast("string")), ",")).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("k", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(right, on=["band", "bucket"])
+        .where(F.col("l.k") < F.col("r.k"))
+        .select(F.col("l.k").alias("a"), F.col("r.k").alias("b"),
+                F.col("l.sh").alias("sha"), F.col("r.sh").alias("shb"))
+        .dropDuplicates(["a", "b"])
+    )
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb"))).cast("double")
+    union = F.size(F.array_union(F.col("sha"), F.col("shb"))).cast("double")
+    return (cand.withColumn("jaccard", F.round(inter / union, 6))
+                .where(F.col("jaccard") >= threshold)
+                .select("a", "b", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+def ngram_jaccard_pairs(
+    df: DataFrame, key: str, text_col: str = "text",
+    shingle_n: int = 3, threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity join via the inverted-index pattern:
+    explode grams -> equi-join on gram -> per-pair shared count -> Jaccard.
+    Never materializes the cross product; the shuffle key is the gram."""
+    grams = df.select(
+        F.col(key).alias("k"),
+        F.explode(_word_shingles(F.col(text_col), shingle_n)).alias("g"),
+    )
+    sizes = grams.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    shared = (
+        grams.alias("l").join(grams.alias("r"), on="g")
+        .where(F.col("l.k") < F.col("r.k"))
+        .groupBy(F.col("l.k").alias("a"), F.col("r.k").alias("b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("k", "a").withColumnRenamed("n", "na"), "a")
+        .join(sizes.withColumnRenamed("k", "b").withColumnRenamed("n", "nb"), "b")
+        .withColumn("jaccard", F.round(
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+def simhash_col(text_col, bits: int = 64):
+    """Charikar SimHash over tokens: per-bit majority vote of token hashes,
+    packed into one bigint. The bit-vote is procedural, so this is the one
+    dedup kernel on the Pandas-UDF path (Arrow-batched; the token hashing
+    stays JVM-side via xxhash64)."""
+    @F.pandas_udf(T.LongType())
+    def _pack(hash_lists: pd.Series) -> pd.Series:
+        import numpy as np
+
+        def go(lst):
+            if lst is None or len(lst) == 0:
+                return None
+            h = np.asarray(lst, dtype=np.uint64)
+            # matrix of bits: (n_tokens, 64)
+            bits_m = ((h[:, None] >> np.arange(bits, dtype=np.uint64)) & 1).astype(np.int64)
+            votes = (2 * bits_m - 1).sum(axis=0)
+            code = np.uint64(0)
+            for b in np.nonzero(votes > 0)[0]:
+                code |= np.uint64(1) << np.uint64(b)
+            return int(code.astype(np.int64))
+
+        return hash_lists.apply(go)
+
+    toks = raw_tokens_column(text_col)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    return _pack(hashes)
+
+
+def simhash_pairs(df: DataFrame, key: str, text_col: str = "text",
+                  max_hamming: int = 3, bands: int = 4) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit code into ``bands`` chunks
+    (pigeonhole: hamming<=bands-1 guarantees a shared chunk), equi-join on
+    (band, chunk), verify exact Hamming distance via bit_count(xor)."""
+    coded = df.select(F.col(key).alias("k"),
+                      simhash_col(F.col(text_col)).alias("code")).where(
+        F.col("code").isNotNull())
+    width = 64 // bands
+    banded = coded.select(
+        "k", "code",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("code"), b * width)
+                 .bitwiseAND(F.lit((1 << width) - 1)).alias("chunk"))
+            for b in range(bands)
+        ])).alias("bc"),
+    ).select("k", "code", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    cand = (banded.alias("l").join(banded.alias("r"), on=["band", "chunk"])
+            .where(F.col("l.k") < F.col("r.k"))
+            .select(F.col("l.k").alias("a"), F.col("r.k").alias("b"),
+                    F.col("l.code").alias("ca"), F.col("r.code").alias("cb"))
+            .dropDuplicates(["a", "b"]))
+    hamming = F.bit_count(F.col("ca").bitwiseXOR(F.col("cb")))
+    return (cand.withColumn("hamming", hamming)
+                .where(F.col("hamming") <= max_hamming)
+                .select("a", "b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+def embedding_cosine_pairs(
+    df: DataFrame, key: str, vec_col: str = "embedding",
+    threshold: float = 0.95, lsh_planes: int | None = None, seed: int = 42,
+) -> DataFrame:
+    """Pairs (a<b) with cosine similarity >= threshold.
+
+    Exact mode (lsh_planes=None): block-nested self-join — only for
+    modest n (oracle checking). Scale mode: random-hyperplane LSH sign
+    bucket first (driver-side numpy planes, broadcast as literals), then
+    exact cosine inside buckets; recall controlled by plane count."""
+    import numpy as np
+
+    norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0),
+                              lambda a, x: a + x.cast("double") * x))
+    unit = df.select(
+        F.col(key).alias("k"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / norm).alias("v"),
+    ).where(norm > 0)
+
+    if lsh_planes:
+        dim = len(df.select(vec_col).first()[0])
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((lsh_planes, dim))
+        sig = F.concat(*[
+            F.when(
+                F.aggregate(
+                    F.zip_with(F.col("v"),
+                               F.array(*[F.lit(float(p)) for p in plane]),
+                               lambda x, y: x * y),
+                    F.lit(0.0), lambda a, x: a + x) >= 0, F.lit("1")
+            ).otherwise(F.lit("0"))
+            for plane in planes
+        ])
+        unit = unit.withColumn("bucket", sig)
+        join_on = ["bucket"]
+        left, right = unit.alias("l"), unit.alias("r")
+        cand = left.join(right, on=join_on).where(F.col("l.k") < F.col("r.k"))
+    else:
+        left, right = unit.alias("l"), unit.alias("r")
+        cand = left.crossJoin(right).where(F.col("l.k") < F.col("r.k"))
+
+    dot = F.aggregate(F.zip_with(F.col("l.v"), F.col("r.v"), lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    return (cand.select(F.col("l.k").alias("a"), F.col("r.k").alias("b"),
+                        F.round(dot, 6).alias("cosine"))
+                .where(F.col("cosine") >= threshold))

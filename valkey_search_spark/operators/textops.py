@@ -1,0 +1,107 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star): language ID,
+quality scoring, token counting, document fingerprinting — all pure
+JVM-side Spark expressions over the same tokenizer the TEXT index path
+uses (functions/analysis.py), so one scan serves both search and
+curation at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.analysis import DEFAULT_STOPWORDS, raw_tokens_column
+
+# Tiny per-language stopword seed lists for the n-gram/stopword language
+# heuristic. English list == the search stopword list; others are the
+# highest-frequency function words of each language.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": tuple(sorted(DEFAULT_STOPWORDS)),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "mit"),
+    "fr": ("le", "la", "les", "et", "est", "une", "un", "des", "du", "pas"),
+    "es": ("el", "la", "los", "las", "es", "una", "un", "y", "de", "no"),
+}
+
+
+def token_count_col(text: Column) -> Column:
+    """Whitespace/punctuation token count (BPE-ish regex lexer — the same
+    token definition the TEXT index uses)."""
+    return F.size(raw_tokens_column(text)).cast("long")
+
+
+def stopword_ratio_col(text: Column, stopwords=DEFAULT_STOPWORDS) -> Column:
+    toks = raw_tokens_column(text)
+    stop_arr = F.array(*[F.lit(s) for s in sorted(stopwords)])
+    n = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return F.when(n > 0, n_stop.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def avg_token_len_col(text: Column) -> Column:
+    toks = raw_tokens_column(text)
+    total = F.aggregate(toks, F.lit(0.0), lambda a, t: a + F.length(t))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score_col(text: Column) -> Column:
+    """Heuristic quality score in [0,1]: rewards presence of function words,
+    mid-range token length, and some length; penalizes very short docs.
+    Deterministic closed formula so it is oracle-checkable in SQL."""
+    n = token_count_col(text).cast("double")
+    sw = stopword_ratio_col(text)
+    alen = avg_token_len_col(text)
+    len_term = F.least(n / F.lit(100.0), F.lit(1.0))
+    sw_term = F.least(sw * 4.0, F.lit(1.0))
+    alen_term = F.when((alen >= 3.0) & (alen <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round((len_term + sw_term + alen_term) / 3.0, 6)
+
+
+def lang_id_col(text: Column) -> Column:
+    """Stopword-marker language heuristic: the language whose marker-word
+    hit-ratio is highest; 'und' (undetermined) when all ratios are ~0."""
+    toks = raw_tokens_column(text)
+    n = F.size(toks)
+    best_lang = F.lit("und")
+    best_ratio = F.lit(0.02)  # minimum evidence threshold
+    for lang, markers in _LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        ratio = F.when(
+            n > 0,
+            F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("double") / n,
+        ).otherwise(F.lit(0.0))
+        improved = ratio > best_ratio
+        best_lang = F.when(improved, F.lit(lang)).otherwise(best_lang)
+        best_ratio = F.when(improved, ratio).otherwise(best_ratio)
+    return best_lang
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Content fingerprint: md5 of the case-folded token stream — stable
+    under whitespace/punctuation-layout changes, joinable at 100 TB."""
+    normalized = F.array_join(raw_tokens_column(text), " ")
+    return F.md5(normalized)
+
+
+def rolling_hash_col(text: Column, window: int = 8) -> Column:
+    """Winnowing-style rolling fingerprint: min xxhash64 over token
+    n-gram windows. Not SQL-oracle-expressible; rows-only checked."""
+    toks = raw_tokens_column(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.xxhash64(
+        F.array_join(F.slice(toks, i + 1, window), " ")))
+    return F.when(n > 0, F.array_min(grams))
+
+
+def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass document analysis: adds token_count, stopword_ratio,
+    quality_score, lang_id, fingerprint columns."""
+    t = F.col(text_col)
+    return df.withColumns({
+        "token_count": token_count_col(t),
+        "stopword_ratio": F.round(stopword_ratio_col(t), 6),
+        "quality_score": quality_score_col(t),
+        "lang_id": lang_id_col(t),
+        "fingerprint": fingerprint_col(t),
+    })

@@ -1,0 +1,44 @@
+"""Test-data table loaders + JSON field extraction.
+
+The reference fetches documents from HASH (flat field maps) or JSON
+values (`JSON.GET $` — /root/reference/src/attribute_data_type.h:83-139).
+Parquet columns are our HASH fields; JSON-string columns (events.props)
+are decoded with get_json_object — the Spark-native JsonAttributeDataType.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS); Spark reads it only as long
+        # (nanosAsLong) — normalize to TIMESTAMP_NTZ-equivalent seconds
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_seconds(F.col("ts") / F.lit(1e9)))
+        return df
+    return spark.read.parquet(path)
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def json_number_field(df: DataFrame, json_col: str, path: str, out: str) -> DataFrame:
+    """Decode one numeric field out of a JSON-string column (lenient —
+    missing/invalid -> NULL == untracked, mirroring the reference's
+    silent-untracked JSON handling)."""
+    return df.withColumn(out, F.get_json_object(F.col(json_col), path).try_cast("double"))
+
+
+def json_string_field(df: DataFrame, json_col: str, path: str, out: str) -> DataFrame:
+    return df.withColumn(out, F.get_json_object(F.col(json_col), path))
