@@ -1,0 +1,78 @@
+"""IVF ANN index: build/load, partition-pruned probing, recall vs brute force
+(reference ANN surface: /root/reference/src/indexes/vector_hnsw.cc:315-340)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from valkey_search_spark.functions.distance import distance_column
+from valkey_search_spark.operators.ann import IVFIndex, recall_at_k
+
+SF = "/root/testdata/sf0.001"
+QVEC = [round(math.sin(i + 1), 6) for i in range(64)]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def ivf(spark, emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivf") / "emb_l2")
+    return IVFIndex.build(emb, path, vec_col="embedding", metric="l2",
+                          n_lists=8, seed=42)
+
+
+def _brute(emb, metric, k=10):
+    return (emb.withColumn("__score",
+                           distance_column(F.col("embedding"), QVEC, metric))
+               .orderBy("__score").limit(k))
+
+
+def test_full_probe_is_exact(ivf, emb):
+    """nprobe = n_lists degrades to exact search: identical top-k set."""
+    approx = ivf.search(QVEC, k=10, nprobe=ivf.n_lists)
+    assert recall_at_k(approx, _brute(emb, "l2"), "vec_id", 10) == 1.0
+
+
+def test_partial_probe_recall(ivf, emb):
+    """Probing half the lists keeps recall high on clustered data."""
+    approx = ivf.search(QVEC, k=10, nprobe=4)
+    assert recall_at_k(approx, _brute(emb, "l2"), "vec_id", 10) >= 0.5
+
+
+def test_partition_pruning_in_plan(ivf):
+    plan = ivf.search(QVEC, k=10, nprobe=2)._jdf.queryExecution().executedPlan().toString()
+    # the probed-list predicate must reach the scan as a partition filter
+    assert "__list" in plan
+
+
+def test_prefilter_hybrid(ivf):
+    out = ivf.search(QVEC, k=5, nprobe=ivf.n_lists,
+                     prefilter=F.col("label").between(3, 5))
+    rows = out.collect()
+    assert len(rows) == 5 and all(3 <= r["label"] <= 5 for r in rows)
+
+
+def test_load_roundtrip(spark, ivf):
+    again = IVFIndex.load(spark, ivf.path)
+    assert again.n_lists == ivf.n_lists
+    a = [r["vec_id"] for r in again.search(QVEC, k=5, nprobe=2).collect()]
+    b = [r["vec_id"] for r in ivf.search(QVEC, k=5, nprobe=2).collect()]
+    assert a == b
+
+
+def test_cosine_metric(spark, emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivf") / "emb_cos")
+    idx = IVFIndex.build(emb, path, vec_col="embedding", metric="cosine",
+                         n_lists=4, seed=42)
+    approx = idx.search(QVEC, k=10, nprobe=4)
+    # normalize ingest side for the brute-force comparison, as ft_create does
+    norm = F.sqrt(F.aggregate(F.col("embedding"), F.lit(0.0),
+                              lambda a, x: a + x.cast("double") * x))
+    unit = emb.withColumn("embedding",
+                          F.transform(F.col("embedding"),
+                                      lambda x: (x / norm).cast("float")))
+    assert recall_at_k(approx, _brute(unit, "cosine"), "vec_id", 10) == 1.0

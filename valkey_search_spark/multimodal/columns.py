@@ -1,0 +1,198 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The reference indexes only text-derived fields; a 100 TB training-data
+pipeline also carries media. The Spark-native pattern (BASELINE.json north
+star): media payloads are ``BinaryType`` columns with a typed metadata
+struct, and every transform is an Arrow-batched ``mapInPandas`` whose
+schema/partitioning/batch shape is real and tested. The codec calls
+themselves are stubbed behind ``_decode_*`` (image/audio libs are not in
+this container): ``fake=True`` substitutes a deterministic synthetic
+decode so the plumbing is verifiable end-to-end; ``fake=False`` raises
+NotImplementedError where PIL/ffmpeg would be invoked.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+IMAGE_META = T.StructType([
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("format", T.StringType()),
+])
+
+AUDIO_META = T.StructType([
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("format", T.StringType()),
+])
+
+VIDEO_META = T.StructType([
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("fps", T.DoubleType()),
+    T.StructField("format", T.StringType()),
+])
+
+
+def attach_media_metadata(df: DataFrame, binary_col: str, meta: dict) -> DataFrame:
+    """Attach a typed metadata struct next to an opaque binary column."""
+    return df.withColumn(
+        f"{binary_col}_meta",
+        F.struct(*[F.lit(v).alias(k) for k, v in meta.items()]))
+
+
+# ---------------------------------------------------------------------------
+def _decode_image(payload: bytes, fake: bool) -> np.ndarray:
+    """Stub seam for the real decoder (PIL.Image.open). ``fake`` derives a
+    deterministic 8x8x3 uint8 array from the payload bytes."""
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires PIL/opencv (not in this container); "
+            "pass fake=True for the deterministic test decode")
+    seed = np.frombuffer((payload or b"\0")[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+
+
+def image_features(df: DataFrame, binary_col: str = "image",
+                   fake: bool = True, batch_size: int = 256) -> DataFrame:
+    """Per-image feature extraction via mapInPandas: mean/std per channel +
+    a 64-bit content hash. Output schema is stable regardless of decoder."""
+    out_schema = T.StructType(
+        df.schema.fields
+        + [T.StructField("img_mean", T.ArrayType(T.DoubleType())),
+           T.StructField("img_std", T.ArrayType(T.DoubleType())),
+           T.StructField("img_phash", T.LongType())])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            means, stds, hashes = [], [], []
+            for payload in pdf[binary_col]:
+                if payload is None:
+                    means.append(None); stds.append(None); hashes.append(None)
+                    continue
+                arr = _decode_image(bytes(payload), fake)
+                means.append([float(x) for x in arr.mean(axis=(0, 1))])
+                stds.append([float(x) for x in arr.std(axis=(0, 1))])
+                # average-hash over the grayscale thumbnail
+                gray = arr.mean(axis=2)
+                bits = (gray > gray.mean()).flatten()[:64]
+                hashes.append(int(np.int64(
+                    np.packbits(bits).view(">u8")[0].astype(np.int64))))
+            out = pdf.copy()
+            out["img_mean"], out["img_std"], out["img_phash"] = means, stds, hashes
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def image_resize(df: DataFrame, binary_col: str = "image", size: int = 224,
+                 fake: bool = True) -> DataFrame:
+    """Resize-and-reencode plumbing: binary in -> binary out + new meta."""
+    out_schema = T.StructType(
+        df.schema.fields
+        + [T.StructField("image_resized", T.BinaryType()),
+           T.StructField("image_resized_meta", IMAGE_META)])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs, metas = [], []
+            for payload in pdf[binary_col]:
+                if payload is None:
+                    blobs.append(None); metas.append(None)
+                    continue
+                arr = _decode_image(bytes(payload), fake)
+                # nearest-neighbor resample of the fake decode (real path:
+                # PIL Image.resize) — deterministic, shape-correct
+                idx = (np.linspace(0, arr.shape[0] - 1, size).astype(int))
+                resized = arr[idx][:, idx]
+                blobs.append(resized.tobytes())
+                metas.append({"width": size, "height": size,
+                              "channels": 3, "format": "raw"})
+            out = pdf.copy()
+            out["image_resized"], out["image_resized_meta"] = blobs, metas
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+def _decode_audio(payload: bytes, fake: bool) -> tuple[np.ndarray, int]:
+    if not fake:
+        raise NotImplementedError(
+            "audio decode requires soundfile/ffmpeg (not in this container); "
+            "pass fake=True for the deterministic test decode")
+    seed = np.frombuffer((payload or b"\0")[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(1600).astype(np.float32), 16000
+
+
+def audio_features(df: DataFrame, binary_col: str = "audio",
+                   fake: bool = True) -> DataFrame:
+    """RMS energy + zero-crossing rate + duration via mapInPandas."""
+    out_schema = T.StructType(
+        df.schema.fields
+        + [T.StructField("audio_rms", T.DoubleType()),
+           T.StructField("audio_zcr", T.DoubleType()),
+           T.StructField("audio_seconds", T.DoubleType())])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rms, zcr, secs = [], [], []
+            for payload in pdf[binary_col]:
+                if payload is None:
+                    rms.append(None); zcr.append(None); secs.append(None)
+                    continue
+                wave, sr = _decode_audio(bytes(payload), fake)
+                rms.append(float(np.sqrt((wave ** 2).mean())))
+                zcr.append(float((np.diff(np.sign(wave)) != 0).mean()))
+                secs.append(len(wave) / sr)
+            out = pdf.copy()
+            out["audio_rms"], out["audio_zcr"], out["audio_seconds"] = rms, zcr, secs
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+def video_frame_sample(df: DataFrame, binary_col: str = "video",
+                       every_n: int = 30, fake: bool = True) -> DataFrame:
+    """Frame sampling: one output row per sampled frame (explode-shaped
+    mapInPandas — output cardinality > input is part of the tested contract)."""
+    key_fields = [f for f in df.schema.fields if f.name != binary_col]
+    out_schema = T.StructType(
+        key_fields
+        + [T.StructField("frame_no", T.IntegerType()),
+           T.StructField("frame", T.BinaryType())])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = r[binary_col]
+                if payload is None:
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "video decode requires ffmpeg; pass fake=True")
+                seed = np.frombuffer(bytes(payload)[:8].ljust(8, b"\0"),
+                                     dtype=np.uint64)[0]
+                n_frames = int(seed % 120) + 1
+                for fno in range(0, n_frames, every_n):
+                    rec = {f.name: r[f.name] for f in key_fields}
+                    rec["frame_no"] = fno
+                    rec["frame"] = _decode_image(
+                        bytes(payload) + fno.to_bytes(4, "little"), True).tobytes()
+                    rows.append(rec)
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -1,0 +1,132 @@
+"""Approximate nearest neighbor at scale: IVF (inverted-file) index.
+
+The reference's HNSW graph (/root/reference/src/indexes/vector_hnsw.cc:315-340)
+is a pointer-chasing in-memory structure — wrong shape for a columnar
+cluster engine. The Spark-native equivalent of "ANN index" is IVF:
+
+- BUILD (batch job): MLlib KMeans fits ``n_lists`` centroids on a sample;
+  every vector is assigned its nearest centroid; the table is persisted as
+  Parquet **partitioned by list id**.
+- SEARCH: the query probes the ``nprobe`` nearest centroids (driver-side
+  numpy over the tiny centroid matrix) and scans ONLY those partitions —
+  Catalyst partition pruning turns nprobe/n_lists directly into I/O
+  fraction: at 100 TB with 1024 lists and nprobe=16, a query reads ~1.6%
+  of the data. Inside the probed lists the distance is exact, so
+  nprobe=n_lists degrades gracefully to exact brute force (recall 1.0).
+
+Distances mirror the reference metric map
+(/root/reference/src/indexes/vector_base.h:106-110): l2 -> Euclidean,
+ip/cosine -> 1 - product (cosine assumes ingest-normalized vectors,
+vector_base.h:46), so scores are directly comparable to FLAT search.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.distance import distance_column
+
+
+class IVFIndex:
+    """Persisted IVF index over one vector column."""
+
+    def __init__(self, spark: SparkSession, path: str, vec_col: str,
+                 metric: str, centroids: np.ndarray):
+        self.spark = spark
+        self.path = path
+        self.vec_col = vec_col
+        self.metric = metric
+        self.centroids = centroids
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def build(cls, df: DataFrame, path: str, vec_col: str = "embedding",
+              metric: str = "l2", n_lists: int = 16,
+              sample_fraction: float | None = None, seed: int = 42,
+              max_iter: int = 20) -> "IVFIndex":
+        """Batch index build == the reference's backfill+graph-build collapsed
+        into one KMeans job + one partitioned write. ``sample_fraction``
+        bounds the KMeans fit cost at scale (fit on a sample, assign all)."""
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector, vector_to_array
+
+        spark = df.sparkSession
+        work = df.where(F.col(vec_col).isNotNull())
+        if metric == "cosine":
+            norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0),
+                                      lambda a, x: a + x.cast("double") * x))
+            work = work.withColumn(
+                vec_col,
+                F.when(norm > 0, F.transform(F.col(vec_col),
+                                             lambda x: (x / norm).cast("float"))))
+            work = work.where(F.col(vec_col).isNotNull())
+
+        feats = work.withColumn("__feat", array_to_vector(
+            F.col(vec_col).cast("array<double>")))
+        fit_on = feats.sample(sample_fraction, seed=seed) if sample_fraction else feats
+        model = KMeans(k=n_lists, seed=seed, maxIter=max_iter,
+                       featuresCol="__feat", predictionCol="__list").fit(fit_on)
+        assigned = model.transform(feats).drop("__feat")
+        assigned.write.mode("overwrite").partitionBy("__list").parquet(path)
+
+        centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+        with open(os.path.join(path, "_ivf_meta.json"), "w") as fh:
+            json.dump({"vec_col": vec_col, "metric": metric,
+                       "centroids": centroids.tolist()}, fh)
+        return cls(spark, path, vec_col, metric, centroids)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "IVFIndex":
+        with open(os.path.join(path, "_ivf_meta.json")) as fh:
+            meta = json.load(fh)
+        return cls(spark, path, meta["vec_col"], meta["metric"],
+                   np.asarray(meta["centroids"]))
+
+    # ------------------------------------------------------------------
+    def _probe_lists(self, qvec: list[float], nprobe: int) -> list[int]:
+        q = np.asarray(qvec, dtype=np.float64)
+        if self.metric == "cosine":
+            n = np.linalg.norm(q)
+            if n > 0:
+                q = q / n
+        if self.metric == "l2":
+            d = ((self.centroids - q) ** 2).sum(axis=1)
+        else:  # ip / cosine: nearest by highest dot product
+            d = -(self.centroids @ q)
+        return [int(i) for i in np.argsort(d)[:nprobe]]
+
+    def search(self, qvec: list[float], k: int = 10, nprobe: int = 4,
+               prefilter=None, score_name: str = "__score") -> DataFrame:
+        """Top-k by declared metric over the probed lists. The `__list IN
+        (...)` predicate prunes partitions at plan time; the per-list scan is
+        an exact distance + TakeOrderedAndProject (no shuffle beyond the
+        final k-row merge)."""
+        lists = self._probe_lists(qvec, nprobe)
+        df = self.spark.read.parquet(self.path).where(F.col("__list").isin(lists))
+        if prefilter is not None:
+            df = df.where(prefilter)
+        q = list(qvec)
+        if self.metric == "cosine":
+            n = float(np.linalg.norm(q))
+            if n > 0:
+                q = [x / n for x in q]
+        scored = df.withColumn(
+            score_name, distance_column(F.col(self.vec_col), q, self.metric))
+        return (scored.orderBy(F.col(score_name).asc())
+                      .limit(k).drop("__list"))
+
+    @property
+    def n_lists(self) -> int:
+        return len(self.centroids)
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame, key: str, k: int) -> float:
+    """Fraction of the exact top-k present in the approximate top-k."""
+    a = {r[key] for r in approx.limit(k).collect()}
+    e = {r[key] for r in exact.limit(k).collect()}
+    return len(a & e) / max(len(e), 1)

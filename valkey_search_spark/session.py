@@ -16,6 +16,14 @@ from pyspark.sql import SparkSession
 def get_spark(app_name: str = "valkey-search-spark", cpus: int | None = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 8
+    # Python workers must be able to import this package regardless of the
+    # driver's cwd (UDF closures reference it). Local mode: workers inherit
+    # the driver env; cluster mode: executorEnv/--py-files does the same.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pythonpath = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pythonpath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + pythonpath if pythonpath else ""))
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -28,5 +36,6 @@ def get_spark(app_name: str = "valkey-search-spark", cpus: int | None = None) ->
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     )
     return builder.getOrCreate()
