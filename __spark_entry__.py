@@ -10,6 +10,7 @@ value-hash comparison is meaningful.
 from __future__ import annotations
 
 import math
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -18,6 +19,7 @@ from valkey_search_spark import (
     NumericField, SearchEngine, TagField, TextField, VectorField,
 )
 from valkey_search_spark.operators import dedup as dd, textops as tx
+from valkey_search_spark.operators.search import ReturnField
 from valkey_search_spark.sources.tables import json_number_field, load_table
 
 ALL = (0, 2_000_000_000)  # LIMIT covering every row (driver compares sets)
@@ -41,6 +43,7 @@ _LANG_SQL_MARKERS = {
 }
 
 _ENGINES: dict[tuple[int, str], SearchEngine] = {}
+_IVF: dict = {}
 
 
 def _eng(spark: SparkSession, sf_dir: str) -> SearchEngine:
@@ -48,13 +51,16 @@ def _eng(spark: SparkSession, sf_dir: str) -> SearchEngine:
     if key in _ENGINES:
         return _ENGINES[key]
     e = SearchEngine(spark)
+    # text-bearing indexes cache their derived columns: tokenization/stemming
+    # is paid once at FT.CREATE (the reference's ingest-time indexing), not
+    # per query
     e.ft_create("parts", load_table(spark, sf_dir, "part"),
                 [TagField("p_brand"), TagField("p_type"),
                  NumericField("p_retailprice"), NumericField("p_size"),
-                 TextField("p_name")], key_column="p_partkey")
+                 TextField("p_name")], key_column="p_partkey", cache=True)
     e.ft_create("docs", load_table(spark, sf_dir, "documents"),
                 [TextField("text"), TagField("lang"), TagField("source"),
-                 NumericField("n_chars")], key_column="doc_id")
+                 NumericField("n_chars")], key_column="doc_id", cache=True)
     e.ft_create("ords", load_table(spark, sf_dir, "orders"),
                 [TagField("o_orderstatus"), TagField("o_orderpriority"),
                  NumericField("o_totalprice"), NumericField("o_orderdate")],
@@ -66,9 +72,11 @@ def _eng(spark: SparkSession, sf_dir: str) -> SearchEngine:
                 key_column="l_orderkey")
     ev = json_number_field(load_table(spark, sf_dir, "events"),
                            "props", "$.k", "props_k")
+    ev = json_number_field(ev, "props", "$.m", "props_m")  # always-missing field
     e.ft_create("events", ev,
                 [TagField("event_type"), NumericField("value"),
-                 NumericField("ts"), NumericField("props_k")],
+                 NumericField("ts"), NumericField("props_k"),
+                 NumericField("props_m")],
                 key_column="event_id")
     emb = load_table(spark, sf_dir, "embeddings")
     for name, metric in (("emb_l2", "l2"), ("emb_cos", "cosine"), ("emb_ip", "ip")):
@@ -158,6 +166,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                   slop=1, inorder=True)
     q["text_and_numeric"] = _search("docs", "vector @n_chars:[300 +inf]", DOC_COLS)
 
+    # -- FT.SEARCH SORTBY / RETURN (SURVEY §2.3, §2.5) ------------------
+    def q_sortby(spark, sf_dir):
+        df = _eng(spark, sf_dir).ft_search(
+            "ords", "*", sortby="o_totalprice", sortby_desc=True, limit=(0, 15))
+        return df.select("o_orderkey", "o_totalprice")
+
+    q["search_sortby_limit"] = q_sortby
+
+    def q_return_alias(spark, sf_dir):
+        return _eng(spark, sf_dir).ft_search(
+            "parts", "@p_size:[1 5]", limit=ALL,
+            return_fields=[ReturnField("p_brand", "brand"), "p_retailprice"])
+
+    q["search_return_alias"] = q_return_alias
+
     # -- FT.AGGREGATE (SURVEY §2.4-2.5, §2.8) ---------------------------
     q["agg_q1"] = _agg(
         "li", "*",
@@ -221,12 +244,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events", "*",
         'APPLY "hour(@ts)" AS h GROUPBY 1 @h REDUCE COUNT 0 AS n '
         "SORTBY 2 @h ASC")
+    q["agg_expr_funcs"] = _agg(
+        "ords", "*",
+        'APPLY "floor(log(@o_totalprice))" AS lnb '
+        'APPLY "floor(log2(@o_totalprice))" AS l2b '
+        'APPLY "exp(@o_totalprice/100000)" AS ex '
+        "GROUPBY 2 @lnb @l2b REDUCE COUNT 0 AS n REDUCE SUM 1 @ex AS sum_ex",
+        post=lambda df: df.select("lnb", "l2b", "n",
+                                  _r(F.col("sum_ex"), 4).alias("sum_ex")))
+    q["agg_exists"] = _agg(
+        "events", "*",
+        'APPLY "exists(@props_k) + exists(@props_m)" AS ek '
+        "GROUPBY 1 @ek REDUCE COUNT 0 AS n")
+    q["agg_timefmt"] = _agg(
+        "events", "*",
+        'APPLY "timefmt(@ts, \'%F\')" AS day GROUPBY 1 @day '
+        "REDUCE COUNT 0 AS n")
+    q["agg_parsetime"] = _agg(
+        "events", "*",
+        'APPLY "parsetime(timefmt(@ts, \'%F\'), \'%F\')" AS day_ts '
+        "GROUPBY 1 @day_ts REDUCE COUNT 0 AS n")
 
     # -- vector search (SURVEY §2.6) ------------------------------------
     q["knn_l2"] = _knn_query("emb_l2", "*=>[KNN 10 @embedding $v AS dist]")
     q["knn_cosine"] = _knn_query("emb_cos", "*=>[KNN 10 @embedding $v AS dist]")
     q["knn_ip"] = _knn_query("emb_ip", "*=>[KNN 10 @embedding $v AS dist]")
     q["knn_hybrid"] = _knn_query("emb_l2", "@label:[3 5]=>[KNN 10 @embedding $v AS dist]")
+
+    def q_knn_ivf(spark, sf_dir):
+        # IVF with nprobe == n_lists is exact (partition-pruned brute force),
+        # so it shares the FLAT-search oracle; partial-probe recall is
+        # asserted in tests/test_ann.py.
+        from valkey_search_spark.operators.ann import IVFIndex
+
+        if sf_dir not in _IVF:
+            emb = load_table(spark, sf_dir, "embeddings")
+            path = f"/tmp/valkey_ivf_{os.path.basename(sf_dir.rstrip('/'))}"
+            _IVF[sf_dir] = IVFIndex.build(emb, path, metric="l2", n_lists=8)
+        idx = _IVF[sf_dir]
+        out = idx.search(QVEC, k=10, nprobe=idx.n_lists)
+        return out.select(F.col("vec_id").cast("long").alias("vec_id"),
+                          _r(F.col("__score")).alias("dist"))
+
+    q["knn_ivf"] = q_knn_ivf
 
     # -- LLM-pipeline: dedup -------------------------------------------
     def q_dedup_exact(spark, sf_dir):
@@ -388,11 +448,34 @@ def oracle_sql() -> dict[str, str]:
         "SELECT CAST(hour(ts) AS DOUBLE) AS h, CAST(count(*) AS DOUBLE) AS n"
         " FROM events GROUP BY 1 ORDER BY 1")
 
+    o["search_sortby_limit"] = (
+        "SELECT o_orderkey, o_totalprice FROM orders"
+        " ORDER BY o_totalprice DESC LIMIT 15")
+    o["search_return_alias"] = (
+        "SELECT CAST(p_partkey AS VARCHAR) AS __key, p_brand AS brand,"
+        " p_retailprice FROM part WHERE p_size BETWEEN 1 AND 5")
+
+    o["agg_expr_funcs"] = (
+        "SELECT floor(ln(o_totalprice)) AS lnb,"
+        " floor(log2(o_totalprice)) AS l2b,"
+        " CAST(count(*) AS DOUBLE) AS n,"
+        " ROUND(sum(exp(o_totalprice/100000)), 4) + 0.0 AS sum_ex"
+        " FROM orders GROUP BY 1, 2")
+    o["agg_exists"] = (
+        "SELECT 1.0 AS ek, CAST(count(*) AS DOUBLE) AS n FROM events")
+    o["agg_timefmt"] = (
+        "SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(count(*) AS DOUBLE) AS n"
+        " FROM events GROUP BY 1")
+    o["agg_parsetime"] = (
+        "SELECT CAST(epoch(date_trunc('day', ts)) AS DOUBLE) AS day_ts,"
+        " CAST(count(*) AS DOUBLE) AS n FROM events GROUP BY 1")
+
     o["knn_l2"] = _knn_sql(f"list_distance({_EMB_D}, {_QVEC_SQL})")
     o["knn_cosine"] = _knn_sql(f"1 - list_cosine_similarity({_EMB_D}, {_QVEC_SQL})")
     o["knn_ip"] = _knn_sql(f"1 - list_inner_product({_EMB_D}, {_QVEC_SQL})")
     o["knn_hybrid"] = _knn_sql(f"list_distance({_EMB_D}, {_QVEC_SQL})",
                                "label BETWEEN 3 AND 5")
+    o["knn_ivf"] = _knn_sql(f"list_distance({_EMB_D}, {_QVEC_SQL})")
 
     o["dedup_exact"] = (
         "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,"

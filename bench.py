@@ -56,6 +56,7 @@ def main():
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).collect()
         times[name] = round(time.perf_counter() - t0, 4)
+        print(f"  {name}: {times[name]}s", file=sys.stderr, flush=True)
 
     total = round(sum(times.values()), 4)
     print(json.dumps({

@@ -173,9 +173,11 @@ class IndexSchema:
     doc_df: DataFrame
     fields: list[FieldDef]
     key_column: str | None = None   # document key; synthesized if absent
+    cache: bool = False             # persist derived columns (ingest-time indexing)
 
     def __post_init__(self) -> None:
         self._by_attr: dict[str, FieldDef] = {}
+        self._cached: DataFrame | None = None
         for f in self.fields:
             self._by_attr[f.attr] = f
 
@@ -190,7 +192,28 @@ class IndexSchema:
         return [f for f in self.fields if isinstance(f, TextField)]
 
     def indexed_df(self) -> DataFrame:
-        """Document frame + all derived index columns (lazy; pruned by Catalyst)."""
+        """Document frame + all derived index columns.
+
+        Default: lazy — Catalyst prunes unused derived columns, so a
+        tag-only query never pays text tokenization. With ``cache=True``
+        the derived table is computed once and persisted (memory/disk) —
+        the reference's model, where FT.CREATE pays the indexing cost and
+        queries read the built index (src/index_schema.cc:1044 backfill).
+        At 100 TB the same role is played by ``materialize()`` to Parquet.
+        """
+        if self.cache:
+            if self._cached is None:
+                # spread the tokenize/stem build across all cores: a single
+                # small parquet file otherwise materializes as ONE task
+                df = self._build_indexed()
+                target = df.sparkSession.sparkContext.defaultParallelism
+                if df.rdd.getNumPartitions() < target:
+                    df = df.repartition(target)
+                self._cached = df.persist()
+            return self._cached
+        return self._build_indexed()
+
+    def _build_indexed(self) -> DataFrame:
         df = self.doc_df
         if self.key_column is None:
             df = df.withColumn("__key", F.monotonically_increasing_id().cast("string"))

@@ -26,6 +26,18 @@ from pyspark.sql import DataFrame, functions as F, types as T
 from ..functions.analysis import raw_tokens_column
 
 
+def _parallelize(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the input has fewer partitions than
+    cores. A single small parquet file reads as ONE task; the per-row
+    hashing below is CPU-bound, so an under-partitioned input serializes
+    the whole job. At real scale inputs are already well-partitioned and
+    this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _word_shingles(text_col, n: int = 3):
     """array<string> of word n-grams of the token stream."""
     toks = raw_tokens_column(text_col)
@@ -48,15 +60,26 @@ def exact_dedup(df: DataFrame, key: str, text_col: str = "text") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-def minhash_signature(text_col, num_hashes: int = 32, shingle_n: int = 3):
-    """array<bigint> of k minhashes — min over shingles of seeded xxhash64.
-    Pure JVM expressions: no Python, no shuffle."""
+def hashed_shingles(text_col, shingle_n: int = 3):
+    """array<bigint>: each distinct word n-gram hashed ONCE (the only
+    string-hash pass). Downstream minhashing re-hashes these 8-byte longs,
+    which is ~an order of magnitude cheaper than re-hashing strings per
+    seed; Jaccard over the hashed sets equals Jaccard over the string sets
+    up to 64-bit collisions."""
     sh = _word_shingles(text_col, shingle_n)
+    return F.when(sh.isNotNull(),
+                  F.transform(sh, lambda g: F.xxhash64(g)))
+
+
+def minhash_signature(text_col, num_hashes: int = 32, shingle_n: int = 3):
+    """array<bigint> of k minhashes — min over seeded re-hash of the
+    once-hashed shingles. Pure JVM expressions: no Python, no shuffle."""
+    hs = hashed_shingles(text_col, shingle_n)
     return F.when(
-        sh.isNotNull(),
+        hs.isNotNull(),
         F.transform(
             F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-            lambda seed: F.array_min(F.transform(sh, lambda g: F.xxhash64(g, seed))),
+            lambda seed: F.array_min(F.transform(hs, lambda h: F.xxhash64(h, seed))),
         ),
     )
 
@@ -79,38 +102,55 @@ def minhash_lsh_pairs(
     Jaccard on shingle sets. At 100 TB the only O(n^2) danger is a hot
     bucket; AQE skew-join splits those."""
     rows = num_hashes // bands
-    sig = df.select(
+    # hashed-shingle base: ONE string-hash pass, persisted because three
+    # downstream branches (banding ×2 join sides, verify) reuse it
+    # NOTE: no isNotNull filter here — a Filter over the aliased projection
+    # gets pushed below it, DUPLICATING the expensive expression; null hs
+    # rows drop out naturally at the explode and the jaccard threshold
+    base = _parallelize(df).select(
         F.col(key).alias("k"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"),
-        _word_shingles(F.col(text_col), shingle_n).alias("sh"),
-    ).where(F.col("sig").isNotNull())
+        hashed_shingles(F.col(text_col), shingle_n).alias("hs"),
+    ).persist()
 
-    banded = sig.select(
-        "k", "sh",
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda seed: F.array_min(F.transform(F.col("hs"),
+                                             lambda h: F.xxhash64(h, seed))))
+
+    # candidate generation on (k, band, bucket) ONLY — never carry the
+    # shingle arrays through the banded self-join shuffle (at 50k+ docs
+    # that would duplicate every document's gram set 2×bands× per match)
+    banded = base.select(
+        "k",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
                     F.xxhash64(F.array_join(
-                        F.transform(F.slice(F.col("sig"), b * rows + 1, rows),
+                        F.transform(F.slice(sig, b * rows + 1, rows),
                                     lambda h: h.cast("string")), ",")).alias("bucket"),
                 ),
             )
         ).alias("bb"),
-    ).select("k", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("k", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket")).persist()
 
-    left = banded.alias("l")
-    right = banded.alias("r")
     cand = (
-        left.join(right, on=["band", "bucket"])
+        banded.alias("l").join(banded.alias("r"), on=["band", "bucket"])
         .where(F.col("l.k") < F.col("r.k"))
-        .select(F.col("l.k").alias("a"), F.col("r.k").alias("b"),
-                F.col("l.sh").alias("sha"), F.col("r.sh").alias("shb"))
+        .select(F.col("l.k").alias("a"), F.col("r.k").alias("b"))
         .dropDuplicates(["a", "b"])
     )
-    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb"))).cast("double")
-    union = F.size(F.array_union(F.col("sha"), F.col("shb"))).cast("double")
+
+    # verify: join the (deduped, small) candidate set back to the hashed
+    # shingle sets — two key-equi joins instead of shipping arrays through
+    # banding; Jaccard over hashed sets == Jaccard over string sets w.h.p.
+    hs = base
+    cand = (cand.join(hs.withColumnRenamed("k", "a").withColumnRenamed("hs", "hsa"), "a")
+                .join(hs.withColumnRenamed("k", "b").withColumnRenamed("hs", "hsb"), "b"))
+    inter = F.size(F.array_intersect(F.col("hsa"), F.col("hsb"))).cast("double")
+    union = F.size(F.array_union(F.col("hsa"), F.col("hsb"))).cast("double")
     return (cand.withColumn("jaccard", F.round(inter / union, 6))
                 .where(F.col("jaccard") >= threshold)
                 .select("a", "b", "jaccard"))
@@ -124,7 +164,7 @@ def ngram_jaccard_pairs(
     """EXACT n-gram Jaccard similarity join via the inverted-index pattern:
     explode grams -> equi-join on gram -> per-pair shared count -> Jaccard.
     Never materializes the cross product; the shuffle key is the gram."""
-    grams = df.select(
+    grams = _parallelize(df).select(
         F.col(key).alias("k"),
         F.explode(_word_shingles(F.col(text_col), shingle_n)).alias("g"),
     )
@@ -179,8 +219,9 @@ def simhash_pairs(df: DataFrame, key: str, text_col: str = "text",
     """Near-dup pairs by SimHash: band the 64-bit code into ``bands`` chunks
     (pigeonhole: hamming<=bands-1 guarantees a shared chunk), equi-join on
     (band, chunk), verify exact Hamming distance via bit_count(xor)."""
-    coded = df.select(F.col(key).alias("k"),
-                      simhash_col(F.col(text_col)).alias("code")).where(
+    coded = _parallelize(df).select(
+        F.col(key).alias("k"),
+        simhash_col(F.col(text_col)).alias("code")).where(
         F.col("code").isNotNull())
     width = 64 // bands
     banded = coded.select(
@@ -219,6 +260,7 @@ def embedding_cosine_pairs(
 
     norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0),
                               lambda a, x: a + x.cast("double") * x))
+    df = _parallelize(df)
     unit = df.select(
         F.col(key).alias("k"),
         F.transform(F.col(vec_col), lambda x: x.cast("double") / norm).alias("v"),

@@ -41,8 +41,9 @@ class SearchEngine:
 
     # -- DDL ---------------------------------------------------------------
     def ft_create(self, name: str, df: DataFrame, fields: list[FieldDef],
-                  key_column: str | None = None) -> IndexSchema:
-        return self.catalog.create(IndexSchema(name, df, fields, key_column))
+                  key_column: str | None = None, cache: bool = False) -> IndexSchema:
+        return self.catalog.create(
+            IndexSchema(name, df, fields, key_column, cache=cache))
 
     def ft_dropindex(self, name: str) -> None:
         self.catalog.drop(name)

@@ -98,6 +98,9 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass document analysis: adds token_count, stopword_ratio,
     quality_score, lang_id, fingerprint columns."""
     t = F.col(text_col)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
     return df.withColumns({
         "token_count": token_count_col(t),
         "stopword_ratio": F.round(stopword_ratio_col(t), 6),
