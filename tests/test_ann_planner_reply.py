@@ -1,0 +1,83 @@
+"""ANN-vs-exact planner chooser in ft_search + RESP reply shapes."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from valkey_search_spark import NumericField, SearchEngine, TagField, VectorField
+from valkey_search_spark.operators.reply import aggregate_reply, search_reply
+
+SF = "/root/testdata/sf0.001"
+QVEC = [round(math.sin(i + 1), 6) for i in range(64)]
+
+
+@pytest.fixture(scope="module")
+def eng(spark, tmp_path_factory):
+    e = SearchEngine(spark)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    e.ft_create("emb", emb, [VectorField("embedding", dim=64, metric="l2"),
+                             NumericField("label")], key_column="vec_id")
+    path = str(tmp_path_factory.mktemp("ann") / "emb")
+    e.ft_build_ann("emb", "embedding", path, n_lists=8)
+    part = spark.read.parquet(f"{SF}/part.parquet")
+    e.ft_create("parts", part, [TagField("p_brand"), NumericField("p_retailprice")],
+                key_column="p_partkey")
+    return e
+
+
+def _ids(df):
+    return [r["vec_id"] for r in df.collect()]
+
+
+def test_ann_path_matches_exact_at_full_probe(eng):
+    exact = eng.ft_search("emb", "*=>[KNN 10 @embedding $v]",
+                          params={"v": QVEC}, limit=(0, 10))
+    ann = eng.ft_search("emb", "*=>[KNN 10 @embedding $v]",
+                        params={"v": QVEC}, limit=(0, 10), ann_nprobe=8)
+    assert _ids(ann) == _ids(exact)
+
+
+def test_hybrid_ignores_ann(eng):
+    """Filtered KNN stays on the pre-filter exact path even with nprobe."""
+    out = eng.ft_search("emb", "@label:[3 5]=>[KNN 5 @embedding $v]",
+                        params={"v": QVEC}, limit=(0, 5), ann_nprobe=1)
+    rows = out.collect()
+    assert len(rows) == 5 and all(3 <= r["label"] <= 5 for r in rows)
+
+
+def test_ann_partial_probe_plan_prunes(eng):
+    # nprobe=1 scans one list only — may return fewer than k (the probed
+    # cell can be small); never more, and all scores valid
+    df = eng.ft_search("emb", "*=>[KNN 5 @embedding $v]",
+                       params={"v": QVEC}, limit=(0, 5), ann_nprobe=1)
+    rows = df.collect()
+    assert 1 <= len(rows) <= 5
+    assert all(r["__embedding_score"] >= 0 for r in rows)
+
+
+def test_search_reply_shape(eng):
+    df = eng.ft_search("parts", "@p_brand:{Brand#13} @p_retailprice:[905 915]",
+                       limit=(0, 2))
+    rep = search_reply(df, total=7)
+    assert rep[0] == 7
+    assert isinstance(rep[1], str)           # key
+    assert isinstance(rep[2], list)          # field-value flat list
+    fv = dict(zip(rep[2][::2], rep[2][1::2]))
+    assert fv["p_brand"] == "Brand#13"
+
+
+def test_search_reply_nocontent(eng):
+    df = eng.ft_search("parts", "@p_brand:{Brand#13}", limit=(0, 3),
+                       nocontent=True)
+    rep = search_reply(df, nocontent=True)
+    assert rep[0] == 3 and all(isinstance(k, str) for k in rep[1:])
+
+
+def test_aggregate_reply_shape(eng):
+    df = eng.ft_aggregate("parts", "*",
+                          "GROUPBY 1 @p_brand REDUCE COUNT 0 AS n")
+    rep = aggregate_reply(df)
+    assert rep[0] == len(rep) - 1
+    first = dict(zip(rep[1][::2], rep[1][1::2]))
+    assert "p_brand" in first and float(first["n"]) >= 1

@@ -45,6 +45,29 @@ class SearchEngine:
         return self.catalog.create(
             IndexSchema(name, df, fields, key_column, cache=cache))
 
+    def ft_build_ann(self, index: str, attr: str, path: str,
+                     n_lists: int = 64, sample_fraction: float | None = None,
+                     seed: int = 42):
+        """Build the IVF ANN artifact for a VECTOR field — the Spark-batch
+        equivalent of the reference's HNSW graph build
+        (/root/reference/src/indexes/vector_hnsw.cc). The artifact is a
+        parquet table partitioned by centroid list; ft_search uses it for
+        match-all KNN when ``ann_nprobe`` is given."""
+        from .ann import IVFIndex
+
+        schema = self.catalog.get(index)
+        fdef = schema.field(attr)
+        if not isinstance(fdef, VectorField):
+            raise QuerySyntaxError(f"field `{attr}` is not VECTOR")
+        df = schema.indexed_df()  # _v_<attr> is validated (+normalized if cosine)
+        ivf = IVFIndex.build(df, path, vec_col=vec_col(fdef.attr),
+                             metric=fdef.metric, n_lists=n_lists,
+                             sample_fraction=sample_fraction, seed=seed)
+        if not hasattr(schema, "_ann"):
+            schema._ann = {}
+        schema._ann[fdef.attr] = ivf
+        return ivf
+
     def ft_dropindex(self, name: str) -> None:
         self.catalog.drop(name)
 
@@ -69,6 +92,7 @@ class SearchEngine:
         slop: int | None = None,
         inorder: bool = False,
         count_only: bool = False,
+        ann_nprobe: int | None = None,
     ):
         """Returns a DataFrame (or an int when ``count_only`` — the
         LIMIT 0 0 shape, /root/reference/src/query/search.h:77-80)."""
@@ -83,7 +107,9 @@ class SearchEngine:
             return df.count()
 
         if parsed.knn is not None:
-            df = self._knn(schema, df, parsed)
+            df = self._knn(schema, df, parsed,
+                           match_all=isinstance(pred, MatchAll),
+                           ann_nprobe=ann_nprobe)
 
         if sortby is not None:
             fdef = schema.field(sortby)
@@ -147,12 +173,25 @@ class SearchEngine:
                 )
         return pred
 
-    def _knn(self, schema: IndexSchema, df: DataFrame, parsed: ParsedQuery) -> DataFrame:
+    def _knn(self, schema: IndexSchema, df: DataFrame, parsed: ParsedQuery,
+             match_all: bool = True, ann_nprobe: int | None = None) -> DataFrame:
         knn = parsed.knn
         fdef = schema.field(knn.attr)
         if not isinstance(fdef, VectorField):
             raise QuerySyntaxError(f"KNN field `{knn.attr}` is not VECTOR")
         score = knn.score_alias()
+
+        # ANN-vs-exact chooser (the one reference planner decision that
+        # survives Catalyst, /root/reference/src/query/planner.cc:21-46):
+        # match-all KNN with a built IVF artifact and an explicit nprobe
+        # budget takes the partition-pruned ANN path; filtered (hybrid)
+        # queries take pre-filter exact — the FLAT planner's always-choice.
+        ann = getattr(schema, "_ann", {}).get(fdef.attr)
+        if ann is not None and ann_nprobe is not None and match_all:
+            out = ann.search(knn.vector, k=knn.k, nprobe=ann_nprobe,
+                             score_name=score)
+            # re-expose doc columns with the schema's naming (drop derived)
+            return out
         dist = distance_column(F.col(vec_col(fdef.attr)), knn.vector, fdef.metric)
         df = df.withColumn(score, dist).where(F.col(score).isNotNull())
         # top-k: Catalyst compiles orderBy+limit to TakeOrderedAndProject —

@@ -205,7 +205,14 @@ class PredicateTranslator:
         if p.kind == INFIX:
             return F.exists(toks, lambda s: s["t"].contains(w))
         if p.kind == FUZZY:
-            return _fuzzy_match_udf(w, p.distance)(F.transform(toks, lambda s: s["t"]))
+            # JVM length-window conjunct first (|len(t)-len(w)| <= d is
+            # necessary for edit distance <= d): Catalyst keeps it below the
+            # ArrowEvalPython node, so the O(len^2) DL kernel only runs on
+            # rows with a length-plausible token
+            plausible = F.exists(
+                toks, lambda s: F.abs(F.length(s["t"]) - F.lit(len(w))) <= p.distance)
+            return plausible & _fuzzy_match_udf(w, p.distance)(
+                F.transform(toks, lambda s: s["t"]))
         if p.kind == PHRASE:
             return self._phrase(fdef, p.words)
         raise QuerySyntaxError(f"unknown text kind {p.kind}")
@@ -241,7 +248,17 @@ class PredicateTranslator:
         conds = []
         for fdef in self._text_attrs(p.attr):
             toks = F.col(text_col(fdef.attr))
-            conds.append(_proximity_udf(p.words, p.slop, p.inorder)(toks) & toks.isNotNull())
+            # cheap JVM containment conjunct first: Catalyst pushes non-UDF
+            # conjuncts below the ArrowEvalPython node, so the positional
+            # UDF only runs on rows already containing every query term
+            def _has(word):
+                return lambda s: s["t"] == word
+
+            contains_all = F.lit(True)
+            for w in p.words:
+                contains_all = contains_all & F.exists(toks, _has(w))
+            conds.append(toks.isNotNull() & contains_all
+                         & _proximity_udf(p.words, p.slop, p.inorder)(toks))
         out = conds[0]
         for c in conds[1:]:
             out = out | c
