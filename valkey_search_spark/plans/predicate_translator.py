@@ -6,11 +6,13 @@ valkey-search answers with B+-trees / rax tries / postings
 expressions over the derived columns — predicate pushdown, min/max
 skipping, and whole-stage codegen then do the work of the tries.
 
-Null discipline (the subtle part, SURVEY.md §4.1 "Negation"):
-every leaf is wrapped ``coalesce(p, false)`` so a missing/untracked
-field never matches a positive predicate, while ``NOT p`` *does*
-match keys missing the field (/root/reference/src/query/predicate.h:113,
-untracked-key sets src/indexes/numeric.h:128).
+Null discipline (the subtle part, SURVEY.md §4.1 "Negation"): leaves
+stay NULL-propagating so simple tag/numeric comparisons remain
+parquet-pushable (a NULL from a missing/untracked field is dropped by
+Filter like false); ``NOT p`` coalesces its child so keys missing the
+field DO match the negation (/root/reference/src/query/predicate.h:113,
+untracked-key sets src/indexes/numeric.h:128), and the top level
+coalesces once for safety.
 """
 
 from __future__ import annotations
@@ -112,20 +114,32 @@ class PredicateTranslator:
         self.verbatim = verbatim
 
     def translate(self, p: Predicate) -> Column:
+        """Top-level filter column. Leaves stay NULL-propagating (a missing
+        field yields NULL -> dropped by Filter, same as false) so simple
+        comparisons remain parquet-pushable; the one place NULL must read
+        as a definite boolean is under NOT — a doc missing the field DOES
+        match the negation (/root/reference/src/query/predicate.h:113,
+        untracked-key complement numeric.h:128) — so only NOT coalesces.
+        No top-level coalesce: Filter already treats NULL as false, and
+        wrapping would block parquet pushdown of the whole conjunction."""
+        return self._tr(p)
+
+    def _tr(self, p: Predicate) -> Column:
         if isinstance(p, MatchAll):
             return F.lit(True)
         if isinstance(p, And):
-            col = self.translate(p.children[0])
+            col = self._tr(p.children[0])
             for c in p.children[1:]:
-                col = col & self.translate(c)
+                col = col & self._tr(c)
             return col
         if isinstance(p, Or):
-            col = self.translate(p.children[0])
+            col = self._tr(p.children[0])
             for c in p.children[1:]:
-                col = col | self.translate(c)
+                col = col | self._tr(c)
             return col
         if isinstance(p, Not):
-            return ~self.translate(p.child)
+            # missing-field-matches: NULL child -> false -> negation true
+            return ~F.coalesce(self._tr(p.child), F.lit(False))
         if isinstance(p, TagPred):
             return self._tag(p)
         if isinstance(p, NumericPred):
@@ -152,7 +166,7 @@ class PredicateTranslator:
         out = conds[0]
         for c in conds[1:]:
             out = out | c
-        return F.coalesce(out, F.lit(False))
+        return out
 
     def _numeric(self, p: NumericPred) -> Column:
         fdef = self.schema.field(p.attr)
@@ -169,7 +183,7 @@ class PredicateTranslator:
         out = conds[0]
         for c in conds[1:]:
             out = out & c
-        return F.coalesce(out, F.lit(False))
+        return out
 
     # -- text ---------------------------------------------------------------
     def _text_attrs(self, attr: str | None) -> list[TextField]:
