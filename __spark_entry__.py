@@ -264,6 +264,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events", "*",
         'APPLY "parsetime(timefmt(@ts, \'%F\'), \'%F\')" AS day_ts '
         "GROUPBY 1 @day_ts REDUCE COUNT 0 AS n")
+    q["agg_knn_addscores"] = _agg(
+        "emb_l2", "*=>[KNN 20 @embedding $v AS dist]",
+        "ADDSCORES GROUPBY 1 @label REDUCE COUNT 0 AS n "
+        "REDUCE MIN 1 @dist AS min_d",
+        params={"v": QVEC},
+        post=lambda df: df.select("label", "n",
+                                  _r(F.col("min_d")).alias("min_d")))
 
     # -- vector search (SURVEY §2.6) ------------------------------------
     q["knn_l2"] = _knn_query("emb_l2", "*=>[KNN 10 @embedding $v AS dist]")
@@ -469,6 +476,12 @@ def oracle_sql() -> dict[str, str]:
     o["agg_parsetime"] = (
         "SELECT CAST(epoch(date_trunc('day', ts)) AS DOUBLE) AS day_ts,"
         " CAST(count(*) AS DOUBLE) AS n FROM events GROUP BY 1")
+    o["agg_knn_addscores"] = (
+        "WITH top AS (SELECT CAST(label AS DOUBLE) AS label,"
+        f" list_distance({_EMB_D}, {_QVEC_SQL}) AS dist"
+        " FROM embeddings ORDER BY dist, vec_id LIMIT 20)"
+        " SELECT label, CAST(count(*) AS DOUBLE) AS n,"
+        " ROUND(min(dist), 4) + 0.0 AS min_d FROM top GROUP BY label")
 
     o["knn_l2"] = _knn_sql(f"list_distance({_EMB_D}, {_QVEC_SQL})")
     o["knn_cosine"] = _knn_sql(f"1 - list_cosine_similarity({_EMB_D}, {_QVEC_SQL})")

@@ -1,0 +1,36 @@
+"""Index-definition save/load (RDB persistence parity,
+/root/reference/src/rdb_serialization.cc)."""
+
+from valkey_search_spark import NumericField, SearchEngine, TagField, TextField
+from valkey_search_spark.sources.persistence import load_index_def, save_index_def
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_roundtrip_definition_and_results(spark, tmp_path):
+    part = spark.read.parquet(f"{SF}/part.parquet")
+    eng = SearchEngine(spark)
+    schema = eng.ft_create(
+        "parts", part,
+        [TagField("p_brand", separator="|", casesensitive=True),
+         NumericField("p_retailprice"),
+         TextField("p_name", nostem=True, min_stem_size=5)],
+        key_column="p_partkey")
+
+    defpath = str(tmp_path / "parts.index.json")
+    docpath = str(tmp_path / "parts_docs")
+    save_index_def(schema, defpath, doc_path=docpath)
+
+    loaded = load_index_def(spark, defpath)
+    assert loaded.name == "parts"
+    assert loaded.key_column == "p_partkey"
+    tag = loaded.field("p_brand")
+    assert tag.separator == "|" and tag.casesensitive
+    text = loaded.field("p_name")
+    assert text.nostem and text.min_stem_size == 5
+
+    eng2 = SearchEngine(spark)
+    eng2.catalog.create(loaded)
+    q = "@p_brand:{Brand#13} @p_retailprice:[905 915]"
+    assert (eng2.ft_search("parts", q, count_only=True)
+            == eng.ft_search("parts", q, count_only=True))
