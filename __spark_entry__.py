@@ -391,13 +391,21 @@ def oracle_sql() -> dict[str, str]:
         "SELECT p_partkey, p_name FROM part WHERE "
         f"regexp_matches(p_name, 'get({W}|$)')")
     o["text_infix"] = _doc_where("text LIKE '%art%'")
-    o["text_phrase"] = _doc_where(
-        f"regexp_matches(text, '(^|{W})batch{W}+stream({W}|$)')")
+    # phrase/proximity positions skip stop words (search-data-formats.md),
+    # so the oracle works over the stopword-filtered token list
+    _toks = (f"WITH toks AS (SELECT doc_id, source, list_filter("
+             f"string_split(text,' '), x -> x NOT IN {_SW_SQL}) AS t"
+             " FROM documents)")
+    o["text_phrase"] = (
+        f"{_toks} SELECT doc_id, source FROM toks WHERE len(list_filter("
+        "range(1, len(t)), i -> t[i]='batch' AND t[i+1]='stream')) > 0")
     o["text_fuzzy"] = _doc_where(
         "EXISTS (SELECT 1 FROM unnest(string_split(text, ' ')) AS u(tok)"
         " WHERE levenshtein(tok, 'windo') <= 1)")
-    o["text_proximity"] = _doc_where(
-        f"regexp_matches(text, '(^|{W})batch({W}+[a-z0-9]+){{0,1}}{W}+stream({W}|$)')")
+    o["text_proximity"] = (
+        f"{_toks} SELECT doc_id, source FROM toks WHERE len(list_filter("
+        "range(1, len(t)), i -> t[i]='batch'"
+        " AND (t[i+1]='stream' OR t[i+2]='stream'))) > 0")
     o["text_and_numeric"] = _doc_where(
         f"regexp_matches(text, '(^|{W})vector({W}|$)') AND n_chars >= 300")
 

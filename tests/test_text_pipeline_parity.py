@@ -1,0 +1,71 @@
+"""TEXT ingestion pipeline parity against the reference's documented
+examples (/root/reference/docs/topics/search-data-formats.md, "Text
+Ingestion Examples") — these tables are the reference's own test vectors."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from valkey_search_spark.functions.analysis import (
+    DEFAULT_STOPWORDS, raw_tokens_column, text_tokens_column,
+)
+from valkey_search_spark.functions.porter import porter_stem
+
+
+def _tokens(spark, text):
+    df = spark.createDataFrame([Row(s=text)])
+    return df.select(raw_tokens_column(F.col("s")).alias("t")).first()["t"]
+
+
+def _positioned(spark, text):
+    df = spark.createDataFrame([Row(s=text)])
+    out = df.select(text_tokens_column(F.col("s"), DEFAULT_STOPWORDS).alias("t")
+                    ).first()["t"]
+    return [(r["t"], r["p"]) for r in out]
+
+
+# Lexical Processing Examples table (search-data-formats.md)
+@pytest.mark.parametrize("text,expected", [
+    ("hello world", ["hello", "world"]),
+    ("hello, world!", ["hello", "world"]),
+    ("it's a test", ["it", "s", "a", "test"]),
+    ("hello-world", ["hello", "world"]),
+    ("price: $100", ["price", "100"]),
+    (r"hello\,world", ["hello,world"]),
+])
+def test_lexer_documented_examples(spark, text, expected):
+    assert _tokens(spark, text) == expected
+
+
+def test_case_folding(spark):
+    assert _tokens(spark, "The QUICK Brown") == ["the", "quick", "brown"]
+
+
+def test_stopword_positions_documented_example(spark):
+    """'the quick brown fox' -> quick=0, brown=1, fox=2: removed stop words
+    do not occupy a position (search-data-formats.md Stop Word Removal)."""
+    assert _positioned(spark, "the quick brown fox") == [
+        ("quick", 0), ("brown", 1), ("fox", 2)]
+    assert _positioned(spark, "the quick brown fox is not fast") == [
+        ("quick", 0), ("brown", 1), ("fox", 2), ("fast", 3)]
+
+
+def test_stemming_variants_share_stem():
+    # "running", "runs", "run" all have the same stem (Stemming section)
+    assert porter_stem("running") == porter_stem("runs") == porter_stem("run")
+
+
+def test_phrase_skips_stopwords(spark, tmp_path):
+    """Phrase matching over post-removal positions: 'quick fox' matches
+    'the quick [stopword] fox'."""
+    from valkey_search_spark import SearchEngine, TextField
+
+    docs = spark.createDataFrame([
+        Row(id=1, body="the quick is fox jumps"),    # quick,fox consecutive post-removal
+        Row(id=2, body="quick brown fox"),           # quick,fox NOT consecutive
+        Row(id=3, body="quick fox"),
+    ])
+    e = SearchEngine(spark)
+    e.ft_create("d", docs, [TextField("body")], key_column="id")
+    got = sorted(r["id"] for r in
+                 e.ft_search("d", '@body:"quick fox"', limit=(0, 10)).collect())
+    assert got == [1, 3]

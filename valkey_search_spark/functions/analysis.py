@@ -12,9 +12,10 @@ Stages 1-3 are pure JVM-side Spark expressions (whole-stage codegen,
 zero Python cost); stage 4 is an Arrow-batched pandas UDF (the only
 unavoidable Python hop — stemming is procedural).
 
-Token positions count every lexed word *including* stop words, so
-phrase/proximity gaps survive stop-word removal (positions kept unless
-NOOFFSETS; /root/reference/src/indexes/text/posting.h:72).
+Token positions are assigned after stop-word removal — removed stop
+words do not occupy a position (docs/topics/search-data-formats.md
+"Stop Word Removal"; positions kept unless NOOFFSETS,
+/root/reference/src/indexes/text/posting.h:72).
 """
 
 from __future__ import annotations
@@ -45,13 +46,17 @@ def raw_tokens_column(src: Column) -> Column:
 
 
 def text_tokens_column(src: Column, stopwords: frozenset[str]) -> Column:
-    """array<struct<t:string,p:int>> — non-stop tokens with word positions."""
-    with_pos = F.transform(
-        raw_tokens_column(src),
-        lambda x, i: F.struct(x.alias("t"), i.alias("p")),
-    )
-    stop_arr = F.array(*[F.lit(s) for s in sorted(stopwords)]) if stopwords else F.array()
-    return F.filter(with_pos, lambda s: ~F.array_contains(stop_arr, s["t"]))
+    """array<struct<t:string,p:int>> — non-stop tokens with word positions.
+
+    Positions are assigned AFTER stop-word removal: "the quick brown fox"
+    -> quick=0, brown=1, fox=2 ("Removed stop words do not occupy a
+    position in the token sequence",
+    docs/topics/search-data-formats.md Stop Word Removal)."""
+    toks = raw_tokens_column(src)
+    if stopwords:
+        stop_arr = F.array(*[F.lit(s) for s in sorted(stopwords)])
+        toks = F.filter(toks, lambda t: ~F.array_contains(stop_arr, t))
+    return F.transform(toks, lambda x, i: F.struct(x.alias("t"), i.alias("p")))
 
 
 def stem_tokens_udf(min_stem_size: int):

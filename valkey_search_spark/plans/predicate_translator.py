@@ -232,11 +232,13 @@ class PredicateTranslator:
         raise QuerySyntaxError(f"unknown text kind {p.kind}")
 
     def _phrase(self, fdef: TextField, words: list[str]) -> Column:
-        """Exact phrase: remaining (non-stop) words at their original
-        consecutive offsets — positions count stop words too, so gaps
-        survive removal (docs/topics/search-query.md:171-178)."""
+        """Exact phrase: the query's non-stop words at consecutive
+        post-removal positions (positions skip removed stop words,
+        docs/topics/search-data-formats.md; no stemming inside quotes,
+        docs/topics/search-query.md:171-178)."""
         toks = F.col(text_col(fdef.attr))
-        offs = [(wd, i) for i, wd in enumerate(words) if wd not in fdef.stopwords]
+        kept = [wd for wd in words if wd not in fdef.stopwords]
+        offs = list(zip(kept, range(len(kept))))
         if not offs:
             return F.lit(False)
         w0, o0 = offs[0]
@@ -256,9 +258,10 @@ class PredicateTranslator:
         return F.exists(toks, anchored)
 
     def _proximity(self, p: Proximity) -> Column:
-        # Positions track raw tokens, so proximity matches raw (unstemmed)
-        # tokens — a documented v1 deviation from the reference's
-        # stem-expanded proximity terms (SURVEY.md §2.2 SLOP/INORDER row).
+        # Positions skip removed stop words, so SLOP counts intervening
+        # NON-STOP tokens (reference position model). Terms match raw
+        # (unstemmed) tokens — a documented v1 deviation from the
+        # reference's stem-expanded proximity terms (SURVEY.md §2.2).
         conds = []
         for fdef in self._text_attrs(p.attr):
             toks = F.col(text_col(fdef.attr))
