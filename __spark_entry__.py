@@ -326,6 +326,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_embedding_cosine"] = q_emb_pairs
 
+    # -- streaming operators (batch-mode parity; stream path in tests) --
+    def q_windowed(spark, sf_dir):
+        from valkey_search_spark.streaming.windows import windowed_event_counts
+        ev = load_table(spark, sf_dir, "events")
+        out = windowed_event_counts(ev, window="1 hour")
+        return out.select(
+            F.col("window_start").cast("double").alias("wstart"),
+            "event_type", F.col("n").cast("double").alias("n"),
+            _r(F.col("sum_value"), 2).alias("sum_v"))
+
+    q["stream_windowed_counts"] = q_windowed
+
+    def q_sessions(spark, sf_dir):
+        from valkey_search_spark.streaming.windows import sessionized_counts
+        ev = load_table(spark, sf_dir, "events")
+        out = sessionized_counts(ev, gap="30 minutes")
+        # whole-second rounding: epoch<->timestamp conversion differs by
+        # ~1e-6s between Spark and DuckDB
+        return out.select(
+            _r(F.col("session_start").cast("double"), 0).alias("sstart"),
+            _r(F.col("session_end").cast("double"), 0).alias("send"),
+            "event_type", F.col("n").cast("double").alias("n"))
+
+    q["stream_session_windows"] = q_sessions
+
     # -- LLM-pipeline: text analysis ------------------------------------
     def q_text_analysis(spark, sf_dir):
         docs = load_table(spark, sf_dir, "documents")
@@ -490,6 +515,24 @@ def oracle_sql() -> dict[str, str]:
         " FROM embeddings ORDER BY dist, vec_id LIMIT 20)"
         " SELECT label, CAST(count(*) AS DOUBLE) AS n,"
         " ROUND(min(dist), 4) + 0.0 AS min_d FROM top GROUP BY label")
+
+    o["stream_windowed_counts"] = (
+        "SELECT CAST(epoch(date_trunc('hour', ts)) AS DOUBLE) AS wstart,"
+        " event_type, CAST(count(*) AS DOUBLE) AS n,"
+        " ROUND(sum(value), 2) + 0.0 AS sum_v"
+        " FROM events GROUP BY 1, 2")
+    o["stream_session_windows"] = (
+        "WITH lagd AS (SELECT event_type, ts,"
+        "  CASE WHEN lag(ts) OVER w IS NULL"
+        "   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk"
+        "  FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),"
+        " sess AS (SELECT event_type, ts,"
+        "  sum(brk) OVER (PARTITION BY event_type ORDER BY ts"
+        "   ROWS UNBOUNDED PRECEDING) AS sid FROM lagd)"
+        " SELECT ROUND(CAST(epoch(min(ts)) AS DOUBLE), 0) + 0.0 AS sstart,"
+        " ROUND(CAST(epoch(max(ts)) + 1800 AS DOUBLE), 0) + 0.0 AS send,"
+        " event_type, CAST(count(*) AS DOUBLE) AS n"
+        " FROM sess GROUP BY event_type, sid")
 
     o["knn_l2"] = _knn_sql(f"list_distance({_EMB_D}, {_QVEC_SQL})")
     o["knn_cosine"] = _knn_sql(f"1 - list_cosine_similarity({_EMB_D}, {_QVEC_SQL})")
