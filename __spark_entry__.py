@@ -295,6 +295,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["knn_ivf"] = q_knn_ivf
 
+    def q_knn_join(spark, sf_dir):
+        from valkey_search_spark.operators.ann import knn_join
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries_df = emb.where(F.col("vec_id") < 500).select(
+            F.col("vec_id").alias("qid"), "embedding")
+        corpus = emb.select(F.col("vec_id").alias("cid"), "embedding")
+        out = knn_join(queries_df, corpus, k=3, metric="l2")
+        return out.select(F.col("qid").cast("long").alias("qid"),
+                          F.col("cid").cast("long").alias("cid"),
+                          _r(F.col("distance")).alias("distance"),
+                          F.col("rank").cast("int").alias("rank"))
+
+    q["knn_join"] = q_knn_join
+
     # -- LLM-pipeline: dedup -------------------------------------------
     def q_dedup_exact(spark, sf_dir):
         docs = load_table(spark, sf_dir, "documents")
@@ -540,6 +554,16 @@ def oracle_sql() -> dict[str, str]:
     o["knn_hybrid"] = _knn_sql(f"list_distance({_EMB_D}, {_QVEC_SQL})",
                                "label BETWEEN 3 AND 5")
     o["knn_ivf"] = _knn_sql(f"list_distance({_EMB_D}, {_QVEC_SQL})")
+    o["knn_join"] = (
+        "SELECT qid, cid, ROUND(d, 4) + 0.0 AS distance, rank FROM ("
+        " SELECT CAST(q.vec_id AS BIGINT) AS qid,"
+        "  CAST(c.vec_id AS BIGINT) AS cid,"
+        "  list_distance(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS d,"
+        "  CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id"
+        "   ORDER BY list_distance(q.embedding::DOUBLE[], c.embedding::DOUBLE[]),"
+        "   c.vec_id) AS INT) AS rank"
+        " FROM embeddings q CROSS JOIN embeddings c WHERE q.vec_id < 500)"
+        " WHERE rank <= 3")
 
     o["dedup_exact"] = (
         "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,"

@@ -1,0 +1,48 @@
+"""Batch KNN similarity join: shapes, metrics, determinism, null handling."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from valkey_search_spark.operators.ann import knn_join
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_self_join_rank1_is_self(spark, emb):
+    q = emb.limit(20).select(F.col("vec_id").alias("qid"), "embedding")
+    c = emb.select(F.col("vec_id").alias("cid"), "embedding")
+    out = knn_join(q, c, k=3, metric="l2")
+    r1 = {r["qid"]: (r["cid"], r["distance"]) for r in
+          out.where("rank = 1").collect()}
+    assert all(cid == qid and d < 1e-5 for qid, (cid, d) in r1.items())
+
+
+def test_k_rows_per_query(spark, emb):
+    q = emb.limit(10).select(F.col("vec_id").alias("qid"), "embedding")
+    c = emb.select(F.col("vec_id").alias("cid"), "embedding")
+    counts = (knn_join(q, c, k=5).groupBy("qid")
+              .agg(F.count(F.lit(1)).alias("n")).collect())
+    assert len(counts) == 10 and all(r["n"] == 5 for r in counts)
+
+
+@pytest.mark.parametrize("metric", ["l2", "ip", "cosine"])
+def test_metrics_run_and_are_deterministic(spark, emb, metric):
+    q = emb.limit(5).select(F.col("vec_id").alias("qid"), "embedding")
+    c = emb.select(F.col("vec_id").alias("cid"), "embedding")
+    a = sorted(map(tuple, knn_join(q, c, k=3, metric=metric).collect()))
+    b = sorted(map(tuple, knn_join(q, c, k=3, metric=metric).collect()))
+    assert a == b and len(a) == 15
+
+
+def test_null_vectors_skipped(spark):
+    q = spark.createDataFrame([Row(qid=1, embedding=[1.0, 0.0]),
+                               Row(qid=2, embedding=None)])
+    c = spark.createDataFrame([Row(cid=10, embedding=[1.0, 0.0]),
+                               Row(cid=11, embedding=[0.0, 1.0])])
+    out = knn_join(q, c, k=2, metric="l2").collect()
+    assert {r["qid"] for r in out} == {1}

@@ -130,3 +130,80 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, key: str, k: int) -> float:
     a = {r[key] for r in approx.limit(k).collect()}
     e = {r[key] for r in exact.limit(k).collect()}
     return len(a & e) / max(len(e), 1)
+
+
+def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 10,
+             query_key: str = "qid", corpus_key: str = "cid",
+             vec_col: str = "embedding", metric: str = "l2",
+             batch_size: int = 1024) -> DataFrame:
+    """Batch KNN join: for every query row, its k nearest corpus rows.
+
+    Plan shape for scale: the corpus (key + vectors only) is broadcast to
+    every task as one numpy matrix; queries stream through mapInPandas in
+    Arrow batches, each scored against the matrix with one BLAS matmul and
+    reduced to top-k via argpartition — no shuffle at all, wall-clock is
+    |Q|x|C| flops spread across query partitions. For corpora too large to
+    broadcast (>~1 GB), pre-bucket with IVFIndex and join per probed list;
+    this kernel stays the per-bucket scorer.
+
+    Ties broken by corpus key ascending, so results are deterministic and
+    oracle-comparable. Distances follow the reference metric map
+    (/root/reference/src/indexes/vector_base.h:106-110).
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    spark = queries.sparkSession
+    corpus_rows = (corpus.select(corpus_key, vec_col).dropna().collect())
+    ckeys = np.array([r[corpus_key] for r in corpus_rows])
+    cmat = np.array([r[vec_col] for r in corpus_rows], dtype=np.float64)
+    if metric == "cosine":
+        norms = np.linalg.norm(cmat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cmat = cmat / norms
+    order = np.argsort(ckeys)           # deterministic tiebreak by corpus key
+    ckeys, cmat = ckeys[order], cmat[order]
+    bc = spark.sparkContext.broadcast((ckeys, cmat))
+
+    qkey_field = queries.schema[query_key]
+    ckey_type = corpus.schema[corpus_key].dataType
+    out_schema = T.StructType([
+        qkey_field, T.StructField(corpus_key, ckey_type),
+        T.StructField("distance", T.DoubleType()),
+        T.StructField("rank", T.IntegerType()),
+    ])
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        keys, mat = bc.value
+        for pdf in batches:
+            pdf = pdf.dropna(subset=[vec_col])
+            if not len(pdf):
+                continue
+            q = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if metric == "l2":
+                # ||q-c||^2 = ||q||^2 - 2qc + ||c||^2, sqrt at the end
+                d = (q * q).sum(1)[:, None] - 2.0 * (q @ mat.T) + (mat * mat).sum(1)[None, :]
+                d = np.sqrt(np.maximum(d, 0.0))
+            else:
+                if metric == "cosine":
+                    qn = np.linalg.norm(q, axis=1, keepdims=True)
+                    qn[qn == 0] = 1.0
+                    q = q / qn
+                d = 1.0 - q @ mat.T     # ip / cosine: 1 - product
+            kk = min(k, d.shape[1])
+            # argpartition for top-k, then exact sort (distance, key) inside
+            part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+            rows = []
+            for i, qid in enumerate(pdf[query_key].to_numpy()):
+                idx = part[i]
+                sub = sorted(zip(d[i, idx], keys[idx]))
+                for rank, (dist, ckey) in enumerate(sub, 1):
+                    rows.append((qid, ckey, float(dist), rank))
+            yield pd.DataFrame(rows, columns=[query_key, corpus_key,
+                                              "distance", "rank"])
+
+    return queries.select(query_key, vec_col).mapInPandas(score, out_schema)
