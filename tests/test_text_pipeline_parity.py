@@ -40,6 +40,26 @@ def test_case_folding(spark):
     assert _tokens(spark, "The QUICK Brown") == ["the", "quick", "brown"]
 
 
+def test_underscore_is_not_punctuation(spark):
+    # '_' is absent from the default punctuation set, so it stays in words
+    assert _tokens(spark, "snake_case word") == ["snake_case", "word"]
+
+
+def test_custom_punctuation_set(spark):
+    # PUNCTUATION ",.!?" — '-' no longer splits words
+    from pyspark.sql import Row
+    from valkey_search_spark.functions.analysis import raw_tokens_column
+
+    df = spark.createDataFrame([Row(s="hello-world, bye!now")])
+    out = df.select(raw_tokens_column(F.col("s"), ",.!?").alias("t")).first()["t"]
+    assert out == ["hello-world", "bye", "now"]
+
+
+def test_multibyte_chars_stay_in_words(spark):
+    # CJK / emoji are never punctuation (byte-level set)
+    assert _tokens(spark, "日本語 emoji🙂word") == ["日本語", "emoji🙂word"]
+
+
 def test_stopword_positions_documented_example(spark):
     """'the quick brown fox' -> quick=0, brown=1, fox=2: removed stop words
     do not occupy a position (search-data-formats.md Stop Word Removal)."""

@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 from .errors import UnknownFieldError
 from .functions.analysis import (
+    DEFAULT_PUNCTUATION,
     DEFAULT_STOPWORDS,
     stem_tokens_udf,
     text_tokens_column,
@@ -133,9 +134,11 @@ class TextField(FieldDef):
     nostem: bool = False
     min_stem_size: int = 4        # MINSTEMSIZE default (search-data-formats.md:232)
     stopwords: frozenset[str] = dc_field(default_factory=lambda: DEFAULT_STOPWORDS)
+    punctuation: str = DEFAULT_PUNCTUATION   # PUNCTUATION option (per-byte set)
 
     def derived(self, df: DataFrame) -> dict[str, Column]:
-        toks = text_tokens_column(F.col(self.name).cast("string"), self.stopwords)
+        toks = text_tokens_column(F.col(self.name).cast("string"),
+                                  self.stopwords, self.punctuation)
         out = {text_col(self.attr): toks}
         if not self.nostem:
             out[stem_col(self.attr)] = stem_tokens_udf(self.min_stem_size)(

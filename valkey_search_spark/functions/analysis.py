@@ -33,26 +33,36 @@ DEFAULT_STOPWORDS: frozenset[str] = frozenset(
     such that their then there these they this to was will with""".split()
 )
 
-# A token is a run of letters/digits, where a backslash-escaped character
-# (any punctuation) is glued into the token (lexer.cc escape handling).
-_TOKEN_RE = r"(?:\\.|[\p{L}\p{N}])+"
+# A "word" is any run of characters that is neither punctuation nor
+# whitespace/control; the punctuation set is configurable per index and
+# operates on single bytes — multi-byte UTF-8 chars are never punctuation
+# (docs/topics/search-data-formats.md "Lexical Analysis"). A backslash
+# escape glues the following punctuation char into the token.
+DEFAULT_PUNCTUATION = ",.<>{}[]\"':;!@#$%^&*()-+=~/\\|"
 
 
-def raw_tokens_column(src: Column) -> Column:
+def _token_re(punctuation: str) -> str:
+    cls = "".join("\\" + c for c in punctuation)
+    return r"(?:\\.|[^" + cls + r"\s\x00-\x1f])+"
+
+
+def raw_tokens_column(src: Column,
+                      punctuation: str = DEFAULT_PUNCTUATION) -> Column:
     """array<string> of case-folded tokens (stop words INCLUDED), with
     backslash escapes resolved. Index in this array == word position."""
-    toks = F.regexp_extract_all(src, F.lit(_TOKEN_RE), 0)
+    toks = F.regexp_extract_all(src, F.lit(_token_re(punctuation)), 0)
     return F.transform(toks, lambda x: F.lower(F.regexp_replace(x, r"\\", "")))
 
 
-def text_tokens_column(src: Column, stopwords: frozenset[str]) -> Column:
+def text_tokens_column(src: Column, stopwords: frozenset[str],
+                       punctuation: str = DEFAULT_PUNCTUATION) -> Column:
     """array<struct<t:string,p:int>> — non-stop tokens with word positions.
 
     Positions are assigned AFTER stop-word removal: "the quick brown fox"
     -> quick=0, brown=1, fox=2 ("Removed stop words do not occupy a
     position in the token sequence",
     docs/topics/search-data-formats.md Stop Word Removal)."""
-    toks = raw_tokens_column(src)
+    toks = raw_tokens_column(src, punctuation)
     if stopwords:
         stop_arr = F.array(*[F.lit(s) for s in sorted(stopwords)])
         toks = F.filter(toks, lambda t: ~F.array_contains(stop_arr, t))
