@@ -166,6 +166,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                   slop=1, inorder=True)
     q["text_and_numeric"] = _search("docs", "vector @n_chars:[300 +inf]", DOC_COLS)
 
+    def q_verbatim(spark, sf_dir):
+        df = _eng(spark, sf_dir).ft_search("docs", "table", limit=ALL,
+                                           verbatim=True)
+        return df.select(*DOC_COLS)
+
+    q["text_term_verbatim"] = q_verbatim
+
     # -- FT.SEARCH SORTBY / RETURN (SURVEY §2.3, §2.5) ------------------
     def q_sortby(spark, sf_dir):
         df = _eng(spark, sf_dir).ft_search(
@@ -264,6 +271,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events", "*",
         'APPLY "parsetime(timefmt(@ts, \'%F\'), \'%F\')" AS day_ts '
         "GROUPBY 1 @day_ts REDUCE COUNT 0 AS n")
+    q["agg_load"] = _agg(
+        "ords", "*",
+        'LOAD 2 @o_orderpriority @o_totalprice FILTER "@o_totalprice > 400000"',
+        post=lambda df: df.select("o_orderpriority",
+                                  _r(F.col("o_totalprice"), 2).alias("price")))
     q["agg_knn_addscores"] = _agg(
         "emb_l2", "*=>[KNN 20 @embedding $v AS dist]",
         "ADDSCORES GROUPBY 1 @label REDUCE COUNT 0 AS n "
@@ -447,6 +459,8 @@ def oracle_sql() -> dict[str, str]:
         " AND (t[i+1]='stream' OR t[i+2]='stream'))) > 0")
     o["text_and_numeric"] = _doc_where(
         f"regexp_matches(text, '(^|{W})vector({W}|$)') AND n_chars >= 300")
+    o["text_term_verbatim"] = _doc_where(
+        f"regexp_matches(text, '(^|{W})table({W}|$)')")
 
     o["agg_q1"] = (
         "SELECT l_returnflag, l_linestatus, CAST(count(*) AS DOUBLE) AS n,"
@@ -523,6 +537,9 @@ def oracle_sql() -> dict[str, str]:
     o["agg_parsetime"] = (
         "SELECT CAST(epoch(date_trunc('day', ts)) AS DOUBLE) AS day_ts,"
         " CAST(count(*) AS DOUBLE) AS n FROM events GROUP BY 1")
+    o["agg_load"] = (
+        "SELECT o_orderpriority, ROUND(o_totalprice, 2) + 0.0 AS price"
+        " FROM orders WHERE o_totalprice > 400000")
     o["agg_knn_addscores"] = (
         "WITH top AS (SELECT CAST(label AS DOUBLE) AS label,"
         f" list_distance({_EMB_D}, {_QVEC_SQL}) AS dist"

@@ -1,0 +1,82 @@
+"""Error surface + API-parity options (reference behaviors:
+unknown index/field are errors; WITHSUFFIXTRIE gates suffix queries;
+DIALECT validated; FT.INFO/_LIST/DROPINDEX lifecycle)."""
+
+import pytest
+
+from valkey_search_spark import NumericField, SearchEngine, TagField, TextField
+from valkey_search_spark.errors import (
+    QuerySyntaxError, UnknownFieldError, UnknownIndexError,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    e = SearchEngine(spark)
+    part = spark.read.parquet(f"{SF}/part.parquet")
+    e.ft_create("parts", part,
+                [TagField("p_brand"), NumericField("p_retailprice"),
+                 TextField("p_name"),
+                 TextField("p_type", alias="ptype", with_suffixtrie=False)],
+                key_column="p_partkey")
+    return e
+
+
+def test_unknown_index(eng):
+    with pytest.raises(UnknownIndexError):
+        eng.ft_search("nope", "*")
+
+
+def test_unknown_field(eng):
+    with pytest.raises(UnknownFieldError):
+        eng.ft_search("parts", "@missing:{x}")
+
+
+def test_type_mismatch(eng):
+    with pytest.raises(QuerySyntaxError):
+        eng.ft_search("parts", "@p_brand:[1 2]")  # TAG field, numeric pred
+
+
+def test_bad_syntax(eng):
+    with pytest.raises(QuerySyntaxError):
+        eng.ft_search("parts", "@p_retailprice:[5")
+
+
+def test_suffixtrie_gate(eng):
+    # field with WITHSUFFIXTRIE works; field without errors
+    assert eng.ft_search("parts", "@p_name:*get", count_only=True) > 0
+    with pytest.raises(QuerySyntaxError, match="WITHSUFFIXTRIE"):
+        eng.ft_search("parts", "@ptype:*all", count_only=True)
+
+
+def test_invalid_dialect(eng):
+    with pytest.raises(QuerySyntaxError):
+        eng.ft_search("parts", "*", dialect=9)
+
+
+def test_dialect_and_timeout_accepted(eng):
+    assert eng.ft_search("parts", "*", count_only=True, dialect=4,
+                         timeout_ms=5000) > 0
+
+
+def test_info_list_drop(spark):
+    e = SearchEngine(spark)
+    part = spark.read.parquet(f"{SF}/part.parquet")
+    e.ft_create("tmp_idx", part, [TagField("p_brand")], key_column="p_partkey")
+    assert "tmp_idx" in e.ft_list()
+    info = e.ft_info("tmp_idx")
+    assert info["index_name"] == "tmp_idx"
+    assert info["attributes"][0]["identifier"] == "p_brand"
+    e.ft_dropindex("tmp_idx")
+    assert "tmp_idx" not in e.ft_list()
+    with pytest.raises(UnknownIndexError):
+        e.ft_info("tmp_idx")
+
+
+def test_alias_resolution(eng):
+    # AS alias is the query-visible name (identifier stays the source col)
+    assert eng.ft_search("parts", "@ptype:small", count_only=True) > 0
+    with pytest.raises(UnknownFieldError):
+        eng.ft_search("parts", "@p_type:small", count_only=True)

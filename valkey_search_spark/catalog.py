@@ -135,6 +135,10 @@ class TextField(FieldDef):
     min_stem_size: int = 4        # MINSTEMSIZE default (search-data-formats.md:232)
     stopwords: frozenset[str] = dc_field(default_factory=lambda: DEFAULT_STOPWORDS)
     punctuation: str = DEFAULT_PUNCTUATION   # PUNCTUATION option (per-byte set)
+    # WITHSUFFIXTRIE (default on): suffix/infix queries error when disabled
+    # (SURVEY.md §2.2 "Text suffix"; the trie itself is physical — here the
+    # flag only gates the query form)
+    with_suffixtrie: bool = True
 
     def derived(self, df: DataFrame) -> dict[str, Column]:
         toks = text_tokens_column(F.col(self.name).cast("string"),

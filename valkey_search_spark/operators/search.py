@@ -93,9 +93,18 @@ class SearchEngine:
         inorder: bool = False,
         count_only: bool = False,
         ann_nprobe: int | None = None,
+        dialect: int = 2,
+        timeout_ms: int | None = None,
     ):
         """Returns a DataFrame (or an int when ``count_only`` — the
-        LIMIT 0 0 shape, /root/reference/src/query/search.h:77-80)."""
+        LIMIT 0 0 shape, /root/reference/src/query/search.h:77-80).
+
+        ``dialect`` is accepted for API parity (the engine always speaks
+        dialect-2 syntax); ``timeout_ms`` maps to a Spark job description
+        only — batch plans either finish or are cancelled externally (the
+        reference's partial-results-on-timeout has no analogue here)."""
+        if dialect not in (1, 2, 3, 4):
+            raise QuerySyntaxError(f"invalid DIALECT {dialect}")
         schema = self.catalog.get(index)
         parsed = parse_query(query, params)
         pred = self._maybe_proximity(parsed, slop, inorder)

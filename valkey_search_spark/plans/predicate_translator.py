@@ -214,6 +214,13 @@ class PredicateTranslator:
             return F.array_contains(F.col(stem_col(fdef.attr)), qstem)
         if p.kind == PREFIX:
             return F.exists(toks, lambda s: s["t"].startswith(w))
+        if p.kind in (SUFFIX, INFIX):
+            # reference errors unless the field keeps a suffix trie
+            # (default on); physical trie not needed here, only the gate
+            if not fdef.with_suffixtrie:
+                raise QuerySyntaxError(
+                    f"field `{fdef.attr}` was created without WITHSUFFIXTRIE;"
+                    " suffix/infix queries are not supported on it")
         if p.kind == SUFFIX:
             return F.exists(toks, lambda s: s["t"].endswith(w))
         if p.kind == INFIX:

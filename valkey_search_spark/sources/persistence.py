@@ -32,7 +32,8 @@ def _field_to_dict(f: FieldDef) -> dict:
         d.update(separator=f.separator, casesensitive=f.casesensitive)
     elif isinstance(f, TextField):
         d.update(nostem=f.nostem, min_stem_size=f.min_stem_size,
-                 stopwords=sorted(f.stopwords), punctuation=f.punctuation)
+                 stopwords=sorted(f.stopwords), punctuation=f.punctuation,
+                 with_suffixtrie=f.with_suffixtrie)
     elif isinstance(f, VectorField):
         d.update(dim=f.dim, metric=f.metric, algo=f.algo)
     return d
