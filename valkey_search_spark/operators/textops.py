@@ -96,15 +96,44 @@ def rolling_hash_col(text: Column, window: int = 8) -> Column:
 
 def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass document analysis: adds token_count, stopword_ratio,
-    quality_score, lang_id, fingerprint columns."""
-    t = F.col(text_col)
+    quality_score, lang_id, fingerprint columns.
+
+    The token array is materialized ONCE in a staged projection and every
+    metric derives from that named column — the naive per-metric
+    composition re-runs the tokenizer regex ~10x per row (each of the five
+    metrics re-tokenizes, and quality/lang re-derive their inputs)."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         df = df.repartition(target)
-    return df.withColumns({
-        "token_count": token_count_col(t),
-        "stopword_ratio": F.round(stopword_ratio_col(t), 6),
-        "quality_score": quality_score_col(t),
-        "lang_id": lang_id_col(t),
-        "fingerprint": fingerprint_col(t),
-    })
+
+    staged = df.withColumn("__toks", raw_tokens_column(F.col(text_col)))
+    toks = F.col("__toks")
+    n = F.size(toks)
+
+    def marker_ratio(markers) -> Column:
+        arr = F.array(*[F.lit(m) for m in markers])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+    sw = marker_ratio(sorted(DEFAULT_STOPWORDS))
+    total_len = F.aggregate(toks, F.lit(0.0), lambda a, t: a + F.length(t))
+    alen = F.when(n > 0, total_len / n).otherwise(F.lit(0.0))
+
+    best_lang, best_ratio = F.lit("und"), F.lit(0.02)
+    for lang, markers in _LANG_MARKERS.items():
+        ratio = marker_ratio(markers)
+        improved = ratio > best_ratio
+        best_lang = F.when(improved, F.lit(lang)).otherwise(best_lang)
+        best_ratio = F.when(improved, ratio).otherwise(best_ratio)
+
+    len_term = F.least(n.cast("double") / F.lit(100.0), F.lit(1.0))
+    sw_term = F.least(sw * 4.0, F.lit(1.0))
+    alen_term = F.when((alen >= 3.0) & (alen <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+
+    return staged.withColumns({
+        "token_count": n.cast("long"),
+        "stopword_ratio": F.round(sw, 6),
+        "quality_score": F.round((len_term + sw_term + alen_term) / 3.0, 6),
+        "lang_id": best_lang,
+        "fingerprint": F.md5(F.array_join(toks, " ")),
+    }).drop("__toks")

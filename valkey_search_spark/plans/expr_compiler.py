@@ -80,12 +80,17 @@ def to_str(t: TypedCol) -> Column:
 
 
 def to_bool(t: TypedCol) -> Column:
-    """Bool coercion: numeric nonzero; strings via numeric parse; Nil->Nil
-    (value.cc:387-409)."""
+    """Bool coercion (Value::AsBool, value.cc:102-128): numeric nonzero —
+    with NaN TRUE; non-empty strings truthy (1.2.1 'asbool_string_truthy'
+    fix, JS-style); Nil -> Nil."""
     if t.kind == BOOL:
         return t.col
-    n = to_num(t)
-    return F.when(n.isNull(), F.lit(None).cast("boolean")).otherwise(n != 0.0)
+    if t.kind == NUM:
+        n = t.col.cast("double")
+        return F.when(n.isNull(), F.lit(None).cast("boolean")).otherwise(
+            F.isnan(n) | (n != 0.0))
+    return F.when(t.col.isNull(), F.lit(None).cast("boolean")).otherwise(
+        F.octet_length(t.col.cast("string")) > 0)
 
 
 def _compare(op: str, lt: TypedCol, rt: TypedCol) -> Column:
