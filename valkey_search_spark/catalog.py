@@ -181,6 +181,7 @@ class IndexSchema:
     fields: list[FieldDef]
     key_column: str | None = None   # document key; synthesized if absent
     cache: bool = False             # persist derived columns (ingest-time indexing)
+    prederived: bool = False        # doc_df already carries the derived columns
 
     def __post_init__(self) -> None:
         self._by_attr: dict[str, FieldDef] = {}
@@ -221,6 +222,11 @@ class IndexSchema:
         return self._build_indexed()
 
     def _build_indexed(self) -> DataFrame:
+        if self.prederived:
+            # serving from a materialize()d table: derived columns are real
+            # parquet columns, so numeric/tag predicates push down to the
+            # scan — the 100 TB hot path
+            return self.doc_df
         df = self.doc_df
         if self.key_column is None:
             df = df.withColumn("__key", F.monotonically_increasing_id().cast("string"))

@@ -41,9 +41,11 @@ class SearchEngine:
 
     # -- DDL ---------------------------------------------------------------
     def ft_create(self, name: str, df: DataFrame, fields: list[FieldDef],
-                  key_column: str | None = None, cache: bool = False) -> IndexSchema:
+                  key_column: str | None = None, cache: bool = False,
+                  prederived: bool = False) -> IndexSchema:
         return self.catalog.create(
-            IndexSchema(name, df, fields, key_column, cache=cache))
+            IndexSchema(name, df, fields, key_column, cache=cache,
+                        prederived=prederived))
 
     def ft_build_ann(self, index: str, attr: str, path: str,
                      n_lists: int = 64, sample_fraction: float | None = None,
