@@ -38,6 +38,31 @@ def _parallelize(df: DataFrame) -> DataFrame:
     return df
 
 
+def _staged_tokens(df: DataFrame, key: str, text_col: str) -> DataFrame:
+    """(k, __toks) with the token array materialized through a shuffle
+    barrier. The shingle expressions below reference the token array many
+    times (size, sequence bound, one slice per position); Catalyst does
+    not reliably eliminate those common subexpressions, so deriving them
+    from the raw text column re-runs the tokenizer regex per reference —
+    observed 15-20x per row. Tokenizing BEFORE the repartition exchange
+    makes the array a materialized shuffle column computed exactly once."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    # first exchange parallelizes the tokenizer (raw text may be a single
+    # input split); second exchange materializes the token arrays so the
+    # many downstream references read them instead of re-running the regex
+    out = (_parallelize(df)
+           .select(F.col(key).alias("k"),
+                   raw_tokens_column(F.col(text_col)).alias("__toks")))
+    return out.repartition(target)
+
+
+def _shingles_of(toks, n: int):
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(1)))
+    return F.when(cnt >= n, F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))))
+
+
 def _word_shingles(text_col, n: int = 3):
     """array<string> of word n-grams of the token stream."""
     toks = raw_tokens_column(text_col)
@@ -102,14 +127,17 @@ def minhash_lsh_pairs(
     Jaccard on shingle sets. At 100 TB the only O(n^2) danger is a hot
     bucket; AQE skew-join splits those."""
     rows = num_hashes // bands
-    # hashed-shingle base: ONE string-hash pass, persisted because three
-    # downstream branches (banding ×2 join sides, verify) reuse it
+    # hashed-shingle base: tokens staged through the exchange (computed
+    # once), ONE string-hash pass, persisted because three downstream
+    # branches (banding ×2 join sides, verify) reuse it.
     # NOTE: no isNotNull filter here — a Filter over the aliased projection
     # gets pushed below it, DUPLICATING the expensive expression; null hs
     # rows drop out naturally at the explode and the jaccard threshold
-    base = _parallelize(df).select(
-        F.col(key).alias("k"),
-        hashed_shingles(F.col(text_col), shingle_n).alias("hs"),
+    staged = _staged_tokens(df, key, text_col)
+    sh = _shingles_of(F.col("__toks"), shingle_n)
+    base = staged.select(
+        "k",
+        F.transform(sh, lambda g: F.xxhash64(g)).alias("hs"),
     ).persist()
 
     sig = F.transform(
@@ -164,9 +192,9 @@ def ngram_jaccard_pairs(
     """EXACT n-gram Jaccard similarity join via the inverted-index pattern:
     explode grams -> equi-join on gram -> per-pair shared count -> Jaccard.
     Never materializes the cross product; the shuffle key is the gram."""
-    grams = _parallelize(df).select(
-        F.col(key).alias("k"),
-        F.explode(_word_shingles(F.col(text_col), shingle_n)).alias("g"),
+    grams = _staged_tokens(df, key, text_col).select(
+        "k",
+        F.explode(_shingles_of(F.col("__toks"), shingle_n)).alias("g"),
     )
     sizes = grams.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
     shared = (
@@ -186,11 +214,8 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
-def simhash_col(text_col, bits: int = 64):
-    """Charikar SimHash over tokens: per-bit majority vote of token hashes,
-    packed into one bigint. The bit-vote is procedural, so this is the one
-    dedup kernel on the Pandas-UDF path (Arrow-batched; the token hashing
-    stays JVM-side via xxhash64)."""
+def _simhash_pack(hashes_col, bits: int = 64):
+    """Pack an array<bigint> of token hashes into the SimHash code."""
     @F.pandas_udf(T.LongType())
     def _pack(hash_lists: pd.Series) -> pd.Series:
         import numpy as np
@@ -209,9 +234,16 @@ def simhash_col(text_col, bits: int = 64):
 
         return hash_lists.apply(go)
 
+    return _pack(hashes_col)
+
+
+def simhash_col(text_col, bits: int = 64):
+    """Charikar SimHash over tokens: per-bit majority vote of token hashes,
+    packed into one bigint. The bit-vote is procedural, so this is the one
+    dedup kernel on the Pandas-UDF path (Arrow-batched; the token hashing
+    stays JVM-side via xxhash64)."""
     toks = raw_tokens_column(text_col)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    return _pack(hashes)
+    return _simhash_pack(F.transform(toks, lambda t: F.xxhash64(t)), bits)
 
 
 def simhash_pairs(df: DataFrame, key: str, text_col: str = "text",
@@ -219,9 +251,9 @@ def simhash_pairs(df: DataFrame, key: str, text_col: str = "text",
     """Near-dup pairs by SimHash: band the 64-bit code into ``bands`` chunks
     (pigeonhole: hamming<=bands-1 guarantees a shared chunk), equi-join on
     (band, chunk), verify exact Hamming distance via bit_count(xor)."""
-    coded = _parallelize(df).select(
-        F.col(key).alias("k"),
-        simhash_col(F.col(text_col)).alias("code")).where(
+    staged = _staged_tokens(df, key, text_col)
+    hashes = F.transform(F.col("__toks"), lambda t: F.xxhash64(t))
+    coded = staged.select("k", _simhash_pack(hashes).alias("code")).where(
         F.col("code").isNotNull())
     width = 64 // bands
     banded = coded.select(
