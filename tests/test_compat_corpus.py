@@ -110,6 +110,50 @@ for i in range(20):
                       " GROUP BY p_brand"))
 
 
+# -- expression corpus: random arithmetic trees over a positive field ------
+def _gen_expr(rng, depth=0):
+    """(engine_expr, duckdb_expr) staying in a positive, finite domain."""
+    if depth >= 3 or rng.random() < 0.35:
+        if rng.random() < 0.5:
+            v = rng.choice([2, 3, 5, 10, 100])
+            return str(v), str(v)
+        return "@p_retailprice", "p_retailprice"     # in [900, 920)
+    roll = rng.random()
+    a, da = _gen_expr(rng, depth + 1)
+    if roll < 0.2:
+        b, db = _gen_expr(rng, depth + 1)
+        return f"({a} + {b})", f"({da} + {db})"
+    if roll < 0.4:
+        b, db = _gen_expr(rng, depth + 1)
+        return f"({a} * {b})", f"({da} * {db})"
+    if roll < 0.55:
+        b, db = _gen_expr(rng, depth + 1)
+        return f"({a} / ({b} + 1))", f"({da} / ({db} + 1))"   # denom > 0
+    fn = rng.choice(["abs", "floor", "ceil", "sqrt", "log", "log2", "exp"])
+    if fn == "exp":
+        return f"exp({a} / 1000000)", f"exp(({da}) / 1000000)"
+    dfn = {"log": "ln", "log2": "log2"}.get(fn, fn)
+    return f"{fn}({a})", f"{dfn}(({da}))"
+
+
+EXPR_CASES = []
+_erng = random.Random(7)
+for i in range(25):
+    EXPR_CASES.append(_gen_expr(_erng))
+
+
+@pytest.mark.parametrize("expr,dexpr", EXPR_CASES,
+                         ids=[f"expr{i}" for i in range(len(EXPR_CASES))])
+def test_expression_corpus(eng, duck, expr, dexpr):
+    df = eng.ft_aggregate(
+        "parts", "*",
+        f'APPLY "{expr}" AS v GROUPBY 1 @p_brand REDUCE SUM 1 @v AS s')
+    got = {(r["p_brand"], round(r["s"], 2)) for r in df.collect()}
+    want = {(r[0], round(r[1], 2)) for r in duck.execute(
+        f"SELECT p_brand, sum({dexpr}) FROM part GROUP BY 1").fetchall()}
+    assert got == want, f"expr={expr!r}"
+
+
 @pytest.mark.parametrize("fq,stages,sql", AGG_CASES,
                          ids=[f"agg{i}" for i in range(len(AGG_CASES))])
 def test_aggregate_corpus(eng, duck, fq, stages, sql):
