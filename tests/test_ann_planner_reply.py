@@ -38,12 +38,27 @@ def test_ann_path_matches_exact_at_full_probe(eng):
     assert _ids(ann) == _ids(exact)
 
 
-def test_hybrid_ignores_ann(eng):
-    """Filtered KNN stays on the pre-filter exact path even with nprobe."""
+def test_hybrid_prefilter_exact_without_nprobe(eng):
+    """Hybrid KNN with no nprobe budget takes pre-filter exact."""
     out = eng.ft_search("emb", "@label:[3 5]=>[KNN 5 @embedding $v]",
-                        params={"v": QVEC}, limit=(0, 5), ann_nprobe=1)
+                        params={"v": QVEC}, limit=(0, 5))
     rows = out.collect()
     assert len(rows) == 5 and all(3 <= r["label"] <= 5 for r in rows)
+
+
+def test_hybrid_inline_filter_with_nprobe(eng):
+    """Hybrid KNN with an nprobe budget runs the predicate inside the
+    probed lists (the reference's inline-filtering branch); full probe
+    makes it equal to pre-filter exact."""
+    exact = eng.ft_search("emb", "@label:[3 5]=>[KNN 5 @embedding $v]",
+                          params={"v": QVEC}, limit=(0, 5))
+    inline = eng.ft_search("emb", "@label:[3 5]=>[KNN 5 @embedding $v]",
+                           params={"v": QVEC}, limit=(0, 5), ann_nprobe=8)
+    assert _ids(inline) == _ids(exact)
+    # partial probe: still only matching rows, possibly fewer than k
+    part = eng.ft_search("emb", "@label:[3 5]=>[KNN 5 @embedding $v]",
+                         params={"v": QVEC}, limit=(0, 5), ann_nprobe=1)
+    assert all(3 <= r["label"] <= 5 for r in part.collect())
 
 
 def test_ann_partial_probe_plan_prunes(eng):

@@ -110,18 +110,43 @@ class SearchEngine:
         schema = self.catalog.get(index)
         parsed = parse_query(query, params)
         pred = self._maybe_proximity(parsed, slop, inorder)
-        df = schema.indexed_df()
         translator = PredicateTranslator(schema, verbatim=verbatim)
-        if not isinstance(pred, MatchAll):
+        match_all = isinstance(pred, MatchAll)
+
+        # ANN planner (the reference's pre-filter vs inline-filter choice,
+        # /root/reference/src/query/planner.cc:21-46): with an IVF artifact
+        # and an explicit nprobe budget, match-all KNN probes the index, and
+        # a HYBRID query runs the predicate INSIDE the probed lists — the
+        # inline-filtering branch (search.cc:102-133 InlineVectorFilter).
+        # Without nprobe, hybrid stays pre-filter exact (FLAT's choice).
+        if parsed.knn is not None and ann_nprobe is not None:
+            ann = getattr(schema, "_ann", {}).get(
+                schema.field(parsed.knn.attr).attr)
+            if ann is not None:
+                score = parsed.knn.score_alias()
+                prefilter = None if match_all else translator.translate(pred)
+                df = ann.search(parsed.knn.vector, k=parsed.knn.k,
+                                nprobe=ann_nprobe, prefilter=prefilter,
+                                score_name=score)
+                if count_only:
+                    return df.count()
+                return self._finish(schema, df, parsed, sortby, sortby_desc,
+                                    limit, return_fields, nocontent)
+
+        df = schema.indexed_df()
+        if not match_all:
             df = df.filter(translator.translate(pred))
         if count_only:
             return df.count()
 
         if parsed.knn is not None:
-            df = self._knn(schema, df, parsed,
-                           match_all=isinstance(pred, MatchAll),
-                           ann_nprobe=ann_nprobe)
+            df = self._knn(schema, df, parsed)
+        return self._finish(schema, df, parsed, sortby, sortby_desc, limit,
+                            return_fields, nocontent)
 
+    def _finish(self, schema, df, parsed, sortby, sortby_desc, limit,
+                return_fields, nocontent):
+        """Shared tail: SORTBY -> LIMIT -> RETURN projection."""
         if sortby is not None:
             fdef = schema.field(sortby)
             col = F.col(num_col(fdef.attr)) if isinstance(fdef, NumericField) else F.col(fdef.name)
@@ -184,25 +209,15 @@ class SearchEngine:
                 )
         return pred
 
-    def _knn(self, schema: IndexSchema, df: DataFrame, parsed: ParsedQuery,
-             match_all: bool = True, ann_nprobe: int | None = None) -> DataFrame:
+    def _knn(self, schema: IndexSchema, df: DataFrame,
+             parsed: ParsedQuery) -> DataFrame:
+        """Exact KNN over the (possibly pre-filtered) frame; the ANN path
+        is chosen earlier in ft_search."""
         knn = parsed.knn
         fdef = schema.field(knn.attr)
         if not isinstance(fdef, VectorField):
             raise QuerySyntaxError(f"KNN field `{knn.attr}` is not VECTOR")
         score = knn.score_alias()
-
-        # ANN-vs-exact chooser (the one reference planner decision that
-        # survives Catalyst, /root/reference/src/query/planner.cc:21-46):
-        # match-all KNN with a built IVF artifact and an explicit nprobe
-        # budget takes the partition-pruned ANN path; filtered (hybrid)
-        # queries take pre-filter exact — the FLAT planner's always-choice.
-        ann = getattr(schema, "_ann", {}).get(fdef.attr)
-        if ann is not None and ann_nprobe is not None and match_all:
-            out = ann.search(knn.vector, k=knn.k, nprobe=ann_nprobe,
-                             score_name=score)
-            # re-expose doc columns with the schema's naming (drop derived)
-            return out
         dist = distance_column(F.col(vec_col(fdef.attr)), knn.vector, fdef.metric)
         df = df.withColumn(score, dist).where(F.col(score).isNotNull())
         # top-k: Catalyst compiles orderBy+limit to TakeOrderedAndProject —
