@@ -276,6 +276,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'LOAD 2 @o_orderpriority @o_totalprice FILTER "@o_totalprice > 400000"',
         post=lambda df: df.select("o_orderpriority",
                                   _r(F.col("o_totalprice"), 2).alias("price")))
+    # TPC-H Q6 shape: selective multi-predicate search phase feeding a
+    # global (keyless) aggregation — revenue = sum(price * discount)
+    q["agg_tpch_q6"] = _agg(
+        "li",
+        "@l_shipdate:[820454400 (852076800] @l_discount:[0.02 0.04] "
+        "@l_quantity:[0 (24]",
+        'APPLY "@l_extendedprice*@l_discount" AS rev '
+        "GROUPBY 0 REDUCE SUM 1 @rev AS revenue REDUCE COUNT 0 AS n",
+        post=lambda df: df.select(_r(F.col("revenue"), 2).alias("revenue"), "n"))
     q["agg_knn_addscores"] = _agg(
         "emb_l2", "*=>[KNN 20 @embedding $v AS dist]",
         "ADDSCORES GROUPBY 1 @label REDUCE COUNT 0 AS n "
@@ -540,6 +549,11 @@ def oracle_sql() -> dict[str, str]:
     o["agg_load"] = (
         "SELECT o_orderpriority, ROUND(o_totalprice, 2) + 0.0 AS price"
         " FROM orders WHERE o_totalprice > 400000")
+    o["agg_tpch_q6"] = (
+        "SELECT ROUND(sum(l_extendedprice*l_discount), 2) + 0.0 AS revenue,"
+        " CAST(count(*) AS DOUBLE) AS n FROM lineitem"
+        " WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'"
+        " AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24")
     o["agg_knn_addscores"] = (
         "WITH top AS (SELECT CAST(label AS DOUBLE) AS label,"
         f" list_distance({_EMB_D}, {_QVEC_SQL}) AS dist"

@@ -75,6 +75,40 @@ def test_info_list_drop(spark):
         e.ft_info("tmp_idx")
 
 
+def test_info_computed_stats(eng):
+    n = eng.catalog.get("parts").doc_df.count()
+    info = eng.ft_info("parts", compute_stats=True)
+    assert info["num_docs"] == n
+    by_attr = {a["attribute"]: a for a in info["attributes"]}
+    # every part row has a brand/price -> fully tracked
+    assert by_attr["p_brand"]["num_tracked"] == n
+    assert by_attr["p_brand"]["num_untracked"] == 0
+
+
+def test_three_term_proximity(spark):
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame([
+        Row(id=1, body="alpha beta gamma"),
+        Row(id=2, body="alpha filler beta gamma"),
+        Row(id=3, body="gamma beta alpha"),
+    ])
+    e = SearchEngine(spark)
+    e.ft_create("p3", docs, [TextField("body")], key_column="id")
+    # inorder, slop 0: only the exact consecutive ordering
+    got = sorted(r["id"] for r in e.ft_search(
+        "p3", "alpha beta gamma", slop=0, inorder=True, limit=(0, 10)).collect())
+    assert got == [1]
+    # slop 1 admits one intervening token
+    got = sorted(r["id"] for r in e.ft_search(
+        "p3", "alpha beta gamma", slop=1, inorder=True, limit=(0, 10)).collect())
+    assert got == [1, 2]
+    # unordered: any permutation within slop
+    got = sorted(r["id"] for r in e.ft_search(
+        "p3", "alpha beta gamma", slop=0, inorder=False, limit=(0, 10)).collect())
+    assert got == [1, 3]
+
+
 def test_alias_resolution(eng):
     # AS alias is the query-visible name (identifier stays the source col)
     assert eng.ft_search("parts", "@ptype:small", count_only=True) > 0

@@ -279,13 +279,33 @@ class Catalog:
         except KeyError:
             raise UnknownIndexError(f"no such index: {name}") from None
 
-    def info(self, name: str) -> dict:
+    def info(self, name: str, compute_stats: bool = False) -> dict:
+        """FT.INFO shape. ``compute_stats`` runs the counting jobs (num_docs
+        plus per-field tracked/untracked counts — the reference's
+        hash_indexing_failures analogue); at 100 TB that is a scan, so it is
+        opt-in rather than a free stat."""
         s = self.get(name)
-        return {
+        out = {
             "index_name": s.name,
             "attributes": [
                 {"identifier": f.name, "attribute": f.attr, "type": type(f).__name__}
                 for f in s.fields
             ],
-            "num_docs": None,  # computed on demand; counting 100 TB is a job, not a stat
+            "num_docs": None,
         }
+        if compute_stats:
+            from pyspark.sql import functions as F
+
+            df = s.indexed_df()
+            derived_first = {f.attr: next(iter(f.derived(s.doc_df)))
+                             for f in s.fields}
+            aggs = [F.count(F.lit(1)).alias("__n")]
+            for attr, col in derived_first.items():
+                aggs.append(F.count(F.col(col)).alias(attr))
+            row = df.agg(*aggs).collect()[0]
+            out["num_docs"] = row["__n"]
+            for a in out["attributes"]:
+                tracked = row[a["attribute"]]
+                a["num_tracked"] = tracked
+                a["num_untracked"] = row["__n"] - tracked
+        return out

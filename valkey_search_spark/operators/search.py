@@ -76,8 +76,8 @@ class SearchEngine:
     def ft_list(self) -> list[str]:
         return self.catalog.list()
 
-    def ft_info(self, name: str) -> dict:
-        return self.catalog.info(name)
+    def ft_info(self, name: str, compute_stats: bool = False) -> dict:
+        return self.catalog.info(name, compute_stats=compute_stats)
 
     # -- FT.SEARCH ---------------------------------------------------------
     def ft_search(
