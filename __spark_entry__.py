@@ -386,6 +386,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_session_windows"] = q_sessions
 
+    # -- LLM-pipeline: composed curation (SQL-expressible stages) -------
+    def q_curation(spark, sf_dir):
+        from valkey_search_spark.operators.pipeline import (
+            CurationConfig, curate_documents,
+        )
+        docs = load_table(spark, sf_dir, "documents")
+        clean, _ = curate_documents(docs, config=CurationConfig(
+            min_quality=0.5, min_tokens=10, near_dup_threshold=None))
+        return clean.select("doc_id")
+
+    q["curation_quality_dedup"] = q_curation
+
     # -- LLM-pipeline: text analysis ------------------------------------
     def q_text_analysis(spark, sf_dir):
         docs = load_table(spark, sf_dir, "documents")
@@ -647,4 +659,13 @@ def oracle_sql() -> dict[str, str]:
         f" {lang_case} AS lang_id,"
         " md5(text) AS fingerprint"
         " FROM documents")
+    o["curation_quality_dedup"] = (
+        "WITH a AS (SELECT doc_id, md5(text) AS fp,"
+        f" CAST({n_sql} AS BIGINT) AS tc,"
+        f" ROUND((LEAST({n_sql}/100.0, 1.0) + LEAST({sw_sql}*4, 1.0) +"
+        f"  CASE WHEN {alen_sql} BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)/3,"
+        " 6) AS qs FROM documents),"
+        " g AS (SELECT * FROM a WHERE qs >= 0.5 AND tc >= 10)"
+        " SELECT doc_id FROM (SELECT doc_id,"
+        "  min(doc_id) OVER (PARTITION BY fp) AS m FROM g) WHERE doc_id = m")
     return o

@@ -1,0 +1,58 @@
+"""Composed curation pipeline: funnel monotonicity, gate correctness,
+dedup guarantees on planted duplicates."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from valkey_search_spark.operators.pipeline import (
+    CurationConfig, curate_documents,
+)
+from valkey_search_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_funnel_on_testdata(spark):
+    docs = load_table(spark, SF, "documents")
+    clean, funnel = curate_documents(
+        docs, config=CurationConfig(min_quality=0.4, min_tokens=5,
+                                    near_dup_threshold=0.8))
+    assert funnel["input"] == docs.count()
+    assert (funnel["input"] >= funnel["quality_gate"]
+            >= funnel["exact_dedup"] >= funnel["near_dedup"])
+    assert clean.count() == funnel["near_dedup"] > 0
+    # no surviving exact duplicates
+    assert clean.groupBy("fingerprint").count().where("count > 1").count() == 0
+
+
+def test_planted_duplicates_removed(spark):
+    base = ("the quick brown fox jumps over a lazy dog and then runs far "
+            "away into the deep green forest tonight")
+    near = base.replace("tonight", "today")          # near-dup of base
+    rows = [
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base),                    # exact dup
+        Row(doc_id=3, text=near),                    # near dup
+        Row(doc_id=4, text="completely different words about spark "
+                           "engines and the analytics of distributed "
+                           "columnar query processing systems today"),
+        Row(doc_id=5, text="too short"),             # fails min_tokens
+    ]
+    docs = spark.createDataFrame(rows)
+    clean, funnel = curate_documents(
+        docs, config=CurationConfig(min_quality=0.0, min_tokens=5,
+                                    near_dup_threshold=0.6))
+    ids = sorted(r["doc_id"] for r in clean.select("doc_id").collect())
+    assert ids == [1, 4]
+    assert funnel == {"input": 5, "quality_gate": 4,
+                      "exact_dedup": 3, "near_dedup": 2}
+
+
+def test_language_gate(spark):
+    docs = load_table(spark, SF, "documents")
+    clean, _ = curate_documents(
+        docs, config=CurationConfig(min_quality=0.0, min_tokens=1,
+                                    languages=("en",),
+                                    near_dup_threshold=None))
+    langs = {r["lang_id"] for r in clean.select("lang_id").distinct().collect()}
+    assert langs == {"en"}
