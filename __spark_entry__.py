@@ -398,6 +398,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curation_quality_dedup"] = q_curation
 
+    # -- LLM-pipeline: multimodal plumbing (rows-only: decoder-defined) --
+    def q_multimodal(spark, sf_dir):
+        from valkey_search_spark.multimodal.columns import image_features
+        docs = load_table(spark, sf_dir, "documents")
+        media = docs.select("doc_id",
+                            F.encode(F.col("text"), "utf-8").alias("image"))
+        out = image_features(media, fake=True)
+        return out.select("doc_id", "img_phash")
+
+    q["multimodal_image_features"] = q_multimodal
+
     # -- LLM-pipeline: text analysis ------------------------------------
     def q_text_analysis(spark, sf_dir):
         docs = load_table(spark, sf_dir, "documents")

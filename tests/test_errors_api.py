@@ -51,6 +51,28 @@ def test_suffixtrie_gate(eng):
         eng.ft_search("parts", "@ptype:*all", count_only=True)
 
 
+def test_query_limits(eng, spark):
+    # tag prefix below tag-min-prefix-length (default 2) errors
+    with pytest.raises(QuerySyntaxError, match="tag-min-prefix-length"):
+        eng.ft_search("parts", "@p_brand:{B*}")
+    assert eng.ft_search("parts", "@p_brand:{Br*}", count_only=True) > 0
+    # fuzzy distance above the default cap (3) errors at parse time
+    with pytest.raises(QuerySyntaxError, match="fuzzy"):
+        eng.ft_search("parts", "%%%%widget%%%%")
+    # custom limits are honored
+    from valkey_search_spark.plans.predicate_translator import QueryLimits
+
+    strict = SearchEngine(spark, limits=QueryLimits(tag_min_prefix_length=5,
+                                                    fuzzy_max_distance=1))
+    part = spark.read.parquet(f"{SF}/part.parquet")
+    strict.ft_create("p", part, [TagField("p_brand"), TextField("p_name")],
+                     key_column="p_partkey")
+    with pytest.raises(QuerySyntaxError, match="tag-min-prefix-length"):
+        strict.ft_search("p", "@p_brand:{Bra*}")
+    with pytest.raises(QuerySyntaxError, match="fuzzy-max-distance"):
+        strict.ft_search("p", "%%widget%%")
+
+
 def test_invalid_dialect(eng):
     with pytest.raises(QuerySyntaxError):
         eng.ft_search("parts", "*", dialect=9)

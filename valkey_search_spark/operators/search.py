@@ -20,7 +20,7 @@ from ..errors import QuerySyntaxError
 from ..functions.distance import distance_column
 from ..parser.ast import And, MatchAll, ParsedQuery, Proximity, TextPred, TERM
 from ..parser.filter_parser import parse_query
-from ..plans.predicate_translator import PredicateTranslator
+from ..plans.predicate_translator import PredicateTranslator, QueryLimits
 
 
 @dataclass
@@ -35,9 +35,10 @@ class SearchEngine:
     """The FT.* command surface over Spark DataFrames
     (command registry /root/reference/src/commands/commands.h:77)."""
 
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, limits: QueryLimits | None = None):
         self.spark = spark
         self.catalog = Catalog()
+        self.limits = limits or QueryLimits()
 
     # -- DDL ---------------------------------------------------------------
     def ft_create(self, name: str, df: DataFrame, fields: list[FieldDef],
@@ -110,7 +111,8 @@ class SearchEngine:
         schema = self.catalog.get(index)
         parsed = parse_query(query, params)
         pred = self._maybe_proximity(parsed, slop, inorder)
-        translator = PredicateTranslator(schema, verbatim=verbatim)
+        translator = PredicateTranslator(schema, verbatim=verbatim,
+                                         limits=self.limits)
         match_all = isinstance(pred, MatchAll)
 
         # ANN planner (the reference's pre-filter vs inline-filter choice,
@@ -181,7 +183,8 @@ class SearchEngine:
         df = schema.indexed_df()
         if not isinstance(parsed.predicate, MatchAll):
             df = df.filter(
-                PredicateTranslator(schema, verbatim=verbatim).translate(parsed.predicate)
+                PredicateTranslator(schema, verbatim=verbatim,
+                                    limits=self.limits).translate(parsed.predicate)
             )
         score_col = None
         if parsed.knn is not None:

@@ -18,6 +18,7 @@ coalesces once for safety.
 from __future__ import annotations
 
 import math
+from dataclasses import dataclass
 
 import pandas as pd
 
@@ -104,14 +105,29 @@ def _proximity_udf(words: list[str], slop: int, inorder: bool):
     return _match
 
 
+@dataclass
+class QueryLimits:
+    """Engine configurables guarding expensive query forms
+    (docs/topics/search-configurables.md)."""
+
+    # minimum chars before trailing `*` in TAG wildcards
+    # (/root/reference/src/valkey_search_options.cc:344, default 2)
+    tag_min_prefix_length: int = 2
+    # maximum fuzzy edit distance
+    # (/root/reference/src/commands/filter_parser.cc:62, default 3)
+    fuzzy_max_distance: int = 3
+
+
 class PredicateTranslator:
     """Compiles a Predicate tree to one Spark boolean Column over the
     index's derived frame (exec-strategy counterpart of
     /root/reference/src/query/search.cc:300-454)."""
 
-    def __init__(self, schema: IndexSchema, verbatim: bool = False):
+    def __init__(self, schema: IndexSchema, verbatim: bool = False,
+                 limits: QueryLimits | None = None):
         self.schema = schema
         self.verbatim = verbatim
+        self.limits = limits or QueryLimits()
 
     def translate(self, p: Predicate) -> Column:
         """Top-level filter column. Leaves stay NULL-propagating (a missing
@@ -162,6 +178,10 @@ class PredicateTranslator:
         if exact:
             conds.append(F.arrays_overlap(col, F.array(*[F.lit(t) for t in exact])))
         for pre in prefixes:
+            if len(pre) < self.limits.tag_min_prefix_length:
+                raise QuerySyntaxError(
+                    f"tag prefix `{pre}*` shorter than tag-min-prefix-length"
+                    f" ({self.limits.tag_min_prefix_length})")
             conds.append(F.exists(col, lambda t: t.startswith(pre)))
         out = conds[0]
         for c in conds[1:]:
@@ -226,6 +246,10 @@ class PredicateTranslator:
         if p.kind == INFIX:
             return F.exists(toks, lambda s: s["t"].contains(w))
         if p.kind == FUZZY:
+            if p.distance > self.limits.fuzzy_max_distance:
+                raise QuerySyntaxError(
+                    f"fuzzy distance {p.distance} exceeds fuzzy-max-distance"
+                    f" ({self.limits.fuzzy_max_distance})")
             # JVM length-window conjunct first (|len(t)-len(w)| <= d is
             # necessary for edit distance <= d): Catalyst keeps it below the
             # ArrowEvalPython node, so the O(len^2) DL kernel only runs on
