@@ -1,0 +1,93 @@
+"""Physical-plan regression tests: the scale properties SCALE.md claims
+are asserted here so optimizer-visible regressions fail loudly."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from valkey_search_spark import (
+    NumericField, SearchEngine, TagField, TextField, VectorField,
+)
+
+SF = "/root/testdata/sf0.001"
+QVEC = [round(math.sin(i + 1), 6) for i in range(64)]
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    e = SearchEngine(spark)
+    e.ft_create("parts", spark.read.parquet(f"{SF}/part.parquet"),
+                [TagField("p_brand"), NumericField("p_retailprice"),
+                 TextField("p_name")], key_column="p_partkey")
+    e.ft_create("emb", spark.read.parquet(f"{SF}/embeddings.parquet"),
+                [VectorField("embedding", dim=64, metric="l2"),
+                 NumericField("label")], key_column="vec_id")
+    return e
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_numeric_filter_pushes_down(eng):
+    plan = _plan(eng.ft_search("parts", "@p_retailprice:[905 915]",
+                               limit=(0, 10**9)))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "GreaterThanOrEqual(p_retailprice,905.0)" in pushed[0]
+
+
+def test_negation_still_pushes_positive_conjunct(eng):
+    plan = _plan(eng.ft_search(
+        "parts", "-@p_brand:{Brand#13} @p_retailprice:[900 905]",
+        limit=(0, 10**9)))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "p_retailprice" in pushed[0]
+
+
+def test_knn_is_zero_exchange_takeordered(eng):
+    plan = _plan(eng.ft_search("emb", "*=>[KNN 10 @embedding $v]",
+                               params={"v": QVEC}, limit=(0, 10)))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan          # per-partition heap + driver merge
+    assert "Python" not in plan            # distance stays JVM-side
+
+
+def test_hybrid_knn_pushes_filter(eng):
+    plan = _plan(eng.ft_search("emb", "@label:[3 5]=>[KNN 10 @embedding $v]",
+                               params={"v": QVEC}, limit=(0, 10)))
+    assert "TakeOrderedAndProject" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "label" in pushed[0]
+
+
+def test_aggregate_has_partial_aggregation(eng):
+    df = eng.ft_aggregate(
+        "parts", "*",
+        "GROUPBY 1 @p_brand REDUCE SUM 1 @p_retailprice AS s "
+        "REDUCE COUNT 0 AS n")
+    plan = _plan(df)
+    # partial -> shuffle -> final: two HashAggregate levels, no Python
+    assert plan.count("HashAggregate") >= 2
+    assert "partial" in plan.lower()
+    assert "Python" not in plan
+
+
+def test_proximity_udf_sees_candidates_not_corpus(eng):
+    df = eng.ft_search("parts", "cold widget", slop=1, inorder=True,
+                       limit=(0, 10**9))
+    plan = _plan(df)
+    assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan
+    # the JVM containment conjuncts must sit BELOW the Python eval node
+    # (i.e. appear later in the tree dump) so the UDF input is pre-filtered
+    py_at = plan.find("EvalPython")
+    exists_at = plan.rfind("exists")
+    assert py_at != -1 and exists_at > py_at
+
+
+def test_fuzzy_udf_has_jvm_prefilter(eng):
+    plan = _plan(eng.ft_search("parts", "%widgt%", limit=(0, 10**9)))
+    py_at = plan.find("EvalPython")
+    assert py_at != -1
+    # length-window conjunct below the Python eval
+    assert plan.rfind("length") > py_at

@@ -31,6 +31,22 @@ class ReturnField:
     alias: str | None = None
 
 
+def _apply_predicate(df: DataFrame, translator: PredicateTranslator,
+                     pred) -> DataFrame:
+    """Apply a predicate as (JVM candidate filter) -> barrier -> (Python
+    kernel filter) when it contains fuzzy/proximity leaves, so the Arrow
+    transfer and the Python kernels see candidates, not the corpus. The
+    rand() projection is a deterministic-optimization barrier: Catalyst
+    neither combines the two Filters nor pushes the UDF filter below it."""
+    jvm, udf = translator.translate_staged(pred)
+    if udf is None:
+        return df.filter(jvm)
+    if jvm is not None:
+        df = df.filter(jvm)
+    return (df.withColumn("__barrier", F.rand(seed=0))
+              .filter(udf).drop("__barrier"))
+
+
 class SearchEngine:
     """The FT.* command surface over Spark DataFrames
     (command registry /root/reference/src/commands/commands.h:77)."""
@@ -137,7 +153,7 @@ class SearchEngine:
 
         df = schema.indexed_df()
         if not match_all:
-            df = df.filter(translator.translate(pred))
+            df = _apply_predicate(df, translator, pred)
         if count_only:
             return df.count()
 
@@ -182,10 +198,10 @@ class SearchEngine:
         parsed = parse_query(query, params)
         df = schema.indexed_df()
         if not isinstance(parsed.predicate, MatchAll):
-            df = df.filter(
-                PredicateTranslator(schema, verbatim=verbatim,
-                                    limits=self.limits).translate(parsed.predicate)
-            )
+            df = _apply_predicate(
+                df, PredicateTranslator(schema, verbatim=verbatim,
+                                        limits=self.limits),
+                parsed.predicate)
         score_col = None
         if parsed.knn is not None:
             df = self._knn(schema, df, parsed)

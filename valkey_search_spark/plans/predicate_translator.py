@@ -140,6 +140,69 @@ class PredicateTranslator:
         wrapping would block parquet pushdown of the whole conjunction."""
         return self._tr(p)
 
+    def translate_staged(self, p: Predicate):
+        """(jvm_col | None, udf_col | None): split the predicate so
+        Python-backed leaves (fuzzy, proximity) evaluate AFTER a separate
+        JVM candidate filter. Catalyst evaluates a Python UDF for every
+        input row of its ArrowEvalPython node and keeps cheap conjuncts of
+        the SAME Filter above it, so a combined filter ships the whole
+        corpus' token arrays through Arrow; the engine applies the two
+        parts as separate filters with a barrier in between. Split only
+        happens for top-level AND conjuncts (and bare leaves); any
+        Python-backed leaf under OR/NOT falls back to the combined column."""
+        conjuncts = p.children if isinstance(p, And) else [p]
+        if isinstance(p, (Or, Not)):
+            return self._tr(p), None
+        jvm_parts: list[Column] = []
+        udf_parts: list[Column] = []
+        for c in conjuncts:
+            if isinstance(c, Proximity):
+                guard = self._proximity_guard(c)
+                if guard is not None:
+                    jvm_parts.append(guard)
+                udf_parts.append(self._proximity(c))
+            elif isinstance(c, TextPred) and c.kind == FUZZY:
+                jvm_parts.append(self._fuzzy_guard(c))
+                udf_parts.append(self._text(c))
+            else:
+                jvm_parts.append(self._tr(c))
+        jvm = None
+        for part in jvm_parts:
+            jvm = part if jvm is None else jvm & part
+        udf = None
+        for part in udf_parts:
+            udf = part if udf is None else udf & part
+        return jvm, udf
+
+    def _proximity_guard(self, p: Proximity) -> Column | None:
+        """JVM-only candidate condition: every query word present in at
+        least one target text field."""
+        conds = []
+        for fdef in self._text_attrs(p.attr):
+            toks = F.col(text_col(fdef.attr))
+            c = toks.isNotNull()
+            for w in p.words:
+                c = c & F.exists(toks, (lambda word: lambda s: s["t"] == word)(w))
+            conds.append(c)
+        out = conds[0]
+        for c in conds[1:]:
+            out = out | c
+        return F.coalesce(out, F.lit(False))
+
+    def _fuzzy_guard(self, p: TextPred) -> Column:
+        """JVM-only: some token within the edit-distance length window."""
+        w = p.value
+        conds = []
+        for fdef in self._text_attrs(p.attr):
+            toks = F.col(text_col(fdef.attr))
+            conds.append(F.exists(
+                toks,
+                lambda s: F.abs(F.length(s["t"]) - F.lit(len(w))) <= p.distance))
+        out = conds[0]
+        for c in conds[1:]:
+            out = out | c
+        return F.coalesce(out, F.lit(False))
+
     def _tr(self, p: Predicate) -> Column:
         if isinstance(p, MatchAll):
             return F.lit(True)
