@@ -280,14 +280,19 @@ def simhash_pairs(df: DataFrame, key: str, text_col: str = "text",
 # ---------------------------------------------------------------------------
 def embedding_cosine_pairs(
     df: DataFrame, key: str, vec_col: str = "embedding",
-    threshold: float = 0.95, lsh_planes: int | None = None, seed: int = 42,
+    threshold: float = 0.95, lsh_planes: int | None = None,
+    lsh_tables: int = 12, seed: int = 42,
 ) -> DataFrame:
     """Pairs (a<b) with cosine similarity >= threshold.
 
     Exact mode (lsh_planes=None): block-nested self-join — only for
-    modest n (oracle checking). Scale mode: random-hyperplane LSH sign
-    bucket first (driver-side numpy planes, broadcast as literals), then
-    exact cosine inside buckets; recall controlled by plane count."""
+    modest n (oracle checking). Scale mode: random-hyperplane LSH with
+    OR-amplification — ``lsh_tables`` independent tables of ``lsh_planes``
+    sign bits each; a pair is a candidate if any table agrees (per-table
+    match prob p^k, any-table 1-(1-p^k)^L — e.g. cosine 0.4, k=3, L=12
+    gives ~97% recall), then exact cosine verifies inside candidates.
+    Join key is (table, signature), so candidate generation never goes
+    O(n^2); the exact verify joins unit vectors back by key."""
     import numpy as np
 
     norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0),
@@ -296,32 +301,51 @@ def embedding_cosine_pairs(
     unit = df.select(
         F.col(key).alias("k"),
         F.transform(F.col(vec_col), lambda x: x.cast("double") / norm).alias("v"),
-    ).where(norm > 0)
+    ).where(norm > 0).persist()
 
     if lsh_planes:
         dim = len(df.select(vec_col).first()[0])
         rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((lsh_planes, dim))
-        sig = F.concat(*[
-            F.when(
-                F.aggregate(
-                    F.zip_with(F.col("v"),
-                               F.array(*[F.lit(float(p)) for p in plane]),
-                               lambda x, y: x * y),
-                    F.lit(0.0), lambda a, x: a + x) >= 0, F.lit("1")
-            ).otherwise(F.lit("0"))
-            for plane in planes
-        ])
-        unit = unit.withColumn("bucket", sig)
-        join_on = ["bucket"]
-        left, right = unit.alias("l"), unit.alias("r")
-        cand = left.join(right, on=join_on).where(F.col("l.k") < F.col("r.k"))
+
+        def sig_for(table: int):
+            planes = rng.standard_normal((lsh_planes, dim))
+            bits = [
+                F.when(
+                    F.aggregate(
+                        F.zip_with(F.col("v"),
+                                   F.array(*[F.lit(float(p)) for p in plane]),
+                                   lambda x, y: x * y),
+                        F.lit(0.0), lambda a, x: a + x) >= 0,
+                    F.lit("1")).otherwise(F.lit("0"))
+                for plane in planes
+            ]
+            return F.struct(F.lit(table).alias("t"),
+                            F.concat(*bits).alias("sig"))
+
+        banded = unit.select(
+            "k", F.explode(F.array(*[sig_for(t) for t in range(lsh_tables)])
+                           ).alias("ts"),
+        ).select("k", F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig"))
+        cand = (banded.alias("l").join(banded.alias("r"), on=["t", "sig"])
+                .where(F.col("l.k") < F.col("r.k"))
+                .select(F.col("l.k").alias("a"), F.col("r.k").alias("b"))
+                .dropDuplicates(["a", "b"]))
+        uv = unit
+        cand = (cand.join(uv.withColumnRenamed("k", "a")
+                            .withColumnRenamed("v", "va"), "a")
+                    .join(uv.withColumnRenamed("k", "b")
+                            .withColumnRenamed("v", "vb"), "b"))
+        dot = F.aggregate(F.zip_with(F.col("va"), F.col("vb"),
+                                     lambda x, y: x * y),
+                          F.lit(0.0), lambda a, x: a + x)
     else:
         left, right = unit.alias("l"), unit.alias("r")
         cand = left.crossJoin(right).where(F.col("l.k") < F.col("r.k"))
+        dot = F.aggregate(F.zip_with(F.col("l.v"), F.col("r.v"),
+                                     lambda x, y: x * y),
+                          F.lit(0.0), lambda a, x: a + x)
 
-    dot = F.aggregate(F.zip_with(F.col("l.v"), F.col("r.v"), lambda x, y: x * y),
-                      F.lit(0.0), lambda a, x: a + x)
-    return (cand.select(F.col("l.k").alias("a"), F.col("r.k").alias("b"),
+    return (cand.select(F.col("l.k").alias("a") if not lsh_planes else F.col("a"),
+                        F.col("r.k").alias("b") if not lsh_planes else F.col("b"),
                         F.round(dot, 6).alias("cosine"))
                 .where(F.col("cosine") >= threshold))
