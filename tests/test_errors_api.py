@@ -97,6 +97,13 @@ def test_info_list_drop(spark):
         e.ft_info("tmp_idx")
 
 
+def test_return_zero_is_nocontent(eng):
+    # RETURN 0 ≡ NOCONTENT: keys only (search.h:82-86)
+    df = eng.ft_search("parts", "@p_brand:{Brand#13}", limit=(0, 3),
+                       return_fields=[])
+    assert df.columns == ["__key"]
+
+
 def test_info_computed_stats(eng):
     n = eng.catalog.get("parts").doc_df.count()
     info = eng.ft_info("parts", compute_stats=True)

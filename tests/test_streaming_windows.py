@@ -35,6 +35,15 @@ def test_windowed_counts_matches_manual_group(events):
     assert ours == manual
 
 
+def test_sliding_windows_batch(events):
+    """slide < window: each event lands in window/slide windows."""
+    out = windowed_event_counts(events, window="1 hour", slide="30 minutes")
+    total = sum(r["n"] for r in out.collect())
+    assert total == 2 * events.count()       # every event in exactly 2 windows
+    r0 = out.first()
+    assert (r0["window_end"] - r0["window_start"]).total_seconds() == 3600
+
+
 def test_sessionized_counts_batch(events):
     out = sessionized_counts(events, gap="30 minutes").collect()
     assert sum(r["n"] for r in out) == events.count()
