@@ -59,6 +59,7 @@ def main():
     qs["tag_match"](spark, sf_dir).count()
     qs["text_term_stem"](spark, sf_dir).count()
     qs["knn_ivf"](spark, sf_dir).count()
+    qs["text_fuzzy"](spark, sf_dir).count()   # start Arrow python workers
 
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -14,11 +14,12 @@ from .errors import (
     UnknownIndexError,
 )
 from .operators.search import ReturnField, SearchEngine
+from .plans.predicate_translator import QueryLimits
 from .session import get_spark
 
 __all__ = [
     "Catalog", "IndexSchema", "NumericField", "TagField", "TextField",
-    "VectorField", "SearchEngine", "ReturnField", "get_spark",
+    "VectorField", "SearchEngine", "ReturnField", "QueryLimits", "get_spark",
     "SearchError", "QuerySyntaxError", "UnknownFieldError",
     "UnknownIndexError", "ExpressionError",
 ]
