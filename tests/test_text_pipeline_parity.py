@@ -74,6 +74,20 @@ def test_stemming_variants_share_stem():
     assert porter_stem("running") == porter_stem("runs") == porter_stem("run")
 
 
+@pytest.mark.parametrize("word,stem", [
+    ("caresses", "caress"), ("ponies", "poni"), ("cats", "cat"),
+    ("feed", "feed"), ("agreed", "agre"), ("plastered", "plaster"),
+    ("motoring", "motor"), ("sing", "sing"), ("conflated", "conflat"),
+    ("troubling", "troubl"), ("sized", "size"), ("hopping", "hop"),
+    ("falling", "fall"), ("hissing", "hiss"), ("failing", "fail"),
+    ("filing", "file"), ("happy", "happi"), ("relational", "relat"),
+    ("conditional", "condit"), ("valency", "valenc"),
+])
+def test_porter_published_vectors(word, stem):
+    """Step examples from Porter's published algorithm description."""
+    assert porter_stem(word) == stem
+
+
 def test_phrase_skips_stopwords(spark, tmp_path):
     """Phrase matching over post-removal positions: 'quick fox' matches
     'the quick [stopword] fox'."""
