@@ -53,7 +53,18 @@ def _gen_query(rng, depth=0):
     return f"-{q1}", f"NOT ({s1})"
 
 
-CASES = []
+CASES = [
+    # fixed unparenthesized-precedence cases: AND binds tighter than OR,
+    # NOT tighter than OR (dialect-2 convention)
+    ("@p_brand:{Brand#13} @p_size:[1 10]|@p_brand:{Brand#42}",
+     "(p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10)"
+     " OR p_brand = 'Brand#42'"),
+    ("@p_brand:{Brand#13}|@p_brand:{Brand#42} @p_size:[1 10]",
+     "p_brand = 'Brand#13'"
+     " OR (p_brand = 'Brand#42' AND p_size BETWEEN 1 AND 10)"),
+    ("-@p_brand:{Brand#13}|@p_brand:{Brand#42}",
+     "NOT (p_brand = 'Brand#13') OR p_brand = 'Brand#42'"),
+]
 _rng = random.Random(20260813)
 for i in range(60):
     CASES.append(_gen_query(_rng))
