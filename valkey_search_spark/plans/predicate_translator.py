@@ -73,32 +73,91 @@ def _fuzzy_match_udf(word: str, dist: int):
 
 def _proximity_udf(words: list[str], slop: int, inorder: bool):
     """Positional multi-term match: exists an assignment of the query words
-    to token positions with total inter-word gap <= slop, in query order if
-    ``inorder`` (/root/reference/src/indexes/text/proximity.h:47)."""
-    import itertools
+    to distinct token positions with total intervening-token count
+    (max-min+1-k) <= slop, in query order if ``inorder``
+    (/root/reference/src/indexes/text/proximity.h:47).
+
+    Linear-time algorithms (the reference's iterator is a sorted merge, and
+    a naive cross-product blows up on 5-term queries over frequent words):
+    unordered -> minimum-window over the merged position stream; inorder ->
+    greedy chain per starting position (greedily taking the smallest next
+    position minimizes the window end, so greedy is exact)."""
+    from bisect import bisect_right
+
+    k = len(words)
+    uniq = list(dict.fromkeys(words))
+    word_idx = {w: i for i, w in enumerate(uniq)}
+    slot_of = [word_idx[w] for w in words]      # query slot -> unique-word id
+    has_dups = len(uniq) < k
+
+    def _unordered_dups(pos_by_uniq):
+        # duplicate query words: tiny product fallback with distinctness
+        # (duplicate-word proximity queries are short in practice)
+        import itertools
+
+        for combo in itertools.product(*(pos_by_uniq[s] for s in slot_of)):
+            if len(set(combo)) != k:
+                continue
+            seq = sorted(combo)
+            if (seq[-1] - seq[0] + 1 - k) <= slop:
+                return True
+        return False
+
+    def _unordered(pos_by_word):
+        # merged (position, word) stream + sliding window holding >=1 of
+        # every word; window cost = span+1-k
+        ku = len(pos_by_word)
+        merged = sorted((p, wi) for wi, ps in enumerate(pos_by_word)
+                        for p in ps)
+        need = ku
+        counts = [0] * ku
+        lo = 0
+        for hi, (p_hi, wi_hi) in enumerate(merged):
+            if counts[wi_hi] == 0:
+                need -= 1
+            counts[wi_hi] += 1
+            while need == 0:
+                p_lo, wi_lo = merged[lo]
+                if (p_hi - p_lo + 1 - k) <= slop:
+                    return True
+                counts[wi_lo] -= 1
+                if counts[wi_lo] == 0:
+                    need += 1
+                lo += 1
+        return False
+
+    def _inorder(pos_by_uniq):
+        for p1 in pos_by_uniq[slot_of[0]]:
+            prev = p1
+            ok = True
+            for si in range(1, k):
+                ps = pos_by_uniq[slot_of[si]]
+                j = bisect_right(ps, prev)
+                if j == len(ps):
+                    ok = False
+                    break
+                prev = ps[j]
+            if ok and (prev - p1 + 1 - k) <= slop:
+                return True
+        return False
 
     @F.pandas_udf(T.BooleanType())
     def _match(tok_structs: pd.Series) -> pd.Series:
         def go(lst):
             if lst is None:
                 return False
-            pos: dict[str, list[int]] = {}
+            pos_by_uniq: list[list[int]] = [[] for _ in range(len(uniq))]
             for s in lst:
-                t, p = s["t"], s["p"]
-                if t in set(words):
-                    pos.setdefault(t, []).append(p)
-            if any(w not in pos for w in words):
+                wi = word_idx.get(s["t"])
+                if wi is not None:
+                    pos_by_uniq[wi].append(s["p"])
+            if any(not ps for ps in pos_by_uniq):
                 return False
-            for combo in itertools.product(*(pos[w] for w in words)):
-                if len(set(combo)) != len(combo):
-                    continue
-                if inorder and list(combo) != sorted(combo):
-                    continue
-                seq = list(combo) if inorder else sorted(combo)
-                gap = sum(seq[i + 1] - seq[i] - 1 for i in range(len(seq) - 1))
-                if gap <= slop:
-                    return True
-            return False
+            if inorder:
+                return _inorder(pos_by_uniq)
+            if has_dups:
+                return _unordered_dups(pos_by_uniq)
+            return _unordered(pos_by_uniq)
 
         return tok_structs.apply(go)
 
