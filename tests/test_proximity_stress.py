@@ -1,0 +1,73 @@
+"""5-term proximity: linear-time matcher speed on the reference's
+proximity_5term benchmark shape, plus brute-force equivalence on short
+randomized docs (where the cross-product reference is tractable)."""
+
+import itertools
+import random
+import time
+
+import pytest
+from pyspark.sql import Row
+
+from valkey_search_spark import SearchEngine, TextField
+
+WORDS5 = ["w0", "w1", "w2", "w3", "w4"]
+
+
+def _brute(tokens, words, slop, inorder):
+    pos = {}
+    for i, t in enumerate(tokens):
+        pos.setdefault(t, []).append(i)
+    if any(w not in pos for w in words):
+        return False
+    for combo in itertools.product(*(pos[w] for w in words)):
+        if len(set(combo)) != len(combo):
+            continue
+        if inorder and list(combo) != sorted(combo):
+            continue
+        seq = sorted(combo)
+        if (seq[-1] - seq[0] + 1 - len(words)) <= slop:
+            return True
+    return False
+
+
+@pytest.mark.parametrize("inorder", [True, False])
+def test_five_term_stress_is_fast(spark, inorder):
+    rng = random.Random(5)
+    docs = [Row(id=i, body=" ".join(
+        rng.choice(WORDS5 + ["x", "y", "z"]) for _ in range(300)))
+        for i in range(100)]
+    e = SearchEngine(spark)
+    e.ft_create("p5", spark.createDataFrame(docs),
+                [TextField("body", stopwords=frozenset())], key_column="id")
+    t0 = time.perf_counter()
+    n = e.ft_search("p5", " ".join(WORDS5), slop=2, inorder=inorder,
+                    count_only=True)
+    # each query word appears ~37x/doc: a cross-product matcher would do
+    # ~37^5 = 7e7 combos per doc; the sweep must finish in seconds
+    assert time.perf_counter() - t0 < 60
+    assert 0 < n <= 100
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_randomized_brute_force_equivalence(spark, seed):
+    rng = random.Random(seed)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    docs = [Row(id=i, body=" ".join(rng.choice(vocab)
+                                    for _ in range(rng.randint(3, 15))))
+            for i in range(30)]
+    df = spark.createDataFrame(docs)
+    e = SearchEngine(spark)
+    e.ft_create("fz", df, [TextField("body", stopwords=frozenset())],
+                key_column="id")
+    for _ in range(6):
+        nwords = rng.randint(2, 4)
+        words = (rng.sample(vocab, nwords) if rng.random() < 0.7
+                 else [rng.choice(vocab)] * 2 + [rng.choice(vocab)])
+        slop = rng.randint(0, 3)
+        inorder = rng.random() < 0.5
+        got = {r["id"] for r in
+               e.ft_search("fz", " ".join(words), slop=slop, inorder=inorder,
+                           limit=(0, 100)).collect()}
+        want = {d.id for d in docs if _brute(d.body.split(), words, slop, inorder)}
+        assert got == want, (words, slop, inorder)
