@@ -19,11 +19,32 @@ Each operator is expressed as shuffle-conscious DataFrame composition:
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from ..functions.analysis import raw_tokens_column
+
+
+def _with_handles(out: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Attach the intermediate persisted frames to the returned DataFrame
+    so callers can free them once the result has been consumed. Long-lived
+    sessions that call the pair generators repeatedly would otherwise
+    accumulate cached RDDs (the frames are persisted because 2-3 branches
+    of one job reuse them, not to outlive the job)."""
+    out._vss_cached = list(cached)
+    return out
+
+
+def release(df: DataFrame, blocking: bool = False) -> None:
+    """Unpersist the intermediates cached while building ``df``. Call after
+    the frame has been fully consumed (collected / written). No-op for
+    frames that carry no handles."""
+    for c in getattr(df, "_vss_cached", []):
+        c.unpersist(blocking)
+    df._vss_cached = []
 
 
 def _parallelize(df: DataFrame) -> DataFrame:
@@ -179,9 +200,10 @@ def minhash_lsh_pairs(
                 .join(hs.withColumnRenamed("k", "b").withColumnRenamed("hs", "hsb"), "b"))
     inter = F.size(F.array_intersect(F.col("hsa"), F.col("hsb"))).cast("double")
     union = F.size(F.array_union(F.col("hsa"), F.col("hsb"))).cast("double")
-    return (cand.withColumn("jaccard", F.round(inter / union, 6))
-                .where(F.col("jaccard") >= threshold)
-                .select("a", "b", "jaccard"))
+    out = (cand.withColumn("jaccard", F.round(inter / union, 6))
+               .where(F.col("jaccard") >= threshold)
+               .select("a", "b", "jaccard"))
+    return _with_handles(out, base, banded)
 
 
 # ---------------------------------------------------------------------------
@@ -278,21 +300,64 @@ def simhash_pairs(df: DataFrame, key: str, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+def auto_lsh_params(threshold: float) -> tuple[int, int]:
+    """(planes-per-table k, tables L) for hyperplane LSH targeting ~1e-4
+    miss probability for pairs AT the threshold.
+
+    Sign-hash collision prob for cosine s is p = 1 - acos(s)/pi. Pick k so
+    a threshold pair collides in one table with prob ~0.2 (p^k ≈ 0.2 —
+    deep enough to prune the cosine≈0 bulk at 0.5^k per table), then L so
+    the OR over tables recovers the pair: (1 - p^k)^L <= 1e-4. At s=0.95
+    this yields k=15, L≈41 (bulk candidate rate 41/2^15 ≈ 0.1%); at a
+    loose s=0.4 it yields k=3, L=32 — pruning is inherently weak when the
+    threshold sits in the bulk of random similarity, which the exact
+    verify step absorbs (correctness never depends on the s-curve)."""
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    k = max(1, min(24, round(math.log(0.2) / math.log(p))))
+    per_table = p ** k
+    tables = max(1, min(64, math.ceil(math.log(1e-4) / math.log(1.0 - per_table))))
+    return k, tables
+
+
+def _hyperplane_sig_udf(planes, k: int):
+    """Arrow-batched UDF: all L*k hyperplane sign bits per vector in ONE
+    BLAS matmul, packed to L k-bit signature longs. One UDF call replaces
+    L*k Catalyst aggregate-lambda dot products (which dominate plan
+    compile time past ~100 planes)."""
+    import numpy as np
+
+    weights = (np.int64(1) << np.arange(k, dtype=np.int64))
+    n_tables = planes.shape[0] // k
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sigs(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack(vecs.to_numpy())                      # (n, dim)
+        bits = (m @ planes.T >= 0).reshape(len(m), n_tables, k)
+        codes = bits @ weights                             # (n, L)
+        return pd.Series(list(codes))
+
+    return sigs
+
+
 def embedding_cosine_pairs(
     df: DataFrame, key: str, vec_col: str = "embedding",
     threshold: float = 0.95, lsh_planes: int | None = None,
-    lsh_tables: int = 12, seed: int = 42,
+    lsh_tables: int | None = None, seed: int = 42,
+    exact: bool = False,
 ) -> DataFrame:
     """Pairs (a<b) with cosine similarity >= threshold.
 
-    Exact mode (lsh_planes=None): block-nested self-join — only for
-    modest n (oracle checking). Scale mode: random-hyperplane LSH with
-    OR-amplification — ``lsh_tables`` independent tables of ``lsh_planes``
-    sign bits each; a pair is a candidate if any table agrees (per-table
-    match prob p^k, any-table 1-(1-p^k)^L — e.g. cosine 0.4, k=3, L=12
-    gives ~97% recall), then exact cosine verifies inside candidates.
-    Join key is (table, signature), so candidate generation never goes
-    O(n^2); the exact verify joins unit vectors back by key."""
+    Default (scale) path: random-hyperplane LSH with OR-amplification —
+    ``lsh_tables`` independent tables of ``lsh_planes`` sign bits each
+    (auto-tuned from the threshold when unset, see auto_lsh_params); a
+    pair is a candidate if any table agrees, then exact cosine verifies
+    inside candidates (candidate-then-verify, the same contract HNSW
+    fulfils in the reference: src/indexes/vector_hnsw.cc:315-340). The
+    join key is (table, signature), so candidate generation never goes
+    O(n^2). ``exact=True`` opts into the block-nested cross join — for
+    oracle checking at modest n only."""
     import numpy as np
 
     norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0),
@@ -303,49 +368,34 @@ def embedding_cosine_pairs(
         F.transform(F.col(vec_col), lambda x: x.cast("double") / norm).alias("v"),
     ).where(norm > 0).persist()
 
-    if lsh_planes:
+    if exact:
+        cand = (unit.alias("l").crossJoin(unit.alias("r"))
+                .where(F.col("l.k") < F.col("r.k"))
+                .select(F.col("l.k").alias("a"), F.col("r.k").alias("b"),
+                        F.col("l.v").alias("va"), F.col("r.v").alias("vb")))
+    else:
+        auto_k, auto_l = auto_lsh_params(threshold)
+        k_planes = lsh_planes or auto_k
+        n_tables = lsh_tables or auto_l
         dim = len(df.select(vec_col).first()[0])
         rng = np.random.default_rng(seed)
-
-        def sig_for(table: int):
-            planes = rng.standard_normal((lsh_planes, dim))
-            bits = [
-                F.when(
-                    F.aggregate(
-                        F.zip_with(F.col("v"),
-                                   F.array(*[F.lit(float(p)) for p in plane]),
-                                   lambda x, y: x * y),
-                        F.lit(0.0), lambda a, x: a + x) >= 0,
-                    F.lit("1")).otherwise(F.lit("0"))
-                for plane in planes
-            ]
-            return F.struct(F.lit(table).alias("t"),
-                            F.concat(*bits).alias("sig"))
-
+        planes = rng.standard_normal((n_tables * k_planes, dim))
+        sig = _hyperplane_sig_udf(planes, k_planes)
+        # candidate generation carries only (k, t, sig) through the
+        # banded self-join; unit vectors join back AFTER pair dedup
         banded = unit.select(
-            "k", F.explode(F.array(*[sig_for(t) for t in range(lsh_tables)])
-                           ).alias("ts"),
-        ).select("k", F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig"))
+            "k", F.posexplode(sig(F.col("v"))).alias("t", "sig"))
         cand = (banded.alias("l").join(banded.alias("r"), on=["t", "sig"])
                 .where(F.col("l.k") < F.col("r.k"))
                 .select(F.col("l.k").alias("a"), F.col("r.k").alias("b"))
                 .dropDuplicates(["a", "b"]))
-        uv = unit
-        cand = (cand.join(uv.withColumnRenamed("k", "a")
-                            .withColumnRenamed("v", "va"), "a")
-                    .join(uv.withColumnRenamed("k", "b")
-                            .withColumnRenamed("v", "vb"), "b"))
-        dot = F.aggregate(F.zip_with(F.col("va"), F.col("vb"),
-                                     lambda x, y: x * y),
-                          F.lit(0.0), lambda a, x: a + x)
-    else:
-        left, right = unit.alias("l"), unit.alias("r")
-        cand = left.crossJoin(right).where(F.col("l.k") < F.col("r.k"))
-        dot = F.aggregate(F.zip_with(F.col("l.v"), F.col("r.v"),
-                                     lambda x, y: x * y),
-                          F.lit(0.0), lambda a, x: a + x)
+        cand = (cand.join(unit.withColumnRenamed("k", "a")
+                              .withColumnRenamed("v", "va"), "a")
+                    .join(unit.withColumnRenamed("k", "b")
+                              .withColumnRenamed("v", "vb"), "b"))
 
-    return (cand.select(F.col("l.k").alias("a") if not lsh_planes else F.col("a"),
-                        F.col("r.k").alias("b") if not lsh_planes else F.col("b"),
-                        F.round(dot, 6).alias("cosine"))
-                .where(F.col("cosine") >= threshold))
+    dot = F.aggregate(F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    out = (cand.select("a", "b", F.round(dot, 6).alias("cosine"))
+               .where(F.col("cosine") >= threshold))
+    return _with_handles(out, unit)
