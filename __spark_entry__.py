@@ -299,17 +299,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["knn_ip"] = _knn_query("emb_ip", "*=>[KNN 10 @embedding $v AS dist]")
     q["knn_hybrid"] = _knn_query("emb_l2", "@label:[3 5]=>[KNN 10 @embedding $v AS dist]")
 
-    def q_knn_ivf(spark, sf_dir):
-        # IVF with nprobe == n_lists is exact (partition-pruned brute force),
-        # so it shares the FLAT-search oracle; partial-probe recall is
-        # asserted in tests/test_ann.py.
+    def _ivf_index(spark, sf_dir):
         from valkey_search_spark.operators.ann import IVFIndex
 
         if sf_dir not in _IVF:
             emb = load_table(spark, sf_dir, "embeddings")
             path = f"/tmp/valkey_ivf_{os.path.basename(sf_dir.rstrip('/'))}"
             _IVF[sf_dir] = IVFIndex.build(emb, path, metric="l2", n_lists=8)
-        idx = _IVF[sf_dir]
+        return _IVF[sf_dir]
+
+    def q_knn_ivf(spark, sf_dir):
+        # IVF with nprobe == n_lists is exact (partition-pruned brute force),
+        # so it shares the FLAT-search oracle; partial-probe recall is
+        # asserted in tests/test_ann.py.
+        idx = _ivf_index(spark, sf_dir)
         out = idx.search(QVEC, k=10, nprobe=idx.n_lists)
         return out.select(F.col("vec_id").cast("long").alias("vec_id"),
                           _r(F.col("__score")).alias("dist"))
@@ -329,6 +332,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.col("rank").cast("int").alias("rank"))
 
     q["knn_join"] = q_knn_join
+
+    def q_knn_join_bucketed(spark, sf_dir):
+        # beyond-broadcast batch KNN join: queries probe IVF lists, per-list
+        # BLAS scoring, global window top-k. Full probe == brute force, so
+        # it shares knn_join's oracle; no driver-side corpus materialization
+        # (tests/test_knn_join.py::test_bucketed_never_collects_corpus).
+        from valkey_search_spark.operators.ann import knn_join_bucketed
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        idx = _ivf_index(spark, sf_dir)
+        queries_df = emb.where(F.col("vec_id") < 500).select(
+            F.col("vec_id").alias("qid"), "embedding")
+        out = knn_join_bucketed(queries_df, idx, k=3, nprobe=idx.n_lists,
+                                corpus_key="vec_id")
+        return out.select(F.col("qid").cast("long").alias("qid"),
+                          F.col("vec_id").cast("long").alias("cid"),
+                          _r(F.col("distance")).alias("distance"),
+                          F.col("rank").cast("int").alias("rank"))
+
+    q["knn_join_bucketed"] = q_knn_join_bucketed
 
     # -- LLM-pipeline: dedup -------------------------------------------
     def q_dedup_exact(spark, sf_dir):
@@ -618,6 +641,7 @@ def oracle_sql() -> dict[str, str]:
         "   c.vec_id) AS INT) AS rank"
         " FROM embeddings q CROSS JOIN embeddings c WHERE q.vec_id < 500)"
         " WHERE rank <= 3")
+    o["knn_join_bucketed"] = o["knn_join"]     # full probe == brute force
 
     o["dedup_exact"] = (
         "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,"

@@ -46,3 +46,58 @@ def test_null_vectors_skipped(spark):
                                Row(cid=11, embedding=[0.0, 1.0])])
     out = knn_join(q, c, k=2, metric="l2").collect()
     assert {r["qid"] for r in out} == {1}
+
+
+# ---------------------------------------------------------------------------
+# knn_join_bucketed: the beyond-broadcast path over an IVF-partitioned corpus
+
+from valkey_search_spark.operators.ann import IVFIndex, knn_join_bucketed
+
+
+@pytest.fixture(scope="module")
+def ivf(spark, emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivf") / "emb")
+    corpus = emb.select(F.col("vec_id").alias("cid"), "embedding")
+    return IVFIndex.build(corpus, path, "embedding", metric="l2", n_lists=8)
+
+
+def test_bucketed_full_probe_equals_broadcast_join(spark, emb, ivf):
+    q = emb.limit(25).select(F.col("vec_id").alias("qid"), "embedding")
+    c = emb.select(F.col("vec_id").alias("cid"), "embedding")
+    exact = sorted((r["qid"], r["cid"], round(r["distance"], 6), r["rank"])
+                   for r in knn_join(q, c, k=4, metric="l2").collect())
+    bucketed = sorted((r["qid"], r["cid"], round(r["distance"], 6), r["rank"])
+                      for r in knn_join_bucketed(q, ivf, k=4, nprobe=8).collect())
+    assert bucketed == exact
+
+
+def test_bucketed_partial_probe_recall(spark, emb, ivf):
+    q = emb.limit(25).select(F.col("vec_id").alias("qid"), "embedding")
+    c = emb.select(F.col("vec_id").alias("cid"), "embedding")
+    exact = {(r["qid"], r["cid"]) for r in
+             knn_join(q, c, k=4, metric="l2").collect()}
+    approx = {(r["qid"], r["cid"]) for r in
+              knn_join_bucketed(q, ivf, k=4, nprobe=4).collect()}
+    assert len(approx & exact) / len(exact) >= 0.6
+    # every query still gets exactly k rows (probed lists hold >= k rows)
+    assert len(approx) == len(exact)
+
+
+def test_bucketed_never_collects_corpus(spark, emb, ivf, monkeypatch):
+    """The whole point vs knn_join: nothing larger than the probed-list id
+    set is ever materialized on the driver while BUILDING the plan."""
+    q = emb.limit(10).select(F.col("vec_id").alias("qid"), "embedding")
+    cls = type(emb)                    # the concrete (classic) DataFrame
+    sizes = []
+    orig = cls.collect
+
+    def spy(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(cls, "collect", spy)
+    out = knn_join_bucketed(q, ivf, k=3, nprobe=4)
+    assert sizes and max(sizes) <= ivf.n_lists     # only the list-id set
+    monkeypatch.setattr(cls, "collect", orig)
+    assert out.count() == 30

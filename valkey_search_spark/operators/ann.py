@@ -26,6 +26,7 @@ import json
 import os
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -207,3 +208,99 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 10,
                                               "distance", "rank"])
 
     return queries.select(query_key, vec_col).mapInPandas(score, out_schema)
+
+
+def knn_join_bucketed(queries: DataFrame, index: IVFIndex, k: int = 10,
+                      nprobe: int = 4, query_key: str = "qid",
+                      corpus_key: str = "cid",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Batch KNN join against an IVF-partitioned corpus — the
+    beyond-broadcast path (``knn_join`` collects the corpus to the driver,
+    fine to ~1 GB; this never materializes the corpus anywhere).
+
+    Plan shape: each query is assigned its ``nprobe`` nearest centroid
+    lists (one Arrow batch matmul against the tiny centroid matrix, then
+    posexplode); the corpus parquet is partition-PRUNED to the union of
+    probed lists (a driver-side distinct of at most n_lists ints); both
+    sides cogroup on the list id and a per-list BLAS matmul emits each
+    query's local top-k; a final window keeps the global (distance, key)
+    top-k. Shuffle volume is |Q|*nprobe rows in and |Q|*nprobe*k candidate
+    rows out — never |Q|x|C|. With nprobe == index.n_lists the result is
+    exactly the brute-force join (tested against the same oracle).
+
+    Parallelism is bounded by the number of probed lists (one cogroup per
+    list), so size n_lists to >= the cluster's core count at scale."""
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    cents = index.centroids
+    metric = index.metric
+    nprobe = min(nprobe, index.n_lists)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_lists(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        q = np.stack(vs.to_numpy()).astype(np.float64)
+        if metric == "cosine":
+            n = np.linalg.norm(q, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            q = q / n
+        if metric == "l2":
+            d = ((q * q).sum(1)[:, None] - 2.0 * (q @ cents.T)
+                 + (cents * cents).sum(1)[None, :])
+        else:                                   # ip / cosine: highest dot
+            d = -(q @ cents.T)
+        idx = np.argsort(d, axis=1)[:, :nprobe].astype("int32")
+        return pd.Series(list(idx))
+
+    probed = (queries.select(query_key, vec_col).dropna()
+              .withColumn("__list", F.explode(probe_lists(F.col(vec_col)))))
+
+    # partition pruning: the probed-list set is at most n_lists ints — the
+    # ONLY driver-side materialization on this path
+    lists = [r[0] for r in probed.select("__list").distinct().collect()]
+    corpus = (index.spark.read.parquet(index.path)
+              .where(F.col("__list").isin(lists))
+              .select("__list", corpus_key, index.vec_col))
+
+    qkey_field = queries.schema[query_key]
+    ckey_type = corpus.schema[corpus_key].dataType
+    cand_schema = T.StructType([
+        qkey_field, T.StructField(corpus_key, ckey_type),
+        T.StructField("distance", T.DoubleType()),
+    ])
+    cvec = index.vec_col
+
+    def score_list(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        cols = [query_key, corpus_key, "distance"]
+        if left.empty or right.empty:
+            return pd.DataFrame(columns=cols)
+        q = np.stack(left[vec_col].to_numpy()).astype(np.float64)
+        c = np.stack(right[cvec].to_numpy()).astype(np.float64)
+        ckeys = right[corpus_key].to_numpy()
+        if metric == "l2":
+            d = (q * q).sum(1)[:, None] - 2.0 * (q @ c.T) + (c * c).sum(1)[None, :]
+            d = np.sqrt(np.maximum(d, 0.0))
+        else:
+            if metric == "cosine":              # corpus normalized at build
+                qn = np.linalg.norm(q, axis=1, keepdims=True)
+                qn[qn == 0] = 1.0
+                q = q / qn
+            d = 1.0 - q @ c.T
+        kk = min(k, d.shape[1])
+        part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+        rows = []
+        for i, qid in enumerate(left[query_key].to_numpy()):
+            for j in part[i]:
+                rows.append((qid, ckeys[j], float(d[i, j])))
+        return pd.DataFrame(rows, columns=cols)
+
+    cand = (probed.groupBy("__list")
+            .cogroup(corpus.groupBy("__list"))
+            .applyInPandas(score_list, cand_schema))
+
+    w = Window.partitionBy(query_key).orderBy(
+        F.col("distance").asc(), F.col(corpus_key).asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k))
