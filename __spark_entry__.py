@@ -164,6 +164,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_fuzzy"] = _search("docs", "%windo%", DOC_COLS)
     q["text_proximity"] = _search("docs", "batch stream", DOC_COLS,
                                   slop=1, inorder=True)
+    # stem-expanded proximity: inflected query words match base-form tokens
+    # (src/query/search.cc:226-298 stemmed term iterators)
+    q["text_proximity_stem"] = _search("docs", "tables streaming", DOC_COLS,
+                                       slop=1)
+    # INORDER without SLOP: ordering constraint only, unbounded span
+    # (proximity.h: span checked only when slop is set)
+    q["text_proximity_inorder"] = _search("docs", "window sort", DOC_COLS,
+                                          inorder=True)
     q["text_and_numeric"] = _search("docs", "vector @n_chars:[300 +inf]", DOC_COLS)
 
     def q_verbatim(spark, sf_dir):
@@ -512,6 +520,18 @@ def oracle_sql() -> dict[str, str]:
         f"{_toks} SELECT doc_id, source FROM toks WHERE len(list_filter("
         "range(1, len(t)), i -> t[i]='batch'"
         " AND (t[i+1]='stream' OR t[i+2]='stream'))) > 0")
+    # query "tables streaming" stems to table/stream; corpus holds only the
+    # base forms, so the oracle matches those at |i-j| <= 2 in either order
+    o["text_proximity_stem"] = (
+        f"{_toks} SELECT doc_id, source FROM toks WHERE len(list_filter("
+        "range(1, len(t) + 1), i -> (t[i]='table'"
+        " AND (t[i+1]='stream' OR t[i+2]='stream'))"
+        " OR (t[i]='stream' AND (t[i+1]='table' OR t[i+2]='table')))) > 0")
+    o["text_proximity_inorder"] = (
+        f"{_toks} SELECT doc_id, source FROM toks"
+        " WHERE list_contains(t, 'window') AND list_contains(t, 'sort')"
+        " AND list_position(t, 'window')"
+        "  < len(t) - list_position(list_reverse(t), 'sort') + 1")
     o["text_and_numeric"] = _doc_where(
         f"regexp_matches(text, '(^|{W})vector({W}|$)') AND n_chars >= 300")
     o["text_term_verbatim"] = _doc_where(

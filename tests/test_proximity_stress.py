@@ -71,3 +71,47 @@ def test_randomized_brute_force_equivalence(spark, seed):
                            limit=(0, 100)).collect()}
         want = {d.id for d in docs if _brute(d.body.split(), words, slop, inorder)}
         assert got == want, (words, slop, inorder)
+
+
+# ---------------------------------------------------------------------------
+# stem expansion + INORDER-only (no SLOP) semantics
+
+def test_proximity_terms_are_stem_expanded(spark):
+    """Inflected query words match base-form tokens and vice versa — the
+    reference builds proximity over stemmed term iterators
+    (src/query/search.cc:226-298)."""
+    from pyspark.sql import Row
+    from valkey_search_spark import SearchEngine, TextField
+
+    df = spark.createDataFrame([
+        Row(k="a", body="table big stream"),          # base forms
+        Row(k="b", body="tables filter streaming"),   # inflected forms
+        Row(k="c", body="stream gap gap gap table"),  # far apart
+    ])
+    e = SearchEngine(spark)
+    e.ft_create("prox_stem", df, [TextField("body")], key_column="k")
+    got = {r["k"] for r in e.ft_search("prox_stem", "tables streaming",
+                                       slop=1, limit=(0, 10)).collect()}
+    assert got == {"a", "b"}        # both match via stems; "c" exceeds slop
+
+
+def test_inorder_without_slop_is_unbounded_span(spark):
+    """INORDER alone constrains order only (reference checks the span only
+    when slop_ has a value, src/indexes/text/proximity.h)."""
+    from pyspark.sql import Row
+    from valkey_search_spark import SearchEngine, TextField
+
+    df = spark.createDataFrame([
+        Row(k="ordered_far", body="alpha x1 x2 x3 x4 x5 x6 x7 beta"),
+        Row(k="reversed", body="beta alpha"),
+        Row(k="adjacent", body="alpha beta"),
+    ])
+    e = SearchEngine(spark)
+    e.ft_create("prox_ord", df, [TextField("body")], key_column="k")
+    got = {r["k"] for r in e.ft_search("prox_ord", "alpha beta",
+                                       inorder=True, limit=(0, 10)).collect()}
+    assert got == {"ordered_far", "adjacent"}
+    # with SLOP 0 the far pair drops out again
+    tight = {r["k"] for r in e.ft_search("prox_ord", "alpha beta", slop=0,
+                                         inorder=True, limit=(0, 10)).collect()}
+    assert tight == {"adjacent"}

@@ -8,7 +8,7 @@ from pyspark.sql import Row, functions as F
 from valkey_search_spark.functions.analysis import (
     DEFAULT_STOPWORDS, raw_tokens_column, text_tokens_column,
 )
-from valkey_search_spark.functions.porter import porter_stem
+from valkey_search_spark.functions.porter2 import porter2_stem as porter_stem
 
 
 def _tokens(spark, text):

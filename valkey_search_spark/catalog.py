@@ -12,7 +12,8 @@ structures (SURVEY.md §1.6):
 - NUMERIC f -> ``_n_f`` double          (lenient parse; invalid values
              become NULL == "untracked", docs/topics/search-data-formats.md:70-100)
 - TEXT   f -> ``_x_f``  array<struct<t,p>> lexed non-stop tokens with word
-             positions, and ``_s_f`` array<string> distinct stems
+             positions, ``_s_f`` array<string> distinct stems, and
+             ``_sp_f`` array<string> position-aligned stems
              (4-stage pipeline, docs/topics/search-data-formats.md:152-249)
 - VECTOR f -> ``_v_f``  array<float>, L2-normalized when metric=cosine
              (/root/reference/src/indexes/vector_base.h:46)
@@ -34,6 +35,7 @@ from .errors import UnknownFieldError
 from .functions.analysis import (
     DEFAULT_PUNCTUATION,
     DEFAULT_STOPWORDS,
+    stem_positions_udf,
     stem_tokens_udf,
     text_tokens_column,
 )
@@ -53,6 +55,10 @@ def text_col(f: str) -> str:
 
 def stem_col(f: str) -> str:
     return f"_s_{f}"
+
+
+def stem_pos_col(f: str) -> str:
+    return f"_sp_{f}"
 
 
 def vec_col(f: str) -> str:
@@ -145,9 +151,10 @@ class TextField(FieldDef):
                                   self.stopwords, self.punctuation)
         out = {text_col(self.attr): toks}
         if not self.nostem:
-            out[stem_col(self.attr)] = stem_tokens_udf(self.min_stem_size)(
-                F.transform(toks, lambda s: s["t"])
-            )
+            words = F.transform(toks, lambda s: s["t"])
+            out[stem_col(self.attr)] = stem_tokens_udf(self.min_stem_size)(words)
+            out[stem_pos_col(self.attr)] = stem_positions_udf(
+                self.min_stem_size)(words)
         return out
 
 

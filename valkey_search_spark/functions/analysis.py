@@ -6,7 +6,7 @@ Reference pipeline (docs/topics/search-data-formats.md:152-249;
      punctuation into a token, must be valid UTF-8
   2. case folding (lower)
   3. stop-word removal (default RediSearch list)
-  4. Snowball stemming, words >= MINSTEMSIZE, unless NOSTEM
+  4. Snowball (Porter2) stemming, words >= MINSTEMSIZE, unless NOSTEM
 
 Stages 1-3 are pure JVM-side Spark expressions (whole-stage codegen,
 zero Python cost); stage 4 is an Arrow-batched pandas UDF (the only
@@ -24,7 +24,7 @@ import pandas as pd
 
 from pyspark.sql import Column, functions as F, types as T
 
-from .porter import porter_stem
+from .porter2 import porter2_stem
 
 # Default stop-word list documented for the reference's text pipeline
 # (docs/topics/search-data-formats.md, RediSearch-compatible default set).
@@ -82,7 +82,7 @@ def stem_tokens_udf(min_stem_size: int):
                 return None
             out, seen = [], set()
             for t in lst:
-                s = porter_stem(t) if len(t) >= min_stem_size else t
+                s = porter2_stem(t) if len(t) >= min_stem_size else t
                 if s not in seen:
                     seen.add(s)
                     out.append(s)
@@ -93,6 +93,27 @@ def stem_tokens_udf(min_stem_size: int):
     return _stem
 
 
+def stem_positions_udf(min_stem_size: int):
+    """pandas UDF: array<string> tokens -> POSITION-ALIGNED stems (element
+    i = stem of the token at post-stopword position i; tokens shorter than
+    MINSTEMSIZE kept verbatim). Proximity/SLOP matching runs over this
+    column so query terms are stem-expanded exactly like single TERMs —
+    the reference builds proximity over stemmed term iterators
+    (/root/reference/src/query/search.cc:226-298)."""
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _stems(tokens: pd.Series) -> pd.Series:
+        def go(lst):
+            if lst is None:
+                return None
+            return [porter2_stem(t) if len(t) >= min_stem_size else t
+                    for t in lst]
+
+        return tokens.apply(go)
+
+    return _stems
+
+
 def stem_query_term(term: str, min_stem_size: int = 4) -> str:
     """Query-side stemming — same function as ingest, driver-side (cheap)."""
-    return porter_stem(term) if len(term) >= min_stem_size else term
+    return porter2_stem(term) if len(term) >= min_stem_size else term

@@ -223,7 +223,7 @@ class SearchEngine:
                 return Proximity(
                     attr=pred.children[0].attr,
                     words=[c.value for c in pred.children],
-                    slop=slop or 0,
+                    slop=slop,
                     inorder=inorder,
                 )
         return pred

@@ -68,7 +68,9 @@ class Proximity(Predicate):
 
     attr: str | None
     words: list[str]
-    slop: int = 0
+    # None = no span bound (INORDER without SLOP): the reference checks the
+    # span only when slop is set (src/indexes/text/proximity.h slop_)
+    slop: int | None = None
     inorder: bool = False
     verbatim: bool = False
 

@@ -26,7 +26,7 @@ from pyspark.sql import Column, functions as F, types as T
 
 from ..catalog import (
     IndexSchema, NumericField, TagField, TextField, num_col, stem_col,
-    tag_col, text_col,
+    stem_pos_col, tag_col, text_col,
 )
 from ..errors import QuerySyntaxError
 from ..functions.analysis import stem_query_term
@@ -71,11 +71,18 @@ def _fuzzy_match_udf(word: str, dist: int):
     return _match
 
 
-def _proximity_udf(words: list[str], slop: int, inorder: bool):
+def _proximity_udf(words: list[str], slop: int | None, inorder: bool,
+                   aligned: bool = False):
     """Positional multi-term match: exists an assignment of the query words
     to distinct token positions with total intervening-token count
     (max-min+1-k) <= slop, in query order if ``inorder``
-    (/root/reference/src/indexes/text/proximity.h:47).
+    (/root/reference/src/indexes/text/proximity.h:47). ``slop=None``
+    (INORDER without SLOP) checks ordering only — the reference applies
+    the span bound only when slop is set (proximity.h slop_.has_value()).
+
+    ``aligned=True`` matches over a position-aligned array<string> (element
+    i = term at position i) instead of (t, p) structs — the stem-expanded
+    path feeds the aligned stem column.
 
     Linear-time algorithms (the reference's iterator is a sorted merge, and
     a naive cross-product blows up on 5-term queries over frequent words):
@@ -85,6 +92,7 @@ def _proximity_udf(words: list[str], slop: int, inorder: bool):
     from bisect import bisect_right
 
     k = len(words)
+    win = math.inf if slop is None else slop       # None -> ordering only
     uniq = list(dict.fromkeys(words))
     word_idx = {w: i for i, w in enumerate(uniq)}
     slot_of = [word_idx[w] for w in words]      # query slot -> unique-word id
@@ -99,7 +107,7 @@ def _proximity_udf(words: list[str], slop: int, inorder: bool):
             if len(set(combo)) != k:
                 continue
             seq = sorted(combo)
-            if (seq[-1] - seq[0] + 1 - k) <= slop:
+            if (seq[-1] - seq[0] + 1 - k) <= win:
                 return True
         return False
 
@@ -118,7 +126,7 @@ def _proximity_udf(words: list[str], slop: int, inorder: bool):
             counts[wi_hi] += 1
             while need == 0:
                 p_lo, wi_lo = merged[lo]
-                if (p_hi - p_lo + 1 - k) <= slop:
+                if (p_hi - p_lo + 1 - k) <= win:
                     return True
                 counts[wi_lo] -= 1
                 if counts[wi_lo] == 0:
@@ -137,20 +145,26 @@ def _proximity_udf(words: list[str], slop: int, inorder: bool):
                     ok = False
                     break
                 prev = ps[j]
-            if ok and (prev - p1 + 1 - k) <= slop:
+            if ok and (prev - p1 + 1 - k) <= win:
                 return True
         return False
 
     @F.pandas_udf(T.BooleanType())
-    def _match(tok_structs: pd.Series) -> pd.Series:
+    def _match(tok_lists: pd.Series) -> pd.Series:
         def go(lst):
             if lst is None:
                 return False
             pos_by_uniq: list[list[int]] = [[] for _ in range(len(uniq))]
-            for s in lst:
-                wi = word_idx.get(s["t"])
-                if wi is not None:
-                    pos_by_uniq[wi].append(s["p"])
+            if aligned:
+                for pos, t in enumerate(lst):
+                    wi = word_idx.get(t)
+                    if wi is not None:
+                        pos_by_uniq[wi].append(pos)
+            else:
+                for s in lst:
+                    wi = word_idx.get(s["t"])
+                    if wi is not None:
+                        pos_by_uniq[wi].append(s["p"])
             if any(not ps for ps in pos_by_uniq):
                 return False
             if inorder:
@@ -159,7 +173,7 @@ def _proximity_udf(words: list[str], slop: int, inorder: bool):
                 return _unordered_dups(pos_by_uniq)
             return _unordered(pos_by_uniq)
 
-        return tok_structs.apply(go)
+        return tok_lists.apply(go)
 
     return _match
 
@@ -233,15 +247,33 @@ class PredicateTranslator:
             udf = part if udf is None else udf & part
         return jvm, udf
 
+    def _proximity_stemmed(self, fdef: TextField) -> bool:
+        return not (fdef.nostem or self.verbatim)
+
+    def _proximity_words(self, fdef: TextField, p: Proximity) -> list[str]:
+        """Query words as matched against the field: stem-expanded like
+        single TERMs unless NOSTEM/VERBATIM (the reference builds proximity
+        over stemmed term iterators, src/query/search.cc:226-298)."""
+        if self._proximity_stemmed(fdef):
+            return [stem_query_term(w, fdef.min_stem_size) for w in p.words]
+        return list(p.words)
+
     def _proximity_guard(self, p: Proximity) -> Column | None:
         """JVM-only candidate condition: every query word present in at
         least one target text field."""
         conds = []
         for fdef in self._text_attrs(p.attr):
-            toks = F.col(text_col(fdef.attr))
-            c = toks.isNotNull()
-            for w in p.words:
-                c = c & F.exists(toks, (lambda word: lambda s: s["t"] == word)(w))
+            if self._proximity_stemmed(fdef):
+                col = F.col(stem_pos_col(fdef.attr))
+                c = col.isNotNull()
+                for w in self._proximity_words(fdef, p):
+                    c = c & F.array_contains(col, w)
+            else:
+                toks = F.col(text_col(fdef.attr))
+                c = toks.isNotNull()
+                for w in p.words:
+                    c = c & F.exists(
+                        toks, (lambda word: lambda s: s["t"] == word)(w))
             conds.append(c)
         out = conds[0]
         for c in conds[1:]:
@@ -412,12 +444,19 @@ class PredicateTranslator:
 
     def _proximity(self, p: Proximity) -> Column:
         # Positions skip removed stop words, so SLOP counts intervening
-        # NON-STOP tokens (reference position model). Terms match raw
-        # (unstemmed) tokens — a documented v1 deviation from the
-        # reference's stem-expanded proximity terms (SURVEY.md §2.2).
+        # NON-STOP tokens (reference position model). Terms are
+        # stem-expanded like single TERMs (src/query/search.cc:226-298)
+        # unless NOSTEM/VERBATIM; matching then runs over the
+        # position-aligned stem column.
         conds = []
         for fdef in self._text_attrs(p.attr):
-            toks = F.col(text_col(fdef.attr))
+            words = self._proximity_words(fdef, p)
+            if self._proximity_stemmed(fdef):
+                col = F.col(stem_pos_col(fdef.attr))
+                aligned = True
+            else:
+                col = F.col(text_col(fdef.attr))
+                aligned = False
             # cheap JVM containment conjunct first: Catalyst pushes non-UDF
             # conjuncts below the ArrowEvalPython node, so the positional
             # UDF only runs on rows already containing every query term
@@ -425,10 +464,14 @@ class PredicateTranslator:
                 return lambda s: s["t"] == word
 
             contains_all = F.lit(True)
-            for w in p.words:
-                contains_all = contains_all & F.exists(toks, _has(w))
-            conds.append(toks.isNotNull() & contains_all
-                         & _proximity_udf(p.words, p.slop, p.inorder)(toks))
+            for w in words:
+                if aligned:
+                    contains_all = contains_all & F.array_contains(col, w)
+                else:
+                    contains_all = contains_all & F.exists(col, _has(w))
+            conds.append(col.isNotNull() & contains_all
+                         & _proximity_udf(words, p.slop, p.inorder,
+                                          aligned=aligned)(col))
         out = conds[0]
         for c in conds[1:]:
             out = out | c
