@@ -284,6 +284,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'LOAD 2 @o_orderpriority @o_totalprice FILTER "@o_totalprice > 400000"',
         post=lambda df: df.select("o_orderpriority",
                                   _r(F.col("o_totalprice"), 2).alias("price")))
+    # LOAD f AS alias binds the record slot to the alias; n counts RESP
+    # tokens including AS (ft_aggregate_parser.cc:252)
+    q["agg_load_alias"] = _agg(
+        "ords", "*",
+        'LOAD 4 @o_orderpriority AS prio @o_totalprice '
+        'FILTER "@o_totalprice > 400000" '
+        "GROUPBY 1 @prio REDUCE COUNT 0 AS n REDUCE MAX 1 @o_totalprice AS mx",
+        post=lambda df: df.select("prio", "n", _r(F.col("mx"), 2).alias("mx")))
     # TPC-H Q6 shape: selective multi-predicate search phase feeding a
     # global (keyless) aggregation — revenue = sum(price * discount)
     q["agg_tpch_q6"] = _agg(
@@ -615,6 +623,10 @@ def oracle_sql() -> dict[str, str]:
     o["agg_load"] = (
         "SELECT o_orderpriority, ROUND(o_totalprice, 2) + 0.0 AS price"
         " FROM orders WHERE o_totalprice > 400000")
+    o["agg_load_alias"] = (
+        "SELECT o_orderpriority AS prio, CAST(count(*) AS DOUBLE) AS n,"
+        " ROUND(max(o_totalprice), 2) + 0.0 AS mx"
+        " FROM orders WHERE o_totalprice > 400000 GROUP BY 1")
     o["agg_tpch_q6"] = (
         "SELECT ROUND(sum(l_extendedprice*l_discount), 2) + 0.0 AS revenue,"
         " CAST(count(*) AS DOUBLE) AS n FROM lineitem"

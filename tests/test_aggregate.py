@@ -197,3 +197,25 @@ def test_groupby_numeric_field(eng):
         "SELECT l_quantity, CAST(count(*) AS DOUBLE) FROM LINEITEM"
         " GROUP BY 1 ORDER BY 1 LIMIT 5")]
     assert got == want
+
+
+def test_load_as_alias_binds_record_slot(eng):
+    """LOAD f AS g: later stages see @g with f's value; the count argument
+    counts RESP tokens incl. AS (ft_aggregate_parser.cc:252)."""
+    df = eng.ft_aggregate(
+        "li", "*",
+        'LOAD 4 @l_quantity AS qty @l_returnflag '
+        'FILTER "@qty >= 49" GROUPBY 1 @l_returnflag '
+        "REDUCE MAX 1 @qty AS mq")
+    rows = {r["l_returnflag"]: r["mq"] for r in df.collect()}
+    assert rows and all(v >= 49 for v in rows.values())
+    assert set(df.columns) == {"l_returnflag", "mq"}
+
+
+def test_load_alias_field_count_is_token_count(eng):
+    # LOAD 3 @a AS b consumes exactly the 3 counted tokens; a following
+    # keyword must parse as the next clause, not a field
+    df = eng.ft_aggregate(
+        "li", "*", 'LOAD 3 @l_quantity AS qty FILTER "@qty >= 49"')
+    assert df.columns == ["qty"]
+    assert df.count() > 0

@@ -74,7 +74,9 @@ class Limit:
 
 @dataclass
 class Load:
-    fields: list[str] = dc_field(default_factory=list)
+    # (source attribute, record alias): `LOAD 3 @f AS g` binds f's value to
+    # record slot g (/root/reference/src/commands/ft_aggregate_parser.cc:252)
+    fields: list[tuple[str, str]] = dc_field(default_factory=list)
     star: bool = False
 
 
@@ -111,17 +113,23 @@ def parse_stages(stage_str: str, params: dict | None = None) -> list[Stage]:
                 stages.append(Load(star=True))
                 i += 2
                 continue
+            # n counts RESP arg tokens, so `f AS g` consumes 3 of the count
+            # (ft_aggregate_parser.cc:252 binds the slot to the alias)
             n = int(toks[i + 1])
             fields = []
             j = i + 2
-            while len(fields) < n:
+            consumed = 0
+            while consumed < n:
                 name = strip_at(toks[j])
-                if j + 2 < len(toks) and toks[j + 1].upper() == "AS":
-                    fields.append(name)  # alias folded: records use alias name
+                if consumed + 3 <= n and j + 2 < len(toks) \
+                        and toks[j + 1].upper() == "AS":
+                    fields.append((name, strip_at(toks[j + 2])))
                     j += 3
+                    consumed += 3
                 else:
-                    fields.append(name)
+                    fields.append((name, name))
                     j += 1
+                    consumed += 1
             stages.append(Load(fields=fields))
             i = j
         elif kw == "APPLY":
@@ -264,15 +272,22 @@ class AggregateExecutor:
                     if c not in self.record_cols:
                         self.record_cols.append(c)
             else:
-                for f in st.fields:
-                    fdef = self.schema.field(f) if f in self.schema._by_attr else None
+                for src, alias in st.fields:
+                    fdef = (self.schema.field(src)
+                            if src in self.schema._by_attr else None)
                     from ..catalog import VectorField
 
                     if isinstance(fdef, VectorField):
                         # vector fields refuse to LOAD (ft_aggregate.cc:73)
-                        raise QuerySyntaxError(f"cannot LOAD vector field `{f}`")
-                    if f not in self.record_cols:
-                        self.record_cols.append(f)
+                        raise QuerySyntaxError(f"cannot LOAD vector field `{src}`")
+                    if alias != src:
+                        # bind the record slot to the alias
+                        # (ft_aggregate_parser.cc:252)
+                        tc = self.resolver.resolve(src)
+                        self.df = self.df.withColumn(alias, tc.col)
+                        self.resolver.note_created(alias, tc.kind)
+                    if alias not in self.record_cols:
+                        self.record_cols.append(alias)
         elif isinstance(st, Apply):
             t = self.compiler.compile(st.expr)
             self.df = self.df.withColumn(st.out_name, t.col)
