@@ -32,13 +32,22 @@ def test_strlen_is_bytes(eng):
     assert _one(eng, 'APPLY "strlen(@s)" AS x').x == 6.0
 
 
-def test_substr_byte_offsets_and_rest(eng):
+def test_substr_byte_offsets_and_negatives(eng):
+    # t = "abcabcab" (8 bytes); FuncSubstr semantics (value.cc:534-565):
+    # negative offset wraps from the end, negative length truncates the
+    # remainder by (size-offset)+length
     r = _one(eng, 'APPLY "substr(@t, 2, 3)" AS a '
                   'APPLY "substr(@t, 3, -1)" AS b '
-                  'APPLY "substr(@t, 100, 2)" AS c')
+                  'APPLY "substr(@t, 100, 2)" AS c '
+                  'APPLY "substr(@t, -3, 2)" AS d '
+                  'APPLY "substr(@t, -100, 2)" AS e '
+                  'APPLY "substr(@t, 1, -10)" AS f')
     assert r.a == "cab"      # 0-based byte offset
-    assert r.b == "abcab"    # len=-1 -> rest (value.cc:534-565)
+    assert r.b == "abca"     # (8-3)+(-1) = 4 bytes from offset 3
     assert r.c == ""         # clamped past end
+    assert r.d == "ca"       # offset -3 -> 5
+    assert r.e == ""         # still negative after wrap -> empty
+    assert r.f == ""         # negative effective length -> empty
 
 
 def test_contains_counts_occurrences(eng):
@@ -82,3 +91,21 @@ def test_bool_coercion(eng):
     # 0.0 is falsy
     assert eng.ft_aggregate(
         "edge", "*", 'FILTER "@num - 4" LIMIT 0 10').count() == 0
+
+
+def test_arithmetic_on_non_numeric_is_nil(eng):
+    # reference FuncAdd returns Nil when AsDouble fails — not NaN
+    r = _one(eng, 'APPLY "@word + 1" AS a APPLY "exists(@word + 1)" AS ex '
+                  'APPLY "0/0" AS nan_case')
+    assert r.a is None and r.ex == 0.0
+    import math
+    assert math.isnan(r.nan_case)    # genuine NaN still NaN (x/0 rule)
+
+
+def test_logical_ops_nil_propagation(eng):
+    # false && Nil -> Nil and true || Nil -> Nil (value.cc:387-409):
+    # the reference propagates Nil from EITHER side, stricter than Kleene
+    r = _one(eng, 'APPLY "(1 == 2) && @missing_f" AS y '
+                  'APPLY "(1 == 1) || @missing_f" AS z '
+                  'APPLY "(1 == 1) && (2 == 2)" AS t')
+    assert r.y is None and r.z is None and r.t == 1.0

@@ -104,3 +104,40 @@ def test_fuzzy(eng):
     # %% = distance 2
     n2 = eng.ft_search("parts", "%%wdgt%%", count_only=True)
     assert n2 >= n
+
+
+def test_phrase_and_term_lexed_with_field_punctuation(spark):
+    """Query text passes through the schema lexer (filter_parser.cc:597-616):
+    '"hello, world"' tokenizes to [hello, world] and matches documents
+    whose ingest lexer produced the same tokens."""
+    from pyspark.sql import Row
+    from valkey_search_spark import SearchEngine, TextField
+
+    df = spark.createDataFrame([
+        Row(k="a", body="Hello, world today"),
+        Row(k="b", body="hello mars today"),
+    ])
+    e = SearchEngine(spark)
+    e.ft_create("lexq", df, [TextField("body")], key_column="k")
+    got = {r["k"] for r in e.ft_search("lexq", '"hello, world"',
+                                       limit=(0, 10)).collect()}
+    assert got == {"a"}
+    # punctuation inside a bare term splits into two ANDed terms
+    got2 = {r["k"] for r in e.ft_search("lexq", "@body:hello,world",
+                                        limit=(0, 10)).collect()}
+    assert got2 == {"a"}
+
+
+def test_count_only_knn_counts_after_topk(spark):
+    """Exact-path count_only must report the <=k result size, matching the
+    ANN branch."""
+    from valkey_search_spark import SearchEngine, VectorField
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    e = SearchEngine(spark)
+    e.ft_create("cnt_emb", emb, [VectorField("embedding", dim=64, metric="l2")],
+                key_column="vec_id")
+    qv = [0.1] * 64
+    n = e.ft_search("cnt_emb", "*=>[KNN 7 @embedding $v]", params={"v": qv},
+                    count_only=True)
+    assert n == 7

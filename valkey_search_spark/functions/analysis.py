@@ -93,6 +93,20 @@ def stem_tokens_udf(min_stem_size: int):
     return _stem
 
 
+def lex_query_text(text: str,
+                   punctuation: str = DEFAULT_PUNCTUATION) -> list[str]:
+    """Python twin of raw_tokens_column for QUERY text: the reference lexes
+    phrase/term query text with the schema's lexer
+    (/root/reference/src/commands/filter_parser.cc:597-616), so punctuation
+    inside a quoted phrase or term yields the same tokens at query time as
+    at ingest ("hello, world" -> [hello, world], never the token
+    "hello,")."""
+    import re
+
+    toks = re.findall(_token_re(punctuation), text)
+    return [t.replace("\\", "").lower() for t in toks]
+
+
 def stem_positions_udf(min_stem_size: int):
     """pandas UDF: array<string> tokens -> POSITION-ALIGNED stems (element
     i = stem of the token at post-stopword position i; tokens shorter than

@@ -154,11 +154,12 @@ class SearchEngine:
         df = schema.indexed_df()
         if not match_all:
             df = _apply_predicate(df, translator, pred)
-        if count_only:
-            return df.count()
-
         if parsed.knn is not None:
             df = self._knn(schema, df, parsed)
+        if count_only:
+            # count AFTER the top-k cut so the exact path agrees with the
+            # ANN branch above (both report the <=k result-set size)
+            return df.count()
         return self._finish(schema, df, parsed, sortby, sortby_desc, limit,
                             return_fields, nocontent)
 

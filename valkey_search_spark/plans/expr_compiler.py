@@ -67,6 +67,22 @@ def to_num(t: TypedCol) -> Column:
     )
 
 
+def to_num_strict(t: TypedCol) -> Column:
+    """Like to_num, but a string that fails numeric conversion yields Nil
+    (NULL) instead of NaN — arithmetic operators return Nil when AsDouble
+    fails (value.cc FuncAdd/FuncDiv), while the math FUNCTIONS keep the
+    1.2.1 NaN compatibility behavior (to_num)."""
+    if t.kind in (NUM, BOOL):
+        return t.col.cast("double")
+    s = F.trim(t.col.cast("string"))
+    return (
+        F.when(t.col.isNull(), F.lit(None).cast("double"))
+        .when(F.lower(s).isin("inf", "+inf", "infinity"), F.lit(float("inf")))
+        .when(F.lower(s) == "-inf", F.lit(float("-inf")))
+        .otherwise(s.try_cast("double"))
+    )
+
+
 def to_str(t: TypedCol) -> Column:
     if t.kind == STR:
         return t.col
@@ -176,7 +192,10 @@ class ExprCompiler:
         op = e.op
         lt, rt = self.compile(e.left), self.compile(e.right)
         if op in ("+", "-", "*", "/", "^"):
-            a, b = to_num(lt), to_num(rt)
+            # Nil when either operand fails numeric conversion (reference
+            # FuncAdd/FuncDiv return Nil on AsDouble failure); genuine NaN
+            # values still propagate as NaN
+            a, b = to_num_strict(lt), to_num_strict(rt)
             if op == "+":
                 out = a + b
             elif op == "-":
@@ -197,9 +216,12 @@ class ExprCompiler:
             return TypedCol(_compare(op, lt, rt), BOOL)
         if op in ("&&", "||"):
             a, b = to_bool(lt), to_bool(rt)
-            # Kleene logic is what Spark's and/or give; reference propagates
-            # Nil the same way for the ambiguous cases (value.cc:387-409)
-            return TypedCol(a & b if op == "&&" else a | b, BOOL)
+            # the reference yields Nil whenever EITHER side is Nil — even
+            # false && Nil -> Nil (value.cc:387-409), stricter than Kleene
+            out = F.when(a.isNull() | b.isNull(),
+                         F.lit(None).cast("boolean")).otherwise(
+                a & b if op == "&&" else a | b)
+            return TypedCol(out, BOOL)
         raise ExpressionError(f"bad binary {op}")
 
     # ------------------------------------------------------------------
@@ -265,10 +287,20 @@ class ExprCompiler:
             s = to_str(arg(0))
             off = to_num(arg(1))
             ln = to_num(arg(2))
-            # byte offsets, 0-based, clamped; len=-1 -> rest (value.cc:534-565)
-            off_c = F.greatest(off, F.lit(0.0)).cast("int")
-            ln_c = F.when(ln < 0, F.octet_length(s)).otherwise(ln.cast("int"))
-            return TypedCol(F.substring(s, off_c + 1, ln_c), STR)
+            # byte offsets, 0-based (value.cc:534-565): negative offset
+            # wraps from the end (off+size; empty if still negative);
+            # negative length truncates the remainder ((size-off)+len), so
+            # substr('hello',1,-1)='ell'
+            size = F.octet_length(s).cast("double")
+            off_w = F.when(off < 0, off + size).otherwise(off)
+            eff = F.when(ln < 0, (size - off_w) + ln).otherwise(ln)
+            out = F.when(
+                off.isNull() | ln.isNull(), F.lit(None).cast("string")
+            ).when(
+                (off_w < 0) | (off_w >= size) | (eff <= 0), F.lit("")
+            ).otherwise(
+                F.substring(s, off_w.cast("int") + 1, eff.cast("int")))
+            return TypedCol(out, STR)
 
         if name == "concat":
             parts = [to_str(self.compile(a)) for a in args]

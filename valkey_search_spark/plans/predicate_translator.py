@@ -29,7 +29,7 @@ from ..catalog import (
     stem_pos_col, tag_col, text_col,
 )
 from ..errors import QuerySyntaxError
-from ..functions.analysis import stem_query_term
+from ..functions.analysis import lex_query_text, stem_query_term
 from ..parser.ast import (
     FUZZY, INFIX, PHRASE, PREFIX, SUFFIX, TERM,
     And, MatchAll, Not, NumericPred, Or, Predicate, Proximity, TagPred,
@@ -382,10 +382,17 @@ class PredicateTranslator:
         toks = F.col(text_col(fdef.attr))
         w = p.value
         if p.kind == TERM:
-            if fdef.nostem or self.verbatim or p.verbatim:
-                return F.exists(toks, lambda s: s["t"] == w)
-            qstem = stem_query_term(w, fdef.min_stem_size)
-            return F.array_contains(F.col(stem_col(fdef.attr)), qstem)
+            # lex the term with the field's punctuation set, exactly like
+            # ingest (filter_parser.cc:597-616 uses the schema lexer):
+            # "hello,world" becomes two tokens, "don't" -> [don, t]
+            qtoks = lex_query_text(w, fdef.punctuation)
+            if not qtoks:
+                return F.lit(False)
+            conds = [self._term_cond(fdef, qt, p) for qt in qtoks]
+            out = conds[0]
+            for c in conds[1:]:
+                out = out & c
+            return out
         if p.kind == PREFIX:
             return F.exists(toks, lambda s: s["t"].startswith(w))
         if p.kind in (SUFFIX, INFIX):
@@ -416,13 +423,23 @@ class PredicateTranslator:
             return self._phrase(fdef, p.words)
         raise QuerySyntaxError(f"unknown text kind {p.kind}")
 
+    def _term_cond(self, fdef: TextField, w: str, p: TextPred) -> Column:
+        toks = F.col(text_col(fdef.attr))
+        if fdef.nostem or self.verbatim or p.verbatim:
+            return F.exists(toks, lambda s: s["t"] == w)
+        qstem = stem_query_term(w, fdef.min_stem_size)
+        return F.array_contains(F.col(stem_col(fdef.attr)), qstem)
+
     def _phrase(self, fdef: TextField, words: list[str]) -> Column:
         """Exact phrase: the query's non-stop words at consecutive
         post-removal positions (positions skip removed stop words,
         docs/topics/search-data-formats.md; no stemming inside quotes,
-        docs/topics/search-query.md:171-178)."""
+        docs/topics/search-query.md:171-178). Phrase text is lexed with
+        the field's punctuation set (filter_parser.cc:597-616)."""
         toks = F.col(text_col(fdef.attr))
-        kept = [wd for wd in words if wd not in fdef.stopwords]
+        lexed = [t for wd in words
+                 for t in lex_query_text(wd, fdef.punctuation)]
+        kept = [wd for wd in lexed if wd not in fdef.stopwords]
         offs = list(zip(kept, range(len(kept))))
         if not offs:
             return F.lit(False)
