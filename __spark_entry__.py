@@ -70,14 +70,14 @@ def _eng(spark: SparkSession, sf_dir: str) -> SearchEngine:
                  NumericField("l_quantity"), NumericField("l_extendedprice"),
                  NumericField("l_discount"), NumericField("l_shipdate")],
                 key_column="l_orderkey")
-    ev = json_number_field(load_table(spark, sf_dir, "events"),
-                           "props", "$.k", "props_k")
-    ev = json_number_field(ev, "props", "$.m", "props_m")  # always-missing field
-    e.ft_create("events", ev,
+    # ON-JSON document model: JSONPath identifiers with AS aliases over the
+    # `props` JSON column ($.m is an always-missing path)
+    e.ft_create("events", load_table(spark, sf_dir, "events"),
                 [TagField("event_type"), NumericField("value"),
-                 NumericField("ts"), NumericField("props_k"),
-                 NumericField("props_m")],
-                key_column="event_id")
+                 NumericField("ts"),
+                 NumericField("$.k", alias="props_k"),
+                 NumericField("$.m", alias="props_m")],
+                key_column="event_id", on_json="props")
     emb = load_table(spark, sf_dir, "embeddings")
     for name, metric in (("emb_l2", "l2"), ("emb_cos", "cosine"), ("emb_ip", "ip")):
         e.ft_create(name, emb,

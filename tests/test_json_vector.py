@@ -35,3 +35,66 @@ def test_knn_over_json_vectors(spark):
                       params={"q": [1.0, 0.0, 0.0, 0.0]}, limit=(0, 2)).collect()
     assert [r["id"] for r in out] == [0, 1] or out[0]["id"] == 0
     assert e.ft_search("j", "*", count_only=True) == 5  # untracked still a doc
+
+
+# ---------------------------------------------------------------------------
+# ON-JSON document model: JSONPath identifiers over one JSON column
+# (src/attribute_data_type.h:114-139)
+
+import json
+
+from valkey_search_spark import TagField, TextField
+from valkey_search_spark.errors import QuerySyntaxError
+
+
+def _json_docs(spark):
+    docs = [
+        {"id": "d1", "doc": {"cat": "news,tech", "score": 7,
+                             "body": "fast vector search engines",
+                             "vec": "[1.0, 0.0, 0.0, 0.0]",
+                             "nested": {"deep": 42}}},
+        {"id": "d2", "doc": {"cat": "sports", "score": "12.5",
+                             "body": "slow batch tables",
+                             "vec": "[0.0, 1.0, 0.0, 0.0]",
+                             "nested": {}}},
+        {"id": "d3", "doc": {"cat": "tech", "body": "vector tables",
+                             "vec": "[bad]"}},          # score/deep missing
+    ]
+    return spark.createDataFrame(
+        [Row(id=d["id"], doc=json.dumps(d["doc"])) for d in docs])
+
+
+def test_on_json_full_schema(spark):
+    e = SearchEngine(spark)
+    e.ft_create("jdocs", _json_docs(spark), [
+        TagField("$.cat", alias="cat"),
+        NumericField("$.score", alias="score"),
+        NumericField("$.nested.deep", alias="deep"),
+        TextField("$.body", alias="body"),
+        VectorField("$.vec", alias="vec", dim=4, metric="l2"),
+    ], key_column="id", on_json="doc")
+
+    # tag over JSONPath (comma-split like HASH tags)
+    assert {r["id"] for r in e.ft_search("jdocs", "@cat:{tech}",
+                                         limit=(0, 10)).collect()} == {"d1", "d3"}
+    # numeric: JSON number AND numeric-string both parse; missing untracked
+    assert {r["id"] for r in e.ft_search("jdocs", "@score:[5 20]",
+                                         limit=(0, 10)).collect()} == {"d1", "d2"}
+    # nested path
+    assert {r["id"] for r in e.ft_search("jdocs", "@deep:[42 42]",
+                                         limit=(0, 10)).collect()} == {"d1"}
+    # text with stemming over a JSONPath ("tables" -> stem matches "table"?
+    # corpus has "tables" literal) + fieldless
+    assert {r["id"] for r in e.ft_search("jdocs", "@body:vector",
+                                         limit=(0, 10)).collect()} == {"d1", "d3"}
+    # vector: lenient JSON text decode; "[bad]" -> untracked
+    out = e.ft_search("jdocs", "*=>[KNN 2 @vec $q]",
+                      params={"q": [1.0, 0.0, 0.0, 0.0]}, limit=(0, 2)).collect()
+    assert out[0]["id"] == "d1" and len(out) == 2
+
+
+def test_on_json_requires_alias(spark):
+    e = SearchEngine(spark)
+    with pytest.raises(QuerySyntaxError):
+        e.ft_create("jbad", _json_docs(spark), [TagField("$.cat")],
+                    key_column="id", on_json="doc")

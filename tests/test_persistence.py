@@ -34,3 +34,28 @@ def test_roundtrip_definition_and_results(spark, tmp_path):
     q = "@p_brand:{Brand#13} @p_retailprice:[905 915]"
     assert (eng2.ft_search("parts", q, count_only=True)
             == eng.ft_search("parts", q, count_only=True))
+
+
+def test_on_json_schema_roundtrips(spark, tmp_path):
+    """JSONPath identifiers (json_source) survive save/load."""
+    import json as _json
+
+    from pyspark.sql import Row
+    from valkey_search_spark import NumericField, SearchEngine, TagField
+    from valkey_search_spark.sources.persistence import (
+        load_index_def, save_index_def,
+    )
+
+    df = spark.createDataFrame(
+        [Row(id="a", doc=_json.dumps({"cat": "x,y", "n": 3}))])
+    e = SearchEngine(spark)
+    schema = e.ft_create("jp", df, [TagField("$.cat", alias="cat"),
+                                    NumericField("$.n", alias="n")],
+                         key_column="id", on_json="doc")
+    doc_path = str(tmp_path / "docs")
+    df.write.parquet(doc_path)
+    p = str(tmp_path / "jp.json")
+    save_index_def(schema, p, doc_path=doc_path)
+    loaded = load_index_def(spark, p)
+    assert loaded.field("cat").json_source == "doc"
+    assert loaded.field("n").name == "$.n"

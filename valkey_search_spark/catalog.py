@@ -70,12 +70,26 @@ class FieldDef:
     """One SCHEMA attribute: ``identifier [AS alias] TYPE opts``
     (/root/reference/docs/commands/ft.create.md:12-33)."""
 
-    name: str                    # source column in the document frame
+    name: str                    # source column, or a JSONPath when ON JSON
     alias: str | None = None     # query-visible name (defaults to name)
+    # ON-JSON document model (/root/reference/src/attribute_data_type.h:114-139):
+    # when set, ``name`` is a JSONPath identifier evaluated against this
+    # JSON-text document column; the reference requires AS for JSONPaths
+    json_source: str | None = None
 
     @property
     def attr(self) -> str:
         return self.alias or self.name
+
+    def source(self, df: DataFrame) -> Column:
+        """The field's raw value column. JSONPath identifiers extract
+        JVM-side via get_json_object — stays in whole-stage codegen, no
+        Python, and Catalyst collapses repeated extraction of the same
+        path into one JsonTuple/GetJsonObject per scan."""
+        if self.json_source:
+            return F.get_json_object(
+                F.col(self.json_source).cast("string"), self.name)
+        return F.col(self.name)
 
     def derived(self, df: DataFrame) -> dict[str, Column]:
         raise NotImplementedError
@@ -91,7 +105,7 @@ class TagField(FieldDef):
     casesensitive: bool = False
 
     def derived(self, df: DataFrame) -> dict[str, Column]:
-        src = F.col(self.name).cast("string")
+        src = self.source(df).cast("string")
         parts = F.split(src, re.escape(self.separator))
         trimmed = F.transform(parts, lambda x: F.trim(x))
         if not self.casesensitive:
@@ -112,8 +126,8 @@ class NumericField(FieldDef):
     (docs/topics/search-data-formats.md:70-100)."""
 
     def derived(self, df: DataFrame) -> dict[str, Column]:
-        dtype = dict(df.dtypes).get(self.name)
-        src = F.col(self.name)
+        dtype = None if self.json_source else dict(df.dtypes).get(self.name)
+        src = self.source(df)
         if dtype in ("timestamp", "timestamp_ntz", "date"):
             # timestamps enter the numeric domain as unix seconds (FIXTURES.md
             # F5); NTZ values are UTC by session pin, via TIMESTAMP cast
@@ -147,7 +161,7 @@ class TextField(FieldDef):
     with_suffixtrie: bool = True
 
     def derived(self, df: DataFrame) -> dict[str, Column]:
-        toks = text_tokens_column(F.col(self.name).cast("string"),
+        toks = text_tokens_column(self.source(df).cast("string"),
                                   self.stopwords, self.punctuation)
         out = {text_col(self.attr): toks}
         if not self.nostem:
@@ -170,7 +184,15 @@ class VectorField(FieldDef):
     algo: str = "flat"           # flat | hnsw
 
     def derived(self, df: DataFrame) -> dict[str, Column]:
-        v = F.col(self.name).cast(T.ArrayType(T.FloatType()))
+        if self.json_source:
+            # JSON vectors arrive as array TEXT '[1.0, 0.0]' and use the
+            # reference's lenient decode
+            # (docs/topics/search-data-formats.md:104-150)
+            from .sources.tables import json_vector_expr
+
+            v = json_vector_expr(self.source(df))
+        else:
+            v = F.col(self.name).cast(T.ArrayType(T.FloatType()))
         # wrong-length vectors are rejected -> untracked (search-data-formats.md:131-150)
         v = F.when(F.size(v) == self.dim, v)
         if self.metric == "cosine":

@@ -59,7 +59,21 @@ class SearchEngine:
     # -- DDL ---------------------------------------------------------------
     def ft_create(self, name: str, df: DataFrame, fields: list[FieldDef],
                   key_column: str | None = None, cache: bool = False,
-                  prederived: bool = False) -> IndexSchema:
+                  prederived: bool = False,
+                  on_json: str | None = None) -> IndexSchema:
+        """``on_json=<column>`` declares the ON-JSON document model
+        (/root/reference/src/attribute_data_type.h:114-139): fields whose
+        identifier starts with ``$`` are JSONPaths into that JSON-text
+        column and require an AS alias, exactly like FT.CREATE ... ON JSON
+        SCHEMA $.path AS name TYPE. Non-$ fields still bind to ordinary
+        frame columns, so hybrid frames work."""
+        if on_json is not None:
+            for f in fields:
+                if f.name.startswith("$"):
+                    if not f.alias:
+                        raise QuerySyntaxError(
+                            f"JSONPath identifier `{f.name}` requires AS alias")
+                    f.json_source = on_json
         return self.catalog.create(
             IndexSchema(name, df, fields, key_column, cache=cache,
                         prederived=prederived))

@@ -28,6 +28,8 @@ _FIELD_TYPES = {
 
 def _field_to_dict(f: FieldDef) -> dict:
     d = {"type": type(f).__name__, "name": f.name, "alias": f.alias}
+    if f.json_source:
+        d["json_source"] = f.json_source   # ON-JSON path identifier
     if isinstance(f, TagField):
         d.update(separator=f.separator, casesensitive=f.casesensitive)
     elif isinstance(f, TextField):

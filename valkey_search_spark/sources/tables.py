@@ -44,15 +44,19 @@ def json_string_field(df: DataFrame, json_col: str, path: str, out: str) -> Data
     return df.withColumn(out, F.get_json_object(F.col(json_col), path))
 
 
-def json_vector_field(df: DataFrame, src_col: str, out: str) -> DataFrame:
+def json_vector_expr(src) -> "F.Column":
     """Decode the reference's JSON vector format: a JSON *string* value
     like ``"[1.0, 0.0, 0.0]"`` — split on commas, whitespace skipped,
     extra commas tolerated, any non-numeric element rejects the whole
     vector -> NULL (untracked)
     (docs/topics/search-data-formats.md "JSON Vector Format")."""
-    s = F.regexp_replace(F.col(src_col).cast("string"), r"^\s*\[|\]\s*$", "")
+    s = F.regexp_replace(src.cast("string"), r"^\s*\[|\]\s*$", "")
     parts = F.filter(F.transform(F.split(s, ","), lambda x: F.trim(x)),
                      lambda x: x != "")
     floats = F.transform(parts, lambda x: x.try_cast("float"))
     ok = ~F.exists(floats, lambda x: x.isNull())
-    return df.withColumn(out, F.when(ok & (F.size(floats) > 0), floats))
+    return F.when(ok & (F.size(floats) > 0), floats)
+
+
+def json_vector_field(df: DataFrame, src_col: str, out: str) -> DataFrame:
+    return df.withColumn(out, json_vector_expr(F.col(src_col)))
