@@ -96,3 +96,29 @@ def test_aggregate_reply_shape(eng):
     assert rep[0] == len(rep) - 1
     first = dict(zip(rep[1][::2], rep[1][1::2]))
     assert "p_brand" in first and float(first["n"]) >= 1
+
+
+def test_search_reply_one_pass_total(eng, spark):
+    """ft_search_reply reports the pre-LIMIT total alongside the trimmed
+    rows from ONE job (src/query/search.cc:779-842)."""
+    # ~871 parts match Brand#1*; trim to 5 rows
+    reply = eng.ft_search_reply("parts", "@p_retailprice:[900 910]",
+                                limit=(0, 5))
+    total, rest = reply[0], reply[1:]
+    n_rows = len(rest) // 2
+    assert n_rows == 5
+    full = eng.ft_search("parts", "@p_retailprice:[900 910]", count_only=True)
+    assert total == full and total > 5
+    # LIMIT 0 0 -> count-only shape
+    assert eng.ft_search_reply("parts", "@p_retailprice:[900 910]",
+                               limit=(0, 0)) == [full]
+
+
+def test_search_reply_total_is_single_job(eng, spark):
+    """The pre-LIMIT total comes from the collect job's metrics, not a
+    second scan."""
+    tracker = spark.sparkContext.statusTracker()
+    all_before = len(tracker.getJobIdsForGroup() or [])
+    eng.ft_search_reply("parts", "@p_retailprice:[900 910]", limit=(0, 5))
+    all_after = len(tracker.getJobIdsForGroup() or [])
+    assert all_after - all_before <= 2   # one collect (+ possible AQE job)

@@ -38,11 +38,15 @@ def _fmt(v) -> str:
 
 
 def search_reply(df: DataFrame, total: int | None = None,
-                 nocontent: bool = False) -> list:
+                 nocontent: bool = False, observation=None) -> list:
     """``[total, key, [field, value, ...], ...]``. ``total`` is the
     pre-LIMIT match count when supplied (the reference reports it even when
-    LIMIT trims, src/query/search.cc:779-842); defaults to returned rows."""
+    LIMIT trims, src/query/search.cc:779-842); ``observation`` reads it
+    from the CollectMetrics node of the SAME collect job (one-pass path,
+    SearchEngine.ft_search_reply); defaults to returned rows."""
     rows = df.collect()
+    if observation is not None:
+        total = int(observation.get["n"])
     out: list = [total if total is not None else len(rows)]
     for r in rows:
         d = r.asDict()

@@ -128,6 +128,7 @@ class SearchEngine:
         ann_nprobe: int | None = None,
         dialect: int = 2,
         timeout_ms: int | None = None,
+        _observe_total=None,
     ):
         """Returns a DataFrame (or an int when ``count_only`` — the
         LIMIT 0 0 shape, /root/reference/src/query/search.h:77-80).
@@ -162,6 +163,10 @@ class SearchEngine:
                                 score_name=score)
                 if count_only:
                     return df.count()
+                if _observe_total is not None:
+                    # ANN replies report the (<=k) probed result count
+                    df = df.observe(_observe_total,
+                                    F.count(F.lit(1)).alias("n"))
                 return self._finish(schema, df, parsed, sortby, sortby_desc,
                                     limit, return_fields, nocontent)
 
@@ -174,11 +179,19 @@ class SearchEngine:
             # count AFTER the top-k cut so the exact path agrees with the
             # ANN branch above (both report the <=k result-set size)
             return df.count()
+        if _observe_total is not None:
+            # pre-LIMIT total in the SAME job (search.cc:779-842 computes
+            # both in one pass): a CollectMetrics node below the sort+limit.
+            # _finish forces an ordering so the plan is TakeOrderedAndProject
+            # (per-partition top-k, no full shuffle) whose input — and hence
+            # the metrics node — sees every matching row.
+            df = df.observe(_observe_total, F.count(F.lit(1)).alias("n"))
         return self._finish(schema, df, parsed, sortby, sortby_desc, limit,
-                            return_fields, nocontent)
+                            return_fields, nocontent,
+                            force_order=_observe_total is not None)
 
     def _finish(self, schema, df, parsed, sortby, sortby_desc, limit,
-                return_fields, nocontent):
+                return_fields, nocontent, force_order=False):
         """Shared tail: SORTBY -> LIMIT -> RETURN projection."""
         if sortby is not None:
             fdef = schema.field(sortby)
@@ -187,6 +200,10 @@ class SearchEngine:
             df = df.orderBy(col.desc_nulls_last() if sortby_desc else col.asc_nulls_last())
         elif parsed.knn is not None:
             df = df.orderBy(F.col(parsed.knn.score_alias()).asc())
+        elif force_order:
+            # deterministic reply order + guarantees the limit cannot
+            # short-circuit the scan under a CollectMetrics observation
+            df = df.orderBy(F.col("__key").asc())
 
         off, n = limit
         if off:
@@ -194,6 +211,28 @@ class SearchEngine:
         df = df.limit(n)
         return self._project(schema, df, return_fields, nocontent,
                              parsed.knn.score_alias() if parsed.knn else None)
+
+    def ft_search_reply(self, index: str, query: str, params: dict | None = None,
+                        limit: tuple[int, int] = (0, 10), **kw) -> list:
+        """RESP-shaped FT.SEARCH reply ``[total, key, [f, v, ...], ...]``
+        where ``total`` is the PRE-limit match count, computed in the SAME
+        Spark job as the rows via a CollectMetrics observation — the
+        reference reports both from one pass (src/query/search.cc:779-842).
+        ``LIMIT 0 0`` degenerates to the count-only shape ``[total]``."""
+        from pyspark.sql import Observation
+
+        nocontent = kw.get("nocontent", False)
+        if limit[1] == 0:
+            return [self.ft_search(index, query, params=params,
+                                   count_only=True,
+                                   **{k: v for k, v in kw.items()
+                                      if k != "nocontent"})]
+        obs = Observation()
+        df = self.ft_search(index, query, params=params, limit=limit,
+                            _observe_total=obs, **kw)
+        from .reply import search_reply
+
+        return search_reply(df, observation=obs, nocontent=nocontent)
 
     # -- FT.AGGREGATE ------------------------------------------------------
     def ft_aggregate(
