@@ -122,3 +122,31 @@ def test_search_reply_total_is_single_job(eng, spark):
     eng.ft_search_reply("parts", "@p_retailprice:[900 910]", limit=(0, 5))
     all_after = len(tracker.getJobIdsForGroup() or [])
     assert all_after - all_before <= 2   # one collect (+ possible AQE job)
+
+
+def test_ef_runtime_maps_to_nprobe(eng):
+    """EF_RUNTIME (the reference's HNSW recall dial) selects the IVF probe
+    budget when no explicit ann_nprobe is given: ef/k lists, clamped."""
+    exact = eng.ft_search("emb", "*=>[KNN 10 @embedding $v]",
+                          params={"v": QVEC}, limit=(0, 10))
+    # ef = 80, k = 10 -> 8 probes == n_lists -> identical to exact
+    full = eng.ft_search("emb", "*=>[KNN 10 @embedding $v EF_RUNTIME 80]",
+                         params={"v": QVEC}, limit=(0, 10))
+    assert _ids(full) == _ids(exact)
+    # ef = 10 -> 1 probe: a valid (possibly lossy) subset of the corpus
+    one = eng.ft_search("emb", "*=>[KNN 10 @embedding $v EF_RUNTIME 10]",
+                        params={"v": QVEC}, limit=(0, 10))
+    assert 1 <= len(_ids(one)) <= 10
+
+
+def test_tag_sortby_uses_folded_value(spark):
+    from pyspark.sql import Row
+    from valkey_search_spark import SearchEngine, TagField
+
+    df = spark.createDataFrame([Row(k=1, t="BBB"), Row(k=2, t="aaa"),
+                                Row(k=3, t="CCC")])
+    e = SearchEngine(spark)
+    e.ft_create("tagsort", df, [TagField("t")], key_column="k")
+    out = [r["k"] for r in e.ft_search("tagsort", "*", sortby="t",
+                                       limit=(0, 10)).collect()]
+    assert out == [2, 1, 3]      # folded: aaa < bbb < ccc (raw would put BBB/CCC first)

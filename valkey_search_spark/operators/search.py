@@ -15,7 +15,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..catalog import Catalog, FieldDef, IndexSchema, NumericField, num_col, vec_col, VectorField
+from ..catalog import Catalog, FieldDef, IndexSchema, NumericField, TagField, num_col, vec_col, VectorField
 from ..errors import QuerySyntaxError
 from ..functions.distance import distance_column
 from ..parser.ast import And, MatchAll, ParsedQuery, Proximity, TextPred, TERM
@@ -152,6 +152,21 @@ class SearchEngine:
         # a HYBRID query runs the predicate INSIDE the probed lists — the
         # inline-filtering branch (search.cc:102-133 InlineVectorFilter).
         # Without nprobe, hybrid stays pre-filter exact (FLAT's choice).
+        if (parsed.knn is not None and ann_nprobe is None
+                and parsed.knn.ef_runtime):
+            # map the reference's recall dial onto ours: EF_RUNTIME is the
+            # HNSW candidate-queue size (~ef/k times more candidates than
+            # results); probe proportionally many IVF lists
+            # (/root/reference/src/query/search.cc EF_RUNTIME handling)
+            ann = getattr(schema, "_ann", {}).get(
+                schema.field(parsed.knn.attr).attr)
+            if ann is not None:
+                import math as _math
+
+                ann_nprobe = max(1, min(
+                    ann.n_lists,
+                    _math.ceil(parsed.knn.ef_runtime / max(parsed.knn.k, 1))))
+
         if parsed.knn is not None and ann_nprobe is not None:
             ann = getattr(schema, "_ann", {}).get(
                 schema.field(parsed.knn.attr).attr)
@@ -195,7 +210,14 @@ class SearchEngine:
         """Shared tail: SORTBY -> LIMIT -> RETURN projection."""
         if sortby is not None:
             fdef = schema.field(sortby)
-            col = F.col(num_col(fdef.attr)) if isinstance(fdef, NumericField) else F.col(fdef.name)
+            if isinstance(fdef, NumericField):
+                col = F.col(num_col(fdef.attr))
+            elif isinstance(fdef, TagField) and not fdef.casesensitive:
+                # sort by the INDEXED (case-folded) tag value, not the raw
+                # source string (the reference sorts indexed values)
+                col = F.lower(fdef.source(df).cast("string"))
+            else:
+                col = F.col(fdef.name)
             # missing values placed last (docs/commands/ft.search.md SORTBY)
             df = df.orderBy(col.desc_nulls_last() if sortby_desc else col.asc_nulls_last())
         elif parsed.knn is not None:
