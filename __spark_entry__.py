@@ -431,7 +431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             CurationConfig, curate_documents,
         )
         docs = load_table(spark, sf_dir, "documents")
-        clean, _ = curate_documents(docs, config=CurationConfig(
+        clean, _ = curate_documents(docs, with_funnel=False,
+                                    config=CurationConfig(
             min_quality=0.5, min_tokens=10, near_dup_threshold=None))
         return clean.select("doc_id")
 

@@ -56,3 +56,31 @@ def test_language_gate(spark):
                                     near_dup_threshold=None))
     langs = {r["lang_id"] for r in clean.select("lang_id").distinct().collect()}
     assert langs == {"en"}
+
+
+def test_pipeline_is_lazy_without_funnel(spark):
+    """with_funnel=False must trigger ZERO Spark jobs — the composed
+    pipeline is one plan, and the caller's consumption is the only
+    action."""
+    docs = load_table(spark, SF, "documents")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    clean, funnel = curate_documents(
+        docs, config=CurationConfig(min_quality=0.4, min_tokens=5,
+                                    near_dup_threshold=0.8),
+        with_funnel=False)
+    after = len(tracker.getJobIdsForGroup() or [])
+    assert funnel is None and after == before    # plan only, no jobs
+    assert clean.count() > 0
+
+
+def test_funnel_is_single_aggregation(spark):
+    """The funnel comes from ONE aggregation over the flag columns (plus
+    whatever AQE sub-jobs that query needs), never a count per stage."""
+    docs = load_table(spark, SF, "documents")
+    clean, funnel = curate_documents(
+        docs, config=CurationConfig(min_quality=0.4, min_tokens=5,
+                                    near_dup_threshold=0.8))
+    assert (funnel["input"] >= funnel["quality_gate"]
+            >= funnel["exact_dedup"] >= funnel["near_dedup"])
+    assert clean.count() == funnel["near_dedup"]

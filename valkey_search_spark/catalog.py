@@ -295,7 +295,12 @@ class Catalog:
         return schema
 
     def drop(self, name: str) -> None:
-        self._indexes.pop(name, None)
+        s = self._indexes.pop(name, None)
+        if s is not None and s._cached is not None:
+            # free the ingest-time index cache — a long-lived session that
+            # creates/drops indexes must not accumulate persisted RDDs
+            s._cached.unpersist()
+            s._cached = None
 
     def list(self) -> list[str]:
         return sorted(self._indexes)

@@ -52,7 +52,16 @@ def _parallelize(df: DataFrame) -> DataFrame:
     cores. A single small parquet file reads as ONE task; the per-row
     hashing below is CPU-bound, so an under-partitioned input serializes
     the whole job. At real scale inputs are already well-partitioned and
-    this is a no-op."""
+    this is a no-op.
+
+    Frames that already contain a shuffle (window/join/aggregate) are left
+    alone WITHOUT probing partition counts: their layout follows
+    spark.sql.shuffle.partitions, and df.rdd on such a plan triggers AQE
+    stage execution — an eager job inside what must stay a lazy builder."""
+    plan = df._jdf.queryExecution().logical().toString()
+    if any(k in plan for k in ("Window", "Join", "Aggregate",
+                               "Repartition", "Deduplicate")):
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

@@ -32,35 +32,61 @@ class CurationConfig:
 
 def curate_documents(df: DataFrame, key: str = "doc_id",
                      text_col: str = "text",
-                     config: CurationConfig | None = None):
+                     config: CurationConfig | None = None,
+                     with_funnel: bool = True):
     """Returns (clean_df, funnel) where ``funnel`` maps stage -> surviving
     row count. Stages: analyze -> gate -> exact-dedup -> minhash near-dedup
-    (drops the higher-keyed member of each near-dup pair)."""
+    (drops the higher-keyed member of each near-dup pair).
+
+    Stage survival is encoded as FLAG COLUMNS on one frame, so the whole
+    funnel is a single aggregation job (not one count per stage re-running
+    the upstream scan) and ``clean_df`` stays fully lazy. With
+    ``with_funnel=False`` the composition triggers NO Spark jobs at all —
+    the caller's one consumption is the only action
+    (tests/test_curation_pipeline.py::test_pipeline_is_lazy)."""
     cfg = config or CurationConfig()
-    funnel: dict[str, int] = {"input": df.count()}
+    from pyspark.sql.window import Window
 
     analyzed = analyze_documents(df, text_col)
     gate = (F.col("quality_score") >= cfg.min_quality) & \
            (F.col("token_count") >= cfg.min_tokens)
     if cfg.languages:
         gate = gate & F.col("lang_id").isin(*cfg.languages)
-    gated = analyzed.where(gate)
-    funnel["quality_gate"] = gated.count()
+    flagged = analyzed.withColumn("__gate", F.coalesce(gate, F.lit(False)))
 
-    # exact dedup: keep the min-key representative per fingerprint
-    reps = (gated.groupBy("fingerprint")
-                 .agg(F.min(key).alias(key)))
-    exact = gated.join(reps, on=[key, "fingerprint"], how="semi")
-    funnel["exact_dedup"] = exact.count()
+    # exact dedup: the min-key GATED row per fingerprint is the
+    # representative — one window over the fingerprint shuffle
+    w = Window.partitionBy("fingerprint")
+    rep_key = F.min(F.when(F.col("__gate"), F.col(key))).over(w)
+    flagged = flagged.withColumn("__rep",
+                                 F.col("__gate") & (F.col(key) == rep_key))
 
+    exact = flagged.where(F.col("__rep"))
     if cfg.near_dup_threshold is not None:
         pairs = dd.minhash_lsh_pairs(
             exact, key, text_col=text_col,
             num_hashes=cfg.minhash_hashes, bands=cfg.minhash_bands,
             threshold=cfg.near_dup_threshold)
-        losers = pairs.select(F.col("b").alias(key)).distinct()
-        clean = exact.join(losers, on=key, how="left_anti")
+        losers = (pairs.select(F.col("b").alias(key)).distinct()
+                  .withColumn("__loser", F.lit(True)))
+        flagged = flagged.join(losers, on=key, how="left")
+        flagged = flagged.withColumn(
+            "__keep", F.col("__rep") & F.col("__loser").isNull())
     else:
-        clean = exact
-    funnel["near_dedup"] = clean.count()
+        flagged = flagged.withColumn("__keep", F.col("__rep"))
+        flagged = flagged.withColumn("__loser", F.lit(None).cast("boolean"))
+
+    clean = (flagged.where(F.col("__keep"))
+             .drop("__gate", "__rep", "__loser", "__keep"))
+
+    funnel = None
+    if with_funnel:
+        row = flagged.agg(
+            F.count(F.lit(1)).alias("input"),
+            F.count_if(F.col("__gate")).alias("quality_gate"),
+            F.count_if(F.col("__rep")).alias("exact_dedup"),
+            F.count_if(F.col("__keep")).alias("near_dedup"),
+        ).first()
+        funnel = {k: row[k] for k in
+                  ("input", "quality_gate", "exact_dedup", "near_dedup")}
     return clean, funnel
