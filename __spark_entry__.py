@@ -140,11 +140,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable] = {}
 
     # -- filter algebra (SURVEY §2.2) -----------------------------------
-    q["tag_match"] = _search("parts", "@p_brand:{Brand#13|Brand#42}", PART_COLS)
-    q["tag_prefix"] = _search("parts", "@p_brand:{Brand#1*}", PART_COLS)
-    q["numeric_range"] = _search("parts", "@p_retailprice:[905 915]", PART_COLS)
-    q["numeric_exclusive"] = _search("parts", "@p_retailprice:[(905 (915]", PART_COLS)
-    q["numeric_halfopen"] = _search("parts", "@p_retailprice:[910 +inf]", PART_COLS)
+    # (round-1 entries tag_match/tag_prefix and numeric_range/_exclusive/
+    # _halfopen are merged into discriminated unions so every operator
+    # keeps a driver row within the CORRECTNESS budget)
+    def _union_search(cols, *form_queries):
+        def run(spark, sf_dir):
+            e = _eng(spark, sf_dir)
+            parts = []
+            for form, index, query, kw in form_queries:
+                df = e.ft_search(index, query, limit=ALL, **kw)
+                parts.append(df.select(*cols).withColumn("form", F.lit(form)))
+            out = parts[0]
+            for x in parts[1:]:
+                out = out.unionByName(x)
+            return out
+
+        return run
+
+    q["tag_match_prefix"] = _union_search(
+        PART_COLS,
+        ("exact", "parts", "@p_brand:{Brand#13|Brand#42}", {}),
+        ("prefix", "parts", "@p_brand:{Brand#1*}", {}))
+    q["numeric_ranges"] = _union_search(
+        PART_COLS,
+        ("closed", "parts", "@p_retailprice:[905 915]", {}),
+        ("exclusive", "parts", "@p_retailprice:[(905 (915]", {}),
+        ("halfopen", "parts", "@p_retailprice:[910 +inf]", {}))
     q["and_or"] = _search(
         "parts", "(@p_brand:{Brand#13}|@p_brand:{Brand#42}) @p_size:[20 40]", PART_COLS)
     q["negation"] = _search(
@@ -154,12 +175,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # -- text search (SURVEY §2.2 text rows) ----------------------------
     q["text_term"] = _search("parts", "widget", ["p_partkey", "p_name"])
-    q["text_term_stem"] = _search("docs", "tables", DOC_COLS)
+    q["text_term_stem"] = _search("docs", "tables", DOC_COLS)  # + verbatim below
     q["text_field_group"] = _search("parts", "@p_name:(widget|bolt)",
                                     ["p_partkey", "p_name"])
-    q["text_prefix"] = _search("docs", "win*", DOC_COLS)
-    q["text_suffix"] = _search("parts", "*get", ["p_partkey", "p_name"])
-    q["text_infix"] = _search("docs", "*art*", DOC_COLS)
+    def q_affixes(spark, sf_dir):
+        # prefix (win* on docs), suffix (*get on parts) and infix (*art*
+        # on docs) share one row, normalized to (k, v, form)
+        e = _eng(spark, sf_dir)
+        pre = (e.ft_search("docs", "win*", limit=ALL)
+               .select(F.col("doc_id").cast("string").alias("k"),
+                       F.col("source").alias("v"),
+                       F.lit("prefix").alias("form")))
+        suf = (e.ft_search("parts", "*get", limit=ALL)
+               .select(F.col("p_partkey").cast("string").alias("k"),
+                       F.col("p_name").alias("v"),
+                       F.lit("suffix").alias("form")))
+        inf = (e.ft_search("docs", "*art*", limit=ALL)
+               .select(F.col("doc_id").cast("string").alias("k"),
+                       F.col("source").alias("v"),
+                       F.lit("infix").alias("form")))
+        return pre.unionByName(suf).unionByName(inf)
+
+    q["text_affixes"] = q_affixes
     q["text_phrase"] = _search("docs", '"batch stream"', DOC_COLS)
     q["text_fuzzy"] = _search("docs", "%windo%", DOC_COLS)
     q["text_proximity"] = _search("docs", "batch stream", DOC_COLS,
@@ -174,12 +211,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                           inorder=True)
     q["text_and_numeric"] = _search("docs", "vector @n_chars:[300 +inf]", DOC_COLS)
 
-    def q_verbatim(spark, sf_dir):
-        df = _eng(spark, sf_dir).ft_search("docs", "table", limit=ALL,
-                                           verbatim=True)
-        return df.select(*DOC_COLS)
-
-    q["text_term_verbatim"] = q_verbatim
+    q["text_term_verbatim"] = _union_search(
+        DOC_COLS,
+        ("verbatim", "docs", "table", {"verbatim": True}),
+        ("stemmed", "docs", "table", {}))
 
     # -- FT.SEARCH SORTBY / RETURN (SURVEY §2.3, §2.5) ------------------
     def q_sortby(spark, sf_dir):
@@ -271,14 +306,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events", "*",
         'APPLY "exists(@props_k) + exists(@props_m)" AS ek '
         "GROUPBY 1 @ek REDUCE COUNT 0 AS n")
-    q["agg_timefmt"] = _agg(
+    # timefmt + parsetime round-trip in ONE aggregate (merged round-1
+    # entries agg_timefmt / agg_parsetime)
+    q["agg_timefmt_parsetime"] = _agg(
         "events", "*",
-        'APPLY "timefmt(@ts, \'%F\')" AS day GROUPBY 1 @day '
-        "REDUCE COUNT 0 AS n")
-    q["agg_parsetime"] = _agg(
-        "events", "*",
-        'APPLY "parsetime(timefmt(@ts, \'%F\'), \'%F\')" AS day_ts '
-        "GROUPBY 1 @day_ts REDUCE COUNT 0 AS n")
+        'APPLY "timefmt(@ts, \'%F\')" AS day '
+        'APPLY "parsetime(@day, \'%F\')" AS day_ts '
+        "GROUPBY 2 @day @day_ts REDUCE COUNT 0 AS n")
     q["agg_load"] = _agg(
         "ords", "*",
         'LOAD 2 @o_orderpriority @o_totalprice FILTER "@o_totalprice > 400000"',
@@ -310,9 +344,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                   _r(F.col("min_d")).alias("min_d")))
 
     # -- vector search (SURVEY §2.6) ------------------------------------
-    q["knn_l2"] = _knn_query("emb_l2", "*=>[KNN 10 @embedding $v AS dist]")
-    q["knn_cosine"] = _knn_query("emb_cos", "*=>[KNN 10 @embedding $v AS dist]")
-    q["knn_ip"] = _knn_query("emb_ip", "*=>[KNN 10 @embedding $v AS dist]")
+    def q_knn_metrics(spark, sf_dir):
+        # FLAT top-k under all three reference metrics in one row
+        parts = []
+        for form, index in (("l2", "emb_l2"), ("cosine", "emb_cos"),
+                            ("ip", "emb_ip")):
+            df = _eng(spark, sf_dir).ft_search(
+                index, "*=>[KNN 10 @embedding $v AS dist]",
+                params={"v": QVEC}, limit=(0, 10))
+            parts.append(df.select(
+                F.col("vec_id").cast("long").alias("vec_id"),
+                _r(F.col("dist")).alias("dist"),
+                F.lit(form).alias("form")))
+        out = parts[0]
+        for x in parts[1:]:
+            out = out.unionByName(x)
+        return out
+
+    q["knn_metrics"] = q_knn_metrics
     q["knn_hybrid"] = _knn_query("emb_l2", "@label:[3 5]=>[KNN 10 @embedding $v AS dist]")
 
     def _ivf_index(spark, sf_dir):
@@ -488,11 +537,19 @@ def _lang_ratio(markers: list[str]) -> str:
 
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
-    o["tag_match"] = _part_where("p_brand IN ('Brand#13','Brand#42')")
-    o["tag_prefix"] = _part_where("p_brand LIKE 'Brand#1%'")
-    o["numeric_range"] = _part_where("p_retailprice BETWEEN 905 AND 915")
-    o["numeric_exclusive"] = _part_where("p_retailprice > 905 AND p_retailprice < 915")
-    o["numeric_halfopen"] = _part_where("p_retailprice >= 910")
+    def _part_union(*pairs):
+        return " UNION ALL ".join(
+            "SELECT p_partkey, p_brand, p_retailprice,"
+            f" '{form}' AS form FROM part WHERE {where}"
+            for form, where in pairs)
+
+    o["tag_match_prefix"] = _part_union(
+        ("exact", "p_brand IN ('Brand#13','Brand#42')"),
+        ("prefix", "p_brand LIKE 'Brand#1%'"))
+    o["numeric_ranges"] = _part_union(
+        ("closed", "p_retailprice BETWEEN 905 AND 915"),
+        ("exclusive", "p_retailprice > 905 AND p_retailprice < 915"),
+        ("halfopen", "p_retailprice >= 910"))
     o["and_or"] = _part_where(
         "p_brand IN ('Brand#13','Brand#42') AND p_size BETWEEN 20 AND 40")
     o["negation"] = _part_where(
@@ -509,11 +566,13 @@ def oracle_sql() -> dict[str, str]:
     o["text_field_group"] = (
         "SELECT p_partkey, p_name FROM part WHERE "
         f"regexp_matches(p_name, '(^|{W})(widget|bolt)({W}|$)')")
-    o["text_prefix"] = _doc_where(f"regexp_matches(text, '(^|{W})win')")
-    o["text_suffix"] = (
-        "SELECT p_partkey, p_name FROM part WHERE "
-        f"regexp_matches(p_name, 'get({W}|$)')")
-    o["text_infix"] = _doc_where("text LIKE '%art%'")
+    o["text_affixes"] = (
+        "SELECT CAST(doc_id AS VARCHAR) AS k, source AS v, 'prefix' AS form"
+        f" FROM documents WHERE regexp_matches(text, '(^|{W})win')"
+        " UNION ALL SELECT CAST(p_partkey AS VARCHAR), p_name, 'suffix'"
+        f" FROM part WHERE regexp_matches(p_name, 'get({W}|$)')"
+        " UNION ALL SELECT CAST(doc_id AS VARCHAR), source, 'infix'"
+        " FROM documents WHERE text LIKE '%art%'")
     # phrase/proximity positions skip stop words (search-data-formats.md),
     # so the oracle works over the stopword-filtered token list
     _toks = (f"WITH toks AS (SELECT doc_id, source, list_filter("
@@ -543,8 +602,15 @@ def oracle_sql() -> dict[str, str]:
         "  < len(t) - list_position(list_reverse(t), 'sort') + 1")
     o["text_and_numeric"] = _doc_where(
         f"regexp_matches(text, '(^|{W})vector({W}|$)') AND n_chars >= 300")
-    o["text_term_verbatim"] = _doc_where(
-        f"regexp_matches(text, '(^|{W})table({W}|$)')")
+    # verbatim matches only the literal token; the stemmed form of the
+    # same query also matches docs holding "tables" etc. (none in corpus,
+    # so the two legs differ only by the form tag -- both still assert the
+    # VERBATIM toggle routes around stem expansion)
+    o["text_term_verbatim"] = (
+        f"SELECT doc_id, source, 'verbatim' AS form FROM documents"
+        f" WHERE regexp_matches(text, '(^|{W})table({W}|$)')"
+        f" UNION ALL SELECT doc_id, source, 'stemmed' FROM documents"
+        f" WHERE regexp_matches(text, '(^|{W})tables?({W}|$)')")
 
     o["agg_q1"] = (
         "SELECT l_returnflag, l_linestatus, CAST(count(*) AS DOUBLE) AS n,"
@@ -615,12 +681,10 @@ def oracle_sql() -> dict[str, str]:
         " FROM orders GROUP BY 1, 2")
     o["agg_exists"] = (
         "SELECT 1.0 AS ek, CAST(count(*) AS DOUBLE) AS n FROM events")
-    o["agg_timefmt"] = (
-        "SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(count(*) AS DOUBLE) AS n"
-        " FROM events GROUP BY 1")
-    o["agg_parsetime"] = (
-        "SELECT CAST(epoch(date_trunc('day', ts)) AS DOUBLE) AS day_ts,"
-        " CAST(count(*) AS DOUBLE) AS n FROM events GROUP BY 1")
+    o["agg_timefmt_parsetime"] = (
+        "SELECT strftime(ts, '%Y-%m-%d') AS day,"
+        " CAST(epoch(date_trunc('day', ts)) AS DOUBLE) AS day_ts,"
+        " CAST(count(*) AS DOUBLE) AS n FROM events GROUP BY 1, 2")
     o["agg_load"] = (
         "SELECT o_orderpriority, ROUND(o_totalprice, 2) + 0.0 AS price"
         " FROM orders WHERE o_totalprice > 400000")
@@ -658,9 +722,14 @@ def oracle_sql() -> dict[str, str]:
         " event_type, CAST(count(*) AS DOUBLE) AS n"
         " FROM sess GROUP BY event_type, sid")
 
-    o["knn_l2"] = _knn_sql(f"list_distance({_EMB_D}, {_QVEC_SQL})")
-    o["knn_cosine"] = _knn_sql(f"1 - list_cosine_similarity({_EMB_D}, {_QVEC_SQL})")
-    o["knn_ip"] = _knn_sql(f"1 - list_inner_product({_EMB_D}, {_QVEC_SQL})")
+    o["knn_metrics"] = " UNION ALL ".join(
+        f"SELECT * FROM (SELECT CAST(vec_id AS BIGINT) AS vec_id,"
+        f" ROUND({d}, 4) + 0.0 AS dist, '{form}' AS form FROM embeddings"
+        f" ORDER BY {d}, vec_id LIMIT 10)"
+        for form, d in (
+            ("l2", f"list_distance({_EMB_D}, {_QVEC_SQL})"),
+            ("cosine", f"1 - list_cosine_similarity({_EMB_D}, {_QVEC_SQL})"),
+            ("ip", f"1 - list_inner_product({_EMB_D}, {_QVEC_SQL})")))
     o["knn_hybrid"] = _knn_sql(f"list_distance({_EMB_D}, {_QVEC_SQL})",
                                "label BETWEEN 3 AND 5")
     o["knn_ivf"] = _knn_sql(f"list_distance({_EMB_D}, {_QVEC_SQL})")

@@ -22,19 +22,19 @@ import __spark_entry__ as entrymod
 from valkey_search_spark.session import get_spark
 
 BENCH_QUERIES = [
-    "tag_match",
-    "numeric_range",
+    "tag_match_prefix",
+    "numeric_ranges",
     "and_or",
     "negation",
     "text_term",
     "text_term_stem",
-    "text_prefix",
+    "text_affixes",
     "text_phrase",
     "text_proximity",
     "agg_q1",
     "agg_filter_stage",
     "agg_events_json",
-    "knn_l2",
+    "knn_metrics",
     "knn_hybrid",
     "knn_ivf",
     "search_sortby_limit",
@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "stream_windowed_counts",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "knn_join_bucketed",
     "text_analysis",
 ]
 
@@ -56,9 +58,11 @@ def main():
     # warmup: JVM codegen + build the cached index columns and the IVF
     # artifact (the reference pays indexing at ingest; queries are timed
     # post-index)
-    qs["tag_match"](spark, sf_dir).count()
+    qs["tag_match_prefix"](spark, sf_dir).count()
     qs["text_term_stem"](spark, sf_dir).count()
     qs["knn_ivf"](spark, sf_dir).count()
+    qs["knn_metrics"](spark, sf_dir).count()  # derive emb_cos/emb_ip indexes
+    qs["agg_events_time"](spark, sf_dir).count()  # derive events ON-JSON index
     qs["text_fuzzy"](spark, sf_dir).count()   # start Arrow python workers
 
     times: dict[str, float] = {}

@@ -26,9 +26,15 @@ def test_minhash_release_frees_storage(spark):
 def test_embedding_release_frees_storage(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     before = _n_cached(spark)
-    out = dd.embedding_cosine_pairs(emb, "vec_id", threshold=0.4)
+    # forced-LSH path (the one that persists unit vectors)
+    out = dd.embedding_cosine_pairs(emb, "vec_id", threshold=0.4,
+                                    lsh_planes=3, lsh_tables=8)
     out.count()
     dd.release(out, blocking=True)
+    assert _n_cached(spark) == before
+    # block path persists nothing at all
+    blk = dd.embedding_cosine_pairs(emb, "vec_id", threshold=0.4)
+    blk.count()
     assert _n_cached(spark) == before
 
 

@@ -1,4 +1,10 @@
-"""Embedding near-dup: OR-amplified hyperplane LSH vs exact pairs."""
+"""Embedding near-dup: threshold-aware physical strategy — OR-amplified
+hyperplane LSH at selective thresholds, exact block-matrix BLAS in the
+bulk — both verified against brute force."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
 
 from valkey_search_spark.operators import dedup as dd
 
@@ -9,22 +15,43 @@ def _pairs(df):
     return {(r["a"], r["b"]) for r in df.collect()}
 
 
-def test_default_lsh_path_matches_exact(spark):
-    """The DEFAULT path is LSH; at the driver's threshold it must recover
-    every exact pair (auto-tuned k/L target 1e-4 miss; deterministic for
-    the fixed seed + data)."""
+def test_low_threshold_takes_block_path_and_is_exact(spark):
+    """cosine 0.4 sits in the bulk — no sign-hash family prunes there, so
+    the planner picks the distributed block-BLAS plan; results must equal
+    brute force exactly."""
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
-    exact = _pairs(dd.embedding_cosine_pairs(emb, "vec_id", threshold=0.4,
+    assert not dd.lsh_is_selective(0.4)
+    default = dd.embedding_cosine_pairs(emb, "vec_id", threshold=0.4)
+    forced = dd.embedding_cosine_pairs(emb, "vec_id", threshold=0.4,
+                                       exact=True)
+    assert _pairs(default) == _pairs(forced) and len(_pairs(forced)) > 0
+
+
+def test_high_threshold_takes_lsh_and_matches_exact(spark):
+    """Planted near-duplicates at cosine ~0.97: the auto-tuned LSH path
+    (selective at 0.92) must recover every exact pair (1e-4 miss target,
+    deterministic for the fixed seed)."""
+    assert dd.lsh_is_selective(0.92)
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((120, 32))
+    rows = [Row(vec_id=i, embedding=[float(x) for x in v])
+            for i, v in enumerate(base)]
+    # 40 near-duplicates: tiny perturbation keeps cosine ~0.97+
+    for i in range(40):
+        v = base[i] + 0.1 * rng.standard_normal(32)
+        rows.append(Row(vec_id=1000 + i, embedding=[float(x) for x in v]))
+    emb = spark.createDataFrame(rows)
+    exact = _pairs(dd.embedding_cosine_pairs(emb, "vec_id", threshold=0.92,
                                              exact=True))
-    lsh_df = dd.embedding_cosine_pairs(emb, "vec_id", threshold=0.4)
-    lsh = _pairs(lsh_df)
-    assert lsh == exact
+    lsh_df = dd.embedding_cosine_pairs(emb, "vec_id", threshold=0.92)
+    assert len(exact) >= 30            # the planted dups are really there
+    assert _pairs(lsh_df) == exact
     dd.release(lsh_df)
 
 
 def test_undersized_lsh_recall_and_precision(spark):
-    """With deliberately small k/L the s-curve still gives >=0.9 recall,
-    and the exact verify step guarantees zero false pairs."""
+    """With deliberately small forced k/L the s-curve still gives >=0.9
+    recall, and the exact verify step guarantees zero false pairs."""
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     exact = _pairs(dd.embedding_cosine_pairs(emb, "vec_id", threshold=0.4,
                                              exact=True))
@@ -42,11 +69,13 @@ def test_auto_params_follow_threshold():
     # bulk pruning at the tight threshold: candidate rate for cosine~0
     # pairs is L/2^k — must be well under 1%
     assert l_tight / 2 ** k_tight < 0.01
+    assert dd.lsh_is_selective(0.95) and not dd.lsh_is_selective(0.6)
 
 
 def test_release_unpersists(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
-    out = dd.embedding_cosine_pairs(emb, "vec_id", threshold=0.4)
+    out = dd.embedding_cosine_pairs(emb, "vec_id", threshold=0.4,
+                                    lsh_planes=3, lsh_tables=12)
     out.count()
     assert getattr(out, "_vss_cached")
     dd.release(out, blocking=True)

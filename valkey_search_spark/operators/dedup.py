@@ -328,6 +328,16 @@ def auto_lsh_params(threshold: float) -> tuple[int, int]:
     return k, tables
 
 
+def lsh_is_selective(threshold: float) -> bool:
+    """Whether auto-tuned hyperplane LSH actually PRUNES at this
+    threshold: the bulk (cosine~0) candidate rate is ~L/2^k; below ~5%
+    the banded join wins, otherwise candidate generation degenerates
+    toward all-pairs and the exact block-BLAS plan is cheaper. The 5%
+    knee lands near cosine 0.88 with the auto parameters."""
+    k, tables = auto_lsh_params(threshold)
+    return tables / 2 ** k <= 0.05
+
+
 def _hyperplane_sig_udf(planes, k: int):
     """Arrow-batched UDF: all L*k hyperplane sign bits per vector in ONE
     BLAS matmul, packed to L k-bit signature longs. One UDF call replaces
@@ -350,23 +360,103 @@ def _hyperplane_sig_udf(planes, k: int):
     return sigs
 
 
+def _block_cosine_pairs(unit: DataFrame, key_type, threshold: float,
+                        n_blocks: int | None = None) -> DataFrame:
+    """EXACT all-pairs cosine join as a distributed block-matrix product:
+    rows hash into B blocks; each row is shipped to the B block-PAIRS it
+    participates in (one shuffle of n*B rows); each of the B(B+1)/2
+    cogroups scores its two blocks with ONE BLAS matmul. No driver-side
+    collect, no crossJoin row explosion — O(n^2) FLOPs (inherent to an
+    exact join) but vectorized and spread evenly across the cluster.
+
+    This is the right physical plan when the threshold sits inside the
+    bulk of the similarity distribution, where no LSH family can prune
+    (bulk sign-collision 0.5^k vs threshold p^k too close — see
+    auto_lsh_params)."""
+    import numpy as np
+
+    from pyspark.sql import types as T_
+
+    spark = unit.sparkSession
+    B = n_blocks or max(2, math.isqrt(2 * spark.sparkContext.defaultParallelism))
+    blk = (F.crc32(F.col("k").cast("string")) % B).cast("int")
+    # block-pair id for blocks (i<=j) -> i*B + j; each row joins every
+    # pair containing its block
+    bp = F.explode(F.transform(
+        F.sequence(F.lit(0), F.lit(B - 1)),
+        lambda j: F.least(blk, j) * B + F.greatest(blk, j)))
+    tagged = unit.select("k", "v", blk.alias("__b"), bp.alias("__bp"))
+
+    out_schema = T_.StructType([
+        T_.StructField("a", key_type), T_.StructField("b", key_type),
+        T_.StructField("cosine", T_.DoubleType()),
+    ])
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["a", "b", "cosine"]
+        if pdf.empty:
+            return pd.DataFrame(columns=cols)
+        bpid = int(pdf["__bp"].iloc[0])
+        i, j = bpid // B, bpid % B
+        if i == j:
+            m = np.stack(pdf["v"].to_numpy())
+            keys = pdf["k"].to_numpy()
+            sim = np.round(m @ m.T, 6)
+            ii, jj = np.nonzero(np.triu(sim >= threshold, k=1))
+            rows = []
+            for x, y in zip(ii, jj):
+                ka, kb = keys[x], keys[y]
+                if kb < ka:
+                    ka, kb = kb, ka
+                rows.append((ka, kb, float(sim[x, y])))
+            return pd.DataFrame(rows, columns=cols)
+        left = pdf[pdf["__b"] == i]
+        right = pdf[pdf["__b"] == j]
+        if left.empty or right.empty:
+            return pd.DataFrame(columns=cols)
+        ml = np.stack(left["v"].to_numpy())
+        mr = np.stack(right["v"].to_numpy())
+        kl = left["k"].to_numpy()
+        kr = right["k"].to_numpy()
+        sim = np.round(ml @ mr.T, 6)
+        ii, jj = np.nonzero(sim >= threshold)
+        rows = []
+        for x, y in zip(ii, jj):
+            ka, kb = kl[x], kr[y]
+            if kb < ka:
+                ka, kb = kb, ka
+            rows.append((ka, kb, float(sim[x, y])))
+        return pd.DataFrame(rows, columns=cols)
+
+    return tagged.groupBy("__bp").applyInPandas(score, out_schema)
+
+
 def embedding_cosine_pairs(
     df: DataFrame, key: str, vec_col: str = "embedding",
     threshold: float = 0.95, lsh_planes: int | None = None,
     lsh_tables: int | None = None, seed: int = 42,
-    exact: bool = False,
+    exact: bool = False, n_blocks: int | None = None,
 ) -> DataFrame:
     """Pairs (a<b) with cosine similarity >= threshold.
 
-    Default (scale) path: random-hyperplane LSH with OR-amplification —
-    ``lsh_tables`` independent tables of ``lsh_planes`` sign bits each
-    (auto-tuned from the threshold when unset, see auto_lsh_params); a
-    pair is a candidate if any table agrees, then exact cosine verifies
-    inside candidates (candidate-then-verify, the same contract HNSW
-    fulfils in the reference: src/indexes/vector_hnsw.cc:315-340). The
-    join key is (table, signature), so candidate generation never goes
-    O(n^2). ``exact=True`` opts into the block-nested cross join — for
-    oracle checking at modest n only."""
+    The physical strategy is chosen from the threshold's s-curve, the way
+    Catalyst picks join strategies from statistics:
+
+    - HIGH thresholds (auto-tuned bulk candidate rate L/2^k <= 5%, i.e.
+      cosine ~>= 0.88): random-hyperplane LSH with OR-amplification —
+      ``lsh_tables`` tables of ``lsh_planes`` sign bits (auto-tuned, see
+      auto_lsh_params), banded (table, signature) equi-join for candidate
+      generation, exact-cosine verify inside candidates
+      (candidate-then-verify, the contract HNSW fulfils in the reference:
+      src/indexes/vector_hnsw.cc:315-340). Never O(n^2).
+    - LOW thresholds, where NO sign-hash family prunes (bulk collision
+      0.5^k vs threshold p^k too close): exact distributed block-matrix
+      BLAS (_block_cosine_pairs) — O(n^2) FLOPs are inherent to the
+      query, but there is no crossJoin row explosion and no driver
+      collect.
+
+    ``lsh_planes`` forces the LSH path; ``exact=True`` forces the block
+    path (exact results regardless of threshold)."""
     import numpy as np
 
     norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0),
@@ -375,33 +465,35 @@ def embedding_cosine_pairs(
     unit = df.select(
         F.col(key).alias("k"),
         F.transform(F.col(vec_col), lambda x: x.cast("double") / norm).alias("v"),
-    ).where(norm > 0).persist()
+    ).where(norm > 0)
 
-    if exact:
-        cand = (unit.alias("l").crossJoin(unit.alias("r"))
-                .where(F.col("l.k") < F.col("r.k"))
-                .select(F.col("l.k").alias("a"), F.col("r.k").alias("b"),
-                        F.col("l.v").alias("va"), F.col("r.v").alias("vb")))
-    else:
-        auto_k, auto_l = auto_lsh_params(threshold)
-        k_planes = lsh_planes or auto_k
-        n_tables = lsh_tables or auto_l
-        dim = len(df.select(vec_col).first()[0])
-        rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((n_tables * k_planes, dim))
-        sig = _hyperplane_sig_udf(planes, k_planes)
-        # candidate generation carries only (k, t, sig) through the
-        # banded self-join; unit vectors join back AFTER pair dedup
-        banded = unit.select(
-            "k", F.posexplode(sig(F.col("v"))).alias("t", "sig"))
-        cand = (banded.alias("l").join(banded.alias("r"), on=["t", "sig"])
-                .where(F.col("l.k") < F.col("r.k"))
-                .select(F.col("l.k").alias("a"), F.col("r.k").alias("b"))
-                .dropDuplicates(["a", "b"]))
-        cand = (cand.join(unit.withColumnRenamed("k", "a")
-                              .withColumnRenamed("v", "va"), "a")
-                    .join(unit.withColumnRenamed("k", "b")
-                              .withColumnRenamed("v", "vb"), "b"))
+    auto_k, auto_l = auto_lsh_params(threshold)
+    use_lsh = lsh_planes is not None or (not exact
+                                         and lsh_is_selective(threshold))
+
+    if not use_lsh:
+        key_type = df.schema[key].dataType
+        return _block_cosine_pairs(unit, key_type, threshold, n_blocks)
+
+    unit = unit.persist()
+    k_planes = lsh_planes or auto_k
+    n_tables = lsh_tables or auto_l
+    dim = len(df.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables * k_planes, dim))
+    sig = _hyperplane_sig_udf(planes, k_planes)
+    # candidate generation carries only (k, t, sig) through the
+    # banded self-join; unit vectors join back AFTER pair dedup
+    banded = unit.select(
+        "k", F.posexplode(sig(F.col("v"))).alias("t", "sig"))
+    cand = (banded.alias("l").join(banded.alias("r"), on=["t", "sig"])
+            .where(F.col("l.k") < F.col("r.k"))
+            .select(F.col("l.k").alias("a"), F.col("r.k").alias("b"))
+            .dropDuplicates(["a", "b"]))
+    cand = (cand.join(unit.withColumnRenamed("k", "a")
+                          .withColumnRenamed("v", "va"), "a")
+                .join(unit.withColumnRenamed("k", "b")
+                          .withColumnRenamed("v", "vb"), "b"))
 
     dot = F.aggregate(F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
                       F.lit(0.0), lambda a, x: a + x)
