@@ -81,8 +81,10 @@ def test_proximity_udf_sees_candidates_not_corpus(eng):
     # the JVM containment conjuncts must sit BELOW the Python eval node
     # (i.e. appear later in the tree dump) so the UDF input is pre-filtered
     py_at = plan.find("EvalPython")
-    exists_at = plan.rfind("exists")
-    assert py_at != -1 and exists_at > py_at
+    # stem-expanded proximity guards with array_contains on the aligned
+    # stem column (raw/NOSTEM paths still use exists over token structs)
+    guard_at = max(plan.rfind("exists"), plan.rfind("array_contains"))
+    assert py_at != -1 and guard_at > py_at
 
 
 def test_fuzzy_udf_has_jvm_prefilter(eng):
