@@ -769,8 +769,28 @@ def oracle_sql() -> dict[str, str]:
         f" ROUND(list_cosine_similarity(a.{_EMB_D}, b.{_EMB_D}), 6) AS cosine"
         " FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id"
         f" WHERE ROUND(list_cosine_similarity(a.{_EMB_D}, b.{_EMB_D}), 6) >= 0.4")
-    # dedup_minhash_lsh / dedup_simhash: hash-function-defined outputs, not
-    # SQL-expressible -> rows-only check (driver records the weaker check).
+    # dedup_minhash_lsh's VERIFY step computes exact Jaccard over hashed
+    # shingle sets (== string-shingle Jaccard up to 64-bit collisions), so
+    # the exact-Jaccard SQL is a valid oracle whenever banding recall is
+    # total — true for this corpus's planted dups (J ~0.8-1.0, s-curve
+    # recall >0.98/pair, verified equal at sf0.001 AND sf0.01 with the
+    # fixed hash seeds). dedup_simhash stays rows-only (xxhash64-defined
+    # codes are not SQL-expressible).
+    o["dedup_minhash_lsh"] = (
+        "WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),"
+        " grams AS (SELECT DISTINCT doc_id,"
+        "   unnest(list_transform(range(1, len(t)-1),"
+        "     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g"
+        "   FROM toks WHERE len(t) >= 3),"
+        " sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),"
+        " shared AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter"
+        "   FROM grams l JOIN grams r ON l.g = r.g AND l.doc_id < r.doc_id"
+        "   GROUP BY 1, 2)"
+        " SELECT a, b,"
+        "  ROUND(CAST(inter AS DOUBLE)/(sa.n + sb.n - inter), 6) AS jaccard"
+        " FROM shared JOIN sizes sa ON sa.doc_id = a"
+        " JOIN sizes sb ON sb.doc_id = b"
+        " WHERE ROUND(CAST(inter AS DOUBLE)/(sa.n + sb.n - inter), 6) >= 0.5")
 
     n_sql = "len(string_split(text,' '))"
     sw_sql = (f"CAST(len(list_filter(string_split(text,' '), x -> x IN {_SW_SQL}))"
