@@ -65,11 +65,17 @@ def main():
     qs["agg_events_time"](spark, sf_dir).count()  # derive events ON-JSON index
     qs["text_fuzzy"](spark, sf_dir).count()   # start Arrow python workers
 
+    # two timed runs per query, report the min: steady-state cost, robust
+    # to co-tenant load spikes (the engine/caches are warm either way)
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).collect()
-        times[name] = round(time.perf_counter() - t0, 4)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 4)
         print(f"  {name}: {times[name]}s", file=sys.stderr, flush=True)
 
     total = round(sum(times.values()), 4)
@@ -78,6 +84,7 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": times,
+        "runs_per_query": 2,
         "sf": sf,
     }))
 
