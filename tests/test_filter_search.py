@@ -141,3 +141,25 @@ def test_count_only_knn_counts_after_topk(spark):
     n = e.ft_search("cnt_emb", "*=>[KNN 7 @embedding $v]", params={"v": qv},
                     count_only=True)
     assert n == 7
+
+
+def test_ft_create_key_prefix_filters(spark):
+    """FT.CREATE PREFIX n p1..pn: only keys with a matching prefix belong
+    to the index (docs/commands/ft.create.md; src/index_schema.h:86)."""
+    from pyspark.sql import Row
+    from valkey_search_spark import SearchEngine, TagField
+
+    df = spark.createDataFrame([
+        Row(k="doc:1", t="x"), Row(k="doc:2", t="y"),
+        Row(k="user:1", t="x"), Row(k="img:1", t="x"),
+    ])
+    e = SearchEngine(spark)
+    e.ft_create("pfx", df, [TagField("t")], key_column="k",
+                prefixes=["doc:", "user:"])
+    assert e.ft_search("pfx", "*", count_only=True) == 3
+    got = {r["k"] for r in e.ft_search("pfx", "@t:{x}", limit=(0, 10)).collect()}
+    assert got == {"doc:1", "user:1"}
+    # the prefix filter reaches the scan as a pushed StartsWith
+    plan = e.ft_search("pfx", "*", limit=(0, 10))._jdf.queryExecution() \
+            .executedPlan().toString()
+    assert "StartsWith" in plan

@@ -211,6 +211,12 @@ class IndexSchema:
     key_column: str | None = None   # document key; synthesized if absent
     cache: bool = False             # persist derived columns (ingest-time indexing)
     prederived: bool = False        # doc_df already carries the derived columns
+    # FT.CREATE key `PREFIX n p1 ... pn` filters: only documents whose key
+    # starts with one of the prefixes belong to the index
+    # (docs/commands/ft.create.md:12-33; src/index_schema.h:86). Compiles
+    # to a pushed-down StartsWith scan filter — Catalyst's analogue of the
+    # reference's keyspace subscription filter.
+    prefixes: tuple[str, ...] | None = None
 
     def __post_init__(self) -> None:
         self._by_attr: dict[str, FieldDef] = {}
@@ -261,6 +267,11 @@ class IndexSchema:
             df = df.withColumn("__key", F.monotonically_increasing_id().cast("string"))
         else:
             df = df.withColumn("__key", F.col(self.key_column).cast("string"))
+        if self.prefixes:
+            cond = F.col("__key").startswith(self.prefixes[0])
+            for pre in self.prefixes[1:]:
+                cond = cond | F.col("__key").startswith(pre)
+            df = df.where(cond)
         derived: dict[str, Column] = {}
         for f in self.fields:
             derived.update(f.derived(df))

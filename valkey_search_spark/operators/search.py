@@ -60,7 +60,8 @@ class SearchEngine:
     def ft_create(self, name: str, df: DataFrame, fields: list[FieldDef],
                   key_column: str | None = None, cache: bool = False,
                   prederived: bool = False,
-                  on_json: str | None = None) -> IndexSchema:
+                  on_json: str | None = None,
+                  prefixes: list[str] | None = None) -> IndexSchema:
         """``on_json=<column>`` declares the ON-JSON document model
         (/root/reference/src/attribute_data_type.h:114-139): fields whose
         identifier starts with ``$`` are JSONPaths into that JSON-text
@@ -76,7 +77,8 @@ class SearchEngine:
                     f.json_source = on_json
         return self.catalog.create(
             IndexSchema(name, df, fields, key_column, cache=cache,
-                        prederived=prederived))
+                        prederived=prederived,
+                        prefixes=tuple(prefixes) if prefixes else None))
 
     def ft_build_ann(self, index: str, attr: str, path: str,
                      n_lists: int = 64, sample_fraction: float | None = None,

@@ -58,6 +58,7 @@ def save_index_def(schema: IndexSchema, path: str, doc_path: str | None = None) 
         "name": schema.name,
         "key_column": schema.key_column,
         "doc_path": doc_path,
+        "prefixes": list(schema.prefixes) if schema.prefixes else None,
         "fields": [_field_to_dict(f) for f in schema.fields],
     }
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
@@ -75,8 +76,10 @@ def load_index_def(spark: SparkSession, path: str,
     if dp is None:
         raise ValueError(f"no document snapshot path for index {payload['name']!r}")
     df = spark.read.parquet(dp)
+    prefixes = payload.get("prefixes")
     return IndexSchema(
         payload["name"], df,
         [_field_from_dict(d) for d in payload["fields"]],
         key_column=payload.get("key_column"), cache=cache,
+        prefixes=tuple(prefixes) if prefixes else None,
     )
