@@ -219,3 +219,23 @@ def test_load_alias_field_count_is_token_count(eng):
         "li", "*", 'LOAD 3 @l_quantity AS qty FILTER "@qty >= 49"')
     assert df.columns == ["qty"]
     assert df.count() > 0
+
+
+def test_min_max_polymorphic_compare(spark):
+    """expr::Compare parity for MIN/MAX over STRING fields holding numeric
+    text: '9' < '10' numerically (bytewise would give '10' as min)."""
+    from pyspark.sql import Row
+    from valkey_search_spark import SearchEngine, TagField
+
+    df = spark.createDataFrame([
+        Row(k=1, g="a", v="9"), Row(k=2, g="a", v="10"),
+        Row(k=3, g="b", v="2"), Row(k=4, g="b", v="apple"),
+    ])
+    e = SearchEngine(spark)
+    e.ft_create("polymm", df, [TagField("g")], key_column="k")
+    out = {r["g"]: (r["lo"], r["hi"]) for r in e.ft_aggregate(
+        "polymm", "*",
+        "LOAD 2 @g @v GROUPBY 1 @g "
+        "REDUCE MIN 1 @v AS lo REDUCE MAX 1 @v AS hi").collect()}
+    assert out["a"] == ("9", "10")        # numeric ordering within tier
+    assert out["b"] == ("2", "apple")     # numbers sort before words

@@ -371,10 +371,27 @@ class AggregateExecutor:
             sd = F.stddev_samp(to_num(t))
             return F.coalesce(F.when(F.isnan(sd), F.lit(0.0)).otherwise(sd), F.lit(0.0)), NUM
         if f in ("MIN", "MAX"):
-            # polymorphic by expr::Compare; with static typing: numeric fields
-            # compare numerically, everything else bytewise as strings
-            col = to_num(t) if t.kind == NUM else t.col
-            return (F.min(col) if f == "MIN" else F.max(col)), t.kind
+            # polymorphic by expr::Compare (value.cc:271-319): numeric when
+            # both sides convert, else bytewise strings. Static NUM kinds
+            # compare numerically; STRING kinds use a two-tier struct
+            # ordering — numeric-convertible values compare as doubles and
+            # sort before non-convertible ones (ASCII puts digits before
+            # letters, so the tiers agree with the reference's pairwise
+            # fold on realistic data), then bytewise within the text tier.
+            if t.kind == NUM:
+                col = to_num(t)
+                return (F.min(col) if f == "MIN" else F.max(col)), NUM
+            s = t.col.cast("string")
+            n = F.trim(s).try_cast("double")
+            ranked = F.when(
+                s.isNull(), F.lit(None).cast(
+                    "struct<tier:int,num:double,str:string>")
+            ).otherwise(F.struct(
+                F.when(n.isNotNull(), F.lit(0)).otherwise(F.lit(1)).alias("tier"),
+                F.coalesce(n, F.lit(0.0)).alias("num"),
+                s.alias("str")))
+            agg = F.min(ranked) if f == "MIN" else F.max(ranked)
+            return agg["str"], t.kind
         raise QuerySyntaxError(f"unknown reducer {f}")
 
     # ------------------------------------------------------------------
