@@ -175,3 +175,34 @@ def test_aggregate_corpus(eng, duck, fq, stages, sql):
            .collect()}
     want = {tuple(r) for r in duck.execute(sql).fetchall()}
     assert got == want, f"filter={fq!r} stages={stages!r}"
+
+
+# -- string-function corpus: substr over real data, reference C semantics ---
+def _ref_substr(s: str, off: int, ln: int) -> str:
+    """FuncSubstr reimplemented from value.cc:534-565 as the golden
+    oracle: byte offsets, negative offset wraps from the end, negative
+    length truncates the remainder."""
+    b = s.encode()
+    size = len(b)
+    if off < 0:
+        off += size
+    eff = (size - off) + ln if ln < 0 else ln
+    if off < 0 or off >= size or eff <= 0:
+        return ""
+    return b[off:off + eff].decode(errors="replace")
+
+
+SUBSTR_ARGS = [(0, 3), (2, 100), (5, -1), (-4, 2), (-100, 3), (3, -10),
+               (-1, 1), (0, -2)]
+
+
+@pytest.mark.parametrize("off,ln", SUBSTR_ARGS,
+                         ids=[f"substr_{o}_{l}" for o, l in SUBSTR_ARGS])
+def test_substr_corpus(eng, duck, off, ln):
+    df = eng.ft_aggregate(
+        "parts", "*",
+        f'LOAD 1 @p_partkey APPLY "substr(@p_name, {off}, {ln})" AS v')
+    got = {(r["p_partkey"], r["v"]) for r in df.collect()}
+    want = {(k, _ref_substr(n, off, ln)) for k, n in duck.execute(
+        "SELECT p_partkey, p_name FROM part").fetchall()}
+    assert got == want
