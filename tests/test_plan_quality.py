@@ -93,3 +93,34 @@ def test_fuzzy_udf_has_jvm_prefilter(eng):
     assert py_at != -1
     # length-window conjunct below the Python eval
     assert plan.rfind("length") > py_at
+
+
+def test_bucketed_knn_join_plan_prunes_and_bounds(spark, tmp_path):
+    """knn_join_bucketed's physical plan must (a) partition-prune the
+    corpus scan to the probed lists and (b) bound the global top-k with
+    WindowGroupLimit (per-partition group limit BEFORE the exchange), so
+    candidate shuffle volume is <=k rows per (query, partition)."""
+    from pyspark.sql import functions as F
+    from valkey_search_spark.operators.ann import IVFIndex, knn_join_bucketed
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = IVFIndex.build(emb.select(F.col("vec_id").alias("cid"), "embedding"),
+                         str(tmp_path / "ivf"), "embedding", n_lists=8)
+    q = emb.limit(20).select(F.col("vec_id").alias("qid"), "embedding")
+    plan = knn_join_bucketed(q, idx, k=3, nprobe=4)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "PartitionFilters: [__list" in plan          # pruned corpus read
+    assert "WindowGroupLimit" in plan                   # bounded top-k
+
+
+def test_block_cosine_plan_single_exchange(spark):
+    """The exact block-BLAS cosine join is ONE hash exchange on the
+    block-pair id feeding FlatMapGroupsInPandas — no crossJoin node."""
+    from valkey_search_spark.operators import dedup as dd
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = dd.embedding_cosine_pairs(emb, "vec_id", threshold=0.4) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("Exchange hashpartitioning(__bp") == 1
