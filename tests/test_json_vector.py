@@ -98,3 +98,18 @@ def test_on_json_requires_alias(spark):
     with pytest.raises(QuerySyntaxError):
         e.ft_create("jbad", _json_docs(spark), [TagField("$.cat")],
                     key_column="id", on_json="doc")
+
+
+def test_on_json_return_projection(spark):
+    """RETURN of an ON-JSON attribute projects the JSONPath extraction."""
+    e = SearchEngine(spark)
+    e.ft_create("jret", _json_docs(spark), [
+        TagField("$.cat", alias="cat"),
+        NumericField("$.score", alias="score"),
+    ], key_column="id", on_json="doc")
+    df = e.ft_search("jret", "@score:[5 20]",
+                     return_fields=["score", "cat"], limit=(0, 10))
+    assert df.columns == ["__key", "score", "cat"]
+    rows = {r["__key"]: (r["score"], r["cat"]) for r in df.collect()}
+    assert rows["d1"] == ("7", "news,tech")
+    assert rows["d2"] == ("12.5", "sports")

@@ -339,8 +339,10 @@ class SearchEngine:
                 out.append(F.col(rf.name).alias(rf.alias or rf.name))
                 continue
             fdef = schema.field(rf.name) if rf.name in schema._by_attr else None
-            src = fdef.name if fdef else rf.name
-            out.append(F.col(src).alias(rf.alias or rf.name))
+            # fdef.source handles ON-JSON attributes: the returned value is
+            # the JSONPath extraction, not a frame column
+            src = fdef.source(df) if fdef else F.col(rf.name)
+            out.append(src.alias(rf.alias or rf.name))
         if score_col and all(
             (rf.name if isinstance(rf, ReturnField) else rf) != score_col for rf in return_fields
         ):
