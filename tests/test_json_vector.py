@@ -113,3 +113,16 @@ def test_on_json_return_projection(spark):
     rows = {r["__key"]: (r["score"], r["cat"]) for r in df.collect()}
     assert rows["d1"] == ("7", "news,tech")
     assert rows["d2"] == ("12.5", "sports")
+
+
+def test_on_json_aggregate_load_and_groupby(spark):
+    """LOAD/GROUPBY over ON-JSON TAG attributes resolve to the JSONPath
+    extraction in the aggregate record frame."""
+    e = SearchEngine(spark)
+    e.ft_create("jagg", _json_docs(spark), [
+        TagField("$.cat", alias="cat"),
+        NumericField("$.score", alias="score"),
+    ], key_column="id", on_json="doc")
+    out = {r["cat"]: r["n"] for r in e.ft_aggregate(
+        "jagg", "*", "GROUPBY 1 @cat REDUCE COUNT 0 AS n").collect()}
+    assert out == {"news,tech": 1.0, "sports": 1.0, "tech": 1.0}

@@ -81,7 +81,7 @@ class FieldDef:
     def attr(self) -> str:
         return self.alias or self.name
 
-    def source(self, df: DataFrame) -> Column:
+    def source(self, df: DataFrame | None = None) -> Column:
         """The field's raw value column. JSONPath identifiers extract
         JVM-side via get_json_object — stays in whole-stage codegen, no
         Python, and Catalyst collapses repeated extraction of the same

@@ -232,7 +232,8 @@ class RecordResolver(FieldResolver):
             fdef = self.schema.field(name)
             if isinstance(fdef, NumericField):
                 return TypedCol(F.col(num_col(fdef.attr)), NUM)
-            return TypedCol(F.col(fdef.name).cast("string"), STR)
+            # fdef.source handles ON-JSON attributes (JSONPath extraction)
+            return TypedCol(fdef.source().cast("string"), STR)
         if name in self.dtypes:
             dt = self.dtypes[name]
             if dt in self._NUM_DTYPES or dt.startswith("decimal"):
