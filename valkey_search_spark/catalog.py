@@ -332,6 +332,8 @@ class Catalog:
         s = self.get(name)
         out = {
             "index_name": s.name,
+            "on": "JSON" if any(f.json_source for f in s.fields) else "HASH",
+            "prefixes": list(s.prefixes) if s.prefixes else [],
             "attributes": [
                 {"identifier": f.name, "attribute": f.attr, "type": type(f).__name__}
                 for f in s.fields
