@@ -20,7 +20,7 @@ from valkey_search_spark import (
 )
 from valkey_search_spark.operators import dedup as dd, textops as tx
 from valkey_search_spark.operators.search import ReturnField
-from valkey_search_spark.sources.tables import json_number_field, load_table
+from valkey_search_spark.sources.tables import load_table
 
 ALL = (0, 2_000_000_000)  # LIMIT covering every row (driver compares sets)
 

@@ -36,7 +36,6 @@ from .functions.analysis import (
     DEFAULT_PUNCTUATION,
     DEFAULT_STOPWORDS,
     stem_positions_udf,
-    stem_tokens_udf,
     text_tokens_column,
 )
 
@@ -166,9 +165,12 @@ class TextField(FieldDef):
         out = {text_col(self.attr): toks}
         if not self.nostem:
             words = F.transform(toks, lambda s: s["t"])
-            out[stem_col(self.attr)] = stem_tokens_udf(self.min_stem_size)(words)
-            out[stem_pos_col(self.attr)] = stem_positions_udf(
-                self.min_stem_size)(words)
+            sp = stem_positions_udf(self.min_stem_size)(words)
+            out[stem_pos_col(self.attr)] = sp
+            # distinct stems derive JVM-side from the aligned stems — one
+            # Python stemming pass feeds both columns (array_distinct keeps
+            # first-occurrence order, same as the old dedicated UDF)
+            out[stem_col(self.attr)] = F.array_distinct(sp)
         return out
 
 

@@ -12,9 +12,11 @@ Each operator is expressed as shuffle-conscious DataFrame composition:
                      Hamming-close codes, found via band equi-join.
 - ngram_jaccard_pairs: exact n-gram Jaccard via token-gram inverted join
                      (explode -> join on gram -> count shared / union).
-- embedding_pairs:   cosine near-dup over array<float> embeddings; exact
-                     path broadcasts one side per block, scale path
-                     pre-buckets with random-hyperplane LSH.
+- embedding_cosine_pairs: cosine near-dup over array<float> embeddings;
+                     physical strategy picked from the threshold s-curve —
+                     OR-amplified hyperplane LSH where it prunes
+                     (selective thresholds), exact distributed
+                     block-matrix BLAS in the bulk.
 """
 
 from __future__ import annotations
