@@ -115,3 +115,47 @@ def test_inorder_without_slop_is_unbounded_span(spark):
     tight = {r["k"] for r in e.ft_search("prox_ord", "alpha beta", slop=0,
                                          inorder=True, limit=(0, 10)).collect()}
     assert tight == {"adjacent"}
+
+
+def test_or_group_proximity_slots(spark):
+    """An OR group of terms under SLOP/INORDER is ONE slot of alternatives
+    (the reference's orproximity iterator, src/indexes/text/orproximity.cc)."""
+    from pyspark.sql import Row
+    from valkey_search_spark import SearchEngine, TextField
+
+    df = spark.createDataFrame([
+        Row(k="ab", body="alpha gamma"),            # alpha then gamma: adjacent
+        Row(k="bb", body="beta gamma"),             # beta also fills slot 1
+        Row(k="far", body="alpha x1 x2 x3 gamma"),  # exceeds slop
+        Row(k="rev", body="gamma alpha"),           # wrong order for inorder
+        Row(k="none", body="delta gamma"),          # slot 1 unfilled
+    ])
+    e = SearchEngine(spark)
+    e.ft_create("orprox", df, [TextField("body")], key_column="k")
+    got = {r["k"] for r in e.ft_search(
+        "orprox", "@body:(alpha|beta) @body:gamma", slop=0,
+        limit=(0, 10)).collect()}
+    assert got == {"ab", "bb", "rev"}       # unordered slop=0: adjacency
+    ordered = {r["k"] for r in e.ft_search(
+        "orprox", "@body:(alpha|beta) @body:gamma", slop=0, inorder=True,
+        limit=(0, 10)).collect()}
+    assert ordered == {"ab", "bb"}
+
+
+def test_or_proximity_with_stem_collision_stays_exact(spark):
+    """Alternatives that stem into another slot's word (overlapping slots)
+    still require DISTINCT positions."""
+    from pyspark.sql import Row
+    from valkey_search_spark import SearchEngine, TextField
+
+    df = spark.createDataFrame([
+        Row(k="one_token", body="tables zebra"),   # "tables"~"table" only once
+        Row(k="two", body="table tables"),
+    ])
+    e = SearchEngine(spark)
+    e.ft_create("orprox2", df, [TextField("body")], key_column="k")
+    # both slots stem to "tabl": needs two distinct positions with it
+    got = {r["k"] for r in e.ft_search(
+        "orprox2", "@body:table @body:tables", slop=5,
+        limit=(0, 10)).collect()}
+    assert got == {"two"}

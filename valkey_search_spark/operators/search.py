@@ -288,22 +288,40 @@ class SearchEngine:
         return execu.run(parse_stages(stages, params))
 
     def _maybe_proximity(self, parsed: ParsedQuery, slop: int | None, inorder: bool):
-        """SLOP/INORDER upgrade a multi-term AND within one text field into a
-        positional constraint (/root/reference/src/query/search.cc:226-298)."""
+        """SLOP/INORDER upgrade a multi-term AND within one text field into
+        a positional constraint (/root/reference/src/query/search.cc:226-298).
+        An OR group of terms becomes one SLOT of alternatives — the
+        reference's orproximity iterator
+        (src/indexes/text/orproximity.cc)."""
         pred = parsed.predicate
         if slop is None and not inorder:
             return pred
-        if isinstance(pred, And) and all(
-            isinstance(c, TextPred) and c.kind == TERM for c in pred.children
-        ):
-            attrs = {c.attr for c in pred.children}
-            if len(attrs) == 1:
-                return Proximity(
-                    attr=pred.children[0].attr,
-                    words=[c.value for c in pred.children],
-                    slop=slop,
-                    inorder=inorder,
-                )
+
+        def slot(c):
+            """(words, attr) for a plain TERM or an OR-of-TERMs; else None."""
+            from ..parser.ast import Or
+
+            if isinstance(c, TextPred) and c.kind == TERM:
+                return c.value, c.attr
+            if isinstance(c, Or) and all(
+                isinstance(g, TextPred) and g.kind == TERM for g in c.children
+            ):
+                attrs = {g.attr for g in c.children}
+                if len(attrs) == 1:
+                    return [g.value for g in c.children], attrs.pop()
+            return None
+
+        if isinstance(pred, And):
+            slots = [slot(c) for c in pred.children]
+            if all(s is not None for s in slots):
+                attrs = {a for _, a in slots}
+                if len(attrs) == 1:
+                    return Proximity(
+                        attr=attrs.pop(),
+                        words=[ws for ws, _ in slots],
+                        slop=slop,
+                        inorder=inorder,
+                    )
         return pred
 
     def _knn(self, schema: IndexSchema, df: DataFrame,

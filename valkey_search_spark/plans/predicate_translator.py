@@ -71,14 +71,17 @@ def _fuzzy_match_udf(word: str, dist: int):
     return _match
 
 
-def _proximity_udf(words: list[str], slop: int | None, inorder: bool,
+def _proximity_udf(slots: list[list[str]], slop: int | None, inorder: bool,
                    aligned: bool = False):
-    """Positional multi-term match: exists an assignment of the query words
-    to distinct token positions with total intervening-token count
-    (max-min+1-k) <= slop, in query order if ``inorder``
-    (/root/reference/src/indexes/text/proximity.h:47). ``slop=None``
-    (INORDER without SLOP) checks ordering only — the reference applies
-    the span bound only when slop is set (proximity.h slop_.has_value()).
+    """Positional multi-slot match: exists an assignment of one token
+    position per SLOT (a slot is a set of alternative words — single terms
+    or an OR group, the reference's orproximity iterator,
+    src/indexes/text/orproximity.cc), positions distinct, with total
+    intervening-token count (max-min+1-k) <= slop, in query order if
+    ``inorder`` (/root/reference/src/indexes/text/proximity.h:47).
+    ``slop=None`` (INORDER without SLOP) checks ordering only — the
+    reference applies the span bound only when slop is set
+    (proximity.h slop_.has_value()).
 
     ``aligned=True`` matches over a position-aligned array<string> (element
     i = term at position i) instead of (t, p) structs — the stem-expanded
@@ -87,23 +90,25 @@ def _proximity_udf(words: list[str], slop: int | None, inorder: bool,
     Linear-time algorithms (the reference's iterator is a sorted merge, and
     a naive cross-product blows up on 5-term queries over frequent words):
     unordered -> minimum-window over the merged position stream; inorder ->
-    greedy chain per starting position (greedily taking the smallest next
-    position minimizes the window end, so greedy is exact)."""
+    greedy chain per starting position (greedy over strictly increasing
+    positions is exact and never reuses a position). Only when slots share
+    words (duplicate query terms, or stem collisions across OR groups) can
+    the window pick one position for two slots, so that case falls back to
+    a distinctness-checked product."""
     from bisect import bisect_right
 
-    k = len(words)
+    k = len(slots)
     win = math.inf if slop is None else slop       # None -> ordering only
-    uniq = list(dict.fromkeys(words))
-    word_idx = {w: i for i, w in enumerate(uniq)}
-    slot_of = [word_idx[w] for w in words]      # query slot -> unique-word id
-    has_dups = len(uniq) < k
+    word_map: dict[str, list[int]] = {}
+    for si, ws in enumerate(slots):
+        for w in dict.fromkeys(ws):
+            word_map.setdefault(w, []).append(si)
+    overlapping = any(len(v) > 1 for v in word_map.values())
 
-    def _unordered_dups(pos_by_uniq):
-        # duplicate query words: tiny product fallback with distinctness
-        # (duplicate-word proximity queries are short in practice)
+    def _unordered_overlap(pos_by_slot):
         import itertools
 
-        for combo in itertools.product(*(pos_by_uniq[s] for s in slot_of)):
+        for combo in itertools.product(*pos_by_slot):
             if len(set(combo)) != k:
                 continue
             seq = sorted(combo)
@@ -111,35 +116,34 @@ def _proximity_udf(words: list[str], slop: int | None, inorder: bool,
                 return True
         return False
 
-    def _unordered(pos_by_word):
-        # merged (position, word) stream + sliding window holding >=1 of
-        # every word; window cost = span+1-k
-        ku = len(pos_by_word)
-        merged = sorted((p, wi) for wi, ps in enumerate(pos_by_word)
+    def _unordered(pos_by_slot):
+        # merged (position, slot) stream + sliding window holding >=1 of
+        # every slot; window cost = span+1-k
+        merged = sorted((p, si) for si, ps in enumerate(pos_by_slot)
                         for p in ps)
-        need = ku
-        counts = [0] * ku
+        need = k
+        counts = [0] * k
         lo = 0
-        for hi, (p_hi, wi_hi) in enumerate(merged):
-            if counts[wi_hi] == 0:
+        for hi, (p_hi, si_hi) in enumerate(merged):
+            if counts[si_hi] == 0:
                 need -= 1
-            counts[wi_hi] += 1
+            counts[si_hi] += 1
             while need == 0:
-                p_lo, wi_lo = merged[lo]
+                p_lo, si_lo = merged[lo]
                 if (p_hi - p_lo + 1 - k) <= win:
                     return True
-                counts[wi_lo] -= 1
-                if counts[wi_lo] == 0:
+                counts[si_lo] -= 1
+                if counts[si_lo] == 0:
                     need += 1
                 lo += 1
         return False
 
-    def _inorder(pos_by_uniq):
-        for p1 in pos_by_uniq[slot_of[0]]:
+    def _inorder(pos_by_slot):
+        for p1 in pos_by_slot[0]:
             prev = p1
             ok = True
             for si in range(1, k):
-                ps = pos_by_uniq[slot_of[si]]
+                ps = pos_by_slot[si]
                 j = bisect_right(ps, prev)
                 if j == len(ps):
                     ok = False
@@ -154,24 +158,22 @@ def _proximity_udf(words: list[str], slop: int | None, inorder: bool,
         def go(lst):
             if lst is None:
                 return False
-            pos_by_uniq: list[list[int]] = [[] for _ in range(len(uniq))]
+            pos_by_slot: list[list[int]] = [[] for _ in range(k)]
             if aligned:
                 for pos, t in enumerate(lst):
-                    wi = word_idx.get(t)
-                    if wi is not None:
-                        pos_by_uniq[wi].append(pos)
+                    for si in word_map.get(t, ()):
+                        pos_by_slot[si].append(pos)
             else:
                 for s in lst:
-                    wi = word_idx.get(s["t"])
-                    if wi is not None:
-                        pos_by_uniq[wi].append(s["p"])
-            if any(not ps for ps in pos_by_uniq):
+                    for si in word_map.get(s["t"], ()):
+                        pos_by_slot[si].append(s["p"])
+            if any(not ps for ps in pos_by_slot):
                 return False
             if inorder:
-                return _inorder(pos_by_uniq)
-            if has_dups:
-                return _unordered_dups(pos_by_uniq)
-            return _unordered(pos_by_uniq)
+                return _inorder(pos_by_slot)
+            if overlapping:
+                return _unordered_overlap(pos_by_slot)
+            return _unordered(pos_by_slot)
 
         return tok_lists.apply(go)
 
@@ -250,30 +252,41 @@ class PredicateTranslator:
     def _proximity_stemmed(self, fdef: TextField) -> bool:
         return not (fdef.nostem or self.verbatim)
 
-    def _proximity_words(self, fdef: TextField, p: Proximity) -> list[str]:
-        """Query words as matched against the field: stem-expanded like
-        single TERMs unless NOSTEM/VERBATIM (the reference builds proximity
-        over stemmed term iterators, src/query/search.cc:226-298)."""
+    def _proximity_slots(self, fdef: TextField, p: Proximity) -> list[list[str]]:
+        """Query slots as matched against the field: each slot is a set of
+        alternative words (plain terms contribute one, OR groups several —
+        the reference's orproximity), stem-expanded like single TERMs
+        unless NOSTEM/VERBATIM (src/query/search.cc:226-298)."""
+        slots = [[w] if isinstance(w, str) else list(w) for w in p.words]
         if self._proximity_stemmed(fdef):
-            return [stem_query_term(w, fdef.min_stem_size) for w in p.words]
-        return list(p.words)
+            slots = [[stem_query_term(w, fdef.min_stem_size) for w in ws]
+                     for ws in slots]
+        return [list(dict.fromkeys(ws)) for ws in slots]
 
     def _proximity_guard(self, p: Proximity) -> Column | None:
-        """JVM-only candidate condition: every query word present in at
-        least one target text field."""
+        """JVM-only candidate condition: every slot has at least one of its
+        alternative words present in a target text field."""
         conds = []
         for fdef in self._text_attrs(p.attr):
+            slots = self._proximity_slots(fdef, p)
             if self._proximity_stemmed(fdef):
                 col = F.col(stem_pos_col(fdef.attr))
-                c = col.isNotNull()
-                for w in self._proximity_words(fdef, p):
-                    c = c & F.array_contains(col, w)
+
+                def has(word):
+                    return F.array_contains(col, word)
             else:
-                toks = F.col(text_col(fdef.attr))
-                c = toks.isNotNull()
-                for w in p.words:
-                    c = c & F.exists(
-                        toks, (lambda word: lambda s: s["t"] == word)(w))
+                col = F.col(text_col(fdef.attr))
+
+                def has(word):
+                    return F.exists(
+                        col, (lambda w: lambda s: s["t"] == w)(word))
+
+            c = col.isNotNull()
+            for ws in slots:
+                alt = has(ws[0])
+                for w in ws[1:]:
+                    alt = alt | has(w)
+                c = c & alt
             conds.append(c)
         out = conds[0]
         for c in conds[1:]:
@@ -467,27 +480,33 @@ class PredicateTranslator:
         # position-aligned stem column.
         conds = []
         for fdef in self._text_attrs(p.attr):
-            words = self._proximity_words(fdef, p)
+            slots = self._proximity_slots(fdef, p)
             if self._proximity_stemmed(fdef):
                 col = F.col(stem_pos_col(fdef.attr))
                 aligned = True
             else:
                 col = F.col(text_col(fdef.attr))
                 aligned = False
+
             # cheap JVM containment conjunct first: Catalyst pushes non-UDF
             # conjuncts below the ArrowEvalPython node, so the positional
-            # UDF only runs on rows already containing every query term
+            # UDF only runs on rows already containing a word of every slot
             def _has(word):
                 return lambda s: s["t"] == word
 
             contains_all = F.lit(True)
-            for w in words:
+            for ws in slots:
                 if aligned:
-                    contains_all = contains_all & F.array_contains(col, w)
+                    alt = F.array_contains(col, ws[0])
+                    for w in ws[1:]:
+                        alt = alt | F.array_contains(col, w)
                 else:
-                    contains_all = contains_all & F.exists(col, _has(w))
+                    alt = F.exists(col, _has(ws[0]))
+                    for w in ws[1:]:
+                        alt = alt | F.exists(col, _has(w))
+                contains_all = contains_all & alt
             conds.append(col.isNotNull() & contains_all
-                         & _proximity_udf(words, p.slop, p.inorder,
+                         & _proximity_udf(slots, p.slop, p.inorder,
                                           aligned=aligned)(col))
         out = conds[0]
         for c in conds[1:]:
