@@ -76,3 +76,36 @@ def test_cosine_metric(spark, emb, tmp_path_factory):
                           F.transform(F.col("embedding"),
                                       lambda x: (x / norm).cast("float")))
     assert recall_at_k(approx, _brute(unit, "cosine"), "vec_id", 10) == 1.0
+
+
+def test_ivf_recall_on_clusterable_data(spark, tmp_path):
+    """On data with real cluster structure (a Gaussian mixture), IVF recall
+    rises monotonically-ish with nprobe and small probe budgets already
+    recover the true neighbors — the positive counterpart of SCALE.md's
+    uniform-data caveat."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from valkey_search_spark.operators.ann import IVFIndex
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((16, 32)) * 10.0     # well-separated
+    rows = []
+    for i in range(1600):
+        c = centers[i % 16]
+        v = c + rng.standard_normal(32)
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+    df = spark.createDataFrame(rows)
+    idx = IVFIndex.build(df, str(tmp_path / "clustered"), "embedding",
+                         metric="l2", n_lists=16)
+
+    q = [float(x) for x in centers[3] + 0.1]
+    exact_ids = [r["vec_id"] for r in idx.search(q, k=10, nprobe=16).collect()]
+
+    def recall(nprobe):
+        got = {r["vec_id"] for r in idx.search(q, k=10, nprobe=nprobe).collect()}
+        return len(got & set(exact_ids)) / 10
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 >= r1
+    assert r1 >= 0.9     # one probed list already holds the cluster

@@ -84,3 +84,20 @@ def test_funnel_is_single_aggregation(spark):
     assert (funnel["input"] >= funnel["quality_gate"]
             >= funnel["exact_dedup"] >= funnel["near_dedup"])
     assert clean.count() == funnel["near_dedup"]
+
+
+def test_ngram_stop_gram_cutoff_candidates_verified_exact(spark):
+    """With a stop-gram cutoff the reported pairs still carry EXACT
+    Jaccard, and on this corpus (planted near-dups share rare grams) the
+    pair set matches the exact inverted join."""
+    from valkey_search_spark.operators import dedup as dd
+
+    docs = load_table(spark, SF, "documents")
+    exact = {(r["a"], r["b"], r["jaccard"]) for r in
+             dd.ngram_jaccard_pairs(docs, "doc_id", threshold=0.3).collect()}
+    capped_df = dd.ngram_jaccard_pairs(docs, "doc_id", threshold=0.3,
+                                       stop_gram_df=50)
+    capped = {(r["a"], r["b"], r["jaccard"]) for r in capped_df.collect()}
+    assert capped <= exact                 # verify step: no false pairs
+    assert len(capped) / max(len(exact), 1) >= 0.9
+    dd.release(capped_df, blocking=True)

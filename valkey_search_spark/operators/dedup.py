@@ -221,29 +221,67 @@ def minhash_lsh_pairs(
 def ngram_jaccard_pairs(
     df: DataFrame, key: str, text_col: str = "text",
     shingle_n: int = 3, threshold: float = 0.5,
+    stop_gram_df: int | None = None,
 ) -> DataFrame:
-    """EXACT n-gram Jaccard similarity join via the inverted-index pattern:
+    """n-gram Jaccard similarity join via the inverted-index pattern:
     explode grams -> equi-join on gram -> per-pair shared count -> Jaccard.
-    Never materializes the cross product; the shuffle key is the gram."""
-    grams = _staged_tokens(df, key, text_col).select(
-        "k",
-        F.explode(_shingles_of(F.col("__toks"), shingle_n)).alias("g"),
-    )
-    sizes = grams.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
-    shared = (
-        grams.alias("l").join(grams.alias("r"), on="g")
-        .where(F.col("l.k") < F.col("r.k"))
-        .groupBy(F.col("l.k").alias("a"), F.col("r.k").alias("b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    return (
-        shared.join(sizes.withColumnRenamed("k", "a").withColumnRenamed("n", "na"), "a")
-        .join(sizes.withColumnRenamed("k", "b").withColumnRenamed("n", "nb"), "b")
-        .withColumn("jaccard", F.round(
-            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
-        .where(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
-    )
+    Never materializes the cross product; the shuffle key is the gram.
+
+    ``stop_gram_df`` is the scale knob for gram-frequency skew (the one
+    O(n^2) risk of the inverted join — a gram appearing in f documents
+    contributes f^2 join rows): grams with document frequency above the
+    cutoff are excluded from CANDIDATE generation only; candidates are
+    then verified with exact Jaccard over each pair's full hashed gram
+    sets, so reported similarities are unaffected. The (documented)
+    approximation: a qualifying pair ALL of whose shared grams are
+    stop-grams is missed — at realistic thresholds near-dup pairs share
+    many grams and virtually always a rare one."""
+    if stop_gram_df is None:
+        grams = _staged_tokens(df, key, text_col).select(
+            "k",
+            F.explode(_shingles_of(F.col("__toks"), shingle_n)).alias("g"),
+        )
+        sizes = grams.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+        shared = (
+            grams.alias("l").join(grams.alias("r"), on="g")
+            .where(F.col("l.k") < F.col("r.k"))
+            .groupBy(F.col("l.k").alias("a"), F.col("r.k").alias("b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        return (
+            shared.join(sizes.withColumnRenamed("k", "a").withColumnRenamed("n", "na"), "a")
+            .join(sizes.withColumnRenamed("k", "b").withColumnRenamed("n", "nb"), "b")
+            .withColumn("jaccard", F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+            .where(F.col("jaccard") >= threshold)
+            .select("a", "b", "jaccard")
+        )
+
+    # candidate-then-verify with a stop-gram cutoff: hashed gram sets are
+    # the verify payload (Jaccard over 64-bit hashed grams == string-gram
+    # Jaccard up to collisions, same contract as the minhash verify)
+    staged = _staged_tokens(df, key, text_col)
+    sh = _shingles_of(F.col("__toks"), shingle_n)
+    base = staged.select(
+        "k", F.transform(sh, lambda g: F.xxhash64(g)).alias("hs")).persist()
+    grams = base.select("k", F.explode(F.col("hs")).alias("g"))
+    rare = (grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= stop_gram_df).select("g"))
+    rare_grams = grams.join(rare, "g")
+    cand = (rare_grams.alias("l").join(rare_grams.alias("r"), on="g")
+            .where(F.col("l.k") < F.col("r.k"))
+            .select(F.col("l.k").alias("a"), F.col("r.k").alias("b"))
+            .dropDuplicates(["a", "b"]))
+    cand = (cand.join(base.withColumnRenamed("k", "a")
+                          .withColumnRenamed("hs", "hsa"), "a")
+                .join(base.withColumnRenamed("k", "b")
+                          .withColumnRenamed("hs", "hsb"), "b"))
+    inter = F.size(F.array_intersect(F.col("hsa"), F.col("hsb"))).cast("double")
+    union = F.size(F.array_union(F.col("hsa"), F.col("hsb"))).cast("double")
+    out = (cand.withColumn("jaccard", F.round(inter / union, 6))
+               .where(F.col("jaccard") >= threshold)
+               .select("a", "b", "jaccard"))
+    return _with_handles(out, base)
 
 
 # ---------------------------------------------------------------------------
