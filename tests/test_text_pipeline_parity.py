@@ -103,3 +103,22 @@ def test_phrase_skips_stopwords(spark, tmp_path):
     got = sorted(r["id"] for r in
                  e.ft_search("d", '@body:"quick fox"', limit=(0, 10)).collect())
     assert got == [1, 3]
+
+
+def test_bpe_piece_count(spark):
+    """GPT-2 pre-tokenizer piece counts: contractions split, letter/digit
+    runs and punctuation counted as separate pieces, whitespace free."""
+    from pyspark.sql import Row
+    from valkey_search_spark.operators.textops import bpe_piece_count_col
+
+    rows = [
+        Row(id=1, t="hello world"),            # 2 pieces
+        Row(id=2, t="don't stop"),             # don + 't + stop = 3
+        Row(id=3, t="a1b2"),                   # a + 1 + b + 2 = 4
+        Row(id=4, t="wait... what?!"),         # wait + ... + what + ?! = 4
+        Row(id=5, t=""),                       # 0
+    ]
+    df = spark.createDataFrame(rows).withColumn(
+        "n", bpe_piece_count_col(F.col("t")))
+    got = {r["id"]: r["n"] for r in df.collect()}
+    assert got == {1: 2, 2: 3, 3: 4, 4: 4, 5: 0}

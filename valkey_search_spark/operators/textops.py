@@ -94,6 +94,28 @@ def rolling_hash_col(text: Column, window: int = 8) -> Column:
     return F.when(n > 0, F.array_min(grams))
 
 
+# GPT-2's published pre-tokenization pattern (Radford et al. 2019, public
+# in the gpt-2 repository) — splits contractions, letter runs, digit runs,
+# punctuation runs, and whitespace the way BPE vocabularies expect. RE2
+# (Spark's regexp engine) lacks lookahead, so the trailing-space variant
+# collapses to plain whitespace handling; counts differ from a true BPE
+# only by the (vocabulary-dependent) merge step, making this a stable
+# upper-ish estimate of LLM token counts.
+_BPE_PRETOKEN_RE = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def bpe_piece_count_col(text: Column) -> Column:
+    """Estimated LLM token count: number of BPE PRE-tokenizer pieces
+    (whitespace runs excluded). For budget/packing decisions in a
+    training-data pipeline — true BPE counts need the model's merge
+    table, but piece counts track them closely and stay all-JVM."""
+    pieces = F.regexp_extract_all(text, F.lit(_BPE_PRETOKEN_RE), 0)
+    return F.size(F.filter(pieces, lambda p: F.trim(p) != "")).cast("long")
+
+
 def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass document analysis: adds token_count, stopword_ratio,
     quality_score, lang_id, fingerprint columns.
