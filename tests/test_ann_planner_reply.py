@@ -150,3 +150,46 @@ def test_tag_sortby_uses_folded_value(spark):
     out = [r["k"] for r in e.ft_search("tagsort", "*", sortby="t",
                                        limit=(0, 10)).collect()]
     assert out == [2, 1, 3]      # folded: aaa < bbb < ccc (raw would put BBB/CCC first)
+
+
+@pytest.fixture(scope="module")
+def hnsw_eng(spark, tmp_path_factory):
+    """Index whose vector field declares algo=hnsw -> eligible for the
+    automatic pre-vs-inline planner."""
+    e = SearchEngine(spark)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    e.ft_create("emb_auto", emb,
+                [VectorField("embedding", dim=64, metric="l2", algo="hnsw"),
+                 NumericField("label")], key_column="vec_id")
+    e.ft_build_ann("emb_auto", "embedding",
+                   str(tmp_path_factory.mktemp("annauto") / "emb"), n_lists=8)
+    return e
+
+
+def test_planner_loose_filter_goes_inline(hnsw_eng):
+    """A filter matching ~most documents exceeds the prefiltering ratio
+    (planner.cc) -> inline ANN: the plan reads the IVF artifact."""
+    df = hnsw_eng.ft_search("emb_auto", "@label:[0 1000]=>[KNN 5 @embedding $v]",
+                            params={"v": QVEC}, limit=(0, 5))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "__list" in plan                 # probed partitioned artifact
+    assert len(df.collect()) >= 1
+
+
+def test_planner_selective_filter_prefilters(hnsw_eng):
+    """A filter matching ~one document stays on the exact pre-filter
+    path (estimated fraction <= 0.001)."""
+    df = hnsw_eng.ft_search("emb_auto", "@label:[3 3] @label:[-5 -5]"
+                            "=>[KNN 5 @embedding $v]",
+                            params={"v": QVEC}, limit=(0, 5))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "__list" not in plan             # no artifact scan: exact path
+
+
+def test_planner_flat_always_prefilters(eng):
+    """algo=flat (the default) never routes through the planner's inline
+    branch even with an artifact present (UsePreFiltering kFlat rule)."""
+    df = eng.ft_search("emb", "@label:[0 1000]=>[KNN 5 @embedding $v]",
+                       params={"v": QVEC}, limit=(0, 5))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "__list" not in plan

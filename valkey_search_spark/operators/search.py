@@ -154,6 +154,27 @@ class SearchEngine:
         # a HYBRID query runs the predicate INSIDE the probed lists — the
         # inline-filtering branch (search.cc:102-133 InlineVectorFilter).
         # Without nprobe, hybrid stays pre-filter exact (FLAT's choice).
+        # automatic pre-vs-inline planner (planner.cc:21-46): for a HYBRID
+        # query on an algo=hnsw field with an ANN artifact and NO explicit
+        # recall dial, estimate the filter's selectivity from a bounded
+        # prefix probe — selective filters pre-filter exactly, loose
+        # filters run the predicate inline inside probed IVF lists
+        if (parsed.knn is not None and ann_nprobe is None
+                and not parsed.knn.ef_runtime and not match_all):
+            fdef_v = schema.field(parsed.knn.attr)
+            ann = getattr(schema, "_ann", {}).get(fdef_v.attr)
+            if ann is not None and getattr(fdef_v, "algo", "flat") == "hnsw":
+                from ..plans.planner import (
+                    estimate_match_fraction, use_prefiltering,
+                )
+
+                frac = estimate_match_fraction(
+                    schema.indexed_df(), translator.translate(pred))
+                if not use_prefiltering(frac, "hnsw"):
+                    # default probe budget for the inline path: an eighth
+                    # of the lists (the EF_RUNTIME dial overrides this)
+                    ann_nprobe = max(1, ann.n_lists // 8)
+
         if (parsed.knn is not None and ann_nprobe is None
                 and parsed.knn.ef_runtime):
             # map the reference's recall dial onto ours: EF_RUNTIME is the
