@@ -1,0 +1,46 @@
+"""Deterministic splits and weighted corpus mixing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from valkey_search_spark.operators.sampling import mix_corpora, split_by_hash
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_split_by_hash_partitions_and_is_deterministic(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n = docs.count()
+    splits = split_by_hash(docs, "doc_id",
+                           {"train": 0.8, "val": 0.1, "test": 0.1})
+    sizes = {k: v.count() for k, v in splits.items()}
+    assert sum(sizes.values()) == n                  # exhaustive + disjoint
+    assert sizes["train"] > sizes["val"]
+    # disjoint
+    tv = splits["train"].select("doc_id").intersect(
+        splits["val"].select("doc_id")).count()
+    assert tv == 0
+    # deterministic across re-evaluation (the randomSplit failure mode)
+    again = split_by_hash(docs, "doc_id",
+                          {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert again["val"].select("doc_id").exceptAll(
+        splits["val"].select("doc_id")).count() == 0
+
+
+def test_split_fractions_validated(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    with pytest.raises(ValueError):
+        split_by_hash(docs, "doc_id", {"a": 0.5, "b": 0.2})
+
+
+def test_mix_corpora_proportions_and_provenance(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = docs.where("doc_id % 2 = 0")
+    b = docs.where("doc_id % 2 = 1")
+    out = mix_corpora([("even", a, 3.0), ("odd", b, 1.0)], total_rows=200)
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"even", "odd"}
+    # 3:1 target with Bernoulli-sample noise
+    ratio = counts["even"] / counts["odd"]
+    assert 1.8 <= ratio <= 5.0
