@@ -163,3 +163,32 @@ def test_ft_create_key_prefix_filters(spark):
     plan = e.ft_search("pfx", "*", limit=(0, 10))._jdf.queryExecution() \
             .executedPlan().toString()
     assert "StartsWith" in plan
+
+
+def test_withsortkeys_exposes_sort_value(eng):
+    """WITHSORTKEYS augments output with the sort-key value
+    (docs/commands/ft.search.md)."""
+    df = eng.ft_search("parts", "@p_brand:{Brand#13}", sortby="p_retailprice",
+                       withsortkeys=True, limit=(0, 5))
+    assert "__sortkey" in df.columns
+    rows = df.collect()
+    assert [r["__sortkey"] for r in rows] == sorted(
+        r["p_retailprice"] for r in rows)
+
+
+def test_on_json_default_reply_is_whole_document(spark):
+    """ON-JSON indexes with neither NOCONTENT nor RETURN reply with one
+    `$` pair holding the entire JSON document."""
+    import json as _json
+
+    from pyspark.sql import Row
+    from valkey_search_spark import SearchEngine, TagField
+
+    doc = {"cat": "x", "n": 1}
+    df = spark.createDataFrame([Row(k="a", body=_json.dumps(doc))])
+    e = SearchEngine(spark)
+    e.ft_create("jdef", df, [TagField("$.cat", alias="cat")],
+                key_column="k", on_json="body")
+    out = e.ft_search("jdef", "@cat:{x}", limit=(0, 5))
+    assert out.columns == ["__key", "$"]
+    assert _json.loads(out.first()["$"]) == doc

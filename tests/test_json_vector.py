@@ -74,23 +74,23 @@ def test_on_json_full_schema(spark):
         VectorField("$.vec", alias="vec", dim=4, metric="l2"),
     ], key_column="id", on_json="doc")
 
+    def ids(query, **kw):
+        # default ON-JSON reply carries only (__key, $) — key it
+        return {r["__key"] for r in e.ft_search("jdocs", query,
+                                                limit=(0, 10), **kw).collect()}
+
     # tag over JSONPath (comma-split like HASH tags)
-    assert {r["id"] for r in e.ft_search("jdocs", "@cat:{tech}",
-                                         limit=(0, 10)).collect()} == {"d1", "d3"}
+    assert ids("@cat:{tech}") == {"d1", "d3"}
     # numeric: JSON number AND numeric-string both parse; missing untracked
-    assert {r["id"] for r in e.ft_search("jdocs", "@score:[5 20]",
-                                         limit=(0, 10)).collect()} == {"d1", "d2"}
+    assert ids("@score:[5 20]") == {"d1", "d2"}
     # nested path
-    assert {r["id"] for r in e.ft_search("jdocs", "@deep:[42 42]",
-                                         limit=(0, 10)).collect()} == {"d1"}
-    # text with stemming over a JSONPath ("tables" -> stem matches "table"?
-    # corpus has "tables" literal) + fieldless
-    assert {r["id"] for r in e.ft_search("jdocs", "@body:vector",
-                                         limit=(0, 10)).collect()} == {"d1", "d3"}
+    assert ids("@deep:[42 42]") == {"d1"}
+    # text with stemming over a JSONPath + fieldless
+    assert ids("@body:vector") == {"d1", "d3"}
     # vector: lenient JSON text decode; "[bad]" -> untracked
     out = e.ft_search("jdocs", "*=>[KNN 2 @vec $q]",
                       params={"q": [1.0, 0.0, 0.0, 0.0]}, limit=(0, 2)).collect()
-    assert out[0]["id"] == "d1" and len(out) == 2
+    assert out[0]["__key"] == "d1" and len(out) == 2
 
 
 def test_on_json_requires_alias(spark):

@@ -130,6 +130,7 @@ class SearchEngine:
         ann_nprobe: int | None = None,
         dialect: int = 2,
         timeout_ms: int | None = None,
+        withsortkeys: bool = False,
         _observe_total=None,
     ):
         """Returns a DataFrame (or an int when ``count_only`` — the
@@ -206,7 +207,8 @@ class SearchEngine:
                     df = df.observe(_observe_total,
                                     F.count(F.lit(1)).alias("n"))
                 return self._finish(schema, df, parsed, sortby, sortby_desc,
-                                    limit, return_fields, nocontent)
+                                    limit, return_fields, nocontent,
+                                    withsortkeys=withsortkeys)
 
         df = schema.indexed_df()
         if not match_all:
@@ -226,11 +228,16 @@ class SearchEngine:
             df = df.observe(_observe_total, F.count(F.lit(1)).alias("n"))
         return self._finish(schema, df, parsed, sortby, sortby_desc, limit,
                             return_fields, nocontent,
-                            force_order=_observe_total is not None)
+                            force_order=_observe_total is not None,
+                            withsortkeys=withsortkeys)
 
     def _finish(self, schema, df, parsed, sortby, sortby_desc, limit,
-                return_fields, nocontent, force_order=False):
-        """Shared tail: SORTBY -> LIMIT -> RETURN projection."""
+                return_fields, nocontent, force_order=False,
+                withsortkeys=False):
+        """Shared tail: SORTBY -> LIMIT -> RETURN projection.
+        ``withsortkeys`` augments the output with the sort-key value as
+        ``__sortkey`` (docs/commands/ft.search.md WITHSORTKEYS)."""
+        sortkey_col = None
         if sortby is not None:
             fdef = schema.field(sortby)
             if isinstance(fdef, NumericField):
@@ -241,6 +248,10 @@ class SearchEngine:
                 col = F.lower(fdef.source(df).cast("string"))
             else:
                 col = F.col(fdef.name)
+            if withsortkeys:
+                df = df.withColumn("__sortkey", col)
+                sortkey_col = "__sortkey"
+                col = F.col("__sortkey")
             # missing values placed last (docs/commands/ft.search.md SORTBY)
             df = df.orderBy(col.desc_nulls_last() if sortby_desc else col.asc_nulls_last())
         elif parsed.knn is not None:
@@ -255,7 +266,8 @@ class SearchEngine:
             df = df.offset(off)
         df = df.limit(n)
         return self._project(schema, df, return_fields, nocontent,
-                             parsed.knn.score_alias() if parsed.knn else None)
+                             parsed.knn.score_alias() if parsed.knn else None,
+                             sortkey_col=sortkey_col)
 
     def ft_search_reply(self, index: str, query: str, params: dict | None = None,
                         limit: tuple[int, int] = (0, 10), **kw) -> list:
@@ -362,15 +374,28 @@ class SearchEngine:
         return df.orderBy(F.col(score).asc()).limit(knn.k)
 
     def _project(self, schema: IndexSchema, df: DataFrame,
-                 return_fields, nocontent: bool, score_col: str | None) -> DataFrame:
+                 return_fields, nocontent: bool, score_col: str | None,
+                 sortkey_col: str | None = None) -> DataFrame:
         if nocontent:
             return df.select("__key")
+        extra = [sortkey_col] if sortkey_col else []
         if return_fields is None:
-            cols = ["__key"] + [c for c in schema.doc_df.columns]
+            json_sources = [f.json_source for f in schema.fields
+                            if f.json_source]
+            if json_sources:
+                # ON-JSON default reply: one pair named `$` holding the
+                # whole JSON document (docs/commands/ft.search.md response)
+                cols = [F.col("__key"),
+                        F.col(json_sources[0]).cast("string").alias("$")]
+                cols += [F.col(c) for c in extra]
+                if score_col:
+                    cols.append(F.col(score_col))
+                return df.select(*cols)
+            cols = ["__key"] + [c for c in schema.doc_df.columns] + extra
             if score_col:
                 cols.append(score_col)
             return df.select(*cols)
-        out = [F.col("__key")]
+        out = [F.col("__key")] + [F.col(c) for c in extra]
         for rf in return_fields:
             if isinstance(rf, str):
                 rf = ReturnField(rf)
