@@ -5,8 +5,9 @@ The reference's multi-stage lifecycle (parse on main thread, predicate
 -> index-fetcher planning, reader-pool execution, content resolution —
 SURVEY.md §3.1) collapses here to: parse -> build plan -> Catalyst. Its
 planner heuristics (min-cardinality AND child, pre-filter-vs-inline KNN,
-/root/reference/src/query/planner.cc:21-46) are Catalyst's job; the one
-surviving choice — exact vs ANN vector path — lives in operators/knn.py.
+/root/reference/src/query/planner.cc:21-46) are mostly Catalyst's job;
+the one surviving custom decision — pre-filter exact vs inline-filtered
+ANN — lives in plans/planner.py and the chooser below.
 """
 
 from __future__ import annotations
@@ -150,16 +151,12 @@ class SearchEngine:
         match_all = isinstance(pred, MatchAll)
 
         # ANN planner (the reference's pre-filter vs inline-filter choice,
-        # /root/reference/src/query/planner.cc:21-46): with an IVF artifact
-        # and an explicit nprobe budget, match-all KNN probes the index, and
-        # a HYBRID query runs the predicate INSIDE the probed lists — the
-        # inline-filtering branch (search.cc:102-133 InlineVectorFilter).
-        # Without nprobe, hybrid stays pre-filter exact (FLAT's choice).
-        # automatic pre-vs-inline planner (planner.cc:21-46): for a HYBRID
-        # query on an algo=hnsw field with an ANN artifact and NO explicit
-        # recall dial, estimate the filter's selectivity from a bounded
-        # prefix probe — selective filters pre-filter exactly, loose
-        # filters run the predicate inline inside probed IVF lists
+        # planner.cc:21-46). Explicit dials (ann_nprobe / EF_RUNTIME) win;
+        # otherwise, for a HYBRID query on an algo=hnsw field with an
+        # artifact, estimate the filter's selectivity from a bounded prefix
+        # probe — selective filters pre-filter exactly, loose filters run
+        # the predicate INSIDE the probed IVF lists (the inline-filtering
+        # branch, search.cc:102-133 InlineVectorFilter).
         if (parsed.knn is not None and ann_nprobe is None
                 and not parsed.knn.ef_runtime and not match_all):
             fdef_v = schema.field(parsed.knn.attr)
