@@ -239,3 +239,22 @@ def test_min_max_polymorphic_compare(spark):
         "REDUCE MIN 1 @v AS lo REDUCE MAX 1 @v AS hi").collect()}
     assert out["a"] == ("9", "10")        # numeric ordering within tier
     assert out["b"] == ("2", "apple")     # numbers sort before words
+
+
+def test_aggregate_command_level_slop_inorder(spark):
+    """FT.AGGREGATE's search phase honors SLOP/INORDER exactly like
+    FT.SEARCH (ft.aggregate.md command options)."""
+    from pyspark.sql import Row
+    from valkey_search_spark import SearchEngine, TextField
+
+    df = spark.createDataFrame([
+        Row(k="adj", body="alpha beta"),
+        Row(k="far", body="alpha x1 x2 x3 x4 beta"),
+        Row(k="rev", body="beta alpha"),
+    ])
+    e = SearchEngine(spark)
+    e.ft_create("aggprox", df, [TextField("body")], key_column="k")
+    out = e.ft_aggregate("aggprox", "alpha beta",
+                         "GROUPBY 0 REDUCE COUNT 0 AS n",
+                         slop=0, inorder=True)
+    assert out.first()["n"] == 1.0       # only the adjacent in-order doc

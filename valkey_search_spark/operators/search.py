@@ -296,20 +296,28 @@ class SearchEngine:
         stages: str = "",
         params: dict | None = None,
         verbatim: bool = False,
+        slop: int | None = None,
+        inorder: bool = False,
+        dialect: int = 2,
+        timeout_ms: int | None = None,
     ) -> DataFrame:
-        """FT.AGGREGATE: search phase identical to FT.SEARCH, then the
-        stage pipeline folds the result frame
+        """FT.AGGREGATE: search phase identical to FT.SEARCH — including
+        command-level SLOP/INORDER/VERBATIM/DIALECT (ft.aggregate.md) —
+        then the stage pipeline folds the result frame
         (/root/reference/src/commands/ft_aggregate.cc:95-129, :348-364)."""
         from .aggregate import AggregateExecutor, parse_stages
 
+        if dialect not in (1, 2, 3, 4):
+            raise QuerySyntaxError(f"invalid DIALECT {dialect}")
         schema = self.catalog.get(index)
         parsed = parse_query(query, params)
+        pred = self._maybe_proximity(parsed, slop, inorder)
         df = schema.indexed_df()
-        if not isinstance(parsed.predicate, MatchAll):
+        if not isinstance(pred, MatchAll):
             df = _apply_predicate(
                 df, PredicateTranslator(schema, verbatim=verbatim,
                                         limits=self.limits),
-                parsed.predicate)
+                pred)
         score_col = None
         if parsed.knn is not None:
             df = self._knn(schema, df, parsed)
