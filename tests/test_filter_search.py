@@ -192,3 +192,40 @@ def test_on_json_default_reply_is_whole_document(spark):
     out = e.ft_search("jdef", "@cat:{x}", limit=(0, 5))
     assert out.columns == ["__key", "$"]
     assert _json.loads(out.first()["$"]) == doc
+
+
+def test_tag_separator_trim_fold_and_untracked(spark):
+    """TAG ingestion: separator split, whitespace trim, casefold, dedupe;
+    an EMPTY tag set is untracked (tag.cc:149-177, 166-170)."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([
+        Row(k=1, t="A; b ;c"), Row(k=2, t="b"), Row(k=3, t=" ; ;"),
+        Row(k=4, t=None),
+    ])
+    e = SearchEngine(spark)
+    e.ft_create("tagsep", df, [TagField("t", separator=";")], key_column="k")
+    got = {int(r["__key"]) for r in e.ft_search("tagsep", "@t:{b}",
+                                                limit=(0, 10)).collect()}
+    assert got == {1, 2}
+    # untracked rows (empty set / null) match the negation
+    neg = {int(r["__key"]) for r in e.ft_search("tagsep", "-@t:{b}",
+                                                limit=(0, 10)).collect()}
+    assert neg == {3, 4}
+
+
+def test_tag_casesensitive_matching(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(k=1, t="Red"), Row(k=2, t="red")])
+    e = SearchEngine(spark)
+    e.ft_create("tagcs", df, [TagField("t", casesensitive=True)],
+                key_column="k")
+    got = {int(r["__key"]) for r in e.ft_search("tagcs", "@t:{Red}",
+                                                limit=(0, 10)).collect()}
+    assert got == {1}
+    # default (insensitive) folds both sides
+    e.ft_create("tagci", df, [TagField("t")], key_column="k")
+    got2 = {int(r["__key"]) for r in e.ft_search("tagci", "@t:{RED}",
+                                                 limit=(0, 10)).collect()}
+    assert got2 == {1, 2}
