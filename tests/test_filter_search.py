@@ -229,3 +229,48 @@ def test_tag_casesensitive_matching(spark):
     got2 = {int(r["__key"]) for r in e.ft_search("tagci", "@t:{RED}",
                                                  limit=(0, 10)).collect()}
     assert got2 == {1, 2}
+
+
+def test_numeric_string_lenient_parse(spark):
+    """NUMERIC over string values: int/float/scientific/±inf accepted,
+    NaN and garbage -> untracked (search-data-formats.md:70-100)."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([
+        Row(k=1, v="42"), Row(k=2, v="4.2e1"), Row(k=3, v="inf"),
+        Row(k=4, v="-infinity"), Row(k=5, v="nan"), Row(k=6, v="abc"),
+    ])
+    e = SearchEngine(spark)
+    e.ft_create("numstr", df, [NumericField("v")], key_column="k")
+    got = {int(r["__key"]) for r in e.ft_search("numstr", "@v:[42 42]",
+                                                limit=(0, 10)).collect()}
+    assert got == {1, 2}
+    hi = {int(r["__key"]) for r in e.ft_search("numstr", "@v:[100 +inf]",
+                                               limit=(0, 10)).collect()}
+    assert hi == {3}
+    lo = {int(r["__key"]) for r in e.ft_search("numstr", "@v:[-inf (0]",
+                                               limit=(0, 10)).collect()}
+    assert lo == {4}
+    # untracked (nan/garbage) never match ranges, DO match negation
+    neg = {int(r["__key"]) for r in e.ft_search("numstr", "-@v:[42 42]",
+                                                limit=(0, 10)).collect()}
+    assert {5, 6} <= neg
+    # [-inf +inf] means tracked-for-field
+    trk = e.ft_search("numstr", "@v:[-inf +inf]", count_only=True)
+    assert trk == 4
+
+
+def test_nostem_field_matches_exact_tokens_only(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(k=1, body="table"), Row(k=2, body="tables")])
+    e = SearchEngine(spark)
+    e.ft_create("nostem_ix", df, [TextField("body", nostem=True)],
+                key_column="k")
+    got = {int(r["__key"]) for r in e.ft_search("nostem_ix", "tables",
+                                                limit=(0, 10)).collect()}
+    assert got == {2}              # no stem expansion on a NOSTEM field
+    e.ft_create("stem_ix", df, [TextField("body")], key_column="k")
+    both = {int(r["__key"]) for r in e.ft_search("stem_ix", "tables",
+                                                 limit=(0, 10)).collect()}
+    assert both == {1, 2}
