@@ -274,3 +274,25 @@ def test_nostem_field_matches_exact_tokens_only(spark):
     both = {int(r["__key"]) for r in e.ft_search("stem_ix", "tables",
                                                  limit=(0, 10)).collect()}
     assert both == {1, 2}
+
+
+def test_min_stem_size_gate(spark):
+    """Words shorter than MINSTEMSIZE are never stemmed
+    (search-data-formats.md:232): with min_stem_size=6, 'tables' (6 chars)
+    stems but 'table' (5) stays verbatim, so the two no longer co-match."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(k=1, body="table"), Row(k=2, body="tables")])
+    e = SearchEngine(spark)
+    e.ft_create("mss", df, [TextField("body", min_stem_size=6)], key_column="k")
+    # doc1 'table' (5 chars < 6) indexes verbatim as 'table'; doc2 'tables'
+    # (6 chars) indexes as stem 'tabl'; query 'tables' stems to 'tabl' and
+    # therefore reaches only doc2
+    got = {int(r["__key"]) for r in e.ft_search("mss", "tables",
+                                                limit=(0, 10)).collect()}
+    assert got == {2}
+
+
+def test_limit_offset_past_end(eng):
+    df = eng.ft_search("parts", "@p_brand:{Brand#13}", limit=(10_000, 5))
+    assert df.count() == 0
