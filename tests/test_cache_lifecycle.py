@@ -55,3 +55,28 @@ def test_catalog_drop_unpersists_index_cache(spark):
             break
         time.sleep(0.1)
     assert _n_cached(spark) == before
+
+
+def test_pipeline_propagates_minhash_handles(spark):
+    """curate_documents consumes minhash_lsh_pairs; the pairs frame's
+    persisted handles must ride on the returned clean frame so a
+    long-lived session can release() them (the leak class _with_handles
+    exists to prevent)."""
+    from valkey_search_spark.operators import dedup as dd
+    from valkey_search_spark.operators.pipeline import (
+        CurationConfig, curate_documents,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    clean, _ = curate_documents(
+        docs, config=CurationConfig(min_quality=0.0, min_tokens=0,
+                                    near_dup_threshold=0.8),
+        with_funnel=False)
+    handles = getattr(clean, "_vss_cached", [])
+    assert handles, "minhash persist handles must propagate to clean_df"
+    clean.count()
+    assert any(c.storageLevel.useMemory or c.storageLevel.useDisk
+               for c in handles)
+    dd.release(clean)
+    assert all(not (c.storageLevel.useMemory or c.storageLevel.useDisk)
+               for c in handles)

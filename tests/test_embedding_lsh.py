@@ -80,3 +80,30 @@ def test_release_unpersists(spark):
     assert getattr(out, "_vss_cached")
     dd.release(out, blocking=True)
     assert not out._vss_cached
+
+
+def test_auto_params_endpoint_thresholds_do_not_crash():
+    """threshold=1.0 gives collision prob p=1.0 and -1.0 gives p=0.0;
+    both previously blew up in log() — the clamp keeps them finite and
+    embedding_cosine_pairs(threshold=1.0) stays callable (it calls
+    auto_lsh_params unconditionally, even when exact or lsh_planes is
+    forced)."""
+    k1, l1 = dd.auto_lsh_params(1.0)
+    assert 1 <= k1 <= 24 and 1 <= l1 <= 64
+    k0, l0 = dd.auto_lsh_params(-1.0)
+    assert 1 <= k0 <= 24 and 1 <= l0 <= 64
+    assert dd.auto_lsh_params(0.0)  # midpoint still fine
+
+
+def test_find_exact_duplicates_threshold_one(spark):
+    """End-to-end: a find-exact-duplicates threshold of 1.0 runs (the
+    round-2 code raised ZeroDivisionError before any job started)."""
+    from pyspark.sql import Row
+
+    rows = [Row(k=1, v=[1.0, 0.0]), Row(k=2, v=[1.0, 0.0]),
+            Row(k=3, v=[0.0, 1.0])]
+    df = spark.createDataFrame(rows)
+    out = dd.embedding_cosine_pairs(df, "k", vec_col="v", threshold=1.0)
+    pairs = {(r.a, r.b) for r in out.collect()}
+    assert pairs == {(1, 2)}
+    dd.release(out)

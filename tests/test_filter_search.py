@@ -296,3 +296,43 @@ def test_min_stem_size_gate(spark):
 def test_limit_offset_past_end(eng):
     df = eng.ft_search("parts", "@p_brand:{Brand#13}", limit=(10_000, 5))
     assert df.count() == 0
+
+
+def test_stopword_term_dropped_not_false(eng):
+    """A stopword query term is SKIPPED at parse, not matched
+    (filter_parser.cc:766-768): 'the' is never indexed, so requiring it
+    would return zero rows; the reference instead drops the term and
+    matches on the rest."""
+    n_with = eng.ft_search("parts", "the widget", count_only=True)
+    n_plain = eng.ft_search("parts", "widget", count_only=True)
+    assert n_with == n_plain > 0
+    # stopword beside a non-text predicate also vanishes
+    n_tag = eng.ft_search("parts", "the @p_brand:{Brand#13}", count_only=True)
+    assert n_tag == eng.ft_search("parts", "@p_brand:{Brand#13}",
+                                  count_only=True) > 0
+
+
+def test_all_stopword_query_is_syntax_error(eng):
+    """A query reduced entirely to dropped terms has no effective
+    operations -> 'Invalid Query Syntax' (filter_parser.cc:891-893)."""
+    from valkey_search_spark import QuerySyntaxError
+
+    for q in ("the", "the and of", '"the of"'):
+        with pytest.raises(QuerySyntaxError):
+            eng.ft_search("parts", q, count_only=True)
+
+
+def test_stopword_dropped_inside_or_and_not(eng):
+    """Dropped children vanish from OR groups; a NOT over a dropped child
+    is itself dropped (null predicate skip at parse time)."""
+    n_or = eng.ft_search("parts", "@p_name:(the|widget)", count_only=True)
+    assert n_or == eng.ft_search("parts", "@p_name:widget", count_only=True) > 0
+    n_not = eng.ft_search("parts", "-the widget", count_only=True)
+    assert n_not == eng.ft_search("parts", "widget", count_only=True)
+
+
+def test_phrase_stopwords_filtered_but_kept_words_match(eng):
+    """'the large bolt' as a phrase drops 'the' and matches 'large bolt'
+    at consecutive post-removal positions."""
+    n = eng.ft_search("parts", '"the large bolt"', count_only=True)
+    assert n == eng.ft_search("parts", '"large bolt"', count_only=True) > 0

@@ -126,3 +126,22 @@ def test_on_json_aggregate_load_and_groupby(spark):
     out = {r["cat"]: r["n"] for r in e.ft_aggregate(
         "jagg", "*", "GROUPBY 1 @cat REDUCE COUNT 0 AS n").collect()}
     assert out == {"news,tech": 1.0, "sports": 1.0, "tech": 1.0}
+
+
+def test_on_json_sortby_text_field(spark):
+    """SORTBY on an ON-JSON TEXT field resolves through fdef.source —
+    '$.body' is a JSONPath identifier, not a column name (round-2 ADVICE:
+    F.col('$.body') raised AnalysisException)."""
+    e = SearchEngine(spark)
+    e.ft_create("jsort", _json_docs(spark), [
+        TextField("$.body", alias="body"),
+        TagField("$.cat", alias="cat", casesensitive=True),
+    ], key_column="id", on_json="doc")
+    got = [r["__key"] for r in
+           e.ft_search("jsort", "*", sortby="body", limit=(0, 10)).collect()]
+    # bodies sort: 'fast...'(d1) < 'slow...'(d2) < 'vector...'(d3)
+    assert got == ["d1", "d2", "d3"]
+    # case-sensitive TAG sortby also goes through source()
+    got_tag = [r["__key"] for r in
+               e.ft_search("jsort", "*", sortby="cat", limit=(0, 10)).collect()]
+    assert got_tag == ["d1", "d2", "d3"]  # 'news,tech' < 'sports' < 'tech'

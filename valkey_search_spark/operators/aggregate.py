@@ -379,6 +379,14 @@ class AggregateExecutor:
             # sort before non-convertible ones (ASCII puts digits before
             # letters, so the tiers agree with the reference's pairwise
             # fold on realistic data), then bytewise within the text tier.
+            # Known divergence (accepted): ASCII also has punctuation
+            # BELOW '0', so for {"!a", "5"} the reference's bytewise
+            # pairwise compare gives MIN="!a" while the tiering yields
+            # "5" — any value that parses as a number outranks every
+            # non-numeric string, including punctuation-leading ones.
+            # The reference's own result is iteration-order-dependent for
+            # mixed groups (pairwise fold, value.cc:271-319), so there is
+            # no stable oracle to match beyond the numeric/text split.
             if t.kind == NUM:
                 col = to_num(t)
                 return (F.min(col) if f == "MIN" else F.max(col)), NUM

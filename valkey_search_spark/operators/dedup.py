@@ -362,6 +362,11 @@ def auto_lsh_params(threshold: float) -> tuple[int, int]:
     threshold sits in the bulk of random similarity, which the exact
     verify step absorbs (correctness never depends on the s-curve)."""
     p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    # clamp away the endpoints: threshold=1.0 gives p=1.0 (log 0 division)
+    # and threshold=-1.0 gives p=0.0 (log domain error); the clamped value
+    # degenerates to (k=24, L=1), a fine "everything collides only when
+    # identical" regime for exact-duplicate thresholds
+    p = min(max(p, 1e-9), 1.0 - 1e-9)
     k = max(1, min(24, round(math.log(0.2) / math.log(p))))
     per_table = p ** k
     tables = max(1, min(64, math.ceil(math.log(1e-4) / math.log(1.0 - per_table))))

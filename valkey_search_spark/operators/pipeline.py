@@ -78,6 +78,11 @@ def curate_documents(df: DataFrame, key: str = "doc_id",
 
     clean = (flagged.where(F.col("__keep"))
              .drop("__gate", "__rep", "__loser", "__keep"))
+    if cfg.near_dup_threshold is not None:
+        # the minhash pairs frame carries persisted-RDD handles; clean's
+        # plan references them, so hand them to the caller for release()
+        # instead of leaking them in long-lived sessions
+        clean._vss_cached = getattr(pairs, "_vss_cached", [])
 
     funnel = None
     if with_funnel:

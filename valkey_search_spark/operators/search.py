@@ -244,7 +244,10 @@ class SearchEngine:
                 # source string (the reference sorts indexed values)
                 col = F.lower(fdef.source(df).cast("string"))
             else:
-                col = F.col(fdef.name)
+                # fdef.source resolves ON-JSON identifiers (JSONPath like
+                # `$.title` is not a column name) the same way projection
+                # does; for ON-HASH it is the plain column
+                col = fdef.source(df).cast("string")
             if withsortkeys:
                 df = df.withColumn("__sortkey", col)
                 sortkey_col = "__sortkey"

@@ -212,7 +212,12 @@ class PredicateTranslator:
         match the negation (/root/reference/src/query/predicate.h:113,
         untracked-key complement numeric.h:128) — so only NOT coalesces.
         No top-level coalesce: Filter already treats NULL as false, and
-        wrapping would block parquet pushdown of the whole conjunction."""
+        wrapping would block parquet pushdown of the whole conjunction.
+
+        Stopword-only / empty TERMs are DROPPED from the tree, not matched
+        as false (filter_parser.cc:766-768 returns a null predicate that
+        the parse loop skips); a query that reduces to nothing is a syntax
+        error (filter_parser.cc:891-893 "Invalid Query Syntax")."""
         return self._tr(p)
 
     def translate_staged(self, p: Predicate):
@@ -230,17 +235,25 @@ class PredicateTranslator:
             return self._tr(p), None
         jvm_parts: list[Column] = []
         udf_parts: list[Column] = []
+        dropped_all = True
         for c in conjuncts:
             if isinstance(c, Proximity):
                 guard = self._proximity_guard(c)
                 if guard is not None:
                     jvm_parts.append(guard)
                 udf_parts.append(self._proximity(c))
+                dropped_all = False
             elif isinstance(c, TextPred) and c.kind == FUZZY:
                 jvm_parts.append(self._fuzzy_guard(c))
                 udf_parts.append(self._text(c))
+                dropped_all = False
             else:
-                jvm_parts.append(self._tr(c))
+                col = self._tr_opt(c)
+                if col is not None:
+                    jvm_parts.append(col)
+                    dropped_all = False
+        if dropped_all:
+            raise QuerySyntaxError("Invalid Query Syntax")
         jvm = None
         for part in jvm_parts:
             jvm = part if jvm is None else jvm & part
@@ -308,21 +321,45 @@ class PredicateTranslator:
         return F.coalesce(out, F.lit(False))
 
     def _tr(self, p: Predicate) -> Column:
+        col = self._tr_opt(p)
+        if col is None:
+            # every leaf was a dropped stopword/empty term: the reference
+            # rejects a query with no effective operations
+            # (filter_parser.cc:891-893)
+            raise QuerySyntaxError("Invalid Query Syntax")
+        return col
+
+    def _tr_opt(self, p: Predicate) -> Column | None:
+        """Translate, or return None when the node is DROPPED (stopword-only
+        text, matching the reference's null-predicate skip). And/Or simply
+        lose the dropped child; a Not over a dropped child is itself
+        dropped."""
         if isinstance(p, MatchAll):
             return F.lit(True)
         if isinstance(p, And):
-            col = self._tr(p.children[0])
-            for c in p.children[1:]:
-                col = col & self._tr(c)
+            cols = [c for c in (self._tr_opt(ch) for ch in p.children)
+                    if c is not None]
+            if not cols:
+                return None
+            col = cols[0]
+            for c in cols[1:]:
+                col = col & c
             return col
         if isinstance(p, Or):
-            col = self._tr(p.children[0])
-            for c in p.children[1:]:
-                col = col | self._tr(c)
+            cols = [c for c in (self._tr_opt(ch) for ch in p.children)
+                    if c is not None]
+            if not cols:
+                return None
+            col = cols[0]
+            for c in cols[1:]:
+                col = col | c
             return col
         if isinstance(p, Not):
+            child = self._tr_opt(p.child)
+            if child is None:
+                return None
             # missing-field-matches: NULL child -> false -> negation true
-            return ~F.coalesce(self._tr(p.child), F.lit(False))
+            return ~F.coalesce(child, F.lit(False))
         if isinstance(p, TagPred):
             return self._tag(p)
         if isinstance(p, NumericPred):
@@ -384,23 +421,31 @@ class PredicateTranslator:
             raise QuerySyntaxError("fieldless text query but index has no TEXT fields")
         return fields
 
-    def _text(self, p: TextPred) -> Column:
-        conds = [self._text_one(f, p) for f in self._text_attrs(p.attr)]
+    def _text(self, p: TextPred) -> Column | None:
+        conds = [c for c in (self._text_one(f, p)
+                             for f in self._text_attrs(p.attr))
+                 if c is not None]
+        if not conds:
+            return None  # stopword-only term on every target field: dropped
         out = conds[0]
         for c in conds[1:]:
             out = out | c
         return F.coalesce(out, F.lit(False))
 
-    def _text_one(self, fdef: TextField, p: TextPred) -> Column:
+    def _text_one(self, fdef: TextField, p: TextPred) -> Column | None:
         toks = F.col(text_col(fdef.attr))
         w = p.value
         if p.kind == TERM:
             # lex the term with the field's punctuation set, exactly like
             # ingest (filter_parser.cc:597-616 uses the schema lexer):
-            # "hello,world" becomes two tokens, "don't" -> [don, t]
-            qtoks = lex_query_text(w, fdef.punctuation)
+            # "hello,world" becomes two tokens, "don't" -> [don, t].
+            # Stopword and empty tokens are skipped, not matched
+            # (filter_parser.cc:766-768): "the" alone never reaches the
+            # index, so the term contributes nothing to the tree.
+            qtoks = [t for t in lex_query_text(w, fdef.punctuation)
+                     if t not in fdef.stopwords]
             if not qtoks:
-                return F.lit(False)
+                return None
             conds = [self._term_cond(fdef, qt, p) for qt in qtoks]
             out = conds[0]
             for c in conds[1:]:
@@ -443,7 +488,7 @@ class PredicateTranslator:
         qstem = stem_query_term(w, fdef.min_stem_size)
         return F.array_contains(F.col(stem_col(fdef.attr)), qstem)
 
-    def _phrase(self, fdef: TextField, words: list[str]) -> Column:
+    def _phrase(self, fdef: TextField, words: list[str]) -> Column | None:
         """Exact phrase: the query's non-stop words at consecutive
         post-removal positions (positions skip removed stop words,
         docs/topics/search-data-formats.md; no stemming inside quotes,
@@ -455,7 +500,7 @@ class PredicateTranslator:
         kept = [wd for wd in lexed if wd not in fdef.stopwords]
         offs = list(zip(kept, range(len(kept))))
         if not offs:
-            return F.lit(False)
+            return None  # every phrase word was a stopword: dropped, like TERM
         w0, o0 = offs[0]
 
         def follower(word: str, delta: int, anchor_pos):
