@@ -318,22 +318,41 @@ def simhash_col(text_col, bits: int = 64):
 
 
 def simhash_pairs(df: DataFrame, key: str, text_col: str = "text",
-                  max_hamming: int = 3, bands: int = 4) -> DataFrame:
+                  max_hamming: int = 3, bands: int | None = None) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit code into ``bands`` chunks
-    (pigeonhole: hamming<=bands-1 guarantees a shared chunk), equi-join on
-    (band, chunk), verify exact Hamming distance via bit_count(xor)."""
+    (pigeonhole: hamming <= bands-1 guarantees a shared chunk), equi-join on
+    (band, chunk), verify exact Hamming distance via bit_count(xor).
+
+    Candidate generation must never lose a qualifying pair (the recall
+    contract HNSW candidate expansion honors in the reference,
+    src/indexes/vector_hnsw.cc:315-340), so the pigeonhole precondition is
+    enforced: ``bands`` defaults to ``max_hamming + 1`` and an explicit
+    ``bands <= max_hamming`` raises instead of silently under-recalling.
+    The 64 bits are split as evenly as possible (e.g. 7 bands = widths
+    10,9,9,...) so every band position is covered."""
+    if bands is None:
+        bands = max_hamming + 1
+    if not 1 <= bands <= 64:
+        raise ValueError(f"bands must be in [1, 64], got {bands}")
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands={bands} cannot guarantee recall for max_hamming="
+            f"{max_hamming}: a pair differing in {max_hamming} bits is only"
+            f" sure to share a chunk when bands > max_hamming")
     staged = _staged_tokens(df, key, text_col)
     hashes = F.transform(F.col("__toks"), lambda t: F.xxhash64(t))
     coded = staged.select("k", _simhash_pack(hashes).alias("code")).where(
         F.col("code").isNotNull())
-    width = 64 // bands
+    base_w, extra = divmod(64, bands)
+    widths = [base_w + (1 if b < extra else 0) for b in range(bands)]
+    offsets = [sum(widths[:b]) for b in range(bands)]
     banded = coded.select(
         "k", "code",
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftright(F.col("code"), b * width)
-                 .bitwiseAND(F.lit((1 << width) - 1)).alias("chunk"))
+                F.shiftright(F.col("code"), offsets[b])
+                 .bitwiseAND(F.lit((1 << widths[b]) - 1)).alias("chunk"))
             for b in range(bands)
         ])).alias("bc"),
     ).select("k", "code", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
