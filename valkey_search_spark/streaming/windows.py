@@ -13,6 +13,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _watermarkable(df: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP (with local-tz semantics); parquet
+    written without isAdjustedToUTC infers TIMESTAMP_NTZ under Spark 4, so
+    cast the event-time column when needed (wall-clock values unchanged —
+    interpreted in the session timezone)."""
+    dt = dict(df.dtypes).get(ts_col)
+    if dt == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def windowed_event_counts(df: DataFrame, ts_col: str = "ts",
                           window: str = "1 hour",
                           slide: str | None = None,
@@ -28,7 +39,7 @@ def windowed_event_counts(df: DataFrame, ts_col: str = "ts",
     a no-op), which is how the oracle checks it.
     """
     if df.isStreaming and watermark:
-        df = df.withWatermark(ts_col, watermark)
+        df = _watermarkable(df, ts_col).withWatermark(ts_col, watermark)
     win = (F.window(F.col(ts_col), window, slide) if slide
            else F.window(F.col(ts_col), window))
     aggs = [F.count(F.lit(1)).alias("n")]
@@ -49,7 +60,7 @@ def sessionized_counts(df: DataFrame, ts_col: str = "ts",
     """Session windows: events within ``gap`` of each other merge into one
     session per group (F.session_window — state machine handled by Spark)."""
     if df.isStreaming and watermark:
-        df = df.withWatermark(ts_col, watermark)
+        df = _watermarkable(df, ts_col).withWatermark(ts_col, watermark)
     win = F.session_window(F.col(ts_col), gap)
     return (df.groupBy(win.alias("w"), *[F.col(c) for c in group_cols])
               .agg(F.count(F.lit(1)).alias("n"))
@@ -66,6 +77,6 @@ def first_seen_dedup_stream(df: DataFrame, key_expr, ts_col: str = "ts",
     dropDuplicates."""
     out = df.withColumn("__fp", key_expr)
     if out.isStreaming:
-        out = out.withWatermark(ts_col, watermark)
+        out = _watermarkable(out, ts_col).withWatermark(ts_col, watermark)
         return out.dropDuplicatesWithinWatermark(["__fp"]).drop("__fp")
     return out.dropDuplicates(["__fp"]).drop("__fp")
