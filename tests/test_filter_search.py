@@ -302,37 +302,59 @@ def test_stopword_term_dropped_not_false(eng):
     """A stopword query term is SKIPPED at parse, not matched
     (filter_parser.cc:766-768): 'the' is never indexed, so requiring it
     would return zero rows; the reference instead drops the term and
-    matches on the rest."""
+    matches on the rest of the same text run."""
     n_with = eng.ft_search("parts", "the widget", count_only=True)
     n_plain = eng.ft_search("parts", "widget", count_only=True)
     assert n_with == n_plain > 0
-    # stopword beside a non-text predicate also vanishes
-    n_tag = eng.ft_search("parts", "the @p_brand:{Brand#13}", count_only=True)
-    assert n_tag == eng.ft_search("parts", "@p_brand:{Brand#13}",
-                                  count_only=True) > 0
+
+
+def test_stopword_position_dependent_syntax_error(eng):
+    """The reference's 'Invalid Query Syntax' is position-dependent: it
+    fires when a text run drops ALL its terms while query_operations_ is
+    still kNone (filter_parser.cc:891-893), so 'the @tag' ERRORS (the tag
+    op is recorded only later at :373) while '@tag the' succeeds."""
+    from valkey_search_spark import QuerySyntaxError
+
+    with pytest.raises(QuerySyntaxError):
+        eng.ft_search("parts", "the @p_brand:{Brand#13}", count_only=True)
+    n_after = eng.ft_search("parts", "@p_brand:{Brand#13} the",
+                            count_only=True)
+    assert n_after == eng.ft_search("parts", "@p_brand:{Brand#13}",
+                                    count_only=True) > 0
 
 
 def test_all_stopword_query_is_syntax_error(eng):
     """A query reduced entirely to dropped terms has no effective
-    operations -> 'Invalid Query Syntax' (filter_parser.cc:891-893)."""
+    operations -> 'Invalid Query Syntax' (filter_parser.cc:891-893).
+    Quoted phrases are NOT dropped (no IsStopWord check in
+    ParseQuotedTextToken) — '"the of"' is a valid query, tested below."""
     from valkey_search_spark import QuerySyntaxError
 
-    for q in ("the", "the and of", '"the of"'):
+    for q in ("the", "the and of"):
         with pytest.raises(QuerySyntaxError):
             eng.ft_search("parts", q, count_only=True)
 
 
-def test_stopword_dropped_inside_or_and_not(eng):
-    """Dropped children vanish from OR groups; a NOT over a dropped child
-    is itself dropped (null predicate skip at parse time)."""
+def test_stopword_dropped_inside_or_and_negate_transfers(eng):
+    """Dropped children vanish from OR groups; a pending '-' attaches to
+    the NEXT surviving term of the same text run (filter_parser.cc:951
+    consumes '-' before ParseTextTokens, which skips the stopword), so
+    '-the widget' is NOT(widget) — the complement set."""
     n_or = eng.ft_search("parts", "@p_name:(the|widget)", count_only=True)
     assert n_or == eng.ft_search("parts", "@p_name:widget", count_only=True) > 0
     n_not = eng.ft_search("parts", "-the widget", count_only=True)
-    assert n_not == eng.ft_search("parts", "widget", count_only=True)
+    n_widget = eng.ft_search("parts", "widget", count_only=True)
+    n_total = eng.ft_search("parts", "*", count_only=True)
+    assert 0 < n_not == n_total - n_widget
+    assert n_not == eng.ft_search("parts", "-widget", count_only=True)
 
 
-def test_phrase_stopwords_filtered_but_kept_words_match(eng):
-    """'the large bolt' as a phrase drops 'the' and matches 'large bolt'
-    at consecutive post-removal positions."""
-    n = eng.ft_search("parts", '"the large bolt"', count_only=True)
-    assert n == eng.ft_search("parts", '"large bolt"', count_only=True) > 0
+def test_phrase_with_stopword_is_valid_but_matches_nothing(eng):
+    """Quoted tokens are not stopword-filtered (ParseQuotedTextToken,
+    filter_parser.cc:594-625), and stopwords are never indexed
+    (lexer.cc:148): a phrase containing one is a VALID query returning 0
+    rows — '"the large bolt"' does NOT fall back to matching 'large
+    bolt'."""
+    assert eng.ft_search("parts", '"the of"', count_only=True) == 0
+    assert eng.ft_search("parts", '"the large bolt"', count_only=True) == 0
+    assert eng.ft_search("parts", '"large bolt"', count_only=True) > 0

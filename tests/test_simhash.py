@@ -102,3 +102,22 @@ def test_explicit_wider_banding_still_exact(spark):
     b = {(r["a"], r["b"]) for r in
          dd.simhash_pairs(docs, "doc_id", max_hamming=3, bands=8).collect()}
     assert a == b
+
+
+def test_max_hamming_zero_single_band(spark):
+    """max_hamming=0 -> bands=1 -> one width-64 chunk (the code itself);
+    the naive (1 << 64) - 1 mask would overflow LongType and fail
+    analysis. Pairs are exactly the identical-code pairs."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = {(r["a"], r["b"]): r["hamming"] for r in
+           dd.simhash_pairs(docs, "doc_id", max_hamming=0).collect()}
+    assert all(h == 0 for h in got.values())
+    # ground truth: collect codes, identical-code pairs
+    coded = dd.simhash_col(F.col("text"))
+    rows = docs.select(F.col("doc_id").alias("k"), coded.alias("code")).collect()
+    by_code = {}
+    for r in rows:
+        by_code.setdefault(r["code"], []).append(r["k"])
+    want = {(a, b) for ks in by_code.values() for i, a in enumerate(sorted(ks))
+            for b in sorted(ks)[i + 1:]}
+    assert set(got) == want and want  # planted dups guarantee non-empty

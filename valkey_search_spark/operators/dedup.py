@@ -346,13 +346,19 @@ def simhash_pairs(df: DataFrame, key: str, text_col: str = "text",
     base_w, extra = divmod(64, bands)
     widths = [base_w + (1 if b < extra else 0) for b in range(bands)]
     offsets = [sum(widths[:b]) for b in range(bands)]
+
+    def _chunk(b: int):
+        # width 64 (bands=1, i.e. max_hamming=0): the chunk IS the code —
+        # (1 << 64) - 1 would overflow LongType and fail analysis
+        if widths[b] == 64:
+            return F.col("code").alias("chunk")
+        return (F.shiftright(F.col("code"), offsets[b])
+                .bitwiseAND(F.lit((1 << widths[b]) - 1)).alias("chunk"))
+
     banded = coded.select(
         "k", "code",
         F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftright(F.col("code"), offsets[b])
-                 .bitwiseAND(F.lit((1 << widths[b]) - 1)).alias("chunk"))
+            F.struct(F.lit(b).alias("band"), _chunk(b))
             for b in range(bands)
         ])).alias("bc"),
     ).select("k", "code", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))

@@ -145,9 +145,13 @@ class SearchEngine:
             raise QuerySyntaxError(f"invalid DIALECT {dialect}")
         schema = self.catalog.get(index)
         parsed = parse_query(query, params)
-        pred = self._maybe_proximity(parsed, slop, inorder)
         translator = PredicateTranslator(schema, verbatim=verbatim,
                                          limits=self.limits)
+        # stopword pass BEFORE the SLOP/INORDER upgrade: a dropped term must
+        # not become a proximity slot (the reference drops it at parse, so
+        # proximity spans only the surviving terms)
+        parsed.predicate = translator.preprocess(parsed.predicate)
+        pred = self._maybe_proximity(parsed, slop, inorder)
         match_all = isinstance(pred, MatchAll)
 
         # ANN planner (the reference's pre-filter vs inline-filter choice,
@@ -314,13 +318,13 @@ class SearchEngine:
             raise QuerySyntaxError(f"invalid DIALECT {dialect}")
         schema = self.catalog.get(index)
         parsed = parse_query(query, params)
+        translator = PredicateTranslator(schema, verbatim=verbatim,
+                                         limits=self.limits)
+        parsed.predicate = translator.preprocess(parsed.predicate)
         pred = self._maybe_proximity(parsed, slop, inorder)
         df = schema.indexed_df()
         if not isinstance(pred, MatchAll):
-            df = _apply_predicate(
-                df, PredicateTranslator(schema, verbatim=verbatim,
-                                        limits=self.limits),
-                pred)
+            df = _apply_predicate(df, translator, pred)
         score_col = None
         if parsed.knn is not None:
             df = self._knn(schema, df, parsed)

@@ -218,7 +218,133 @@ class PredicateTranslator:
         as false (filter_parser.cc:766-768 returns a null predicate that
         the parse loop skips); a query that reduces to nothing is a syntax
         error (filter_parser.cc:891-893 "Invalid Query Syntax")."""
-        return self._tr(p)
+        return self._tr(self.preprocess(p))
+
+    # -- parse-order stopword pass ----------------------------------------
+    def preprocess(self, p: Predicate) -> Predicate:
+        """Schema-aware rewrite mirroring the reference parse loop's
+        stopword handling, in parse order:
+
+        - A run of consecutive same-field text units is one
+          ``ParseTextTokens`` call: stopword-only terms inside it are
+          skipped (filter_parser.cc:766-768) and a pending ``-``
+          (consumed in the parse loop at :951 before the call) negates the
+          FIRST surviving term of the run, so ``-the widget`` parses as
+          NOT(widget), not NOT(the)&widget.
+        - A run that drops ALL its terms while no effective operation has
+          been recorded yet raises "Invalid Query Syntax"
+          (filter_parser.cc:891-893, query_operations_ still kNone):
+          ``the @p:{x}`` errors, ``@p:{x} the`` succeeds. Inside OR
+          alternatives drops are silent — ``the|widget`` stays one run.
+
+        Idempotent: a preprocessed tree has no droppable units left, so
+        callers may preprocess early (e.g. before SLOP/INORDER upgrades)
+        and ``translate`` re-runs it harmlessly."""
+        ops = [0]
+        out = self._pp_and([p], ops, silent=False)
+        if out is None:
+            raise QuerySyntaxError("Invalid Query Syntax")
+        return out
+
+    def _unit_drops(self, p: Predicate) -> bool:
+        """True when a text unit vanishes at parse time on EVERY target
+        field: a TERM lexing to only stopwords, or a phrase lexing to
+        nothing at all. Quoted phrases with surviving tokens are NOT
+        stopword-filtered (ParseQuotedTextToken, filter_parser.cc:594-625)
+        — they stay in the tree and match zero rows (see ``_phrase``)."""
+        if not isinstance(p, TextPred):
+            return False
+        try:
+            fields = self._text_attrs(p.attr)
+        except QuerySyntaxError:
+            return False  # wrong-type field errors surface in translation
+        if p.kind == TERM:
+            return all(
+                not [t for t in lex_query_text(p.value, f.punctuation)
+                     if t not in f.stopwords]
+                for f in fields)
+        if p.kind == PHRASE:
+            return all(
+                not [t for wd in p.words
+                     for t in lex_query_text(wd, f.punctuation)]
+                for f in fields)
+        return False
+
+    def _pp(self, p: Predicate, ops: list[int], silent: bool):
+        if isinstance(p, And):
+            return self._pp_and(p.children, ops, silent)
+        if isinstance(p, Or):
+            kids = [k for k in (self._pp(c, ops, True) for c in p.children)
+                    if k is not None]
+            if not kids:
+                return None
+            return kids[0] if len(kids) == 1 else Or(kids)
+        if isinstance(p, Not):
+            inner = self._pp(p.child, ops, True)
+            return None if inner is None else Not(inner)
+        if isinstance(p, TextPred):
+            if self._unit_drops(p):
+                return None
+            ops[0] += 1
+            return p
+        ops[0] += 1  # tag / numeric / match-all / proximity: recorded op
+        return p
+
+    def _pp_and(self, children, ops: list[int], silent: bool):
+        out: list[Predicate] = []
+        in_run = False          # inside a consecutive same-field text run
+        run_attr: str | None = None
+        run_survived = False
+        run_had_drop = False
+        pending_negate = False
+
+        def close_run():
+            nonlocal in_run, run_survived, run_had_drop, pending_negate
+            if (in_run and run_had_drop and not run_survived
+                    and not silent and ops[0] == 0):
+                raise QuerySyntaxError("Invalid Query Syntax")
+            in_run = run_survived = run_had_drop = pending_negate = False
+
+        def run_term(t: TextPred, negated: bool):
+            nonlocal run_survived, run_had_drop, pending_negate
+            if self._unit_drops(t):
+                run_had_drop = True
+                pending_negate = pending_negate or negated
+                return
+            if negated or pending_negate:
+                out.append(Not(t))
+            else:
+                out.append(t)
+            pending_negate = False
+            run_survived = True
+            ops[0] += 1
+
+        for ch in children:
+            is_text = isinstance(ch, TextPred)
+            is_neg_text = isinstance(ch, Not) and isinstance(ch.child, TextPred)
+            attr = (ch.attr if is_text
+                    else ch.child.attr if is_neg_text else None)
+            if is_neg_text:
+                close_run()  # '-' is consumed in the parse loop: new run
+                in_run, run_attr = True, attr
+                run_term(ch.child, negated=True)
+            elif is_text:
+                if not in_run or attr != run_attr:
+                    close_run()
+                    in_run, run_attr = True, attr
+                run_term(ch, negated=False)
+            else:
+                close_run()
+                k = self._pp(ch, ops, silent)
+                if k is None:
+                    if not silent and ops[0] == 0:
+                        raise QuerySyntaxError("Invalid Query Syntax")
+                else:
+                    out.append(k)
+        close_run()
+        if not out:
+            return None
+        return out[0] if len(out) == 1 else And(out)
 
     def translate_staged(self, p: Predicate):
         """(jvm_col | None, udf_col | None): split the predicate so
@@ -230,6 +356,7 @@ class PredicateTranslator:
         parts as separate filters with a barrier in between. Split only
         happens for top-level AND conjuncts (and bare leaves); any
         Python-backed leaf under OR/NOT falls back to the combined column."""
+        p = self.preprocess(p)
         conjuncts = p.children if isinstance(p, And) else [p]
         if isinstance(p, (Or, Not)):
             return self._tr(p), None
@@ -489,18 +616,25 @@ class PredicateTranslator:
         return F.array_contains(F.col(stem_col(fdef.attr)), qstem)
 
     def _phrase(self, fdef: TextField, words: list[str]) -> Column | None:
-        """Exact phrase: the query's non-stop words at consecutive
-        post-removal positions (positions skip removed stop words,
+        """Exact phrase: the query's words at consecutive post-removal
+        positions (positions skip removed stop words,
         docs/topics/search-data-formats.md; no stemming inside quotes,
         docs/topics/search-query.md:171-178). Phrase text is lexed with
-        the field's punctuation set (filter_parser.cc:597-616)."""
+        the field's punctuation set (filter_parser.cc:597-616).
+
+        Quoted tokens are NOT stopword-filtered — ParseQuotedTextToken
+        (filter_parser.cc:594-625) has no IsStopWord check — but stopwords
+        are never indexed (lexer.cc:148), so a phrase containing one is a
+        VALID query that matches zero rows: '"the of"' and
+        '"the large bolt"' both return 0 results in the reference."""
         toks = F.col(text_col(fdef.attr))
         lexed = [t for wd in words
                  for t in lex_query_text(wd, fdef.punctuation)]
-        kept = [wd for wd in lexed if wd not in fdef.stopwords]
-        offs = list(zip(kept, range(len(kept))))
-        if not offs:
-            return None  # every phrase word was a stopword: dropped, like TERM
+        if not lexed:
+            return None  # lexes to nothing at all: dropped, like TERM
+        if any(wd in fdef.stopwords for wd in lexed):
+            return F.lit(False)
+        offs = list(zip(lexed, range(len(lexed))))
         w0, o0 = offs[0]
 
         def follower(word: str, delta: int, anchor_pos):
