@@ -101,3 +101,34 @@ def test_bucketed_never_collects_corpus(spark, emb, ivf, monkeypatch):
     assert sizes and max(sizes) <= ivf.n_lists     # only the list-id set
     monkeypatch.setattr(cls, "collect", orig)
     assert out.count() == 30
+
+
+def test_auto_route_past_broadcast_limit(spark, emb, monkeypatch, tmp_path):
+    """A corpus whose vector-matrix estimate exceeds max_broadcast_bytes
+    never hits a driver-side collect of corpus rows: knn_join delegates to
+    the full-probe bucketed plan and returns the SAME result."""
+    q = emb.limit(10).select(F.col("vec_id").alias("qid"), "embedding")
+    c = emb.select(F.col("vec_id").alias("cid"), "embedding")
+    expected = sorted((r["qid"], r["cid"], round(r["distance"], 6), r["rank"])
+                      for r in knn_join(q, c, k=3, metric="l2",
+                                        max_broadcast_bytes=None).collect())
+
+    cls = type(emb)
+    sizes = []
+    orig = cls.collect
+
+    def spy(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(cls, "collect", spy)
+    routed = knn_join(q, c, k=3, metric="l2", max_broadcast_bytes=1,
+                      index_path=str(tmp_path / "ivf"))
+    n_corpus = emb.count()
+    # plan construction (incl. the IVF build) collects only list-id sets
+    assert not sizes or max(sizes) < n_corpus
+    got = sorted((r["qid"], r["cid"], round(r["distance"], 6), r["rank"])
+                 for r in orig(routed))
+    monkeypatch.setattr(cls, "collect", orig)
+    assert got == expected

@@ -136,16 +136,24 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, key: str, k: int) -> float:
 def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 10,
              query_key: str = "qid", corpus_key: str = "cid",
              vec_col: str = "embedding", metric: str = "l2",
-             batch_size: int = 1024) -> DataFrame:
+             batch_size: int = 1024,
+             max_broadcast_bytes: int | None = 1 << 30,
+             index_path: str | None = None) -> DataFrame:
     """Batch KNN join: for every query row, its k nearest corpus rows.
 
     Plan shape for scale: the corpus (key + vectors only) is broadcast to
     every task as one numpy matrix; queries stream through mapInPandas in
     Arrow batches, each scored against the matrix with one BLAS matmul and
     reduced to top-k via argpartition — no shuffle at all, wall-clock is
-    |Q|x|C| flops spread across query partitions. For corpora too large to
-    broadcast (>~1 GB), pre-bucket with IVFIndex and join per probed list;
-    this kernel stays the per-bucket scorer.
+    |Q|x|C| flops spread across query partitions.
+
+    The broadcast contract is SIZE-CHECKED: when the corpus vector matrix
+    estimate (rows x dim x 8 bytes, two cheap metadata jobs) exceeds
+    ``max_broadcast_bytes`` (default 1 GB), the join auto-routes to
+    ``knn_join_bucketed`` at FULL probe — the exact distributed plan, same
+    results, no driver-side corpus materialization (the IVF artifact is
+    built at ``index_path`` or a temp dir). Pass ``max_broadcast_bytes=
+    None`` to force the broadcast path for a corpus known to fit.
 
     Ties broken by corpus key ascending, so results are deterministic and
     oracle-comparable. Distances follow the reference metric map
@@ -159,6 +167,21 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 10,
     from pyspark.sql import types as T
 
     spark = queries.sparkSession
+    if max_broadcast_bytes is not None:
+        first = corpus.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+        dim = len(first[0]) if first else 0
+        est = corpus.count() * dim * 8
+        if est > max_broadcast_bytes:
+            import tempfile
+
+            path = index_path or tempfile.mkdtemp(prefix="knn_join_ivf_")
+            n_lists = max(16, spark.sparkContext.defaultParallelism)
+            index = IVFIndex.build(
+                corpus.select(corpus_key, vec_col), path, vec_col=vec_col,
+                metric=metric, n_lists=n_lists)
+            return knn_join_bucketed(
+                queries, index, k=k, nprobe=index.n_lists,
+                query_key=query_key, corpus_key=corpus_key, vec_col=vec_col)
     corpus_rows = (corpus.select(corpus_key, vec_col).dropna().collect())
     ckeys = np.array([r[corpus_key] for r in corpus_rows])
     cmat = np.array([r[vec_col] for r in corpus_rows], dtype=np.float64)
