@@ -4,7 +4,9 @@ DIALECT validated; FT.INFO/_LIST/DROPINDEX lifecycle)."""
 
 import pytest
 
-from valkey_search_spark import NumericField, SearchEngine, TagField, TextField
+from valkey_search_spark import (
+    NumericField, SearchEngine, TagField, TextField, VectorField,
+)
 from valkey_search_spark.errors import (
     QuerySyntaxError, UnknownFieldError, UnknownIndexError,
 )
@@ -143,3 +145,54 @@ def test_alias_resolution(eng):
     assert eng.ft_search("parts", "@ptype:small", count_only=True) > 0
     with pytest.raises(UnknownFieldError):
         eng.ft_search("parts", "@p_type:small", count_only=True)
+
+
+def test_info_documented_field_set(spark):
+    """FT.INFO reply carries every field documented in the reference's
+    docs/commands/ft.info.md LOCAL response, including the type-specific
+    attribute extensions and the (statically-ready) backfill block."""
+    e = SearchEngine(spark)
+    part = spark.read.parquet(f"{SF}/part.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    e.ft_create("ix_full", part,
+                [TagField("p_brand"), NumericField("p_retailprice"),
+                 TextField("p_name")], key_column="p_partkey")
+    info = e.ft_info("ix_full", compute_stats=True)
+    for key in ("index_name", "index_definition", "attributes", "num_docs",
+                "num_records", "total_term_occurrences", "num_terms",
+                "hash_indexing_failures", "backfill_in_progress",
+                "backfill_complete_percent", "mutation_queue_size",
+                "recent_mutations_queue_delay", "state", "punctuation",
+                "stopwords", "with_offsets", "min_stem_size"):
+        assert key in info, key
+    idxdef = info["index_definition"]
+    assert idxdef["key_type"] == "HASH" and idxdef["default_score"] == "1.0"
+    assert info["state"] == "ready"
+    assert info["backfill_in_progress"] == "0"
+    assert info["backfill_complete_percent"] == "1.0"
+    by_attr = {a["attribute"]: a for a in info["attributes"]}
+    assert by_attr["p_brand"]["type"] == "TAG"
+    assert by_attr["p_brand"]["SEPARATOR"] == ","
+    assert by_attr["p_brand"]["CASESENSITIVE"] == 0
+    assert by_attr["p_brand"]["SIZE"] == info["num_docs"]
+    assert by_attr["p_name"]["type"] == "TEXT"
+    assert by_attr["p_name"]["WITH_SUFFIX_TRIE"] == 1
+    assert by_attr["p_name"]["NO_STEM"] == 0
+    n = part.count()
+    assert info["num_docs"] == n
+    assert info["num_records"] == 3 * n          # all three fields tracked
+    assert info["hash_indexing_failures"] == 0
+    # p_name is two vocab words per row: occurrences = 2n, terms = vocab size
+    assert info["total_term_occurrences"] == 2 * n
+    assert 0 < info["num_terms"] <= info["total_term_occurrences"]
+    assert "is" in info["stopwords"] and info["with_offsets"] == "1"
+
+    e.ft_create("ix_vec", emb,
+                [VectorField("embedding", dim=64, metric="cosine", algo="hnsw")],
+                key_column="vec_id")
+    vinfo = e.ft_info("ix_vec")
+    vattr = vinfo["attributes"][0]
+    assert vattr["type"] == "VECTOR"
+    assert vattr["index"] == {"dimensions": 64, "distance_metric": "COSINE",
+                              "data_type": "FLOAT32",
+                              "algorithm": {"name": "HNSW"}}

@@ -327,34 +327,106 @@ class Catalog:
             raise UnknownIndexError(f"no such index: {name}") from None
 
     def info(self, name: str, compute_stats: bool = False) -> dict:
-        """FT.INFO shape. ``compute_stats`` runs the counting jobs (num_docs
-        plus per-field tracked/untracked counts — the reference's
-        hash_indexing_failures analogue); at 100 TB that is a scan, so it is
-        opt-in rather than a free stat."""
+        """FT.INFO reply matching the LOCAL response documented in
+        /root/reference/docs/commands/ft.info.md (field list + the
+        type-specific attribute extensions). The mutation/backfill block is
+        trivially "done" for a batch engine — there is no background
+        indexer, so state is always ``ready`` with an empty queue; a live
+        ``materialize()`` would be the only backfill analogue and it is
+        synchronous here.
+
+        ``compute_stats`` runs the counting jobs (num_docs, per-field
+        tracked/untracked, num_records, hash_indexing_failures, and the
+        text-term stats); at 100 TB that is a scan, so it is opt-in rather
+        than a free stat."""
         s = self.get(name)
+        type_names = {"TagField": "TAG", "NumericField": "NUMERIC",
+                      "TextField": "TEXT", "VectorField": "VECTOR"}
+        attributes = []
+        text_fields = []
+        for f in s.fields:
+            a = {"identifier": f.name, "attribute": f.attr,
+                 "type": type_names.get(type(f).__name__, type(f).__name__)}
+            if isinstance(f, TagField):
+                a["SEPARATOR"] = f.separator
+                a["CASESENSITIVE"] = int(f.casesensitive)
+            elif isinstance(f, TextField):
+                a["WITH_SUFFIX_TRIE"] = int(f.with_suffixtrie)
+                a["NO_STEM"] = int(f.nostem)
+                text_fields.append(f)
+            elif isinstance(f, VectorField):
+                a["index"] = {
+                    "dimensions": f.dim,
+                    "distance_metric": f.metric.upper(),
+                    "data_type": "FLOAT32",
+                    "algorithm": {"name": f.algo.upper()},
+                }
+            attributes.append(a)
+        first_text = text_fields[0] if text_fields else None
         out = {
             "index_name": s.name,
+            "index_definition": {
+                "key_type": "JSON" if any(f.json_source for f in s.fields) else "HASH",
+                "prefixes": list(s.prefixes) if s.prefixes else [],
+                "default_score": "1.0",
+            },
+            # kept for callers predating the documented shape
             "on": "JSON" if any(f.json_source for f in s.fields) else "HASH",
             "prefixes": list(s.prefixes) if s.prefixes else [],
-            "attributes": [
-                {"identifier": f.name, "attribute": f.attr, "type": type(f).__name__}
-                for f in s.fields
-            ],
+            "attributes": attributes,
             "num_docs": None,
+            "num_records": None,
+            "num_terms": None,
+            "total_term_occurrences": None,
+            "hash_indexing_failures": None,
+            # batch engine: indexing is the job itself, never backgrounded
+            "backfill_in_progress": "0",
+            "backfill_complete_percent": "1.0",
+            "mutation_queue_size": "0",
+            "recent_mutations_queue_delay": "0",
+            "state": "ready",
+            "punctuation": (first_text.punctuation if first_text
+                            else DEFAULT_PUNCTUATION),
+            "stopwords": sorted(first_text.stopwords if first_text
+                                else DEFAULT_STOPWORDS),
+            "with_offsets": "1",    # _x_ columns carry word positions
+            "min_stem_size": (first_text.min_stem_size if first_text else 4),
         }
         if compute_stats:
-            from pyspark.sql import functions as F
-
             df = s.indexed_df()
             derived_first = {f.attr: next(iter(f.derived(s.doc_df)))
                              for f in s.fields}
             aggs = [F.count(F.lit(1)).alias("__n")]
             for attr, col in derived_first.items():
                 aggs.append(F.count(F.col(col)).alias(attr))
+            for f in text_fields:
+                aggs.append(F.sum(F.coalesce(
+                    F.size(F.col(text_col(f.attr))), F.lit(0)))
+                    .alias(f"__occ_{f.attr}"))
             row = df.agg(*aggs).collect()[0]
             out["num_docs"] = row["__n"]
             for a in out["attributes"]:
                 tracked = row[a["attribute"]]
                 a["num_tracked"] = tracked
                 a["num_untracked"] = row["__n"] - tracked
+                if a["type"] == "TAG":
+                    a["SIZE"] = tracked
+            out["num_records"] = sum(a["num_tracked"] for a in out["attributes"])
+            out["hash_indexing_failures"] = sum(
+                a["num_untracked"] for a in out["attributes"])
+            out["total_term_occurrences"] = int(sum(
+                row[f"__occ_{f.attr}"] or 0 for f in text_fields))
+            if text_fields:
+                # one extra job: distinct terms across all text fields
+                # (approx at scale would also be fine; exact is cheap in the
+                # compute_stats contract, which is already a full scan)
+                terms = None
+                for f in text_fields:
+                    t = (df.select(F.explode_outer(
+                        F.col(text_col(f.attr))).alias("tok"))
+                         .select(F.col("tok.t").alias("term")).dropna())
+                    terms = t if terms is None else terms.unionAll(t)
+                out["num_terms"] = terms.distinct().count()
+            else:
+                out["num_terms"] = 0
         return out
