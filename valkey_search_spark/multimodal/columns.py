@@ -4,11 +4,13 @@ The reference indexes only text-derived fields; a 100 TB training-data
 pipeline also carries media. The Spark-native pattern (BASELINE.json north
 star): media payloads are ``BinaryType`` columns with a typed metadata
 struct, and every transform is an Arrow-batched ``mapInPandas`` whose
-schema/partitioning/batch shape is real and tested. The codec calls
-themselves are stubbed behind ``_decode_*`` (image/audio libs are not in
-this container): ``fake=True`` substitutes a deterministic synthetic
-decode so the plumbing is verifiable end-to-end; ``fake=False`` raises
-NotImplementedError where PIL/ffmpeg would be invoked.
+schema/partitioning/batch shape is real and tested. The ``_decode_*``
+seams have two modes: ``fake=True`` substitutes a deterministic synthetic
+decode so the plumbing is verifiable over arbitrary binary, and
+``fake=False`` REALLY decodes the uncompressed formats the vendored
+pure-Python codecs cover (BMP images, PCM WAV audio —
+``multimodal/codecs.py``), raising NotImplementedError only for the
+compressed formats that need PIL/ffmpeg (not in this container).
 """
 
 from __future__ import annotations
@@ -52,12 +54,20 @@ def attach_media_metadata(df: DataFrame, binary_col: str, meta: dict) -> DataFra
 
 # ---------------------------------------------------------------------------
 def _decode_image(payload: bytes, fake: bool) -> np.ndarray:
-    """Stub seam for the real decoder (PIL.Image.open). ``fake`` derives a
-    deterministic 8x8x3 uint8 array from the payload bytes."""
+    """Image decode seam. ``fake`` derives a deterministic 8x8x3 uint8
+    array from the payload bytes (plumbing tests over arbitrary binary).
+    The REAL path decodes uncompressed BMP via the vendored pure-Python
+    codec (`multimodal/codecs.py`); compressed formats (PNG/JPEG/...)
+    are where PIL/opencv would plug in and still raise here."""
     if not fake:
+        from .codecs import decode_bmp
+
+        if payload[:2] == b"BM":
+            return decode_bmp(payload)
         raise NotImplementedError(
-            "image decode requires PIL/opencv (not in this container); "
-            "pass fake=True for the deterministic test decode")
+            "only uncompressed BMP decodes without PIL/opencv (not in "
+            "this container); pass fake=True for the deterministic "
+            "test decode of non-BMP payloads")
     seed = np.frombuffer((payload or b"\0")[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
     rng = np.random.default_rng(seed)
     return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
@@ -83,9 +93,14 @@ def image_features(df: DataFrame, binary_col: str = "image",
                 arr = _decode_image(bytes(payload), fake)
                 means.append([float(x) for x in arr.mean(axis=(0, 1))])
                 stds.append([float(x) for x in arr.std(axis=(0, 1))])
-                # average-hash over the grayscale thumbnail
+                # average-hash over an 8x8 grayscale thumbnail (identity
+                # for the fake decoder's native 8x8, a nearest-neighbor
+                # downsample for real images of any size)
                 gray = arr.mean(axis=2)
-                bits = (gray > gray.mean()).flatten()[:64]
+                ridx = np.linspace(0, gray.shape[0] - 1, 8).astype(int)
+                cidx = np.linspace(0, gray.shape[1] - 1, 8).astype(int)
+                thumb = gray[ridx][:, cidx]
+                bits = (thumb > thumb.mean()).flatten()
                 hashes.append(int(np.int64(
                     np.packbits(bits).view(">u8")[0].astype(np.int64))))
             out = pdf.copy()
@@ -111,13 +126,21 @@ def image_resize(df: DataFrame, binary_col: str = "image", size: int = 224,
                     blobs.append(None); metas.append(None)
                     continue
                 arr = _decode_image(bytes(payload), fake)
-                # nearest-neighbor resample of the fake decode (real path:
-                # PIL Image.resize) — deterministic, shape-correct
-                idx = (np.linspace(0, arr.shape[0] - 1, size).astype(int))
-                resized = arr[idx][:, idx]
-                blobs.append(resized.tobytes())
-                metas.append({"width": size, "height": size,
-                              "channels": 3, "format": "raw"})
+                # nearest-neighbor resample; rows and columns index their
+                # own axis so non-square inputs resize correctly
+                ridx = np.linspace(0, arr.shape[0] - 1, size).astype(int)
+                cidx = np.linspace(0, arr.shape[1] - 1, size).astype(int)
+                resized = arr[ridx][:, cidx]
+                if fake:
+                    blobs.append(resized.tobytes())
+                    metas.append({"width": size, "height": size,
+                                  "channels": 3, "format": "raw"})
+                else:
+                    from .codecs import encode_bmp
+
+                    blobs.append(encode_bmp(resized))
+                    metas.append({"width": size, "height": size,
+                                  "channels": 3, "format": "bmp"})
             out = pdf.copy()
             out["image_resized"], out["image_resized_meta"] = blobs, metas
             yield out
@@ -127,10 +150,21 @@ def image_resize(df: DataFrame, binary_col: str = "image", size: int = 224,
 
 # ---------------------------------------------------------------------------
 def _decode_audio(payload: bytes, fake: bool) -> tuple[np.ndarray, int]:
+    """Audio decode seam returning (mono float32 wave, sample_rate). The
+    REAL path decodes PCM RIFF/WAVE via the vendored manual parser
+    (`multimodal/codecs.py` — independent of stdlib `wave`, which the
+    tests use as the second implementation); compressed codecs (MP3/AAC)
+    are where ffmpeg/soundfile would plug in and still raise here."""
     if not fake:
+        from .codecs import decode_wav
+
+        if payload[:4] == b"RIFF":
+            frames, rate, _ = decode_wav(payload)
+            return frames.mean(axis=1).astype(np.float32), rate
         raise NotImplementedError(
-            "audio decode requires soundfile/ffmpeg (not in this container); "
-            "pass fake=True for the deterministic test decode")
+            "only PCM WAV decodes without ffmpeg/soundfile (not in this "
+            "container); pass fake=True for the deterministic test decode "
+            "of non-WAV payloads")
     seed = np.frombuffer((payload or b"\0")[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
     rng = np.random.default_rng(seed)
     return rng.standard_normal(1600).astype(np.float32), 16000
