@@ -60,6 +60,36 @@ SPEC_CASES = [
     ("controll", "control"), ("roll", "roll"),
     ("skating", "skate"), ("generate", "generat"), ("general", "general"),
     ("generously", "generous"),
+    # --- hard-class sweep (round 4): li-endings, ogi, R1/R2 overrides ---
+    # li deleted only after a valid li-ending (c d e g h k m n r t) in R1
+    ("mostly", "most"), ("deadly", "dead"), ("knightly", "knight"),
+    ("ably", "abli"),        # preceded by 'b': not a valid li-ending
+    ("family", "famili"),    # preceded by 'i': kept
+    ("smelly", "smelli"),    # preceded by 'l': kept
+    # longest-match-no-backtrack: 'entli' matches but is not in R1, and
+    # Snowball's among never falls back to the shorter 'li'
+    ("fluently", "fluentli"),
+    # fulli/ousli/alli feed later steps
+    ("dutifully", "duti"), ("luxuriously", "luxuri"), ("fatally", "fatal"),
+    ("tangentially", "tangenti"), ("ferociously", "feroci"),
+    ("beautifully", "beauti"), ("beautiful", "beauti"), ("beauty", "beauti"),
+    # ogi -> og only after l
+    ("geology", "geolog"), ("archaeology", "archaeolog"),
+    # gener-/commun-/arsen- R1 overrides keep these unstripped
+    ("generic", "generic"), ("generation", "generat"),
+    ("communal", "communal"), ("community", "communiti"),
+    ("communicate", "communic"),
+    ("arsenal", "arsenal"), ("arsenic", "arsenic"),
+    # R2 containment gates step 4 (ement/ent/ate/ous/able)
+    ("agreement", "agreement"), ("excellent", "excel"),
+    ("sensational", "sensat"), ("conversational", "convers"),
+    ("derivational", "deriv"), ("demonstrable", "demonstr"),
+    ("irritably", "irrit"), ("sportsmanship", "sportsmanship"),
+    # exceptions2 words are whole-word invariants only AFTER step 1a:
+    # inflected forms still stem normally
+    ("exceeding", "exceed"), ("exceedingly", "exceed"),
+    ("succeeding", "succeed"), ("proceeded", "proceed"),
+    ("dressed", "dress"),
 ]
 
 
