@@ -44,3 +44,23 @@ def test_mix_corpora_proportions_and_provenance(spark):
     # 3:1 target with Bernoulli-sample noise
     ratio = counts["even"] / counts["odd"]
     assert 1.8 <= ratio <= 5.0
+
+
+def test_mix_corpora_counts_in_one_job(spark):
+    """Source sizing pays ONE aggregation job for ALL sources (plus the
+    AQE sub-jobs of that query), never a .count() per source."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    srcs = [(f"s{i}", docs.where(f"doc_id % 4 = {i}"), 1.0) for i in range(4)]
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    mix_corpora(srcs, total_rows=100)
+    after = len(tracker.getJobIdsForGroup() or [])
+    # one count query; AQE may split it into a couple of sub-jobs, but a
+    # per-source design would cost >= 4
+    assert after - before < 4
+
+
+def test_mix_corpora_duplicate_names_rejected(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    with pytest.raises(ValueError):
+        mix_corpora([("a", docs, 1.0), ("a", docs, 1.0)], total_rows=10)

@@ -65,7 +65,17 @@ def _parallelize(df: DataFrame) -> DataFrame:
                                "Repartition", "Deduplicate")):
         return df
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # file count is a pure-metadata proxy for scan parallelism — unlike
+    # df.rdd.getNumPartitions() it never converts the plan to an RDD (a
+    # per-call analysis cost on every builder invocation). Splittable
+    # formats may read one big file as many tasks, in which case this
+    # repartitions a frame that didn't need it — harmless for the small
+    # under-partitioned inputs this guard exists for.
+    try:
+        nfiles = len(df.inputFiles())
+    except Exception:
+        return df
+    if 0 < nfiles < target:
         return df.repartition(target)
     return df
 

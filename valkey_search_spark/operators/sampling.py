@@ -45,15 +45,27 @@ def mix_corpora(sources: list[tuple[str, DataFrame, float]],
                 total_rows: int, seed: int = 42) -> DataFrame:
     """Blend ``(name, df, weight)`` sources into ~``total_rows`` rows at
     the weight proportions, each row tagged with its ``source`` name.
-    Each source pays one count job to turn its target row count into a
-    sample fraction; sampling itself is a scan (no shuffle). Sources
-    smaller than their target are taken whole (the blend then undershoots
-    rather than duplicating documents)."""
+    All source row counts come from ONE aggregation job (a union of
+    name-tagged scans grouped by name), not a count per source; sampling
+    itself is a scan (no shuffle). Sources smaller than their target are
+    taken whole (the blend then undershoots rather than duplicating
+    documents)."""
+    names = [name for name, _, _ in sources]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate source names: {names}")
     wsum = sum(w for _, _, w in sources)
+    counted = [
+        df.select(F.lit(name).alias("__src")) for name, df, _ in sources
+    ]
+    counts_df = counted[0]
+    for c in counted[1:]:
+        counts_df = counts_df.unionAll(c)
+    counts = {r["__src"]: r["n"] for r in
+              counts_df.groupBy("__src").agg(F.count("*").alias("n")).collect()}
     parts = []
     for name, df, w in sources:
         target = int(round(total_rows * w / wsum))
-        n = df.count()
+        n = counts.get(name, 0)
         if n == 0 or target == 0:
             continue
         frac = min(1.0, target / n)
