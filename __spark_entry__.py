@@ -79,10 +79,13 @@ def _eng(spark: SparkSession, sf_dir: str) -> SearchEngine:
                  NumericField("$.m", alias="props_m")],
                 key_column="event_id", on_json="props")
     emb = load_table(spark, sf_dir, "embeddings")
+    # cache=True persists each index's derived vector columns (cosine's
+    # normalized copy, the packed scoring column) so knn_metrics doesn't
+    # re-derive them per query — the ingest-time cost model of the reference
     for name, metric in (("emb_l2", "l2"), ("emb_cos", "cosine"), ("emb_ip", "ip")):
         e.ft_create(name, emb,
                     [VectorField("embedding", dim=64, metric=metric),
-                     NumericField("label")], key_column="vec_id")
+                     NumericField("label")], key_column="vec_id", cache=True)
     _ENGINES[key] = e
     return e
 
