@@ -37,22 +37,33 @@ class IVFIndex:
     """Persisted IVF index over one vector column."""
 
     def __init__(self, spark: SparkSession, path: str, vec_col: str,
-                 metric: str, centroids: np.ndarray):
+                 metric: str, centroids: np.ndarray,
+                 quantized: bool = False):
         self.spark = spark
         self.path = path
         self.vec_col = vec_col
         self.metric = metric
         self.centroids = centroids
+        self.quantized = quantized
 
     # ------------------------------------------------------------------
     @classmethod
     def build(cls, df: DataFrame, path: str, vec_col: str = "embedding",
               metric: str = "l2", n_lists: int = 16,
               sample_fraction: float | None = None, seed: int = 42,
-              max_iter: int = 20) -> "IVFIndex":
+              max_iter: int = 20, quantize: bool = False) -> "IVFIndex":
         """Batch index build == the reference's backfill+graph-build collapsed
         into one KMeans job + one partitioned write. ``sample_fraction``
-        bounds the KMeans fit cost at scale (fit on a sample, assign all)."""
+        bounds the KMeans fit cost at scale (fit on a sample, assign all).
+
+        ``quantize=True`` stores the vector column as symmetric per-vector
+        int8 (struct<q: array<tinyint>, scale: float> — functions/quantize)
+        instead of float, cutting the index's scan bytes ~3-4x; readers
+        dequantize JVM-side inside the pruned scan, so every search path
+        works unchanged against a quantized index at slightly reduced
+        distance precision (see tests/test_quantize.py recall bound and
+        SCALE.md). The reference keeps float32 in RAM (vector_base.h) —
+        this is the storage-tier dial its in-memory design never needed."""
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector, vector_to_array
 
@@ -73,20 +84,41 @@ class IVFIndex:
         model = KMeans(k=n_lists, seed=seed, maxIter=max_iter,
                        featuresCol="__feat", predictionCol="__list").fit(fit_on)
         assigned = model.transform(feats).drop("__feat")
+        if quantize:
+            from ..functions.quantize import quantize_vector_expr
+
+            assigned = (assigned
+                        .withColumn("__qvec", quantize_vector_expr(F.col(vec_col)))
+                        .drop(vec_col))
         assigned.write.mode("overwrite").partitionBy("__list").parquet(path)
 
         centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
         with open(os.path.join(path, "_ivf_meta.json"), "w") as fh:
             json.dump({"vec_col": vec_col, "metric": metric,
+                       "quantized": quantize,
                        "centroids": centroids.tolist()}, fh)
-        return cls(spark, path, vec_col, metric, centroids)
+        return cls(spark, path, vec_col, metric, centroids, quantized=quantize)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "IVFIndex":
         with open(os.path.join(path, "_ivf_meta.json")) as fh:
             meta = json.load(fh)
         return cls(spark, path, meta["vec_col"], meta["metric"],
-                   np.asarray(meta["centroids"]))
+                   np.asarray(meta["centroids"]),
+                   quantized=meta.get("quantized", False))
+
+    def _read(self) -> DataFrame:
+        """The persisted corpus with ``vec_col`` as float — dequantized
+        JVM-side (whole-stage codegen) when the index stores int8, so the
+        parquet scan reads the 4x-smaller column either way."""
+        df = self.spark.read.parquet(self.path)
+        if self.quantized:
+            from ..functions.quantize import dequantize_vector_expr
+
+            df = (df.withColumn(self.vec_col,
+                                dequantize_vector_expr(F.col("__qvec")))
+                    .drop("__qvec"))
+        return df
 
     # ------------------------------------------------------------------
     def _probe_lists(self, qvec: list[float], nprobe: int) -> list[int]:
@@ -108,7 +140,7 @@ class IVFIndex:
         an exact distance + TakeOrderedAndProject (no shuffle beyond the
         final k-row merge)."""
         lists = self._probe_lists(qvec, nprobe)
-        df = self.spark.read.parquet(self.path).where(F.col("__list").isin(lists))
+        df = self._read().where(F.col("__list").isin(lists))
         if prefilter is not None:
             df = df.where(prefilter)
         q = list(qvec)
@@ -283,7 +315,7 @@ def knn_join_bucketed(queries: DataFrame, index: IVFIndex, k: int = 10,
     # partition pruning: the probed-list set is at most n_lists ints — the
     # ONLY driver-side materialization on this path
     lists = [r[0] for r in probed.select("__list").distinct().collect()]
-    corpus = (index.spark.read.parquet(index.path)
+    corpus = (index._read()
               .where(F.col("__list").isin(lists))
               .select("__list", corpus_key, index.vec_col))
 
