@@ -38,8 +38,11 @@ def windowed_event_counts(df: DataFrame, ts_col: str = "ts",
     batch frame the same plan is a plain window aggregation (watermark is
     a no-op), which is how the oracle checks it.
     """
+    # batch frames need the NTZ->TIMESTAMP cast too: window_start/end
+    # inherit the event-time type, and NTZ refuses downstream epoch casts
+    df = _watermarkable(df, ts_col)
     if df.isStreaming and watermark:
-        df = _watermarkable(df, ts_col).withWatermark(ts_col, watermark)
+        df = df.withWatermark(ts_col, watermark)
     win = (F.window(F.col(ts_col), window, slide) if slide
            else F.window(F.col(ts_col), window))
     aggs = [F.count(F.lit(1)).alias("n")]
@@ -59,8 +62,9 @@ def sessionized_counts(df: DataFrame, ts_col: str = "ts",
                        group_cols: tuple[str, ...] = ("event_type",)) -> DataFrame:
     """Session windows: events within ``gap`` of each other merge into one
     session per group (F.session_window — state machine handled by Spark)."""
+    df = _watermarkable(df, ts_col)
     if df.isStreaming and watermark:
-        df = _watermarkable(df, ts_col).withWatermark(ts_col, watermark)
+        df = df.withWatermark(ts_col, watermark)
     win = F.session_window(F.col(ts_col), gap)
     return (df.groupBy(win.alias("w"), *[F.col(c) for c in group_cols])
               .agg(F.count(F.lit(1)).alias("n"))
