@@ -65,12 +65,12 @@ def main():
     qs["agg_events_time"](spark, sf_dir).count()  # derive events ON-JSON index
     qs["text_fuzzy"](spark, sf_dir).count()   # start Arrow python workers
 
-    # two timed runs per query, report the min: steady-state cost, robust
+    # three timed runs per query, report the min: steady-state cost, robust
     # to co-tenant load spikes (the engine/caches are warm either way)
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).collect()
             dt = time.perf_counter() - t0
@@ -84,7 +84,7 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": times,
-        "runs_per_query": 2,
+        "runs_per_query": 3,
         "sf": sf,
     }))
 

@@ -3,6 +3,7 @@ unknown index/field are errors; WITHSUFFIXTRIE gates suffix queries;
 DIALECT validated; FT.INFO/_LIST/DROPINDEX lifecycle)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from valkey_search_spark import (
     NumericField, SearchEngine, TagField, TextField, VectorField,
@@ -181,6 +182,9 @@ def test_info_documented_field_set(spark):
     n = part.count()
     assert info["num_docs"] == n
     assert info["num_records"] == 3 * n          # all three fields tracked
+    brand_bytes = part.select(
+        F.sum(F.octet_length(F.col("p_brand").cast("string")))).first()[0]
+    assert by_attr["p_brand"]["user_indexed_memory"] == brand_bytes
     assert info["hash_indexing_failures"] == 0
     # p_name is two vocab words per row: occurrences = 2n, terms = vocab size
     assert info["total_term_occurrences"] == 2 * n

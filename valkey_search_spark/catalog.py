@@ -399,6 +399,18 @@ class Catalog:
             aggs = [F.count(F.lit(1)).alias("__n")]
             for attr, col in derived_first.items():
                 aggs.append(F.count(F.col(col)).alias(attr))
+            for f in s.fields:
+                # user_indexed_memory: bytes of user data ingested per
+                # attribute — raw source octets, or dim*4 (FLOAT32) for
+                # tracked vectors, matching the reference's accounting
+                if isinstance(f, VectorField):
+                    mem = (F.count(F.col(next(iter(f.derived(s.doc_df)))))
+                           * F.lit(f.dim * 4))
+                else:
+                    mem = F.sum(F.coalesce(
+                        F.octet_length(f.source(s.doc_df).cast("string")),
+                        F.lit(0)))
+                aggs.append(mem.cast("long").alias(f"__mem_{f.attr}"))
             for f in text_fields:
                 aggs.append(F.sum(F.coalesce(
                     F.size(F.col(text_col(f.attr))), F.lit(0)))
@@ -409,6 +421,7 @@ class Catalog:
                 tracked = row[a["attribute"]]
                 a["num_tracked"] = tracked
                 a["num_untracked"] = row["__n"] - tracked
+                a["user_indexed_memory"] = int(row[f"__mem_{a['attribute']}"] or 0)
                 if a["type"] == "TAG":
                     a["SIZE"] = tracked
             out["num_records"] = sum(a["num_tracked"] for a in out["attributes"])
