@@ -258,3 +258,54 @@ def test_aggregate_command_level_slop_inorder(spark):
                          "GROUPBY 0 REDUCE COUNT 0 AS n",
                          slop=0, inorder=True)
     assert out.first()["n"] == 1.0       # only the adjacent in-order doc
+
+
+def _ref_compare(l, r):
+    """Pure-Python mirror of the reference's expr::Compare
+    (/root/reference/src/expr/value.cc:271-319) for string values:
+    numeric when BOTH convert to double, else bytewise strings."""
+    def as_double(s):
+        try:
+            return float(s)
+        except ValueError:
+            return None
+    ld, rd = as_double(l), as_double(r)
+    if ld is not None and rd is not None:
+        return -1 if ld < rd else (1 if ld > rd else 0)
+    return -1 if l < r else (1 if l > r else 0)
+
+
+def test_reference_minmax_compare_is_cyclic_so_tiering_is_the_oracle(spark):
+    """The documented MIN/MAX divergence is not a parity gap the engine
+    could close: the reference's pairwise comparator is NON-TRANSITIVE on
+    mixed numeric/non-numeric strings ('5' < '30' numerically, '30' < '4a'
+    bytewise, '4a' < '5' bytewise — a cycle), so its fold result depends
+    on record iteration order. This test pins (a) the cycle in a faithful
+    mirror of value.cc:271-319, (b) the order-dependence of the fold, and
+    (c) that our two-tier total order returns ONE deterministic answer."""
+    from functools import reduce
+
+    from pyspark.sql import Row
+    from valkey_search_spark import SearchEngine, TagField
+
+    a, b, c = "5", "30", "4a"
+    assert _ref_compare(a, b) < 0          # numeric: 5 < 30
+    assert _ref_compare(b, c) < 0          # bytewise: '30' < '4a'
+    assert _ref_compare(c, a) < 0          # bytewise: '4a' < '5'  (cycle!)
+
+    def fold_min(vals):
+        return reduce(lambda m, v: v if _ref_compare(m, v) > 0 else m, vals)
+
+    assert fold_min([a, b, c]) != fold_min([b, c, a])   # order-dependent
+
+    df = spark.createDataFrame(
+        [Row(k=i, g="x", v=v) for i, v in enumerate([a, b, c])])
+    e = SearchEngine(spark)
+    e.ft_create("cyc", df, [TagField("g")], key_column="k")
+    run = lambda: e.ft_aggregate(
+        "cyc", "*", "LOAD 2 @g @v GROUPBY 1 @g REDUCE MIN 1 @v AS lo "
+        "REDUCE MAX 1 @v AS hi").first()
+    r1, r2 = run(), run()
+    # deterministic two-tier answer: numeric tier first (5 < 30), text after
+    assert (r1["lo"], r1["hi"]) == ("5", "4a")
+    assert (r2["lo"], r2["hi"]) == (r1["lo"], r1["hi"])
