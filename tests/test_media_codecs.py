@@ -187,3 +187,29 @@ def test_non_bmp_payload_still_raises_without_fake():
     from valkey_search_spark.multimodal.columns import _decode_image
     with pytest.raises(NotImplementedError):
         _decode_image(b"\x89PNG\r\n...", fake=False)
+
+
+# ---------------------------------------------------------------------------
+# property-based roundtrips
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(h=st.integers(1, 24), w=st.integers(1, 24), seed=st.integers(0, 2**31))
+def test_bmp_roundtrip_any_shape(h, w, seed):
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(arr)), arr)
+
+
+@settings(max_examples=40, deadline=None)
+@given(n=st.integers(1, 500), ch=st.integers(1, 4),
+       rate=st.sampled_from([8000, 16000, 44100]), seed=st.integers(0, 2**31))
+def test_wav_roundtrip_any_shape(n, ch, rate, seed):
+    rng = np.random.default_rng(seed)
+    sig = rng.uniform(-1, 1, size=(n, ch)).astype(np.float32)
+    frames, r, c = decode_wav(encode_wav(sig, rate))
+    assert (r, c) == (rate, ch)
+    assert frames.shape == (n, ch)
+    np.testing.assert_allclose(frames, sig, atol=3.0 / 32768)
