@@ -72,12 +72,16 @@ def _eng(spark: SparkSession, sf_dir: str) -> SearchEngine:
                 key_column="l_orderkey")
     # ON-JSON document model: JSONPath identifiers with AS aliases over the
     # `props` JSON column ($.m is an always-missing path)
+    # cache=True: the ON-JSON index pays get_json_object parsing once at
+    # creation (measured 2x on agg_events_json at sf0.1). The pure-column
+    # indexes (ords/li) stay UNcached on purpose — persisting wide rows
+    # defeats parquet column pruning and measured SLOWER for agg_q1
     e.ft_create("events", load_table(spark, sf_dir, "events"),
                 [TagField("event_type"), NumericField("value"),
                  NumericField("ts"),
                  NumericField("$.k", alias="props_k"),
                  NumericField("$.m", alias="props_m")],
-                key_column="event_id", on_json="props")
+                key_column="event_id", on_json="props", cache=True)
     emb = load_table(spark, sf_dir, "embeddings")
     # cache=True persists each index's derived vector columns (cosine's
     # normalized copy, the packed scoring column) so knn_metrics doesn't
