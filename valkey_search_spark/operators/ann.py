@@ -202,15 +202,20 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 10,
     if max_broadcast_bytes is not None:
         first = corpus.select(vec_col).where(F.col(vec_col).isNotNull()).first()
         dim = len(first[0]) if first else 0
-        est = corpus.count() * dim * 8
+        n_rows = corpus.count()
+        est = n_rows * dim * 8
         if est > max_broadcast_bytes:
             import tempfile
 
             path = index_path or tempfile.mkdtemp(prefix="knn_join_ivf_")
             n_lists = max(16, spark.sparkContext.defaultParallelism)
+            # bound the KMeans fit at ~200k sampled rows — assignment still
+            # scans everything once, but the iterative fit must not
+            frac = min(1.0, 200_000 / max(n_rows, 1))
             index = IVFIndex.build(
                 corpus.select(corpus_key, vec_col), path, vec_col=vec_col,
-                metric=metric, n_lists=n_lists)
+                metric=metric, n_lists=n_lists,
+                sample_fraction=None if frac >= 1.0 else frac)
             return knn_join_bucketed(
                 queries, index, k=k, nprobe=index.n_lists,
                 query_key=query_key, corpus_key=corpus_key, vec_col=vec_col)
