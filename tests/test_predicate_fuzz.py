@@ -101,3 +101,61 @@ def test_random_boolean_trees_match_native_filters(fuzz_env, node):
     got = e.ft_search("fuzzp", to_query(node), count_only=True)
     want = part.where(to_native(node)).count()
     assert got == want, to_query(node)
+
+
+# ---------------------------------------------------------------------------
+# FT.AGGREGATE reducer fuzz: random GROUPBY/REDUCE pipelines vs natively
+# built Spark aggregations encoding the reference's reducer semantics
+# (SUM/AVG empty->0.0, MIN/MAX skip missing, COUNT as double).
+
+REDUCERS = ["COUNT", "SUM", "AVG", "MIN", "MAX", "COUNT_DISTINCT", "STDDEV"]
+GROUPS = ["p_brand", "p_type"]
+NUMS = ["p_size", "p_retailprice"]
+
+
+def _native_reducer(red, col):
+    c = F.col(col).cast("double")
+    if red == "COUNT":
+        return F.count(F.lit(1)).cast("double")
+    if red == "SUM":
+        return F.coalesce(F.sum(c), F.lit(0.0))
+    if red == "AVG":
+        return F.coalesce(F.avg(c), F.lit(0.0))
+    if red == "MIN":
+        return F.min(c)
+    if red == "MAX":
+        return F.max(c)
+    if red == "COUNT_DISTINCT":
+        return F.count_distinct(c).cast("double")
+    sd = F.stddev_samp(c)
+    return F.coalesce(F.when(F.isnan(sd), F.lit(0.0)).otherwise(sd), F.lit(0.0))
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(group=st.sampled_from(GROUPS),
+       reds=st.lists(st.tuples(st.sampled_from(REDUCERS),
+                                st.sampled_from(NUMS)),
+                     min_size=1, max_size=3))
+def test_random_reducer_pipelines_match_native_aggs(fuzz_env, group, reds):
+    e, part = fuzz_env
+    stages = f"GROUPBY 1 @{group}"
+    names = []
+    for i, (red, col) in enumerate(reds):
+        name = f"r{i}"
+        names.append(name)
+        stages += f" REDUCE {red} {0 if red == 'COUNT' else 1}" \
+                  f"{'' if red == 'COUNT' else ' @' + col} AS {name}"
+    got = {r[group]: tuple(None if r[n] is None else round(r[n], 6)
+                           for n in names)
+           for r in e.ft_aggregate("fuzzp", "*", stages).collect()}
+    native = part.groupBy(F.col(group).cast("string").alias(group)).agg(
+        *[_native_reducer(red, col).alias(n)
+          for (red, col), n in zip(reds, names)])
+    want = {r[group]: tuple(None if r[n] is None else round(r[n], 6)
+                            for n in names)
+            for r in native.collect()}
+    # TAG group keys casefold in the engine; native side folds to compare
+    want = {k.lower(): v for k, v in want.items()}
+    got = {k.lower(): v for k, v in got.items()}
+    assert got == want
