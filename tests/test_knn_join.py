@@ -132,3 +132,30 @@ def test_auto_route_past_broadcast_limit(spark, emb, monkeypatch, tmp_path):
                  for r in orig(routed))
     monkeypatch.setattr(cls, "collect", orig)
     assert got == expected
+
+
+def test_distance_ties_resolve_to_lowest_keys(spark, emb, tmp_path):
+    """With exact-duplicate vectors under distinct keys, both join paths
+    must pick the LOWEST corpus keys among tied distances — the per-list
+    candidate cut has to honor the global (distance, key) tiebreak."""
+    c1 = emb.select(F.col("vec_id").alias("cid"), "embedding")
+    c2 = emb.select((F.col("vec_id") + 100000).alias("cid"), "embedding")
+    corpus = c1.unionAll(c2)          # every vector twice
+    q = emb.limit(6).select(F.col("vec_id").alias("qid"), "embedding")
+
+    bcast = knn_join(q, corpus, k=4, metric="l2", max_broadcast_bytes=None)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ties"), metric="l2",
+                         n_lists=4)
+    buck = knn_join_bucketed(q, idx, k=4, nprobe=4, corpus_key="cid")
+
+    b = sorted((r["qid"], r["rank"], r["cid"]) for r in bcast.collect())
+    k_ = sorted((r["qid"], r["rank"], r["cid"]) for r in buck.collect())
+    assert b == k_                               # identical incl. tie order
+    # duplicates tie pairwise: the low-key copy must always outrank its twin
+    by_q = {}
+    for qid, rank, cid in b:
+        by_q.setdefault(qid, []).append(cid)
+    for qid, cids in by_q.items():
+        for cid in cids:
+            if cid >= 100000:
+                assert cid - 100000 in cids       # twin's low copy is present

@@ -256,14 +256,14 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 10,
                     q = q / qn
                 d = 1.0 - q @ mat.T     # ip / cosine: 1 - product
             kk = min(k, d.shape[1])
-            # argpartition for top-k, then exact sort (distance, key) inside
-            part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
             rows = []
             for i, qid in enumerate(pdf[query_key].to_numpy()):
-                idx = part[i]
-                sub = sorted(zip(d[i, idx], keys[idx]))
-                for rank, (dist, ckey) in enumerate(sub, 1):
-                    rows.append((qid, ckey, float(dist), rank))
+                # lexsort = full (distance, key) order, so ties at the k-th
+                # distance resolve to the LOWEST keys deterministically
+                # (argpartition would drop tied candidates arbitrarily)
+                idx = np.lexsort((keys, d[i]))[:kk]
+                for rank, j in enumerate(idx, 1):
+                    rows.append((qid, keys[j], float(d[i, j]), rank))
             yield pd.DataFrame(rows, columns=[query_key, corpus_key,
                                               "distance", "rank"])
 
@@ -349,10 +349,13 @@ def knn_join_bucketed(queries: DataFrame, index: IVFIndex, k: int = 10,
                 q = q / qn
             d = 1.0 - q @ c.T
         kk = min(k, d.shape[1])
-        part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
         rows = []
         for i, qid in enumerate(left[query_key].to_numpy()):
-            for j in part[i]:
+            # (distance, key) lexsort: the global window tiebreaks on
+            # (distance, key), so the per-list cut must survive the same
+            # candidates — argpartition would drop distance-ties arbitrarily
+            idx = np.lexsort((ckeys, d[i]))[:kk]
+            for j in idx:
                 rows.append((qid, ckeys[j], float(d[i, j])))
         return pd.DataFrame(rows, columns=cols)
 
