@@ -134,11 +134,13 @@ class IVFIndex:
         return [int(i) for i in np.argsort(d)[:nprobe]]
 
     def search(self, qvec: list[float], k: int = 10, nprobe: int = 4,
-               prefilter=None, score_name: str = "__score") -> DataFrame:
+               prefilter=None, score_name: str = "__score",
+               tiebreak_col: str | None = None) -> DataFrame:
         """Top-k by declared metric over the probed lists. The `__list IN
         (...)` predicate prunes partitions at plan time; the per-list scan is
         an exact distance + TakeOrderedAndProject (no shuffle beyond the
-        final k-row merge)."""
+        final k-row merge). ``tiebreak_col`` (a key column) makes the cut
+        deterministic under distance ties."""
         lists = self._probe_lists(qvec, nprobe)
         df = self._read().where(F.col("__list").isin(lists))
         if prefilter is not None:
@@ -150,8 +152,10 @@ class IVFIndex:
                 q = [x / n for x in q]
         scored = df.withColumn(
             score_name, distance_column(F.col(self.vec_col), q, self.metric))
-        return (scored.orderBy(F.col(score_name).asc())
-                      .limit(k).drop("__list"))
+        order = [F.col(score_name).asc()]
+        if tiebreak_col is not None:
+            order.append(F.col(tiebreak_col).asc())
+        return scored.orderBy(*order).limit(k).drop("__list")
 
     @property
     def n_lists(self) -> int:

@@ -200,7 +200,7 @@ class SearchEngine:
                 prefilter = None if match_all else translator.translate(pred)
                 df = ann.search(parsed.knn.vector, k=parsed.knn.k,
                                 nprobe=ann_nprobe, prefilter=prefilter,
-                                score_name=score)
+                                score_name=score, tiebreak_col="__key")
                 if count_only:
                     return df.count()
                 if _observe_total is not None:
@@ -259,7 +259,8 @@ class SearchEngine:
             # missing values placed last (docs/commands/ft.search.md SORTBY)
             df = df.orderBy(col.desc_nulls_last() if sortby_desc else col.asc_nulls_last())
         elif parsed.knn is not None:
-            df = df.orderBy(F.col(parsed.knn.score_alias()).asc())
+            df = df.orderBy(F.col(parsed.knn.score_alias()).asc(),
+                            F.col("__key").asc())
         elif force_order:
             # deterministic reply order + guarantees the limit cannot
             # short-circuit the scan under a CollectMetrics observation
@@ -382,8 +383,10 @@ class SearchEngine:
         df = df.withColumn(score, dist).where(F.col(score).isNotNull())
         # top-k: Catalyst compiles orderBy+limit to TakeOrderedAndProject —
         # per-partition heap + driver merge, the same shape as the reference's
-        # per-shard top-k fan-in (/root/reference/src/query/fanout.cc:69)
-        return df.orderBy(F.col(score).asc()).limit(knn.k)
+        # per-shard top-k fan-in (/root/reference/src/query/fanout.cc:69).
+        # __key tiebreak: ties at the k-th distance resolve deterministically
+        # (a distributed scan has no stable iteration order to fall back on)
+        return df.orderBy(F.col(score).asc(), F.col("__key").asc()).limit(knn.k)
 
     def _project(self, schema: IndexSchema, df: DataFrame,
                  return_fields, nocontent: bool, score_col: str | None,
