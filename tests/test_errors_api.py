@@ -200,3 +200,47 @@ def test_info_documented_field_set(spark):
     assert vattr["index"] == {"dimensions": 64, "distance_metric": "COSINE",
                               "data_type": "FLOAT32",
                               "algorithm": {"name": "HNSW"}}
+
+
+def test_info_search_metrics(spark):
+    """INFO SEARCH query-section counters classify requests the way
+    search-observables.md defines them; latency accumulates only for
+    executing (count_only) vector searches."""
+    from valkey_search_spark import VectorField as VF
+
+    e = SearchEngine(spark)
+    part = spark.read.parquet(f"{SF}/part.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    e.ft_create("mx", part, [TagField("p_brand"), NumericField("p_size")],
+                key_column="p_partkey")
+    e.ft_create("mxv", emb, [VF("embedding", dim=64), NumericField("label")],
+                key_column="vec_id")
+    qv = [0.1] * 64
+
+    e.ft_search("mx", "@p_brand:{Brand#13}", count_only=True)     # nonvector
+    e.ft_search("mxv", "*=>[KNN 5 @embedding $v]", params={"v": qv},
+                count_only=True)                                  # vector
+    e.ft_search("mxv", "@label:[1 5]=>[KNN 5 @embedding $v]",
+                params={"v": qv}, count_only=True)        # hybrid prefilter
+    try:
+        e.ft_search("mx", "@nope:{x}")                            # failure
+    except Exception:
+        pass
+
+    info = e.info_search()
+    q = info["query"]
+    assert q["successful_requests_count"] == 3
+    assert q["failure_requests_count"] == 1
+    assert q["nonvector_requests_count"] == 1
+    assert q["vector_requests_count"] == 2
+    assert q["hybrid_requests_count"] == 1
+    assert q["prefiltering_requests_count"] == 1
+    assert q["inline_filtering_requests_count"] == 0
+    assert info["latency"]["flat_vector_index_search_latency_usec"] > 0
+    assert info["indexing"]["background_indexing_status"] == "NO_ACTIVITY"
+    st = info["index_stats"]
+    assert st["number_of_indexes"] == 2 and st["number_of_attributes"] == 4
+
+    stats = e.info_search(compute_stats=True)
+    assert stats["index_stats"]["total_indexed_documents"] == \
+        part.count() + emb.count()

@@ -56,6 +56,11 @@ class SearchEngine:
         self.spark = spark
         self.catalog = Catalog()
         self.limits = limits or QueryLimits()
+        # INFO SEARCH query/latency counters
+        # (docs/topics/search-observables.md `query` + `latency` sections)
+        from collections import Counter
+
+        self._metrics: "Counter[str]" = Counter()
 
     # -- DDL ---------------------------------------------------------------
     def ft_create(self, name: str, df: DataFrame, fields: list[FieldDef],
@@ -113,6 +118,40 @@ class SearchEngine:
     def ft_info(self, name: str, compute_stats: bool = False) -> dict:
         return self.catalog.info(name, compute_stats=compute_stats)
 
+    def info_search(self, compute_stats: bool = False) -> dict:
+        """INFO SEARCH analogue (docs/topics/search-observables.md): the
+        sections that exist in a batch engine. `query` counters classify
+        every ft_search call (nonvector / vector / hybrid, inline vs
+        pre-filtering); `latency` accumulates wall-time for EXECUTING
+        calls only (count_only — lazy DataFrame returns are plans, not
+        searches). Coordinator/thread-pool/hnswlib sections have no
+        analogue (shuffle service + Catalyst own those concerns) and are
+        omitted rather than faked."""
+        m = self._metrics
+        out = {
+            "query": {k: int(m[k]) for k in (
+                "successful_requests_count", "failure_requests_count",
+                "vector_requests_count", "nonvector_requests_count",
+                "hybrid_requests_count", "inline_filtering_requests_count",
+                "prefiltering_requests_count")},
+            "latency": {k: int(m[k]) for k in (
+                "flat_vector_index_search_latency_usec",
+                "hnsw_vector_index_search_latency_usec")},
+            "index_stats": {
+                "number_of_indexes": len(self.catalog.list()),
+                "number_of_attributes": sum(
+                    len(self.catalog.get(n).fields)
+                    for n in self.catalog.list()),
+                "total_indexed_documents": None,
+            },
+            "indexing": {"background_indexing_status": "NO_ACTIVITY"},
+        }
+        if compute_stats:
+            out["index_stats"]["total_indexed_documents"] = sum(
+                self.catalog.info(n, compute_stats=True)["num_docs"]
+                for n in self.catalog.list())
+        return out
+
     # -- FT.SEARCH ---------------------------------------------------------
     def ft_search(
         self,
@@ -141,6 +180,54 @@ class SearchEngine:
         dialect-2 syntax); ``timeout_ms`` maps to a Spark job description
         only — batch plans either finish or are cancelled externally (the
         reference's partial-results-on-timeout has no analogue here)."""
+        try:
+            out = self._ft_search(
+                index, query, params=params, limit=limit, sortby=sortby,
+                sortby_desc=sortby_desc, return_fields=return_fields,
+                nocontent=nocontent, verbatim=verbatim, slop=slop,
+                inorder=inorder, count_only=count_only,
+                ann_nprobe=ann_nprobe, dialect=dialect,
+                timeout_ms=timeout_ms, withsortkeys=withsortkeys,
+                _observe_total=_observe_total)
+        except Exception:
+            self._metrics["failure_requests_count"] += 1
+            raise
+        self._metrics["successful_requests_count"] += 1
+        # classify SUCCESSFUL requests (search-observables.md: nonvector =
+        # exclusively non-vector; vector = any vector component; hybrid =
+        # vector + filter, a subset of vector)
+        parsed = parse_query(query, params)
+        if parsed.knn is None:
+            self._metrics["nonvector_requests_count"] += 1
+        else:
+            self._metrics["vector_requests_count"] += 1
+            if not isinstance(parsed.predicate, MatchAll):
+                self._metrics["hybrid_requests_count"] += 1
+        return out
+
+    def _ft_search(
+        self,
+        index: str,
+        query: str,
+        params: dict | None = None,
+        limit: tuple[int, int] = (0, 10),
+        sortby: str | None = None,
+        sortby_desc: bool = False,
+        return_fields: list[ReturnField | str] | None = None,
+        nocontent: bool = False,
+        verbatim: bool = False,
+        slop: int | None = None,
+        inorder: bool = False,
+        count_only: bool = False,
+        ann_nprobe: int | None = None,
+        dialect: int = 2,
+        timeout_ms: int | None = None,
+        withsortkeys: bool = False,
+        _observe_total=None,
+    ):
+        import time as _time
+
+        _t0 = _time.perf_counter()
         if dialect not in (1, 2, 3, 4):
             raise QuerySyntaxError(f"invalid DIALECT {dialect}")
         schema = self.catalog.get(index)
@@ -198,11 +285,17 @@ class SearchEngine:
             if ann is not None:
                 score = parsed.knn.score_alias()
                 prefilter = None if match_all else translator.translate(pred)
+                if prefilter is not None:
+                    # predicate evaluated INSIDE the probed lists
+                    self._metrics["inline_filtering_requests_count"] += 1
                 df = ann.search(parsed.knn.vector, k=parsed.knn.k,
                                 nprobe=ann_nprobe, prefilter=prefilter,
                                 score_name=score, tiebreak_col="__key")
                 if count_only:
-                    return df.count()
+                    n = df.count()
+                    self._metrics["hnsw_vector_index_search_latency_usec"] += \
+                        int((_time.perf_counter() - _t0) * 1e6)
+                    return n
                 if _observe_total is not None:
                     # ANN replies report the (<=k) probed result count
                     df = df.observe(_observe_total,
@@ -215,11 +308,18 @@ class SearchEngine:
         if not match_all:
             df = _apply_predicate(df, translator, pred)
         if parsed.knn is not None:
+            if not match_all:
+                # exact hybrid: filter first, then distance — pre-filtering
+                self._metrics["prefiltering_requests_count"] += 1
             df = self._knn(schema, df, parsed)
         if count_only:
             # count AFTER the top-k cut so the exact path agrees with the
             # ANN branch above (both report the <=k result-set size)
-            return df.count()
+            n = df.count()
+            if parsed.knn is not None:
+                self._metrics["flat_vector_index_search_latency_usec"] += \
+                    int((_time.perf_counter() - _t0) * 1e6)
+            return n
         if _observe_total is not None:
             # pre-LIMIT total in the SAME job (search.cc:779-842 computes
             # both in one pass): a CollectMetrics node below the sort+limit.
