@@ -244,3 +244,38 @@ def test_info_search_metrics(spark):
     stats = e.info_search(compute_stats=True)
     assert stats["index_stats"]["total_indexed_documents"] == \
         part.count() + emb.count()
+
+
+def test_query_guard_configurables(spark):
+    """The parser-guard configurables enforce like the reference:
+    query-string-bytes pre-parse, depth/terms post-parse, max-vector-knn
+    on the KNN clause (search-configurables.md)."""
+    from valkey_search_spark import VectorField as VF
+    from valkey_search_spark.plans.predicate_translator import QueryLimits
+
+    part = spark.read.parquet(f"{SF}/part.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    e = SearchEngine(spark, limits=QueryLimits(
+        query_string_bytes=200, query_string_depth=3,
+        query_string_terms_count=5, max_vector_knn=8))
+    e.ft_create("lim", part, [TagField("p_brand"), NumericField("p_size")],
+                key_column="p_partkey")
+    e.ft_create("limv", emb, [VF("embedding", dim=64)], key_column="vec_id")
+
+    with pytest.raises(QuerySyntaxError, match="query-string-bytes"):
+        e.ft_search("lim", "@p_brand:{" + "x" * 300 + "}")
+    with pytest.raises(QuerySyntaxError, match="query-string-depth"):
+        # alternating AND/OR nests the predicate tree 4 deep (plain parens
+        # collapse at parse time, as in the reference's recursion counting)
+        e.ft_search("lim", "@p_size:[1 2] (@p_size:[1 2] | "
+                           "(@p_size:[3 4] @p_size:[5 6]))")
+    with pytest.raises(QuerySyntaxError, match="terms-count"):
+        e.ft_search("lim", " | ".join("@p_size:[%d %d]" % (i, i + 1)
+                                      for i in range(6)))
+    with pytest.raises(QuerySyntaxError, match="max-vector-knn"):
+        e.ft_search("limv", "*=>[KNN 9 @embedding $v]",
+                    params={"v": [0.0] * 64})
+    # within limits: all four forms pass
+    assert e.ft_search("lim", "@p_size:[1 10]", count_only=True) >= 0
+    assert e.ft_search("limv", "*=>[KNN 8 @embedding $v]",
+                       params={"v": [0.0] * 64}, count_only=True) == 8

@@ -230,8 +230,30 @@ class SearchEngine:
         _t0 = _time.perf_counter()
         if dialect not in (1, 2, 3, 4):
             raise QuerySyntaxError(f"invalid DIALECT {dialect}")
+        # pre-parse guard (search.cc:1071): query length in bytes
+        if len(query.encode("utf-8")) > self.limits.query_string_bytes:
+            raise QuerySyntaxError(
+                f"Query string exceeds maximum allowed size of "
+                f"{self.limits.query_string_bytes} bytes (query-string-bytes)")
         schema = self.catalog.get(index)
         parsed = parse_query(query, params)
+        # post-parse guards (filter_parser.cc:933 depth, :1046 node count;
+        # ft_search_parser.cc:36 max-vector-knn)
+        from ..plans.predicate_translator import predicate_depth_and_count
+
+        depth, nodes = predicate_depth_and_count(parsed.predicate)
+        if depth > self.limits.query_string_depth:
+            raise QuerySyntaxError(
+                f"Query nesting depth {depth} exceeds query-string-depth "
+                f"{self.limits.query_string_depth}")
+        if nodes > self.limits.query_string_terms_count:
+            raise QuerySyntaxError(
+                f"Query has {nodes} terms, exceeds query-string-terms-count "
+                f"{self.limits.query_string_terms_count}")
+        if parsed.knn is not None and parsed.knn.k > self.limits.max_vector_knn:
+            raise QuerySyntaxError(
+                f"KNN k {parsed.knn.k} exceeds max-vector-knn "
+                f"{self.limits.max_vector_knn}")
         translator = PredicateTranslator(schema, verbatim=verbatim,
                                          limits=self.limits)
         # stopword pass BEFORE the SLOP/INORDER upgrade: a dropped term must

@@ -191,6 +191,33 @@ class QueryLimits:
     # maximum fuzzy edit distance
     # (/root/reference/src/commands/filter_parser.cc:62, default 3)
     fuzzy_max_distance: int = 3
+    # max FT.SEARCH query string length in bytes
+    # (/root/reference/src/valkey_search_options.cc:65, default 10240;
+    # enforced pre-parse, src/query/search.cc:1071)
+    query_string_bytes: int = 10240
+    # max predicate nesting depth
+    # (/root/reference/src/valkey_search_options.cc:506, default 1000;
+    # enforced filter_parser.cc:933)
+    query_string_depth: int = 1000
+    # max predicate tree node count
+    # (/root/reference/src/commands/filter_parser.cc:44, default 1000;
+    # enforced filter_parser.cc:1046)
+    query_string_terms_count: int = 1000
+    # max KNN k (/root/reference/src/commands/ft_search_parser.cc:36)
+    max_vector_knn: int = 100000
+
+
+def predicate_depth_and_count(pred) -> tuple[int, int]:
+    """(max nesting depth, node count) of a Predicate tree — the engine's
+    counterpart of the reference's parse-time level/node accounting."""
+    children = getattr(pred, "children", None)
+    if children is None:
+        child = getattr(pred, "child", None)
+        children = [child] if child is not None else []
+    if not children:
+        return 1, 1
+    depths, counts = zip(*(predicate_depth_and_count(c) for c in children))
+    return 1 + max(depths), 1 + sum(counts)
 
 
 class PredicateTranslator:
