@@ -279,3 +279,34 @@ def test_query_guard_configurables(spark):
     assert e.ft_search("lim", "@p_size:[1 10]", count_only=True) >= 0
     assert e.ft_search("limv", "*=>[KNN 8 @embedding $v]",
                        params={"v": [0.0] * 64}, count_only=True) == 8
+
+
+def test_create_limit_configurables(spark):
+    """FT.CREATE-time limits (ft_create_parser.cc): attribute count,
+    prefix count, tag/numeric identifier length, vector dimensions."""
+    from valkey_search_spark.plans.predicate_translator import QueryLimits
+
+    part = spark.read.parquet(f"{SF}/part.parquet")
+    e = SearchEngine(spark, limits=QueryLimits(
+        max_attributes=2, max_prefixes=1, max_tag_field_length=10,
+        max_numeric_field_length=8, max_vector_dimensions=32))
+    with pytest.raises(QuerySyntaxError, match="max-attributes"):
+        e.ft_create("c1", part, [TagField("p_brand"), TagField("p_type"),
+                                 NumericField("p_size")],
+                    key_column="p_partkey")
+    with pytest.raises(QuerySyntaxError, match="prefixes"):
+        e.ft_create("c2", part, [TagField("p_brand")],
+                    key_column="p_partkey", prefixes=["a:", "b:"])
+    with pytest.raises(QuerySyntaxError, match="tag field"):
+        e.ft_create("c3", part, [TagField("p_container_long", alias="c")],
+                    key_column="p_partkey")
+    with pytest.raises(QuerySyntaxError, match="numeric field"):
+        e.ft_create("c4", part, [NumericField("p_retailprice")],
+                    key_column="p_partkey")
+    with pytest.raises(QuerySyntaxError, match="dimensions"):
+        e.ft_create("c5", part, [VectorField("v", dim=64)],
+                    key_column="p_partkey")
+    # within limits
+    e.ft_create("c_ok", part, [TagField("p_brand"), NumericField("p_size")],
+                key_column="p_partkey", prefixes=["p:"])
+    assert "c_ok" in e.ft_list()

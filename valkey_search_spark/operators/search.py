@@ -74,6 +74,32 @@ class SearchEngine:
         column and require an AS alias, exactly like FT.CREATE ... ON JSON
         SCHEMA $.path AS name TYPE. Non-$ fields still bind to ordinary
         frame columns, so hybrid frames work."""
+        lim = self.limits
+        # FT.CREATE validations (ft_create_parser.cc:244,384,404,623,781)
+        if len(fields) > lim.max_attributes:
+            raise QuerySyntaxError(
+                f"Index has {len(fields)} attributes, exceeds max-attributes "
+                f"{lim.max_attributes}")
+        if prefixes and len(prefixes) > lim.max_prefixes:
+            raise QuerySyntaxError(
+                f"The number of prefixes ({len(prefixes)}) exceeds the "
+                f"maximum allowed ({lim.max_prefixes})")
+        for f in fields:
+            if isinstance(f, TagField) and len(f.name) > lim.max_tag_field_length:
+                raise QuerySyntaxError(
+                    f"A tag field can have a maximum length of "
+                    f"{lim.max_tag_field_length}.")
+            if (type(f) is NumericField
+                    and len(f.name) > lim.max_numeric_field_length):
+                raise QuerySyntaxError(
+                    f"A numeric field can have a maximum length of "
+                    f"{lim.max_numeric_field_length}.")
+            if isinstance(f, VectorField) and not (
+                    1 <= f.dim <= lim.max_vector_dimensions):
+                raise QuerySyntaxError(
+                    f"The dimensions value must be a positive integer "
+                    f"greater than 0 and less than or equal to "
+                    f"{lim.max_vector_dimensions}.")
         if on_json is not None:
             for f in fields:
                 if f.name.startswith("$"):

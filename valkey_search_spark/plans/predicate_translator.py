@@ -205,6 +205,12 @@ class QueryLimits:
     query_string_terms_count: int = 1000
     # max KNN k (/root/reference/src/commands/ft_search_parser.cc:36)
     max_vector_knn: int = 100000
+    # FT.CREATE-time limits (/root/reference/src/commands/ft_create_parser.cc:62-66)
+    max_attributes: int = 1000          # attributes per index
+    max_prefixes: int = 8               # key prefixes per index
+    max_tag_field_length: int = 256     # TAG attribute identifier length
+    max_numeric_field_length: int = 128  # NUMERIC attribute identifier length
+    max_vector_dimensions: int = 32768  # VECTOR DIM upper bound
 
 
 def predicate_depth_and_count(pred) -> tuple[int, int]:
