@@ -69,18 +69,24 @@ class FilterParser:
         return self.params[name]
 
     def _read_until(self, stops: set[str]) -> str:
-        out = []
+        return "".join(ch for ch, _ in self._read_until_marked(stops))
+
+    def _read_until_marked(self, stops: set[str]) -> list[tuple[str, bool]]:
+        """(char, was_escaped) pairs — escape state survives so callers can
+        distinguish a literal `\\*` from a wildcard `*` (the reference's
+        parser consumes the backslash before the special-char check)."""
+        out: list[tuple[str, bool]] = []
         while self.i < len(self.q):
             c = self.q[self.i]
             if c == "\\" and self.i + 1 < len(self.q):
-                out.append(self.q[self.i + 1])
+                out.append((self.q[self.i + 1], True))
                 self.i += 2
                 continue
             if c in stops:
                 break
-            out.append(c)
+            out.append((c, False))
             self.i += 1
-        return "".join(out)
+        return out
 
     # -- entry ------------------------------------------------------------
     def parse(self) -> ParsedQuery:
@@ -200,11 +206,21 @@ class FilterParser:
         tags: list[tuple[str, bool]] = []
         while True:
             self._ws()
-            raw = self._read_until({"|", "}"}).strip()
+            marked = self._read_until_marked({"|", "}"})
+            # trim unescaped surrounding whitespace (tag.cc:149-177 trim)
+            while marked and marked[0][0].isspace() and not marked[0][1]:
+                marked.pop(0)
+            while marked and marked[-1][0].isspace() and not marked[-1][1]:
+                marked.pop()
+            raw = "".join(ch for ch, _ in marked)
             if raw:
-                if raw.startswith("$"):
+                if raw.startswith("$") and not marked[0][1]:
                     raw = str(self._param(raw[1:]))
-                if raw.endswith("*") and len(raw) > 1:
+                    marked = [(ch, False) for ch in raw]
+                # a trailing UNESCAPED `*` is the prefix operator; `\*` is a
+                # literal asterisk in the tag value
+                if (raw.endswith("*") and len(raw) > 1
+                        and not marked[-1][1]):
                     tags.append((raw[:-1], True))
                 else:
                     tags.append((raw, False))
