@@ -1,0 +1,79 @@
+"""Phrase members as wildcard / fuzzy specifiers
+(docs/full-text/phrase.md: "Each word specifier could be a word, a word
+wildcard match, or a fuzzy word match")."""
+
+import duckdb
+import pytest
+
+from valkey_search_spark import SearchEngine, TextField
+from valkey_search_spark.errors import QuerySyntaxError
+
+SF = "/root/testdata/sf0.001"
+PART = f"{SF}/part.parquet"
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    e = SearchEngine(spark)
+    part = spark.read.parquet(PART)
+    e.ft_create("ph", part, [TextField("p_name")], key_column="p_partkey")
+    e.ft_create("ph_nt", part,
+                [TextField("p_name", alias="nt", with_suffixtrie=False)],
+                key_column="p_partkey")
+    return e
+
+
+def _oracle(where):
+    return duckdb.sql(
+        f"select count(*) from '{PART}' where {where}").fetchone()[0]
+
+
+def _count(eng, q, index="ph"):
+    return eng.ft_search(index, q, count_only=True)
+
+
+def test_phrase_prefix_member(eng):
+    # "blue ro*" matches 'blue rod' but not 'blue ring'... ro* vs ri*
+    got = _count(eng, '@p_name:"blue ro*"')
+    want = _oracle("p_name like 'blue ro%'")
+    assert got == want > 0
+
+
+def test_phrase_suffix_member(eng):
+    got = _count(eng, '@p_name:"*old anvil"')   # cold anvil
+    want = _oracle("p_name similar to '[a-z]*old anvil'")
+    assert got == want > 0
+
+
+def test_phrase_infix_member(eng):
+    got = _count(eng, '@p_name:"*ol* anvil"')   # cold/gold... anvil
+    want = _oracle("p_name similar to '[a-z]*ol[a-z]* anvil'")
+    assert got == want > 0
+
+
+def test_phrase_fuzzy_member(eng):
+    # one edit: 'rod' ~ 'ros' is distance 1; use %rad% -> rod/red? 'rad'
+    # matches 'rod' and 'red' at distance 1 but position must follow 'hot'
+    got = _count(eng, '@p_name:"hot %rad%"')
+    want = _oracle("p_name = 'hot rod'")        # only rod follows 'hot'
+    assert got == want > 0
+
+
+def test_phrase_order_still_enforced(eng):
+    assert _count(eng, '@p_name:"rod blue"') == 0
+    assert _count(eng, '@p_name:"ro* blue"') == 0
+
+
+def test_phrase_plain_unchanged(eng):
+    got = _count(eng, '@p_name:"blue rod"')
+    assert got == _oracle("p_name = 'blue rod'") > 0
+
+
+def test_phrase_suffix_member_requires_trie(eng):
+    with pytest.raises(QuerySyntaxError, match="WITHSUFFIXTRIE"):
+        _count(eng, '@nt:"*old anvil"', index="ph_nt")
+
+
+def test_phrase_fuzzy_distance_capped(eng):
+    with pytest.raises(QuerySyntaxError, match="fuzzy"):
+        _count(eng, '@p_name:"hot %%%%rad%%%%"')

@@ -59,6 +59,11 @@ class TextPred(Predicate):
     distance: int = 0              # fuzzy: Damerau-Levenshtein budget
     words: list[str] = field(default_factory=list)  # phrase words, in order
     verbatim: bool = False         # phrase/VERBATIM: skip stemming
+    # phrase member specifiers, parallel to ``words``: (kind, distance) per
+    # member — a word specifier inside quotes may be a wildcard or fuzzy
+    # match (docs/full-text/phrase.md "Each word specifier could be a word,
+    # a word wildcard match, or a fuzzy word match"). None == all terms.
+    word_specs: list[tuple[str, int]] | None = None
 
 
 @dataclass

@@ -270,10 +270,36 @@ class FilterParser:
             self.i += 1
             phrase = self._read_until({'"'})
             self._expect('"')
-            words = phrase.lower().split()
-            if not words:
+            raw_words = phrase.lower().split()
+            if not raw_words:
                 raise QuerySyntaxError("empty phrase")
-            return TextPred(attr, PHRASE, phrase.lower(), words=words, verbatim=True)
+            # each member may be a word, wildcard, or fuzzy specifier
+            # (docs/full-text/phrase.md)
+            words, specs = [], []
+            for w in raw_words:
+                kind, dist = TERM, 0
+                lead_pct = len(w) - len(w.lstrip("%"))
+                trail_pct = len(w) - len(w.rstrip("%"))
+                if lead_pct and lead_pct == trail_pct and len(w) > 2 * lead_pct:
+                    if lead_pct > 3:
+                        raise QuerySyntaxError("fuzzy distance > 3")
+                    kind, dist = FUZZY, lead_pct
+                    w = w[lead_pct:-trail_pct]
+                else:
+                    lead = w.startswith("*")
+                    trail = w.endswith("*") and len(w) > 1
+                    if lead and trail and len(w) > 2:
+                        kind, w = INFIX, w[1:-1]
+                    elif trail:
+                        kind, w = PREFIX, w[:-1]
+                    elif lead and len(w) > 1:
+                        kind, w = SUFFIX, w[1:]
+                words.append(w)
+                specs.append((kind, dist))
+            if all(k == TERM for k, _ in specs):
+                specs = None                       # plain phrase fast path
+            return TextPred(attr, PHRASE, phrase.lower(), words=words,
+                            verbatim=True, word_specs=specs)
         if c == "%":
             dist = 0
             while self._peek() == "%":

@@ -71,6 +71,48 @@ def _fuzzy_match_udf(word: str, dist: int):
     return _match
 
 
+def _phrase_specs_udf(members: list[tuple[str, str, int]]):
+    """Phrase chain with wildcard/fuzzy members (docs/full-text/phrase.md):
+    member i must match at position anchor+i. Resolves each member's
+    position set per row, then walks anchors of member 0 — O(tokens x
+    members) with the fuzzy edit-distance kernel only on length-plausible
+    tokens."""
+
+    def matches(token: str, word: str, kind: str, dist: int) -> bool:
+        if kind == PREFIX:
+            return token.startswith(word)
+        if kind == SUFFIX:
+            return token.endswith(word)
+        if kind == INFIX:
+            return word in token
+        if kind == FUZZY:
+            return (abs(len(token) - len(word)) <= dist
+                    and damerau_levenshtein(token, word) <= dist)
+        return token == word
+
+    k = len(members)
+
+    @F.pandas_udf(T.BooleanType())
+    def _match(tok_lists: pd.Series) -> pd.Series:
+        def go(lst):
+            if lst is None:
+                return False
+            pos_sets: list[set[int]] = [set() for _ in range(k)]
+            for s in lst:
+                t, p = s["t"], s["p"]
+                for i, (word, kind, dist) in enumerate(members):
+                    if matches(t, word, kind, dist):
+                        pos_sets[i].add(p)
+            if any(not ps for ps in pos_sets):
+                return False
+            return any(all(p + i in pos_sets[i] for i in range(1, k))
+                       for p in pos_sets[0])
+
+        return tok_lists.apply(go)
+
+    return _match
+
+
 def _proximity_udf(slots: list[list[str]], slop: int | None, inorder: bool,
                    aligned: bool = False):
     """Positional multi-slot match: exists an assignment of one token
@@ -638,7 +680,7 @@ class PredicateTranslator:
             return plausible & _fuzzy_match_udf(w, p.distance)(
                 F.transform(toks, lambda s: s["t"]))
         if p.kind == PHRASE:
-            return self._phrase(fdef, p.words)
+            return self._phrase(fdef, p.words, p.word_specs)
         raise QuerySyntaxError(f"unknown text kind {p.kind}")
 
     def _term_cond(self, fdef: TextField, w: str, p: TextPred) -> Column:
@@ -648,12 +690,20 @@ class PredicateTranslator:
         qstem = stem_query_term(w, fdef.min_stem_size)
         return F.array_contains(F.col(stem_col(fdef.attr)), qstem)
 
-    def _phrase(self, fdef: TextField, words: list[str]) -> Column | None:
-        """Exact phrase: the query's words at consecutive post-removal
+    def _phrase(self, fdef: TextField, words: list[str],
+                word_specs: list[tuple[str, int]] | None = None
+                ) -> Column | None:
+        """Exact phrase: the query's members at consecutive post-removal
         positions (positions skip removed stop words,
         docs/topics/search-data-formats.md; no stemming inside quotes,
         docs/topics/search-query.md:171-178). Phrase text is lexed with
         the field's punctuation set (filter_parser.cc:597-616).
+
+        A member may be a word, a wildcard (prefix/suffix/infix), or a
+        fuzzy specifier (docs/full-text/phrase.md). Word and wildcard
+        members evaluate JVM-side (the exists-chain below); any fuzzy
+        member routes the phrase through an Arrow kernel that resolves
+        per-member positions and walks the consecutive chain.
 
         Quoted tokens are NOT stopword-filtered — ParseQuotedTextToken
         (filter_parser.cc:594-625) has no IsStopWord check — but stopwords
@@ -661,25 +711,58 @@ class PredicateTranslator:
         VALID query that matches zero rows: '"the of"' and
         '"the large bolt"' both return 0 results in the reference."""
         toks = F.col(text_col(fdef.attr))
-        lexed = [t for wd in words
-                 for t in lex_query_text(wd, fdef.punctuation)]
+        if word_specs is None:
+            word_specs = [(TERM, 0)] * len(words)
+        lexed: list[tuple[str, str, int]] = []       # (token, kind, dist)
+        for wd, (kind, dist) in zip(words, word_specs):
+            parts = lex_query_text(wd, fdef.punctuation)
+            if kind == TERM:
+                lexed.extend((t, TERM, 0) for t in parts)
+            else:
+                if kind in (SUFFIX, INFIX) and not fdef.with_suffixtrie:
+                    raise QuerySyntaxError(
+                        f"suffix/infix phrase member `{wd}` requires "
+                        f"WITHSUFFIXTRIE on field `{fdef.attr}`")
+                if kind == FUZZY and dist > self.limits.fuzzy_max_distance:
+                    raise QuerySyntaxError(
+                        f"fuzzy distance {dist} exceeds fuzzy-max-distance "
+                        f"({self.limits.fuzzy_max_distance})")
+                if len(parts) > 1:
+                    raise QuerySyntaxError(
+                        f"phrase member `{wd}` lexes to multiple tokens; "
+                        f"wildcard/fuzzy members must be single tokens")
+                if parts:
+                    lexed.append((parts[0], kind, dist))
         if not lexed:
             return None  # lexes to nothing at all: dropped, like TERM
-        if any(wd in fdef.stopwords for wd in lexed):
+        if any(t in fdef.stopwords for t, k, _ in lexed if k == TERM):
             return F.lit(False)
-        offs = list(zip(lexed, range(len(lexed))))
-        w0, o0 = offs[0]
 
-        def follower(word: str, delta: int, anchor_pos):
+        if any(k == FUZZY for _, k, _ in lexed):
+            return (toks.isNotNull()
+                    & _phrase_specs_udf([(t, k, d) for t, k, d in lexed])(toks))
+
+        def member_cond(tcol, word, kind):
+            if kind == PREFIX:
+                return tcol.startswith(word)
+            if kind == SUFFIX:
+                return tcol.endswith(word)
+            if kind == INFIX:
+                return tcol.contains(word)
+            return tcol == word
+
+        w0, k0, _ = lexed[0]
+
+        def follower(word, kind, delta, anchor_pos):
             def check(u):
-                return (u["t"] == word) & (u["p"] == anchor_pos + delta)
+                return member_cond(u["t"], word, kind) & (u["p"] == anchor_pos + delta)
 
             return check
 
         def anchored(s):
-            cond = s["t"] == w0
-            for wd, off in offs[1:]:
-                cond = cond & F.exists(toks, follower(wd, off - o0, s["p"]))
+            cond = member_cond(s["t"], w0, k0)
+            for off, (wd, kind, _) in enumerate(lexed[1:], 1):
+                cond = cond & F.exists(toks, follower(wd, kind, off, s["p"]))
             return cond
 
         return F.exists(toks, anchored)
