@@ -204,7 +204,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pre.unionByName(suf).unionByName(inf)
 
     q["text_affixes"] = q_affixes
-    q["text_phrase"] = _search("docs", '"batch stream"', DOC_COLS)
+    def q_text_phrase(spark, sf_dir):
+        # 2-form union: plain phrase + wildcard-member phrase
+        # (docs/full-text/phrase.md word specifiers)
+        e = _eng(spark, sf_dir)
+        plain = e.ft_search("docs", '"batch stream"', limit=ALL).select(
+            *DOC_COLS).withColumn("form", F.lit("plain"))
+        wild = e.ft_search("docs", '"batch str*"', limit=ALL).select(
+            *DOC_COLS).withColumn("form", F.lit("wild"))
+        return plain.unionByName(wild)
+
+    q["text_phrase"] = q_text_phrase
     q["text_fuzzy"] = _search("docs", "%windo%", DOC_COLS)
     q["text_proximity"] = _search("docs", "batch stream", DOC_COLS,
                                   slop=1, inorder=True)
@@ -586,8 +596,13 @@ def oracle_sql() -> dict[str, str]:
              f"string_split(text,' '), x -> x NOT IN {_SW_SQL}) AS t"
              " FROM documents)")
     o["text_phrase"] = (
-        f"{_toks} SELECT doc_id, source FROM toks WHERE len(list_filter("
-        "range(1, len(t)), i -> t[i]='batch' AND t[i+1]='stream')) > 0")
+        f"{_toks} SELECT doc_id, source, 'plain' AS form FROM toks"
+        " WHERE len(list_filter(range(1, len(t)),"
+        " i -> t[i]='batch' AND t[i+1]='stream')) > 0"
+        " UNION ALL"
+        " SELECT doc_id, source, 'wild' AS form FROM toks"
+        " WHERE len(list_filter(range(1, len(t)),"
+        " i -> t[i]='batch' AND starts_with(t[i+1],'str'))) > 0")
     o["text_fuzzy"] = _doc_where(
         "EXISTS (SELECT 1 FROM unnest(string_split(text, ' ')) AS u(tok)"
         " WHERE levenshtein(tok, 'windo') <= 1)")
