@@ -700,10 +700,19 @@ class PredicateTranslator:
         the field's punctuation set (filter_parser.cc:597-616).
 
         A member may be a word, a wildcard (prefix/suffix/infix), or a
-        fuzzy specifier (docs/full-text/phrase.md). Word and wildcard
-        members evaluate JVM-side (the exists-chain below); any fuzzy
-        member routes the phrase through an Arrow kernel that resolves
-        per-member positions and walks the consecutive chain.
+        fuzzy specifier. DELIBERATE DIVERGENCE, documented: the reference's
+        full-text DESIGN doc promises specifier members
+        (docs/full-text/phrase.md "Each word specifier could be a word, a
+        word wildcard match, or a fuzzy word match") but its shipped parser
+        breaks quoted tokens on punctuation — `*`/`%` included — so
+        '"blue ro*"' degrades to the phrase (blue, ro) there
+        (ParseQuotedTextToken, filter_parser.cc:594-625). We implement the
+        documented design: plain phrases behave identically to the
+        reference; specifier members are a superset it documents but does
+        not yet ship. Word and wildcard members evaluate JVM-side (the
+        exists-chain below); any fuzzy member routes the phrase through an
+        Arrow kernel that resolves per-member positions and walks the
+        consecutive chain.
 
         Quoted tokens are NOT stopword-filtered — ParseQuotedTextToken
         (filter_parser.cc:594-625) has no IsStopWord check — but stopwords
