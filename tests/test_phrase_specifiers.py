@@ -77,3 +77,20 @@ def test_phrase_suffix_member_requires_trie(eng):
 def test_phrase_fuzzy_distance_capped(eng):
     with pytest.raises(QuerySyntaxError, match="fuzzy"):
         _count(eng, '@p_name:"hot %%%%rad%%%%"')
+
+
+def test_nooffsets_rejects_phrase_and_proximity(spark):
+    """NOOFFSETS (ft_create_parser.cc:474): without word positions the
+    index rejects phrase and proximity queries (filter_parser.cc:876),
+    while single-term queries still work; FT.INFO reports with_offsets 0."""
+    e = SearchEngine(spark)
+    part = spark.read.parquet(PART)
+    e.ft_create("noff", part,
+                [TextField("p_name", with_offsets=False)],
+                key_column="p_partkey")
+    assert e.ft_search("noff", "anvil", count_only=True) > 0
+    with pytest.raises(QuerySyntaxError, match="offsets"):
+        e.ft_search("noff", '@p_name:"cold anvil"', count_only=True)
+    with pytest.raises(QuerySyntaxError, match="offsets"):
+        e.ft_search("noff", "cold anvil", slop=1, count_only=True)
+    assert e.ft_info("noff")["with_offsets"] == "0"

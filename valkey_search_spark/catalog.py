@@ -154,6 +154,10 @@ class TextField(FieldDef):
     min_stem_size: int = 4        # MINSTEMSIZE default (search-data-formats.md:232)
     stopwords: frozenset[str] = dc_field(default_factory=lambda: DEFAULT_STOPWORDS)
     punctuation: str = DEFAULT_PUNCTUATION   # PUNCTUATION option (per-byte set)
+    # WITHOFFSETS/NOOFFSETS (ft_create_parser.cc:471-475): without offsets
+    # the index stores no word positions, so phrase/proximity queries are
+    # rejected (filter_parser.cc:876 "Index does not support offsets")
+    with_offsets: bool = True
     # WITHSUFFIXTRIE (default on): suffix/infix queries error when disabled
     # (SURVEY.md §2.2 "Text suffix"; the trie itself is physical — here the
     # flag only gates the query form)
@@ -389,7 +393,8 @@ class Catalog:
                             else DEFAULT_PUNCTUATION),
             "stopwords": sorted(first_text.stopwords if first_text
                                 else DEFAULT_STOPWORDS),
-            "with_offsets": "1",    # _x_ columns carry word positions
+            "with_offsets": ("1" if first_text is None
+                             or first_text.with_offsets else "0"),
             "min_stem_size": (first_text.min_stem_size if first_text else 4),
         }
         if compute_stats:

@@ -483,6 +483,10 @@ class PredicateTranslator:
         alternative words present in a target text field."""
         conds = []
         for fdef in self._text_attrs(p.attr):
+            if not fdef.with_offsets:
+                # positional matching needs offsets, same gate as phrases
+                # (filter_parser.cc:876)
+                raise QuerySyntaxError("Index does not support offsets")
             slots = self._proximity_slots(fdef, p)
             if self._proximity_stemmed(fdef):
                 col = F.col(stem_pos_col(fdef.attr))
@@ -719,6 +723,9 @@ class PredicateTranslator:
         are never indexed (lexer.cc:148), so a phrase containing one is a
         VALID query that matches zero rows: '"the of"' and
         '"the large bolt"' both return 0 results in the reference."""
+        if not fdef.with_offsets and len(words) > 1:
+            # filter_parser.cc:876: exact phrase needs word positions
+            raise QuerySyntaxError("Index does not support offsets")
         toks = F.col(text_col(fdef.attr))
         if word_specs is None:
             word_specs = [(TERM, 0)] * len(words)
