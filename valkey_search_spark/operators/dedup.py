@@ -580,3 +580,73 @@ def embedding_cosine_pairs(
     out = (cand.select("a", "b", F.round(dot, 6).alias("cosine"))
                .where(F.col("cosine") >= threshold))
     return _with_handles(out, unit)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: pairs -> connected components -> canonical documents
+
+
+def connected_components(pairs: DataFrame, a: str = "a", b: str = "b",
+                         max_iter: int = 15) -> DataFrame:
+    """Connected components over a dup-pair graph: (node, component) with
+    component = the MINIMUM node id in each component.
+
+    Min-label propagation: every node starts labeled with itself; each
+    round a node takes the minimum label in its closed neighborhood;
+    converged when no label changes. Rounds needed = graph diameter —
+    near-dup graphs are dense clusters of near-identical documents, so
+    convergence is typically 2-4 rounds; ``max_iter`` bounds adversarial
+    chains (raises if not converged, never returns wrong components).
+
+    Scale shape: each round is one join of the label table with the
+    symmetrized edge list + one min-aggregate (both shuffle on node id and
+    AQE-coalesce); lineage is cut with localCheckpoint every round so the
+    plan stays O(1) deep. Convergence check piggybacks on the same
+    aggregate (max label-changed flag), costing no extra shuffle.
+    """
+    e1 = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    edges = e1.unionAll(
+        e1.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = edges.persist()
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("component", F.col("node"))
+              .localCheckpoint())
+    for _ in range(max_iter):
+        neigh = (edges.join(labels,
+                            edges["dst"] == labels["node"], "inner")
+                 .select(F.col("src").alias("node"),
+                         F.col("component").alias("nc")))
+        merged = (labels.unionAll(
+            neigh.withColumnRenamed("nc", "component"))
+            .groupBy("node").agg(F.min("component").alias("new_component")))
+        joined = (labels.join(merged, "node")
+                  .withColumn("changed",
+                              F.col("new_component") != F.col("component"))
+                  .select("node", F.col("new_component").alias("component"),
+                          "changed")
+                  .localCheckpoint())     # cut lineage each round
+        if joined.agg(F.max("changed")).first()[0] is not True:
+            labels = joined.drop("changed")
+            break
+        labels = joined.drop("changed")
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds")
+    edges.unpersist()
+    return labels
+
+
+def canonicalize_near_dups(docs: DataFrame, pairs: DataFrame, key: str,
+                           a: str = "a", b: str = "b") -> DataFrame:
+    """Attach ``canonical_id`` to every document: the minimum key of its
+    near-dup component (its own key when it has no dups), plus
+    ``is_canonical``. Downstream: keep ``is_canonical`` for a deduped
+    corpus, or group by ``canonical_id`` for provenance."""
+    comp = connected_components(pairs, a=a, b=b)
+    out = (docs.join(comp.withColumnRenamed("node", key), on=key, how="left")
+           .withColumn("canonical_id",
+                       F.coalesce(F.col("component"), F.col(key)))
+           .drop("component")
+           .withColumn("is_canonical", F.col("canonical_id") == F.col(key)))
+    return out
