@@ -1,5 +1,6 @@
 """Index-definition save/load (RDB persistence parity,
 /root/reference/src/rdb_serialization.cc)."""
+import pytest
 
 from valkey_search_spark import NumericField, SearchEngine, TagField, TextField
 from valkey_search_spark.sources.persistence import load_index_def, save_index_def
@@ -59,3 +60,60 @@ def test_on_json_schema_roundtrips(spark, tmp_path):
     loaded = load_index_def(spark, p)
     assert loaded.field("cat").json_source == "doc"
     assert loaded.field("n").name == "$.n"
+
+
+def test_ann_artifact_reattached_on_load(spark, tmp_path):
+    """The declaration records attr -> IVF path so a loaded index serves
+    ANN queries without a rebuild (RDB-saves-the-graph analogue)."""
+    import math
+
+    from valkey_search_spark import (
+        NumericField, SearchEngine, VectorField,
+    )
+    from valkey_search_spark.sources.persistence import (
+        load_index_def, save_index_def,
+    )
+
+    qv = [round(math.sin(i + 1), 6) for i in range(64)]
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    e = SearchEngine(spark)
+    e.ft_create("pidx", emb,
+                [VectorField("embedding", dim=64, metric="l2", algo="hnsw"),
+                 NumericField("label")], key_column="vec_id")
+    e.ft_build_ann("pidx", "embedding", str(tmp_path / "ivf"), n_lists=4)
+    before = [r["vec_id"] for r in e.ft_search(
+        "pidx", "*=>[KNN 5 @embedding $v]", params={"v": qv},
+        ann_nprobe=4, limit=(0, 5)).collect()]
+
+    doc_path = str(tmp_path / "docs")
+    p = str(tmp_path / "pidx.json")
+    save_index_def(e.catalog.get("pidx"), p, doc_path=doc_path)
+
+    e2 = SearchEngine(spark)
+    e2.catalog.create(load_index_def(spark, p))
+    after = [r["vec_id"] for r in e2.ft_search(
+        "pidx", "*=>[KNN 5 @embedding $v]", params={"v": qv},
+        ann_nprobe=4, limit=(0, 5)).collect()]
+    assert after == before
+    assert e2.catalog.get("pidx")._ann["embedding"].n_lists == 4
+
+
+def test_with_offsets_survives_roundtrip(spark, tmp_path):
+    from valkey_search_spark import SearchEngine, TextField
+    from valkey_search_spark.errors import QuerySyntaxError
+    from valkey_search_spark.sources.persistence import (
+        load_index_def, save_index_def,
+    )
+
+    part = spark.read.parquet(f"{SF}/part.parquet")
+    e = SearchEngine(spark)
+    schema = e.ft_create("noffp", part,
+                         [TextField("p_name", with_offsets=False)],
+                         key_column="p_partkey")
+    p = str(tmp_path / "noffp.json")
+    save_index_def(schema, p, doc_path=str(tmp_path / "docs"))
+    e2 = SearchEngine(spark)
+    e2.catalog.create(load_index_def(spark, p))
+    assert e2.catalog.get("noffp").field("p_name").with_offsets is False
+    with pytest.raises(QuerySyntaxError, match="offsets"):
+        e2.ft_search("noffp", '@p_name:"cold anvil"', count_only=True)

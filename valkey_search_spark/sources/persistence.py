@@ -35,7 +35,8 @@ def _field_to_dict(f: FieldDef) -> dict:
     elif isinstance(f, TextField):
         d.update(nostem=f.nostem, min_stem_size=f.min_stem_size,
                  stopwords=sorted(f.stopwords), punctuation=f.punctuation,
-                 with_suffixtrie=f.with_suffixtrie)
+                 with_suffixtrie=f.with_suffixtrie,
+                 with_offsets=f.with_offsets)
     elif isinstance(f, VectorField):
         d.update(dim=f.dim, metric=f.metric, algo=f.algo)
     return d
@@ -60,6 +61,12 @@ def save_index_def(schema: IndexSchema, path: str, doc_path: str | None = None) 
         "doc_path": doc_path,
         "prefixes": list(schema.prefixes) if schema.prefixes else None,
         "fields": [_field_to_dict(f) for f in schema.fields],
+        # ANN artifacts are already durable parquet+meta at their build
+        # paths (the reference's RDB saves its HNSW graph,
+        # rdb_serialization.cc); the declaration records attr -> path so
+        # load re-attaches without a rebuild
+        "ann": {attr: ivf.path
+                for attr, ivf in getattr(schema, "_ann", {}).items()},
     }
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as fh:
@@ -77,9 +84,16 @@ def load_index_def(spark: SparkSession, path: str,
         raise ValueError(f"no document snapshot path for index {payload['name']!r}")
     df = spark.read.parquet(dp)
     prefixes = payload.get("prefixes")
-    return IndexSchema(
+    schema = IndexSchema(
         payload["name"], df,
         [_field_from_dict(d) for d in payload["fields"]],
         key_column=payload.get("key_column"), cache=cache,
         prefixes=tuple(prefixes) if prefixes else None,
     )
+    ann = payload.get("ann") or {}
+    if ann:
+        from ..operators.ann import IVFIndex
+
+        schema._ann = {attr: IVFIndex.load(spark, p)
+                       for attr, p in ann.items()}
+    return schema
