@@ -94,3 +94,23 @@ def test_nooffsets_rejects_phrase_and_proximity(spark):
     with pytest.raises(QuerySyntaxError, match="offsets"):
         e.ft_search("noff", "cold anvil", slop=1, count_only=True)
     assert e.ft_info("noff")["with_offsets"] == "0"
+
+
+def test_two_slot_proximity_is_jvm_only(spark):
+    """The k=2 proximity fast path stays entirely inside codegen — no
+    Arrow/Python nodes in the plan (3+ slots still use the kernel)."""
+    e = SearchEngine(spark)
+    part = spark.read.parquet(PART)
+    e.ft_create("prox2", part, [TextField("p_name")], key_column="p_partkey")
+    plan = e.ft_search("prox2", "cold anvil", slop=1, inorder=True,
+                       limit=(0, 10))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # and the fast path agrees with DuckDB on real data
+    import duckdb
+    got = e.ft_search("prox2", "cold anvil", slop=0, inorder=True,
+                      count_only=True)
+    want = duckdb.sql(
+        f"select count(*) from '{PART}' where p_name = 'cold anvil'"
+    ).fetchone()[0]
+    assert got == want > 0

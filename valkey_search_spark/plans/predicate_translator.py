@@ -816,10 +816,50 @@ class PredicateTranslator:
                     for w in ws[1:]:
                         alt = alt | F.exists(col, _has(w))
                 contains_all = contains_all & alt
-            conds.append(col.isNotNull() & contains_all
-                         & _proximity_udf(slots, p.slop, p.inorder,
-                                          aligned=aligned)(col))
+            if len(slots) == 2:
+                # two-slot fast path: the pair check is expressible as pure
+                # JVM array expressions (positions of slot words -> exists
+                # a qualifying pair), keeping the whole predicate inside
+                # codegen — no Arrow batch transfer. Exact same semantics
+                # as the kernel for k=2, including distinct positions under
+                # slot overlap.
+                positional = self._two_slot_jvm(col, aligned, slots,
+                                                p.slop, p.inorder)
+            else:
+                positional = _proximity_udf(slots, p.slop, p.inorder,
+                                            aligned=aligned)(col)
+            conds.append(col.isNotNull() & contains_all & positional)
         out = conds[0]
         for c in conds[1:]:
             out = out | c
         return F.coalesce(out, F.lit(False))
+
+    @staticmethod
+    def _two_slot_jvm(col, aligned: bool, slots: list[list[str]],
+                      slop: int | None, inorder: bool) -> Column:
+        """k=2 positional check in JVM expressions. Semantics mirror
+        ``_proximity_udf``: positions distinct; intervening-token count
+        (|p2-p1|-1) <= slop when slop is set; p1 < p2 when inorder."""
+        def positions(ws):
+            if aligned:
+                indexed = F.transform(
+                    col, lambda x, i: F.struct(x.alias("t"), i.alias("p")))
+            else:
+                indexed = col
+            match = (lambda s: s["t"] == ws[0]) if len(ws) == 1 else (
+                lambda s: s["t"].isin(ws))
+            return F.transform(F.filter(indexed, match), lambda s: s["p"])
+
+        p1s, p2s = positions(slots[0]), positions(slots[1])
+
+        def pair_ok(p1, p2):
+            if inorder:
+                c = p2 > p1
+            else:
+                c = p2 != p1
+            if slop is not None:
+                c = c & (F.abs(p2 - p1) - 1 <= F.lit(slop))
+            return c
+
+        return F.exists(p1s, lambda p1: F.exists(p2s,
+                                                 lambda p2: pair_ok(p1, p2)))
