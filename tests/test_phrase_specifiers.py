@@ -101,7 +101,11 @@ def test_two_slot_proximity_is_jvm_only(spark):
     Arrow/Python nodes in the plan (3+ slots still use the kernel)."""
     e = SearchEngine(spark)
     part = spark.read.parquet(PART)
-    e.ft_create("prox2", part, [TextField("p_name")], key_column="p_partkey")
+    # nostem isolates the assertion: a stemmed UNCACHED index would show
+    # the ingest-time stemming UDF in the plan (not the proximity check —
+    # cached indexes, like the driver's, scan materialized stem columns)
+    e.ft_create("prox2", part, [TextField("p_name", nostem=True)],
+                key_column="p_partkey")
     plan = e.ft_search("prox2", "cold anvil", slop=1, inorder=True,
                        limit=(0, 10))._jdf.queryExecution() \
         .executedPlan().toString()
