@@ -310,3 +310,21 @@ def test_create_limit_configurables(spark):
     e.ft_create("c_ok", part, [TagField("p_brand"), NumericField("p_size")],
                 key_column="p_partkey", prefixes=["p:"])
     assert "c_ok" in e.ft_list()
+
+
+def test_timeout_cancels_executing_search(spark):
+    """TIMEOUT on an executing (count_only / reply) call cancels the job
+    group and raises SearchTimeoutError; a generous budget succeeds."""
+    from valkey_search_spark.errors import SearchTimeoutError
+
+    e = SearchEngine(spark)
+    docs = spark.read.parquet(f"{SF}/../sf0.01/documents.parquet")
+    e.ft_create("tmo", docs, [TextField("text")], key_column="doc_id")
+    # generous budget: completes normally
+    assert e.ft_search("tmo", "%windo%", count_only=True,
+                       timeout_ms=120_000) >= 0
+    # 1 ms budget: no Spark job finishes that fast
+    with pytest.raises(SearchTimeoutError):
+        e.ft_search("tmo", "%windote%", count_only=True, timeout_ms=1)
+    # the engine stays usable after a cancelled group
+    assert e.ft_search("tmo", "window", count_only=True) >= 0

@@ -25,3 +25,10 @@ class UnknownIndexError(SearchError):
 
 class ExpressionError(SearchError):
     """Malformed APPLY/FILTER expression (compile-time)."""
+
+
+class SearchTimeoutError(SearchError):
+    """An executing search exceeded its TIMEOUT budget and its Spark job
+    group was cancelled (the reference's timeout error,
+    docs/commands/ft.search.md TIMEOUT; partial-results fanout modes have
+    no single-engine analogue)."""

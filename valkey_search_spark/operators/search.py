@@ -144,6 +144,52 @@ class SearchEngine:
     def ft_info(self, name: str, compute_stats: bool = False) -> dict:
         return self.catalog.info(name, compute_stats=compute_stats)
 
+    def _run_with_timeout(self, action, timeout_ms: int | None):
+        """Run an eager Spark action under a TIMEOUT budget: the call's
+        jobs run in a dedicated job group that a timer cancels at the
+        deadline (ft.search.md TIMEOUT — the reference returns a timeout
+        error; the fanout partial-result modes have no single-engine
+        analogue). Lazy ft_search calls return plans, so the budget
+        applies where execution happens: count_only and reply paths."""
+        if not timeout_ms:
+            return action()
+        import threading
+        import uuid
+
+        from ..errors import SearchTimeoutError
+
+        sc = self.spark.sparkContext
+        group = f"vss-timeout-{uuid.uuid4().hex[:12]}"
+        sc.setJobGroup(group, f"ft_search TIMEOUT {timeout_ms}ms",
+                       interruptOnCancel=True)
+        stop = threading.Event()
+
+        def canceller():
+            # past the deadline, cancel REPEATEDLY until the action ends:
+            # a single cancel is a no-op for jobs submitted after it fires
+            # (driver-side planning can outlast a short budget)
+            if not stop.wait(timeout_ms / 1000.0):
+                while not stop.is_set():
+                    sc.cancelJobGroup(group)
+                    stop.wait(0.05)
+
+        t = threading.Thread(target=canceller, daemon=True)
+        t.start()
+        try:
+            return action()
+        except Exception as e:                    # noqa: BLE001
+            msg = str(e).lower()
+            if "cancel" in msg:
+                raise SearchTimeoutError(
+                    f"Search timed out after {timeout_ms} ms") from None
+            raise
+        finally:
+            stop.set()
+            try:
+                sc._jsc.clearJobGroup()
+            except Exception:
+                sc.setLocalProperty("spark.jobGroup.id", None)
+
     def info_search(self, compute_stats: bool = False) -> dict:
         """INFO SEARCH analogue (docs/topics/search-observables.md): the
         sections that exist in a batch engine. `query` counters classify
@@ -203,9 +249,13 @@ class SearchEngine:
         LIMIT 0 0 shape, /root/reference/src/query/search.h:77-80).
 
         ``dialect`` is accepted for API parity (the engine always speaks
-        dialect-2 syntax); ``timeout_ms`` maps to a Spark job description
-        only — batch plans either finish or are cancelled externally (the
-        reference's partial-results-on-timeout has no analogue here)."""
+        dialect-2 syntax). ``timeout_ms`` is ENFORCED on executing calls
+        (count_only here, and ft_search_reply): the call's job group is
+        cancelled at the deadline and SearchTimeoutError raised
+        (ft.search.md TIMEOUT). Lazy calls return a plan, so the budget
+        applies where execution happens; the reference's
+        partial-results-on-timeout fanout modes have no single-engine
+        analogue."""
         try:
             out = self._ft_search(
                 index, query, params=params, limit=limit, sortby=sortby,
@@ -340,7 +390,7 @@ class SearchEngine:
                                 nprobe=ann_nprobe, prefilter=prefilter,
                                 score_name=score, tiebreak_col="__key")
                 if count_only:
-                    n = df.count()
+                    n = self._run_with_timeout(df.count, timeout_ms)
                     self._metrics["hnsw_vector_index_search_latency_usec"] += \
                         int((_time.perf_counter() - _t0) * 1e6)
                     return n
@@ -363,7 +413,7 @@ class SearchEngine:
         if count_only:
             # count AFTER the top-k cut so the exact path agrees with the
             # ANN branch above (both report the <=k result-set size)
-            n = df.count()
+            n = self._run_with_timeout(df.count, timeout_ms)
             if parsed.knn is not None:
                 self._metrics["flat_vector_index_search_latency_usec"] += \
                     int((_time.perf_counter() - _t0) * 1e6)
@@ -438,11 +488,14 @@ class SearchEngine:
                                    **{k: v for k, v in kw.items()
                                       if k != "nocontent"})]
         obs = Observation()
+        timeout_ms = kw.get("timeout_ms")
         df = self.ft_search(index, query, params=params, limit=limit,
                             _observe_total=obs, **kw)
         from .reply import search_reply
 
-        return search_reply(df, observation=obs, nocontent=nocontent)
+        return self._run_with_timeout(
+            lambda: search_reply(df, observation=obs, nocontent=nocontent),
+            timeout_ms)
 
     # -- FT.AGGREGATE ------------------------------------------------------
     def ft_aggregate(
