@@ -118,3 +118,44 @@ def test_two_slot_proximity_is_jvm_only(spark):
         f"select count(*) from '{PART}' where p_name = 'cold anvil'"
     ).fetchone()[0]
     assert got == want > 0
+
+
+def test_proximity_inorder_compat_mode(spark):
+    """proximity-inorder-compat-mode (proximity.cc:8-19): default strict
+    INORDER requires strictly increasing positions (duplicate query terms
+    need two occurrences); compat mode checks start order only, so one
+    token can satisfy both slots."""
+    from pyspark.sql import Row
+
+    from valkey_search_spark import SearchEngine
+    from valkey_search_spark.plans.predicate_translator import QueryLimits
+
+    docs = spark.createDataFrame([
+        Row(id=1, body="alpha beta alpha"),   # two alphas
+        Row(id=2, body="alpha beta gamma"),   # one alpha
+        Row(id=3, body="alpha alpha beta"),   # strict 3-slot chain exists
+    ])
+    strict = SearchEngine(spark)
+    strict.ft_create("pc", docs, [TextField("body", nostem=True)],
+                     key_column="id")
+    got = sorted(r["id"] for r in strict.ft_search(
+        "pc", "alpha alpha", inorder=True, limit=(0, 10)).collect())
+    assert got == [1, 3]                       # needs 2 distinct positions
+
+    compat = SearchEngine(spark, limits=QueryLimits(
+        proximity_inorder_compat=True))
+    compat.catalog = strict.catalog
+    got = sorted(r["id"] for r in compat.ft_search(
+        "pc", "alpha alpha", inorder=True, limit=(0, 10)).collect())
+    assert got == [1, 2, 3]                    # overlap permitted
+
+    # 3-slot kernel path honors the same toggle: strict needs the full
+    # increasing alpha < alpha < beta chain (only doc 3 has it)
+    got = sorted(r["id"] for r in strict.ft_search(
+        "pc", "alpha alpha beta", inorder=True, slop=2,
+        limit=(0, 10)).collect())
+    assert got == [3]
+    got = sorted(r["id"] for r in compat.ft_search(
+        "pc", "alpha alpha beta", inorder=True, slop=2,
+        limit=(0, 10)).collect())
+    assert got == [1, 2, 3]

@@ -114,7 +114,7 @@ def _phrase_specs_udf(members: list[tuple[str, str, int]]):
 
 
 def _proximity_udf(slots: list[list[str]], slop: int | None, inorder: bool,
-                   aligned: bool = False):
+                   aligned: bool = False, inorder_compat: bool = False):
     """Positional multi-slot match: exists an assignment of one token
     position per SLOT (a slot is a set of alternative words — single terms
     or an OR group, the reference's orproximity iterator,
@@ -181,12 +181,18 @@ def _proximity_udf(slots: list[list[str]], slop: int | None, inorder: bool,
         return False
 
     def _inorder(pos_by_slot):
+        # compat mode (proximity-inorder-compat-mode, proximity.cc:190-204):
+        # ordering checked on start positions only, overlap permitted —
+        # successor positions may EQUAL the previous slot's position.
+        # Default strict mode requires strictly increasing positions.
+        from bisect import bisect_left
+        seek = bisect_left if inorder_compat else bisect_right
         for p1 in pos_by_slot[0]:
             prev = p1
             ok = True
             for si in range(1, k):
                 ps = pos_by_slot[si]
-                j = bisect_right(ps, prev)
+                j = seek(ps, prev)
                 if j == len(ps):
                     ok = False
                     break
@@ -247,6 +253,10 @@ class QueryLimits:
     query_string_terms_count: int = 1000
     # max KNN k (/root/reference/src/commands/ft_search_parser.cc:36)
     max_vector_knn: int = 100000
+    # proximity-inorder-compat-mode (src/indexes/text/proximity.cc:8-19,
+    # default false = strict range+overlap check): when true, INORDER
+    # checks start positions only and permits position overlap
+    proximity_inorder_compat: bool = False
     # FT.CREATE-time limits (/root/reference/src/commands/ft_create_parser.cc:62-66)
     max_attributes: int = 1000          # attributes per index
     max_prefixes: int = 8               # key prefixes per index
@@ -823,11 +833,13 @@ class PredicateTranslator:
                 # codegen — no Arrow batch transfer. Exact same semantics
                 # as the kernel for k=2, including distinct positions under
                 # slot overlap.
-                positional = self._two_slot_jvm(col, aligned, slots,
-                                                p.slop, p.inorder)
+                positional = self._two_slot_jvm(
+                    col, aligned, slots, p.slop, p.inorder,
+                    compat=self.limits.proximity_inorder_compat)
             else:
-                positional = _proximity_udf(slots, p.slop, p.inorder,
-                                            aligned=aligned)(col)
+                positional = _proximity_udf(
+                    slots, p.slop, p.inorder, aligned=aligned,
+                    inorder_compat=self.limits.proximity_inorder_compat)(col)
             conds.append(col.isNotNull() & contains_all & positional)
         out = conds[0]
         for c in conds[1:]:
@@ -836,7 +848,8 @@ class PredicateTranslator:
 
     @staticmethod
     def _two_slot_jvm(col, aligned: bool, slots: list[list[str]],
-                      slop: int | None, inorder: bool) -> Column:
+                      slop: int | None, inorder: bool,
+                      compat: bool = False) -> Column:
         """k=2 positional check in JVM expressions. Semantics mirror
         ``_proximity_udf``: positions distinct; intervening-token count
         (|p2-p1|-1) <= slop when slop is set; p1 < p2 when inorder."""
@@ -854,7 +867,8 @@ class PredicateTranslator:
 
         def pair_ok(p1, p2):
             if inorder:
-                c = p2 > p1
+                # compat mode checks start order only, overlap permitted
+                c = (p2 >= p1) if compat else (p2 > p1)
             else:
                 c = p2 != p1
             if slop is not None:
