@@ -10,8 +10,8 @@ from .catalog import (
     Catalog, IndexSchema, NumericField, TagField, TextField, VectorField,
 )
 from .errors import (
-    ExpressionError, QuerySyntaxError, SearchError, UnknownFieldError,
-    UnknownIndexError,
+    ExpressionError, QuerySyntaxError, SearchError, SearchTimeoutError,
+    UnknownFieldError, UnknownIndexError,
 )
 from .operators.search import ReturnField, SearchEngine
 from .plans.predicate_translator import QueryLimits
@@ -21,5 +21,5 @@ __all__ = [
     "Catalog", "IndexSchema", "NumericField", "TagField", "TextField",
     "VectorField", "SearchEngine", "ReturnField", "QueryLimits", "get_spark",
     "SearchError", "QuerySyntaxError", "UnknownFieldError",
-    "UnknownIndexError", "ExpressionError",
+    "UnknownIndexError", "ExpressionError", "SearchTimeoutError",
 ]
