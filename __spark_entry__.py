@@ -94,6 +94,30 @@ def _eng(spark: SparkSession, sf_dir: str) -> SearchEngine:
     return e
 
 
+_WIDE: dict[tuple[int, str], SearchEngine] = {}
+
+
+def _wide_eng(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    """50-TEXT-field index over documents (field-explosion shape)."""
+    key = (id(spark), sf_dir)
+    if key in _WIDE:
+        return _WIDE[key]
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    cols = {f"field{i}": F.array_join(F.slice(toks, i + 1, 5), " ")
+            for i in range(50)}
+    cols["field0"] = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(F.lit("sentineltoken "), cols["field0"])
+    ).otherwise(cols["field0"])
+    wide = docs.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+    e = SearchEngine(spark)
+    e.ft_create("wide", wide, [TextField(f"field{i}") for i in range(50)],
+                key_column="doc_id", cache=True)
+    _WIDE[key] = e
+    return e
+
+
 def _r(col, nd=4):
     # round, then +0.0 to normalize -0.0 for hash comparison
     return F.round(col, nd) + F.lit(0.0)
@@ -226,7 +250,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (proximity.h: span checked only when slop is set)
     q["text_proximity_inorder"] = _search("docs", "window sort", DOC_COLS,
                                           inorder=True)
+    # k-slot proximity on the pure-JVM paths (the reference's own CI
+    # stresses 5-term proximity: proximity_5term_1combo_100k,
+    # .github/benchmark_configs/fts-benchmarks-arm.json)
+    q["text_proximity_3term"] = _search("docs", "batch stream window",
+                                        DOC_COLS, slop=2, inorder=True)
+    q["text_proximity_5term"] = _search("docs",
+                                        "batch stream window sort merge",
+                                        DOC_COLS, slop=10)
     q["text_and_numeric"] = _search("docs", "vector @n_chars:[300 +inf]", DOC_COLS)
+
+    def q_field_explosion(spark, sf_dir):
+        # field-explosion workload shape (reference CI field_explosion_50k,
+        # fts-benchmarks-arm.json; BASELINE.md "FTS write workload"):
+        # 50 TEXT fields per doc, fieldless term search fans across all of
+        # them via the field mask. Field i = 5-token slice of the doc text
+        # starting at token i+1; field0 carries a sentinel for doc_id%10==0.
+        e = _wide_eng(spark, sf_dir)
+        fl = (e.ft_search("wide", "merge", limit=ALL)
+              .select("doc_id").withColumn("form", F.lit("fieldless")))
+        st = (e.ft_search("wide", "sentineltoken", limit=ALL)
+              .select("doc_id").withColumn("form", F.lit("sentinel")))
+        return fl.unionByName(st)
+
+    q["text_field_explosion"] = q_field_explosion
 
     q["text_term_verbatim"] = _union_search(
         DOC_COLS,
@@ -622,6 +669,40 @@ def oracle_sql() -> dict[str, str]:
         " WHERE list_contains(t, 'window') AND list_contains(t, 'sort')"
         " AND list_position(t, 'window')"
         "  < len(t) - list_position(list_reverse(t), 'sort') + 1")
+    # 3-term strict INORDER, slop=2: exists i<j<l with the chain words and
+    # span l-i <= slop+k-1 = 4 (bounded nested scan — span-limited, so the
+    # inner loops are W-bounded, not O(n^3))
+    o["text_proximity_3term"] = (
+        f"{_toks} SELECT doc_id, source FROM toks WHERE"
+        " len(list_filter(range(1, len(t)+1), i ->"
+        " t[i]='batch' AND len(list_filter(range(i+1, least(i+4, len(t))+1),"
+        " j -> t[j]='stream' AND len(list_filter("
+        "range(j+1, least(i+4, len(t))+1),"
+        " l -> t[l]='window')) > 0)) > 0)) > 0")
+    # 5-term unordered, slop=10: a qualifying combo exists iff some matched
+    # position i (the combo's minimum) has every word present within
+    # [i, i+slop+k-1] = [i, i+14] — the same window characterization the
+    # engine's k-slot JVM path uses
+    _w5 = ["batch", "stream", "window", "sort", "merge"]
+    _w5_conds = " AND ".join(
+        f"len(list_filter(range(i, least(i+14, len(t))+1),"
+        f" j -> t[j]='{w}'))>0" for w in _w5)
+    o["text_proximity_5term"] = (
+        f"{_toks} SELECT doc_id, source FROM toks WHERE"
+        " len(list_filter(range(1, len(t)+1), i ->"
+        " t[i] IN ('batch','stream','window','sort','merge')"
+        f" AND {_w5_conds})) > 0")
+    # fieldless search over the 50 sliced TEXT fields == the word appears
+    # at raw token position <= 54 (field i covers tokens i+1..i+5,
+    # i = 0..49); the sentinel lives in field0 for doc_id % 10 == 0
+    o["text_field_explosion"] = (
+        "WITH raw AS (SELECT doc_id, string_split(text,' ') AS t"
+        " FROM documents)"
+        " SELECT doc_id, 'fieldless' AS form FROM raw"
+        " WHERE len(list_filter(range(1, least(54, len(t))+1),"
+        " p -> t[p]='merge')) > 0"
+        " UNION ALL SELECT doc_id, 'sentinel' FROM documents"
+        " WHERE doc_id % 10 = 0")
     o["text_and_numeric"] = _doc_where(
         f"regexp_matches(text, '(^|{W})vector({W}|$)') AND n_chars >= 300")
     # verbatim matches only the literal token; the stemmed form of the

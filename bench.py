@@ -31,6 +31,9 @@ BENCH_QUERIES = [
     "text_affixes",
     "text_phrase",
     "text_proximity",
+    "text_proximity_3term",
+    "text_proximity_5term",
+    "text_field_explosion",
     "agg_q1",
     "agg_filter_stage",
     "agg_events_json",
@@ -64,6 +67,7 @@ def main():
     qs["knn_metrics"](spark, sf_dir).count()  # derive emb_cos/emb_ip indexes
     qs["agg_events_time"](spark, sf_dir).count()  # derive events ON-JSON index
     qs["text_fuzzy"](spark, sf_dir).count()   # start Arrow python workers
+    qs["text_field_explosion"](spark, sf_dir).count()  # build the wide index
 
     # three timed runs per query, report the min: steady-state cost, robust
     # to co-tenant load spikes (the engine/caches are warm either way)

@@ -49,6 +49,80 @@ def test_five_term_stress_is_fast(spark, inorder):
     assert 0 < n <= 100
 
 
+@pytest.mark.parametrize("nwords,inorder", [(3, True), (3, False),
+                                            (5, True), (5, False)])
+def test_k_slot_proximity_is_jvm_only(spark, nwords, inorder):
+    """3- and 5-slot proximity (the reference's proximity_5term stress
+    shape) compiles to pure JVM expressions — no Arrow/Python nodes —
+    except the unordered-with-duplicate-words shape, which keeps the
+    kernel."""
+    docs = [Row(id=i, body=" ".join(WORDS5))
+            for i in range(4)]
+    e = SearchEngine(spark)
+    e.ft_create("pk", spark.createDataFrame(docs),
+                [TextField("body", nostem=True)], key_column="id")
+    q = " ".join(WORDS5[:nwords])
+    df = e.ft_search("pk", q, slop=2, inorder=inorder, limit=(0, 10))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert df.count() == 4
+    # duplicate words across slots, unordered, k=3: kernel fallback path
+    dup = e.ft_search("pk", "w0 w0 w1", slop=5, limit=(0, 10))
+    assert dup.count() == 0          # only one w0 occurrence per doc
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_k_slot_randomized_equivalence_with_or_groups(spark, seed):
+    """Randomized parity of the k-slot JVM paths against the
+    cross-product brute force, including OR-group slots (alternatives),
+    3..5 slots, and INORDER-without-SLOP."""
+    rng = random.Random(seed)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff", "gg"]
+    docs = [Row(id=i, body=" ".join(rng.choice(vocab)
+                                    for _ in range(rng.randint(4, 18))))
+            for i in range(40)]
+    e = SearchEngine(spark)
+    e.ft_create("kz", spark.createDataFrame(docs),
+                [TextField("body", stopwords=frozenset())], key_column="id")
+
+    def brute_slots(tokens, slots, slop, inorder):
+        pos = [[i for i, t in enumerate(tokens) if t in ws] for ws in slots]
+        if any(not ps for ps in pos):
+            return False
+        win = float("inf") if slop is None else slop
+        for combo in itertools.product(*pos):
+            if len(set(combo)) != len(combo):
+                continue
+            if inorder and list(combo) != sorted(combo):
+                continue
+            seq = sorted(combo)
+            if (seq[-1] - seq[0] + 1 - len(slots)) <= win:
+                return True
+        return False
+
+    for _ in range(8):
+        k = rng.randint(3, 5)
+        pool = rng.sample(vocab, min(len(vocab), k + 1))
+        slots = []
+        for i in range(k):
+            if rng.random() < 0.3:
+                slots.append(sorted(rng.sample(pool, 2)))
+            else:
+                slots.append([rng.choice(pool)])
+        inorder = rng.random() < 0.5
+        slop = None if (inorder and rng.random() < 0.3) else rng.randint(0, 4)
+        qparts = []
+        for ws in slots:
+            qparts.append(f"@body:({'|'.join(ws)})" if len(ws) > 1
+                          else f"@body:{ws[0]}")
+        got = {r["id"] for r in e.ft_search(
+            "kz", " ".join(qparts), slop=slop, inorder=inorder,
+            limit=(0, 100)).collect()}
+        want = {d.id for d in docs
+                if brute_slots(d.body.split(), slots, slop, inorder)}
+        assert got == want, (slots, slop, inorder)
+
+
 @pytest.mark.parametrize("seed", [1, 2, 3])
 def test_randomized_brute_force_equivalence(spark, seed):
     rng = random.Random(seed)

@@ -113,6 +113,18 @@ def _phrase_specs_udf(members: list[tuple[str, str, int]]):
     return _match
 
 
+def _slots_overlap(slots: list[list[str]]) -> bool:
+    """True when any word appears in more than one slot (duplicate query
+    terms, or stem collisions across OR groups)."""
+    seen: set[str] = set()
+    for ws in slots:
+        cur = set(ws)
+        if seen & cur:
+            return True
+        seen |= cur
+    return False
+
+
 def _proximity_udf(slots: list[list[str]], slop: int | None, inorder: bool,
                    aligned: bool = False, inorder_compat: bool = False):
     """Positional multi-slot match: exists an assignment of one token
@@ -836,7 +848,21 @@ class PredicateTranslator:
                 positional = self._two_slot_jvm(
                     col, aligned, slots, p.slop, p.inorder,
                     compat=self.limits.proximity_inorder_compat)
+            elif p.inorder:
+                # k-slot INORDER: the kernel's greedy chain is a left fold
+                # over the slot position arrays — expressible with
+                # F.aggregate, so the reference's 5-term proximity stress
+                # shape (proximity_5term_1combo_100k) stays JVM-side too.
+                positional = self._k_slot_inorder_jvm(
+                    col, aligned, slots, p.slop,
+                    compat=self.limits.proximity_inorder_compat)
+            elif not _slots_overlap(slots):
+                positional = self._k_slot_unordered_jvm(
+                    col, aligned, slots, p.slop)
             else:
+                # unordered with duplicate words across slots: the combo
+                # needs cross-slot distinctness, which has no linear JVM
+                # form — keep the Arrow kernel for this rare shape
                 positional = _proximity_udf(
                     slots, p.slop, p.inorder, aligned=aligned,
                     inorder_compat=self.limits.proximity_inorder_compat)(col)
@@ -847,23 +873,26 @@ class PredicateTranslator:
         return F.coalesce(out, F.lit(False))
 
     @staticmethod
-    def _two_slot_jvm(col, aligned: bool, slots: list[list[str]],
+    def _slot_positions(col, aligned: bool, ws: list[str]) -> Column:
+        """array<int> of token positions matching any word of one slot."""
+        if aligned:
+            indexed = F.transform(
+                col, lambda x, i: F.struct(x.alias("t"), i.alias("p")))
+        else:
+            indexed = col
+        match = (lambda s: s["t"] == ws[0]) if len(ws) == 1 else (
+            lambda s: s["t"].isin(ws))
+        return F.transform(F.filter(indexed, match), lambda s: s["p"])
+
+    @classmethod
+    def _two_slot_jvm(cls, col, aligned: bool, slots: list[list[str]],
                       slop: int | None, inorder: bool,
                       compat: bool = False) -> Column:
         """k=2 positional check in JVM expressions. Semantics mirror
         ``_proximity_udf``: positions distinct; intervening-token count
         (|p2-p1|-1) <= slop when slop is set; p1 < p2 when inorder."""
-        def positions(ws):
-            if aligned:
-                indexed = F.transform(
-                    col, lambda x, i: F.struct(x.alias("t"), i.alias("p")))
-            else:
-                indexed = col
-            match = (lambda s: s["t"] == ws[0]) if len(ws) == 1 else (
-                lambda s: s["t"].isin(ws))
-            return F.transform(F.filter(indexed, match), lambda s: s["p"])
-
-        p1s, p2s = positions(slots[0]), positions(slots[1])
+        p1s = cls._slot_positions(col, aligned, slots[0])
+        p2s = cls._slot_positions(col, aligned, slots[1])
 
         def pair_ok(p1, p2):
             if inorder:
@@ -877,3 +906,63 @@ class PredicateTranslator:
 
         return F.exists(p1s, lambda p1: F.exists(p2s,
                                                  lambda p2: pair_ok(p1, p2)))
+
+    @classmethod
+    def _k_slot_inorder_jvm(cls, col, aligned: bool, slots: list[list[str]],
+                            slop: int | None, compat: bool = False) -> Column:
+        """k-slot INORDER proximity as pure JVM expressions. Mirrors the
+        kernel's ``_inorder`` exactly: from every start position of slot 0,
+        greedily chain to the MINIMAL qualifying position of each next slot
+        (strictly greater in strict mode; >= in compat mode, where one
+        token may satisfy consecutive slots — proximity.cc:190-204), then
+        bound the span cost (last - first + 1 - k) by slop when set.
+        Greedy-minimal is exact because the span check depends only on the
+        first and last chain positions, and minimizing each step minimizes
+        the last. ``F.aggregate`` threads the chain cursor so every step
+        evaluates once — no exponential re-evaluation inside lambdas — and
+        a dead end (empty filter -> array_min = null) null-propagates to a
+        coalesced False."""
+        k = len(slots)
+        pos = [cls._slot_positions(col, aligned, ws) for ws in slots]
+        rest = F.array(*pos[1:])
+
+        def step(prev, ps):
+            nxt = (lambda q: q >= prev) if compat else (lambda q: q > prev)
+            return F.array_min(F.filter(ps, nxt))
+
+        def chain_ok(p1):
+            last = F.aggregate(rest, p1, step)
+            ok = last.isNotNull()
+            if slop is not None:
+                ok = ok & ((last - p1 + 1 - k) <= F.lit(slop))
+            return F.coalesce(ok, F.lit(False))
+
+        return F.exists(pos[0], chain_ok)
+
+    @classmethod
+    def _k_slot_unordered_jvm(cls, col, aligned: bool,
+                              slots: list[list[str]],
+                              slop: int | None) -> Column:
+        """k-slot unordered proximity for NON-overlapping slots (disjoint
+        word sets: a position holds one token, which can fill only one
+        slot, so the kernel's distinctness requirement is automatic). A
+        combo with span cost (max - min + 1 - k) <= slop exists iff some
+        matched position m — the combo's minimum — has every slot
+        represented within [m, m + slop + k - 1]: pick those
+        representatives and m itself. Without SLOP the span is unbounded
+        (proximity.h slop_.has_value()), so slot presence — already
+        enforced by the contains_all conjunct — suffices."""
+        k = len(slots)
+        if slop is None:
+            return F.lit(True)
+        pos = [cls._slot_positions(col, aligned, ws) for ws in slots]
+        hi = slop + k - 1
+
+        def window_ok(m):
+            ok = F.lit(True)
+            for ps in pos:
+                ok = ok & F.exists(
+                    ps, lambda q: (q >= m) & (q <= m + F.lit(hi)))
+            return ok
+
+        return F.exists(F.flatten(F.array(*pos)), window_ok)
