@@ -242,22 +242,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_fuzzy"] = _search("docs", "%windo%", DOC_COLS)
     q["text_proximity"] = _search("docs", "batch stream", DOC_COLS,
                                   slop=1, inorder=True)
-    # stem-expanded proximity: inflected query words match base-form tokens
-    # (src/query/search.cc:226-298 stemmed term iterators)
-    q["text_proximity_stem"] = _search("docs", "tables streaming", DOC_COLS,
-                                       slop=1)
-    # INORDER without SLOP: ordering constraint only, unbounded span
-    # (proximity.h: span checked only when slop is set)
-    q["text_proximity_inorder"] = _search("docs", "window sort", DOC_COLS,
-                                          inorder=True)
-    # k-slot proximity on the pure-JVM paths (the reference's own CI
-    # stresses 5-term proximity: proximity_5term_1combo_100k,
-    # .github/benchmark_configs/fts-benchmarks-arm.json)
-    q["text_proximity_3term"] = _search("docs", "batch stream window",
-                                        DOC_COLS, slop=2, inorder=True)
-    q["text_proximity_5term"] = _search("docs",
-                                        "batch stream window sort merge",
-                                        DOC_COLS, slop=10)
+    # proximity variants, one discriminated-union row (driver cap is 50):
+    #  stem    — stem-expanded slots (src/query/search.cc:226-298)
+    #  inorder — INORDER without SLOP: ordering only, unbounded span
+    #            (proximity.h: span checked only when slop is set)
+    #  3term/5term — k-slot shapes on the pure-JVM paths (the reference CI
+    #            stresses 5-term proximity: proximity_5term_1combo_100k,
+    #            .github/benchmark_configs/fts-benchmarks-arm.json)
+    q["text_proximity_multi"] = _union_search(
+        DOC_COLS,
+        ("stem", "docs", "tables streaming", {"slop": 1}),
+        ("inorder", "docs", "window sort", {"inorder": True}),
+        ("3term", "docs", "batch stream window",
+         {"slop": 2, "inorder": True}),
+        ("5term", "docs", "batch stream window sort merge", {"slop": 10}))
     q["text_and_numeric"] = _search("docs", "vector @n_chars:[300 +inf]", DOC_COLS)
 
     def q_field_explosion(spark, sf_dir):
@@ -599,6 +597,19 @@ def _lang_ratio(markers: list[str]) -> str:
             f"({inlist}))) AS DOUBLE)/len(string_split(text,' '))")
 
 
+def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Standalone per-shape callables for bench timing only — their
+    correctness coverage lives in queries()["text_proximity_multi"]
+    (the driver records at most 50 queries() entries, so bench-only
+    shapes stay out of that dict)."""
+    return {
+        "text_proximity_3term": _search("docs", "batch stream window",
+                                        DOC_COLS, slop=2, inorder=True),
+        "text_proximity_5term": _search(
+            "docs", "batch stream window sort merge", DOC_COLS, slop=10),
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
     def _part_union(*pairs):
@@ -657,38 +668,37 @@ def oracle_sql() -> dict[str, str]:
         f"{_toks} SELECT doc_id, source FROM toks WHERE len(list_filter("
         "range(1, len(t)), i -> t[i]='batch'"
         " AND (t[i+1]='stream' OR t[i+2]='stream'))) > 0")
-    # query "tables streaming" stems to table/stream; corpus holds only the
-    # base forms, so the oracle matches those at |i-j| <= 2 in either order
-    o["text_proximity_stem"] = (
-        f"{_toks} SELECT doc_id, source FROM toks WHERE len(list_filter("
+    # proximity-variant union (matches queries()["text_proximity_multi"]):
+    #  stem: "tables streaming" stems to table/stream; corpus holds only
+    #   the base forms, so match those at |i-j| <= 2 in either order.
+    #  inorder: ordering only, unbounded span.
+    #  3term: strict INORDER slop=2 — exists i<j<l chain with span
+    #   l-i <= slop+k-1 = 4 (inner loops W-bounded, not O(n^3)).
+    #  5term: unordered slop=10 — a qualifying combo exists iff some
+    #   matched position i (the combo's minimum) has every word within
+    #   [i, i+slop+k-1] = [i, i+14], the same window characterization the
+    #   engine's k-slot JVM path uses.
+    _w5_conds = " AND ".join(
+        f"len(list_filter(range(i, least(i+14, len(t))+1),"
+        f" j -> t[j]='{w}'))>0"
+        for w in ["batch", "stream", "window", "sort", "merge"])
+    o["text_proximity_multi"] = (
+        f"{_toks} SELECT doc_id, source, 'stem' AS form FROM toks"
+        " WHERE len(list_filter("
         "range(1, len(t) + 1), i -> (t[i]='table'"
         " AND (t[i+1]='stream' OR t[i+2]='stream'))"
-        " OR (t[i]='stream' AND (t[i+1]='table' OR t[i+2]='table')))) > 0")
-    o["text_proximity_inorder"] = (
-        f"{_toks} SELECT doc_id, source FROM toks"
+        " OR (t[i]='stream' AND (t[i+1]='table' OR t[i+2]='table')))) > 0"
+        " UNION ALL SELECT doc_id, source, 'inorder' FROM toks"
         " WHERE list_contains(t, 'window') AND list_contains(t, 'sort')"
         " AND list_position(t, 'window')"
-        "  < len(t) - list_position(list_reverse(t), 'sort') + 1")
-    # 3-term strict INORDER, slop=2: exists i<j<l with the chain words and
-    # span l-i <= slop+k-1 = 4 (bounded nested scan — span-limited, so the
-    # inner loops are W-bounded, not O(n^3))
-    o["text_proximity_3term"] = (
-        f"{_toks} SELECT doc_id, source FROM toks WHERE"
+        "  < len(t) - list_position(list_reverse(t), 'sort') + 1"
+        " UNION ALL SELECT doc_id, source, '3term' FROM toks WHERE"
         " len(list_filter(range(1, len(t)+1), i ->"
         " t[i]='batch' AND len(list_filter(range(i+1, least(i+4, len(t))+1),"
         " j -> t[j]='stream' AND len(list_filter("
         "range(j+1, least(i+4, len(t))+1),"
-        " l -> t[l]='window')) > 0)) > 0)) > 0")
-    # 5-term unordered, slop=10: a qualifying combo exists iff some matched
-    # position i (the combo's minimum) has every word present within
-    # [i, i+slop+k-1] = [i, i+14] — the same window characterization the
-    # engine's k-slot JVM path uses
-    _w5 = ["batch", "stream", "window", "sort", "merge"]
-    _w5_conds = " AND ".join(
-        f"len(list_filter(range(i, least(i+14, len(t))+1),"
-        f" j -> t[j]='{w}'))>0" for w in _w5)
-    o["text_proximity_5term"] = (
-        f"{_toks} SELECT doc_id, source FROM toks WHERE"
+        " l -> t[l]='window')) > 0)) > 0)) > 0"
+        " UNION ALL SELECT doc_id, source, '5term' FROM toks WHERE"
         " len(list_filter(range(1, len(t)+1), i ->"
         " t[i] IN ('batch','stream','window','sort','merge')"
         f" AND {_w5_conds})) > 0")

@@ -58,6 +58,7 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
+    qs.update(entrymod.bench_extra())
     # warmup: JVM codegen + build the cached index columns and the IVF
     # artifact (the reference pays indexing at ingest; queries are timed
     # post-index)
