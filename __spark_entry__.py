@@ -792,8 +792,14 @@ def oracle_sql() -> dict[str, str]:
         " CAST(count(*) AS DOUBLE) AS n,"
         " ROUND(sum(exp(o_totalprice/100000)), 4) + 0.0 AS sum_ex"
         " FROM orders GROUP BY 1, 2")
+    # ek derived FROM DATA (not constant-folded) so dataset drift — e.g.
+    # events missing $.k — breaks the row; $.m is the always-missing path
     o["agg_exists"] = (
-        "SELECT 1.0 AS ek, CAST(count(*) AS DOUBLE) AS n FROM events")
+        "SELECT (CASE WHEN json_extract_string(props,'$.k') IS NOT NULL"
+        " THEN 1.0 ELSE 0.0 END"
+        " + CASE WHEN json_extract_string(props,'$.m') IS NOT NULL"
+        " THEN 1.0 ELSE 0.0 END) AS ek,"
+        " CAST(count(*) AS DOUBLE) AS n FROM events GROUP BY 1")
     o["agg_timefmt_parsetime"] = (
         "SELECT strftime(ts, '%Y-%m-%d') AS day,"
         " CAST(epoch(date_trunc('day', ts)) AS DOUBLE) AS day_ts,"

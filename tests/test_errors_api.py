@@ -328,3 +328,32 @@ def test_timeout_cancels_executing_search(spark):
         e.ft_search("tmo", "%windote%", count_only=True, timeout_ms=1)
     # the engine stays usable after a cancelled group
     assert e.ft_search("tmo", "window", count_only=True) >= 0
+
+
+def test_genuine_error_mentioning_cancel_is_not_a_timeout(spark):
+    """A failure whose message merely contains "cancel" must surface as
+    itself, not SearchTimeoutError — only a deadline actually fired by
+    the canceller rewrites the exception (and then chains the cause)."""
+    from valkey_search_spark.errors import SearchTimeoutError
+
+    e = SearchEngine(spark)
+
+    def boom():
+        raise RuntimeError("column 'cancelled' does not exist")
+
+    # generous budget: the canceller never fires, so the original error
+    # propagates even though its text contains "cancel"
+    with pytest.raises(RuntimeError, match="cancelled"):
+        e._run_with_timeout(boom, timeout_ms=120_000)
+
+    # fired deadline still maps a cancellation to SearchTimeoutError and
+    # preserves the cause chain
+    import time
+
+    def slow_cancel():
+        time.sleep(0.3)
+        raise RuntimeError("job cancelled because of job group")
+
+    with pytest.raises(SearchTimeoutError) as ei:
+        e._run_with_timeout(slow_cancel, timeout_ms=1)
+    assert isinstance(ei.value.__cause__, RuntimeError)

@@ -79,6 +79,39 @@ def test_phrase_fuzzy_distance_capped(eng):
         _count(eng, '@p_name:"hot %%%%rad%%%%"')
 
 
+def test_phrase_escaped_star_is_literal(eng):
+    r"""`\*` inside a phrase is a literal character, not a wildcard
+    specifier (same escape handling tags get). The field lexer then
+    splits the `*` away like any punctuation — so `"blue ro\*"` is the
+    phrase (blue, ro), which matches nothing here, NOT the prefix match
+    `"blue ro*"` does."""
+    assert _count(eng, '@p_name:"blue ro*"') > 0          # wildcard member
+    assert _count(eng, '@p_name:"blue ro\\*"') == 0       # literal member
+    # a literal leading `\*` is NOT a suffix specifier: no WITHSUFFIXTRIE
+    # demand on a trie-less field (it lexes to the term member "old")
+    assert _count(eng, '@nt:"\\*old anvil"', index="ph_nt") == \
+        _count(eng, '@p_name:"old anvil"')
+    # escaped % is not a fuzzy specifier either
+    assert _count(eng, '@p_name:"hot \\%rad\\%"') == 0
+
+
+def test_nooffsets_phrase_gate_is_post_lex(eng, spark):
+    """The offsets gate fires on the POST-lex term count
+    (filter_parser.cc terms.size() > 1): one quoted word lexing to two
+    tokens needs offsets; a two-word phrase collapsing to one term
+    does not."""
+    e = SearchEngine(spark)
+    part = spark.read.parquet(PART)
+    e.ft_create("noffp", part, [TextField("p_name", with_offsets=False)],
+                key_column="p_partkey")
+    with pytest.raises(QuerySyntaxError, match="offsets"):
+        e.ft_search("noffp", '@p_name:"hot.rod"', count_only=True)
+    # "- anvil": '-' lexes to nothing, leaving the single term "anvil"
+    assert e.ft_search("noffp", '@p_name:"- anvil"', count_only=True) == \
+        e.ft_search("noffp", "@p_name:anvil", count_only=True,
+                    verbatim=True) > 0
+
+
 def test_nooffsets_rejects_phrase_and_proximity(spark):
     """NOOFFSETS (ft_create_parser.cc:474): without word positions the
     index rejects phrase and proximity queries (filter_parser.cc:876),

@@ -122,3 +122,24 @@ def test_bpe_piece_count(spark):
         "n", bpe_piece_count_col(F.col("t")))
     got = {r["id"]: r["n"] for r in df.collect()}
     assert got == {1: 2, 2: 3, 3: 4, 4: 4, 5: 0}
+
+
+def test_parallelize_spreads_in_memory_frames(spark):
+    """An under-partitioned IN-MEMORY frame (inputFiles() == []) still
+    gets repartitioned to defaultParallelism — the file-count proxy only
+    applies to file-backed scans."""
+    from valkey_search_spark.operators.dedup import _parallelize
+
+    target = spark.sparkContext.defaultParallelism
+    rdd = spark.sparkContext.parallelize(
+        [(i, f"text {i}") for i in range(50)], 1)
+    df = spark.createDataFrame(rdd, "k int, t string")
+    assert df.inputFiles() == [] and df.rdd.getNumPartitions() == 1
+    out = _parallelize(df)
+    assert out.rdd.getNumPartitions() == target
+    # well-partitioned in-memory frames are left alone (no extra shuffle)
+    wide = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(i, "t") for i in range(50)], target), "k int, t string")
+    assert "Repartition" not in \
+        _parallelize(wide)._jdf.queryExecution().logical().toString()

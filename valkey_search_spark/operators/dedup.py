@@ -75,7 +75,18 @@ def _parallelize(df: DataFrame) -> DataFrame:
         nfiles = len(df.inputFiles())
     except Exception:
         return df
-    if 0 < nfiles < target:
+    if nfiles == 0:
+        # in-memory frame (LocalRelation / parallelized RDD): no files to
+        # count, so probe the partition count directly — safe here because
+        # the shuffle-keyword guard above already excluded every plan
+        # where df.rdd would trigger AQE stage execution
+        try:
+            if df.rdd.getNumPartitions() < target:
+                return df.repartition(target)
+        except Exception:
+            pass
+        return df
+    if nfiles < target:
         return df.repartition(target)
     return df
 

@@ -61,6 +61,7 @@ class SearchEngine:
         from collections import Counter
 
         self._metrics: "Counter[str]" = Counter()
+        self._last_parsed = None        # set by _ft_search per request
 
     # -- DDL ---------------------------------------------------------------
     def ft_create(self, name: str, df: DataFrame, fields: list[FieldDef],
@@ -163,12 +164,14 @@ class SearchEngine:
         sc.setJobGroup(group, f"ft_search TIMEOUT {timeout_ms}ms",
                        interruptOnCancel=True)
         stop = threading.Event()
+        fired = threading.Event()
 
         def canceller():
             # past the deadline, cancel REPEATEDLY until the action ends:
             # a single cancel is a no-op for jobs submitted after it fires
             # (driver-side planning can outlast a short budget)
             if not stop.wait(timeout_ms / 1000.0):
+                fired.set()
                 while not stop.is_set():
                     sc.cancelJobGroup(group)
                     stop.wait(0.05)
@@ -178,10 +181,13 @@ class SearchEngine:
         try:
             return action()
         except Exception as e:                    # noqa: BLE001
-            msg = str(e).lower()
-            if "cancel" in msg:
+            # translate to a timeout ONLY when our canceller actually
+            # fired AND the failure is the resulting job cancellation —
+            # a genuine error that merely mentions "cancel" (or an error
+            # racing the deadline) surfaces unchanged, with its cause
+            if fired.is_set() and "cancel" in str(e).lower():
                 raise SearchTimeoutError(
-                    f"Search timed out after {timeout_ms} ms") from None
+                    f"Search timed out after {timeout_ms} ms") from e
             raise
         finally:
             stop.set()
@@ -196,7 +202,11 @@ class SearchEngine:
         every ft_search call (nonvector / vector / hybrid, inline vs
         pre-filtering); `latency` accumulates wall-time for EXECUTING
         calls only (count_only — lazy DataFrame returns are plans, not
-        searches). Coordinator/thread-pool/hnswlib sections have no
+        searches; their execution happens outside the engine and is not
+        attributed back). The `hnsw_*` latency counter covers searches
+        served by the ANN artifact — our IVF index is the engine's HNSW
+        substitute (SURVEY §2.6) — while `flat_*` covers exact scans.
+        Coordinator/thread-pool/hnswlib sections have no
         analogue (shuffle service + Catalyst own those concerns) and are
         omitted rather than faked."""
         m = self._metrics
@@ -268,11 +278,16 @@ class SearchEngine:
         except Exception:
             self._metrics["failure_requests_count"] += 1
             raise
+        # "successful" for a LAZY call means accepted + planned (execution
+        # happens outside the engine, on the returned DataFrame, and is
+        # not attributed back); count_only / reply calls execute here.
         self._metrics["successful_requests_count"] += 1
         # classify SUCCESSFUL requests (search-observables.md: nonvector =
         # exclusively non-vector; vector = any vector component; hybrid =
-        # vector + filter, a subset of vector)
-        parsed = parse_query(query, params)
+        # vector + filter, a subset of vector) from the query _ft_search
+        # already parsed — no second parse; the predicate reflects
+        # preprocessing, so a pure-stopword filter classifies as nonhybrid
+        parsed = self._last_parsed
         if parsed.knn is None:
             self._metrics["nonvector_requests_count"] += 1
         else:
@@ -313,6 +328,7 @@ class SearchEngine:
                 f"{self.limits.query_string_bytes} bytes (query-string-bytes)")
         schema = self.catalog.get(index)
         parsed = parse_query(query, params)
+        self._last_parsed = parsed      # ft_search classifies from this
         # post-parse guards (filter_parser.cc:933 depth, :1046 node count;
         # ft_search_parser.cc:36 max-vector-knn)
         from ..plans.predicate_translator import predicate_depth_and_count

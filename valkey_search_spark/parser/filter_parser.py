@@ -268,26 +268,45 @@ class FilterParser:
         c = self._peek()
         if c == '"':
             self.i += 1
-            phrase = self._read_until({'"'})
+            # escape-marked read: `\*` / `\%` inside a phrase are LITERAL
+            # characters, not specifier operators (the same escape handling
+            # tags get — the reference parser consumes the backslash before
+            # any special-char check)
+            marked = self._read_until_marked({'"'})
             self._expect('"')
-            raw_words = phrase.lower().split()
-            if not raw_words:
+            mwords: list[list[tuple[str, bool]]] = [[]]
+            for ch, esc in marked:
+                if ch.isspace() and not esc:
+                    if mwords[-1]:
+                        mwords.append([])
+                else:
+                    mwords[-1].append((ch.lower(), esc))
+            if mwords and not mwords[-1]:
+                mwords.pop()
+            if not mwords:
                 raise QuerySyntaxError("empty phrase")
+            phrase = " ".join("".join(ch for ch, _ in mw) for mw in mwords)
             # each member may be a word, wildcard, or fuzzy specifier
-            # (docs/full-text/phrase.md)
+            # (docs/full-text/phrase.md) — classified on UNESCAPED chars
             words, specs = [], []
-            for w in raw_words:
+            for mw in mwords:
+                w = "".join(ch for ch, _ in mw)
                 kind, dist = TERM, 0
-                lead_pct = len(w) - len(w.lstrip("%"))
-                trail_pct = len(w) - len(w.rstrip("%"))
+                lead_pct = 0
+                while lead_pct < len(mw) and mw[lead_pct] == ("%", False):
+                    lead_pct += 1
+                trail_pct = 0
+                while (trail_pct < len(mw)
+                       and mw[-1 - trail_pct] == ("%", False)):
+                    trail_pct += 1
                 if lead_pct and lead_pct == trail_pct and len(w) > 2 * lead_pct:
                     if lead_pct > 3:
                         raise QuerySyntaxError("fuzzy distance > 3")
                     kind, dist = FUZZY, lead_pct
                     w = w[lead_pct:-trail_pct]
                 else:
-                    lead = w.startswith("*")
-                    trail = w.endswith("*") and len(w) > 1
+                    lead = mw[0] == ("*", False)
+                    trail = mw[-1] == ("*", False) and len(w) > 1
                     if lead and trail and len(w) > 2:
                         kind, w = INFIX, w[1:-1]
                     elif trail:

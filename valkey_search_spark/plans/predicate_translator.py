@@ -745,9 +745,6 @@ class PredicateTranslator:
         are never indexed (lexer.cc:148), so a phrase containing one is a
         VALID query that matches zero rows: '"the of"' and
         '"the large bolt"' both return 0 results in the reference."""
-        if not fdef.with_offsets and len(words) > 1:
-            # filter_parser.cc:876: exact phrase needs word positions
-            raise QuerySyntaxError("Index does not support offsets")
         toks = F.col(text_col(fdef.attr))
         if word_specs is None:
             word_specs = [(TERM, 0)] * len(words)
@@ -773,6 +770,13 @@ class PredicateTranslator:
                     lexed.append((parts[0], kind, dist))
         if not lexed:
             return None  # lexes to nothing at all: dropped, like TERM
+        if not fdef.with_offsets and len(lexed) > 1:
+            # filter_parser.cc:876: a positional chain needs word offsets.
+            # Gated on the POST-lex term count, like the reference
+            # (terms.size() > 1): a single quoted word that lexes to
+            # multiple tokens ("foo.bar") needs offsets too, while a
+            # multi-word phrase collapsing to one term does not.
+            raise QuerySyntaxError("Index does not support offsets")
         if any(t in fdef.stopwords for t, k, _ in lexed if k == TERM):
             return F.lit(False)
 
