@@ -213,3 +213,160 @@ def test_wav_roundtrip_any_shape(n, ch, rate, seed):
     assert (r, c) == (rate, ch)
     assert frames.shape == (n, ch)
     np.testing.assert_allclose(frames, sig, atol=3.0 / 32768)
+
+
+# ---------------------------------------------------------------------------
+# PNG: the test implements the FORWARD filter direction + chunk packing
+# independently (struct + zlib here), so decode_png's unfilter path is
+# pinned by a second implementation, same strategy as BMP/WAV above.
+
+import zlib
+
+from valkey_search_spark.multimodal.codecs import decode_png, encode_png
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(ctype, data):
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data)))
+
+
+def _filter_forward(img2d, bpp, ftypes):
+    """Apply PNG filters in the ENCODE direction (spec 'Filter Algorithms'
+    section), row by row, pure int math — independent of the codec."""
+    h, stride = img2d.shape
+    out = b""
+    prev = [0] * stride
+    for y in range(h):
+        cur = [int(v) for v in img2d[y]]
+        f = ftypes[y % len(ftypes)]
+        line = []
+        for i in range(stride):
+            a = cur[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:                                 # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            line.append((cur[i] - pred) & 0xFF)
+        out += bytes([f]) + bytes(line)
+        prev = cur
+    return out
+
+
+def _pack_png(arr, color, ftypes, plte=None, depth=8, interlace=0):
+    """Hand-packed PNG, independent of encode_png."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    h = arr.shape[0]
+    nch = 1 if arr.ndim == 2 else arr.shape[2]
+    w = arr.shape[1]
+    flat = arr.reshape(h, w * nch)
+    raw = _filter_forward(flat, nch, ftypes)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    body = PNG_SIG + _chunk(b"IHDR", ihdr)
+    if plte is not None:
+        body += _chunk(b"PLTE", bytes(plte))
+    return body + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+
+
+@pytest.mark.parametrize("ftypes", [[0], [1], [2], [3], [4], [0, 1, 2, 3, 4]])
+def test_png_rgb_all_filters(ftypes):
+    rng = np.random.default_rng(42)
+    src = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    got = decode_png(_pack_png(src, color=2, ftypes=ftypes))
+    assert got.shape == (7, 5, 3)
+    assert np.array_equal(got, src), f"filters {ftypes}"
+
+
+def test_png_grayscale_replicates_channels():
+    src = np.arange(24, dtype=np.uint8).reshape(4, 6)
+    got = decode_png(_pack_png(src, color=0, ftypes=[2, 4]))
+    assert got.shape == (4, 6, 3)
+    assert np.array_equal(got, np.repeat(src[:, :, None], 3, axis=2))
+
+
+def test_png_palette():
+    pal = [255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 8, 9]      # 4 RGB entries
+    idx = np.array([[0, 1], [2, 3], [3, 0]], dtype=np.uint8)
+    got = decode_png(_pack_png(idx, color=3, ftypes=[0, 1], plte=pal))
+    want = np.array(pal, dtype=np.uint8).reshape(4, 3)[idx]
+    assert np.array_equal(got, want)
+
+
+def test_png_alpha_channels_dropped():
+    rng = np.random.default_rng(7)
+    rgba = rng.integers(0, 256, size=(5, 4, 4), dtype=np.uint8)
+    got = decode_png(_pack_png(rgba, color=6, ftypes=[4]))
+    assert np.array_equal(got, rgba[:, :, :3])
+    ga = rng.integers(0, 256, size=(3, 3, 2), dtype=np.uint8)
+    got = decode_png(_pack_png(ga, color=4, ftypes=[3]))
+    assert np.array_equal(got, np.repeat(ga[:, :, :1], 3, axis=2))
+
+
+def test_png_error_paths():
+    src = np.zeros((2, 2, 3), dtype=np.uint8)
+    with pytest.raises(MediaDecodeError, match="not a PNG"):
+        decode_png(b"JFIF....")
+    with pytest.raises(MediaDecodeError, match="interlaced"):
+        decode_png(_pack_png(src, color=2, ftypes=[0], interlace=1))
+    with pytest.raises(MediaDecodeError, match="bit depth"):
+        decode_png(_pack_png(src, color=2, ftypes=[0], depth=16))
+    with pytest.raises(MediaDecodeError, match="filter type"):
+        decode_png(_pack_png(src, color=2, ftypes=[9]))
+    with pytest.raises(MediaDecodeError, match="palette index"):
+        decode_png(_pack_png(np.array([[3]], dtype=np.uint8), color=3,
+                             ftypes=[0], plte=[1, 2, 3]))
+    ok = _pack_png(src, color=2, ftypes=[0])
+    with pytest.raises(MediaDecodeError):
+        decode_png(ok[:30])                       # truncated chunk
+    with pytest.raises(MediaDecodeError, match="zlib"):
+        bad = _pack_png(src, color=2, ftypes=[0])
+        # corrupt the IDAT payload bytes in place
+        i = bad.index(b"IDAT") + 4
+        decode_png(bad[:i] + bytes([bad[i] ^ 0xFF]) + bad[i + 1:])
+
+
+def test_png_encode_decode_round_trip():
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, 256, size=(11, 9, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(src)), src)
+
+
+def test_image_features_real_png(spark):
+    """image_features(fake=False) over PNG payloads: means/stds match
+    numpy computed directly on the source arrays."""
+    rng = np.random.default_rng(11)
+    arrs = [rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+            for _ in range(3)]
+    rows = [Row(id=i, image=bytearray(_pack_png(a, color=2,
+                                                ftypes=[0, 1, 2, 3, 4])))
+            for i, a in enumerate(arrs)]
+    df = spark.createDataFrame(rows)
+    got = {r["id"]: r for r in
+           image_features(df, fake=False).collect()}
+    for i, a in enumerate(arrs):
+        want = a.mean(axis=(0, 1))
+        np.testing.assert_allclose(got[i]["img_mean"], want, rtol=1e-9)
+        np.testing.assert_allclose(got[i]["img_std"], a.std(axis=(0, 1)),
+                                   rtol=1e-9)
+
+
+def test_image_features_mixed_bmp_png(spark):
+    """The real decode seam routes per-payload by signature: BMP and PNG
+    rows in the SAME column both decode."""
+    a = np.full((4, 4, 3), 9, dtype=np.uint8)
+    rows = [Row(id=0, image=bytearray(_pack_bmp_24(a))),
+            Row(id=1, image=bytearray(_pack_png(a, color=2, ftypes=[1])))]
+    got = image_features(spark.createDataFrame(rows), fake=False).collect()
+    for r in got:
+        np.testing.assert_allclose(r["img_mean"], [9.0, 9.0, 9.0])

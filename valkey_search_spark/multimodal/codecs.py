@@ -10,14 +10,23 @@ are fully decodable with struct + numpy alone, which makes the
 - WAV: RIFF/WAVE with a PCM ``fmt `` chunk, 8/16/32-bit integer samples.
   Parsed manually (not via the stdlib ``wave`` module) so tests can
   generate fixtures with ``wave`` as an INDEPENDENT implementation.
+- PNG: non-interlaced 8-bit-depth images, every color type (gray,
+  RGB, palette, gray+alpha, RGBA) and all five scanline filters
+  (None/Sub/Up/Average/Paeth), inflated with stdlib ``zlib``. Format
+  reference: the public PNG specification (RFC 2083 / W3C PNG, chunk
+  layout + filter algorithms). Tests implement the FORWARD filter
+  direction independently in numpy and hand-pack chunks, so the
+  codec's unfilter path is pinned by a second implementation.
 
-Compressed formats (PNG/JPEG/MP3/...) still raise NotImplementedError —
-that seam is where PIL/ffmpeg would plug in on a real cluster.
+Formats needing non-stdlib decoders (JPEG/MP3/...) still raise
+NotImplementedError — that seam is where PIL/ffmpeg would plug in on a
+real cluster.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -83,6 +92,132 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels),
                        2835, 2835, 0, 0)
     return header + info + pixels
+
+
+# ---------------------------------------------------------------------------
+# PNG
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}   # color type -> samples/px
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode a non-interlaced 8-bit PNG to an (H, W, 3) uint8 RGB array.
+
+    Supports all five color types (palette via PLTE; alpha channels are
+    dropped, grayscale replicated to RGB — matching the codec contract
+    ``decode_bmp`` set). Interlaced (Adam7) images and bit depths other
+    than 8 raise MediaDecodeError.
+    """
+    if payload[:8] != PNG_SIGNATURE:
+        raise MediaDecodeError("not a PNG payload")
+    ihdr = plte = None
+    idat: list[bytes] = []
+    pos = 8
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if len(data) < length:
+            raise MediaDecodeError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length                       # len + type + data + crc
+    if ihdr is None or len(ihdr) < 13:
+        raise MediaDecodeError("PNG missing IHDR")
+    if not idat:
+        raise MediaDecodeError("PNG missing IDAT")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13])
+    if comp != 0 or filt != 0:
+        raise MediaDecodeError("unsupported PNG compression/filter method")
+    if interlace != 0:
+        raise MediaDecodeError("interlaced (Adam7) PNG unsupported")
+    if depth != 8:
+        raise MediaDecodeError(f"unsupported PNG bit depth {depth}")
+    nch = _PNG_CHANNELS.get(color)
+    if nch is None:
+        raise MediaDecodeError(f"bad PNG color type {color}")
+    if color == 3 and (plte is None or len(plte) % 3):
+        raise MediaDecodeError("palette PNG missing/malformed PLTE")
+    if w <= 0 or h <= 0:
+        raise MediaDecodeError(f"bad PNG dimensions {w}x{h}")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise MediaDecodeError(f"bad PNG zlib stream: {e}") from e
+    stride = w * nch
+    if len(raw) != (stride + 1) * h:
+        raise MediaDecodeError(
+            f"PNG data size {len(raw)} != {(stride + 1) * h}")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = nch                                    # bytes per pixel at depth 8
+    at = 0
+    for y in range(h):
+        ftype = raw[at]
+        cur = np.frombuffer(raw, np.uint8, stride, at + 1).copy()
+        at += stride + 1
+        if ftype == 0:                           # None
+            pass
+        elif ftype == 2:                         # Up (uint8 wraps mod 256)
+            cur += prev
+        elif ftype == 1:                         # Sub: left-dependent scan
+            for i in range(bpp, stride):
+                cur[i] = (int(cur[i]) + int(cur[i - bpp])) & 0xFF
+        elif ftype == 3:                         # Average
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                cur[i] = (int(cur[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:                         # Paeth predictor
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (int(cur[i]) + pred) & 0xFF
+        else:
+            raise MediaDecodeError(f"bad PNG filter type {ftype} (row {y})")
+        out[y] = cur
+        prev = cur
+    img = out.reshape(h, w, nch)
+    if color == 3:
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        if int(img.max(initial=0)) >= len(pal):
+            raise MediaDecodeError("PNG palette index out of range")
+        return np.ascontiguousarray(pal[img[:, :, 0]])
+    if color == 0:                               # gray -> replicate
+        return np.ascontiguousarray(np.repeat(img, 3, axis=2))
+    if color == 4:                               # gray+alpha -> drop alpha
+        return np.ascontiguousarray(np.repeat(img[:, :, :1], 3, axis=2))
+    if color == 6:                               # RGBA -> drop alpha
+        return np.ascontiguousarray(img[:, :, :3])
+    return np.ascontiguousarray(img)             # RGB
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a filter-0 truecolor PNG."""
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise MediaDecodeError(f"expected (H, W, 3), got {arr.shape}")
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (PNG_SIGNATURE + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
 
 
 # ---------------------------------------------------------------------------

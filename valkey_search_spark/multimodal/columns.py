@@ -7,10 +7,10 @@ struct, and every transform is an Arrow-batched ``mapInPandas`` whose
 schema/partitioning/batch shape is real and tested. The ``_decode_*``
 seams have two modes: ``fake=True`` substitutes a deterministic synthetic
 decode so the plumbing is verifiable over arbitrary binary, and
-``fake=False`` REALLY decodes the uncompressed formats the vendored
-pure-Python codecs cover (BMP images, PCM WAV audio —
+``fake=False`` REALLY decodes the formats the vendored pure-Python
+codecs cover (BMP and non-interlaced 8-bit PNG images, PCM WAV audio —
 ``multimodal/codecs.py``), raising NotImplementedError only for the
-compressed formats that need PIL/ffmpeg (not in this container).
+formats that need PIL/ffmpeg (not in this container).
 """
 
 from __future__ import annotations
@@ -56,18 +56,20 @@ def attach_media_metadata(df: DataFrame, binary_col: str, meta: dict) -> DataFra
 def _decode_image(payload: bytes, fake: bool) -> np.ndarray:
     """Image decode seam. ``fake`` derives a deterministic 8x8x3 uint8
     array from the payload bytes (plumbing tests over arbitrary binary).
-    The REAL path decodes uncompressed BMP via the vendored pure-Python
-    codec (`multimodal/codecs.py`); compressed formats (PNG/JPEG/...)
-    are where PIL/opencv would plug in and still raise here."""
+    The REAL path decodes uncompressed BMP and non-interlaced 8-bit PNG
+    via the vendored pure-Python codecs (`multimodal/codecs.py`); JPEG
+    and friends are where PIL/opencv would plug in and still raise."""
     if not fake:
-        from .codecs import decode_bmp
+        from .codecs import PNG_SIGNATURE, decode_bmp, decode_png
 
         if payload[:2] == b"BM":
             return decode_bmp(payload)
+        if payload[:8] == PNG_SIGNATURE:
+            return decode_png(payload)
         raise NotImplementedError(
-            "only uncompressed BMP decodes without PIL/opencv (not in "
-            "this container); pass fake=True for the deterministic "
-            "test decode of non-BMP payloads")
+            "only BMP and PNG decode without PIL/opencv (not in this "
+            "container); pass fake=True for the deterministic test "
+            "decode of other payloads")
     seed = np.frombuffer((payload or b"\0")[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
     rng = np.random.default_rng(seed)
     return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
