@@ -85,3 +85,53 @@ def test_search_over_streamed_store(spark, tmp_path):
                   key_column="p_partkey")
     assert eng.ft_search("live", "@p_brand:{Brand#13}", count_only=True) == 0
     assert eng.ft_search("live", "*", count_only=True) == store.read().count()
+
+
+def test_ft_info_live_mutation_queue(spark, tmp_path):
+    """FT.INFO reports LIVE mutation-queue state for an index whose
+    DocumentStore has an active foreachBatch stream: nonzero
+    mutation_queue_size while a batch is in flight, draining to 0 after
+    (reference reports these from the background indexer,
+    src/index_schema.h:215,462). Detached indexes keep the static
+    ready/0 block."""
+    store = _store(spark, tmp_path)
+    eng = SearchEngine(spark)
+    eng.ft_create("live", store.read(),
+                  [TagField("p_brand"), NumericField("p_retailprice")],
+                  key_column="p_partkey")
+    eng.catalog.get("live").attach_store(store)
+
+    before = eng.ft_info("live")
+    assert before["mutation_queue_size"] == "0"
+    assert before["state"] == "ready"
+
+    one = store.read().where(F.col("__key") == "9").collect()[0].asDict()
+    mut_dir = tmp_path / "mutations"
+    mut_dir.mkdir()
+    m1 = spark.createDataFrame([
+        Row(**dict(one, p_retailprice=55.0), __op=OP_SET),
+        Row(**dict(one, __key="11"), __op=OP_DEL),
+    ])
+    m1.write.mode("append").parquet(str(mut_dir))
+
+    observed = {}
+
+    def snapshot_mid_batch(n):
+        # runs on the stream-execution thread between enqueue and apply:
+        # FT.INFO must see the in-flight batch as queued mutations
+        observed["info"] = eng.ft_info("live")
+
+    stream = spark.readStream.schema(m1.schema).parquet(str(mut_dir))
+    q = store.streaming_sink(stream, str(tmp_path / "ckpt"),
+                             trigger={"availableNow": True},
+                             _pre_apply=snapshot_mid_batch)
+    q.awaitTermination(120)
+
+    assert int(observed["info"]["mutation_queue_size"]) == 2
+    after = eng.ft_info("live")
+    assert after["mutation_queue_size"] == "0"       # queue drained
+    assert after["state"] == "ready"
+    assert store._applied_count == 2
+    # backfill flag flips during a (synchronous) backfill
+    assert after["backfill_in_progress"] == "0"
+    assert after["backfill_complete_percent"] == "1.0"

@@ -227,8 +227,16 @@ class IndexSchema:
     def __post_init__(self) -> None:
         self._by_attr: dict[str, FieldDef] = {}
         self._cached: DataFrame | None = None
+        self.ingest_store = None        # live-ingest link (attach_store)
         for f in self.fields:
             self._by_attr[f.attr] = f
+
+    def attach_store(self, store) -> None:
+        """Link the DocumentStore feeding this index so FT.INFO reports
+        LIVE mutation-queue/backfill state (the reference reports these
+        from the background indexer, src/index_schema.h:215,462; a
+        detached batch index keeps the static ready/0 block)."""
+        self.ingest_store = store
 
     def field(self, attr: str) -> FieldDef:
         try:
@@ -383,7 +391,9 @@ class Catalog:
             "num_terms": None,
             "total_term_occurrences": None,
             "hash_indexing_failures": None,
-            # batch engine: indexing is the job itself, never backgrounded
+            # batch engine: indexing is the job itself, never backgrounded;
+            # a schema with an ATTACHED DocumentStore stream overlays this
+            # block with live values below
             "backfill_in_progress": "0",
             "backfill_complete_percent": "1.0",
             "mutation_queue_size": "0",
@@ -397,6 +407,12 @@ class Catalog:
                              or first_text.with_offsets else "0"),
             "min_stem_size": (first_text.min_stem_size if first_text else 4),
         }
+        store = getattr(s, "ingest_store", None)
+        if store is not None:
+            # live mutation/backfill state from the attached ingest stream
+            # (reference reports these from the background indexer,
+            # src/index_schema.h:215,462)
+            out.update(store.ingest_info())
         if compute_stats:
             df = s.indexed_df()
             derived_first = {f.attr: next(iter(f.derived(s.doc_df)))

@@ -47,6 +47,15 @@ class DocumentStore:
         self.path = path
         self.key_column = key_column
         self.num_buckets = num_buckets
+        # live ingest observables surfaced through FT.INFO when a schema
+        # attaches this store (IndexSchema.attach_store); the reference
+        # reports these from its background indexer
+        # (src/index_schema.h:215,462)
+        self._backfill_active = False
+        self._queue_depth = 0
+        self._applied_count = 0
+        self._last_batch_ms = 0.0
+        self._active_query = None
 
     # ------------------------------------------------------------------
     def _bucket(self, df: DataFrame) -> DataFrame:
@@ -62,8 +71,13 @@ class DocumentStore:
         """Full keyspace scan -> initial table (PerformBackfill,
         index_schema.cc:1044). Dedupe on key: last writer wins arbitrarily,
         matching the reference's one-document-per-key model."""
-        (self._bucket(df.dropDuplicates([self.key_column]))
-             .write.mode("overwrite").partitionBy("__bucket").parquet(self.path))
+        self._backfill_active = True
+        try:
+            (self._bucket(df.dropDuplicates([self.key_column]))
+                 .write.mode("overwrite").partitionBy("__bucket")
+                 .parquet(self.path))
+        finally:
+            self._backfill_active = False
 
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path).drop("__bucket")
@@ -120,14 +134,32 @@ class DocumentStore:
     # ------------------------------------------------------------------
     def streaming_sink(self, mutation_stream: DataFrame, checkpoint: str,
                        op_column: str = "__op", seq_column: str | None = None,
-                       trigger: dict | None = None):
+                       trigger: dict | None = None, _pre_apply=None):
         """writeStream.foreachBatch upsert — the keyspace-notification
         consumer. Micro-batch boundaries give exactly-once upserts
         (checkpointed offsets replace the reference's queue + sequence
-        revalidation, index_schema.cc:840-865)."""
+        revalidation, index_schema.cc:840-865).
+
+        Each batch updates the live observables FT.INFO reads via
+        ``ingest_info``: queue depth while the batch is in flight, apply
+        latency, cumulative applied count. ``_pre_apply`` is a test hook
+        called between enqueue and apply (lets tests observe the
+        in-flight state deterministically)."""
+        import time as _time
+
         def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
-            self.apply_mutations(batch_df, op_column=op_column,
-                                 seq_column=seq_column)
+            n = batch_df.count()
+            self._queue_depth = n
+            if _pre_apply is not None:
+                _pre_apply(n)
+            t0 = _time.perf_counter()
+            try:
+                self.apply_mutations(batch_df, op_column=op_column,
+                                     seq_column=seq_column)
+            finally:
+                self._last_batch_ms = (_time.perf_counter() - t0) * 1000.0
+                self._applied_count += n
+                self._queue_depth = 0
 
         writer = (mutation_stream.writeStream
                   .outputMode("update")
@@ -135,7 +167,35 @@ class DocumentStore:
                   .foreachBatch(apply_batch))
         if trigger:
             writer = writer.trigger(**trigger)
-        return writer.start()
+        q = writer.start()
+        self._active_query = q
+        return q
+
+    def ingest_info(self) -> dict:
+        """Live mutation/backfill block for FT.INFO (ft.info.md fields).
+        ``recent_mutations_queue_delay`` is reported in whole seconds like
+        the reference; a busy stream also reflects the micro-batch trigger
+        lag from ``lastProgress`` when available."""
+        delay_s = int(self._last_batch_ms / 1000.0)
+        q = self._active_query
+        if q is not None:
+            try:
+                prog = q.lastProgress
+                if prog and prog.get("durationMs"):
+                    trig = prog["durationMs"].get("triggerExecution", 0)
+                    delay_s = max(delay_s, int(trig / 1000))
+            except Exception:
+                pass
+        backfilling = self._backfill_active
+        return {
+            "backfill_in_progress": "1" if backfilling else "0",
+            "backfill_complete_percent": "0.0" if backfilling else "1.0",
+            "mutation_queue_size": str(self._queue_depth),
+            "recent_mutations_queue_delay": str(delay_s),
+            # ft.info.md: state tracks BACKFILL only
+            # (ready / backfill_in_progress / backfill_paused_by_oom)
+            "state": "backfill_in_progress" if backfilling else "ready",
+        }
 
 
 class _conf:
