@@ -90,6 +90,107 @@ SPEC_CASES = [
     ("exceeding", "exceed"), ("exceedingly", "exceed"),
     ("succeeding", "succeed"), ("proceeded", "proceed"),
     ("dressed", "dress"),
+    # --- round-5 vocabulary sweep: every output below was hand-traced
+    # through the published spec (snowballstem.org English stemmer); the
+    # initially-surprising ones are annotated with the step that decides
+    # them. Build note: candidate expectations were diffed against the
+    # implementation first and every mismatch root-caused against the
+    # spec text — in all cases a later R2-gated step applied.
+    # step 0: longest of ' / 's / 's' removed
+    ("boy's", "boy"), ("boys'", "boy"), ("'twas", "twas"),
+    ("girl's", "girl"), ("it's", "it"), ("dog's'", "dog"),
+    # initial y is a consonant; y after a vowel stays
+    ("youth", "youth"), ("yellow", "yellow"),
+    ("saying", "say"), ("playing", "play"), ("enjoying", "enjoy"),
+    ("staying", "stay"), ("obeying", "obey"), ("canyon", "canyon"),
+    # yearly: 1c -> yearli, then step-2 li deleted (r IS a valid
+    # li-ending), leaving "year"
+    ("yearly", "year"),
+    # 1b: undouble after ed/ing removal
+    ("controlling", "control"), ("patrolled", "patrol"),
+    ("referred", "refer"), ("dripping", "drip"), ("stemming", "stem"),
+    ("stopped", "stop"), ("fitted", "fit"), ("planned", "plan"),
+    ("gripping", "grip"), ("submitted", "submit"),
+    ("admitted", "admit"), ("regretted", "regret"),
+    # 1b: short-word e-restoration
+    ("hoping", "hope"), ("caring", "care"), ("sizing", "size"),
+    ("shaping", "shape"), ("trading", "trade"), ("making", "make"),
+    ("taking", "take"), ("giving", "give"), ("loving", "love"),
+    ("dating", "date"), ("racing", "race"), ("wiping", "wipe"),
+    # 1b: no e-add when the stem is not short
+    ("meeting", "meet"), ("fishing", "fish"), ("reading", "read"),
+    ("sleeping", "sleep"), ("walking", "walk"), ("jumping", "jump"),
+    # 1c
+    ("party", "parti"), ("heavy", "heavi"), ("carry", "carri"),
+    ("study", "studi"), ("deny", "deni"), ("apply", "appli"),
+    ("stay", "stay"), ("key", "key"), ("toy", "toy"),
+    # step 2 + the R2-gated follow-ons that surprise:
+    # enci -> ence, then step-4 only fires when ence reaches R2, and
+    # step-5 may still take the trailing e
+    ("decency", "decenc"), ("dependency", "depend"),
+    ("urgenci", "urgenc"), ("frequenci", "frequenc"),
+    # entli -> ent (step 2), ent deleted in R2 (step 4)
+    ("confidentli", "confid"), ("apparentli", "appar"),
+    # alli -> al (step 2), al deleted in R2 (step 4)
+    ("personalli", "person"), ("originalli", "origin"),
+    # ational -> ate, then step-5 e-deletion in R2
+    ("sensational", "sensat"), ("irrational", "irrat"),
+    ("presumably", "presum"), ("notably", "notabl"),
+    ("organizer", "organ"), ("organization", "organ"),
+    ("modernization", "modern"), ("colonization", "colon"),
+    ("inspiration", "inspir"), ("information", "inform"),
+    ("creation", "creation"), ("creator", "creator"),
+    ("narrator", "narrat"), ("educator", "educ"),
+    ("nationalism", "nation"), ("regionalism", "region"),
+    ("mortaliti", "mortal"), ("brutaliti", "brutal"),
+    ("usefulness", "use"), ("carefulness", "care"),
+    ("seriousli", "serious"), ("graciousli", "gracious"),
+    ("nervousness", "nervous"), ("consciousness", "conscious"),
+    ("attentiveness", "attent"), ("creativiti", "creativ"),
+    ("possibiliti", "possibl"), ("flexibiliti", "flexibl"),
+    ("incredibli", "incred"), ("horribli", "horribl"),
+    ("terribli", "terribl"),
+    ("analogi", "analog"), ("biologi", "biolog"), ("ecologi", "ecolog"),
+    ("gratefulli", "grate"), ("hopelessli", "hopeless"),
+    ("carelessli", "careless"),
+    # step 3
+    ("duplicate", "duplic"), ("implicate", "implic"),
+    ("publiciti", "public"), ("practical", "practic"),
+    ("identical", "ident"), ("colorful", "color"),
+    ("painful", "pain"), ("darkness", "dark"), ("weakness", "weak"),
+    ("informative", "inform"),
+    # step 4
+    ("refusal", "refus"), ("proposal", "propos"),
+    ("acceptance", "accept"), ("resistance", "resist"),
+    ("persistence", "persist"), ("occurrence", "occurr"),
+    ("believer", "believ"), ("builder", "builder"),
+    ("scientific", "scientif"), ("comfortable", "comfort"),
+    ("convertible", "convert"), ("assistant", "assist"),
+    ("statement", "statement"), ("excitement", "excit"),
+    ("employment", "employ"), ("management", "manag"),
+    ("government", "govern"), ("different", "differ"),
+    ("optimism", "optim"), ("criticism", "critic"),
+    ("celebrate", "celebr"), ("curiositi", "curios"),
+    ("generositi", "generos"), ("dangerous", "danger"),
+    ("mysterious", "mysteri"), ("expensive", "expens"),
+    ("attractive", "attract"), ("recognize", "recogn"),
+    # ion deleted only after s/t
+    ("decision", "decis"), ("admission", "admiss"),
+    ("confusion", "confus"), ("expansion", "expans"),
+    ("attention", "attent"), ("solution", "solut"),
+    ("companion", "companion"), ("opinion", "opinion"),
+    # step 5
+    ("debate", "debat"), ("escape", "escap"),
+    ("install", "instal"), ("recall", "recal"), ("stall", "stall"),
+    ("fulfill", "fulfil"), ("chill", "chill"),
+    # engine-corpus vocabulary (what the docs tables actually hold)
+    ("tables", "tabl"), ("streaming", "stream"), ("windows", "window"),
+    ("queries", "queri"), ("indexes", "index"), ("vectors", "vector"),
+    ("searches", "search"), ("matching", "match"),
+    ("filtered", "filter"), ("aggregates", "aggreg"),
+    ("partitions", "partit"), ("documents", "document"),
+    ("embeddings", "embed"), ("clustering", "cluster"),
+    ("tokenized", "token"), ("stemmer", "stemmer"),
 ]
 
 
