@@ -135,3 +135,83 @@ def test_ft_info_live_mutation_queue(spark, tmp_path):
     # backfill flag flips during a (synchronous) backfill
     assert after["backfill_in_progress"] == "0"
     assert after["backfill_complete_percent"] == "1.0"
+
+
+def test_streaming_endurance_snapshots(spark, tmp_path):
+    """Endurance: 8 micro-batches of mixed upserts/deletes/inserts driven
+    through a REAL restarted stream (same checkpoint — exercises
+    exactly-once resume), racing ft_search calls. A pure-Python dict
+    model is the consistency oracle: the mid-batch query (via the
+    _pre_apply hook, i.e. while the batch is queued but not applied)
+    must see exactly the previous snapshot, and the post-batch query
+    exactly the new one. Reference analogue: stability_test.py.
+    Mid-REWRITE reads are not exercised: the parquet store's
+    multi-partition overwrite is not atomic (an MVCC table format owns
+    that at production scale)."""
+    import random
+
+    store = _store(spark, tmp_path, n=200)
+    eng = SearchEngine(spark)
+    model = {r["__key"]: r.asDict() for r in store.read().collect()}
+    template = next(iter(model.values()))
+    mut_dir = tmp_path / "endur_muts"
+    mut_dir.mkdir()
+    ckpt = str(tmp_path / "endur_ckpt")
+    rng = random.Random(5)
+    mut_schema = None
+    seq = 0
+
+    def live_count():
+        eng.ft_create("endur", store.read(),
+                      [TagField("p_brand"), NumericField("p_retailprice")],
+                      key_column="p_partkey")
+        return eng.ft_search("endur", "*", count_only=True)
+
+    for step in range(8):
+        before = len(model)
+        rows = []
+        keys = sorted(model)
+
+        def emit(doc, op):
+            nonlocal seq
+            seq += 1
+            rows.append(Row(**doc, __op=op, __seq=seq))
+
+        for k in rng.sample(keys, 5):               # upserts
+            model[k] = dict(model[k], p_retailprice=1000.0 + step)
+            emit(model[k], OP_SET)
+        for k in rng.sample(sorted(model), 3):      # deletes (a key may
+            emit(model.pop(k), OP_DEL)              # also be upserted
+        newk = str(900000 + step)                   # above: __seq decides)
+        doc = dict(template, __key=newk, p_partkey=int(newk),
+                   p_brand="Brand#55", p_retailprice=500.0 + step)
+        model[newk] = doc
+        emit(doc, OP_SET)
+        batch = spark.createDataFrame(rows, schema=mut_schema)
+        mut_schema = mut_schema or batch.schema
+        batch.write.mode("append").parquet(str(mut_dir))
+
+        seen_mid = {}
+
+        def mid_batch(n, _b=before):
+            seen_mid["count"] = live_count()
+
+        # constant source path across restarts: the checkpoint's file
+        # log marks prior batches processed, so each restart picks up
+        # exactly the files appended since
+        stream = spark.readStream.schema(mut_schema).parquet(str(mut_dir))
+        q = store.streaming_sink(stream, ckpt, _pre_apply=mid_batch,
+                                 seq_column="__seq",
+                                 trigger={"availableNow": True})
+        q.awaitTermination(120)
+        assert seen_mid["count"] == before          # pre-apply snapshot
+        assert live_count() == len(model)           # post-apply snapshot
+
+    # final deep check: full store contents equal the model
+    got = {r["__key"]: r.asDict() for r in store.read().collect()}
+    assert got.keys() == model.keys()
+    for k in model:
+        assert got[k]["p_retailprice"] == model[k]["p_retailprice"], k
+    # the upserted/inserted values are queryable through the engine
+    assert eng.ft_search("endur", "@p_brand:{Brand#55}",
+                         count_only=True) == 8
