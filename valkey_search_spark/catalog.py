@@ -64,6 +64,11 @@ def vec_col(f: str) -> str:
     return f"_v_{f}"
 
 
+# index-level union ("field-mask") columns for wide uniform text schemas
+MASK_TOK_COL = "__fm_tok"
+MASK_STEM_COL = "__fm_stem"
+
+
 @dataclass
 class FieldDef:
     """One SCHEMA attribute: ``identifier [AS alias] TYPE opts``
@@ -244,6 +249,30 @@ class IndexSchema:
         except KeyError:
             raise UnknownFieldError(f"Unknown field `{attr}` in index `{self.name}`") from None
 
+    # minimum TEXT fields before the union "field-mask" columns pay for
+    # their storage (the reference's field_explosion workload has 50)
+    FIELDMASK_MIN_TEXT_FIELDS = 8
+
+    def fieldmask_fields(self) -> list["TextField"] | None:
+        """Text fields covered by the union token/stem columns — the
+        Spark-native analogue of the reference's all-fields mask
+        (index_schema GetAllTextFieldMask): a fieldless single-token
+        predicate over F fields scans ONE array column instead of F.
+        Only built for wide schemas with UNIFORM analysis config (so the
+        union is semantics-preserving), and only when the serving frame
+        actually carries the columns (a prederived table materialized
+        before this feature keeps the per-field plan)."""
+        tfs = self.text_fields
+        if len(tfs) < self.FIELDMASK_MIN_TEXT_FIELDS:
+            return None
+        sig = {(f.stopwords, f.punctuation, f.min_stem_size, f.nostem,
+                f.with_suffixtrie) for f in tfs}
+        if len(sig) != 1:
+            return None
+        if self.prederived and MASK_TOK_COL not in self.doc_df.columns:
+            return None
+        return tfs
+
     @property
     def text_fields(self) -> list[TextField]:
         return [f for f in self.fields if isinstance(f, TextField)]
@@ -289,6 +318,26 @@ class IndexSchema:
         derived: dict[str, Column] = {}
         for f in self.fields:
             derived.update(f.derived(df))
+        mask = self.fieldmask_fields()
+        if mask:
+            # union token/stem columns: distinct words across ALL text
+            # fields, so a fieldless single-token predicate scans ONE
+            # array instead of len(fields). Derived by tokenizing the
+            # space-joined raw fields once (uniform config makes that
+            # equivalent to the per-field union for membership) rather
+            # than re-referencing the per-field expressions — Catalyst
+            # collapses projections, so reuse would tokenize every field
+            # twice at build
+            f0 = mask[0]
+            joined = F.concat_ws(
+                " ", *[F.coalesce(f.source(df).cast("string"), F.lit(""))
+                       for f in mask])
+            mtoks = text_tokens_column(joined, f0.stopwords, f0.punctuation)
+            words = F.array_distinct(F.transform(mtoks, lambda s: s["t"]))
+            derived[MASK_TOK_COL] = words
+            if not f0.nostem:
+                derived[MASK_STEM_COL] = F.array_distinct(
+                    stem_positions_udf(f0.min_stem_size)(words))
         return df.withColumns(derived)
 
     def materialize(self, path: str, partitions: int | None = None,

@@ -25,8 +25,8 @@ import pandas as pd
 from pyspark.sql import Column, functions as F, types as T
 
 from ..catalog import (
-    IndexSchema, NumericField, TagField, TextField, num_col, stem_col,
-    stem_pos_col, tag_col, text_col,
+    MASK_STEM_COL, MASK_TOK_COL, IndexSchema, NumericField, TagField,
+    TextField, num_col, stem_col, stem_pos_col, tag_col, text_col,
 )
 from ..errors import QuerySyntaxError
 from ..functions.analysis import lex_query_text, stem_query_term
@@ -35,6 +35,10 @@ from ..parser.ast import (
     And, MatchAll, Not, NumericPred, Or, Predicate, Proximity, TagPred,
     TextPred,
 )
+
+
+# sentinel: fieldless-uniform translation declined, use the per-field OR
+_PER_FIELD = object()
 
 
 def damerau_levenshtein(a: str, b: str) -> int:
@@ -650,8 +654,12 @@ class PredicateTranslator:
         return fields
 
     def _text(self, p: TextPred) -> Column | None:
-        conds = [c for c in (self._text_one(f, p)
-                             for f in self._text_attrs(p.attr))
+        fields = self._text_attrs(p.attr)
+        if p.attr is None and len(fields) > 1:
+            out = self._text_fieldless_uniform(fields, p)
+            if out is not _PER_FIELD:
+                return out
+        conds = [c for c in (self._text_one(f, p) for f in fields)
                  if c is not None]
         if not conds:
             return None  # stopword-only term on every target field: dropped
@@ -659,6 +667,89 @@ class PredicateTranslator:
         for c in conds[1:]:
             out = out | c
         return F.coalesce(out, F.lit(False))
+
+    def _text_fieldless_uniform(self, fields: list[TextField],
+                                p: TextPred):
+        """Fieldless predicates over UNIFORM-config fields.
+
+        Two concerns meet here. Semantics: the reference parses an
+        unquoted composite token ("hello.world") into SEPARATE term
+        predicates each carrying the FULL field mask, ANDed at the top
+        (filter_parser.cc ParseTextTokens "stop after first token") —
+        i.e. every token in ANY field, fields may differ per token. The
+        per-field fallback below computes OR-of-fields(AND-of-tokens),
+        which demands one field hold all tokens; with uniform analysis
+        config we can and do implement the reference's AND-of-tokens
+        (OR-of-fields) exactly. Physics: when the schema carries the
+        union field-mask columns (wide uniform schemas,
+        IndexSchema.fieldmask_fields), a single-token predicate scans
+        ONE array column instead of len(fields) — the Spark analogue of
+        the reference's GetAllTextFieldMask lookup.
+
+        Returns _PER_FIELD to fall through to the per-field OR path
+        (non-uniform config, or positional kinds where positions cannot
+        cross fields)."""
+        f0 = fields[0]
+        if p.kind == PHRASE:
+            return _PER_FIELD
+        sig = {(f.stopwords, f.punctuation, f.min_stem_size, f.nostem)
+               for f in fields}
+        if len(sig) != 1:
+            return _PER_FIELD
+        mask = self.schema.fieldmask_fields() or None
+        mt = F.col(MASK_TOK_COL) if mask else None
+
+        def any_field_has_token(qt: str) -> Column:
+            if mask:
+                if f0.nostem or self.verbatim or p.verbatim:
+                    return F.array_contains(mt, qt)
+                return F.array_contains(
+                    F.col(MASK_STEM_COL),
+                    stem_query_term(qt, f0.min_stem_size))
+            per = [self._term_cond(f, qt, p) for f in fields]
+            c = per[0]
+            for x in per[1:]:
+                c = c | x
+            return c
+
+        if p.kind == TERM:
+            qtoks = [t for t in lex_query_text(p.value, f0.punctuation)
+                     if t not in f0.stopwords]
+            if not qtoks:
+                return None
+            out = F.coalesce(any_field_has_token(qtoks[0]), F.lit(False))
+            for qt in qtoks[1:]:
+                out = out & F.coalesce(any_field_has_token(qt), F.lit(False))
+            return out
+
+        if mask is None:
+            return _PER_FIELD        # single-token kinds: same semantics
+        w = p.value                  # either way; mask is purely physical
+        if p.kind == PREFIX:
+            return F.coalesce(F.exists(mt, lambda t: t.startswith(w)),
+                              F.lit(False))
+        if p.kind in (SUFFIX, INFIX):
+            if not f0.with_suffixtrie:
+                raise QuerySyntaxError(
+                    "suffix/infix queries need WITHSUFFIXTRIE on the "
+                    "target fields")
+            if p.kind == SUFFIX:
+                return F.coalesce(F.exists(mt, lambda t: t.endswith(w)),
+                                  F.lit(False))
+            return F.coalesce(F.exists(mt, lambda t: t.contains(w)),
+                              F.lit(False))
+        if p.kind == FUZZY:
+            if p.distance > self.limits.fuzzy_max_distance:
+                raise QuerySyntaxError(
+                    f"fuzzy distance {p.distance} exceeds fuzzy-max-distance"
+                    f" ({self.limits.fuzzy_max_distance})")
+            plausible = F.exists(
+                mt, lambda t: F.abs(F.length(t) - F.lit(len(w)))
+                <= p.distance)
+            return F.coalesce(
+                plausible & _fuzzy_match_udf(w, p.distance)(mt),
+                F.lit(False))
+        return _PER_FIELD
 
     def _text_one(self, fdef: TextField, p: TextPred) -> Column | None:
         toks = F.col(text_col(fdef.attr))
