@@ -370,3 +370,315 @@ def test_image_features_mixed_bmp_png(spark):
     got = image_features(spark.createDataFrame(rows), fake=False).collect()
     for r in got:
         np.testing.assert_allclose(r["img_mean"], [9.0, 9.0, 9.0])
+
+
+# ---------------------------------------------------------------------------
+# JPEG: the test implements the FORWARD pipeline (RGB->YCbCr, optional
+# 2x2 subsampling, FDCT, quantization, run-length + canonical Huffman
+# encoding, byte stuffing, restart markers) independently of the codec,
+# which implements only the inverse. Huffman tables are generated
+# fixed-length canonical tables carried in DHT — table CONTENTS need not
+# match Annex K for a valid stream, which keeps this encoder fully
+# self-contained.
+
+from valkey_search_spark.multimodal.codecs import decode_jpeg
+
+_QL = np.array([  # luminance quant (spec Annex K.1)
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32).reshape(8, 8)
+_QC = np.array([  # chrominance quant (Annex K.2)
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32).reshape(8, 8)
+
+_ZZ = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63])
+
+_C = np.array([[(np.sqrt(0.5) if u == 0 else 1.0) / 2.0
+                * np.cos((2 * x + 1) * u * np.pi / 16.0)
+                for x in range(8)] for u in range(8)])
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code, length):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)        # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def align(self):
+        while self.n:
+            self.put(1, 1)                       # pad with 1s
+
+
+def _mag(v):
+    """(category, code-bits) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    s = a.bit_length()
+    return s, (v if v > 0 else v + (1 << s) - 1)
+
+
+def _huff(symbols):
+    """Fixed-length canonical table: (bits16, vals, {sym: (len, code)})."""
+    syms = sorted(set(symbols))
+    length = 2
+    while (1 << length) <= len(syms):
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = len(syms)
+    return (bytes(bits), bytes(syms),
+            {s: (length, i) for i, s in enumerate(syms)})
+
+
+def _blocks(plane):
+    h, w = plane.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    for y in range(0, ph, 8):
+        for x in range(0, pw, 8):
+            yield p[y:y + 8, x:x + 8]
+
+
+def _encode_jpeg(rgb=None, gray=None, subsample=False, restart=0):
+    """Forward baseline-JPEG pipeline, independent of codecs.decode_jpeg."""
+    if gray is not None:
+        planes = [gray.astype(np.float64)]
+        qts = [(_QL, 0)]
+        comp_hv = [(1, 1)]
+    else:
+        r, g, b = [rgb[:, :, i].astype(np.float64) for i in range(3)]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            h2 = (cb.shape[0] // 2) * 2
+            w2 = (cb.shape[1] // 2) * 2
+            cb = cb[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2).mean((1, 3))
+            cr = cr[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2).mean((1, 3))
+            comp_hv = [(2, 2), (1, 1), (1, 1)]
+        else:
+            comp_hv = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+        qts = [(_QL, 0), (_QC, 1), (_QC, 1)]
+
+    # quantized zigzag blocks per component, in MCU interleave order
+    h, w = planes[0].shape
+    hmax = max(hh for hh, _ in comp_hv)
+    vmax = max(vv for _, vv in comp_hv)
+    mcus_x, mcus_y = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+    padded = []
+    for p, (hh, vv) in zip(planes, comp_hv):
+        ph, pw = mcus_y * vv * 8, mcus_x * hh * 8
+        padded.append(np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+                             mode="edge"))
+
+    def quantize(block, q):
+        coef = _C @ (block - 128.0) @ _C.T
+        return np.round(coef / q).astype(np.int64).reshape(64)[_ZZ]
+
+    # first pass: gather symbols (to build the tables), second: emit
+    mcu_units = []                        # [(comp_idx, zigzag_coeffs)]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (hh, vv) in enumerate(comp_hv):
+                for by in range(vv):
+                    for bx in range(hh):
+                        yb = (my * vv + by) * 8
+                        xb = (mx * hh + bx) * 8
+                        block = padded[ci][yb:yb + 8, xb:xb + 8]
+                        mcu_units.append(
+                            (ci, quantize(block, qts[ci][0])))
+
+    def unit_symbols(units, restart):
+        dc_syms, ac_syms = [[], []], [[], []]
+        pred = [0] * len(comp_hv)
+        per_mcu = sum(hh * vv for hh, vv in comp_hv)
+        for i, (ci, zz) in enumerate(units):
+            if restart and i and (i // per_mcu) % restart == 0 \
+                    and i % per_mcu == 0:
+                pred = [0] * len(comp_hv)
+            t = min(ci, 1)
+            s, _ = _mag(int(zz[0]) - pred[ci])
+            pred[ci] = int(zz[0])
+            dc_syms[t].append(s)
+            run = 0
+            for k in range(1, 64):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ac_syms[t].append(0xF0)
+                    run -= 16
+                s, _ = _mag(int(zz[k]))
+                ac_syms[t].append((run << 4) | s)
+                run = 0
+            if run:
+                ac_syms[t].append(0x00)
+        return dc_syms, ac_syms
+
+    dc_syms, ac_syms = unit_symbols(mcu_units, restart)
+    ntab = 1 if gray is not None else 2
+    dc_tabs = [_huff(dc_syms[t] or [0]) for t in range(ntab)]
+    ac_tabs = [_huff(ac_syms[t] or [0]) for t in range(ntab)]
+
+    bw = _BitWriter()
+    pred = [0] * len(comp_hv)
+    per_mcu = sum(hh * vv for hh, vv in comp_hv)
+    body = bytearray()
+    rst = 0
+    for i, (ci, zz) in enumerate(mcu_units):
+        if restart and i and (i // per_mcu) % restart == 0 \
+                and i % per_mcu == 0:
+            bw.align()
+            body += bw.out
+            body += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            bw = _BitWriter()
+            pred = [0] * len(comp_hv)
+        t = min(ci, 1)
+        s, code = _mag(int(zz[0]) - pred[ci])
+        pred[ci] = int(zz[0])
+        ln, c = dc_tabs[t][2][s]
+        bw.put(c, ln)
+        bw.put(code, s)
+        run = 0
+        for k in range(1, 64):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, c = ac_tabs[t][2][0xF0]
+                bw.put(c, ln)
+                run -= 16
+            s, code = _mag(int(zz[k]))
+            ln, c = ac_tabs[t][2][(run << 4) | s]
+            bw.put(c, ln)
+            bw.put(code, s)
+            run = 0
+        if run:
+            ln, c = ac_tabs[t][2][0x00]
+            bw.put(c, ln)
+    bw.align()
+    body += bw.out
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) \
+            + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes(_QL.reshape(64)[_ZZ].astype(np.uint8)))
+    if gray is None:
+        out += seg(0xDB, bytes([1]) + bytes(_QC.reshape(64)[_ZZ].astype(np.uint8)))
+    ncomp = 1 if gray is not None else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci, (hh, vv) in enumerate(comp_hv):
+        sof += bytes([ci + 1, (hh << 4) | vv, qts[ci][1]])
+    out += seg(0xC0, sof)
+    for t in range(ntab):
+        out += seg(0xC4, bytes([t]) + dc_tabs[t][0] + dc_tabs[t][1])
+        out += seg(0xC4, bytes([0x10 | t]) + ac_tabs[t][0] + ac_tabs[t][1])
+    if restart:
+        out += seg(0xDD, struct.pack(">H", restart))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        t = min(ci, 1)
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += body
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_constant_blocks_near_exact():
+    """Block-constant images are DC-only: quantization error bounds the
+    round-trip to ~1 intensity level."""
+    src = np.zeros((16, 24, 3), dtype=np.uint8)
+    src[:8, :, :] = [200, 40, 90]
+    src[8:, :, :] = [10, 180, 60]
+    got = decode_jpeg(_encode_jpeg(rgb=src))
+    assert got.shape == src.shape
+    assert np.abs(got.astype(int) - src.astype(int)).max() <= 3
+
+
+def test_jpeg_smooth_gradient_444():
+    yy, xx = np.mgrid[0:32, 0:32]
+    src = np.stack([(yy * 4) % 256, (xx * 4) % 256,
+                    ((yy + xx) * 2) % 256], axis=2).astype(np.uint8)
+    got = decode_jpeg(_encode_jpeg(rgb=src))
+    diff = np.abs(got.astype(int) - src.astype(int))
+    assert diff.mean() < 4 and diff.max() <= 40
+
+
+def test_jpeg_420_subsampled():
+    yy, xx = np.mgrid[0:24, 0:40]
+    src = np.stack([100 + yy * 2, 80 + xx, 120 + yy], axis=2
+                   ).astype(np.uint8)
+    got = decode_jpeg(_encode_jpeg(rgb=src, subsample=True))
+    assert got.shape == src.shape
+    diff = np.abs(got.astype(int) - src.astype(int))
+    assert diff.mean() < 6 and diff.max() <= 60
+
+
+def test_jpeg_grayscale():
+    g = np.tile(np.arange(0, 256, 8, dtype=np.uint8), (16, 1))
+    got = decode_jpeg(_encode_jpeg(gray=g))
+    assert got.shape == (16, 32, 3)
+    assert np.abs(got[:, :, 0].astype(int) - g.astype(int)).mean() < 4
+    assert np.array_equal(got[:, :, 0], got[:, :, 1])
+
+
+def test_jpeg_restart_markers():
+    rng = np.random.default_rng(5)
+    src = rng.integers(60, 200, size=(16, 64, 3), dtype=np.uint8)
+    plain = decode_jpeg(_encode_jpeg(rgb=src))
+    with_rst = decode_jpeg(_encode_jpeg(rgb=src, restart=2))
+    assert np.array_equal(plain, with_rst)   # restarts change framing only
+
+
+def test_jpeg_odd_dimensions_cropped():
+    src = np.full((9, 13, 3), 77, dtype=np.uint8)
+    got = decode_jpeg(_encode_jpeg(rgb=src))
+    assert got.shape == (9, 13, 3)
+    assert np.abs(got.astype(int) - 77).max() <= 2
+
+
+def test_jpeg_error_paths():
+    with pytest.raises(MediaDecodeError, match="not a JPEG"):
+        decode_jpeg(b"\x89PNG....")
+    ok = bytearray(_encode_jpeg(rgb=np.zeros((8, 8, 3), dtype=np.uint8)))
+    with pytest.raises(MediaDecodeError):
+        decode_jpeg(bytes(ok[:40]))          # truncated before SOS
+    i = bytes(ok).index(bytes([0xFF, 0xC0]))
+    prog = ok.copy()
+    prog[i + 1] = 0xC2                       # pretend progressive
+    with pytest.raises(MediaDecodeError, match="baseline"):
+        decode_jpeg(bytes(prog))
+
+
+def test_image_features_real_jpeg(spark):
+    src = np.full((8, 8, 3), 99, dtype=np.uint8)
+    rows = [Row(id=0, image=bytearray(_encode_jpeg(rgb=src)))]
+    got = image_features(spark.createDataFrame(rows), fake=False).collect()
+    np.testing.assert_allclose(got[0]["img_mean"], [99.0] * 3, atol=2)

@@ -18,9 +18,15 @@ are fully decodable with struct + numpy alone, which makes the
   direction independently in numpy and hand-pack chunks, so the
   codec's unfilter path is pinned by a second implementation.
 
-Formats needing non-stdlib decoders (JPEG/MP3/...) still raise
-NotImplementedError — that seam is where PIL/ffmpeg would plug in on a
-real cluster.
+- JPEG: baseline sequential DCT (SOF0, 8-bit, Huffman), any sampling
+  factors with nearest chroma upsampling, restart intervals. Format
+  reference: the public JPEG specification (ITU-T T.81) + JFIF BT.601
+  color mapping. Tests implement the FORWARD pipeline (FDCT, quantize,
+  canonical-Huffman encode) independently, pinning this inverse path.
+
+Formats needing non-stdlib decoders (MP3, progressive JPEG, WebP, ...)
+still raise NotImplementedError — that seam is where PIL/ffmpeg would
+plug in on a real cluster.
 """
 
 from __future__ import annotations
@@ -218,6 +224,273 @@ def encode_png(arr: np.ndarray) -> bytes:
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
     return (PNG_SIGNATURE + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential DCT)
+
+# zigzag scan order: index i of the scan -> position in the 8x8 block
+_ZIGZAG = np.array([
+    0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63], dtype=np.int64)
+
+# orthonormal 8-point DCT-II basis: C[u, x] = c(u)/2 * cos((2x+1)u*pi/16)
+_DCT_C = np.array([[(np.sqrt(0.5) if u == 0 else 1.0) / 2.0
+                    * np.cos((2 * x + 1) * u * np.pi / 16.0)
+                    for x in range(8)] for u in range(8)])
+
+
+def _jpeg_huffman_table(bits: list[int], vals: bytes) -> dict:
+    """Canonical JPEG Huffman table -> {(length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over the entropy-coded segment, undoing the
+    FF00 byte stuffing and stopping at any other marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bit = 0
+        self.cur = 0
+
+    def _next_byte(self) -> int:
+        d = self.data
+        if self.pos >= len(d):
+            raise MediaDecodeError("JPEG entropy data truncated")
+        b = d[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(d):
+                raise MediaDecodeError("JPEG entropy data truncated")
+            nxt = d[self.pos]
+            if nxt == 0x00:
+                self.pos += 1              # stuffed FF
+            else:
+                # a real marker inside entropy data (premature)
+                raise MediaDecodeError(
+                    f"unexpected marker FF{nxt:02X} in JPEG scan")
+        return b
+
+    def read_bit(self) -> int:
+        if self.bit == 0:
+            self.cur = self._next_byte()
+            self.bit = 8
+        self.bit -= 1
+        return (self.cur >> self.bit) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_symbol(self, table: dict) -> int:
+        length = 0
+        code = 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise MediaDecodeError("invalid JPEG Huffman code")
+
+    def restart(self) -> None:
+        """Byte-align and consume an RSTn marker."""
+        self.bit = 0
+        d = self.data
+        if (self.pos + 1 < len(d) and d[self.pos] == 0xFF
+                and 0xD0 <= d[self.pos + 1] <= 0xD7):
+            self.pos += 2
+        else:
+            raise MediaDecodeError("expected JPEG restart marker")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    return v - ((1 << s) - 1) if s and v < (1 << (s - 1)) else v
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a baseline sequential JPEG (SOF0, 8-bit, Huffman) to an
+    (H, W, 3) uint8 RGB array. Supports 1- and 3-component images with
+    arbitrary sampling factors (4:4:4 / 4:2:2 / 4:2:0 included; chroma
+    upsampled nearest), restart intervals, and FF00 byte stuffing.
+    Progressive (SOF2), arithmetic coding, and 12-bit precision raise.
+
+    Format reference: the public JPEG specification (ITU-T T.81 —
+    marker layout, canonical Huffman construction, EXTEND, zigzag,
+    Annex A IDCT) and the JFIF YCbCr <-> RGB (BT.601) mapping. The test
+    suite implements the FORWARD pipeline (FDCT, quantization, Huffman
+    encoding with the Annex K example tables) independently, so this
+    inverse path is pinned by a second implementation.
+    """
+    d = payload
+    if len(d) < 4 or d[0:2] != b"\xff\xd8":
+        raise MediaDecodeError("not a JPEG payload")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    while pos + 4 <= len(d):
+        if d[pos] != 0xFF:
+            raise MediaDecodeError(f"bad JPEG marker sync at {pos}")
+        marker = d[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue                       # parameterless
+        (seglen,) = struct.unpack_from(">H", d, pos)
+        seg = d[pos + 2:pos + seglen]
+        if marker == 0xDB:                 # DQT
+            at = 0
+            while at < len(seg):
+                pq, tq = seg[at] >> 4, seg[at] & 15
+                if pq != 0:
+                    raise MediaDecodeError("16-bit JPEG quant tables unsupported")
+                if len(seg) < at + 65:
+                    raise MediaDecodeError("truncated JPEG DQT segment")
+                qt[tq] = np.frombuffer(seg, np.uint8, 64, at + 1
+                                       ).astype(np.int32)
+                at += 65
+        elif marker == 0xC4:               # DHT
+            at = 0
+            while at < len(seg):
+                tc, th = seg[at] >> 4, seg[at] & 15
+                bits = list(seg[at + 1:at + 17])
+                n = sum(bits)
+                vals = seg[at + 17:at + 17 + n]
+                (huff_dc if tc == 0 else huff_ac)[th] = \
+                    _jpeg_huffman_table(bits, vals)
+                at += 17 + n
+        elif marker == 0xC0:               # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise MediaDecodeError(f"unsupported JPEG precision {prec}")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
+                              "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise MediaDecodeError(
+                f"unsupported JPEG frame type FF{marker:02X} "
+                "(only baseline SOF0)")
+        elif marker == 0xDD:               # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:               # SOS -> entropy data follows
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, td_ta = struct.unpack_from(">BB", seg, 1 + 2 * i)
+                scan.append({"id": cs, "dc": td_ta >> 4, "ac": td_ta & 15})
+            return _jpeg_decode_scan(d, pos + seglen, frame, scan, qt,
+                                     huff_dc, huff_ac, restart_interval)
+        pos += seglen
+    raise MediaDecodeError("JPEG missing SOS")
+
+
+def _jpeg_decode_scan(d, pos, frame, scan, qt, huff_dc, huff_ac,
+                      restart_interval):
+    if frame is None:
+        raise MediaDecodeError("JPEG SOS before SOF0")
+    comps = frame["comps"]
+    by_id = {c["id"]: c for c in comps}
+    for sc in scan:
+        if sc["id"] not in by_id:
+            raise MediaDecodeError(f"JPEG scan references component {sc['id']}")
+    if len(scan) != len(comps):
+        raise MediaDecodeError("JPEG multi-scan images unsupported")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    h, w = frame["h"], frame["w"]
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = {}
+    for c in comps:
+        bw, bh = mcus_x * c["h"], mcus_y * c["v"]
+        planes[c["id"]] = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+    reader = _JpegBitReader(d, pos)
+    pred = {c["id"]: 0 for c in comps}
+    coeffs = np.zeros(64, dtype=np.int32)
+    n_mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                reader.restart()
+                pred = {c["id"]: 0 for c in comps}
+            n_mcu += 1
+            for sc in scan:
+                c = by_id[sc["id"]]
+                dc_tab = huff_dc.get(sc["dc"])
+                ac_tab = huff_ac.get(sc["ac"])
+                q = qt.get(c["tq"])
+                if dc_tab is None or ac_tab is None or q is None:
+                    raise MediaDecodeError("JPEG missing huff/quant table")
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coeffs[:] = 0
+                        s = reader.decode_symbol(dc_tab)
+                        diff = _jpeg_extend(reader.receive(s), s)
+                        pred[c["id"]] += diff
+                        coeffs[0] = pred[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode_symbol(ac_tab)
+                            r, sz = rs >> 4, rs & 15
+                            if rs == 0:
+                                break              # EOB
+                            if rs == 0xF0:
+                                k += 16            # ZRL
+                                continue
+                            k += r
+                            if k > 63:
+                                raise MediaDecodeError("JPEG AC overrun")
+                            coeffs[k] = _jpeg_extend(reader.receive(sz), sz)
+                            k += 1
+                        block = np.zeros(64, dtype=np.float64)
+                        block[_ZIGZAG] = coeffs * q
+                        spatial = (_DCT_C.T @ block.reshape(8, 8)
+                                   @ _DCT_C) + 128.0
+                        py = (my * c["v"] + by) * 8
+                        px = (mx * c["h"] + bx) * 8
+                        planes[c["id"]][py:py + 8, px:px + 8] = spatial
+    out_planes = []
+    for c in comps:
+        p = planes[c["id"]]
+        if c["h"] != hmax or c["v"] != vmax:
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)
+        out_planes.append(p[:h, :w])
+    if len(out_planes) == 1:
+        y = np.clip(out_planes[0], 0, 255).astype(np.uint8)
+        return np.ascontiguousarray(np.repeat(y[:, :, None], 3, axis=2))
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.ascontiguousarray(np.clip(np.round(rgb), 0, 255
+                                        ).astype(np.uint8))
 
 
 # ---------------------------------------------------------------------------

@@ -56,20 +56,25 @@ def attach_media_metadata(df: DataFrame, binary_col: str, meta: dict) -> DataFra
 def _decode_image(payload: bytes, fake: bool) -> np.ndarray:
     """Image decode seam. ``fake`` derives a deterministic 8x8x3 uint8
     array from the payload bytes (plumbing tests over arbitrary binary).
-    The REAL path decodes uncompressed BMP and non-interlaced 8-bit PNG
-    via the vendored pure-Python codecs (`multimodal/codecs.py`); JPEG
-    and friends are where PIL/opencv would plug in and still raise."""
+    The REAL path decodes BMP, non-interlaced 8-bit PNG, and baseline
+    sequential JPEG via the vendored pure-Python codecs
+    (`multimodal/codecs.py`); exotic variants (progressive JPEG, WebP,
+    ...) are where PIL/opencv would plug in and still raise."""
     if not fake:
-        from .codecs import PNG_SIGNATURE, decode_bmp, decode_png
+        from .codecs import (
+            PNG_SIGNATURE, decode_bmp, decode_jpeg, decode_png,
+        )
 
         if payload[:2] == b"BM":
             return decode_bmp(payload)
         if payload[:8] == PNG_SIGNATURE:
             return decode_png(payload)
+        if payload[:2] == b"\xff\xd8":
+            return decode_jpeg(payload)
         raise NotImplementedError(
-            "only BMP and PNG decode without PIL/opencv (not in this "
-            "container); pass fake=True for the deterministic test "
-            "decode of other payloads")
+            "only BMP/PNG/baseline-JPEG decode without PIL/opencv (not "
+            "in this container); pass fake=True for the deterministic "
+            "test decode of other payloads")
     seed = np.frombuffer((payload or b"\0")[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
     rng = np.random.default_rng(seed)
     return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
