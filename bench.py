@@ -83,6 +83,27 @@ def main():
         times[name] = round(best, 4)
         print(f"  {name}: {times[name]}s", file=sys.stderr, flush=True)
 
+    # write-side workload (BASELINE.md "FTS write workload": 50 TEXT
+    # fields ingest): one timed build of a cached 50-field index over a
+    # 10k-doc slice — reported SEPARATELY so the query aggregate stays
+    # comparable round-over-round
+    from pyspark.sql import functions as F
+
+    from valkey_search_spark import SearchEngine, TextField
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet").limit(10_000))
+    toks = F.split(F.col("text"), " ")
+    wide = docs.select(
+        "doc_id", *[F.array_join(F.slice(toks, i + 1, 5), " ").alias(f"field{i}")
+                    for i in range(50)])
+    eng = SearchEngine(spark)
+    t0 = time.perf_counter()
+    eng.ft_create("bench_wide", wide,
+                  [TextField(f"field{i}") for i in range(50)],
+                  key_column="doc_id", cache=True)
+    n_docs = eng.ft_search("bench_wide", "*", count_only=True)  # build
+    ingest_sec = round(time.perf_counter() - t0, 4)
+
     total = round(sum(times.values()), 4)
     print(json.dumps({
         "metric": "headline_queries_total",
@@ -90,6 +111,9 @@ def main():
         "unit": "sec",
         "queries": times,
         "runs_per_query": 3,
+        "ingest": {"workload": "50field_text_ingest_10k",
+                   "docs": n_docs, "sec": ingest_sec,
+                   "docs_per_sec": round(n_docs / max(ingest_sec, 1e-9), 1)},
         "sf": sf,
     }))
 

@@ -60,3 +60,38 @@ def test_materialized_knn(spark, tmp_path):
     b = [r["vec_id"] for r in served.ft_search(
         "emb", "*=>[KNN 5 @embedding $v]", params={"v": qv}, limit=(0, 5)).collect()]
     assert a == b
+
+
+def test_materialized_wide_index_serves_fieldmask(spark, tmp_path):
+    """materialize() persists the union field-mask columns, so the
+    prederived wide index serves fieldless single-token queries from ONE
+    parquet column — the 100 TB path for the field-explosion shape. The
+    scan's ReadSchema must include __fm_* and not the 50 per-field
+    arrays."""
+    from valkey_search_spark.catalog import MASK_STEM_COL, MASK_TOK_COL
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    toks = F.split(F.col("text"), " ")
+    wide = docs.select(
+        "doc_id",
+        *[F.array_join(F.slice(toks, i + 1, 5), " ").alias(f"field{i}")
+          for i in range(10)])
+    fields = [TextField(f"field{i}") for i in range(10)]
+    eng = SearchEngine(spark)
+    schema = eng.ft_create("w", wide, fields, key_column="doc_id")
+    path = str(tmp_path / "wide_idx")
+    schema.materialize(path)
+
+    stored = spark.read.parquet(path)
+    assert MASK_TOK_COL in stored.columns and MASK_STEM_COL in stored.columns
+
+    served = SearchEngine(spark)
+    served.ft_create("w", stored, fields, key_column="doc_id",
+                     prederived=True)
+    want = eng.ft_search("w", "merge", count_only=True)
+    assert served.ft_search("w", "merge", count_only=True) == want > 0
+    df = served.ft_search("w", "merge", limit=(0, 5), nocontent=True)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and "__fm_stem" in read[0]
+    assert "_x_field7" not in read[0] and "_s_field7" not in read[0]

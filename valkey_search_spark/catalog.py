@@ -35,6 +35,7 @@ from .errors import UnknownFieldError
 from .functions.analysis import (
     DEFAULT_PUNCTUATION,
     DEFAULT_STOPWORDS,
+    stem_positions_nested_udf,
     stem_positions_udf,
     text_tokens_column,
 )
@@ -289,17 +290,19 @@ class IndexSchema:
         """
         if self.cache:
             if self._cached is None:
-                # spread the tokenize/stem build across all cores: a single
-                # small parquet file otherwise materializes as ONE task
-                df = self._build_indexed()
-                target = df.sparkSession.sparkContext.defaultParallelism
-                if df.rdd.getNumPartitions() < target:
-                    df = df.repartition(target)
+                # spread the tokenize/stem build across all cores: a
+                # single small input otherwise materializes as ONE task.
+                # The exchange must sit BELOW the derivation projection —
+                # repartitioning the BUILT frame puts the shuffle above
+                # it, and every tokenize/stem expression then evaluates
+                # serially in the upstream partition (measured 7x on the
+                # 50-field ingest shape)
+                df = self._build_indexed(spread=True)
                 self._cached = df.persist()
             return self._cached
         return self._build_indexed()
 
-    def _build_indexed(self) -> DataFrame:
+    def _build_indexed(self, spread: bool = False) -> DataFrame:
         if self.prederived:
             # serving from a materialize()d table: derived columns are real
             # parquet columns, so numeric/tag predicates push down to the
@@ -315,9 +318,55 @@ class IndexSchema:
             for pre in self.prefixes[1:]:
                 cond = cond | F.col("__key").startswith(pre)
             df = df.where(cond)
+        if spread:
+            target = df.sparkSession.sparkContext.defaultParallelism
+            try:
+                n = df.rdd.getNumPartitions()
+            except Exception:
+                n = target
+            if n < target:
+                df = df.repartition(target)
         derived: dict[str, Column] = {}
-        for f in self.fields:
-            derived.update(f.derived(df))
+        stem_batch = [f for f in self.fields
+                      if isinstance(f, TextField) and not f.nostem]
+        if len(stem_batch) >= 2:
+            # batch every stemmed field through ONE Arrow pass: per-field
+            # stem UDFs would cost len(fields) Python evaluations per row
+            # batch (dominates 50-field ingest). Tokens stay per-field
+            # JVM expressions; the nested UDF output lands in a staging
+            # column first — CollapseProject won't inline a PythonUDF
+            # referenced more than once, so it evaluates once.
+            for f in self.fields:
+                if f not in stem_batch:
+                    derived.update(f.derived(df))
+            toks_map = {
+                f.attr: text_tokens_column(f.source(df).cast("string"),
+                                           f.stopwords, f.punctuation)
+                for f in stem_batch}
+            for f in stem_batch:
+                derived[text_col(f.attr)] = toks_map[f.attr]
+            df = df.withColumns(derived)
+            derived = {}
+            by_mss: dict[int, list[TextField]] = {}
+            for f in stem_batch:
+                by_mss.setdefault(f.min_stem_size, []).append(f)
+            for mss, fs in by_mss.items():
+                words = F.array(*[
+                    F.transform(F.col(text_col(f.attr)), lambda s: s["t"])
+                    for f in fs])
+                stage = f"__stems_{mss}"
+                df = df.withColumn(
+                    stage, stem_positions_nested_udf(mss)(words))
+                for i, f in enumerate(fs):
+                    sp = F.col(stage)[i]
+                    derived[stem_pos_col(f.attr)] = sp
+                    derived[stem_col(f.attr)] = F.array_distinct(sp)
+            df = df.withColumns(derived)
+            df = df.drop(*[f"__stems_{mss}" for mss in by_mss])
+            derived = {}
+        else:
+            for f in self.fields:
+                derived.update(f.derived(df))
         mask = self.fieldmask_fields()
         if mask:
             # union token/stem columns: distinct words across ALL text

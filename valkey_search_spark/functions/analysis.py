@@ -128,6 +128,28 @@ def stem_positions_udf(min_stem_size: int):
     return _stems
 
 
+def stem_positions_nested_udf(min_stem_size: int):
+    """pandas UDF: array<array<string>> (one token list PER TEXT FIELD)
+    -> position-aligned stems per field, in one Arrow pass. A 50-field
+    schema otherwise pays 50 separate Python UDF evaluations per row
+    batch at ingest (the reference's field_explosion write workload);
+    batching them collapses that to one transfer + one stemmer sweep."""
+
+    @F.pandas_udf(T.ArrayType(T.ArrayType(T.StringType())))
+    def _stems(field_tokens: pd.Series) -> pd.Series:
+        def go(fields):
+            if fields is None:
+                return None
+            return [None if lst is None else
+                    [porter2_stem(t) if len(t) >= min_stem_size else t
+                     for t in lst]
+                    for lst in fields]
+
+        return field_tokens.apply(go)
+
+    return _stems
+
+
 def stem_query_term(term: str, min_stem_size: int = 4) -> str:
     """Query-side stemming — same function as ingest, driver-side (cheap)."""
     return porter2_stem(term) if len(term) >= min_stem_size else term
