@@ -322,11 +322,15 @@ def knn_join_bucketed(queries: DataFrame, index: IVFIndex, k: int = 10,
               .withColumn("__list", F.explode(probe_lists(F.col(vec_col)))))
 
     # partition pruning: the probed-list set is at most n_lists ints — the
-    # ONLY driver-side materialization on this path
-    lists = [r[0] for r in probed.select("__list").distinct().collect()]
-    corpus = (index._read()
-              .where(F.col("__list").isin(lists))
-              .select("__list", corpus_key, index.vec_col))
+    # ONLY driver-side materialization on this path. At FULL probe every
+    # list is touched by construction, so skip the pruning job entirely
+    if nprobe >= index.n_lists:
+        corpus = index._read().select("__list", corpus_key, index.vec_col)
+    else:
+        lists = [r[0] for r in probed.select("__list").distinct().collect()]
+        corpus = (index._read()
+                  .where(F.col("__list").isin(lists))
+                  .select("__list", corpus_key, index.vec_col))
 
     qkey_field = queries.schema[query_key]
     ckey_type = corpus.schema[corpus_key].dataType
