@@ -41,15 +41,30 @@ def test_tag_or(tag_eng):
     assert _keys(tag_eng, "@color:{blue | black}") == ["key1", "key2"]
 
 
-def test_tag_escaped_star_is_literal(tag_eng):
-    # `b\*` is the literal tag "b*", present on no document — NOT a prefix
-    assert _keys(tag_eng, r"@color:{b\*}") == []
+def test_tag_escaped_star_is_still_a_prefix(tag_eng):
+    r"""Shipped semantics (tag.cc ParseSearchTags + predicate.cc
+    TagPredicate): the backslash protects only the `|`/`}` split; tags
+    are UNESCAPED before evaluation, and the evaluator re-checks the
+    trailing `*` — so `{b\*}` is a PREFIX query for "b". This matches
+    the search-query.md "Prefix Tag Query" transcript (4 keys), and the
+    RAW-length guard (len("b\\*") = 3 > 2) is why the escaped 1-char
+    prefix is legal while bare `{b*}` is rejected."""
+    assert _keys(tag_eng, r"@color:{b\*}") == \
+        ["key1", "key2", "key4", "key5"]
+
+
+def test_tag_multiple_trailing_stars_error(tag_eng):
+    from valkey_search_spark.errors import QuerySyntaxError
+
+    with pytest.raises(QuerySyntaxError, match="multiple"):
+        _keys(tag_eng, "@color:{bl**}")
 
 
 def test_tag_prefix_or_exact(tag_eng, spark):
-    # Under DEFAULTS a 1-char prefix errors (tag-min-prefix-length = 2,
-    # valkey_search_options.cc:344) — the doc script ran with the guard
-    # lowered; reproduce both behaviors.
+    # Under DEFAULTS `b*` errors: the guard measures the RAW text,
+    # len("b*") = 2 <= tag-min-prefix-length 2
+    # (tag.cc:160-166; valkey_search_options.cc:344). The doc transcript
+    # for this query predates the guard; reproduce both behaviors.
     from valkey_search_spark.errors import QuerySyntaxError
     from valkey_search_spark.plans.predicate_translator import QueryLimits
 

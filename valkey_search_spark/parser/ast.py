@@ -27,7 +27,10 @@ class TagPred(Predicate):
     (/root/reference/src/query/predicate.h:154; src/indexes/tag.cc:383-443)."""
 
     attr: str
-    tags: list[tuple[str, bool]]  # (value, is_prefix)
+    # (unescaped value, is_prefix, raw length incl. backslashes — the
+    # reference's min-prefix guard measures the RAW query text,
+    # tag.cc:160-166)
+    tags: list[tuple[str, bool, int]]
 
 
 @dataclass

@@ -213,17 +213,29 @@ class FilterParser:
             while marked and marked[-1][0].isspace() and not marked[-1][1]:
                 marked.pop()
             raw = "".join(ch for ch, _ in marked)
+            raw_esc = "".join(("\\" + ch) if esc else ch
+                              for ch, esc in marked)
             if raw:
                 if raw.startswith("$") and not marked[0][1]:
                     raw = str(self._param(raw[1:]))
-                    marked = [(ch, False) for ch in raw]
-                # a trailing UNESCAPED `*` is the prefix operator; `\*` is a
-                # literal asterisk in the tag value
-                if (raw.endswith("*") and len(raw) > 1
-                        and not marked[-1][1]):
-                    tags.append((raw[:-1], True))
+                    raw_esc = raw
+                # shipped semantics (tag.cc:145-196 ParseSearchTags;
+                # predicate.cc:352-355,369-380): the backslash protects
+                # `|`/`}` during the tag-set split ONLY — tags are
+                # UNESCAPED before evaluation and the evaluator re-checks
+                # the trailing `*`, so `{b\*}` IS a prefix query for "b"
+                # (the search-query.md "Prefix Tag Query" transcript).
+                # Validation runs on the RAW text: multiple trailing
+                # stars error (IsValidPrefix), and the min-prefix guard
+                # measures RAW length including backslashes.
+                if raw.endswith("*"):
+                    if (len(raw_esc) >= 2 and raw_esc[-1] == "*"
+                            and raw_esc[-2] == "*"):
+                        raise QuerySyntaxError(
+                            f"Tag string `{raw_esc}` ends with multiple *.")
+                    tags.append((raw[:-1], True, len(raw_esc)))
                 else:
-                    tags.append((raw, False))
+                    tags.append((raw, False, len(raw_esc)))
             c = self._peek()
             if c == "|":
                 self.i += 1

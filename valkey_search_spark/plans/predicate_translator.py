@@ -608,16 +608,21 @@ class PredicateTranslator:
         if not isinstance(fdef, TagField):
             raise QuerySyntaxError(f"field `{p.attr}` is not TAG")
         col = F.col(tag_col(fdef.attr))
-        exact = [fdef.fold_query_tag(t) for t, pre in p.tags if not pre]
-        prefixes = [fdef.fold_query_tag(t) for t, pre in p.tags if pre]
+        exact = [fdef.fold_query_tag(t) for t, pre, _ in p.tags if not pre]
+        prefixes = [(fdef.fold_query_tag(t), rl)
+                    for t, pre, rl in p.tags if pre]
         conds: list[Column] = []
         if exact:
             conds.append(F.arrays_overlap(col, F.array(*[F.lit(t) for t in exact])))
-        for pre in prefixes:
-            if len(pre) < self.limits.tag_min_prefix_length:
+        for pre, raw_len in prefixes:
+            # the reference guards on the RAW query-text length including
+            # backslashes (tag.cc:160-166 `tag.length() <= min`), so an
+            # escaped `{b\*}` passes where `{b*}` is rejected
+            if raw_len <= self.limits.tag_min_prefix_length:
                 raise QuerySyntaxError(
-                    f"tag prefix `{pre}*` shorter than tag-min-prefix-length"
-                    f" ({self.limits.tag_min_prefix_length})")
+                    f"tag prefix `{pre}*` too short for prefix wildcard"
+                    f" (tag-min-prefix-length"
+                    f" {self.limits.tag_min_prefix_length})")
             conds.append(F.exists(col, lambda t: t.startswith(pre)))
         out = conds[0]
         for c in conds[1:]:
