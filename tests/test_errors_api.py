@@ -357,3 +357,52 @@ def test_genuine_error_mentioning_cancel_is_not_a_timeout(spark):
     with pytest.raises(SearchTimeoutError) as ei:
         e._run_with_timeout(slow_cancel, timeout_ms=1)
     assert isinstance(ei.value.__cause__, RuntimeError)
+
+
+def test_numeric_bound_strictness_and_comma_separator(eng):
+    """ParseNumber (filter_parser.cc:246-281) lexes ±inf plus a strict
+    digits/dot/exponent numeral — float()-style leniency ("infinity",
+    "nan", "+5") errors; a single `,` is an accepted bounds separator
+    (filter_parser.cc:298)."""
+    base = eng.ft_search("parts", "@p_retailprice:[905 915]",
+                         count_only=True)
+    assert eng.ft_search("parts", "@p_retailprice:[905,915]",
+                         count_only=True) == base > 0
+    assert eng.ft_search("parts", "@p_retailprice:[9.05e2, 915.]",
+                         count_only=True) == base
+    for bad in ("[infinity 915]", "[nan 915]", "[+5 915]", "[1_0 915]",
+                "[5.2.3 915]", "[1e 915]"):
+        with pytest.raises(QuerySyntaxError):
+            eng.ft_search("parts", f"@p_retailprice:{bad}", count_only=True)
+    # inf without sign is +inf; -infinity is NOT accepted
+    assert eng.ft_search("parts", "@p_retailprice:[905 inf]",
+                         count_only=True) > 0
+    with pytest.raises(QuerySyntaxError):
+        eng.ft_search("parts", "@p_retailprice:[-infinity 915]",
+                      count_only=True)
+
+
+def test_unused_params_error(eng):
+    """Every supplied PARAMS pair must be referenced
+    (ft_search_parser.cc:91-98 'Parameter `X` not used.')."""
+    with pytest.raises(QuerySyntaxError, match="not used"):
+        eng.ft_search("parts", "@p_brand:{Brand#13}",
+                      params={"ghost": 1}, count_only=True)
+    # used params pass; KNN $K/$vec usage counts as used
+    assert eng.ft_search("parts", "@p_brand:{$b}",
+                         params={"b": "Brand#13"}, count_only=True) > 0
+
+
+def test_knn_k_accepts_param(spark):
+    """K may be a $param (search.cc:1143 SubstituteParam on k_string)."""
+    import math
+    from valkey_search_spark import VectorField
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    e = SearchEngine(spark)
+    e.ft_create("ek", emb, [VectorField("embedding", dim=64, metric="l2")],
+                key_column="vec_id")
+    v = [round(math.sin(i + 1), 6) for i in range(64)]
+    df = e.ft_search("ek", "*=>[KNN $K @embedding $v]",
+                     params={"K": 7, "v": v}, limit=(0, 20))
+    assert df.count() == 7

@@ -535,7 +535,9 @@ class SearchEngine:
         if dialect not in (1, 2, 3, 4):
             raise QuerySyntaxError(f"invalid DIALECT {dialect}")
         schema = self.catalog.get(index)
-        parsed = parse_query(query, params)
+        # stage expressions may consume params too, so the parser's
+        # unused-params validation is deferred (see filter_parser.parse)
+        parsed = parse_query(query, params, check_unused_params=False)
         translator = PredicateTranslator(schema, verbatim=verbatim,
                                          limits=self.limits)
         parsed.predicate = translator.preprocess(parsed.predicate)

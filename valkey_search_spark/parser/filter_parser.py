@@ -22,6 +22,7 @@ are substituted at parse time from the ``params`` dict.
 from __future__ import annotations
 
 import math
+import re
 import struct as _struct
 
 from ..errors import QuerySyntaxError
@@ -32,6 +33,10 @@ from .ast import (
 )
 
 _TERM_STOP = set(' \t\n\r()|{}[]"@')
+
+# the number shapes filter_parser.cc:246-281 ParseNumber accepts:
+# optional leading -, digits/dots, one exponent with optional sign
+_NUM_RE = re.compile(r"^-?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?$")
 
 
 def _decode_vector(v) -> list[float]:
@@ -45,10 +50,13 @@ def _decode_vector(v) -> list[float]:
 
 
 class FilterParser:
-    def __init__(self, query: str, params: dict | None = None):
+    def __init__(self, query: str, params: dict | None = None,
+                 check_unused_params: bool = True):
         self.q = query
         self.i = 0
         self.params = params or {}
+        self.check_unused_params = check_unused_params
+        self._params_used: set[str] = set()
 
     # -- scanning helpers -------------------------------------------------
     def _peek(self) -> str:
@@ -66,6 +74,7 @@ class FilterParser:
     def _param(self, name: str):
         if name not in self.params:
             raise QuerySyntaxError(f"missing PARAMS value for ${name}")
+        self._params_used.add(name)
         return self.params[name]
 
     def _read_until(self, stops: set[str]) -> str:
@@ -102,6 +111,15 @@ class FilterParser:
         self._ws()
         if self.i < len(self.q):
             raise QuerySyntaxError(f"trailing input at offset {self.i}: {self.q[self.i:]!r}")
+        # every supplied PARAMS pair must be referenced somewhere in the
+        # query (ft_search_parser.cc:91-98 "Parameter `X` not used.").
+        # FT.AGGREGATE stage expressions may also consume params, so its
+        # caller disables this check (the reference validates after ALL
+        # parsing; stage usage is not tracked through this parser).
+        if self.check_unused_params:
+            for name in self.params:
+                if name not in self._params_used:
+                    raise QuerySyntaxError(f"Parameter `{name}` not used.")
         return ParsedQuery(pred, knn)
 
     # -- boolean structure --------------------------------------------------
@@ -249,6 +267,10 @@ class FilterParser:
     def _numeric(self, attr: str) -> Predicate:
         self._expect("[")
         lo, lo_excl = self._bound()
+        # a single `,` is an accepted bounds separator alongside space
+        # (filter_parser.cc:298 `!Match(' ') && !Match(',')`)
+        if self._peek() == ",":
+            self.i += 1
         hi, hi_excl = self._bound()
         self._ws()
         self._expect("]")
@@ -260,20 +282,23 @@ class FilterParser:
         if self._peek() == "(":
             excl = True
             self.i += 1
-        tok = self._read_until({" ", "\t", "]"})
+        tok = self._read_until({" ", "\t", ",", "]"})
         if not tok:
             raise QuerySyntaxError("empty numeric bound")
         if tok.startswith("$"):
             tok = str(self._param(tok[1:]))
         t = tok.lower()
-        if t in ("inf", "+inf", "infinity"):
+        # ±inf is lexed specially, then a STRICT digits/dot/exponent
+        # numeral with optional leading `-` (ParseNumber,
+        # filter_parser.cc:246-281): "infinity", "nan", "+5" and
+        # underscored numerals all error there, so no float() leniency
+        if t in ("inf", "+inf"):
             return math.inf, excl
-        if t in ("-inf", "-infinity"):
+        if t == "-inf":
             return -math.inf, excl
-        try:
-            return float(tok), excl
-        except ValueError:
-            raise QuerySyntaxError(f"bad numeric bound {tok!r}") from None
+        if not _NUM_RE.match(tok):
+            raise QuerySyntaxError(f"bad numeric bound {tok!r}")
+        return float(tok), excl
 
     def _text_unit(self, attr: str | None) -> Predicate:
         self._ws()
@@ -372,7 +397,10 @@ class FilterParser:
         if not toks or toks[0].upper() != "KNN":
             raise QuerySyntaxError(f"bad KNN clause: {s!r}")
         try:
-            k = int(toks[1])
+            # K accepts a $param like the vector/EF slots do
+            # (search.cc:1143 SubstituteParam on k_string)
+            k = (int(self._param(toks[1][1:])) if toks[1].startswith("$")
+                 else int(toks[1]))
             attr_tok = toks[2]
             vec_tok = toks[3]
         except (IndexError, ValueError):
@@ -400,5 +428,7 @@ class FilterParser:
                          score_name=score_name)
 
 
-def parse_query(query: str, params: dict | None = None) -> ParsedQuery:
-    return FilterParser(query, params).parse()
+def parse_query(query: str, params: dict | None = None,
+                check_unused_params: bool = True) -> ParsedQuery:
+    return FilterParser(query, params,
+                        check_unused_params=check_unused_params).parse()
