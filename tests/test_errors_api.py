@@ -406,3 +406,16 @@ def test_knn_k_accepts_param(spark):
     df = e.ft_search("ek", "*=>[KNN $K @embedding $v]",
                      params={"K": 7, "v": v}, limit=(0, 20))
     assert df.count() == 7
+
+
+def test_reserved_chars_in_unquoted_text_error(eng):
+    r"""`{ } [ ] : ;` are reserved in unquoted text — the reference
+    errors (filter_parser.cc:662-668 'Unexpected character') instead of
+    splitting the token; escaping makes them literal word bytes, which
+    the field lexer then strips as punctuation like ingest does."""
+    for q in ("wid:get", "@p_name:wid;get", "wid]get", "@p_name:a[b"):
+        with pytest.raises(QuerySyntaxError, match="Unexpected character"):
+            eng.ft_search("parts", q, count_only=True)
+    # escaped form is legal and lexes like ingest ("wid:get" -> wid, get)
+    assert eng.ft_search("parts", r"@p_name:wid\:get",
+                         count_only=True) >= 0

@@ -32,7 +32,10 @@ from .ast import (
     TagPred, TextPred,
 )
 
-_TERM_STOP = set(' \t\n\r()|{}[]"@')
+_TERM_STOP = set(' \t\n\r()|{}[]"@:;')
+# reserved inside unquoted text — the reference errors rather than
+# splitting on them (filter_parser.cc:662-668 "Unexpected character")
+_RESERVED_TEXT = set("{}[]:;")
 
 # the number shapes filter_parser.cc:246-281 ParseNumber accepts:
 # optional leading -, digits/dots, one exponent with optional sign
@@ -70,6 +73,16 @@ class FilterParser:
         if self._peek() != ch:
             raise QuerySyntaxError(f"expected `{ch}` at offset {self.i} in {self.q!r}")
         self.i += 1
+
+    def _reject_reserved_text_char(self) -> None:
+        """`{ } [ ] : ;` are reserved in unquoted text
+        (filter_parser.cc:662-668); an UNESCAPED occurrence errors
+        instead of silently splitting the token (`\\:` stays legal —
+        the escape-aware reader consumed it into the token already)."""
+        c = self._peek()
+        if c in _RESERVED_TEXT:
+            raise QuerySyntaxError(
+                f"Unexpected character at position {self.i + 1}: `{c}`")
 
     def _param(self, name: str):
         if name not in self.params:
@@ -362,6 +375,7 @@ class FilterParser:
                 dist += 1
                 self.i += 1
             word = self._read_until({"%"} | _TERM_STOP)
+            self._reject_reserved_text_char()
             for _ in range(dist):
                 self._expect("%")
             if dist > 3:
@@ -372,6 +386,7 @@ class FilterParser:
             leading_star = True
             self.i += 1
         word = self._read_until(_TERM_STOP | {"*", "%"})
+        self._reject_reserved_text_char()
         trailing_star = False
         if self._peek() == "*":
             trailing_star = True
