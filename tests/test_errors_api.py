@@ -419,3 +419,28 @@ def test_reserved_chars_in_unquoted_text_error(eng):
     # escaped form is legal and lexes like ingest ("wid:get" -> wid, get)
     assert eng.ft_search("parts", r"@p_name:wid\:get",
                          count_only=True) >= 0
+
+
+def test_info_search_query_stats_counters(spark):
+    """Per-operation query_stats counters classify like the reference's
+    IncrementQueryOperationMetrics (search.cc:907-935)."""
+    e = SearchEngine(spark)
+    part = spark.read.parquet(f"{SF}/part.parquet")
+    e.ft_create("qs", part,
+                [TagField("p_brand"), NumericField("p_retailprice"),
+                 TextField("p_name")], key_column="p_partkey")
+    e.ft_search("qs", "@p_brand:{Brand#13}", count_only=True)
+    e.ft_search("qs", "@p_retailprice:[905 915]", count_only=True)
+    e.ft_search("qs", "widget", count_only=True)
+    e.ft_search("qs", "wid*", count_only=True)
+    e.ft_search("qs", "%widgex%", count_only=True)
+    e.ft_search("qs", "cold anvil", slop=1, count_only=True)
+    qs = e.info_search()["query_stats"]
+    assert qs["query_tag_count"] == 1
+    assert qs["query_numeric_count"] == 1
+    assert qs["query_text_requests_cnt"] == 4       # term/prefix/fuzzy/prox
+    assert qs["query_text_term_count"] == 2         # term + proximity slots
+    assert qs["query_text_prefix_count"] == 1
+    assert qs["query_text_fuzzy_count"] == 1
+    assert qs["query_text_proximity_count"] == 1
+    assert qs["query_text_suffix_count"] == 0

@@ -19,7 +19,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..catalog import Catalog, FieldDef, IndexSchema, NumericField, TagField, num_col, vec_col, VectorField
 from ..errors import QuerySyntaxError
 from ..functions.distance import distance_column
-from ..parser.ast import And, MatchAll, ParsedQuery, Proximity, TextPred, TERM
+from ..parser.ast import (
+    And, MatchAll, ParsedQuery, Proximity, TextPred, TERM,
+    query_operation_flags,
+)
 from ..parser.filter_parser import parse_query
 from ..plans.predicate_translator import PredicateTranslator, QueryLimits
 
@@ -62,6 +65,7 @@ class SearchEngine:
 
         self._metrics: "Counter[str]" = Counter()
         self._last_parsed = None        # set by _ft_search per request
+        self._last_pred = None          # final predicate (post-proximity)
 
     # -- DDL ---------------------------------------------------------------
     def ft_create(self, name: str, df: DataFrame, fields: list[FieldDef],
@@ -219,6 +223,14 @@ class SearchEngine:
             "latency": {k: int(m[k]) for k in (
                 "flat_vector_index_search_latency_usec",
                 "hnsw_vector_index_search_latency_usec")},
+            # per-operation counters (search.cc:907-935; DEV_INTEGER_
+            # COUNTER(query_stats, ...) names), + text-requests total
+            "query_stats": {k: int(m[k]) for k in (
+                "query_text_requests_cnt",
+                "query_numeric_count", "query_tag_count",
+                "query_text_term_count", "query_text_prefix_count",
+                "query_text_suffix_count", "query_text_fuzzy_count",
+                "query_text_proximity_count")},
             "index_stats": {
                 "number_of_indexes": len(self.catalog.list()),
                 "number_of_attributes": sum(
@@ -294,6 +306,21 @@ class SearchEngine:
             self._metrics["vector_requests_count"] += 1
             if not isinstance(parsed.predicate, MatchAll):
                 self._metrics["hybrid_requests_count"] += 1
+        # per-operation query_stats counters (search.cc:907-935
+        # IncrementQueryOperationMetrics) — classified from the final
+        # predicate, after the SLOP/INORDER proximity upgrade
+        ops = query_operation_flags(self._last_pred)
+        if "text" in ops:
+            self._metrics["query_text_requests_cnt"] += 1
+        for op, counter in (("numeric", "query_numeric_count"),
+                            ("tag", "query_tag_count"),
+                            ("text_term", "query_text_term_count"),
+                            ("text_prefix", "query_text_prefix_count"),
+                            ("text_suffix", "query_text_suffix_count"),
+                            ("text_fuzzy", "query_text_fuzzy_count"),
+                            ("proximity", "query_text_proximity_count")):
+            if op in ops:
+                self._metrics[counter] += 1
         return out
 
     def _ft_search(
@@ -353,6 +380,7 @@ class SearchEngine:
         # proximity spans only the surviving terms)
         parsed.predicate = translator.preprocess(parsed.predicate)
         pred = self._maybe_proximity(parsed, slop, inorder)
+        self._last_pred = pred      # post-SLOP/INORDER, for op counters
         match_all = isinstance(pred, MatchAll)
 
         # ANN planner (the reference's pre-filter vs inline-filter choice,

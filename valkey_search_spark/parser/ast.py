@@ -121,3 +121,41 @@ class KnnClause:
 class ParsedQuery:
     predicate: Predicate
     knn: KnnClause | None = None
+
+
+def query_operation_flags(pred: Predicate) -> set[str]:
+    """Operation flags for the INFO `query_stats` counters — mirrors the
+    reference's QueryOperations bitmask classification
+    (filter_parser.h:32-46; search.cc:907-935
+    IncrementQueryOperationMetrics). INFIX counts under suffix (both
+    serve from the suffix trie)."""
+    ops: set[str] = set()
+
+    def walk(p: Predicate) -> None:
+        if isinstance(p, And):
+            ops.add("and")
+            for c in p.children:
+                walk(c)
+        elif isinstance(p, Or):
+            ops.add("or")
+            for c in p.children:
+                walk(c)
+        elif isinstance(p, Not):
+            ops.add("negate")
+            walk(p.child)
+        elif isinstance(p, TagPred):
+            ops.add("tag")
+        elif isinstance(p, NumericPred):
+            ops.add("numeric")
+        elif isinstance(p, Proximity):
+            ops.update(("text", "proximity", "text_term"))
+        elif isinstance(p, TextPred):
+            ops.add("text")
+            ops.add({TERM: "text_term", PREFIX: "text_prefix",
+                     SUFFIX: "text_suffix", INFIX: "text_suffix",
+                     FUZZY: "text_fuzzy", PHRASE: "proximity"}[p.kind])
+            if p.kind == PHRASE:
+                ops.update(("text_term", "and"))
+
+    walk(pred)
+    return ops
