@@ -444,3 +444,12 @@ def test_info_search_query_stats_counters(spark):
     assert qs["query_text_fuzzy_count"] == 1
     assert qs["query_text_proximity_count"] == 1
     assert qs["query_text_suffix_count"] == 0
+
+
+def test_param_name_charset(eng):
+    """PARAMS names are [A-Za-z0-9_] (ft_aggregate_parser.cc:133-139)."""
+    with pytest.raises(QuerySyntaxError, match="invalid"):
+        eng.ft_search("parts", "@p_brand:{$b}", params={"b-a": "x"},
+                      count_only=True)
+    assert eng.ft_search("parts", "@p_brand:{$b_1}",
+                         params={"b_1": "Brand#13"}, count_only=True) > 0

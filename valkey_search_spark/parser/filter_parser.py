@@ -118,6 +118,13 @@ class FilterParser:
         if "=>" in self.q:
             base, _, knn_part = self.q.partition("=>")
             knn = self._parse_knn(knn_part.strip())
+        # PARAMS names are [A-Za-z0-9_] (ft_aggregate_parser.cc:133-139)
+        for name in self.params:
+            s = str(name)
+            if not s or not all(c.isalnum() or c == "_" for c in s):
+                raise QuerySyntaxError(
+                    f"Parameter name `{name}` contains an invalid"
+                    " character.")
         self.q, self.i = base, 0
         self._ws()
         pred = self._or()
