@@ -104,6 +104,32 @@ def main():
     n_docs = eng.ft_search("bench_wide", "*", count_only=True)  # build
     ingest_sec = round(time.perf_counter() - t0, 4)
 
+    # concurrent-client shape (the reference CI drives 1000 clients):
+    # 16 driver threads issuing mixed warm queries; Spark's scheduler
+    # interleaves the jobs. Reported separately from the serial numbers.
+    import threading
+
+    mixed = ["text_term", "tag_match_prefix", "negation", "knn_hybrid"]
+    per_thread = 8
+    n_threads = 16
+    done = []
+
+    def client(tid):
+        for i in range(per_thread):
+            qs[mixed[(tid + i) % len(mixed)]](spark, sf_dir).collect()
+        done.append(tid)
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=client, args=(t,))
+               for t in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    conc_sec = time.perf_counter() - t0
+    n_queries = n_threads * per_thread
+    assert len(done) == n_threads
+
     total = round(sum(times.values()), 4)
     print(json.dumps({
         "metric": "headline_queries_total",
@@ -114,6 +140,9 @@ def main():
         "ingest": {"workload": "50field_text_ingest_10k",
                    "docs": n_docs, "sec": ingest_sec,
                    "docs_per_sec": round(n_docs / max(ingest_sec, 1e-9), 1)},
+        "concurrent": {"threads": n_threads, "queries": n_queries,
+                       "sec": round(conc_sec, 4),
+                       "qps": round(n_queries / max(conc_sec, 1e-9), 1)},
         "sf": sf,
     }))
 

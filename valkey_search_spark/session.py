@@ -36,6 +36,10 @@ def get_spark(app_name: str = "valkey-search-spark", cpus: int | None = None) ->
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # FAIR scheduling: concurrent queries (the reference serves 1000
+        # clients) share task slots instead of queueing FIFO behind the
+        # first job's full stage
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     )
     return builder.getOrCreate()
