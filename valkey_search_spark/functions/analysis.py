@@ -46,11 +46,53 @@ def _token_re(punctuation: str) -> str:
     return r"(?:\\.|[^" + cls + r"\s\x00-\x1f])+"
 
 
+# Full-case-folding expansions the reference applies via ICU foldCase
+# (lexer.cc:193-199 NormalizeLowerCaseInPlace: ASCII fast path, else ICU;
+# unicode_normalizer.cc:22-28). JVM/Python lower() handles the simple
+# foldings; these are the COMMON multi-char/special mappings lower()
+# misses (sharp s, Latin ligatures, final sigma, micro sign, long s).
+# Applied IDENTICALLY on the ingest column and the query-text twin, so
+# both sides agree by construction; exotic-script folding beyond this
+# table follows plain lowering on both sides (documented approximation).
+FOLD_EXPANSIONS: tuple[tuple[str, str], ...] = (
+    ("ß", "ss"), ("ẞ", "ss"),          # ß ẞ
+    ("ﬀ", "ff"), ("ﬁ", "fi"), ("ﬂ", "fl"),
+    ("ﬃ", "ffi"), ("ﬄ", "ffl"),
+    ("ﬅ", "st"), ("ﬆ", "st"),
+    ("ς", "σ"),                        # ς -> σ
+    ("µ", "μ"),                        # micro -> mu
+    ("ſ", "s"),                             # long s
+    ("ŉ", "ʼn"),                       # ŉ
+)
+
+
+def fold_case(s: str) -> str:
+    """Python twin of the ingest-side fold: lower() THEN expansions —
+    lowering is what produces ß/ς (context-sensitive final sigma), so
+    the expansion pass must run after it."""
+    s = s.lower()
+    for a, b in FOLD_EXPANSIONS:
+        if a in s:
+            s = s.replace(a, b)
+    return s
+
+
+def _fold_column(x: Column) -> Column:
+    x = F.lower(x)
+    for a, b in FOLD_EXPANSIONS:
+        x = F.replace(x, F.lit(a), F.lit(b))
+    return x
+
+
 def raw_tokens_column(src: Column,
                       punctuation: str = DEFAULT_PUNCTUATION) -> Column:
     """array<string> of case-folded tokens (stop words INCLUDED), with
-    backslash escapes resolved. Index in this array == word position."""
-    toks = F.regexp_extract_all(src, F.lit(_token_re(punctuation)), 0)
+    backslash escapes resolved. Index in this array == word position.
+    Case folding = lower() + the ICU full-fold expansions above."""
+    # fold the SOURCE once (cheaper than per-token); the expansions never
+    # introduce punctuation, so token boundaries are unchanged
+    folded = _fold_column(src)
+    toks = F.regexp_extract_all(folded, F.lit(_token_re(punctuation)), 0)
     return F.transform(toks, lambda x: F.lower(F.regexp_replace(x, r"\\", "")))
 
 
@@ -103,7 +145,7 @@ def lex_query_text(text: str,
     "hello,")."""
     import re
 
-    toks = re.findall(_token_re(punctuation), text)
+    toks = re.findall(_token_re(punctuation), fold_case(text))
     return [t.replace("\\", "").lower() for t in toks]
 
 

@@ -26,6 +26,7 @@ import re
 import struct as _struct
 
 from ..errors import QuerySyntaxError
+from ..functions.analysis import fold_case
 from .ast import (
     FUZZY, INFIX, PHRASE, PREFIX, SUFFIX, TERM,
     And, KnnClause, MatchAll, Not, NumericPred, Or, ParsedQuery, Predicate,
@@ -337,7 +338,7 @@ class FilterParser:
                     if mwords[-1]:
                         mwords.append([])
                 else:
-                    mwords[-1].append((ch.lower(), esc))
+                    mwords[-1].append((fold_case(ch), esc))
             if mwords and not mwords[-1]:
                 mwords.pop()
             if not mwords:
@@ -387,7 +388,7 @@ class FilterParser:
                 self._expect("%")
             if dist > 3:
                 raise QuerySyntaxError("fuzzy distance > 3")  # search.fuzzy-max-distance
-            return TextPred(attr, FUZZY, word.lower(), distance=dist)
+            return TextPred(attr, FUZZY, fold_case(word), distance=dist)
         leading_star = False
         if c == "*":
             leading_star = True
@@ -400,7 +401,7 @@ class FilterParser:
             self.i += 1
         if word.startswith("$"):
             word = str(self._param(word[1:]))
-        word = word.lower()
+        word = fold_case(word)
         if not word:
             raise QuerySyntaxError(f"empty term at offset {self.i} in {self.q!r}")
         if leading_star and trailing_star:
