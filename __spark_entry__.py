@@ -13,6 +13,9 @@ import math
 import os
 from collections.abc import Callable
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from valkey_search_spark import (
@@ -500,10 +503,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_lsh"] = q_minhash          # rows-only (hash-based)
 
     def q_simhash(spark, sf_dir):
+        # md5-derived 60-bit codes: bit-identical in standard SQL, so the
+        # driver's DuckDB oracle verifies the WHOLE simhash pipeline
+        # value-for-value (the xxhash64 default stays pinned by the
+        # exact-Hamming numpy golden in tests/test_simhash.py)
         docs = load_table(spark, sf_dir, "documents")
-        return dd.simhash_pairs(docs, "doc_id", max_hamming=6)
+        return dd.simhash_pairs(docs, "doc_id", max_hamming=6,
+                                hash_fn="md5")
 
-    q["dedup_simhash"] = q_simhash              # rows-only (hash-based)
+    q["dedup_simhash"] = q_simhash
 
     def q_emb_pairs(spark, sf_dir):
         emb = load_table(spark, sf_dir, "embeddings")
@@ -549,14 +557,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curation_quality_dedup"] = q_curation
 
-    # -- LLM-pipeline: multimodal plumbing (rows-only: decoder-defined) --
+    # -- LLM-pipeline: multimodal REAL decode, oracle-checked ----------
     def q_multimodal(spark, sf_dir):
+        # deterministic 4x4 BMPs from doc_id arithmetic -> REAL vendored
+        # decoder (fake=False) -> per-channel means. The DuckDB oracle
+        # recomputes the means from the same pixel formula, so the row
+        # verifies the encode->BMP->decode->feature path value-for-value
+        # (pixel (p, c) = (doc_id*7 + (3p+c)*13) % 256).
+        from valkey_search_spark.multimodal.codecs import encode_bmp
         from valkey_search_spark.multimodal.columns import image_features
-        docs = load_table(spark, sf_dir, "documents")
-        media = docs.select("doc_id",
-                            F.encode(F.col("text"), "utf-8").alias("image"))
-        out = image_features(media, fake=True)
-        return out.select("doc_id", "img_phash")
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+        @F.pandas_udf("binary")
+        def make_bmp(ids: pd.Series) -> pd.Series:
+            def go(d):
+                i = np.arange(48, dtype=np.int64)
+                px = ((d * 7 + i * 13) % 256).astype(np.uint8)
+                return encode_bmp(px.reshape(4, 4, 3))
+
+            return ids.apply(go)
+
+        media = docs.withColumn("image", make_bmp(F.col("doc_id")))
+        out = image_features(media, fake=False)
+        return out.select(
+            "doc_id",
+            F.transform(F.col("img_mean"),
+                        lambda x: F.round(x, 4) + F.lit(0.0)
+                        ).alias("img_mean"))
 
     q["multimodal_image_features"] = q_multimodal
 
@@ -893,8 +921,34 @@ def oracle_sql() -> dict[str, str]:
     # the exact-Jaccard SQL is a valid oracle whenever banding recall is
     # total — true for this corpus's planted dups (J ~0.8-1.0, s-curve
     # recall >0.98/pair, verified equal at sf0.001 AND sf0.01 with the
-    # fixed hash seeds). dedup_simhash stays rows-only (xxhash64-defined
-    # codes are not SQL-expressible).
+    # fixed hash seeds). dedup_simhash's driver entry uses the md5-based
+    # 60-bit hash variant, so the FULL simhash pipeline (per-token hash
+    # -> per-bit majority vote -> banded candidates -> exact Hamming) is
+    # replicated below in standard SQL.
+    # simhash over md5-60 codes: token hash = first 15 md5 hex chars as
+    # a 60-bit int; code bit b set iff strictly more than half the token
+    # hashes have bit b; pairs at Hamming <= 6 (banding is recall-total
+    # by the pigeonhole guarantee, so candidates == all-pairs here)
+    o["dedup_simhash"] = (
+        "WITH hs AS (SELECT doc_id, list_transform(string_split(text,' '),"
+        " s -> CAST(('0x' || left(md5(s),15)) AS BIGINT)) AS h"
+        " FROM documents),"
+        " codes AS (SELECT doc_id, CAST(list_sum(list_transform("
+        "range(0,60), b -> CASE WHEN 2*len(list_filter(h,"
+        " x -> (x >> b) & 1 = 1)) > len(h)"
+        " THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS code"
+        " FROM hs WHERE len(h) > 0)"
+        " SELECT l.doc_id AS a, r.doc_id AS b,"
+        " CAST(bit_count(xor(l.code, r.code)) AS INT) AS hamming"
+        " FROM codes l JOIN codes r ON l.doc_id < r.doc_id"
+        " WHERE bit_count(xor(l.code, r.code)) <= 6")
+    # real-decode multimodal row: means recomputed from the pixel
+    # formula (see q_multimodal) — no decoding needed SQL-side
+    o["multimodal_image_features"] = (
+        "SELECT doc_id, list_transform(range(0,3), c ->"
+        " round(list_sum(list_transform(range(0,16),"
+        " p -> CAST((doc_id*7 + (3*p+c)*13) % 256 AS DOUBLE)))/16, 4)"
+        " + 0.0) AS img_mean FROM documents")
     o["dedup_minhash_lsh"] = (
         "WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),"
         " grams AS (SELECT DISTINCT doc_id,"

@@ -121,3 +121,26 @@ def test_max_hamming_zero_single_band(spark):
     want = {(a, b) for ks in by_code.values() for i, a in enumerate(sorted(ks))
             for b in sorted(ks)[i + 1:]}
     assert set(got) == want and want  # planted dups guarantee non-empty
+
+
+def test_md5_hash_variant_finds_planted_dups(spark):
+    """hash_fn="md5" (60-bit, SQL-replicable — the driver-oracle
+    variant) finds the same planted near-duplicates the xxhash64
+    default does; codes fit in 60 bits (nonnegative longs)."""
+    from pyspark.sql import Row
+    from valkey_search_spark.operators.dedup import simhash_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    rows = [Row(id=1, text=base),
+            Row(id=2, text=base.replace("zeta", "zetaX", 1)),  # near-dup
+            Row(id=3, text="totally different words entirely here now")]
+    df = spark.createDataFrame(rows)
+    for fn in ("xxhash64", "md5"):
+        got = {(r["a"], r["b"]) for r in
+               simhash_pairs(df, "id", max_hamming=16,
+                             hash_fn=fn).collect()}
+        assert (1, 2) in got, fn
+        assert (1, 3) not in got and (2, 3) not in got, fn
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown hash_fn"):
+        simhash_pairs(df, "id", hash_fn="crc32")

@@ -339,7 +339,8 @@ def simhash_col(text_col, bits: int = 64):
 
 
 def simhash_pairs(df: DataFrame, key: str, text_col: str = "text",
-                  max_hamming: int = 3, bands: int | None = None) -> DataFrame:
+                  max_hamming: int = 3, bands: int | None = None,
+                  hash_fn: str = "xxhash64") -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit code into ``bands`` chunks
     (pigeonhole: hamming <= bands-1 guarantees a shared chunk), equi-join on
     (band, chunk), verify exact Hamming distance via bit_count(xor).
@@ -349,22 +350,42 @@ def simhash_pairs(df: DataFrame, key: str, text_col: str = "text",
     src/indexes/vector_hnsw.cc:315-340), so the pigeonhole precondition is
     enforced: ``bands`` defaults to ``max_hamming + 1`` and an explicit
     ``bands <= max_hamming`` raises instead of silently under-recalling.
-    The 64 bits are split as evenly as possible (e.g. 7 bands = widths
-    10,9,9,...) so every band position is covered."""
+    The bits are split as evenly as possible (e.g. 7 bands = widths
+    10,9,9,...) so every band position is covered.
+
+    ``hash_fn``: "xxhash64" (default — fastest, 64-bit codes) or "md5"
+    (60-bit codes from the top 15 hex chars of md5 — bit-identically
+    reproducible in standard SQL, so the driver's DuckDB oracle can
+    verify the whole pipeline value-for-value; ~same speed at the
+    token counts documents carry, both JVM-side)."""
     if bands is None:
         bands = max_hamming + 1
-    if not 1 <= bands <= 64:
-        raise ValueError(f"bands must be in [1, 64], got {bands}")
+    if hash_fn == "xxhash64":
+        nbits = 64
+
+        def hasher(t):
+            return F.xxhash64(t)
+    elif hash_fn == "md5":
+        nbits = 60
+
+        def hasher(t):
+            return F.conv(F.substring(F.md5(t.cast("binary")), 1, 15),
+                          16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    if not 1 <= bands <= nbits:
+        raise ValueError(f"bands must be in [1, {nbits}], got {bands}")
     if bands <= max_hamming:
         raise ValueError(
             f"bands={bands} cannot guarantee recall for max_hamming="
             f"{max_hamming}: a pair differing in {max_hamming} bits is only"
             f" sure to share a chunk when bands > max_hamming")
     staged = _staged_tokens(df, key, text_col)
-    hashes = F.transform(F.col("__toks"), lambda t: F.xxhash64(t))
-    coded = staged.select("k", _simhash_pack(hashes).alias("code")).where(
+    hashes = F.transform(F.col("__toks"), hasher)
+    coded = staged.select(
+        "k", _simhash_pack(hashes, bits=nbits).alias("code")).where(
         F.col("code").isNotNull())
-    base_w, extra = divmod(64, bands)
+    base_w, extra = divmod(nbits, bands)
     widths = [base_w + (1 if b < extra else 0) for b in range(bands)]
     offsets = [sum(widths[:b]) for b in range(bands)]
 
