@@ -318,8 +318,18 @@ def knn_join_bucketed(queries: DataFrame, index: IVFIndex, k: int = 10,
         idx = np.argsort(d, axis=1)[:, :nprobe].astype("int32")
         return pd.Series(list(idx))
 
-    probed = (queries.select(query_key, vec_col).dropna()
-              .withColumn("__list", F.explode(probe_lists(F.col(vec_col)))))
+    if nprobe >= index.n_lists:
+        # full probe: every query scores against every list — no need
+        # for the Arrow centroid-assignment pass, a JVM explode of the
+        # list range is equivalent and keeps the stage Python-free
+        all_lists = F.sequence(
+            F.lit(0), F.lit(index.n_lists - 1)).cast("array<int>")
+        probed = (queries.select(query_key, vec_col).dropna()
+                  .withColumn("__list", F.explode(all_lists)))
+    else:
+        probed = (queries.select(query_key, vec_col).dropna()
+                  .withColumn("__list",
+                              F.explode(probe_lists(F.col(vec_col)))))
 
     # partition pruning: the probed-list set is at most n_lists ints — the
     # ONLY driver-side materialization on this path. At FULL probe every
