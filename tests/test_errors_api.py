@@ -453,3 +453,36 @@ def test_param_name_charset(eng):
                       count_only=True)
     assert eng.ft_search("parts", "@p_brand:{$b_1}",
                          params={"b_1": "Brand#13"}, count_only=True) > 0
+
+
+def test_concurrent_searches_classify_independently(spark):
+    """Metric classification state is per-thread: concurrent ft_search
+    calls must not read each other's parsed query."""
+    import threading
+
+    e = SearchEngine(spark)
+    part = spark.read.parquet(f"{SF}/part.parquet")
+    e.ft_create("cc", part, [TagField("p_brand"), TextField("p_name")],
+                key_column="p_partkey")
+    errors = []
+
+    def worker(q):
+        try:
+            for _ in range(5):
+                e.ft_search("cc", q, count_only=True)
+        except Exception as ex:                      # noqa: BLE001
+            errors.append(ex)
+
+    ts = [threading.Thread(target=worker, args=(q,))
+          for q in ("@p_brand:{Brand#13}", "widget", "wid*",
+                    "@p_brand:{Brand#42}")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errors
+    qs = e.info_search()["query_stats"]
+    assert qs["query_tag_count"] == 10               # 2 tag threads x 5
+    assert qs["query_text_term_count"] == 5
+    assert qs["query_text_prefix_count"] == 5
+    assert e.info_search()["query"]["successful_requests_count"] == 20

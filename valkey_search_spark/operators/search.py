@@ -64,8 +64,12 @@ class SearchEngine:
         from collections import Counter
 
         self._metrics: "Counter[str]" = Counter()
-        self._last_parsed = None        # set by _ft_search per request
-        self._last_pred = None          # final predicate (post-proximity)
+        # per-request parse state for the metrics classification —
+        # THREAD-LOCAL: concurrent ft_search calls (multi-client
+        # serving) must not classify each other's queries
+        import threading
+
+        self._req = threading.local()
 
     # -- DDL ---------------------------------------------------------------
     def ft_create(self, name: str, df: DataFrame, fields: list[FieldDef],
@@ -299,7 +303,7 @@ class SearchEngine:
         # vector + filter, a subset of vector) from the query _ft_search
         # already parsed — no second parse; the predicate reflects
         # preprocessing, so a pure-stopword filter classifies as nonhybrid
-        parsed = self._last_parsed
+        parsed = self._req.parsed
         if parsed.knn is None:
             self._metrics["nonvector_requests_count"] += 1
         else:
@@ -309,7 +313,7 @@ class SearchEngine:
         # per-operation query_stats counters (search.cc:907-935
         # IncrementQueryOperationMetrics) — classified from the final
         # predicate, after the SLOP/INORDER proximity upgrade
-        ops = query_operation_flags(self._last_pred)
+        ops = query_operation_flags(self._req.pred)
         if "text" in ops:
             self._metrics["query_text_requests_cnt"] += 1
         for op, counter in (("numeric", "query_numeric_count"),
@@ -355,7 +359,7 @@ class SearchEngine:
                 f"{self.limits.query_string_bytes} bytes (query-string-bytes)")
         schema = self.catalog.get(index)
         parsed = parse_query(query, params)
-        self._last_parsed = parsed      # ft_search classifies from this
+        self._req.parsed = parsed       # ft_search classifies from this
         # post-parse guards (filter_parser.cc:933 depth, :1046 node count;
         # ft_search_parser.cc:36 max-vector-knn)
         from ..plans.predicate_translator import predicate_depth_and_count
@@ -380,7 +384,7 @@ class SearchEngine:
         # proximity spans only the surviving terms)
         parsed.predicate = translator.preprocess(parsed.predicate)
         pred = self._maybe_proximity(parsed, slop, inorder)
-        self._last_pred = pred      # post-SLOP/INORDER, for op counters
+        self._req.pred = pred       # post-SLOP/INORDER, for op counters
         match_all = isinstance(pred, MatchAll)
 
         # ANN planner (the reference's pre-filter vs inline-filter choice,
