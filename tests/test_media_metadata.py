@@ -1,0 +1,297 @@
+"""Tests for header-sniffing media metadata and the G.711/ADPCM WAV
+decode extensions.
+
+Independence of implementations: image/audio fixtures are hand-packed
+with struct from the public format layouts (not via this repo's
+encoders, except where an encoder round-trip is itself the thing under
+test); the G.711 expansions are cross-checked against the stdlib
+``audioop`` tables, and the IMA ADPCM vector kernel against a scalar
+per-nibble reference implementation written here from the published
+algorithm.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import Row, functions as F
+
+from valkey_search_spark.multimodal.codecs import (
+    decode_wav, encode_bmp, encode_png, encode_wav,
+)
+from valkey_search_spark.multimodal.metadata import (
+    media_metadata, sniff_media,
+)
+
+audioop = pytest.importorskip("audioop")
+
+
+# ---------------------------------------------------------------------------
+# fixture packers (independent of the sniffer, from the public specs)
+
+def _jpeg_with_sof(marker: int, w: int, h: int, ncomp: int = 3,
+                   pad_before_sof: int = 0) -> bytes:
+    """SOI + optional APP padding + DQT stub + SOFn; no scan data (the
+    sniffer never needs entropy-coded bytes)."""
+    out = b"\xff\xd8"
+    if pad_before_sof:
+        body = b"\0" * pad_before_sof
+        out += b"\xff\xe1" + struct.pack(">H", 2 + len(body)) + body
+    comp = b"".join(struct.pack("BBB", i + 1, 0x11, 0) for i in range(ncomp))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp) + comp
+    out += bytes([0xFF, marker]) + struct.pack(">H", 2 + len(sof)) + sof
+    return out
+
+
+def _flac(rate: int, ch: int, bits: int, total_samples: int) -> bytes:
+    packed = (rate << 44) | ((ch - 1) << 41) | ((bits - 1) << 36) | total_samples
+    streaminfo = (struct.pack(">HH", 16, 16) + b"\0" * 6
+                  + packed.to_bytes(8, "big") + b"\0" * 16)
+    return b"fLaC" + bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+
+
+def _mp3_frame_header(stereo: bool = True) -> bytes:
+    # MPEG1 Layer III, bitrate index 9 (128 kbps), 44100 Hz
+    mode = 0x00 if stereo else 0xC0
+    return bytes([0xFF, 0xFB, 0x90, mode])
+
+
+def _webp_vp8l(w: int, h: int) -> bytes:
+    bits = (w - 1) | ((h - 1) << 14)
+    payload = bytes([0x2F]) + struct.pack("<I", bits)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(payload)) + b"WEBP"
+            + b"VP8L" + struct.pack("<I", len(payload)) + payload)
+
+
+def _webp_vp8(w: int, h: int) -> bytes:
+    payload = (b"\0\0\0" + b"\x9d\x01\x2a"
+               + struct.pack("<HH", w & 0x3FFF, h & 0x3FFF))
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(payload)) + b"WEBP"
+            + b"VP8 " + struct.pack("<I", len(payload)) + payload)
+
+
+def _ogg_vorbis(rate: int, ch: int) -> bytes:
+    ident = b"\x01vorbis" + struct.pack("<IB I", 0, ch, rate)
+    return b"OggS" + b"\0" * 22 + ident
+
+
+# ---------------------------------------------------------------------------
+# sniff_media
+
+def test_sniff_bmp_png_roundtrip_dims():
+    arr = np.arange(5 * 7 * 3, dtype=np.uint8).reshape(5, 7, 3)
+    m = sniff_media(encode_bmp(arr), 999)
+    assert (m["format"], m["kind"]) == ("bmp", "image")
+    assert (m["width"], m["height"], m["channels"]) == (7, 5, 3)
+    assert m["payload_bytes"] == 999
+    m = sniff_media(encode_png(arr), 1)
+    assert (m["format"], m["width"], m["height"], m["channels"],
+            m["bit_depth"]) == ("png", 7, 5, 3, 8)
+
+
+def test_sniff_jpeg_baseline_and_progressive():
+    for marker in (0xC0, 0xC2):              # baseline, progressive
+        m = sniff_media(_jpeg_with_sof(marker, w=640, h=480), 100)
+        assert (m["format"], m["width"], m["height"], m["channels"]) == (
+            "jpeg", 640, 480, 3)
+
+
+def test_sniff_jpeg_sof_past_prefix_degrades_to_format_only():
+    payload = _jpeg_with_sof(0xC0, w=9, h=9, pad_before_sof=5000)
+    m = sniff_media(payload[:1024], len(payload))
+    assert m["format"] == "jpeg"
+    assert m["width"] is None and m["height"] is None
+
+
+def test_sniff_gif_and_webp():
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\0\0"
+    m = sniff_media(gif, 10)
+    assert (m["format"], m["width"], m["height"]) == ("gif", 320, 200)
+    m = sniff_media(_webp_vp8l(33, 17), 0)
+    assert (m["format"], m["width"], m["height"]) == ("webp", 33, 17)
+    m = sniff_media(_webp_vp8(64, 48), 0)
+    assert (m["format"], m["width"], m["height"]) == ("webp", 64, 48)
+
+
+def test_sniff_wav_duration_from_byte_rate():
+    wav = encode_wav(np.zeros(44100, dtype=np.float32), 44100)
+    m = sniff_media(wav, len(wav))
+    assert (m["format"], m["kind"]) == ("wav", "audio")
+    assert (m["sample_rate"], m["channels"], m["bit_depth"]) == (44100, 1, 16)
+    assert m["duration_sec"] == pytest.approx(1.0)
+
+
+def test_sniff_flac_streaminfo():
+    m = sniff_media(_flac(48000, 2, 24, 96000), 5)
+    assert (m["format"], m["sample_rate"], m["channels"],
+            m["bit_depth"]) == ("flac", 48000, 2, 24)
+    assert m["duration_sec"] == pytest.approx(2.0)
+
+
+def test_sniff_mp3_cbr_estimate():
+    total = 16000 + 4                         # 1 s at 128 kbps
+    m = sniff_media(_mp3_frame_header(), total)
+    assert (m["format"], m["sample_rate"], m["channels"]) == ("mp3", 44100, 2)
+    assert m["duration_sec"] == pytest.approx(total * 8 / 128000, rel=1e-3)
+
+
+def test_sniff_mp3_xing_frame_count_and_id3_skip():
+    frame = bytearray(_mp3_frame_header(stereo=True)) + b"\0" * 200
+    # MPEG1 stereo: Xing at frame start + 36
+    frame[36:48] = b"Xing" + struct.pack(">II", 1, 100)
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 10]) + b"\0" * 10
+    m = sniff_media(bytes(id3 + frame), 10_000_000)
+    assert m["duration_sec"] == pytest.approx(100 * 1152 / 44100)
+
+
+def test_sniff_ogg_vorbis():
+    m = sniff_media(_ogg_vorbis(22050, 1), 7)
+    assert (m["format"], m["sample_rate"], m["channels"]) == ("ogg", 22050, 1)
+
+
+def test_sniff_unknown_payload():
+    m = sniff_media(b"not a media file at all", 23)
+    assert m["format"] is None and m["kind"] is None
+    assert m["payload_bytes"] == 23
+
+
+# ---------------------------------------------------------------------------
+# G.711 / ADPCM WAV decode
+
+def _wav_container(fmt_code: int, ch: int, rate: int, bits: int,
+                   block_align: int, data: bytes) -> bytes:
+    fmt = struct.pack("<HHIIHH", fmt_code, ch, rate,
+                      rate * max(1, block_align), block_align, bits)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_g711_ulaw_matches_audioop():
+    codes = bytes(range(256))
+    frames, rate, ch = decode_wav(_wav_container(7, 1, 8000, 8, 1, codes))
+    assert (rate, ch) == (8000, 1)
+    expect = np.frombuffer(audioop.ulaw2lin(codes, 2), dtype="<i2")
+    np.testing.assert_array_equal(
+        np.round(frames[:, 0] * 32768.0).astype(np.int16), expect)
+
+
+def test_g711_alaw_matches_audioop():
+    codes = bytes(range(256))
+    frames, rate, ch = decode_wav(_wav_container(6, 2, 8000, 8, 2, codes))
+    assert ch == 2
+    expect = np.frombuffer(audioop.alaw2lin(codes, 2), dtype="<i2")
+    np.testing.assert_array_equal(
+        np.round(frames.reshape(-1) * 32768.0).astype(np.int16), expect)
+
+
+_STEPS = [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+          37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+          157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+          544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+          1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+          4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+          12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+          29794, 32767]
+_IDX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _adpcm_scalar_decode(nibbles, predictor, index):
+    """Scalar reference decoder, straight from the published algorithm."""
+    out = [predictor]
+    for nib in nibbles:
+        step = _STEPS[index]
+        diff = step >> 3
+        if nib & 1:
+            diff += step >> 2
+        if nib & 2:
+            diff += step >> 1
+        if nib & 4:
+            diff += step
+        predictor = predictor - diff if nib & 8 else predictor + diff
+        predictor = max(-32768, min(32767, predictor))
+        index = max(0, min(88, index + _IDX[nib & 7]))
+        out.append(predictor)
+    return out
+
+
+def test_ima_adpcm_mono_matches_scalar_reference():
+    rng = np.random.default_rng(7)
+    nibbles = rng.integers(0, 16, size=120).astype(int).tolist()
+    body = bytes(nibbles[i] | (nibbles[i + 1] << 4)
+                 for i in range(0, 120, 2))
+    predictor, index = -1234, 30
+    block = struct.pack("<hBB", predictor, index, 0) + body
+    payload = _wav_container(0x11, 1, 8000, 4, len(block), block)
+    frames, rate, ch = decode_wav(payload)
+    assert (rate, ch) == (8000, 1)
+    expect = _adpcm_scalar_decode(nibbles, predictor, index)
+    np.testing.assert_array_equal(
+        np.round(frames[:, 0] * 32768.0).astype(int), expect)
+
+
+def test_ima_adpcm_stereo_interleave_and_multi_block():
+    rng = np.random.default_rng(11)
+    blocks = b""
+    expect = {0: [], 1: []}
+    for _ in range(3):                        # multiple blocks
+        headers, bodies = [], {0: b"", 1: b""}
+        nibs = {0: [], 1: []}
+        for c in (0, 1):
+            pred = int(rng.integers(-3000, 3000))
+            idx = int(rng.integers(0, 89))
+            headers.append(struct.pack("<hBB", pred, idx, 0))
+            n = rng.integers(0, 16, size=8).astype(int).tolist()
+            nibs[c] = n
+            bodies[c] = bytes(n[i] | (n[i + 1] << 4) for i in range(0, 8, 2))
+            expect[c].extend(_adpcm_scalar_decode(n, pred, idx))
+        # 4 data bytes ch0, then 4 bytes ch1
+        blocks += headers[0] + headers[1] + bodies[0] + bodies[1]
+    block_align = 4 * 2 + 4 * 2
+    payload = _wav_container(0x11, 2, 16000, 4, block_align, blocks)
+    frames, rate, ch = decode_wav(payload)
+    assert ch == 2
+    got = np.round(frames * 32768.0).astype(int)
+    np.testing.assert_array_equal(got[:, 0], expect[0])
+    np.testing.assert_array_equal(got[:, 1], expect[1])
+
+
+# ---------------------------------------------------------------------------
+# the DataFrame operator
+
+def test_media_metadata_mixed_column(spark):
+    arr = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    wav = encode_wav(np.zeros(8000, dtype=np.float32), 8000)
+    rows = [
+        Row(id=1, payload=bytearray(encode_bmp(arr))),
+        Row(id=2, payload=bytearray(encode_png(arr))),
+        Row(id=3, payload=bytearray(wav)),
+        Row(id=4, payload=bytearray(b"garbage")),
+        Row(id=5, payload=None),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r["id"]: r["payload_meta"]
+           for r in media_metadata(df, "payload").collect()}
+    assert out[1]["format"] == "bmp" and out[1]["width"] == 4
+    assert out[2]["format"] == "png" and out[2]["height"] == 4
+    assert out[3]["format"] == "wav"
+    assert out[3]["duration_sec"] == pytest.approx(1.0)
+    assert out[3]["payload_bytes"] == len(wav)
+    assert out[4]["format"] is None
+    assert out[4]["payload_bytes"] == 7
+    assert out[5] is None
+
+
+def test_media_metadata_prefix_bound(spark):
+    """Payload larger than the prefix: format still detected, fields
+    whose header lies past the prefix are null, and payload_bytes is the
+    FULL length (computed JVM-side, not from the prefix)."""
+    payload = _jpeg_with_sof(0xC0, w=11, h=12, pad_before_sof=3000)
+    df = spark.createDataFrame([Row(id=1, payload=bytearray(payload))])
+    r = media_metadata(df, "payload", prefix_bytes=512).collect()[0]
+    m = r["payload_meta"]
+    assert m["format"] == "jpeg"
+    assert m["width"] is None
+    assert m["payload_bytes"] == len(payload)
+    r2 = media_metadata(df, "payload", prefix_bytes=65536).collect()[0]
+    assert r2["payload_meta"]["width"] == 11

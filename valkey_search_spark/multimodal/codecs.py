@@ -497,14 +497,109 @@ def _jpeg_decode_scan(d, pos, frame, scan, qt, huff_dc, huff_ac,
 # WAV
 
 
+def _g711_ulaw_table() -> np.ndarray:
+    """256-entry mu-law -> linear int16 expansion table, built from the
+    published ITU-T G.711 decode formula (the CCITT reference ulaw2linear:
+    complement, (mantissa<<3 + 0x84) << segment, re-bias, sign)."""
+    u = ~np.arange(256, dtype=np.int32) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+
+def _g711_alaw_table() -> np.ndarray:
+    """256-entry A-law -> linear int16 table from the published ITU-T
+    G.711 decode formula (toggle even bits with 0x55, segment-scaled
+    mantissa with the half-step offset, sign)."""
+    a = np.arange(256, dtype=np.int32) ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    t = np.where(seg == 0, t + 8,
+                 np.where(seg == 1, t + 0x108, (t + 0x108) << (seg - 1).clip(0)))
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+_ULAW2LIN: np.ndarray | None = None
+_ALAW2LIN: np.ndarray | None = None
+
+# IMA/DVI ADPCM published tables (IMA Digital Audio Focus and Technical
+# Working Groups recommended practice; also multimedia ADPCM references)
+_ADPCM_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+_ADPCM_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767], dtype=np.int32)
+
+
+def _decode_ima_adpcm(data: bytes, channels: int,
+                      block_align: int) -> np.ndarray:
+    """Decode WAV-embedded IMA ADPCM (format 0x11) to float32 frames.
+
+    WAV blocks start with a 4-byte state header per channel (predictor
+    int16, step index uint8, reserved byte); nibble data follows in
+    4-byte-per-channel interleaved words, low nibble first. The nibble
+    loop runs once per sample POSITION but vectorizes across all blocks
+    (state arrays shaped (n_blocks, channels)) — the 100 TB-shape cost is
+    O(samples_per_block) numpy steps regardless of payload count."""
+    if block_align <= 4 * channels or block_align % 4:
+        raise MediaDecodeError(f"bad IMA ADPCM block align {block_align}")
+    nblocks = len(data) // block_align
+    if nblocks == 0:
+        return np.zeros((0, channels), dtype=np.float32)
+    blocks = np.frombuffer(data, dtype=np.uint8,
+                           count=nblocks * block_align)
+    blocks = blocks.reshape(nblocks, block_align)
+    # per-channel 4-byte state headers
+    hdr = blocks[:, : 4 * channels].reshape(nblocks, channels, 4)
+    predictor = (hdr[:, :, 0].astype(np.int32)
+                 | (hdr[:, :, 1].astype(np.int32) << 8))
+    predictor = np.where(predictor >= 0x8000, predictor - 0x10000, predictor)
+    index = np.clip(hdr[:, :, 2].astype(np.int32), 0, 88)
+    body = blocks[:, 4 * channels:]
+    # interleave: 4 bytes (8 nibbles) per channel, round-robin
+    words = body.reshape(nblocks, -1, channels, 4)     # (B, W, C, 4)
+    lo = (words & 0x0F).astype(np.uint8)
+    hi = (words >> 4).astype(np.uint8)
+    # per word: nibble order low,high per byte -> 8 samples per channel
+    nibbles = np.empty(words.shape[:3] + (8,), dtype=np.uint8)
+    nibbles[..., 0::2] = lo
+    nibbles[..., 1::2] = hi
+    # (B, C, samples_after_header)
+    nibbles = nibbles.transpose(0, 2, 1, 3).reshape(nblocks, channels, -1)
+    spb = nibbles.shape[2]
+    out = np.empty((nblocks, channels, spb + 1), dtype=np.int16)
+    out[:, :, 0] = predictor.astype(np.int16)
+    for i in range(spb):
+        nib = nibbles[:, :, i].astype(np.int32)
+        step = _ADPCM_STEPS[index]
+        diff = step >> 3
+        diff += np.where(nib & 1, step >> 2, 0)
+        diff += np.where(nib & 2, step >> 1, 0)
+        diff += np.where(nib & 4, step, 0)
+        predictor = np.clip(
+            np.where(nib & 8, predictor - diff, predictor + diff),
+            -32768, 32767)
+        index = np.clip(index + _ADPCM_INDEX[nib & 7], 0, 88)
+        out[:, :, i + 1] = predictor.astype(np.int16)
+    # (B, C, S) -> (B*S, C) frame order
+    frames = out.transpose(0, 2, 1).reshape(-1, channels)
+    return frames.astype(np.float32) / 32768.0
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
-    """Decode a PCM RIFF/WAVE payload.
+    """Decode a RIFF/WAVE payload.
 
     Returns ``(samples, sample_rate, channels)`` where samples is a
     float32 array of shape (n_frames, channels) scaled to [-1, 1].
-    Supports integer PCM at 8 (unsigned), 16, and 32 bits, plus
-    format 3 (IEEE float32).
+    Supports integer PCM at 8 (unsigned), 16, and 32 bits, format 3
+    (IEEE float32), the ITU-T G.711 companded formats (6 = A-law,
+    7 = mu-law), and IMA/DVI ADPCM (format 0x11) — every layout a
+    telephony/speech corpus commonly holds short of MP3/AAC.
     """
+    global _ULAW2LIN, _ALAW2LIN
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise MediaDecodeError("not a RIFF/WAVE payload")
     pos = 12
@@ -521,7 +616,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
         pos += 8 + size + (size & 1)         # chunks pad to even length
     if fmt is None or data is None:
         raise MediaDecodeError("WAV missing fmt/data chunk")
-    audio_fmt, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    audio_fmt, channels, rate, _, block_align, bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0)
     if channels <= 0:
         raise MediaDecodeError(f"bad WAV channel count {channels}")
     if audio_fmt == 3 and bits == 32:
@@ -533,6 +629,19 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
     elif audio_fmt == 1 and bits == 8:
         samples = (np.frombuffer(data, dtype=np.uint8).astype(np.float32)
                    - 128.0) / 128.0
+    elif audio_fmt == 7 and bits == 8:       # G.711 mu-law
+        if _ULAW2LIN is None:
+            _ULAW2LIN = _g711_ulaw_table()
+        samples = (_ULAW2LIN[np.frombuffer(data, dtype=np.uint8)]
+                   .astype(np.float32) / 32768.0)
+    elif audio_fmt == 6 and bits == 8:       # G.711 A-law
+        if _ALAW2LIN is None:
+            _ALAW2LIN = _g711_alaw_table()
+        samples = (_ALAW2LIN[np.frombuffer(data, dtype=np.uint8)]
+                   .astype(np.float32) / 32768.0)
+    elif audio_fmt == 0x11 and bits == 4:    # IMA/DVI ADPCM
+        return (_decode_ima_adpcm(data, channels, block_align),
+                int(rate), int(channels))
     else:
         raise MediaDecodeError(
             f"unsupported WAV format {audio_fmt} / {bits}-bit")

@@ -1,0 +1,303 @@
+"""Header-sniffing media metadata — the decode-free corpus filter.
+
+At 100 TB you do not decode a payload to learn its dimensions: a
+training-data curation pass filters by format / width / height /
+duration FIRST and only decodes survivors. This module parses just the
+container headers (all from the public format specifications) and the
+DataFrame operator bounds what crosses the Arrow boundary: the JVM
+slices a fixed-size payload PREFIX (default 64 KiB) and computes the
+total length, so per-row transfer cost is O(prefix) regardless of media
+size — a 2 GB video costs the same to sniff as a 2 KB icon.
+
+Formats (detection always works; dimension/duration fields are null when
+the needed header lies beyond the prefix):
+
+- images: BMP, PNG (IHDR), JPEG (SOF0-15 marker walk — including
+  progressive, which the decoder seam does not decode), GIF87a/89a,
+  WebP (VP8 lossy / VP8L lossless / VP8X extended)
+- audio: WAV (fmt + data chunks; duration from byte rate), FLAC
+  (STREAMINFO), MP3 (first MPEG audio frame header; Xing/Info VBR frame
+  count when present, else CBR estimate from the first frame's bitrate),
+  Ogg (Vorbis identification header / OpusHead)
+
+The reference engine carries no media (its closest analogue is opaque
+content fetch, /root/reference/src/attribute_data_type.h:71); this is a
+beyond-reference training-pipeline operator per SURVEY.md §2.10.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_META_FIELDS = [
+    T.StructField("format", T.StringType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("bit_depth", T.IntegerType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("duration_sec", T.DoubleType()),
+    T.StructField("payload_bytes", T.LongType()),
+]
+
+_EMPTY = {f.name: None for f in MEDIA_META_FIELDS}
+
+
+def _img(fmt, w=None, h=None, ch=None, depth=None):
+    d = dict(_EMPTY)
+    d.update(format=fmt, kind="image", width=w, height=h, channels=ch,
+             bit_depth=depth)
+    return d
+
+
+def _aud(fmt, rate=None, ch=None, depth=None, dur=None):
+    d = dict(_EMPTY)
+    d.update(format=fmt, kind="audio", sample_rate=rate, channels=ch,
+             bit_depth=depth, duration_sec=dur)
+    return d
+
+
+# ---------------------------------------------------------------------------
+# image containers
+
+def _sniff_bmp(p: bytes):
+    if len(p) < 30:
+        return _img("bmp")
+    w, h = struct.unpack_from("<ii", p, 18)
+    (bpp,) = struct.unpack_from("<H", p, 28)
+    return _img("bmp", abs(w), abs(h), max(1, bpp // 8) if bpp else None, 8)
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _sniff_png(p: bytes):
+    if len(p) < 26 or p[12:16] != b"IHDR":
+        return _img("png")
+    w, h = struct.unpack_from(">II", p, 16)
+    depth, ctype = p[24], p[25]
+    return _img("png", w, h, _PNG_CHANNELS.get(ctype), depth)
+
+
+# SOF markers carry frame dimensions; C4=DHT, C8=JPG(reserved), CC=DAC do not
+_JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+
+
+def _sniff_jpeg(p: bytes):
+    pos = 2
+    n = len(p)
+    while pos + 4 <= n:
+        if p[pos] != 0xFF:
+            pos += 1                          # tolerate fill bytes
+            continue
+        marker = p[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+            pos += 2                          # standalone markers
+            continue
+        if pos + 4 > n:
+            break
+        (seglen,) = struct.unpack_from(">H", p, pos + 2)
+        if marker in _JPEG_SOF:
+            if pos + 9 > n:
+                break
+            depth = p[pos + 4]
+            h, w = struct.unpack_from(">HH", p, pos + 5)
+            ch = p[pos + 9] if pos + 9 < n else None
+            return _img("jpeg", w, h, ch, depth)
+        if marker == 0xDA:                    # start of scan: no SOF seen
+            break
+        pos += 2 + seglen
+    return _img("jpeg")
+
+
+def _sniff_gif(p: bytes):
+    if len(p) < 10:
+        return _img("gif")
+    w, h = struct.unpack_from("<HH", p, 6)
+    return _img("gif", w, h, 3, 8)
+
+
+def _sniff_webp(p: bytes):
+    if len(p) < 16:
+        return _img("webp")
+    cid = p[12:16]
+    if cid == b"VP8 " and len(p) >= 30 and p[23:26] == b"\x9d\x01\x2a":
+        w = struct.unpack_from("<H", p, 26)[0] & 0x3FFF
+        h = struct.unpack_from("<H", p, 28)[0] & 0x3FFF
+        return _img("webp", w, h, 3, 8)
+    if cid == b"VP8L" and len(p) >= 25 and p[20] == 0x2F:
+        bits = struct.unpack_from("<I", p, 21)[0]
+        return _img("webp", (bits & 0x3FFF) + 1,
+                    ((bits >> 14) & 0x3FFF) + 1, 4, 8)
+    if cid == b"VP8X" and len(p) >= 30:
+        w = int.from_bytes(p[24:27], "little") + 1
+        h = int.from_bytes(p[27:30], "little") + 1
+        return _img("webp", w, h, None, 8)
+    return _img("webp")
+
+
+# ---------------------------------------------------------------------------
+# audio containers
+
+def _sniff_wav(p: bytes, total: int):
+    pos = 12
+    rate = ch = bits = byte_rate = None
+    data_size = None
+    while pos + 8 <= len(p):
+        cid = p[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", p, pos + 4)
+        if cid == b"fmt " and pos + 24 <= len(p):
+            _, ch, rate, byte_rate, _, bits = struct.unpack_from(
+                "<HHIIHH", p, pos + 8)
+        elif cid == b"data":
+            data_size = size
+            break                             # data body may exceed prefix
+        pos += 8 + size + (size & 1)
+    dur = None
+    if data_size is not None and byte_rate:
+        dur = data_size / byte_rate
+    return _aud("wav", rate, ch, bits, dur)
+
+
+def _sniff_flac(p: bytes):
+    # fLaC then metadata block header; STREAMINFO is always first
+    if len(p) < 42 or (p[4] & 0x7F) != 0:
+        return _aud("flac")
+    si = p[8:42]                              # 34-byte STREAMINFO
+    packed = int.from_bytes(si[10:18], "big")
+    rate = (packed >> 44) & 0xFFFFF
+    ch = ((packed >> 41) & 0x7) + 1
+    bits = ((packed >> 36) & 0x1F) + 1
+    total_samples = packed & 0xFFFFFFFFF
+    dur = total_samples / rate if rate and total_samples else None
+    return _aud("flac", rate or None, ch, bits, dur)
+
+
+# MPEG audio tables (public, ISO/IEC 11172-3 / 13818-3)
+_MP3_BITRATE_V1L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                     224, 256, 320, 0]
+_MP3_BITRATE_V2L3 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                     144, 160, 0]
+_MP3_RATES = {3: [44100, 48000, 32000],      # MPEG1
+              2: [22050, 24000, 16000],      # MPEG2
+              0: [11025, 12000, 8000]}       # MPEG2.5
+
+
+def _sniff_mp3(p: bytes, total: int):
+    pos = 0
+    if p[:3] == b"ID3" and len(p) >= 10:
+        tag = ((p[6] & 0x7F) << 21 | (p[7] & 0x7F) << 14
+               | (p[8] & 0x7F) << 7 | (p[9] & 0x7F))
+        pos = 10 + tag
+    n = len(p)
+    while pos + 4 <= n:
+        if p[pos] == 0xFF and (p[pos + 1] & 0xE0) == 0xE0:
+            ver = (p[pos + 1] >> 3) & 0x3    # 3=MPEG1 2=MPEG2 0=MPEG2.5
+            layer = (p[pos + 1] >> 1) & 0x3  # 1=L3 2=L2 3=L1
+            br_idx = (p[pos + 2] >> 4) & 0xF
+            sr_idx = (p[pos + 2] >> 2) & 0x3
+            mode = (p[pos + 3] >> 6) & 0x3
+            if ver != 1 and layer == 1 and sr_idx != 3:
+                rate = _MP3_RATES[ver][sr_idx]
+                ch = 1 if mode == 3 else 2
+                kbps = (_MP3_BITRATE_V1L3 if ver == 3
+                        else _MP3_BITRATE_V2L3)[br_idx]
+                spf = 1152 if ver == 3 else 576   # samples/frame, layer III
+                dur = None
+                # Xing/Info VBR header: frame count beats the CBR estimate
+                side = (36 if ver == 3 else 21) if mode != 3 else \
+                       (21 if ver == 3 else 13)
+                xoff = pos + 4 + side - 4
+                if (xoff + 12 <= n and p[xoff:xoff + 4] in (b"Xing", b"Info")
+                        and struct.unpack_from(">I", p, xoff + 4)[0] & 1):
+                    frames = struct.unpack_from(">I", p, xoff + 8)[0]
+                    dur = frames * spf / rate
+                elif kbps:
+                    dur = (total - pos) * 8 / (kbps * 1000)
+                return _aud("mp3", rate, ch, None, dur)
+        pos += 1
+    return _aud("mp3")
+
+
+def _sniff_ogg(p: bytes):
+    i = p.find(b"\x01vorbis")
+    if i >= 0 and i + 16 <= len(p):
+        ch = p[i + 11]
+        (rate,) = struct.unpack_from("<I", p, i + 12)
+        return _aud("ogg", rate or None, ch or None, None, None)
+    i = p.find(b"OpusHead")
+    if i >= 0 and i + 16 <= len(p):
+        ch = p[i + 9]
+        (rate,) = struct.unpack_from("<I", p, i + 12)
+        return _aud("ogg", rate or None, ch or None, None, None)
+    return _aud("ogg")
+
+
+# ---------------------------------------------------------------------------
+def sniff_media(prefix: bytes, total_len: int) -> dict:
+    """Classify a payload from its header prefix and pull the cheap
+    metadata out. Returns a dict matching MEDIA_META_FIELDS; ``format``
+    is None for unrecognized payloads."""
+    p = prefix
+    out = dict(_EMPTY)
+    if len(p) >= 2 and p[:2] == b"BM":
+        out = _sniff_bmp(p)
+    elif p[:8] == b"\x89PNG\r\n\x1a\n":
+        out = _sniff_png(p)
+    elif p[:2] == b"\xff\xd8":
+        out = _sniff_jpeg(p)
+    elif p[:6] in (b"GIF87a", b"GIF89a"):
+        out = _sniff_gif(p)
+    elif p[:4] == b"RIFF" and p[8:12] == b"WEBP":
+        out = _sniff_webp(p)
+    elif p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+        out = _sniff_wav(p, total_len)
+    elif p[:4] == b"fLaC":
+        out = _sniff_flac(p)
+    elif p[:4] == b"OggS":
+        out = _sniff_ogg(p)
+    elif p[:3] == b"ID3" or (len(p) >= 2 and p[0] == 0xFF
+                             and (p[1] & 0xE0) == 0xE0):
+        out = _sniff_mp3(p, total_len)
+    out["payload_bytes"] = total_len
+    return out
+
+
+def media_metadata(df: DataFrame, binary_col: str = "payload",
+                   prefix_bytes: int = 65536) -> DataFrame:
+    """Attach a ``<binary_col>_meta`` struct by sniffing container
+    headers — no decode, no full-payload transfer.
+
+    Scale shape: the JVM computes ``length(payload)`` and slices the
+    first ``prefix_bytes`` BEFORE the Arrow boundary, so the Python
+    sniffer receives a bounded prefix per row regardless of payload
+    size; the full binary column never leaves the JVM. Dimension fields
+    whose header lies past the prefix (e.g. a JPEG SOF behind >64 KiB of
+    EXIF) come back null — raise ``prefix_bytes`` for such corpora."""
+    meta_t = T.StructType(MEDIA_META_FIELDS)
+
+    @F.pandas_udf(meta_t)
+    def sniff(prefixes: pd.Series, lengths: pd.Series) -> pd.DataFrame:
+        rows = []
+        for p, ln in zip(prefixes, lengths):
+            if p is None:
+                rows.append(dict(_EMPTY))
+            else:
+                rows.append(sniff_media(bytes(p), int(ln)))
+        return pd.DataFrame(rows, columns=[f.name for f in meta_t.fields])
+
+    col = F.col(binary_col)
+    return df.withColumn(
+        f"{binary_col}_meta",
+        F.when(col.isNull(), F.lit(None).cast(meta_t)).otherwise(
+            sniff(F.expr(f"substring({binary_col}, 1, {prefix_bytes})"),
+                  F.length(col).cast("long"))))
