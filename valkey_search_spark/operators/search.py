@@ -26,6 +26,11 @@ from ..parser.ast import (
 from ..parser.filter_parser import parse_query
 from ..plans.predicate_translator import PredicateTranslator, QueryLimits
 
+# LIMIT counts at or above this are "fetch everything" (no real reply can
+# hold 1e9 rows): the engine skips the physical limit so the plan keeps
+# its parallelism instead of funneling through a single-partition exchange
+_UNBOUNDED_LIMIT = 1_000_000_000
+
 
 @dataclass
 class ReturnField:
@@ -515,7 +520,12 @@ class SearchEngine:
         off, n = limit
         if off:
             df = df.offset(off)
-        df = df.limit(n)
+        if n < _UNBOUNDED_LIMIT:
+            df = df.limit(n)
+        # else: an effectively-unbounded LIMIT (a fetch-everything call)
+        # is a no-op on any collectable result but would compile to
+        # GlobalLimit -> Exchange SinglePartition — a serialization point
+        # that collapses result parallelism for no semantic gain
         return self._project(schema, df, return_fields, nocontent,
                              parsed.knn.score_alias() if parsed.knn else None,
                              sortkey_col=sortkey_col)
