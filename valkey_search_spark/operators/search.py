@@ -517,15 +517,20 @@ class SearchEngine:
             # short-circuit the scan under a CollectMetrics observation
             df = df.orderBy(F.col("__key").asc())
 
+        ordered = (sortby is not None or parsed.knn is not None
+                   or force_order)
         off, n = limit
         if off:
             df = df.offset(off)
-        if n < _UNBOUNDED_LIMIT:
+        if ordered or off or n < _UNBOUNDED_LIMIT:
             df = df.limit(n)
-        # else: an effectively-unbounded LIMIT (a fetch-everything call)
-        # is a no-op on any collectable result but would compile to
-        # GlobalLimit -> Exchange SinglePartition — a serialization point
-        # that collapses result parallelism for no semantic gain
+        # else: on an ORDERLESS fetch-everything call the limit is a
+        # no-op that would compile to GlobalLimit -> Exchange
+        # SinglePartition, collapsing result parallelism for no semantic
+        # gain. Ordered plans MUST keep it: an orderBy without a limit
+        # becomes a range-partitioned Sort whose boundary-sampling pass
+        # re-executes the child, double-counting any CollectMetrics
+        # observation beneath (and re-running the filter).
         return self._project(schema, df, return_fields, nocontent,
                              parsed.knn.score_alias() if parsed.knn else None,
                              sortkey_col=sortkey_col)
