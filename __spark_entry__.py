@@ -25,7 +25,7 @@ from valkey_search_spark.operators import dedup as dd, textops as tx
 from valkey_search_spark.operators.search import ReturnField
 from valkey_search_spark.sources.tables import load_table
 
-ALL = (0, 2_000_000_000)  # LIMIT covering every row (driver compares sets)
+ALL = (0, None)  # explicitly-unbounded LIMIT (driver compares row sets)
 
 # deterministic 64-dim query vector, embedded identically in oracle SQL
 QVEC = [round(math.sin(i + 1), 6) for i in range(64)]

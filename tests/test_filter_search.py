@@ -298,6 +298,26 @@ def test_limit_offset_past_end(eng):
     assert df.count() == 0
 
 
+def test_unbounded_limit_none(eng):
+    """limit=(0, None) is the explicit fetch-everything form: same rows
+    as a large numeric limit, no single-partition limit exchange in the
+    orderless plan, and the reply path still reports the correct
+    pre-limit total (the observed plan re-caps internally so the
+    CollectMetrics count is not double-executed by a sort)."""
+    want = duck("SELECT count(*) FROM PART WHERE p_brand = 'Brand#13'")
+    df = eng.ft_search("parts", "@p_brand:{Brand#13}", limit=(0, None))
+    assert df.count() == want
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    rep = eng.ft_search_reply("parts", "@p_brand:{Brand#13}", limit=(0, None))
+    assert rep[0] == want and (len(rep) - 1) // 2 == want
+    # ordered variant stays correct and ordered
+    rows = eng.ft_search("parts", "@p_brand:{Brand#13}",
+                         sortby="p_retailprice", limit=(0, None)).collect()
+    prices = [r["p_retailprice"] for r in rows]
+    assert len(rows) == want and prices == sorted(prices)
+
+
 def test_stopword_term_dropped_not_false(eng):
     """A stopword query term is SKIPPED at parse, not matched
     (filter_parser.cc:766-768): 'the' is never indexed, so requiring it

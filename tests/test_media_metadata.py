@@ -89,6 +89,20 @@ def test_sniff_bmp_png_roundtrip_dims():
             m["bit_depth"]) == ("png", 7, 5, 3, 8)
 
 
+def test_sniff_bmp_core_header_and_unknown_dib():
+    # OS/2 BITMAPCOREHEADER: 12-byte DIB header, uint16 dims at 18/20
+    core = (b"BM" + struct.pack("<IHHI", 26, 0, 0, 26)
+            + struct.pack("<IHHHH", 12, 100, 50, 1, 24))
+    m = sniff_media(core, 26)
+    assert (m["format"], m["width"], m["height"], m["channels"]) == (
+        "bmp", 100, 50, 3)
+    # unknown DIB header size: format-only, never garbage dims
+    weird = (b"BM" + struct.pack("<IHHI", 40, 0, 0, 40)
+             + struct.pack("<I", 16) + b"\xff" * 24)
+    m = sniff_media(weird, 40)
+    assert m["format"] == "bmp" and m["width"] is None
+
+
 def test_sniff_jpeg_baseline_and_progressive():
     for marker in (0xC0, 0xC2):              # baseline, progressive
         m = sniff_media(_jpeg_with_sof(marker, w=640, h=480), 100)
@@ -228,6 +242,16 @@ def test_ima_adpcm_mono_matches_scalar_reference():
     expect = _adpcm_scalar_decode(nibbles, predictor, index)
     np.testing.assert_array_equal(
         np.round(frames[:, 0] * 32768.0).astype(int), expect)
+
+
+def test_ima_adpcm_bad_stereo_block_align_raises_media_error():
+    from valkey_search_spark.multimodal.codecs import MediaDecodeError
+
+    # block_align=12 passes a naive %4 check but cannot hold stereo
+    # 4-byte-per-channel words after the two 4-byte headers
+    payload = _wav_container(0x11, 2, 8000, 4, 12, b"\0" * 12)
+    with pytest.raises(MediaDecodeError):
+        decode_wav(payload)
 
 
 def test_ima_adpcm_stereo_interleave_and_multi_block():

@@ -544,7 +544,7 @@ def _decode_ima_adpcm(data: bytes, channels: int,
     loop runs once per sample POSITION but vectorizes across all blocks
     (state arrays shaped (n_blocks, channels)) — the 100 TB-shape cost is
     O(samples_per_block) numpy steps regardless of payload count."""
-    if block_align <= 4 * channels or block_align % 4:
+    if block_align <= 4 * channels or block_align % (4 * channels):
         raise MediaDecodeError(f"bad IMA ADPCM block align {block_align}")
     nblocks = len(data) // block_align
     if nblocks == 0:

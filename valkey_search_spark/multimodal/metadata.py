@@ -67,7 +67,14 @@ def _aud(fmt, rate=None, ch=None, depth=None, dur=None):
 # image containers
 
 def _sniff_bmp(p: bytes):
-    if len(p) < 30:
+    if len(p) < 26:
+        return _img("bmp")
+    (hdr_size,) = struct.unpack_from("<I", p, 14)
+    if hdr_size == 12:                        # OS/2 BITMAPCOREHEADER
+        w, h = struct.unpack_from("<HH", p, 18)
+        (bpp,) = struct.unpack_from("<H", p, 24)
+        return _img("bmp", w, h, max(1, bpp // 8) if bpp else None, 8)
+    if hdr_size < 40 or len(p) < 30:          # unknown DIB header layout
         return _img("bmp")
     w, h = struct.unpack_from("<ii", p, 18)
     (bpp,) = struct.unpack_from("<H", p, 28)
@@ -148,7 +155,7 @@ def _sniff_webp(p: bytes):
 # ---------------------------------------------------------------------------
 # audio containers
 
-def _sniff_wav(p: bytes, total: int):
+def _sniff_wav(p: bytes):
     pos = 12
     rate = ch = bits = byte_rate = None
     data_size = None
@@ -260,7 +267,7 @@ def sniff_media(prefix: bytes, total_len: int) -> dict:
     elif p[:4] == b"RIFF" and p[8:12] == b"WEBP":
         out = _sniff_webp(p)
     elif p[:4] == b"RIFF" and p[8:12] == b"WAVE":
-        out = _sniff_wav(p, total_len)
+        out = _sniff_wav(p)
     elif p[:4] == b"fLaC":
         out = _sniff_flac(p)
     elif p[:4] == b"OggS":
@@ -299,5 +306,4 @@ def media_metadata(df: DataFrame, binary_col: str = "payload",
     return df.withColumn(
         f"{binary_col}_meta",
         F.when(col.isNull(), F.lit(None).cast(meta_t)).otherwise(
-            sniff(F.expr(f"substring({binary_col}, 1, {prefix_bytes})"),
-                  F.length(col).cast("long"))))
+            sniff(col.substr(1, prefix_bytes), F.length(col).cast("long"))))

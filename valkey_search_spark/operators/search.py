@@ -26,10 +26,14 @@ from ..parser.ast import (
 from ..parser.filter_parser import parse_query
 from ..plans.predicate_translator import PredicateTranslator, QueryLimits
 
-# LIMIT counts at or above this are "fetch everything" (no real reply can
-# hold 1e9 rows): the engine skips the physical limit so the plan keeps
-# its parallelism instead of funneling through a single-partition exchange
-_UNBOUNDED_LIMIT = 1_000_000_000
+# cap applied when an explicitly-unbounded reply call (limit n = None)
+# still needs a physical limit for plan-shape reasons (see _finish).
+# NOT Int.MaxValue or adjacent: near the topKSortFallbackThreshold the
+# planner abandons TakeOrderedAndProject for a range-partitioned Sort
+# (and EliminateLimits drops Limit(Int.MaxValue) outright), re-exposing
+# the sort double-execution this cap exists to prevent — verified by the
+# observed-count test; 2e9 keeps the TakeOrderedAndProject shape
+_OBSERVED_LIMIT_CAP = 2_000_000_000
 
 
 @dataclass
@@ -261,7 +265,7 @@ class SearchEngine:
         index: str,
         query: str,
         params: dict | None = None,
-        limit: tuple[int, int] = (0, 10),
+        limit: tuple[int, int | None] = (0, 10),
         sortby: str | None = None,
         sortby_desc: bool = False,
         return_fields: list[ReturnField | str] | None = None,
@@ -278,6 +282,11 @@ class SearchEngine:
     ):
         """Returns a DataFrame (or an int when ``count_only`` — the
         LIMIT 0 0 shape, /root/reference/src/query/search.h:77-80).
+
+        ``limit=(offset, n)`` follows FT.SEARCH LIMIT; ``n=None`` means
+        explicitly unbounded ("give me every match") — the physical
+        limit is then omitted so the plan keeps its parallelism instead
+        of funneling through a single-partition exchange.
 
         ``dialect`` is accepted for API parity (the engine always speaks
         dialect-2 syntax). ``timeout_ms`` is ENFORCED on executing calls
@@ -337,7 +346,7 @@ class SearchEngine:
         index: str,
         query: str,
         params: dict | None = None,
-        limit: tuple[int, int] = (0, 10),
+        limit: tuple[int, int | None] = (0, 10),
         sortby: str | None = None,
         sortby_desc: bool = False,
         return_fields: list[ReturnField | str] | None = None,
@@ -517,26 +526,28 @@ class SearchEngine:
             # short-circuit the scan under a CollectMetrics observation
             df = df.orderBy(F.col("__key").asc())
 
-        ordered = (sortby is not None or parsed.knn is not None
-                   or force_order)
         off, n = limit
         if off:
             df = df.offset(off)
-        if ordered or off or n < _UNBOUNDED_LIMIT:
+        if n is None and force_order:
+            # an observed plan (ft_search_reply's pre-LIMIT total) needs a
+            # physical limit even when the caller asked for everything: an
+            # orderBy WITHOUT a limit becomes a range-partitioned Sort
+            # whose boundary-sampling pass re-executes the child,
+            # double-counting the CollectMetrics observation beneath
+            n = _OBSERVED_LIMIT_CAP
+        if n is not None:
             df = df.limit(n)
-        # else: on an ORDERLESS fetch-everything call the limit is a
-        # no-op that would compile to GlobalLimit -> Exchange
-        # SinglePartition, collapsing result parallelism for no semantic
-        # gain. Ordered plans MUST keep it: an orderBy without a limit
-        # becomes a range-partitioned Sort whose boundary-sampling pass
-        # re-executes the child, double-counting any CollectMetrics
-        # observation beneath (and re-running the filter).
+        # n=None (explicit "no limit"): skipping the physical limit keeps
+        # the result parallel — a numeric limit compiles to GlobalLimit
+        # over an Exchange SinglePartition, a serialization point that is
+        # pure overhead on a fetch-everything call
         return self._project(schema, df, return_fields, nocontent,
                              parsed.knn.score_alias() if parsed.knn else None,
                              sortkey_col=sortkey_col)
 
     def ft_search_reply(self, index: str, query: str, params: dict | None = None,
-                        limit: tuple[int, int] = (0, 10), **kw) -> list:
+                        limit: tuple[int, int | None] = (0, 10), **kw) -> list:
         """RESP-shaped FT.SEARCH reply ``[total, key, [f, v, ...], ...]``
         where ``total`` is the PRE-limit match count, computed in the SAME
         Spark job as the rows via a CollectMetrics observation — the
