@@ -559,13 +559,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # -- LLM-pipeline: multimodal REAL decode, oracle-checked ----------
     def q_multimodal(spark, sf_dir):
-        # deterministic 4x4 BMPs from doc_id arithmetic -> REAL vendored
-        # decoder (fake=False) -> per-channel means. The DuckDB oracle
-        # recomputes the means from the same pixel formula, so the row
-        # verifies the encode->BMP->decode->feature path value-for-value
-        # (pixel (p, c) = (doc_id*7 + (3p+c)*13) % 256).
+        # 2-form union over deterministic 4x4 BMPs from doc_id arithmetic
+        # (pixel (p, c) = (doc_id*7 + (3p+c)*13) % 256):
+        #  mean — REAL vendored decoder (fake=False) -> per-channel means;
+        #         the DuckDB oracle recomputes them from the pixel formula,
+        #         pinning the encode->BMP->decode->feature path
+        #  meta — header-sniffed [width, height, channels, payload_bytes]
+        #         via media_metadata (decode-free metadata extraction);
+        #         the oracle knows the generated geometry (4x4x3, 102 B),
+        #         so wrong header parsing breaks the value hash
         from valkey_search_spark.multimodal.codecs import encode_bmp
         from valkey_search_spark.multimodal.columns import image_features
+        from valkey_search_spark.multimodal.metadata import media_metadata
 
         docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
@@ -579,12 +584,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return ids.apply(go)
 
         media = docs.withColumn("image", make_bmp(F.col("doc_id")))
-        out = image_features(media, fake=False)
-        return out.select(
+        mean = image_features(media, fake=False).select(
             "doc_id",
             F.transform(F.col("img_mean"),
                         lambda x: F.round(x, 4) + F.lit(0.0)
-                        ).alias("img_mean"))
+                        ).alias("img_mean"),
+            F.lit("mean").alias("form"))
+        m = F.col("image_meta")
+        meta = media_metadata(media, "image").select(
+            "doc_id",
+            F.array(*[f.cast("double") + F.lit(0.0)
+                      for f in (m["width"], m["height"], m["channels"],
+                                m["payload_bytes"])]).alias("img_mean"),
+            F.lit("meta").alias("form"))
+        return mean.unionByName(meta)
 
     q["multimodal_image_features"] = q_multimodal
 
@@ -943,12 +956,17 @@ def oracle_sql() -> dict[str, str]:
         " FROM codes l JOIN codes r ON l.doc_id < r.doc_id"
         " WHERE bit_count(xor(l.code, r.code)) <= 6")
     # real-decode multimodal row: means recomputed from the pixel
-    # formula (see q_multimodal) — no decoding needed SQL-side
+    # formula (see q_multimodal) — no decoding needed SQL-side; the meta
+    # form pins the sniffed header geometry of the generated 4x4 BMPs
+    # (54-byte header + 4 rows x 12-byte stride = 102 bytes)
     o["multimodal_image_features"] = (
         "SELECT doc_id, list_transform(range(0,3), c ->"
         " round(list_sum(list_transform(range(0,16),"
         " p -> CAST((doc_id*7 + (3*p+c)*13) % 256 AS DOUBLE)))/16, 4)"
-        " + 0.0) AS img_mean FROM documents")
+        " + 0.0) AS img_mean, 'mean' AS form FROM documents"
+        " UNION ALL SELECT doc_id,"
+        " [4.0, 4.0, 3.0, 102.0] AS img_mean, 'meta' AS form"
+        " FROM documents")
     o["dedup_minhash_lsh"] = (
         "WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),"
         " grams AS (SELECT DISTINCT doc_id,"
