@@ -367,15 +367,18 @@ def knn_join_bucketed(queries: DataFrame, index: IVFIndex, k: int = 10,
                 q = q / qn
             d = 1.0 - q @ c.T
         kk = min(k, d.shape[1])
-        rows = []
-        for i, qid in enumerate(left[query_key].to_numpy()):
-            # (distance, key) lexsort: the global window tiebreaks on
-            # (distance, key), so the per-list cut must survive the same
-            # candidates — argpartition would drop distance-ties arbitrarily
-            idx = np.lexsort((ckeys, d[i]))[:kk]
-            for j in idx:
-                rows.append((qid, ckeys[j], float(d[i, j])))
-        return pd.DataFrame(rows, columns=cols)
+        # (distance, key) lexsort: the global window tiebreaks on
+        # (distance, key), so the per-list cut must survive the same
+        # candidates — argpartition would drop distance-ties arbitrarily.
+        # One vectorized 2-D lexsort (axis=1) replaces the per-query
+        # Python loop: rows are assembled with numpy fancy indexing.
+        order = np.lexsort(
+            (np.broadcast_to(ckeys, d.shape), d), axis=1)[:, :kk]
+        return pd.DataFrame({
+            query_key: np.repeat(left[query_key].to_numpy(), kk),
+            corpus_key: ckeys[order].ravel(),
+            "distance": np.take_along_axis(d, order, axis=1).ravel(),
+        }, columns=cols)
 
     cand = (probed.groupBy("__list")
             .cogroup(corpus.groupBy("__list"))
