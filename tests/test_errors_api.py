@@ -312,6 +312,19 @@ def test_create_limit_configurables(spark):
     assert "c_ok" in e.ft_list()
 
 
+def test_text_weight_pinned_to_one(spark):
+    """WEIGHT is a RediSearch-compat knob the reference accepts only at
+    1.0 (ft_create_parser.cc:528-531)."""
+    part = spark.read.parquet(f"{SF}/part.parquet")
+    e = SearchEngine(spark)
+    with pytest.raises(QuerySyntaxError, match="WEIGHT"):
+        e.ft_create("w1", part, [TextField("p_name", weight=2.0)],
+                    key_column="p_partkey")
+    e.ft_create("w_ok", part, [TextField("p_name", weight=1.0)],
+                key_column="p_partkey")
+    assert e.ft_search("w_ok", "widget", count_only=True) > 0
+
+
 def test_timeout_cancels_executing_search(spark):
     """TIMEOUT on an executing (count_only / reply) call cancels the job
     group and raises SearchTimeoutError; a generous budget succeeds."""

@@ -168,6 +168,9 @@ class TextField(FieldDef):
     # (SURVEY.md §2.2 "Text suffix"; the trie itself is physical — here the
     # flag only gates the query form)
     with_suffixtrie: bool = True
+    # WEIGHT: RediSearch-compat knob the reference accepts but pins to 1.0
+    # (ft_create_parser.cc:528-531 rejects any other value; ft.create.md:68)
+    weight: float = 1.0
 
     def derived(self, df: DataFrame) -> dict[str, Column]:
         toks = text_tokens_column(self.source(df).cast("string"),

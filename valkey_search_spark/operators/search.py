@@ -16,7 +16,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..catalog import Catalog, FieldDef, IndexSchema, NumericField, TagField, num_col, vec_col, VectorField
+from ..catalog import Catalog, FieldDef, IndexSchema, NumericField, TagField, TextField, num_col, vec_col, VectorField
 from ..errors import QuerySyntaxError
 from ..functions.distance import distance_column
 from ..parser.ast import (
@@ -112,6 +112,12 @@ class SearchEngine:
                 raise QuerySyntaxError(
                     f"A numeric field can have a maximum length of "
                     f"{lim.max_numeric_field_length}.")
+            if isinstance(f, TextField) and f.weight != 1.0:
+                # compat-only knob, pinned like the reference
+                # (ft_create_parser.cc:528-531)
+                raise QuerySyntaxError(
+                    "The `WEIGHT` clause with a value other than `1.0` is "
+                    "not supported.")
             if isinstance(f, VectorField) and not (
                     1 <= f.dim <= lim.max_vector_dimensions):
                 raise QuerySyntaxError(
