@@ -161,6 +161,26 @@ def test_sniff_mp3_xing_frame_count_and_id3_skip():
 def test_sniff_ogg_vorbis():
     m = sniff_media(_ogg_vorbis(22050, 1), 7)
     assert (m["format"], m["sample_rate"], m["channels"]) == ("ogg", 22050, 1)
+    assert m["duration_sec"] is None          # no closing page in prefix
+
+
+def _ogg_page(granule: int) -> bytes:
+    # OggS + version + header_type + granule(8 LE) + serial/seq/crc + nsegs
+    return (b"OggS" + b"\x00\x04" + struct.pack("<q", granule)
+            + b"\0" * 13)
+
+
+def test_sniff_ogg_duration_from_last_page_granule():
+    payload = _ogg_vorbis(22050, 1) + b"\0" * 50 + _ogg_page(44100)
+    m = sniff_media(payload[:64], len(payload), suffix=payload[-32:])
+    assert m["duration_sec"] == pytest.approx(44100 / 22050)
+    # opus granules tick at 48 kHz regardless of input rate
+    opus = (b"OggS" + b"\0" * 22 + b"OpusHead" + b"\x01" + bytes([2])
+            + b"\0\0" + struct.pack("<I", 16000) + b"\0" * 3
+            + _ogg_page(96000))
+    m = sniff_media(opus, len(opus), suffix=opus)
+    assert (m["sample_rate"], m["channels"]) == (16000, 2)
+    assert m["duration_sec"] == pytest.approx(2.0)
 
 
 def test_sniff_unknown_payload():
@@ -319,3 +339,16 @@ def test_media_metadata_prefix_bound(spark):
     assert m["payload_bytes"] == len(payload)
     r2 = media_metadata(df, "payload", prefix_bytes=65536).collect()[0]
     assert r2["payload_meta"]["width"] == 11
+
+
+def test_media_metadata_ogg_tail_slice(spark):
+    """Ogg duration comes from the LAST page granule, sliced JVM-side as
+    a bounded tail — the middle of the payload never crosses Arrow."""
+    payload = (_ogg_vorbis(44100, 2) + b"\0" * 20000 + _ogg_page(88200))
+    df = spark.createDataFrame([Row(id=1, payload=bytearray(payload))])
+    r = media_metadata(df, "payload", prefix_bytes=256,
+                       suffix_bytes=64).collect()[0]
+    m = r["payload_meta"]
+    assert (m["format"], m["sample_rate"], m["channels"]) == ("ogg", 44100, 2)
+    assert m["duration_sec"] == pytest.approx(2.0)
+    assert m["payload_bytes"] == len(payload)

@@ -235,25 +235,45 @@ def _sniff_mp3(p: bytes, total: int):
     return _aud("mp3")
 
 
-def _sniff_ogg(p: bytes):
+def _ogg_last_granule(suffix: bytes) -> int | None:
+    """Absolute granule position of the LAST Ogg page header found in the
+    payload tail — by spec the stream's total sample count (Vorbis) or
+    48 kHz-unit count (Opus)."""
+    i = suffix.rfind(b"OggS")
+    while i >= 0:
+        if i + 14 <= len(suffix):
+            (granule,) = struct.unpack_from("<q", suffix, i + 6)
+            if granule >= 0:
+                return granule
+        i = suffix.rfind(b"OggS", 0, i)
+    return None
+
+
+def _sniff_ogg(p: bytes, suffix: bytes):
+    granule = _ogg_last_granule(suffix)
     i = p.find(b"\x01vorbis")
     if i >= 0 and i + 16 <= len(p):
         ch = p[i + 11]
         (rate,) = struct.unpack_from("<I", p, i + 12)
-        return _aud("ogg", rate or None, ch or None, None, None)
+        dur = granule / rate if granule and rate else None
+        return _aud("ogg", rate or None, ch or None, None, dur)
     i = p.find(b"OpusHead")
     if i >= 0 and i + 16 <= len(p):
         ch = p[i + 9]
         (rate,) = struct.unpack_from("<I", p, i + 12)
-        return _aud("ogg", rate or None, ch or None, None, None)
+        # Opus granules tick at 48 kHz regardless of the input rate
+        dur = granule / 48000.0 if granule else None
+        return _aud("ogg", rate or None, ch or None, None, dur)
     return _aud("ogg")
 
 
 # ---------------------------------------------------------------------------
-def sniff_media(prefix: bytes, total_len: int) -> dict:
+def sniff_media(prefix: bytes, total_len: int, suffix: bytes = b"") -> dict:
     """Classify a payload from its header prefix and pull the cheap
     metadata out. Returns a dict matching MEDIA_META_FIELDS; ``format``
-    is None for unrecognized payloads."""
+    is None for unrecognized payloads. ``suffix`` is an optional bounded
+    tail slice — container formats that keep stream totals at the END
+    (Ogg's last-page granule position) get their duration from it."""
     p = prefix
     out = dict(_EMPTY)
     if len(p) >= 2 and p[:2] == b"BM":
@@ -271,7 +291,7 @@ def sniff_media(prefix: bytes, total_len: int) -> dict:
     elif p[:4] == b"fLaC":
         out = _sniff_flac(p)
     elif p[:4] == b"OggS":
-        out = _sniff_ogg(p)
+        out = _sniff_ogg(p, suffix if suffix else p)
     elif p[:3] == b"ID3" or (len(p) >= 2 and p[0] == 0xFF
                              and (p[1] & 0xE0) == 0xE0):
         out = _sniff_mp3(p, total_len)
@@ -280,30 +300,41 @@ def sniff_media(prefix: bytes, total_len: int) -> dict:
 
 
 def media_metadata(df: DataFrame, binary_col: str = "payload",
-                   prefix_bytes: int = 65536) -> DataFrame:
+                   prefix_bytes: int = 65536,
+                   suffix_bytes: int = 4096) -> DataFrame:
     """Attach a ``<binary_col>_meta`` struct by sniffing container
     headers — no decode, no full-payload transfer.
 
     Scale shape: the JVM computes ``length(payload)`` and slices the
-    first ``prefix_bytes`` BEFORE the Arrow boundary, so the Python
-    sniffer receives a bounded prefix per row regardless of payload
-    size; the full binary column never leaves the JVM. Dimension fields
-    whose header lies past the prefix (e.g. a JPEG SOF behind >64 KiB of
-    EXIF) come back null — raise ``prefix_bytes`` for such corpora."""
+    first ``prefix_bytes`` plus the last ``suffix_bytes`` BEFORE the
+    Arrow boundary, so the Python sniffer receives a bounded slice per
+    row regardless of payload size; the full binary column never leaves
+    the JVM. The tail slice serves formats that keep stream totals at
+    the end (Ogg's last-page granule). Dimension fields whose header
+    lies past the prefix (e.g. a JPEG SOF behind >64 KiB of EXIF) come
+    back null — raise ``prefix_bytes`` for such corpora."""
     meta_t = T.StructType(MEDIA_META_FIELDS)
 
     @F.pandas_udf(meta_t)
-    def sniff(prefixes: pd.Series, lengths: pd.Series) -> pd.DataFrame:
+    def sniff(prefixes: pd.Series, lengths: pd.Series,
+              suffixes: pd.Series) -> pd.DataFrame:
         rows = []
-        for p, ln in zip(prefixes, lengths):
+        for p, ln, sfx in zip(prefixes, lengths, suffixes):
             if p is None:
                 rows.append(dict(_EMPTY))
             else:
-                rows.append(sniff_media(bytes(p), int(ln)))
+                rows.append(sniff_media(
+                    bytes(p), int(ln), b"" if sfx is None else bytes(sfx)))
         return pd.DataFrame(rows, columns=[f.name for f in meta_t.fields])
 
     col = F.col(binary_col)
+    # substr with negative start reads from the end; clamp so the suffix
+    # never starts before byte 1 on short payloads (which would wrap)
+    tail = F.substring(
+        col, F.greatest(F.length(col) - suffix_bytes + 1, F.lit(1)),
+        F.lit(suffix_bytes))
     return df.withColumn(
         f"{binary_col}_meta",
         F.when(col.isNull(), F.lit(None).cast(meta_t)).otherwise(
-            sniff(col.substr(1, prefix_bytes), F.length(col).cast("long"))))
+            sniff(col.substr(1, prefix_bytes),
+                  F.length(col).cast("long"), tail)))
