@@ -603,10 +603,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # -- LLM-pipeline: text analysis ------------------------------------
     def q_text_analysis(spark, sf_dir):
+        # + the Gopher-style repetition signal (max-coverage 2-gram char
+        # fraction) from the corpus-hygiene module, same oracle row
+        from valkey_search_spark.operators.contamination import (
+            repetition_stats,
+        )
+
         docs = load_table(spark, sf_dir, "documents")
-        return tx.analyze_documents(docs).select(
+        out = repetition_stats(tx.analyze_documents(docs))
+        return out.select(
             "doc_id", "token_count", "stopword_ratio", "quality_score",
-            "lang_id", "fingerprint")
+            "lang_id", "fingerprint",
+            _r(F.col("top_2gram_char_frac"), 6).alias("rep2_frac"))
 
     q["text_analysis"] = q_text_analysis
 
@@ -998,6 +1006,19 @@ def oracle_sql() -> dict[str, str]:
         f" WHEN {ratios['de']} > GREATEST(0.02, {ratios['en']}) THEN 'de'"
         f" WHEN {ratios['en']} > 0.02 THEN 'en'"
         " ELSE 'und' END")
+    # max-coverage 2-gram char fraction (deterministic Gopher-style
+    # repetition signal — see contamination.repetition_stats)
+    rep2_sql = (
+        "ROUND(CASE WHEN len(string_split(text,' ')) >= 2 AND length(text) > 0"
+        " THEN CAST(list_max(list_transform(list_distinct("
+        "   list_transform(range(1, len(string_split(text,' '))),"
+        "     i -> string_split(text,' ')[i] || ' ' ||"
+        "          string_split(text,' ')[i+1])),"
+        "  g -> len(list_filter("
+        "   list_transform(range(1, len(string_split(text,' '))),"
+        "     i -> string_split(text,' ')[i] || ' ' ||"
+        "          string_split(text,' ')[i+1]), x -> x = g)) * length(g)))"
+        " AS DOUBLE) / length(text) ELSE 0.0 END, 6) + 0.0")
     o["text_analysis"] = (
         f"SELECT doc_id, CAST({n_sql} AS BIGINT) AS token_count,"
         f" ROUND({sw_sql}, 6) AS stopword_ratio,"
@@ -1005,7 +1026,8 @@ def oracle_sql() -> dict[str, str]:
         f"  CASE WHEN {alen_sql} BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)/3,"
         " 6) AS quality_score,"
         f" {lang_case} AS lang_id,"
-        " md5(text) AS fingerprint"
+        " md5(text) AS fingerprint,"
+        f" {rep2_sql} AS rep2_frac"
         " FROM documents")
     o["curation_quality_dedup"] = (
         "WITH a AS (SELECT doc_id, md5(text) AS fp,"

@@ -1,0 +1,111 @@
+"""Tests for decontamination, PII redaction, and repetition stats.
+
+Independence: expected values are computed by scalar Python re-implementations
+in this file (regex via the stdlib ``re`` module, n-gram sets via plain
+set algebra), not by the Spark expressions under test.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from valkey_search_spark.operators.contamination import (
+    PII_PATTERNS, ngram_decontaminate, redact_pii, repetition_stats,
+)
+
+WORDS = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         "lambda mu nu xi omicron pi rho sigma tau upsilon")
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    # doc 1 contains benchmark text verbatim (13+ shared tokens);
+    # doc 2 shares only a short window (< n); doc 3 is disjoint
+    train = spark.createDataFrame([
+        Row(doc_id=1, text="intro words " + WORDS + " trailing tail"),
+        Row(doc_id=2, text="alpha beta gamma delta unrelated filler "
+                           "one two three four five six seven eight"),
+        Row(doc_id=3, text="completely different content with no overlap "
+                           "whatsoever in any window of tokens at all"),
+    ])
+    bench = spark.createDataFrame([Row(doc_id=100, text=WORDS)])
+    return train, bench
+
+
+def test_ngram_decontaminate_flags_only_real_leaks(corpora):
+    train, bench = corpora
+    out = {r["doc_id"]: r for r in
+           ngram_decontaminate(train, bench, n=13).collect()}
+    assert out[1]["contaminated"] and out[1]["leaked_ngrams"] > 0
+    assert not out[2]["contaminated"] and out[2]["leaked_ngrams"] == 0
+    assert not out[3]["contaminated"]
+    # independent count: sliding 13-gram set intersection on doc 1
+    t1 = ("intro words " + WORDS + " trailing tail").split()
+    b = WORDS.split()
+    tg = {" ".join(t1[i:i + 13]) for i in range(len(t1) - 12)}
+    bgr = {" ".join(b[i:i + 13]) for i in range(len(b) - 12)}
+    assert out[1]["leaked_ngrams"] == len(tg & bgr)
+
+
+def test_ngram_decontaminate_shuffle_fallback_matches(corpora):
+    train, bench = corpora
+    a = sorted(map(tuple, ngram_decontaminate(train, bench, n=13).collect()))
+    via_shuffle = ngram_decontaminate(train, bench, n=13,
+                                      broadcast_benchmark=False)
+    assert sorted(map(tuple, via_shuffle.collect())) == a
+
+
+def test_redact_pii_counts_and_scrubs(spark):
+    text = ("contact john.doe+spam@example.co.uk or 555-123-4567; "
+            "server at 10.0.0.1, ssn 123-45-6789, no pii here: foo@bar")
+    df = spark.createDataFrame([Row(doc_id=1, text=text)])
+    r = redact_pii(df).collect()[0]
+    # independent counts via stdlib re on the same published patterns
+    for kind, pat in PII_PATTERNS.items():
+        assert r[f"pii_{kind}_count"] == len(re.findall(pat, text)), kind
+    red = r["text_redacted"]
+    assert "john.doe" not in red and "4567" not in red
+    assert "10.0.0.1" not in red and "123-45-6789" not in red
+    assert red.count("[REDACTED]") >= 4
+    assert "foo@bar" in red          # not an email (no TLD) — untouched
+
+
+def test_redact_pii_null_and_clean_rows(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="clean text only"),
+                                Row(doc_id=2, text=None)])
+    rows = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert rows[1]["pii_email_count"] == 0
+    assert rows[1]["text_redacted"] == "clean text only"
+    assert rows[2]["text_redacted"] is None
+    assert rows[2]["pii_email_count"] == 0
+
+
+def _dup_frac(parts):
+    parts = [p for p in parts if p.strip()]
+    return 0.0 if not parts else (len(parts) - len(set(parts))) / len(parts)
+
+
+def test_repetition_stats_match_scalar_reference(spark):
+    texts = [
+        "line a\nline b\nline a\nline c",                  # 1 dup of 4
+        "para one\n\npara two\n\npara one",                # 1 dup of 3
+        "spam spam spam spam spam ham",                    # heavy 2-gram
+        "all tokens unique here now",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    for i, t in enumerate(texts):
+        assert rows[i]["dup_line_frac"] == pytest.approx(
+            _dup_frac(t.split("\n"))), f"doc {i} lines"
+        assert rows[i]["dup_para_frac"] == pytest.approx(
+            _dup_frac(re.split(r"\n\s*\n", t))), f"doc {i} paras"
+    # scalar max-coverage 2-gram: max over grams of count(g)*len(g)
+    t = texts[2]
+    toks = t.split()
+    grams = [" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)]
+    expect = max(grams.count(g) * len(g) for g in set(grams)) / len(t)
+    assert rows[2]["top_2gram_char_frac"] == pytest.approx(expect, abs=1e-6)
+    assert rows[4]["top_2gram_char_frac"] == 0.0

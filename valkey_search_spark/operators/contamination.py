@@ -1,0 +1,151 @@
+"""Benchmark decontamination, PII redaction, and repetition filtering —
+the standard corpus-hygiene passes of a large-scale training pipeline.
+
+Beyond-reference surface (SURVEY.md §2.10). All three operators are
+pure JVM expressions/joins; none moves a payload through Python.
+
+- ``ngram_decontaminate``: flag training documents sharing any word
+  n-gram (default 13, the common decontamination window) with a held-out
+  benchmark corpus. Scale shape: the BENCHMARK side is the small one —
+  its distinct grams broadcast; the training side streams through one
+  semi-join, no shuffle of the training grams when the broadcast fits.
+- ``redact_pii``: C4-style regex scrubbing (emails, phone numbers,
+  IPv4s, SSN-shaped ids) with per-category match counts, all
+  ``regexp_replace``/``regexp_count`` inside codegen.
+- ``repetition_stats``: Gopher-style within-document repetition ratios
+  (duplicate line fraction, duplicate paragraph fraction, top-2-gram
+  character fraction) used as quality gates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.analysis import raw_tokens_column
+
+
+# ---------------------------------------------------------------------------
+def _gram_set(df: DataFrame, key: str, text_col: str, n: int,
+              out_key: str) -> DataFrame:
+    toks = raw_tokens_column(F.col(text_col))
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(1)))
+    grams = F.when(cnt >= n, F.array_distinct(
+        F.transform(idx, lambda i: F.xxhash64(
+            F.array_join(F.slice(toks, i, n), " ")))))
+    return (df.select(F.col(key).alias(out_key), grams.alias("__grams"))
+              .where(F.col("__grams").isNotNull())
+              .select(out_key, F.explode("__grams").alias("__gram")))
+
+
+def ngram_decontaminate(train: DataFrame, benchmark: DataFrame,
+                        key: str = "doc_id", text_col: str = "text",
+                        benchmark_key: str = "doc_id",
+                        benchmark_text_col: str = "text",
+                        n: int = 13,
+                        broadcast_benchmark: bool = True) -> DataFrame:
+    """Flag training docs that share any word ``n``-gram with the
+    benchmark corpus (the standard train/test-contamination check).
+
+    Returns the training keys + ``contaminated`` flag + the number of
+    distinct leaked grams (``leaked_ngrams``). Grams compare by xxhash64
+    of the space-joined window (64-bit collisions are the usual accepted
+    false-positive rate). The benchmark gram set is deduplicated and —
+    being the small side by construction — broadcast into one semi-join,
+    so the training corpus is never shuffled on the gram; pass
+    ``broadcast_benchmark=False`` for an oversized benchmark to fall
+    back to a shuffle equi-join (AQE handles gram skew)."""
+    tg = _gram_set(train, key, text_col, n, "__tk")
+    bg = (_gram_set(benchmark, benchmark_key, benchmark_text_col, n, "__bk")
+          .select("__gram").distinct())
+    if broadcast_benchmark:
+        bg = F.broadcast(bg)
+    leaks = (tg.join(bg, "__gram")
+               .groupBy("__tk")
+               .agg(F.count_distinct("__gram").alias("leaked_ngrams")))
+    keys = train.select(F.col(key).alias("__tk")).distinct()
+    return (keys.join(leaks, "__tk", "left")
+                .select(F.col("__tk").alias(key),
+                        F.coalesce(F.col("leaked_ngrams"),
+                                   F.lit(0)).alias("leaked_ngrams"),
+                        (F.coalesce(F.col("leaked_ngrams"), F.lit(0)) > 0
+                         ).alias("contaminated")))
+
+
+# ---------------------------------------------------------------------------
+# PII patterns (RE2-safe: no lookaround). Published/standard shapes:
+# emails, international-ish phone numbers, dotted-quad IPv4, SSN-style.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d{0,3}[-. (]{0,2}\d{3}[-. )]{0,2}\d{3}[-. ]\d{4}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               patterns: dict[str, str] | None = None,
+               replacement: str = "[REDACTED]") -> DataFrame:
+    """Scrub PII shapes from ``text_col`` (C4-style hygiene pass).
+
+    Adds ``<text_col>_redacted`` plus one ``pii_<kind>_count`` column per
+    pattern. All regexp work is JVM-side whole-stage codegen — at 100 TB
+    this is a single map-only scan, no shuffle, no Python."""
+    pats = patterns or PII_PATTERNS
+    out = df
+    red = F.col(text_col)
+    for kind, pat in pats.items():
+        out = out.withColumn(
+            f"pii_{kind}_count",
+            F.coalesce(F.regexp_count(F.col(text_col), F.lit(pat)),
+                       F.lit(0)))
+        red = F.regexp_replace(red, pat, replacement)
+    return out.withColumn(f"{text_col}_redacted", red)
+
+
+# ---------------------------------------------------------------------------
+def _dup_fraction(parts: Column) -> Column:
+    """Fraction of non-empty segments that are duplicates of an earlier
+    segment (count - distinct) / count."""
+    nonempty = F.filter(parts, lambda x: F.trim(x) != "")
+    n = F.size(nonempty)
+    return F.when(
+        n > 0,
+        (n - F.size(F.array_distinct(nonempty))).cast("double") / n
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals:
+
+    - ``dup_line_frac`` / ``dup_para_frac``: fraction of duplicate lines
+      (split on newline) and paragraphs (split on blank line)
+    - ``top_2gram_char_frac``: the Gopher top-n-gram rule as a
+      deterministic max-coverage form — the highest value of
+      (occurrences x gram length) over all word 2-grams, as a fraction
+      of the text's characters. (Choosing "the most frequent gram" is
+      ambiguous under count ties with different-length grams; taking the
+      max of the product makes the statistic total-order-free and
+      portable to the SQL oracle.)
+
+    One map-only scan, all array expressions."""
+    text = F.col(text_col)
+    toks = raw_tokens_column(text)
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(cnt - 1, F.lit(1)))
+    grams = F.when(cnt >= 2,
+                   F.transform(idx, lambda i: F.array_join(
+                       F.slice(toks, i, 2), " ")))
+    best_cover = F.when(grams.isNotNull(), F.array_max(
+        F.transform(F.array_distinct(grams),
+                    lambda g: F.size(F.filter(grams, lambda x: x == g))
+                    * F.length(g))))
+    top_frac = F.when(
+        (cnt >= 2) & (F.length(text) > 0),
+        best_cover.cast("double") / F.length(text)
+    ).otherwise(F.lit(0.0))
+    return df.withColumns({
+        "dup_line_frac": _dup_fraction(F.split(text, "\n")),
+        "dup_para_frac": _dup_fraction(F.split(text, "\n\\s*\n")),
+        "top_2gram_char_frac": F.round(top_frac, 6),
+    })
