@@ -610,7 +610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         docs = load_table(spark, sf_dir, "documents")
-        out = repetition_stats(tx.analyze_documents(docs))
+        out = repetition_stats(tx.analyze_documents(docs, keep_tokens=True),
+                               tokens_col="__toks")
         return out.select(
             "doc_id", "token_count", "stopword_ratio", "quality_score",
             "lang_id", "fingerprint",

@@ -27,15 +27,24 @@ from ..functions.analysis import raw_tokens_column
 # ---------------------------------------------------------------------------
 def _gram_set(df: DataFrame, key: str, text_col: str, n: int,
               out_key: str) -> DataFrame:
-    toks = raw_tokens_column(F.col(text_col))
+    # stage the token arrays through an exchange FIRST: expressions
+    # captured inside array lambdas are re-evaluated per element (no
+    # CSE), so slicing a raw tokenizer expression would re-run the regex
+    # once per gram per row; after the repartition `__toks` is a cheap
+    # attribute (same pattern as dedup._staged_tokens)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    staged = (df.select(F.col(key).alias(out_key),
+                        raw_tokens_column(F.col(text_col)).alias("__toks"))
+                .repartition(target))
+    toks = F.col("__toks")
     cnt = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(1)))
     grams = F.when(cnt >= n, F.array_distinct(
         F.transform(idx, lambda i: F.xxhash64(
             F.array_join(F.slice(toks, i, n), " ")))))
-    return (df.select(F.col(key).alias(out_key), grams.alias("__grams"))
-              .where(F.col("__grams").isNotNull())
-              .select(out_key, F.explode("__grams").alias("__gram")))
+    return (staged.select(out_key, grams.alias("__grams"))
+                  .where(F.col("__grams").isNotNull())
+                  .select(out_key, F.explode("__grams").alias("__gram")))
 
 
 def ngram_decontaminate(train: DataFrame, benchmark: DataFrame,
@@ -115,7 +124,8 @@ def _dup_fraction(parts: Column) -> Column:
     ).otherwise(F.lit(0.0))
 
 
-def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     tokens_col: str | None = None) -> DataFrame:
     """Gopher-style repetition quality signals:
 
     - ``dup_line_frac`` / ``dup_para_frac``: fraction of duplicate lines
@@ -128,18 +138,42 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
       max of the product makes the statistic total-order-free and
       portable to the SQL oracle.)
 
-    One map-only scan, all array expressions."""
+    One map-only scan, all array expressions. Two expression-plumbing
+    rules keep it fast (measured 40x between them on this operator):
+    the tokenizer stages through a NAMED column (CollapseProject keeps a
+    non-cheap alias referenced more than once, so the regex runs once
+    per row), and the 2-grams build with zip_with(tokens, tail) whose
+    lambda touches only its own variables — expressions captured inside
+    array lambdas are re-evaluated per element, never CSE'd.
+
+    ``tokens_col`` names an already-materialized token array (e.g. the
+    one a composed analysis pass staged) to skip the second tokenize."""
     text = F.col(text_col)
-    toks = raw_tokens_column(text)
+    if tokens_col is None:
+        df = df.withColumn("__rt", raw_tokens_column(text))
+        toks = F.col("__rt")
+    else:
+        toks = F.col(tokens_col)
     cnt = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(cnt - 1, F.lit(1)))
-    grams = F.when(cnt >= 2,
-                   F.transform(idx, lambda i: F.array_join(
-                       F.slice(toks, i, 2), " ")))
-    best_cover = F.when(grams.isNotNull(), F.array_max(
-        F.transform(F.array_distinct(grams),
-                    lambda g: F.size(F.filter(grams, lambda x: x == g))
-                    * F.length(g))))
+    grams = F.when(cnt >= 2, F.zip_with(
+        F.slice(toks, 1, cnt - 1), F.slice(toks, 2, cnt - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b)))
+    # occurrence counting via sort + one aggregate fold over equal-runs
+    # (state: previous gram, current run length, best coverage) — the
+    # fold's lambdas also reference only lambda variables.
+    best_cover = F.aggregate(
+        F.array_sort(grams),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best")),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+             .alias("run"),
+            F.greatest(
+                acc["best"],
+                (F.when(g == acc["prev"], acc["run"] + 1)
+                  .otherwise(F.lit(1))) * F.length(g)).alias("best")),
+        lambda acc: acc["best"])
     top_frac = F.when(
         (cnt >= 2) & (F.length(text) > 0),
         best_cover.cast("double") / F.length(text)
@@ -148,4 +182,4 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         "dup_line_frac": _dup_fraction(F.split(text, "\n")),
         "dup_para_frac": _dup_fraction(F.split(text, "\n\\s*\n")),
         "top_2gram_char_frac": F.round(top_frac, 6),
-    })
+    }).drop("__rt")

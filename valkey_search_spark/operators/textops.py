@@ -116,7 +116,8 @@ def bpe_piece_count_col(text: Column) -> Column:
     return F.size(F.filter(pieces, lambda p: F.trim(p) != "")).cast("long")
 
 
-def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+def analyze_documents(df: DataFrame, text_col: str = "text",
+                      keep_tokens: bool = False) -> DataFrame:
     """One-pass document analysis: adds token_count, stopword_ratio,
     quality_score, lang_id, fingerprint columns.
 
@@ -152,10 +153,13 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     sw_term = F.least(sw * 4.0, F.lit(1.0))
     alen_term = F.when((alen >= 3.0) & (alen <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
 
-    return staged.withColumns({
+    out = staged.withColumns({
         "token_count": n.cast("long"),
         "stopword_ratio": F.round(sw, 6),
         "quality_score": F.round((len_term + sw_term + alen_term) / 3.0, 6),
         "lang_id": best_lang,
         "fingerprint": F.md5(F.array_join(toks, " ")),
-    }).drop("__toks")
+    })
+    # keep_tokens: composed passes (e.g. repetition_stats) reuse the
+    # staged array instead of paying a second tokenizer scan
+    return out if keep_tokens else out.drop("__toks")
