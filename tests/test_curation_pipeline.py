@@ -58,6 +58,24 @@ def test_language_gate(spark):
     assert langs == {"en"}
 
 
+def test_repetition_gate(spark):
+    """max_rep2_frac drops exactly the docs whose max-coverage 2-gram
+    fraction exceeds the bound (signal verified against the standalone
+    repetition_stats operator)."""
+    from valkey_search_spark.operators.contamination import repetition_stats
+
+    docs = load_table(spark, SF, "documents")
+    cfg = CurationConfig(min_quality=0.0, min_tokens=1,
+                         near_dup_threshold=None, max_rep2_frac=0.05)
+    clean, funnel = curate_documents(docs, config=cfg)
+    stats = repetition_stats(docs)
+    want = stats.where(F.col("top_2gram_char_frac") <= 0.05).count()
+    assert funnel["quality_gate"] == want
+    assert 0 < funnel["quality_gate"] < funnel["input"]
+    # the signal column rides along on the clean frame
+    assert "top_2gram_char_frac" in clean.columns
+
+
 def test_pipeline_is_lazy_without_funnel(spark):
     """with_funnel=False must trigger ZERO Spark jobs — the composed
     pipeline is one plan, and the caller's consumption is the only

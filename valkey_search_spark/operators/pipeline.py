@@ -27,6 +27,10 @@ class CurationConfig:
     near_dup_threshold: float = 0.85             # jaccard; None disables
     minhash_hashes: int = 32
     minhash_bands: int = 8
+    # Gopher-style repetition gates (contamination.repetition_stats);
+    # None disables the gate AND skips computing the signal entirely
+    max_rep2_frac: float | None = None           # max-coverage 2-gram frac
+    max_dup_line_frac: float | None = None       # duplicate-line fraction
     extra: dict = dc_field(default_factory=dict)
 
 
@@ -47,11 +51,23 @@ def curate_documents(df: DataFrame, key: str = "doc_id",
     cfg = config or CurationConfig()
     from pyspark.sql.window import Window
 
-    analyzed = analyze_documents(df, text_col)
+    rep_gates = (cfg.max_rep2_frac is not None
+                 or cfg.max_dup_line_frac is not None)
+    analyzed = analyze_documents(df, text_col, keep_tokens=rep_gates)
+    if rep_gates:
+        from .contamination import repetition_stats
+
+        # reuse the staged token array — no second tokenizer scan
+        analyzed = repetition_stats(analyzed, text_col,
+                                    tokens_col="__toks").drop("__toks")
     gate = (F.col("quality_score") >= cfg.min_quality) & \
            (F.col("token_count") >= cfg.min_tokens)
     if cfg.languages:
         gate = gate & F.col("lang_id").isin(*cfg.languages)
+    if cfg.max_rep2_frac is not None:
+        gate = gate & (F.col("top_2gram_char_frac") <= cfg.max_rep2_frac)
+    if cfg.max_dup_line_frac is not None:
+        gate = gate & (F.col("dup_line_frac") <= cfg.max_dup_line_frac)
     flagged = analyzed.withColumn("__gate", F.coalesce(gate, F.lit(False)))
 
     # exact dedup: the min-key GATED row per fingerprint is the
