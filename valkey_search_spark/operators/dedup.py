@@ -117,7 +117,14 @@ def _shingles_of(toks, n: int):
 
 
 def _word_shingles(text_col, n: int = 3):
-    """array<string> of word n-grams of the token stream."""
+    """array<string> of word n-grams of the token stream.
+
+    PERFORMANCE: pass a MATERIALIZED token/text column, not a nested
+    expression — the slice inside the transform lambda re-evaluates the
+    captured expression per element (no CSE inside array lambdas). The
+    production paths stage tokens through an exchange first
+    (`_staged_tokens`); this raw-text form exists for small/ad-hoc
+    frames."""
     toks = raw_tokens_column(text_col)
     cnt = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(1)))
@@ -200,22 +207,26 @@ def minhash_lsh_pairs(
 
     # candidate generation on (k, band, bucket) ONLY — never carry the
     # shingle arrays through the banded self-join shuffle (at 50k+ docs
-    # that would duplicate every document's gram set 2×bands× per match)
-    banded = base.select(
-        "k",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.array_join(
-                        F.transform(F.slice(sig, b * rows + 1, rows),
-                                    lambda h: h.cast("string")), ",")).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("k", F.col("bb.band").alias("band"),
-             F.col("bb.bucket").alias("bucket")).persist()
+    # that would duplicate every document's gram set 2×bands× per match).
+    # Plumbing: the signature computes ONCE per document in the
+    # projection BENEATH the explode and rides through as an attribute;
+    # the generator child is a cheap integer sequence. (Exploding an
+    # array whose elements reference `sig` would re-evaluate the full
+    # 32-minhash signature per band twice over — Generate re-evaluates
+    # a computed child array per output element, and lambda-captured
+    # expressions re-evaluate per element; measured ~5x on this build.)
+    banded = (base
+              .select("k", sig.alias("__sig"),
+                      F.explode(F.sequence(F.lit(0), F.lit(bands - 1))
+                                ).alias("band"))
+              .select("k", "band",
+                      F.xxhash64(F.array_join(
+                          F.transform(
+                              F.slice(F.col("__sig"),
+                                      F.col("band") * rows + 1, rows),
+                              lambda h: h.cast("string")),
+                          ",")).alias("bucket"))
+              .persist())
 
     cand = (
         banded.alias("l").join(banded.alias("r"), on=["band", "bucket"])
@@ -258,10 +269,21 @@ def ngram_jaccard_pairs(
     stop-grams is missed — at realistic thresholds near-dup pairs share
     many grams and virtually always a rare one."""
     if stop_gram_df is None:
-        grams = _staged_tokens(df, key, text_col).select(
-            "k",
-            F.explode(_shingles_of(F.col("__toks"), shingle_n)).alias("g"),
-        )
+        # gram rows via posexplode over the staged ATTRIBUTE array +
+        # per-position slice: Generate re-evaluates a COMPUTED child
+        # array once per output element, so exploding a built-grams
+        # array is O(windows^2) per document — harmless on short test
+        # docs, catastrophic on real ones. dropDuplicates restores the
+        # per-document set semantics the Jaccard needs.
+        staged = _staged_tokens(df, key, text_col)
+        toks = F.col("__toks")
+        grams = (staged.select("k", "__toks",
+                               F.posexplode("__toks").alias("__i", "__t"))
+                 .where(F.col("__i") <= F.size(toks) - shingle_n)
+                 .select("k", F.array_join(
+                     F.slice(toks, F.col("__i") + 1, shingle_n),
+                     " ").alias("g"))
+                 .dropDuplicates(["k", "g"]))
         sizes = grams.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
         shared = (
             grams.alias("l").join(grams.alias("r"), on="g")

@@ -85,7 +85,11 @@ def fingerprint_col(text: Column) -> Column:
 
 def rolling_hash_col(text: Column, window: int = 8) -> Column:
     """Winnowing-style rolling fingerprint: min xxhash64 over token
-    n-gram windows. Not SQL-oracle-expressible; rows-only checked."""
+    n-gram windows. Not SQL-oracle-expressible; rows-only checked.
+
+    PERFORMANCE: pass a cheap column (attribute), not a nested
+    expression — the slice inside the transform lambda re-evaluates its
+    captured input per element (no CSE inside array lambdas)."""
     toks = raw_tokens_column(text)
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
