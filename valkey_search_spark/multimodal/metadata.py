@@ -291,7 +291,11 @@ def sniff_media(prefix: bytes, total_len: int, suffix: bytes = b"") -> dict:
     elif p[:4] == b"fLaC":
         out = _sniff_flac(p)
     elif p[:4] == b"OggS":
-        out = _sniff_ogg(p, suffix if suffix else p)
+        # the prefix doubles as the tail ONLY when it covers the whole
+        # payload — a mid-stream page granule from a truncated prefix
+        # would report a confidently wrong (tiny) duration
+        tail = suffix if suffix else (p if total_len <= len(p) else b"")
+        out = _sniff_ogg(p, tail)
     elif p[:3] == b"ID3" or (len(p) >= 2 and p[0] == 0xFF
                              and (p[1] & 0xE0) == 0xE0):
         out = _sniff_mp3(p, total_len)

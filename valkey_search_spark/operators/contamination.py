@@ -27,28 +27,20 @@ from ..functions.analysis import raw_tokens_column
 # ---------------------------------------------------------------------------
 def _gram_set(df: DataFrame, key: str, text_col: str, n: int,
               out_key: str) -> DataFrame:
-    """(key, gram-hash) rows, one per n-gram window occurrence.
+    """(key, gram-hash) rows, one per DISTINCT (document, n-gram).
 
-    Expression plumbing, both measured ~40x on this operator: the token
-    arrays stage through an exchange (expressions captured inside array
-    lambdas re-evaluate per element — the regex tokenizer must be an
-    attribute before any lambda slices it), and the EXPLODE runs over
-    that attribute array via posexplode — Generate re-evaluates a
-    COMPUTED child array once per output element, so exploding a
-    built-grams array is O(windows^2) per document; slicing the carried
-    attribute per exploded position is O(windows x n)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    staged = (df.select(F.col(key).alias(out_key),
-                        raw_tokens_column(F.col(text_col)).alias("__toks"))
-                .repartition(target))
-    toks = F.col("__toks")
-    positions = staged.select(
-        out_key, "__toks",
-        F.posexplode("__toks").alias("__i", "__t"))
-    gram = F.array_join(F.slice(toks, F.col("__i") + 1, n), " ")
-    return (positions
-            .where(F.col("__i") <= F.size(toks) - n)
-            .select(out_key, F.xxhash64(gram).alias("__gram")))
+    Built on dedup's shared explode-safe gram-row helper (staged token
+    attribute + posexplode/slice — see ``dedup._gram_rows`` for the
+    expression-plumbing rules). The per-document dedup bounds the
+    containment join's shuffle at one row per distinct (doc, gram):
+    repetitive documents would otherwise multiply every leaked gram by
+    its occurrence count through the join."""
+    from .dedup import _gram_rows
+
+    return (_gram_rows(df, key, text_col, n)
+            .dropDuplicates(["k", "g"])
+            .select(F.col("k").alias(out_key),
+                    F.xxhash64("g").alias("__gram")))
 
 
 def ngram_decontaminate(train: DataFrame, benchmark: DataFrame,

@@ -109,6 +109,22 @@ def _staged_tokens(df: DataFrame, key: str, text_col: str) -> DataFrame:
     return out.repartition(target)
 
 
+def _gram_rows(df: DataFrame, key: str, text_col: str, n: int) -> DataFrame:
+    """(k, g) rows, one per word n-gram window occurrence, built
+    explode-safely: posexplode runs over the staged ATTRIBUTE token
+    array and each gram derives from a per-position slice. Exploding a
+    BUILT grams array instead would cost O(windows^2) per document —
+    Generate re-evaluates a computed child array once per output
+    element. Shared by the Jaccard join and benchmark decontamination."""
+    staged = _staged_tokens(df, key, text_col)
+    toks = F.col("__toks")
+    return (staged.select("k", "__toks",
+                          F.posexplode("__toks").alias("__i", "__t"))
+            .where(F.col("__i") <= F.size(toks) - n)
+            .select("k", F.array_join(
+                F.slice(toks, F.col("__i") + 1, n), " ").alias("g")))
+
+
 def _shingles_of(toks, n: int):
     cnt = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(1)))
@@ -269,20 +285,9 @@ def ngram_jaccard_pairs(
     stop-grams is missed — at realistic thresholds near-dup pairs share
     many grams and virtually always a rare one."""
     if stop_gram_df is None:
-        # gram rows via posexplode over the staged ATTRIBUTE array +
-        # per-position slice: Generate re-evaluates a COMPUTED child
-        # array once per output element, so exploding a built-grams
-        # array is O(windows^2) per document — harmless on short test
-        # docs, catastrophic on real ones. dropDuplicates restores the
-        # per-document set semantics the Jaccard needs.
-        staged = _staged_tokens(df, key, text_col)
-        toks = F.col("__toks")
-        grams = (staged.select("k", "__toks",
-                               F.posexplode("__toks").alias("__i", "__t"))
-                 .where(F.col("__i") <= F.size(toks) - shingle_n)
-                 .select("k", F.array_join(
-                     F.slice(toks, F.col("__i") + 1, shingle_n),
-                     " ").alias("g"))
+        # dropDuplicates restores the per-document SET semantics the
+        # Jaccard needs (one row per distinct (doc, gram))
+        grams = (_gram_rows(df, key, text_col, shingle_n)
                  .dropDuplicates(["k", "g"]))
         sizes = grams.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
         shared = (

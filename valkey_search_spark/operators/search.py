@@ -468,6 +468,7 @@ class SearchEngine:
                                     F.count(F.lit(1)).alias("n"))
                 return self._finish(schema, df, parsed, sortby, sortby_desc,
                                     limit, return_fields, nocontent,
+                                    observed=_observe_total is not None,
                                     withsortkeys=withsortkeys)
 
         df = schema.indexed_df()
@@ -496,11 +497,12 @@ class SearchEngine:
         return self._finish(schema, df, parsed, sortby, sortby_desc, limit,
                             return_fields, nocontent,
                             force_order=_observe_total is not None,
+                            observed=_observe_total is not None,
                             withsortkeys=withsortkeys)
 
     def _finish(self, schema, df, parsed, sortby, sortby_desc, limit,
                 return_fields, nocontent, force_order=False,
-                withsortkeys=False):
+                observed=False, withsortkeys=False):
         """Shared tail: SORTBY -> LIMIT -> RETURN projection.
         ``withsortkeys`` augments the output with the sort-key value as
         ``__sortkey`` (docs/commands/ft.search.md WITHSORTKEYS)."""
@@ -535,12 +537,14 @@ class SearchEngine:
         off, n = limit
         if off:
             df = df.offset(off)
-        if n is None and force_order:
+        if n is None and observed:
             # an observed plan (ft_search_reply's pre-LIMIT total) needs a
             # physical limit even when the caller asked for everything: an
             # orderBy WITHOUT a limit becomes a range-partitioned Sort
             # whose boundary-sampling pass re-executes the child,
-            # double-counting the CollectMetrics observation beneath
+            # double-counting the CollectMetrics observation beneath.
+            # Keyed off the observation itself, not force_order — the ANN
+            # reply branch orders by the KNN score without force_order
             n = _OBSERVED_LIMIT_CAP
         if n is not None:
             df = df.limit(n)
