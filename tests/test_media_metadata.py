@@ -341,6 +341,68 @@ def test_media_metadata_prefix_bound(spark):
     assert r2["payload_meta"]["width"] == 11
 
 
+def test_sniff_media_never_raises_on_malformed_input():
+    """Robustness contract: sniff_media classifies or degrades, never
+    raises — truncations of valid headers, bit flips, and random bytes
+    all produce a well-formed dict."""
+    import random
+
+    rnd = random.Random(42)
+    arr = np.arange(6 * 6 * 3, dtype=np.uint8).reshape(6, 6, 3)
+    seeds = [
+        encode_bmp(arr), encode_png(arr),
+        encode_wav(np.zeros(100, dtype=np.float32), 8000),
+        _jpeg_with_sof(0xC0, 9, 9), _flac(44100, 2, 16, 1000),
+        _mp3_frame_header() + b"\0" * 64, _ogg_vorbis(8000, 1),
+        _webp_vp8l(5, 5), b"GIF89a" + b"\0" * 20,
+    ]
+    keys = {f.name for f in
+            __import__("valkey_search_spark.multimodal.metadata",
+                       fromlist=["MEDIA_META_FIELDS"]).MEDIA_META_FIELDS}
+    for payload in seeds:
+        for cut in range(0, len(payload), max(1, len(payload) // 17)):
+            m = sniff_media(payload[:cut], len(payload))
+            assert set(m) == keys
+        for _ in range(30):                   # random single-byte flips
+            b = bytearray(payload)
+            b[rnd.randrange(len(b))] ^= 1 << rnd.randrange(8)
+            m = sniff_media(bytes(b), len(b))
+            assert set(m) == keys
+    for _ in range(200):                      # pure noise
+        blob = bytes(rnd.getrandbits(8) for _ in range(rnd.randrange(0, 64)))
+        m = sniff_media(blob, len(blob))
+        assert set(m) == keys
+
+
+def test_decode_wav_malformed_raises_only_media_error():
+    """decode_wav's error contract: malformed RIFF payloads raise
+    MediaDecodeError (or decode), never a raw struct/numpy error."""
+    import random
+
+    from valkey_search_spark.multimodal.codecs import MediaDecodeError
+
+    rnd = random.Random(7)
+    seeds = [
+        encode_wav(np.zeros(50, dtype=np.float32), 8000),
+        _wav_container(7, 1, 8000, 8, 1, bytes(range(64))),
+        _wav_container(0x11, 2, 8000, 4, 16,
+                       struct.pack("<hBBhBB", 0, 0, 0, 0, 0, 0) + b"\0" * 8),
+    ]
+    for payload in seeds:
+        for cut in range(12, len(payload), max(1, len(payload) // 23)):
+            try:
+                decode_wav(payload[:cut])
+            except MediaDecodeError:
+                pass
+        for _ in range(40):
+            b = bytearray(payload)
+            b[rnd.randrange(len(b))] ^= 0xFF
+            try:
+                decode_wav(bytes(b))
+            except MediaDecodeError:
+                pass
+
+
 def test_media_metadata_ogg_tail_slice(spark):
     """Ogg duration comes from the LAST page granule, sliced JVM-side as
     a bounded tail — the middle of the payload never crosses Arrow."""
