@@ -183,6 +183,82 @@ def test_sniff_ogg_duration_from_last_page_granule():
     assert m["duration_sec"] == pytest.approx(2.0)
 
 
+def _box(tag: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + tag + body
+
+
+def _mp4(moov_first: bool, ver: int = 0) -> bytes:
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    if ver == 0:
+        mvhd = _box(b"mvhd", bytes([0, 0, 0, 0])
+                    + struct.pack(">IIII", 0, 0, 1000, 7500) + b"\0" * 80)
+        tkhd_body = (bytes([0, 0, 0, 0])
+                     + struct.pack(">IIIII", 0, 0, 1, 0, 7500)
+                     + b"\0" * 8 + b"\0" * 8 + b"\0" * 36
+                     + struct.pack(">II", 640 << 16, 360 << 16))
+    else:
+        mvhd = _box(b"mvhd", bytes([1, 0, 0, 0])
+                    + struct.pack(">QQIQ", 0, 0, 1000, 7500) + b"\0" * 80)
+        tkhd_body = (bytes([1, 0, 0, 0])
+                     + struct.pack(">QQII", 0, 0, 1, 0)
+                     + struct.pack(">Q", 7500)
+                     + b"\0" * 8 + b"\0" * 8 + b"\0" * 36
+                     + struct.pack(">II", 640 << 16, 360 << 16))
+    moov = _box(b"moov", mvhd + _box(b"trak", _box(b"tkhd", tkhd_body)))
+    mdat = _box(b"mdat", b"\xab" * 4000)
+    return (ftyp + moov + mdat) if moov_first else (ftyp + mdat + moov)
+
+
+def test_sniff_mp4_faststart_and_trailing_moov():
+    for ver in (0, 1):
+        fast = _mp4(moov_first=True, ver=ver)
+        m = sniff_media(fast[:1024], len(fast))
+        assert (m["format"], m["kind"]) == ("mp4", "video")
+        assert (m["width"], m["height"]) == (640, 360)
+        assert m["duration_sec"] == pytest.approx(7.5)
+    # trailing moov: found only via the tail slice
+    trail = _mp4(moov_first=False)
+    m = sniff_media(trail[:256], len(trail), suffix=trail[-512:])
+    assert (m["width"], m["height"], m["duration_sec"]) == (
+        640, 360, pytest.approx(7.5))
+    m2 = sniff_media(trail[:256], len(trail))   # no tail: format only
+    assert m2["format"] == "mp4" and m2["width"] is None
+
+
+def test_sniff_mp4_audio_track_dims_skipped():
+    # a 0x0 (audio) tkhd before the video track must not win
+    audio_tkhd = _box(b"tkhd", bytes([0, 0, 0, 0])
+                      + struct.pack(">IIIII", 0, 0, 2, 0, 7500)
+                      + b"\0" * 8 + b"\0" * 8 + b"\0" * 36
+                      + struct.pack(">II", 0, 0))
+    video = _mp4(moov_first=True)
+    ftyp_len = len(_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2"))
+    payload = video[:ftyp_len] + _box(b"moov", audio_tkhd) + video[ftyp_len:]
+    m = sniff_media(payload, len(payload))
+    assert (m["width"], m["height"]) == (640, 360)
+
+
+def test_sniff_aiff_comm():
+    # 80-bit extended 44100.0: biased exp 16398, mantissa 0xAC44 << 48
+    # (0xAC44 * 2^48 * 2^(16398-16383-63) = 44100)
+    rate80 = struct.pack(">H", 16398) + struct.pack(">Q", 0xAC44 << 48)
+    comm = b"COMM" + struct.pack(">I", 18) + struct.pack(
+        ">HI H", 2, 88200, 16) + rate80
+    payload = b"FORM" + struct.pack(">I", 4 + len(comm)) + b"AIFF" + comm
+    m = sniff_media(payload, len(payload))
+    assert (m["format"], m["kind"]) == ("aiff", "audio")
+    assert (m["sample_rate"], m["channels"], m["bit_depth"]) == (44100, 2, 16)
+    assert m["duration_sec"] == pytest.approx(2.0)
+
+
+def test_sniff_matroska_webm():
+    mkv = b"\x1a\x45\xdf\xa3" + b"\x42\x82\x88matroska" + b"\0" * 16
+    webm = b"\x1a\x45\xdf\xa3" + b"\x42\x82\x84webm" + b"\0" * 16
+    assert sniff_media(mkv, 99)["format"] == "mkv"
+    m = sniff_media(webm, 99)
+    assert (m["format"], m["kind"]) == ("webm", "video")
+
+
 def test_sniff_unknown_payload():
     m = sniff_media(b"not a media file at all", 23)
     assert m["format"] is None and m["kind"] is None

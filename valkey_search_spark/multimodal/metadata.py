@@ -18,7 +18,11 @@ the needed header lies beyond the prefix):
 - audio: WAV (fmt + data chunks; duration from byte rate), FLAC
   (STREAMINFO), MP3 (first MPEG audio frame header; Xing/Info VBR frame
   count when present, else CBR estimate from the first frame's bitrate),
-  Ogg (Vorbis identification header / OpusHead)
+  Ogg (Vorbis identification header / OpusHead), AIFF (COMM chunk with
+  its 80-bit extended-float sample rate)
+- video: MP4/ISO-BMFF (mvhd duration + tkhd track dimensions; the moov
+  box is found in the prefix for faststart files and in the TAIL slice
+  otherwise — both common layouts), Matroska/WebM (EBML detection only)
 
 The reference engine carries no media (its closest analogue is opaque
 content fetch, /root/reference/src/attribute_data_type.h:71); this is a
@@ -60,6 +64,13 @@ def _aud(fmt, rate=None, ch=None, depth=None, dur=None):
     d = dict(_EMPTY)
     d.update(format=fmt, kind="audio", sample_rate=rate, channels=ch,
              bit_depth=depth, duration_sec=dur)
+    return d
+
+
+def _vid(fmt, w=None, h=None, dur=None):
+    d = dict(_EMPTY)
+    d.update(format=fmt, kind="video", width=w, height=h,
+             duration_sec=dur)
     return d
 
 
@@ -267,6 +278,77 @@ def _sniff_ogg(p: bytes, suffix: bytes):
     return _aud("ogg")
 
 
+def _aiff_rate(ext80: bytes) -> float | None:
+    """Decode the COMM chunk's 80-bit extended-precision sample rate
+    (sign+15-bit exponent, 64-bit mantissa, big-endian)."""
+    if len(ext80) < 10:
+        return None
+    (se,) = struct.unpack_from(">H", ext80, 0)
+    mant = int.from_bytes(ext80[2:10], "big")
+    if mant == 0:
+        return None
+    exp = (se & 0x7FFF) - 16383 - 63
+    rate = mant * (2.0 ** exp)
+    return -rate if se & 0x8000 else rate
+
+
+def _sniff_aiff(p: bytes):
+    pos = 12
+    while pos + 8 <= len(p):
+        cid = p[pos:pos + 4]
+        (size,) = struct.unpack_from(">I", p, pos + 4)
+        if cid == b"COMM" and pos + 8 + 18 <= len(p):
+            ch, frames = struct.unpack_from(">HI", p, pos + 8)
+            (bits,) = struct.unpack_from(">H", p, pos + 14)
+            rate = _aiff_rate(p[pos + 16: pos + 26])
+            dur = frames / rate if rate and frames else None
+            return _aud("aiff", int(rate) if rate else None, ch or None,
+                        bits or None, dur)
+        pos += 8 + size + (size & 1)          # chunks pad to even length
+    return _aud("aiff")
+
+
+def _mp4_scan(data: bytes):
+    """(duration_sec, width, height) from mvhd/tkhd FullBox layouts
+    found by tag scan — works on a bounded slice whether moov leads
+    (faststart) or trails the mdat."""
+    dur = None
+    i = data.find(b"mvhd")
+    while i >= 0 and dur is None:
+        ver = data[i + 4] if i + 5 <= len(data) else None
+        if ver == 0 and i + 24 <= len(data):
+            ts, d = struct.unpack_from(">II", data, i + 16)
+            if ts:
+                dur = d / ts
+        elif ver == 1 and i + 36 <= len(data):
+            (ts,) = struct.unpack_from(">I", data, i + 24)
+            (d,) = struct.unpack_from(">Q", data, i + 28)
+            if ts:
+                dur = d / ts
+        i = data.find(b"mvhd", i + 4)
+    w = h = None
+    j = data.find(b"tkhd")
+    while j >= 0 and w is None:
+        ver = data[j + 4] if j + 5 <= len(data) else None
+        off = j + 80 if ver == 0 else j + 92 if ver == 1 else None
+        if off is not None and off + 8 <= len(data):
+            wf, hf = struct.unpack_from(">II", data, off)
+            if wf >> 16 and hf >> 16:         # audio tracks carry 0x0
+                w, h = wf >> 16, hf >> 16
+        j = data.find(b"tkhd", j + 4)
+    return dur, w, h
+
+
+def _sniff_mp4(p: bytes, suffix: bytes):
+    dur, w, h = _mp4_scan(p)
+    if (dur is None or w is None) and suffix:
+        d2, w2, h2 = _mp4_scan(suffix)
+        dur = dur if dur is not None else d2
+        if w is None:
+            w, h = w2, h2
+    return _vid("mp4", w, h, dur)
+
+
 # ---------------------------------------------------------------------------
 def sniff_media(prefix: bytes, total_len: int, suffix: bytes = b"") -> dict:
     """Classify a payload from its header prefix and pull the cheap
@@ -296,6 +378,13 @@ def sniff_media(prefix: bytes, total_len: int, suffix: bytes = b"") -> dict:
         # would report a confidently wrong (tiny) duration
         tail = suffix if suffix else (p if total_len <= len(p) else b"")
         out = _sniff_ogg(p, tail)
+    elif len(p) >= 12 and p[4:8] == b"ftyp":
+        out = _sniff_mp4(p, suffix if suffix else b"")
+    elif p[:4] == b"\x1a\x45\xdf\xa3":         # EBML (Matroska family)
+        fmt = "webm" if b"webm" in p[:256] else "mkv"
+        out = _vid(fmt)
+    elif p[:4] == b"FORM" and p[8:12] in (b"AIFF", b"AIFC"):
+        out = _sniff_aiff(p)
     elif p[:3] == b"ID3" or (len(p) >= 2 and p[0] == 0xFF
                              and (p[1] & 0xE0) == 0xE0):
         out = _sniff_mp3(p, total_len)
