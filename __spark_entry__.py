@@ -652,11 +652,31 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     correctness coverage lives in queries()["text_proximity_multi"]
     (the driver records at most 50 queries() entries, so bench-only
     shapes stay out of that dict)."""
+    def b_decontaminate(spark, sf_dir):
+        from valkey_search_spark.operators.contamination import (
+            ngram_decontaminate,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        bench = docs.where(F.col("doc_id") % 20 == 0).select("doc_id", "text")
+        return ngram_decontaminate(docs, bench, n=13).where("contaminated")
+
+    def b_pii_repetition(spark, sf_dir):
+        from valkey_search_spark.operators.contamination import (
+            redact_pii, repetition_stats,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        out = repetition_stats(redact_pii(docs))
+        return out.select("doc_id", "pii_email_count", "top_2gram_char_frac")
+
     return {
         "text_proximity_3term": _search("docs", "batch stream window",
                                         DOC_COLS, slop=2, inorder=True),
         "text_proximity_5term": _search(
             "docs", "batch stream window sort merge", DOC_COLS, slop=10),
+        "hygiene_decontaminate": b_decontaminate,
+        "hygiene_pii_repetition": b_pii_repetition,
     }
 
 

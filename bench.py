@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "dedup_embedding_cosine",
     "knn_join_bucketed",
     "text_analysis",
+    "hygiene_decontaminate",
+    "hygiene_pii_repetition",
 ]
 
 
