@@ -81,6 +81,46 @@ def test_redact_pii_null_and_clean_rows(spark):
     assert rows[2]["pii_email_count"] == 0
 
 
+def test_cross_doc_line_dedup(spark):
+    from valkey_search_spark.operators.contamination import (
+        cross_doc_line_dedup,
+    )
+
+    boiler = "subscribe to our newsletter"
+    footer = "all rights reserved"
+    texts = {
+        1: f"{boiler}\nunique first content\n{footer}",
+        2: f"{boiler}\nsecond doc body\nmore body\n{footer}",
+        3: "standalone doc\nwith its own lines",
+        4: None,
+        5: f"only here once\n{boiler}",
+    }
+    df = spark.createDataFrame(
+        [Row(doc_id=k, text=t) for k, t in texts.items()])
+    out = {r["doc_id"]: r for r in cross_doc_line_dedup(df).collect()}
+
+    # scalar reference: doc-frequency per non-blank line
+    from collections import Counter
+    freq = Counter()
+    for t in texts.values():
+        if t is not None:
+            for ln in set(t.split("\n")):
+                if ln.strip():
+                    freq[ln] += 1
+    for k, t in texts.items():
+        if t is None:
+            assert out[k]["text_deduped"] is None
+            continue
+        kept = [ln for ln in t.split("\n") if freq[ln] < 2]
+        assert out[k]["text_deduped"] == "\n".join(kept), k
+        assert out[k]["lines_kept"] == len(kept)
+        assert out[k]["lines_dropped"] == len(t.split("\n")) - len(kept)
+    # the boilerplate lines are gone everywhere, bodies survive in order
+    assert boiler not in out[1]["text_deduped"]
+    assert out[2]["text_deduped"] == "second doc body\nmore body"
+    assert out[3]["text_deduped"] == texts[3]
+
+
 def _dup_frac(parts):
     parts = [p for p in parts if p.strip()]
     return 0.0 if not parts else (len(parts) - len(set(parts))) / len(parts)

@@ -120,6 +120,48 @@ def _dup_fraction(parts: Column) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def cross_doc_line_dedup(df: DataFrame, key: str = "doc_id",
+                         text_col: str = "text",
+                         min_doc_freq: int = 2,
+                         separator: str = "\n") -> DataFrame:
+    """Remove boilerplate lines that repeat across documents (the
+    CCNet/RefinedWeb repeated-line-removal pass): a line occurring in at
+    least ``min_doc_freq`` DISTINCT documents is dropped from all of
+    them; blank lines never count as boilerplate. Adds
+    ``<text_col>_deduped`` plus ``lines_kept``/``lines_dropped``.
+
+    Scale shape: posexplode the split lines (attribute array after one
+    staging projection), aggregate document-frequency per line hash
+    (one shuffle; hot boilerplate lines combine map-side), hash-join
+    the per-line verdicts back, and reassemble each document with
+    sort_array(collect_list(struct(pos, line))) — order restored by
+    position, one groupBy shuffle. No window over the whole corpus, no
+    driver materialization."""
+    lines_col = F.split(F.col(text_col), separator)
+    staged = df.withColumn("__lines", lines_col)
+    exploded = (staged.select(key,
+                              F.posexplode("__lines").alias("__p", "__l"))
+                .withColumn("__h", F.xxhash64("__l")))
+    freq = (exploded.where(F.trim(F.col("__l")) != "")
+            .groupBy("__h")
+            .agg(F.count_distinct(key).alias("__df"))
+            .where(F.col("__df") >= min_doc_freq)
+            .select("__h", F.lit(True).alias("__boiler")))
+    marked = exploded.join(freq, "__h", "left")
+    rebuilt = (marked.groupBy(key).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.when(
+                    F.col("__boiler").isNull(),
+                    F.struct(F.col("__p").alias("p"),
+                             F.col("__l").alias("l"))))),
+                lambda s: s["l"]),
+            separator).alias(f"{text_col}_deduped"),
+        F.count_if(F.col("__boiler").isNull()).alias("lines_kept"),
+        F.count_if(F.col("__boiler").isNotNull()).alias("lines_dropped")))
+    return df.join(rebuilt, key, "left")
+
+
 def repetition_stats(df: DataFrame, text_col: str = "text",
                      tokens_col: str | None = None) -> DataFrame:
     """Gopher-style repetition quality signals:
