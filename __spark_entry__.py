@@ -668,7 +668,14 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         docs = load_table(spark, sf_dir, "documents")
         out = repetition_stats(redact_pii(docs))
-        return out.select("doc_id", "pii_email_count", "top_2gram_char_frac")
+        # reference EVERY produced column — column pruning would
+        # otherwise drop the redaction chain and most signals, and the
+        # benchmark would measure a fraction of the operator
+        return out.select(
+            "doc_id", "pii_email_count", "pii_phone_count",
+            "pii_ipv4_count", "pii_ssn_count",
+            F.length("text_redacted").alias("red_len"),
+            "dup_line_frac", "dup_para_frac", "top_2gram_char_frac")
 
     return {
         "text_proximity_3term": _search("docs", "batch stream window",

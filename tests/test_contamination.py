@@ -121,6 +121,24 @@ def test_cross_doc_line_dedup(spark):
     assert out[3]["text_deduped"] == texts[3]
 
 
+def test_cross_doc_line_dedup_metachar_separator(spark):
+    """Regex-metacharacter separators are treated literally on both the
+    split and the rejoin side."""
+    from valkey_search_spark.operators.contamination import (
+        cross_doc_line_dedup,
+    )
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="shared|unique one"),
+        Row(doc_id=2, text="shared|unique two"),
+    ])
+    out = {r["doc_id"]: r for r in
+           cross_doc_line_dedup(df, separator="|").collect()}
+    assert out[1]["text_deduped"] == "unique one"
+    assert out[2]["text_deduped"] == "unique two"
+    assert out[1]["lines_dropped"] == 1
+
+
 def _dup_frac(parts):
     parts = [p for p in parts if p.strip()]
     return 0.0 if not parts else (len(parts) - len(set(parts))) / len(parts)

@@ -251,6 +251,32 @@ def test_sniff_aiff_comm():
     assert m["duration_sec"] == pytest.approx(2.0)
 
 
+def test_sniff_aiff_malformed_rate_degrades():
+    """Overflowing exponents, infinities, and negative rates in the
+    80-bit field degrade to null metadata — never raise, never emit a
+    negative sample rate."""
+    for se in (0xFFFE, 16383 + 64 + 1000, 0x8000 | 16398):
+        rate80 = struct.pack(">H", se) + struct.pack(">Q", 0xAC44 << 48)
+        comm = b"COMM" + struct.pack(">I", 18) + struct.pack(
+            ">HIH", 2, 88200, 16) + rate80
+        payload = b"FORM" + struct.pack(">I", 4 + len(comm)) + b"AIFF" + comm
+        m = sniff_media(payload, len(payload))
+        assert m["format"] == "aiff"
+        assert m["sample_rate"] is None and m["duration_sec"] is None
+
+
+def test_sniff_mp4_random_tag_collision_rejected():
+    """A bare 'mvhd'/'tkhd' byte string inside mdat data (no valid box
+    size/version) must not produce metadata."""
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mdat = _box(b"mdat", b"xx" + b"mvhd" + b"\x07" + b"\xff" * 40
+                + b"tkhd" + b"\x02" + b"\xee" * 100)
+    payload = ftyp + mdat
+    m = sniff_media(payload, len(payload))
+    assert m["format"] == "mp4"
+    assert m["duration_sec"] is None and m["width"] is None
+
+
 def test_sniff_matroska_webm():
     mkv = b"\x1a\x45\xdf\xa3" + b"\x42\x82\x88matroska" + b"\0" * 16
     webm = b"\x1a\x45\xdf\xa3" + b"\x42\x82\x84webm" + b"\0" * 16
@@ -425,12 +451,18 @@ def test_sniff_media_never_raises_on_malformed_input():
 
     rnd = random.Random(42)
     arr = np.arange(6 * 6 * 3, dtype=np.uint8).reshape(6, 6, 3)
+    rate80 = struct.pack(">H", 16398) + struct.pack(">Q", 0xAC44 << 48)
+    aiff = (b"FORM" + struct.pack(">I", 30) + b"AIFF" + b"COMM"
+            + struct.pack(">I", 18) + struct.pack(">HIH", 1, 100, 16)
+            + rate80)
     seeds = [
         encode_bmp(arr), encode_png(arr),
         encode_wav(np.zeros(100, dtype=np.float32), 8000),
         _jpeg_with_sof(0xC0, 9, 9), _flac(44100, 2, 16, 1000),
         _mp3_frame_header() + b"\0" * 64, _ogg_vorbis(8000, 1),
         _webp_vp8l(5, 5), b"GIF89a" + b"\0" * 20,
+        _mp4(moov_first=True), _mp4(moov_first=False), aiff,
+        b"\x1a\x45\xdf\xa3" + b"\x42\x82\x84webm" + b"\0" * 16,
     ]
     keys = {f.name for f in
             __import__("valkey_search_spark.multimodal.metadata",

@@ -280,16 +280,43 @@ def _sniff_ogg(p: bytes, suffix: bytes):
 
 def _aiff_rate(ext80: bytes) -> float | None:
     """Decode the COMM chunk's 80-bit extended-precision sample rate
-    (sign+15-bit exponent, 64-bit mantissa, big-endian)."""
+    (sign+15-bit exponent, 64-bit mantissa, big-endian). Returns None —
+    never raises, never a nonsense value — outside the plausible
+    sample-rate range: malformed exponents overflow float arithmetic and
+    a set sign bit means a negative rate, both garbage for audio."""
     if len(ext80) < 10:
         return None
     (se,) = struct.unpack_from(">H", ext80, 0)
     mant = int.from_bytes(ext80[2:10], "big")
-    if mant == 0:
+    if mant == 0 or se & 0x8000:
         return None
     exp = (se & 0x7FFF) - 16383 - 63
+    if not -80 <= exp <= 0:                   # beyond any real rate
+        return None
     rate = mant * (2.0 ** exp)
-    return -rate if se & 0x8000 else rate
+    return rate if 1.0 <= rate <= 1e7 else None
+
+
+def _ebml_doctype(p: bytes) -> str:
+    """Classify an EBML payload by its DocType element (ID 0x4282 +
+    size varint + ASCII string) rather than a raw substring scan — a
+    muxer-app string containing 'webm' must not flip the format."""
+    i = p.find(b"\x42\x82", 4)
+    while i >= 0 and i + 3 <= len(p):
+        first = p[i + 2]
+        if first:                              # EBML varint size
+            width = 8 - first.bit_length() + 1
+            if i + 2 + width <= len(p):
+                size = first & (0xFF >> width)
+                for b in p[i + 3: i + 2 + width]:
+                    size = (size << 8) | b
+                val = p[i + 2 + width: i + 2 + width + size]
+                if val == b"webm":
+                    return "webm"
+                if val == b"matroska":
+                    return "mkv"
+        i = p.find(b"\x42\x82", i + 2)
+    return "mkv"
 
 
 def _sniff_aiff(p: bytes):
@@ -308,33 +335,48 @@ def _sniff_aiff(p: bytes):
     return _aud("aiff")
 
 
+def _box_size_ok(data: bytes, i: int, ver, sizes: tuple[int, int]) -> bool:
+    """A candidate box tag at offset ``i`` is genuine only if the 4-byte
+    size field preceding it matches the FIXED FullBox size for its
+    version — mvhd/tkhd have no variable parts, so this check rejects
+    random tag-byte collisions inside compressed mdat data (a bare
+    4-byte tag scan collides ~1.5e-5 per 64 KiB slice; tag+size+version
+    agreement is ~2^-40)."""
+    if i < 4 or ver not in (0, 1):
+        return False
+    (size,) = struct.unpack_from(">I", data, i - 4)
+    return size == sizes[ver]
+
+
 def _mp4_scan(data: bytes):
     """(duration_sec, width, height) from mvhd/tkhd FullBox layouts
-    found by tag scan — works on a bounded slice whether moov leads
-    (faststart) or trails the mdat."""
+    found by validated tag scan — works on a bounded slice whether moov
+    leads (faststart) or trails the mdat."""
     dur = None
     i = data.find(b"mvhd")
     while i >= 0 and dur is None:
         ver = data[i + 4] if i + 5 <= len(data) else None
-        if ver == 0 and i + 24 <= len(data):
-            ts, d = struct.unpack_from(">II", data, i + 16)
-            if ts:
-                dur = d / ts
-        elif ver == 1 and i + 36 <= len(data):
-            (ts,) = struct.unpack_from(">I", data, i + 24)
-            (d,) = struct.unpack_from(">Q", data, i + 28)
-            if ts:
-                dur = d / ts
+        if _box_size_ok(data, i, ver, (108, 120)):
+            if ver == 0 and i + 24 <= len(data):
+                ts, d = struct.unpack_from(">II", data, i + 16)
+                if ts:
+                    dur = d / ts
+            elif ver == 1 and i + 36 <= len(data):
+                (ts,) = struct.unpack_from(">I", data, i + 24)
+                (d,) = struct.unpack_from(">Q", data, i + 28)
+                if ts:
+                    dur = d / ts
         i = data.find(b"mvhd", i + 4)
     w = h = None
     j = data.find(b"tkhd")
     while j >= 0 and w is None:
         ver = data[j + 4] if j + 5 <= len(data) else None
-        off = j + 80 if ver == 0 else j + 92 if ver == 1 else None
-        if off is not None and off + 8 <= len(data):
-            wf, hf = struct.unpack_from(">II", data, off)
-            if wf >> 16 and hf >> 16:         # audio tracks carry 0x0
-                w, h = wf >> 16, hf >> 16
+        if _box_size_ok(data, j, ver, (92, 104)):
+            off = j + 80 if ver == 0 else j + 92
+            if off + 8 <= len(data):
+                wf, hf = struct.unpack_from(">II", data, off)
+                if wf >> 16 and hf >> 16:     # audio tracks carry 0x0
+                    w, h = wf >> 16, hf >> 16
         j = data.find(b"tkhd", j + 4)
     return dur, w, h
 
@@ -381,8 +423,7 @@ def sniff_media(prefix: bytes, total_len: int, suffix: bytes = b"") -> dict:
     elif len(p) >= 12 and p[4:8] == b"ftyp":
         out = _sniff_mp4(p, suffix if suffix else b"")
     elif p[:4] == b"\x1a\x45\xdf\xa3":         # EBML (Matroska family)
-        fmt = "webm" if b"webm" in p[:256] else "mkv"
-        out = _vid(fmt)
+        out = _vid(_ebml_doctype(p))
     elif p[:4] == b"FORM" and p[8:12] in (b"AIFF", b"AIFC"):
         out = _sniff_aiff(p)
     elif p[:3] == b"ID3" or (len(p) >= 2 and p[0] == 0xFF

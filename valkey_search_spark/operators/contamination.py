@@ -137,7 +137,11 @@ def cross_doc_line_dedup(df: DataFrame, key: str = "doc_id",
     sort_array(collect_list(struct(pos, line))) — order restored by
     position, one groupBy shuffle. No window over the whole corpus, no
     driver materialization."""
-    lines_col = F.split(F.col(text_col), separator)
+    # F.split takes a Java regex but array_join rejoins literally:
+    # \Q...\E-quote the separator so both sides agree on metacharacters
+    # ('|', '.', ...) as literal text
+    sep_re = "\\Q" + separator.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+    lines_col = F.split(F.col(text_col), sep_re)
     staged = df.withColumn("__lines", lines_col)
     exploded = (staged.select(key,
                               F.posexplode("__lines").alias("__p", "__l"))
