@@ -38,20 +38,22 @@ class IVFIndex:
 
     def __init__(self, spark: SparkSession, path: str, vec_col: str,
                  metric: str, centroids: np.ndarray,
-                 quantized: bool = False):
+                 quantized: bool = False, pq=None):
         self.spark = spark
         self.path = path
         self.vec_col = vec_col
         self.metric = metric
         self.centroids = centroids
         self.quantized = quantized
+        self.pq = pq                          # PQCodebook | None
 
     # ------------------------------------------------------------------
     @classmethod
     def build(cls, df: DataFrame, path: str, vec_col: str = "embedding",
               metric: str = "l2", n_lists: int = 16,
               sample_fraction: float | None = None, seed: int = 42,
-              max_iter: int = 20, quantize: bool = False) -> "IVFIndex":
+              max_iter: int = 20, quantize: bool = False,
+              pq_m: int | None = None) -> "IVFIndex":
         """Batch index build == the reference's backfill+graph-build collapsed
         into one KMeans job + one partitioned write. ``sample_fraction``
         bounds the KMeans fit cost at scale (fit on a sample, assign all).
@@ -63,7 +65,14 @@ class IVFIndex:
         works unchanged against a quantized index at slightly reduced
         distance precision (see tests/test_quantize.py recall bound and
         SCALE.md). The reference keeps float32 in RAM (vector_base.h) —
-        this is the storage-tier dial its in-memory design never needed."""
+        this is the storage-tier dial its in-memory design never needed.
+
+        ``pq_m=<m>`` goes further: product quantization stores m CODE
+        BYTES per vector (functions/pq.py — 32x smaller at d=64/m=8).
+        Search uses asymmetric distance (exact query vs per-subspace
+        LUT, pure JVM element_at); read paths reconstruct approximate
+        floats from the codebook so every consumer works unchanged.
+        Mutually exclusive with ``quantize``."""
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector, vector_to_array
 
@@ -84,11 +93,20 @@ class IVFIndex:
         model = KMeans(k=n_lists, seed=seed, maxIter=max_iter,
                        featuresCol="__feat", predictionCol="__list").fit(fit_on)
         assigned = model.transform(feats).drop("__feat")
+        if quantize and pq_m:
+            raise ValueError("quantize and pq_m are mutually exclusive")
+        codebook = None
         if quantize:
             from ..functions.quantize import quantize_vector_expr
 
             assigned = (assigned
                         .withColumn("__qvec", quantize_vector_expr(F.col(vec_col)))
+                        .drop(vec_col))
+        elif pq_m:
+            from ..functions.pq import PQCodebook
+
+            codebook = PQCodebook.train(work, vec_col, m=pq_m, seed=seed)
+            assigned = (codebook.encode(assigned, vec_col)
                         .drop(vec_col))
         assigned.write.mode("overwrite").partitionBy("__list").parquet(path)
 
@@ -96,21 +114,29 @@ class IVFIndex:
         with open(os.path.join(path, "_ivf_meta.json"), "w") as fh:
             json.dump({"vec_col": vec_col, "metric": metric,
                        "quantized": quantize,
+                       "pq": codebook.to_json() if codebook else None,
                        "centroids": centroids.tolist()}, fh)
-        return cls(spark, path, vec_col, metric, centroids, quantized=quantize)
+        return cls(spark, path, vec_col, metric, centroids,
+                   quantized=quantize, pq=codebook)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "IVFIndex":
         with open(os.path.join(path, "_ivf_meta.json")) as fh:
             meta = json.load(fh)
+        pq = None
+        if meta.get("pq"):
+            from ..functions.pq import PQCodebook
+
+            pq = PQCodebook.from_json(meta["pq"])
         return cls(spark, path, meta["vec_col"], meta["metric"],
                    np.asarray(meta["centroids"]),
-                   quantized=meta.get("quantized", False))
+                   quantized=meta.get("quantized", False), pq=pq)
 
     def _read(self) -> DataFrame:
         """The persisted corpus with ``vec_col`` as float — dequantized
-        JVM-side (whole-stage codegen) when the index stores int8, so the
-        parquet scan reads the 4x-smaller column either way."""
+        JVM-side (whole-stage codegen) when the index stores int8 or PQ
+        codes, so the parquet scan reads the smaller column either way
+        (PQ reconstruction is lossy by design)."""
         df = self.spark.read.parquet(self.path)
         if self.quantized:
             from ..functions.quantize import dequantize_vector_expr
@@ -118,6 +144,8 @@ class IVFIndex:
             df = (df.withColumn(self.vec_col,
                                 dequantize_vector_expr(F.col("__qvec")))
                     .drop("__qvec"))
+        elif self.pq is not None:
+            df = self.pq.attach_decode(df, self.vec_col)
         return df
 
     # ------------------------------------------------------------------
@@ -142,16 +170,29 @@ class IVFIndex:
         final k-row merge). ``tiebreak_col`` (a key column) makes the cut
         deterministic under distance ties."""
         lists = self._probe_lists(qvec, nprobe)
-        df = self._read().where(F.col("__list").isin(lists))
-        if prefilter is not None:
-            df = df.where(prefilter)
         q = list(qvec)
         if self.metric == "cosine":
             n = float(np.linalg.norm(q))
             if n > 0:
                 q = [x / n for x in q]
-        scored = df.withColumn(
-            score_name, distance_column(F.col(self.vec_col), q, self.metric))
+        if self.pq is not None:
+            # ADC fast path: score straight off the m-byte codes (exact
+            # query vs per-subspace LUT, pure JVM element_at) — the
+            # float reconstruction column stays in the plan only if a
+            # downstream projection actually asks for the vector
+            df = (self.spark.read.parquet(self.path)
+                  .where(F.col("__list").isin(lists)))
+            if prefilter is not None:
+                df = df.where(prefilter)
+            scored = self.pq.attach_adc(df, q, self.metric,
+                                        score_name=score_name)
+            scored = self.pq.attach_decode(scored, self.vec_col)
+        else:
+            df = self._read().where(F.col("__list").isin(lists))
+            if prefilter is not None:
+                df = df.where(prefilter)
+            scored = df.withColumn(
+                score_name, distance_column(F.col(self.vec_col), q, self.metric))
         order = [F.col(score_name).asc()]
         if tiebreak_col is not None:
             order.append(F.col(tiebreak_col).asc())
