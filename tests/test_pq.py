@@ -90,15 +90,22 @@ def test_ivf_pq_search_recall_and_bytes(spark, emb, tmp_path):
     assert pidx.pq is not None
 
     exact = fidx.search(QVEC, k=10, nprobe=4)
-    approx = pidx.search(QVEC, k=10, nprobe=4)
+    approx = pidx.search(QVEC, k=10, nprobe=4, tiebreak_col="vec_id")
     assert recall_at_k(approx, exact, "vec_id", 10) >= 0.7
 
-    # persistence round-trip serves identical results
+    # persistence round-trip serves identical results (tiebreak makes
+    # the ordering deterministic — identical codes score identically)
     reloaded = IVFIndex.load(spark, ppath)
     assert reloaded.pq is not None
-    again = reloaded.search(QVEC, k=10, nprobe=4)
+    again = reloaded.search(QVEC, k=10, nprobe=4, tiebreak_col="vec_id")
     assert [r["vec_id"] for r in again.collect()] == \
            [r["vec_id"] for r in approx.collect()]
+
+    # prefilter referencing the VECTOR column works on a PQ index too
+    # (the reconstruction column must exist before the filter applies)
+    filtered = pidx.search(QVEC, k=5, nprobe=4,
+                           prefilter=F.size(F.col("embedding")) >= 64)
+    assert filtered.count() == 5
 
     # ADC plan is Python-free (no Arrow/eval-python nodes)
     plan = approx._jdf.queryExecution().executedPlan().toString()

@@ -26,12 +26,11 @@ Scale shapes:
 from __future__ import annotations
 
 import json
-from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, functions as F, types as T
+from pyspark.sql import DataFrame, functions as F, types as T
 
 
 class PQCodebook:
@@ -55,14 +54,24 @@ class PQCodebook:
     def train(cls, df: DataFrame, vec_col: str, m: int = 8,
               sample_limit: int = 65536, iters: int = 20,
               seed: int = 42) -> "PQCodebook":
-        """Train on a bounded sample collected to the driver (the one
-        deliberate driver materialization — codebooks need ~10^4-10^5
-        points regardless of corpus size). Lloyd's iterations run
-        vectorized across ALL m subspaces at once."""
-        rows = (df.select(vec_col).where(F.col(vec_col).isNotNull())
-                .limit(sample_limit).collect())
-        if not rows:
+        """Train on a bounded RANDOM sample collected to the driver (the
+        one deliberate driver materialization — codebooks need
+        ~10^4-10^5 points regardless of corpus size). A plain limit()
+        would take a deterministic prefix from the fewest partitions —
+        on a source-partitioned corpus the codebooks would model one
+        source only — so the sample fraction comes from one count job.
+        Lloyd's iterations run vectorized across ALL m subspaces at
+        once, with the assignment chunked over the sample so the
+        distance temp stays a few MB (the unchunked (m, n, 256) tensor
+        is ~1 GB at the default sample size)."""
+        vecs = df.select(vec_col).where(F.col(vec_col).isNotNull())
+        n_total = vecs.count()
+        if n_total == 0:
             raise ValueError("PQ training needs at least one vector")
+        if n_total > sample_limit:
+            frac = min(1.0, 1.2 * sample_limit / n_total)
+            vecs = vecs.sample(fraction=frac, seed=seed)
+        rows = vecs.limit(sample_limit).collect()
         x = np.asarray([r[0] for r in rows], dtype=np.float32)
         n, dim = x.shape
         if dim % m:
@@ -75,12 +84,19 @@ class PQCodebook:
         # only when the sample is smaller than the codebook)
         idx = (rng.choice(n, size=ksub, replace=n < ksub))
         cents = np.ascontiguousarray(sub[:, idx, :])     # (m, 256, dsub)
+        sub_sq = (sub * sub).sum(2)                      # (m, n)
+        chunk = 4096
         for _ in range(iters):
-            # (m, n, 256) squared distances via ||a-b||^2 expansion
-            d = ((sub * sub).sum(2)[:, :, None]
-                 - 2.0 * np.einsum("mnd,mkd->mnk", sub, cents)
-                 + (cents * cents).sum(2)[:, None, :])
-            assign = d.argmin(axis=2)                    # (m, n)
+            # chunked argmin over n: the full (m, n, 256) distance
+            # tensor would be ~1 GB at n=65536; chunks keep it a few MB
+            assign = np.empty((m, n), dtype=np.int64)
+            cents_sq = (cents * cents).sum(2)            # (m, 256)
+            for lo in range(0, n, chunk):
+                hi = min(lo + chunk, n)
+                d = (sub_sq[:, lo:hi, None]
+                     - 2.0 * np.einsum("mnd,mkd->mnk", sub[:, lo:hi], cents)
+                     + cents_sq[:, None, :])
+                assign[:, lo:hi] = d.argmin(axis=2)
             for s in range(m):
                 counts = np.bincount(assign[s], minlength=ksub)
                 sums = np.zeros((ksub, dsub), dtype=np.float64)
@@ -107,11 +123,10 @@ class PQCodebook:
     def encode_udf(self):
         """pandas_udf array<float> -> array<tinyint> (codes - 128)."""
         cents = self.centroids
-        m, ksub, dsub = self.m, self.ksub, self.dsub
+        m, dsub = self.m, self.dsub
 
         @F.pandas_udf(T.ArrayType(T.ByteType()))
         def _encode(vs: pd.Series) -> pd.Series:
-            out = []
             mask = vs.notna()
             if not mask.any():
                 return pd.Series([None] * len(vs), dtype=object)

@@ -76,8 +76,17 @@ class IVFIndex:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector, vector_to_array
 
+        # pure argument validation FIRST — failing after the KMeans fit
+        # would waste an entire distributed clustering job
+        if quantize and pq_m:
+            raise ValueError("quantize and pq_m are mutually exclusive")
         spark = df.sparkSession
         work = df.where(F.col(vec_col).isNotNull())
+        if pq_m:
+            probe = work.select(F.size(F.col(vec_col))).first()
+            if probe is not None and probe[0] % pq_m:
+                raise ValueError(
+                    f"dim {probe[0]} not divisible by m={pq_m}")
         if metric == "cosine":
             norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0),
                                       lambda a, x: a + x.cast("double") * x))
@@ -93,8 +102,6 @@ class IVFIndex:
         model = KMeans(k=n_lists, seed=seed, maxIter=max_iter,
                        featuresCol="__feat", predictionCol="__list").fit(fit_on)
         assigned = model.transform(feats).drop("__feat")
-        if quantize and pq_m:
-            raise ValueError("quantize and pq_m are mutually exclusive")
         codebook = None
         if quantize:
             from ..functions.quantize import quantize_vector_expr
@@ -178,15 +185,17 @@ class IVFIndex:
         if self.pq is not None:
             # ADC fast path: score straight off the m-byte codes (exact
             # query vs per-subspace LUT, pure JVM element_at) — the
-            # float reconstruction column stays in the plan only if a
-            # downstream projection actually asks for the vector
+            # float reconstruction column stays in the plan only if the
+            # prefilter or a downstream projection actually asks for the
+            # vector (so the prefilter sees the same columns as on
+            # float/int8 indexes)
             df = (self.spark.read.parquet(self.path)
                   .where(F.col("__list").isin(lists)))
-            if prefilter is not None:
-                df = df.where(prefilter)
             scored = self.pq.attach_adc(df, q, self.metric,
                                         score_name=score_name)
             scored = self.pq.attach_decode(scored, self.vec_col)
+            if prefilter is not None:
+                scored = scored.where(prefilter)
         else:
             df = self._read().where(F.col("__list").isin(lists))
             if prefilter is not None:
@@ -408,11 +417,10 @@ def knn_join_bucketed(queries: DataFrame, index: IVFIndex, k: int = 10,
             return pd.DataFrame(columns=cols)
         q = np.stack(left[vec_col].to_numpy()).astype(np.float64)
         ckeys = right[corpus_key].to_numpy()
-        if metric != "l2":
+        if metric == "cosine":                  # corpus normalized at build
             qn = np.linalg.norm(q, axis=1, keepdims=True)
             qn[qn == 0] = 1.0
-            if metric == "cosine":              # corpus normalized at build
-                q = q / qn
+            q = q / qn
         if pq is not None:
             # batch ADC: (nq, m, 256) tables via the norm-expansion
             # einsum (a naive 4-D difference broadcast allocates a
