@@ -661,6 +661,25 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bench = docs.where(F.col("doc_id") % 20 == 0).select("doc_id", "text")
         return ngram_decontaminate(docs, bench, n=13).where("contaminated")
 
+    _PQ: dict = {}
+
+    def b_knn_pq(spark, sf_dir):
+        # IVF-PQ ADC search (functions/pq.py): m element_at LUT lookups
+        # per row, LUT shipped as a broadcast value column; quality is
+        # pytest-pinned (codebook-defined, not SQL-expressible)
+        from valkey_search_spark.operators.ann import IVFIndex
+
+        if sf_dir not in _PQ:
+            emb = load_table(spark, sf_dir, "embeddings")
+            path = f"/tmp/valkey_pq_{os.path.basename(sf_dir.rstrip('/'))}"
+            _PQ[sf_dir] = IVFIndex.build(emb, path, metric="l2",
+                                         n_lists=8, pq_m=8)
+        idx = _PQ[sf_dir]
+        out = idx.search(QVEC, k=10, nprobe=idx.n_lists,
+                         tiebreak_col="vec_id")
+        return out.select(F.col("vec_id").cast("long").alias("vec_id"),
+                          F.col("__score").alias("dist"))
+
     def b_pii_repetition(spark, sf_dir):
         from valkey_search_spark.operators.contamination import (
             redact_pii, repetition_stats,
@@ -684,6 +703,7 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "docs", "batch stream window sort merge", DOC_COLS, slop=10),
         "hygiene_decontaminate": b_decontaminate,
         "hygiene_pii_repetition": b_pii_repetition,
+        "knn_pq": b_knn_pq,
     }
 
 

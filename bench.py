@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "text_analysis",
     "hygiene_decontaminate",
     "hygiene_pii_repetition",
+    "knn_pq",
 ]
 
 
