@@ -238,6 +238,33 @@ def test_sniff_mp4_audio_track_dims_skipped():
     assert (m["width"], m["height"]) == (640, 360)
 
 
+def _tiff(big_endian: bool, w: int, h: int) -> bytes:
+    bo = ">" if big_endian else "<"
+    hdr = (b"MM\x00*" if big_endian else b"II*\x00") + struct.pack(bo + "I", 8)
+    entries = [
+        (256, 4, 1, w),                       # ImageWidth LONG
+        (257, 3, 1, h),                       # ImageLength SHORT
+        (258, 3, 1, 8),                       # BitsPerSample
+        (277, 3, 1, 3),                       # SamplesPerPixel
+    ]
+    ifd = struct.pack(bo + "H", len(entries))
+    for tag, typ, cnt, v in entries:
+        val = struct.pack(bo + "I", v) if typ == 4 else \
+            struct.pack(bo + "H", v) + b"\0\0"
+        ifd += struct.pack(bo + "HHI", tag, typ, cnt) + val
+    return hdr + ifd + struct.pack(bo + "I", 0)
+
+
+def test_sniff_tiff_both_endians():
+    for be in (False, True):
+        m = sniff_media(_tiff(be, 1200, 900), 64)
+        assert (m["format"], m["kind"]) == ("tiff", "image")
+        assert (m["width"], m["height"], m["channels"],
+                m["bit_depth"]) == (1200, 900, 3, 8)
+    m = sniff_media(b"II*\x00" + b"\xff" * 4, 8)   # truncated: format only
+    assert m["format"] == "tiff" and m["width"] is None
+
+
 def test_sniff_aiff_comm():
     # 80-bit extended 44100.0: biased exp 16398, mantissa 0xAC44 << 48
     # (0xAC44 * 2^48 * 2^(16398-16383-63) = 44100)
@@ -463,6 +490,7 @@ def test_sniff_media_never_raises_on_malformed_input():
         _webp_vp8l(5, 5), b"GIF89a" + b"\0" * 20,
         _mp4(moov_first=True), _mp4(moov_first=False), aiff,
         b"\x1a\x45\xdf\xa3" + b"\x42\x82\x84webm" + b"\0" * 16,
+        _tiff(False, 100, 50), _tiff(True, 100, 50),
     ]
     keys = {f.name for f in
             __import__("valkey_search_spark.multimodal.metadata",

@@ -104,6 +104,35 @@ def _sniff_png(p: bytes):
 
 
 # SOF markers carry frame dimensions; C4=DHT, C8=JPG(reserved), CC=DAC do not
+def _sniff_tiff(p: bytes):
+    """Baseline TIFF: endianness marker + magic 42, first IFD walk for
+    ImageWidth (256) / ImageLength (257) / BitsPerSample (258) /
+    SamplesPerPixel (277), SHORT or LONG inline values."""
+    if len(p) < 8:
+        return _img("tiff")
+    bo = "<" if p[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack_from(bo + "I", p, 4)
+    if ifd_off + 2 > len(p):
+        return _img("tiff")
+    (n_entries,) = struct.unpack_from(bo + "H", p, ifd_off)
+    vals = {}
+    for e in range(min(n_entries, 256)):
+        off = ifd_off + 2 + e * 12
+        if off + 12 > len(p):
+            break
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", p, off)
+        if tag in (256, 257, 258, 277) and cnt == 1:
+            if typ == 3:                       # SHORT, left-justified
+                (v,) = struct.unpack_from(bo + "H", p, off + 8)
+            elif typ == 4:                     # LONG
+                (v,) = struct.unpack_from(bo + "I", p, off + 8)
+            else:
+                continue
+            vals[tag] = v
+    return _img("tiff", vals.get(256), vals.get(257), vals.get(277),
+                vals.get(258))
+
+
 _JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
 
 
@@ -408,6 +437,8 @@ def sniff_media(prefix: bytes, total_len: int, suffix: bytes = b"") -> dict:
         out = _sniff_jpeg(p)
     elif p[:6] in (b"GIF87a", b"GIF89a"):
         out = _sniff_gif(p)
+    elif p[:4] in (b"II*\x00", b"MM\x00*"):
+        out = _sniff_tiff(p)
     elif p[:4] == b"RIFF" and p[8:12] == b"WEBP":
         out = _sniff_webp(p)
     elif p[:4] == b"RIFF" and p[8:12] == b"WAVE":
