@@ -583,19 +583,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
             return ids.apply(go)
 
+        # Output shape: FOUR scalar double columns (m0..m3), not an
+        # array<double> — the driver's pandas canonicalizer hashes scalar
+        # columns only (factorize cannot hash lists). mean form: m0..m2 =
+        # per-channel means, m3 = 0.0 padding; meta form: m0..m3 =
+        # width/height/channels/payload_bytes.
         media = docs.withColumn("image", make_bmp(F.col("doc_id")))
         mean = image_features(media, fake=False).select(
             "doc_id",
-            F.transform(F.col("img_mean"),
-                        lambda x: F.round(x, 4) + F.lit(0.0)
-                        ).alias("img_mean"),
+            *[(F.round(F.element_at(F.col("img_mean"), c + 1), 4)
+               + F.lit(0.0)).alias(f"m{c}") for c in range(3)],
+            F.lit(0.0).alias("m3"),
             F.lit("mean").alias("form"))
         m = F.col("image_meta")
         meta = media_metadata(media, "image").select(
             "doc_id",
-            F.array(*[f.cast("double") + F.lit(0.0)
-                      for f in (m["width"], m["height"], m["channels"],
-                                m["payload_bytes"])]).alias("img_mean"),
+            *[(f.cast("double") + F.lit(0.0)).alias(f"m{i}")
+              for i, f in enumerate((m["width"], m["height"],
+                                     m["channels"], m["payload_bytes"]))],
             F.lit("meta").alias("form"))
         return mean.unionByName(meta)
 
@@ -1015,13 +1020,19 @@ def oracle_sql() -> dict[str, str]:
     # formula (see q_multimodal) — no decoding needed SQL-side; the meta
     # form pins the sniffed header geometry of the generated 4x4 BMPs
     # (54-byte header + 4 rows x 12-byte stride = 102 bytes)
+    # scalar m0..m3 columns (no arrays — the driver canonicalizer hashes
+    # scalars only): mean form = per-channel means + 0.0 pad, meta form =
+    # width/height/channels/payload_bytes of the generated 4x4 BMPs
+    _chan_mean = (
+        "round(list_sum(list_transform(range(0,16),"
+        " p -> CAST((doc_id*7 + (3*p+{c})*13) % 256 AS DOUBLE)))/16, 4)"
+        " + 0.0")
     o["multimodal_image_features"] = (
-        "SELECT doc_id, list_transform(range(0,3), c ->"
-        " round(list_sum(list_transform(range(0,16),"
-        " p -> CAST((doc_id*7 + (3*p+c)*13) % 256 AS DOUBLE)))/16, 4)"
-        " + 0.0) AS img_mean, 'mean' AS form FROM documents"
+        "SELECT doc_id, "
+        + ", ".join(_chan_mean.format(c=c) + f" AS m{c}" for c in range(3))
+        + ", 0.0 AS m3, 'mean' AS form FROM documents"
         " UNION ALL SELECT doc_id,"
-        " [4.0, 4.0, 3.0, 102.0] AS img_mean, 'meta' AS form"
+        " 4.0 AS m0, 4.0 AS m1, 3.0 AS m2, 102.0 AS m3, 'meta' AS form"
         " FROM documents")
     o["dedup_minhash_lsh"] = (
         "WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),"
