@@ -124,3 +124,28 @@ def test_block_cosine_plan_single_exchange(spark):
     assert "FlatMapGroupsInPandas" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert plan.count("Exchange hashpartitioning(__bp") == 1
+
+
+def test_decontaminate_never_shuffles_training_grams(spark):
+    """ngram_decontaminate's training gram rows (~one per corpus token)
+    must flow from the posexplode straight into the map-side broadcast
+    join — no pre-join dedup/shuffle on the raw (k, g) gram rows. The
+    only gram-keyed exchanges allowed are the benchmark-side distinct
+    and the post-join count_distinct (both bounded: benchmark grams are
+    small by construction, post-join rows by leaked occurrences)."""
+    from valkey_search_spark.operators.contamination import (
+        ngram_decontaminate,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 20 == 0).select("doc_id", "text")
+    qe = ngram_decontaminate(docs, bench, n=13)._jdf.queryExecution()
+    # exactly 3 Deduplicate nodes: benchmark gram-set dedup, benchmark
+    # .distinct(), training-keys .distinct() — a 4th means the training
+    # side regained its pre-join dropDuplicates
+    assert qe.analyzed().toString().count("Deduplicate") == 3
+    # no exchange keyed on the raw string gram column g# (the training
+    # grams pre-hash); hash-keyed exchanges (__gram/__tk) are post-join
+    for ln in qe.executedPlan().toString().splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert " g#" not in ln and "(k#" not in ln, ln

@@ -26,21 +26,26 @@ from ..functions.analysis import raw_tokens_column
 
 # ---------------------------------------------------------------------------
 def _gram_set(df: DataFrame, key: str, text_col: str, n: int,
-              out_key: str) -> DataFrame:
-    """(key, gram-hash) rows, one per DISTINCT (document, n-gram).
+              out_key: str, dedup: bool = False) -> DataFrame:
+    """(key, gram-hash) rows, one per n-gram window (or per DISTINCT
+    (document, n-gram) with ``dedup=True``).
 
     Built on dedup's shared explode-safe gram-row helper (staged token
     attribute + posexplode/slice — see ``dedup._gram_rows`` for the
-    expression-plumbing rules). The per-document dedup bounds the
-    containment join's shuffle at one row per distinct (doc, gram):
-    repetitive documents would otherwise multiply every leaked gram by
-    its occurrence count through the join."""
+    expression-plumbing rules). ``dedup`` is for the SMALL (benchmark)
+    side only, where the distinct gram set must broadcast compact. The
+    training side must NOT dedup here: dropDuplicates is a full shuffle
+    of ~one row per corpus token, while the downstream broadcast
+    semi-join is map-side and its output is bounded by leaked-gram
+    occurrences (tiny by construction) — the per-document
+    ``count_distinct`` after the join deduplicates for free."""
     from .dedup import _gram_rows
 
-    return (_gram_rows(df, key, text_col, n)
-            .dropDuplicates(["k", "g"])
-            .select(F.col("k").alias(out_key),
-                    F.xxhash64("g").alias("__gram")))
+    rows = _gram_rows(df, key, text_col, n)
+    if dedup:
+        rows = rows.dropDuplicates(["k", "g"])
+    return rows.select(F.col("k").alias(out_key),
+                       F.xxhash64("g").alias("__gram"))
 
 
 def ngram_decontaminate(train: DataFrame, benchmark: DataFrame,
@@ -57,11 +62,15 @@ def ngram_decontaminate(train: DataFrame, benchmark: DataFrame,
     of the space-joined window (64-bit collisions are the usual accepted
     false-positive rate). The benchmark gram set is deduplicated and —
     being the small side by construction — broadcast into one semi-join,
-    so the training corpus is never shuffled on the gram; pass
+    so the training corpus is never shuffled on the gram (the training
+    gram rows flow straight from the posexplode into the map-side join
+    — no pre-join dedup, because ``count_distinct`` below already
+    deduplicates the bounded post-join rows); pass
     ``broadcast_benchmark=False`` for an oversized benchmark to fall
     back to a shuffle equi-join (AQE handles gram skew)."""
     tg = _gram_set(train, key, text_col, n, "__tk")
-    bg = (_gram_set(benchmark, benchmark_key, benchmark_text_col, n, "__bk")
+    bg = (_gram_set(benchmark, benchmark_key, benchmark_text_col, n,
+                    "__bk", dedup=True)
           .select("__gram").distinct())
     if broadcast_benchmark:
         bg = F.broadcast(bg)
@@ -95,17 +104,30 @@ def redact_pii(df: DataFrame, text_col: str = "text",
 
     Adds ``<text_col>_redacted`` plus one ``pii_<kind>_count`` column per
     pattern. All regexp work is JVM-side whole-stage codegen — at 100 TB
-    this is a single map-only scan, no shuffle, no Python."""
+    this is a single map-only scan, no shuffle, no Python. The
+    replacement is ONE fused alternation pass (``(?:p1)|(?:p2)|...`` —
+    one regex scan of each row instead of one chained
+    ``regexp_replace`` per pattern); alternatives try in dict order at
+    each position, matching the sequential-chain semantics whenever
+    patterns don't overlap.
+
+    ``pii_<kind>_count`` counts matches of each pattern in the ORIGINAL
+    text. Where two patterns overlap on the same characters (e.g. a
+    phone-shaped substring inside a longer digit run) the earlier
+    pattern wins the redaction, so per-kind counts can exceed the number
+    of substitutions actually performed — counts are exposure signals,
+    not a substitution ledger."""
     pats = patterns or PII_PATTERNS
     out = df
-    red = F.col(text_col)
     for kind, pat in pats.items():
         out = out.withColumn(
             f"pii_{kind}_count",
             F.coalesce(F.regexp_count(F.col(text_col), F.lit(pat)),
                        F.lit(0)))
-        red = F.regexp_replace(red, pat, replacement)
-    return out.withColumn(f"{text_col}_redacted", red)
+    fused = "|".join(f"(?:{p})" for p in pats.values())
+    return out.withColumn(
+        f"{text_col}_redacted",
+        F.regexp_replace(F.col(text_col), fused, replacement))
 
 
 # ---------------------------------------------------------------------------
