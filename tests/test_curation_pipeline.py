@@ -119,3 +119,22 @@ def test_ngram_stop_gram_cutoff_candidates_verified_exact(spark):
     assert capped <= exact                 # verify step: no false pairs
     assert len(capped) / max(len(exact), 1) >= 0.9
     dd.release(capped_df, blocking=True)
+
+
+def test_ngram_jaccard_branches_agree_on_subshingle_docs(spark):
+    """Documents shorter than shingle_n are out of scope for BOTH the
+    default inverted-join branch and the stop-gram candidate branch —
+    identical 2-token docs at shingle_n=3 must not be reported by
+    either (no truncated-window gram on either path)."""
+    from pyspark.sql import Row
+    from valkey_search_spark.operators import dedup as dd
+
+    df = spark.createDataFrame([Row(doc_id=1, text="alpha beta"),
+                                Row(doc_id=2, text="alpha beta"),
+                                Row(doc_id=3, text="gamma delta epsilon "
+                                                   "gamma delta epsilon")])
+    default = dd.ngram_jaccard_pairs(df, "doc_id", shingle_n=3,
+                                     threshold=0.5).collect()
+    stop = dd.ngram_jaccard_pairs(df, "doc_id", shingle_n=3, threshold=0.5,
+                                  stop_gram_df=10).collect()
+    assert sorted(map(tuple, default)) == sorted(map(tuple, stop)) == []

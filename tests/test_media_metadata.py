@@ -550,3 +550,34 @@ def test_media_metadata_ogg_tail_slice(spark):
     assert (m["format"], m["sample_rate"], m["channels"]) == ("ogg", 44100, 2)
     assert m["duration_sec"] == pytest.approx(2.0)
     assert m["payload_bytes"] == len(payload)
+
+
+def test_sniff_ogg_rejects_fake_page_header_collisions():
+    """A bare 'OggS' byte collision inside compressed data must not be
+    trusted as a page header: the candidate's stream_structure_version
+    must be 0 and header_type must use only the three defined flag bits.
+    A later REAL page still wins."""
+    fake = b"OggS" + b"\x07\xff" + struct.pack("<q", 10**9) + b"\0" * 13
+    payload = _ogg_vorbis(22050, 1) + b"\0" * 20 + _ogg_page(44100) \
+        + b"\0" * 8 + fake
+    m = sniff_media(payload[:64], len(payload), suffix=payload[-96:])
+    # the fake trailing header (version 7) is skipped; the real page's
+    # granule (44100 samples at 22050 Hz) supplies the duration
+    assert m["duration_sec"] == pytest.approx(2.0)
+    only_fake = _ogg_vorbis(22050, 1) + b"\0" * 20 + fake
+    m = sniff_media(only_fake[:64], len(only_fake), suffix=only_fake[-64:])
+    assert m["duration_sec"] is None
+
+
+def test_sniff_bmp_depth_follows_bpp():
+    """Palettized and 16-bit BMPs report per-channel depth from the bpp
+    field — not a hardcoded 8 (1/4-bit: single channel at that depth;
+    16-bit 5-6-5: three channels, no uniform depth)."""
+    def bmp_with_bpp(bpp: int) -> bytes:
+        dib = struct.pack("<IiiHH", 40, 10, 20, 1, bpp) + b"\0" * 20
+        return b"BM" + struct.pack("<IHHI", 54, 0, 0, 54) + dib
+
+    for bpp, want in [(1, (1, 1)), (4, (1, 4)), (8, (1, 8)),
+                      (16, (3, None)), (24, (3, 8)), (32, (4, 8))]:
+        m = sniff_media(bmp_with_bpp(bpp), 0)
+        assert (m["channels"], m["bit_depth"]) == want, bpp

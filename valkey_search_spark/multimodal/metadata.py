@@ -77,6 +77,22 @@ def _vid(fmt, w=None, h=None, dur=None):
 # ---------------------------------------------------------------------------
 # image containers
 
+def _bmp_depth_channels(bpp: int):
+    """(channels, per-channel bit depth) from the BMP bits-per-pixel
+    field: 1/4/8 bpp are palettized single-channel at that depth; 24/32
+    are 3/4 byte channels; 16 bpp (5-6-5 / 5-5-5-1 packings) has no
+    uniform per-channel depth, so bit_depth is reported null there."""
+    if bpp in (1, 4, 8):
+        return 1, bpp
+    if bpp == 24:
+        return 3, 8
+    if bpp == 32:
+        return 4, 8
+    if bpp == 16:
+        return 3, None
+    return (max(1, bpp // 8), 8 if bpp % 8 == 0 else None) if bpp else (None, None)
+
+
 def _sniff_bmp(p: bytes):
     if len(p) < 26:
         return _img("bmp")
@@ -84,12 +100,12 @@ def _sniff_bmp(p: bytes):
     if hdr_size == 12:                        # OS/2 BITMAPCOREHEADER
         w, h = struct.unpack_from("<HH", p, 18)
         (bpp,) = struct.unpack_from("<H", p, 24)
-        return _img("bmp", w, h, max(1, bpp // 8) if bpp else None, 8)
+        return _img("bmp", w, h, *_bmp_depth_channels(bpp))
     if hdr_size < 40 or len(p) < 30:          # unknown DIB header layout
         return _img("bmp")
     w, h = struct.unpack_from("<ii", p, 18)
     (bpp,) = struct.unpack_from("<H", p, 28)
-    return _img("bmp", abs(w), abs(h), max(1, bpp // 8) if bpp else None, 8)
+    return _img("bmp", abs(w), abs(h), *_bmp_depth_channels(bpp))
 
 
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
@@ -278,10 +294,18 @@ def _sniff_mp3(p: bytes, total: int):
 def _ogg_last_granule(suffix: bytes) -> int | None:
     """Absolute granule position of the LAST Ogg page header found in the
     payload tail — by spec the stream's total sample count (Vorbis) or
-    48 kHz-unit count (Opus)."""
+    48 kHz-unit count (Opus).
+
+    A bare 'OggS' byte collision inside compressed audio would yield a
+    confidently wrong duration, so a candidate is only trusted when the
+    rest of the fixed header is plausible too: stream_structure_version
+    must be 0 (the only version ever defined) and header_type uses only
+    its three defined flag bits (<= 7) — same false-positive discipline
+    as the MP4 trailing-moov scanner."""
     i = suffix.rfind(b"OggS")
     while i >= 0:
-        if i + 14 <= len(suffix):
+        if (i + 14 <= len(suffix)
+                and suffix[i + 4] == 0 and suffix[i + 5] <= 7):
             (granule,) = struct.unpack_from("<q", suffix, i + 6)
             if granule >= 0:
                 return granule

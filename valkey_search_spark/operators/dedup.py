@@ -126,6 +126,10 @@ def _gram_rows(df: DataFrame, key: str, text_col: str, n: int) -> DataFrame:
 
 
 def _shingles_of(toks, n: int):
+    # Documents shorter than n tokens yield NULL (no truncated gram) —
+    # deliberately matching _gram_rows' `__i <= size - n` window filter,
+    # so ngram_jaccard_pairs' default and stop-gram branches agree that
+    # sub-shingle documents are out of scope (pinned in test_curation_pipeline).
     cnt = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(1)))
     return F.when(cnt >= n, F.array_distinct(
