@@ -49,6 +49,18 @@ _ENGINES: dict[tuple[int, str], SearchEngine] = {}
 _IVF: dict = {}
 
 
+def ivf_index(spark: SparkSession, sf_dir: str):
+    """Shared per-SF IVF artifact (built once, reused by the knn_ivf /
+    knn_join_bucketed rows and the bench's partial-probe recall block)."""
+    from valkey_search_spark.operators.ann import IVFIndex
+
+    if sf_dir not in _IVF:
+        emb = load_table(spark, sf_dir, "embeddings")
+        path = f"/tmp/valkey_ivf_{os.path.basename(sf_dir.rstrip('/'))}"
+        _IVF[sf_dir] = IVFIndex.build(emb, path, metric="l2", n_lists=8)
+    return _IVF[sf_dir]
+
+
 def _eng(spark: SparkSession, sf_dir: str) -> SearchEngine:
     key = (id(spark), sf_dir)
     if key in _ENGINES:
@@ -429,14 +441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["knn_metrics"] = q_knn_metrics
     q["knn_hybrid"] = _knn_query("emb_l2", "@label:[3 5]=>[KNN 10 @embedding $v AS dist]")
 
-    def _ivf_index(spark, sf_dir):
-        from valkey_search_spark.operators.ann import IVFIndex
-
-        if sf_dir not in _IVF:
-            emb = load_table(spark, sf_dir, "embeddings")
-            path = f"/tmp/valkey_ivf_{os.path.basename(sf_dir.rstrip('/'))}"
-            _IVF[sf_dir] = IVFIndex.build(emb, path, metric="l2", n_lists=8)
-        return _IVF[sf_dir]
+    _ivf_index = ivf_index
 
     def q_knn_ivf(spark, sf_dir):
         # IVF with nprobe == n_lists is exact (partition-pruned brute force),
@@ -701,6 +706,43 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.length("text_redacted").alias("red_len"),
             "dup_line_frac", "dup_para_frac", "top_2gram_char_frac")
 
+    def b_line_dedup(spark, sf_dir):
+        # cross-document boilerplate-line removal (CCNet/RefinedWeb
+        # pass): posexplode -> line doc-frequency agg -> verdict join ->
+        # positional reassembly. Correctness is scalar-reference-pinned
+        # in tests/test_contamination.py; this tracks its two-shuffle
+        # plan's cost. Lines are synthesized by chunking the word soup
+        # (documents.text has no newlines), sharing a planted footer so
+        # the verdict join has real work.
+        from valkey_search_spark.operators.contamination import (
+            cross_doc_line_dedup,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        toks = F.split(F.col("text"), " ")
+        lined = docs.select(
+            "doc_id",
+            F.concat_ws("\n",
+                        F.array_join(F.slice(toks, 1, 8), " "),
+                        F.lit("all rights reserved"),
+                        F.array_join(F.slice(toks, 9, 8), " "),
+                        F.array_join(F.slice(toks, 17, 8), " ")
+                        ).alias("text"))
+        out = cross_doc_line_dedup(lined, "doc_id")
+        return out.select("doc_id", "lines_kept", "lines_dropped",
+                          F.length("text_deduped").alias("len"))
+
+    def b_knn_ivf_partial(spark, sf_dir):
+        # partial probe (nprobe = n_lists/4): the speed side of the
+        # speed/recall tradeoff the reference headlines; the recall side
+        # is measured in bench.py's ann_recall block against the exact
+        # full-probe result over a query batch
+        idx = ivf_index(spark, sf_dir)
+        out = idx.search(QVEC, k=10, nprobe=max(1, idx.n_lists // 4),
+                         tiebreak_col="vec_id")
+        return out.select(F.col("vec_id").cast("long").alias("vec_id"),
+                          F.col("__score").alias("dist"))
+
     return {
         "text_proximity_3term": _search("docs", "batch stream window",
                                         DOC_COLS, slop=2, inorder=True),
@@ -709,6 +751,8 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hygiene_decontaminate": b_decontaminate,
         "hygiene_pii_repetition": b_pii_repetition,
         "knn_pq": b_knn_pq,
+        "knn_ivf_partial": b_knn_ivf_partial,
+        "hygiene_line_dedup": b_line_dedup,
     }
 
 

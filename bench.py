@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "hygiene_decontaminate",
     "hygiene_pii_repetition",
     "knn_pq",
+    "knn_ivf_partial",
+    "hygiene_line_dedup",
 ]
 
 
@@ -85,6 +87,35 @@ def main():
             best = dt if best is None else min(best, dt)
         times[name] = round(best, 4)
         print(f"  {name}: {times[name]}s", file=sys.stderr, flush=True)
+
+    # partial-probe ANN speed/recall tradeoff (the reference's headline
+    # is ">99% recall" — BASELINE.md row 3): recall@10 of nprobe =
+    # n_lists/4 vs the exact full probe, over a 100-query batch through
+    # knn_join_bucketed (one distributed job per side, recall computed
+    # with a pair join — no per-query driver loop)
+    from pyspark.sql import functions as F  # noqa: E402 (used below too)
+    from valkey_search_spark.operators.ann import knn_join_bucketed
+
+    idx = entrymod.ivf_index(spark, sf_dir)
+    qdf = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .where(F.col("vec_id") < 100)
+           .select(F.col("vec_id").alias("qid"), "embedding"))
+    exact = knn_join_bucketed(qdf, idx, k=10, nprobe=idx.n_lists,
+                              corpus_key="vec_id").select("qid", "vec_id")
+    n_exact = exact.count()
+    curve = []
+    for nprobe in sorted({1, idx.n_lists // 4, idx.n_lists // 2}):
+        approx = knn_join_bucketed(qdf, idx, k=10, nprobe=nprobe,
+                                   corpus_key="vec_id").select("qid", "vec_id")
+        t0 = time.perf_counter()
+        approx.count()
+        sec = round(time.perf_counter() - t0, 4)
+        hits = approx.join(exact, ["qid", "vec_id"]).count()
+        curve.append({"nprobe": nprobe,
+                      "recall_at_10": round(hits / max(n_exact, 1), 4),
+                      "batch_sec": sec})
+    ann_recall = {"n_lists": idx.n_lists, "k": 10, "queries": 100,
+                  "curve": curve}
 
     # write-side workload (BASELINE.md "FTS write workload": 50 TEXT
     # fields ingest): one timed build of a cached 50-field index over a
@@ -146,6 +177,7 @@ def main():
         "unit": "sec",
         "queries": times,
         "runs_per_query": 3,
+        "ann_recall": ann_recall,
         "ingest": {"workload": "50field_text_ingest_10k",
                    "docs": n_docs, "sec": ingest_sec,
                    "docs_per_sec": round(n_docs / max(ingest_sec, 1e-9), 1)},

@@ -109,3 +109,52 @@ def test_ivf_recall_on_clusterable_data(spark, tmp_path):
     r1, r4 = recall(1), recall(4)
     assert r4 >= r1
     assert r1 >= 0.9     # one probed list already holds the cluster
+
+
+def test_max_list_rows_bounds_skew(spark, emb, tmp_path):
+    """A skew-bounded build hash-splits oversized lists: no physical
+    parquet partition exceeds the cap, probing a centroid probes all of
+    its sub-lists, full-probe search stays exact, and the split map
+    round-trips through load."""
+    path = str(tmp_path / "skew")
+    # n_lists=2 over 1000 vectors forces ~500-row lists; cap at 150
+    idx = IVFIndex.build(emb, path, vec_col="embedding", metric="l2",
+                         n_lists=2, seed=42, max_list_rows=150)
+    sizes = {r["__list"]: r["n"] for r in
+             spark.read.parquet(path).groupBy("__list")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert idx.n_physical_lists > idx.n_lists == 2
+    assert len(sizes) == idx.n_physical_lists
+    assert max(sizes.values()) <= 150, sizes
+    # every physical id appears exactly once across the map
+    flat = [p for ids in idx.list_map for p in ids]
+    assert sorted(flat) == list(range(idx.n_physical_lists))
+    # probing one centroid expands to exactly one centroid's sub-lists
+    probe1 = idx._probe_lists(QVEC, 1)
+    assert any(set(ids) == set(probe1) for ids in idx.list_map)
+    # full probe == exact brute force, unchanged by splitting
+    approx = idx.search(QVEC, k=10, nprobe=idx.n_lists)
+    assert recall_at_k(approx, _brute(emb, "l2"), "vec_id", 10) == 1.0
+    # load round-trip preserves the split map
+    again = IVFIndex.load(spark, path)
+    assert again.list_map == idx.list_map
+
+
+def test_max_list_rows_bucketed_join_unchanged(spark, emb, tmp_path):
+    """knn_join_bucketed at full AND partial probe returns the same
+    rows against a split index as against the unsplit one."""
+    from valkey_search_spark.operators.ann import knn_join_bucketed
+
+    base = emb.select(F.col("vec_id").alias("cid"), "embedding")
+    plain = IVFIndex.build(base, str(tmp_path / "plain"), "embedding",
+                           n_lists=4, seed=42)
+    split = IVFIndex.build(base, str(tmp_path / "split"), "embedding",
+                           n_lists=4, seed=42, max_list_rows=120)
+    assert split.n_physical_lists > 4
+    q = emb.limit(25).select(F.col("vec_id").alias("qid"), "embedding")
+    for nprobe in (4, 2):
+        a = sorted(map(tuple, knn_join_bucketed(
+            q, plain, k=3, nprobe=nprobe).collect()))
+        b = sorted(map(tuple, knn_join_bucketed(
+            q, split, k=3, nprobe=nprobe).collect()))
+        assert a == b, nprobe

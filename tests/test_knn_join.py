@@ -159,3 +159,40 @@ def test_distance_ties_resolve_to_lowest_keys(spark, emb, tmp_path):
         for cid in cids:
             if cid >= 100000:
                 assert cid - 100000 in cids       # twin's low copy is present
+
+
+def test_corpus_size_hint_skips_metadata_jobs(spark, emb, monkeypatch):
+    """With corpus_size_hint the size check must run ZERO eager jobs
+    before routing: neither first() nor count() is called while the
+    plan is built (the broadcast collect itself still runs, later)."""
+    q = emb.limit(5).select(F.col("vec_id").alias("qid"), "embedding")
+    c = emb.select(F.col("vec_id").alias("cid"), "embedding")
+    cls = type(emb)
+    calls = []
+    orig_first, orig_count = cls.first, cls.count
+
+    def spy_first(self):
+        calls.append("first")
+        return orig_first(self)
+
+    def spy_count(self):
+        calls.append("count")
+        return orig_count(self)
+
+    monkeypatch.setattr(cls, "first", spy_first)
+    monkeypatch.setattr(cls, "count", spy_count)
+    out = knn_join(q, c, k=3, metric="l2",
+                   corpus_size_hint=(1000, 64))
+    assert calls == []                   # routing ran no pre-jobs
+    monkeypatch.undo()
+    # hinted run matches the probed run value-for-value
+    expect = sorted(map(tuple, knn_join(q, c, k=3, metric="l2").collect()))
+    assert sorted(map(tuple, out.collect())) == expect
+    # an oversized hint routes to the bucketed plan without probing
+    # (dim inflated so the byte estimate trips the broadcast cap while
+    # the row count — which sizes the KMeans fit sample — stays honest)
+    routed = knn_join(q, c, k=3, metric="l2",
+                      corpus_size_hint=(1000, 10**7))
+    assert sorted(map(tuple, routed.select(
+        "qid", "cid", F.round("distance", 6), "rank").collect())) == sorted(
+        map(tuple, (r[:2] + (round(r[2], 6), r[3]) for r in expect)))

@@ -38,7 +38,8 @@ class IVFIndex:
 
     def __init__(self, spark: SparkSession, path: str, vec_col: str,
                  metric: str, centroids: np.ndarray,
-                 quantized: bool = False, pq=None):
+                 quantized: bool = False, pq=None,
+                 list_map: list[list[int]] | None = None):
         self.spark = spark
         self.path = path
         self.vec_col = vec_col
@@ -46,6 +47,11 @@ class IVFIndex:
         self.centroids = centroids
         self.quantized = quantized
         self.pq = pq                          # PQCodebook | None
+        # centroid id -> physical list ids (identity unless an oversized
+        # list was split at build; probing a centroid probes ALL of its
+        # physical sub-lists, so split indexes keep unsplit recall)
+        self.list_map = (list_map if list_map is not None
+                         else [[c] for c in range(len(centroids))])
 
     # ------------------------------------------------------------------
     @classmethod
@@ -53,7 +59,8 @@ class IVFIndex:
               metric: str = "l2", n_lists: int = 16,
               sample_fraction: float | None = None, seed: int = 42,
               max_iter: int = 20, quantize: bool = False,
-              pq_m: int | None = None) -> "IVFIndex":
+              pq_m: int | None = None,
+              max_list_rows: int | None = None) -> "IVFIndex":
         """Batch index build == the reference's backfill+graph-build collapsed
         into one KMeans job + one partitioned write. ``sample_fraction``
         bounds the KMeans fit cost at scale (fit on a sample, assign all).
@@ -72,7 +79,18 @@ class IVFIndex:
         Search uses asymmetric distance (exact query vs per-subspace
         LUT, pure JVM element_at); read paths reconstruct approximate
         floats from the codebook so every consumer works unchanged.
-        Mutually exclusive with ``quantize``."""
+        Mutually exclusive with ``quantize``.
+
+        ``max_list_rows`` bounds per-list skew: KMeans on real embedding
+        distributions produces hot lists, and a single oversized list
+        caps the bucketed join's parallelism and per-task memory (the
+        cogroup scorer loads one list's rows into numpy). Lists whose
+        (estimated) size exceeds the cap are hash-split into sub-lists
+        targeting ~75% fill; probing a centroid probes all of its
+        sub-lists, so recall semantics are exactly those of the unsplit
+        index while no physical partition exceeds the cap (up to hash
+        fluctuation around the 75% target). Sizes come free from the
+        KMeans training summary (scaled when fit on a sample)."""
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector, vector_to_array
 
@@ -102,6 +120,33 @@ class IVFIndex:
         model = KMeans(k=n_lists, seed=seed, maxIter=max_iter,
                        featuresCol="__feat", predictionCol="__list").fit(fit_on)
         assigned = model.transform(feats).drop("__feat")
+        list_map = [[c] for c in range(n_lists)]
+        if max_list_rows is not None:
+            # per-centroid sizes from the training summary — zero extra
+            # jobs; a sampled fit gives scaled estimates, which is fine
+            # for a soft memory cap
+            sizes = [int(s) for s in model.summary.clusterSizes]
+            if sample_fraction:
+                sizes = [int(s / sample_fraction) for s in sizes]
+            nxt = n_lists
+            remap = F.col("__list")
+            for c, cnt in enumerate(sizes):
+                if cnt <= max_list_rows:
+                    continue
+                # target ~75% fill so uniform-hash fluctuation stays
+                # under the cap; the split is deterministic (xxhash64
+                # of the vector)
+                s = max(2, -(-cnt // max(1, int(0.75 * max_list_rows))))
+                ids = [c] + list(range(nxt, nxt + s - 1))
+                nxt += s - 1
+                list_map[c] = ids
+                sub = F.pmod(F.xxhash64(F.col(vec_col)), F.lit(s))
+                remap = F.when(
+                    F.col("__list") == c,
+                    F.element_at(F.array(*[F.lit(i) for i in ids]),
+                                 sub.cast("int") + 1)).otherwise(remap)
+            if nxt > n_lists:
+                assigned = assigned.withColumn("__list", remap)
         codebook = None
         if quantize:
             from ..functions.quantize import quantize_vector_expr
@@ -122,9 +167,10 @@ class IVFIndex:
             json.dump({"vec_col": vec_col, "metric": metric,
                        "quantized": quantize,
                        "pq": codebook.to_json() if codebook else None,
-                       "centroids": centroids.tolist()}, fh)
+                       "centroids": centroids.tolist(),
+                       "list_map": list_map}, fh)
         return cls(spark, path, vec_col, metric, centroids,
-                   quantized=quantize, pq=codebook)
+                   quantized=quantize, pq=codebook, list_map=list_map)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "IVFIndex":
@@ -137,7 +183,8 @@ class IVFIndex:
             pq = PQCodebook.from_json(meta["pq"])
         return cls(spark, path, meta["vec_col"], meta["metric"],
                    np.asarray(meta["centroids"]),
-                   quantized=meta.get("quantized", False), pq=pq)
+                   quantized=meta.get("quantized", False), pq=pq,
+                   list_map=meta.get("list_map"))
 
     def _read(self) -> DataFrame:
         """The persisted corpus with ``vec_col`` as float — dequantized
@@ -157,6 +204,9 @@ class IVFIndex:
 
     # ------------------------------------------------------------------
     def _probe_lists(self, qvec: list[float], nprobe: int) -> list[int]:
+        """PHYSICAL list ids for the ``nprobe`` nearest centroids —
+        nprobe counts centroids; a split centroid contributes all of its
+        sub-lists, so recall is independent of build-time splitting."""
         q = np.asarray(qvec, dtype=np.float64)
         if self.metric == "cosine":
             n = np.linalg.norm(q)
@@ -166,7 +216,8 @@ class IVFIndex:
             d = ((self.centroids - q) ** 2).sum(axis=1)
         else:  # ip / cosine: nearest by highest dot product
             d = -(self.centroids @ q)
-        return [int(i) for i in np.argsort(d)[:nprobe]]
+        return [p for i in np.argsort(d)[:nprobe]
+                for p in self.list_map[int(i)]]
 
     def search(self, qvec: list[float], k: int = 10, nprobe: int = 4,
                prefilter=None, score_name: str = "__score",
@@ -209,7 +260,14 @@ class IVFIndex:
 
     @property
     def n_lists(self) -> int:
+        """Number of CENTROIDS (the nprobe dial's units)."""
         return len(self.centroids)
+
+    @property
+    def n_physical_lists(self) -> int:
+        """Number of physical parquet partitions (>= n_lists when
+        oversized lists were hash-split at build)."""
+        return sum(len(ids) for ids in self.list_map)
 
 
 def recall_at_k(approx: DataFrame, exact: DataFrame, key: str, k: int) -> float:
@@ -224,7 +282,8 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 10,
              vec_col: str = "embedding", metric: str = "l2",
              batch_size: int = 1024,
              max_broadcast_bytes: int | None = 1 << 30,
-             index_path: str | None = None) -> DataFrame:
+             index_path: str | None = None,
+             corpus_size_hint: tuple[int, int] | None = None) -> DataFrame:
     """Batch KNN join: for every query row, its k nearest corpus rows.
 
     Plan shape for scale: the corpus (key + vectors only) is broadcast to
@@ -244,6 +303,11 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 10,
     Ties broken by corpus key ascending, so results are deterministic and
     oracle-comparable. Distances follow the reference metric map
     (/root/reference/src/indexes/vector_base.h:106-110).
+
+    ``corpus_size_hint=(rows, dim)`` skips the two eager metadata jobs
+    (a ``first()`` for the dimension and a ``count()``) that the size
+    check otherwise runs on every call — callers that already know the
+    corpus shape (e.g. they just wrote it) route with zero pre-jobs.
     """
     from collections.abc import Iterator
 
@@ -254,9 +318,13 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 10,
 
     spark = queries.sparkSession
     if max_broadcast_bytes is not None:
-        first = corpus.select(vec_col).where(F.col(vec_col).isNotNull()).first()
-        dim = len(first[0]) if first else 0
-        n_rows = corpus.count()
+        if corpus_size_hint is not None:
+            n_rows, dim = corpus_size_hint
+        else:
+            first = corpus.select(vec_col).where(
+                F.col(vec_col).isNotNull()).first()
+            dim = len(first[0]) if first else 0
+            n_rows = corpus.count()
         est = n_rows * dim * 8
         if est > max_broadcast_bytes:
             import tempfile
@@ -266,10 +334,15 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 10,
             # bound the KMeans fit at ~200k sampled rows — assignment still
             # scans everything once, but the iterative fit must not
             frac = min(1.0, 200_000 / max(n_rows, 1))
+            # the cogroup scorer holds one list as a float64 numpy matrix;
+            # cap any list at ~256 MB of matrix so a KMeans hot spot can't
+            # blow a task (hash-split at build, recall unchanged)
+            cap = max(1024, (256 << 20) // max(dim * 8, 1))
             index = IVFIndex.build(
                 corpus.select(corpus_key, vec_col), path, vec_col=vec_col,
                 metric=metric, n_lists=n_lists,
-                sample_fraction=None if frac >= 1.0 else frac)
+                sample_fraction=None if frac >= 1.0 else frac,
+                max_list_rows=cap)
             return knn_join_bucketed(
                 queries, index, k=k, nprobe=index.n_lists,
                 query_key=query_key, corpus_key=corpus_key, vec_col=vec_col)
@@ -350,6 +423,7 @@ def knn_join_bucketed(queries: DataFrame, index: IVFIndex, k: int = 10,
     cents = index.centroids
     metric = index.metric
     nprobe = min(nprobe, index.n_lists)
+    lmap = index.list_map
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def probe_lists(vs: pd.Series) -> pd.Series:
@@ -365,15 +439,20 @@ def knn_join_bucketed(queries: DataFrame, index: IVFIndex, k: int = 10,
                  + (cents * cents).sum(1)[None, :])
         else:                                   # ip / cosine: highest dot
             d = -(q @ cents.T)
-        idx = np.argsort(d, axis=1)[:, :nprobe].astype("int32")
-        return pd.Series(list(idx))
+        idx = np.argsort(d, axis=1)[:, :nprobe]
+        # expand probed centroids -> their physical sub-lists (identity
+        # unless the build split an oversized list)
+        return pd.Series([
+            np.array([p for c in row for p in lmap[c]], dtype="int32")
+            for row in idx])
 
     if nprobe >= index.n_lists:
         # full probe: every query scores against every list — no need
         # for the Arrow centroid-assignment pass, a JVM explode of the
         # list range is equivalent and keeps the stage Python-free
+        # (physical ids are contiguous 0..n_physical-1 by construction)
         all_lists = F.sequence(
-            F.lit(0), F.lit(index.n_lists - 1)).cast("array<int>")
+            F.lit(0), F.lit(index.n_physical_lists - 1)).cast("array<int>")
         probed = (queries.select(query_key, vec_col).dropna()
                   .withColumn("__list", F.explode(all_lists)))
     else:
