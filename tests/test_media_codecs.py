@@ -682,3 +682,299 @@ def test_image_features_real_jpeg(spark):
     rows = [Row(id=0, image=bytearray(_encode_jpeg(rgb=src)))]
     got = image_features(spark.createDataFrame(rows), fake=False).collect()
     np.testing.assert_allclose(got[0]["img_mean"], [99.0] * 3, atol=2)
+
+
+# ---------------------------------------------------------------------------
+# GIF: decoder pinned by an INDEPENDENT forward LZW compressor (the
+# canonical unix-compress scheme: emit with current width, then add the
+# new string and widen when the next free code would not fit — matching
+# the decoder's read-side widening one code later)
+
+from valkey_search_spark.multimodal.codecs import decode_gif, decode_tiff
+
+
+class _BitPackerLSB:
+    def __init__(self):
+        self.bits = []
+
+    def put(self, code, width):
+        for b in range(width):
+            self.bits.append((code >> b) & 1)
+
+    def tobytes(self):
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            byte = 0
+            for j, bit in enumerate(self.bits[i:i + 8]):
+                byte |= bit << j
+            out.append(byte)
+        return bytes(out)
+
+
+def _lzw_encode(indices, min_code_size, clear_every=None):
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    pk = _BitPackerLSB()
+
+    def reset():
+        return ({bytes([i]): i for i in range(clear)}, end + 1,
+                min_code_size + 1)
+
+    table, next_code, width = reset()
+    pk.put(clear, width)
+    prev = b""
+    emitted = 0
+    for px in indices:
+        cur = prev + bytes([int(px)])
+        if cur in table:
+            prev = cur
+            continue
+        pk.put(table[prev], width)
+        emitted += 1
+        if next_code < 4096:
+            table[cur] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        prev = bytes([int(px)])
+        if clear_every and emitted % clear_every == 0:
+            pk.put(clear, width)
+            table, next_code, width = reset()
+    if prev:
+        pk.put(table[prev], width)
+    pk.put(end, width)
+    return pk.tobytes()
+
+
+def _subblocks(data):
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def _pack_gif(img_rgb, palette, interlaced=False, local_table=False,
+              min_code_size=None, clear_every=None, extensions=True):
+    """img_rgb: (H, W, 3); palette: (N, 3) covering every pixel value."""
+    h, w = img_rgb.shape[:2]
+    pal = np.asarray(palette, dtype=np.uint8)
+    lut = {tuple(c): i for i, c in enumerate(pal)}
+    idx = np.array([lut[tuple(px)] for px in img_rgb.reshape(-1, 3)],
+                   dtype=np.uint8)
+    if interlaced:
+        order = [r for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+                 for r in range(start, h, step)]
+        idx = idx.reshape(h, w)[order].reshape(-1)
+    size_field = max(1, int(np.ceil(np.log2(len(pal)))) ) - 1 \
+        if len(pal) > 2 else 0
+    while (2 << size_field) < len(pal):
+        size_field += 1
+    n_entries = 2 << size_field
+    table_bytes = np.vstack([pal, np.zeros((n_entries - len(pal), 3),
+                                           np.uint8)]).tobytes()
+    mcs = min_code_size or max(2, size_field + 1)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    if local_table:
+        out += bytes([0x00, 0, 0])             # no global table
+    else:
+        out += bytes([0x80 | size_field, 0, 0])
+        out += table_bytes
+    if extensions:
+        # graphic control extension + a comment, both skippable
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+        out += b"\x21\xfe\x05hello\x00"
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out += bytes([(0x80 | size_field if local_table else 0)
+                  | (0x40 if interlaced else 0)])
+    if local_table:
+        out += table_bytes
+    out += bytes([mcs])
+    out += _subblocks(_lzw_encode(idx, mcs, clear_every=clear_every))
+    out += b"\x3b"
+    return bytes(out)
+
+
+_PAL8 = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255],
+                  [255, 255, 0], [0, 255, 255], [255, 0, 255],
+                  [255, 255, 255]], dtype=np.uint8)
+
+
+def test_decode_gif_simple_roundtrip():
+    rng = np.random.default_rng(7)
+    img = _PAL8[rng.integers(0, 8, size=(11, 13))]
+    got = decode_gif(_pack_gif(img, _PAL8))
+    np.testing.assert_array_equal(got, img)
+
+
+def test_decode_gif_interlaced_and_local_table():
+    rng = np.random.default_rng(8)
+    img = _PAL8[rng.integers(0, 8, size=(17, 9))]
+    np.testing.assert_array_equal(
+        decode_gif(_pack_gif(img, _PAL8, interlaced=True)), img)
+    np.testing.assert_array_equal(
+        decode_gif(_pack_gif(img, _PAL8, local_table=True)), img)
+
+
+def test_decode_gif_midstream_clear_codes():
+    rng = np.random.default_rng(9)
+    img = _PAL8[rng.integers(0, 8, size=(16, 16))]
+    np.testing.assert_array_equal(
+        decode_gif(_pack_gif(img, _PAL8, clear_every=40)), img)
+
+
+def test_decode_gif_code_width_growth():
+    # 64x64 random over a 256-color palette forces the code width well
+    # past its initial value (hundreds of table entries)
+    rng = np.random.default_rng(10)
+    pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    pal = np.unique(pal, axis=0)
+    img = pal[rng.integers(0, len(pal), size=(64, 64))]
+    np.testing.assert_array_equal(decode_gif(_pack_gif(img, pal)), img)
+
+
+def test_decode_gif_rejects_malformed():
+    for payload in (b"GIF89a", b"NOTGIF" + b"\0" * 20,
+                    b"GIF89a" + struct.pack("<HH", 2, 2) + b"\0\0\0\x3b"):
+        with pytest.raises(ValueError):
+            decode_gif(payload)
+
+
+@given(st.integers(1, 24), st.integers(1, 24), st.integers(0, 2**32 - 1))
+@settings(max_examples=20, deadline=None)
+def test_gif_roundtrip_any_shape(h, w, seed):
+    rng = np.random.default_rng(seed)
+    img = _PAL8[rng.integers(0, 8, size=(h, w))]
+    np.testing.assert_array_equal(decode_gif(_pack_gif(img, _PAL8)), img)
+
+
+# ---------------------------------------------------------------------------
+# TIFF: hand-packed IFDs, both byte orders, strip splits, photometric
+
+
+def _pack_tiff(img, bo="<", strips=1, photometric=None, compression=1):
+    """img: (H, W) gray or (H, W, C); 8-bit chunky baseline TIFF."""
+    h, w = img.shape[:2]
+    spp = 1 if img.ndim == 2 else img.shape[2]
+    if photometric is None:
+        photometric = 2 if spp >= 3 else 1
+    data = (255 - img if photometric == 0 else img).astype(np.uint8).tobytes()
+    rows_per_strip = -(-h // strips)
+    strip_bytes = rows_per_strip * w * spp
+    chunks = [data[i:i + strip_bytes] for i in range(0, len(data), strip_bytes)]
+
+    entries = []                     # (tag, type, count, value-or-bytes)
+    def short(tag, v):
+        entries.append((tag, 3, 1, struct.pack(bo + "HH", v, 0)))
+
+    short(256, w); short(257, h)
+    if spp * 2 <= 4:
+        entries.append((258, 3, spp,
+                        struct.pack(bo + "H" * spp + "H" * (2 - spp % 2) if spp == 1
+                                    else bo + "HH", *( [8] * spp + [0] if spp == 1 else [8, 8]))))
+    short(259, compression); short(262, photometric); short(277, spp)
+    short(278, rows_per_strip)
+
+    # layout: header(8) + IFD + external arrays + strip data
+    n_ext = []                       # (tag, type, count, payload bytes)
+    if spp > 2:
+        n_ext.append((258, 3, spp, struct.pack(bo + "H" * spp, *([8] * spp))))
+    ifd_entries = len(entries) + 2 + len(n_ext)
+    ifd_size = 2 + ifd_entries * 12 + 4
+    ext_off = 8 + ifd_size
+    ext_blob = bytearray()
+    ext_offsets = {}
+    for tag, typ, cnt, payload in n_ext:
+        ext_offsets[tag] = ext_off + len(ext_blob)
+        ext_blob += payload
+    # strip offset/count arrays (after ext blob)
+    arr_off = ext_off + len(ext_blob)
+    n = len(chunks)
+    so_bytes = struct.pack(bo + "I" * n, *[0] * n)   # placeholder
+    sc_bytes = struct.pack(bo + "I" * n, *[len(c) for c in chunks])
+    if n == 1:
+        data_off = arr_off
+    else:
+        data_off = arr_off + len(so_bytes) + len(sc_bytes)
+    offs = []
+    cur = data_off
+    for c in chunks:
+        offs.append(cur)
+        cur += len(c)
+    so_bytes = struct.pack(bo + "I" * n, *offs)
+
+    all_entries = list(entries)
+    for tag, typ, cnt, payload in n_ext:
+        all_entries.append((tag, typ, cnt,
+                            struct.pack(bo + "I", ext_offsets[tag])))
+    if n == 1:
+        all_entries.append((273, 4, 1, struct.pack(bo + "I", offs[0])))
+        all_entries.append((279, 4, 1, struct.pack(bo + "I", len(chunks[0]))))
+    else:
+        all_entries.append((273, 4, n, struct.pack(bo + "I", arr_off)))
+        all_entries.append((279, 4, n,
+                            struct.pack(bo + "I", arr_off + len(so_bytes))))
+    all_entries.sort()
+
+    out = bytearray()
+    out += (b"II" if bo == "<" else b"MM") + struct.pack(bo + "H", 42)
+    out += struct.pack(bo + "I", 8)
+    out += struct.pack(bo + "H", len(all_entries))
+    for tag, typ, cnt, val in all_entries:
+        out += struct.pack(bo + "HHI", tag, typ, cnt) + val[:4].ljust(4, b"\0")
+    out += struct.pack(bo + "I", 0)
+    out += ext_blob
+    if n > 1:
+        out += so_bytes + sc_bytes
+    for c in chunks:
+        out += c
+    return bytes(out)
+
+
+def test_decode_tiff_rgb_both_endiannesses():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    for bo in ("<", ">"):
+        np.testing.assert_array_equal(decode_tiff(_pack_tiff(img, bo=bo)), img)
+
+
+def test_decode_tiff_multi_strip():
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, size=(9, 6, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_tiff(_pack_tiff(img, strips=3)), img)
+
+
+def test_decode_tiff_gray_and_miniswhite():
+    rng = np.random.default_rng(13)
+    gray = rng.integers(0, 256, size=(7, 5), dtype=np.uint8)
+    got = decode_tiff(_pack_tiff(gray, photometric=1))
+    np.testing.assert_array_equal(got, np.repeat(gray[:, :, None], 3, axis=2))
+    got_w = decode_tiff(_pack_tiff(gray, photometric=0))
+    np.testing.assert_array_equal(got_w, got)     # inversion round-trips
+
+
+def test_decode_tiff_rejects_compressed_and_malformed():
+    img = np.zeros((3, 3, 3), dtype=np.uint8)
+    with pytest.raises(ValueError):
+        decode_tiff(_pack_tiff(img, compression=5))      # LZW: the PIL seam
+    with pytest.raises(ValueError):
+        decode_tiff(b"II*\x00\x08\x00\x00")               # truncated
+    with pytest.raises(ValueError):
+        decode_tiff(b"XX\x2a\x00" + b"\0" * 16)
+
+
+def test_image_features_real_gif_tiff(spark):
+    """The Spark real-decode path handles GIF and TIFF payloads."""
+    rng = np.random.default_rng(14)
+    img = _PAL8[rng.integers(0, 8, size=(6, 6))]
+    timg = rng.integers(0, 256, size=(6, 6, 3), dtype=np.uint8)
+    df = spark.createDataFrame([
+        Row(id=1, image=bytearray(_pack_gif(img, _PAL8))),
+        Row(id=2, image=bytearray(_pack_tiff(timg))),
+    ])
+    out = {r["id"]: r for r in image_features(df, fake=False).collect()}
+    np.testing.assert_allclose(out[1]["img_mean"], img.mean(axis=(0, 1)))
+    np.testing.assert_allclose(out[2]["img_mean"], timg.mean(axis=(0, 1)))

@@ -24,9 +24,19 @@ are fully decodable with struct + numpy alone, which makes the
   color mapping. Tests implement the FORWARD pipeline (FDCT, quantize,
   canonical-Huffman encode) independently, pinning this inverse path.
 
-Formats needing non-stdlib decoders (MP3, progressive JPEG, WebP, ...)
-still raise NotImplementedError — that seam is where PIL/ffmpeg would
-plug in on a real cluster.
+- GIF: GIF87a/GIF89a first frame — full LZW decompression (variable
+  code width, clear/end codes, 12-bit cap with deferred clear), global
+  and local color tables, 4-pass interlacing. Format reference: the
+  public GIF89a specification (incl. Appendix F). Tests pin it with an
+  INDEPENDENT forward LZW compressor written in the test file.
+
+- TIFF: baseline uncompressed 8-bit gray/RGB, chunky layout, both byte
+  orders, any strip split, MinIsWhite inversion. Format reference: the
+  public TIFF 6.0 specification (baseline Part 1). Tests hand-pack IFDs.
+
+Formats needing non-stdlib decoders (MP3, progressive JPEG, WebP,
+compressed TIFF, ...) still raise NotImplementedError — that seam is
+where PIL/ffmpeg would plug in on a real cluster.
 """
 
 from __future__ import annotations
@@ -491,6 +501,237 @@ def _jpeg_decode_scan(d, pos, frame, scan, qt, huff_dc, huff_ac,
     rgb = np.stack([r, g, b], axis=2)
     return np.ascontiguousarray(np.clip(np.round(rgb), 0, 255
                                         ).astype(np.uint8))
+
+
+# ---------------------------------------------------------------------------
+# GIF
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, npix: int) -> np.ndarray:
+    """GIF-variant LZW: LSB-first variable-width codes starting at
+    min_code_size+1 bits, clear/end control codes, 12-bit table cap with
+    deferred clear. Returns the palette-index stream (uint8, clipped to
+    ``npix``). Format reference: the public GIF89a specification,
+    Appendix F (LZW compression)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    roots = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(roots)
+    code_size = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while bitpos + code_size <= total_bits and len(out) < npix:
+        byte_i = bitpos >> 3
+        chunk = int.from_bytes(data[byte_i:byte_i + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            table = list(roots)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise MediaDecodeError("LZW: first code out of range")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise MediaDecodeError("LZW: code out of range")
+        out += entry
+        prev = entry
+        # widen when the next code could reference the next table slot
+        # (stop at the 12-bit cap: the encoder must emit clear to grow)
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+    if len(out) < npix:
+        raise MediaDecodeError(
+            f"LZW: stream ended at {len(out)} of {npix} pixels")
+    return np.frombuffer(bytes(out[:npix]), dtype=np.uint8)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Decode the FIRST frame of a GIF87a/GIF89a to (H, W, 3) uint8 RGB.
+
+    Full LZW decompression, global and local color tables, and Adam-style
+    4-pass row interlacing. Extension blocks (graphic control, comments,
+    application) are skipped; animation frames beyond the first are not
+    decoded — feature extraction wants one representative raster, the
+    same contract as ``decode_jpeg``. The frame's own geometry is
+    returned (GIF frames may be smaller than the logical screen).
+    Format reference: the public GIF89a specification."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise MediaDecodeError("not a GIF payload")
+    if len(payload) < 13:
+        raise MediaDecodeError("truncated GIF header")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        if pos + 3 * n > len(payload):
+            raise MediaDecodeError("truncated global color table")
+        gct = np.frombuffer(payload, dtype=np.uint8, count=3 * n,
+                            offset=pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:                      # extension: label + subblocks
+            pos += 2
+            while pos < len(payload) and payload[pos]:
+                pos += payload[pos] + 1
+            pos += 1
+        elif block == 0x2C:                    # image descriptor
+            if pos + 10 > len(payload):
+                raise MediaDecodeError("truncated image descriptor")
+            _, _, iw, ih = struct.unpack_from("<HHHH", payload, pos + 1)
+            ipacked = payload[pos + 9]
+            pos += 10
+            pal = gct
+            if ipacked & 0x80:                 # local color table wins
+                n = 2 << (ipacked & 7)
+                if pos + 3 * n > len(payload):
+                    raise MediaDecodeError("truncated local color table")
+                pal = np.frombuffer(payload, dtype=np.uint8, count=3 * n,
+                                    offset=pos).reshape(n, 3)
+                pos += 3 * n
+            if pal is None:
+                raise MediaDecodeError("GIF image has no color table")
+            if iw == 0 or ih == 0:
+                raise MediaDecodeError(f"bad GIF frame size {iw}x{ih}")
+            min_code_size = payload[pos]
+            pos += 1
+            if not 2 <= min_code_size <= 11:
+                raise MediaDecodeError(
+                    f"bad LZW min code size {min_code_size}")
+            data = bytearray()
+            while pos < len(payload) and payload[pos]:
+                cnt = payload[pos]
+                data += payload[pos + 1:pos + 1 + cnt]
+                pos += cnt + 1
+            idx = _gif_lzw_decode(bytes(data), min_code_size, iw * ih)
+            if idx.max(initial=0) >= len(pal):
+                raise MediaDecodeError("GIF pixel index outside palette")
+            rows = idx.reshape(ih, iw)
+            if ipacked & 0x40:                 # interlaced: reorder rows
+                order = [r for start, step in _GIF_INTERLACE_PASSES
+                         for r in range(start, ih, step)]
+                deinter = np.empty_like(rows)
+                deinter[order] = rows
+                rows = deinter
+            return np.ascontiguousarray(pal[rows])
+        elif block == 0x3B:                    # trailer
+            break
+        else:
+            raise MediaDecodeError(f"unknown GIF block 0x{block:02x}")
+    raise MediaDecodeError("GIF contains no image data")
+
+
+# ---------------------------------------------------------------------------
+# TIFF (baseline, uncompressed)
+
+def _tiff_read_values(p: bytes, bo: str, typ: int, cnt: int,
+                      inline_off: int) -> list[int]:
+    """SHORT/LONG value arrays: <=4 inline bytes hold the values
+    directly, larger arrays live at the LONG offset in the value slot."""
+    size = 2 if typ == 3 else 4
+    fmt = "H" if typ == 3 else "I"
+    if size * cnt <= 4:
+        off = inline_off
+    else:
+        (off,) = struct.unpack_from(bo + "I", p, inline_off)
+    if off + size * cnt > len(p):
+        raise MediaDecodeError("TIFF value array out of bounds")
+    return list(struct.unpack_from(bo + fmt * cnt, p, off))
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """Decode a baseline uncompressed 8-bit TIFF (gray or RGB, chunky
+    planar layout, any strip split) to (H, W, 3) uint8 RGB — grayscale
+    replicated, alpha/extra samples dropped, MinIsWhite inverted.
+    Compressed TIFFs (LZW/PackBits/JPEG-in-TIFF) raise — that remains
+    the PIL seam. Format reference: the public TIFF 6.0 specification
+    (baseline Part 1)."""
+    if len(payload) < 8 or payload[:2] not in (b"II", b"MM"):
+        raise MediaDecodeError("not a TIFF payload")
+    bo = "<" if payload[:2] == b"II" else ">"
+    (magic,) = struct.unpack_from(bo + "H", payload, 2)
+    if magic != 42:
+        raise MediaDecodeError("bad TIFF magic")
+    (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
+    if ifd_off + 2 > len(payload):
+        raise MediaDecodeError("truncated TIFF IFD")
+    (n_entries,) = struct.unpack_from(bo + "H", payload, ifd_off)
+    tags: dict[int, tuple[int, int, int]] = {}
+    for e in range(n_entries):
+        off = ifd_off + 2 + e * 12
+        if off + 12 > len(payload):
+            raise MediaDecodeError("truncated TIFF IFD entry")
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", payload, off)
+        tags[tag] = (typ, cnt, off + 8)
+
+    def scalar(tag: int, default: int | None = None) -> int | None:
+        if tag not in tags:
+            return default
+        typ, cnt, voff = tags[tag]
+        return _tiff_read_values(payload, bo, typ, cnt, voff)[0]
+
+    width, height = scalar(256), scalar(257)
+    if not width or not height:
+        raise MediaDecodeError("TIFF missing dimensions")
+    compression = scalar(259, 1)
+    if compression != 1:
+        raise MediaDecodeError(
+            f"unsupported TIFF compression {compression} (baseline "
+            "uncompressed only; compressed TIFF is the PIL seam)")
+    photometric = scalar(262, 1)
+    spp = scalar(277, 1)
+    if 258 in tags:
+        typ, cnt, voff = tags[258]
+        depths = _tiff_read_values(payload, bo, typ, cnt, voff)
+        if any(d != 8 for d in depths):
+            raise MediaDecodeError(f"unsupported TIFF bit depths {depths}")
+    if 284 in tags and scalar(284) != 1:
+        raise MediaDecodeError("unsupported TIFF planar configuration")
+    if 273 not in tags or 279 not in tags:
+        raise MediaDecodeError("TIFF missing strip layout")
+    typ, cnt, voff = tags[273]
+    offsets = _tiff_read_values(payload, bo, typ, cnt, voff)
+    typ, cnt, voff = tags[279]
+    counts = _tiff_read_values(payload, bo, typ, cnt, voff)
+    if len(offsets) != len(counts):
+        raise MediaDecodeError("TIFF strip offset/count mismatch")
+    need = width * height * spp
+    buf = bytearray()
+    for o, c in zip(offsets, counts):
+        if o + c > len(payload):
+            raise MediaDecodeError("TIFF strip out of bounds")
+        buf += payload[o:o + c]
+        if len(buf) >= need:
+            break
+    if len(buf) < need:
+        raise MediaDecodeError(
+            f"truncated TIFF pixel data: {len(buf)} < {need}")
+    img = np.frombuffer(bytes(buf[:need]), dtype=np.uint8).reshape(
+        height, width, spp)
+    if photometric == 0:                       # MinIsWhite: invert
+        img = 255 - img
+    if spp == 1:
+        return np.ascontiguousarray(np.repeat(img, 3, axis=2))
+    if spp == 2:                               # gray + alpha
+        return np.ascontiguousarray(np.repeat(img[:, :, :1], 3, axis=2))
+    return np.ascontiguousarray(img[:, :, :3])
 
 
 # ---------------------------------------------------------------------------

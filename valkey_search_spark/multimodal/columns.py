@@ -56,13 +56,16 @@ def attach_media_metadata(df: DataFrame, binary_col: str, meta: dict) -> DataFra
 def _decode_image(payload: bytes, fake: bool) -> np.ndarray:
     """Image decode seam. ``fake`` derives a deterministic 8x8x3 uint8
     array from the payload bytes (plumbing tests over arbitrary binary).
-    The REAL path decodes BMP, non-interlaced 8-bit PNG, and baseline
-    sequential JPEG via the vendored pure-Python codecs
+    The REAL path decodes BMP, non-interlaced 8-bit PNG, baseline
+    sequential JPEG, GIF (LZW, incl. interlaced), and uncompressed
+    baseline TIFF via the vendored pure-Python codecs
     (`multimodal/codecs.py`); exotic variants (progressive JPEG, WebP,
-    ...) are where PIL/opencv would plug in and still raise."""
+    compressed TIFF, ...) are where PIL/opencv would plug in and still
+    raise."""
     if not fake:
         from .codecs import (
-            PNG_SIGNATURE, decode_bmp, decode_jpeg, decode_png,
+            PNG_SIGNATURE, decode_bmp, decode_gif, decode_jpeg, decode_png,
+            decode_tiff,
         )
 
         if payload[:2] == b"BM":
@@ -71,10 +74,14 @@ def _decode_image(payload: bytes, fake: bool) -> np.ndarray:
             return decode_png(payload)
         if payload[:2] == b"\xff\xd8":
             return decode_jpeg(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return decode_gif(payload)
+        if payload[:4] in (b"II*\x00", b"MM\x00*"):
+            return decode_tiff(payload)
         raise NotImplementedError(
-            "only BMP/PNG/baseline-JPEG decode without PIL/opencv (not "
-            "in this container); pass fake=True for the deterministic "
-            "test decode of other payloads")
+            "only BMP/PNG/baseline-JPEG/GIF/uncompressed-TIFF decode "
+            "without PIL/opencv (not in this container); pass fake=True "
+            "for the deterministic test decode of other payloads")
     seed = np.frombuffer((payload or b"\0")[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
     rng = np.random.default_rng(seed)
     return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
