@@ -978,3 +978,181 @@ def test_image_features_real_gif_tiff(spark):
     out = {r["id"]: r for r in image_features(df, fake=False).collect()}
     np.testing.assert_allclose(out[1]["img_mean"], img.mean(axis=(0, 1)))
     np.testing.assert_allclose(out[2]["img_mean"], timg.mean(axis=(0, 1)))
+
+
+# ---------------------------------------------------------------------------
+# compressed TIFF: PackBits + TIFF-LZW, pinned by independent FORWARD
+# encoders (MSB-first packing, spec early-change width growth)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # find run length at i
+        j = i
+        while j + 1 < n and data[j + 1] == data[i] and j - i < 127:
+            j += 1
+        run = j - i + 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i = j + 1
+        else:
+            # literal stretch until next >=3 run (2-runs inside literals
+            # are legal and exercise the decoder's literal path)
+            k = i
+            while (k + 2 < n and not (data[k + 1] == data[k + 2] == data[k])
+                   and k - i < 126):
+                k += 1
+            lit = data[i:k + 1]
+            out += bytes([len(lit) - 1]) + lit
+            i = k + 1
+    return bytes(out)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    CLEAR, EOI = 256, 257
+    bits = []
+
+    def put(code, width):
+        for b in range(width - 1, -1, -1):       # MSB first
+            bits.append((code >> b) & 1)
+
+    def reset():
+        return {bytes([i]): i for i in range(256)}, EOI + 1, 9
+
+    table, next_code, width = reset()
+    put(CLEAR, width)
+    prev = b""
+    for byte in data:
+        cur = prev + bytes([byte])
+        if cur in table:
+            prev = cur
+            continue
+        put(table[prev], width)
+        if next_code < 4096:
+            table[cur] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:   # early change
+                width += 1
+        prev = bytes([byte])
+    if prev:
+        put(table[prev], width)
+    put(EOI, width)
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for j, bit in enumerate(bits[i:i + 8]):
+            byte |= bit << (7 - j)
+        out.append(byte)
+    return bytes(out)
+
+
+def _pack_tiff_compressed(img, compression, strips=1, predictor=1, bo="<"):
+    """Reuses _pack_tiff's IFD layout by post-hoc strip compression is
+    fiddly; build directly with per-strip compressed payloads."""
+    h, w = img.shape[:2]
+    spp = 1 if img.ndim == 2 else img.shape[2]
+    work = img.reshape(h, w, spp).astype(np.uint8)
+    if predictor == 2:
+        d = work.astype(np.int64)
+        d[:, 1:] = (d[:, 1:] - d[:, :-1]) % 256
+        work = d.astype(np.uint8)
+    rows_per_strip = -(-h // strips)
+    enc = {5: _tiff_lzw_encode, 32773: _packbits_encode, 1: bytes}[compression]
+    chunks = [enc(work[r:r + rows_per_strip].tobytes())
+              for r in range(0, h, rows_per_strip)]
+
+    entries = []
+    def short(tag, v):
+        entries.append((tag, 3, 1, struct.pack(bo + "HH", v, 0)))
+    short(256, w); short(257, h); short(259, compression)
+    short(262, 2 if spp >= 3 else 1); short(277, spp)
+    short(278, rows_per_strip)
+    if predictor != 1:
+        short(317, predictor)
+    if spp == 1:
+        entries.append((258, 3, 1, struct.pack(bo + "HH", 8, 0)))
+
+    n = len(chunks)
+    ext = bytearray()
+    ifd_n = len(entries) + 2 + (1 if spp > 2 else 0)
+    base = 8 + 2 + ifd_n * 12 + 4
+    if spp > 2:
+        entries.append((258, 3, spp, struct.pack(bo + "I", base + len(ext))))
+        ext += struct.pack(bo + "H" * spp, *([8] * spp))
+    if n == 1:
+        data_off = base + len(ext)
+        entries.append((273, 4, 1, struct.pack(bo + "I", data_off)))
+        entries.append((279, 4, 1, struct.pack(bo + "I", len(chunks[0]))))
+    else:
+        so_off = base + len(ext)
+        sc_off = so_off + 4 * n
+        data_off = sc_off + 4 * n
+        offs = []
+        cur = data_off
+        for c in chunks:
+            offs.append(cur); cur += len(c)
+        ext += struct.pack(bo + "I" * n, *offs)
+        ext += struct.pack(bo + "I" * n, *[len(c) for c in chunks])
+        entries.append((273, 4, n, struct.pack(bo + "I", so_off)))
+        entries.append((279, 4, n, struct.pack(bo + "I", sc_off)))
+    entries.sort()
+    out = bytearray()
+    out += (b"II" if bo == "<" else b"MM") + struct.pack(bo + "H", 42)
+    out += struct.pack(bo + "I", 8)
+    out += struct.pack(bo + "H", len(entries))
+    for tag, typ, cnt, val in entries:
+        out += struct.pack(bo + "HHI", tag, typ, cnt) + val[:4].ljust(4, b"\0")
+    out += struct.pack(bo + "I", 0)
+    out += ext
+    for c in chunks:
+        out += c
+    return bytes(out)
+
+
+def test_decode_tiff_packbits():
+    rng = np.random.default_rng(20)
+    # runs + literals: low-entropy image exercises both packet kinds
+    img = (rng.integers(0, 4, size=(9, 7, 3)) * 80).astype(np.uint8)
+    got = decode_tiff(_pack_tiff_compressed(img, 32773, strips=2))
+    np.testing.assert_array_equal(got, img)
+
+
+def test_decode_tiff_lzw():
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, size=(12, 11, 3), dtype=np.uint8)
+    for strips in (1, 3):
+        got = decode_tiff(_pack_tiff_compressed(img, 5, strips=strips))
+        np.testing.assert_array_equal(got, img, err_msg=f"strips={strips}")
+
+
+def test_decode_tiff_lzw_width_growth():
+    # enough distinct strings to push the code width past 9/10 bits and
+    # cross the EARLY-CHANGE boundaries (510/1022)
+    rng = np.random.default_rng(22)
+    img = rng.integers(0, 256, size=(48, 40, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_tiff(_pack_tiff_compressed(img, 5)), img)
+
+
+def test_decode_tiff_lzw_predictor():
+    rng = np.random.default_rng(23)
+    # smooth gradient: the case horizontal differencing exists for
+    base = np.linspace(0, 200, 15, dtype=np.uint8)
+    img = (base[None, :, None] + rng.integers(0, 3, (10, 15, 3))).astype(np.uint8)
+    got = decode_tiff(_pack_tiff_compressed(img, 5, predictor=2))
+    np.testing.assert_array_equal(got, img)
+    gray = rng.integers(0, 256, size=(6, 9), dtype=np.uint8)
+    got = decode_tiff(_pack_tiff_compressed(gray, 5, predictor=2))
+    np.testing.assert_array_equal(got, np.repeat(gray[:, :, None], 3, 2))
+
+
+@given(st.integers(1, 16), st.integers(1, 16), st.integers(0, 2**32 - 1),
+       st.sampled_from([1, 5, 32773]))
+@settings(max_examples=20, deadline=None)
+def test_tiff_roundtrip_any_shape_any_compression(h, w, seed, comp):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_tiff(_pack_tiff_compressed(img, comp)), img)

@@ -30,12 +30,15 @@ are fully decodable with struct + numpy alone, which makes the
   public GIF89a specification (incl. Appendix F). Tests pin it with an
   INDEPENDENT forward LZW compressor written in the test file.
 
-- TIFF: baseline uncompressed 8-bit gray/RGB, chunky layout, both byte
-  orders, any strip split, MinIsWhite inversion. Format reference: the
-  public TIFF 6.0 specification (baseline Part 1). Tests hand-pack IFDs.
+- TIFF: baseline 8-bit gray/RGB, chunky layout, both byte orders, any
+  strip split, MinIsWhite inversion; compressions none/LZW (MSB-first
+  early-change codes + horizontal-differencing predictor)/PackBits.
+  Format reference: the public TIFF 6.0 specification (baseline Part 1
+  + Sections 13/14). Tests hand-pack IFDs and pin the decoders with
+  independent forward PackBits/LZW encoders.
 
 Formats needing non-stdlib decoders (MP3, progressive JPEG, WebP,
-compressed TIFF, ...) still raise NotImplementedError — that seam is
+JPEG-in-TIFF, ...) still raise NotImplementedError — that seam is
 where PIL/ffmpeg would plug in on a real cluster.
 """
 
@@ -639,7 +642,82 @@ def decode_gif(payload: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# TIFF (baseline, uncompressed)
+# TIFF (baseline: uncompressed, PackBits, LZW)
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """Apple PackBits RLE (TIFF compression 32773): control byte n in
+    0..127 copies n+1 literals, 129..255 repeats the next byte 257-n
+    times, 128 is a no-op. Packets never span rows, so a strip decodes
+    as one continuous stream."""
+    out = bytearray()
+    i = 0
+    n_data = len(data)
+    while i < n_data and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i:i + n + 1]
+            i += n + 1
+        elif n > 128:
+            if i >= n_data:
+                break
+            out += data[i:i + 1] * (257 - n)
+            i += 1
+    if len(out) < expected:
+        raise MediaDecodeError(
+            f"PackBits strip ended at {len(out)} of {expected} bytes")
+    return bytes(out[:expected])
+
+
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF-flavor LZW (compression 5): fixed 256-symbol alphabet
+    (clear=256, EOI=257), MSB-first bit packing, and the spec's
+    EARLY-CHANGE width growth — the code width bumps when the next free
+    code reaches 2^w - 1, one code earlier than GIF's LZW. Format
+    reference: TIFF 6.0 specification, Section 13."""
+    CLEAR, EOI = 256, 257
+    roots = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(roots)
+    width = 9
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while bitpos + width <= total_bits and len(out) < expected:
+        byte_i = bitpos >> 3
+        chunk = int.from_bytes(data[byte_i:byte_i + 3].ljust(3, b"\0"),
+                               "big")
+        code = (chunk >> (24 - (bitpos & 7) - width)) & ((1 << width) - 1)
+        bitpos += width
+        if code == CLEAR:
+            table = list(roots)
+            width = 9
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise MediaDecodeError("TIFF LZW: first code out of range")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise MediaDecodeError("TIFF LZW: code out of range")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) - 1 and width < 12:   # early change
+            width += 1
+    if len(out) < expected:
+        raise MediaDecodeError(
+            f"TIFF LZW strip ended at {len(out)} of {expected} bytes")
+    return bytes(out[:expected])
+
 
 def _tiff_read_values(p: bytes, bo: str, typ: int, cnt: int,
                       inline_off: int) -> list[int]:
@@ -657,12 +735,13 @@ def _tiff_read_values(p: bytes, bo: str, typ: int, cnt: int,
 
 
 def decode_tiff(payload: bytes) -> np.ndarray:
-    """Decode a baseline uncompressed 8-bit TIFF (gray or RGB, chunky
-    planar layout, any strip split) to (H, W, 3) uint8 RGB — grayscale
-    replicated, alpha/extra samples dropped, MinIsWhite inverted.
-    Compressed TIFFs (LZW/PackBits/JPEG-in-TIFF) raise — that remains
-    the PIL seam. Format reference: the public TIFF 6.0 specification
-    (baseline Part 1)."""
+    """Decode a baseline 8-bit TIFF (gray or RGB, chunky planar layout,
+    any strip split) to (H, W, 3) uint8 RGB — grayscale replicated,
+    alpha/extra samples dropped, MinIsWhite inverted. Compressions:
+    none (1), LZW (5, incl. the horizontal-differencing predictor), and
+    PackBits (32773). JPEG-in-TIFF and exotic schemes raise — that
+    remains the PIL seam. Format reference: the public TIFF 6.0
+    specification (baseline Part 1 + Sections 13/14)."""
     if len(payload) < 8 or payload[:2] not in (b"II", b"MM"):
         raise MediaDecodeError("not a TIFF payload")
     bo = "<" if payload[:2] == b"II" else ">"
@@ -691,10 +770,13 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     if not width or not height:
         raise MediaDecodeError("TIFF missing dimensions")
     compression = scalar(259, 1)
-    if compression != 1:
+    if compression not in (1, 5, 32773):
         raise MediaDecodeError(
             f"unsupported TIFF compression {compression} (baseline "
-            "uncompressed only; compressed TIFF is the PIL seam)")
+            "none/LZW/PackBits only; JPEG-in-TIFF etc. is the PIL seam)")
+    predictor = scalar(317, 1)
+    if predictor not in (1, 2):
+        raise MediaDecodeError(f"unsupported TIFF predictor {predictor}")
     photometric = scalar(262, 1)
     spp = scalar(277, 1)
     if 258 in tags:
@@ -712,12 +794,20 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     counts = _tiff_read_values(payload, bo, typ, cnt, voff)
     if len(offsets) != len(counts):
         raise MediaDecodeError("TIFF strip offset/count mismatch")
+    rows_per_strip = scalar(278, height)
     need = width * height * spp
     buf = bytearray()
-    for o, c in zip(offsets, counts):
+    for si, (o, c) in enumerate(zip(offsets, counts)):
         if o + c > len(payload):
             raise MediaDecodeError("TIFF strip out of bounds")
-        buf += payload[o:o + c]
+        raw = payload[o:o + c]
+        strip_rows = min(rows_per_strip, height - si * rows_per_strip)
+        strip_need = max(0, strip_rows) * width * spp
+        if compression == 5:
+            raw = _tiff_lzw_decode(raw, strip_need)
+        elif compression == 32773:
+            raw = _packbits_decode(raw, strip_need)
+        buf += raw
         if len(buf) >= need:
             break
     if len(buf) < need:
@@ -725,6 +815,10 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             f"truncated TIFF pixel data: {len(buf)} < {need}")
     img = np.frombuffer(bytes(buf[:need]), dtype=np.uint8).reshape(
         height, width, spp)
+    if predictor == 2:
+        # horizontal differencing: each sample stores the delta to the
+        # previous pixel's same channel — undo with a mod-256 cumsum
+        img = (np.cumsum(img, axis=1, dtype=np.int64) % 256).astype(np.uint8)
     if photometric == 0:                       # MinIsWhite: invert
         img = 255 - img
     if spp == 1:
