@@ -317,8 +317,12 @@ def test_png_error_paths():
     src = np.zeros((2, 2, 3), dtype=np.uint8)
     with pytest.raises(MediaDecodeError, match="not a PNG"):
         decode_png(b"JFIF....")
-    with pytest.raises(MediaDecodeError, match="interlaced"):
+    # interlace flag set but sequential-layout data: pass sizes disagree
+    with pytest.raises(MediaDecodeError,
+                       match="scanline data|interlaced data size"):
         decode_png(_pack_png(src, color=2, ftypes=[0], interlace=1))
+    with pytest.raises(MediaDecodeError, match="interlace method"):
+        decode_png(_pack_png(src, color=2, ftypes=[0], interlace=2))
     with pytest.raises(MediaDecodeError, match="bit depth"):
         decode_png(_pack_png(src, color=2, ftypes=[0], depth=16))
     with pytest.raises(MediaDecodeError, match="filter type"):
@@ -1156,3 +1160,70 @@ def test_tiff_roundtrip_any_shape_any_compression(h, w, seed, comp):
     img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
     np.testing.assert_array_equal(
         decode_tiff(_pack_tiff_compressed(img, comp)), img)
+
+
+# ---------------------------------------------------------------------------
+# Adam7 interlaced PNG: forward interlacer + per-pass filtering written
+# here independently of the codec
+
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _pack_png_adam7(arr, color, ftypes, plte=None):
+    arr = np.asarray(arr, dtype=np.uint8)
+    h = arr.shape[0]
+    nch = 1 if arr.ndim == 2 else arr.shape[2]
+    w = arr.shape[1]
+    grid = arr.reshape(h, w, nch)
+    raw = b""
+    for x0, y0, dx, dy in _ADAM7:
+        sub = grid[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        ph, pw = sub.shape[:2]
+        raw += _filter_forward(sub.reshape(ph, pw * nch), nch, ftypes)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1)
+    body = PNG_SIG + _chunk(b"IHDR", ihdr)
+    if plte is not None:
+        body += _chunk(b"PLTE", bytes(plte))
+    return body + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+
+
+@pytest.mark.parametrize("ftypes", [[0], [4], [0, 1, 2, 3, 4]])
+def test_png_adam7_rgb(ftypes):
+    rng = np.random.default_rng(30)
+    src = rng.integers(0, 256, size=(13, 11, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_png(_pack_png_adam7(src, color=2, ftypes=ftypes)), src)
+
+
+def test_png_adam7_small_and_odd_shapes():
+    # shapes where several passes are EMPTY (w or h below the pass grid)
+    rng = np.random.default_rng(31)
+    for h, w in [(1, 1), (2, 3), (5, 1), (8, 8), (9, 17), (3, 4)]:
+        src = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        np.testing.assert_array_equal(
+            decode_png(_pack_png_adam7(src, color=2, ftypes=[2])), src,
+            err_msg=f"{h}x{w}")
+
+
+def test_png_adam7_palette_and_gray():
+    rng = np.random.default_rng(32)
+    pal = bytes(range(48))                        # 16 RGB entries
+    idx = rng.integers(0, 16, size=(10, 7), dtype=np.uint8)
+    got = decode_png(_pack_png_adam7(idx, color=3, ftypes=[1], plte=pal))
+    want = np.frombuffer(pal, np.uint8).reshape(16, 3)[idx]
+    np.testing.assert_array_equal(got, want)
+    gray = rng.integers(0, 256, size=(6, 9), dtype=np.uint8)
+    got = decode_png(_pack_png_adam7(gray, color=0, ftypes=[3]))
+    np.testing.assert_array_equal(got, np.repeat(gray[:, :, None], 3, 2))
+
+
+@given(st.integers(1, 20), st.integers(1, 20), st.integers(0, 2**32 - 1))
+@settings(max_examples=20, deadline=None)
+def test_png_adam7_roundtrip_any_shape(h, w, seed):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_png(_pack_png_adam7(src, color=2, ftypes=[0, 4])), src)

@@ -10,7 +10,8 @@ are fully decodable with struct + numpy alone, which makes the
 - WAV: RIFF/WAVE with a PCM ``fmt `` chunk, 8/16/32-bit integer samples.
   Parsed manually (not via the stdlib ``wave`` module) so tests can
   generate fixtures with ``wave`` as an INDEPENDENT implementation.
-- PNG: non-interlaced 8-bit-depth images, every color type (gray,
+- PNG: 8-bit-depth images, both interlace methods (none/Adam7 —
+  seven independently-filtered passes), every color type (gray,
   RGB, palette, gray+alpha, RGBA) and all five scanline filters
   (None/Sub/Up/Average/Paeth), inflated with stdlib ``zlib``. Format
   reference: the public PNG specification (RFC 2083 / W3C PNG, chunk
@@ -119,14 +120,62 @@ def encode_bmp(arr: np.ndarray) -> bytes:
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}   # color type -> samples/px
 
+# Adam7 pass grid: (x_start, y_start, x_step, y_step)
+_ADAM7_PASSES = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                 (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _png_unfilter(raw: bytes, at: int, w: int, h: int,
+                  nch: int) -> tuple[np.ndarray, int]:
+    """Reverse the five PNG scanline filters over one (sub-)image of
+    ``h`` rows x ``w`` pixels starting at byte ``at``; returns the
+    (h, w*nch) sample array and the new stream position. Each Adam7
+    pass is filtered independently, so callers reset state per pass."""
+    stride = w * nch
+    if at + (stride + 1) * h > len(raw):
+        raise MediaDecodeError("truncated PNG scanline data")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = nch                                    # bytes per pixel at depth 8
+    for y in range(h):
+        ftype = raw[at]
+        cur = np.frombuffer(raw, np.uint8, stride, at + 1).copy()
+        at += stride + 1
+        if ftype == 0:                           # None
+            pass
+        elif ftype == 2:                         # Up (uint8 wraps mod 256)
+            cur += prev
+        elif ftype == 1:                         # Sub: left-dependent scan
+            for i in range(bpp, stride):
+                cur[i] = (int(cur[i]) + int(cur[i - bpp])) & 0xFF
+        elif ftype == 3:                         # Average
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                cur[i] = (int(cur[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:                         # Paeth predictor
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (int(cur[i]) + pred) & 0xFF
+        else:
+            raise MediaDecodeError(f"bad PNG filter type {ftype} (row {y})")
+        out[y] = cur
+        prev = cur
+    return out, at
+
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """Decode a non-interlaced 8-bit PNG to an (H, W, 3) uint8 RGB array.
+    """Decode an 8-bit PNG to an (H, W, 3) uint8 RGB array.
 
     Supports all five color types (palette via PLTE; alpha channels are
     dropped, grayscale replicated to RGB — matching the codec contract
-    ``decode_bmp`` set). Interlaced (Adam7) images and bit depths other
-    than 8 raise MediaDecodeError.
+    ``decode_bmp`` set) and both interlace methods (none / Adam7 —
+    seven independently-filtered sub-images placed back on the pass
+    grid). Bit depths other than 8 raise MediaDecodeError.
     """
     if payload[:8] != PNG_SIGNATURE:
         raise MediaDecodeError("not a PNG payload")
@@ -156,8 +205,8 @@ def decode_png(payload: bytes) -> np.ndarray:
         ">IIBBBBB", ihdr[:13])
     if comp != 0 or filt != 0:
         raise MediaDecodeError("unsupported PNG compression/filter method")
-    if interlace != 0:
-        raise MediaDecodeError("interlaced (Adam7) PNG unsupported")
+    if interlace not in (0, 1):
+        raise MediaDecodeError(f"bad PNG interlace method {interlace}")
     if depth != 8:
         raise MediaDecodeError(f"unsupported PNG bit depth {depth}")
     nch = _PNG_CHANNELS.get(color)
@@ -171,43 +220,27 @@ def decode_png(payload: bytes) -> np.ndarray:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as e:
         raise MediaDecodeError(f"bad PNG zlib stream: {e}") from e
-    stride = w * nch
-    if len(raw) != (stride + 1) * h:
-        raise MediaDecodeError(
-            f"PNG data size {len(raw)} != {(stride + 1) * h}")
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    bpp = nch                                    # bytes per pixel at depth 8
-    at = 0
-    for y in range(h):
-        ftype = raw[at]
-        cur = np.frombuffer(raw, np.uint8, stride, at + 1).copy()
-        at += stride + 1
-        if ftype == 0:                           # None
-            pass
-        elif ftype == 2:                         # Up (uint8 wraps mod 256)
-            cur += prev
-        elif ftype == 1:                         # Sub: left-dependent scan
-            for i in range(bpp, stride):
-                cur[i] = (int(cur[i]) + int(cur[i - bpp])) & 0xFF
-        elif ftype == 3:                         # Average
-            for i in range(stride):
-                a = int(cur[i - bpp]) if i >= bpp else 0
-                cur[i] = (int(cur[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
-        elif ftype == 4:                         # Paeth predictor
-            for i in range(stride):
-                a = int(cur[i - bpp]) if i >= bpp else 0
-                b = int(prev[i])
-                c = int(prev[i - bpp]) if i >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[i] = (int(cur[i]) + pred) & 0xFF
-        else:
-            raise MediaDecodeError(f"bad PNG filter type {ftype} (row {y})")
-        out[y] = cur
-        prev = cur
-    img = out.reshape(h, w, nch)
+    if interlace == 0:
+        stride = w * nch
+        if len(raw) != (stride + 1) * h:
+            raise MediaDecodeError(
+                f"PNG data size {len(raw)} != {(stride + 1) * h}")
+        img = _png_unfilter(raw, 0, w, h, nch)[0].reshape(h, w, nch)
+    else:
+        # Adam7: seven independently-filtered sub-images placed back on
+        # the (dy, dx) grid; empty passes contribute no bytes
+        img = np.zeros((h, w, nch), dtype=np.uint8)
+        at = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, at = _png_unfilter(raw, at, pw, ph, nch)
+            img[y0::dy, x0::dx] = sub.reshape(ph, pw, nch)
+        if at != len(raw):
+            raise MediaDecodeError(
+                f"PNG interlaced data size {len(raw)} != {at}")
     if color == 3:
         pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
         if int(img.max(initial=0)) >= len(pal):

@@ -8,7 +8,7 @@ schema/partitioning/batch shape is real and tested. The ``_decode_*``
 seams have two modes: ``fake=True`` substitutes a deterministic synthetic
 decode so the plumbing is verifiable over arbitrary binary, and
 ``fake=False`` REALLY decodes the formats the vendored pure-Python
-codecs cover (BMP and non-interlaced 8-bit PNG images, PCM WAV audio —
+codecs cover (BMP and 8-bit PNG images, PCM WAV audio —
 ``multimodal/codecs.py``), raising NotImplementedError only for the
 formats that need PIL/ffmpeg (not in this container).
 """
@@ -56,11 +56,11 @@ def attach_media_metadata(df: DataFrame, binary_col: str, meta: dict) -> DataFra
 def _decode_image(payload: bytes, fake: bool) -> np.ndarray:
     """Image decode seam. ``fake`` derives a deterministic 8x8x3 uint8
     array from the payload bytes (plumbing tests over arbitrary binary).
-    The REAL path decodes BMP, non-interlaced 8-bit PNG, baseline
-    sequential JPEG, GIF (LZW, incl. interlaced), and uncompressed
-    baseline TIFF via the vendored pure-Python codecs
+    The REAL path decodes BMP, 8-bit PNG (incl. Adam7), baseline
+    sequential JPEG, GIF (LZW, incl. interlaced), and baseline TIFF
+    (uncompressed/LZW/PackBits) via the vendored pure-Python codecs
     (`multimodal/codecs.py`); exotic variants (progressive JPEG, WebP,
-    compressed TIFF, ...) are where PIL/opencv would plug in and still
+    JPEG-in-TIFF, ...) are where PIL/opencv would plug in and still
     raise."""
     if not fake:
         from .codecs import (
@@ -79,7 +79,7 @@ def _decode_image(payload: bytes, fake: bool) -> np.ndarray:
         if payload[:4] in (b"II*\x00", b"MM\x00*"):
             return decode_tiff(payload)
         raise NotImplementedError(
-            "only BMP/PNG/baseline-JPEG/GIF/uncompressed-TIFF decode "
+            "only BMP/PNG/baseline-JPEG/GIF/baseline-TIFF decode "
             "without PIL/opencv (not in this container); pass fake=True "
             "for the deterministic test decode of other payloads")
     seed = np.frombuffer((payload or b"\0")[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
