@@ -676,9 +676,13 @@ def test_jpeg_error_paths():
         decode_jpeg(bytes(ok[:40]))          # truncated before SOS
     i = bytes(ok).index(bytes([0xFF, 0xC0]))
     prog = ok.copy()
-    prog[i + 1] = 0xC2                       # pretend progressive
-    with pytest.raises(MediaDecodeError, match="baseline"):
-        decode_jpeg(bytes(prog))
+    prog[i + 1] = 0xC2      # SOF2 flag with a baseline-shaped scan header
+    with pytest.raises(MediaDecodeError, match="Se != 0"):
+        decode_jpeg(bytes(prog))            # Ss=0/Se=63 is not a DC scan
+    arith = ok.copy()
+    arith[i + 1] = 0xC9                      # arithmetic-coded: still raises
+    with pytest.raises(MediaDecodeError, match="frame type"):
+        decode_jpeg(bytes(arith))
 
 
 def test_image_features_real_jpeg(spark):
@@ -1227,3 +1231,350 @@ def test_png_adam7_roundtrip_any_shape(h, w, seed):
     src = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
     np.testing.assert_array_equal(
         decode_png(_pack_png_adam7(src, color=2, ftypes=[0, 4])), src)
+
+
+# ---------------------------------------------------------------------------
+# progressive JPEG: independent FORWARD progressive encoder (spectral
+# selection + successive approximation + EOB runs, structured after the
+# spec's encode procedures) pinning codecs' multi-scan decoder
+
+
+def _prog_planes(rgb, gray, subsample):
+    """Plane prep + quantized zigzag block grids (mirrors _encode_jpeg)."""
+    if gray is not None:
+        planes, qts, comp_hv = [gray.astype(np.float64)], [(_QL, 0)], [(1, 1)]
+    else:
+        r, g, b = [rgb[:, :, i].astype(np.float64) for i in range(3)]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            h2, w2 = (cb.shape[0] // 2) * 2, (cb.shape[1] // 2) * 2
+            cb = cb[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2).mean((1, 3))
+            cr = cr[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2).mean((1, 3))
+            comp_hv = [(2, 2), (1, 1), (1, 1)]
+        else:
+            comp_hv = [(1, 1)] * 3
+        planes, qts = [y, cb, cr], [(_QL, 0), (_QC, 1), (_QC, 1)]
+    h, w = planes[0].shape
+    hmax = max(hh for hh, _ in comp_hv)
+    vmax = max(vv for _, vv in comp_hv)
+    mcus_x, mcus_y = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    grids = []
+    for p, (hh, vv) in zip(planes, comp_hv):
+        ph, pw = mcus_y * vv * 8, mcus_x * hh * 8
+        pad = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+                     mode="edge")
+        g = np.zeros((mcus_y * vv, mcus_x * hh, 64), dtype=np.int64)
+        q = qts[len(grids)][0]
+        for by in range(g.shape[0]):
+            for bx in range(g.shape[1]):
+                blk = pad[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                coefq = _C @ (blk - 128.0) @ _C.T
+                g[by, bx] = np.round(coefq / q).astype(np.int64
+                                                       ).reshape(64)[_ZZ]
+        grids.append(g)
+    return h, w, comp_hv, qts, hmax, vmax, mcus_x, mcus_y, grids
+
+
+class _ScanWriter:
+    """Collect symbols (pass 1) or emit bits (pass 2) for one scan."""
+
+    def __init__(self, table=None):
+        self.syms = []
+        self.table = table
+        self.bw = _BitWriter() if table is not None else None
+
+    def sym(self, s):
+        self.syms.append(s)
+        if self.table is not None:
+            ln, c = self.table[2][s]
+            self.bw.put(c, ln)
+
+    def bits(self, v, n):
+        if self.table is not None and n:
+            self.bw.put(v, n)
+
+
+def _ac_first_scan(blocks, lo, hi, al, writer):
+    eobrun = 0
+
+    def flush():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            writer.sym(r << 4)
+            writer.bits(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for zz in blocks:
+        av = [(1 if v > 0 else -1) * (abs(int(v)) >> al)
+              for v in zz[lo:hi + 1]]
+        if not any(av):
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+            continue
+        flush()
+        run = 0
+        for v in av:
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                writer.sym(0xF0)
+                run -= 16
+            s, code = _mag(v)
+            writer.sym((run << 4) | s)
+            writer.bits(code, s)
+            run = 0
+        if run:
+            eobrun = 1
+    flush()
+
+
+def _ac_refine_scan(blocks, lo, hi, al, writer):
+    """Refinement encoding after the spec's G.1.2.3 procedure (ZRLs not
+    emitted when foldable into the EOB, correction bits buffered and
+    flushed with the symbol the decoder reads them after)."""
+    eobrun = 0
+    eob_bits = []
+
+    def flush():
+        nonlocal eobrun, eob_bits
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            writer.sym(r << 4)
+            writer.bits(eobrun - (1 << r), r)
+            for b in eob_bits:
+                writer.bits(b, 1)
+            eob_bits = []
+            eobrun = 0
+
+    for zz in blocks:
+        av = [(1 if v > 0 else -1) * (abs(int(v)) >> al)
+              for v in zz[lo:hi + 1]]
+        kend = max((i for i, v in enumerate(av) if abs(v) == 1), default=-1)
+        r, br = 0, []
+        for i, v in enumerate(av):
+            t = abs(v)
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i <= kend:
+                flush()
+                writer.sym(0xF0)
+                r -= 16
+                for b in br:
+                    writer.bits(b, 1)
+                br = []
+            if t > 1:
+                br.append(t & 1)
+                continue
+            flush()
+            writer.sym((r << 4) | 1)
+            writer.bits(1 if v > 0 else 0, 1)
+            for b in br:
+                writer.bits(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            eob_bits += br
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def _encode_jpeg_progressive(rgb=None, gray=None, subsample=False,
+                             dc_al=1, ac_al=1,
+                             bands=((1, 5), (6, 63)), restart=0):
+    (h, w, comp_hv, qts, hmax, vmax, mcus_x, mcus_y,
+     grids) = _prog_planes(rgb, gray, subsample)
+    ncomp = len(comp_hv)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) \
+            + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes(_QL.reshape(64)[_ZZ].astype(np.uint8)))
+    if gray is None:
+        out += seg(0xDB, bytes([1]) + bytes(_QC.reshape(64)[_ZZ].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci, (hh, vv) in enumerate(comp_hv):
+        sof += bytes([ci + 1, (hh << 4) | vv, qts[ci][1]])
+    out += seg(0xC2, sof)                     # SOF2: progressive
+    if restart:
+        out += seg(0xDD, struct.pack(">H", restart))
+
+    # MCU-interleaved DC unit order (comp idx, by, bx)
+    dc_units = []
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (hh, vv) in enumerate(comp_hv):
+                for by in range(vv):
+                    for bx in range(hh):
+                        dc_units.append((ci, my * vv + by, mx * hh + bx))
+
+    def sos_header(comp_sel, ss, se, ah, al):
+        sos = bytes([len(comp_sel)])
+        for ci, tdc, tac in comp_sel:
+            sos += bytes([ci + 1, (tdc << 4) | tac])
+        return sos + bytes([ss, se, (ah << 4) | al])
+
+    def dc_first_body(writer):
+        pred = [0] * ncomp
+        rst = 0
+        parts = []
+        for i, (ci, by, bx) in enumerate(dc_units):
+            per_mcu = sum(hh * vv for hh, vv in comp_hv)
+            if restart and i and (i // per_mcu) % restart == 0 \
+                    and i % per_mcu == 0:
+                if writer.bw is not None:
+                    writer.bw.align()
+                    parts.append(bytes(writer.bw.out)
+                                 + bytes([0xFF, 0xD0 + rst % 8]))
+                    writer.bw = _BitWriter()
+                rst += 1
+                pred = [0] * ncomp
+            v = int(grids[ci][by, bx, 0]) >> dc_al    # arithmetic shift
+            s, code = _mag(v - pred[ci])
+            pred[ci] = v
+            writer.sym(s)
+            writer.bits(code, s)
+        if writer.bw is not None:
+            writer.bw.align()
+            parts.append(bytes(writer.bw.out))
+        return b"".join(parts)
+
+    # DC first scan: collect symbols, build table, emit
+    trial = _ScanWriter()
+    dc_first_body(trial)
+    tab = _huff(trial.syms or [0])
+    emitter = _ScanWriter(tab)
+    body = dc_first_body(emitter)
+    out += seg(0xC4, bytes([0]) + tab[0] + tab[1])
+    out += seg(0xDA, sos_header([(ci, 0, 0) for ci in range(ncomp)],
+                                0, 0, 0, dc_al))
+    out += body
+    if restart:
+        # DRI persists across scans; this encoder only places RST
+        # markers in the DC-first scan, so disable it afterwards
+        # (redefining DRI between scans is itself a decoder test)
+        out += seg(0xDD, struct.pack(">H", 0))
+
+    # AC first scans (per component, per band)
+    comp_dims = []
+    for ci, (hh, vv) in enumerate(comp_hv):
+        cw, chh = -(-w * hh // hmax), -(-h * vv // vmax)
+        comp_dims.append((-(-chh // 8), -(-cw // 8)))
+    ac_scans = []                              # (ci, lo, hi, al, refine?)
+    for ci in range(ncomp):
+        for lo, hi in bands:
+            ac_scans.append((ci, lo, hi, ac_al, False))
+    # DC refinement scans (no Huffman data)
+    dc_refines = list(range(dc_al - 1, -1, -1))
+    # AC refinement scans
+    for al in range(ac_al - 1, -1, -1):
+        for ci in range(ncomp):
+            for lo, hi in bands:
+                ac_scans.append((ci, lo, hi, al, True))
+
+    def emit_ac(ci, lo, hi, al, refine):
+        nonlocal out
+        nby, nbx = comp_dims[ci]
+        blocks = [grids[ci][by, bx]
+                  for by in range(nby) for bx in range(nbx)]
+        fn = _ac_refine_scan if refine else _ac_first_scan
+        trial = _ScanWriter()
+        fn(blocks, lo, hi, al, trial)
+        tab = _huff(trial.syms or [0])
+        emitter = _ScanWriter(tab)
+        fn(blocks, lo, hi, al, emitter)
+        emitter.bw.align()
+        out += seg(0xC4, bytes([0x10]) + tab[0] + tab[1])
+        out += seg(0xDA, sos_header([(ci, 0, 0)], lo, hi,
+                                    al + 1 if refine else 0, al))
+        out += bytes(emitter.bw.out)
+
+    # interleave orders: all AC-first, then DC refines, then AC refines
+    for ci, lo, hi, al, refine in [s for s in ac_scans if not s[4]]:
+        emit_ac(ci, lo, hi, al, refine)
+    for al in dc_refines:
+        bw = _BitWriter()
+        for ci, by, bx in dc_units:
+            bw.put((int(grids[ci][by, bx, 0]) >> al) & 1, 1)
+        bw.align()
+        out += seg(0xDA, sos_header([(ci, 0, 0) for ci in range(ncomp)],
+                                    0, 0, al + 1, al))
+        out += bytes(bw.out)
+    for ci, lo, hi, al, refine in [s for s in ac_scans if s[4]]:
+        emit_ac(ci, lo, hi, al, refine)
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_progressive_matches_baseline_444():
+    rng = np.random.default_rng(40)
+    base = np.linspace(40, 215, 24, dtype=np.uint8)
+    src = (base[None, :, None] + rng.integers(-20, 20, (16, 24, 3))
+           ).clip(0, 255).astype(np.uint8)
+    want = decode_jpeg(_encode_jpeg(rgb=src))
+    got = decode_jpeg(_encode_jpeg_progressive(rgb=src))
+    # identical quantized coefficients -> identical reconstruction up to
+    # the last-ulp of two IDCT summation orders
+    assert int(np.abs(got.astype(int) - want.astype(int)).max()) <= 1
+    assert (got != want).mean() < 0.01
+
+
+def test_jpeg_progressive_gray_and_420():
+    rng = np.random.default_rng(41)
+    g = rng.integers(0, 256, size=(17, 13), dtype=np.uint8)
+    want = decode_jpeg(_encode_jpeg(gray=g))
+    got = decode_jpeg(_encode_jpeg_progressive(gray=g))
+    assert int(np.abs(got.astype(int) - want.astype(int)).max()) <= 1
+    src = rng.integers(0, 256, size=(20, 28, 3), dtype=np.uint8)
+    want = decode_jpeg(_encode_jpeg(rgb=src, subsample=True))
+    got = decode_jpeg(_encode_jpeg_progressive(rgb=src, subsample=True))
+    assert int(np.abs(got.astype(int) - want.astype(int)).max()) <= 1
+
+
+def test_jpeg_progressive_deep_approximation_and_bands():
+    rng = np.random.default_rng(42)
+    src = rng.integers(0, 256, size=(15, 9, 3), dtype=np.uint8)
+    want = decode_jpeg(_encode_jpeg(rgb=src))
+    got = decode_jpeg(_encode_jpeg_progressive(
+        rgb=src, dc_al=3, ac_al=2,
+        bands=((1, 2), (3, 9), (10, 35), (36, 63))))
+    assert int(np.abs(got.astype(int) - want.astype(int)).max()) <= 1
+
+
+def test_jpeg_progressive_dc_restart():
+    rng = np.random.default_rng(43)
+    src = rng.integers(0, 256, size=(16, 40, 3), dtype=np.uint8)
+    want = decode_jpeg(_encode_jpeg(rgb=src))
+    got = decode_jpeg(_encode_jpeg_progressive(rgb=src, restart=2))
+    assert int(np.abs(got.astype(int) - want.astype(int)).max()) <= 1
+
+
+@given(st.integers(4, 20), st.integers(4, 20), st.integers(0, 2**32 - 1),
+       st.integers(1, 3), st.integers(1, 2))
+@settings(max_examples=15, deadline=None)
+def test_jpeg_progressive_roundtrip_any_shape(h, w, seed, dc_al, ac_al):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    want = decode_jpeg(_encode_jpeg(rgb=src))
+    got = decode_jpeg(_encode_jpeg_progressive(
+        rgb=src, dc_al=dc_al, ac_al=ac_al, bands=((1, 20), (21, 63))))
+    assert int(np.abs(got.astype(int) - want.astype(int)).max()) <= 1
+
+
+def test_image_features_real_progressive_jpeg(spark):
+    src = np.full((16, 16, 3), 120, dtype=np.uint8)
+    src[:8] = 60
+    rows = [Row(id=0, image=bytearray(_encode_jpeg_progressive(rgb=src)))]
+    got = image_features(spark.createDataFrame(rows), fake=False).collect()
+    np.testing.assert_allclose(got[0]["img_mean"], src.mean(axis=(0, 1)),
+                               atol=2)

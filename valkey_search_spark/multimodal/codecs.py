@@ -20,10 +20,14 @@ are fully decodable with struct + numpy alone, which makes the
   codec's unfilter path is pinned by a second implementation.
 
 - JPEG: baseline sequential DCT (SOF0, 8-bit, Huffman), any sampling
-  factors with nearest chroma upsampling, restart intervals. Format
-  reference: the public JPEG specification (ITU-T T.81) + JFIF BT.601
-  color mapping. Tests implement the FORWARD pipeline (FDCT, quantize,
-  canonical-Huffman encode) independently, pinning this inverse path.
+  factors with nearest chroma upsampling, restart intervals — AND full
+  progressive (SOF2): spectral selection, successive approximation
+  (DC bit-plane + AC correction-bit refinement), EOB runs, tables/DRI
+  redefined between scans. Format reference: the public JPEG
+  specification (ITU-T T.81, Annex F + Annex G) + JFIF BT.601 color
+  mapping. Tests implement the FORWARD pipelines (FDCT, quantize,
+  baseline Huffman AND a progressive scan-splitting encoder)
+  independently, pinning both inverse paths.
 
 - GIF: GIF87a/GIF89a first frame — full LZW decompression (variable
   code width, clear/end codes, 12-bit cap with deferred clear), global
@@ -38,9 +42,9 @@ are fully decodable with struct + numpy alone, which makes the
   + Sections 13/14). Tests hand-pack IFDs and pin the decoders with
   independent forward PackBits/LZW encoders.
 
-Formats needing non-stdlib decoders (MP3, progressive JPEG, WebP,
-JPEG-in-TIFF, ...) still raise NotImplementedError — that seam is
-where PIL/ffmpeg would plug in on a real cluster.
+Formats needing non-stdlib decoders (MP3/AAC, WebP, JPEG-in-TIFF,
+arithmetic-coded JPEG, video codecs) still raise NotImplementedError —
+that seam is where PIL/ffmpeg would plug in on a real cluster.
 """
 
 from __future__ import annotations
@@ -378,7 +382,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     (H, W, 3) uint8 RGB array. Supports 1- and 3-component images with
     arbitrary sampling factors (4:4:4 / 4:2:2 / 4:2:0 included; chroma
     upsampled nearest), restart intervals, and FF00 byte stuffing.
-    Progressive (SOF2), arithmetic coding, and 12-bit precision raise.
+    Progressive (SOF2) decodes via the multi-scan coefficient
+    accumulator below; arithmetic coding and 12-bit precision raise.
 
     Format reference: the public JPEG specification (ITU-T T.81 —
     marker layout, canonical Huffman construction, EXTEND, zigzag,
@@ -426,7 +431,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 (huff_dc if tc == 0 else huff_ac)[th] = \
                     _jpeg_huffman_table(bits, vals)
                 at += 17 + n
-        elif marker == 0xC0:               # SOF0 baseline
+        elif marker in (0xC0, 0xC2):       # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise MediaDecodeError(f"unsupported JPEG precision {prec}")
@@ -435,15 +440,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise MediaDecodeError(
                 f"unsupported JPEG frame type FF{marker:02X} "
-                "(only baseline SOF0)")
+                "(only baseline SOF0 / progressive SOF2)")
         elif marker == 0xDD:               # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:               # SOS -> entropy data follows
+            if frame is not None and frame.get("progressive"):
+                return _jpeg_decode_progressive(
+                    d, pos - 2, frame, qt, huff_dc, huff_ac,
+                    restart_interval)
             ns = seg[0]
             scan = []
             for i in range(ns):
@@ -520,6 +530,11 @@ def _jpeg_decode_scan(d, pos, frame, scan, qt, huff_dc, huff_ac,
                         py = (my * c["v"] + by) * 8
                         px = (mx * c["h"] + bx) * 8
                         planes[c["id"]][py:py + 8, px:px + 8] = spatial
+    return _jpeg_to_rgb(planes, comps, hmax, vmax, h, w)
+
+
+def _jpeg_to_rgb(planes, comps, hmax, vmax, h, w):
+    """Shared output tail: chroma upsample + JFIF BT.601 color mapping."""
     out_planes = []
     for c in comps:
         p = planes[c["id"]]
@@ -537,6 +552,232 @@ def _jpeg_decode_scan(d, pos, frame, scan, qt, huff_dc, huff_ac,
     rgb = np.stack([r, g, b], axis=2)
     return np.ascontiguousarray(np.clip(np.round(rgb), 0, 255
                                         ).astype(np.uint8))
+
+
+def _jpeg_decode_progressive(d, pos, frame, qt, huff_dc, huff_ac,
+                             restart_interval):
+    """Progressive JPEG (SOF2): decode every scan into per-component
+    coefficient arrays, then dequantize + IDCT once at the end.
+
+    Implements the full progressive feature set of T.81 Annex G.2:
+    spectral selection (DC and AC band scans), successive approximation
+    (DC bit-plane refinement via bitwise OR, AC refinement with
+    correction bits), EOB runs — including correction-bit reads for
+    blocks consumed inside an EOB run — interleaved and non-interleaved
+    scan geometry, restart intervals, and tables redefined between
+    scans. ``pos`` points at the first SOS marker."""
+    comps = frame["comps"]
+    by_id = {c["id"]: c for c in comps}
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    h, w = frame["h"], frame["w"]
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    # zigzag-order coefficient store over the full interleaved grid
+    coef = {c["id"]: np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64),
+                              dtype=np.int32) for c in comps}
+    while pos + 2 <= len(d):
+        if d[pos] != 0xFF:
+            raise MediaDecodeError(f"bad JPEG marker sync at {pos}")
+        marker = d[pos + 1]
+        pos += 2
+        if marker == 0xD9:                 # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack_from(">H", d, pos)
+        seg = d[pos + 2:pos + seglen]
+        if marker == 0xC4:                 # DHT (tables may change per scan)
+            at = 0
+            while at < len(seg):
+                tc, th = seg[at] >> 4, seg[at] & 15
+                bits = list(seg[at + 1:at + 17])
+                n = sum(bits)
+                vals = seg[at + 17:at + 17 + n]
+                (huff_dc if tc == 0 else huff_ac)[th] = \
+                    _jpeg_huffman_table(bits, vals)
+                at += 17 + n
+        elif marker == 0xDB:
+            at = 0
+            while at < len(seg):
+                pq, tq = seg[at] >> 4, seg[at] & 15
+                if pq != 0:
+                    raise MediaDecodeError(
+                        "16-bit JPEG quant tables unsupported")
+                qt[tq] = np.frombuffer(seg, np.uint8, 64, at + 1
+                                       ).astype(np.int32)
+                at += 65
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, td_ta = struct.unpack_from(">BB", seg, 1 + 2 * i)
+                if cs not in by_id:
+                    raise MediaDecodeError(
+                        f"JPEG scan references component {cs}")
+                scan.append({"id": cs, "dc": td_ta >> 4, "ac": td_ta & 15})
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            reader = _JpegBitReader(d, pos + seglen)
+            _jpeg_progressive_sos(reader, frame, by_id, scan, ss, se,
+                                  ahal >> 4, ahal & 15, coef,
+                                  huff_dc, huff_ac, restart_interval,
+                                  mcus_x, mcus_y, hmax, vmax)
+            # skip trailing pad bits / fill bytes to the next marker
+            pos = reader.pos
+            while (pos + 1 < len(d)
+                   and not (d[pos] == 0xFF and d[pos + 1] not in (0, 0xFF))):
+                pos += 1
+            continue
+        pos += seglen
+    # reconstruct: dequantize (zigzag), inverse zigzag, IDCT per block
+    planes = {}
+    for c in comps:
+        q = qt.get(c["tq"])
+        if q is None:
+            raise MediaDecodeError("JPEG missing quant table")
+        cz = coef[c["id"]]                 # (by, bx, 64) zigzag
+        nat = np.zeros_like(cz, dtype=np.float64)
+        nat[..., _ZIGZAG] = cz * q
+        by, bx = cz.shape[:2]
+        blocks = nat.reshape(by, bx, 8, 8)
+        spat = np.einsum("ab,yxbc,cd->yxad", _DCT_C.T, blocks,
+                         _DCT_C) + 128.0
+        planes[c["id"]] = spat.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+    return _jpeg_to_rgb(planes, comps, hmax, vmax, h, w)
+
+
+def _jpeg_progressive_sos(reader, frame, by_id, scan, ss, se, ah, al, coef,
+                          huff_dc, huff_ac, restart_interval,
+                          mcus_x, mcus_y, hmax, vmax):
+    """Decode one progressive scan's entropy data into ``coef``."""
+    h, w = frame["h"], frame["w"]
+    if ss == 0:                            # ---- DC scan ----
+        if se != 0:
+            raise MediaDecodeError("JPEG DC scan with Se != 0")
+        pred = {sc["id"]: 0 for sc in scan}
+        if len(scan) > 1:                  # interleaved MCU walk
+            units = []
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    unit = []
+                    for sc in scan:
+                        c = by_id[sc["id"]]
+                        for byy in range(c["v"]):
+                            for bxx in range(c["h"]):
+                                unit.append((sc, my * c["v"] + byy,
+                                             mx * c["h"] + bxx))
+                    units.append(unit)
+        else:
+            sc = scan[0]
+            c = by_id[sc["id"]]
+            cw = -(-w * c["h"] // hmax)       # component sample dims
+            ch_ = -(-h * c["v"] // vmax)
+            nbx, nby = -(-cw // 8), -(-ch_ // 8)
+            units = [[(sc, yy, xx)] for yy in range(nby)
+                     for xx in range(nbx)]
+        for i, unit in enumerate(units):
+            if restart_interval and i and i % restart_interval == 0:
+                reader.restart()
+                pred = {s["id"]: 0 for s in scan}
+            for sc, yy, xx in unit:
+                cf = coef[sc["id"]]
+                if ah == 0:                # first DC pass
+                    tab = huff_dc.get(sc["dc"])
+                    if tab is None:
+                        raise MediaDecodeError("JPEG missing DC table")
+                    s = reader.decode_symbol(tab)
+                    pred[sc["id"]] += _jpeg_extend(reader.receive(s), s)
+                    cf[yy, xx, 0] = pred[sc["id"]] << al
+                else:                      # bit-plane refinement
+                    if reader.read_bit():
+                        cf[yy, xx, 0] |= 1 << al
+        return
+    # ---- AC scan: exactly one component, non-interleaved geometry ----
+    if len(scan) != 1:
+        raise MediaDecodeError("JPEG AC progressive scan must have ns=1")
+    sc = scan[0]
+    c = by_id[sc["id"]]
+    tab = huff_ac.get(sc["ac"])
+    if tab is None:
+        raise MediaDecodeError("JPEG missing AC table")
+    cw = -(-w * c["h"] // hmax)               # component sample dims
+    ch_ = -(-h * c["v"] // vmax)
+    nbx, nby = -(-cw // 8), -(-ch_ // 8)
+    cz = coef[sc["id"]]
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+    n_blk = 0
+    for yy in range(nby):
+        for xx in range(nbx):
+            if restart_interval and n_blk and n_blk % restart_interval == 0:
+                reader.restart()
+                eobrun = 0
+            n_blk += 1
+            cf = cz[yy, xx]
+            if ah == 0:                    # ---- AC first pass ----
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = reader.decode_symbol(tab)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r < 15:         # EOBn
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.receive(r)
+                            break
+                        k += 16            # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise MediaDecodeError("JPEG AC band overrun")
+                    cf[k] = _jpeg_extend(reader.receive(s), s) << al
+                    k += 1
+                continue
+            # ---- AC refinement pass (T.81 G.2, incl. EOB-run reads) ----
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = reader.decode_symbol(tab)
+                    r, s = rs >> 4, rs & 15
+                    val = 0
+                    if s == 0:
+                        if r < 15:         # EOBn: run INCLUDES this block
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.receive(r)
+                            break
+                        # r == 15: ZRL — skip 16 zero-history coeffs
+                    else:
+                        if s != 1:
+                            raise MediaDecodeError(
+                                "JPEG refinement size != 1")
+                        val = p1 if reader.read_bit() else m1
+                    while k <= se:         # advance, correcting history
+                        if cf[k] != 0:
+                            if reader.read_bit() and not (cf[k] & p1):
+                                cf[k] += p1 if cf[k] > 0 else m1
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val and k <= se:
+                        cf[k] = val
+                    k += 1
+            if eobrun > 0:
+                # inside an EOB run: nonzero-history coefficients in the
+                # remainder of the band still receive correction bits
+                while k <= se:
+                    if cf[k] != 0:
+                        if reader.read_bit() and not (cf[k] & p1):
+                            cf[k] += p1 if cf[k] > 0 else m1
+                    k += 1
+                eobrun -= 1
 
 
 # ---------------------------------------------------------------------------

@@ -56,12 +56,12 @@ def attach_media_metadata(df: DataFrame, binary_col: str, meta: dict) -> DataFra
 def _decode_image(payload: bytes, fake: bool) -> np.ndarray:
     """Image decode seam. ``fake`` derives a deterministic 8x8x3 uint8
     array from the payload bytes (plumbing tests over arbitrary binary).
-    The REAL path decodes BMP, 8-bit PNG (incl. Adam7), baseline
-    sequential JPEG, GIF (LZW, incl. interlaced), and baseline TIFF
+    The REAL path decodes BMP, 8-bit PNG (incl. Adam7), JPEG (baseline
+    AND progressive), GIF (LZW, incl. interlaced), and baseline TIFF
     (uncompressed/LZW/PackBits) via the vendored pure-Python codecs
-    (`multimodal/codecs.py`); exotic variants (progressive JPEG, WebP,
-    JPEG-in-TIFF, ...) are where PIL/opencv would plug in and still
-    raise."""
+    (`multimodal/codecs.py`); the remaining exotics (WebP,
+    JPEG-in-TIFF, arithmetic JPEG, ...) are where PIL/opencv would
+    plug in and still raise."""
     if not fake:
         from .codecs import (
             PNG_SIGNATURE, decode_bmp, decode_gif, decode_jpeg, decode_png,
@@ -79,7 +79,7 @@ def _decode_image(payload: bytes, fake: bool) -> np.ndarray:
         if payload[:4] in (b"II*\x00", b"MM\x00*"):
             return decode_tiff(payload)
         raise NotImplementedError(
-            "only BMP/PNG/baseline-JPEG/GIF/baseline-TIFF decode "
+            "only BMP/PNG/JPEG/GIF/baseline-TIFF decode "
             "without PIL/opencv (not in this container); pass fake=True "
             "for the deterministic test decode of other payloads")
     seed = np.frombuffer((payload or b"\0")[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
