@@ -1578,3 +1578,63 @@ def test_image_features_real_progressive_jpeg(spark):
     got = image_features(spark.createDataFrame(rows), fake=False).collect()
     np.testing.assert_allclose(got[0]["img_mean"], src.mean(axis=(0, 1)),
                                atol=2)
+
+
+# ---------------------------------------------------------------------------
+# error-contract fuzz: any truncation or corruption of a valid payload
+# must either decode (a flip can land in pixel data) or raise
+# MediaDecodeError — never an IndexError/struct.error/numpy error
+
+
+def _fuzz_payloads():
+    rng = np.random.default_rng(50)
+    img = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    pal_img = _PAL8[rng.integers(0, 8, size=(9, 7))]
+    return {
+        "bmp": encode_bmp(img),
+        "png": _pack_png_adam7(img, color=2, ftypes=[0, 4]),
+        "jpeg": _encode_jpeg(rgb=img),
+        "jpeg_prog": _encode_jpeg_progressive(rgb=img),
+        "gif": _pack_gif(pal_img, _PAL8, interlaced=True),
+        "tiff": _pack_tiff_compressed(img, 5, strips=2, predictor=2),
+    }
+
+
+def test_decoders_raise_only_media_error_on_truncation():
+    from valkey_search_spark.multimodal.codecs import (
+        decode_bmp, decode_gif, decode_jpeg, decode_png, decode_tiff,
+    )
+
+    decoders = {"bmp": decode_bmp, "png": decode_png, "jpeg": decode_jpeg,
+                "jpeg_prog": decode_jpeg, "gif": decode_gif,
+                "tiff": decode_tiff}
+    for kind, payload in _fuzz_payloads().items():
+        fn = decoders[kind]
+        np.asarray(fn(payload))                      # full payload decodes
+        for cut in range(0, len(payload), max(1, len(payload) // 40)):
+            try:
+                fn(payload[:cut])
+            except MediaDecodeError:
+                pass                                 # the contract
+            # nothing else may escape
+
+
+def test_decoders_raise_only_media_error_on_bit_flips():
+    rng = np.random.default_rng(51)
+    from valkey_search_spark.multimodal.codecs import (
+        decode_bmp, decode_gif, decode_jpeg, decode_png, decode_tiff,
+    )
+
+    decoders = {"bmp": decode_bmp, "png": decode_png, "jpeg": decode_jpeg,
+                "jpeg_prog": decode_jpeg, "gif": decode_gif,
+                "tiff": decode_tiff}
+    for kind, payload in _fuzz_payloads().items():
+        fn = decoders[kind]
+        for _ in range(60):
+            mut = bytearray(payload)
+            for _ in range(rng.integers(1, 4)):
+                mut[rng.integers(0, len(mut))] ^= 1 << rng.integers(0, 8)
+            try:
+                fn(bytes(mut))                       # decode or raise...
+            except MediaDecodeError:
+                pass                                 # ...only this

@@ -60,3 +60,51 @@ def test_video_frame_sample_explodes(media_df):
 def test_real_decode_is_gated(media_df):
     with pytest.raises(Exception, match="NotImplementedError|PIL|decode"):
         image_features(media_df, fake=False).collect()
+
+
+def test_image_features_on_error_null(spark):
+    """A corrupt payload must not kill the job in on_error='null' mode:
+    features null out and decode_error carries the message; good rows in
+    the same batch decode normally. Default mode still raises."""
+    import numpy as np
+    from pyspark.sql import Row
+    from valkey_search_spark.multimodal.codecs import encode_bmp
+    from valkey_search_spark.multimodal.columns import image_features
+    import pytest
+
+    good = encode_bmp(np.full((4, 4, 3), 7, dtype=np.uint8))
+    df = spark.createDataFrame([
+        Row(id=1, image=bytearray(good)),
+        Row(id=2, image=bytearray(good[:20])),         # truncated BMP
+        Row(id=3, image=bytearray(b"RIFFnot-an-image")),
+        Row(id=4, image=None),
+    ])
+    out = {r["id"]: r for r in
+           image_features(df, fake=False, on_error="null").collect()}
+    assert out[1]["img_mean"] == [7.0, 7.0, 7.0]
+    assert out[1]["decode_error"] is None
+    assert out[2]["img_mean"] is None and "BMP" in out[2]["decode_error"]
+    assert out[3]["img_mean"] is None and out[3]["decode_error"]
+    assert out[4]["img_mean"] is None and out[4]["decode_error"] is None
+    from pyspark.errors import PySparkException
+    with pytest.raises(PySparkException):              # strict default
+        image_features(df, fake=False).collect()
+    with pytest.raises(ValueError, match="on_error"):
+        image_features(df, on_error="bogus")
+
+
+def test_audio_features_on_error_null(spark):
+    import numpy as np
+    from pyspark.sql import Row
+    from valkey_search_spark.multimodal.codecs import encode_wav
+    from valkey_search_spark.multimodal.columns import audio_features
+
+    good = encode_wav(np.zeros((100, 1), dtype=np.float32), 8000)
+    df = spark.createDataFrame([
+        Row(id=1, audio=bytearray(good)),
+        Row(id=2, audio=bytearray(b"MP3junk" * 4)),
+    ])
+    out = {r["id"]: r for r in
+           audio_features(df, fake=False, on_error="null").collect()}
+    assert out[1]["audio_seconds"] == 100 / 8000
+    assert out[2]["audio_rms"] is None and out[2]["decode_error"]

@@ -59,10 +59,32 @@ class MediaDecodeError(ValueError):
     """Malformed or unsupported media payload."""
 
 
+
+def _decode_guard(fn):
+    """Error contract for every image decoder: a malformed payload of
+    the right container type raises MediaDecodeError — never a raw
+    IndexError/struct.error/numpy ValueError from deep inside the
+    parser. Corrupt bytes are normal in a 100 TB corpus; callers filter
+    on ONE exception type (pinned by truncation fuzz in tests)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(payload):
+        try:
+            return fn(payload)
+        except MediaDecodeError:
+            raise
+        except (IndexError, struct.error, ValueError, OverflowError) as e:
+            raise MediaDecodeError(
+                f"malformed payload in {fn.__name__}: {e}") from e
+    return wrapped
+
+
 # ---------------------------------------------------------------------------
 # BMP
 
 
+@_decode_guard
 def decode_bmp(payload: bytes) -> np.ndarray:
     """Decode an uncompressed 24/32-bit BMP to an (H, W, 3) uint8 RGB array.
 
@@ -172,6 +194,7 @@ def _png_unfilter(raw: bytes, at: int, w: int, h: int,
     return out, at
 
 
+@_decode_guard
 def decode_png(payload: bytes) -> np.ndarray:
     """Decode an 8-bit PNG to an (H, W, 3) uint8 RGB array.
 
@@ -377,6 +400,7 @@ def _jpeg_extend(v: int, s: int) -> int:
     return v - ((1 << s) - 1) if s and v < (1 << (s - 1)) else v
 
 
+@_decode_guard
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode a baseline sequential JPEG (SOF0, 8-bit, Huffman) to an
     (H, W, 3) uint8 RGB array. Supports 1- and 3-component images with
@@ -838,6 +862,7 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, npix: int) -> np.ndarray:
 _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
+@_decode_guard
 def decode_gif(payload: bytes) -> np.ndarray:
     """Decode the FIRST frame of a GIF87a/GIF89a to (H, W, 3) uint8 RGB.
 
@@ -1008,6 +1033,7 @@ def _tiff_read_values(p: bytes, bo: str, typ: int, cnt: int,
     return list(struct.unpack_from(bo + fmt * cnt, p, off))
 
 
+@_decode_guard
 def decode_tiff(payload: bytes) -> np.ndarray:
     """Decode a baseline 8-bit TIFF (gray or RGB, chunky planar layout,
     any strip split) to (H, W, 3) uint8 RGB — grayscale replicated,
@@ -1198,6 +1224,7 @@ def _decode_ima_adpcm(data: bytes, channels: int,
     return frames.astype(np.float32) / 32768.0
 
 
+@_decode_guard
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
     """Decode a RIFF/WAVE payload.
 

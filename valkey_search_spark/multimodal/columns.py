@@ -88,23 +88,43 @@ def _decode_image(payload: bytes, fake: bool) -> np.ndarray:
 
 
 def image_features(df: DataFrame, binary_col: str = "image",
-                   fake: bool = True, batch_size: int = 256) -> DataFrame:
+                   fake: bool = True, batch_size: int = 256,
+                   on_error: str = "raise") -> DataFrame:
     """Per-image feature extraction via mapInPandas: mean/std per channel +
-    a 64-bit content hash. Output schema is stable regardless of decoder."""
-    out_schema = T.StructType(
-        df.schema.fields
-        + [T.StructField("img_mean", T.ArrayType(T.DoubleType())),
-           T.StructField("img_std", T.ArrayType(T.DoubleType())),
-           T.StructField("img_phash", T.LongType())])
+    a 64-bit content hash. Output schema is stable regardless of decoder.
+
+    ``on_error="null"`` turns undecodable payloads into null feature
+    columns plus a ``decode_error`` message column instead of failing
+    the task — at corpus scale a handful of corrupt blobs must not
+    kill a 100 TB job; filter (or inspect) ``decode_error`` afterwards.
+    The default ``"raise"`` keeps strict semantics for pipelines that
+    treat corruption as a bug."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be raise|null, got {on_error!r}")
+    extra = [T.StructField("img_mean", T.ArrayType(T.DoubleType())),
+             T.StructField("img_std", T.ArrayType(T.DoubleType())),
+             T.StructField("img_phash", T.LongType())]
+    if on_error == "null":
+        extra.append(T.StructField("decode_error", T.StringType()))
+    out_schema = T.StructType(df.schema.fields + extra)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            means, stds, hashes = [], [], []
+            means, stds, hashes, errs = [], [], [], []
             for payload in pdf[binary_col]:
                 if payload is None:
                     means.append(None); stds.append(None); hashes.append(None)
+                    errs.append(None)
                     continue
-                arr = _decode_image(bytes(payload), fake)
+                try:
+                    arr = _decode_image(bytes(payload), fake)
+                except (ValueError, NotImplementedError) as e:
+                    if on_error == "raise":
+                        raise
+                    means.append(None); stds.append(None); hashes.append(None)
+                    errs.append(str(e))
+                    continue
+                errs.append(None)
                 means.append([float(x) for x in arr.mean(axis=(0, 1))])
                 stds.append([float(x) for x in arr.std(axis=(0, 1))])
                 # average-hash over an 8x8 grayscale thumbnail (identity
@@ -119,6 +139,8 @@ def image_features(df: DataFrame, binary_col: str = "image",
                     np.packbits(bits).view(">u8")[0].astype(np.int64))))
             out = pdf.copy()
             out["img_mean"], out["img_std"], out["img_phash"] = means, stds, hashes
+            if on_error == "null":
+                out["decode_error"] = errs
             yield out
 
     return df.mapInPandas(run, schema=out_schema)
@@ -185,27 +207,43 @@ def _decode_audio(payload: bytes, fake: bool) -> tuple[np.ndarray, int]:
 
 
 def audio_features(df: DataFrame, binary_col: str = "audio",
-                   fake: bool = True) -> DataFrame:
-    """RMS energy + zero-crossing rate + duration via mapInPandas."""
-    out_schema = T.StructType(
-        df.schema.fields
-        + [T.StructField("audio_rms", T.DoubleType()),
-           T.StructField("audio_zcr", T.DoubleType()),
-           T.StructField("audio_seconds", T.DoubleType())])
+                   fake: bool = True, on_error: str = "raise") -> DataFrame:
+    """RMS energy + zero-crossing rate + duration via mapInPandas.
+    ``on_error="null"`` nulls undecodable payloads (+ ``decode_error``
+    column) instead of failing the task — see image_features."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be raise|null, got {on_error!r}")
+    extra = [T.StructField("audio_rms", T.DoubleType()),
+             T.StructField("audio_zcr", T.DoubleType()),
+             T.StructField("audio_seconds", T.DoubleType())]
+    if on_error == "null":
+        extra.append(T.StructField("decode_error", T.StringType()))
+    out_schema = T.StructType(df.schema.fields + extra)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rms, zcr, secs = [], [], []
+            rms, zcr, secs, errs = [], [], [], []
             for payload in pdf[binary_col]:
                 if payload is None:
                     rms.append(None); zcr.append(None); secs.append(None)
+                    errs.append(None)
                     continue
-                wave, sr = _decode_audio(bytes(payload), fake)
+                try:
+                    wave, sr = _decode_audio(bytes(payload), fake)
+                except (ValueError, NotImplementedError) as e:
+                    if on_error == "raise":
+                        raise
+                    rms.append(None); zcr.append(None); secs.append(None)
+                    errs.append(str(e))
+                    continue
+                errs.append(None)
                 rms.append(float(np.sqrt((wave ** 2).mean())))
                 zcr.append(float((np.diff(np.sign(wave)) != 0).mean()))
                 secs.append(len(wave) / sr)
             out = pdf.copy()
             out["audio_rms"], out["audio_zcr"], out["audio_seconds"] = rms, zcr, secs
+            if on_error == "null":
+                out["decode_error"] = errs
             yield out
 
     return df.mapInPandas(run, schema=out_schema)
