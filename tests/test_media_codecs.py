@@ -1638,3 +1638,251 @@ def test_decoders_raise_only_media_error_on_bit_flips():
                 fn(bytes(mut))                       # decode or raise...
             except MediaDecodeError:
                 pass                                 # ...only this
+
+
+# ---------------------------------------------------------------------------
+# FLAC: decoder pinned by an independent FORWARD encoder (frames,
+# subframe types, Rice partitions, stereo decorrelation — all per the
+# public spec, written against the encode direction)
+
+from valkey_search_spark.multimodal.codecs import decode_flac
+
+
+class _FlacW:
+    def __init__(self):
+        self.bits = []
+
+    def put(self, v, n):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def sput(self, v, n):
+        self.put(v & ((1 << n) - 1), n)
+
+    def align(self):
+        while len(self.bits) % 8:
+            self.bits.append(0)
+
+    def tobytes(self):
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            b = 0
+            for j, bit in enumerate(self.bits[i:i + 8]):
+                b |= bit << (7 - j)
+            out.append(b)
+        return bytes(out)
+
+
+def _flac_rice(bw, resid, param, escape_raw=None):
+    if escape_raw is not None:
+        bw.put((1 << 4) - 1, 4)             # escape code (rice method 0)
+        bw.put(escape_raw, 5)
+        for x in resid:
+            if escape_raw:
+                bw.sput(int(x), escape_raw)
+        return
+    bw.put(param, 4)
+    for x in resid:
+        x = int(x)
+        u = (x << 1) if x >= 0 else ((-x) << 1) - 1
+        bw.put(0, u >> param) if False else None
+        for _ in range(u >> param):
+            bw.put(0, 1)
+        bw.put(1, 1)
+        bw.put(u & ((1 << param) - 1), param)
+
+
+def _flac_residual_w(bw, resid, order, blocksize, porder, escape_raw=None):
+    bw.put(0, 2)                             # method 0 (4-bit rice)
+    bw.put(porder, 4)
+    nparts = 1 << porder
+    at = 0
+    for p in range(nparts):
+        n = (blocksize >> porder) - (order if p == 0 else 0)
+        part = resid[at:at + n]
+        if escape_raw is not None:
+            _flac_rice(bw, part, 0, escape_raw=escape_raw)
+        else:
+            u = [(int(x) << 1) if x >= 0 else ((-int(x)) << 1) - 1
+                 for x in part]
+            param = min(14, max((max(u).bit_length() - 1) if u and max(u)
+                                else 0, 0))
+            _flac_rice(bw, part, param)
+        at += n
+
+
+_FIXED_CO = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+
+def _flac_subframe_w(bw, x, bps, mode, porder=0, escape_raw=None,
+                     wasted=0, lpc=None):
+    blocksize = len(x)
+    bw.put(0, 1)                             # sync
+    x = np.asarray(x, dtype=np.int64)
+    if wasted:
+        assert not np.any(x & ((1 << wasted) - 1))
+        x = x >> wasted
+        bps -= wasted
+    if mode == "constant":
+        bw.put(0, 6)
+    elif mode == "verbatim":
+        bw.put(1, 6)
+    elif mode.startswith("fixed"):
+        bw.put(8 + int(mode[5]), 6)
+    else:                                    # lpc
+        order = len(lpc[0])
+        bw.put(32 + order - 1, 6)
+    if wasted:
+        bw.put(1, 1)                         # wasted flag
+        for _ in range(wasted - 1):
+            bw.put(0, 1)
+        bw.put(1, 1)                         # unary terminator
+    else:
+        bw.put(0, 1)
+    if mode == "constant":
+        assert len(set(x.tolist())) == 1
+        bw.sput(int(x[0]), bps)
+    elif mode == "verbatim":
+        for v in x:
+            bw.sput(int(v), bps)
+    elif mode.startswith("fixed"):
+        order = int(mode[5])
+        for v in x[:order]:
+            bw.sput(int(v), bps)
+        co = _FIXED_CO[order]
+        resid = [int(x[i]) - sum(c * int(x[i - 1 - j])
+                                 for j, c in enumerate(co))
+                 for i in range(order, blocksize)]
+        _flac_residual_w(bw, resid, order, blocksize, porder, escape_raw)
+    else:
+        coefs, shift, prec = lpc
+        order = len(coefs)
+        for v in x[:order]:
+            bw.sput(int(v), bps)
+        bw.put(prec - 1, 4)
+        bw.sput(shift, 5)
+        for c in coefs:
+            bw.sput(c, prec)
+        resid = [int(x[i]) - (sum(coefs[j] * int(x[i - 1 - j])
+                                  for j in range(order)) >> shift)
+                 for i in range(order, blocksize)]
+        _flac_residual_w(bw, resid, order, blocksize, porder, escape_raw)
+
+
+def _pack_flac(samples, rate=8000, bps=16, blocksize=64, mode="fixed2",
+               stereo=None, porder=0, escape_raw=None, wasted=0, lpc=None):
+    """samples: (n, ch) int array. stereo: None|'ls'|'rs'|'ms'."""
+    samples = np.asarray(samples, dtype=np.int64)
+    n, ch = samples.shape
+    si = _FlacW()
+    si.put(blocksize, 16); si.put(blocksize, 16)    # min/max blocksize
+    si.put(0, 24); si.put(0, 24)                    # min/max framesize
+    si.put(rate, 20); si.put(ch - 1, 3); si.put(bps - 1, 5)
+    si.put(n, 36)
+    streaminfo = si.tobytes() + b"\0" * 16          # + dummy MD5
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+    for fno, at in enumerate(range(0, n, blocksize)):
+        frame = samples[at:at + blocksize]
+        fb = len(frame)
+        bw = _FlacW()
+        bw.put(0b11111111111110, 14)
+        bw.put(0, 1); bw.put(0, 1)                  # reserved, fixed-block
+        bw.put(6, 4)                                 # blocksize: 8-bit follows
+        bw.put(0, 4)                                 # rate: from STREAMINFO
+        chan_code = {None: ch - 1, "ls": 8, "rs": 9, "ms": 10}[stereo]
+        bw.put(chan_code, 4)
+        bw.put(4, 3)                                 # 16-bit sample size
+        bw.put(0, 1)
+        assert fno < 0x80
+        bw.put(fno, 8)                               # UTF-8 number (1 byte)
+        bw.put(fb - 1, 8)                            # blocksize-1
+        bw.put(0, 8)                                 # CRC-8 (unchecked)
+        if stereo is None:
+            for c in range(ch):
+                _flac_subframe_w(bw, frame[:, c], bps, mode, porder,
+                                 escape_raw, wasted, lpc)
+        else:
+            L, R = frame[:, 0], frame[:, 1]
+            side = L - R
+            if stereo == "ls":
+                chans = [(L, bps), (side, bps + 1)]
+            elif stereo == "rs":
+                chans = [(side, bps + 1), (R, bps)]
+            else:
+                chans = [((L + R) >> 1, bps), (side, bps + 1)]
+            for cx, cbps in chans:
+                _flac_subframe_w(bw, cx, cbps, mode, porder,
+                                 escape_raw, wasted, lpc)
+        bw.align()
+        bw.put(0, 16)                                # CRC-16 (unchecked)
+        out += bw.tobytes()
+    return bytes(out)
+
+
+def _flac_ints(payload, bps=16):
+    frames, rate, ch = decode_flac(payload)
+    return np.round(frames * (1 << (bps - 1))).astype(np.int64), rate, ch
+
+
+@pytest.mark.parametrize("mode", ["verbatim", "fixed0", "fixed1", "fixed2",
+                                  "fixed3", "fixed4"])
+def test_flac_subframe_modes_roundtrip(mode):
+    rng = np.random.default_rng(60)
+    x = rng.integers(-2000, 2000, size=(200, 1), dtype=np.int64)
+    got, rate, ch = _flac_ints(_pack_flac(x, mode=mode))
+    assert (rate, ch) == (8000, 1)
+    np.testing.assert_array_equal(got, x)
+
+
+def test_flac_constant_and_lpc():
+    x = np.full((100, 1), -321, dtype=np.int64)
+    got, _, _ = _flac_ints(_pack_flac(x, mode="constant"))
+    np.testing.assert_array_equal(got, x)
+    rng = np.random.default_rng(61)
+    y = rng.integers(-3000, 3000, size=(128, 1), dtype=np.int64)
+    got, _, _ = _flac_ints(_pack_flac(y, mode="lpc",
+                                      lpc=([3, -2, 1], 2, 6)))
+    np.testing.assert_array_equal(got, y)
+
+
+@pytest.mark.parametrize("stereo", ["ls", "rs", "ms"])
+def test_flac_stereo_decorrelation(stereo):
+    rng = np.random.default_rng(62)
+    x = rng.integers(-5000, 5000, size=(192, 2), dtype=np.int64)
+    got, _, ch = _flac_ints(_pack_flac(x, stereo=stereo))
+    assert ch == 2
+    np.testing.assert_array_equal(got, x)
+
+
+def test_flac_partitions_escape_wasted_and_tail_frame():
+    rng = np.random.default_rng(63)
+    x = rng.integers(-999, 999, size=(150, 1), dtype=np.int64)  # 64+64+22
+    got, _, _ = _flac_ints(_pack_flac(x, mode="fixed1", porder=1))
+    np.testing.assert_array_equal(got, x)
+    got, _, _ = _flac_ints(_pack_flac(x, mode="fixed2", escape_raw=14))
+    np.testing.assert_array_equal(got, x)
+    w = (rng.integers(-500, 500, size=(96, 1), dtype=np.int64)) << 2
+    got, _, _ = _flac_ints(_pack_flac(w, mode="verbatim", wasted=2))
+    np.testing.assert_array_equal(got, w)
+
+
+def test_flac_malformed_raises_media_error_only():
+    payload = _pack_flac(np.zeros((64, 1), dtype=np.int64), mode="constant")
+    for cut in range(0, len(payload), 7):
+        try:
+            decode_flac(payload[:cut])
+        except MediaDecodeError:
+            pass
+
+
+def test_audio_features_real_flac(spark):
+    t = np.arange(800) / 8000.0
+    sig = np.round(0.25 * np.sin(2 * np.pi * 330 * t) * 32767).astype(np.int64)
+    payload = _pack_flac(sig[:, None], mode="fixed2", blocksize=200)
+    df = spark.createDataFrame([Row(id=0, audio=bytearray(payload))])
+    r = audio_features(df, fake=False).first()
+    wave = sig / 32768.0
+    assert r["audio_seconds"] == pytest.approx(0.1)
+    assert r["audio_rms"] == pytest.approx(float(np.sqrt((wave**2).mean())),
+                                           rel=1e-4)

@@ -35,6 +35,13 @@ are fully decodable with struct + numpy alone, which makes the
   public GIF89a specification (incl. Appendix F). Tests pin it with an
   INDEPENDENT forward LZW compressor written in the test file.
 
+- FLAC: the full lossless decode path — CONSTANT/VERBATIM/FIXED/LPC
+  subframes, Rice and Rice2 residual partitions with escape codes,
+  wasted bits, all four stereo assignments (independent, left/side,
+  right/side, mid/side), variable block sizes. Format reference: the
+  public FLAC specification (xiph.org / RFC 9639). Tests pin it with
+  an independent forward FLAC encoder written in the test file.
+
 - TIFF: baseline 8-bit gray/RGB, chunky layout, both byte orders, any
   strip split, MinIsWhite inversion; compressions none/LZW (MSB-first
   early-change codes + horizontal-differencing predictor)/PackBits.
@@ -42,7 +49,7 @@ are fully decodable with struct + numpy alone, which makes the
   + Sections 13/14). Tests hand-pack IFDs and pin the decoders with
   independent forward PackBits/LZW encoders.
 
-Formats needing non-stdlib decoders (MP3/AAC, WebP, JPEG-in-TIFF,
+Formats needing non-stdlib decoders (MP3/AAC/Vorbis/Opus, WebP, JPEG-in-TIFF,
 arithmetic-coded JPEG, video codecs) still raise NotImplementedError —
 that seam is where PIL/ffmpeg would plug in on a real cluster.
 """
@@ -1126,6 +1133,264 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     if spp == 2:                               # gray + alpha
         return np.ascontiguousarray(np.repeat(img[:, :, :1], 3, axis=2))
     return np.ascontiguousarray(img[:, :, :3])
+
+
+# ---------------------------------------------------------------------------
+# FLAC (free lossless audio codec — public xiph.org specification)
+
+class _FlacBitReader:
+    """MSB-first bit reader (no byte stuffing, unlike JPEG's)."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.bitpos = pos * 8
+
+    def bits(self, n: int) -> int:
+        end = self.bitpos + n
+        if end > len(self.data) * 8:
+            raise MediaDecodeError("FLAC bitstream truncated")
+        v = 0
+        bp = self.bitpos
+        d = self.data
+        while n:
+            byte_i, off = bp >> 3, bp & 7
+            take = min(8 - off, n)
+            chunk = (d[byte_i] >> (8 - off - take)) & ((1 << take) - 1)
+            v = (v << take) | chunk
+            bp += take
+            n -= take
+        self.bitpos = bp
+        return v
+
+    def sbits(self, n: int) -> int:
+        v = self.bits(n)
+        return v - (1 << n) if v >> (n - 1) else v
+
+    def unary(self) -> int:
+        n = 0
+        while self.bits(1) == 0:
+            n += 1
+            if n > 1 << 20:
+                raise MediaDecodeError("FLAC runaway unary code")
+        return n
+
+    def align(self) -> None:
+        self.bitpos = (self.bitpos + 7) & ~7
+
+
+_FLAC_BLOCKSIZES = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608}
+_FLAC_RATES = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000,
+               6: 22050, 7: 24000, 8: 32000, 9: 44100, 10: 48000,
+               11: 96000}
+_FLAC_BPS = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def _flac_utf8_number(br: _FlacBitReader) -> int:
+    lead = br.bits(8)
+    if lead < 0x80:
+        return lead
+    n = 0
+    while (lead << n) & 0x80:
+        n += 1
+    if n < 2 or n > 7:
+        raise MediaDecodeError("bad FLAC UTF-8 coded number")
+    v = lead & (0x7F >> n)
+    for _ in range(n - 1):
+        c = br.bits(8)
+        if c >> 6 != 0b10:
+            raise MediaDecodeError("bad FLAC UTF-8 continuation")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+def _flac_residual(br: _FlacBitReader, blocksize: int, order: int):
+    """Rice-coded residual: 2-bit method, partition order, per-partition
+    parameter (escape -> raw n-bit samples), zigzag-mapped values."""
+    method = br.bits(2)
+    if method > 1:
+        raise MediaDecodeError(f"bad FLAC residual method {method}")
+    plen = 4 + method                        # rice / rice2 parameter width
+    escape = (1 << plen) - 1
+    porder = br.bits(4)
+    nparts = 1 << porder
+    if blocksize % nparts != 0:
+        raise MediaDecodeError("FLAC blocksize not divisible by partitions")
+    if porder > 0 and (blocksize >> porder) <= order:
+        raise MediaDecodeError("bad FLAC partition order")
+    out = np.empty(blocksize - order, dtype=np.int64)
+    at = 0
+    for p in range(nparts):
+        n = (blocksize >> porder) - (order if p == 0 else 0)
+        if n < 0:
+            raise MediaDecodeError("bad FLAC partition layout")
+        param = br.bits(plen)
+        if param == escape:
+            raw = br.bits(5)
+            for i in range(n):
+                out[at + i] = br.sbits(raw) if raw else 0
+        else:
+            for i in range(n):
+                q = br.unary()
+                v = (q << param) | br.bits(param)
+                out[at + i] = (v >> 1) ^ -(v & 1)     # zigzag
+        at += n
+    return out
+
+
+_FLAC_FIXED = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+
+def _flac_subframe(br: _FlacBitReader, blocksize: int, bps: int):
+    if br.bits(1):
+        raise MediaDecodeError("bad FLAC subframe sync bit")
+    stype = br.bits(6)
+    wasted = 0
+    if br.bits(1):                            # wasted-bits flag
+        wasted = br.unary() + 1
+        bps -= wasted
+    if stype == 0:                            # CONSTANT
+        out = np.full(blocksize, br.sbits(bps), dtype=np.int64)
+    elif stype == 1:                          # VERBATIM
+        out = np.array([br.sbits(bps) for _ in range(blocksize)],
+                       dtype=np.int64)
+    elif 8 <= stype <= 12:                    # FIXED order 0-4
+        order = stype - 8
+        out = np.empty(blocksize, dtype=np.int64)
+        for i in range(order):
+            out[i] = br.sbits(bps)
+        res = _flac_residual(br, blocksize, order)
+        co = _FLAC_FIXED[order]
+        for i in range(order, blocksize):
+            pred = 0
+            for j, c in enumerate(co):
+                pred += c * int(out[i - 1 - j])
+            out[i] = res[i - order] + pred
+    elif stype >= 32:                         # LPC order 1-32
+        order = stype - 31
+        out = np.empty(blocksize, dtype=np.int64)
+        for i in range(order):
+            out[i] = br.sbits(bps)
+        prec = br.bits(4)
+        if prec == 15:
+            raise MediaDecodeError("invalid FLAC LPC precision")
+        prec += 1
+        shift = br.sbits(5)
+        if shift < 0:
+            raise MediaDecodeError("negative FLAC LPC shift")
+        coefs = [br.sbits(prec) for _ in range(order)]
+        res = _flac_residual(br, blocksize, order)
+        for i in range(order, blocksize):
+            pred = 0
+            for j in range(order):
+                pred += coefs[j] * int(out[i - 1 - j])
+            out[i] = res[i - order] + (pred >> shift)
+    else:
+        raise MediaDecodeError(f"reserved FLAC subframe type {stype}")
+    if wasted:
+        out <<= wasted
+    return out
+
+
+@_decode_guard
+def decode_flac(payload: bytes):
+    """Decode a native FLAC stream to ``(samples, rate, channels)`` —
+    float32 in [-1, 1], shape (n_frames, channels), same contract as
+    ``decode_wav``. Full feature set: CONSTANT/VERBATIM/FIXED/LPC
+    subframes, Rice and Rice2 residual partitions incl. escape codes,
+    wasted bits, all four channel assignments (independent, left/side,
+    right/side, mid/side), variable block sizes and UTF-8 frame
+    numbers. CRCs are not verified (corpus filtering wants samples, not
+    integrity proofs). Format reference: the public FLAC specification
+    (xiph.org / RFC 9639)."""
+    if payload[:4] != b"fLaC":
+        raise MediaDecodeError("not a FLAC payload")
+    pos = 4
+    info = None
+    while pos + 4 <= len(payload):            # metadata blocks
+        hdr = payload[pos]
+        (length,) = struct.unpack(">I", b"\0" + payload[pos + 1:pos + 4])
+        if hdr & 0x7F == 0:                   # STREAMINFO
+            si = payload[pos + 4:pos + 4 + length]
+            if len(si) < 18:
+                raise MediaDecodeError("truncated FLAC STREAMINFO")
+            br = _FlacBitReader(si)
+            br.bits(80)                       # min/max blocksize+framesize
+            rate = br.bits(20)
+            channels = br.bits(3) + 1
+            bps = br.bits(5) + 1
+            total = br.bits(36)
+            info = (rate, channels, bps, total)
+        pos += 4 + length
+        if hdr & 0x80:                        # last-metadata flag
+            break
+    if info is None:
+        raise MediaDecodeError("FLAC missing STREAMINFO")
+    rate, channels, bps, total = info
+    if not rate or not channels:
+        raise MediaDecodeError("bad FLAC STREAMINFO")
+    br = _FlacBitReader(payload, pos)
+    chunks = []
+    got = 0
+    while (total == 0 or got < total) and br.bitpos + 40 <= len(payload) * 8:
+        if br.bits(14) != 0b11111111111110:
+            raise MediaDecodeError("bad FLAC frame sync")
+        br.bits(1)                            # reserved
+        br.bits(1)                            # blocking strategy
+        bs_code = br.bits(4)
+        sr_code = br.bits(4)
+        chan_code = br.bits(4)
+        ss_code = br.bits(3)
+        br.bits(1)                            # reserved
+        _flac_utf8_number(br)                 # frame/sample number
+        if bs_code == 0:
+            raise MediaDecodeError("reserved FLAC block size code")
+        elif bs_code == 6:
+            blocksize = br.bits(8) + 1
+        elif bs_code == 7:
+            blocksize = br.bits(16) + 1
+        elif bs_code in _FLAC_BLOCKSIZES:
+            blocksize = _FLAC_BLOCKSIZES[bs_code]
+        else:
+            blocksize = 256 << (bs_code - 8)
+        if sr_code == 12:
+            br.bits(8)
+        elif sr_code in (13, 14):
+            br.bits(16)
+        fbps = _FLAC_BPS.get(ss_code, bps) if ss_code else bps
+        br.bits(8)                            # header CRC-8 (unchecked)
+        if chan_code < 8:
+            nch = chan_code + 1
+            if nch != channels:
+                raise MediaDecodeError("FLAC channel count mismatch")
+            subs = [_flac_subframe(br, blocksize, fbps)
+                    for _ in range(nch)]
+        elif chan_code in (8, 9, 10):
+            if channels != 2:
+                raise MediaDecodeError("FLAC stereo mode on non-stereo")
+            a = _flac_subframe(br, blocksize, fbps + (1 if chan_code == 9
+                                                      else 0))
+            b = _flac_subframe(br, blocksize, fbps + (1 if chan_code != 9
+                                                      else 0))
+            if chan_code == 8:                # left/side
+                subs = [a, a - b]
+            elif chan_code == 9:              # side/right (side first)
+                subs = [a + b, b]
+            else:                             # mid/side
+                mid2 = (a << 1) | (b & 1)
+                subs = [(mid2 + b) >> 1, (mid2 - b) >> 1]
+        else:
+            raise MediaDecodeError(f"reserved FLAC channels {chan_code}")
+        br.align()
+        br.bits(16)                           # frame CRC-16 (unchecked)
+        chunks.append(np.stack(subs, axis=1))
+        got += blocksize
+    if not chunks:
+        raise MediaDecodeError("FLAC stream has no frames")
+    pcm = np.concatenate(chunks, axis=0)
+    if total:
+        pcm = pcm[:total]
+    return ((pcm / float(1 << (bps - 1))).astype(np.float32), rate,
+            channels)
 
 
 # ---------------------------------------------------------------------------

@@ -8,9 +8,10 @@ schema/partitioning/batch shape is real and tested. The ``_decode_*``
 seams have two modes: ``fake=True`` substitutes a deterministic synthetic
 decode so the plumbing is verifiable over arbitrary binary, and
 ``fake=False`` REALLY decodes the formats the vendored pure-Python
-codecs cover (BMP and 8-bit PNG images, PCM WAV audio —
-``multimodal/codecs.py``), raising NotImplementedError only for the
-formats that need PIL/ffmpeg (not in this container).
+codecs cover (BMP/PNG/JPEG-incl-progressive/GIF/baseline-TIFF images,
+PCM-WAV and FLAC audio — ``multimodal/codecs.py``), raising
+NotImplementedError only for the formats that need PIL/ffmpeg (not in
+this container).
 """
 
 from __future__ import annotations
@@ -147,8 +148,12 @@ def image_features(df: DataFrame, binary_col: str = "image",
 
 
 def image_resize(df: DataFrame, binary_col: str = "image", size: int = 224,
-                 fake: bool = True) -> DataFrame:
-    """Resize-and-reencode plumbing: binary in -> binary out + new meta."""
+                 fake: bool = True, on_error: str = "raise") -> DataFrame:
+    """Resize-and-reencode plumbing: binary in -> binary out + new meta.
+    ``on_error="null"`` nulls undecodable payloads instead of failing
+    the task (same contract as image_features)."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be raise|null, got {on_error!r}")
     out_schema = T.StructType(
         df.schema.fields
         + [T.StructField("image_resized", T.BinaryType()),
@@ -161,7 +166,13 @@ def image_resize(df: DataFrame, binary_col: str = "image", size: int = 224,
                 if payload is None:
                     blobs.append(None); metas.append(None)
                     continue
-                arr = _decode_image(bytes(payload), fake)
+                try:
+                    arr = _decode_image(bytes(payload), fake)
+                except (ValueError, NotImplementedError):
+                    if on_error == "raise":
+                        raise
+                    blobs.append(None); metas.append(None)
+                    continue
                 # nearest-neighbor resample; rows and columns index their
                 # own axis so non-square inputs resize correctly
                 ridx = np.linspace(0, arr.shape[0] - 1, size).astype(int)
@@ -187,20 +198,24 @@ def image_resize(df: DataFrame, binary_col: str = "image", size: int = 224,
 # ---------------------------------------------------------------------------
 def _decode_audio(payload: bytes, fake: bool) -> tuple[np.ndarray, int]:
     """Audio decode seam returning (mono float32 wave, sample_rate). The
-    REAL path decodes PCM RIFF/WAVE via the vendored manual parser
-    (`multimodal/codecs.py` — independent of stdlib `wave`, which the
-    tests use as the second implementation); compressed codecs (MP3/AAC)
-    are where ffmpeg/soundfile would plug in and still raise here."""
+    REAL path decodes PCM RIFF/WAVE (manual parser, independent of the
+    stdlib `wave` the tests use as second implementation) and native
+    FLAC (full lossless path: FIXED/LPC prediction, Rice partitions,
+    stereo decorrelation); lossy codecs (MP3/AAC/Vorbis) are where
+    ffmpeg/soundfile would plug in and still raise here."""
     if not fake:
-        from .codecs import decode_wav
+        from .codecs import decode_flac, decode_wav
 
         if payload[:4] == b"RIFF":
             frames, rate, _ = decode_wav(payload)
             return frames.mean(axis=1).astype(np.float32), rate
+        if payload[:4] == b"fLaC":
+            frames, rate, _ = decode_flac(payload)
+            return frames.mean(axis=1).astype(np.float32), rate
         raise NotImplementedError(
-            "only PCM WAV decodes without ffmpeg/soundfile (not in this "
-            "container); pass fake=True for the deterministic test decode "
-            "of non-WAV payloads")
+            "only PCM WAV and FLAC decode without ffmpeg/soundfile (not "
+            "in this container); pass fake=True for the deterministic "
+            "test decode of other payloads")
     seed = np.frombuffer((payload or b"\0")[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
     rng = np.random.default_rng(seed)
     return rng.standard_normal(1600).astype(np.float32), 16000
