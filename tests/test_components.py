@@ -80,3 +80,58 @@ def test_canonicalize_real_near_dups(spark):
         assert by_id[r["canonical_id"]]["is_canonical"]
     # planted near-dups exist in this corpus: some component has size > 1
     assert out.where(~F.col("is_canonical")).count() > 0
+
+
+def test_gopher_quality_flags_scalar_reference(spark):
+    """Every Gopher rule pinned against a scalar Python re-implementation
+    of the published thresholds (words = whitespace split)."""
+    import re
+    from pyspark.sql import Row
+    from valkey_search_spark.operators.textops import (
+        GOPHER_STOPWORDS, gopher_quality_flags,
+    )
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "runs away to be with all of that other text " * 3)
+    texts = {
+        1: good,                                  # passes everything
+        2: "short doc",                           # fails word count
+        3: good + " ##### " * 40,                 # fails symbol ratio
+        4: "\n".join("- bullet item " + good[:20] for _ in range(10)),
+        5: "\n".join((good[:40] + "...") for _ in range(10)),
+        6: ("123 456 789 " * 30) + "the be",      # fails alpha words
+        7: ("zz " * 80).strip(),                  # fails stopwords+meanlen
+        8: "",                                    # everything false
+    }
+    df = spark.createDataFrame(
+        [Row(doc_id=k, text=t) for k, t in texts.items()])
+    out = {r["doc_id"]: r for r in
+           gopher_quality_flags(df, min_words=50).collect()}
+
+    for k, t in texts.items():
+        words = [w for w in re.split(r"\s+", t) if w]
+        lines = t.split("\n")
+        wc, nl = len(words), len(lines)
+        mean_len = sum(map(len, words)) / wc if wc else None
+        n_sym = t.count("#") + len(re.findall(r"\.\.\.|…", t))
+        bullet = sum(bool(re.match(r"^[•‣▪-]", ln.lstrip()))
+                     for ln in lines)
+        ell = sum(bool(re.search(r"(\.\.\.|…)$", ln.rstrip()))
+                  for ln in lines)
+        alpha = sum(bool(re.search("[A-Za-z]", w)) for w in words)
+        stop_hits = len({w.lower() for w in words} & set(GOPHER_STOPWORDS))
+        expect = {
+            "g_word_count": 50 <= wc <= 100_000,
+            "g_mean_word_len": (mean_len is not None
+                                and 3.0 <= mean_len <= 10.0),
+            "g_symbol_ratio": wc > 0 and n_sym / wc < 0.1,
+            "g_bullet_lines": nl > 0 and bullet / nl < 0.9,
+            "g_ellipsis_lines": nl > 0 and ell / nl < 0.3,
+            "g_alpha_words": wc > 0 and alpha / wc > 0.8,
+            "g_stopwords": stop_hits >= 2,
+        }
+        for flag, want in expect.items():
+            assert out[k][flag] == want, (k, flag)
+        assert out[k]["gopher_pass"] == all(expect.values()), k
+    assert out[1]["gopher_pass"] and not out[2]["gopher_pass"]
+    assert not out[4]["g_bullet_lines"] and not out[5]["g_ellipsis_lines"]

@@ -167,3 +167,73 @@ def analyze_documents(df: DataFrame, text_col: str = "text",
     # keep_tokens: composed passes (e.g. repetition_stats) reuse the
     # staged array instead of paying a second tokenizer scan
     return out if keep_tokens else out.drop("__toks")
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021 — the published document-level
+# filter set). One staged map-only scan, all JVM array expressions.
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(df: DataFrame, text_col: str = "text",
+                         min_words: int = 50,
+                         max_words: int = 100_000) -> DataFrame:
+    """The published Gopher document-quality rules as one flag column per
+    rule plus the ``gopher_pass`` conjunction:
+
+    - ``g_word_count``: whitespace word count in [min_words, max_words]
+    - ``g_mean_word_len``: mean word length in [3, 10]
+    - ``g_symbol_ratio``: (# + ellipsis occurrences) / words < 0.1
+    - ``g_bullet_lines``: < 90% of lines start with a bullet
+    - ``g_ellipsis_lines``: < 30% of lines end with an ellipsis
+    - ``g_alpha_words``: > 80% of words contain a letter
+    - ``g_stopwords``: >= 2 distinct words from the 8-word Gopher list
+
+    Words are raw whitespace tokens (the paper's definition — NOT the
+    search analyzer's), lines split on newline. One map-only scan: the
+    word and line arrays stage through named columns so each is computed
+    once per row (expression-plumbing rule from repetition_stats);
+    thresholds are the paper's defaults. All-JVM, so at 100 TB this
+    rides the same codegen scan as the other quality signals."""
+    text = F.col(text_col)
+    staged = (df
+              .withColumn("__gw", F.filter(F.split(text, r"\s+"),
+                                           lambda w: w != ""))
+              .withColumn("__gl", F.split(text, "\n")))
+    words, lines = F.col("__gw"), F.col("__gl")
+    wc = F.size(words)
+    nl = F.size(lines)
+    mean_len = F.when(wc > 0, F.aggregate(
+        words, F.lit(0.0), lambda a, w: a + F.length(w)) / wc)
+    n_sym = (F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+             + F.regexp_count(text, F.lit(r"\.\.\.|…")))
+    bullet = F.size(F.filter(
+        lines, lambda ln: F.ltrim(ln).rlike(r"^[•‣▪-]")))
+    ell = F.size(F.filter(
+        lines, lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$")))
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stop_hits = F.size(F.array_intersect(
+        F.transform(words, F.lower), stop_arr))
+    out = staged.withColumns({
+        "g_word_count": (wc >= min_words) & (wc <= max_words),
+        "g_mean_word_len": F.coalesce(
+            (mean_len >= 3.0) & (mean_len <= 10.0), F.lit(False)),
+        "g_symbol_ratio": F.when(
+            wc > 0, n_sym.cast("double") / wc < 0.1).otherwise(F.lit(False)),
+        "g_bullet_lines": F.when(
+            nl > 0, bullet.cast("double") / nl < 0.9).otherwise(F.lit(False)),
+        "g_ellipsis_lines": F.when(
+            nl > 0, ell.cast("double") / nl < 0.3).otherwise(F.lit(False)),
+        "g_alpha_words": F.when(
+            wc > 0, alpha.cast("double") / wc > 0.8).otherwise(F.lit(False)),
+        "g_stopwords": stop_hits >= 2,
+    }).drop("__gw", "__gl")
+    flags = ["g_word_count", "g_mean_word_len", "g_symbol_ratio",
+             "g_bullet_lines", "g_ellipsis_lines", "g_alpha_words",
+             "g_stopwords"]
+    pass_col = F.lit(True)
+    for f in flags:
+        pass_col = pass_col & F.col(f)
+    return out.withColumn("gopher_pass", pass_col)
