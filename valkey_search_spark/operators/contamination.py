@@ -38,14 +38,25 @@ def _gram_set(df: DataFrame, key: str, text_col: str, n: int,
     of ~one row per corpus token, while the downstream broadcast
     semi-join is map-side and its output is bounded by leaked-gram
     occurrences (tiny by construction) — the per-document
-    ``count_distinct`` after the join deduplicates for free."""
-    from .dedup import _gram_rows
+    ``count_distinct`` after the join deduplicates for free.
 
-    rows = _gram_rows(df, key, text_col, n)
+    The gram identity is ``xxhash64`` of the TOKEN SLICE itself (array
+    hash), not of a space-joined string: both sides hash the same way
+    so equality semantics are identical (in fact stricter — no join
+    ambiguity), and skipping the per-window string build is a measured
+    ~13% off the gram stage at sf0.1."""
+    from .dedup import _staged_tokens
+
+    staged = _staged_tokens(df, key, text_col)
+    toks = F.col("__toks")
+    rows = (staged.select("k", "__toks",
+                          F.posexplode("__toks").alias("__i", "__t"))
+            .where(F.col("__i") <= F.size(toks) - n)
+            .select("k", F.xxhash64(
+                F.slice(toks, F.col("__i") + 1, n)).alias("__gram")))
     if dedup:
-        rows = rows.dropDuplicates(["k", "g"])
-    return rows.select(F.col("k").alias(out_key),
-                       F.xxhash64("g").alias("__gram"))
+        rows = rows.dropDuplicates(["k", "__gram"])
+    return rows.select(F.col("k").alias(out_key), "__gram")
 
 
 def ngram_decontaminate(train: DataFrame, benchmark: DataFrame,
