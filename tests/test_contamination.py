@@ -167,3 +167,20 @@ def test_repetition_stats_match_scalar_reference(spark):
     expect = max(grams.count(g) * len(g) for g in set(grams)) / len(t)
     assert rows[2]["top_2gram_char_frac"] == pytest.approx(expect, abs=1e-6)
     assert rows[4]["top_2gram_char_frac"] == 0.0
+
+
+def test_redact_pii_backreference_patterns_fall_back_to_chained(spark):
+    """Custom patterns with backreferences (or $n replacements) must not
+    be fused into one alternation — group renumbering would silently
+    break them. The chained fallback keeps per-pattern semantics."""
+    text = 'say "hello" and xx repeated aa'
+    df = spark.createDataFrame([Row(doc_id=1, text=text)])
+    pats = {"quoted": r'"([a-z]+)"', "doubled": r"\b([a-z])\1\b"}
+    r = redact_pii(df, patterns=pats).collect()[0]
+    expect = re.sub(pats["doubled"], "[REDACTED]",
+                    re.sub(pats["quoted"], "[REDACTED]", text))
+    assert r["text_redacted"] == expect
+    assert '"hello"' not in r["text_redacted"]
+    assert " xx " not in f' {r["text_redacted"]} '
+    for kind, pat in pats.items():
+        assert r[f"pii_{kind}_count"] == len(re.findall(pat, text)), kind

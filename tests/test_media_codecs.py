@@ -318,8 +318,7 @@ def test_png_error_paths():
     with pytest.raises(MediaDecodeError, match="not a PNG"):
         decode_png(b"JFIF....")
     # interlace flag set but sequential-layout data: pass sizes disagree
-    with pytest.raises(MediaDecodeError,
-                       match="scanline data|interlaced data size"):
+    with pytest.raises(MediaDecodeError, match="data size"):
         decode_png(_pack_png(src, color=2, ftypes=[0], interlace=1))
     with pytest.raises(MediaDecodeError, match="interlace method"):
         decode_png(_pack_png(src, color=2, ftypes=[0], interlace=2))
@@ -1886,3 +1885,73 @@ def test_audio_features_real_flac(spark):
     assert r["audio_seconds"] == pytest.approx(0.1)
     assert r["audio_rms"] == pytest.approx(float(np.sqrt((wave**2).mean())),
                                            rel=1e-4)
+
+
+def test_decoders_reject_absurd_declared_dimensions():
+    """Header-declared huge dimensions over tiny bodies must raise
+    MediaDecodeError (pixel budget) BEFORE any allocation — never
+    MemoryError (which would escape on_error='null')."""
+    # PNG: 60000x60000 interlaced header, 10-byte body
+    ihdr = struct.pack(">IIBBBBB", 60000, 60000, 8, 2, 0, 0, 1)
+    png = (PNG_SIG + _chunk(b"IHDR", ihdr)
+           + _chunk(b"IDAT", zlib.compress(b"\0" * 10)) + _chunk(b"IEND", b""))
+    with pytest.raises(MediaDecodeError, match="pixel budget"):
+        decode_png(png)
+    # GIF: huge frame descriptor
+    gif = (b"GIF89a" + struct.pack("<HH", 60000, 60000) + bytes([0x80, 0, 0])
+           + b"\0" * 6 + b"\x2c" + struct.pack("<HHHH", 0, 0, 60000, 60000)
+           + b"\x00\x02\x01\x00\x00\x3b")
+    with pytest.raises(MediaDecodeError, match="pixel budget"):
+        decode_gif(gif)
+    # TIFF: minimal hand-built IFD declaring huge dims
+    out = bytearray(b"II" + struct.pack("<H", 42) + struct.pack("<I", 8))
+    entries = [(256, 3, 1, struct.pack("<HH", 60000, 0)),
+               (257, 3, 1, struct.pack("<HH", 60000, 0))]
+    out += struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        out += struct.pack("<HHI", tag, typ, cnt) + val[:4].ljust(4, b"\0")
+    out += struct.pack("<I", 0)
+    with pytest.raises(MediaDecodeError, match="pixel budget"):
+        decode_tiff(bytes(out))
+
+
+def test_tiff_rejects_spp_zero_and_alien_value_types():
+    """SamplesPerPixel=0 must not produce a silent (H, W, 0) result, and
+    non-SHORT/LONG field types must not be mis-parsed as LONG."""
+    base = _pack_tiff(np.zeros((4, 4, 3), np.uint8))
+    b = bytearray(base)
+    # find the 277 (spp) entry and zero its value
+    n = struct.unpack_from("<H", b, 8)[0]
+    for e in range(n):
+        off = 10 + e * 12
+        tag, typ = struct.unpack_from("<HH", b, off)
+        if tag == 277:
+            struct.pack_into("<H", b, off + 8, 0)
+    with pytest.raises(MediaDecodeError, match="samples-per-pixel"):
+        decode_tiff(bytes(b))
+    b = bytearray(base)
+    for e in range(n):
+        off = 10 + e * 12
+        tag, typ = struct.unpack_from("<HH", b, off)
+        if tag == 256:
+            struct.pack_into("<H", b, off + 2, 1)    # type BYTE
+    with pytest.raises(MediaDecodeError, match="value type"):
+        decode_tiff(bytes(b))
+
+
+def test_flac_unknown_total_tolerates_trailing_bytes():
+    """STREAMINFO total=0 (legal for streamed encodes) + appended tag
+    bytes: the decoded frames are returned, not discarded."""
+    rng = np.random.default_rng(70)
+    x = rng.integers(-500, 500, size=(128, 1), dtype=np.int64)
+    payload = bytearray(_pack_flac(x, mode="fixed1"))
+    # zero the 36-bit total_samples field: last 36 bits of the 18-byte
+    # core are the low 4 bits of byte 13 + bytes 14-17 (offset in SI)
+    si_off = 8
+    payload[si_off + 13] &= 0xF0
+    for i in range(14, 18):
+        payload[si_off + i] = 0
+    payload += b"TAG" + b"\0" * 125            # ID3v1-style trailer
+    frames, rate, ch = decode_flac(bytes(payload))
+    np.testing.assert_array_equal(
+        np.round(np.asarray(frames) * 32768).astype(np.int64), x)

@@ -140,10 +140,10 @@ def test_decontaminate_never_shuffles_training_grams(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     bench = docs.where(F.col("doc_id") % 20 == 0).select("doc_id", "text")
     qe = ngram_decontaminate(docs, bench, n=13)._jdf.queryExecution()
-    # exactly 3 Deduplicate nodes: benchmark gram-set dedup, benchmark
-    # .distinct(), training-keys .distinct() — a 4th means the training
-    # side regained its pre-join dropDuplicates
-    assert qe.analyzed().toString().count("Deduplicate") == 3
+    # exactly 2 Deduplicate nodes: benchmark .distinct() and
+    # training-keys .distinct() — a 3rd means a side regained a
+    # redundant per-document dropDuplicates
+    assert qe.analyzed().toString().count("Deduplicate") == 2
     # no exchange keyed on the raw string gram column g# (the training
     # grams pre-hash); hash-keyed exchanges (__gram/__tk) are post-join
     for ln in qe.executedPlan().toString().splitlines():

@@ -153,6 +153,18 @@ def encode_bmp(arr: np.ndarray) -> bytes:
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}   # color type -> samples/px
 
+# Decoder-side pixel budget: header-declared dimensions beyond this are
+# rejected with MediaDecodeError BEFORE any allocation, so a malicious
+# 60000x60000 header over a 100-byte body cannot turn into a MemoryError
+# that escapes the decode-error contract (~768 MB of RGB at the cap).
+_MAX_PIXELS = 1 << 28
+
+
+def _check_pixel_budget(fmt: str, w: int, h: int) -> None:
+    if w * h > _MAX_PIXELS:
+        raise MediaDecodeError(
+            f"{fmt} dimensions {w}x{h} exceed the decoder pixel budget")
+
 # Adam7 pass grid: (x_start, y_start, x_step, y_step)
 _ADAM7_PASSES = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
                  (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
@@ -250,31 +262,40 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise MediaDecodeError("palette PNG missing/malformed PLTE")
     if w <= 0 or h <= 0:
         raise MediaDecodeError(f"bad PNG dimensions {w}x{h}")
+    _check_pixel_budget("PNG", w, h)
+    # geometry-derived expected byte count BEFORE inflating or
+    # allocating — a header-declared 60000x60000 over a 10-byte body
+    # must raise MediaDecodeError, not MemoryError, and a decompression
+    # bomb must not inflate past the header's claim (bound + 1)
+    passes = []
+    if interlace == 0:
+        expected = (w * nch + 1) * h
+    else:
+        expected = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            passes.append((x0, y0, dx, dy, pw, ph))
+            expected += (pw * nch + 1) * ph
     try:
-        raw = zlib.decompress(b"".join(idat))
+        raw = zlib.decompressobj().decompress(b"".join(idat), expected + 1)
     except zlib.error as e:
         raise MediaDecodeError(f"bad PNG zlib stream: {e}") from e
+    if len(raw) != expected:
+        raise MediaDecodeError(
+            f"PNG data size {len(raw)} != {expected}")
     if interlace == 0:
-        stride = w * nch
-        if len(raw) != (stride + 1) * h:
-            raise MediaDecodeError(
-                f"PNG data size {len(raw)} != {(stride + 1) * h}")
         img = _png_unfilter(raw, 0, w, h, nch)[0].reshape(h, w, nch)
     else:
         # Adam7: seven independently-filtered sub-images placed back on
         # the (dy, dx) grid; empty passes contribute no bytes
         img = np.zeros((h, w, nch), dtype=np.uint8)
         at = 0
-        for x0, y0, dx, dy in _ADAM7_PASSES:
-            pw = (w - x0 + dx - 1) // dx
-            ph = (h - y0 + dy - 1) // dy
-            if pw <= 0 or ph <= 0:
-                continue
+        for x0, y0, dx, dy, pw, ph in passes:
             sub, at = _png_unfilter(raw, at, pw, ph, nch)
             img[y0::dy, x0::dx] = sub.reshape(ph, pw, nch)
-        if at != len(raw):
-            raise MediaDecodeError(
-                f"PNG interlaced data size {len(raw)} != {at}")
     if color == 3:
         pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
         if int(img.max(initial=0)) >= len(pal):
@@ -407,6 +428,37 @@ def _jpeg_extend(v: int, s: int) -> int:
     return v - ((1 << s) - 1) if s and v < (1 << (s - 1)) else v
 
 
+def _jpeg_read_dqt(seg: bytes, qt: dict) -> None:
+    """Parse one DQT segment into the quant-table dict (shared by the
+    baseline and progressive marker walks — T.81 B.2.4.1)."""
+    at = 0
+    while at < len(seg):
+        pq, tq = seg[at] >> 4, seg[at] & 15
+        if pq != 0:
+            raise MediaDecodeError("16-bit JPEG quant tables unsupported")
+        if len(seg) < at + 65:
+            raise MediaDecodeError("truncated JPEG DQT segment")
+        qt[tq] = np.frombuffer(seg, np.uint8, 64, at + 1).astype(np.int32)
+        at += 65
+
+
+def _jpeg_read_dht(seg: bytes, huff_dc: dict, huff_ac: dict) -> None:
+    """Parse one DHT segment into the Huffman-table dicts (shared by the
+    baseline and progressive marker walks — T.81 B.2.4.2)."""
+    at = 0
+    while at < len(seg):
+        if len(seg) < at + 17:
+            raise MediaDecodeError("truncated JPEG DHT segment")
+        tc, th = seg[at] >> 4, seg[at] & 15
+        bits = list(seg[at + 1:at + 17])
+        n = sum(bits)
+        vals = seg[at + 17:at + 17 + n]
+        if len(vals) < n:
+            raise MediaDecodeError("truncated JPEG DHT values")
+        (huff_dc if tc == 0 else huff_ac)[th] = _jpeg_huffman_table(bits, vals)
+        at += 17 + n
+
+
 @_decode_guard
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode a baseline sequential JPEG (SOF0, 8-bit, Huffman) to an
@@ -442,30 +494,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         (seglen,) = struct.unpack_from(">H", d, pos)
         seg = d[pos + 2:pos + seglen]
         if marker == 0xDB:                 # DQT
-            at = 0
-            while at < len(seg):
-                pq, tq = seg[at] >> 4, seg[at] & 15
-                if pq != 0:
-                    raise MediaDecodeError("16-bit JPEG quant tables unsupported")
-                if len(seg) < at + 65:
-                    raise MediaDecodeError("truncated JPEG DQT segment")
-                qt[tq] = np.frombuffer(seg, np.uint8, 64, at + 1
-                                       ).astype(np.int32)
-                at += 65
+            _jpeg_read_dqt(seg, qt)
         elif marker == 0xC4:               # DHT
-            at = 0
-            while at < len(seg):
-                tc, th = seg[at] >> 4, seg[at] & 15
-                bits = list(seg[at + 1:at + 17])
-                n = sum(bits)
-                vals = seg[at + 17:at + 17 + n]
-                (huff_dc if tc == 0 else huff_ac)[th] = \
-                    _jpeg_huffman_table(bits, vals)
-                at += 17 + n
+            _jpeg_read_dht(seg, huff_dc, huff_ac)
         elif marker in (0xC0, 0xC2):       # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise MediaDecodeError(f"unsupported JPEG precision {prec}")
+            _check_pixel_budget("JPEG", max(w, 1), max(h, 1))
             comps = []
             for i in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
@@ -619,25 +655,9 @@ def _jpeg_decode_progressive(d, pos, frame, qt, huff_dc, huff_ac,
         (seglen,) = struct.unpack_from(">H", d, pos)
         seg = d[pos + 2:pos + seglen]
         if marker == 0xC4:                 # DHT (tables may change per scan)
-            at = 0
-            while at < len(seg):
-                tc, th = seg[at] >> 4, seg[at] & 15
-                bits = list(seg[at + 1:at + 17])
-                n = sum(bits)
-                vals = seg[at + 17:at + 17 + n]
-                (huff_dc if tc == 0 else huff_ac)[th] = \
-                    _jpeg_huffman_table(bits, vals)
-                at += 17 + n
+            _jpeg_read_dht(seg, huff_dc, huff_ac)
         elif marker == 0xDB:
-            at = 0
-            while at < len(seg):
-                pq, tq = seg[at] >> 4, seg[at] & 15
-                if pq != 0:
-                    raise MediaDecodeError(
-                        "16-bit JPEG quant tables unsupported")
-                qt[tq] = np.frombuffer(seg, np.uint8, 64, at + 1
-                                       ).astype(np.int32)
-                at += 65
+            _jpeg_read_dqt(seg, qt)
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:
@@ -919,6 +939,7 @@ def decode_gif(payload: bytes) -> np.ndarray:
                 raise MediaDecodeError("GIF image has no color table")
             if iw == 0 or ih == 0:
                 raise MediaDecodeError(f"bad GIF frame size {iw}x{ih}")
+            _check_pixel_budget("GIF", iw, ih)
             min_code_size = payload[pos]
             pos += 1
             if not 2 <= min_code_size <= 11:
@@ -1028,7 +1049,11 @@ def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
 def _tiff_read_values(p: bytes, bo: str, typ: int, cnt: int,
                       inline_off: int) -> list[int]:
     """SHORT/LONG value arrays: <=4 inline bytes hold the values
-    directly, larger arrays live at the LONG offset in the value slot."""
+    directly, larger arrays live at the LONG offset in the value slot.
+    Any other field type for these tags (BYTE, RATIONAL, ...) is
+    rejected rather than mis-parsed as LONG."""
+    if typ not in (3, 4):
+        raise MediaDecodeError(f"unsupported TIFF value type {typ}")
     size = 2 if typ == 3 else 4
     fmt = "H" if typ == 3 else "I"
     if size * cnt <= 4:
@@ -1076,6 +1101,7 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     width, height = scalar(256), scalar(257)
     if not width or not height:
         raise MediaDecodeError("TIFF missing dimensions")
+    _check_pixel_budget("TIFF", width, height)
     compression = scalar(259, 1)
     if compression not in (1, 5, 32773):
         raise MediaDecodeError(
@@ -1086,6 +1112,8 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         raise MediaDecodeError(f"unsupported TIFF predictor {predictor}")
     photometric = scalar(262, 1)
     spp = scalar(277, 1)
+    if not 1 <= spp <= 8:
+        raise MediaDecodeError(f"bad TIFF samples-per-pixel {spp}")
     if 258 in tags:
         typ, cnt, voff = tags[258]
         depths = _tiff_read_values(payload, bo, typ, cnt, voff)
@@ -1179,9 +1207,8 @@ class _FlacBitReader:
 
 
 _FLAC_BLOCKSIZES = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608}
-_FLAC_RATES = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000,
-               6: 22050, 7: 24000, 8: 32000, 9: 44100, 10: 48000,
-               11: 96000}
+# frame-header sample-rate codes are skipped (explicit 8/16-bit forms
+# consumed, table forms ignored): the STREAMINFO rate governs output
 _FLAC_BPS = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
 
 
@@ -1333,6 +1360,11 @@ def decode_flac(payload: bytes):
     got = 0
     while (total == 0 or got < total) and br.bitpos + 40 <= len(payload) * 8:
         if br.bits(14) != 0b11111111111110:
+            if total == 0 and chunks:
+                # unknown stream length (STREAMINFO total=0 is legal):
+                # trailing non-frame bytes (padding, appended tags) end
+                # the stream instead of discarding the decoded audio
+                break
             raise MediaDecodeError("bad FLAC frame sync")
         br.bits(1)                            # reserved
         br.bits(1)                            # blocking strategy

@@ -150,29 +150,33 @@ def image_features(df: DataFrame, binary_col: str = "image",
 def image_resize(df: DataFrame, binary_col: str = "image", size: int = 224,
                  fake: bool = True, on_error: str = "raise") -> DataFrame:
     """Resize-and-reencode plumbing: binary in -> binary out + new meta.
-    ``on_error="null"`` nulls undecodable payloads instead of failing
-    the task (same contract as image_features)."""
+    ``on_error="null"`` nulls undecodable payloads and adds a
+    ``decode_error`` message column (same contract as image_features)."""
     if on_error not in ("raise", "null"):
         raise ValueError(f"on_error must be raise|null, got {on_error!r}")
-    out_schema = T.StructType(
-        df.schema.fields
-        + [T.StructField("image_resized", T.BinaryType()),
-           T.StructField("image_resized_meta", IMAGE_META)])
+    extra = [T.StructField("image_resized", T.BinaryType()),
+             T.StructField("image_resized_meta", IMAGE_META)]
+    if on_error == "null":
+        extra.append(T.StructField("decode_error", T.StringType()))
+    out_schema = T.StructType(df.schema.fields + extra)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            blobs, metas = [], []
+            blobs, metas, errs = [], [], []
             for payload in pdf[binary_col]:
                 if payload is None:
                     blobs.append(None); metas.append(None)
+                    errs.append(None)
                     continue
                 try:
                     arr = _decode_image(bytes(payload), fake)
-                except (ValueError, NotImplementedError):
+                except (ValueError, NotImplementedError) as e:
                     if on_error == "raise":
                         raise
                     blobs.append(None); metas.append(None)
+                    errs.append(str(e))
                     continue
+                errs.append(None)
                 # nearest-neighbor resample; rows and columns index their
                 # own axis so non-square inputs resize correctly
                 ridx = np.linspace(0, arr.shape[0] - 1, size).astype(int)
@@ -190,6 +194,8 @@ def image_resize(df: DataFrame, binary_col: str = "image", size: int = 224,
                                   "channels": 3, "format": "bmp"})
             out = pdf.copy()
             out["image_resized"], out["image_resized_meta"] = blobs, metas
+            if on_error == "null":
+                out["decode_error"] = errs
             yield out
 
     return df.mapInPandas(run, schema=out_schema)

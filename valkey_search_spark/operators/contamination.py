@@ -26,19 +26,17 @@ from ..functions.analysis import raw_tokens_column
 
 # ---------------------------------------------------------------------------
 def _gram_set(df: DataFrame, key: str, text_col: str, n: int,
-              out_key: str, dedup: bool = False) -> DataFrame:
-    """(key, gram-hash) rows, one per n-gram window (or per DISTINCT
-    (document, n-gram) with ``dedup=True``).
+              out_key: str) -> DataFrame:
+    """(key, gram-hash) rows, one per n-gram window occurrence.
 
-    Built on dedup's shared explode-safe gram-row helper (staged token
-    attribute + posexplode/slice — see ``dedup._gram_rows`` for the
-    expression-plumbing rules). ``dedup`` is for the SMALL (benchmark)
-    side only, where the distinct gram set must broadcast compact. The
-    training side must NOT dedup here: dropDuplicates is a full shuffle
-    of ~one row per corpus token, while the downstream broadcast
-    semi-join is map-side and its output is bounded by leaked-gram
-    occurrences (tiny by construction) — the per-document
-    ``count_distinct`` after the join deduplicates for free.
+    Built on dedup's shared staged-token helper (posexplode over the
+    materialized token attribute + per-position slice — see
+    ``dedup._gram_rows`` for the expression-plumbing rules). NO dedup
+    happens here on either side: the training side must not shuffle
+    (the broadcast semi-join is map-side and the per-document
+    ``count_distinct`` after it deduplicates the leak-bounded rows for
+    free), and the benchmark side's single global ``distinct()`` on the
+    gram hash subsumes any per-document dedup.
 
     The gram identity is ``xxhash64`` of the TOKEN SLICE itself (array
     hash), not of a space-joined string: both sides hash the same way
@@ -54,8 +52,6 @@ def _gram_set(df: DataFrame, key: str, text_col: str, n: int,
             .where(F.col("__i") <= F.size(toks) - n)
             .select("k", F.xxhash64(
                 F.slice(toks, F.col("__i") + 1, n)).alias("__gram")))
-    if dedup:
-        rows = rows.dropDuplicates(["k", "__gram"])
     return rows.select(F.col("k").alias(out_key), "__gram")
 
 
@@ -70,8 +66,8 @@ def ngram_decontaminate(train: DataFrame, benchmark: DataFrame,
 
     Returns the training keys + ``contaminated`` flag + the number of
     distinct leaked grams (``leaked_ngrams``). Grams compare by xxhash64
-    of the space-joined window (64-bit collisions are the usual accepted
-    false-positive rate). The benchmark gram set is deduplicated and —
+    of the n-token window's SLICE ARRAY (64-bit collisions are the usual
+    accepted false-positive rate). The benchmark gram set is deduplicated and —
     being the small side by construction — broadcast into one semi-join,
     so the training corpus is never shuffled on the gram (the training
     gram rows flow straight from the posexplode into the map-side join
@@ -80,8 +76,7 @@ def ngram_decontaminate(train: DataFrame, benchmark: DataFrame,
     ``broadcast_benchmark=False`` for an oversized benchmark to fall
     back to a shuffle equi-join (AQE handles gram skew)."""
     tg = _gram_set(train, key, text_col, n, "__tk")
-    bg = (_gram_set(benchmark, benchmark_key, benchmark_text_col, n,
-                    "__bk", dedup=True)
+    bg = (_gram_set(benchmark, benchmark_key, benchmark_text_col, n, "__bk")
           .select("__gram").distinct())
     if broadcast_benchmark:
         bg = F.broadcast(bg)
@@ -135,10 +130,21 @@ def redact_pii(df: DataFrame, text_col: str = "text",
             f"pii_{kind}_count",
             F.coalesce(F.regexp_count(F.col(text_col), F.lit(pat)),
                        F.lit(0)))
-    fused = "|".join(f"(?:{p})" for p in pats.values())
-    return out.withColumn(
-        f"{text_col}_redacted",
-        F.regexp_replace(F.col(text_col), fused, replacement))
+    # fusing renumbers capture groups, which would silently break
+    # custom patterns with backreferences (\\1) and replacements using
+    # $n — those fall back to the chained per-pattern passes
+    import re as _re
+
+    fusable = ("$" not in replacement
+               and not any(_re.search(r"\\\d", p) for p in pats.values()))
+    if fusable:
+        fused = "|".join(f"(?:{p})" for p in pats.values())
+        red = F.regexp_replace(F.col(text_col), fused, replacement)
+    else:
+        red = F.col(text_col)
+        for pat in pats.values():
+            red = F.regexp_replace(red, pat, replacement)
+    return out.withColumn(f"{text_col}_redacted", red)
 
 
 # ---------------------------------------------------------------------------
