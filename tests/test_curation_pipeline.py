@@ -138,3 +138,32 @@ def test_ngram_jaccard_branches_agree_on_subshingle_docs(spark):
     stop = dd.ngram_jaccard_pairs(df, "doc_id", shingle_n=3, threshold=0.5,
                                   stop_gram_df=10).collect()
     assert sorted(map(tuple, default)) == sorted(map(tuple, stop)) == []
+
+
+def test_curation_gopher_gate(spark):
+    """gopher_rules=True adds the published rule conjunction to the
+    quality gate; a doc failing only a Gopher rule (word count) is
+    dropped while a passing doc survives."""
+    from pyspark.sql import Row
+    from valkey_search_spark.operators.pipeline import (
+        CurationConfig, curate_documents,
+    )
+
+    passing = ("the quick brown fox jumps over the lazy dog and then "
+               "runs away to be with all of that other text " * 3)
+    df = spark.createDataFrame([
+        Row(doc_id=1, text=passing),
+        Row(doc_id=2, text="too short but high quality of the and that"),
+    ])
+    cfg = CurationConfig(min_quality=0.0, min_tokens=1,
+                         near_dup_threshold=None, gopher_rules=True,
+                         gopher_min_words=50)
+    clean, funnel = curate_documents(df, config=cfg)
+    ids = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    assert ids == {1}
+    assert funnel["quality_gate"] == 1
+    # without the gopher gate both survive
+    cfg2 = CurationConfig(min_quality=0.0, min_tokens=1,
+                          near_dup_threshold=None)
+    clean2, _ = curate_documents(df, config=cfg2)
+    assert {r["doc_id"] for r in clean2.select("doc_id").collect()} == {1, 2}

@@ -31,6 +31,10 @@ class CurationConfig:
     # None disables the gate AND skips computing the signal entirely
     max_rep2_frac: float | None = None           # max-coverage 2-gram frac
     max_dup_line_frac: float | None = None       # duplicate-line fraction
+    # require the full published Gopher rule set
+    # (textops.gopher_quality_flags conjunction); False skips the scan
+    gopher_rules: bool = False
+    gopher_min_words: int = 50
     extra: dict = dc_field(default_factory=dict)
 
 
@@ -60,8 +64,15 @@ def curate_documents(df: DataFrame, key: str = "doc_id",
         # reuse the staged token array — no second tokenizer scan
         analyzed = repetition_stats(analyzed, text_col,
                                     tokens_col="__toks").drop("__toks")
+    if cfg.gopher_rules:
+        from .textops import gopher_quality_flags
+
+        analyzed = gopher_quality_flags(analyzed, text_col,
+                                        min_words=cfg.gopher_min_words)
     gate = (F.col("quality_score") >= cfg.min_quality) & \
            (F.col("token_count") >= cfg.min_tokens)
+    if cfg.gopher_rules:
+        gate = gate & F.col("gopher_pass")
     if cfg.languages:
         gate = gate & F.col("lang_id").isin(*cfg.languages)
     if cfg.max_rep2_frac is not None:
