@@ -184,3 +184,13 @@ def test_redact_pii_backreference_patterns_fall_back_to_chained(spark):
     assert " xx " not in f' {r["text_redacted"]} '
     for kind, pat in pats.items():
         assert r[f"pii_{kind}_count"] == len(re.findall(pat, text)), kind
+
+
+def test_redact_pii_named_groups_fall_back_to_chained(spark):
+    """Duplicate NAMED groups across custom patterns would fail to
+    compile when fused — the guard routes them to the chained path."""
+    text = "ids: 123-id and id-456"
+    df = spark.createDataFrame([Row(doc_id=1, text=text)])
+    pats = {"a": r"(?<d>\d+)-id", "b": r"id-(?<d>\d+)"}
+    r = redact_pii(df, patterns=pats).collect()[0]
+    assert r["text_redacted"] == "ids: [REDACTED] and [REDACTED]"

@@ -1955,3 +1955,44 @@ def test_flac_unknown_total_tolerates_trailing_bytes():
     frames, rate, ch = decode_flac(bytes(payload))
     np.testing.assert_array_equal(
         np.round(np.asarray(frames) * 32768).astype(np.int64), x)
+
+
+def test_flac_midstream_corruption_raises_even_with_unknown_total():
+    """total=0 tolerance is for trailing tags only: a flipped byte at a
+    frame boundary (with real frames after it) must still raise, not
+    silently return truncated audio."""
+    rng = np.random.default_rng(71)
+    x = rng.integers(-500, 500, size=(128, 1), dtype=np.int64)
+    payload = bytearray(_pack_flac(x, mode="fixed1",
+                                   blocksize=32))        # 4 frames of 32
+    si_off = 8
+    payload[si_off + 13] &= 0xF0                          # total := 0
+    for i in range(14, 18):
+        payload[si_off + i] = 0
+    # corrupt the SECOND frame's sync (frames 3-4 remain in the tail,
+    # proving this is mid-stream corruption, not a trailing tag)
+    syncs = []
+    i = payload.find(b"\xff", 42)
+    while i != -1:
+        if i + 1 < len(payload) and payload[i + 1] & 0xFC == 0xF8:
+            syncs.append(i)
+        i = payload.find(b"\xff", i + 1)
+    assert len(syncs) >= 4
+    payload[syncs[1] + 1] = 0x00
+    with pytest.raises(MediaDecodeError):
+        decode_flac(bytes(payload))
+
+
+def test_tiff_budget_covers_samples_and_predictor():
+    """The TIFF budget bounds width*spp x height, so a 2^28-pixel spp=8
+    declaration is rejected before any strip expansion."""
+    out = bytearray(b"II" + struct.pack("<H", 42) + struct.pack("<I", 8))
+    entries = [(256, 3, 1, struct.pack("<HH", 16384, 0)),
+               (257, 3, 1, struct.pack("<HH", 16384, 0)),
+               (277, 3, 1, struct.pack("<HH", 8, 0))]
+    out += struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        out += struct.pack("<HHI", tag, typ, cnt) + val[:4].ljust(4, b"\0")
+    out += struct.pack("<I", 0)
+    with pytest.raises(MediaDecodeError, match="pixel budget"):
+        decode_tiff(bytes(out))

@@ -108,3 +108,29 @@ def test_audio_features_on_error_null(spark):
            audio_features(df, fake=False, on_error="null").collect()}
     assert out[1]["audio_seconds"] == 100 / 8000
     assert out[2]["audio_rms"] is None and out[2]["decode_error"]
+
+
+def test_on_error_null_operators_chain(spark):
+    """image_features -> image_resize chained in on_error='null' mode
+    share ONE decode_error column (first error wins) instead of
+    colliding on a duplicate field name."""
+    import numpy as np
+    from pyspark.sql import Row
+    from valkey_search_spark.multimodal.codecs import encode_bmp
+    from valkey_search_spark.multimodal.columns import (
+        image_features, image_resize,
+    )
+
+    good = encode_bmp(np.full((4, 4, 3), 5, dtype=np.uint8))
+    df = spark.createDataFrame([Row(id=1, image=bytearray(good)),
+                                Row(id=2, image=bytearray(b"junk"))])
+    step1 = image_features(df, fake=False, on_error="null")
+    out = {r["id"]: r for r in
+           image_resize(step1, size=8, fake=False,
+                        on_error="null").collect()}
+    assert [f.name for f in
+            image_resize(step1, fake=False, on_error="null")
+            .schema.fields].count("decode_error") == 1
+    assert out[1]["decode_error"] is None
+    assert out[1]["image_resized"] is not None
+    assert out[2]["decode_error"] and out[2]["image_resized"] is None

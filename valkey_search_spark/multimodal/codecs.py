@@ -1101,7 +1101,6 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     width, height = scalar(256), scalar(257)
     if not width or not height:
         raise MediaDecodeError("TIFF missing dimensions")
-    _check_pixel_budget("TIFF", width, height)
     compression = scalar(259, 1)
     if compression not in (1, 5, 32773):
         raise MediaDecodeError(
@@ -1114,6 +1113,9 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     spp = scalar(277, 1)
     if not 1 <= spp <= 8:
         raise MediaDecodeError(f"bad TIFF samples-per-pixel {spp}")
+    # budget the full sample count (after spp is known): a compressed
+    # strip can expand a tiny payload to width*height*spp bytes
+    _check_pixel_budget("TIFF", width * spp, height)
     if 258 in tags:
         typ, cnt, voff = tags[258]
         depths = _tiff_read_values(payload, bo, typ, cnt, voff)
@@ -1152,8 +1154,9 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         height, width, spp)
     if predictor == 2:
         # horizontal differencing: each sample stores the delta to the
-        # previous pixel's same channel — undo with a mod-256 cumsum
-        img = (np.cumsum(img, axis=1, dtype=np.int64) % 256).astype(np.uint8)
+        # previous pixel's same channel — a uint8 cumsum wraps mod 256
+        # natively (no 8x int64 temporary on a budget-sized image)
+        img = np.cumsum(img, axis=1, dtype=np.uint8)
     if photometric == 0:                       # MinIsWhite: invert
         img = 255 - img
     if spp == 1:
@@ -1359,11 +1362,23 @@ def decode_flac(payload: bytes):
     chunks = []
     got = 0
     while (total == 0 or got < total) and br.bitpos + 40 <= len(payload) * 8:
+        start_byte = br.bitpos >> 3
         if br.bits(14) != 0b11111111111110:
             if total == 0 and chunks:
                 # unknown stream length (STREAMINFO total=0 is legal):
                 # trailing non-frame bytes (padding, appended tags) end
-                # the stream instead of discarding the decoded audio
+                # the stream — but only when NO further frame sync
+                # exists in the remainder; otherwise this is mid-stream
+                # corruption and silently returning truncated audio
+                # would poison downstream features
+                rest = payload[start_byte:]
+                more = rest.find(b"\xff", 1)
+                while more != -1:
+                    if (more + 1 < len(rest)
+                            and rest[more + 1] & 0xFC == 0xF8):
+                        raise MediaDecodeError(
+                            "bad FLAC frame sync mid-stream")
+                    more = rest.find(b"\xff", more + 1)
                 break
             raise MediaDecodeError("bad FLAC frame sync")
         br.bits(1)                            # reserved

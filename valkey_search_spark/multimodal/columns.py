@@ -105,7 +105,11 @@ def image_features(df: DataFrame, binary_col: str = "image",
     extra = [T.StructField("img_mean", T.ArrayType(T.DoubleType())),
              T.StructField("img_std", T.ArrayType(T.DoubleType())),
              T.StructField("img_phash", T.LongType())]
-    if on_error == "null":
+    # chained on_error='null' operators share ONE decode_error column
+    # (first error wins) — appending a duplicate field would break the
+    # Arrow schema of the very mode built to survive corrupt rows
+    has_prev_err = "decode_error" in df.columns
+    if on_error == "null" and not has_prev_err:
         extra.append(T.StructField("decode_error", T.StringType()))
     out_schema = T.StructType(df.schema.fields + extra)
 
@@ -141,7 +145,12 @@ def image_features(df: DataFrame, binary_col: str = "image",
             out = pdf.copy()
             out["img_mean"], out["img_std"], out["img_phash"] = means, stds, hashes
             if on_error == "null":
-                out["decode_error"] = errs
+                if has_prev_err:
+                    out["decode_error"] = [
+                        old_e if old_e is not None else new_e
+                        for old_e, new_e in zip(pdf["decode_error"], errs)]
+                else:
+                    out["decode_error"] = errs
             yield out
 
     return df.mapInPandas(run, schema=out_schema)
@@ -156,7 +165,8 @@ def image_resize(df: DataFrame, binary_col: str = "image", size: int = 224,
         raise ValueError(f"on_error must be raise|null, got {on_error!r}")
     extra = [T.StructField("image_resized", T.BinaryType()),
              T.StructField("image_resized_meta", IMAGE_META)]
-    if on_error == "null":
+    has_prev_err = "decode_error" in df.columns
+    if on_error == "null" and not has_prev_err:
         extra.append(T.StructField("decode_error", T.StringType()))
     out_schema = T.StructType(df.schema.fields + extra)
 
@@ -195,7 +205,12 @@ def image_resize(df: DataFrame, binary_col: str = "image", size: int = 224,
             out = pdf.copy()
             out["image_resized"], out["image_resized_meta"] = blobs, metas
             if on_error == "null":
-                out["decode_error"] = errs
+                if has_prev_err:
+                    out["decode_error"] = [
+                        old_e if old_e is not None else new_e
+                        for old_e, new_e in zip(pdf["decode_error"], errs)]
+                else:
+                    out["decode_error"] = errs
             yield out
 
     return df.mapInPandas(run, schema=out_schema)
@@ -237,7 +252,8 @@ def audio_features(df: DataFrame, binary_col: str = "audio",
     extra = [T.StructField("audio_rms", T.DoubleType()),
              T.StructField("audio_zcr", T.DoubleType()),
              T.StructField("audio_seconds", T.DoubleType())]
-    if on_error == "null":
+    has_prev_err = "decode_error" in df.columns
+    if on_error == "null" and not has_prev_err:
         extra.append(T.StructField("decode_error", T.StringType()))
     out_schema = T.StructType(df.schema.fields + extra)
 
@@ -264,7 +280,12 @@ def audio_features(df: DataFrame, binary_col: str = "audio",
             out = pdf.copy()
             out["audio_rms"], out["audio_zcr"], out["audio_seconds"] = rms, zcr, secs
             if on_error == "null":
-                out["decode_error"] = errs
+                if has_prev_err:
+                    out["decode_error"] = [
+                        old_e if old_e is not None else new_e
+                        for old_e, new_e in zip(pdf["decode_error"], errs)]
+                else:
+                    out["decode_error"] = errs
             yield out
 
     return df.mapInPandas(run, schema=out_schema)

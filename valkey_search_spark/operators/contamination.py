@@ -136,7 +136,10 @@ def redact_pii(df: DataFrame, text_col: str = "text",
     import re as _re
 
     fusable = ("$" not in replacement
-               and not any(_re.search(r"\\\d", p) for p in pats.values()))
+               and not any(_re.search(r"\\\d", p)    # numeric backrefs
+                           or "(?<" in p              # named groups (fused
+                           # duplicates fail to compile) / lookbehind
+                           for p in pats.values()))
     if fusable:
         fused = "|".join(f"(?:{p})" for p in pats.values())
         red = F.regexp_replace(F.col(text_col), fused, replacement)
