@@ -64,3 +64,59 @@ def test_mix_corpora_duplicate_names_rejected(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     with pytest.raises(ValueError):
         mix_corpora([("a", docs, 1.0), ("a", docs, 1.0)], total_rows=10)
+
+
+def test_cross_split_leakage_reports_only_cross_pairs(spark):
+    from pyspark.sql import Row
+    from valkey_search_spark.operators.sampling import (
+        cross_split_leakage, split_by_hash,
+    )
+
+    df = spark.createDataFrame([Row(doc_id=i, text=f"doc {i}")
+                                for i in range(200)])
+    splits = split_by_hash(df, "doc_id", {"train": 0.8, "val": 0.2})
+    where = {r["doc_id"]: name for name, d in splits.items()
+             for r in d.select("doc_id").collect()}
+    # plant pairs: one guaranteed-cross, one guaranteed-same
+    train_ids = [k for k, v in where.items() if v == "train"]
+    val_ids = [k for k, v in where.items() if v == "val"]
+    pairs = spark.createDataFrame([
+        Row(a=train_ids[0], b=val_ids[0], jaccard=0.9),    # cross
+        Row(a=train_ids[1], b=train_ids[2], jaccard=0.9),  # same
+    ])
+    got = cross_split_leakage(splits, pairs).collect()
+    assert len(got) == 1
+    assert {got[0]["split_a"], got[0]["split_b"]} == {"train", "val"}
+
+
+def test_sample_to_token_budget_global_and_grouped(spark):
+    from pyspark.sql import Row, functions as F
+    from valkey_search_spark.operators.sampling import (
+        sample_to_token_budget,
+    )
+
+    rows = [Row(doc_id=i, source="web" if i % 2 else "code",
+                text=" ".join(f"w{j}" for j in range(10)))
+            for i in range(2000)]                   # 10 tokens per doc
+    df = spark.createDataFrame(rows)
+    # global: 20k tokens available, ask for 5k -> ~500 docs
+    out = sample_to_token_budget(df, "doc_id", 5_000)
+    n = out.count()
+    assert 400 <= n <= 600
+    # deterministic under recomputation and across calls
+    assert out.count() == n
+    assert sample_to_token_budget(df, "doc_id", 5_000).count() == n
+    # per-source budgets: each source has 10k tokens; budget 2k -> ~200
+    # docs per source; a budget above a group's total takes it whole
+    grouped = sample_to_token_budget(df, "doc_id", 2_000, by="source")
+    per = {r["source"]: r["n"] for r in
+           grouped.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert set(per) == {"web", "code"}
+    assert all(140 <= v <= 260 for v in per.values()), per
+    whole = sample_to_token_budget(df, "doc_id", 10**9, by="source")
+    assert whole.count() == 2000
+    # different salt -> different (deterministic) membership
+    alt = sample_to_token_budget(df, "doc_id", 5_000, salt="other")
+    a = {r["doc_id"] for r in out.select("doc_id").collect()}
+    b = {r["doc_id"] for r in alt.select("doc_id").collect()}
+    assert a != b

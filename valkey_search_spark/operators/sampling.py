@@ -77,3 +77,66 @@ def mix_corpora(sources: list[tuple[str, DataFrame, float]],
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
     return out
+
+
+def cross_split_leakage(splits: dict[str, DataFrame], pairs: DataFrame,
+                        key: str = "doc_id") -> DataFrame:
+    """Report near-duplicate pairs whose members landed in DIFFERENT
+    splits — the eval-contamination check run after ``split_by_hash`` +
+    a dedup pair generator (``minhash_lsh_pairs`` etc., columns
+    ``a``/``b``).
+
+    Returns (a, b, split_a, split_b) rows with split_a != split_b.
+    Plan shape: the split membership frames union into ONE name-tagged
+    assignment relation (each is a filter of the same scan, so Catalyst
+    reads the source once per split filter, no shuffle), and the pairs
+    frame — tiny relative to the corpus by construction — hash-joins
+    against it twice on the key. No driver materialization."""
+    assign = None
+    for name, df in splits.items():
+        part = df.select(F.col(key).alias("__k"),
+                         F.lit(name).alias("__split"))
+        assign = part if assign is None else assign.unionByName(part)
+    if assign is None:
+        raise ValueError("no splits given")
+    return (pairs
+            .join(assign.withColumnRenamed("__k", "a")
+                        .withColumnRenamed("__split", "split_a"), "a")
+            .join(assign.withColumnRenamed("__k", "b")
+                        .withColumnRenamed("__split", "split_b"), "b")
+            .where(F.col("split_a") != F.col("split_b"))
+            .select("a", "b", "split_a", "split_b"))
+
+
+def sample_to_token_budget(df: DataFrame, key: str,
+                           budget_tokens: int,
+                           text_col: str = "text",
+                           by: str | None = None,
+                           salt: str = "budget") -> DataFrame:
+    """Deterministic subsample hitting ~``budget_tokens`` whitespace
+    tokens, globally or per ``by`` group (the token-budget step of a
+    data-mixture recipe: "200B tokens of web, 30B of code, ...").
+
+    Documents are kept whole; membership is a pure function of
+    (key, salt) — a salted-hash threshold at fraction
+    budget / group_total, so re-runs, retries, and plan recomputation
+    select the SAME documents (Spark's ``sample`` does not guarantee
+    that under recomputation). Groups already under budget are taken
+    whole. One aggregation job for the per-group token totals (row
+    count bounded by the number of groups — at 100 TB that is the
+    number of SOURCES, not documents); the sample itself is a
+    filter-only scan, no shuffle."""
+    toks = F.size(F.filter(F.split(F.col(text_col), r"\s+"),
+                           lambda w: w != ""))
+    group = F.col(by) if by else F.lit("__all")
+    totals = {r["g"]: r["n"] for r in
+              df.select(group.alias("g"), toks.alias("n"))
+                .groupBy("g").agg(F.sum("n").alias("n")).collect()}
+    cells = 1_000_000
+    u = F.pmod(F.xxhash64(F.col(key).cast("string"), F.lit(salt)),
+               F.lit(cells))
+    keep = F.lit(False)
+    for g, total in totals.items():
+        f = min(1.0, budget_tokens / total) if total else 1.0
+        keep = F.when(group == g, u < int(f * cells)).otherwise(keep)
+    return df.where(keep)
