@@ -149,3 +149,16 @@ def test_decontaminate_never_shuffles_training_grams(spark):
     for ln in qe.executedPlan().toString().splitlines():
         if "Exchange hashpartitioning" in ln:
             assert " g#" not in ln and "(k#" not in ln, ln
+
+
+def test_gopher_flags_map_only_jvm_plan(spark):
+    """gopher_quality_flags is one map-only codegen scan: no exchange,
+    no Python node — the rule set must ride the same scan as the other
+    quality signals at 100 TB."""
+    from valkey_search_spark.operators.textops import gopher_quality_flags
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = gopher_quality_flags(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
