@@ -120,3 +120,37 @@ def test_sample_to_token_budget_global_and_grouped(spark):
     a = {r["doc_id"] for r in out.select("doc_id").collect()}
     b = {r["doc_id"] for r in alt.select("doc_id").collect()}
     assert a != b
+
+
+def test_sample_to_token_budget_is_driver_free_and_null_safe(spark):
+    """The totals never reach the driver (any-cardinality group
+    columns), and a NULL group samples like any other group."""
+    from pyspark.sql import Row
+    from valkey_search_spark.operators.sampling import (
+        sample_to_token_budget,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source=None if i % 3 == 0 else f"s{i % 7}",
+             text="a b c d e f g h i j") for i in range(700)])
+    cls = type(df)
+    calls = []
+    orig = cls.collect
+
+    def spy(self):
+        calls.append(1)
+        return orig(self)
+
+    import pytest
+    mp = pytest.MonkeyPatch()
+    try:
+        mp.setattr(cls, "collect", spy)
+        out = sample_to_token_budget(df, "doc_id", 1_000, by="source")
+        assert calls == []                     # plan build runs no jobs
+    finally:
+        mp.undo()
+    rows = out.collect()
+    srcs = {r["source"] for r in rows}
+    assert None in srcs                        # null group not dropped
+    # ~100 docs per non-null group's 1000-token budget over 10-token docs
+    assert 300 < len(rows) < 700

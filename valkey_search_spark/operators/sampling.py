@@ -122,21 +122,26 @@ def sample_to_token_budget(df: DataFrame, key: str,
     budget / group_total, so re-runs, retries, and plan recomputation
     select the SAME documents (Spark's ``sample`` does not guarantee
     that under recomputation). Groups already under budget are taken
-    whole. One aggregation job for the per-group token totals (row
-    count bounded by the number of groups — at 100 TB that is the
-    number of SOURCES, not documents); the sample itself is a
-    filter-only scan, no shuffle."""
+    whole.
+
+    Fully distributed: per-group token totals aggregate into a frame
+    that joins back on the group key (null-safe) — NOTHING reaches the
+    driver, so ``by`` can be any cardinality (sources, domains, even
+    buckets of a URL hash). With few groups Catalyst/AQE broadcasts
+    the totals; the sample itself is the joined scan's filter."""
     toks = F.size(F.filter(F.split(F.col(text_col), r"\s+"),
                            lambda w: w != ""))
     group = F.col(by) if by else F.lit("__all")
-    totals = {r["g"]: r["n"] for r in
-              df.select(group.alias("g"), toks.alias("n"))
-                .groupBy("g").agg(F.sum("n").alias("n")).collect()}
+    fracs = (df.select(group.alias("__g"), toks.alias("__n"))
+               .groupBy("__g").agg(F.sum("__n").alias("__total"))
+               .select("__g", F.when(
+                   F.col("__total") > 0,
+                   F.least(F.lit(1.0),
+                           F.lit(float(budget_tokens)) / F.col("__total")))
+                   .otherwise(F.lit(1.0)).alias("__frac")))
     cells = 1_000_000
     u = F.pmod(F.xxhash64(F.col(key).cast("string"), F.lit(salt)),
                F.lit(cells))
-    keep = F.lit(False)
-    for g, total in totals.items():
-        f = min(1.0, budget_tokens / total) if total else 1.0
-        keep = F.when(group == g, u < int(f * cells)).otherwise(keep)
-    return df.where(keep)
+    return (df.join(fracs, group.eqNullSafe(F.col("__g")))
+              .where(u < (F.col("__frac") * cells).cast("long"))
+              .drop("__g", "__frac"))
