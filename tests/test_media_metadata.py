@@ -581,3 +581,47 @@ def test_sniff_bmp_depth_follows_bpp():
                       (16, (3, None)), (24, (3, 8)), (32, (4, 8))]:
         m = sniff_media(bmp_with_bpp(bpp), 0)
         assert (m["channels"], m["bit_depth"]) == want, bpp
+
+
+def _exif_app1(orient: int, bo="<") -> bytes:
+    """Hand-packed APP1 Exif segment: embedded TIFF header + one-entry
+    IFD carrying orientation tag 274."""
+    t = (b"II" if bo == "<" else b"MM") + struct.pack(bo + "H", 42)
+    t += struct.pack(bo + "I", 8)
+    t += struct.pack(bo + "H", 1)
+    t += struct.pack(bo + "HHI", 274, 3, 1)
+    t += struct.pack(bo + "HH", orient, 0)
+    t += struct.pack(bo + "I", 0)
+    body = b"Exif\x00\x00" + t
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+
+def test_sniff_jpeg_exif_orientation_both_endiannesses():
+    sof = (b"\xff\xc0" + struct.pack(">H", 11)
+           + bytes([8]) + struct.pack(">HH", 20, 30) + bytes([3, 0, 0, 0]))
+    for bo in ("<", ">"):
+        payload = b"\xff\xd8" + _exif_app1(6, bo) + sof
+        m = sniff_media(payload, len(payload))
+        assert (m["format"], m["width"], m["height"]) == ("jpeg", 30, 20)
+        assert m["orientation"] == 6, bo
+    # no APP1 -> null; out-of-range value -> null
+    m = sniff_media(b"\xff\xd8" + sof, 0)
+    assert m["orientation"] is None
+    m = sniff_media(b"\xff\xd8" + _exif_app1(9) + sof, 0)
+    assert m["orientation"] is None
+
+
+def test_sniff_tiff_orientation_tag():
+    # extend the minimal TIFF IFD with tag 274 = 8 (rotate 270)
+    bo = "<"
+    out = bytearray(b"II" + struct.pack(bo + "H", 42) + struct.pack(bo + "I", 8))
+    entries = [(256, 3, 1, struct.pack(bo + "HH", 10, 0)),
+               (257, 3, 1, struct.pack(bo + "HH", 20, 0)),
+               (274, 3, 1, struct.pack(bo + "HH", 8, 0))]
+    out += struct.pack(bo + "H", len(entries))
+    for tag, typ, cnt, val in entries:
+        out += struct.pack(bo + "HHI", tag, typ, cnt) + val[:4].ljust(4, b"\0")
+    out += struct.pack(bo + "I", 0)
+    m = sniff_media(bytes(out), 0)
+    assert (m["format"], m["width"], m["height"], m["orientation"]) == \
+        ("tiff", 10, 20, 8)

@@ -48,15 +48,18 @@ MEDIA_META_FIELDS = [
     T.StructField("sample_rate", T.IntegerType()),
     T.StructField("duration_sec", T.DoubleType()),
     T.StructField("payload_bytes", T.LongType()),
+    # EXIF orientation 1-8 (JPEG APP1 / TIFF tag 274); null when absent.
+    # A corpus filter drops or fixes rotated images WITHOUT decoding.
+    T.StructField("orientation", T.IntegerType()),
 ]
 
 _EMPTY = {f.name: None for f in MEDIA_META_FIELDS}
 
 
-def _img(fmt, w=None, h=None, ch=None, depth=None):
+def _img(fmt, w=None, h=None, ch=None, depth=None, orient=None):
     d = dict(_EMPTY)
     d.update(format=fmt, kind="image", width=w, height=h, channels=ch,
-             bit_depth=depth)
+             bit_depth=depth, orientation=orient)
     return d
 
 
@@ -137,7 +140,7 @@ def _sniff_tiff(p: bytes):
         if off + 12 > len(p):
             break
         tag, typ, cnt = struct.unpack_from(bo + "HHI", p, off)
-        if tag in (256, 257, 258, 277) and cnt == 1:
+        if tag in (256, 257, 258, 274, 277) and cnt == 1:
             if typ == 3:                       # SHORT, left-justified
                 (v,) = struct.unpack_from(bo + "H", p, off + 8)
             elif typ == 4:                     # LONG
@@ -146,13 +149,38 @@ def _sniff_tiff(p: bytes):
                 continue
             vals[tag] = v
     return _img("tiff", vals.get(256), vals.get(257), vals.get(277),
-                vals.get(258))
+                vals.get(258), orient=vals.get(274))
 
 
 _JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
 
 
+def _exif_orientation(seg: bytes):
+    """Tag 274 from the TIFF IFD embedded in a JPEG APP1 Exif segment
+    (own endianness and offsets relative to the embedded TIFF header)."""
+    if seg[:6] != b"Exif\x00\x00" or len(seg) < 16:
+        return None
+    t = seg[6:]
+    if t[:2] not in (b"II", b"MM"):
+        return None
+    bo = "<" if t[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack_from(bo + "I", t, 4)
+    if ifd_off + 2 > len(t):
+        return None
+    (n_entries,) = struct.unpack_from(bo + "H", t, ifd_off)
+    for e in range(min(n_entries, 256)):
+        off = ifd_off + 2 + e * 12
+        if off + 12 > len(t):
+            break
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", t, off)
+        if tag == 274 and typ == 3 and cnt == 1:
+            (v,) = struct.unpack_from(bo + "H", t, off + 8)
+            return v if 1 <= v <= 8 else None
+    return None
+
+
 def _sniff_jpeg(p: bytes):
+    orient = None
     pos = 2
     n = len(p)
     while pos + 4 <= n:
@@ -169,17 +197,20 @@ def _sniff_jpeg(p: bytes):
         if pos + 4 > n:
             break
         (seglen,) = struct.unpack_from(">H", p, pos + 2)
+        if marker == 0xE1:                    # APP1: EXIF orientation
+            o = _exif_orientation(p[pos + 4:pos + 2 + seglen])
+            orient = o if o is not None else orient
         if marker in _JPEG_SOF:
             if pos + 9 > n:
                 break
             depth = p[pos + 4]
             h, w = struct.unpack_from(">HH", p, pos + 5)
             ch = p[pos + 9] if pos + 9 < n else None
-            return _img("jpeg", w, h, ch, depth)
+            return _img("jpeg", w, h, ch, depth, orient=orient)
         if marker == 0xDA:                    # start of scan: no SOF seen
             break
         pos += 2 + seglen
-    return _img("jpeg")
+    return _img("jpeg", orient=orient)
 
 
 def _sniff_gif(p: bytes):
