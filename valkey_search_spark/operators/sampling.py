@@ -132,16 +132,25 @@ def sample_to_token_budget(df: DataFrame, key: str,
     toks = F.size(F.filter(F.split(F.col(text_col), r"\s+"),
                            lambda w: w != ""))
     group = F.col(by) if by else F.lit("__all")
-    fracs = (df.select(group.alias("__g"), toks.alias("__n"))
-               .groupBy("__g").agg(F.sum("__n").alias("__total"))
-               .select("__g", F.when(
-                   F.col("__total") > 0,
-                   F.least(F.lit(1.0),
-                           F.lit(float(budget_tokens)) / F.col("__total")))
-                   .otherwise(F.lit(1.0)).alias("__frac")))
-    cells = 1_000_000
+    # materialize the group as a REAL column so the grouped case's
+    # null-safe join is a hash equi-join (pinned in tests). In the
+    # global case Catalyst constant-folds the key and plans a ONE-row
+    # broadcast nested loop — cost-identical to a map-side filter
+    work = df.withColumn("__g0", group)
+    fracs = (work.select(F.col("__g0").alias("__g"), toks.alias("__n"))
+             .groupBy("__g").agg(F.sum("__n").alias("__total"))
+             .select("__g", F.when(
+                 F.col("__total") > 0,
+                 F.least(F.lit(1.0),
+                         F.lit(float(budget_tokens)) / F.col("__total")))
+                 .otherwise(F.lit(1.0)).alias("__frac")))
+    # 2^30 hash cells: sub-1e-6 fractions (a 1M-token budget over a
+    # trillion-token group) still select rows; the threshold compares
+    # as DOUBLES so no truncation bias
+    cells = 1 << 30
     u = F.pmod(F.xxhash64(F.col(key).cast("string"), F.lit(salt)),
                F.lit(cells))
-    return (df.join(fracs, group.eqNullSafe(F.col("__g")))
-              .where(u < (F.col("__frac") * cells).cast("long"))
-              .drop("__g", "__frac"))
+    return (work.join(fracs, F.col("__g0").eqNullSafe(F.col("__g")))
+                .where((u.cast("double") / F.lit(float(cells)))
+                       < F.col("__frac"))
+                .drop("__g0", "__g", "__frac"))
