@@ -135,3 +135,54 @@ def test_gopher_quality_flags_scalar_reference(spark):
         assert out[k]["gopher_pass"] == all(expect.values()), k
     assert out[1]["gopher_pass"] and not out[2]["gopher_pass"]
     assert not out[4]["g_bullet_lines"] and not out[5]["g_ellipsis_lines"]
+
+
+def test_gopher_flags_hypothesis_parity(spark):
+    """Randomized differential check: every Gopher flag matches the
+    scalar reference on arbitrary printable texts (incl. pathological
+    whitespace, unicode ellipsis, bullets, empty lines)."""
+    import re
+    from hypothesis import given, settings, strategies as st
+    from pyspark.sql import Row
+    from valkey_search_spark.operators.textops import (
+        GOPHER_STOPWORDS, gopher_quality_flags,
+    )
+
+    piece = st.sampled_from(
+        list("abc de\nf-•…#.123 ") + ["the ", "...", "\n\n", "zz "])
+    texts_strategy = st.lists(
+        st.lists(piece, max_size=30).map("".join), min_size=1, max_size=6)
+
+    @given(texts_strategy)
+    @settings(max_examples=12, deadline=None)
+    def run(texts):
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+        out = {r["doc_id"]: r for r in
+               gopher_quality_flags(df, min_words=3).collect()}
+        for i, t in enumerate(texts):
+            words = [w for w in re.split(r"\s+", t) if w]
+            lines = t.split("\n")
+            wc, nl = len(words), len(lines)
+            mean_len = sum(map(len, words)) / wc if wc else None
+            n_sym = t.count("#") + len(re.findall(r"\.\.\.|…", t))
+            bullet = sum(bool(re.match(r"^[•‣▪-]", ln.lstrip()))
+                         for ln in lines)
+            ell = sum(bool(re.search(r"(\.\.\.|…)$", ln.rstrip()))
+                      for ln in lines)
+            alpha = sum(bool(re.search("[A-Za-z]", w)) for w in words)
+            hits = len({w.lower() for w in words} & set(GOPHER_STOPWORDS))
+            expect = {
+                "g_word_count": 3 <= wc <= 100_000,
+                "g_mean_word_len": (mean_len is not None
+                                    and 3.0 <= mean_len <= 10.0),
+                "g_symbol_ratio": wc > 0 and n_sym / wc < 0.1,
+                "g_bullet_lines": nl > 0 and bullet / nl < 0.9,
+                "g_ellipsis_lines": nl > 0 and ell / nl < 0.3,
+                "g_alpha_words": wc > 0 and alpha / wc > 0.8,
+                "g_stopwords": hits >= 2,
+            }
+            for flag, want in expect.items():
+                assert out[i][flag] == want, (repr(t), flag)
+
+    run()
