@@ -732,6 +732,22 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", "lines_kept", "lines_dropped",
                           F.length("text_deduped").alias("len"))
 
+    def b_gopher(spark, sf_dir):
+        # the published Gopher rule set as one map-only codegen scan;
+        # correctness is scalar-reference- and DuckDB-oracle-pinned in
+        # pytest; every output column referenced so pruning can't hide
+        # any rule's cost
+        from valkey_search_spark.operators.textops import (
+            gopher_quality_flags,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        out = gopher_quality_flags(docs)
+        flags = [f for f in out.columns if f.startswith("g_")]
+        return out.groupBy("gopher_pass").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.count_if(F.col(f)).alias(f) for f in flags])
+
     def b_knn_ivf_partial(spark, sf_dir):
         # partial probe (nprobe = n_lists/4): the speed side of the
         # speed/recall tradeoff the reference headlines; the recall side
@@ -753,6 +769,7 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_pq": b_knn_pq,
         "knn_ivf_partial": b_knn_ivf_partial,
         "hygiene_line_dedup": b_line_dedup,
+        "hygiene_gopher": b_gopher,
     }
 
 

@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "knn_pq",
     "knn_ivf_partial",
     "hygiene_line_dedup",
+    "hygiene_gopher",
 ]
 
 
