@@ -1996,3 +1996,100 @@ def test_tiff_budget_covers_samples_and_predictor():
     out += struct.pack("<I", 0)
     with pytest.raises(MediaDecodeError, match="pixel budget"):
         decode_tiff(bytes(out))
+
+
+# ---------------------------------------------------------------------------
+# palettized BMP (8-bit + RLE8), pinned by an independent forward RLE8
+# encoder
+
+
+def _pack_bmp8(idx, palette, rle=False, top_down=False):
+    """idx: (H, W) uint8 palette indices; palette: (N, 3) RGB."""
+    idx = np.asarray(idx, dtype=np.uint8)
+    h, w = idx.shape
+    pal = np.asarray(palette, dtype=np.uint8)
+    pal_bytes = b"".join(bytes([b, g, r, 0]) for r, g, b in pal)
+    if rle:
+        body = bytearray()
+        for row in idx[::-1]:                  # stored bottom-up
+            x = 0
+            while x < w:
+                run = 1
+                while x + run < w and row[x + run] == row[x] and run < 255:
+                    run += 1
+                if run >= 2:
+                    body += bytes([run, row[x]])
+                    x += run
+                else:
+                    # absolute stretch of non-run bytes (>=3) or tiny run
+                    k = x
+                    while (k + 1 < w and k - x < 254
+                           and not (k + 2 < w and row[k] == row[k + 1]
+                                    == row[k + 2])):
+                        k += 1
+                    lit = row[x:k + 1]
+                    if len(lit) >= 3:
+                        body += bytes([0, len(lit)]) + lit.tobytes()
+                        if len(lit) & 1:
+                            body += b"\0"      # word alignment
+                    else:
+                        for v in lit:
+                            body += bytes([1, int(v)])
+                    x = k + 1
+            body += b"\x00\x00"                # end of line
+        body += b"\x00\x01"                    # end of bitmap
+        body = bytes(body)
+        comp = 1
+    else:
+        stride = (w + 3) & ~3
+        rows = idx if top_down else idx[::-1]
+        body = b"".join(bytes(r) + b"\0" * (stride - w) for r in rows)
+        comp = 0
+    off = 14 + 40 + len(pal_bytes)
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w,
+                       (-h if top_down else h), 1, 8, comp, len(body),
+                       0, 0, len(pal), 0)
+    return hdr + info + pal_bytes + body
+
+
+_BPAL = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255],
+                  [200, 100, 50], [1, 2, 3]], dtype=np.uint8)
+
+
+def test_decode_bmp_palettized_uncompressed():
+    rng = np.random.default_rng(80)
+    idx = rng.integers(0, 6, size=(7, 5), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_bmp(_pack_bmp8(idx, _BPAL)), _BPAL[idx])
+    np.testing.assert_array_equal(
+        decode_bmp(_pack_bmp8(idx, _BPAL, top_down=True)), _BPAL[idx])
+
+
+def test_decode_bmp_rle8():
+    rng = np.random.default_rng(81)
+    # runs + literal stretches: low-entropy rows exercise both modes
+    idx = (rng.integers(0, 3, size=(9, 17)) * rng.integers(
+        0, 2, size=(9, 17))).astype(np.uint8) + rng.integers(
+        0, 2, size=(9, 17)).astype(np.uint8)
+    np.testing.assert_array_equal(
+        decode_bmp(_pack_bmp8(idx, _BPAL, rle=True)), _BPAL[idx])
+
+
+def test_decode_bmp_rle8_any_shape():
+    rng = np.random.default_rng(82)
+    for h, w in [(1, 1), (3, 4), (8, 31), (16, 3)]:
+        idx = rng.integers(0, 6, size=(h, w), dtype=np.uint8)
+        np.testing.assert_array_equal(
+            decode_bmp(_pack_bmp8(idx, _BPAL, rle=True)), _BPAL[idx],
+            err_msg=f"{h}x{w}")
+
+
+def test_decode_bmp_palettized_rejects_malformed():
+    idx = np.zeros((4, 4), dtype=np.uint8)
+    good = _pack_bmp8(idx, _BPAL)
+    with pytest.raises(MediaDecodeError):
+        decode_bmp(good[:60])                  # truncated color table
+    bad = bytearray(_pack_bmp8(np.full((2, 2), 7, np.uint8), _BPAL))
+    with pytest.raises(MediaDecodeError, match="palette index"):
+        decode_bmp(bytes(bad))                 # index beyond palette

@@ -4,9 +4,12 @@ The container has no PIL/ffmpeg/soundfile, but two uncompressed formats
 are fully decodable with struct + numpy alone, which makes the
 ``fake=False`` path of ``multimodal.columns`` real and testable:
 
-- BMP: Windows bitmap, BITMAPINFOHEADER, BI_RGB (uncompressed) 24/32-bit.
-  Format reference: the public BMP file format specification
-  (BITMAPFILEHEADER + BITMAPINFOHEADER layouts).
+- BMP: Windows bitmap, BITMAPINFOHEADER — BI_RGB 24/32-bit truecolor,
+  8-bit palettized, and BI_RLE8 run-length compression (encoded runs,
+  absolute mode with word alignment, end-of-line/bitmap and delta
+  escapes). Format reference: the public BMP file format specification
+  (BITMAPFILEHEADER + BITMAPINFOHEADER layouts). Tests pin RLE8 with an
+  independent forward RLE encoder.
 - WAV: RIFF/WAVE with a PCM ``fmt `` chunk, 8/16/32-bit integer samples.
   Parsed manually (not via the stdlib ``wave`` module) so tests can
   generate fixtures with ``wave`` as an INDEPENDENT implementation.
@@ -91,12 +94,49 @@ def _decode_guard(fn):
 # BMP
 
 
+def _bmp_rle8(data: bytes, w: int, h: int) -> np.ndarray:
+    """BI_RLE8 decompression into an (h, w) index raster, rows in
+    STORED (bottom-up) order. Escapes per the public BMP spec: 0 = end
+    of line, 1 = end of bitmap, 2 = delta move, n>=3 = absolute run
+    (word-aligned); count>0 = repeat value count times."""
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0
+    i = 0
+    n = len(data)
+    while i + 1 < n:
+        cnt, val = data[i], data[i + 1]
+        i += 2
+        if cnt > 0:                            # encoded run
+            if y >= h or x + cnt > w:
+                raise MediaDecodeError("BMP RLE run out of bounds")
+            out[y, x:x + cnt] = val
+            x += cnt
+        elif val == 0:                         # end of line
+            x, y = 0, y + 1
+        elif val == 1:                         # end of bitmap
+            return out
+        elif val == 2:                         # delta
+            if i + 1 >= n:
+                raise MediaDecodeError("truncated BMP RLE delta")
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+        else:                                  # absolute mode: val bytes
+            if y >= h or x + val > w or i + val > n:
+                raise MediaDecodeError("BMP RLE absolute run out of bounds")
+            out[y, x:x + val] = np.frombuffer(data, np.uint8, val, i)
+            x += val
+            i += val + (val & 1)               # pad to word boundary
+    return out
+
+
 @_decode_guard
 def decode_bmp(payload: bytes) -> np.ndarray:
-    """Decode an uncompressed 24/32-bit BMP to an (H, W, 3) uint8 RGB array.
-
-    Handles bottom-up (positive height) and top-down (negative height) row
-    order and the 4-byte row padding the format requires.
+    """Decode a BMP to an (H, W, 3) uint8 RGB array: uncompressed
+    24/32-bit truecolor, uncompressed 8-bit palettized, and RLE8-
+    compressed 8-bit palettized (BI_RLE8, incl. end-of-line/bitmap and
+    delta escapes). Handles bottom-up (positive height) and top-down
+    (negative height) row order and 4-byte row padding.
     """
     if len(payload) < 54 or payload[:2] != b"BM":
         raise MediaDecodeError("not a BMP payload")
@@ -107,12 +147,38 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     width, height = struct.unpack_from("<ii", payload, 18)
     (bpp,) = struct.unpack_from("<H", payload, 28)
     (compression,) = struct.unpack_from("<I", payload, 30)
+    if width <= 0 or height == 0:
+        raise MediaDecodeError(f"bad BMP dimensions {width}x{height}")
+    _check_pixel_budget("BMP", width, abs(height))
+    if bpp == 8 and compression in (0, 1):
+        (clr_used,) = struct.unpack_from("<I", payload, 46)
+        n_pal = clr_used or 256
+        pal_off = 14 + hdr_size
+        if pal_off + 4 * n_pal > len(payload):
+            raise MediaDecodeError("truncated BMP color table")
+        pal = np.frombuffer(payload, np.uint8, 4 * n_pal,
+                            pal_off).reshape(n_pal, 4)[:, 2::-1]  # BGRA->RGB
+        bottom_up = height > 0
+        h = abs(height)
+        if compression == 1:                   # BI_RLE8
+            if not bottom_up:
+                raise MediaDecodeError("top-down RLE8 BMP is invalid")
+            idx = _bmp_rle8(payload[pixel_off:], width, h)
+        else:                                  # uncompressed palettized
+            stride = (width + 3) & ~3
+            if pixel_off + stride * h > len(payload):
+                raise MediaDecodeError("truncated BMP pixel data")
+            rows = np.frombuffer(payload, np.uint8, stride * h,
+                                 pixel_off).reshape(h, stride)
+            idx = rows[:, :width]
+        if int(idx.max(initial=0)) >= n_pal:
+            raise MediaDecodeError("BMP palette index out of range")
+        img = pal[idx]
+        return np.ascontiguousarray(img[::-1] if bottom_up else img)
     if compression != 0:
         raise MediaDecodeError(f"unsupported BMP compression {compression}")
     if bpp not in (24, 32):
         raise MediaDecodeError(f"unsupported BMP bit depth {bpp}")
-    if width <= 0 or height == 0:
-        raise MediaDecodeError(f"bad BMP dimensions {width}x{height}")
     bottom_up = height > 0
     h = abs(height)
     nch = bpp // 8
