@@ -2093,3 +2093,123 @@ def test_decode_bmp_palettized_rejects_malformed():
     bad = bytearray(_pack_bmp8(np.full((2, 2), 7, np.uint8), _BPAL))
     with pytest.raises(MediaDecodeError, match="palette index"):
         decode_bmp(bytes(bad))                 # index beyond palette
+
+
+# ---------------------------------------------------------------------------
+# animated GIF: composited frames pinned by an independent scalar
+# compositor over a forward multi-frame encoder
+
+from valkey_search_spark.multimodal.codecs import decode_gif_frames
+
+
+def _pack_gif_anim(screen, palette, frames, bg=0):
+    """frames: list of dicts {idx (h,w), left, top, disposal, tindex,
+    delay_cs}. Builds GIF89a with a GCE before every frame."""
+    w, h = screen
+    pal = np.asarray(palette, dtype=np.uint8)
+    size_field = 0
+    while (2 << size_field) < len(pal):
+        size_field += 1
+    n_entries = 2 << size_field
+    table = np.vstack([pal, np.zeros((n_entries - len(pal), 3),
+                                     np.uint8)]).tobytes()
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | size_field, bg, 0])
+    out += table
+    mcs = max(2, size_field + 1)
+    for f in frames:
+        gpacked = (f.get("disposal", 0) << 2) | (
+            1 if f.get("tindex") is not None else 0)
+        out += bytes([0x21, 0xF9, 4, gpacked])
+        out += struct.pack("<H", f.get("delay_cs", 0))
+        out += bytes([f.get("tindex") or 0, 0])
+        idx = np.asarray(f["idx"], dtype=np.uint8)
+        ih, iw = idx.shape
+        out += b"\x2c" + struct.pack("<HHHH", f.get("left", 0),
+                                     f.get("top", 0), iw, ih)
+        out += bytes([0])                      # no local table
+        out += bytes([mcs])
+        out += _subblocks(_lzw_encode(idx.reshape(-1), mcs))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _scalar_composite(screen, palette, frames, bg=0):
+    """Independent reference compositor (plain numpy, no shared code)."""
+    w, h = screen
+    pal = np.asarray(palette, dtype=np.uint8)
+    canvas = np.tile(pal[bg], (h, w, 1)).astype(np.uint8)
+    out = []
+    for f in frames:
+        idx = np.asarray(f["idx"], dtype=np.uint8)
+        ih, iw = idx.shape
+        x0, y0 = f.get("left", 0), f.get("top", 0)
+        before = canvas[y0:y0 + ih, x0:x0 + iw].copy()
+        for yy in range(ih):
+            for xx in range(iw):
+                if f.get("tindex") is None or idx[yy, xx] != f["tindex"]:
+                    canvas[y0 + yy, x0 + xx] = pal[idx[yy, xx]]
+        out.append(canvas.copy())
+        d = f.get("disposal", 0)
+        if d == 2:
+            canvas[y0:y0 + ih, x0:x0 + iw] = pal[bg]
+        elif d == 3:
+            canvas[y0:y0 + ih, x0:x0 + iw] = before
+    return out
+
+
+def test_gif_frames_composition_disposal_transparency():
+    rng = np.random.default_rng(90)
+    frames = [
+        {"idx": rng.integers(0, 8, (10, 12)), "delay_cs": 10},
+        # partial frame with transparency, keep disposal
+        {"idx": rng.integers(0, 8, (4, 5)), "left": 3, "top": 2,
+         "tindex": 2, "delay_cs": 5},
+        # restore-to-background after render
+        {"idx": rng.integers(0, 8, (6, 6)), "left": 6, "top": 4,
+         "disposal": 2},
+        # restore-to-previous after render
+        {"idx": rng.integers(0, 8, (5, 7)), "left": 0, "top": 0,
+         "disposal": 3, "tindex": 7},
+        {"idx": rng.integers(0, 8, (3, 3)), "left": 9, "top": 7},
+    ]
+    payload = _pack_gif_anim((12, 10), _PAL8, frames, bg=1)
+    got, delays = decode_gif_frames(payload)
+    want = _scalar_composite((12, 10), _PAL8, frames, bg=1)
+    assert len(got) == len(want) == 5
+    assert delays[:2] == [0.1, 0.05]
+    for i, (g, w_) in enumerate(zip(got, want)):
+        np.testing.assert_array_equal(g, w_, err_msg=f"frame {i}")
+    # max_frames bounds the decode
+    got2, _ = decode_gif_frames(payload, max_frames=2)
+    assert len(got2) == 2
+
+
+def test_gif_frames_rejects_out_of_bounds_frame():
+    frames = [{"idx": np.zeros((5, 5), np.uint8), "left": 10, "top": 0}]
+    payload = _pack_gif_anim((12, 4), _PAL8, frames)
+    with pytest.raises(MediaDecodeError):
+        decode_gif_frames(payload)
+
+
+def test_video_frame_sample_real_gif(spark):
+    """video_frame_sample(fake=False) REALLY decodes animated GIFs —
+    sampled composited frames round-trip through the BMP re-encode."""
+    from valkey_search_spark.multimodal.columns import video_frame_sample
+
+    rng = np.random.default_rng(91)
+    frames = [{"idx": rng.integers(0, 8, (6, 8)), "delay_cs": 4}
+              for _ in range(7)]
+    payload = _pack_gif_anim((8, 6), _PAL8, frames)
+    want = _scalar_composite((8, 6), _PAL8, frames)
+    df = spark.createDataFrame([Row(id=1, video=bytearray(payload))])
+    out = video_frame_sample(df, every_n=3, fake=False).collect()
+    assert [r["frame_no"] for r in out] == [0, 3, 6]
+    for r in out:
+        np.testing.assert_array_equal(decode_bmp(bytes(r["frame"])),
+                                      want[r["frame_no"]])
+    # non-GIF video still raises (the ffmpeg seam)
+    df2 = spark.createDataFrame([Row(id=1, video=bytearray(b"\x00mp4junk"))])
+    with pytest.raises(Exception, match="NotImplementedError|ffmpeg|GIF"):
+        video_frame_sample(df2, fake=False).collect()

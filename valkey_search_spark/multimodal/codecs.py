@@ -32,11 +32,15 @@ are fully decodable with struct + numpy alone, which makes the
   baseline Huffman AND a progressive scan-splitting encoder)
   independently, pinning both inverse paths.
 
-- GIF: GIF87a/GIF89a first frame — full LZW decompression (variable
-  code width, clear/end codes, 12-bit cap with deferred clear), global
-  and local color tables, 4-pass interlacing. Format reference: the
-  public GIF89a specification (incl. Appendix F). Tests pin it with an
-  INDEPENDENT forward LZW compressor written in the test file.
+- GIF: full LZW decompression (variable code width, clear/end codes,
+  12-bit cap with deferred clear), global and local color tables,
+  4-pass interlacing — plus ANIMATION: decode_gif_frames composites
+  full-canvas frames with graphic-control transparency, frame offsets,
+  and all disposal methods (keep / restore-to-background /
+  restore-to-previous). Format reference: the public GIF89a
+  specification (incl. Appendix F). Tests pin it with an INDEPENDENT
+  forward LZW compressor, a multi-frame encoder, and a scalar
+  reference compositor written in the test file.
 
 - FLAC: the full lossless decode path — CONSTANT/VERBATIM/FIXED/LPC
   subframes, Rice and Rice2 residual partitions with escape codes,
@@ -79,9 +83,9 @@ def _decode_guard(fn):
     import functools
 
     @functools.wraps(fn)
-    def wrapped(payload):
+    def wrapped(payload, *args, **kwargs):
         try:
-            return fn(payload)
+            return fn(payload, *args, **kwargs)
         except MediaDecodeError:
             raise
         except (IndexError, struct.error, ValueError, OverflowError) as e:
@@ -955,22 +959,15 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, npix: int) -> np.ndarray:
 _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-@_decode_guard
-def decode_gif(payload: bytes) -> np.ndarray:
-    """Decode the FIRST frame of a GIF87a/GIF89a to (H, W, 3) uint8 RGB.
-
-    Full LZW decompression, global and local color tables, and Adam-style
-    4-pass row interlacing. Extension blocks (graphic control, comments,
-    application) are skipped; animation frames beyond the first are not
-    decoded — feature extraction wants one representative raster, the
-    same contract as ``decode_jpeg``. The frame's own geometry is
-    returned (GIF frames may be smaller than the logical screen).
-    Format reference: the public GIF89a specification."""
+def _gif_header(payload: bytes):
+    """(width, height, global color table | None, background index, pos)."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise MediaDecodeError("not a GIF payload")
     if len(payload) < 13:
         raise MediaDecodeError("truncated GIF header")
+    w, h = struct.unpack_from("<HH", payload, 6)
     packed = payload[10]
+    bg = payload[11]
     pos = 13
     gct = None
     if packed & 0x80:
@@ -980,6 +977,67 @@ def decode_gif(payload: bytes) -> np.ndarray:
         gct = np.frombuffer(payload, dtype=np.uint8, count=3 * n,
                             offset=pos).reshape(n, 3)
         pos += 3 * n
+    return w, h, gct, bg, pos
+
+
+def _gif_image_at(payload: bytes, pos: int, gct):
+    """Parse one image descriptor (payload[pos] == 0x2C): returns
+    (index raster (ih, iw), palette, left, top, next pos) with LZW
+    decode and interlace reordering applied."""
+    if pos + 10 > len(payload):
+        raise MediaDecodeError("truncated image descriptor")
+    left, top, iw, ih = struct.unpack_from("<HHHH", payload, pos + 1)
+    ipacked = payload[pos + 9]
+    pos += 10
+    pal = gct
+    if ipacked & 0x80:                         # local color table wins
+        n = 2 << (ipacked & 7)
+        if pos + 3 * n > len(payload):
+            raise MediaDecodeError("truncated local color table")
+        pal = np.frombuffer(payload, dtype=np.uint8, count=3 * n,
+                            offset=pos).reshape(n, 3)
+        pos += 3 * n
+    if pal is None:
+        raise MediaDecodeError("GIF image has no color table")
+    if iw == 0 or ih == 0:
+        raise MediaDecodeError(f"bad GIF frame size {iw}x{ih}")
+    _check_pixel_budget("GIF", iw, ih)
+    min_code_size = payload[pos]
+    pos += 1
+    if not 2 <= min_code_size <= 11:
+        raise MediaDecodeError(f"bad LZW min code size {min_code_size}")
+    data = bytearray()
+    while pos < len(payload) and payload[pos]:
+        cnt = payload[pos]
+        data += payload[pos + 1:pos + 1 + cnt]
+        pos += cnt + 1
+    pos += 1                                   # block terminator
+    idx = _gif_lzw_decode(bytes(data), min_code_size, iw * ih)
+    if idx.max(initial=0) >= len(pal):
+        raise MediaDecodeError("GIF pixel index outside palette")
+    rows = idx.reshape(ih, iw)
+    if ipacked & 0x40:                         # interlaced: reorder rows
+        order = [r for start, step in _GIF_INTERLACE_PASSES
+                 for r in range(start, ih, step)]
+        deinter = np.empty_like(rows)
+        deinter[order] = rows
+        rows = deinter
+    return rows, pal, left, top, pos
+
+
+@_decode_guard
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Decode the FIRST frame of a GIF87a/GIF89a to (H, W, 3) uint8 RGB.
+
+    Full LZW decompression, global and local color tables, and Adam-style
+    4-pass row interlacing. Extension blocks (graphic control, comments,
+    application) are skipped; animation frames beyond the first are not
+    decoded — feature extraction wants one representative raster, the
+    same contract as ``decode_jpeg`` (use ``decode_gif_frames`` for the
+    composited animation). The frame's own geometry is returned (GIF
+    frames may be smaller than the logical screen).
+    Format reference: the public GIF89a specification."""
+    _, _, gct, _, pos = _gif_header(payload)
     while pos < len(payload):
         block = payload[pos]
         if block == 0x21:                      # extension: label + subblocks
@@ -988,50 +1046,79 @@ def decode_gif(payload: bytes) -> np.ndarray:
                 pos += payload[pos] + 1
             pos += 1
         elif block == 0x2C:                    # image descriptor
-            if pos + 10 > len(payload):
-                raise MediaDecodeError("truncated image descriptor")
-            _, _, iw, ih = struct.unpack_from("<HHHH", payload, pos + 1)
-            ipacked = payload[pos + 9]
-            pos += 10
-            pal = gct
-            if ipacked & 0x80:                 # local color table wins
-                n = 2 << (ipacked & 7)
-                if pos + 3 * n > len(payload):
-                    raise MediaDecodeError("truncated local color table")
-                pal = np.frombuffer(payload, dtype=np.uint8, count=3 * n,
-                                    offset=pos).reshape(n, 3)
-                pos += 3 * n
-            if pal is None:
-                raise MediaDecodeError("GIF image has no color table")
-            if iw == 0 or ih == 0:
-                raise MediaDecodeError(f"bad GIF frame size {iw}x{ih}")
-            _check_pixel_budget("GIF", iw, ih)
-            min_code_size = payload[pos]
-            pos += 1
-            if not 2 <= min_code_size <= 11:
-                raise MediaDecodeError(
-                    f"bad LZW min code size {min_code_size}")
-            data = bytearray()
-            while pos < len(payload) and payload[pos]:
-                cnt = payload[pos]
-                data += payload[pos + 1:pos + 1 + cnt]
-                pos += cnt + 1
-            idx = _gif_lzw_decode(bytes(data), min_code_size, iw * ih)
-            if idx.max(initial=0) >= len(pal):
-                raise MediaDecodeError("GIF pixel index outside palette")
-            rows = idx.reshape(ih, iw)
-            if ipacked & 0x40:                 # interlaced: reorder rows
-                order = [r for start, step in _GIF_INTERLACE_PASSES
-                         for r in range(start, ih, step)]
-                deinter = np.empty_like(rows)
-                deinter[order] = rows
-                rows = deinter
+            rows, pal, _, _, _ = _gif_image_at(payload, pos, gct)
             return np.ascontiguousarray(pal[rows])
         elif block == 0x3B:                    # trailer
             break
         else:
             raise MediaDecodeError(f"unknown GIF block 0x{block:02x}")
     raise MediaDecodeError("GIF contains no image data")
+
+
+@_decode_guard
+def decode_gif_frames(payload: bytes, max_frames: int | None = None):
+    """Decode an animated GIF into COMPOSITED full-canvas frames:
+    ``(frames, delays)`` where frames are (H, W, 3) uint8 RGB over the
+    logical screen and delays are per-frame seconds (graphic-control
+    delay in centiseconds; 0 when unspecified).
+
+    Implements the GIF89a animation model: graphic control extensions
+    (transparent index — transparent pixels leave the canvas
+    unchanged), frame offsets smaller than the screen, and all disposal
+    methods (keep, restore-to-background, restore-to-previous). The
+    canvas starts at the background color (black when the background
+    index has no table entry). Format reference: the public GIF89a
+    specification (and its widely-documented animation semantics)."""
+    w, h, gct, bg, pos = _gif_header(payload)
+    _check_pixel_budget("GIF", w, h)
+    bg_rgb = (gct[bg] if gct is not None and bg < len(gct)
+              else np.zeros(3, dtype=np.uint8))
+    canvas = np.broadcast_to(bg_rgb, (h, w, 3)).astype(np.uint8).copy()
+    frames: list[np.ndarray] = []
+    delays: list[float] = []
+    disposal, tindex, delay_cs = 0, None, 0
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:
+            label = payload[pos + 1] if pos + 1 < len(payload) else 0
+            pos += 2
+            if label == 0xF9 and pos < len(payload) and payload[pos] >= 4:
+                gpacked = payload[pos + 1]
+                (delay_cs,) = struct.unpack_from("<H", payload, pos + 2)
+                disposal = (gpacked >> 2) & 7
+                tindex = payload[pos + 4] if gpacked & 1 else None
+            while pos < len(payload) and payload[pos]:
+                pos += payload[pos] + 1
+            pos += 1
+        elif block == 0x2C:
+            rows, pal, left, top, pos = _gif_image_at(payload, pos, gct)
+            ih, iw = rows.shape
+            if left + iw > w or top + ih > h:
+                raise MediaDecodeError("GIF frame exceeds logical screen")
+            region = canvas[top:top + ih, left:left + iw]
+            before = region.copy() if disposal == 3 else None
+            rgb = pal[rows]
+            if tindex is not None:
+                mask = rows != tindex
+                region[mask] = rgb[mask]
+            else:
+                region[:] = rgb
+            frames.append(canvas.copy())
+            delays.append(delay_cs / 100.0)
+            if disposal == 2:                  # restore to background
+                region[:] = bg_rgb
+            elif disposal == 3 and before is not None:
+                region[:] = before
+            disposal, tindex, delay_cs = 0, None, 0
+            if max_frames is not None and len(frames) >= max_frames:
+                break
+        elif block == 0x3B:
+            break
+        else:
+            raise MediaDecodeError(f"unknown GIF block 0x{block:02x}")
+    if not frames:
+        raise MediaDecodeError("GIF contains no image data")
+    return frames, delays
 
 
 # ---------------------------------------------------------------------------
