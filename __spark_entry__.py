@@ -748,6 +748,23 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count(F.lit(1)).alias("n"),
             *[F.count_if(F.col(f)).alias(f) for f in flags])
 
+    def b_span_dedup(spark, sf_dir):
+        # Lee-et-al exact-substring span removal: window explode ->
+        # gram doc-frequency agg -> verdict join -> interval-merge
+        # rebuild. n=4 over the 31-word soup vocabulary yields ~38k
+        # duplicated grams / ~83k duplicated windows at sf0.1 — real
+        # join and rebuild volume. Correctness is scalar-reference- and
+        # randomized-corpus-pinned in tests/test_contamination.py.
+        from valkey_search_spark.operators.contamination import (
+            exact_substring_dedup,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        out = exact_substring_dedup(docs, n=4)
+        return out.select("doc_id", "tokens_kept", "tokens_dropped",
+                          "spans_dropped",
+                          F.length("text_deduped").alias("len"))
+
     def b_knn_ivf_partial(spark, sf_dir):
         # partial probe (nprobe = n_lists/4): the speed side of the
         # speed/recall tradeoff the reference headlines; the recall side
@@ -770,6 +787,7 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_partial": b_knn_ivf_partial,
         "hygiene_line_dedup": b_line_dedup,
         "hygiene_gopher": b_gopher,
+        "hygiene_span_dedup": b_span_dedup,
     }
 
 

@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "knn_ivf_partial",
     "hygiene_line_dedup",
     "hygiene_gopher",
+    "hygiene_span_dedup",
 ]
 
 

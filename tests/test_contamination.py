@@ -194,3 +194,118 @@ def test_redact_pii_named_groups_fall_back_to_chained(spark):
     pats = {"a": r"(?<d>\d+)-id", "b": r"id-(?<d>\d+)"}
     r = redact_pii(df, patterns=pats).collect()[0]
     assert r["text_redacted"] == "ids: [REDACTED] and [REDACTED]"
+
+
+# ---------------------------------------------------------------------------
+# exact_substring_dedup: scalar reference + planted-span corpus
+
+def _scalar_span_dedup(docs, n, min_doc_freq, keep_one):
+    """Independent reference: dict-of-lists implementation of the same
+    semantics (cross-doc n-gram doc frequency, leave-one at min key,
+    merged-interval cut)."""
+    toks = {k: t.split() for k, t in docs.items()}
+    gram_docs = {}
+    for k, ts in toks.items():
+        for i in range(len(ts) - n + 1):
+            gram_docs.setdefault(tuple(ts[i:i + n]), set()).add(k)
+    out = {}
+    for k, ts in toks.items():
+        starts = []
+        for i in range(len(ts) - n + 1):
+            holders = gram_docs[tuple(ts[i:i + n])]
+            if len(holders) >= min_doc_freq and (
+                    not keep_one or k != min(holders)):
+                starts.append(i)
+        covered = set()
+        spans = 0
+        end = -1
+        for s in starts:
+            if s > end:
+                spans += 1
+                end = s + n
+            else:
+                end = max(end, s + n)
+            covered.update(range(s, s + n))
+        kept = [t for i, t in enumerate(ts) if i not in covered]
+        out[k] = (" ".join(kept), len(kept), len(ts) - len(kept), spans)
+    return out
+
+
+@pytest.fixture(scope="module")
+def span_docs():
+    shared = "alpha beta gamma delta epsilon"
+    return {
+        1: "one two three " + shared + " four five",
+        2: "six seven " + shared + " eight nine ten",
+        # two overlapping duplicated windows -> one merged span
+        3: "pre alpha beta gamma delta epsilon zeta post filler words",
+        4: "also alpha beta gamma delta epsilon zeta more trailing",
+        5: "totally unrelated content in this document here",
+        6: "tiny doc",
+    }
+
+
+def test_exact_substring_dedup_matches_scalar_reference(spark, span_docs):
+    from valkey_search_spark.operators.contamination import (
+        exact_substring_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=k, text=t) for k, t in span_docs.items()])
+    for keep_one in (True, False):
+        want = _scalar_span_dedup(span_docs, 5, 2, keep_one)
+        got = exact_substring_dedup(df, n=5, min_doc_freq=2,
+                                    keep_one=keep_one).collect()
+        assert len(got) == len(span_docs)
+        for r in got:
+            w = want[r["doc_id"]]
+            assert (r["text_deduped"], r["tokens_kept"],
+                    r["tokens_dropped"], r["spans_dropped"]) == w, \
+                (keep_one, r["doc_id"])
+
+
+def test_exact_substring_dedup_keeper_retains_copy(spark, span_docs):
+    from valkey_search_spark.operators.contamination import (
+        exact_substring_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=k, text=t) for k, t in span_docs.items()])
+    rows = {r["doc_id"]: r for r in
+            exact_substring_dedup(df, n=5, min_doc_freq=2).collect()}
+    # min-key holder of each duplicated gram keeps the span
+    assert "alpha beta gamma delta epsilon" in rows[1]["text_deduped"]
+    assert "alpha" not in rows[2]["text_deduped"]
+    # overlapping windows in 3/4 merged into ONE removed span in doc 4
+    assert rows[4]["spans_dropped"] == 1
+    assert rows[4]["tokens_dropped"] == 6          # 6-token merged span
+    # untouched docs: disjoint and sub-window
+    assert rows[5]["text_deduped"] == span_docs[5]
+    assert rows[6]["text_deduped"] == span_docs[6]
+    assert rows[6]["tokens_dropped"] == 0
+
+
+def test_exact_substring_dedup_randomized_vs_reference(spark):
+    import random
+
+    from valkey_search_spark.operators.contamination import (
+        exact_substring_dedup,
+    )
+
+    rng = random.Random(17)
+    vocab = WORDS.split()
+    shared = [" ".join(rng.choices(vocab, k=6)) for _ in range(3)]
+    docs = {}
+    for k in range(1, 21):
+        body = rng.choices(vocab, k=rng.randint(0, 25))
+        for s in shared:
+            if rng.random() < 0.4:
+                pos = rng.randint(0, len(body))
+                body = body[:pos] + s.split() + body[pos:]
+        docs[k] = " ".join(body)
+    df = spark.createDataFrame(
+        [Row(doc_id=k, text=t) for k, t in docs.items()])
+    want = _scalar_span_dedup(docs, 4, 2, True)
+    for r in exact_substring_dedup(df, n=4, min_doc_freq=2).collect():
+        assert (r["text_deduped"], r["tokens_kept"], r["tokens_dropped"],
+                r["spans_dropped"]) == want[r["doc_id"]], r["doc_id"]

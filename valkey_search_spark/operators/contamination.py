@@ -15,6 +15,11 @@ pure JVM expressions/joins; none moves a payload through Python.
 - ``repetition_stats``: Gopher-style within-document repetition ratios
   (duplicate line fraction, duplicate paragraph fraction, top-2-gram
   character fraction) used as quality gates.
+- ``exact_substring_dedup``: the Lee et al. / RefinedWeb exact-substring
+  pass — cross-document duplicated n-gram windows merge into maximal
+  token spans and are cut out (leave-one-copy by default), the span
+  granularity between document-level dedup and line-level boilerplate
+  removal.
 """
 
 from __future__ import annotations
@@ -267,3 +272,104 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
         "dup_para_frac": _dup_fraction(F.split(text, "\n\\s*\n")),
         "top_2gram_char_frac": F.round(top_frac, 6),
     }).drop("__rt")
+
+
+# ---------------------------------------------------------------------------
+def exact_substring_dedup(df: DataFrame, key: str = "doc_id",
+                          text_col: str = "text", n: int = 13,
+                          min_doc_freq: int = 2,
+                          keep_one: bool = True) -> DataFrame:
+    """Token-span exact-substring dedup (the Lee et al. 2022 /
+    RefinedWeb "exact substring" pass at n-gram granularity): any word
+    n-gram shared by at least ``min_doc_freq`` DISTINCT documents marks
+    its n-token window as duplicated; overlapping duplicated windows
+    merge into maximal spans, and the spans are CUT OUT of the text
+    (not the whole document — the complement of document-level dedup
+    and of ``cross_doc_line_dedup``'s line granularity). With
+    ``keep_one`` (default) the minimum-key holder of each duplicated
+    gram keeps its copy, matching the published algorithm's
+    leave-one-occurrence behavior; ``keep_one=False`` removes the span
+    everywhere (the aggressive boilerplate form).
+
+    Deviation from the suffix-array original (documented): duplication
+    is detected at fixed n-gram granularity across documents
+    (``min_doc_freq`` distinct docs), not at arbitrary-length substring
+    granularity over total occurrences — a within-document repeat alone
+    does not trigger removal (``repetition_stats`` covers that signal).
+    A duplicated span of length L >= n is still removed in full: every
+    window inside it is duplicated, and the windows merge.
+
+    Output: ``<text_col>_deduped`` (kept tokens rejoined with single
+    spaces — token-level surgery normalizes whitespace/case by
+    construction), ``tokens_kept`` / ``tokens_dropped`` /
+    ``spans_dropped``. Documents shorter than ``n`` tokens pass through
+    untouched (no window).
+
+    Scale shape (mirrors ``cross_doc_line_dedup``): posexplode the
+    staged token array into (doc, pos, gram-hash) windows; aggregate
+    gram doc-frequency + min-key holder (ONE shuffle, map-side
+    combine); inner-join the duplicated grams back to the window rows
+    (hash join on the gram — volume after the df-filter is bounded by
+    duplicated-window occurrences); collect duplicated start positions
+    per doc (one groupBy shuffle); rebuild each doc map-side by merging
+    sorted starts into disjoint intervals with one aggregate fold and
+    filtering the token array against them. The interval array is
+    materialized as a NAMED column before the filter lambda references
+    it (expressions captured inside array lambdas re-evaluate per
+    element — the same plumbing rule as ``repetition_stats``). No
+    corpus-wide window, no driver materialization; the per-token cost
+    of the rebuild is O(merged spans), not O(duplicated windows)."""
+    from .dedup import _staged_tokens
+
+    staged = _staged_tokens(df, key, text_col)
+    toks = F.col("__toks")
+    windows = (staged.select("k", "__toks",
+                             F.posexplode("__toks").alias("__i", "__t"))
+               .where(F.col("__i") <= F.size(toks) - n)
+               .select("k", "__i", F.xxhash64(
+                   F.slice(toks, F.col("__i") + 1, n)).alias("__gram")))
+    dup = (windows.groupBy("__gram")
+           .agg(F.count_distinct("k").alias("__df"),
+                F.min("k").alias("__keeper"))
+           .where(F.col("__df") >= min_doc_freq)
+           .select("__gram", "__keeper"))
+    marked = windows.join(dup, "__gram")
+    if keep_one:
+        marked = marked.where(F.col("k") != F.col("__keeper"))
+    starts = (marked.groupBy("k")
+              .agg(F.sort_array(F.collect_set("__i")).alias("__starts")))
+    # merge sorted starts into disjoint [a, b) token intervals: a new
+    # start within the open interval extends it, otherwise opens a new one
+    iv_type = "array<struct<a:int,b:int>>"
+    merged = F.aggregate(
+        F.col("__starts"),
+        F.lit(None).cast(iv_type),
+        lambda acc, s: F.when(acc.isNull(), F.array(
+            F.struct(s.alias("a"), (s + n).alias("b")))
+        ).when(
+            s <= F.element_at(acc, -1)["b"],
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.struct(
+                F.element_at(acc, -1)["a"].alias("a"),
+                F.greatest(F.element_at(acc, -1)["b"], s + n).alias("b"))))
+        ).otherwise(F.concat(acc, F.array(
+            F.struct(s.alias("a"), (s + n).alias("b"))))))
+    rebuilt = (staged.join(starts, "k", "left")
+               .withColumn("__iv", merged)
+               .select(
+                   F.col("k").alias(key),
+                   F.when(F.col("__iv").isNull(), toks).otherwise(
+                       F.filter(toks, lambda t, i: ~F.exists(
+                           F.col("__iv"),
+                           lambda iv: (iv["a"] <= i) & (i < iv["b"])))
+                   ).alias("__kept"),
+                   F.size(toks).alias("__ntok"),
+                   F.coalesce(F.size("__iv"), F.lit(0))
+                    .alias("spans_dropped"))
+               .select(
+                   key,
+                   F.array_join("__kept", " ").alias(f"{text_col}_deduped"),
+                   F.size("__kept").alias("tokens_kept"),
+                   (F.col("__ntok") - F.size("__kept"))
+                   .alias("tokens_dropped"),
+                   "spans_dropped"))
+    return df.join(rebuilt, key, "left")
