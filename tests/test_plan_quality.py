@@ -162,3 +162,33 @@ def test_gopher_flags_map_only_jvm_plan(spark):
         .executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_span_dedup_plan_bounded_and_python_free(spark):
+    """exact_substring_dedup's physical plan: all-JVM (no Python node —
+    windows, gram frequency, interval merge, rebuild are expressions),
+    and the rebuild's interval array is a materialized attribute, not a
+    re-evaluated capture. The gram verdict flows through hash joins;
+    the only aggregations are the gram doc-frequency and the per-doc
+    start collection (plus their partials)."""
+    from valkey_search_spark.operators.contamination import (
+        exact_substring_dedup,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    qe = exact_substring_dedup(docs, n=4)._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    assert "Python" not in plan
+    # no nested-loop/cartesian anywhere — every join is key-equi
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the gram doc-frequency agg runs its skew-resistant two-round
+    # form: first round keyed (gram, k) so a hot boilerplate gram's
+    # occurrences combine across docs before any single reducer sees it
+    assert "partial_count(distinct" in plan or \
+        plan.count("HashAggregate(keys=[__gram") >= 2
+    # rebuild is map-side off the verdict join: no exchange keyed on
+    # the interval/start columns (only gram/key-keyed shuffles exist)
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "__starts" not in ln and "__iv" not in ln, ln

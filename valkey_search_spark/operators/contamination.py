@@ -318,7 +318,16 @@ def exact_substring_dedup(df: DataFrame, key: str = "doc_id",
     it (expressions captured inside array lambdas re-evaluate per
     element — the same plumbing rule as ``repetition_stats``). No
     corpus-wide window, no driver materialization; the per-token cost
-    of the rebuild is O(merged spans), not O(duplicated windows)."""
+    of the rebuild is O(merged spans), not O(duplicated windows).
+
+    The gram frequency agg's first round keys on (gram, doc) — a hot
+    boilerplate gram combines across docs map-side before one reducer
+    counts it, the skew posture the whole gram family shares. The
+    branching DAG recomputes the window map work per consumer (frequency
+    branch, verdict branch, rebuild branch) — pruned projections make
+    the subtrees non-identical so exchange reuse cannot merge them;
+    that is extra embarrassingly-parallel map passes, never an extra
+    shuffle, the same recompute shape as ``cross_doc_line_dedup``."""
     from .dedup import _staged_tokens
 
     staged = _staged_tokens(df, key, text_col)
