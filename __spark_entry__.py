@@ -765,6 +765,29 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           "spans_dropped",
                           F.length("text_deduped").alias("len"))
 
+    _LM: dict = {}
+
+    def b_lm_perplexity(spark, sf_dir):
+        # CCNet-style LM quality scoring: score half the corpus against
+        # a bigram LM trained on the other half — three broadcast joins
+        # + one doc-keyed agg. The trained tables cache across calls
+        # (training is the ingest side, like knn_pq's codebook; the
+        # tables are cached DataFrames so the broadcast builds from
+        # memory). Correctness is scalar-reference- and
+        # DuckDB-oracle-pinned in tests/test_lm.py.
+        from valkey_search_spark.operators.lm import BigramLM
+
+        docs = load_table(spark, sf_dir, "documents")
+        if sf_dir not in _LM:
+            lm = BigramLM.train(docs.where("doc_id % 2 = 0"))
+            lm.uni.cache().count()
+            lm.ctx.cache().count()
+            lm.bi.cache().count()
+            _LM[sf_dir] = lm
+        out = _LM[sf_dir].score(docs.where("doc_id % 2 = 1"))
+        return out.select("doc_id", "lm_logprob_per_token",
+                          "lm_perplexity")
+
     def b_knn_ivf_partial(spark, sf_dir):
         # partial probe (nprobe = n_lists/4): the speed side of the
         # speed/recall tradeoff the reference headlines; the recall side
@@ -788,6 +811,7 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hygiene_line_dedup": b_line_dedup,
         "hygiene_gopher": b_gopher,
         "hygiene_span_dedup": b_span_dedup,
+        "hygiene_lm_perplexity": b_lm_perplexity,
     }
 
 

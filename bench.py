@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "hygiene_line_dedup",
     "hygiene_gopher",
     "hygiene_span_dedup",
+    "hygiene_lm_perplexity",
 ]
 
 

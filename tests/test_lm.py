@@ -1,0 +1,173 @@
+"""CCNet-style bigram-LM perplexity scoring: scalar reference, DuckDB
+oracle over the real corpus, and ordering sanity (reference-like text
+scores lower perplexity than OOV gibberish)."""
+
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import Row
+
+from valkey_search_spark.operators.lm import BigramLM, lm_perplexity
+
+REF_TEXTS = ["the cat sat on the mat", "the dog sat on the rug",
+             "a cat and a dog sat", "the cat and the dog"]
+
+
+def _scalar_lm(ref_texts, d=0.75):
+    toks = [t.split() for t in ref_texts]
+    uni = Counter(w for ts in toks for w in ts)
+    bi = Counter((ts[i - 1], ts[i]) for ts in toks
+                 for i in range(1, len(ts)))
+    ctx, tv = Counter(), Counter()
+    for (v, w), c in bi.items():
+        ctx[v] += c
+        tv[v] += 1
+    n, t = sum(uni.values()), len(uni)
+
+    def p_uni(w):
+        return max(uni.get(w, 0) - d, 0) / n + (d * t / n) / (t + 1)
+
+    def p(v, w):
+        if v not in ctx:
+            return p_uni(w)
+        return (max(bi.get((v, w), 0) - d, 0)
+                + d * tv[v] * p_uni(w)) / ctx[v]
+
+    def score(text):
+        ts = text.split()
+        if len(ts) < 2:
+            return None
+        return sum(math.log2(p(ts[i - 1], ts[i]))
+                   for i in range(1, len(ts))) / (len(ts) - 1)
+
+    return score
+
+
+def test_bigram_lm_matches_scalar_reference(spark):
+    ref = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(REF_TEXTS)])
+    docs = [Row(doc_id=1, text="the cat sat on the rug"),
+            Row(doc_id=2, text="zebra quark flux blorp"),
+            Row(doc_id=3, text="single"),
+            Row(doc_id=4, text="the the the the"),
+            Row(doc_id=5, text="mat the on sat cat the")]
+    got = {r["doc_id"]: r for r in
+           lm_perplexity(spark.createDataFrame(docs), ref).collect()}
+    score = _scalar_lm(REF_TEXTS)
+    for doc in docs:
+        want = score(doc.text)
+        g = got[doc.doc_id]
+        if want is None:
+            assert g["lm_logprob_per_token"] is None
+            assert g["lm_perplexity"] is None
+        else:
+            assert g["lm_logprob_per_token"] == pytest.approx(want,
+                                                              abs=1e-9)
+            assert g["lm_perplexity"] == pytest.approx(2 ** -want,
+                                                       rel=1e-9)
+
+
+def test_bigram_lm_orders_quality(spark):
+    """The filter's whole point: reference-like prose scores LOWER
+    perplexity than shuffled/OOV text; every probability is positive so
+    no doc scores inf."""
+    ref = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(REF_TEXTS)])
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="the cat sat on the mat"),     # in-domain
+        Row(doc_id=2, text="mat the on sat cat the"),     # shuffled
+        Row(doc_id=3, text="zzz qqq www eee rrr ttt"),    # OOV
+    ])
+    rows = {r["doc_id"]: r["lm_perplexity"]
+            for r in lm_perplexity(docs, ref).collect()}
+    assert rows[1] < rows[2] < rows[3]
+    assert all(math.isfinite(v) for v in rows.values())
+
+
+def test_bigram_lm_min_count_prunes_only_bigram_table(spark):
+    """min_count prunes singleton bigrams from the table; their mass
+    returns via backoff, and context totals keep describing the FULL
+    distribution (pruned-model scores stay finite and close)."""
+    ref = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(REF_TEXTS)])
+    lm = BigramLM.train(ref, min_count=2)
+    full = BigramLM.train(ref, min_count=1)
+    assert lm.bi.count() < full.bi.count()
+    # ctx totals identical: pruning must not change c(v)/T(v)
+    assert sorted(lm.ctx.collect()) == sorted(full.ctx.collect())
+    doc = spark.createDataFrame([Row(doc_id=1, text="the cat sat")])
+    r = lm.score(doc).collect()[0]
+    assert math.isfinite(r["lm_perplexity"])
+
+
+def test_bigram_lm_duckdb_oracle_real_corpus(spark, sf_dir):
+    """Full-pipeline oracle on the real documents table: the same
+    counts + closed-form probabilities in DuckDB SQL, compared per-doc
+    at 1e-6. Reference = even doc_ids, scored = 60 odd docs."""
+    import duckdb
+
+    path = f"{sf_dir}/documents.parquet"
+    docs = spark.read.parquet(path)
+    ref = docs.where("doc_id % 2 = 0")
+    target = docs.where("doc_id % 2 = 1 and doc_id < 120")
+    got = {r["doc_id"]: r["lm_logprob_per_token"]
+           for r in lm_perplexity(target, ref).collect()}
+
+    oracle = duckdb.sql(f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) w,
+                 generate_subscripts(string_split(text, ' '), 1) i
+          FROM '{path}' WHERE doc_id % 2 = 0),
+        uni AS (SELECT w, count(*) c_w FROM tok GROUP BY w),
+        pair AS (
+          SELECT a.w v, b.w w FROM tok a JOIN tok b
+            ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+        bi AS (SELECT v, w, count(*) c_vw FROM pair GROUP BY v, w),
+        ctx AS (SELECT v, sum(c_vw) c_v, count(*) t_v FROM bi GROUP BY v),
+        consts AS (SELECT sum(c_w) n, count(*) t FROM uni),
+        ttok AS (
+          SELECT doc_id, string_split(text, ' ') ts
+          FROM '{path}' WHERE doc_id % 2 = 1 AND doc_id < 120),
+        tpair AS (
+          SELECT doc_id, ts[i] v, ts[i+1] w
+          FROM ttok, lateral unnest(range(1, len(ts))) u(i)),
+        scored AS (
+          SELECT doc_id,
+            log2(CASE WHEN c.c_v IS NOT NULL THEN
+              (greatest(coalesce(b.c_vw, 0) - 0.75, 0)
+               + 0.75 * c.t_v * (greatest(coalesce(u.c_w,0)-0.75,0)/k.n
+                                 + (0.75*k.t/k.n)/(k.t+1))) / c.c_v
+            ELSE greatest(coalesce(u.c_w,0)-0.75,0)/k.n
+                 + (0.75*k.t/k.n)/(k.t+1) END) lp
+          FROM tpair p
+          LEFT JOIN bi b ON b.v = p.v AND b.w = p.w
+          LEFT JOIN ctx c ON c.v = p.v
+          LEFT JOIN uni u ON u.w = p.w
+          CROSS JOIN consts k)
+        SELECT doc_id, avg(lp) FROM scored GROUP BY doc_id
+    """).fetchall()
+    assert len(oracle) == len(got) == 60
+    for doc_id, want in oracle:
+        assert got[doc_id] == pytest.approx(want, abs=1e-6), doc_id
+
+
+def test_lm_score_plan_broadcasts_model(spark):
+    """The corpus side must stream: all three model joins broadcast,
+    and the only corpus shuffle is the per-doc aggregation key."""
+    ref = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(REF_TEXTS)])
+    docs = spark.createDataFrame([Row(doc_id=1, text="the cat sat")])
+    plan = (lm_perplexity(docs, ref)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "Python" not in plan
+    # every MODEL join is broadcast — a shuffle join keyed on v/w would
+    # mean the scored corpus shuffled on a model key. (The doc-keyed
+    # score join-back and the reference side's own training
+    # aggregations may shuffle; those are the document key and the
+    # small side respectively.)
+    for ln in plan.splitlines():
+        if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln:
+            assert " v#" not in ln and " w#" not in ln and \
+                "[v#" not in ln and "[w#" not in ln, ln

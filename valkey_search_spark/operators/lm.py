@@ -1,0 +1,134 @@
+"""N-gram language-model perplexity scoring — the CCNet-style quality
+filter: train a small LM on a REFERENCE corpus (CCNet uses Wikipedia),
+score every document's per-token log-loss against it, and gate on the
+resulting perplexity (low = reference-like prose, high = noise/boiler).
+CCNet trains a KenLM 5-gram; this is the Spark-native equivalent at
+bigram order with absolute-discount interpolation — counts are plain
+aggregations, scoring is three hash joins, every probability is a
+closed-form column expression (no model binary, no Python in the path).
+
+Model (absolute discounting, interpolated — the Ney/Essen/Kneser form):
+
+    P_uni(w) = max(c(w) - d, 0)/N  +  (d*T/N) * 1/(V+1)
+    P_bi(w|v) = [max(c(v,w) - d, 0) + d*T(v)*P_uni(w)] / c(v)
+                (falls back to P_uni(w) when v is unseen)
+
+where N = training tokens, T = distinct unigram types, V = vocabulary
+size (the +1 reserves mass for unseen words: an OOV token scores the
+uniform floor (d*T/N)/(V+1) instead of zero), c(v) = occurrences of
+context v, T(v) = distinct continuations of v. Discounting guarantees
+every probability is positive, so log-loss is total.
+
+Scale shape: the trained tables are reference-corpus aggregates
+(bounded by distinct bigram count — broadcastable for any reference
+that fits a single machine's text, which is exactly CCNet's setup);
+scoring explodes the target corpus into bigram positions and runs
+three BROADCAST joins (bigram, context, unigram) plus one per-doc
+aggregation — one shuffle keyed on the document, everything else
+map-side. 100 TB of documents score against a Wikipedia-sized LM
+without shuffling a single corpus token on a model key.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.analysis import raw_tokens_column
+
+
+@dataclass
+class BigramLM:
+    """Trained tables + scalars. ``uni``: (w, c_w); ``ctx``: (v, c_v,
+    t_v); ``bi``: (v, w, c_vw). All three are small reference-corpus
+    aggregates and are broadcast at score time."""
+
+    uni: DataFrame
+    ctx: DataFrame
+    bi: DataFrame
+    n_tokens: int
+    n_types: int
+    discount: float
+
+    @classmethod
+    def train(cls, reference: DataFrame, text_col: str = "text",
+              min_count: int = 1, discount: float = 0.75) -> "BigramLM":
+        """Count-based training: one explode of the reference corpus,
+        three aggregations (unigram, context, bigram). ``min_count``
+        prunes singleton bigrams from the table only — their mass
+        reappears through the discount/backoff term, exactly the
+        pruning a KenLM build applies."""
+        toks = (reference
+                .select(raw_tokens_column(F.col(text_col)).alias("__t"))
+                .select(F.posexplode("__t").alias("__i", "w"),
+                        F.col("__t").alias("__toks")))
+        pairs = (toks.where(F.col("__i") > 0)
+                 .select(F.element_at("__toks", F.col("__i")).alias("v"),
+                         "w"))
+        uni = (toks.groupBy("w").agg(F.count(F.lit(1)).alias("c_w")))
+        bi_full = pairs.groupBy("v", "w").agg(
+            F.count(F.lit(1)).alias("c_vw"))
+        # context totals BEFORE pruning (c(v)/T(v) must describe the
+        # real distribution or the backoff mass is wrong)
+        ctx = bi_full.groupBy("v").agg(
+            F.sum("c_vw").alias("c_v"),
+            F.count(F.lit(1)).alias("t_v"))
+        bi = bi_full.where(F.col("c_vw") >= min_count)
+        n_tokens, n_types = uni.agg(
+            F.sum("c_w"), F.count(F.lit(1))).first()
+        return cls(uni=uni, ctx=ctx, bi=bi,
+                   n_tokens=int(n_tokens or 0), n_types=int(n_types or 0),
+                   discount=float(discount))
+
+    def _p_uni(self, c_w):
+        d, n, t = self.discount, self.n_tokens, self.n_types
+        floor = (d * t / n) * (1.0 / (t + 1))
+        return (F.greatest(F.coalesce(c_w, F.lit(0)).cast("double")
+                           - d, F.lit(0.0)) / n) + F.lit(floor)
+
+    def score(self, df: DataFrame, key: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+        """Adds ``lm_logprob_per_token`` (mean log2 P of each interior
+        bigram position) and ``lm_perplexity`` (2^-that). Documents
+        with fewer than two tokens score null. Join order and the
+        broadcast hints keep the corpus on the streaming side of every
+        join — the plan is pinned in test_plan_quality."""
+        staged = (df.select(F.col(key).alias("k"),
+                            raw_tokens_column(F.col(text_col))
+                            .alias("__toks"))
+                  .select("k", F.posexplode("__toks").alias("__i", "w"),
+                          F.col("__toks").alias("__t")))
+        pos = (staged.where(F.col("__i") > 0)
+               .select("k", F.element_at("__t", F.col("__i")).alias("v"),
+                       "w"))
+        joined = (pos
+                  .join(F.broadcast(self.bi), ["v", "w"], "left")
+                  .join(F.broadcast(self.ctx), "v", "left")
+                  .join(F.broadcast(self.uni), "w", "left"))
+        d = self.discount
+        p_uni = self._p_uni(F.col("c_w"))
+        p = F.when(
+            F.col("c_v").isNotNull(),
+            (F.greatest(F.coalesce(F.col("c_vw"), F.lit(0))
+                        .cast("double") - d, F.lit(0.0))
+             + d * F.col("t_v") * p_uni) / F.col("c_v")
+        ).otherwise(p_uni)
+        scored = (joined
+                  .select("k", F.log2(p).alias("__lp"))
+                  .groupBy("k")
+                  .agg(F.avg("__lp").alias("lm_logprob_per_token")))
+        out = (df.join(scored.withColumnRenamed("k", key), key, "left")
+               .withColumn("lm_perplexity",
+                           F.pow(F.lit(2.0),
+                                 -F.col("lm_logprob_per_token"))))
+        return out
+
+
+def lm_perplexity(df: DataFrame, reference: DataFrame,
+                  key: str = "doc_id", text_col: str = "text",
+                  min_count: int = 1, discount: float = 0.75) -> DataFrame:
+    """One-call form: train on ``reference``, score ``df``."""
+    lm = BigramLM.train(reference, text_col=text_col,
+                        min_count=min_count, discount=discount)
+    return lm.score(df, key=key, text_col=text_col)
