@@ -171,3 +171,59 @@ def test_lm_score_plan_broadcasts_model(spark):
         if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln:
             assert " v#" not in ln and " w#" not in ln and \
                 "[v#" not in ln and "[w#" not in ln, ln
+
+
+def test_ccnet_buckets_tercile_split(spark, sf_dir):
+    from valkey_search_spark.operators.lm import ccnet_buckets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lm = BigramLM.train(docs.where("doc_id % 2 = 0"))
+    out = ccnet_buckets(docs.where("doc_id % 2 = 1"), lm)
+    counts = {r["ppl_bucket"]: r["n"] for r in
+              out.groupBy("ppl_bucket").agg(
+                  __import__("pyspark.sql.functions",
+                             fromlist=["count"]).count("*").alias("n"))
+              .collect()}
+    total = sum(counts.values())
+    # terciles: each labeled bucket within a few % of a third
+    for b in ("head", "middle", "tail"):
+        assert counts[b] / total == pytest.approx(1 / 3, abs=0.05), counts
+    # heads really are the most reference-like docs
+    stats = {r["ppl_bucket"]: r["m"] for r in out.groupBy("ppl_bucket")
+             .agg(__import__("pyspark.sql.functions", fromlist=["avg"])
+                  .avg("lm_perplexity").alias("m")).collect()}
+    assert stats["head"] < stats["middle"] < stats["tail"]
+
+
+def test_pipeline_lm_gate(spark):
+    """max_lm_perplexity composes into curate_documents' single-scan
+    gate; a pre-trained model keeps the composition job-free."""
+    from valkey_search_spark.operators.pipeline import (
+        CurationConfig, curate_documents,
+    )
+
+    ref = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(REF_TEXTS)])
+    lm = BigramLM.train(ref)
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="the cat sat on the mat with the dog "
+                           "and the cat sat on the rug again today"),
+        Row(doc_id=2, text="zzz qqq www eee rrr ttt yyy uuu iii "
+                           "ooo ppp aaa sss ddd fff ggg hhh jjj"),
+    ])
+    # threshold between the two docs' perplexities
+    ppls = {r["doc_id"]: r["lm_perplexity"] for r in lm.score(docs).collect()}
+    cut = (ppls[1] + ppls[2]) / 2
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    clean, funnel = curate_documents(
+        docs, config=CurationConfig(
+            min_quality=0.0, min_tokens=2, near_dup_threshold=None,
+            lm_model=lm, max_lm_perplexity=cut),
+        with_funnel=False)
+    assert len(tracker.getJobIdsForGroup() or []) == before  # still lazy
+    kept = [r["doc_id"] for r in clean.collect()]
+    assert kept == [1]
+
+    with pytest.raises(ValueError, match="max_lm_perplexity"):
+        curate_documents(docs, config=CurationConfig(max_lm_perplexity=1.0))

@@ -132,3 +132,30 @@ def lm_perplexity(df: DataFrame, reference: DataFrame,
     lm = BigramLM.train(reference, text_col=text_col,
                         min_count=min_count, discount=discount)
     return lm.score(df, key=key, text_col=text_col)
+
+
+def ccnet_buckets(df: DataFrame, lm: BigramLM, key: str = "doc_id",
+                  text_col: str = "text",
+                  cuts: tuple[float, float] = (1 / 3, 2 / 3),
+                  relative_error: float = 0.001) -> DataFrame:
+    """CCNet's head/middle/tail split: score the corpus, take the two
+    perplexity quantile cutoffs (defaults: terciles, CCNet's split),
+    and label each document ``head`` (most reference-like) /
+    ``middle`` / ``tail``. Unscoreable docs (< 2 tokens) get a null
+    bucket.
+
+    The quantiles come from ``approxQuantile`` — one bounded-memory
+    Greenwald-Khanna sketch pass over the scored corpus (the single
+    driver-side action here; the two cutoffs then enter the plan as
+    literals, so the labeling itself is a map-only expression). CCNet
+    computes its cutoffs the same way: corpus-relative, not absolute."""
+    scored = lm.score(df, key=key, text_col=text_col)
+    lo, hi = scored.approxQuantile("lm_perplexity", list(cuts),
+                                   relative_error)
+    ppl = F.col("lm_perplexity")
+    return scored.withColumn(
+        "ppl_bucket",
+        F.when(ppl.isNull(), F.lit(None).cast("string"))
+         .when(ppl <= lo, "head")
+         .when(ppl <= hi, "middle")
+         .otherwise("tail"))

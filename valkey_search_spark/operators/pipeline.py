@@ -35,6 +35,14 @@ class CurationConfig:
     # (textops.gopher_quality_flags conjunction); False skips the scan
     gopher_rules: bool = False
     gopher_min_words: int = 50
+    # CCNet-style LM perplexity gate (operators/lm.py): set lm_model to
+    # a pre-trained BigramLM (keeps the composition job-free) or
+    # lm_reference to a reference corpus (training runs its eager count
+    # jobs at compose time); max_lm_perplexity enables the gate.
+    # Unscoreable (<2 token) docs fail the gate like any null signal.
+    lm_model: object | None = None               # BigramLM
+    lm_reference: object | None = None           # DataFrame
+    max_lm_perplexity: float | None = None
     extra: dict = dc_field(default_factory=dict)
 
 
@@ -69,6 +77,16 @@ def curate_documents(df: DataFrame, key: str = "doc_id",
 
         analyzed = gopher_quality_flags(analyzed, text_col,
                                         min_words=cfg.gopher_min_words)
+    lm = cfg.lm_model
+    if lm is None and cfg.lm_reference is not None:
+        from .lm import BigramLM
+
+        lm = BigramLM.train(cfg.lm_reference, text_col=text_col)
+    if cfg.max_lm_perplexity is not None and lm is None:
+        raise ValueError("max_lm_perplexity requires lm_model or "
+                         "lm_reference")
+    if lm is not None:
+        analyzed = lm.score(analyzed, key=key, text_col=text_col)
     gate = (F.col("quality_score") >= cfg.min_quality) & \
            (F.col("token_count") >= cfg.min_tokens)
     if cfg.gopher_rules:
@@ -79,6 +97,8 @@ def curate_documents(df: DataFrame, key: str = "doc_id",
         gate = gate & (F.col("top_2gram_char_frac") <= cfg.max_rep2_frac)
     if cfg.max_dup_line_frac is not None:
         gate = gate & (F.col("dup_line_frac") <= cfg.max_dup_line_frac)
+    if cfg.max_lm_perplexity is not None:
+        gate = gate & (F.col("lm_perplexity") <= cfg.max_lm_perplexity)
     flagged = analyzed.withColumn("__gate", F.coalesce(gate, F.lit(False)))
 
     # exact dedup: the min-key GATED row per fingerprint is the
