@@ -227,3 +227,9 @@ def test_pipeline_lm_gate(spark):
 
     with pytest.raises(ValueError, match="max_lm_perplexity"):
         curate_documents(docs, config=CurationConfig(max_lm_perplexity=1.0))
+
+
+def test_bigram_lm_empty_reference_raises(spark):
+    empty = spark.createDataFrame([Row(doc_id=1, text="")])
+    with pytest.raises(ValueError, match="no tokens"):
+        BigramLM.train(empty)

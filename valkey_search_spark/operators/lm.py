@@ -77,8 +77,11 @@ class BigramLM:
         bi = bi_full.where(F.col("c_vw") >= min_count)
         n_tokens, n_types = uni.agg(
             F.sum("c_w"), F.count(F.lit(1))).first()
+        if not n_tokens:
+            raise ValueError("reference corpus has no tokens — cannot "
+                             "train a language model on it")
         return cls(uni=uni, ctx=ctx, bi=bi,
-                   n_tokens=int(n_tokens or 0), n_types=int(n_types or 0),
+                   n_tokens=int(n_tokens), n_types=int(n_types),
                    discount=float(discount))
 
     def _p_uni(self, c_w):
