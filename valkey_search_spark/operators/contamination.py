@@ -320,6 +320,12 @@ def exact_substring_dedup(df: DataFrame, key: str = "doc_id",
     corpus-wide window, no driver materialization; the per-token cost
     of the rebuild is O(merged spans), not O(duplicated windows).
 
+    Gram identity is ``xxhash64`` of the token slice — the same 64-bit
+    approximation ``cross_doc_line_dedup`` and ``ngram_decontaminate``
+    make (a collision spuriously marks one window at ~2^-64 per gram
+    pair; there is no exact-verify pass because the verdict is
+    per-window, not per-pair).
+
     The gram frequency agg's first round keys on (gram, doc) — a hot
     boilerplate gram combines across docs map-side before one reducer
     counts it, the skew posture the whole gram family shares. The
