@@ -233,3 +233,23 @@ def test_bigram_lm_empty_reference_raises(spark):
     empty = spark.createDataFrame([Row(doc_id=1, text="")])
     with pytest.raises(ValueError, match="no tokens"):
         BigramLM.train(empty)
+
+
+def test_lm_score_tokens_col_reuse_matches(spark):
+    """Scoring off a pre-staged token array equals scoring from text —
+    the pipeline's single-tokenize composition stays correct."""
+    from valkey_search_spark.functions.analysis import raw_tokens_column
+    from pyspark.sql import functions as F
+
+    ref = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(REF_TEXTS)])
+    lm = BigramLM.train(ref)
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="the cat sat on the rug"),
+         Row(doc_id=2, text="a dog and a cat")])
+    staged = docs.withColumn("__toks", raw_tokens_column(F.col("text")))
+    a = {r["doc_id"]: r["lm_logprob_per_token"]
+         for r in lm.score(docs).collect()}
+    b = {r["doc_id"]: r["lm_logprob_per_token"]
+         for r in lm.score(staged, tokens_col="__toks").collect()}
+    assert a == b

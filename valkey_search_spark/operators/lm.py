@@ -91,15 +91,21 @@ class BigramLM:
                            - d, F.lit(0.0)) / n) + F.lit(floor)
 
     def score(self, df: DataFrame, key: str = "doc_id",
-              text_col: str = "text") -> DataFrame:
+              text_col: str = "text",
+              tokens_col: str | None = None) -> DataFrame:
         """Adds ``lm_logprob_per_token`` (mean log2 P of each interior
         bigram position) and ``lm_perplexity`` (2^-that). Documents
         with fewer than two tokens score null. Join order and the
         broadcast hints keep the corpus on the streaming side of every
-        join — the plan is pinned in test_plan_quality."""
+        join — the plan is pinned in test_plan_quality.
+
+        ``tokens_col`` names an already-materialized token array (e.g.
+        the one a composed analysis pass staged) to skip the second
+        tokenizer scan — the same reuse hook as ``repetition_stats``."""
+        toks_src = (F.col(tokens_col) if tokens_col
+                    else raw_tokens_column(F.col(text_col)))
         staged = (df.select(F.col(key).alias("k"),
-                            raw_tokens_column(F.col(text_col))
-                            .alias("__toks"))
+                            toks_src.alias("__toks"))
                   .select("k", F.posexplode("__toks").alias("__i", "w"),
                           F.col("__toks").alias("__t")))
         pos = (staged.where(F.col("__i") > 0)

@@ -65,13 +65,17 @@ def curate_documents(df: DataFrame, key: str = "doc_id",
 
     rep_gates = (cfg.max_rep2_frac is not None
                  or cfg.max_dup_line_frac is not None)
-    analyzed = analyze_documents(df, text_col, keep_tokens=rep_gates)
+    lm_on = cfg.lm_model is not None or cfg.lm_reference is not None
+    analyzed = analyze_documents(df, text_col,
+                                 keep_tokens=rep_gates or lm_on)
     if rep_gates:
         from .contamination import repetition_stats
 
         # reuse the staged token array — no second tokenizer scan
         analyzed = repetition_stats(analyzed, text_col,
-                                    tokens_col="__toks").drop("__toks")
+                                    tokens_col="__toks")
+    if rep_gates and not lm_on:
+        analyzed = analyzed.drop("__toks")
     if cfg.gopher_rules:
         from .textops import gopher_quality_flags
 
@@ -86,7 +90,9 @@ def curate_documents(df: DataFrame, key: str = "doc_id",
         raise ValueError("max_lm_perplexity requires lm_model or "
                          "lm_reference")
     if lm is not None:
-        analyzed = lm.score(analyzed, key=key, text_col=text_col)
+        # score off the staged token array, then release it
+        analyzed = lm.score(analyzed, key=key, text_col=text_col,
+                            tokens_col="__toks").drop("__toks")
     gate = (F.col("quality_score") >= cfg.min_quality) & \
            (F.col("token_count") >= cfg.min_tokens)
     if cfg.gopher_rules:
