@@ -309,3 +309,49 @@ def test_exact_substring_dedup_randomized_vs_reference(spark):
     for r in exact_substring_dedup(df, n=4, min_doc_freq=2).collect():
         assert (r["text_deduped"], r["tokens_kept"], r["tokens_dropped"],
                 r["spans_dropped"]) == want[r["doc_id"]], r["doc_id"]
+
+
+def test_exact_substring_dedup_duckdb_oracle(spark, sf_dir):
+    """Independent SQL oracle on the real corpus: covered positions via
+    per-start range explode + count distinct (no interval merge needed),
+    span count via the gap>n property of sorted starts (with ends
+    always last-start+n, a start opens a new span iff it is more than n
+    past the previous start)."""
+    import duckdb
+
+    path = f"{sf_dir}/documents.parquet"
+    docs = spark.read.parquet(path)
+    from valkey_search_spark.operators.contamination import (
+        exact_substring_dedup,
+    )
+
+    got = {r["doc_id"]: (r["tokens_kept"], r["tokens_dropped"],
+                         r["spans_dropped"])
+           for r in exact_substring_dedup(docs, n=4).collect()}
+
+    oracle = duckdb.sql(f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') ts
+                   FROM '{path}'),
+        w AS (SELECT doc_id, i, hash(ts[i:i+3]) h
+              FROM t, lateral unnest(
+                  range(1, greatest(len(ts) - 2, 1))) u(i)),
+        dup AS (SELECT h, min(doc_id) keeper FROM w GROUP BY h
+                HAVING count(DISTINCT doc_id) >= 2),
+        st AS (SELECT w.doc_id, w.i FROM w JOIN dup ON w.h = dup.h
+               WHERE w.doc_id != dup.keeper),
+        cov AS (SELECT doc_id, count(DISTINCT p) dropped
+                FROM st, lateral unnest(range(i, i + 4)) v(p)
+                GROUP BY doc_id),
+        sp AS (SELECT doc_id, count(*) FILTER (
+                   WHERE prev IS NULL OR i - prev > 4) spans
+               FROM (SELECT doc_id, i,
+                            lag(i) OVER (PARTITION BY doc_id
+                                         ORDER BY i) prev FROM st)
+               GROUP BY doc_id)
+        SELECT t.doc_id, len(ts) - coalesce(dropped, 0),
+               coalesce(dropped, 0), coalesce(spans, 0)
+        FROM t LEFT JOIN cov USING (doc_id) LEFT JOIN sp USING (doc_id)
+    """).fetchall()
+    assert len(oracle) == len(got)
+    for doc_id, kept, dropped, spans in oracle:
+        assert got[doc_id] == (kept, dropped, spans), doc_id
