@@ -14,31 +14,45 @@ REF_TEXTS = ["the cat sat on the mat", "the dog sat on the rug",
              "a cat and a dog sat", "the cat and the dog"]
 
 
-def _scalar_lm(ref_texts, d=0.75):
+def _scalar_lm(ref_texts, d=0.75, order=2):
     toks = [t.split() for t in ref_texts]
     uni = Counter(w for ts in toks for w in ts)
     bi = Counter((ts[i - 1], ts[i]) for ts in toks
                  for i in range(1, len(ts)))
+    tri = Counter((ts[i - 2], ts[i - 1], ts[i]) for ts in toks
+                  for i in range(2, len(ts)))
     ctx, tv = Counter(), Counter()
     for (v, w), c in bi.items():
         ctx[v] += c
         tv[v] += 1
+    tctx, tt = Counter(), Counter()
+    for (v1, v, w), c in tri.items():
+        tctx[(v1, v)] += c
+        tt[(v1, v)] += 1
     n, t = sum(uni.values()), len(uni)
 
     def p_uni(w):
         return max(uni.get(w, 0) - d, 0) / n + (d * t / n) / (t + 1)
 
-    def p(v, w):
+    def p2(v, w):
         if v not in ctx:
             return p_uni(w)
         return (max(bi.get((v, w), 0) - d, 0)
                 + d * tv[v] * p_uni(w)) / ctx[v]
 
+    def p(v1, v, w):
+        lo = p2(v, w)
+        if order == 2 or v1 is None or (v1, v) not in tctx:
+            return lo
+        return (max(tri.get((v1, v, w), 0) - d, 0)
+                + d * tt[(v1, v)] * lo) / tctx[(v1, v)]
+
     def score(text):
         ts = text.split()
         if len(ts) < 2:
             return None
-        return sum(math.log2(p(ts[i - 1], ts[i]))
+        return sum(math.log2(p(ts[i - 2] if i >= 2 else None,
+                               ts[i - 1], ts[i]))
                    for i in range(1, len(ts))) / (len(ts) - 1)
 
     return score
@@ -252,4 +266,53 @@ def test_lm_score_tokens_col_reuse_matches(spark):
          for r in lm.score(docs).collect()}
     b = {r["doc_id"]: r["lm_logprob_per_token"]
          for r in lm.score(staged, tokens_col="__toks").collect()}
+    assert a == b
+
+
+def test_trigram_lm_matches_scalar_reference(spark):
+    """order=3: trigram level with recursive backoff into the bigram
+    level — exact match against the scalar model on every shape
+    (in-domain, partial context, OOV, first-position backoff)."""
+    ref = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(REF_TEXTS)])
+    docs = [Row(doc_id=1, text="the cat sat on the rug"),
+            Row(doc_id=2, text="zebra quark flux blorp"),
+            Row(doc_id=3, text="the cat"),                  # bigram only
+            Row(doc_id=4, text="cat sat on the mat today"),
+            Row(doc_id=5, text="single")]
+    got = {r["doc_id"]: r["lm_logprob_per_token"] for r in
+           lm_perplexity(spark.createDataFrame(docs), ref,
+                         order=3).collect()}
+    score = _scalar_lm(REF_TEXTS, order=3)
+    for doc in docs:
+        want = score(doc.text)
+        if want is None:
+            assert got[doc.doc_id] is None
+        else:
+            assert got[doc.doc_id] == pytest.approx(want, abs=1e-9), \
+                doc.doc_id
+
+
+def test_trigram_sharpens_in_domain_scores(spark):
+    """A doc that is literally reference text must score at least as
+    well under the trigram model; OOV gibberish stays bad; and a
+    reference with no 3-token docs degrades to the bigram model."""
+    ref = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(REF_TEXTS)])
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="the cat sat on the mat"),
+         Row(doc_id=2, text="zzz qqq www eee rrr")])
+    p2 = {r["doc_id"]: r["lm_perplexity"]
+          for r in lm_perplexity(docs, ref, order=2).collect()}
+    p3 = {r["doc_id"]: r["lm_perplexity"]
+          for r in lm_perplexity(docs, ref, order=3).collect()}
+    assert p3[1] < p2[1]                      # sharper on verbatim text
+    assert p3[2] > p3[1] * 2                  # gibberish still far worse
+    # short-doc reference -> empty trigram tables -> identical to order 2
+    short_ref = spark.createDataFrame(
+        [Row(doc_id=1, text="the cat"), Row(doc_id=2, text="a dog")])
+    a = {r["doc_id"]: r["lm_logprob_per_token"]
+         for r in lm_perplexity(docs, short_ref, order=2).collect()}
+    b = {r["doc_id"]: r["lm_logprob_per_token"]
+         for r in lm_perplexity(docs, short_ref, order=3).collect()}
     assert a == b

@@ -17,7 +17,12 @@ where N = training tokens, T = distinct unigram types, V = vocabulary
 size (the +1 reserves mass for unseen words: an OOV token scores the
 uniform floor (d*T/N)/(V+1) instead of zero), c(v) = occurrences of
 context v, T(v) = distinct continuations of v. Discounting guarantees
-every probability is positive, so log-loss is total.
+every probability is positive, so log-loss is total. ``order=3`` adds
+the trigram level with the same recursion —
+P_tri(w|v1,v2) = [max(c(v1,v2,w) - d, 0) + d*T(v1,v2)*P_bi(w|v2)] /
+c(v1,v2), backing off to P_bi when the two-word context is unseen (and
+at each document's first bigram position, where no two-back context
+exists) — two more broadcast joins, nothing else changes.
 
 Scale shape: the trained tables are reference-corpus aggregates
 (bounded by distinct bigram count — broadcastable for any reference
@@ -41,8 +46,11 @@ from ..functions.analysis import raw_tokens_column
 @dataclass
 class BigramLM:
     """Trained tables + scalars. ``uni``: (w, c_w); ``ctx``: (v, c_v,
-    t_v); ``bi``: (v, w, c_vw). All three are small reference-corpus
-    aggregates and are broadcast at score time."""
+    t_v); ``bi``: (v, w, c_vw); at ``order=3`` also ``tri``:
+    (v1, v, w, c_tw) and ``tctx``: (v1, v, c_t, t_t). All are small
+    reference-corpus aggregates and are broadcast at score time.
+    (The name is historical — the class carries orders 2 and 3; the
+    trigram level backs off recursively into the bigram level.)"""
 
     uni: DataFrame
     ctx: DataFrame
@@ -50,15 +58,21 @@ class BigramLM:
     n_tokens: int
     n_types: int
     discount: float
+    tri: DataFrame | None = None
+    tctx: DataFrame | None = None
 
     @classmethod
     def train(cls, reference: DataFrame, text_col: str = "text",
-              min_count: int = 1, discount: float = 0.75) -> "BigramLM":
+              min_count: int = 1, discount: float = 0.75,
+              order: int = 2) -> "BigramLM":
         """Count-based training: one explode of the reference corpus,
-        three aggregations (unigram, context, bigram). ``min_count``
-        prunes singleton bigrams from the table only — their mass
+        three aggregations (unigram, context, bigram) — five at
+        ``order=3`` (+ trigram, trigram-context). ``min_count`` prunes
+        singleton n-grams from the top tables only — their mass
         reappears through the discount/backoff term, exactly the
         pruning a KenLM build applies."""
+        if order not in (2, 3):
+            raise ValueError(f"order must be 2 or 3, got {order}")
         toks = (reference
                 .select(raw_tokens_column(F.col(text_col)).alias("__t"))
                 .select(F.posexplode("__t").alias("__i", "w"),
@@ -75,6 +89,20 @@ class BigramLM:
             F.sum("c_vw").alias("c_v"),
             F.count(F.lit(1)).alias("t_v"))
         bi = bi_full.where(F.col("c_vw") >= min_count)
+        tri = tctx = None
+        if order == 3:
+            trips = (toks.where(F.col("__i") > 1)
+                     .select(F.element_at("__toks", F.col("__i") - 1)
+                             .alias("v1"),
+                             F.element_at("__toks", F.col("__i"))
+                             .alias("v"),
+                             "w"))
+            tri_full = trips.groupBy("v1", "v", "w").agg(
+                F.count(F.lit(1)).alias("c_tw"))
+            tctx = tri_full.groupBy("v1", "v").agg(
+                F.sum("c_tw").alias("c_t"),
+                F.count(F.lit(1)).alias("t_t"))
+            tri = tri_full.where(F.col("c_tw") >= min_count)
         n_tokens, n_types = uni.agg(
             F.sum("c_w"), F.count(F.lit(1))).first()
         if not n_tokens:
@@ -82,7 +110,7 @@ class BigramLM:
                              "train a language model on it")
         return cls(uni=uni, ctx=ctx, bi=bi,
                    n_tokens=int(n_tokens), n_types=int(n_types),
-                   discount=float(discount))
+                   discount=float(discount), tri=tri, tctx=tctx)
 
     def _p_uni(self, c_w):
         d, n, t = self.discount, self.n_tokens, self.n_types
@@ -110,11 +138,23 @@ class BigramLM:
                           F.col("__toks").alias("__t")))
         pos = (staged.where(F.col("__i") > 0)
                .select("k", F.element_at("__t", F.col("__i")).alias("v"),
-                       "w"))
+                       "w",
+                       # two-back context for the trigram level; null at
+                       # the first bigram position (and when order == 2)
+                       F.when(F.col("__i") > 1,
+                              F.element_at("__t", F.col("__i") - 1))
+                       .alias("v1")))
         joined = (pos
                   .join(F.broadcast(self.bi), ["v", "w"], "left")
                   .join(F.broadcast(self.ctx), "v", "left")
                   .join(F.broadcast(self.uni), "w", "left"))
+        if self.tri is not None:
+            # null v1 join keys match nothing -> those positions fall
+            # back to the bigram level, which is exactly the model
+            joined = (joined
+                      .join(F.broadcast(self.tri), ["v1", "v", "w"],
+                            "left")
+                      .join(F.broadcast(self.tctx), ["v1", "v"], "left"))
         d = self.discount
         p_uni = self._p_uni(F.col("c_w"))
         p = F.when(
@@ -123,6 +163,13 @@ class BigramLM:
                         .cast("double") - d, F.lit(0.0))
              + d * F.col("t_v") * p_uni) / F.col("c_v")
         ).otherwise(p_uni)
+        if self.tri is not None:
+            p = F.when(
+                F.col("c_t").isNotNull(),
+                (F.greatest(F.coalesce(F.col("c_tw"), F.lit(0))
+                            .cast("double") - d, F.lit(0.0))
+                 + d * F.col("t_t") * p) / F.col("c_t")
+            ).otherwise(p)
         scored = (joined
                   .select("k", F.log2(p).alias("__lp"))
                   .groupBy("k")
@@ -136,10 +183,12 @@ class BigramLM:
 
 def lm_perplexity(df: DataFrame, reference: DataFrame,
                   key: str = "doc_id", text_col: str = "text",
-                  min_count: int = 1, discount: float = 0.75) -> DataFrame:
+                  min_count: int = 1, discount: float = 0.75,
+                  order: int = 2) -> DataFrame:
     """One-call form: train on ``reference``, score ``df``."""
     lm = BigramLM.train(reference, text_col=text_col,
-                        min_count=min_count, discount=discount)
+                        min_count=min_count, discount=discount,
+                        order=order)
     return lm.score(df, key=key, text_col=text_col)
 
 
