@@ -788,6 +788,18 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", "lm_logprob_per_token",
                           "lm_perplexity")
 
+    def b_bm25(spark, sf_dir):
+        # BM25 relevance ranking (beyond-reference: the reference
+        # returns text filters unranked): one statistics job + map-only
+        # codegen scoring + global top-k. Correctness is
+        # scalar-reference- and DuckDB-oracle-pinned in
+        # tests/test_ranking.py.
+        from valkey_search_spark.operators.ranking import bm25_rank
+
+        docs = load_table(spark, sf_dir, "documents")
+        return bm25_rank(docs, ["merge", "window", "sort"],
+                         top_k=100).select("doc_id", "bm25_score")
+
     def b_knn_ivf_partial(spark, sf_dir):
         # partial probe (nprobe = n_lists/4): the speed side of the
         # speed/recall tradeoff the reference headlines; the recall side
@@ -812,6 +824,7 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hygiene_gopher": b_gopher,
         "hygiene_span_dedup": b_span_dedup,
         "hygiene_lm_perplexity": b_lm_perplexity,
+        "search_bm25": b_bm25,
     }
 
 

@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "hygiene_gopher",
     "hygiene_span_dedup",
     "hygiene_lm_perplexity",
+    "search_bm25",
 ]
 
 

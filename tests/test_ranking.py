@@ -1,0 +1,146 @@
+"""BM25 ranking: scalar reference, DuckDB oracle over the real corpus,
+saturation/ordering sanity, and the map-only plan pin."""
+
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from valkey_search_spark.operators.ranking import bm25_rank
+
+K1, B = 1.2, 0.75
+
+
+def _scalar_bm25(docs, terms, k1=K1, b=B):
+    toks = {k: t.split() for k, t in docs.items()}
+    n = len(toks)
+    avgdl = sum(map(len, toks.values())) / n
+
+    def idf(t):
+        dft = sum(1 for ts in toks.values() if t in ts)
+        return math.log((n - dft + 0.5) / (dft + 0.5) + 1)
+
+    def score(k):
+        return sum(idf(t) * toks[k].count(t) * (k1 + 1)
+                   / (toks[k].count(t)
+                      + k1 * (1 - b + b * len(toks[k]) / avgdl))
+                   for t in terms)
+
+    return {k: score(k) for k in toks}
+
+
+DOCS = {1: "the cat sat on the mat",
+        2: "cat cat cat cat",
+        3: "dogs prefer the rug to the mat today always",
+        4: "nothing relevant here whatsoever",
+        5: "mat"}
+
+
+def test_bm25_matches_scalar_reference(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=k, text=t) for k, t in DOCS.items()])
+    want = _scalar_bm25(DOCS, ["cat", "mat"])
+    got = {r["doc_id"]: r["bm25_score"]
+           for r in bm25_rank(df, ["cat", "mat"],
+                              match_only=False).collect()}
+    assert set(got) == set(DOCS)
+    for k in DOCS:
+        assert got[k] == pytest.approx(want[k], abs=1e-9), k
+
+
+def test_bm25_saturation_and_ordering(spark):
+    """BM25's defining behaviors: tf saturation (equal-length docs —
+    tf=4 scores less than 4x the tf=1 score), non-matching docs drop
+    under match_only, and top_k orders by (score desc, key asc) in
+    agreement with the scalar model's ranking."""
+    df = spark.createDataFrame(
+        [Row(doc_id=k, text=t) for k, t in DOCS.items()])
+    out = bm25_rank(df, ["cat", "mat"], top_k=10).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 4 not in ids                         # no term -> dropped
+    want = _scalar_bm25(DOCS, ["cat", "mat"])
+    want_order = sorted((k for k in DOCS if want[k] > 0),
+                        key=lambda k: (-want[k], k))
+    assert ids == want_order
+    scores = [r["bm25_score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    # saturation: same-length docs, tf 4 vs tf 1 on one term
+    sat = {1: "cat a b c", 2: "cat cat cat cat"}
+    sdf = spark.createDataFrame(
+        [Row(doc_id=k, text=t) for k, t in sat.items()])
+    s = {r["doc_id"]: r["bm25_score"]
+         for r in bm25_rank(sdf, ["cat"], match_only=False).collect()}
+    assert s[2] < 4 * s[1]
+    assert s[2] > s[1]
+
+
+def test_bm25_duckdb_oracle_real_corpus(spark, sf_dir):
+    """Same formula in DuckDB over the real documents table."""
+    import duckdb
+
+    path = f"{sf_dir}/documents.parquet"
+    df = spark.read.parquet(path)
+    terms = ["merge", "window", "cat"]          # two real, one absent
+    got = {r["doc_id"]: r["bm25_score"]
+           for r in bm25_rank(df, terms, match_only=False).collect()}
+
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    oracle = duckdb.sql(f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') ts
+                   FROM '{path}'),
+        c AS (SELECT count(*) n, avg(len(ts)) avgdl FROM t),
+        d AS (SELECT q.term,
+                     (SELECT count(*) FROM t
+                      WHERE list_contains(ts, q.term)) dft
+              FROM (SELECT unnest([{inlist}]) term) q)
+        SELECT doc_id,
+               (SELECT sum(ln((c.n - d.dft + 0.5)/(d.dft + 0.5) + 1)
+                        * len(list_filter(ts, x -> x = d.term))
+                        * ({K1} + 1)
+                        / (len(list_filter(ts, x -> x = d.term))
+                           + {K1} * (1 - {B} + {B} * len(ts)/c.avgdl)))
+                FROM d, c) s
+        FROM t
+    """).fetchall()
+    assert len(oracle) == len(got)
+    for doc_id, want in oracle:
+        assert got[doc_id] == pytest.approx(want, abs=1e-9), doc_id
+
+
+def test_bm25_tokens_col_reuse_matches(spark):
+    from valkey_search_spark.functions.analysis import raw_tokens_column
+
+    df = spark.createDataFrame(
+        [Row(doc_id=k, text=t) for k, t in DOCS.items()])
+    staged = df.withColumn("__toks", raw_tokens_column(F.col("text")))
+    a = {r["doc_id"]: r["bm25_score"]
+         for r in bm25_rank(df, ["cat"], match_only=False).collect()}
+    b = {r["doc_id"]: r["bm25_score"]
+         for r in bm25_rank(staged, ["cat"], tokens_col="__toks",
+                            match_only=False).collect()}
+    assert a == b
+
+
+def test_bm25_edge_cases(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="a b")])
+    with pytest.raises(ValueError, match="at least one"):
+        bm25_rank(df, [])
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty"):
+        bm25_rank(empty, ["a"])
+    # duplicate query terms count once
+    one = {r["doc_id"]: r["bm25_score"]
+           for r in bm25_rank(df, ["a"], match_only=False).collect()}
+    two = {r["doc_id"]: r["bm25_score"]
+           for r in bm25_rank(df, ["a", "a"], match_only=False).collect()}
+    assert one == two
+
+
+def test_bm25_scoring_plan_map_only(spark):
+    """After the one statistics job, scoring is a map-only codegen
+    expression: no Python node, and without top_k no exchange at all."""
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (bm25_rank(df, ["merge", "window"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Python" not in plan
+    assert "Exchange" not in plan

@@ -1,0 +1,93 @@
+"""BM25 text ranking — beyond-reference extension (SURVEY §2.10).
+
+The reference returns text-filter results UNRANKED (its only score is
+the KNN distance field); a user coming from RediSearch expects relevance
+ranking. This is Okapi BM25 in its standard form:
+
+    score(d, q) = sum over t in q of
+        idf(t) * tf(t, d) * (k1 + 1)
+                 / (tf(t, d) + k1 * (1 - b + b * |d| / avgdl))
+    idf(t) = ln((N - df(t) + 0.5) / (df(t) + 0.5) + 1)
+
+with k1 = 1.2, b = 0.75 defaults (the Robertson/Sparck-Jones form with
+the +1 shift that keeps idf positive).
+
+Scale shape: corpus statistics (N, avgdl, per-query-term document
+frequencies) come from ONE aggregation job over the token column —
+df(t) for the handful of query terms only, never a full posting table —
+and return a few scalars to the driver (the same eager-statistics
+pattern as IVFIndex/BigramLM training). Scoring is then a map-only
+codegen expression over the token array: per-term tf via a counting
+fold, document length from array size. No shuffle at all unless the
+caller asks for global top-k ordering (one TakeOrdered). Query
+analysis reuses the engine's text analysis chain (case folding +
+stemming) so query terms meet index tokens in the same form ft_search
+matches them.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.analysis import raw_tokens_column
+
+
+def bm25_rank(df: DataFrame, terms: list[str], key: str = "doc_id",
+              text_col: str = "text", tokens_col: str | None = None,
+              k1: float = 1.2, b: float = 0.75,
+              top_k: int | None = None,
+              match_only: bool = True) -> DataFrame:
+    """Rank ``df`` by BM25 relevance to ``terms`` (pre-analyzed tokens —
+    pass the output of the same analyzer that built the token column;
+    for raw user text, tokenize with ``raw_tokens_column`` semantics
+    first). Adds ``bm25_score``; with ``match_only`` (default) keeps
+    only documents matching at least one term, and with ``top_k``
+    returns the global top-k by (score desc, key asc — deterministic
+    tiebreak, the engine's KNN convention).
+
+    ``tokens_col`` names an already-materialized token array (an index's
+    staged analysis column) to skip re-tokenizing; otherwise the text
+    column is tokenized with the engine's analyzer."""
+    if not terms:
+        raise ValueError("BM25 needs at least one query term")
+    terms = list(dict.fromkeys(terms))          # dedup, keep order
+    toks_src = (F.col(tokens_col) if tokens_col
+                else raw_tokens_column(F.col(text_col)))
+    staged = df.withColumn("__bm_toks", toks_src)
+    toks = F.col("__bm_toks")
+
+    # ONE statistics job: corpus size, average doc length, and df(t)
+    # for exactly the query's terms
+    stats = staged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size(toks)).alias("avgdl"),
+        *[F.count_if(F.array_contains(toks, t)).alias(f"df{i}")
+          for i, t in enumerate(terms)]).first()
+    n, avgdl = stats["n"], stats["avgdl"]
+    if not n or not avgdl:
+        raise ValueError("BM25 corpus is empty")
+    idf = [math.log((n - stats[f"df{i}"] + 0.5)
+                    / (stats[f"df{i}"] + 0.5) + 1.0)
+           for i in range(len(terms))]
+
+    dl = F.size(toks).cast("double")
+    norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl))
+
+    def _eq(term):
+        # single-parameter lambda: a 2-arg lambda would be read by
+        # F.filter as the (element, index) form
+        return lambda x: x == F.lit(term)
+
+    score = F.lit(0.0)
+    for i, t in enumerate(terms):
+        tf = F.size(F.filter(toks, _eq(t))).cast("double")
+        score = score + F.lit(idf[i]) * tf * F.lit(k1 + 1.0) / (tf + norm)
+    out = staged.withColumn("bm25_score", score).drop("__bm_toks")
+    if match_only:
+        out = out.where(F.col("bm25_score") > 0.0)
+    if top_k is not None:
+        out = (out.orderBy(F.col("bm25_score").desc(), F.col(key).asc())
+               .limit(top_k))
+    return out
