@@ -144,3 +144,28 @@ def test_bm25_scoring_plan_map_only(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Python" not in plan
     assert "Exchange" not in plan
+
+
+def test_bm25_over_indexed_token_column(spark):
+    """A Column-typed tokens_col ranks off the catalog's staged struct
+    tokens (the index's own analysis) — no re-tokenization, scores
+    agree with a manual computation over the same token arrays."""
+    from valkey_search_spark import SearchEngine, TextField
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=k, text=t) for k, t in DOCS.items()])
+    eng = SearchEngine(spark)
+    eng.ft_create("bm25_idx", docs, [TextField("text")],
+                  key_column="doc_id")
+    frame = eng.catalog.get("bm25_idx").indexed_df()
+    assert "_x_text" in frame.columns
+    toks = F.transform(F.col("_x_text"), lambda s: s["t"])
+    out = {r["doc_id"]: r["bm25_score"]
+           for r in bm25_rank(frame, ["cat", "mat"], match_only=False,
+                              tokens_col=toks).collect()}
+    token_rows = {r["doc_id"]: [s["t"] for s in r["_x_text"]]
+                  for r in frame.select("doc_id", "_x_text").collect()}
+    want = _scalar_bm25({k: " ".join(v) for k, v in token_rows.items()},
+                        ["cat", "mat"])
+    for k, v in want.items():
+        assert out[k] == pytest.approx(v, abs=1e-9), k

@@ -29,13 +29,14 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions.analysis import raw_tokens_column
 
 
 def bm25_rank(df: DataFrame, terms: list[str], key: str = "doc_id",
-              text_col: str = "text", tokens_col: str | None = None,
+              text_col: str = "text",
+              tokens_col: str | Column | None = None,
               k1: float = 1.2, b: float = 0.75,
               top_k: int | None = None,
               match_only: bool = True) -> DataFrame:
@@ -49,12 +50,21 @@ def bm25_rank(df: DataFrame, terms: list[str], key: str = "doc_id",
 
     ``tokens_col`` names an already-materialized token array (an index's
     staged analysis column) to skip re-tokenizing; otherwise the text
-    column is tokenized with the engine's analyzer."""
+    column is tokenized with the engine's analyzer. It also accepts a
+    Column expression — e.g. projecting the catalog's
+    ``_x_<field>`` struct column,
+    ``F.transform("_x_body", lambda s: s["t"])``, ranks an indexed
+    corpus with the index's own analysis (stop words excluded there,
+    which is the conventional BM25 form)."""
     if not terms:
         raise ValueError("BM25 needs at least one query term")
     terms = list(dict.fromkeys(terms))          # dedup, keep order
-    toks_src = (F.col(tokens_col) if tokens_col
-                else raw_tokens_column(F.col(text_col)))
+    if tokens_col is None:
+        toks_src = raw_tokens_column(F.col(text_col))
+    elif isinstance(tokens_col, Column):
+        toks_src = tokens_col
+    else:
+        toks_src = F.col(tokens_col)
     staged = df.withColumn("__bm_toks", toks_src)
     toks = F.col("__bm_toks")
 
