@@ -169,3 +169,94 @@ def test_bm25_over_indexed_token_column(spark):
                         ["cat", "mat"])
     for k, v in want.items():
         assert out[k] == pytest.approx(v, abs=1e-9), k
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms
+
+from valkey_search_spark.operators.ranking import tfidf_top_terms
+
+
+def _scalar_tfidf(docs, k):
+    from collections import Counter
+
+    toks = {i: t.split() for i, t in docs.items()}
+    n = len(toks)
+    dfreq = Counter()
+    for ts in toks.values():
+        for t in set(ts):
+            dfreq[t] += 1
+    out = {}
+    for i, ts in toks.items():
+        c = Counter(ts)
+        scores = {t: c[t] * (math.log((1 + n) / (1 + dfreq[t])) + 1)
+                  for t in c}
+        out[i] = sorted(scores.items(),
+                        key=lambda x: (-x[1], x[0]))[:k]
+    return out
+
+
+TDOCS = {1: "the cat sat on the mat", 2: "cat cat dog",
+         3: "rare unicorn words here", 4: "the the the", 5: ""}
+
+
+def test_tfidf_matches_scalar_reference(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in TDOCS.items()])
+    got = {r["doc_id"]: r["top_terms"]
+           for r in tfidf_top_terms(df, k=3).collect()}
+    # N counts every document, including the empty one (sklearn's
+    # convention); the empty doc just contributes no terms
+    want = {i: w for i, w in _scalar_tfidf(TDOCS, 3).items() if w}
+    for i, w in want.items():
+        g = [(s["term"], s["score"]) for s in got[i]]
+        assert len(g) == len(w)
+        for (gt, gs), (wt, ws) in zip(g, w):
+            assert gt == wt and gs == pytest.approx(ws, abs=1e-9), i
+    assert got[5] is None                     # empty doc: no terms
+
+
+def test_tfidf_min_df_and_distinctive_terms(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in TDOCS.items()])
+    rows = {r["doc_id"]: r["top_terms"]
+            for r in tfidf_top_terms(df, k=10, min_df=2).collect()}
+    terms3 = [s["term"] for s in rows[3] or []]
+    assert terms3 == []                       # all doc-3 terms are df=1
+    # doc 1 keeps exactly its df>=2 terms, ordered by the model
+    want1 = [(t, s) for t, s in _scalar_tfidf(TDOCS, 10)[1]
+             if t in ("the", "cat")]          # doc 1's df>=2 terms
+    got1 = [(s["term"], s["score"]) for s in rows[1]]
+    assert [t for t, _ in got1] == [t for t, _ in want1]
+    for (gt, gs), (wt, ws) in zip(got1, want1):
+        assert gs == pytest.approx(ws, abs=1e-9), gt
+
+
+def test_tfidf_duckdb_oracle_real_corpus(spark, sf_dir):
+    import duckdb
+
+    path = f"{sf_dir}/documents.parquet"
+    df = spark.read.parquet(path)
+    got = {r["doc_id"]: [(s["term"], round(s["score"], 9))
+                         for s in r["top_terms"]]
+           for r in tfidf_top_terms(df, k=5).collect()}
+    oracle = duckdb.sql(f"""
+        WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) w
+                   FROM '{path}'),
+        c AS (SELECT doc_id, w, count(*) tf FROM t GROUP BY doc_id, w),
+        d AS (SELECT w, count(*) dfreq FROM c GROUP BY w),
+        n AS (SELECT count(*) nd FROM '{path}'),
+        s AS (SELECT c.doc_id, c.w,
+                     c.tf * (ln((1 + n.nd)/(1 + d.dfreq)) + 1) sc,
+                     row_number() OVER (PARTITION BY c.doc_id
+                                        ORDER BY c.tf * (ln((1 + n.nd)
+                                          /(1 + d.dfreq)) + 1) DESC,
+                                        c.w ASC) rn
+              FROM c JOIN d USING (w) CROSS JOIN n)
+        SELECT doc_id, list(w ORDER BY rn), list(sc ORDER BY rn)
+        FROM s WHERE rn <= 5 GROUP BY doc_id
+    """).fetchall()
+    assert len(oracle) == len(got)
+    for doc_id, terms, scores in oracle:
+        want = [(t, round(s, 9)) for t, s in zip(terms, scores)]
+        assert got[doc_id] == want, doc_id

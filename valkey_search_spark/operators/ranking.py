@@ -101,3 +101,64 @@ def bm25_rank(df: DataFrame, terms: list[str], key: str = "doc_id",
         out = (out.orderBy(F.col("bm25_score").desc(), F.col(key).asc())
                .limit(top_k))
     return out
+
+
+def tfidf_top_terms(df: DataFrame, key: str = "doc_id",
+                    text_col: str = "text",
+                    tokens_col: str | Column | None = None,
+                    k: int = 10, min_df: int = 1) -> DataFrame:
+    """Per-document keyword extraction: the ``k`` highest-TF-IDF terms
+    of each document as ``top_terms: array<struct<term, score>>``
+    (score-descending, term-ascending tiebreak). The complement of
+    ``bm25_rank``: BM25 ranks documents for a query, this labels each
+    document with what makes it distinctive.
+
+    Formula (the scikit-learn TfidfVectorizer default, smooth_idf):
+    tf = raw count of the term in the document;
+    idf = ln((1 + N) / (1 + df(t))) + 1. ``min_df`` drops terms seen
+    in fewer documents.
+
+    Scale shape: explode the token column into per-(doc, term) counts
+    (one shuffle, map-side combine), derive per-term document
+    frequencies from THOSE counts (second aggregation — the rows are
+    already one per (doc, term), so df is a plain count), join them
+    back on the term (shuffle hash join; AQE handles hot-term skew the
+    same way the gram operators do), and take each document's top-k
+    with sort_array over a per-doc collect_list — bounded by the
+    document's own vocabulary, no corpus-wide window."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if tokens_col is None:
+        toks_src = raw_tokens_column(F.col(text_col))
+    elif isinstance(tokens_col, Column):
+        toks_src = tokens_col
+    else:
+        toks_src = F.col(tokens_col)
+    staged = df.select(F.col(key).alias("k"), toks_src.alias("__toks"))
+    counts = (staged.select("k", F.explode("__toks").alias("__t"))
+              .groupBy("k", "__t")
+              .agg(F.count(F.lit(1)).alias("__tf")))
+    n_docs = df.count()
+    dfreq = (counts.groupBy("__t")
+             .agg(F.count(F.lit(1)).alias("__df")))
+    if min_df > 1:
+        dfreq = dfreq.where(F.col("__df") >= min_df)
+    scored = (counts.join(dfreq, "__t")
+              .withColumn(
+                  "__score",
+                  F.col("__tf") * (F.log((1.0 + n_docs)
+                                         / (1.0 + F.col("__df"))) + 1.0)))
+    top = (scored.groupBy("k").agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct(
+                (-F.col("__score")).alias("neg"),
+                F.col("__t").alias("term"),
+                F.col("__score").alias("score")))),
+            1, k).alias("__top"))
+        .select(F.col("k").alias(key),
+                F.transform(
+                    "__top",
+                    lambda s: F.struct(s["term"].alias("term"),
+                                       s["score"].alias("score")))
+                .alias("top_terms")))
+    return df.join(top, key, "left")
