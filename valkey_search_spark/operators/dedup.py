@@ -91,7 +91,8 @@ def _parallelize(df: DataFrame) -> DataFrame:
     return df
 
 
-def _staged_tokens(df: DataFrame, key: str, text_col: str) -> DataFrame:
+def _staged_tokens(df: DataFrame, key: str, text_col: str,
+                   carry: tuple[str, ...] = ()) -> DataFrame:
     """(k, __toks) with the token array materialized through a shuffle
     barrier. The shingle expressions below reference the token array many
     times (size, sequence bound, one slice per position); Catalyst does
@@ -105,7 +106,8 @@ def _staged_tokens(df: DataFrame, key: str, text_col: str) -> DataFrame:
     # many downstream references read them instead of re-running the regex
     out = (_parallelize(df)
            .select(F.col(key).alias("k"),
-                   raw_tokens_column(F.col(text_col)).alias("__toks")))
+                   raw_tokens_column(F.col(text_col)).alias("__toks"),
+                   *carry))
     return out.repartition(target)
 
 
@@ -197,6 +199,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     threshold: float = 0.7,
+    new_col: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (a < b) with exact Jaccard >= threshold, using
     MinHash banding for candidate generation (the classic s-curve: with
@@ -205,7 +208,15 @@ def minhash_lsh_pairs(
     Plan shape: explode bands (xN rows) -> shuffle on (band, bucket) ->
     self-join inside buckets -> dedupe candidates -> verify with exact
     Jaccard on shingle sets. At 100 TB the only O(n^2) danger is a hot
-    bucket; AQE skew-join splits those."""
+    bucket; AQE skew-join splits those.
+
+    ``new_col`` (incremental mode) names a boolean column: only pairs
+    involving at least one ``new_col=true`` document are emitted, and —
+    the point — the restriction applies INSIDE the bucket self-join, so
+    the old-vs-old quadratic work within each bucket is never generated
+    or verified. A daily batch dedups against an accumulated corpus at
+    the cost of new-involving pairs only (see
+    ``minhash_lsh_pairs_incremental``)."""
     rows = num_hashes // bands
     # hashed-shingle base: tokens staged through the exchange (computed
     # once), ONE string-hash pass, persisted because three downstream
@@ -213,11 +224,13 @@ def minhash_lsh_pairs(
     # NOTE: no isNotNull filter here — a Filter over the aliased projection
     # gets pushed below it, DUPLICATING the expensive expression; null hs
     # rows drop out naturally at the explode and the jaccard threshold
-    staged = _staged_tokens(df, key, text_col)
+    carry = (new_col,) if new_col else ()
+    staged = _staged_tokens(df, key, text_col, carry=carry)
     sh = _shingles_of(F.col("__toks"), shingle_n)
     base = staged.select(
         "k",
         F.transform(sh, lambda g: F.xxhash64(g)).alias("hs"),
+        *carry,
     ).persist()
 
     sig = F.transform(
@@ -238,19 +251,24 @@ def minhash_lsh_pairs(
     banded = (base
               .select("k", sig.alias("__sig"),
                       F.explode(F.sequence(F.lit(0), F.lit(bands - 1))
-                                ).alias("band"))
+                                ).alias("band"), *carry)
               .select("k", "band",
                       F.xxhash64(F.array_join(
                           F.transform(
                               F.slice(F.col("__sig"),
                                       F.col("band") * rows + 1, rows),
                               lambda h: h.cast("string")),
-                          ",")).alias("bucket"))
+                          ",")).alias("bucket"), *carry)
               .persist())
 
+    pair_cond = F.col("l.k") < F.col("r.k")
+    if new_col:
+        # inside the bucket join: old-old pairs are never generated
+        pair_cond = pair_cond & (F.col(f"l.{new_col}")
+                                 | F.col(f"r.{new_col}"))
     cand = (
         banded.alias("l").join(banded.alias("r"), on=["band", "bucket"])
-        .where(F.col("l.k") < F.col("r.k"))
+        .where(pair_cond)
         .select(F.col("l.k").alias("a"), F.col("r.k").alias("b"))
         .dropDuplicates(["a", "b"])
     )
@@ -258,7 +276,7 @@ def minhash_lsh_pairs(
     # verify: join the (deduped, small) candidate set back to the hashed
     # shingle sets — two key-equi joins instead of shipping arrays through
     # banding; Jaccard over hashed sets == Jaccard over string sets w.h.p.
-    hs = base
+    hs = base.drop(*carry) if carry else base
     cand = (cand.join(hs.withColumnRenamed("k", "a").withColumnRenamed("hs", "hsa"), "a")
                 .join(hs.withColumnRenamed("k", "b").withColumnRenamed("hs", "hsb"), "b"))
     inter = F.size(F.array_intersect(F.col("hsa"), F.col("hsb"))).cast("double")
@@ -367,6 +385,25 @@ def simhash_col(text_col, bits: int = 64):
     stays JVM-side via xxhash64)."""
     toks = raw_tokens_column(text_col)
     return _simhash_pack(F.transform(toks, lambda t: F.xxhash64(t)), bits)
+
+
+def minhash_lsh_pairs_incremental(new: DataFrame, corpus: DataFrame,
+                                  key: str, text_col: str = "text",
+                                  **kwargs) -> DataFrame:
+    """Incremental ingest dedup: near-dup pairs of a NEW batch against an
+    accumulated corpus (and within the batch itself) — old-vs-old pairs
+    are never generated, so a daily batch pays |new|-proportional join
+    work inside each LSH bucket instead of the corpus's quadratic term
+    (the streaming-ingest posture: the historical corpus was already
+    deduped when it accumulated). Keys must be distinct across the two
+    frames; output is (a, b, jaccard) with at least one side from
+    ``new``."""
+    cols = [key, text_col]
+    tagged = (corpus.select(*cols).withColumn("__is_new", F.lit(False))
+              .unionByName(
+                  new.select(*cols).withColumn("__is_new", F.lit(True))))
+    return minhash_lsh_pairs(tagged, key, text_col,
+                             new_col="__is_new", **kwargs)
 
 
 def simhash_pairs(df: DataFrame, key: str, text_col: str = "text",
