@@ -53,3 +53,40 @@ def test_minhash_incremental_prunes_inside_bucket_join(spark):
                   if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln
                   or "BroadcastHashJoin" in ln]
     assert any("__is_new" in ln for ln in join_lines), join_lines
+
+
+def test_incremental_dedup_composes_with_document_store(spark, tmp_path):
+    """The ingest-dedup composition: each arriving batch near-dedups
+    against the accumulated DocumentStore BEFORE being applied — dup
+    arrivals are dropped, novel docs land, and the store never pays
+    old-vs-old pair work (the incremental contract)."""
+    from pyspark.sql import functions as F
+
+    from valkey_search_spark.operators.dedup import (
+        minhash_lsh_pairs_incremental,
+    )
+    from valkey_search_spark.streaming.ingest import DocumentStore
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    store = DocumentStore(spark, str(tmp_path / "store"),
+                          key_column="doc_id", num_buckets=4)
+    store.backfill(spark.createDataFrame(
+        [Row(doc_id=i, text=base + f" v{i}") for i in range(6)]))
+
+    batch = spark.createDataFrame([
+        Row(doc_id=100, text=base + " v0"),          # near-dup of doc 0
+        Row(doc_id=101, text="fresh novel content entirely different"),
+    ])
+    corpus = store.read().select("doc_id", "text")
+    dups = minhash_lsh_pairs_incremental(
+        batch, corpus, "doc_id", threshold=0.6)
+    # arrivals that near-dup ANY accumulated doc (or an earlier arrival)
+    losers = dups.select(F.greatest("a", "b").alias("doc_id")).distinct()
+    clean = batch.join(losers, "doc_id", "left_anti")
+    store.apply_mutations(
+        clean.withColumn("__op", F.lit("SET")), op_column="__op")
+
+    kept = {r["doc_id"] for r in store.read().select("doc_id").collect()}
+    assert 101 in kept and 100 not in kept
+    assert kept == {0, 1, 2, 3, 4, 5, 101}
