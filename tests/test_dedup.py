@@ -90,3 +90,30 @@ def test_incremental_dedup_composes_with_document_store(spark, tmp_path):
     kept = {r["doc_id"] for r in store.read().select("doc_id").collect()}
     assert 101 in kept and 100 not in kept
     assert kept == {0, 1, 2, 3, 4, 5, 101}
+
+
+def test_simhash_incremental_matches_filtered_full_pairs(spark):
+    """simhash new_col mode == full pairs filtered to new-involving;
+    the flag sits in the chunk-join condition."""
+    from valkey_search_spark.operators.dedup import simhash_pairs
+    from pyspark.sql import functions as F
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [Row(doc_id=i, text=base + f" tail{i // 2}", __new=False)
+            for i in range(8)]
+    rows += [Row(doc_id=100, text=base + " tail0", __new=True),
+             Row(doc_id=101, text="entirely different words", __new=True)]
+    df = spark.createDataFrame(rows)
+    kw = dict(max_hamming=8)
+    inc = {(r["a"], r["b"]) for r in
+           simhash_pairs(df, "doc_id", new_col="__new", **kw).collect()}
+    full = {(r["a"], r["b"]) for r in
+            simhash_pairs(df.drop("__new"), "doc_id", **kw).collect()}
+    want = {p for p in full if p[0] >= 100 or p[1] >= 100}
+    assert inc == want and len(want) > 0
+    assert any(a < 100 and b < 100 for a, b in full)
+    plan = (simhash_pairs(df, "doc_id", new_col="__new", **kw)
+            ._jdf.queryExecution().executedPlan().toString())
+    join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert any("__new" in ln for ln in join_lines)

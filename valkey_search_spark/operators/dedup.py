@@ -408,7 +408,8 @@ def minhash_lsh_pairs_incremental(new: DataFrame, corpus: DataFrame,
 
 def simhash_pairs(df: DataFrame, key: str, text_col: str = "text",
                   max_hamming: int = 3, bands: int | None = None,
-                  hash_fn: str = "xxhash64") -> DataFrame:
+                  hash_fn: str = "xxhash64",
+                  new_col: str | None = None) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit code into ``bands`` chunks
     (pigeonhole: hamming <= bands-1 guarantees a shared chunk), equi-join on
     (band, chunk), verify exact Hamming distance via bit_count(xor).
@@ -425,7 +426,12 @@ def simhash_pairs(df: DataFrame, key: str, text_col: str = "text",
     (60-bit codes from the top 15 hex chars of md5 — bit-identically
     reproducible in standard SQL, so the driver's DuckDB oracle can
     verify the whole pipeline value-for-value; ~same speed at the
-    token counts documents carry, both JVM-side)."""
+    token counts documents carry, both JVM-side).
+
+    ``new_col`` (incremental mode, same contract as
+    ``minhash_lsh_pairs``): only pairs involving at least one flagged
+    document, restricted INSIDE the chunk self-join so old-vs-old
+    candidates are never generated."""
     if bands is None:
         bands = max_hamming + 1
     if hash_fn == "xxhash64":
@@ -448,10 +454,11 @@ def simhash_pairs(df: DataFrame, key: str, text_col: str = "text",
             f"bands={bands} cannot guarantee recall for max_hamming="
             f"{max_hamming}: a pair differing in {max_hamming} bits is only"
             f" sure to share a chunk when bands > max_hamming")
-    staged = _staged_tokens(df, key, text_col)
+    carry = (new_col,) if new_col else ()
+    staged = _staged_tokens(df, key, text_col, carry=carry)
     hashes = F.transform(F.col("__toks"), hasher)
     coded = staged.select(
-        "k", _simhash_pack(hashes, bits=nbits).alias("code")).where(
+        "k", _simhash_pack(hashes, bits=nbits).alias("code"), *carry).where(
         F.col("code").isNotNull())
     base_w, extra = divmod(nbits, bands)
     widths = [base_w + (1 if b < extra else 0) for b in range(bands)]
@@ -466,14 +473,19 @@ def simhash_pairs(df: DataFrame, key: str, text_col: str = "text",
                 .bitwiseAND(F.lit((1 << widths[b]) - 1)).alias("chunk"))
 
     banded = coded.select(
-        "k", "code",
+        "k", "code", *carry,
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"), _chunk(b))
             for b in range(bands)
         ])).alias("bc"),
-    ).select("k", "code", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    ).select("k", "code", F.col("bc.band").alias("band"),
+             F.col("bc.chunk").alias("chunk"), *carry)
+    pair_cond = F.col("l.k") < F.col("r.k")
+    if new_col:
+        pair_cond = pair_cond & (F.col(f"l.{new_col}")
+                                 | F.col(f"r.{new_col}"))
     cand = (banded.alias("l").join(banded.alias("r"), on=["band", "chunk"])
-            .where(F.col("l.k") < F.col("r.k"))
+            .where(pair_cond)
             .select(F.col("l.k").alias("a"), F.col("r.k").alias("b"),
                     F.col("l.code").alias("ca"), F.col("r.code").alias("cb"))
             .dropDuplicates(["a", "b"]))
