@@ -211,11 +211,12 @@ def minhash_lsh_pairs(
     bucket; AQE skew-join splits those.
 
     ``new_col`` (incremental mode) names a boolean column: only pairs
-    involving at least one ``new_col=true`` document are emitted, and —
-    the point — the restriction applies INSIDE the bucket self-join, so
-    the old-vs-old quadratic work within each bucket is never generated
-    or verified. A daily batch dedups against an accumulated corpus at
-    the cost of new-involving pairs only (see
+    involving at least one ``new_col=true`` document are emitted, via an
+    ASYMMETRIC bucket join (new rows on the left vs all rows) — the
+    old-vs-old quadratic work within each bucket is never enumerated,
+    and the small new side broadcasts so the corpus bands stream
+    map-side. A daily batch dedups against an accumulated corpus at the
+    cost of new-involving pairs only (see
     ``minhash_lsh_pairs_incremental``)."""
     rows = num_hashes // bands
     # hashed-shingle base: tokens staged through the exchange (computed
@@ -261,17 +262,30 @@ def minhash_lsh_pairs(
                           ",")).alias("bucket"), *carry)
               .persist())
 
-    pair_cond = F.col("l.k") < F.col("r.k")
     if new_col:
-        # inside the bucket join: old-old pairs are never generated
-        pair_cond = pair_cond & (F.col(f"l.{new_col}")
-                                 | F.col(f"r.{new_col}"))
-    cand = (
-        banded.alias("l").join(banded.alias("r"), on=["band", "bucket"])
-        .where(pair_cond)
-        .select(F.col("l.k").alias("a"), F.col("r.k").alias("b"))
-        .dropDuplicates(["a", "b"])
-    )
+        # ASYMMETRIC join: left side holds only the new rows, so the
+        # old-vs-old cross products inside each bucket are never
+        # ENUMERATED (a residual `l.new OR r.new` predicate on the
+        # symmetric join would still generate every old-old match and
+        # filter it afterwards — measured slower than the full join).
+        # The new side is the small one; Spark broadcasts it and the
+        # corpus bands stream map-side. (new, new) pairs arrive in both
+        # orientations; least/greatest + dropDuplicates normalizes.
+        left = banded.where(F.col(new_col)).drop(new_col)
+        cand = (
+            left.alias("l").join(banded.alias("r"), on=["band", "bucket"])
+            .where(F.col("l.k") != F.col("r.k"))
+            .select(F.least(F.col("l.k"), F.col("r.k")).alias("a"),
+                    F.greatest(F.col("l.k"), F.col("r.k")).alias("b"))
+            .dropDuplicates(["a", "b"])
+        )
+    else:
+        cand = (
+            banded.alias("l").join(banded.alias("r"), on=["band", "bucket"])
+            .where(F.col("l.k") < F.col("r.k"))
+            .select(F.col("l.k").alias("a"), F.col("r.k").alias("b"))
+            .dropDuplicates(["a", "b"])
+        )
 
     # verify: join the (deduped, small) candidate set back to the hashed
     # shingle sets — two key-equi joins instead of shipping arrays through
@@ -430,8 +444,8 @@ def simhash_pairs(df: DataFrame, key: str, text_col: str = "text",
 
     ``new_col`` (incremental mode, same contract as
     ``minhash_lsh_pairs``): only pairs involving at least one flagged
-    document, restricted INSIDE the chunk self-join so old-vs-old
-    candidates are never generated."""
+    document, via the asymmetric new-vs-all chunk join — old-vs-old
+    candidates are never enumerated."""
     if bands is None:
         bands = max_hamming + 1
     if hash_fn == "xxhash64":
@@ -480,15 +494,31 @@ def simhash_pairs(df: DataFrame, key: str, text_col: str = "text",
         ])).alias("bc"),
     ).select("k", "code", F.col("bc.band").alias("band"),
              F.col("bc.chunk").alias("chunk"), *carry)
-    pair_cond = F.col("l.k") < F.col("r.k")
     if new_col:
-        pair_cond = pair_cond & (F.col(f"l.{new_col}")
-                                 | F.col(f"r.{new_col}"))
-    cand = (banded.alias("l").join(banded.alias("r"), on=["band", "chunk"])
-            .where(pair_cond)
-            .select(F.col("l.k").alias("a"), F.col("r.k").alias("b"),
-                    F.col("l.code").alias("ca"), F.col("r.code").alias("cb"))
-            .dropDuplicates(["a", "b"]))
+        # asymmetric new-vs-all join — same reasoning as minhash: the
+        # restriction must remove old-old pairs from ENUMERATION, not
+        # post-filter them; orientation normalized by least/greatest
+        # (codes swap with the keys so the verify stays aligned)
+        left = banded.where(F.col(new_col)).drop(new_col)
+        swap = F.col("l.k") < F.col("r.k")
+        cand = (left.alias("l").join(banded.alias("r"),
+                                     on=["band", "chunk"])
+                .where(F.col("l.k") != F.col("r.k"))
+                .select(F.least(F.col("l.k"), F.col("r.k")).alias("a"),
+                        F.greatest(F.col("l.k"), F.col("r.k")).alias("b"),
+                        F.when(swap, F.col("l.code"))
+                         .otherwise(F.col("r.code")).alias("ca"),
+                        F.when(swap, F.col("r.code"))
+                         .otherwise(F.col("l.code")).alias("cb"))
+                .dropDuplicates(["a", "b"]))
+    else:
+        cand = (banded.alias("l").join(banded.alias("r"),
+                                       on=["band", "chunk"])
+                .where(F.col("l.k") < F.col("r.k"))
+                .select(F.col("l.k").alias("a"), F.col("r.k").alias("b"),
+                        F.col("l.code").alias("ca"),
+                        F.col("r.code").alias("cb"))
+                .dropDuplicates(["a", "b"]))
     hamming = F.bit_count(F.col("ca").bitwiseXOR(F.col("cb")))
     return (cand.withColumn("hamming", hamming)
                 .where(F.col("hamming") <= max_hamming)
