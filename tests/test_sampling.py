@@ -184,3 +184,59 @@ def test_sample_to_token_budget_tiny_fractions_and_hash_join(spark):
         .queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_alpha_sample_to_budget_temperature_split(spark):
+    """Alpha-weighted budget split (the mT5/XLM-R recipe): alpha=1 gives
+    the natural proportions, alpha=0 the uniform split, 0<alpha<1 lands
+    between — per-group token sums verified against the closed-form
+    share, with deterministic hash membership and whole-group capping."""
+    from pyspark.sql import Row
+    from valkey_search_spark.operators.sampling import (
+        alpha_sample_to_budget,
+    )
+
+    # high-resource 'web' (16k tokens), low-resource 'rare' (1k tokens)
+    rows = [Row(doc_id=i, source="web",
+                text=" ".join(f"w{j}" for j in range(8)))
+            for i in range(2000)]
+    rows += [Row(doc_id=10_000 + i, source="rare",
+                 text=" ".join(f"w{j}" for j in range(8)))
+             for i in range(125)]
+    df = spark.createDataFrame(rows)
+    totals = {"web": 16_000, "rare": 1_000}
+
+    def shares(alpha, budget):
+        wsum = sum(t ** alpha for t in totals.values())
+        return {s: min(1.0, budget * (t ** alpha) / wsum / t) * t
+                for s, t in totals.items()}
+
+    for alpha in (0.0, 0.3, 1.0):
+        out = alpha_sample_to_budget(df, "doc_id", 4_000, alpha=alpha)
+        got = {r["source"]: r["n"] * 8 for r in
+               out.groupBy("source").agg(F.count("*").alias("n"))
+               .collect()}
+        want = shares(alpha, 4_000)
+        for s in totals:
+            assert got.get(s, 0) == pytest.approx(want[s],
+                                                  rel=0.25), (alpha, s)
+    # alpha=0 with a big budget: rare is capped at its whole 1k tokens
+    out = alpha_sample_to_budget(df, "doc_id", 10_000, alpha=0.0)
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert got["rare"] == 125                     # taken whole
+    # deterministic across recomputation
+    o1 = alpha_sample_to_budget(df, "doc_id", 4_000)
+    assert o1.count() == o1.count()
+    # low-resource boost: rare's sampled-token share rises as alpha
+    # drops (the whole point of temperature sampling)
+    share = {}
+    for alpha in (1.0, 0.3):
+        out = alpha_sample_to_budget(df, "doc_id", 4_000, alpha=alpha)
+        per = {r["source"]: r["n"] for r in
+               out.groupBy("source").agg(F.count("*").alias("n"))
+               .collect()}
+        share[alpha] = per.get("rare", 0) / max(sum(per.values()), 1)
+    assert share[0.3] > share[1.0]
+    with pytest.raises(ValueError, match="alpha"):
+        alpha_sample_to_budget(df, "doc_id", 100, alpha=-1)
