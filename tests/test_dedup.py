@@ -120,3 +120,32 @@ def test_simhash_incremental_matches_filtered_full_pairs(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert any("Filter" in ln and "__new" in ln
                for ln in plan.splitlines())
+
+
+def test_ngram_jaccard_incremental_matches_filtered_full_pairs(spark):
+    """Both branches (default and stop-gram) of the asymmetric ngram
+    mode equal the full pairs filtered to new-involving."""
+    from valkey_search_spark.operators.dedup import (
+        ngram_jaccard_pairs, ngram_jaccard_pairs_incremental,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    old = spark.createDataFrame(
+        [Row(doc_id=i, text=base + f" t{i // 2}") for i in range(8)])
+    new = spark.createDataFrame([
+        Row(doc_id=100, text=base + " t0"),
+        Row(doc_id=101, text="totally different words entirely here"),
+        Row(doc_id=102, text=base + " t0 extra"),
+    ])
+    for extra in ({}, {"stop_gram_df": 6}):
+        kw = dict(shingle_n=3, threshold=0.5, **extra)
+        inc = {(r["a"], r["b"], r["jaccard"]) for r in
+               ngram_jaccard_pairs_incremental(
+                   new, old, "doc_id", **kw).collect()}
+        full = {(r["a"], r["b"], r["jaccard"]) for r in
+                ngram_jaccard_pairs(
+                    old.unionByName(new), "doc_id", **kw).collect()}
+        want = {p for p in full if p[0] >= 100 or p[1] >= 100}
+        assert inc == want and len(want) > 0, extra
+        assert any(a < 100 and b < 100 for a, b, _ in full), extra

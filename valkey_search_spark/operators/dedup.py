@@ -111,20 +111,23 @@ def _staged_tokens(df: DataFrame, key: str, text_col: str,
     return out.repartition(target)
 
 
-def _gram_rows(df: DataFrame, key: str, text_col: str, n: int) -> DataFrame:
+def _gram_rows(df: DataFrame, key: str, text_col: str, n: int,
+               carry: tuple[str, ...] = ()) -> DataFrame:
     """(k, g) rows, one per word n-gram window occurrence, built
     explode-safely: posexplode runs over the staged ATTRIBUTE token
     array and each gram derives from a per-position slice. Exploding a
     BUILT grams array instead would cost O(windows^2) per document —
     Generate re-evaluates a computed child array once per output
     element. Shared by the Jaccard join and benchmark decontamination."""
-    staged = _staged_tokens(df, key, text_col)
+    staged = _staged_tokens(df, key, text_col, carry=carry)
     toks = F.col("__toks")
     return (staged.select("k", "__toks",
-                          F.posexplode("__toks").alias("__i", "__t"))
+                          F.posexplode("__toks").alias("__i", "__t"),
+                          *carry)
             .where(F.col("__i") <= F.size(toks) - n)
             .select("k", F.array_join(
-                F.slice(toks, F.col("__i") + 1, n), " ").alias("g")))
+                F.slice(toks, F.col("__i") + 1, n), " ").alias("g"),
+                *carry))
 
 
 def _shingles_of(toks, n: int):
@@ -306,6 +309,7 @@ def ngram_jaccard_pairs(
     df: DataFrame, key: str, text_col: str = "text",
     shingle_n: int = 3, threshold: float = 0.5,
     stop_gram_df: int | None = None,
+    new_col: str | None = None,
 ) -> DataFrame:
     """n-gram Jaccard similarity join via the inverted-index pattern:
     explode grams -> equi-join on gram -> per-pair shared count -> Jaccard.
@@ -319,19 +323,42 @@ def ngram_jaccard_pairs(
     sets, so reported similarities are unaffected. The (documented)
     approximation: a qualifying pair ALL of whose shared grams are
     stop-grams is missed — at realistic thresholds near-dup pairs share
-    many grams and virtually always a rare one."""
+    many grams and virtually always a rare one.
+
+    ``new_col`` (incremental mode, same contract as the minhash/simhash
+    operators): only pairs involving at least one flagged document, via
+    the asymmetric new-vs-all gram join — old-vs-old pairs never
+    enumerate in either branch."""
+    carry = (new_col,) if new_col else ()
     if stop_gram_df is None:
         # dropDuplicates restores the per-document SET semantics the
         # Jaccard needs (one row per distinct (doc, gram))
-        grams = (_gram_rows(df, key, text_col, shingle_n)
+        grams = (_gram_rows(df, key, text_col, shingle_n, carry=carry)
                  .dropDuplicates(["k", "g"]))
         sizes = grams.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
-        shared = (
-            grams.alias("l").join(grams.alias("r"), on="g")
-            .where(F.col("l.k") < F.col("r.k"))
-            .groupBy(F.col("l.k").alias("a"), F.col("r.k").alias("b"))
-            .agg(F.count(F.lit(1)).alias("inter"))
-        )
+        if new_col:
+            # asymmetric: new-only grams vs all grams — old-old pairs
+            # never enumerate. A new-new pair would match in both
+            # orientations, so the right side contributes it only when
+            # l.k < r.k; new-old pairs join once whatever the key order,
+            # then least/greatest normalizes.
+            left = grams.where(F.col(new_col)).drop(new_col)
+            shared = (
+                left.alias("l").join(grams.alias("r"), on="g")
+                .where(~F.col(f"r.{new_col}")
+                       | (F.col("l.k") < F.col("r.k")))
+                .groupBy(F.least(F.col("l.k"), F.col("r.k")).alias("a"),
+                         F.greatest(F.col("l.k"), F.col("r.k"))
+                         .alias("b"))
+                .agg(F.count(F.lit(1)).alias("inter"))
+            )
+        else:
+            shared = (
+                grams.alias("l").join(grams.alias("r"), on="g")
+                .where(F.col("l.k") < F.col("r.k"))
+                .groupBy(F.col("l.k").alias("a"), F.col("r.k").alias("b"))
+                .agg(F.count(F.lit(1)).alias("inter"))
+            )
         return (
             shared.join(sizes.withColumnRenamed("k", "a").withColumnRenamed("n", "na"), "a")
             .join(sizes.withColumnRenamed("k", "b").withColumnRenamed("n", "nb"), "b")
@@ -344,21 +371,32 @@ def ngram_jaccard_pairs(
     # candidate-then-verify with a stop-gram cutoff: hashed gram sets are
     # the verify payload (Jaccard over 64-bit hashed grams == string-gram
     # Jaccard up to collisions, same contract as the minhash verify)
-    staged = _staged_tokens(df, key, text_col)
+    staged = _staged_tokens(df, key, text_col, carry=carry)
     sh = _shingles_of(F.col("__toks"), shingle_n)
     base = staged.select(
-        "k", F.transform(sh, lambda g: F.xxhash64(g)).alias("hs")).persist()
-    grams = base.select("k", F.explode(F.col("hs")).alias("g"))
+        "k", F.transform(sh, lambda g: F.xxhash64(g)).alias("hs"),
+        *carry).persist()
+    grams = base.select("k", F.explode(F.col("hs")).alias("g"), *carry)
     rare = (grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
             .where(F.col("df") <= stop_gram_df).select("g"))
     rare_grams = grams.join(rare, "g")
-    cand = (rare_grams.alias("l").join(rare_grams.alias("r"), on="g")
-            .where(F.col("l.k") < F.col("r.k"))
-            .select(F.col("l.k").alias("a"), F.col("r.k").alias("b"))
-            .dropDuplicates(["a", "b"]))
-    cand = (cand.join(base.withColumnRenamed("k", "a")
+    if new_col:
+        left = rare_grams.where(F.col(new_col)).drop(new_col)
+        cand = (left.alias("l").join(rare_grams.alias("r"), on="g")
+                .where(~F.col(f"r.{new_col}")
+                       | (F.col("l.k") < F.col("r.k")))
+                .select(F.least(F.col("l.k"), F.col("r.k")).alias("a"),
+                        F.greatest(F.col("l.k"), F.col("r.k")).alias("b"))
+                .dropDuplicates(["a", "b"]))
+    else:
+        cand = (rare_grams.alias("l").join(rare_grams.alias("r"), on="g")
+                .where(F.col("l.k") < F.col("r.k"))
+                .select(F.col("l.k").alias("a"), F.col("r.k").alias("b"))
+                .dropDuplicates(["a", "b"]))
+    hsb = base.drop(*carry) if carry else base
+    cand = (cand.join(hsb.withColumnRenamed("k", "a")
                           .withColumnRenamed("hs", "hsa"), "a")
-                .join(base.withColumnRenamed("k", "b")
+                .join(hsb.withColumnRenamed("k", "b")
                           .withColumnRenamed("hs", "hsb"), "b"))
     inter = F.size(F.array_intersect(F.col("hsa"), F.col("hsb"))).cast("double")
     union = F.size(F.array_union(F.col("hsa"), F.col("hsb"))).cast("double")
@@ -418,6 +456,19 @@ def minhash_lsh_pairs_incremental(new: DataFrame, corpus: DataFrame,
                   new.select(*cols).withColumn("__is_new", F.lit(True))))
     return minhash_lsh_pairs(tagged, key, text_col,
                              new_col="__is_new", **kwargs)
+
+
+def ngram_jaccard_pairs_incremental(new: DataFrame, corpus: DataFrame,
+                                    key: str, text_col: str = "text",
+                                    **kwargs) -> DataFrame:
+    """Incremental form of ``ngram_jaccard_pairs`` — same union+tag
+    contract as ``minhash_lsh_pairs_incremental`` (disjoint keys)."""
+    cols = [key, text_col]
+    tagged = (corpus.select(*cols).withColumn("__is_new", F.lit(False))
+              .unionByName(
+                  new.select(*cols).withColumn("__is_new", F.lit(True))))
+    return ngram_jaccard_pairs(tagged, key, text_col,
+                               new_col="__is_new", **kwargs)
 
 
 def simhash_pairs(df: DataFrame, key: str, text_col: str = "text",
