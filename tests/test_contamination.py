@@ -355,3 +355,23 @@ def test_exact_substring_dedup_duckdb_oracle(spark, sf_dir):
     assert len(oracle) == len(got)
     for doc_id, kept, dropped, spans in oracle:
         assert got[doc_id] == (kept, dropped, spans), doc_id
+
+
+def test_exact_substring_dedup_preserves_punctuation_by_default(spark):
+    """Whitespace tokenization (default): punctuation and case survive
+    outside removed spans; tokenizer='analysis' folds them."""
+    from valkey_search_spark.operators.contamination import (
+        exact_substring_dedup,
+    )
+
+    docs = [Row(doc_id=1, text="Hello, world! Don't panic at all."),
+            Row(doc_id=2, text="Unrelated text lives here peacefully.")]
+    df = spark.createDataFrame(docs)
+    out = {r["doc_id"]: r["text_deduped"]
+           for r in exact_substring_dedup(df, n=3).collect()}
+    assert out[1] == "Hello, world! Don't panic at all."
+    ana = {r["doc_id"]: r["text_deduped"] for r in
+           exact_substring_dedup(df, n=3, tokenizer="analysis").collect()}
+    assert ana[1] == "hello world don t panic at all"
+    with pytest.raises(ValueError, match="tokenizer"):
+        exact_substring_dedup(df, tokenizer="bogus")

@@ -316,3 +316,30 @@ def test_trigram_sharpens_in_domain_scores(spark):
     b = {r["doc_id"]: r["lm_logprob_per_token"]
          for r in lm_perplexity(docs, short_ref, order=3).collect()}
     assert a == b
+
+
+def test_ccnet_buckets_all_unscoreable_corpus(spark):
+    """Every doc <2 tokens: approxQuantile has nothing to cut on — all
+    buckets null instead of an unpack crash."""
+    from valkey_search_spark.operators.lm import ccnet_buckets
+
+    ref = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(REF_TEXTS)])
+    lm = BigramLM.train(ref)
+    docs = spark.createDataFrame([Row(doc_id=1, text="one"),
+                                  Row(doc_id=2, text="two")])
+    rows = ccnet_buckets(docs, lm).collect()
+    assert all(r["ppl_bucket"] is None for r in rows)
+
+
+def test_bigram_lm_tables_are_persisted(spark):
+    """train() persists the model tables so repeated score() calls do
+    not re-aggregate the reference corpus per broadcast build."""
+    ref = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(REF_TEXTS)])
+    lm = BigramLM.train(ref)
+    assert lm.uni.storageLevel.useMemory
+    assert lm.ctx.storageLevel.useMemory
+    assert lm.bi.storageLevel.useMemory
+    lm.unpersist()
+    assert not lm.uni.storageLevel.useMemory

@@ -2213,3 +2213,14 @@ def test_video_frame_sample_real_gif(spark):
     df2 = spark.createDataFrame([Row(id=1, video=bytearray(b"\x00mp4junk"))])
     with pytest.raises(Exception, match="NotImplementedError|ffmpeg|GIF"):
         video_frame_sample(df2, fake=False).collect()
+
+
+def test_gif_frames_cumulative_pixel_budget():
+    """Frames x canvas amplification bomb: a tiny payload declaring a
+    budget-sized screen plus many small frames must raise
+    MediaDecodeError before allocating frames beyond the budget."""
+    side = 16384                                # side*side == 1 << 28
+    frames = [{"idx": np.zeros((1, 1), np.uint8)} for _ in range(4)]
+    payload = _pack_gif_anim((side, side), _PAL8, frames)
+    with pytest.raises(MediaDecodeError, match="pixel budget"):
+        decode_gif_frames(payload)

@@ -240,3 +240,22 @@ def test_alpha_sample_to_budget_temperature_split(spark):
     assert share[0.3] > share[1.0]
     with pytest.raises(ValueError, match="alpha"):
         alpha_sample_to_budget(df, "doc_id", 100, alpha=-1)
+
+
+def test_alpha_sample_keeps_zero_token_groups_whole(spark):
+    """A group whose docs are all empty/whitespace has no token share
+    but must not vanish — taken whole, like the sibling's under-budget
+    convention."""
+    from pyspark.sql import Row
+    from valkey_search_spark.operators.sampling import (
+        alpha_sample_to_budget,
+    )
+
+    rows = [Row(doc_id=i, source="web", text="a b c d") for i in range(50)]
+    rows += [Row(doc_id=100 + i, source="meta", text="   ")
+             for i in range(5)]
+    out = alpha_sample_to_budget(spark.createDataFrame(rows), "doc_id",
+                                 100, alpha=0.3)
+    per = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per.get("meta") == 5                  # kept whole

@@ -1068,7 +1068,14 @@ def decode_gif_frames(payload: bytes, max_frames: int | None = None):
     methods (keep, restore-to-background, restore-to-previous). The
     canvas starts at the background color (black when the background
     index has no table entry). Format reference: the public GIF89a
-    specification (and its widely-documented animation semantics)."""
+    specification (and its widely-documented animation semantics).
+
+    Memory bound: the SAME pixel budget that guards a single image
+    applies to the CUMULATIVE frames-x-canvas allocation — a tiny
+    payload declaring a huge screen plus many one-pixel frames would
+    otherwise amplify into hundreds of full-canvas copies; the decode
+    raises MediaDecodeError (the documented decode-bomb contract)
+    before the allocation that would cross the budget."""
     w, h, gct, bg, pos = _gif_header(payload)
     _check_pixel_budget("GIF", w, h)
     bg_rgb = (gct[bg] if gct is not None and bg < len(gct)
@@ -1091,6 +1098,10 @@ def decode_gif_frames(payload: bytes, max_frames: int | None = None):
                 pos += payload[pos] + 1
             pos += 1
         elif block == 0x2C:
+            if (len(frames) + 1) * w * h > _MAX_PIXELS:
+                raise MediaDecodeError(
+                    f"GIF animation exceeds the pixel budget: "
+                    f"{len(frames) + 1} frames x {w}x{h} canvas")
             rows, pal, left, top, pos = _gif_image_at(payload, pos, gct)
             ih, iw = rows.shape
             if left + iw > w or top + ih > h:

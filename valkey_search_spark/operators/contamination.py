@@ -278,7 +278,8 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
 def exact_substring_dedup(df: DataFrame, key: str = "doc_id",
                           text_col: str = "text", n: int = 13,
                           min_doc_freq: int = 2,
-                          keep_one: bool = True) -> DataFrame:
+                          keep_one: bool = True,
+                          tokenizer: str = "whitespace") -> DataFrame:
     """Token-span exact-substring dedup (the Lee et al. 2022 /
     RefinedWeb "exact substring" pass at n-gram granularity): any word
     n-gram shared by at least ``min_doc_freq`` DISTINCT documents marks
@@ -300,10 +301,15 @@ def exact_substring_dedup(df: DataFrame, key: str = "doc_id",
     window inside it is duplicated, and the windows merge.
 
     Output: ``<text_col>_deduped`` (kept tokens rejoined with single
-    spaces — token-level surgery normalizes whitespace/case by
-    construction), ``tokens_kept`` / ``tokens_dropped`` /
-    ``spans_dropped``. Documents shorter than ``n`` tokens pass through
-    untouched (no window).
+    spaces), ``tokens_kept`` / ``tokens_dropped`` / ``spans_dropped``.
+    Documents shorter than ``n`` tokens pass through untouched (no
+    window). The default ``tokenizer="whitespace"`` splits on
+    whitespace runs only — punctuation and case survive inside tokens
+    (the Lee et al. implementations operate on raw token streams), so
+    the only text change outside removed spans is whitespace-run
+    normalization; ``tokenizer="analysis"`` runs the engine's analyzer
+    instead (case folding + punctuation stripping — the rebuilt text is
+    then the ANALYZED stream, matching how the dedup keys were formed).
 
     Scale shape (mirrors ``cross_doc_line_dedup``): posexplode the
     staged token array into (doc, pos, gram-hash) windows; aggregate
@@ -334,9 +340,20 @@ def exact_substring_dedup(df: DataFrame, key: str = "doc_id",
     the subtrees non-identical so exchange reuse cannot merge them;
     that is extra embarrassingly-parallel map passes, never an extra
     shuffle, the same recompute shape as ``cross_doc_line_dedup``."""
-    from .dedup import _staged_tokens
+    from .dedup import _parallelize, _staged_tokens
 
-    staged = _staged_tokens(df, key, text_col)
+    if tokenizer == "analysis":
+        staged = _staged_tokens(df, key, text_col)
+    elif tokenizer == "whitespace":
+        target = df.sparkSession.sparkContext.defaultParallelism
+        staged = (_parallelize(df)
+                  .select(F.col(key).alias("k"),
+                          F.filter(F.split(F.col(text_col), r"\s+"),
+                                   lambda w: w != "").alias("__toks"))
+                  .repartition(target))
+    else:
+        raise ValueError(f"unknown tokenizer {tokenizer!r} "
+                         "(expected 'whitespace' or 'analysis')")
     toks = F.col("__toks")
     windows = (staged.select("k", "__toks",
                              F.posexplode("__toks").alias("__i", "__t"))

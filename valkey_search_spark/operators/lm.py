@@ -103,6 +103,14 @@ class BigramLM:
                 F.sum("c_tw").alias("c_t"),
                 F.count(F.lit(1)).alias("t_t"))
             tri = tri_full.where(F.col("c_tw") >= min_count)
+        # persist the tables: every score() broadcast build (and
+        # ccnet_buckets' extra action) would otherwise re-tokenize and
+        # re-aggregate the whole reference corpus per table. The
+        # n_tokens action below materializes uni; the others
+        # materialize on first use. Call unpersist() when done.
+        uni, ctx, bi = uni.persist(), ctx.persist(), bi.persist()
+        if tri is not None:
+            tri, tctx = tri.persist(), tctx.persist()
         n_tokens, n_types = uni.agg(
             F.sum("c_w"), F.count(F.lit(1))).first()
         if not n_tokens:
@@ -111,6 +119,12 @@ class BigramLM:
         return cls(uni=uni, ctx=ctx, bi=bi,
                    n_tokens=int(n_tokens), n_types=int(n_types),
                    discount=float(discount), tri=tri, tctx=tctx)
+
+    def unpersist(self) -> None:
+        """Release the persisted model tables."""
+        for t in (self.uni, self.ctx, self.bi, self.tri, self.tctx):
+            if t is not None:
+                t.unpersist()
 
     def _p_uni(self, c_w):
         d, n, t = self.discount, self.n_tokens, self.n_types
@@ -208,8 +222,14 @@ def ccnet_buckets(df: DataFrame, lm: BigramLM, key: str = "doc_id",
     literals, so the labeling itself is a map-only expression). CCNet
     computes its cutoffs the same way: corpus-relative, not absolute."""
     scored = lm.score(df, key=key, text_col=text_col)
-    lo, hi = scored.approxQuantile("lm_perplexity", list(cuts),
-                                   relative_error)
+    qs = scored.approxQuantile("lm_perplexity", list(cuts),
+                               relative_error)
+    if len(qs) < 2:
+        # approxQuantile ignores nulls and returns [] when every doc is
+        # unscoreable (<2 tokens) — all buckets null, per the contract
+        return scored.withColumn("ppl_bucket",
+                                 F.lit(None).cast("string"))
+    lo, hi = qs
     ppl = F.col("lm_perplexity")
     return scored.withColumn(
         "ppl_bucket",

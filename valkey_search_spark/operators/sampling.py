@@ -198,7 +198,12 @@ def alpha_sample_to_budget(df: DataFrame, key: str,
     cells = 1 << 30
     u = F.pmod(F.xxhash64(F.col(key).cast("string"), F.lit(salt)),
                F.lit(cells))
-    return (work.join(fracs, F.col("__g0").eqNullSafe(F.col("__g")))
+    # LEFT join + null-frac -> 1.0: a zero-token group is excluded from
+    # the share computation (no meaningful weight) but its documents
+    # are not silently deleted — taken whole, the same convention as
+    # sample_to_token_budget's under-budget groups
+    return (work.join(fracs, F.col("__g0").eqNullSafe(F.col("__g")),
+                      "left")
                 .where((u.cast("double") / F.lit(float(cells)))
-                       < F.col("__frac"))
+                       < F.coalesce(F.col("__frac"), F.lit(1.0)))
                 .drop("__g0", "__g", "__frac"))
