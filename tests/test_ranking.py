@@ -260,3 +260,92 @@ def test_tfidf_duckdb_oracle_real_corpus(spark, sf_dir):
     for doc_id, terms, scores in oracle:
         want = [(t, round(s, 9)) for t, s in zip(terms, scores)]
         assert got[doc_id] == want, doc_id
+
+
+# ---------------------------------------------------------------------------
+# BM25F
+
+from valkey_search_spark.operators.ranking import bm25f_rank
+
+
+def _scalar_bm25f(docs, terms, fields, k1=K1, b=B):
+    toks = {k: {f: d[f].split() for f in fields} for k, d in docs.items()}
+    n = len(docs)
+    avgdl = {f: sum(len(toks[k][f]) for k in toks) / n for f in fields}
+
+    def idf(t):
+        dft = sum(1 for k in toks
+                  if any(t in toks[k][f] for f in fields))
+        return math.log((n - dft + 0.5) / (dft + 0.5) + 1)
+
+    def score(k):
+        s = 0.0
+        for t in terms:
+            tft = sum(w * toks[k][f].count(t)
+                      / (1 - b + b * len(toks[k][f]) / avgdl[f])
+                      for f, w in fields.items())
+            s += idf(t) * tft / (k1 + tft)
+        return s
+
+    return {k: score(k) for k in docs}
+
+
+FDOCS = {1: {"title": "spark engine", "body": "a long body about cat "
+                                              "stuff and more cat talk"},
+         2: {"title": "cat pictures", "body": "spark spark spark is "
+                                              "mentioned here often"},
+         3: {"title": "unrelated", "body": "nothing matches here at all"}}
+
+
+def test_bm25f_matches_scalar_reference(spark):
+    weights = {"title": 3.0, "body": 1.0}
+    df = spark.createDataFrame(
+        [Row(doc_id=k, **d) for k, d in FDOCS.items()])
+    got = {r["doc_id"]: r["bm25f_score"] for r in
+           bm25f_rank(df, ["spark", "cat"], weights,
+                      match_only=False).collect()}
+    want = _scalar_bm25f(FDOCS, ["spark", "cat"], weights)
+    for k in FDOCS:
+        assert got[k] == pytest.approx(want[k], abs=1e-9), k
+
+
+def test_bm25f_field_weighting_boosts_title(spark):
+    """A title hit under a 3x title weight outranks body repetition —
+    the point of field weighting."""
+    weights = {"title": 3.0, "body": 1.0}
+    df = spark.createDataFrame(
+        [Row(doc_id=k, **d) for k, d in FDOCS.items()])
+    out = bm25f_rank(df, ["cat"], weights, top_k=5).collect()
+    assert [r["doc_id"] for r in out][0] == 2    # 'cat' in the title
+    # weights flipped: the long-body cats doc catches up in rank terms
+    flat = {r["doc_id"]: r["bm25f_score"] for r in
+            bm25f_rank(df, ["cat"], {"title": 1.0, "body": 3.0},
+                       match_only=False).collect()}
+    boost = {r["doc_id"]: r["bm25f_score"] for r in
+             bm25f_rank(df, ["cat"], weights, match_only=False).collect()}
+    assert boost[2] / boost[1] > flat[2] / flat[1]
+
+
+def test_bm25f_single_field_rank_matches_bm25(spark):
+    """One field at weight 1: BM25F differs from BM25 by the constant
+    (k1+1) factor — rankings identical, scores proportional."""
+    df = spark.createDataFrame(
+        [Row(doc_id=k, text=t) for k, t in DOCS.items()])
+    f = {r["doc_id"]: r["bm25f_score"] for r in
+         bm25f_rank(df, ["cat", "mat"], {"text": 1.0},
+                    match_only=False).collect()}
+    o = {r["doc_id"]: r["bm25_score"] for r in
+         bm25_rank(df, ["cat", "mat"], match_only=False).collect()}
+    for k in DOCS:
+        assert o[k] == pytest.approx(f[k] * (K1 + 1), abs=1e-9), k
+
+
+def test_bm25f_edge_cases(spark):
+    df = spark.createDataFrame([Row(doc_id=1, title="a", body="b")])
+    with pytest.raises(ValueError, match="term"):
+        bm25f_rank(df, [], {"title": 1.0})
+    with pytest.raises(ValueError, match="field"):
+        bm25f_rank(df, ["a"], {})
+    empty = spark.createDataFrame([], "doc_id long, title string")
+    with pytest.raises(ValueError, match="empty"):
+        bm25f_rank(empty, ["a"], {"title": 1.0})

@@ -162,3 +162,79 @@ def tfidf_top_terms(df: DataFrame, key: str = "doc_id",
                                        s["score"].alias("score")))
                 .alias("top_terms")))
     return df.join(top, key, "left")
+
+
+def bm25f_rank(df: DataFrame, terms: list[str],
+               fields: dict[str, float], key: str = "doc_id",
+               k1: float = 1.2, b: float = 0.75,
+               top_k: int | None = None,
+               match_only: bool = True) -> DataFrame:
+    """BM25F — the multi-field weighted variant (Robertson/Zaragoza's
+    simple form), the natural scorer for this engine's multi-field
+    indexes (title boosts over body, etc.):
+
+        tf~(t, d) = sum over fields f of
+            w_f * tf_f(t, d) / (1 - b + b * len_f(d) / avgdl_f)
+        score(d) = sum over t of idf(t) * tf~ / (k1 + tf~)
+        idf(t) = ln((N - df(t) + 0.5)/(df(t) + 0.5) + 1),
+        df(t) = docs containing t in ANY scored field
+
+    With a single field at weight 1 the ranking is identical to
+    ``bm25_rank`` (the scores differ by the constant (k1+1) factor).
+    ``fields`` maps text column names to weights; each field is
+    tokenized with the engine's analyzer. Same scale shape as
+    ``bm25_rank``: ONE statistics job (per-field avgdl + per-term
+    any-field df), then map-only codegen scoring + optional top-k."""
+    if not terms:
+        raise ValueError("BM25F needs at least one query term")
+    if not fields:
+        raise ValueError("BM25F needs at least one field")
+    terms = list(dict.fromkeys(terms))
+    fnames = list(fields)
+    staged = df
+    for f in fnames:
+        staged = staged.withColumn(f"__bmf_{f}",
+                                   raw_tokens_column(F.col(f)))
+    tcols = {f: F.col(f"__bmf_{f}") for f in fnames}
+
+    any_field = {t: F.lit(False) for t in terms}
+    for f in fnames:
+        for t in terms:
+            any_field[t] = any_field[t] | F.array_contains(tcols[f], t)
+    stats = staged.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.avg(F.size(tcols[f])).alias(f"avgdl_{f}") for f in fnames],
+        *[F.count_if(any_field[t]).alias(f"df{i}")
+          for i, t in enumerate(terms)]).first()
+    n = stats["n"]
+    if not n:
+        raise ValueError("BM25F corpus is empty")
+    avgdl = {f: stats[f"avgdl_{f}"] for f in fnames}
+    if any(not avgdl[f] for f in fnames):
+        raise ValueError("a scored field has no tokens in the corpus")
+    idf = [math.log((n - stats[f"df{i}"] + 0.5)
+                    / (stats[f"df{i}"] + 0.5) + 1.0)
+           for i in range(len(terms))]
+
+    def _eq(term):
+        return lambda x: x == F.lit(term)
+
+    score = F.lit(0.0)
+    for i, t in enumerate(terms):
+        tft = F.lit(0.0)
+        for f in fnames:
+            norm = (F.lit(1.0 - b)
+                    + F.lit(b) * F.size(tcols[f]).cast("double")
+                    / F.lit(float(avgdl[f])))
+            tft = tft + (F.lit(float(fields[f]))
+                         * F.size(F.filter(tcols[f], _eq(t)))
+                         .cast("double") / norm)
+        score = score + F.lit(idf[i]) * tft / (F.lit(k1) + tft)
+    out = (staged.withColumn("bm25f_score", score)
+           .drop(*[f"__bmf_{f}" for f in fnames]))
+    if match_only:
+        out = out.where(F.col("bm25f_score") > 0.0)
+    if top_k is not None:
+        out = (out.orderBy(F.col("bm25f_score").desc(),
+                           F.col(key).asc()).limit(top_k))
+    return out
