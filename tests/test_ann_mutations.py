@@ -1,0 +1,187 @@
+"""IVF index mutation layer: append / delete / upsert without a rebuild
+(reference live mutation surface: /root/reference/src/indexes/vector_base.cc
+AddRecord/RemoveRecord driven by keyspace events — here parquet appends into
+the partitioned layout + generation-versioned broadcast tombstones)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from valkey_search_spark.functions.distance import distance_column
+from valkey_search_spark.operators.ann import (
+    IVFIndex, knn_join_bucketed, recall_at_k,
+)
+
+SF = "/root/testdata/sf0.001"
+QVEC = [round(math.sin(i + 1), 6) for i in range(64)]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _brute(emb, metric, k=10):
+    return (emb.withColumn("__score",
+                           distance_column(F.col("embedding"), QVEC, metric))
+               .orderBy("__score", "vec_id").limit(k))
+
+
+def test_append_matches_full_build(spark, emb, tmp_path):
+    """Build on half the corpus, append the other half: full-probe search
+    is exact, so results must equal a from-scratch build on everything."""
+    lo = emb.where(F.col("vec_id") % 2 == 0)
+    hi = emb.where(F.col("vec_id") % 2 == 1)
+    idx = IVFIndex.build(lo, str(tmp_path / "half"), vec_col="embedding",
+                         metric="l2", n_lists=8, seed=42, key_col="vec_id")
+    idx.append(hi)
+    got = idx.search(QVEC, k=10, nprobe=idx.n_lists, tiebreak_col="vec_id")
+    assert recall_at_k(got, _brute(emb, "l2"), "vec_id", 10) == 1.0
+    assert idx.gen == 1
+
+
+def test_append_lands_in_kmeans_list(spark, emb, tmp_path):
+    """An appended vector goes to the list KMeans assignment would pick:
+    append a corpus row that was withheld at build and check it shares a
+    __list with its build-time twin (same vector appears in both)."""
+    one = emb.limit(1)
+    vid = one.first()["vec_id"]
+    rest = emb.where(F.col("vec_id") != vid)
+    idx = IVFIndex.build(rest, str(tmp_path / "ix"), vec_col="embedding",
+                         metric="l2", n_lists=8, seed=42, key_col="vec_id")
+    idx.append(one)
+    raw = spark.read.parquet(idx.path)
+    appended = raw.where(F.col("vec_id") == vid).select("__list").first()[0]
+    # nearest-centroid recomputed from the stored centroid matrix
+    import numpy as np
+
+    v = np.asarray(one.first()["embedding"], dtype=np.float64)
+    want = int(np.argmin(((idx.centroids - v) ** 2).sum(axis=1)))
+    assert appended in idx.list_map[want]
+
+
+def test_delete_hides_rows_everywhere(spark, emb, tmp_path):
+    idx = IVFIndex.build(emb, str(tmp_path / "ix"), vec_col="embedding",
+                         metric="l2", n_lists=8, seed=42, key_col="vec_id")
+    top = [r["vec_id"] for r in
+           idx.search(QVEC, k=3, nprobe=idx.n_lists).collect()]
+    idx.delete(top)
+    after = [r["vec_id"] for r in
+             idx.search(QVEC, k=10, nprobe=idx.n_lists).collect()]
+    assert not set(top) & set(after)
+    # the bucketed join path honors the same tombstones
+    qdf = spark.createDataFrame([(0, QVEC)], "qid int, embedding array<float>")
+    joined = knn_join_bucketed(qdf, idx, k=10, nprobe=idx.n_lists,
+                               corpus_key="vec_id")
+    assert not set(top) & {r["vec_id"] for r in joined.collect()}
+
+
+def test_reinsert_after_delete_survives(spark, emb, tmp_path):
+    """A key deleted at gen g and re-appended at gen g+1 is alive: the
+    tombstone only kills rows written at or before its own generation."""
+    idx = IVFIndex.build(emb, str(tmp_path / "ix"), vec_col="embedding",
+                         metric="l2", n_lists=4, seed=42, key_col="vec_id")
+    row = emb.limit(1)
+    vid = row.first()["vec_id"]
+    idx.delete([vid])
+    assert idx.scan_raw().where(F.col("vec_id") == vid).count() == 0
+    idx.append(row)
+    assert idx.scan_raw().where(F.col("vec_id") == vid).count() == 1
+
+
+def test_upsert_replaces_vector(spark, emb, tmp_path):
+    """Upserting a key with a new vector: searches see the new position,
+    the old row is gone, and the key appears exactly once."""
+    idx = IVFIndex.build(emb, str(tmp_path / "ix"), vec_col="embedding",
+                         metric="l2", n_lists=4, seed=42, key_col="vec_id")
+    vid = emb.first()["vec_id"]
+    moved = emb.limit(1).withColumn(
+        "embedding",
+        F.transform(F.col("embedding"), lambda _: F.lit(9.0).cast("float")))
+    idx.upsert(moved)
+    alive = idx._read().where(F.col("vec_id") == vid)
+    rows = alive.collect()
+    assert len(rows) == 1
+    assert all(abs(x - 9.0) < 1e-6 for x in rows[0]["embedding"])
+
+
+def test_mutations_survive_load(spark, emb, tmp_path):
+    idx = IVFIndex.build(emb, str(tmp_path / "ix"), vec_col="embedding",
+                         metric="l2", n_lists=4, seed=42, key_col="vec_id")
+    gone = [r["vec_id"] for r in
+            idx.search(QVEC, k=2, nprobe=idx.n_lists).collect()]
+    idx.delete(gone)
+    again = IVFIndex.load(spark, idx.path)
+    assert again.gen == idx.gen and again.key_col == "vec_id"
+    ids = {r["vec_id"] for r in
+           again.search(QVEC, k=10, nprobe=again.n_lists).collect()}
+    assert not set(gone) & ids
+
+
+def test_append_routes_through_split_lists(spark, emb, tmp_path):
+    """On an index whose hot list was hash-split at build, appends use the
+    identical split formula — full-probe search still finds everything and
+    no appended row lands outside its centroid's physical sub-lists."""
+    cap = 40                    # 1000 rows / 8 lists => ~125 per list
+    lo = emb.where(F.col("vec_id") % 2 == 0)
+    hi = emb.where(F.col("vec_id") % 2 == 1)
+    idx = IVFIndex.build(lo, str(tmp_path / "ix"), vec_col="embedding",
+                         metric="l2", n_lists=8, seed=42,
+                         max_list_rows=cap, key_col="vec_id")
+    assert idx.n_physical_lists > idx.n_lists   # the cap actually split
+    idx.append(hi)
+    got = idx.search(QVEC, k=10, nprobe=idx.n_lists, tiebreak_col="vec_id")
+    assert recall_at_k(got, _brute(emb, "l2"), "vec_id", 10) == 1.0
+    # physical list of every appended row is one of its centroid's ids
+    import numpy as np
+
+    raw = spark.read.parquet(idx.path).where(F.col("__gen") == 1)
+    for r in raw.select("vec_id", "embedding", "__list").collect():
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        c = int(np.argmin(((idx.centroids - v) ** 2).sum(axis=1)))
+        assert r["__list"] in idx.list_map[c]
+
+
+def test_append_quantized_and_pq_tiers(spark, emb, tmp_path):
+    """Appends encode through the index's storage tier: int8 rows join the
+    quantized scan; PQ rows encode against the FIXED build-time codebook
+    and an appended outlier vector is findable at rank 1."""
+    probe = [9.0] * 64
+    outlier = spark.createDataFrame(
+        [(99999, 0, [float(x) for x in probe])],
+        "vec_id bigint, label bigint, embedding array<float>")
+    out_cast = outlier.withColumn(
+        "embedding", F.col("embedding").cast("array<float>"))
+    for kw in ({"quantize": True}, {"pq_m": 8}):
+        path = str(tmp_path / f"ix_{'q' if 'quantize' in kw else 'pq'}")
+        idx = IVFIndex.build(emb, path, vec_col="embedding", metric="l2",
+                             n_lists=4, seed=42, key_col="vec_id", **kw)
+        idx.append(out_cast.select(*emb.columns))
+        top = idx.search(probe, k=1, nprobe=idx.n_lists).first()
+        assert top["vec_id"] == 99999
+
+
+def test_tombstone_join_is_broadcast_and_pruning_survives(spark, emb, tmp_path):
+    """Plan pins: the tombstone filter is a BroadcastHashJoin (never a
+    corpus shuffle) and the probed-list predicate still prunes partitions
+    beneath it."""
+    idx = IVFIndex.build(emb, str(tmp_path / "ix"), vec_col="embedding",
+                         metric="l2", n_lists=8, seed=42, key_col="vec_id")
+    idx.delete([1, 2, 3])
+    plan = (idx.search(QVEC, k=5, nprobe=2)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "__list" in plan
+
+
+def test_key_col_contract_errors(spark, emb, tmp_path):
+    idx = IVFIndex.build(emb, str(tmp_path / "ix"), vec_col="embedding",
+                         metric="l2", n_lists=4, seed=42)
+    with pytest.raises(ValueError, match="key_col"):
+        idx.delete([1])
+    idx2 = IVFIndex.build(emb, str(tmp_path / "ix2"), vec_col="embedding",
+                          metric="l2", n_lists=4, seed=42, key_col="vec_id")
+    with pytest.raises(ValueError, match="key_col"):
+        idx2.delete([1], key_col="label")

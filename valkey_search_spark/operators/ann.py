@@ -39,7 +39,8 @@ class IVFIndex:
     def __init__(self, spark: SparkSession, path: str, vec_col: str,
                  metric: str, centroids: np.ndarray,
                  quantized: bool = False, pq=None,
-                 list_map: list[list[int]] | None = None):
+                 list_map: list[list[int]] | None = None,
+                 gen: int = 0, key_col: str | None = None):
         self.spark = spark
         self.path = path
         self.vec_col = vec_col
@@ -52,6 +53,12 @@ class IVFIndex:
         # physical sub-lists, so split indexes keep unsplit recall)
         self.list_map = (list_map if list_map is not None
                          else [[c] for c in range(len(centroids))])
+        # mutation generation counter: every append/delete bumps it; rows
+        # carry the __gen they were written at, tombstones the gen they
+        # were issued at, and a row is dead iff a tombstone for its key
+        # exists at gen >= the row's own (so later appends re-insert)
+        self.gen = gen
+        self.key_col = key_col                # tombstone identity column
 
     # ------------------------------------------------------------------
     @classmethod
@@ -60,7 +67,8 @@ class IVFIndex:
               sample_fraction: float | None = None, seed: int = 42,
               max_iter: int = 20, quantize: bool = False,
               pq_m: int | None = None,
-              max_list_rows: int | None = None) -> "IVFIndex":
+              max_list_rows: int | None = None,
+              key_col: str | None = None) -> "IVFIndex":
         """Batch index build == the reference's backfill+graph-build collapsed
         into one KMeans job + one partitioned write. ``sample_fraction``
         bounds the KMeans fit cost at scale (fit on a sample, assign all).
@@ -160,17 +168,15 @@ class IVFIndex:
             codebook = PQCodebook.train(work, vec_col, m=pq_m, seed=seed)
             assigned = (codebook.encode(assigned, vec_col)
                         .drop(vec_col))
+        assigned = assigned.withColumn("__gen", F.lit(0))
         assigned.write.mode("overwrite").partitionBy("__list").parquet(path)
 
         centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
-        with open(os.path.join(path, "_ivf_meta.json"), "w") as fh:
-            json.dump({"vec_col": vec_col, "metric": metric,
-                       "quantized": quantize,
-                       "pq": codebook.to_json() if codebook else None,
-                       "centroids": centroids.tolist(),
-                       "list_map": list_map}, fh)
-        return cls(spark, path, vec_col, metric, centroids,
-                   quantized=quantize, pq=codebook, list_map=list_map)
+        index = cls(spark, path, vec_col, metric, centroids,
+                    quantized=quantize, pq=codebook, list_map=list_map,
+                    gen=0, key_col=key_col)
+        index._save_meta()
+        return index
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "IVFIndex":
@@ -184,14 +190,179 @@ class IVFIndex:
         return cls(spark, path, meta["vec_col"], meta["metric"],
                    np.asarray(meta["centroids"]),
                    quantized=meta.get("quantized", False), pq=pq,
-                   list_map=meta.get("list_map"))
+                   list_map=meta.get("list_map"),
+                   gen=meta.get("gen", 0), key_col=meta.get("key_col"))
+
+    def _save_meta(self) -> None:
+        with open(os.path.join(self.path, "_ivf_meta.json"), "w") as fh:
+            json.dump({"vec_col": self.vec_col, "metric": self.metric,
+                       "quantized": self.quantized,
+                       "pq": self.pq.to_json() if self.pq else None,
+                       "centroids": self.centroids.tolist(),
+                       "list_map": self.list_map,
+                       "gen": self.gen, "key_col": self.key_col}, fh)
+
+    # -- mutation layer (reference: live index mutation on keyspace
+    # events, src/indexes/vector_base.cc AddRecord/RemoveRecord — here
+    # parquet appends + generation-versioned tombstones, no rebuild) ----
+    @property
+    def _tomb_path(self) -> str:
+        return os.path.join(self.path, "_tombstones")
+
+    def _tombstones(self) -> DataFrame | None:
+        """The tombstone frame (key_col, __gen) or None when no delete
+        has ever been issued. Tombstones are tiny relative to the corpus
+        (they compact away at the next rebuild), so read paths apply
+        them as one BROADCAST join — no corpus shuffle."""
+        if not os.path.isdir(self._tomb_path):
+            return None
+        return self.spark.read.parquet(self._tomb_path)
+
+    def _alive(self, df: DataFrame) -> DataFrame:
+        """Filter deleted rows: keep a row unless a tombstone for its key
+        exists at generation >= the row's __gen. Appends after a delete
+        carry a higher generation, so re-inserted keys survive."""
+        tomb = self._tombstones()
+        if tomb is None:
+            return df
+        dead = (tomb.groupBy(self.key_col)
+                .agg(F.max("__gen").alias("__tomb_gen")))
+        return (df.join(F.broadcast(dead), on=self.key_col, how="left")
+                .where(F.col("__tomb_gen").isNull()
+                       | (F.col("__gen") > F.col("__tomb_gen")))
+                .drop("__tomb_gen"))
+
+    def scan_raw(self) -> DataFrame:
+        """The persisted rows in STORAGE form (float / int8 struct / PQ
+        code bytes) with deleted rows filtered out — the one read entry
+        point every search path goes through."""
+        return self._alive(self.spark.read.parquet(self.path))
+
+    def _resolve_key(self, key_col: str | None) -> str:
+        key = key_col or self.key_col
+        if key is None:
+            raise ValueError(
+                "index has no key_col — pass key_col= (or set it at build) "
+                "before using append/delete/upsert")
+        if self.key_col is not None and key != self.key_col:
+            raise ValueError(
+                f"key_col {key!r} != index key_col {self.key_col!r}")
+        return key
+
+    def append(self, df: DataFrame, key_col: str | None = None) -> None:
+        """Insert new vectors WITHOUT a rebuild — the reference mutates
+        its in-memory graph per keyspace event (vector_base.cc
+        AddRecord); the columnar equivalent is: assign each new vector to
+        its nearest centroid (one Arrow matmul against the broadcast
+        centroid matrix — same stage shape as knn_join_bucketed's probe),
+        re-apply the build's deterministic hash split for oversized
+        lists, encode through the index's storage tier (int8 / PQ codes
+        against the FIXED codebook — appended vectors quantize with the
+        build-time codebook; retrain via rebuild if the distribution
+        drifts), and parquet-append into the same partition layout.
+        Search, bucketed join and persistence see appended rows with no
+        code changes because every path reads through scan_raw().
+
+        Assignment is Euclidean argmin for every metric, mirroring the
+        KMeans assignment at build, so a vector appends into exactly the
+        list build would have put it in. Single-writer contract (as the
+        reference: one writer per shard); appends accumulate small
+        parquet files — compact by rebuilding when list sizes drift past
+        the build-time skew cap."""
+        key = self._resolve_key(key_col)
+        gen = self.gen + 1
+        work = df.where(F.col(self.vec_col).isNotNull())
+        if self.metric == "cosine":
+            vec = self.vec_col
+            norm = F.sqrt(F.aggregate(F.col(vec), F.lit(0.0),
+                                      lambda a, x: a + x.cast("double") * x))
+            work = work.withColumn(
+                vec, F.when(norm > 0, F.transform(
+                    F.col(vec), lambda x: (x / norm).cast("float"))))
+            work = work.where(F.col(vec).isNotNull())
+
+        cents = self.centroids
+
+        @F.pandas_udf("int")
+        def assign(vs: pd.Series) -> pd.Series:
+            if len(vs) == 0:
+                return pd.Series([], dtype="int32")
+            q = np.stack(vs.to_numpy()).astype(np.float64)
+            d = ((q * q).sum(1)[:, None] - 2.0 * (q @ cents.T)
+                 + (cents * cents).sum(1)[None, :])
+            return pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+        assigned = work.withColumn("__list", assign(F.col(self.vec_col)))
+        # identical hash-split routing to build: a centroid with physical
+        # sub-lists spreads appends with the same xxhash64(vec) formula
+        remap = F.col("__list")
+        for c, ids in enumerate(self.list_map):
+            if len(ids) == 1:
+                continue
+            sub = F.pmod(F.xxhash64(F.col(self.vec_col)), F.lit(len(ids)))
+            remap = F.when(
+                F.col("__list") == c,
+                F.element_at(F.array(*[F.lit(i) for i in ids]),
+                             sub.cast("int") + 1)).otherwise(remap)
+        if any(len(ids) > 1 for ids in self.list_map):
+            assigned = assigned.withColumn("__list", remap)
+        if self.quantized:
+            from ..functions.quantize import quantize_vector_expr
+
+            assigned = (assigned
+                        .withColumn("__qvec",
+                                    quantize_vector_expr(F.col(self.vec_col)))
+                        .drop(self.vec_col))
+        elif self.pq is not None:
+            assigned = self.pq.encode(assigned, self.vec_col).drop(self.vec_col)
+        assigned = assigned.withColumn("__gen", F.lit(gen))
+        # align to the persisted layout — names AND types (a bigint batch
+        # appended into an int32 column writes mixed physical types that
+        # poison every later scan); metadata-only schema read
+        want = self.spark.read.parquet(self.path).schema
+        assigned = assigned.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name)
+              for f in want.fields])
+        assigned.write.mode("append").partitionBy("__list").parquet(self.path)
+        self.gen = gen
+        if self.key_col is None:
+            self.key_col = key
+        self._save_meta()
+
+    def delete(self, keys, key_col: str | None = None) -> None:
+        """Tombstone-delete by key (reference: RemoveRecord). ``keys`` is
+        a Python sequence or a one-column DataFrame. Read paths drop dead
+        rows via one broadcast join against the (key, max gen) tombstone
+        set; tombstones vanish at the next rebuild."""
+        key = self._resolve_key(key_col)
+        gen = self.gen + 1
+        if isinstance(keys, DataFrame):
+            tomb = keys.select(F.col(keys.columns[0]).alias(key))
+        else:
+            ktype = self.spark.read.parquet(self.path).schema[key].dataType
+            tomb = self.spark.createDataFrame(
+                [(k,) for k in keys], schema=f"`{key}` {ktype.simpleString()}")
+        (tomb.withColumn("__gen", F.lit(gen))
+         .write.mode("append").parquet(self._tomb_path))
+        self.gen = gen
+        if self.key_col is None:
+            self.key_col = key
+        self._save_meta()
+
+    def upsert(self, df: DataFrame, key_col: str | None = None) -> None:
+        """Replace-by-key: tombstone the batch's keys at gen g, append
+        the new rows at gen g+1 — the per-document overwrite semantics
+        the reference applies when an indexed hash is rewritten."""
+        key = self._resolve_key(key_col)
+        self.delete(df.select(key), key_col=key)
+        self.append(df, key_col=key)
 
     def _read(self) -> DataFrame:
         """The persisted corpus with ``vec_col`` as float — dequantized
         JVM-side (whole-stage codegen) when the index stores int8 or PQ
         codes, so the parquet scan reads the smaller column either way
         (PQ reconstruction is lossy by design)."""
-        df = self.spark.read.parquet(self.path)
+        df = self.scan_raw()
         if self.quantized:
             from ..functions.quantize import dequantize_vector_expr
 
@@ -240,8 +411,7 @@ class IVFIndex:
             # prefilter or a downstream projection actually asks for the
             # vector (so the prefilter sees the same columns as on
             # float/int8 indexes)
-            df = (self.spark.read.parquet(self.path)
-                  .where(F.col("__list").isin(lists)))
+            df = self.scan_raw().where(F.col("__list").isin(lists))
             scored = self.pq.attach_adc(df, q, self.metric,
                                         score_name=score_name)
             scored = self.pq.attach_decode(scored, self.vec_col)
@@ -256,7 +426,7 @@ class IVFIndex:
         order = [F.col(score_name).asc()]
         if tiebreak_col is not None:
             order.append(F.col(tiebreak_col).asc())
-        return scored.orderBy(*order).limit(k).drop("__list")
+        return scored.orderBy(*order).limit(k).drop("__list", "__gen")
 
     @property
     def n_lists(self) -> int:
@@ -469,7 +639,7 @@ def knn_join_bucketed(queries: DataFrame, index: IVFIndex, k: int = 10,
 
     def _raw_corpus():
         if pq is not None:
-            return index.spark.read.parquet(index.path)
+            return index.scan_raw()
         return index._read()
 
     # partition pruning: the probed-list set is at most n_lists ints — the
