@@ -185,3 +185,28 @@ def test_key_col_contract_errors(spark, emb, tmp_path):
                           metric="l2", n_lists=4, seed=42, key_col="vec_id")
     with pytest.raises(ValueError, match="key_col"):
         idx2.delete([1], key_col="label")
+
+
+def test_engine_ann_mutates_by_document_key(spark, emb, tmp_path):
+    """Engine-level surface: ft_build_ann keys the artifact on the index's
+    __key, so a document delete tombstones it out of engine KNN results —
+    the reference's keyspace-event RemoveRecord, minus the rebuild."""
+    import math
+
+    from valkey_search_spark import SearchEngine, VectorField
+
+    e = SearchEngine(spark)
+    e.ft_create("mut_emb", emb,
+                [VectorField("embedding", dim=64, metric="l2")],
+                key_column="vec_id")
+    ivf = e.ft_build_ann("mut_emb", "embedding",
+                         str(tmp_path / "ann"), n_lists=8)
+    q = [round(math.sin(i + 1), 6) for i in range(64)]
+    before = e.ft_search("mut_emb", "*=>[KNN 5 @embedding $v]",
+                         params={"v": q}, limit=(0, 5), ann_nprobe=8)
+    top_key = before.first()["__key"]
+    ivf.delete([top_key])
+    after = e.ft_search("mut_emb", "*=>[KNN 5 @embedding $v]",
+                        params={"v": q}, limit=(0, 5), ann_nprobe=8)
+    keys = [r["__key"] for r in after.collect()]
+    assert top_key not in keys and len(keys) == 5

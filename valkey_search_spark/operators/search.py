@@ -138,12 +138,17 @@ class SearchEngine:
 
     def ft_build_ann(self, index: str, attr: str, path: str,
                      n_lists: int = 64, sample_fraction: float | None = None,
-                     seed: int = 42):
+                     seed: int = 42, **build_kwargs):
         """Build the IVF ANN artifact for a VECTOR field — the Spark-batch
         equivalent of the reference's HNSW graph build
         (/root/reference/src/indexes/vector_hnsw.cc). The artifact is a
         parquet table partitioned by centroid list; ft_search uses it for
-        match-all KNN when ``ann_nprobe`` is given."""
+        match-all KNN when ``ann_nprobe`` is given. The index key column
+        rides along as the artifact's mutation key, so the returned
+        IVFIndex supports append/delete/upsert by document key (the
+        reference's live AddRecord/RemoveRecord surface). Extra kwargs
+        (``quantize``, ``pq_m``, ``max_list_rows``) pass through to
+        IVFIndex.build."""
         from .ann import IVFIndex
 
         schema = self.catalog.get(index)
@@ -153,7 +158,8 @@ class SearchEngine:
         df = schema.indexed_df()  # _v_<attr> is validated (+normalized if cosine)
         ivf = IVFIndex.build(df, path, vec_col=vec_col(fdef.attr),
                              metric=fdef.metric, n_lists=n_lists,
-                             sample_fraction=sample_fraction, seed=seed)
+                             sample_fraction=sample_fraction, seed=seed,
+                             key_col="__key", **build_kwargs)
         if not hasattr(schema, "_ann"):
             schema._ann = {}
         schema._ann[fdef.attr] = ivf
