@@ -812,6 +812,21 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select(F.col("vec_id").cast("long").alias("vec_id"),
                           F.col("__score").alias("dist"))
 
+    def b_semantic_dedup(spark, sf_dir):
+        # SemDeDup (beyond-reference LLM-pipeline operator): KMeans
+        # cluster assignment + per-cluster greedy-leader cosine pruning.
+        # Correctness is scalar-reference-pinned in tests/test_semdedup.py
+        # (the greedy leader order is not SQL-expressible).
+        from valkey_search_spark.operators.semdedup import (
+            semantic_dedup_flags,
+        )
+
+        emb = (load_table(spark, sf_dir, "embeddings")
+               .select(F.col("vec_id").alias("doc_id"), "embedding"))
+        flags = semantic_dedup_flags(emb, threshold=0.95, n_clusters=16,
+                                     seed=42, max_iter=5)
+        return flags.select("doc_id", "__cluster", "__keep")
+
     return {
         "text_proximity_3term": _search("docs", "batch stream window",
                                         DOC_COLS, slop=2, inorder=True),
@@ -826,6 +841,7 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hygiene_span_dedup": b_span_dedup,
         "hygiene_lm_perplexity": b_lm_perplexity,
         "search_bm25": b_bm25,
+        "dedup_semantic": b_semantic_dedup,
     }
 
 

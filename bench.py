@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "hygiene_span_dedup",
     "hygiene_lm_perplexity",
     "search_bm25",
+    "dedup_semantic",
 ]
 
 
