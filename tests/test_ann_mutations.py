@@ -210,3 +210,42 @@ def test_engine_ann_mutates_by_document_key(spark, emb, tmp_path):
                         params={"v": q}, limit=(0, 5), ann_nprobe=8)
     keys = [r["__key"] for r in after.collect()]
     assert top_key not in keys and len(keys) == 5
+
+
+def test_document_store_mutations_flow_into_ann(spark, emb, tmp_path):
+    """End-to-end keyspace-event loop: DocumentStore SET/DEL mutations
+    apply to the document table AND propagate into the ANN artifact via
+    upsert/delete — the reference's notification -> mutation queue ->
+    index AddRecord/RemoveRecord pipeline, one micro-batch at a time."""
+    import math
+
+    from valkey_search_spark.streaming.ingest import DocumentStore
+
+    store = DocumentStore(spark, str(tmp_path / "docs"),
+                          key_column="vec_id", num_buckets=8)
+    store.backfill(emb)
+    idx = IVFIndex.build(store.read(), str(tmp_path / "ann"),
+                         vec_col="embedding", metric="l2", n_lists=8,
+                         seed=42, key_col="vec_id")
+
+    q = [round(math.sin(i + 1), 6) for i in range(64)]
+    victim = idx.search(q, k=1, nprobe=idx.n_lists).first()["vec_id"]
+    new_vec = [float(x) for x in q]
+
+    muts = spark.createDataFrame(
+        [(victim, "DEL", None, None),
+         (777777, "SET", new_vec, 5)],
+        "vec_id long, __op string, embedding array<float>, label int")
+    store.apply_mutations(muts)
+    # propagate the same batch into the index (what a foreachBatch sink
+    # composing store + index would do per micro-batch)
+    idx.delete([victim])
+    idx.append(muts.where("__op = 'SET'").drop("__op"))
+
+    table_keys = {r["vec_id"] for r in
+                  store.read().select("vec_id").collect()}
+    assert victim not in table_keys and 777777 in table_keys
+    top = idx.search(q, k=2, nprobe=idx.n_lists,
+                     tiebreak_col="vec_id").collect()
+    got = [r["vec_id"] for r in top]
+    assert got[0] == 777777 and victim not in got
