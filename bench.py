@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "hygiene_lm_perplexity",
     "search_bm25",
     "dedup_semantic",
+    "hygiene_quality_model",
 ]
 
 
