@@ -101,3 +101,37 @@ def test_save_load_roundtrip(spark, clf, tmp_path):
     after = [round(r[0], 8) for r in
              again.score(docs).select("quality_score").collect()]
     assert before == after
+
+
+def test_composes_into_curation_pipeline(spark, clf):
+    from valkey_search_spark.operators.pipeline import (
+        CurationConfig, curate_documents,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(300)
+    gib = (_gibberish(spark, 100, seed=21)
+           .withColumn("doc_id", F.col("doc_id") + 10_000_000)
+           .select("doc_id", "text",
+                   *[F.lit(None).cast(docs.schema[c].dataType).alias(c)
+                     for c in docs.columns if c not in ("doc_id", "text")])
+           .select(*docs.columns))
+    pool = docs.unionByName(gib)
+    cfg = CurationConfig(min_quality=0.0, min_tokens=1,
+                         near_dup_threshold=None,
+                         quality_model=clf, min_model_quality=0.5)
+    clean, funnel = curate_documents(pool, config=cfg)
+    ids = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    assert sum(1 for i in ids if i >= 10_000_000) < 10   # gibberish gated
+    assert sum(1 for i in ids if i < 10_000_000) > 250   # clean survives
+    assert "model_quality" in clean.columns
+    assert funnel["quality_gate"] < funnel["input"]
+    # pareto mode composes too and is deterministic
+    cfg2 = CurationConfig(min_quality=0.0, min_tokens=1,
+                          near_dup_threshold=None,
+                          quality_model=clf, model_pareto=True)
+    a, _ = curate_documents(pool, config=cfg2, with_funnel=False)
+    b, _ = curate_documents(pool, config=cfg2, with_funnel=False)
+    aset = {r["doc_id"] for r in a.select("doc_id").collect()}
+    assert aset == {r["doc_id"] for r in b.select("doc_id").collect()}
+    with pytest.raises(ValueError, match="quality_model"):
+        curate_documents(pool, config=CurationConfig(model_pareto=True))

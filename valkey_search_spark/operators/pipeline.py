@@ -43,6 +43,17 @@ class CurationConfig:
     lm_model: object | None = None               # BigramLM
     lm_reference: object | None = None           # DataFrame
     max_lm_perplexity: float | None = None
+    # GPT-3-style model-based quality gate (operators/quality_model.py):
+    # a pre-trained QualityClassifier scores map-side (lazy, no jobs at
+    # compose time); gate with a hard threshold (min_model_quality)
+    # and/or the published Pareto acceptance rule (model_pareto) — the
+    # score lands in a `model_quality` column either way (distinct from
+    # the heuristic `quality_score`)
+    quality_model: object | None = None          # QualityClassifier
+    min_model_quality: float | None = None
+    model_pareto: bool = False
+    model_pareto_alpha: float = 9.0
+    model_pareto_seed: int = 0
     extra: dict = dc_field(default_factory=dict)
 
 
@@ -93,6 +104,16 @@ def curate_documents(df: DataFrame, key: str = "doc_id",
         # score off the staged token array, then release it
         analyzed = lm.score(analyzed, key=key, text_col=text_col,
                             tokens_col="__toks").drop("__toks")
+    model_gate_on = (cfg.min_model_quality is not None or cfg.model_pareto)
+    if model_gate_on and cfg.quality_model is None:
+        raise ValueError("min_model_quality/model_pareto require "
+                         "quality_model")
+    if cfg.quality_model is not None:
+        # the classifier applies its OWN tokenization (it must match
+        # training featurization), so it scores the raw text column —
+        # still lazy: PipelineModel.transform adds JVM projections only
+        analyzed = cfg.quality_model.score(analyzed, text_col=text_col,
+                                           out_col="model_quality")
     gate = (F.col("quality_score") >= cfg.min_quality) & \
            (F.col("token_count") >= cfg.min_tokens)
     if cfg.gopher_rules:
@@ -105,6 +126,14 @@ def curate_documents(df: DataFrame, key: str = "doc_id",
         gate = gate & (F.col("dup_line_frac") <= cfg.max_dup_line_frac)
     if cfg.max_lm_perplexity is not None:
         gate = gate & (F.col("lm_perplexity") <= cfg.max_lm_perplexity)
+    if cfg.min_model_quality is not None:
+        gate = gate & (F.col("model_quality") >= cfg.min_model_quality)
+    if cfg.model_pareto:
+        from .quality_model import pareto_keep
+
+        gate = gate & pareto_keep(key, "model_quality",
+                                  alpha=cfg.model_pareto_alpha,
+                                  seed=cfg.model_pareto_seed)
     flagged = analyzed.withColumn("__gate", F.coalesce(gate, F.lit(False)))
 
     # exact dedup: the min-key GATED row per fingerprint is the
