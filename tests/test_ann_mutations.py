@@ -249,3 +249,48 @@ def test_document_store_mutations_flow_into_ann(spark, emb, tmp_path):
                      tiebreak_col="vec_id").collect()
     got = [r["vec_id"] for r in top]
     assert got[0] == 777777 and victim not in got
+
+
+def test_delete_dataframe_casts_key_type(spark, emb, tmp_path):
+    """A DataFrame delete with a mismatched key type must not write mixed
+    physical parquet types into the tombstone dir."""
+    idx = IVFIndex.build(emb, str(tmp_path / "ix"), vec_col="embedding",
+                         metric="l2", n_lists=4, seed=42, key_col="vec_id")
+    vid = emb.first()["vec_id"]
+    narrow = spark.createDataFrame([(int(vid),)], "vec_id int")  # not bigint
+    idx.delete(narrow)
+    idx.delete([emb.collect()[1]["vec_id"]])   # second write, stored type
+    assert idx.scan_raw().where(F.col("vec_id") == vid).count() == 0
+
+
+def test_legacy_artifact_without_gen_refuses_mutation(spark, emb, tmp_path):
+    idx = IVFIndex.build(emb, str(tmp_path / "ix"), vec_col="embedding",
+                         metric="l2", n_lists=4, seed=42, key_col="vec_id")
+    # simulate a pre-mutation-era artifact: rewrite without __gen
+    legacy = str(tmp_path / "legacy")
+    (spark.read.parquet(idx.path).drop("__gen")
+     .write.partitionBy("__list").parquet(legacy))
+    import json
+    import shutil
+
+    shutil.copy(f"{idx.path}/_ivf_meta.json", f"{legacy}/_ivf_meta.json")
+    old = IVFIndex.load(spark, legacy)
+    with pytest.raises(ValueError, match="rebuild"):
+        old.delete([1])
+    with pytest.raises(ValueError, match="rebuild"):
+        old.append(emb.limit(1))
+    # plain reads still work
+    assert old.search([0.0] * 64, k=3, nprobe=4).count() == 3
+
+
+def test_engine_build_rejects_reserved_kwargs(spark, emb, tmp_path):
+    from valkey_search_spark import SearchEngine, VectorField
+    from valkey_search_spark.errors import QuerySyntaxError
+
+    e = SearchEngine(spark)
+    e.ft_create("resv_emb", emb,
+                [VectorField("embedding", dim=64, metric="l2")],
+                key_column="vec_id")
+    with pytest.raises(QuerySyntaxError, match="key_col"):
+        e.ft_build_ann("resv_emb", "embedding", str(tmp_path / "a"),
+                       key_col="vec_id")

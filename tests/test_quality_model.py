@@ -135,3 +135,27 @@ def test_composes_into_curation_pipeline(spark, clf):
     assert aset == {r["doc_id"] for r in b.select("doc_id").collect()}
     with pytest.raises(ValueError, match="quality_model"):
         curate_documents(pool, config=CurationConfig(model_pareto=True))
+
+
+def test_null_text_scores_null_not_crash(spark, clf):
+    df = spark.createDataFrame(
+        [(1, "solid normal text here"), (2, None)],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r["quality_score"]
+            for r in clf.score(df).collect()}
+    assert rows[2] is None and rows[1] is not None
+    # and the filter drops (never crashes on) the null row
+    kept = {r["doc_id"] for r in
+            quality_filter(df, clf, key="doc_id").collect()}
+    assert 2 not in kept
+    # null token-array input takes the same path
+    clf2 = QualityClassifier.train(
+        spark.createDataFrame([(["good", "tokens"],)], "toks array<string>"),
+        spark.createDataFrame([(["qxz", "jvk"],)], "toks array<string>"),
+        text_col=None, tokens_col="toks", num_features=1 << 10, max_iter=5)
+    out = clf2.score(
+        spark.createDataFrame([(["good"],), (None,)], "toks array<string>"),
+        text_col=None, tokens_col="toks").collect()
+    got = {tuple(r["toks"]) if r["toks"] else None: r["quality_score"]
+           for r in out}
+    assert got[None] is None and got[("good",)] is not None

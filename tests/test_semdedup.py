@@ -125,3 +125,18 @@ def test_max_cluster_rows_bounds_tasks(spark):
              flags.groupBy("__cluster").agg(F.count("*").alias("n")).collect()}
     assert max(sizes.values()) <= cap
     assert len(sizes) > 4                            # splitting happened
+
+
+def test_null_embeddings_pass_through_kept(spark):
+    base = np.eye(2, 8)
+    rows = [(i, [float(x) for x in base[i % 2] + 1e-4 * i]) for i in range(6)]
+    rows += [(100, None), (101, None)]
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<float>")
+    flags = semantic_dedup_flags(df, threshold=0.9, n_clusters=2, seed=3)
+    got = {r["doc_id"]: r for r in flags.collect()}
+    assert len(got) == 8                       # verdict for EVERY input row
+    assert got[100]["__keep"] and got[100]["__cluster"] is None
+    out = semantic_dedup(df, threshold=0.9, n_clusters=2, seed=3,
+                         max_iter=5)           # max_iter forwards
+    ids = {r["doc_id"] for r in out.collect()}
+    assert {100, 101} <= ids and len(ids) == 4   # 2 leaders + 2 nulls

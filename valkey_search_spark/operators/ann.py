@@ -225,6 +225,8 @@ class IVFIndex:
         tomb = self._tombstones()
         if tomb is None:
             return df
+        if "__gen" not in df.columns:      # pre-mutation-era artifact
+            df = df.withColumn("__gen", F.lit(0))
         dead = (tomb.groupBy(self.key_col)
                 .agg(F.max("__gen").alias("__tomb_gen")))
         return (df.join(F.broadcast(dead), on=self.key_col, how="left")
@@ -247,6 +249,14 @@ class IVFIndex:
         if self.key_col is not None and key != self.key_col:
             raise ValueError(
                 f"key_col {key!r} != index key_col {self.key_col!r}")
+        # a pre-mutation-era artifact has no __gen column; appending
+        # versioned rows into it would mix file schemas, and tombstones
+        # could not distinguish old rows from re-inserts — require a
+        # rebuild instead of corrupting the layout (metadata-only check)
+        if "__gen" not in self.spark.read.parquet(self.path).schema.names:
+            raise ValueError(
+                "this index artifact predates the mutation layer (no "
+                "__gen column) — rebuild it to enable append/delete/upsert")
         return key
 
     def append(self, df: DataFrame, key_col: str | None = None) -> None:
@@ -336,10 +346,14 @@ class IVFIndex:
         set; tombstones vanish at the next rebuild."""
         key = self._resolve_key(key_col)
         gen = self.gen + 1
+        # always cast to the STORED key type: a narrower/wider caller key
+        # would write mixed physical parquet types into the tombstone dir
+        # and poison every later read (same hazard append guards against)
+        ktype = self.spark.read.parquet(self.path).schema[key].dataType
         if isinstance(keys, DataFrame):
-            tomb = keys.select(F.col(keys.columns[0]).alias(key))
+            tomb = keys.select(
+                F.col(keys.columns[0]).cast(ktype).alias(key))
         else:
-            ktype = self.spark.read.parquet(self.path).schema[key].dataType
             tomb = self.spark.createDataFrame(
                 [(k,) for k in keys], schema=f"`{key}` {ktype.simpleString()}")
         (tomb.withColumn("__gen", F.lit(gen))

@@ -46,11 +46,19 @@ class QualityClassifier:
                 tokens_col: str | None) -> DataFrame:
         if (text_col is None) == (tokens_col is None):
             raise ValueError("pass exactly one of text_col or tokens_col")
+        # null-safe: HashingTF NPEs on a null token array, and one
+        # null-text row must not kill a 100 TB scoring job — nulls
+        # featurize as empty and surface as a NULL score (see score())
         if tokens_col is not None:
-            return df.withColumn("__qc_toks", F.col(tokens_col))
-        return df.withColumn(
-            "__qc_toks",
-            F.split(F.lower(F.col(text_col)), r"\s+"))
+            toks = F.coalesce(F.col(tokens_col),
+                              F.array().cast("array<string>"))
+            src_null = F.col(tokens_col).isNull()
+        else:
+            toks = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                           r"\s+")
+            src_null = F.col(text_col).isNull()
+        return (df.withColumn("__qc_toks", toks)
+                  .withColumn("__qc_srcnull", src_null))
 
     @classmethod
     def train(cls, positive: DataFrame, negative: DataFrame,
@@ -105,18 +113,21 @@ class QualityClassifier:
     def score(self, df: DataFrame, text_col: str | None = "text",
               tokens_col: str | None = None,
               out_col: str = "quality_score") -> DataFrame:
-        """``df`` + ``out_col`` = P(document is reference-like) in [0, 1].
-        Map-only: every stage is a JVM ML transformer."""
+        """``df`` + ``out_col`` = P(document is reference-like) in [0, 1];
+        NULL for rows whose source text/tokens are null (downstream gates
+        coalesce null to fail, the pipeline convention). Map-only: every
+        stage is a JVM ML transformer."""
         from pyspark.ml.functions import vector_to_array
 
         toks = self._tokens(df, text_col, tokens_col)
         scored = self._model.transform(toks)
-        drop = [c for c in scored.columns
-                if c.startswith("__qc_") and c != "__qc_prob"]
+        drop = [c for c in scored.columns if c.startswith("__qc_")]
         return (scored
                 .withColumn(out_col,
-                            vector_to_array(F.col("__qc_prob"))[1])
-                .drop("__qc_prob", *drop))
+                            F.when(F.col("__qc_srcnull"), F.lit(None))
+                            .otherwise(
+                                vector_to_array(F.col("__qc_prob"))[1]))
+                .drop(*drop))
 
     # ------------------------------------------------------------------
     def save(self, path: str) -> None:

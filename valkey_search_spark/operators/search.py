@@ -155,6 +155,11 @@ class SearchEngine:
         fdef = schema.field(attr)
         if not isinstance(fdef, VectorField):
             raise QuerySyntaxError(f"field `{attr}` is not VECTOR")
+        reserved = {"vec_col", "metric", "key_col"} & set(build_kwargs)
+        if reserved:
+            raise QuerySyntaxError(
+                f"ft_build_ann sets {sorted(reserved)} itself — the "
+                "engine owns the vector column, metric and document key")
         df = schema.indexed_df()  # _v_<attr> is validated (+normalized if cosine)
         ivf = IVFIndex.build(df, path, vec_col=vec_col(fdef.attr),
                              metric=fdef.metric, n_lists=n_lists,

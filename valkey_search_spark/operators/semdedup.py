@@ -183,8 +183,17 @@ def semantic_dedup_flags(df: DataFrame, key: str = "doc_id",
             key: okeys, "__cluster": cid, "__keep": kp, "__rep": reps,
         })
 
-    return (assigned.groupBy("__cluster")
-            .applyInPandas(prune, out_schema))
+    flags = (assigned.groupBy("__cluster")
+             .applyInPandas(prune, out_schema))
+    # null-embedding rows can't be judged — they pass through KEPT (null
+    # cluster/rep), so the flags frame covers EVERY input row and
+    # semantic_dedup never silently drops unembedded documents
+    nulls = (df.where(F.col(vec_col).isNull())
+             .select(F.col(key),
+                     F.lit(None).cast("int").alias("__cluster"),
+                     F.lit(True).alias("__keep"),
+                     F.lit(None).cast(key_field.dataType).alias("__rep")))
+    return flags.unionByName(nulls)
 
 
 def semantic_dedup(df: DataFrame, key: str = "doc_id",
@@ -192,12 +201,13 @@ def semantic_dedup(df: DataFrame, key: str = "doc_id",
                    n_clusters: int = 64, keep: str = "centroid_far",
                    sample_fraction: float | None = None,
                    max_cluster_rows: int | None = None,
-                   seed: int = 42) -> DataFrame:
+                   seed: int = 42, max_iter: int = 20) -> DataFrame:
     """The pruned corpus: ``df`` minus semantic duplicates — one hash
-    join of the payload-free flags frame back onto the input."""
+    join of the payload-free flags frame back onto the input.
+    Null-embedding rows are retained (they can't be judged)."""
     flags = semantic_dedup_flags(
         df, key=key, vec_col=vec_col, threshold=threshold,
         n_clusters=n_clusters, keep=keep, sample_fraction=sample_fraction,
-        max_cluster_rows=max_cluster_rows, seed=seed)
+        max_cluster_rows=max_cluster_rows, seed=seed, max_iter=max_iter)
     keep_keys = flags.where("__keep").select(key)
     return df.join(keep_keys, on=key, how="inner")
