@@ -294,3 +294,51 @@ def test_engine_build_rejects_reserved_kwargs(spark, emb, tmp_path):
     with pytest.raises(QuerySyntaxError, match="key_col"):
         e.ft_build_ann("resv_emb", "embedding", str(tmp_path / "a"),
                        key_col="vec_id")
+
+
+def test_streaming_sink_mirrors_ann(spark, emb, tmp_path):
+    """The full reference loop as ONE streaming pipeline: a mutation
+    stream upserts the document store AND mirrors into the ANN artifact
+    per micro-batch (ann_indexes=), so KNN results track the keyspace
+    with no rebuild."""
+    import math
+
+    from valkey_search_spark.streaming.ingest import DocumentStore
+
+    store = DocumentStore(spark, str(tmp_path / "docs"),
+                          key_column="vec_id", num_buckets=4)
+    store.backfill(emb)
+    idx = IVFIndex.build(store.read(), str(tmp_path / "ann"),
+                         vec_col="embedding", metric="l2", n_lists=4,
+                         seed=42, key_col="vec_id")
+
+    q = [round(math.sin(i + 1), 6) for i in range(64)]
+    victim = idx.search(q, k=1, nprobe=idx.n_lists).first()["vec_id"]
+
+    mut_dir = tmp_path / "muts"
+    mut_dir.mkdir()
+    mut_schema = ("vec_id long, embedding array<float>, label int,"
+                  " __op string")
+    spark.createDataFrame([
+        (888888, [float(x) for x in q], 1, "SET"),
+        (int(victim), None, None, "DEL"),
+        (777777, None, 2, "SET"),                     # SET with no vector
+    ], mut_schema).write.mode("append").parquet(str(mut_dir))
+
+    stream = (spark.readStream
+              .schema("vec_id long, embedding array<float>, label int,"
+                      " __op string")
+              .parquet(str(mut_dir)))
+    sq = store.streaming_sink(stream, str(tmp_path / "ckpt"),
+                              trigger={"availableNow": True},
+                              ann_indexes=[idx])
+    sq.awaitTermination(120)
+
+    top = idx.search(q, k=3, nprobe=idx.n_lists,
+                     tiebreak_col="vec_id").collect()
+    got = [r["vec_id"] for r in top]
+    assert got[0] == 888888          # streamed insert is the new nearest
+    assert victim not in got         # streamed delete tombstoned
+    # vector-less SET lands in the store but NOT the index
+    assert store.read().where("vec_id = 777777").count() == 1
+    assert idx.scan_raw().where("vec_id = 777777").count() == 0

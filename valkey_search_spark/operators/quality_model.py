@@ -107,6 +107,23 @@ class QualityClassifier:
             predictionCol="__qc_pred",
             maxIter=max_iter, regParam=reg_param, standardization=False))
         model = Pipeline(stages=stages).fit(data)
+        # shed the LR trainingSummary: it holds the live SparkSession, so
+        # the scoring UDF's task closure would serialize the session (and
+        # its non-serializable ObservationManager — breaks in sessions
+        # that ever ran an Observation query, e.g. the engine's one-pass
+        # totals). A disk round-trip is the public-API way to drop it;
+        # the model is KB-sized, so this is one cheap local write.
+        import shutil
+        import tempfile
+
+        from pyspark.ml import PipelineModel
+
+        tmp = tempfile.mkdtemp(prefix="qc_fit_")
+        try:
+            model.write().overwrite().save(tmp)
+            model = PipelineModel.load(tmp)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
         return cls(model, num_features, binary)
 
     # ------------------------------------------------------------------

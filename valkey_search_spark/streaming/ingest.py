@@ -84,7 +84,8 @@ class DocumentStore:
 
     # ------------------------------------------------------------------
     def apply_mutations(self, mutations: DataFrame, op_column: str = "__op",
-                        seq_column: str | None = None) -> None:
+                        seq_column: str | None = None,
+                        ann_indexes: list | None = None) -> None:
         """Apply a batch of SET/DEL mutations.
 
         ``mutations`` carries the key column, ``op_column`` (SET|DEL) and the
@@ -95,6 +96,15 @@ class DocumentStore:
         Plan: winner-per-key (one shuffle on key, bounded by batch size) ->
         semi-join the CURRENT table to the touched buckets only -> merge ->
         dynamic-partition-overwrite those buckets.
+
+        ``ann_indexes``: IVFIndex artifacts to mirror the batch into —
+        the reference's notification -> index AddRecord/RemoveRecord loop
+        (vector_base.cc): DEL keys tombstone out, SET rows upsert
+        (replace-by-key). Each index must be keyed on this store's key
+        column and built over columns the mutation rows carry; rows whose
+        vector is null are deleted from the index (an unembedded document
+        has no business in KNN results), matching the reference's
+        drop-on-missing-attribute ingest behavior.
         """
         key = self.key_column
         muts = self._bucket(mutations)
@@ -131,10 +141,27 @@ class DocumentStore:
             (out.write.mode("overwrite").partitionBy("__bucket")
                 .parquet(self.path))
 
+        for ix in (ann_indexes or []):
+            if ix.key_col != key:
+                raise ValueError(
+                    f"ANN index keyed on {ix.key_col!r}, store on {key!r}")
+            vec_ok = F.col(ix.vec_col).isNotNull()
+            dels = winners.where((F.col(op_column) == OP_DEL) | ~vec_ok) \
+                          .select(key)
+            ups = sets.where(vec_ok).drop("__bucket")
+            # the winners frame is batch-sized; one tiny job sizes the two
+            # legs so empty ones don't write files / burn generations
+            n_del, n_up = (dels.count(), ups.count())
+            if n_del:
+                ix.delete(dels)
+            if n_up:
+                ix.upsert(ups)
+
     # ------------------------------------------------------------------
     def streaming_sink(self, mutation_stream: DataFrame, checkpoint: str,
                        op_column: str = "__op", seq_column: str | None = None,
-                       trigger: dict | None = None, _pre_apply=None):
+                       trigger: dict | None = None, _pre_apply=None,
+                       ann_indexes: list | None = None):
         """writeStream.foreachBatch upsert — the keyspace-notification
         consumer. Micro-batch boundaries give exactly-once upserts
         (checkpointed offsets replace the reference's queue + sequence
@@ -155,7 +182,8 @@ class DocumentStore:
             t0 = _time.perf_counter()
             try:
                 self.apply_mutations(batch_df, op_column=op_column,
-                                     seq_column=seq_column)
+                                     seq_column=seq_column,
+                                     ann_indexes=ann_indexes)
             finally:
                 self._last_batch_ms = (_time.perf_counter() - t0) * 1000.0
                 self._applied_count += n
