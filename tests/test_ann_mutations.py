@@ -342,3 +342,48 @@ def test_streaming_sink_mirrors_ann(spark, emb, tmp_path):
     # vector-less SET lands in the store but NOT the index
     assert store.read().where("vec_id = 777777").count() == 1
     assert idx.scan_raw().where("vec_id = 777777").count() == 0
+
+
+def test_compact_folds_tombstones_and_preserves_results(spark, emb, tmp_path):
+    import math
+    import os
+
+    idx = IVFIndex.build(emb, str(tmp_path / "ix"), vec_col="embedding",
+                         metric="l2", n_lists=4, seed=42, key_col="vec_id")
+    q = [round(math.sin(i + 1), 6) for i in range(64)]
+    gone = [r["vec_id"] for r in
+            idx.search(q, k=2, nprobe=idx.n_lists).collect()]
+    idx.delete(gone)
+    idx.append(emb.limit(1).withColumn(
+        "vec_id", F.col("vec_id") + 5_000_000))
+    before = [r["vec_id"] for r in
+              idx.search(q, k=10, nprobe=idx.n_lists,
+                         tiebreak_col="vec_id").collect()]
+    n_before = idx.scan_raw().count()
+    sizes_before = idx.list_sizes()
+
+    idx.compact()
+    assert idx.gen == 0
+    assert not os.path.isdir(idx._tomb_path)          # tombstones gone
+    after = [r["vec_id"] for r in
+             idx.search(q, k=10, nprobe=idx.n_lists,
+                        tiebreak_col="vec_id").collect()]
+    assert after == before                            # results unchanged
+    assert idx.scan_raw().count() == n_before         # only dead rows left
+    assert idx.list_sizes() == sizes_before           # membership preserved
+    # gens reset: a fresh delete still works post-compact
+    idx.delete([after[0]])
+    assert after[0] not in [r["vec_id"] for r in
+                            idx.search(q, k=10, nprobe=idx.n_lists).collect()]
+    # load still works (meta rewritten after the swap)
+    again = IVFIndex.load(spark, idx.path)
+    assert again.gen == idx.gen
+
+
+def test_needs_rebalance_flags_drift(spark, emb, tmp_path):
+    idx = IVFIndex.build(emb, str(tmp_path / "ix"), vec_col="embedding",
+                         metric="l2", n_lists=4, seed=42, key_col="vec_id")
+    sizes = idx.list_sizes()
+    assert sum(sizes.values()) == emb.count()
+    assert not idx.needs_rebalance(max(sizes.values()))
+    assert idx.needs_rebalance(max(sizes.values()) - 1)

@@ -371,6 +371,36 @@ class IVFIndex:
         self.delete(df.select(key), key_col=key)
         self.append(df, key_col=key)
 
+    def compact(self) -> None:
+        """The mutation layer's GC: rewrite only the ALIVE rows at gen 0
+        and clear the tombstone set. Centroids, codebooks and list
+        membership are untouched (no re-clustering) — this folds deletes
+        into the layout and merges append file fragments, the cheap
+        maintenance step between full rebuilds. One corpus read + one
+        partitioned write; single-writer contract, like every mutation."""
+        import shutil
+
+        alive = self.scan_raw().withColumn("__gen", F.lit(0))
+        tmp = self.path.rstrip("/") + ".compact"
+        alive.write.mode("overwrite").partitionBy("__list").parquet(tmp)
+        shutil.rmtree(self.path)
+        os.rename(tmp, self.path)
+        self.gen = 0
+        self._save_meta()
+
+    def list_sizes(self) -> dict[int, int]:
+        """Rows per physical list (one aggregation job) — the skew
+        monitor for deciding when append drift warrants a compact() or
+        rebuild (SCALE.md: one oversized list caps the bucketed join's
+        parallelism and task memory)."""
+        return {r["__list"]: r["n"] for r in
+                (self.scan_raw().groupBy("__list")
+                 .agg(F.count("*").alias("n")).collect())}
+
+    def needs_rebalance(self, max_list_rows: int) -> bool:
+        """True when any physical list exceeds the cap."""
+        return any(n > max_list_rows for n in self.list_sizes().values())
+
     def _read(self) -> DataFrame:
         """The persisted corpus with ``vec_col`` as float — dequantized
         JVM-side (whole-stage codegen) when the index stores int8 or PQ
