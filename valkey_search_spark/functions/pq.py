@@ -41,9 +41,16 @@ class PQCodebook:
     (code byte c in [-128, 127] maps to centroid index c + 128).
     """
 
-    def __init__(self, centroids: np.ndarray):
+    def __init__(self, centroids: np.ndarray,
+                 rotation: np.ndarray | None = None):
         self.centroids = np.ascontiguousarray(centroids, dtype=np.float32)
         self.m, self.ksub, self.dsub = self.centroids.shape
+        # OPQ: an orthonormal d x d matrix applied BEFORE subspace split
+        # (row-vector convention: y = x @ R). L2/IP are rotation-
+        # invariant, so codes/LUTs live in rotated space and only
+        # reconstruction unrotates.
+        self.rotation = (None if rotation is None else
+                         np.ascontiguousarray(rotation, dtype=np.float32))
 
     @property
     def dim(self) -> int:
@@ -64,6 +71,51 @@ class PQCodebook:
         once, with the assignment chunked over the sample so the
         distance temp stays a few MB (the unchunked (m, n, 256) tensor
         is ~1 GB at the default sample size)."""
+        x = cls._sample(df, vec_col, sample_limit, seed)
+        if x.shape[1] % m:
+            raise ValueError(f"dim {x.shape[1]} not divisible by m={m}")
+        rng = np.random.default_rng(seed)
+        cents, _ = cls._lloyd(x, m, iters, rng)
+        return cls(cents)
+
+    @classmethod
+    def train_opq(cls, df: DataFrame, vec_col: str, m: int = 8,
+                  sample_limit: int = 65536, iters: int = 20,
+                  opq_iters: int = 10, seed: int = 42) -> "PQCodebook":
+        """Optimized PQ (the published OPQ non-parametric algorithm, Ge
+        et al.): learn an orthonormal rotation R that redistributes
+        correlated variance across subspaces before quantizing —
+        alternating (a) a few Lloyd steps on the rotated sample with
+        (b) the orthogonal-Procrustes update R = U Vᵀ from
+        SVD(Xᵀ·decode(encode(XR))). Same bounded driver-side sample as
+        ``train``; plain PQ is the opq_iters=0 special case (R = I is
+        then dropped). On isotropic data R buys nothing; on real
+        embeddings (correlated dims) it recovers much of the PQ recall
+        gap at zero storage or search cost — codes and LUTs live in
+        rotated space, only reconstruction unrotates."""
+        x = cls._sample(df, vec_col, sample_limit, seed)
+        n, dim = x.shape
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        rng = np.random.default_rng(seed)
+        r = np.eye(dim, dtype=np.float64)
+        cents = None
+        for _ in range(max(1, opq_iters)):
+            xr = (x @ r).astype(np.float32)
+            cents, assign = cls._lloyd(xr, m, 4, rng, init=cents)
+            # reconstruction of the rotated sample from its codes
+            y = np.concatenate(
+                [cents[s][assign[s]] for s in range(m)],
+                axis=1).astype(np.float64)                   # (n, dim)
+            u, _s, vt = np.linalg.svd(x.T @ y)
+            r = u @ vt                                       # Procrustes
+        xr = (x @ r).astype(np.float32)
+        cents, _ = cls._lloyd(xr, m, iters, rng, init=cents)
+        return cls(cents, rotation=r)
+
+    @staticmethod
+    def _sample(df: DataFrame, vec_col: str, sample_limit: int,
+                seed: int) -> np.ndarray:
         vecs = df.select(vec_col).where(F.col(vec_col).isNotNull())
         n_total = vecs.count()
         if n_total == 0:
@@ -72,24 +124,32 @@ class PQCodebook:
             frac = min(1.0, 1.2 * sample_limit / n_total)
             vecs = vecs.sample(fraction=frac, seed=seed)
         rows = vecs.limit(sample_limit).collect()
-        x = np.asarray([r[0] for r in rows], dtype=np.float32)
+        return np.asarray([r[0] for r in rows], dtype=np.float32)
+
+    @staticmethod
+    def _lloyd(x: np.ndarray, m: int, iters: int, rng,
+               init: np.ndarray | None = None):
+        """Vectorized Lloyd's over all m subspaces at once; returns
+        (centroids (m,256,dsub), final assignment (m,n)). Chunked so the
+        distance temp stays a few MB (the unchunked (m, n, 256) tensor
+        is ~1 GB at the default sample size)."""
         n, dim = x.shape
-        if dim % m:
-            raise ValueError(f"dim {dim} not divisible by m={m}")
         dsub = dim // m
         sub = x.reshape(n, m, dsub).transpose(1, 0, 2)   # (m, n, dsub)
-        rng = np.random.default_rng(seed)
         ksub = 256
-        # init: distinct random points per subspace (with replacement
-        # only when the sample is smaller than the codebook)
-        idx = (rng.choice(n, size=ksub, replace=n < ksub))
-        cents = np.ascontiguousarray(sub[:, idx, :])     # (m, 256, dsub)
+        if init is None:
+            # init: distinct random points per subspace (with replacement
+            # only when the sample is smaller than the codebook)
+            idx = (rng.choice(n, size=ksub, replace=n < ksub))
+            cents = np.ascontiguousarray(sub[:, idx, :])  # (m, 256, dsub)
+        else:
+            cents = np.ascontiguousarray(init, dtype=np.float32)
         sub_sq = (sub * sub).sum(2)                      # (m, n)
         chunk = 4096
-        for _ in range(iters):
-            # chunked argmin over n: the full (m, n, 256) distance
-            # tensor would be ~1 GB at n=65536; chunks keep it a few MB
-            assign = np.empty((m, n), dtype=np.int64)
+        assign = np.empty((m, n), dtype=np.int64)
+        for it in range(iters + 1):
+            # chunked argmin over n (one extra pass yields the final
+            # assignment for the updated centroids)
             cents_sq = (cents * cents).sum(2)            # (m, 256)
             for lo in range(0, n, chunk):
                 hi = min(lo + chunk, n)
@@ -97,6 +157,8 @@ class PQCodebook:
                      - 2.0 * np.einsum("mnd,mkd->mnk", sub[:, lo:hi], cents)
                      + cents_sq[:, None, :])
                 assign[:, lo:hi] = d.argmin(axis=2)
+            if it == iters:
+                break
             for s in range(m):
                 counts = np.bincount(assign[s], minlength=ksub)
                 sums = np.zeros((ksub, dsub), dtype=np.float64)
@@ -109,21 +171,29 @@ class PQCodebook:
                 if n_empty:
                     cents[s][~nonzero] = sub[s][
                         rng.choice(sub.shape[1], size=n_empty)]
-        return cls(cents)
+        return cents, assign
 
     # -- persistence ----------------------------------------------------
     def to_json(self) -> str:
-        return json.dumps({"centroids": self.centroids.tolist()})
+        return json.dumps({
+            "centroids": self.centroids.tolist(),
+            "rotation": (None if self.rotation is None
+                         else self.rotation.tolist())})
 
     @classmethod
     def from_json(cls, s: str) -> "PQCodebook":
-        return cls(np.asarray(json.loads(s)["centroids"], dtype=np.float32))
+        d = json.loads(s)
+        rot = d.get("rotation")
+        return cls(np.asarray(d["centroids"], dtype=np.float32),
+                   rotation=(None if rot is None
+                             else np.asarray(rot, dtype=np.float32)))
 
     # -- encode ---------------------------------------------------------
     def encode_udf(self):
         """pandas_udf array<float> -> array<tinyint> (codes - 128)."""
         cents = self.centroids
         m, dsub = self.m, self.dsub
+        rot = self.rotation
 
         @F.pandas_udf(T.ArrayType(T.ByteType()))
         def _encode(vs: pd.Series) -> pd.Series:
@@ -131,6 +201,8 @@ class PQCodebook:
             if not mask.any():
                 return pd.Series([None] * len(vs), dtype=object)
             x = np.stack(vs[mask].to_numpy()).astype(np.float32)
+            if rot is not None:
+                x = (x @ rot).astype(np.float32)
             sub = x.reshape(len(x), m, dsub).transpose(1, 0, 2)
             codes = np.empty((len(x), m), dtype=np.int16)
             for s in range(m):
@@ -181,15 +253,41 @@ class PQCodebook:
 
         rec = F.when(code.isNotNull(),
                      F.concat(*[subvec(s) for s in range(self.m)]))
-        return (out.withColumn(vec_col, rec)
-                   .drop("__pq_cb", code_col))
+        if self.rotation is None:
+            return (out.withColumn(vec_col, rec)
+                       .drop("__pq_cb", code_col))
+        # OPQ: reconstruction lives in rotated space — unrotate JVM-side
+        # (x̂_i = dot(R[i,:], ŷ), R shipped as a broadcast value column).
+        # The rotated reconstruction is STAGED as a named column first:
+        # referencing the concat expression d times would re-evaluate it
+        # per output element (the documented array-lambda plumbing rule).
+        out = (out.withColumn("__pq_y", rec)
+               .drop("__pq_cb", code_col))
+        rows = self.rotation.tolist()
+        out = self._attach_const(out, "__pq_rot", rows,
+                                 "array<array<float>>")
+        rot = F.col("__pq_rot")
+        y = F.col("__pq_y")
+        unrot = F.when(y.isNotNull(), F.transform(
+            F.sequence(F.lit(1), F.lit(self.dim)),
+            lambda i: F.aggregate(
+                F.zip_with(F.element_at(rot, i.cast("int")), y,
+                           lambda a, b: a * b),
+                F.lit(0.0), lambda acc, v: acc + v).cast("float")))
+        return (out.withColumn(vec_col, unrot)
+                   .drop("__pq_y", "__pq_rot"))
 
     # -- ADC ------------------------------------------------------------
     def adc_tables(self, qvec, metric: str) -> np.ndarray:
         """(m, 256) float64 lookup tables for one query: L2 -> squared
         partial distances (sum then sqrt); ip/cosine -> negative partial
-        dots shifted into the engine's 1 - dot form by the caller."""
-        q = np.asarray(qvec, dtype=np.float32).reshape(self.m, self.dsub)
+        dots shifted into the engine's 1 - dot form by the caller. An
+        OPQ query rotates into code space first (L2/IP are rotation-
+        invariant, so distances are unchanged)."""
+        q = np.asarray(qvec, dtype=np.float32)
+        if self.rotation is not None:
+            q = (q @ self.rotation).astype(np.float32)
+        q = q.reshape(self.m, self.dsub)
         if metric == "l2":
             d = ((self.centroids - q[:, None, :]) ** 2).sum(axis=2)
         else:

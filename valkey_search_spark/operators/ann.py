@@ -66,7 +66,7 @@ class IVFIndex:
               metric: str = "l2", n_lists: int = 16,
               sample_fraction: float | None = None, seed: int = 42,
               max_iter: int = 20, quantize: bool = False,
-              pq_m: int | None = None,
+              pq_m: int | None = None, pq_opq_iters: int = 0,
               max_list_rows: int | None = None,
               key_col: str | None = None) -> "IVFIndex":
         """Batch index build == the reference's backfill+graph-build collapsed
@@ -165,7 +165,15 @@ class IVFIndex:
         elif pq_m:
             from ..functions.pq import PQCodebook
 
-            codebook = PQCodebook.train(work, vec_col, m=pq_m, seed=seed)
+            # pq_opq_iters > 0 learns the OPQ rotation (Ge et al.) —
+            # same code bytes, better recall on correlated embeddings
+            if pq_opq_iters:
+                codebook = PQCodebook.train_opq(
+                    work, vec_col, m=pq_m, seed=seed,
+                    opq_iters=pq_opq_iters)
+            else:
+                codebook = PQCodebook.train(work, vec_col, m=pq_m,
+                                            seed=seed)
             assigned = (codebook.encode(assigned, vec_col)
                         .drop(vec_col))
         assigned = assigned.withColumn("__gen", F.lit(0))
@@ -720,6 +728,8 @@ def knn_join_bucketed(queries: DataFrame, index: IVFIndex, k: int = 10,
             # (nq, m, 256, dsub) temp — 65 MB per batch at nq=500,
             # measured 5x slower), then one code gather per subspace
             nq = len(q)
+            if pq.rotation is not None:   # OPQ: LUTs live in code space
+                q = q @ pq.rotation
             qs = q.reshape(nq, pq.m, pq.dsub)
             cents = pq.centroids.astype(np.float64)
             dots = np.einsum("qmd,mkd->qmk", qs, cents)
