@@ -387,3 +387,24 @@ def test_needs_rebalance_flags_drift(spark, emb, tmp_path):
     assert sum(sizes.values()) == emb.count()
     assert not idx.needs_rebalance(max(sizes.values()))
     assert idx.needs_rebalance(max(sizes.values()) - 1)
+
+
+def test_ft_info_reports_ann_state(spark, emb, tmp_path):
+    from valkey_search_spark import SearchEngine, VectorField
+
+    e = SearchEngine(spark)
+    e.ft_create("info_emb", emb,
+                [VectorField("embedding", dim=64, metric="l2")],
+                key_column="vec_id")
+    before = e.ft_info("info_emb")
+    vec_attr = [a for a in before["attributes"]
+                if a["type"] == "VECTOR"][0]
+    assert "ann" not in vec_attr["index"]          # no artifact yet
+    ivf = e.ft_build_ann("info_emb", "embedding",
+                         str(tmp_path / "ann"), n_lists=8)
+    ivf.delete(["1"])
+    after = e.ft_info("info_emb")
+    ann = [a for a in after["attributes"]
+           if a["type"] == "VECTOR"][0]["index"]["ann"]
+    assert ann == {"n_lists": 8, "n_physical_lists": 8,
+                   "mutation_generation": 1, "storage": "float32"}

@@ -474,6 +474,21 @@ class Catalog:
                     "data_type": "FLOAT32",
                     "algorithm": {"name": f.algo.upper()},
                 }
+                # live ANN artifact state (ft_build_ann): the mutation
+                # generation and layout mirror the reference's per-index
+                # observables (its HNSW reports node/level counts)
+                ann = getattr(s, "_ann", {}).get(f.attr)
+                if ann is not None:
+                    a["index"]["ann"] = {
+                        "n_lists": ann.n_lists,
+                        "n_physical_lists": ann.n_physical_lists,
+                        "mutation_generation": ann.gen,
+                        "storage": ("pq_opq" if ann.pq is not None
+                                    and ann.pq.rotation is not None
+                                    else "pq" if ann.pq is not None
+                                    else "int8" if ann.quantized
+                                    else "float32"),
+                    }
             attributes.append(a)
         first_text = text_fields[0] if text_fields else None
         out = {
