@@ -408,3 +408,46 @@ def test_ft_info_reports_ann_state(spark, emb, tmp_path):
            if a["type"] == "VECTOR"][0]["index"]["ann"]
     assert ann == {"n_lists": 8, "n_physical_lists": 8,
                    "mutation_generation": 1, "storage": "float32"}
+
+
+def test_compact_refuses_fully_tombstoned_index(spark, emb, tmp_path):
+    sub = emb.limit(5)
+    idx = IVFIndex.build(sub, str(tmp_path / "ix"), vec_col="embedding",
+                         metric="l2", n_lists=2, seed=42, key_col="vec_id")
+    idx.delete([r["vec_id"] for r in sub.collect()])
+    assert idx.scan_raw().count() == 0               # valid all-dead state
+    with pytest.raises(ValueError, match="tombstoned"):
+        idx.compact()
+    # the original artifact is untouched and still loads
+    again = IVFIndex.load(spark, idx.path)
+    assert again.scan_raw().count() == 0
+
+
+def test_opq_without_pq_raises(spark, emb, tmp_path):
+    with pytest.raises(ValueError, match="pq_opq_iters requires pq_m"):
+        IVFIndex.build(emb, str(tmp_path / "ix"), vec_col="embedding",
+                       metric="l2", n_lists=2, seed=42, pq_opq_iters=4)
+
+
+def test_mirror_deletes_on_non_set_ops(spark, emb, tmp_path):
+    """Store semantics: any winner that is not a vector-carrying SET is
+    a delete — unknown/lowercase/null ops must not leave ghost vectors
+    in the mirrored index."""
+    from valkey_search_spark.streaming.ingest import DocumentStore
+
+    store = DocumentStore(spark, str(tmp_path / "docs"),
+                          key_column="vec_id", num_buckets=4)
+    store.backfill(emb)
+    idx = IVFIndex.build(store.read(), str(tmp_path / "ann"),
+                         vec_col="embedding", metric="l2", n_lists=4,
+                         seed=42, key_col="vec_id")
+    k1, k2, k3 = [r["vec_id"] for r in emb.limit(3).collect()]
+    muts = spark.createDataFrame(
+        [(int(k1), None, None, "EXPIRE"),      # unknown op
+         (int(k2), None, None, "del"),         # wrong case
+         (int(k3), None, None, None)],         # null op
+        "vec_id long, embedding array<float>, label int, __op string")
+    store.apply_mutations(muts, ann_indexes=[idx])
+    for k in (k1, k2, k3):
+        assert store.read().where(F.col("vec_id") == k).count() == 0
+        assert idx.scan_raw().where(F.col("vec_id") == k).count() == 0

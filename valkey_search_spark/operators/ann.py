@@ -106,6 +106,10 @@ class IVFIndex:
         # would waste an entire distributed clustering job
         if quantize and pq_m:
             raise ValueError("quantize and pq_m are mutually exclusive")
+        if pq_opq_iters and not pq_m:
+            raise ValueError("pq_opq_iters requires pq_m (OPQ is a PQ "
+                             "refinement — without codes there is "
+                             "nothing to rotate for)")
         spark = df.sparkSession
         work = df.where(F.col(vec_col).isNotNull())
         if pq_m:
@@ -201,8 +205,9 @@ class IVFIndex:
                    list_map=meta.get("list_map"),
                    gen=meta.get("gen", 0), key_col=meta.get("key_col"))
 
-    def _save_meta(self) -> None:
-        with open(os.path.join(self.path, "_ivf_meta.json"), "w") as fh:
+    def _save_meta(self, into: str | None = None) -> None:
+        with open(os.path.join(into or self.path, "_ivf_meta.json"),
+                  "w") as fh:
             json.dump({"vec_col": self.vec_col, "metric": self.metric,
                        "quantized": self.quantized,
                        "pq": self.pq.to_json() if self.pq else None,
@@ -385,16 +390,32 @@ class IVFIndex:
         membership are untouched (no re-clustering) — this folds deletes
         into the layout and merges append file fragments, the cheap
         maintenance step between full rebuilds. One corpus read + one
-        partitioned write; single-writer contract, like every mutation."""
+        partitioned write; single-writer contract, like every mutation.
+
+        Crash-safe swap order: the replacement artifact (data + meta) is
+        fully written as a sibling before the old one moves aside, so a
+        kill at any point leaves a loadable index at either the original
+        or the .old path. Refuses to compact a fully-deleted index (an
+        empty partitioned parquet has no readable schema) — drop or
+        rebuild instead."""
         import shutil
 
         alive = self.scan_raw().withColumn("__gen", F.lit(0))
         tmp = self.path.rstrip("/") + ".compact"
         alive.write.mode("overwrite").partitionBy("__list").parquet(tmp)
-        shutil.rmtree(self.path)
-        os.rename(tmp, self.path)
+        # zero alive rows -> the partitioned write emitted no data files
+        if not any(e.startswith("__list=") for e in os.listdir(tmp)):
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise ValueError(
+                "every row of this index is tombstoned — compacting "
+                "would write an empty (schema-less) artifact; drop the "
+                "index or rebuild it from a fresh corpus instead")
         self.gen = 0
-        self._save_meta()
+        self._save_meta(into=tmp)                  # tmp is self-contained
+        bak = self.path.rstrip("/") + ".old"
+        os.rename(self.path, bak)
+        os.rename(tmp, self.path)
+        shutil.rmtree(bak)
 
     def list_sizes(self) -> dict[int, int]:
         """Rows per physical list (one aggregation job) — the skew

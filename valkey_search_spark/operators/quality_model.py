@@ -120,8 +120,11 @@ class QualityClassifier:
 
         tmp = tempfile.mkdtemp(prefix="qc_fit_")
         try:
-            model.write().overwrite().save(tmp)
-            model = PipelineModel.load(tmp)
+            # file:// pins the round-trip to the driver's local disk —
+            # a scheme-less path resolves against fs.defaultFS, which on
+            # a real cluster is HDFS/S3 (wrong permissions, leaked dirs)
+            model.write().overwrite().save(f"file://{tmp}")
+            model = PipelineModel.load(f"file://{tmp}")
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
         return cls(model, num_features, binary)

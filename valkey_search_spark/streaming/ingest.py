@@ -141,21 +141,38 @@ class DocumentStore:
             (out.write.mode("overwrite").partitionBy("__bucket")
                 .parquet(self.path))
 
-        for ix in (ann_indexes or []):
-            if ix.key_col != key:
-                raise ValueError(
-                    f"ANN index keyed on {ix.key_col!r}, store on {key!r}")
-            vec_ok = F.col(ix.vec_col).isNotNull()
-            dels = winners.where((F.col(op_column) == OP_DEL) | ~vec_ok) \
-                          .select(key)
-            ups = sets.where(vec_ok).drop("__bucket")
-            # the winners frame is batch-sized; one tiny job sizes the two
-            # legs so empty ones don't write files / burn generations
-            n_del, n_up = (dels.count(), ups.count())
-            if n_del:
-                ix.delete(dels)
-            if n_up:
-                ix.upsert(ups)
+        if ann_indexes:
+            # cache the batch-sized winners frame: the mirror legs and the
+            # index delete/append actions would otherwise re-run the
+            # window shuffle per job
+            winners.persist()
+            try:
+                # EXACT store delete semantics: any winner that is not a
+                # vector-carrying SET leaves the index (the store's
+                # anti-join removes every winner key and re-adds only
+                # op == SET rows — unknown/null ops are deletes there too)
+                is_set = F.coalesce(F.col(op_column) == OP_SET,
+                                    F.lit(False))
+                for ix in ann_indexes:
+                    if ix.key_col != key:
+                        raise ValueError(
+                            f"ANN index keyed on {ix.key_col!r}, "
+                            f"store on {key!r}")
+                    vec_ok = F.col(ix.vec_col).isNotNull()
+                    dels = winners.where(~is_set | ~vec_ok).select(key)
+                    ups = sets.where(vec_ok).drop("__bucket")
+                    # one job sizes both legs so empty ones don't write
+                    # files / burn generations
+                    n = winners.agg(
+                        F.count(F.when(~is_set | ~vec_ok, 1)).alias("d"),
+                        F.count(F.when(is_set & vec_ok, 1)).alias("u"),
+                    ).first()
+                    if n["d"]:
+                        ix.delete(dels)
+                    if n["u"]:
+                        ix.upsert(ups)
+            finally:
+                winners.unpersist()
 
     # ------------------------------------------------------------------
     def streaming_sink(self, mutation_stream: DataFrame, checkpoint: str,
