@@ -451,3 +451,47 @@ def test_mirror_deletes_on_non_set_ops(spark, emb, tmp_path):
     for k in (k1, k2, k3):
         assert store.read().where(F.col("vec_id") == k).count() == 0
         assert idx.scan_raw().where(F.col("vec_id") == k).count() == 0
+
+
+def test_rebuild_recenters_and_clears_mutation_state(spark, emb, tmp_path):
+    """rebuild(): fresh KMeans over alive rows, same storage tier and
+    key; tombstones and generations reset; results equal a from-scratch
+    build over the same survivors."""
+    idx = IVFIndex.build(emb, str(tmp_path / "ix"), vec_col="embedding",
+                         metric="l2", n_lists=4, seed=42, key_col="vec_id")
+    gone = [r["vec_id"] for r in
+            idx.search(QVEC, k=3, nprobe=idx.n_lists).collect()]
+    idx.delete(gone)
+    idx.rebuild(n_lists=8, seed=42)
+    assert idx.gen == 0 and idx.n_lists == 8
+    import os
+
+    assert not os.path.isdir(idx._tomb_path)
+    got = [r["vec_id"] for r in
+           idx.search(QVEC, k=10, nprobe=idx.n_lists,
+                      tiebreak_col="vec_id").collect()]
+    survivors = emb.where(~F.col("vec_id").isin(gone))
+    want = [r["vec_id"] for r in
+            survivors.withColumn(
+                "__s", distance_column(F.col("embedding"), QVEC, "l2"))
+            .orderBy("__s", "vec_id").limit(10).collect()]
+    assert got == want
+    # a reload sees the rebuilt state
+    again = IVFIndex.load(spark, idx.path)
+    assert again.n_lists == 8 and again.gen == 0
+
+
+def test_rebuild_keeps_storage_tier(spark, emb, tmp_path):
+    idx = IVFIndex.build(emb, str(tmp_path / "ix"), vec_col="embedding",
+                         metric="l2", n_lists=4, seed=42,
+                         key_col="vec_id", quantize=True)
+    idx.rebuild(seed=43)
+    assert idx.quantized
+    raw = spark.read.parquet(idx.path)
+    assert "__qvec" in raw.columns and "embedding" not in raw.columns
+    # OPQ-PQ tier survives a rebuild from a fresh source
+    idx2 = IVFIndex.build(emb, str(tmp_path / "ix2"), vec_col="embedding",
+                          metric="l2", n_lists=4, seed=42,
+                          key_col="vec_id", pq_m=8, pq_opq_iters=3)
+    idx2.rebuild(source=emb, seed=44)
+    assert idx2.pq is not None and idx2.pq.rotation is not None

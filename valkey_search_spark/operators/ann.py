@@ -417,6 +417,47 @@ class IVFIndex:
         os.rename(tmp, self.path)
         shutil.rmtree(bak)
 
+    def rebuild(self, source: DataFrame | None = None,
+                n_lists: int | None = None,
+                **build_kwargs) -> "IVFIndex":
+        """Full re-clustering in place — the answer to centroid drift
+        that compact() can't fix (appends assign to FROZEN centroids, so
+        a shifted distribution degrades probe recall over time). Builds
+        a fresh index from ``source`` (or, by default, this index's own
+        alive rows) with the same vec_col/metric/key_col and storage
+        tier, then swaps it under this path with the same crash-safe
+        sibling dance as compact(). n_lists and any IVFIndex.build
+        kwarg can be overridden.
+
+        For PQ indexes pass ``source``: rebuilding from the index's own
+        rows re-trains the codebook on lossy reconstructions (error
+        compounds); int8/float tiers rebuild fine from themselves."""
+        import shutil
+
+        if source is None:
+            source = self._read().drop("__list", "__gen")
+        kwargs = {"quantize": self.quantized,
+                  "pq_m": self.pq.m if self.pq is not None else None,
+                  "pq_opq_iters": (8 if self.pq is not None
+                                   and self.pq.rotation is not None else 0)}
+        kwargs.update(build_kwargs)
+        tmp = self.path.rstrip("/") + ".rebuild"
+        fresh = IVFIndex.build(
+            source, tmp, vec_col=self.vec_col, metric=self.metric,
+            n_lists=n_lists or self.n_lists, key_col=self.key_col,
+            **kwargs)
+        bak = self.path.rstrip("/") + ".old"
+        os.rename(self.path, bak)
+        os.rename(tmp, self.path)
+        shutil.rmtree(bak)
+        self.centroids = fresh.centroids
+        self.list_map = fresh.list_map
+        self.quantized = fresh.quantized
+        self.pq = fresh.pq
+        self.gen = 0
+        self._save_meta()
+        return self
+
     def list_sizes(self) -> dict[int, int]:
         """Rows per physical list (one aggregation job) — the skew
         monitor for deciding when append drift warrants a compact() or
