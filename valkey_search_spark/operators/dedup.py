@@ -497,8 +497,6 @@ def simhash_pairs(df: DataFrame, key: str, text_col: str = "text",
     ``minhash_lsh_pairs``): only pairs involving at least one flagged
     document, via the asymmetric new-vs-all chunk join — old-vs-old
     candidates are never enumerated."""
-    if bands is None:
-        bands = max_hamming + 1
     if hash_fn == "xxhash64":
         nbits = 64
 
@@ -512,6 +510,27 @@ def simhash_pairs(df: DataFrame, key: str, text_col: str = "text",
                           16, 10).cast("long")
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    carry = (new_col,) if new_col else ()
+    staged = _staged_tokens(df, key, text_col, carry=carry)
+    hashes = F.transform(F.col("__toks"), hasher)
+    coded = staged.select(
+        "k", _simhash_pack(hashes, bits=nbits).alias("code"), *carry).where(
+        F.col("code").isNotNull())
+    return hamming_code_pairs(coded, max_hamming=max_hamming, bands=bands,
+                              nbits=nbits, new_col=new_col)
+
+
+def hamming_code_pairs(coded: DataFrame, max_hamming: int = 3,
+                       bands: int | None = None, nbits: int = 64,
+                       new_col: str | None = None) -> DataFrame:
+    """Generic banded Hamming-distance pairs over a PRECOMPUTED integer
+    code column — the candidate machinery shared by ``simhash_pairs``
+    (text) and ``multimodal.image_dup_pairs`` (perceptual hashes).
+    ``coded`` carries (``k``, ``code``[, ``new_col``]); output is
+    (a, b, hamming). Pigeonhole recall contract and the incremental
+    new-vs-all mode are exactly simhash's (documented there)."""
+    if bands is None:
+        bands = max_hamming + 1
     if not 1 <= bands <= nbits:
         raise ValueError(f"bands must be in [1, {nbits}], got {bands}")
     if bands <= max_hamming:
@@ -520,11 +539,6 @@ def simhash_pairs(df: DataFrame, key: str, text_col: str = "text",
             f"{max_hamming}: a pair differing in {max_hamming} bits is only"
             f" sure to share a chunk when bands > max_hamming")
     carry = (new_col,) if new_col else ()
-    staged = _staged_tokens(df, key, text_col, carry=carry)
-    hashes = F.transform(F.col("__toks"), hasher)
-    coded = staged.select(
-        "k", _simhash_pack(hashes, bits=nbits).alias("code"), *carry).where(
-        F.col("code").isNotNull())
     base_w, extra = divmod(nbits, bands)
     widths = [base_w + (1 if b < extra else 0) for b in range(bands)]
     offsets = [sum(widths[:b]) for b in range(bands)]
