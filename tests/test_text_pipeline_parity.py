@@ -175,3 +175,48 @@ def test_unicode_full_case_folding(spark):
     # the Python twin agrees with the column fold on every mapping
     for s in ("STRAßE", "ﬁﬂﬀ", "ΟΔΟΣ ὈΔΥΣΣΕΎΣ", "µ ſ ﬅ"):
         assert fold_case(s) == fold_case(fold_case(s))   # idempotent
+
+
+def test_hashed_embeddings_bridge_text_to_vector_stack(spark):
+    """Feature-hashing vectors: deterministic, unit-norm, lexically
+    discriminative — and they drive the vector-side dedup operators on
+    plain text (semantic_dedup collapses a near-copy; cosine pairs
+    find it) with a Python-free hashing plan."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from valkey_search_spark.operators.semdedup import semantic_dedup
+    from valkey_search_spark.operators.textops import hashed_embeddings
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .limit(60))
+    near = (docs.limit(1)
+            .withColumn("doc_id", F.lit(999999))
+            .withColumn("text", F.concat(F.col("text"), F.lit(" extra"))))
+    pool = docs.unionByName(near)
+    emb = hashed_embeddings(pool, dim=256)
+    rows = {r["doc_id"]: np.array(r["embedding"]) for r in emb.collect()}
+    assert len(rows) == 61
+    norms = [np.linalg.norm(v) for v in rows.values()]
+    assert all(abs(n - 1.0) < 1e-5 for n in norms)          # unit vectors
+    first = docs.first()["doc_id"]
+    cos_near = float(rows[first] @ rows[999999])
+    others = [float(rows[first] @ v) for k, v in rows.items()
+              if k not in (first, 999999)]
+    # the synthetic corpus itself contains planted near-dups, so compare
+    # against the TYPICAL similarity, not the max
+    assert cos_near > 0.95
+    assert sorted(others)[len(others) // 2] < 0.8           # median far
+    # determinism under a fresh plan
+    again = {r["doc_id"]: np.array(r["embedding"])
+             for r in hashed_embeddings(pool, dim=256).collect()}
+    assert all(np.array_equal(rows[k], again[k]) for k in rows)
+    # vector-stack composition: semantic dedup collapses the near-copy
+    kept = {r["doc_id"] for r in
+            semantic_dedup(emb, key="doc_id", threshold=0.9, n_clusters=4,
+                           seed=1, max_iter=5).select("doc_id").collect()}
+    assert len({first, 999999} & kept) <= 1                  # pair collapsed
+    # hashing plan is Python-free
+    plan = (hashed_embeddings(docs, dim=64)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

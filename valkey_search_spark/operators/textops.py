@@ -237,3 +237,54 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text",
     for f in flags:
         pass_col = pass_col & F.col(f)
     return out.withColumn("gopher_pass", pass_col)
+
+
+def hashed_embeddings(df: DataFrame, text_col: str = "text",
+                      tokens_col: str | None = None, dim: int = 256,
+                      binary: bool = False, idf: bool = False,
+                      normalize: bool = True,
+                      out_col: str = "embedding") -> DataFrame:
+    """Feature-hashing document vectors: ``df`` + an ``array<float>``
+    column, bridging the text stack to the vector stack — semantic
+    dedup, embedding-cosine pairs, and KNN joins run on plain text with
+    NO external embedding model.
+
+    Plan shape: HashingTF (fixed-width hashing, no vocabulary build or
+    broadcast) and L2 normalization are JVM ML transformers — one
+    map-only pass, zero shuffle. ``idf=True`` adds an IDF weighting fit
+    (one aggregation job over the corpus; the model is a dim-sized
+    broadcast vector). Deterministic: same text -> same vector under
+    retries.
+
+    These are bag-of-hashed-words vectors — they capture lexical
+    overlap, not semantics; for near-dup detection (the pipeline use
+    case) that is exactly the signal MinHash measures, here in a form
+    the cosine/IVF machinery consumes. ``dim`` trades collision noise
+    for width (256 is plenty for near-dup cosine at ~10^2-10^3 token
+    docs)."""
+    from pyspark.ml.feature import IDF, HashingTF, Normalizer
+    from pyspark.ml.functions import vector_to_array
+
+    if (text_col is None) == (tokens_col is None):
+        raise ValueError("pass exactly one of text_col or tokens_col")
+    if tokens_col is not None:
+        toks = F.coalesce(F.col(tokens_col), F.array().cast("array<string>"))
+    else:
+        toks = raw_tokens_column(F.coalesce(F.col(text_col), F.lit("")))
+    work = df.withColumn("__he_toks", toks)
+    tf = HashingTF(inputCol="__he_toks", outputCol="__he_tf",
+                   numFeatures=dim, binary=binary)
+    vec = tf.transform(work)
+    fcol = "__he_tf"
+    if idf:
+        model = IDF(inputCol="__he_tf", outputCol="__he_idf").fit(vec)
+        vec = model.transform(vec)
+        fcol = "__he_idf"
+    if normalize:
+        vec = Normalizer(inputCol=fcol, outputCol="__he_norm",
+                         p=2.0).transform(vec)
+        fcol = "__he_norm"
+    drop = [c for c in vec.columns if c.startswith("__he_") and c != fcol]
+    return (vec.withColumn(out_col,
+                           vector_to_array(F.col(fcol)).cast("array<float>"))
+            .drop(fcol, *drop))
