@@ -56,9 +56,23 @@ are fully decodable with struct + numpy alone, which makes the
   + Sections 13/14). Tests hand-pack IFDs and pin the decoders with
   independent forward PackBits/LZW encoders.
 
+- AVI: RIFF video container, both directions — motion-JPEG ('MJPG',
+  one standalone baseline JPEG per frame) and uncompressed bottom-up
+  BGR DIB (BI_RGB 24/32-bit) streams, '##dc'/'##db' chunk ids,
+  LIST('rec ') grouping, word-aligned padding, hdrl geometry/fps.
+  Format reference: the public AVI RIFF specification (Video for
+  Windows header layouts). Tests pin the reader with a hand-packed
+  container built independently of the writer.
+- JPEG ENCODER: forward baseline pipeline (BT.601, optional 2x2
+  chroma subsampling, FDCT, IJG quality scaling of the Annex K
+  tables) with per-image OPTIMAL Huffman tables via the published
+  T.81 Annex K.2 procedure — supplies MJPEG payloads and closes the
+  encode half of the image seam.
+
 Formats needing non-stdlib decoders (MP3/AAC/Vorbis/Opus, WebP, JPEG-in-TIFF,
-arithmetic-coded JPEG, video codecs) still raise NotImplementedError —
-that seam is where PIL/ffmpeg would plug in on a real cluster.
+arithmetic-coded JPEG, codec video — H.264/VP9/AV1) still raise
+NotImplementedError — that seam is where PIL/ffmpeg would plug in on a
+real cluster.
 """
 
 from __future__ import annotations
@@ -899,6 +913,323 @@ def _jpeg_progressive_sos(reader, frame, by_id, scan, ss, se, ah, al, coef,
                             cf[k] += p1 if cf[k] > 0 else m1
                     k += 1
                 eobrun -= 1
+
+
+# ---------------------------------------------------------------------------
+# JPEG encoder (forward baseline path)
+
+# Annex K.1 / K.2 example quantization tables (ITU-T T.81) — the public
+# starting point every encoder scales by its quality knob.
+_JPEG_QL = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.float64).reshape(8, 8)
+_JPEG_QC = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.float64).reshape(8, 8)
+
+
+def _jpeg_quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG-convention quality scaling of the Annex K tables (1-100)."""
+    q = min(max(int(quality), 1), 100)
+    scale = 5000.0 / q if q < 50 else 200.0 - 2.0 * q
+
+    def s(tab):
+        return np.clip(np.floor((tab * scale + 50.0) / 100.0),
+                       1, 255).astype(np.int32)
+
+    return s(_JPEG_QL), s(_JPEG_QC)
+
+
+def _jpeg_code_lengths(freq256: np.ndarray) -> tuple[np.ndarray, list[int]]:
+    """Optimal Huffman code lengths for one JPEG table, per the published
+    T.81 Annex K.2 procedure (Code_size / Count_BITS / Adjust_BITS):
+    repeated least-frequency merges tracked through an OTHERS chain, a
+    reserved 257th symbol guaranteeing the all-ones code stays unused,
+    and the >16-bit fold-down. Returns (BITS[1..16] histogram, symbols
+    in DHT order)."""
+    freq = np.zeros(257, dtype=np.int64)
+    freq[:256] = freq256
+    freq[256] = 1                          # reserved: keeps all-1s unused
+    codesize = np.zeros(257, dtype=np.int64)
+    others = np.full(257, -1, dtype=np.int64)
+    while True:
+        nz = np.nonzero(freq)[0]
+        if len(nz) <= 1:
+            break
+        # v1 = least FREQ (largest index on ties); v2 = next least
+        order = nz[np.lexsort((-nz, freq[nz]))]
+        v1, v2 = int(order[0]), int(order[1])
+        freq[v1] += freq[v2]
+        freq[v2] = 0
+        codesize[v1] += 1
+        while others[v1] != -1:
+            v1 = int(others[v1])
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] != -1:
+            v2 = int(others[v2])
+            codesize[v2] += 1
+    bits = np.zeros(60, dtype=np.int64)    # depth < 57 for 257 leaves
+    for s in codesize[codesize > 0]:
+        bits[int(s)] += 1
+    i = len(bits) - 1                      # Adjust_BITS: fold >16 down
+    while i > 16:
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    i = 16                                 # drop the reserved symbol's code
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1
+    syms = sorted((s for s in range(256) if codesize[s] > 0),
+                  key=lambda s: (codesize[s], s))
+    return bits[1:17], syms
+
+
+def _jpeg_canonical_codes(bits16: np.ndarray,
+                          syms: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical code assignment (T.81 Figure C.2): {sym: (len, code)}."""
+    lengths: list[int] = []
+    for ln in range(1, 17):
+        lengths.extend([ln] * int(bits16[ln - 1]))
+    table: dict[int, tuple[int, int]] = {}
+    code, last = 0, lengths[0] if lengths else 0
+    for sym, ln in zip(syms, lengths):
+        code <<= ln - last
+        table[sym] = (ln, code)
+        code += 1
+        last = ln
+    return table
+
+
+class _JpegBitWriter:
+    """MSB-first bit packer with FF00 byte stuffing and 1-padding."""
+
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+
+
+def _jpeg_magnitude(v: int) -> tuple[int, int]:
+    """(category, appended-bits) for a DC difference / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    s = abs(v).bit_length()
+    return s, (v if v > 0 else v + (1 << s) - 1)
+
+
+def _jpeg_plane_zigzag(plane: np.ndarray, q: np.ndarray,
+                       mcus_y: int, mcus_x: int,
+                       hh: int, vv: int) -> np.ndarray:
+    """FDCT + quantize + zigzag one component plane padded to the MCU
+    grid. Returns (blocks_y, blocks_x, 64) int32 in zigzag order."""
+    ph, pw = mcus_y * vv * 8, mcus_x * hh * 8
+    p = np.pad(plane, ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+               mode="edge")
+    blocks = (p.reshape(ph // 8, 8, pw // 8, 8)
+              .transpose(0, 2, 1, 3).astype(np.float64) - 128.0)
+    coef = np.einsum("ux,byxz,vz->byuv", _DCT_C, blocks, _DCT_C,
+                     optimize=True)
+    quant = np.round(coef / q).astype(np.int32)
+    return quant.reshape(ph // 8, pw // 8, 64)[..., _ZIGZAG]
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 85,
+                subsample: bool = False) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB or (H, W) grayscale array as a
+    baseline sequential JPEG (SOF0, 8-bit, Huffman).
+
+    The forward pipeline follows the public specification end to end:
+    JFIF BT.601 color transform, optional 2x2 chroma subsampling
+    (averaged), edge-padded MCU tiling, orthonormal FDCT, IJG-style
+    quality scaling of the Annex K example quantization tables, and
+    per-image OPTIMAL Huffman tables generated with the published T.81
+    Annex K.2 procedure (so the emitted DHT segments are tuned to the
+    actual symbol distribution, not the example tables). Decodable by
+    ``decode_jpeg`` above and by any standards-compliant reader; this
+    closes the encode half of the image seam and supplies the MJPEG
+    payloads for the AVI container codec below.
+
+    Reference analogue: none — the reference engine carries no media
+    (nearest is opaque content fetch, src/attribute_data_type.h:71);
+    beyond-reference operator per SURVEY.md §2.10.
+    """
+    a = np.asarray(arr)
+    if a.dtype != np.uint8:
+        raise ValueError("encode_jpeg expects a uint8 array")
+    if a.ndim == 3 and a.shape[2] == 1:
+        a = a[:, :, 0]
+    gray = a.ndim == 2
+    if not gray and (a.ndim != 3 or a.shape[2] != 3):
+        raise ValueError("encode_jpeg expects (H, W, 3) RGB or (H, W) gray")
+    h, w = a.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("encode_jpeg: empty image")
+    ql, qc = _jpeg_quality_tables(quality)
+    qtabs = [ql.reshape(8, 8)] if gray else [ql.reshape(8, 8),
+                                             qc.reshape(8, 8)]
+
+    if gray:
+        comp_hv = [(1, 1)]
+        planes = [a.astype(np.float64)]
+    else:
+        r, g, b = (a[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            he, we = -(-h // 2) * 2, -(-w // 2) * 2
+            cb = np.pad(cb, ((0, he - h), (0, we - w)), mode="edge")
+            cr = np.pad(cr, ((0, he - h), (0, we - w)), mode="edge")
+            cb = cb.reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
+            comp_hv = [(2, 2), (1, 1), (1, 1)]
+        else:
+            comp_hv = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+
+    hmax = max(hh for hh, _ in comp_hv)
+    vmax = max(vv for _, vv in comp_hv)
+    mcus_x, mcus_y = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    zz = [_jpeg_plane_zigzag(p, qtabs[min(ci, 1)], mcus_y, mcus_x, hh, vv)
+          for ci, (p, (hh, vv)) in enumerate(zip(planes, comp_hv))]
+
+    # MCU-interleaved unit order: (comp, block_y, block_x)
+    units: list[tuple[int, int, int]] = []
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (hh, vv) in enumerate(comp_hv):
+                for by in range(vv):
+                    for bx in range(hh):
+                        units.append((ci, my * vv + by, mx * hh + bx))
+
+    ntab = 1 if gray else 2
+    dc_freq = [np.zeros(256, dtype=np.int64) for _ in range(ntab)]
+    ac_freq = [np.zeros(256, dtype=np.int64) for _ in range(ntab)]
+    pred = [0] * len(comp_hv)
+    for ci, by, bx in units:                # pass 1: symbol frequencies
+        t = min(ci, 1)
+        u = zz[ci][by, bx]
+        s, _ = _jpeg_magnitude(int(u[0]) - pred[ci])
+        pred[ci] = int(u[0])
+        dc_freq[t][s] += 1
+        run = 0
+        for k in range(1, 64):
+            v = int(u[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ac_freq[t][0xF0] += 1
+                run -= 16
+            s, _ = _jpeg_magnitude(v)
+            ac_freq[t][(run << 4) | s] += 1
+            run = 0
+        if run:
+            ac_freq[t][0x00] += 1
+
+    dc_tabs, ac_tabs, dht = [], [], []
+    for t in range(ntab):
+        for kind, freqs, tabs in (("dc", dc_freq, dc_tabs),
+                                  ("ac", ac_freq, ac_tabs)):
+            f = freqs[t]
+            if f.sum() == 0:
+                f = f.copy()
+                f[0] = 1
+            bits16, syms = _jpeg_code_lengths(f)
+            tabs.append(_jpeg_canonical_codes(bits16, syms))
+            cls = 0x00 if kind == "dc" else 0x10
+            dht.append(bytes([cls | t])
+                       + bytes(int(x) for x in bits16) + bytes(syms))
+
+    bw = _JpegBitWriter()
+    pred = [0] * len(comp_hv)
+    for ci, by, bx in units:                # pass 2: emit
+        t = min(ci, 1)
+        u = zz[ci][by, bx]
+        s, extra = _jpeg_magnitude(int(u[0]) - pred[ci])
+        pred[ci] = int(u[0])
+        ln, c = dc_tabs[t][s]
+        bw.put(c, ln)
+        bw.put(extra, s)
+        run = 0
+        for k in range(1, 64):
+            v = int(u[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, c = ac_tabs[t][0xF0]
+                bw.put(c, ln)
+                run -= 16
+            s, extra = _jpeg_magnitude(v)
+            ln, c = ac_tabs[t][(run << 4) | s]
+            bw.put(c, ln)
+            bw.put(extra, s)
+            run = 0
+        if run:
+            ln, c = ac_tabs[t][0x00]
+            bw.put(c, ln)
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    for t, q in enumerate(qtabs):
+        out += seg(0xDB, bytes([t]) + bytes(
+            q.reshape(64)[_ZIGZAG].astype(np.uint8)))
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci, (hh, vv) in enumerate(comp_hv):
+        sof += bytes([ci + 1, (hh << 4) | vv, min(ci, 1)])
+    out += seg(0xC0, sof)
+    for d in dht:
+        out += seg(0xC4, d)
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        t = min(ci, 1)
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------
@@ -1774,3 +2105,197 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
     body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", len(pcm)) + pcm)
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF) container — MJPEG and uncompressed-DIB video
+#
+# The classic motion-JPEG layout: RIFF('AVI ') holding LIST('hdrl')
+# [avih main header + per-stream LIST('strl') with strh/strf] and
+# LIST('movi') with one '##dc'/'##db' chunk per frame (optionally
+# grouped under LIST('rec ')), plus an optional idx1 index. Frame
+# payloads are either standalone baseline JPEGs ('MJPG') or bottom-up
+# BGR DIBs (BI_RGB), both of which the codecs above handle — so this
+# container makes the video decode path REAL without ffmpeg. Format
+# reference: the public AVI RIFF specification (Microsoft Video for
+# Windows: AVIMAINHEADER / AVISTREAMHEADER / BITMAPINFOHEADER layouts).
+
+
+def _riff_chunk(ckid: bytes, data: bytes) -> bytes:
+    pad = b"\0" if len(data) & 1 else b""
+    return ckid + struct.pack("<I", len(data)) + data + pad
+
+
+def _riff_list(listtype: bytes, payload: bytes) -> bytes:
+    return _riff_chunk(b"LIST", listtype + payload)
+
+
+def _dib_from_frame(frame: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> bottom-up BGR rows padded to 4 bytes."""
+    h, w = frame.shape[:2]
+    row = w * 3
+    stride = (row + 3) & ~3
+    out = np.zeros((h, stride), dtype=np.uint8)
+    out[:, :row] = frame[::-1, :, ::-1].reshape(h, row)
+    return out.tobytes()
+
+
+def _frame_from_dib(data: bytes, w: int, h: int, bpp: int) -> np.ndarray:
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    if len(data) < stride * h:
+        raise MediaDecodeError("AVI DIB frame truncated")
+    rows = np.frombuffer(data[:stride * h], dtype=np.uint8)
+    px = rows.reshape(h, stride)[:, :w * nch].reshape(h, w, nch)
+    return np.ascontiguousarray(px[::-1, :, 2::-1])   # flip rows, BGR(A)->RGB
+
+
+def encode_avi(frames: list[np.ndarray], fps: float = 30.0,
+               codec: str = "MJPG", quality: int = 85) -> bytes:
+    """Encode (H, W, 3) uint8 RGB frames as a single-video-stream AVI.
+
+    ``codec="MJPG"`` stores each frame as a standalone baseline JPEG
+    from ``encode_jpeg`` (the motion-JPEG convention); ``codec="DIB "``
+    stores uncompressed bottom-up BGR bitmaps (BI_RGB). Writes a
+    spec-complete hdrl (avih + strh/strf), the movi frame chunks, and
+    an idx1 keyframe index.
+    """
+    if codec not in ("MJPG", "DIB "):
+        raise ValueError("codec must be 'MJPG' or 'DIB '")
+    if not frames:
+        raise ValueError("encode_avi: no frames")
+    h, w = frames[0].shape[:2]
+    payloads = []
+    for f in frames:
+        f = np.asarray(f)
+        if f.dtype != np.uint8 or f.ndim != 3 or f.shape[2] != 3:
+            raise ValueError("encode_avi expects (H, W, 3) uint8 frames")
+        if f.shape[:2] != (h, w):
+            raise ValueError("encode_avi: frames must share one geometry")
+        payloads.append(encode_jpeg(f, quality=quality)
+                        if codec == "MJPG" else _dib_from_frame(f))
+
+    scale, rate = 1000, max(1, int(round(fps * 1000)))
+    usec = max(1, int(round(1e6 * scale / rate)))
+    bufsize = max(len(p) for p in payloads)
+    avih = struct.pack("<14I", usec, bufsize * rate // scale, 0, 0x10,
+                       len(payloads), 0, 1, bufsize, w, h, 0, 0, 0, 0)
+    fourcc = b"MJPG" if codec == "MJPG" else b"DIB "
+    strh = (b"vids" + fourcc
+            + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, scale, rate, 0,
+                          len(payloads), bufsize, 0xFFFFFFFF, 0)
+            + struct.pack("<4h", 0, 0, w, h))
+    compression = b"MJPG" if codec == "MJPG" else b"\0\0\0\0"
+    strf = (struct.pack("<IiiHH", 40, w, h, 1, 24) + compression
+            + struct.pack("<IiiII", len(payloads[0]), 0, 0, 0, 0))
+    hdrl = _riff_list(b"hdrl", _riff_chunk(b"avih", avih)
+                      + _riff_list(b"strl", _riff_chunk(b"strh", strh)
+                                   + _riff_chunk(b"strf", strf)))
+    movi_chunks, idx, off = [], [], 4      # offsets from the 'movi' fourcc
+    for p in payloads:
+        movi_chunks.append(_riff_chunk(b"00dc", p))
+        idx.append(b"00dc" + struct.pack("<III", 0x10, off, len(p)))
+        off += len(movi_chunks[-1])
+    movi = _riff_list(b"movi", b"".join(movi_chunks))
+    idx1 = _riff_chunk(b"idx1", b"".join(idx))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _riff_subchunks(data: bytes, pos: int, end: int):
+    """Yield (ckid, payload_start, payload_len) walking word-aligned
+    RIFF chunks; stops (rather than raising) at a truncated tail."""
+    while pos + 8 <= end:
+        ckid = data[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        if pos + 8 + size > end:
+            return
+        yield ckid, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def decode_avi_frames(payload: bytes, max_frames: int | None = None
+                      ) -> tuple[list[np.ndarray], float]:
+    """Decode an AVI's first video stream to ((H, W, 3) uint8 RGB frame
+    list, fps). Handles 'MJPG' (frames via ``decode_jpeg``) and BI_RGB
+    'DIB ' (24/32-bit bottom-up BGR) payloads, '##dc'/'##db' chunk ids,
+    LIST('rec ') grouping, and word-aligned chunk padding; other
+    compressions raise — codec video stays the declared ffmpeg seam.
+    ``max_frames`` bounds the decode of pathological files.
+    """
+    d = bytes(payload)
+    if len(d) < 12 or d[:4] != b"RIFF" or d[8:12] != b"AVI ":
+        raise MediaDecodeError("not a RIFF/AVI payload")
+    end = min(len(d), 8 + struct.unpack_from("<I", d, 4)[0])
+    fps, stream_no, vids_no = None, 0, None
+    w = h = bpp = None
+    compression = None
+    frames: list[np.ndarray] = []
+
+    def parse_strl(pos, cend):
+        nonlocal fps, vids_no, w, h, bpp, compression, stream_no
+        is_vids = False
+        for ckid, at, size in _riff_subchunks(d, pos, cend):
+            if ckid == b"strh" and size >= 36:
+                if d[at:at + 4] == b"vids" and vids_no is None:
+                    is_vids = True
+                    vids_no = stream_no
+                    scale, rate = struct.unpack_from("<II", d, at + 20)
+                    if scale and rate:
+                        fps = rate / scale
+            elif ckid == b"strf" and is_vids and size >= 20:
+                bw, bh = struct.unpack_from("<ii", d, at + 4)
+                (bc,) = struct.unpack_from("<H", d, at + 14)
+                w, h, bpp = bw, abs(bh), bc
+                compression = d[at + 16:at + 20]
+        stream_no += 1
+
+    def decode_frame(at, size):
+        data = d[at:at + size]
+        if compression == b"MJPG" or (compression is None
+                                      and data[:2] == b"\xff\xd8"):
+            frames.append(decode_jpeg(data))
+        elif compression in (b"\0\0\0\0", b"DIB "):
+            if not w or not h or bpp not in (24, 32):
+                raise MediaDecodeError("AVI DIB stream missing geometry")
+            _check_pixel_budget("AVI", w, h)
+            frames.append(_frame_from_dib(data, w, h, bpp))
+        else:
+            raise MediaDecodeError(
+                "unsupported AVI compression "
+                f"{compression!r} (only MJPG / BI_RGB DIB; codec video "
+                "is the ffmpeg seam)")
+
+    def walk_movi(pos, cend):
+        tag = (b"%02ddc" % vids_no, b"%02ddb" % vids_no) \
+            if vids_no is not None else (b"00dc", b"00db")
+        for ckid, at, size in _riff_subchunks(d, pos, cend):
+            if max_frames is not None and len(frames) >= max_frames:
+                return
+            if ckid == b"LIST" and d[at:at + 4] == b"rec ":
+                walk_movi(at + 4, at + size)
+            elif ckid in tag and size > 0:
+                decode_frame(at, size)
+
+    movi_spans = []
+    for ckid, at, size in _riff_subchunks(d, 12, end):
+        if ckid != b"LIST":
+            continue
+        ltype, lat, lend = d[at:at + 4], at + 4, at + size
+        if ltype == b"hdrl":
+            for ckid2, at2, size2 in _riff_subchunks(d, lat, lend):
+                if ckid2 == b"LIST" and d[at2:at2 + 4] == b"strl":
+                    parse_strl(at2 + 4, at2 + size2)
+                elif ckid2 == b"avih" and size2 >= 40:
+                    usec, = struct.unpack_from("<I", d, at2)
+                    aw, ah = struct.unpack_from("<II", d, at2 + 32)
+                    if fps is None and usec:
+                        fps = 1e6 / usec
+                    if not w:
+                        w, h = aw, ah
+        elif ltype == b"movi":
+            movi_spans.append((lat, lend))
+    if not movi_spans:
+        raise MediaDecodeError("AVI missing movi list")
+    for lat, lend in movi_spans:
+        walk_movi(lat, lend)
+    return frames, float(fps or 0.0)

@@ -298,11 +298,13 @@ def video_frame_sample(df: DataFrame, binary_col: str = "video",
     """Frame sampling: one output row per sampled frame (explode-shaped
     mapInPandas — output cardinality > input is part of the tested
     contract). The REAL path (``fake=False``) decodes ANIMATED GIFs via
-    the vendored composited-frame decoder — every_n-th full-canvas
-    frame re-encoded as BMP binary, ``max_frames`` bounding the decode
-    of pathological animations; other video containers (MP4/WebM) still
-    raise — that remains the ffmpeg seam (their dimensions/duration are
-    available decode-free via ``media_metadata``)."""
+    the vendored composited-frame decoder and AVI files (motion-JPEG
+    and uncompressed-DIB streams) via the vendored RIFF container
+    codec — every_n-th full-canvas frame re-encoded as BMP binary,
+    ``max_frames`` bounding the decode of pathological files; codec
+    video containers (MP4/WebM) still raise — that remains the ffmpeg
+    seam (their dimensions/duration are available decode-free via
+    ``media_metadata``)."""
     key_fields = [f for f in df.schema.fields if f.name != binary_col]
     out_schema = T.StructType(
         key_fields
@@ -329,10 +331,22 @@ def video_frame_sample(df: DataFrame, binary_col: str = "video",
                             rec["frame"] = encode_bmp(frames[fno])
                             rows.append(rec)
                         continue
+                    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                        from .codecs import decode_avi_frames, encode_bmp
+
+                        frames, _fps = decode_avi_frames(
+                            payload, max_frames=max_frames)
+                        for fno in range(0, len(frames), every_n):
+                            rec = {f.name: r[f.name] for f in key_fields}
+                            rec["frame_no"] = fno
+                            rec["frame"] = encode_bmp(frames[fno])
+                            rows.append(rec)
+                        continue
                     raise NotImplementedError(
-                        "only animated-GIF frames decode without ffmpeg "
-                        "(not in this container); pass fake=True for the "
-                        "deterministic test decode of other payloads")
+                        "only animated-GIF and AVI (MJPG / DIB) frames "
+                        "decode without ffmpeg (not in this container); "
+                        "pass fake=True for the deterministic test decode "
+                        "of other payloads")
                 seed = np.frombuffer(bytes(payload)[:8].ljust(8, b"\0"),
                                      dtype=np.uint64)[0]
                 n_frames = int(seed % 120) + 1

@@ -240,6 +240,35 @@ def _sniff_webp(p: bytes):
     return _img("webp")
 
 
+def _sniff_avi(p: bytes):
+    """AVI main header (avih) inside LIST('hdrl'): dwMicroSecPerFrame,
+    dwTotalFrames, dwWidth, dwHeight — geometry + duration with no frame
+    decode. hdrl sits at the front of the file by spec, so the bounded
+    prefix always covers it."""
+    w = h = dur = None
+    pos, end = 12, len(p)
+    while pos + 8 <= end:
+        ckid = p[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", p, pos + 4)
+        if ckid == b"LIST" and p[pos + 8:pos + 12] == b"hdrl":
+            ipos, iend = pos + 12, min(end, pos + 8 + size)
+            while ipos + 8 <= iend:
+                ck2 = p[ipos:ipos + 4]
+                (sz2,) = struct.unpack_from("<I", p, ipos + 4)
+                if ck2 == b"avih" and ipos + 8 + 40 <= iend:
+                    usec, = struct.unpack_from("<I", p, ipos + 8)
+                    frames, = struct.unpack_from("<I", p, ipos + 8 + 16)
+                    aw, ah = struct.unpack_from("<II", p, ipos + 8 + 32)
+                    w, h = aw or None, ah or None
+                    if usec and frames:
+                        dur = frames * usec / 1e6
+                    return _vid("avi", w, h, dur)
+                ipos += 8 + sz2 + (sz2 & 1)
+            break
+        pos += 8 + size + (size & 1)
+    return _vid("avi")
+
+
 # ---------------------------------------------------------------------------
 # audio containers
 
@@ -499,6 +528,8 @@ def sniff_media(prefix: bytes, total_len: int, suffix: bytes = b"") -> dict:
         out = _sniff_webp(p)
     elif p[:4] == b"RIFF" and p[8:12] == b"WAVE":
         out = _sniff_wav(p)
+    elif p[:4] == b"RIFF" and p[8:12] == b"AVI ":
+        out = _sniff_avi(p)
     elif p[:4] == b"fLaC":
         out = _sniff_flac(p)
     elif p[:4] == b"OggS":
