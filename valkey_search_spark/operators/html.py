@@ -1,0 +1,144 @@
+"""HTML -> text extraction — the ingest front of a web-corpus pipeline.
+
+Web-crawl curation (C4, RefinedWeb, Gopher) starts by stripping markup
+BEFORE any quality/dedup pass. This module does it as an all-JVM
+regexp_replace chain (whole-stage codegen, map-only, no Python in the
+hot path), mirroring the structure those pipelines describe:
+
+1. remove non-content subtrees (<script>, <style>, <noscript>,
+   <template>, comments),
+2. turn block-element boundaries into newlines so paragraph structure
+   survives tag stripping,
+3. strip remaining tags,
+4. decode the common named/numeric entities,
+5. normalize whitespace.
+
+``full_entities=True`` swaps step 4 for stdlib ``html.unescape`` in an
+Arrow-batched map — full fidelity for exotic charrefs at the cost of
+one Python hop (the JVM subset covers what real crawl text uses).
+
+Contract notes (documented, pinned in tests): tag stripping is
+regex-based — an attribute value containing a literal ``>`` ends the
+tag early (the classic tradeoff every regex extractor makes; a DOM
+parser belongs client-side of the seam if a corpus needs it), and
+unknown named entities pass through unchanged.
+
+Boilerplate REMOVAL composes downstream: ``link_density_col`` is the
+jusText/RefinedWeb anchor-text signal for page-level filtering, and
+cross-corpus repeated lines go to ``contamination.cross_doc_line_dedup``.
+
+Reference analogue: none (beyond-reference operator per SURVEY.md
+§2.10; the reference's text path starts at already-clean fields).
+"""
+from __future__ import annotations
+
+import html as _html
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+# non-content subtrees, matched with their contents ((?s) spans lines);
+# <head> is metadata wholesale — its <title> is extracted separately by
+# html_title_col, not leaked into the body text
+_DROP_SUBTREES = (
+    r"(?is)<(script|style|noscript|template|head|title)\b[^>]*>.*?</\1\s*>")
+_COMMENT = r"(?s)<!--.*?-->"
+# block boundaries that should become line breaks before tags vanish
+_BLOCK_BREAK = (
+    r"(?i)<(?:br|hr)\s*/?>|</(?:p|div|h[1-6]|li|ul|ol|tr|table|blockquote|"
+    r"pre|section|article|header|footer|figcaption|dd|dt)\s*>")
+_ANY_TAG = r"(?s)<[^>]*>"
+
+# the named entities that dominate real crawl text; &#d; / &#xh; decoded
+# for the ASCII range JVM-side, full unicode via full_entities=True
+_NAMED = [("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+          ("&quot;", "\""), ("&apos;", "'"), ("&#39;", "'"),
+          ("&mdash;", "—"), ("&ndash;", "–"),
+          ("&hellip;", "…"), ("&copy;", "©"),
+          ("&reg;", "®"), ("&trade;", "™"),
+          ("&ldquo;", "“"), ("&rdquo;", "”"),
+          ("&lsquo;", "‘"), ("&rsquo;", "’")]
+
+
+def _strip_markup(col: Column) -> Column:
+    c = F.regexp_replace(col, _DROP_SUBTREES, " ")
+    c = F.regexp_replace(c, _COMMENT, " ")
+    c = F.regexp_replace(c, _BLOCK_BREAK, "\n")
+    return F.regexp_replace(c, _ANY_TAG, " ")
+
+
+def _decode_entities_jvm(col: Column) -> Column:
+    c = col
+    for src, dst in _NAMED:
+        if src != "&amp;":                 # ampersand LAST, or it would
+            c = F.regexp_replace(c, src, dst)  # re-activate &lt; etc.
+    return F.regexp_replace(c, "&amp;", "&")
+
+
+def _normalize_ws(col: Column) -> Column:
+    # \xa0/ : non-breaking spaces (html.unescape's &nbsp;) normalize
+    # to plain spaces like every corpus pipeline expects
+    c = F.regexp_replace(col, "[ \\t\\x0b\\f\\r  ]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n{2,}", "\n")
+    # Spark's trim strips only spaces — strip newlines at the ends too
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
+def html_text_col(col: Column) -> Column:
+    """Markup-stripped, entity-decoded, whitespace-normalized text as a
+    pure JVM Column expression (usable inside any select/filter)."""
+    return _normalize_ws(_decode_entities_jvm(_strip_markup(col)))
+
+
+@F.pandas_udf(T.StringType())
+def _unescape_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: _html.unescape(t)
+                     if isinstance(t, str) else None)
+
+
+def html_to_text(df: DataFrame, html_col: str = "html",
+                 out_col: str = "text",
+                 full_entities: bool = False) -> DataFrame:
+    """Add ``out_col``: the extracted plain text of ``html_col``."""
+    stripped = _normalize_ws(_strip_markup(F.col(html_col)))
+    if full_entities:
+        text = _normalize_ws(_unescape_udf(stripped))
+    else:
+        text = _decode_entities_jvm(stripped)
+    return df.withColumn(out_col, text)
+
+
+def html_title_col(col: Column) -> Column:
+    """The <title> contents (entity-decoded, trimmed), null when absent."""
+    t = F.regexp_extract(col, r"(?is)<title[^>]*>(.*?)</title\s*>", 1)
+    return F.when(t != "", _normalize_ws(_decode_entities_jvm(t)))
+
+
+def link_density_col(col: Column) -> Column:
+    """Fraction of extracted text characters that sit inside <a> anchors
+    — the jusText/RefinedWeb boilerplate signal (nav bars and footers
+    are link-dense; prose is not). All-JVM: anchor bodies via
+    regexp_extract_all, both lengths on the tag-stripped text. 0.0 for
+    pages with no text."""
+    anchors = F.regexp_extract_all(col, F.lit(r"(?is)<a\b[^>]*>(.*?)</a\s*>"),
+                                   F.lit(1))
+    anchor_len = F.aggregate(
+        anchors, F.lit(0),
+        lambda acc, a: acc + F.length(_normalize_ws(
+            F.regexp_replace(a, _ANY_TAG, " "))))
+    total_len = F.length(html_text_col(col))
+    return (F.when(total_len > 0,
+                   F.least(anchor_len.cast("double") / total_len, F.lit(1.0)))
+            .otherwise(F.lit(0.0)))
+
+
+def extract_documents(df: DataFrame, html_col: str = "html",
+                      full_entities: bool = False) -> DataFrame:
+    """One-pass web-document extraction: text + title + link_density.
+    Map-only codegen scan (one Arrow hop only when full_entities)."""
+    out = html_to_text(df, html_col, "text", full_entities)
+    return (out
+            .withColumn("title", html_title_col(F.col(html_col)))
+            .withColumn("link_density", link_density_col(F.col(html_col))))
