@@ -859,6 +859,64 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                      seed=42, max_iter=5)
         return flags.select("doc_id", "__cluster", "__keep")
 
+    _BPE: dict = {}
+
+    def b_bpe_tokenize(spark, sf_dir):
+        # corpus-trained byte-level BPE (beyond-reference): training is
+        # the one-time ingest side (cached per sf_dir, like knn_pq's
+        # codebook); the timed path is the Arrow-batched distributed
+        # tokenize+count with broadcast merge ranks. Correctness is
+        # brute-force- and round-trip-pinned in tests/test_bpe.py (a
+        # merge loop is not SQL-expressible).
+        from valkey_search_spark.functions.bpe import train_bpe
+
+        docs = load_table(spark, sf_dir, "documents")
+        if sf_dir not in _BPE:
+            _BPE[sf_dir] = train_bpe(docs, vocab_size=256 + 512)
+        out = _BPE[sf_dir].token_count(docs)
+        return out.select("doc_id", "bpe_token_count")
+
+    def b_html_extract(spark, sf_dir):
+        # HTML -> text extraction (beyond-reference web-corpus ingest):
+        # markup synthesized around the real documents (word soup has no
+        # tags), then the full all-JVM chain: subtree drop, tag strip,
+        # entity decode, title, link density. Map-only codegen scan —
+        # correctness pinned against stdlib html.parser in
+        # tests/test_html.py.
+        from valkey_search_spark.operators.html import extract_documents
+
+        docs = load_table(spark, sf_dir, "documents")
+        toks = F.split(F.col("text"), " ")
+        pages = docs.select("doc_id", F.concat(
+            F.lit("<html><head><title>t &amp; t</title><script>var x=1;"
+                  "</script></head><body><h1>"),
+            F.array_join(F.slice(toks, 1, 3), " "),
+            F.lit("</h1><p>"), F.col("text"),
+            F.lit('</p><div class="nav"><a href="/a">a</a>'
+                  '<a href="/b">b</a></div><!-- c --></body></html>')
+        ).alias("html"))
+        out = extract_documents(pages)
+        return out.select("doc_id", F.length("text").alias("len"),
+                          "title", F.round("link_density", 6).alias("ld"))
+
+    _DSIR: dict = {}
+
+    def b_dsir_select(spark, sf_dir):
+        # DSIR importance resampling (beyond-reference): fit is the
+        # cached ingest side (two bounded bucket aggregations); the
+        # timed path is score (one Arrow map) + Gumbel top-k.
+        # Correctness is scalar-recomputation-pinned in
+        # tests/test_dsir.py.
+        from valkey_search_spark.operators.dsir import dsir_fit, dsir_sample
+
+        docs = load_table(spark, sf_dir, "documents")
+        if sf_dir not in _DSIR:
+            _DSIR[sf_dir] = dsir_fit(docs.where("lang = 'en'"), docs,
+                                     n_buckets=8192)
+        out = dsir_sample(docs, _DSIR[sf_dir], n=1000, key_col="doc_id",
+                          temperature=1.0, seed=7)
+        return out.select("doc_id", F.round("dsir_logratio", 6).alias("s"))
+
     return {
         "text_proximity_3term": _search("docs", "batch stream window",
                                         DOC_COLS, slop=2, inorder=True),
@@ -875,6 +933,9 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25": b_bm25,
         "dedup_semantic": b_semantic_dedup,
         "hygiene_quality_model": b_quality_model,
+        "tokenizer_bpe": b_bpe_tokenize,
+        "hygiene_html_extract": b_html_extract,
+        "dsir_select": b_dsir_select,
     }
 
 

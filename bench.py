@@ -59,6 +59,9 @@ BENCH_QUERIES = [
     "search_bm25",
     "dedup_semantic",
     "hygiene_quality_model",
+    "tokenizer_bpe",
+    "hygiene_html_extract",
+    "dsir_select",
 ]
 
 
