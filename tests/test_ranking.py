@@ -146,6 +146,34 @@ def test_bm25_scoring_plan_map_only(spark):
     assert "Exchange" not in plan
 
 
+def test_bm25_tokenizer_not_duplicated_in_plan(spark):
+    """The tokenizer regex must appear a BOUNDED number of times in the
+    scoring plan: once in the match filter and once in the staged
+    tf/dl projection, plus the scan node's textual echo of the pushed
+    DataFilter (the pre-fix shape inlined it per score reference —
+    11 copies, measured). Catches CollapseProject regressions."""
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (bm25_rank(df, ["merge", "window", "sort"], top_k=100)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("regexp_extract_all") <= 3, plan
+
+
+def test_bm25f_tokenizer_not_duplicated_in_plan(spark):
+    """Per-field bound: filter + staged projection per field + the scan
+    echo (pre-fix: 19 copies for two fields)."""
+    from pyspark.sql import functions as F
+
+    from valkey_search_spark.operators.ranking import bm25f_rank
+
+    df = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+          .select("doc_id", F.col("text").alias("body"),
+                  F.substring("text", 1, 40).alias("title")))
+    plan = (bm25f_rank(df, ["merge", "window"],
+                       fields={"body": 1.0, "title": 2.0})
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("regexp_extract_all") <= 5, plan
+
+
 def test_bm25_over_indexed_token_column(spark):
     """A Column-typed tokens_col ranks off the catalog's staged struct
     tokens (the index's own analysis) — no re-tokenization, scores

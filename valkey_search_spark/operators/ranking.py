@@ -82,21 +82,38 @@ def bm25_rank(df: DataFrame, terms: list[str], key: str = "doc_id",
                     / (stats[f"df{i}"] + 0.5) + 1.0)
            for i in range(len(terms))]
 
-    dl = F.size(toks).cast("double")
-    norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl))
+    # match BEFORE scoring, on one cheap array test: idf > 0 always holds
+    # for this BM25+ form, so score > 0 <=> at least one term present —
+    # filtering on the score column instead would push the WHOLE score
+    # expression (with its 7 token-array references) below the staged
+    # projection and re-tokenize every row several times over (measured:
+    # 11 tokenizer copies in the executed plan; this shape has 2)
+    if match_only:
+        staged = staged.where(F.arrays_overlap(
+            toks, F.array(*[F.lit(t) for t in terms])))
 
     def _eq(term):
         # single-parameter lambda: a 2-arg lambda would be read by
         # F.filter as the (element, index) form
         return lambda x: x == F.lit(term)
 
+    # stage dl and the per-term tf counts as NAMED columns: the token
+    # array is referenced k+1 times in ONE projection (the
+    # analyze_documents shape), which Catalyst keeps staged instead of
+    # inlining the tokenizer per reference
+    staged = staged.select(
+        "*", F.size(toks).cast("double").alias("__bm_dl"),
+        *[F.size(F.filter(toks, _eq(t))).cast("double").alias(f"__bm_tf{i}")
+          for i, t in enumerate(terms)])
+    norm = (F.lit(k1) * (F.lit(1.0 - b)
+                         + F.lit(b) * F.col("__bm_dl") / F.lit(avgdl)))
     score = F.lit(0.0)
-    for i, t in enumerate(terms):
-        tf = F.size(F.filter(toks, _eq(t))).cast("double")
+    for i in range(len(terms)):
+        tf = F.col(f"__bm_tf{i}")
         score = score + F.lit(idf[i]) * tf * F.lit(k1 + 1.0) / (tf + norm)
-    out = staged.withColumn("bm25_score", score).drop("__bm_toks")
-    if match_only:
-        out = out.where(F.col("bm25_score") > 0.0)
+    out = (staged.withColumn("bm25_score", score)
+           .drop("__bm_toks", "__bm_dl",
+                 *[f"__bm_tf{i}" for i in range(len(terms))]))
     if top_k is not None:
         out = (out.orderBy(F.col("bm25_score").desc(), F.col(key).asc())
                .limit(top_k))
@@ -219,21 +236,42 @@ def bm25f_rank(df: DataFrame, terms: list[str],
     def _eq(term):
         return lambda x: x == F.lit(term)
 
+    # same anti-duplication shape as bm25_rank: match on one cheap
+    # any-field arrays_overlap BEFORE scoring (idf > 0 always, so
+    # score > 0 <=> some term present in some field), then stage every
+    # per-(field, term) tf and per-field dl as NAMED columns in one
+    # projection — filtering on the score column instead would inline
+    # the per-field tokenizers once per score reference (measured: 19
+    # tokenizer copies in the executed plan; this shape has
+    # 2 x len(fields) + the scan echo)
+    if match_only:
+        term_arr = F.array(*[F.lit(t) for t in terms])
+        cond = F.lit(False)
+        for f in fnames:
+            cond = cond | F.arrays_overlap(tcols[f], term_arr)
+        staged = staged.where(cond)
+    staged = staged.select(
+        "*",
+        *[F.size(tcols[f]).cast("double").alias(f"__bmf_dl_{f}")
+          for f in fnames],
+        *[F.size(F.filter(tcols[f], _eq(t))).cast("double")
+          .alias(f"__bmf_tf_{f}_{i}")
+          for f in fnames for i, t in enumerate(terms)])
     score = F.lit(0.0)
     for i, t in enumerate(terms):
         tft = F.lit(0.0)
         for f in fnames:
             norm = (F.lit(1.0 - b)
-                    + F.lit(b) * F.size(tcols[f]).cast("double")
+                    + F.lit(b) * F.col(f"__bmf_dl_{f}")
                     / F.lit(float(avgdl[f])))
             tft = tft + (F.lit(float(fields[f]))
-                         * F.size(F.filter(tcols[f], _eq(t)))
-                         .cast("double") / norm)
+                         * F.col(f"__bmf_tf_{f}_{i}") / norm)
         score = score + F.lit(idf[i]) * tft / (F.lit(k1) + tft)
     out = (staged.withColumn("bm25f_score", score)
-           .drop(*[f"__bmf_{f}" for f in fnames]))
-    if match_only:
-        out = out.where(F.col("bm25f_score") > 0.0)
+           .drop(*[f"__bmf_{f}" for f in fnames],
+                 *[f"__bmf_dl_{f}" for f in fnames],
+                 *[f"__bmf_tf_{f}_{i}"
+                   for f in fnames for i in range(len(terms))]))
     if top_k is not None:
         out = (out.orderBy(F.col("bm25f_score").desc(),
                            F.col(key).asc()).limit(top_k))
