@@ -345,12 +345,14 @@ def exact_substring_dedup(df: DataFrame, key: str = "doc_id",
     if tokenizer == "analysis":
         staged = _staged_tokens(df, key, text_col)
     elif tokenizer == "whitespace":
-        target = df.sparkSession.sparkContext.defaultParallelism
+        # _parallelize spreads an under-partitioned input; NO further
+        # repartition — a post-tokenize shuffle is re-run per consuming
+        # branch (pruned projections defeat exchange reuse), which at
+        # corpus scale is three full-corpus shuffles for zero benefit
         staged = (_parallelize(df)
                   .select(F.col(key).alias("k"),
                           F.filter(F.split(F.col(text_col), r"\s+"),
-                                   lambda w: w != "").alias("__toks"))
-                  .repartition(target))
+                                   lambda w: w != "").alias("__toks")))
     else:
         raise ValueError(f"unknown tokenizer {tokenizer!r} "
                          "(expected 'whitespace' or 'analysis')")
