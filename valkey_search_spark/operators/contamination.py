@@ -50,7 +50,12 @@ def _gram_set(df: DataFrame, key: str, text_col: str, n: int,
     ~13% off the gram stage at sf0.1."""
     from .dedup import _staged_tokens
 
-    staged = _staged_tokens(df, key, text_col)
+    # barrier=False: the posexplode window shape references the token
+    # array only as a top-level attribute (explode + size + slice), so
+    # the array stays staged without a corpus shuffle — which would be
+    # re-executed per consuming branch anyway (no exchange reuse under
+    # pruned projections)
+    staged = _staged_tokens(df, key, text_col, barrier=False)
     toks = F.col("__toks")
     rows = (staged.select("k", "__toks",
                           F.posexplode("__toks").alias("__i", "__t"))

@@ -92,14 +92,25 @@ def _parallelize(df: DataFrame) -> DataFrame:
 
 
 def _staged_tokens(df: DataFrame, key: str, text_col: str,
-                   carry: tuple[str, ...] = ()) -> DataFrame:
+                   carry: tuple[str, ...] = (),
+                   barrier: bool = True) -> DataFrame:
     """(k, __toks) with the token array materialized through a shuffle
     barrier. The shingle expressions below reference the token array many
-    times (size, sequence bound, one slice per position); Catalyst does
-    not reliably eliminate those common subexpressions, so deriving them
-    from the raw text column re-runs the tokenizer regex per reference —
-    observed 15-20x per row. Tokenizing BEFORE the repartition exchange
-    makes the array a materialized shuffle column computed exactly once."""
+    times (size, sequence bound, one slice per position INSIDE an array
+    lambda — lambda-captured expressions re-evaluate per element and are
+    never CSE'd); deriving them from the raw text column re-runs the
+    tokenizer regex per reference — observed 15-20x per row. Tokenizing
+    BEFORE the repartition exchange makes the array a materialized
+    shuffle column computed exactly once.
+
+    ``barrier=False`` skips the repartition for consumers whose
+    downstream references the array only as a TOP-LEVEL projection
+    attribute a bounded number of times (the posexplode window shape:
+    explode + size + slice) — Catalyst refuses to inline an expensive
+    expression referenced more than once, so the array stays staged
+    without paying a corpus shuffle, and the shuffle would otherwise be
+    re-executed per consuming branch (pruned projections defeat
+    exchange reuse)."""
     target = df.sparkSession.sparkContext.defaultParallelism
     # first exchange parallelizes the tokenizer (raw text may be a single
     # input split); second exchange materializes the token arrays so the
@@ -108,7 +119,7 @@ def _staged_tokens(df: DataFrame, key: str, text_col: str,
            .select(F.col(key).alias("k"),
                    raw_tokens_column(F.col(text_col)).alias("__toks"),
                    *carry))
-    return out.repartition(target)
+    return out.repartition(target) if barrier else out
 
 
 def _gram_rows(df: DataFrame, key: str, text_col: str, n: int,
