@@ -162,3 +162,35 @@ def test_token_count_below_piece_estimate_times_word_len(spark):
            .withColumn("nbytes", F.octet_length("text"))
            .collect()[0])
     assert row["pieces"] <= row["bpe_token_count"] <= row["nbytes"]
+
+
+def test_underscore_and_symbols_round_trip(spark):
+    # '_' is \w in Python but NOT \p{L}\p{N} in the JVM pattern — the
+    # pre-tokenizer must not silently drop it (review finding: a class
+    # built on [^\s\w] loses every underscore)
+    tok = _trained(spark)
+    for text in ["snake_case var_1", "__dunder__", "a _ b", "_"]:
+        assert tok.decode(tok.encode(text)) == text
+    assert pretokenize("snake_case") == ["snake", "_", "case"]
+
+
+def test_worker_tokenizer_cache_bounded_and_keyed_by_content():
+    from valkey_search_spark.functions import bpe as mod
+
+    mod._WORKER_TOKENIZERS.clear()
+
+    class FakeBC:
+        def __init__(self, v):
+            self.value = v
+
+    t1 = BPETokenizer([("a", "b")])
+    # same content -> same fingerprint -> one cached instance
+    x = mod._tokenizer_from_broadcast(t1.fingerprint, FakeBC(t1.merges))
+    y = mod._tokenizer_from_broadcast(t1.fingerprint, FakeBC(t1.merges))
+    assert x is y
+    # distinct tables evict beyond the cap
+    for i in range(mod._WORKER_TOKENIZER_CAP + 3):
+        t = BPETokenizer([("a", chr(98 + i))])
+        mod._tokenizer_from_broadcast(t.fingerprint, FakeBC(t.merges))
+    assert len(mod._WORKER_TOKENIZERS) <= mod._WORKER_TOKENIZER_CAP
+    mod._WORKER_TOKENIZERS.clear()

@@ -106,3 +106,12 @@ class _no_broadcast:
 
     def __exit__(self, *a):
         self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", self.old)
+
+
+def test_is_bucketed_exact_names_only(spark, bucketed):
+    a, _ = bucketed
+    # substring of the real column must NOT match (review finding)
+    assert not is_bucketed(spark, a, "id")
+    assert not is_bucketed(spark, a, "doc")
+    assert not is_bucketed(spark, a, ["doc_id", "text"])
+    assert is_bucketed(spark, a, ["doc_id"])

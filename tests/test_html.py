@@ -193,3 +193,27 @@ def test_documented_attribute_gt_limitation(spark):
 def test_null_html(spark):
     df = spark.createDataFrame([(None,)], "html string")
     assert html_to_text(df).collect()[0]["text"] is None
+
+
+def test_nbsp_entity_collapses_after_decode(spark):
+    # decode-then-normalize: &nbsp; sequences must collapse like spaces
+    df = spark.createDataFrame([("<p>a&nbsp;&nbsp;b&nbsp;</p>",)], ["html"])
+    assert html_to_text(df).collect()[0]["text"] == "a b"
+
+
+def test_link_density_ignores_links_in_dropped_subtrees(spark):
+    doc = ('<script>document.write("<a href=/x>click here more '
+           'text</a>")</script><p>short prose here</p>')
+    df = spark.createDataFrame([(doc,)], ["html"])
+    ld = df.select(link_density_col(F.col("html")).alias("ld")) \
+        .collect()[0]["ld"]
+    assert ld == 0.0
+
+
+def test_link_density_measures_decoded_anchor_text(spark):
+    # numerator must measure decoded chars: '&amp;' is 1 char, not 5
+    doc = '<p><a href="/">a &amp; b</a> plus twenty more chars</p>'
+    df = spark.createDataFrame([(doc,)], ["html"])
+    row = extract_documents(df).collect()[0]
+    assert row["text"] == "a & b plus twenty more chars"
+    assert row["link_density"] == pytest.approx(5 / 28)

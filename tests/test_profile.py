@@ -90,3 +90,12 @@ def test_optional_dims_off(spark):
     rows = corpus_profile(df, source_col=None, lang_col=None).collect()
     dims = {r["dimension"] for r in rows}
     assert dims == {"total", "len_log2"}
+
+
+def test_padded_whitespace_not_counted_as_tokens(spark):
+    df = spark.createDataFrame([(1, " a b", "s", "en")],
+                               "doc_id int, text string, source string,"
+                               " lang string")
+    rows = {(r["dimension"], r["bucket"]): r
+            for r in corpus_profile(df).collect()}
+    assert rows[("total", "all")]["tokens"] == 2

@@ -377,3 +377,25 @@ def test_bm25f_edge_cases(spark):
     empty = spark.createDataFrame([], "doc_id long, title string")
     with pytest.raises(ValueError, match="empty"):
         bm25f_rank(empty, ["a"], {"title": 1.0})
+
+
+def test_bm25f_null_field_scores_off_remaining_fields(spark):
+    """A doc whose title matches but whose body is NULL must keep a
+    real score from the title (review finding: size(null) nulled every
+    tf/dl and emitted bm25f_score = NULL through the match filter)."""
+    from pyspark.sql import functions as F
+
+    from valkey_search_spark.operators.ranking import bm25f_rank
+
+    df = spark.createDataFrame(
+        [(1, "batch stream", "full body with batch inside"),
+         (2, "batch stream", None),
+         (3, "nothing here", "irrelevant body")],
+        "doc_id long, title string, body string")
+    rows = {r["doc_id"]: r["bm25f_score"]
+            for r in bm25f_rank(df, ["batch"],
+                                fields={"title": 2.0, "body": 1.0})
+            .collect()}
+    assert set(rows) == {1, 2}
+    assert rows[2] is not None and rows[2] > 0.0
+    assert rows[1] > rows[2]   # doc 1 also matches in the body

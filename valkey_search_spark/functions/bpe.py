@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import re
+import zlib
 from functools import lru_cache
 
 import pandas as pd
@@ -38,10 +39,14 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 # Python twin of textops._BPE_PRETOKEN_RE (stdlib re has no \p{L}; the
-# [^\W\d_] idiom is the unicode-letter class). Used on BOTH the training
-# and the apply side so pre-token splits are identical by construction.
+# [^\W\d_] idiom is the unicode-letter class, and the punctuation
+# alternative needs `|_` because \w-based classes treat underscore as a
+# word char while \p{L}\p{N} does not — without it '_' matches NOTHING
+# and encode() silently drops it, breaking the round-trip contract).
+# Used on BOTH the training and the apply side so pre-token splits are
+# identical by construction.
 _PRETOKEN_RE = re.compile(
-    r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+",
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+|\s+",
     re.UNICODE,
 )
 
@@ -108,6 +113,10 @@ class BPETokenizer:
     def __init__(self, merges: list[tuple[str, str]]):
         self.merges = [tuple(m) for m in merges]
         self.ranks = {m: i for i, m in enumerate(self.merges)}
+        # content fingerprint: worker-side caches key on this, so every
+        # apply of the SAME merge table reuses one tokenizer per worker
+        self.fingerprint = zlib.crc32(
+            json.dumps(self.merges).encode("utf-8"))
         self._encode_pretoken = lru_cache(maxsize=65536)(
             self._encode_pretoken_uncached)
 
@@ -157,9 +166,8 @@ class BPETokenizer:
     # -- distributed apply --------------------------------------------------
     def _apply_udf(self, spark, counts_only: bool):
         bc = spark.sparkContext.broadcast(self.merges)
-        global _BPE_UDF_SEQ
-        _BPE_UDF_SEQ += 1
-        bid = _BPE_UDF_SEQ                 # worker-cache key for this apply
+        bid = self.fingerprint             # worker-cache key: same merge
+        #                                    table -> same cached tokenizer
 
         if counts_only:
             @F.pandas_udf(T.LongType())
@@ -194,15 +202,18 @@ class BPETokenizer:
 
 
 # Executor-side tokenizer rebuild: one instance (and one pre-token cache)
-# per apply per worker, instead of per Arrow batch. Keyed by a driver-side
-# sequence number (PySpark 4 exposes no public broadcast id).
-_BPE_UDF_SEQ = 0
+# per MERGE TABLE per worker (keyed by content fingerprint, so repeated
+# applies of the same tokenizer share one cache), bounded so a session
+# cycling through many tokenizers cannot grow worker memory unboundedly.
+_WORKER_TOKENIZER_CAP = 4
 _WORKER_TOKENIZERS: dict[int, BPETokenizer] = {}
 
 
 def _tokenizer_from_broadcast(bid: int, bc) -> BPETokenizer:
     tok = _WORKER_TOKENIZERS.get(bid)
     if tok is None:
+        while len(_WORKER_TOKENIZERS) >= _WORKER_TOKENIZER_CAP:
+            _WORKER_TOKENIZERS.pop(next(iter(_WORKER_TOKENIZERS)))
         tok = BPETokenizer(bc.value)
         _WORKER_TOKENIZERS[bid] = tok
     return tok

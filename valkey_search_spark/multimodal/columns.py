@@ -319,34 +319,30 @@ def video_frame_sample(df: DataFrame, binary_col: str = "video",
                 if payload is None:
                     continue
                 if not fake:
+                    from .codecs import (
+                        decode_avi_frames, decode_gif_frames, encode_bmp,
+                    )
+
                     payload = bytes(payload)
                     if payload[:6] in (b"GIF87a", b"GIF89a"):
-                        from .codecs import decode_gif_frames, encode_bmp
-
                         frames, _ = decode_gif_frames(
                             payload, max_frames=max_frames)
-                        for fno in range(0, len(frames), every_n):
-                            rec = {f.name: r[f.name] for f in key_fields}
-                            rec["frame_no"] = fno
-                            rec["frame"] = encode_bmp(frames[fno])
-                            rows.append(rec)
-                        continue
-                    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
-                        from .codecs import decode_avi_frames, encode_bmp
-
-                        frames, _fps = decode_avi_frames(
+                    elif (payload[:4] == b"RIFF"
+                          and payload[8:12] == b"AVI "):
+                        frames, _ = decode_avi_frames(
                             payload, max_frames=max_frames)
-                        for fno in range(0, len(frames), every_n):
-                            rec = {f.name: r[f.name] for f in key_fields}
-                            rec["frame_no"] = fno
-                            rec["frame"] = encode_bmp(frames[fno])
-                            rows.append(rec)
-                        continue
-                    raise NotImplementedError(
-                        "only animated-GIF and AVI (MJPG / DIB) frames "
-                        "decode without ffmpeg (not in this container); "
-                        "pass fake=True for the deterministic test decode "
-                        "of other payloads")
+                    else:
+                        raise NotImplementedError(
+                            "only animated-GIF and AVI (MJPG / DIB) "
+                            "frames decode without ffmpeg (not in this "
+                            "container); pass fake=True for the "
+                            "deterministic test decode of other payloads")
+                    for fno in range(0, len(frames), every_n):
+                        rec = {f.name: r[f.name] for f in key_fields}
+                        rec["frame_no"] = fno
+                        rec["frame"] = encode_bmp(frames[fno])
+                        rows.append(rec)
+                    continue
                 seed = np.frombuffer(bytes(payload)[:8].ljust(8, b"\0"),
                                      dtype=np.uint64)[0]
                 n_frames = int(seed % 120) + 1

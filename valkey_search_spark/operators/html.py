@@ -101,12 +101,15 @@ def _unescape_udf(texts: pd.Series) -> pd.Series:
 def html_to_text(df: DataFrame, html_col: str = "html",
                  out_col: str = "text",
                  full_entities: bool = False) -> DataFrame:
-    """Add ``out_col``: the extracted plain text of ``html_col``."""
-    stripped = _normalize_ws(_strip_markup(F.col(html_col)))
+    """Add ``out_col``: the extracted plain text of ``html_col``.
+    Normalization runs AFTER entity decoding on both paths (decoding
+    can introduce whitespace — &nbsp; — that must still collapse),
+    so the JVM path is exactly ``html_text_col``."""
     if full_entities:
-        text = _normalize_ws(_unescape_udf(stripped))
+        text = _normalize_ws(_unescape_udf(
+            _normalize_ws(_strip_markup(F.col(html_col)))))
     else:
-        text = _decode_entities_jvm(stripped)
+        text = html_text_col(F.col(html_col))
     return df.withColumn(out_col, text)
 
 
@@ -116,19 +119,26 @@ def html_title_col(col: Column) -> Column:
     return F.when(t != "", _normalize_ws(_decode_entities_jvm(t)))
 
 
-def link_density_col(col: Column) -> Column:
+def link_density_col(col: Column, text: Column | None = None) -> Column:
     """Fraction of extracted text characters that sit inside <a> anchors
     — the jusText/RefinedWeb boilerplate signal (nav bars and footers
-    are link-dense; prose is not). All-JVM: anchor bodies via
-    regexp_extract_all, both lengths on the tag-stripped text. 0.0 for
+    are link-dense; prose is not). All-JVM. The numerator is measured on
+    the SAME cleaned form as the denominator: anchors are extracted
+    after dropping non-content subtrees/comments (a link inside a
+    <script> string contributes no text and must not count), and anchor
+    bodies are tag-stripped, entity-decoded, and normalized. Pass
+    ``text`` (an already-extracted text Column) to reuse it as the
+    denominator instead of re-running the extraction chain. 0.0 for
     pages with no text."""
-    anchors = F.regexp_extract_all(col, F.lit(r"(?is)<a\b[^>]*>(.*?)</a\s*>"),
-                                   F.lit(1))
+    cleaned = F.regexp_replace(
+        F.regexp_replace(col, _DROP_SUBTREES, " "), _COMMENT, " ")
+    anchors = F.regexp_extract_all(
+        cleaned, F.lit(r"(?is)<a\b[^>]*>(.*?)</a\s*>"), F.lit(1))
     anchor_len = F.aggregate(
         anchors, F.lit(0),
-        lambda acc, a: acc + F.length(_normalize_ws(
-            F.regexp_replace(a, _ANY_TAG, " "))))
-    total_len = F.length(html_text_col(col))
+        lambda acc, a: acc + F.length(_normalize_ws(_decode_entities_jvm(
+            F.regexp_replace(a, _ANY_TAG, " ")))))
+    total_len = F.length(text if text is not None else html_text_col(col))
     return (F.when(total_len > 0,
                    F.least(anchor_len.cast("double") / total_len, F.lit(1.0)))
             .otherwise(F.lit(0.0)))
@@ -137,8 +147,12 @@ def link_density_col(col: Column) -> Column:
 def extract_documents(df: DataFrame, html_col: str = "html",
                       full_entities: bool = False) -> DataFrame:
     """One-pass web-document extraction: text + title + link_density.
-    Map-only codegen scan (one Arrow hop only when full_entities)."""
+    Map-only codegen scan (one Arrow hop only when full_entities); the
+    density denominator reuses the extracted text column instead of
+    re-running the strip/decode/normalize chain per row."""
     out = html_to_text(df, html_col, "text", full_entities)
     return (out
             .withColumn("title", html_title_col(F.col(html_col)))
-            .withColumn("link_density", link_density_col(F.col(html_col))))
+            .withColumn("link_density",
+                        link_density_col(F.col(html_col),
+                                         text=F.col("text"))))

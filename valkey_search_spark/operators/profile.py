@@ -29,11 +29,13 @@ def corpus_profile(df: DataFrame, text_col: str = "text",
 
     Rows: one per (dimension, bucket) where dimension is ``total``,
     ``source``, ``lang``, or ``len_log2`` (floor(log2(chars)) length
-    histogram). Metrics: docs, chars, tokens (whitespace), plus
-    token-length quantiles computed EXACTLY per bucket from the same
-    pass (approx_percentile partial-aggregates; no second scan).
+    histogram). Metrics: docs, chars, tokens (whitespace runs; empty
+    tokens from leading/trailing whitespace excluded), plus per-bucket
+    token-count quantiles from the same pass (approx_percentile
+    partial-aggregates; no second scan).
     """
-    toks = F.size(F.split(F.col(text_col), r"\s+"))
+    toks = F.size(F.filter(F.split(F.col(text_col), r"\s+"),
+                           lambda w: w != ""))
     chars = F.length(F.col(text_col))
     base = df.select(
         (F.col(source_col) if source_col else F.lit(None).cast("string"))

@@ -210,8 +210,13 @@ def bm25f_rank(df: DataFrame, terms: list[str],
     fnames = list(fields)
     staged = df
     for f in fnames:
-        staged = staged.withColumn(f"__bmf_{f}",
-                                   raw_tokens_column(F.col(f)))
+        # null fields tokenize to an EMPTY array, not null: a doc whose
+        # title matched must score off its real fields, not have every
+        # tf/dl go null through size(null) and emit bm25f_score = null
+        staged = staged.withColumn(
+            f"__bmf_{f}",
+            F.coalesce(raw_tokens_column(F.col(f)),
+                       F.array().cast("array<string>")))
     tcols = {f: F.col(f"__bmf_{f}") for f in fnames}
 
     any_field = {t: F.lit(False) for t in terms}

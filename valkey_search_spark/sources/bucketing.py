@@ -47,12 +47,19 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
-def is_bucketed(spark: SparkSession, table: str, key: str) -> bool:
+def is_bucketed(spark: SparkSession, table: str,
+                key: str | list[str]) -> bool:
     """True when ``table`` is bucketed on exactly ``key`` (the
-    precondition for the shuffle-free plans this module promises)."""
+    precondition for the shuffle-free plans this module promises).
+    Exact-name comparison of the parsed column list — substring tests
+    would claim 'id' matches a table bucketed on `doc_id`."""
     try:
         rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
     except Exception:
         return False
     info = {r["col_name"]: (r["data_type"] or "") for r in rows}
-    return key in info.get("Bucket Columns", "")
+    spec = info.get("Bucket Columns", "").strip()
+    cols = [c.strip().strip("`") for c in spec.strip("[]").split(",")
+            if c.strip()]
+    want = [key] if isinstance(key, str) else list(key)
+    return cols == want
