@@ -248,3 +248,39 @@ def test_video_frame_sample_real_avi(spark):
     row = out[(out.vid == 2) & (out.frame_no == 2)].iloc[0]
     px = decode_bmp(bytes(row["frame"]))
     assert (px == (2 * 31 + 2 * 7) % 256).all()
+
+
+def test_avi_corruption_fuzz_raises_cleanly():
+    # error contract: any truncation or byte corruption either decodes
+    # (harmless flip in pixel data) or raises exactly MediaDecodeError —
+    # never MemoryError/IndexError/struct.error
+    base = encode_avi(_frames(3, h=8, w=8), codec="MJPG", quality=60)
+    frng = np.random.default_rng(4)
+    for cut in (10, 40, len(base) // 2, len(base) - 3):
+        try:
+            decode_avi_frames(base[:cut])
+        except MediaDecodeError:
+            pass
+    for _ in range(60):
+        blob = bytearray(base)
+        for _ in range(frng.integers(1, 4)):
+            blob[frng.integers(0, len(blob))] = frng.integers(0, 256)
+        try:
+            decode_avi_frames(bytes(blob), max_frames=8)
+        except MediaDecodeError:
+            pass
+        except NotImplementedError:
+            pass   # a flipped fourcc can look like an unknown codec
+
+
+def test_jpeg_encoder_dimension_bomb_guard():
+    # the decoder's pixel budget must also bound what our encoder's
+    # payloads can claim — craft a huge-dims header on a tiny body
+    import struct as _s
+
+    blob = bytearray(encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
+    i = blob.find(b"\xff\xc0")
+    # SOF0 payload: len(2) prec(1) h(2) w(2) — overwrite h/w with 30000
+    _s.pack_into(">HH", blob, i + 5, 30000, 30000)
+    with pytest.raises(MediaDecodeError):
+        decode_jpeg(bytes(blob))
