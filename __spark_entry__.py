@@ -917,6 +917,15 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           temperature=1.0, seed=7)
         return out.select("doc_id", F.round("dsir_logratio", 6).alias("s"))
 
+    def b_corpus_profile(spark, sf_dir):
+        # dataset-card statistics as ONE grouping-sets aggregation
+        # (single Expand + shuffle — the plan is pinned in
+        # tests/test_profile.py, counts DuckDB-oracle-pinned there)
+        from valkey_search_spark.operators.profile import corpus_profile
+
+        docs = load_table(spark, sf_dir, "documents")
+        return corpus_profile(docs)
+
     return {
         "text_proximity_3term": _search("docs", "batch stream window",
                                         DOC_COLS, slop=2, inorder=True),
@@ -936,6 +945,7 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_bpe": b_bpe_tokenize,
         "hygiene_html_extract": b_html_extract,
         "dsir_select": b_dsir_select,
+        "corpus_profile": b_corpus_profile,
     }
 
 

@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "tokenizer_bpe",
     "hygiene_html_extract",
     "dsir_select",
+    "corpus_profile",
 ]
 
 
