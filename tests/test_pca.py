@@ -127,7 +127,7 @@ def test_k_bounds(spark):
         train_pca(_df(spark, x), k=17)
 
 
-def test_composes_with_ivf_recall(spark, sf_dir, tmp_path):
+def test_composes_with_ivf_recall(spark, tmp_path):
     """PCA(8) over the 64-dim low-rank embeddings, IVF on the reduced
     vectors: full-probe search in the REDUCED space must recover most
     true L2 neighbors of the ORIGINAL space on low-intrinsic-dim data."""
@@ -149,3 +149,28 @@ def test_composes_with_ivf_recall(spark, sf_dir, tmp_path):
     true = np.argsort(((x.astype(np.float64) - q) ** 2).sum(1))[:10]
     overlap = len(set(got) & set(int(t) for t in true))
     assert overlap >= 8
+
+
+def test_null_embeddings_fit_and_transform(spark):
+    """Nulls are first-class (the multimodal on_error='null' contract):
+    fit excludes them, both transform paths emit a proper NULL (not an
+    array of nulls), so IVFIndex.build's isNotNull guard still works."""
+    x = _lowrank(n=60)
+    rows = [(i, [float(v) for v in r]) for i, r in enumerate(x)]
+    rows.append((999, None))
+    df = spark.createDataFrame(rows, "id long, embedding array<float>")
+    pca = train_pca(df, k=3)
+    for budget in (8192, 1):               # JVM path, then Arrow path
+        old = EmbeddingPCA._JVM_LITERAL_BUDGET
+        try:
+            EmbeddingPCA._JVM_LITERAL_BUDGET = budget
+            got = {r["id"]: r["embedding_pca"]
+                   for r in pca.transform(df).collect()}
+        finally:
+            EmbeddingPCA._JVM_LITERAL_BUDGET = old
+        assert got[999] is None
+        assert got[0] is not None and len(got[0]) == 3
+    empty = spark.createDataFrame([(1, None)],
+                                  "id long, embedding array<float>")
+    with pytest.raises(ValueError, match="no non-null"):
+        train_pca(empty, k=2)

@@ -35,17 +35,17 @@ from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 
 def _project_col(vec: Column, w: np.ndarray, offset: np.ndarray) -> Column:
-    """(x @ W) + offset as a JVM expression: one aggregate fold per
-    output component over the input array. W is (d, k)."""
-    d, k = w.shape
-    comps = []
-    for j in range(k):
-        col_lits = F.array(*[F.lit(float(w[i, j])) for i in range(d)])
-        comps.append(
-            (F.aggregate(F.zip_with(vec, col_lits, lambda a, b: a * b),
-                         F.lit(0.0), lambda acc, x: acc + x)
-             + F.lit(float(offset[j]))).cast("float"))
-    return F.array(*comps)
+    """(x @ W) + offset as a JVM expression: one dot-product fold per
+    output component (reusing distance.py's literal-vector dot). W is
+    (d, k). Null input vectors yield a NULL ARRAY (not an array of
+    nulls) so downstream isNotNull guards — IVFIndex.build's included —
+    keep working."""
+    from .distance import _dot
+
+    k = w.shape[1]
+    comps = [(_dot(vec, list(w[:, j])) + F.lit(float(offset[j])))
+             .cast("float") for j in range(k)]
+    return F.when(vec.isNotNull(), F.array(*comps))
 
 
 class EmbeddingPCA:
@@ -88,13 +88,21 @@ class EmbeddingPCA:
             return df.withColumn(out_col, _project_col(F.col(vec_col), w,
                                                        offset))
 
-        w32, off32 = w.astype(np.float64), offset.astype(np.float64)
+        w64, off64 = np.asarray(w, dtype=np.float64), \
+            np.asarray(offset, dtype=np.float64)
 
         @F.pandas_udf(T.ArrayType(T.FloatType()))
         def project(vecs: pd.Series) -> pd.Series:
-            mat = np.stack(vecs.to_numpy())          # (batch, d)
-            out = mat @ w32 + off32                  # one BLAS call
-            return pd.Series(list(out.astype(np.float32)))
+            # null embeddings (the multimodal on_error='null' contract
+            # produces them) project to null, same as the JVM path
+            mask = vecs.notna().to_numpy()
+            out = np.full(len(vecs), None, dtype=object)
+            if mask.any():
+                mat = np.stack(vecs[mask].to_numpy())    # (batch, d)
+                proj = (mat @ w64 + off64).astype(np.float32)
+                for i, row in zip(np.flatnonzero(mask), proj):
+                    out[i] = row
+            return pd.Series(out)
 
         return df.withColumn(out_col, project(F.col(vec_col)))
 
@@ -128,26 +136,30 @@ def train_pca(df: DataFrame, vec_col: str = "embedding", k: int = 16,
     OPQ-friendly form)."""
     from pyspark.ml.feature import PCA as MLPCA
     from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.stat import Summarizer
 
-    d = len(df.select(vec_col).first()[0])
+    # null embeddings are a first-class state here (the multimodal
+    # on_error='null' contract) — exclude them from the fit, same as
+    # IVFIndex.build
+    clean = df.where(F.col(vec_col).isNotNull())
+    first = clean.select(vec_col).first()
+    if first is None:
+        raise ValueError("PCA corpus has no non-null vectors")
+    d = len(first[0])
     if not 1 <= k <= d:
         raise ValueError(f"k must be in [1, {d}], got {k}")
-    arr = F.col(vec_col).cast("array<double>")
-    vecs = df.select(arr.alias("__a"),
-                     array_to_vector(arr).alias("__v"))
+    vecs = clean.select(array_to_vector(
+        F.col(vec_col).cast("array<double>")).alias("__v"))
     model = MLPCA(k=k, inputCol="__v", outputCol="__p").fit(vecs)
     components = model.pc.toArray()               # (d, k)
     explained = np.asarray(model.explainedVariance.toArray())
     # MLlib reports VARIANCE RATIOS; recover absolute eigenvalues from
-    # the total per-dimension variance for the whitening scale, and the
-    # mean for centering — one more aggregation over the array column
-    stats = vecs.select(
-        F.array(*[F.avg(F.element_at(F.col("__a"), i + 1))
-                  for i in range(d)]).alias("m"),
-        F.array(*[F.var_samp(F.element_at(F.col("__a"), i + 1))
-                  for i in range(d)]).alias("v")).first()
-    total_var = float(np.sum(np.asarray(stats["v"], dtype=np.float64)))
+    # the total variance. Summarizer = one treeAggregate over the vector
+    # column (two expressions for any d — not 2d per-element aggs, the
+    # same literal-budget trap transform guards against)
+    stats = vecs.select(Summarizer.metrics("mean", "variance")
+                        .summary(F.col("__v")).alias("s")).first()["s"]
+    mean = np.asarray(stats["mean"].toArray(), dtype=np.float64)
+    total_var = float(np.sum(stats["variance"].toArray()))
     eigenvalues = explained * total_var
-    return EmbeddingPCA(components,
-                        np.asarray(stats["m"], dtype=np.float64),
-                        eigenvalues, whiten=whiten)
+    return EmbeddingPCA(components, mean, eigenvalues, whiten=whiten)
