@@ -56,6 +56,13 @@ are fully decodable with struct + numpy alone, which makes the
   + Sections 13/14). Tests hand-pack IFDs and pin the decoders with
   independent forward PackBits/LZW encoders.
 
+- AIFF/AIFF-C: big-endian PCM 8/16/24/32-bit + the 'sowt'
+  little-endian variant, 80-bit extended sample rates; compressed AIFC
+  types raise. Sun AU: G.711 mu/A-law, linear 8/16/32, float 32/64.
+  Format references: the public AIFF-1.3/AIFF-C and Sun/NeXT .au
+  specifications. Tests pin both with the stdlib aifc/sunau modules as
+  INDEPENDENT forward implementations.
+
 - AVI: RIFF video container, both directions — motion-JPEG ('MJPG',
   one standalone baseline JPEG per frame) and uncompressed bottom-up
   BGR DIB (BI_RGB 24/32-bit) streams, '##dc'/'##db' chunk ids,
@@ -2299,3 +2306,138 @@ def decode_avi_frames(payload: bytes, max_frames: int | None = None
     for lat, lend in movi_spans:
         walk_movi(lat, lend)
     return frames, float(fps or 0.0)
+
+# ---------------------------------------------------------------------------
+# AIFF / AIFF-C (big-endian PCM) and Sun AU — the two classic
+# uncompressed audio containers besides WAV. Format references: the
+# public AIFF-1.3/AIFF-C specifications (FORM/COMM/SSND chunk layout,
+# 80-bit extended sample rate) and the Sun/NeXT .au header layout.
+# Tests pin both decoders with the stdlib aifc/sunau modules as
+# INDEPENDENT forward implementations (same pattern as WAV vs `wave`).
+
+
+def _aiff_ext80(ext80: bytes) -> float | None:
+    """COMM's 80-bit extended-precision sample rate (twin of
+    metadata._aiff_rate, kept local so codecs stays pyspark-free)."""
+    if len(ext80) < 10:
+        return None
+    (se,) = struct.unpack_from(">H", ext80, 0)
+    mant = int.from_bytes(ext80[2:10], "big")
+    if mant == 0 or se & 0x8000:
+        return None
+    exp = (se & 0x7FFF) - 16383 - 63
+    if not -80 <= exp <= 0:
+        return None
+    rate = mant * (2.0 ** exp)
+    return rate if 1.0 <= rate <= 1e7 else None
+
+
+def decode_aiff(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """Decode AIFF / AIFF-C to (float32 frames x channels in [-1, 1],
+    rate, channels). Supports 8/16/24/32-bit PCM, big-endian (AIFF and
+    AIFC 'NONE') and little-endian (AIFC 'sowt'); compressed AIFC
+    types raise — they are the ffmpeg seam."""
+    d = bytes(payload)
+    if len(d) < 12 or d[:4] != b"FORM" or d[8:12] not in (b"AIFF", b"AIFC"):
+        raise MediaDecodeError("not an AIFF payload")
+    is_aifc = d[8:12] == b"AIFC"
+    ch = bits = rate = None
+    little = False
+    data = None
+    pos = 12
+    while pos + 8 <= len(d):
+        cid = d[pos:pos + 4]
+        (size,) = struct.unpack_from(">I", d, pos + 4)
+        if pos + 8 + size > len(d):
+            break
+        body = d[pos + 8:pos + 8 + size]
+        if cid == b"COMM" and size >= 18:
+            ch, _frames, bits = struct.unpack_from(">HIH", body, 0)
+            rate = _aiff_ext80(body[8:18])
+            if is_aifc and size >= 22:
+                comp = body[18:22]
+                if comp == b"sowt":
+                    little = True
+                elif comp != b"NONE":
+                    raise MediaDecodeError(
+                        f"unsupported AIFC compression {comp!r} "
+                        "(only NONE/sowt; compressed AIFC is the "
+                        "ffmpeg seam)")
+        elif cid == b"SSND" and size >= 8:
+            off, _block = struct.unpack_from(">II", body, 0)
+            data = body[8 + off:]
+        pos += 8 + size + (size & 1)
+    if not ch or not bits or not rate or data is None:
+        raise MediaDecodeError("AIFF missing COMM/SSND")
+    bo = "<" if little else ">"
+    if bits == 8:                       # AIFF 8-bit is SIGNED
+        samples = np.frombuffer(data, dtype=np.int8).astype(
+            np.float32) / 128.0
+    elif bits == 16:
+        samples = np.frombuffer(data, dtype=f"{bo}i2").astype(
+            np.float32) / 32768.0
+    elif bits == 24:
+        raw = np.frombuffer(data[:len(data) - len(data) % 3],
+                            dtype=np.uint8).reshape(-1, 3)
+        if little:
+            val = (raw[:, 0].astype(np.int32)
+                   | raw[:, 1].astype(np.int32) << 8
+                   | raw[:, 2].astype(np.int32) << 16)
+        else:
+            val = (raw[:, 2].astype(np.int32)
+                   | raw[:, 1].astype(np.int32) << 8
+                   | raw[:, 0].astype(np.int32) << 16)
+        val = (val ^ 0x800000) - 0x800000          # sign-extend 24-bit
+        samples = val.astype(np.float32) / 8388608.0
+    elif bits == 32:
+        samples = np.frombuffer(data, dtype=f"{bo}i4").astype(
+            np.float32) / 2147483648.0
+    else:
+        raise MediaDecodeError(f"unsupported AIFF bit depth {bits}")
+    n = (len(samples) // ch) * ch
+    return samples[:n].reshape(-1, ch), int(round(rate)), int(ch)
+
+
+_AU_PCM = {2: (np.int8, 128.0), 3: (">i2", 32768.0),
+           5: (">i4", 2147483648.0)}
+
+
+def decode_au(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """Decode a Sun/NeXT .au payload to (float32 frames x channels,
+    rate, channels). Encodings: G.711 mu-law (1) / A-law (27) via the
+    shared tables, linear PCM 8/16/32-bit (2/3/5), float32/float64
+    (6/7); others (ADPCM variants) raise."""
+    global _ULAW2LIN, _ALAW2LIN
+    d = bytes(payload)
+    if len(d) < 24 or d[:4] != b".snd":
+        raise MediaDecodeError("not a Sun AU payload")
+    hdr, dsize, enc, rate, ch = struct.unpack_from(">IIIII", d, 4)
+    if hdr < 24 or hdr > len(d) or not ch or not rate:
+        raise MediaDecodeError("malformed AU header")
+    end = len(d) if dsize in (0, 0xFFFFFFFF) else min(len(d), hdr + dsize)
+    data = d[hdr:end]
+    if enc == 1:
+        if _ULAW2LIN is None:
+            _ULAW2LIN = _g711_ulaw_table()
+        samples = (_ULAW2LIN[np.frombuffer(data, dtype=np.uint8)]
+                   .astype(np.float32) / 32768.0)
+    elif enc == 27:
+        if _ALAW2LIN is None:
+            _ALAW2LIN = _g711_alaw_table()
+        samples = (_ALAW2LIN[np.frombuffer(data, dtype=np.uint8)]
+                   .astype(np.float32) / 32768.0)
+    elif enc in _AU_PCM:
+        dt, scale = _AU_PCM[enc]
+        samples = np.frombuffer(
+            data[:len(data) - len(data) % np.dtype(dt).itemsize],
+            dtype=dt).astype(np.float32) / scale
+    elif enc == 6:
+        samples = np.frombuffer(
+            data[:len(data) - len(data) % 4], dtype=">f4").astype(np.float32)
+    elif enc == 7:
+        samples = np.frombuffer(
+            data[:len(data) - len(data) % 8], dtype=">f8").astype(np.float32)
+    else:
+        raise MediaDecodeError(f"unsupported AU encoding {enc}")
+    n = (len(samples) // ch) * ch
+    return samples[:n].reshape(-1, ch), int(rate), int(ch)

@@ -220,23 +220,30 @@ def image_resize(df: DataFrame, binary_col: str = "image", size: int = 224,
 def _decode_audio(payload: bytes, fake: bool) -> tuple[np.ndarray, int]:
     """Audio decode seam returning (mono float32 wave, sample_rate). The
     REAL path decodes PCM RIFF/WAVE (manual parser, independent of the
-    stdlib `wave` the tests use as second implementation) and native
-    FLAC (full lossless path: FIXED/LPC prediction, Rice partitions,
-    stereo decorrelation); lossy codecs (MP3/AAC/Vorbis) are where
-    ffmpeg/soundfile would plug in and still raise here."""
+    stdlib `wave` the tests use as second implementation), native FLAC
+    (full lossless path: FIXED/LPC prediction, Rice partitions, stereo
+    decorrelation), AIFF/AIFF-C (big-endian + 'sowt' PCM), and Sun AU
+    (G.711 + linear + float encodings); lossy codecs (MP3/AAC/Vorbis)
+    are where ffmpeg/soundfile would plug in and still raise here."""
     if not fake:
-        from .codecs import decode_flac, decode_wav
+        from .codecs import decode_aiff, decode_au, decode_flac, decode_wav
 
+        dec = None
         if payload[:4] == b"RIFF":
-            frames, rate, _ = decode_wav(payload)
-            return frames.mean(axis=1).astype(np.float32), rate
-        if payload[:4] == b"fLaC":
-            frames, rate, _ = decode_flac(payload)
+            dec = decode_wav
+        elif payload[:4] == b"fLaC":
+            dec = decode_flac
+        elif payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
+            dec = decode_aiff
+        elif payload[:4] == b".snd":
+            dec = decode_au
+        if dec is not None:
+            frames, rate, _ = dec(payload)
             return frames.mean(axis=1).astype(np.float32), rate
         raise NotImplementedError(
-            "only PCM WAV and FLAC decode without ffmpeg/soundfile (not "
-            "in this container); pass fake=True for the deterministic "
-            "test decode of other payloads")
+            "only PCM WAV, FLAC, AIFF, and Sun AU decode without "
+            "ffmpeg/soundfile (not in this container); pass fake=True "
+            "for the deterministic test decode of other payloads")
     seed = np.frombuffer((payload or b"\0")[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
     rng = np.random.default_rng(seed)
     return rng.standard_normal(1600).astype(np.float32), 16000

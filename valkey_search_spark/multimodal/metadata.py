@@ -449,6 +449,25 @@ def _sniff_aiff(p: bytes):
     return _aud("aiff")
 
 
+_AU_BITS = {1: 8, 2: 8, 3: 16, 4: 24, 5: 32, 6: 32, 7: 64, 27: 8}
+
+
+def _sniff_au(p: bytes, total_len: int):
+    """Sun/NeXT .au: fixed big-endian header — encoding maps to bit
+    depth; duration from the data size (header field, or payload length
+    when the writer left it 0xFFFFFFFF 'unknown')."""
+    hdr, dsize, enc, rate, ch = struct.unpack_from(">IIIII", p, 4)
+    if hdr < 24 or not ch or not rate or rate > 10_000_000:
+        return _aud("au")
+    bits = _AU_BITS.get(enc)
+    if dsize in (0, 0xFFFFFFFF):
+        dsize = max(0, total_len - hdr)
+    dur = None
+    if bits and dsize:
+        dur = dsize / (rate * ch * (bits // 8))
+    return _aud("au", int(rate), int(ch), bits, dur)
+
+
 def _box_size_ok(data: bytes, i: int, ver, sizes: tuple[int, int]) -> bool:
     """A candidate box tag at offset ``i`` is genuine only if the 4-byte
     size field preceding it matches the FIXED FullBox size for its
@@ -544,6 +563,8 @@ def sniff_media(prefix: bytes, total_len: int, suffix: bytes = b"") -> dict:
         out = _vid(_ebml_doctype(p))
     elif p[:4] == b"FORM" and p[8:12] in (b"AIFF", b"AIFC"):
         out = _sniff_aiff(p)
+    elif p[:4] == b".snd" and len(p) >= 24:
+        out = _sniff_au(p, total_len)
     elif p[:3] == b"ID3" or (len(p) >= 2 and p[0] == 0xFF
                              and (p[1] & 0xE0) == 0xE0):
         out = _sniff_mp3(p, total_len)
