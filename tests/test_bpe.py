@@ -194,3 +194,32 @@ def test_worker_tokenizer_cache_bounded_and_keyed_by_content():
         mod._tokenizer_from_broadcast(t.fingerprint, FakeBC(t.merges))
     assert len(mod._WORKER_TOKENIZERS) <= mod._WORKER_TOKENIZER_CAP
     mod._WORKER_TOKENIZERS.clear()
+
+
+def test_hypothesis_round_trip_arbitrary_text():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    tok = BPETokenizer([("a", "b"), ("ab", "c"), (" ", "t"),
+                        ("h", "e"), ("t", "he")])
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=120))
+    def check(text):
+        assert tok.decode(tok.encode(text)) == text
+
+    check()
+
+
+def test_hypothesis_round_trip_trained(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    tok = _trained(spark)
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.text(alphabet=st.characters(codec="utf-8"), max_size=80))
+    def check(text):
+        assert tok.decode(tok.encode(text)) == text
+
+    check()
