@@ -284,3 +284,36 @@ def test_jpeg_encoder_dimension_bomb_guard():
     _s.pack_into(">HH", blob, i + 5, 30000, 30000)
     with pytest.raises(MediaDecodeError):
         decode_jpeg(bytes(blob))
+
+
+def test_image_resize_formats_round_trip(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F, types as T
+
+    from valkey_search_spark.multimodal.codecs import (
+        decode_bmp, decode_png, encode_bmp,
+    )
+    from valkey_search_spark.multimodal.columns import image_resize
+
+    src = np.repeat(np.repeat(
+        rng.integers(0, 256, (4, 4, 3), dtype=np.uint8), 8, 0), 8, 1)
+    blob = encode_bmp(src)
+    df = spark.createDataFrame(pd.DataFrame({"i": [1]})).withColumn(
+        "image", F.udf(lambda _: blob, T.BinaryType())("i"))
+    decoders = {"bmp": decode_bmp, "png": decode_png, "jpeg": decode_jpeg}
+    sizes = {}
+    for fmt, dec in decoders.items():
+        row = image_resize(df, size=16, fake=False, out_format=fmt,
+                           quality=95).collect()[0]
+        assert row["image_resized_meta"]["format"] == fmt
+        px = dec(bytes(row["image_resized"]))
+        assert px.shape == (16, 16, 3)
+        # nearest-neighbor of block-constant input stays near-constant
+        want = src[np.linspace(0, 31, 16).astype(int)][
+            :, np.linspace(0, 31, 16).astype(int)]
+        tol = 0 if fmt in ("bmp", "png") else 12
+        assert np.abs(px.astype(int) - want.astype(int)).max() <= tol
+        sizes[fmt] = len(bytes(row["image_resized"]))
+    assert sizes["jpeg"] < sizes["bmp"]
+    with pytest.raises(ValueError, match="out_format"):
+        image_resize(df, out_format="webp")

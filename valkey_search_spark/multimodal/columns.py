@@ -157,12 +157,20 @@ def image_features(df: DataFrame, binary_col: str = "image",
 
 
 def image_resize(df: DataFrame, binary_col: str = "image", size: int = 224,
-                 fake: bool = True, on_error: str = "raise") -> DataFrame:
+                 fake: bool = True, on_error: str = "raise",
+                 out_format: str = "bmp", quality: int = 85) -> DataFrame:
     """Resize-and-reencode plumbing: binary in -> binary out + new meta.
     ``on_error="null"`` nulls undecodable payloads and adds a
-    ``decode_error`` message column (same contract as image_features)."""
+    ``decode_error`` message column (same contract as image_features).
+    ``out_format`` picks the re-encode codec on the real path: "bmp"
+    (uncompressed), "png" (lossless deflate), or "jpeg" (lossy at
+    ``quality`` — the vendored encoder with optimal Huffman tables);
+    a thumbnail corpus at 100 TB wants jpeg's ~10-20x byte cut."""
     if on_error not in ("raise", "null"):
         raise ValueError(f"on_error must be raise|null, got {on_error!r}")
+    if out_format not in ("bmp", "png", "jpeg"):
+        raise ValueError(
+            f"out_format must be bmp|png|jpeg, got {out_format!r}")
     extra = [T.StructField("image_resized", T.BinaryType()),
              T.StructField("image_resized_meta", IMAGE_META)]
     has_prev_err = "decode_error" in df.columns
@@ -197,11 +205,14 @@ def image_resize(df: DataFrame, binary_col: str = "image", size: int = 224,
                     metas.append({"width": size, "height": size,
                                   "channels": 3, "format": "raw"})
                 else:
-                    from .codecs import encode_bmp
+                    from .codecs import encode_bmp, encode_jpeg, encode_png
 
-                    blobs.append(encode_bmp(resized))
+                    enc = {"bmp": encode_bmp, "png": encode_png,
+                           "jpeg": lambda a: encode_jpeg(a, quality=quality)
+                           }[out_format]
+                    blobs.append(enc(np.ascontiguousarray(resized)))
                     metas.append({"width": size, "height": size,
-                                  "channels": 3, "format": "bmp"})
+                                  "channels": 3, "format": out_format})
             out = pdf.copy()
             out["image_resized"], out["image_resized_meta"] = blobs, metas
             if on_error == "null":
