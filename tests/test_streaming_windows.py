@@ -82,3 +82,42 @@ def test_first_seen_dedup_stream(spark, tmp_path):
     streamed = spark.sql("select count(*) from dedup_stream").first()[0]
     batch = first_seen_dedup_stream(docs, fingerprint_col(F.col("text"))).count()
     assert streamed == batch  # same dedup cardinality batch vs stream
+
+
+def test_streaming_html_ingest_pipeline(spark, tmp_path):
+    """Stateless ingest operators (HTML extraction + analysis metrics)
+    compose into readStream unchanged — a crawl feed cleans itself in
+    flight. Results must equal the batch run over the same files."""
+    from valkey_search_spark.operators.html import extract_documents
+    from valkey_search_spark.operators.textops import analyze_documents
+
+    docs = load_table(spark, SF, "documents").limit(120)
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("<html><head><title>t</title></head><body><p>"),
+                 F.col("text"),
+                 F.lit('</p><a href="/n">nav</a></body></html>')
+                 ).alias("html"))
+    src = tmp_path / "pages"
+    pages.write.parquet(str(src))
+
+    def clean(df):
+        ex = extract_documents(df).select("doc_id", "text", "link_density")
+        return analyze_documents(ex).select(
+            "doc_id", "token_count", "quality_score", "link_density")
+
+    stream = spark.readStream.schema(pages.schema).parquet(str(src))
+    q = (clean(stream).writeStream.format("memory")
+         .queryName("html_stream").outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = {r["doc_id"]: r for r in
+               spark.table("html_stream").collect()}
+    finally:
+        q.stop()
+    want = {r["doc_id"]: r for r in clean(pages).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k]["token_count"] == want[k]["token_count"]
+        assert got[k]["quality_score"] == pytest.approx(
+            want[k]["quality_score"])

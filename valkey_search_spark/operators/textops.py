@@ -130,7 +130,9 @@ def analyze_documents(df: DataFrame, text_col: str = "text",
     composition re-runs the tokenizer regex ~10x per row (each of the five
     metrics re-tokenizes, and quality/lang re-derive their inputs)."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # streaming frames: no partition probe (df.rdd is illegal there) and
+    # no repartition — micro-batch parallelism is the source's business
+    if not df.isStreaming and df.rdd.getNumPartitions() < target:
         df = df.repartition(target)
 
     staged = df.withColumn("__toks", raw_tokens_column(F.col(text_col)))
