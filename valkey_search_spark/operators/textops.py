@@ -290,3 +290,50 @@ def hashed_embeddings(df: DataFrame, text_col: str = "text",
     return (vec.withColumn(out_col,
                            vector_to_array(F.col(fcol)).cast("array<float>"))
             .drop(fcol, *drop))
+
+
+# ---------------------------------------------------------------------------
+# Unicode script profiling — the multilingual-corpus routing signal
+
+_SCRIPTS = ("Latin", "Cyrillic", "Greek", "Arabic", "Hebrew",
+            "Devanagari", "Han", "Hiragana", "Katakana", "Hangul",
+            "Thai")
+
+
+def script_profile(df: DataFrame, text_col: str = "text",
+                   min_dominant_frac: float = 0.5) -> DataFrame:
+    """Per-document Unicode script distribution: one
+    ``script_<name>_frac`` column per major script (fraction of LETTER
+    characters in that script) plus ``dominant_script`` (null when no
+    script reaches ``min_dominant_frac`` — mixed-script text, a spam
+    signal in web corpora and the router key for per-language
+    pipelines).
+
+    All-JVM: Java regex script properties (``\\p{script=Han}``) inside
+    ``regexp_count`` — one map-only codegen scan, no Python, no
+    shuffle. The letter total is staged as a named column so the text
+    is scanned once per script class, not per reference.
+
+    Reference analogue: none — the reference's lexer is
+    punctuation-driven and script-blind (src/indexes/text/lexer.cc);
+    beyond-reference operator per SURVEY.md §2.10.
+    """
+    letters = F.regexp_count(F.col(text_col), F.lit(r"\p{L}"))
+    staged = df.withColumn("__nletters", letters)
+    out = staged
+    for s in _SCRIPTS:
+        cnt = F.regexp_count(F.col(text_col), F.lit(rf"\p{{script={s}}}"))
+        frac = (F.when(F.col("__nletters") > 0,
+                       cnt.cast("double") / F.col("__nletters"))
+                .otherwise(F.lit(0.0)))
+        out = out.withColumn(f"script_{s.lower()}_frac", frac)
+    dom_frac, dom_name = F.lit(0.0), F.lit(None).cast("string")
+    for s in _SCRIPTS:
+        c = F.col(f"script_{s.lower()}_frac")
+        better = c > dom_frac
+        dom_name = F.when(better, F.lit(s.lower())).otherwise(dom_name)
+        dom_frac = F.when(better, c).otherwise(dom_frac)
+    return (out.withColumn(
+        "dominant_script",
+        F.when(dom_frac >= F.lit(float(min_dominant_frac)), dom_name))
+        .drop("__nletters"))
