@@ -216,3 +216,30 @@ def test_audio_features_real_aiff_au(spark, tmp_path):
     want_rms = float(np.sqrt((ref ** 2).mean()))
     for _, r in out.iterrows():
         assert r["audio_rms"] == pytest.approx(want_rms, rel=1e-3)
+
+
+def test_error_contract_corruption_fuzz(tmp_path):
+    """Parity with the other decoders' pinned contract: truncation/
+    bit-flips raise exactly MediaDecodeError (or decode harmlessly) —
+    never a raw numpy/struct error."""
+    p = str(tmp_path / "c.aiff")
+    _write_aifc(p, _sig(n=40), 8000, 1)
+    aiff = open(p, "rb").read()
+    p2 = str(tmp_path / "c.au")
+    _write_au(p2, _sig(n=40), 8000, 1)
+    au = open(p2, "rb").read()
+    frng = np.random.default_rng(12)
+    for base, dec in ((aiff, decode_aiff), (au, decode_au)):
+        for cut in (5, 13, 27, len(base) - 1):    # odd byte counts too
+            try:
+                dec(base[:cut])
+            except MediaDecodeError:
+                pass
+        for _ in range(60):
+            blob = bytearray(base)
+            for _ in range(frng.integers(1, 4)):
+                blob[frng.integers(0, len(blob))] = frng.integers(0, 256)
+            try:
+                dec(bytes(blob))
+            except MediaDecodeError:
+                pass

@@ -1970,6 +1970,21 @@ def _g711_alaw_table() -> np.ndarray:
 _ULAW2LIN: np.ndarray | None = None
 _ALAW2LIN: np.ndarray | None = None
 
+
+def _ulaw_table() -> np.ndarray:
+    """Lazily-built shared mu-law expansion table (WAV + AU)."""
+    global _ULAW2LIN
+    if _ULAW2LIN is None:
+        _ULAW2LIN = _g711_ulaw_table()
+    return _ULAW2LIN
+
+
+def _alaw_table() -> np.ndarray:
+    global _ALAW2LIN
+    if _ALAW2LIN is None:
+        _ALAW2LIN = _g711_alaw_table()
+    return _ALAW2LIN
+
 # IMA/DVI ADPCM published tables (IMA Digital Audio Focus and Technical
 # Working Groups recommended practice; also multimedia ADPCM references)
 _ADPCM_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
@@ -2080,14 +2095,10 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
         samples = (np.frombuffer(data, dtype=np.uint8).astype(np.float32)
                    - 128.0) / 128.0
     elif audio_fmt == 7 and bits == 8:       # G.711 mu-law
-        if _ULAW2LIN is None:
-            _ULAW2LIN = _g711_ulaw_table()
-        samples = (_ULAW2LIN[np.frombuffer(data, dtype=np.uint8)]
+        samples = (_ulaw_table()[np.frombuffer(data, dtype=np.uint8)]
                    .astype(np.float32) / 32768.0)
     elif audio_fmt == 6 and bits == 8:       # G.711 A-law
-        if _ALAW2LIN is None:
-            _ALAW2LIN = _g711_alaw_table()
-        samples = (_ALAW2LIN[np.frombuffer(data, dtype=np.uint8)]
+        samples = (_alaw_table()[np.frombuffer(data, dtype=np.uint8)]
                    .astype(np.float32) / 32768.0)
     elif audio_fmt == 0x11 and bits == 4:    # IMA/DVI ADPCM
         return (_decode_ima_adpcm(data, channels, block_align),
@@ -2317,8 +2328,11 @@ def decode_avi_frames(payload: bytes, max_frames: int | None = None
 
 
 def _aiff_ext80(ext80: bytes) -> float | None:
-    """COMM's 80-bit extended-precision sample rate (twin of
-    metadata._aiff_rate, kept local so codecs stays pyspark-free)."""
+    """COMM's 80-bit extended-precision sample rate (sign + 15-bit
+    exponent, 64-bit mantissa, big-endian). Returns None — never raises,
+    never a nonsense value — outside the plausible sample-rate range.
+    The single shared parser: the metadata sniffer imports THIS (codecs
+    is pyspark-free, so the dependency points this way)."""
     if len(ext80) < 10:
         return None
     (se,) = struct.unpack_from(">H", ext80, 0)
@@ -2332,6 +2346,7 @@ def _aiff_ext80(ext80: bytes) -> float | None:
     return rate if 1.0 <= rate <= 1e7 else None
 
 
+@_decode_guard
 def decode_aiff(payload: bytes) -> tuple[np.ndarray, int, int]:
     """Decode AIFF / AIFF-C to (float32 frames x channels in [-1, 1],
     rate, channels). Supports 8/16/24/32-bit PCM, big-endian (AIFF and
@@ -2374,7 +2389,8 @@ def decode_aiff(payload: bytes) -> tuple[np.ndarray, int, int]:
         samples = np.frombuffer(data, dtype=np.int8).astype(
             np.float32) / 128.0
     elif bits == 16:
-        samples = np.frombuffer(data, dtype=f"{bo}i2").astype(
+        samples = np.frombuffer(data[:len(data) - len(data) % 2],
+                                dtype=f"{bo}i2").astype(
             np.float32) / 32768.0
     elif bits == 24:
         raw = np.frombuffer(data[:len(data) - len(data) % 3],
@@ -2390,7 +2406,8 @@ def decode_aiff(payload: bytes) -> tuple[np.ndarray, int, int]:
         val = (val ^ 0x800000) - 0x800000          # sign-extend 24-bit
         samples = val.astype(np.float32) / 8388608.0
     elif bits == 32:
-        samples = np.frombuffer(data, dtype=f"{bo}i4").astype(
+        samples = np.frombuffer(data[:len(data) - len(data) % 4],
+                                dtype=f"{bo}i4").astype(
             np.float32) / 2147483648.0
     else:
         raise MediaDecodeError(f"unsupported AIFF bit depth {bits}")
@@ -2402,12 +2419,12 @@ _AU_PCM = {2: (np.int8, 128.0), 3: (">i2", 32768.0),
            5: (">i4", 2147483648.0)}
 
 
+@_decode_guard
 def decode_au(payload: bytes) -> tuple[np.ndarray, int, int]:
     """Decode a Sun/NeXT .au payload to (float32 frames x channels,
     rate, channels). Encodings: G.711 mu-law (1) / A-law (27) via the
     shared tables, linear PCM 8/16/32-bit (2/3/5), float32/float64
     (6/7); others (ADPCM variants) raise."""
-    global _ULAW2LIN, _ALAW2LIN
     d = bytes(payload)
     if len(d) < 24 or d[:4] != b".snd":
         raise MediaDecodeError("not a Sun AU payload")
@@ -2417,14 +2434,10 @@ def decode_au(payload: bytes) -> tuple[np.ndarray, int, int]:
     end = len(d) if dsize in (0, 0xFFFFFFFF) else min(len(d), hdr + dsize)
     data = d[hdr:end]
     if enc == 1:
-        if _ULAW2LIN is None:
-            _ULAW2LIN = _g711_ulaw_table()
-        samples = (_ULAW2LIN[np.frombuffer(data, dtype=np.uint8)]
+        samples = (_ulaw_table()[np.frombuffer(data, dtype=np.uint8)]
                    .astype(np.float32) / 32768.0)
     elif enc == 27:
-        if _ALAW2LIN is None:
-            _ALAW2LIN = _g711_alaw_table()
-        samples = (_ALAW2LIN[np.frombuffer(data, dtype=np.uint8)]
+        samples = (_alaw_table()[np.frombuffer(data, dtype=np.uint8)]
                    .astype(np.float32) / 32768.0)
     elif enc in _AU_PCM:
         dt, scale = _AU_PCM[enc]

@@ -393,22 +393,11 @@ def _sniff_ogg(p: bytes, suffix: bytes):
 
 
 def _aiff_rate(ext80: bytes) -> float | None:
-    """Decode the COMM chunk's 80-bit extended-precision sample rate
-    (sign+15-bit exponent, 64-bit mantissa, big-endian). Returns None —
-    never raises, never a nonsense value — outside the plausible
-    sample-rate range: malformed exponents overflow float arithmetic and
-    a set sign bit means a negative rate, both garbage for audio."""
-    if len(ext80) < 10:
-        return None
-    (se,) = struct.unpack_from(">H", ext80, 0)
-    mant = int.from_bytes(ext80[2:10], "big")
-    if mant == 0 or se & 0x8000:
-        return None
-    exp = (se & 0x7FFF) - 16383 - 63
-    if not -80 <= exp <= 0:                   # beyond any real rate
-        return None
-    rate = mant * (2.0 ** exp)
-    return rate if 1.0 <= rate <= 1e7 else None
+    """COMM 80-bit extended sample rate — the ONE shared parser lives
+    in codecs (pyspark-free, so the import points this way)."""
+    from .codecs import _aiff_ext80
+
+    return _aiff_ext80(ext80)
 
 
 def _ebml_doctype(p: bytes) -> str:

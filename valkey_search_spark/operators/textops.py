@@ -322,7 +322,11 @@ def script_profile(df: DataFrame, text_col: str = "text",
     staged = df.withColumn("__nletters", letters)
     out = staged
     for s in _SCRIPTS:
-        cnt = F.regexp_count(F.col(text_col), F.lit(rf"\p{{script={s}}}"))
+        # intersect with \p{L}: scripts also claim combining marks and
+        # digits (Thai vowel signs, Devanagari matras), which would push
+        # the 'fraction of letters' above 1.0
+        cnt = F.regexp_count(F.col(text_col),
+                             F.lit(rf"[\p{{script={s}}}&&[\p{{L}}]]"))
         frac = (F.when(F.col("__nletters") > 0,
                        cnt.cast("double") / F.col("__nletters"))
                 .otherwise(F.lit(0.0)))
