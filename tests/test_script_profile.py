@@ -89,3 +89,25 @@ def test_threshold_knob(spark):
     # plurality winner at the lower threshold: cyrillic has the most
     # letters in sample 7 (13 of 31)
     assert row["dominant_script"] == "cyrillic"
+
+
+def test_script_gate_composes_into_curation(spark):
+    from valkey_search_spark.operators.pipeline import (
+        CurationConfig, curate_documents,
+    )
+
+    rows = [(1, "the quick brown fox jumps over the lazy dog and then "
+                "the dog sleeps all day under the warm summer sun there"),
+            (2, "Съешь же ещё этих мягких французских булок да выпей же "
+                "чаю теперь после долгого дня работы в старом городе"),
+            (3, "buy ЗОЛОТО cheap 金金金 now ЗОЛОТО deal 金金金 wow "
+                "ЗОЛОТО offer 金金金 click ЗОЛОТО here 金金金 fast "
+                "СКИДКА СКИДКА 金金金金")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    clean, funnel = curate_documents(
+        df, config=CurationConfig(min_quality=0.0, min_tokens=3,
+                                  near_dup_threshold=None,
+                                  scripts=("latin",)))
+    kept = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    assert kept == {1}     # cyrillic doc and mixed-script spam both fail
+    assert funnel["quality_gate"] == 1

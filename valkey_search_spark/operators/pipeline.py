@@ -54,6 +54,12 @@ class CurationConfig:
     model_pareto: bool = False
     model_pareto_alpha: float = 9.0
     model_pareto_seed: int = 0
+    # Unicode script gate (textops.script_profile): keep documents whose
+    # dominant script is in the set; None skips computing the profile.
+    # Mixed-script documents (no dominant script) always fail the gate —
+    # the web-spam shape the signal exists for.
+    scripts: tuple[str, ...] | None = None
+    script_min_frac: float = 0.5
     extra: dict = dc_field(default_factory=dict)
 
 
@@ -114,12 +120,20 @@ def curate_documents(df: DataFrame, key: str = "doc_id",
         # still lazy: PipelineModel.transform adds JVM projections only
         analyzed = cfg.quality_model.score(analyzed, text_col=text_col,
                                            out_col="model_quality")
+    if cfg.scripts:
+        from .textops import script_profile
+
+        analyzed = script_profile(analyzed, text_col,
+                                  min_dominant_frac=cfg.script_min_frac)
     gate = (F.col("quality_score") >= cfg.min_quality) & \
            (F.col("token_count") >= cfg.min_tokens)
     if cfg.gopher_rules:
         gate = gate & F.col("gopher_pass")
     if cfg.languages:
         gate = gate & F.col("lang_id").isin(*cfg.languages)
+    if cfg.scripts:
+        gate = gate & F.col("dominant_script").isin(
+            *[s.lower() for s in cfg.scripts])
     if cfg.max_rep2_frac is not None:
         gate = gate & (F.col("top_2gram_char_frac") <= cfg.max_rep2_frac)
     if cfg.max_dup_line_frac is not None:
