@@ -917,6 +917,34 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           temperature=1.0, seed=7)
         return out.select("doc_id", F.round("dsir_logratio", 6).alias("s"))
 
+    def b_chunking(spark, sf_dir):
+        # fixed-token-window chunking with overlap: one map-only
+        # posexplode, split() staged once per doc (DuckDB-oracle +
+        # plan-pinned in tests/test_chunking.py). References every
+        # produced column so pruning can't skip the window build.
+        from valkey_search_spark.operators.chunking import chunk_documents
+
+        docs = load_table(spark, sf_dir, "documents")
+        out = chunk_documents(docs, chunk_tokens=64, overlap=16)
+        return out.select("doc_id", "chunk_idx", "token_start",
+                          "chunk_tokens_n",
+                          F.length("chunk_text").alias("clen"))
+
+    def b_sketch_overlap(spark, sf_dir):
+        # KMV bottom-k gram sketches for both corpus halves in one
+        # pipeline: HLL pass + threshold-filtered bottom-k collect —
+        # the shuffle carries ~margin*k rows per group, not the grams
+        # (exactness + estimator bounds pinned in tests/test_sketches.py)
+        from valkey_search_spark.operators.contamination import _gram_set
+        from valkey_search_spark.operators.sketches import kmv_sketch
+
+        docs = load_table(spark, sf_dir, "documents")
+        grams = (_gram_set(docs, "doc_id", "text", 13, "__k")
+                 .select((F.col("__k") % 2).alias("half"), "__gram"))
+        out = kmv_sketch(grams, "__gram", "half", k=4096)
+        return out.select("half", F.size("kmv").alias("k_held"),
+                          "approx_distinct", "filtered", "underfull")
+
     def b_corpus_profile(spark, sf_dir):
         # dataset-card statistics as ONE grouping-sets aggregation
         # (single Expand + shuffle — the plan is pinned in
@@ -946,6 +974,8 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hygiene_html_extract": b_html_extract,
         "dsir_select": b_dsir_select,
         "corpus_profile": b_corpus_profile,
+        "chunking": b_chunking,
+        "sketch_overlap": b_sketch_overlap,
     }
 
 

@@ -1,0 +1,180 @@
+"""KMV (k-minimum-values / bottom-k) sketches for cross-corpus set
+statistics: distinct counts, Jaccard similarity, and overlap size
+between corpora WITHOUT joining them.
+
+A 100 TB question that precedes every decontamination/dedup run is
+"how much do these two corpora overlap?" — answering it exactly means
+a distinct + join over every n-gram of both sides. The KMV sketch
+(Bar-Yossef et al. 2002; Beyer et al. SIGMOD'07 "On synopses for
+distinct-value estimation") answers it from two k-long arrays:
+
+  sketch(S)   = the k smallest distinct uniform hashes of S
+  D(S)       ~= (k-1) / u_k            (u_k = k-th smallest, in (0,1))
+  J(A,B)     ~= |kmin_k(A ∪ B) ∩ A ∩ B| / k
+  |A ∩ B|    ~= J * D(A ∪ B)
+
+Distributed shape (the part that matters at scale):
+
+  pass 1  approx_count_distinct per group       (HLL: bounded state)
+  pass 2  map-side THRESHOLD filter  h < t      (t ≈ margin*k/D̂ of the
+          hash range, so ~margin*k rows per group survive)
+          -> groupBy(group).collect -> sort -> slice k
+
+The threshold filter is the point: the k smallest hashes of a set are
+exactly the k smallest of any prefix-range superset, so pass 2 shuffles
+only ~margin*k rows PER GROUP no matter how many items the corpus has —
+a 100 TB gram stream reduces map-side to kilobytes. Aggregation state is
+the survivor set (≤ ~margin*k hashes), never the corpus. When the HLL
+estimate says the group is small (D̂ ≤ margin*k) no filter applies and
+the sketch is EXACT (``kmv_distinct`` returns the true count) — which is
+also the regime the DuckDB oracle tests pin value-for-value.
+
+If the HLL estimate were pathologically low, fewer than k hashes could
+survive the filter while the true k-th minimum lies above the threshold;
+``underfull`` flags that case (P < 1e-40 at the default margin=8;
+re-run with a larger margin if ever set).
+
+Estimator error: Beyer et al. give E[relative error] ≈ 1/sqrt(k-2) for
+distinct counts; k=1024 → ~3%. Jaccard from bottom-k union sampling has
+the same 1/sqrt(k) scaling (it is a size-k uniform sample of A ∪ B).
+
+Reference analogue: none (valkey-search keeps exact per-index
+cardinalities, src/indexes/index_base.h); this is beyond-reference
+LLM-pipeline surface, SURVEY.md §2.10.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+_HASH_SPAN = 2.0 ** 64  # xxhash64 is signed int64: [-2^63, 2^63)
+_HASH_MIN = -(2 ** 63)
+
+
+def _to_unit(h: int) -> float:
+    """Map a signed-64 hash to (0, 1]."""
+    return (h - _HASH_MIN + 1) / _HASH_SPAN
+
+
+def kmv_sketch(items: DataFrame, item_col: str,
+               group_col: str | None = None, k: int = 1024,
+               margin: int = 8) -> DataFrame:
+    """Bottom-k sketch of the DISTINCT ``xxhash64(item_col)`` values,
+    per ``group_col`` (or one global row when ``group_col`` is None).
+
+    Returns one row per group:
+      kmv             array<long>, ascending, len = min(k, |distinct|)
+      approx_distinct pass-1 HLL estimate (diagnostic)
+      filtered        whether the threshold pre-filter applied
+                      (False => the sketch is exact and complete)
+      underfull       filtered AND len(kmv) < k — re-run with a larger
+                      ``margin`` (astronomically rare, see module doc)
+    """
+    if k <= 2:
+        raise ValueError("k must be > 2 (estimator needs k-1, u_k)")
+    gcols = [group_col] if group_col else []
+    hashed = items.select(*gcols, F.xxhash64(F.col(item_col)).alias("__h"))
+
+    # pass 1: bounded-state cardinality estimate per group
+    est = (hashed.groupBy(*gcols)
+           .agg(F.approx_count_distinct("__h", 0.02).alias("__d")))
+
+    # threshold: keep hashes in the smallest (margin*k / D̂) fraction of
+    # the range; no filter for small groups (exact regime). The fraction
+    # is clamped to 0.9 so the double->long cast stays far from the
+    # signed-64 boundary (ANSI cast overflow); survivors are then
+    # >= 0.9 * D > k either way.
+    cap = F.lit(margin) * F.lit(k)
+    frac = F.least(F.lit(0.9), cap / F.col("__d"))
+    thresh = (F.lit(float(_HASH_MIN))
+              + frac * F.lit(_HASH_SPAN)).cast("long")
+    bounds = est.select(*gcols, (F.col("__d") > cap).alias("__filtered"),
+                        F.when(F.col("__d") > cap, thresh)
+                         .otherwise(F.lit(2 ** 63 - 1)).alias("__t"),
+                        F.col("__d").alias("approx_distinct"))
+
+    joined = (hashed.join(F.broadcast(bounds), gcols or None, "inner")
+              if gcols else hashed.crossJoin(F.broadcast(bounds)))
+    survivors = joined.where(F.col("__h") <= F.col("__t"))
+    sk = (survivors.groupBy(*gcols, "__filtered", "approx_distinct")
+          .agg(F.slice(F.array_sort(F.collect_set("__h")), 1, k)
+               .alias("kmv")))
+    return sk.select(*gcols, "kmv", "approx_distinct",
+                     F.col("__filtered").alias("filtered"),
+                     (F.col("__filtered") & (F.size("kmv") < k)
+                      ).alias("underfull"))
+
+
+# --------------------------------------------------------------------------
+# Driver-side estimators over collected sketches (k longs each — tiny).
+
+def kmv_distinct(kmv: list[int], k: int) -> float:
+    """Distinct-count estimate. Exact when the sketch holds the whole
+    set (len < k); else the Beyer et al. unbiased (k-1)/u_k."""
+    if len(kmv) < k:
+        return float(len(kmv))
+    return (k - 1) / _to_unit(kmv[k - 1])
+
+
+def kmv_merge(a: list[int], b: list[int], k: int) -> list[int]:
+    """Sketch of the UNION: k smallest of the combined distinct values.
+    Exact-regime inputs (len < k) merge into the union's true bottom-k."""
+    return sorted(set(a) | set(b))[:k]
+
+
+def kmv_jaccard(a: list[int], b: list[int], k: int) -> float:
+    """Jaccard estimate: fraction of the union's bottom-k present in
+    both sketches (a size-|u| uniform sample of A ∪ B)."""
+    u = kmv_merge(a, b, k)
+    if not u:
+        return 0.0
+    sa, sb = set(a), set(b)
+    return sum(1 for h in u if h in sa and h in sb) / len(u)
+
+
+def kmv_overlap(a: list[int], b: list[int], k: int) -> dict[str, float]:
+    """Full overlap report: distinct sizes, Jaccard, union/intersection
+    estimates, and containment in each direction."""
+    j = kmv_jaccard(a, b, k)
+    union = kmv_distinct(kmv_merge(a, b, k), k)
+    inter = j * union
+    da, db = kmv_distinct(a, k), kmv_distinct(b, k)
+    return {"distinct_a": da, "distinct_b": db, "jaccard": j,
+            "union": union, "intersection": inter,
+            "containment_a_in_b": inter / da if da else 0.0,
+            "containment_b_in_a": inter / db if db else 0.0}
+
+
+def kmv_stderr(k: int) -> float:
+    """Expected relative error of the distinct estimator, ~1/sqrt(k-2)."""
+    return 1.0 / math.sqrt(k - 2)
+
+
+# --------------------------------------------------------------------------
+def corpus_gram_overlap(corpus_a: DataFrame, corpus_b: DataFrame,
+                        text_col: str = "text", key: str = "doc_id",
+                        n: int = 13, k: int = 4096,
+                        margin: int = 8) -> dict[str, float]:
+    """Estimate the word-``n``-gram set overlap between two corpora from
+    two bottom-k sketches — the "should I even run decontamination?"
+    pre-flight, at ~margin*k shuffled rows per corpus instead of a
+    gram-level join. Gram hashing is IDENTICAL to
+    ``ngram_decontaminate`` (xxhash64 of the token-slice array via
+    ``contamination._gram_set``), so the estimated intersection predicts
+    exactly what that operator would flag."""
+    from .contamination import _gram_set
+
+    def sketch_of(df):
+        grams = _gram_set(df, key, text_col, n, "__k").select("__gram")
+        row = kmv_sketch(grams, "__gram", None, k=k, margin=margin) \
+            .collect()
+        if not row:
+            return [], False
+        return list(row[0]["kmv"]), bool(row[0]["underfull"])
+
+    (ka, ua), (kb, ub) = sketch_of(corpus_a), sketch_of(corpus_b)
+    out = kmv_overlap(ka, kb, k)
+    out["underfull"] = float(ua or ub)
+    return out
