@@ -876,6 +876,22 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = _BPE[sf_dir].token_count(docs)
         return out.select("doc_id", "bpe_token_count")
 
+    _UNIGRAM: dict = {}
+
+    def b_unigram_tokenize(spark, sf_dir):
+        # corpus-trained unigram-LM (SentencePiece-style) — same cached
+        # train-side posture as tokenizer_bpe; the timed path is the
+        # Arrow-batched Viterbi tokenize with the vocab broadcast.
+        # Optimality/EM/round-trip pinned in tests/test_unigram.py.
+        from valkey_search_spark.functions.unigram import train_unigram
+
+        docs = load_table(spark, sf_dir, "documents")
+        if sf_dir not in _UNIGRAM:
+            _UNIGRAM[sf_dir] = train_unigram(docs, vocab_size=512,
+                                             max_piece_len=6)
+        out = _UNIGRAM[sf_dir].token_count(docs)
+        return out.select("doc_id", "unigram_token_count")
+
     def b_html_extract(spark, sf_dir):
         # HTML -> text extraction (beyond-reference web-corpus ingest):
         # markup synthesized around the real documents (word soup has no
@@ -971,6 +987,7 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": b_semantic_dedup,
         "hygiene_quality_model": b_quality_model,
         "tokenizer_bpe": b_bpe_tokenize,
+        "tokenizer_unigram": b_unigram_tokenize,
         "hygiene_html_extract": b_html_extract,
         "dsir_select": b_dsir_select,
         "corpus_profile": b_corpus_profile,

@@ -71,6 +71,12 @@ def kmv_sketch(items: DataFrame, item_col: str,
                       (False => the sketch is exact and complete)
       underfull       filtered AND len(kmv) < k — re-run with a larger
                       ``margin`` (astronomically rare, see module doc)
+
+    The degenerate underfull form — a filtered group where NO hash
+    survives — drops the group from the output entirely; callers
+    comparing against an expected group list should treat absence as
+    underfull (same probability class: the HLL estimate would have to
+    be ~margin*k times too low).
     """
     if k <= 2:
         raise ValueError("k must be > 2 (estimator needs k-1, u_k)")
