@@ -175,9 +175,10 @@ def test_underscore_and_symbols_round_trip(spark):
 
 
 def test_worker_tokenizer_cache_bounded_and_keyed_by_content():
+    from valkey_search_spark.functions import _cache
     from valkey_search_spark.functions import bpe as mod
 
-    mod._WORKER_TOKENIZERS.clear()
+    _cache._CACHE.clear()
 
     class FakeBC:
         def __init__(self, v):
@@ -189,11 +190,17 @@ def test_worker_tokenizer_cache_bounded_and_keyed_by_content():
     y = mod._tokenizer_from_broadcast(t1.fingerprint, FakeBC(t1.merges))
     assert x is y
     # distinct tables evict beyond the cap
-    for i in range(mod._WORKER_TOKENIZER_CAP + 3):
+    for i in range(_cache._CAP + 3):
         t = BPETokenizer([("a", chr(98 + i))])
         mod._tokenizer_from_broadcast(t.fingerprint, FakeBC(t.merges))
-    assert len(mod._WORKER_TOKENIZERS) <= mod._WORKER_TOKENIZER_CAP
-    mod._WORKER_TOKENIZERS.clear()
+    assert len(_cache._CACHE) <= _cache._CAP
+    # the two tokenizer families share the cache without colliding:
+    # same fingerprint, different kind -> different instances
+    from valkey_search_spark.functions import unigram as uni
+    u = uni.UnigramTokenizer({"a": -1.0})
+    got = uni._tokenizer_from_broadcast(t1.fingerprint, FakeBC(u.vocab))
+    assert got is not x and isinstance(got, uni.UnigramTokenizer)
+    _cache._CACHE.clear()
 
 
 def test_hypothesis_round_trip_arbitrary_text():

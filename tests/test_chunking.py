@@ -12,7 +12,7 @@ from valkey_search_spark.operators.chunking import (
 )
 
 
-def _oracle(chunk_tokens: int, stride: int):
+def _oracle(chunk_tokens: int, stride: int, overlap: int = 0):
     con = duckdb.connect()
     con.sql(f"CREATE VIEW documents AS SELECT * FROM "
             f"read_parquet('{SF_DIR}/documents.parquet')")
@@ -23,8 +23,9 @@ def _oracle(chunk_tokens: int, stride: int):
           FROM documents
         ), s AS (
           SELECT doc_id, toks,
-                 unnest(generate_series(0, greatest(len(toks) - 1, 0),
-                                        {stride})) AS start
+                 unnest(generate_series(
+                     0, greatest(len(toks) - 1 - {overlap}, 0),
+                     {stride})) AS start
           FROM t
         )
         SELECT doc_id,
@@ -47,7 +48,7 @@ def test_matches_duckdb_oracle(spark, sf_dir, chunk_tokens, overlap):
            .select("doc_id", "chunk_idx", "token_start", "chunk_tokens_n",
                    "chunk_text")
            .orderBy("doc_id", "chunk_idx").collect())
-    want = _oracle(chunk_tokens, chunk_tokens - overlap)
+    want = _oracle(chunk_tokens, chunk_tokens - overlap, overlap)
     assert [tuple(r) for r in got] == want
 
 
@@ -56,17 +57,20 @@ def test_overlap_and_coverage(spark):
     df = spark.createDataFrame([(1, text)], "doc_id long, text string")
     rows = chunk_documents(df, chunk_tokens=4, overlap=1) \
         .orderBy("chunk_idx").collect()
-    # stride 3 over 10 tokens -> starts 0,3,6,9
-    assert [r["token_start"] for r in rows] == [0, 3, 6, 9]
+    # stride 3, bound n-overlap-1 = 8 -> starts 0,3,6 (a start at 9
+    # would re-emit only w9, already covered by the chunk at 6)
+    assert [r["token_start"] for r in rows] == [0, 3, 6]
     assert rows[0]["chunk_text"] == "w0 w1 w2 w3"
     assert rows[1]["chunk_text"] == "w3 w4 w5 w6"     # shares w3
-    assert rows[-1]["chunk_text"] == "w9"             # short tail kept
-    assert [r["chunk_tokens_n"] for r in rows] == [4, 4, 4, 1]
-    # every token covered, consecutive chunks share exactly `overlap`
-    covered = set()
+    assert rows[-1]["chunk_text"] == "w6 w7 w8 w9"    # tail covered
+    assert [r["chunk_tokens_n"] for r in rows] == [4, 4, 4]
+    # every token covered, and every chunk contributes NEW tokens
+    covered: set[int] = set()
     for r in rows:
-        covered |= set(range(r["token_start"],
-                             r["token_start"] + r["chunk_tokens_n"]))
+        span = set(range(r["token_start"],
+                         r["token_start"] + r["chunk_tokens_n"]))
+        assert span - covered, "fully-redundant chunk emitted"
+        covered |= span
     assert covered == set(range(10))
 
 

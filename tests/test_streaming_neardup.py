@@ -109,7 +109,7 @@ def test_within_stream_two_batches(spark, tmp_path):
     for r in first:
         if r["est_jaccard"] is not None:
             best1[r["key"]] = max(best1.get(r["key"], 0), r["est_jaccard"])
-    assert best1.get(1, 0) < 0.5 and best1.get(2, 0) < 0.5
+    assert best1.get("1", 0) < 0.5 and best1.get("2", 0) < 0.5
 
     # batch 2: an exact dup of doc 1 and a fresh doc; state recovers
     # from the checkpoint, so doc 1's signatures are still in-bucket
@@ -118,11 +118,58 @@ def test_within_stream_two_batches(spark, tmp_path):
     got.clear()
     run_once()
     second = list(got)
-    hit = [r for r in second if r["key"] == 3 and r["matched_key"] == 1
+    hit = [r for r in second if r["key"] == "3" and r["matched_key"] == "1"
            and r["est_jaccard"] == 1.0]
     assert hit, f"dup of doc 1 not detected: {second}"
-    assert all(not (r["key"] == 4 and (r["est_jaccard"] or 0) > 0.5)
+    assert all(not (r["key"] == "4" and (r["est_jaccard"] or 0) > 0.5)
                for r in second)
+
+
+def test_band_table_single_signature_no_filter_inlining(spark):
+    # the expensive tokenizer chain must appear ONCE in the plan — a
+    # filter on the derived __sig would get pushed below the projection
+    # with the whole expression substituted in (measured trap)
+    corpus, _ = _corpus(spark)
+    t = minhash_band_table(corpus, "doc_id", **KW)
+    plan = t._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("regexp_extract_all") <= 1
+
+
+def test_short_docs_null_bucket_never_match(spark):
+    corpus, _ = _corpus(spark)
+    bands = minhash_band_table(corpus, "doc_id", **KW)
+    probe = _docs(spark, [(500, "too short"), (501, "")])
+    assert neardup_gate(probe, bands, threshold=0.0, **KW).collect() == []
+    # identical sub-shingle docs don't false-match via null buckets
+    shorts = _docs(spark, [(1, "a b"), (2, "a b")])
+    b2 = minhash_band_table(shorts, "doc_id", **KW)
+    assert neardup_gate(shorts, b2, threshold=0.0, **KW) \
+        .where("doc_id != matched_key").collect() == []
+
+
+def test_stream_gate_watermark_bounded_dedup(spark, tmp_path):
+    corpus, base = _corpus(spark)
+    bands = minhash_band_table(corpus, "doc_id", **KW).persist()
+    bands.count()
+    in_dir = tmp_path / "in_wm"
+    in_dir.mkdir()
+    probe = spark.createDataFrame(
+        [(600, base, "2024-01-01 00:00:00")],
+        "doc_id long, text string, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    probe.write.mode("append").parquet(str(in_dir))
+    stream = spark.readStream.schema(probe.schema).parquet(str(in_dir))
+    out = neardup_gate(stream, bands, threshold=0.9,
+                       watermark=("ts", "10 minutes"), **KW)
+    q = (out.writeStream.format("memory").queryName("nd_wm")
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt_wm")).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select * from nd_wm").collect()
+    # the exact dup matched in all 8 bands; watermark dedup -> one row
+    assert len([r for r in rows if r["doc_id"] == 600]) == 1
+    assert rows[0]["matched_key"] == 100 and rows[0]["est_jaccard"] == 1.0
+    bands.unpersist()
 
 
 def test_band_table_matches_batch_bucketing(spark):

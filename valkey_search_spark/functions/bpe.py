@@ -202,21 +202,11 @@ class BPETokenizer:
 
 
 # Executor-side tokenizer rebuild: one instance (and one pre-token cache)
-# per MERGE TABLE per worker (keyed by content fingerprint, so repeated
-# applies of the same tokenizer share one cache), bounded so a session
-# cycling through many tokenizers cannot grow worker memory unboundedly.
-_WORKER_TOKENIZER_CAP = 4
-_WORKER_TOKENIZERS: dict[int, BPETokenizer] = {}
-
-
+# per MERGE TABLE per worker — shared bounded cache in _cache.py.
 def _tokenizer_from_broadcast(bid: int, bc) -> BPETokenizer:
-    tok = _WORKER_TOKENIZERS.get(bid)
-    if tok is None:
-        while len(_WORKER_TOKENIZERS) >= _WORKER_TOKENIZER_CAP:
-            _WORKER_TOKENIZERS.pop(next(iter(_WORKER_TOKENIZERS)))
-        tok = BPETokenizer(bc.value)
-        _WORKER_TOKENIZERS[bid] = tok
-    return tok
+    from ._cache import worker_cached
+
+    return worker_cached("bpe", bid, lambda: BPETokenizer(bc.value))
 
 
 def train_bpe(df: DataFrame, text_col: str = "text",

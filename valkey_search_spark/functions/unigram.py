@@ -59,11 +59,13 @@ class UnigramTokenizer:
     (prune_round, em_iter, corpus_loglik) triples."""
 
     def __init__(self, vocab: dict[str, float],
-                 em_loglik: list[tuple[int, int, float]] | None = None):
+                 em_loglik: list[tuple[int, int, float]] | None = None,
+                 prune_sizes: list[int] | None = None):
         if not vocab:
             raise ValueError("unigram vocab must be non-empty")
         self.vocab = dict(vocab)
         self.em_loglik = list(em_loglik or [])
+        self.prune_sizes = list(prune_sizes or [])  # vocab size per round
         self.max_piece_len = max(len(p) for p in self.vocab)
         self._unk_lp = min(self.vocab.values()) - _UNK_PENALTY
         self.fingerprint = zlib.crc32(json.dumps(
@@ -168,18 +170,10 @@ class UnigramTokenizer:
             out_col, self._apply_udf(df.sparkSession, True)(F.col(text_col)))
 
 
-_WORKER_TOKENIZER_CAP = 4
-_WORKER_TOKENIZERS: dict[int, UnigramTokenizer] = {}
-
-
 def _tokenizer_from_broadcast(bid: int, bc) -> UnigramTokenizer:
-    tok = _WORKER_TOKENIZERS.get(bid)
-    if tok is None:
-        while len(_WORKER_TOKENIZERS) >= _WORKER_TOKENIZER_CAP:
-            _WORKER_TOKENIZERS.pop(next(iter(_WORKER_TOKENIZERS)))
-        tok = UnigramTokenizer(bc.value)
-        _WORKER_TOKENIZERS[bid] = tok
-    return tok
+    from ._cache import worker_cached
+
+    return worker_cached("unigram", bid, lambda: UnigramTokenizer(bc.value))
 
 
 # --------------------------------------------------------------------------
@@ -286,6 +280,7 @@ def train_unigram(df: DataFrame, text_col: str = "text",
 
     vocab = normalize(counts)
     history: list[tuple[int, int, float]] = []
+    sizes: list[int] = [len(vocab)]
     rnd = 0
     while True:
         for it in range(em_iters):
@@ -302,18 +297,23 @@ def train_unigram(df: DataFrame, text_col: str = "text",
         multi = sorted(
             ((p, c) for p, c in counts.items() if len(p) > 1),
             key=lambda kv: (-kv[1], kv[0]))
+        # shrink the MULTI-piece pool by prune_keep per round (singles
+        # are exempt from pruning and don't scale the kept count), never
+        # below what vocab_size still allows
         keep_n = max(vocab_size - len(singles),
-                     int(len(multi) * prune_keep) - len(singles))
+                     int(len(multi) * prune_keep))
         keep_n = min(keep_n, len(multi))
         if len(singles) + len(multi) <= vocab_size:
             break
         counts = {p: counts.get(p, 1e-6) for p in singles}
         counts.update(dict(multi[:keep_n]))
         vocab = normalize(counts)
+        sizes.append(len(vocab))
         rnd += 1
     # final polish at the fixed final vocab
     counts, ll = _e_step(words, vocab, max_piece_len)
     history.append((rnd + 1, 0, ll))
     for ch in singles:
         counts[ch] = max(counts.get(ch, 0.0), 1e-6)
-    return UnigramTokenizer(normalize(counts), em_loglik=history)
+    return UnigramTokenizer(normalize(counts), em_loglik=history,
+                            prune_sizes=sizes)

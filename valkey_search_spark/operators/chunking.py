@@ -6,11 +6,17 @@ RAG passage indexing). This operator does it as a single map-only
 posexplode — no shuffle, no Python:
 
     tokens  = split(trim(text), \\s+)           (staged once per doc)
-    starts  = sequence(0, n-1, stride)           stride = chunk_tokens - overlap
+    starts  = sequence(0, max(n-overlap-1, 0), stride)
+                                                 stride = chunk_tokens - overlap
     chunk i = tokens[start : start + chunk_tokens] joined with ' '
 
-Every chunk is non-empty (starts stop at n-1); the final chunk may be
-shorter than `chunk_tokens`. Consecutive chunks share `overlap` tokens.
+Every chunk is non-empty and every token is covered; the final chunk
+may be shorter than `chunk_tokens`. Consecutive chunks share `overlap`
+tokens. The start bound is n-overlap-1 (not n-1): a start within the
+last `overlap` tokens would emit a chunk whose every token is already
+in the previous chunk — pure duplication that inflates downstream
+embedding/indexing cost (standard sliding-window chunkers bound the
+same way).
 A document whose text is empty/whitespace yields one chunk with the
 empty token, mirroring `split('', '\\s+') == ['']` — callers that want
 to skip blanks filter on `chunk_tokens_n > 0` upstream (analyze_documents
@@ -67,7 +73,7 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
                    r"\s+")
     staged = df.withColumn("__toks", toks)
     n = F.size(F.col("__toks"))
-    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)),
+    starts = F.sequence(F.lit(0), F.greatest(n - overlap - 1, F.lit(0)),
                         F.lit(stride))
     exploded = staged.select(
         "*", F.posexplode(starts).alias("chunk_idx", "token_start"))

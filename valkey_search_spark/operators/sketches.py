@@ -169,18 +169,26 @@ def corpus_gram_overlap(corpus_a: DataFrame, corpus_b: DataFrame,
     gram-level join. Gram hashing is IDENTICAL to
     ``ngram_decontaminate`` (xxhash64 of the token-slice array via
     ``contamination._gram_set``), so the estimated intersection predicts
-    exactly what that operator would flag."""
+    exactly what that operator would flag.
+
+    Both corpora sketch in ONE tagged pipeline (union + grouped
+    ``kmv_sketch``) — a single job scans both sides concurrently instead
+    of two serialized collect()s."""
     from .contamination import _gram_set
 
-    def sketch_of(df):
-        grams = _gram_set(df, key, text_col, n, "__k").select("__gram")
-        row = kmv_sketch(grams, "__gram", None, k=k, margin=margin) \
-            .collect()
-        if not row:
-            return [], False
-        return list(row[0]["kmv"]), bool(row[0]["underfull"])
+    def tagged(df, side):
+        return (_gram_set(df, key, text_col, n, "__k")
+                .select(F.lit(side).alias("__side"), "__gram"))
 
-    (ka, ua), (kb, ub) = sketch_of(corpus_a), sketch_of(corpus_b)
+    grams = tagged(corpus_a, "a").unionByName(tagged(corpus_b, "b"))
+    rows = {r["__side"]: r
+            for r in kmv_sketch(grams, "__gram", "__side", k=k,
+                                margin=margin).collect()}
+    ra, rb = rows.get("a"), rows.get("b")
+    ka = list(ra["kmv"]) if ra is not None else []
+    kb = list(rb["kmv"]) if rb is not None else []
     out = kmv_overlap(ka, kb, k)
-    out["underfull"] = float(ua or ub)
+    out["underfull"] = float(
+        (ra is not None and bool(ra["underfull"]))
+        or (rb is not None and bool(rb["underfull"])))
     return out
