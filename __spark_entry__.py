@@ -961,6 +961,21 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("half", F.size("kmv").alias("k_held"),
                           "approx_distinct", "filtered", "underfull")
 
+    def b_asof_join(spark, sf_dir):
+        # point-in-time join: purchases pick up the latest per-user
+        # signup state — union + one keyed window, no range explosion
+        # (DuckDB ASOF-JOIN-pinned in tests/test_temporal.py)
+        from valkey_search_spark.operators.temporal import asof_join
+
+        ev = load_table(spark, sf_dir, "events")
+        left = ev.where("event_type = 'purchase'") \
+            .select("event_id", "ts", "user_id", "value")
+        right = ev.where("event_type = 'signup'") \
+            .select("ts", "user_id", F.col("value").alias("sig_value"))
+        out = asof_join(left, right, on="ts", by="user_id",
+                        tolerance="2 hours")
+        return out.select("event_id", "r_ts", "r_sig_value")
+
     def b_corpus_profile(spark, sf_dir):
         # dataset-card statistics as ONE grouping-sets aggregation
         # (single Expand + shuffle — the plan is pinned in
@@ -993,6 +1008,7 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_profile": b_corpus_profile,
         "chunking": b_chunking,
         "sketch_overlap": b_sketch_overlap,
+        "asof_join": b_asof_join,
     }
 
 

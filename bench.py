@@ -63,6 +63,10 @@ BENCH_QUERIES = [
     "hygiene_html_extract",
     "dsir_select",
     "corpus_profile",
+    "chunking",
+    "sketch_overlap",
+    "tokenizer_unigram",
+    "asof_join",
 ]
 
 

@@ -1,0 +1,142 @@
+"""asof_join / interval_join vs DuckDB's native ASOF and range joins."""
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR, load
+from valkey_search_spark.operators.temporal import asof_join, interval_join
+
+EV = f"{SF_DIR}/events.parquet"
+
+
+def _events(spark, sf_dir):
+    return load(spark, sf_dir, "events")
+
+
+def _split(spark, sf_dir):
+    """left = purchases, right = per-user signups (a sparse state
+    stream), a realistic state-as-of-event shape on real data."""
+    ev = _events(spark, sf_dir)
+    left = ev.where("event_type = 'purchase'") \
+        .select("event_id", "ts", "user_id", "value")
+    right = ev.where("event_type = 'signup'") \
+        .select("ts", "user_id", F.col("value").alias("sig_value"))
+    return left, right
+
+
+@pytest.mark.parametrize("direction,op", [("backward", ">="),
+                                          ("forward", "<=")])
+def test_asof_matches_duckdb(spark, sf_dir, direction, op):
+    left, right = _split(spark, sf_dir)
+    got = {r["event_id"]: (r["r_ts"], r["r_sig_value"]) for r in
+           asof_join(left, right, on="ts", by="user_id",
+                     direction=direction).collect()}
+    want = {eid: (wts, wv) for eid, wts, wv in duckdb.sql(f"""
+        WITH l AS (SELECT event_id, ts, user_id FROM '{EV}'
+                   WHERE event_type = 'purchase'),
+             r AS (SELECT ts, user_id, value FROM '{EV}'
+                   WHERE event_type = 'signup')
+        SELECT l.event_id, r.ts, r.value
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts {op} r.ts
+    """).fetchall()}
+    assert len(got) == len(want) and len(got) > 50
+    assert got == want
+
+
+def test_asof_tolerance(spark, sf_dir):
+    left, right = _split(spark, sf_dir)
+    got = {r["event_id"]: r["r_ts"] for r in
+           asof_join(left, right, on="ts", by="user_id",
+                     tolerance="30 minutes").collect()}
+    want = dict(duckdb.sql(f"""
+        WITH l AS (SELECT event_id, ts, user_id FROM '{EV}'
+                   WHERE event_type = 'purchase'),
+             r AS (SELECT ts, user_id FROM '{EV}'
+                   WHERE event_type = 'signup')
+        SELECT l.event_id,
+               CASE WHEN r.ts >= l.ts - INTERVAL 30 MINUTE
+                    THEN r.ts END
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+    """).fetchall())
+    assert got == want
+    assert any(v is None for v in got.values())   # tolerance bites
+    assert any(v is not None for v in got.values())
+
+
+def test_asof_equal_ts_matches_and_no_by(spark):
+    left = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 5.0)], "id long, ts double")
+    right = spark.createDataFrame(
+        [(100, 10.0), (200, 15.0)], "rv long, ts double")
+    rows = {r["id"]: r["r_rv"] for r in
+            asof_join(left, right, on="ts").collect()}
+    assert rows == {1: 100, 2: 200, 3: None}  # equal ts matches; none before 5
+
+
+def test_interval_join_matches_duckdb(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    pts = ev.select("event_id", "ts", "user_id")
+    # synthetic per-user maintenance windows: 2h every 8h, deterministic
+    iv = (spark.range(0, 15).select(F.col("id").alias("user_id"))
+          .crossJoin(spark.range(0, 6).select(F.col("id").alias("w")))
+          .select("user_id",
+                  (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                   + F.make_interval(hours=(F.col("w") * 8))).alias("start"),
+                  (F.to_timestamp(F.lit("2024-01-01 02:00:00"))
+                   + F.make_interval(hours=(F.col("w") * 8))).alias("end"),
+                  F.col("w").alias("window_id")))
+    got = {(r["event_id"], r["window_id"])
+           for r in interval_join(pts, iv, by="user_id",
+                                  bin_width=3600).collect()}
+    want = set(duckdb.sql(f"""
+        WITH iv AS (
+          SELECT u.user_id, w.w AS window_id,
+                 TIMESTAMP '2024-01-01 00:00:00' + w.w * INTERVAL 8 HOUR
+                   AS s,
+                 TIMESTAMP '2024-01-01 02:00:00' + w.w * INTERVAL 8 HOUR
+                   AS e
+          FROM range(0, 15) u(user_id), range(0, 6) w(w))
+        SELECT e.event_id, iv.window_id
+        FROM '{EV}' e JOIN iv
+          ON e.user_id = iv.user_id AND e.ts >= iv.s AND e.ts < iv.e
+    """).fetchall())
+    assert got == want and len(want) > 20
+
+
+def test_interval_join_no_dup_across_bins(spark):
+    # one long interval spanning many bins; each point matches ONCE
+    pts = spark.createDataFrame([(i, float(i * 100)) for i in range(50)],
+                                "pid long, ts double")
+    iv = spark.createDataFrame([(0.0, 5000.0, 7)],
+                               "start double, end double, ivid long")
+    rows = interval_join(pts, iv, bin_width=60).collect()
+    assert len(rows) == 50
+    assert len({r["pid"] for r in rows}) == 50
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([(1, 1.0)], "id long, ts double")
+    with pytest.raises(ValueError):
+        asof_join(df, df, direction="sideways")
+    with pytest.raises(ValueError):
+        asof_join(df.drop("ts"), df)
+    with pytest.raises(ValueError):
+        interval_join(df, df.withColumnsRenamed({"ts": "start"}),
+                      bin_width=0)
+    with pytest.raises(ValueError):  # column collision
+        interval_join(df, df.select("id", F.col("ts").alias("start"),
+                                    F.col("ts").alias("end")))
+
+
+def test_asof_plan_one_shuffle_no_bnlj(spark, sf_dir):
+    left, right = _split(spark, sf_dir)
+    out = asof_join(left, right, on="ts", by="user_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # union's 2 inputs
