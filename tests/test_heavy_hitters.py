@@ -1,0 +1,105 @@
+"""heavy_hitters (Misra-Gries) + stratified_sample: DuckDB oracles,
+error-bound guarantees, determinism."""
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR, load
+from valkey_search_spark.operators.sampling import stratified_sample
+from valkey_search_spark.operators.sketches import heavy_hitters
+
+
+def _tokens(spark, sf_dir):
+    return (load(spark, sf_dir, "documents")
+            .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w")))
+
+
+def _oracle_topk(k):
+    return duckdb.sql(f"""
+        SELECT w, count(*) c FROM (
+          SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+          FROM read_parquet('{SF_DIR}/documents.parquet'))
+        GROUP BY w ORDER BY c DESC, w ASC LIMIT {k}
+    """).fetchall()
+
+
+def test_exact_regime_matches_duckdb(spark, sf_dir):
+    # summary far larger than the vocabulary -> zero decrements -> lb is
+    # the exact count and the top-k equals the exact top-k
+    rows = heavy_hitters(_tokens(spark, sf_dir), "w", k=15,
+                         summary_size=100_000).collect()
+    want = _oracle_topk(15)
+    assert [(r["item"], r["count_lb"]) for r in rows] == want
+    assert all(r["count_ub"] == r["count_lb"] for r in rows)
+
+
+def test_bounds_hold_under_pressure(spark, sf_dir):
+    # tiny summary forces decrements; bounds must still bracket truth
+    toks = _tokens(spark, sf_dir)
+    n = toks.count()
+    m = 64
+    rows = heavy_hitters(toks, "w", k=10, summary_size=m,
+                         exact_recount=True).collect()
+    exact_all = dict(duckdb.sql(f"""
+        SELECT w, count(*) FROM (
+          SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+          FROM read_parquet('{SF_DIR}/documents.parquet')) GROUP BY w
+    """).fetchall())
+    for r in rows:
+        true = exact_all[r["item"]]
+        assert r["count_lb"] <= true <= r["count_ub"], r
+        assert r["count"] == true
+    # guarantee: every item above the global threshold surfaces in the
+    # candidate set (check via a large-k pull of the same summaries)
+    big = heavy_hitters(toks, "w", k=m, summary_size=m).collect()
+    surfaced = {r["item"] for r in big}
+    thresh = n / (m + 1)
+    heavy = {w for w, c in exact_all.items() if c > thresh}
+    assert heavy <= surfaced, heavy - surfaced
+
+
+def test_exact_recount_matches_oracle(spark, sf_dir):
+    rows = heavy_hitters(_tokens(spark, sf_dir), "w", k=8,
+                         summary_size=512, exact_recount=True).collect()
+    want = _oracle_topk(8)
+    assert [(r["item"], r["count"]) for r in rows] == want
+
+
+def test_heavy_hitters_validation(spark):
+    df = spark.createDataFrame([("a",)], "w string")
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "w", k=0)
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "w", k=100, summary_size=10)
+
+
+# -- stratified_sample -----------------------------------------------------
+def test_stratified_exact_counts_and_determinism(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    s1 = stratified_sample(docs, "source", 7)
+    counts = {r["source"]: r["n"] for r in
+              s1.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    sizes = {r["source"]: r["n"] for r in
+             docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {s: min(7, n) for s, n in sizes.items()}
+    # deterministic across fresh plans; different salt -> different draw
+    ids = lambda df: sorted(r["doc_id"] for r in df.select("doc_id")
+                            .collect())
+    assert ids(stratified_sample(docs, "source", 7)) == ids(s1)
+    assert ids(stratified_sample(docs, "source", 7, salt="other")) != ids(s1)
+
+
+def test_stratified_small_groups_taken_whole(spark):
+    df = spark.createDataFrame(
+        [(i, "g" if i < 3 else "h") for i in range(20)],
+        "id long, grp string")
+    out = stratified_sample(df, "grp", 10)
+    got = {r["grp"]: 0 for r in out.collect()}
+    counts = {r["grp"]: r["n"] for r in
+              out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"g": 3, "h": 10}
+    with pytest.raises(ValueError):
+        stratified_sample(df, "grp", 0)

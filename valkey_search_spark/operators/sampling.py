@@ -207,3 +207,27 @@ def alpha_sample_to_budget(df: DataFrame, key: str,
                 .where((u.cast("double") / F.lit(float(cells)))
                        < F.coalesce(F.col("__frac"), F.lit(1.0)))
                 .drop("__g0", "__g", "__frac"))
+
+
+def stratified_sample(df: DataFrame, by: str, n_per_group: int,
+                      salt: str = "stratified") -> DataFrame:
+    """Exactly ``min(n_per_group, |group|)`` rows from every ``by``
+    group, chosen by hash order — membership is a pure function of
+    (row contents, salt), reproducible across re-runs and plan
+    re-evaluations, unlike ``sampleBy`` (which both re-randomizes per
+    action and only approximates counts).
+
+    One shuffle (window by group); rank by ``xxhash64(all columns,
+    salt)`` so the sample is an order-free uniform draw. A hot group
+    sorts in one task — the inherent cost of exact-N per group; for
+    approximate fractions at extreme skew use ``split_by_hash``.
+    """
+    if n_per_group <= 0:
+        raise ValueError("n_per_group must be positive")
+    from pyspark.sql.window import Window
+
+    h = F.xxhash64(*[F.col(c) for c in df.columns], F.lit(salt))
+    w = Window.partitionBy(by).orderBy(h.asc())
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") <= n_per_group)
+              .drop("__rn"))

@@ -192,3 +192,94 @@ def corpus_gram_overlap(corpus_a: DataFrame, corpus_b: DataFrame,
         (ra is not None and bool(ra["underfull"]))
         or (rb is not None and bool(rb["underfull"])))
     return out
+
+
+# --------------------------------------------------------------------------
+# Heavy hitters: bounded-memory frequent-item summaries (Misra-Gries /
+# batched SpaceSaving) for ultra-high-cardinality columns where even the
+# distinct-key shuffle of a groupBy-count is the bottleneck (URLs, hosts,
+# shingles at web scale).
+
+def heavy_hitters(items: "DataFrame", item_col: str, k: int = 20,
+                  summary_size: int = 4096,
+                  exact_recount: bool = False) -> "DataFrame":
+    """Top-``k`` most frequent values of ``item_col`` with deterministic
+    error bounds, WITHOUT shuffling the distinct-value set.
+
+    Per-partition batched Misra-Gries: each partition keeps at most
+    ``summary_size`` counters; when a merged batch overflows, all
+    counters drop by the (summary_size+1)-th largest count and items at
+    zero fall out. Each such step removes at least (summary_size+1) *
+    delta occurrences, so a partition's total undercount is at most
+    n_p / (summary_size+1) — the classic MG guarantee, accumulated
+    per partition and reported.
+
+    Output (k rows, descending): ``item``, ``count_lb`` (sum of
+    surviving counters — never an overcount), ``count_ub`` (lb + the
+    summed per-partition error caps: a true count can exceed lb by at
+    most the decrements in partitions that dropped or never surfaced
+    the item). EVERY item with true count > n/(summary_size+1) is
+    guaranteed to surface. ``exact_recount=True`` adds an ``count``
+    column from one semi-join recount over the corpus (a second scan,
+    but shuffling only candidate-matching rows).
+
+    Plan: mapInPandas partial summaries (<= summary_size rows out per
+    partition; Python cost is per DISTINCT item per Arrow batch via
+    value_counts, not per row) -> groupBy item over the tiny candidate
+    set -> top-k. The error rows ride along with a null item.
+    """
+    import pandas as pd
+
+    from pyspark.sql import functions as F, types as T
+
+    if k <= 0 or summary_size < k:
+        raise ValueError("need 0 < k <= summary_size")
+
+    schema = T.StructType([
+        T.StructField("item", T.StringType()),
+        T.StructField("lb", T.LongType()),
+        T.StructField("err", T.LongType()),
+    ])
+    m = summary_size
+
+    def summarize(batches):
+        counts: dict[str, int] = {}
+        err = 0
+        for pdf in batches:
+            vc = pdf[pdf.columns[0]].dropna().astype(str).value_counts()
+            for it, c in vc.items():
+                counts[it] = counts.get(it, 0) + int(c)
+            if len(counts) > m:
+                vals = sorted(counts.values(), reverse=True)
+                delta = vals[m]
+                err += delta
+                counts = {it: c - delta for it, c in counts.items()
+                          if c > delta}
+        out = [{"item": it, "lb": c, "err": 0}
+               for it, c in counts.items()]
+        out.append({"item": None, "lb": 0, "err": err})
+        yield pd.DataFrame(out, columns=["item", "lb", "err"])
+
+    summaries = items.select(F.col(item_col).cast("string")) \
+        .mapInPandas(summarize, schema=schema)
+    # total decrement mass across partitions = the global slack any
+    # candidate's true count may exceed its lb by
+    agg = summaries.groupBy("item").agg(F.sum("lb").alias("count_lb"))
+    slack = summaries.where(F.col("item").isNull()) \
+        .agg(F.coalesce(F.sum("err"), F.lit(0)).alias("__slack"))
+    top = (agg.where(F.col("item").isNotNull())
+           .crossJoin(F.broadcast(slack))
+           .select("item", "count_lb",
+                   (F.col("count_lb") + F.col("__slack")).alias("count_ub"))
+           .orderBy(F.desc("count_lb"), F.asc("item"))
+           .limit(k))
+    if not exact_recount:
+        return top
+    cand = F.broadcast(top.select(F.col("item").alias("__hh")))
+    exact = (items.select(F.col(item_col).cast("string").alias("__hh"))
+             .join(cand, "__hh")
+             .groupBy("__hh").agg(F.count("*").alias("count")))
+    return (top.join(exact, top["item"] == exact["__hh"], "left")
+            .select("item", "count_lb", "count_ub",
+                    F.coalesce(F.col("count"), F.lit(0)).alias("count"))
+            .orderBy(F.desc("count"), F.asc("item")))
