@@ -92,12 +92,25 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
 
     out = matched.where(F.col("__side") == 1)
     if tolerance is not None:
-        # timestamp-interval arithmetic keeps the comparison exact
-        keep = (F.col("__m.__rts")
-                >= F.col(on) - F.expr(f"INTERVAL {tolerance}")) \
-            if direction == "backward" else \
-               (F.col("__m.__rts")
-                <= F.col(on) + F.expr(f"INTERVAL {tolerance}"))
+        on_type = dict(left.dtypes)[on]
+        if on_type.startswith("timestamp"):
+            # timestamp-interval arithmetic keeps the comparison exact
+            keep = (F.col("__m.__rts")
+                    >= F.col(on) - F.expr(f"INTERVAL {tolerance}")) \
+                if direction == "backward" else \
+                   (F.col("__m.__rts")
+                    <= F.col(on) + F.expr(f"INTERVAL {tolerance}"))
+        else:
+            # numeric time axis: the interval's duration in seconds,
+            # derived via timestamp arithmetic (day-time intervals only
+            # — a constant duration by definition)
+            base = F.lit("2000-01-01 00:00:00").cast("timestamp_ltz")
+            tol = (F.unix_micros(base + F.expr(f"INTERVAL {tolerance}"))
+                   - F.unix_micros(base)) / F.lit(1e6)
+            gap = F.col(on) - F.col("__m.__rts") \
+                if direction == "backward" \
+                else F.col("__m.__rts") - F.col(on)
+            keep = gap <= tol
         out = out.withColumn("__m", F.when(keep, F.col("__m")))
 
     sel = [F.col(f"__l.{c}").alias(c) for c in left.columns]
