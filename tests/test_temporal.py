@@ -140,3 +140,42 @@ def test_asof_plan_one_shuffle_no_bnlj(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2  # union's 2 inputs
+
+def test_scd2_intervals_and_cross_operator_consistency(spark, sf_dir):
+    from valkey_search_spark.operators.temporal import scd2_intervals
+
+    ev = _events(spark, sf_dir)
+    sig = ev.where("event_type = 'signup'") \
+        .select("ts", "user_id", F.col("value").alias("sv"))
+    iv = scd2_intervals(sig, key="user_id", ts="ts")
+    rows = iv.collect()
+    # per user: intervals chain (valid_to == next valid_from), exactly
+    # one open interval
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for u, rs in by_user.items():
+        rs.sort(key=lambda r: r["valid_from"])
+        assert sum(r["valid_to"] is None for r in rs) == 1
+        assert rs[-1]["valid_to"] is None
+        for a, b in zip(rs, rs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+
+    # cross-operator: interval_join over the CLOSED scd2 dimension must
+    # agree with asof_join straight against the change stream. The
+    # horizon sits just past the data (a far-future horizon would
+    # explode the open interval into horizon/bin_width rows — the
+    # documented replication knob).
+    horizon = F.to_timestamp(F.lit("2024-03-01"))
+    closed = iv.select("user_id", "sv", "valid_from",
+                       F.coalesce("valid_to", horizon).alias("valid_to"))
+    pur = ev.where("event_type = 'purchase'") \
+        .select("event_id", "ts", "user_id")
+    via_interval = {(r["event_id"], r["sv"]) for r in
+                    interval_join(pur, closed, by="user_id",
+                                  start="valid_from", end="valid_to",
+                                  bin_width=4 * 3600).collect()}
+    via_asof = {(r["event_id"], r["r_sv"]) for r in
+                asof_join(pur, sig, on="ts", by="user_id").collect()
+                if r["r_sv"] is not None}
+    assert via_interval == via_asof and len(via_asof) > 50

@@ -165,3 +165,24 @@ def interval_join(points: DataFrame, intervals: DataFrame,
     refined = joined.where(
         (F.col(ts) >= F.col(start)) & (F.col(ts) < F.col(end)))
     return refined.drop("__bin")
+
+
+def scd2_intervals(changes: DataFrame, key: str, ts: str = "ts",
+                   valid_from: str = "valid_from",
+                   valid_to: str = "valid_to") -> DataFrame:
+    """Turn a change-event stream into SCD-2-style validity intervals:
+    each input row becomes the state valid from its own timestamp until
+    the key's NEXT change (open-ended ``NULL`` for the current state) —
+    the dimension-building step that makes ``interval_join`` answer
+    "which state was live at time t" (and whose result agrees with
+    ``asof_join`` directly against the change stream, pinned in tests).
+
+    One keyed window (lead over ``ts``); duplicate (key, ts) rows are
+    ambiguous input and resolve by an arbitrary-but-deterministic total
+    order (ts, then the remaining columns' hash)."""
+    if valid_from in changes.columns or valid_to in changes.columns:
+        raise ValueError("output column collides with input")
+    tie = F.xxhash64(*[F.col(c) for c in changes.columns])
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc(), tie.asc())
+    return (changes.withColumn(valid_from, F.col(ts))
+                   .withColumn(valid_to, F.lead(ts).over(w)))
