@@ -976,6 +976,72 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         tolerance="2 hours")
         return out.select("event_id", "r_ts", "r_sig_value")
 
+    def b_heavy_hitters(spark, sf_dir):
+        # Misra-Gries top-k corpus tokens: per-partition bounded
+        # summaries (<= summary_size rows out each), candidate-set
+        # groupBy, exact semi-join recount — the distinct-token set
+        # never shuffles (bounds pinned in tests/test_sketches.py)
+        from valkey_search_spark.operators.sketches import heavy_hitters
+
+        docs = load_table(spark, sf_dir, "documents")
+        toks = docs.select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+        out = heavy_hitters(toks, "tok", k=20, summary_size=1024,
+                            exact_recount=True)
+        return out.select("item", "count_lb", "count_ub", "count")
+
+    def b_stratified_sample(spark, sf_dir):
+        # exact-N-per-group reproducible sample: one window shuffle,
+        # hash-order rank (exactness + determinism pinned in
+        # tests/test_sampling.py)
+        from valkey_search_spark.operators.sampling import stratified_sample
+
+        ev = load_table(spark, sf_dir, "events")
+        out = stratified_sample(ev, by="event_type", n_per_group=500)
+        return out.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sv"))
+
+    def b_scd2_intervals(spark, sf_dir):
+        # change events -> validity intervals (one keyed window), then
+        # the intervals answer a point-in-time probe via interval_join
+        # (asof-agreement pinned in tests/test_temporal.py)
+        from valkey_search_spark.operators.temporal import (
+            interval_join, scd2_intervals)
+
+        ev = load_table(spark, sf_dir, "events")
+        # horizon just past the data: a far-future horizon would explode
+        # the open interval into horizon/bin_width bin rows
+        horizon = F.to_timestamp(F.lit("2024-02-01"))
+        dim = scd2_intervals(
+            ev.where("event_type = 'signup'")
+              .select("ts", "user_id", F.col("value").alias("sv")),
+            key="user_id")
+        closed = dim.select("user_id", "sv", "valid_from",
+                            F.coalesce("valid_to", horizon).alias("valid_to"))
+        probes = ev.where("event_type = 'purchase'") \
+            .select("event_id", "ts", "user_id")
+        out = interval_join(probes, closed, by="user_id",
+                            start="valid_from", end="valid_to",
+                            bin_width=86400)
+        return out.select("event_id", F.round("sv", 4).alias("sv"))
+
+    def b_ir_metrics(spark, sf_dir):
+        # IR quality metrics over a 100k-row synthetic result log:
+        # rank window + qrels join + two aggregations, no Python
+        # (DuckDB-recomputation-pinned in tests/test_evaluation.py)
+        from valkey_search_spark.operators.evaluation import ir_summary
+
+        ev = load_table(spark, sf_dir, "events")
+        results = ev.select(F.col("user_id").alias("qid"),
+                            F.col("event_id").alias("doc_id"),
+                            F.col("value").alias("score"))
+        qrels = ev.where("event_type = 'purchase'").select(
+            F.col("user_id").alias("qid"),
+            F.col("event_id").alias("doc_id"),
+            F.lit(1).alias("grade"))
+        return ir_summary(results, qrels, k=10)
+
     def b_corpus_profile(spark, sf_dir):
         # dataset-card statistics as ONE grouping-sets aggregation
         # (single Expand + shuffle — the plan is pinned in
@@ -1009,6 +1075,10 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunking": b_chunking,
         "sketch_overlap": b_sketch_overlap,
         "asof_join": b_asof_join,
+        "sketch_heavy_hitters": b_heavy_hitters,
+        "sample_stratified": b_stratified_sample,
+        "temporal_scd2": b_scd2_intervals,
+        "eval_ir_metrics": b_ir_metrics,
     }
 
 

@@ -67,6 +67,10 @@ BENCH_QUERIES = [
     "sketch_overlap",
     "tokenizer_unigram",
     "asof_join",
+    "sketch_heavy_hitters",
+    "sample_stratified",
+    "temporal_scd2",
+    "eval_ir_metrics",
 ]
 
 
