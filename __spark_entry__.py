@@ -1026,6 +1026,36 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             bin_width=86400)
         return out.select("event_id", F.round("sv", 4).alias("sv"))
 
+    def b_hybrid_rrf(spark, sf_dir):
+        # hybrid search: BM25 text run + hashed-embedding cosine KNN
+        # run fused by reciprocal rank — one window shuffle ranks both
+        # runs, one (qid, doc) aggregation fuses them, then MMR
+        # diversifies the top of the fused list (oracle + scalar pins
+        # in tests/test_fusion.py)
+        from valkey_search_spark.operators.ann import knn_join
+        from valkey_search_spark.operators.fusion import mmr_select, rrf_fuse
+        from valkey_search_spark.operators.ranking import bm25_rank
+        from valkey_search_spark.operators.textops import hashed_embeddings
+
+        docs = load_table(spark, sf_dir, "documents")
+        text_run = bm25_rank(docs, ["spark", "stream", "window"],
+                             key="doc_id", text_col="text", top_k=100) \
+            .select(F.lit("q0").alias("qid"), "doc_id",
+                    F.col("bm25_score").alias("score"))
+        emb = hashed_embeddings(docs, text_col="text", dim=256)
+        qvec = emb.orderBy("doc_id").limit(1) \
+            .select(F.col("doc_id").alias("qid"), "embedding")
+        knn_run = knn_join(qvec, emb.select("doc_id", "embedding"),
+                           k=100, corpus_key="doc_id", metric="cosine") \
+            .select(F.lit("q0").alias("qid"), "doc_id",
+                    (-F.col("distance")).alias("score"))
+        fused = rrf_fuse({"bm25": text_run, "knn": knn_run}, k=60,
+                         top_n=50)
+        cands = fused.join(emb.select("doc_id", "embedding"), "doc_id") \
+            .select("qid", "doc_id", F.col("rrf_score").alias("score"),
+                    "embedding")
+        return mmr_select(cands, k=10, lam=0.7, pool=50)
+
     def b_ir_metrics(spark, sf_dir):
         # IR quality metrics over a 100k-row synthetic result log:
         # rank window + qrels join + two aggregations, no Python
@@ -1079,6 +1109,7 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": b_stratified_sample,
         "temporal_scd2": b_scd2_intervals,
         "eval_ir_metrics": b_ir_metrics,
+        "search_hybrid_rrf": b_hybrid_rrf,
     }
 
 

@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "sample_stratified",
     "temporal_scd2",
     "eval_ir_metrics",
+    "search_hybrid_rrf",
 ]
 
 
