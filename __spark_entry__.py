@@ -690,6 +690,19 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select(F.col("vec_id").cast("long").alias("vec_id"),
                           F.col("__score").alias("dist"))
 
+    def b_knn_binary(spark, sf_dir):
+        # 1-bit tier batch KNN: Hamming scan over broadcast sign codes
+        # (32x smaller than the float matrix) + bounded exact JVM
+        # rerank; recall/equivalence pinned in tests/test_binary_quant.py
+        from valkey_search_spark.operators.ann import knn_join_binary
+
+        emb = load_table(spark, sf_dir, "embeddings") \
+            .select(F.col("vec_id").alias("cid"), "embedding")
+        q = emb.orderBy("cid").limit(64) \
+            .select(F.col("cid").alias("qid"), "embedding")
+        return knn_join_binary(q, emb, k=10, metric="cosine",
+                               oversample=8)
+
     def b_pii_repetition(spark, sf_dir):
         from valkey_search_spark.operators.contamination import (
             redact_pii, repetition_stats,
@@ -1089,6 +1102,7 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hygiene_decontaminate": b_decontaminate,
         "hygiene_pii_repetition": b_pii_repetition,
         "knn_pq": b_knn_pq,
+        "knn_binary": b_knn_binary,
         "knn_ivf_partial": b_knn_ivf_partial,
         "hygiene_line_dedup": b_line_dedup,
         "hygiene_gopher": b_gopher,

@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "hygiene_decontaminate",
     "hygiene_pii_repetition",
     "knn_pq",
+    "knn_binary",
     "knn_ivf_partial",
     "hygiene_line_dedup",
     "hygiene_gopher",

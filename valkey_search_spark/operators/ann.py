@@ -835,3 +835,134 @@ def knn_join_bucketed(queries: DataFrame, index: IVFIndex, k: int = 10,
         F.col("distance").asc(), F.col(corpus_key).asc())
     return (cand.withColumn("rank", F.row_number().over(w))
                 .where(F.col("rank") <= k))
+
+
+def knn_join_binary(queries: DataFrame, corpus: DataFrame, k: int = 10,
+                    query_key: str = "qid", corpus_key: str = "cid",
+                    vec_col: str = "embedding", metric: str = "l2",
+                    oversample: int = 8,
+                    thresholds: list[float] | None = None,
+                    code_col: str | None = None) -> DataFrame:
+    """Batch KNN through the 1-bit tier: Hamming scan over packed sign
+    codes picks ``k * oversample`` candidates per query, then an exact
+    float rerank (pure JVM) orders the true top-k.
+
+    Plan shape for scale: only (key, code) is collected and broadcast —
+    32x smaller than ``knn_join``'s float matrix, so corpora 32x past
+    its broadcast bound still take the no-shuffle path. Queries stream
+    through ONE Arrow kernel (XOR + LUT popcount against the code
+    matrix); the float column is read only for the |Q| x k x oversample
+    candidate rows, fetched by an equi-join on the corpus key, and the
+    exact distance + top-k window are whole-stage-codegen JVM. Pass a
+    pre-encoded ``code_col`` (written at ingest via ``binary_codes``)
+    and the corpus float scan prunes to key+code+vector with zero
+    encode work per query batch.
+
+    Same output contract as ``knn_join``: (query_key, corpus_key,
+    distance, rank), reference metric map, ties by corpus key.
+    Sign codes carry angle information: recall is strongest for
+    cosine/ip (or L2 on normalized vectors); train ``thresholds``
+    (``fit_binary_thresholds``) for uncentered data.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    from ..functions.binary_quant import (binary_codes, popcount_words)
+
+    if metric not in ("l2", "cosine", "ip"):
+        raise ValueError(f"unknown metric {metric!r}")
+    if k <= 0 or oversample <= 0:
+        raise ValueError("k and oversample must be positive")
+    spark = queries.sparkSession
+
+    if code_col is None:
+        coded = binary_codes(corpus, vec_col, thresholds=thresholds,
+                             out_col="__bq")
+        code_col = "__bq"
+    else:
+        coded = corpus
+    crows = (coded.select(corpus_key, code_col)
+             .where(F.col(code_col).isNotNull()).collect())
+    if not crows:
+        raise ValueError("empty corpus")
+    ckeys = np.array([r[corpus_key] for r in crows])
+    cmat = np.array([r[code_col] for r in crows], dtype=np.int64)
+    order = np.argsort(ckeys)
+    ckeys, cmat = ckeys[order], cmat[order]
+    dim = cmat.shape[1] * 64
+    bc = spark.sparkContext.broadcast((ckeys, cmat))
+    n_cand = min(k * oversample, len(ckeys))
+    thr = (np.asarray(thresholds, dtype=np.float64)
+           if thresholds is not None else None)
+
+    qkey_field = queries.schema[query_key]
+    ckey_type = corpus.schema[corpus_key].dataType
+    cand_schema = T.StructType([
+        qkey_field, T.StructField(corpus_key, ckey_type),
+        T.StructField("__qv", queries.schema[vec_col].dataType),
+    ])
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        keys, codes = bc.value
+        for pdf in batches:
+            pdf = pdf.dropna(subset=[vec_col])
+            if not len(pdf):
+                continue
+            qv = np.array(list(pdf[vec_col]), dtype=np.float64)
+            centered = qv - thr[:qv.shape[1]] if thr is not None else qv
+            # pack query sign bits exactly like binary_code_expr:
+            # bit i of word w = (v[64w+i] > 0), words high-bit-first fold
+            bits = np.zeros((len(qv), codes.shape[1] * 64), dtype=np.uint8)
+            bits[:, :qv.shape[1]] = (centered > 0.0)
+            qcodes = np.zeros((len(qv), codes.shape[1]), dtype=np.int64)
+            for w in range(codes.shape[1]):
+                word = np.zeros(len(qv), dtype=np.uint64)
+                for i in range(63, -1, -1):
+                    word = (word << np.uint64(1)) | bits[:, w * 64 + i]
+                qcodes[:, w] = word.astype(np.int64)
+            rows = []
+            for qi, qid in enumerate(pdf[query_key].to_numpy()):
+                ham = popcount_words(np.bitwise_xor(codes, qcodes[qi]))
+                idx = np.lexsort((keys, ham))[:n_cand]
+                vec = list(pdf[vec_col].iloc[qi])
+                rows.extend((qid, keys[j], vec) for j in idx)
+            yield pd.DataFrame(rows, columns=[query_key, corpus_key,
+                                              "__qv"])
+
+    cand = queries.select(query_key, vec_col).mapInPandas(
+        scan, cand_schema)
+
+    # exact rerank, all JVM: fetch candidate float vectors by key,
+    # score against the carried query vector, window top-k
+    cvecs = corpus.select(F.col(corpus_key),
+                          F.col(vec_col).alias("__cv"))
+    joined = cand.join(cvecs, corpus_key)
+    qc, cc = F.col("__qv"), F.col("__cv")
+    dot = F.aggregate(F.zip_with(qc, cc, lambda x, y:
+                                 x.cast("double") * y.cast("double")),
+                      F.lit(0.0), lambda a, x: a + x)
+    if metric == "l2":
+        dist = F.sqrt(F.aggregate(
+            F.zip_with(qc, cc, lambda x, y:
+                       F.pow(x.cast("double") - y.cast("double"), 2)),
+            F.lit(0.0), lambda a, x: a + x))
+    else:
+        if metric == "cosine":
+            def _norm(c):
+                n = F.sqrt(F.aggregate(
+                    c, F.lit(0.0),
+                    lambda a, x: a + x.cast("double") * x.cast("double")))
+                return F.when(n > 0, n).otherwise(F.lit(1.0))
+            dot = dot / (_norm(qc) * _norm(cc))
+        dist = F.lit(1.0) - dot
+    w = Window.partitionBy(query_key).orderBy(
+        F.col("distance").asc(), F.col(corpus_key).asc())
+    return (joined.withColumn("distance", dist)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(query_key, corpus_key, "distance", "rank"))
