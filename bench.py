@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "temporal_scd2",
     "eval_ir_metrics",
     "search_hybrid_rrf",
+    "layout_zorder_scan",
 ]
 
 
