@@ -123,3 +123,22 @@ def test_validation(spark):
                                "qid string, doc_id string, score double")
     with pytest.raises(ValueError):
         ir_metrics(df, df.withColumnsRenamed({"score": "grade"}), k=0)
+
+
+def test_duplicate_results_and_qrels_collapse(spark):
+    # doc b returned twice + judged twice: metrics must match the
+    # deduplicated log (recall/NDCG can never exceed 1.0)
+    results = spark.createDataFrame(
+        [("q", "a", 3.0), ("q", "b", 2.0), ("q", "b", 0.5)],
+        "qid string, doc_id string, score double")
+    qrels = spark.createDataFrame(
+        [("q", "b", 1), ("q", "b", 2)],
+        "qid string, doc_id string, grade int")
+    r = ir_metrics(results, qrels, k=2).collect()[0]
+    assert r["n_results"] == 2          # distinct docs
+    assert r["n_relevant"] == 1
+    assert r["recall_at_k"] == pytest.approx(1.0)
+    assert r["mrr"] == pytest.approx(1 / 2)
+    # grade 2 kept (max); b actually at rank 2, ideally rank 1
+    want = ((2 ** 2 - 1) / math.log2(3)) / ((2 ** 2 - 1) / math.log2(2))
+    assert r["ndcg_at_k"] == pytest.approx(want)

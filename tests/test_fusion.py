@@ -208,3 +208,38 @@ def test_hybrid_bm25_plus_knn_end_to_end(spark, sf_dir):
     if both and one:
         assert min(r["rrf_score"] for r in both) > 0
     docs.unpersist()
+
+
+def test_rrf_within_run_duplicates_collapse(spark):
+    # the same doc twice in ONE run (shard-union log): best score wins,
+    # n_runs stays 1, rrf contribution counted once
+    dirty = spark.createDataFrame(
+        [("q", "d1", 9.0), ("q", "d1", 3.0), ("q", "d2", 5.0)],
+        "qid string, doc_id string, score double")
+    rows = {r["doc_id"]: r for r in rrf_fuse({"r": dirty}, k=10).collect()}
+    assert rows["d1"]["n_runs"] == 1
+    assert rows["d1"]["rrf_score"] == pytest.approx(1 / 11)  # rank 1 only
+    assert rows["d2"]["rrf_score"] == pytest.approx(1 / 12)  # rank 2
+
+
+def test_rrf_two_shuffles(spark):
+    a, b = _runs(spark)
+    plan = rrf_fuse({"a": a, "b": b}, k=60)._jdf.queryExecution() \
+        .executedPlan().toString()
+    import re
+    n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_ex == 2, plan[:2000]
+
+
+def test_mmr_nan_and_null_scores_dropped(spark):
+    rows = [("q", "good", 0.9, [1.0, 0.0]),
+            ("q", "nan", float("nan"), [0.0, 1.0]),
+            ("q", "null", None, [0.5, 0.5]),
+            ("q", "ok", 0.5, [0.0, 1.0])]
+    df = spark.createDataFrame(
+        rows, "qid string, doc_id string, score double,"
+              " embedding array<double>")
+    picked = [r["doc_id"] for r in sorted(
+        mmr_select(df, k=4, lam=0.8, pool=4).collect(),
+        key=lambda r: r["mmr_rank"])]
+    assert picked == ["good", "ok"]

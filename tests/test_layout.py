@@ -117,3 +117,11 @@ def test_validation(spark):
         zorder_expr(df, [], bits=8)
     with pytest.raises(ValueError):
         zorder_expr(df, ["a", "b"], bits=32)   # 64 bits > 63
+
+
+def test_string_column_rejected_up_front(spark):
+    df = spark.createDataFrame([("us", 1.0)], "country string, v double")
+    with pytest.raises(ValueError, match="country"):
+        zorder_expr(df, ["country", "v"], bits=8)
+    with pytest.raises(ValueError, match="no such column"):
+        column_ranges(df, ["nope"])

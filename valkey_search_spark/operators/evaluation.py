@@ -37,19 +37,34 @@ def ir_metrics(results: DataFrame, qrels: DataFrame, k: int = 10,
     (query, doc, grade) with grade > 0 meaning relevant (graded for
     NDCG, binarized for precision/recall/MRR). Returns one row per
     JUDGED query: n_results, n_relevant, precision_at_k, recall_at_k,
-    mrr, ndcg_at_k."""
+    mrr, ndcg_at_k.
+
+    Duplicate (query, doc) rows — a union of shard scans, a dirty log —
+    are collapsed before ranking (best score wins; best grade for
+    qrels), otherwise a twice-returned doc would double-count into
+    recall/NDCG and push them past 1.0. The results dedup rides the
+    same single query-keyed exchange as the rank window (two in-
+    partition sorts, no extra shuffle); n_results counts DISTINCT
+    returned docs."""
     if k <= 0:
         raise ValueError("k must be positive")
     q, d = query_col, doc_col
 
-    ranked = results.select(
+    w_dedup = Window.partitionBy(q).orderBy(F.col(d).asc(),
+                                            F.col(score_col).desc())
+    distinct_res = (results
+                    .withColumn("__keep", F.coalesce(
+                        F.lag(d).over(w_dedup) != F.col(d), F.lit(True)))
+                    .where("__keep"))
+    ranked = distinct_res.select(
         F.col(q), F.col(d),
         F.row_number().over(
             Window.partitionBy(q).orderBy(F.col(score_col).desc(),
                                           F.col(d).asc())).alias("__rank"))
-    j = qrels.select(F.col(q), F.col(d),
-                     F.col(grade_col).cast("double").alias("__g")) \
-        .where(F.col(grade_col) > 0)
+    j = (qrels.select(F.col(q), F.col(d),
+                      F.col(grade_col).cast("double").alias("__g"))
+         .where(F.col(grade_col) > 0)
+         .groupBy(q, d).agg(F.max("__g").alias("__g")))
 
     hits = (ranked.join(j, [q, d], "inner")
             .select(q, "__rank", "__g"))
@@ -69,10 +84,9 @@ def ir_metrics(results: DataFrame, qrels: DataFrame, k: int = 10,
         .where(F.col("__irank") <= k)
         .groupBy(q).agg(
             F.sum((F.pow(F.lit(2.0), F.col("__g")) - 1)
-                  / F.log2(F.col("__irank") + 1)).alias("__idcg"),
-            F.count("*").alias("__nrel_capped")))
+                  / F.log2(F.col("__irank") + 1)).alias("__idcg")))
     n_rel = j.groupBy(q).agg(F.count("*").alias("n_relevant"))
-    n_res = results.groupBy(q).agg(F.count("*").alias("n_results"))
+    n_res = distinct_res.groupBy(q).agg(F.count("*").alias("n_results"))
 
     return (n_rel.join(ideal, q)
             .join(n_res, q, "left")

@@ -47,7 +47,10 @@ def rrf_fuse(runs: dict[str, DataFrame], k: int = 60,
     Returns one row per (query, doc): ``rrf_score`` (weighted sum of
     1/(k + rank)), ``n_runs`` (how many runs returned the doc), and
     ``fused_rank`` (dense 1-based order of rrf_score within the query,
-    ties broken by doc id). ``top_n`` keeps the best n per query."""
+    ties broken by doc id). ``top_n`` keeps the best n per query.
+    Duplicate (query, doc) rows WITHIN a run (shard-union logs) are
+    collapsed to their best score before ranking — on the same
+    exchange as the rank window — so n_runs never over-counts."""
     if not runs:
         raise ValueError("need at least one run")
     if k <= 0:
@@ -70,12 +73,22 @@ def rrf_fuse(runs: dict[str, DataFrame], k: int = 60,
             F.lit(float(w[name])).alias("__w"))
         tagged = part if tagged is None else tagged.unionByName(part)
 
-    # one window shuffle ranks every run at once
-    ranked = tagged.withColumn(
-        "__rank", F.row_number().over(
-            Window.partitionBy("__run", q).orderBy(order,
-                                                   F.col(d).asc())))
-    fused = (ranked.groupBy(q, d)
+    # one window shuffle ranks every run at once; the per-run (q, d)
+    # dedup (best score wins) rides the same (run, q) exchange as the
+    # rank window — two in-partition sorts, no extra shuffle
+    w_dedup = Window.partitionBy("__run", q).orderBy(
+        F.col(d).asc(), order)
+    ranked = (tagged
+              .withColumn("__keep", F.coalesce(
+                  F.lag(d).over(w_dedup) != F.col(d), F.lit(True)))
+              .where("__keep")
+              .withColumn("__rank", F.row_number().over(
+                  Window.partitionBy("__run", q).orderBy(
+                      order, F.col(d).asc()))))
+    # re-cluster by query ONCE: hash(q) satisfies both the (q, d)
+    # aggregation (q ⊆ keys -> all of a group's rows co-located) and
+    # the fused-rank window, so the whole fuse is two shuffles total
+    fused = (ranked.repartition(q).groupBy(q, d)
              .agg(F.sum(F.col("__w") / (F.lit(k) + F.col("__rank")))
                   .alias("rrf_score"),
                   F.count("*").alias("n_runs")))
@@ -109,8 +122,14 @@ def mmr_select(candidates: DataFrame, k: int = 10, lam: float = 0.5,
     import pandas as pd
 
     q, d = query_col, doc_col
+    score_ok = (F.col(score_col).isNotNull()
+                & ~F.isnan(F.col(score_col).cast("double")))
     pruned = (candidates
-              .where(F.col(embedding_col).isNotNull()
+              # a null/NaN score would sort into the pool (NaN is
+              # largest in Spark's ordering) and then hijack the numpy
+              # argmax (argmax returns a NaN index) — drop it here
+              .where(score_ok
+                     & F.col(embedding_col).isNotNull()
                      & (F.size(embedding_col) > 0))
               .withColumn("__rn", F.row_number().over(
                   Window.partitionBy(q).orderBy(F.col(score_col).desc(),

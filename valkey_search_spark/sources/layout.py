@@ -37,10 +37,28 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+_ORDERABLE = ("tinyint", "smallint", "int", "bigint", "float", "double",
+              "date") # + timestamp* and decimal(...) prefixes
+
+
+def _check_types(df: DataFrame, cols: list[str]) -> None:
+    dtypes = dict(df.dtypes)
+    for c in cols:
+        if c not in dtypes:
+            raise ValueError(f"no such column: {c}")
+        t = dtypes[c]
+        if not (t in _ORDERABLE or t.startswith("timestamp")
+                or t.startswith("decimal")):
+            raise ValueError(
+                f"z-order column {c!r} has non-numeric/temporal type "
+                f"{t} — cast or map it to a numeric key first")
+
+
 def column_ranges(df: DataFrame, cols: list[str]) -> dict[str, tuple]:
     """min/max per column in ONE aggregation job (timestamps come back
     as timestamps; pass the result to ``zorder_expr``/``write_zordered``
     to skip their stats job)."""
+    _check_types(df, cols)
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
@@ -65,6 +83,7 @@ def zorder_expr(df: DataFrame, cols: list[str], bits: int = 12,
         raise ValueError("need at least one column")
     if bits <= 0 or bits * len(cols) > 63:
         raise ValueError("bits * n_cols must be in (0, 63]")
+    _check_types(df, cols)
     if stats is None:
         stats = column_ranges(df, cols)
     dtypes = dict(df.dtypes)
