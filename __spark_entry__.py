@@ -1081,6 +1081,27 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     "embedding")
         return mmr_select(cands, k=10, lam=0.7, pool=50)
 
+    def b_sessionize_funnel(spark, sf_dir):
+        # event analytics: gap sessionization (one keyed window) feeds
+        # per-session stats; the funnel fold runs on the same scan
+        # (DuckDB-CTE-pinned in tests/test_events.py)
+        from valkey_search_spark.operators.events import funnel, sessionize
+
+        ev = load_table(spark, sf_dir, "events")
+        sess = sessionize(ev, gap="30 minutes") \
+            .groupBy("session_id").agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("value"), 4).alias("sv"))
+        sess_stats = sess.agg(
+            F.count("*").alias("n_sessions"),
+            F.round(F.avg("n"), 6).alias("avg_events"),
+            F.round(F.avg("sv"), 4).alias("avg_value"))
+        fn = funnel(ev, ["signup", "view", "purchase"]) \
+            .agg(F.count("*").alias("n_sessions"),
+                 F.round(F.sum("n_users"), 6).alias("avg_events"),
+                 F.round(F.sum("conversion"), 4).alias("avg_value"))
+        return sess_stats.unionByName(fn)
+
     _ZPATH: dict = {}
 
     def b_zorder_scan(spark, sf_dir):
@@ -1157,6 +1178,7 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_ir_metrics": b_ir_metrics,
         "search_hybrid_rrf": b_hybrid_rrf,
         "layout_zorder_scan": b_zorder_scan,
+        "events_session_funnel": b_sessionize_funnel,
     }
 
 

@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "eval_ir_metrics",
     "search_hybrid_rrf",
     "layout_zorder_scan",
+    "events_session_funnel",
 ]
 
 
