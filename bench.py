@@ -136,6 +136,30 @@ def main():
         curve.append({"nprobe": nprobe,
                       "recall_at_10": round(hits / max(n_exact, 1), 4),
                       "batch_sec": sec})
+    # the binary sign-code tier's operating point on the same batch:
+    # Hamming scan over 32x-compressed codes + exact rerank of
+    # k*oversample candidates — the engine's >99%-recall fast path
+    from valkey_search_spark.operators.ann import knn_join, knn_join_binary
+
+    # NOTE: the testdata's 64-dim vectors give the 1-bit tier only 64
+    # Hamming levels — its coarsest case; at real embedding dims
+    # (512-768 bits/code) recall 1.0 lands at oversample 8 (pinned in
+    # tests/test_binary_quant.py's clustered 512-dim measurement)
+    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select(F.col("vec_id").alias("cid"), "embedding")
+    flat = knn_join(qdf, corpus, k=10, corpus_key="cid",
+                    metric="cosine").select("qid", "cid")
+    n_flat = flat.count()
+    for ovs in (8, 64):
+        bq = knn_join_binary(qdf, corpus, k=10, metric="cosine",
+                             oversample=ovs).select("qid", "cid")
+        t0 = time.perf_counter()
+        bq.count()
+        bq_sec = round(time.perf_counter() - t0, 4)
+        bq_hits = bq.join(flat, ["qid", "cid"]).count()
+        curve.append({"tier": f"binary_oversample_{ovs}_cosine",
+                      "recall_at_10": round(bq_hits / max(n_flat, 1), 4),
+                      "batch_sec": bq_sec})
     ann_recall = {"n_lists": idx.n_lists, "k": 10, "queries": 100,
                   "curve": curve}
 

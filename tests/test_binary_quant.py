@@ -126,11 +126,12 @@ def test_recall_bound_and_threshold_lift(spark):
                  + rng.normal(0, 0.3, 32)]) for i in range(400)]
     corpus = spark.createDataFrame(rows, "cid long, embedding array<double>")
     q = spark.createDataFrame(rows[:10], "qid long, embedding array<double>")
+    from valkey_search_spark.operators.ann import batch_recall
+
     exact = knn_join(q, corpus, k=10, metric="cosine")
     approx = knn_join_binary(q, corpus, k=10, metric="cosine",
                              oversample=8)
-    from valkey_search_spark.operators.ann import recall_at_k
-    rec = recall_at_k(approx, exact, key="qid", k=10)
+    rec = batch_recall(approx, exact)
     assert rec >= 0.8, rec
 
     # shifted data: untrained codes saturate (all-positive dims -> all
@@ -141,14 +142,14 @@ def test_recall_bound_and_threshold_lift(spark):
     s_q = spark.createDataFrame(
         shift_rows[:10], "qid long, embedding array<double>")
     s_exact = knn_join(s_q, s_corpus, k=10, metric="l2")
-    blind = recall_at_k(
+    blind = batch_recall(
         knn_join_binary(s_q, s_corpus, k=10, metric="l2", oversample=4),
-        s_exact, key="qid", k=10)
+        s_exact)
     thr = fit_binary_thresholds(s_corpus)
-    trained = recall_at_k(
+    trained = batch_recall(
         knn_join_binary(s_q, s_corpus, k=10, metric="l2", oversample=4,
                         thresholds=thr),
-        s_exact, key="qid", k=10)
+        s_exact)
     assert trained >= blind
     assert trained >= 0.6, (blind, trained)
 
@@ -192,3 +193,21 @@ def test_validation(spark):
     empty = df.where("qid < 0")
     with pytest.raises(ValueError):
         knn_join_binary(df, empty.withColumnRenamed("qid", "cid"), k=1)
+
+
+def test_recall_scales_with_dimension(spark):
+    # resolution = one Hamming level per dim: at 512 dims a clustered
+    # corpus reaches recall 1.0 at oversample 8 (the bench's 64-dim
+    # testdata needs ~64x for the same recall — its coarsest case)
+    rng = np.random.RandomState(0)
+    centers = rng.normal(0, 1, (32, 512))
+    rows = [(i, [float(x) for x in centers[i % 32]
+                 + rng.normal(0, 0.5, 512)]) for i in range(1000)]
+    emb = spark.createDataFrame(rows, "cid long, embedding array<double>")
+    q = spark.createDataFrame(rows[:40], "qid long, embedding array<double>")
+    exact = knn_join(q, emb, k=10, metric="cosine").select("qid", "cid")
+    n = exact.count()
+    approx = knn_join_binary(q, emb, k=10, metric="cosine",
+                             oversample=8).select("qid", "cid")
+    rec = approx.join(exact, ["qid", "cid"]).count() / n
+    assert rec >= 0.97, rec

@@ -555,10 +555,24 @@ class IVFIndex:
 
 
 def recall_at_k(approx: DataFrame, exact: DataFrame, key: str, k: int) -> float:
-    """Fraction of the exact top-k present in the approximate top-k."""
+    """Fraction of the exact top-k present in the approximate top-k —
+    for SINGLE-query result frames (``IVFIndex.search`` output). For
+    multi-query batch joins use ``batch_recall``, which matches
+    (query, corpus) pairs; this helper just compares the first k rows."""
     a = {r[key] for r in approx.limit(k).collect()}
     e = {r[key] for r in exact.limit(k).collect()}
     return len(a & e) / max(len(e), 1)
+
+
+def batch_recall(approx: DataFrame, exact: DataFrame,
+                 query_key: str = "qid", corpus_key: str = "cid") -> float:
+    """Batch recall for multi-query KNN joins: the fraction of exact
+    (query, corpus) result pairs also present in the approximate
+    result — one pair join, no per-query driver loop."""
+    e = exact.select(query_key, corpus_key)
+    a = approx.select(query_key, corpus_key)
+    n = e.count()
+    return a.join(e, [query_key, corpus_key]).count() / max(n, 1)
 
 
 def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 10,
