@@ -1102,6 +1102,31 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  F.round(F.sum("conversion"), 4).alias("avg_value"))
         return sess_stats.unionByName(fn)
 
+    def b_expectations(spark, sf_dir):
+        # pre-publish data-quality gate: five constraints + a PSI drift
+        # probe between corpus halves, checks in one aggregation pass
+        # (DuckDB-pinned in tests/test_expectations.py)
+        from valkey_search_spark.operators.expectations import (
+            Expect, check_expectations, psi_drift)
+
+        docs = load_table(spark, sf_dir, "documents")
+        checks = check_expectations(docs, [
+            Expect("null_fraction", "text", max_null_fraction=0.0),
+            Expect("unique", "doc_id"),
+            Expect("bounds", "n_chars", lo=0, hi=10_000_000),
+            Expect("in_set", "lang",
+                   allowed=["en", "de", "fr", "es", "zh"]),
+            Expect("row_count", min_rows=1),
+        ]).select("name", "passed",
+                  F.round("observed", 6).alias("observed"))
+        drift = psi_drift(docs.where("doc_id % 2 = 0"),
+                          docs.where("doc_id % 2 = 1"),
+                          ["n_chars", "lang"]) \
+            .select(F.col("column").alias("name"),
+                    (F.col("psi") < 0.1).alias("passed"),
+                    F.round("psi", 6).alias("observed"))
+        return checks.unionByName(drift)
+
     _ZPATH: dict = {}
 
     def b_zorder_scan(spark, sf_dir):
@@ -1179,6 +1204,7 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_hybrid_rrf": b_hybrid_rrf,
         "layout_zorder_scan": b_zorder_scan,
         "events_session_funnel": b_sessionize_funnel,
+        "quality_expectations": b_expectations,
     }
 
 

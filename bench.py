@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "search_hybrid_rrf",
     "layout_zorder_scan",
     "events_session_funnel",
+    "quality_expectations",
 ]
 
 

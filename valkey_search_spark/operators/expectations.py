@@ -1,0 +1,170 @@
+"""Data-quality gates: declarative expectations + distribution drift.
+
+The two checks every scheduled 100 TB pipeline runs before publishing
+a snapshot:
+
+- ``check_expectations``: Deequ-style constraint validation — null
+  fraction, uniqueness, min/max bounds, allowed value sets, row count
+  — ALL evaluated in ONE aggregation pass over the table (a single
+  job, no per-check scans; uniqueness adds one count_distinct into the
+  same aggregate). Returns one row per check with the observed value,
+  so a failed gate is diagnosable without a re-scan.
+- ``psi_drift``: Population Stability Index per column between a
+  baseline snapshot and the current one — the standard drift score
+  (PSI = Σ (p_cur - p_base) · ln(p_cur / p_base) over shared bins;
+  < 0.1 stable, 0.1-0.25 moderate, > 0.25 shifted). Numeric columns
+  bin by the BASELINE's quantile edges (one approxQuantile on the
+  baseline), categorical columns by value; each side then contributes
+  one groupBy, and the join is on the tiny bin table.
+
+Scale shape: expectations are one full-scan aggregate (the same cost
+as any count(*)); PSI is two aggregations whose output is bounded by
+n_bins, so the comparison join never sees data-sized frames.
+
+Reference analogue: none; beyond-reference extension (SURVEY §2.10).
+Oracles: DuckDB recomputation of every check and every PSI term
+(tests/test_expectations.py).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+
+@dataclass
+class Expect:
+    """One declarative constraint on a column (or the table when
+    ``column`` is None for kind='row_count')."""
+    kind: str                     # null_fraction | unique | bounds |
+                                  # in_set | row_count
+    column: str | None = None
+    max_null_fraction: float = 0.0
+    lo: float | None = None
+    hi: float | None = None
+    allowed: list | None = None
+    min_rows: int = 0
+    max_rows: int | None = None
+    name: str = field(default="")
+
+    def __post_init__(self):
+        kinds = {"null_fraction", "unique", "bounds", "in_set",
+                 "row_count"}
+        if self.kind not in kinds:
+            raise ValueError(f"unknown expectation kind {self.kind!r}")
+        if self.kind != "row_count" and not self.column:
+            raise ValueError(f"{self.kind} needs a column")
+        if self.kind == "bounds" and self.lo is None and self.hi is None:
+            raise ValueError("bounds needs lo and/or hi")
+        if self.kind == "in_set" and not self.allowed:
+            raise ValueError("in_set needs allowed values")
+        if not self.name:
+            self.name = f"{self.kind}({self.column or '*'})"
+
+
+def check_expectations(df: DataFrame,
+                       expectations: list[Expect]) -> DataFrame:
+    """Evaluate every expectation in ONE aggregation job. Returns
+    (name, kind, column, passed, observed, threshold) — ``observed``
+    is the measured quantity (null fraction, duplicate count, count
+    outside bounds/set, row count) as a double."""
+    if not expectations:
+        raise ValueError("no expectations given")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, e in enumerate(expectations):
+        c = F.col(e.column) if e.column else None
+        if e.kind == "null_fraction":
+            aggs.append(F.sum(F.when(c.isNull(), 1).otherwise(0))
+                        .alias(f"__a{i}"))
+        elif e.kind == "unique":
+            aggs.append((F.count(c) - F.count_distinct(c))
+                        .alias(f"__a{i}"))
+        elif e.kind == "bounds":
+            bad = F.lit(False)
+            if e.lo is not None:
+                bad = bad | (c < e.lo)
+            if e.hi is not None:
+                bad = bad | (c > e.hi)
+            aggs.append(F.sum(F.when(c.isNotNull() & bad, 1).otherwise(0))
+                        .alias(f"__a{i}"))
+        elif e.kind == "in_set":
+            aggs.append(F.sum(F.when(c.isNotNull()
+                                     & ~c.isin(list(e.allowed)), 1)
+                              .otherwise(0)).alias(f"__a{i}"))
+        elif e.kind == "row_count":
+            aggs.append(F.count(F.lit(1)).alias(f"__a{i}"))
+    row = df.agg(*aggs).first()
+    n = row["__n"]
+
+    out = []
+    for i, e in enumerate(expectations):
+        a = row[f"__a{i}"] or 0
+        if e.kind == "null_fraction":
+            observed = a / n if n else 0.0
+            passed = observed <= e.max_null_fraction
+            threshold = e.max_null_fraction
+        elif e.kind == "unique":
+            observed, passed, threshold = float(a), a == 0, 0.0
+        elif e.kind in ("bounds", "in_set"):
+            observed, passed, threshold = float(a), a == 0, 0.0
+        else:                                   # row_count
+            observed = float(a)
+            passed = a >= e.min_rows and (e.max_rows is None
+                                          or a <= e.max_rows)
+            threshold = float(e.min_rows)
+        out.append((e.name, e.kind, e.column, bool(passed),
+                    float(observed), float(threshold)))
+    return df.sparkSession.createDataFrame(
+        out, "name string, kind string, column string, passed boolean,"
+             " observed double, threshold double")
+
+
+def psi_drift(baseline: DataFrame, current: DataFrame, columns: list[str],
+              n_bins: int = 10, epsilon: float = 1e-6) -> DataFrame:
+    """PSI per column between two snapshots. Numeric columns bin by the
+    BASELINE's approx quantile edges (so 'drift' means movement against
+    the frozen reference); string columns bin by value. Empty-side
+    bins are floored at ``epsilon`` (the standard smoothing). Returns
+    (column, psi, n_bins_used)."""
+    if not columns:
+        raise ValueError("no columns given")
+    rows = []
+    dtypes = dict(baseline.dtypes)
+    for col in columns:
+        if col not in dtypes or col not in dict(current.dtypes):
+            raise ValueError(f"column {col!r} missing from a side")
+        numeric = dtypes[col] in ("tinyint", "smallint", "int", "bigint",
+                                  "float", "double") \
+            or dtypes[col].startswith("decimal")
+        if numeric:
+            edges = baseline.approxQuantile(
+                col, [i / n_bins for i in range(1, n_bins)], 0.001)
+            edges = sorted(set(edges))
+            bucket = _bucket_expr(F.col(col), edges)
+        else:
+            bucket = F.col(col).cast("string")
+        b = baseline.where(F.col(col).isNotNull()) \
+            .groupBy(bucket.alias("__b")).agg(F.count("*").alias("nb"))
+        c = current.where(F.col(col).isNotNull()) \
+            .groupBy(bucket.alias("__b")).agg(F.count("*").alias("nc"))
+        merged = b.join(c, "__b", "full").collect()
+        tb = sum(r["nb"] or 0 for r in merged)
+        tc = sum(r["nc"] or 0 for r in merged)
+        psi = 0.0
+        for r in merged:
+            pb = max((r["nb"] or 0) / tb if tb else 0.0, epsilon)
+            pc = max((r["nc"] or 0) / tc if tc else 0.0, epsilon)
+            psi += (pc - pb) * math.log(pc / pb)
+        rows.append((col, float(psi), len(merged)))
+    return baseline.sparkSession.createDataFrame(
+        rows, "column string, psi double, n_bins_used int")
+
+
+def _bucket_expr(c, edges: list[float]):
+    """0-based bin index against sorted edges (len(edges)+1 bins)."""
+    expr = F.lit(len(edges))
+    for i in range(len(edges) - 1, -1, -1):
+        expr = F.when(c <= edges[i], F.lit(i)).otherwise(expr)
+    return expr.cast("string")
