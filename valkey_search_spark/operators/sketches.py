@@ -260,15 +260,26 @@ def heavy_hitters(items: "DataFrame", item_col: str, k: int = 20,
         out.append({"item": None, "lb": 0, "err": err})
         yield pd.DataFrame(out, columns=["item", "lb", "err"])
 
+    from pyspark.sql.window import Window
+
     summaries = items.select(F.col(item_col).cast("string")) \
         .mapInPandas(summarize, schema=schema)
-    # total decrement mass across partitions = the global slack any
-    # candidate's true count may exceed its lb by
-    agg = summaries.groupBy("item").agg(F.sum("lb").alias("count_lb"))
-    slack = summaries.where(F.col("item").isNull()) \
-        .agg(F.coalesce(F.sum("err"), F.lit(0)).alias("__slack"))
-    top = (agg.where(F.col("item").isNotNull())
-           .crossJoin(F.broadcast(slack))
+    # ONE linear chain: the error rows (null item) group alongside the
+    # candidates, and the global slack — the total decrement mass any
+    # candidate's true count may exceed its lb by — broadcasts to every
+    # row with an unpartitioned window over the TINY candidate frame
+    # (<= summary_size x partitions rows). Branching summaries into a
+    # separate slack aggregate re-executed the corpus-scanning Arrow
+    # kernel once per branch (plans are trees; exchange reuse does not
+    # rescue pruned projections) — measured 3 scans, now 1.
+    agg = summaries.groupBy("item").agg(
+        F.sum("lb").alias("count_lb"),
+        F.sum("err").alias("__err"))
+    slack = F.coalesce(
+        F.max(F.when(F.col("item").isNull(), F.col("__err")))
+        .over(Window.partitionBy()), F.lit(0).cast("long"))
+    top = (agg.withColumn("__slack", slack)
+           .where(F.col("item").isNotNull())
            .select("item", "count_lb",
                    (F.col("count_lb") + F.col("__slack")).alias("count_ub"))
            .orderBy(F.desc("count_lb"), F.asc("item"))
