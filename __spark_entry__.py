@@ -1102,6 +1102,22 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  F.round(F.sum("conversion"), 4).alias("avg_value"))
         return sess_stats.unionByName(fn)
 
+    def b_bitext(spark, sf_dir):
+        # margin-based parallel-pair mining between the two halves of
+        # the embeddings table: two knn_joins + density aggregates +
+        # mutual-best semi-join (scalar-margin-pinned in
+        # tests/test_bitext.py)
+        from valkey_search_spark.operators.bitext import mine_bitext
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        src = emb.where("vec_id % 2 = 0") \
+            .select(F.col("vec_id").alias("src_id"), "embedding")
+        tgt = emb.where("vec_id % 2 = 1") \
+            .select(F.col("vec_id").alias("tgt_id"), "embedding")
+        out = mine_bitext(src, tgt, k=4, min_margin=1.0)
+        return out.select("src_id", "tgt_id",
+                          F.round("margin", 6).alias("m"))
+
     def b_expectations(spark, sf_dir):
         # pre-publish data-quality gate: five constraints + a PSI drift
         # probe between corpus halves, checks in one aggregation pass
@@ -1205,6 +1221,7 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_zorder_scan": b_zorder_scan,
         "events_session_funnel": b_sessionize_funnel,
         "quality_expectations": b_expectations,
+        "mine_bitext": b_bitext,
     }
 
 

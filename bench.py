@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "layout_zorder_scan",
     "events_session_funnel",
     "quality_expectations",
+    "mine_bitext",
 ]
 
 
