@@ -665,32 +665,48 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 10,
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         keys, mat = bc.value
-        for pdf in batches:
-            pdf = pdf.dropna(subset=[vec_col])
-            if not len(pdf):
-                continue
-            q = np.array(list(pdf[vec_col]), dtype=np.float64)
-            if metric == "l2":
-                # ||q-c||^2 = ||q||^2 - 2qc + ||c||^2, sqrt at the end
-                d = (q * q).sum(1)[:, None] - 2.0 * (q @ mat.T) + (mat * mat).sum(1)[None, :]
-                d = np.sqrt(np.maximum(d, 0.0))
-            else:
-                if metric == "cosine":
-                    qn = np.linalg.norm(q, axis=1, keepdims=True)
-                    qn[qn == 0] = 1.0
-                    q = q / qn
-                d = 1.0 - q @ mat.T     # ip / cosine: 1 - product
-            kk = min(k, d.shape[1])
-            rows = []
-            for i, qid in enumerate(pdf[query_key].to_numpy()):
-                # lexsort = full (distance, key) order, so ties at the k-th
-                # distance resolve to the LOWEST keys deterministically
-                # (argpartition would drop tied candidates arbitrarily)
-                idx = np.lexsort((keys, d[i]))[:kk]
-                for rank, j in enumerate(idx, 1):
-                    rows.append((qid, keys[j], float(d[i, j]), rank))
-            yield pd.DataFrame(rows, columns=[query_key, corpus_key,
-                                              "distance", "rank"])
+        for arrow_batch in batches:
+            arrow_batch = arrow_batch.dropna(subset=[vec_col])
+            # re-chunk Arrow's batches (10k rows by default) down to
+            # batch_size: the distance matrix is chunk x |corpus|
+            # float64, and an unchunked 10k x 200k corpus would
+            # allocate 16 GB per task
+            for lo in range(0, len(arrow_batch), batch_size):
+                pdf = arrow_batch.iloc[lo:lo + batch_size]
+                q = np.array(list(pdf[vec_col]), dtype=np.float64)
+                if metric == "l2":
+                    # ||q-c||^2 = ||q||^2 - 2qc + ||c||^2, sqrt at end
+                    d = (q * q).sum(1)[:, None] - 2.0 * (q @ mat.T) \
+                        + (mat * mat).sum(1)[None, :]
+                    d = np.sqrt(np.maximum(d, 0.0))
+                else:
+                    if metric == "cosine":
+                        qn = np.linalg.norm(q, axis=1, keepdims=True)
+                        qn[qn == 0] = 1.0
+                        q = q / qn
+                    d = 1.0 - q @ mat.T     # ip / cosine: 1 - product
+                kk = min(k, d.shape[1])
+                n_c = d.shape[1]
+                rows = []
+                for i, qid in enumerate(pdf[query_key].to_numpy()):
+                    # deterministic (distance, key) order without a
+                    # full n log n sort per query: argpartition to the
+                    # k-th distance, then include EVERY candidate tied
+                    # at that distance (so boundary ties still resolve
+                    # to the lowest keys, exactly as the full lexsort
+                    # did), and lexsort only that small set
+                    di = d[i]
+                    if n_c > 4 * kk:
+                        part = np.argpartition(di, kk - 1)[:kk]
+                        kth = di[part].max()
+                        cand = np.flatnonzero(di <= kth)
+                    else:
+                        cand = np.arange(n_c)
+                    idx = cand[np.lexsort((keys[cand], di[cand]))][:kk]
+                    for rank, j in enumerate(idx, 1):
+                        rows.append((qid, keys[j], float(di[j]), rank))
+                yield pd.DataFrame(rows, columns=[query_key, corpus_key,
+                                                  "distance", "rank"])
 
     return queries.select(query_key, vec_col).mapInPandas(score, out_schema)
 
