@@ -889,6 +889,21 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = _BPE[sf_dir].token_count(docs)
         return out.select("doc_id", "bpe_token_count")
 
+    _WP: dict = {}
+
+    def b_wordpiece_tokenize(spark, sf_dir):
+        # corpus-trained WordPiece (the BERT family, next to BPE and
+        # unigram): training cached per sf_dir; the timed path is the
+        # Arrow tokenize+count with one vocab broadcast (trainer and
+        # round-trip pinned in tests/test_wordpiece.py)
+        from valkey_search_spark.functions.wordpiece import train_wordpiece
+
+        docs = load_table(spark, sf_dir, "documents")
+        if sf_dir not in _WP:
+            _WP[sf_dir] = train_wordpiece(docs, vocab_size=512 + 512)
+        out = _WP[sf_dir].token_count(docs)
+        return out.select("doc_id", "wordpiece_token_count")
+
     _UNIGRAM: dict = {}
 
     def b_unigram_tokenize(spark, sf_dir):
@@ -1222,6 +1237,7 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_funnel": b_sessionize_funnel,
         "quality_expectations": b_expectations,
         "mine_bitext": b_bitext,
+        "tokenizer_wordpiece": b_wordpiece_tokenize,
     }
 
 

@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "events_session_funnel",
     "quality_expectations",
     "mine_bitext",
+    "tokenizer_wordpiece",
 ]
 
 
