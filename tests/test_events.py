@@ -47,15 +47,26 @@ def test_sessionize_matches_duckdb(spark, sf_dir):
         assert float(g[1].split("/")[1]) == pytest.approx(float(start))
 
 
-def test_sessionize_gap_boundary(spark):
-    # events at 0, 1800, 1801 s with gap 30 min: 1800 is SAME session
-    # (gap must EXCEED), the third starts 1 s later -> same again
-    rows = [(1, 0.0), (2, 1800.0), (3, 1801.0), (4, 99999.0)]
+def test_sessionize_gap_boundary_matches_session_window(spark):
+    # an event at EXACTLY last+gap continues the session: Spark's own
+    # session_window MERGES boundary-touching windows (verified here),
+    # so the batch operator uses the same strict-exceeds rule
+    rows = [(1, 0.0), (2, 1800.0), (3, 3600.0), (4, 5401.0)]
     ev = spark.createDataFrame(rows, "event_id int, ts double") \
         .withColumn("user_id", F.lit(7))
     out = {r["event_id"]: r["session_seq"]
            for r in sessionize(ev, gap=1800).collect()}
+    # gaps: 1800 (same), 1800 (same), 1801 (new)
     assert out == {1: 1, 2: 1, 3: 1, 4: 2}
+
+    # parity with the batch evaluation of session_window itself
+    tev = spark.createDataFrame(
+        [(i, float(t)) for i, t in rows], "event_id int, s double") \
+        .select("event_id", F.timestamp_seconds("s").alias("ts")) \
+        .withColumn("user_id", F.lit(7))
+    sw = (tev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+          .count().collect())
+    assert len(sw) == 2     # same session count as sessionize
 
 
 def test_funnel_hand_case(spark):

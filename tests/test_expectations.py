@@ -153,3 +153,17 @@ def test_validation(spark):
         psi_drift(df, df, [])
     with pytest.raises(ValueError):
         psi_drift(df, df, ["missing"])
+
+
+def test_psi_categorical_cardinality_capped(spark):
+    # a high-cardinality string column buckets to top max_categories +
+    # __OTHER__ — the driver never sees one row per distinct value
+    base = spark.createDataFrame(
+        [(f"url-{i % 7}",) for i in range(700)]
+        + [(f"rare-{i}",) for i in range(300)], "u string")
+    cur = spark.createDataFrame(
+        [(f"url-{i % 7}",) for i in range(300)]
+        + [(f"rare-{i + 9000}",) for i in range(700)], "u string")
+    [r] = psi_drift(base, cur, ["u"], max_categories=7).collect()
+    assert r["n_bins_used"] <= 8        # 7 tops + __OTHER__
+    assert r["psi"] > 0.25              # mass moved into the tail

@@ -116,3 +116,56 @@ def test_crash_window_recovery(spark, tmp_path):
     # simulate a kill BETWEEN the two renames: path missing, .old intact
     os.rename(path, path + ".old")
     assert spark.read.parquet(path + ".old").count() == 100
+
+
+def test_key_in_updates_and_deletes_rejected(spark, tmp_path):
+    path = str(tmp_path / "tb")
+    _write_base(spark, path, n=20)
+    up = spark.createDataFrame([(3, "u", 0)],
+                               "doc_id long, text string, part int")
+    de = spark.createDataFrame([(3,)], "doc_id long")
+    with pytest.raises(ValueError, match="BOTH"):
+        merge_parquet(spark, path, updates=up, deletes=de)
+
+
+def test_partitioned_merge_with_hive_escaped_values(spark, tmp_path):
+    # partition values containing ':' are percent-escaped in directory
+    # names; untouched-partition detection must not resurrect the OLD
+    # directory of a touched partition
+    path = str(tmp_path / "th")
+    df = spark.createDataFrame(
+        [(i, f"t{i}", f"2024-01-0{1 + i % 2} 00:00:00")
+         for i in range(40)], "doc_id long, text string, day string")
+    df.write.partitionBy("day").parquet(path)
+    up = spark.createDataFrame(
+        [(0, "updated", "2024-01-01 00:00:00")],
+        "doc_id long, text string, day string")
+    merge_parquet(spark, path, updates=up, key="doc_id",
+                  partition_by="day")
+    after = spark.read.parquet(path)
+    assert after.count() == 40                    # no resurrection
+    assert after.where("doc_id = 0").count() == 1  # no duplicate
+    assert after.where("doc_id = 0").first()["text"] == "updated"
+
+
+def test_partition_emptied_by_delete_does_not_resurrect(spark, tmp_path):
+    path = str(tmp_path / "te")
+    base = _write_base(spark, path, n=40)
+    base.write.mode("overwrite").partitionBy("part").parquet(path)
+    # delete EVERY row of part=2
+    dels = spark.createDataFrame([(i, 2) for i in range(2, 40, 4)],
+                                 "doc_id long, part int")
+    merge_parquet(spark, path, deletes=dels, key="doc_id",
+                  partition_by="part")
+    after = spark.read.parquet(path)
+    assert after.where("part = 2").count() == 0
+    assert after.count() == 30
+
+
+def test_null_partition_value_rejected(spark, tmp_path):
+    path = str(tmp_path / "tn")
+    _write_base(spark, path, n=10)
+    up = spark.createDataFrame([(1, "u", None)],
+                               "doc_id long, text string, part int")
+    with pytest.raises(ValueError, match="null partition"):
+        merge_parquet(spark, path, updates=up, partition_by="part")

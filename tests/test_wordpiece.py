@@ -137,3 +137,37 @@ def test_save_load_roundtrip(spark, tmp_path):
         with open(bad, "w") as f:
             json.dump({"format": "nope"}, f)
         WordPieceTokenizer.load(bad)
+
+
+def test_min_pair_count_skips_rare_pairs_not_training(spark):
+    # likelihood scoring ranks RARE pairs highest (tiny denominators);
+    # a count-based break would end training at the first rare pair —
+    # it must be SKIPPED while frequent pairs keep merging
+    corpus = ["the the the the the the the the", "qz"]
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    tok = train_wordpiece(df, vocab_size=512 + 4, min_pair_count=2)
+    learned = tok.vocab - WordPieceTokenizer().vocab
+    assert learned                      # 'the' pairs merged
+    assert not any("q" in p and "z" in p for p in learned)
+
+
+def test_markdown_header_roundtrip(spark):
+    # '##' at word-initial position must never be learned as an
+    # initial piece (it would collide with the continuation marker)
+    corpus = ["## heading ## heading ## heading", "#### deep #### deep"]
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    tok = train_wordpiece(df, vocab_size=512 + 16, min_pair_count=1)
+    for t in corpus + ["## x ### y #z", "##alone"]:
+        assert tok.decode(tok.encode(t)) == t, t
+    for p in tok.vocab - WordPieceTokenizer().vocab:
+        if p.startswith("##"):
+            continue                     # continuation, fine
+        assert not p.startswith("##")
+
+
+def test_base_tokenizer_hash_text_roundtrip():
+    # '#'-heavy text through the BASE vocab: continuation entries for
+    # '#' ('###' rendered) must not be matchable at word-initial slots
+    tok = WordPieceTokenizer()
+    for t in ("###", "##", "#", "a##b", "## ##"):
+        assert tok.decode(tok.encode(t)) == t, t

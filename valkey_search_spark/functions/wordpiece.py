@@ -55,12 +55,27 @@ def _base_vocab() -> set[str]:
 class WordPieceTokenizer:
     """A trained WordPiece vocabulary (word-initial pieces and
     ``##``-prefixed continuations; always includes the 512 byte-symbol
-    bases, so encoding never fails)."""
+    bases, so encoding never fails).
+
+    Word-initial and continuation pieces live in SEPARATE lookup sets:
+    a flat set would let text that literally starts with ``##`` (a
+    markdown header) match a continuation entry at word-initial
+    position, and decode() would then strip real characters. For the
+    same reason, trained word-initial pieces whose text itself starts
+    with ``##`` are rejected — so in the rendered token stream a
+    leading ``##`` ALWAYS means continuation and round-trip holds."""
 
     def __init__(self, pieces: list[str] | set[str] = ()):
-        self.vocab = _base_vocab() | set(pieces)
-        self.max_sym_len = max(
-            len(p[2:] if p.startswith("##") else p) for p in self.vocab)
+        singles = set(_BYTE_TO_UNI.values())
+        self.initial = set(singles)
+        self.cont = set(singles)          # stored WITHOUT the marker
+        for p in pieces:
+            if p.startswith("##"):
+                self.cont.add(p[2:])
+            else:
+                self.initial.add(p)
+        self.vocab = self.initial | {"##" + p for p in self.cont}
+        self.max_sym_len = max(map(len, self.initial | self.cont))
         self.fingerprint = zlib.crc32(json.dumps(
             sorted(self.vocab), ensure_ascii=False).encode("utf-8"))
         self._encode_pretoken = lru_cache(maxsize=65536)(
@@ -73,12 +88,11 @@ class WordPieceTokenizer:
         out: list[str] = []
         i = 0
         while i < n:
-            prefix = "##" if i else ""
+            table = self.cont if i else self.initial
             # longest match first; single byte symbols always present
             for ln in range(min(self.max_sym_len, n - i), 0, -1):
-                piece = prefix + s[i:i + ln]
-                if piece in self.vocab:
-                    out.append(piece)
+                if s[i:i + ln] in table:
+                    out.append(("##" if i else "") + s[i:i + ln])
                     i += ln
                     break
         return tuple(out)
@@ -201,18 +215,31 @@ def train_wordpiece(df: DataFrame, text_col: str = "text",
             pair_words.setdefault(p, set()).add(wi)
 
     pieces: list[str] = []
-    while len(pieces) < n_merges and pair_counts:
-        # deterministic argmax of count(ab)/(count(a)count(b)):
-        # score desc, then pair lexicographic
+    banned: set[tuple[str, str]] = set()
+    while len(pieces) < n_merges:
+        # deterministic argmax of count(ab)/(count(a)count(b)) among
+        # ELIGIBLE pairs: score desc, then pair lexicographic. A pair
+        # below min_pair_count is skipped, not a stop condition —
+        # likelihood scoring RANKS rare pairs high (tiny denominators),
+        # so a count-based break would end training while frequent
+        # pairs remain.
         def key(kv):
             p, c = kv
             denom = sym_counts.get(p[0], 1) * sym_counts.get(p[1], 1)
             return (-c / denom, p)
 
-        best, best_c = min(pair_counts.items(), key=key)
-        if best_c < min_pair_count:
+        eligible = [(p, c) for p, c in pair_counts.items()
+                    if c >= min_pair_count and p not in banned]
+        if not eligible:
             break
+        best, best_c = min(eligible, key=key)
         joined = _merge_piece(*best)
+        if not best[0].startswith("##") and joined.startswith("##"):
+            # a word-initial piece whose TEXT starts with '##' would
+            # collide with the continuation marker in the rendered
+            # token stream (markdown-header corpora) — never learn it
+            banned.add(best)
+            continue
         pieces.append(joined)
         for wi in list(pair_words.get(best, ())):
             old = words[wi]

@@ -699,7 +699,12 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 10,
                     if n_c > 4 * kk:
                         part = np.argpartition(di, kk - 1)[:kk]
                         kth = di[part].max()
-                        cand = np.flatnonzero(di <= kth)
+                        # NaN distances (NaN query components) poison
+                        # the threshold — fall back to the full set,
+                        # where lexsort places NaN last like the old
+                        # full-sort path did
+                        cand = (np.arange(n_c) if np.isnan(kth)
+                                else np.flatnonzero(di <= kth))
                     else:
                         cand = np.arange(n_c)
                     idx = cand[np.lexsort((keys[cand], di[cand]))][:kk]

@@ -39,10 +39,14 @@ def sessionize(events: DataFrame, user_col: str = "user_id",
                ts_col: str = "ts", gap: str = "30 minutes",
                out_col: str = "session_id") -> DataFrame:
     """Assign gap-delimited session ids: a new session starts when the
-    user's inter-event gap exceeds ``gap`` (an interval string, or
-    seconds as a number for numeric time axes). Adds ``out_col``
-    (= "<user>/<session start epoch>") and ``session_seq`` (1-based
-    per-user counter). One keyed window."""
+    user's inter-event gap EXCEEDS ``gap`` (an interval string, or
+    seconds as a number for numeric time axes). An event at EXACTLY
+    last + gap continues the session — Spark's own ``session_window``
+    merges boundary-touching windows the same way (parity pinned in
+    tests/test_events.py against a batch session_window evaluation),
+    so batch and streaming session counts agree on boundary events.
+    Adds ``out_col`` (= "<user>/<session start epoch>") and
+    ``session_seq`` (1-based per-user counter). One keyed window."""
     if out_col in events.columns:
         raise ValueError(f"{out_col} already exists")
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())

@@ -122,29 +122,46 @@ def check_expectations(df: DataFrame,
 
 
 def psi_drift(baseline: DataFrame, current: DataFrame, columns: list[str],
-              n_bins: int = 10, epsilon: float = 1e-6) -> DataFrame:
+              n_bins: int = 10, epsilon: float = 1e-6,
+              max_categories: int = 1000) -> DataFrame:
     """PSI per column between two snapshots. Numeric columns bin by the
     BASELINE's approx quantile edges (so 'drift' means movement against
-    the frozen reference); string columns bin by value. Empty-side
-    bins are floored at ``epsilon`` (the standard smoothing). Returns
+    the frozen reference — ALL numeric edges come from ONE
+    approxQuantile pass); string columns bin by value, capped at the
+    baseline's ``max_categories`` most frequent values with the tail
+    folded into one __OTHER__ bin, so the per-column frames stay
+    bounded at any cardinality. Empty-side bins are floored at
+    ``epsilon`` (the standard smoothing). Returns
     (column, psi, n_bins_used)."""
     if not columns:
         raise ValueError("no columns given")
     rows = []
     dtypes = dict(baseline.dtypes)
+    cur_cols = dict(current.dtypes)
     for col in columns:
-        if col not in dtypes or col not in dict(current.dtypes):
+        if col not in dtypes or col not in cur_cols:
             raise ValueError(f"column {col!r} missing from a side")
-        numeric = dtypes[col] in ("tinyint", "smallint", "int", "bigint",
-                                  "float", "double") \
-            or dtypes[col].startswith("decimal")
-        if numeric:
-            edges = baseline.approxQuantile(
-                col, [i / n_bins for i in range(1, n_bins)], 0.001)
-            edges = sorted(set(edges))
-            bucket = _bucket_expr(F.col(col), edges)
+    numeric_set = {c for c in columns
+                   if dtypes[c] in ("tinyint", "smallint", "int",
+                                    "bigint", "float", "double")
+                   or dtypes[c].startswith("decimal")}
+    all_edges = {}
+    if numeric_set:
+        ordered = [c for c in columns if c in numeric_set]
+        qs = baseline.approxQuantile(
+            ordered, [i / n_bins for i in range(1, n_bins)], 0.001)
+        all_edges = {c: sorted(set(e)) for c, e in zip(ordered, qs)}
+    for col in columns:
+        if col in numeric_set:
+            bucket = _bucket_expr(F.col(col), all_edges[col])
         else:
-            bucket = F.col(col).cast("string")
+            top = [r[0] for r in
+                   baseline.where(F.col(col).isNotNull())
+                   .groupBy(col).count()
+                   .orderBy(F.desc("count"), F.asc(col))
+                   .limit(max_categories).collect()]
+            c = F.col(col).cast("string")
+            bucket = F.when(c.isin(top), c).otherwise(F.lit("__OTHER__"))
         b = baseline.where(F.col(col).isNotNull()) \
             .groupBy(bucket.alias("__b")).agg(F.count("*").alias("nb"))
         c = current.where(F.col(col).isNotNull()) \

@@ -49,7 +49,14 @@ def merge_parquet(spark, path: str, updates: DataFrame | None = None,
 
     ``partition_by``: when the table is hive-partitioned by this
     column and every update/delete row carries it, only the touched
-    partition directories are rewritten; the rest move over untouched.
+    partition directories are rewritten; the rest are carried by hard
+    link. PRECONDITION: a key never moves between partitions — the
+    anti-join only sees the touched partitions, so an update that
+    relocates a key to a new partition value would leave the stale row
+    alive in its old partition (make the partition column part of the
+    key's identity, as hive layouts normally do). Null partition
+    values are rejected (they cannot be matched against hive's
+    __HIVE_DEFAULT_PARTITION__ directories safely).
     """
     if updates is None and deletes is None:
         raise ValueError("nothing to merge")
@@ -67,6 +74,13 @@ def merge_parquet(spark, path: str, updates: DataFrame | None = None,
             raise ValueError(f"{dup} duplicate keys in updates")
     n_del = deletes.select(key).distinct().count() if deletes is not None \
         else 0
+    if updates is not None and deletes is not None:
+        both = updates.select(key).join(deletes.select(key), key) \
+            .count()
+        if both:
+            raise ValueError(
+                f"{both} keys appear in BOTH updates and deletes — "
+                "ambiguous intent (the update would silently win)")
 
     gone = None
     if updates is not None:
@@ -86,6 +100,10 @@ def merge_parquet(spark, path: str, updates: DataFrame | None = None,
         for s in sides:
             touched_parts |= {r[0] for r in
                               s.select(partition_by).distinct().collect()}
+        if None in touched_parts:
+            raise ValueError(
+                "null partition values in updates/deletes are not "
+                "supported in partitioned merge")
         target = target.where(F.col(partition_by).isin(list(touched_parts)))
 
     kept = target.join(F.broadcast(gone.distinct()), key, "left_anti")
@@ -103,20 +121,34 @@ def merge_parquet(spark, path: str, updates: DataFrame | None = None,
         # carry untouched partition directories into the sibling by
         # hard link (copy fallback) — the ORIGINAL table stays complete
         # until the swap below, so a kill anywhere leaves a readable
-        # table at one of the two paths
-        esc = {f"{partition_by}={p}" for p in touched_parts}
+        # table at one of the two paths. "Touched" is decided by what
+        # the rewrite actually WROTE into tmp (Spark hive-escapes both
+        # writes identically, so name comparison is exact), plus the
+        # unescaped value set for partitions the rewrite EMPTIED
+        # (all rows deleted -> no dir in tmp, but the old dir must not
+        # resurrect)
+        from urllib.parse import unquote
+
+        written = {e for e in os.listdir(tmp)
+                   if e.startswith(f"{partition_by}=")}
+        touched_strs = {str(p) for p in touched_parts}
         for entry in os.listdir(path):
-            if entry.startswith(f"{partition_by}=") and entry not in esc:
-                src = os.path.join(path, entry)
-                dst = os.path.join(tmp, entry)
-                os.makedirs(dst, exist_ok=True)
-                for f in os.listdir(src):
-                    try:
-                        os.link(os.path.join(src, f),
-                                os.path.join(dst, f))
-                    except OSError:
-                        shutil.copy2(os.path.join(src, f),
-                                     os.path.join(dst, f))
+            if not entry.startswith(f"{partition_by}="):
+                continue
+            if entry in written:
+                continue                       # rewritten in tmp
+            raw_val = unquote(entry.split("=", 1)[1])
+            if raw_val in touched_strs:
+                continue                       # touched, emptied
+            src = os.path.join(path, entry)
+            dst = os.path.join(tmp, entry)
+            os.makedirs(dst, exist_ok=True)
+            for f in os.listdir(src):
+                try:
+                    os.link(os.path.join(src, f), os.path.join(dst, f))
+                except OSError:
+                    shutil.copy2(os.path.join(src, f),
+                                 os.path.join(dst, f))
     bak = path.rstrip("/") + ".old"
     shutil.rmtree(bak, ignore_errors=True)
     os.rename(path, bak)
