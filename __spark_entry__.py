@@ -1072,14 +1072,18 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from valkey_search_spark.operators.ranking import bm25_rank
         from valkey_search_spark.operators.textops import hashed_embeddings
 
+        from valkey_search_spark.operators.ranking import bm25_corpus_stats
+
         docs = load_table(spark, sf_dir, "documents")
         if sf_dir not in _HEMB:
             emb = hashed_embeddings(docs, text_col="text", dim=256) \
                 .select("doc_id", "embedding").cache()
-            _HEMB[sf_dir] = (emb, emb.count())
-        emb, n_corpus = _HEMB[sf_dir]
+            _HEMB[sf_dir] = (emb, emb.count(),
+                             bm25_corpus_stats(docs, text_col="text"))
+        emb, n_corpus, bm_stats = _HEMB[sf_dir]
         text_run = bm25_rank(docs, ["spark", "stream", "window"],
-                             key="doc_id", text_col="text", top_k=100) \
+                             key="doc_id", text_col="text", top_k=100,
+                             corpus_stats=bm_stats) \
             .select(F.lit("q0").alias("qid"), "doc_id",
                     F.col("bm25_score").alias("score"))
         qvec = emb.orderBy("doc_id").limit(1) \

@@ -399,3 +399,40 @@ def test_bm25f_null_field_scores_off_remaining_fields(spark):
     assert set(rows) == {1, 2}
     assert rows[2] is not None and rows[2] > 0.0
     assert rows[1] > rows[2]   # doc 1 also matches in the body
+
+
+def test_bm25_corpus_stats_query_parity(spark, sf_dir):
+    # index-time stats: scores must equal the per-query statistics job
+    # exactly for in-lexicon terms, and save/load round-trips
+    from valkey_search_spark.operators.ranking import (BM25Stats,
+                                                       bm25_corpus_stats)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(400)
+    stats = bm25_corpus_stats(docs, text_col="text")
+    terms = ["spark", "window", "merge"]
+    live = {r["doc_id"]: r["bm25_score"]
+            for r in bm25_rank(docs, terms, text_col="text").collect()}
+    cached = {r["doc_id"]: r["bm25_score"]
+              for r in bm25_rank(docs, terms, text_col="text",
+                                 corpus_stats=stats).collect()}
+    assert live.keys() == cached.keys()
+    for k in live:
+        assert cached[k] == pytest.approx(live[k], rel=1e-12)
+
+    # zero eager jobs on the cached path
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    bm25_rank(docs, terms, text_col="text", corpus_stats=stats)
+    assert len(tracker.getJobIdsForGroup(None) or []) == before
+
+    # unseen term -> df 0 -> max idf, still scores without error
+    out = bm25_rank(docs, ["qqzzxx", "spark"], text_col="text",
+                    corpus_stats=stats, top_k=5).collect()
+    assert out
+
+    import tempfile, os
+    p = os.path.join(tempfile.mkdtemp(), "bm.json")
+    stats.save(p)
+    s2 = BM25Stats.load(p)
+    assert (s2.n, s2.avgdl) == (stats.n, stats.avgdl)
+    assert s2.df == stats.df

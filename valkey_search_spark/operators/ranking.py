@@ -34,12 +34,67 @@ from pyspark.sql import Column, DataFrame, functions as F
 from ..functions.analysis import raw_tokens_column
 
 
+class BM25Stats:
+    """Index-time BM25 corpus statistics: corpus size, average doc
+    length, and document frequencies for the ``vocab_limit`` most
+    frequent tokens. A query term outside the lexicon scores with
+    df=0 (maximum idf) — exact for unseen terms, a slight idf
+    overestimate for sub-lexicon rare terms (bounded by the lexicon's
+    cutoff frequency)."""
+
+    def __init__(self, n: int, avgdl: float, df: dict[str, int]):
+        self.n, self.avgdl, self.df = int(n), float(avgdl), dict(df)
+
+    def save(self, path: str) -> None:
+        import json
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump({"format": "bm25-stats-v1", "n": self.n,
+                       "avgdl": self.avgdl,
+                       "df": sorted(self.df.items())}, f,
+                      ensure_ascii=False)
+
+    @classmethod
+    def load(cls, path: str) -> "BM25Stats":
+        import json
+        with open(path, encoding="utf-8") as f:
+            obj = json.load(f)
+        if obj.get("format") != "bm25-stats-v1":
+            raise ValueError(f"not bm25 stats: {path}")
+        return cls(obj["n"], obj["avgdl"], dict(obj["df"]))
+
+
+def bm25_corpus_stats(df: DataFrame, text_col: str = "text",
+                      tokens_col: str | Column | None = None,
+                      vocab_limit: int = 50_000) -> BM25Stats:
+    """The ingest-time half of BM25: ONE pass computes N, avgdl, and
+    per-token document frequencies for the top ``vocab_limit`` tokens
+    (df = docs containing the token, via a per-doc distinct explode).
+    Feed the result to ``bm25_rank(corpus_stats=...)`` and every later
+    query against this corpus runs zero eager statistics jobs."""
+    if tokens_col is None:
+        toks_src = raw_tokens_column(F.col(text_col))
+    elif isinstance(tokens_col, Column):
+        toks_src = tokens_col
+    else:
+        toks_src = F.col(tokens_col)
+    staged = df.select(toks_src.alias("__t"))
+    base = staged.agg(F.count(F.lit(1)).alias("n"),
+                      F.avg(F.size("__t")).alias("avgdl")).first()
+    rows = (staged.select(F.explode(F.array_distinct("__t")).alias("tok"))
+            .groupBy("tok").count()
+            .orderBy(F.desc("count"), F.asc("tok"))
+            .limit(vocab_limit).collect())
+    return BM25Stats(base["n"] or 0, base["avgdl"] or 0.0,
+                     {r["tok"]: int(r["count"]) for r in rows})
+
+
 def bm25_rank(df: DataFrame, terms: list[str], key: str = "doc_id",
               text_col: str = "text",
               tokens_col: str | Column | None = None,
               k1: float = 1.2, b: float = 0.75,
               top_k: int | None = None,
-              match_only: bool = True) -> DataFrame:
+              match_only: bool = True,
+              corpus_stats: "BM25Stats | None" = None) -> DataFrame:
     """Rank ``df`` by BM25 relevance to ``terms`` (pre-analyzed tokens —
     pass the output of the same analyzer that built the token column;
     for raw user text, tokenize with ``raw_tokens_column`` semantics
@@ -55,7 +110,14 @@ def bm25_rank(df: DataFrame, terms: list[str], key: str = "doc_id",
     ``_x_<field>`` struct column,
     ``F.transform("_x_body", lambda s: s["t"])``, ranks an indexed
     corpus with the index's own analysis (stop words excluded there,
-    which is the conventional BM25 form)."""
+    which is the conventional BM25 form).
+
+    ``corpus_stats`` (from ``bm25_corpus_stats``) supplies the
+    index-time statistics — N, avgdl, per-term document frequencies —
+    so repeated queries against the same corpus run ZERO eager jobs
+    here, the reference's ingest-time model. Terms absent from the
+    stats fall back to df=0 (maximum idf), the right behavior for a
+    term the indexer never saw."""
     if not terms:
         raise ValueError("BM25 needs at least one query term")
     terms = list(dict.fromkeys(terms))          # dedup, keep order
@@ -68,19 +130,22 @@ def bm25_rank(df: DataFrame, terms: list[str], key: str = "doc_id",
     staged = df.withColumn("__bm_toks", toks_src)
     toks = F.col("__bm_toks")
 
-    # ONE statistics job: corpus size, average doc length, and df(t)
-    # for exactly the query's terms
-    stats = staged.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.avg(F.size(toks)).alias("avgdl"),
-        *[F.count_if(F.array_contains(toks, t)).alias(f"df{i}")
-          for i, t in enumerate(terms)]).first()
-    n, avgdl = stats["n"], stats["avgdl"]
+    if corpus_stats is not None:
+        n, avgdl = corpus_stats.n, corpus_stats.avgdl
+        dfs = [corpus_stats.df.get(t, 0) for t in terms]
+    else:
+        # ONE statistics job: corpus size, average doc length, and
+        # df(t) for exactly the query's terms
+        stats = staged.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.size(toks)).alias("avgdl"),
+            *[F.count_if(F.array_contains(toks, t)).alias(f"df{i}")
+              for i, t in enumerate(terms)]).first()
+        n, avgdl = stats["n"], stats["avgdl"]
+        dfs = [stats[f"df{i}"] for i in range(len(terms))]
     if not n or not avgdl:
         raise ValueError("BM25 corpus is empty")
-    idf = [math.log((n - stats[f"df{i}"] + 0.5)
-                    / (stats[f"df{i}"] + 0.5) + 1.0)
-           for i in range(len(terms))]
+    idf = [math.log((n - d + 0.5) / (d + 0.5) + 1.0) for d in dfs]
 
     # match BEFORE scoring, on one cheap array test: idf > 0 always holds
     # for this BM25+ form, so score > 0 <=> at least one term present —
