@@ -1162,6 +1162,20 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.round("psi", 6).alias("observed"))
         return checks.unionByName(drift)
 
+    def b_resample(spark, sf_dir):
+        # per-user hourly grid with forward fill: one agg + per-key
+        # sequence explode + one fill window (DuckDB-pinned in
+        # tests/test_diff.py)
+        from valkey_search_spark.operators.diff import resample
+
+        ev = load_table(spark, sf_dir, "events")
+        out = resample(ev, every=3600,
+                       agg={"value": "sum", "event_id": "count"},
+                       fill="ffill")
+        return out.groupBy("user_id").agg(
+            F.count("*").alias("cells"),
+            F.round(F.sum("sum_value"), 4).alias("sv"))
+
     _ZPATH: dict = {}
 
     def b_zorder_scan(spark, sf_dir):
@@ -1242,6 +1256,7 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_expectations": b_expectations,
         "mine_bitext": b_bitext,
         "tokenizer_wordpiece": b_wordpiece_tokenize,
+        "events_resample": b_resample,
     }
 
 

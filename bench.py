@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "quality_expectations",
     "mine_bitext",
     "tokenizer_wordpiece",
+    "events_resample",
 ]
 
 
