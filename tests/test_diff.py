@@ -139,3 +139,23 @@ def test_validation(spark):
     with pytest.raises(ValueError):
         resample(df.withColumn("ts", F.lit(1.0)), every=10,
                  agg={"v": "sum"}, fill="bfill")
+
+
+def test_diff_null_keys_pair_up(spark):
+    before = spark.createDataFrame([(None, 1.0), (1, 2.0)],
+                                   "id string, v double")
+    after = spark.createDataFrame([(None, 1.0), (1, 2.5)],
+                                  "id string, v double")
+    got = {r["id"]: r["verdict"]
+           for r in diff_tables(before, after, key="id").collect()}
+    assert got == {None: "unchanged", "1": "changed"}
+
+
+def test_resample_single_scan(spark, sf_dir):
+    # the grid must come from the SAME aggregation subtree — a second
+    # parquet scan would mean the join-against-derived-grid shape
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = resample(ev, 3600, {"value": "sum"}, fill="ffill")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+    assert len(re.findall(r"Scan parquet", plan)) == 1, plan[:1500]

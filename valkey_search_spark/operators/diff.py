@@ -30,8 +30,10 @@ def diff_tables(before: DataFrame, after: DataFrame,
     """Row-wise diff by ``key``. ``columns`` restricts change detection
     (default: all shared non-key columns). Returns one row per key
     seen on either side: (key, verdict, changed_columns) with verdict
-    in {added, removed, changed, unchanged}. Null-safe: a column going
-    null <-> non-null counts as a change, null == null does not."""
+    in {added, removed, changed, unchanged}. Null-safe throughout: a
+    column going null <-> non-null counts as a change, null == null
+    does not, and null KEYS pair up across sides. PRECONDITION: each
+    snapshot is key-unique (verdicts fan out on duplicates)."""
     shared = [c for c in before.columns
               if c in set(after.columns) and c != key]
     cols = columns if columns is not None else shared
@@ -41,9 +43,16 @@ def diff_tables(before: DataFrame, after: DataFrame,
     if not cols:
         raise ValueError("no columns to compare")
 
-    b = before.select(key, F.struct(*cols).alias("__b"))
-    a = after.select(key, F.struct(*cols).alias("__a"))
-    j = b.join(a, key, "full_outer")
+    # null-safe key match too: a null-keyed row present on both sides
+    # must pair up, not report as added+removed. PRECONDITION: each
+    # snapshot is key-unique (the full-outer join fans out otherwise
+    # and fanned verdicts can mask real changes) — gate dirty inputs
+    # with check_expectations(..., Expect("unique", key)) first.
+    b = before.select(F.col(key).alias("__bk"),
+                      F.struct(*cols).alias("__b"))
+    a = after.select(F.col(key).alias("__ak"),
+                     F.struct(*cols).alias("__a"))
+    j = b.join(a, b["__bk"].eqNullSafe(a["__ak"]), "full_outer")
     changed_cols = F.filter(
         F.array(*[F.when(~F.col("__b")[c].eqNullSafe(F.col("__a")[c]),
                          F.lit(c)) for c in cols]),
@@ -53,7 +62,8 @@ def diff_tables(before: DataFrame, after: DataFrame,
                .when(F.size(changed_cols) > 0, F.lit("changed"))
                .otherwise(F.lit("unchanged")))
     return j.select(
-        F.col(key), verdict.alias("verdict"),
+        F.coalesce(F.col("__bk"), F.col("__ak")).alias(key),
+        verdict.alias("verdict"),
         F.when(verdict == "changed", changed_cols)
         .otherwise(F.array().cast("array<string>"))
         .alias("changed_columns"))
@@ -77,9 +87,12 @@ def resample(df: DataFrame, every: int, agg: dict[str, str],
     first and last bucket. ``fill``: "none" leaves gap rows null,
     "ffill" forward-fills from the key's previous non-null bucket,
     "zero" fills numeric zeros. Grid cells are epoch-second buckets
-    (``bucket_ts`` timestamp + ``bucket`` long). Per-key work only:
-    one aggregation, one min/max + sequence explode, one join back,
-    one optional forward-fill window — all on the same key."""
+    (``bucket_ts`` timestamp + ``bucket`` long). Per-key work only,
+    and the source is scanned ONCE: each aggregated bucket row emits
+    the grid cells up to the key's next bucket (a lead window + one
+    sequence explode — no self-join back onto the aggregation, which
+    would re-execute the scan per branch), then an optional fill
+    window on the same key partitioning."""
     if every <= 0:
         raise ValueError("every must be positive seconds")
     if fill not in ("none", "ffill", "zero"):
@@ -92,34 +105,39 @@ def resample(df: DataFrame, every: int, agg: dict[str, str],
         if how not in fns:
             raise ValueError(f"unknown agg {how!r} for {c!r}")
 
-    dtypes = dict(df.dtypes)
-    secs = (F.unix_micros(F.col(ts_col).cast("timestamp"))
-            .cast("double") / 1e6
-            if dtypes[ts_col].startswith("timestamp")
-            else F.col(ts_col).cast("double"))
-    bucket = F.floor(secs / every).cast("long")
+    from .temporal import _epoch_seconds
+
+    bucket = F.floor(_epoch_seconds(df, ts_col) / every).cast("long")
     out_names = [f"{how}_{c}" for c, how in agg.items()]
     got = (df.withColumn("__bkt", bucket)
            .groupBy(key, "__bkt")
            .agg(*[fns[how](c).alias(f"{how}_{c}")
                   for c, how in agg.items()]))
-    grid = (got.groupBy(key)
-            .agg(F.min("__bkt").alias("__lo"), F.max("__bkt").alias("__hi"))
-            .select(key, F.explode(F.sequence("__lo", "__hi"))
-                    .alias("__bkt")))
-    full = grid.join(got, [key, "__bkt"], "left")
+    # each bucket row emits its own cell plus the gap cells up to the
+    # key's next bucket — the grid materializes from the SAME subtree
+    # (a join against a separately-derived grid would re-execute the
+    # whole scan+aggregation per branch; exchange reuse does not fire
+    # across pruned branches)
+    w = Window.partitionBy(key).orderBy("__bkt")
+    staged = got.withColumn(
+        "__hi", F.coalesce(F.lead("__bkt").over(w) - 1, F.col("__bkt")))
+    expanded = staged.select(
+        key, "__bkt", *out_names,
+        F.explode(F.sequence("__bkt", "__hi")).alias("bucket"))
+    own = F.col("bucket") == F.col("__bkt")
     if fill == "ffill":
-        w = Window.partitionBy(key).orderBy("__bkt") \
+        # gap cells inherit their emitting row's values = forward fill;
+        # null aggregates still skip back via last(ignorenulls) on the
+        # same key partitioning (sort-only, no new exchange)
+        wf = Window.partitionBy(key).orderBy("bucket") \
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        full = full.select(
-            key, "__bkt",
-            *[F.last(n, ignorenulls=True).over(w).alias(n)
-              for n in out_names])
+        vals = [F.last(F.when(own, F.col(n)), ignorenulls=True)
+                .over(wf).alias(n) for n in out_names]
     elif fill == "zero":
-        full = full.select(
-            key, "__bkt",
-            *[F.coalesce(F.col(n), F.lit(0)).alias(n)
-              for n in out_names])
-    return (full.withColumn(
-        "bucket_ts", F.timestamp_seconds(F.col("__bkt") * every))
-        .withColumnRenamed("__bkt", "bucket"))
+        vals = [F.coalesce(F.when(own, F.col(n)), F.lit(0)).alias(n)
+                for n in out_names]
+    else:
+        vals = [F.when(own, F.col(n)).alias(n) for n in out_names]
+    return (expanded.select(key, "bucket", *vals)
+            .withColumn("bucket_ts",
+                        F.timestamp_seconds(F.col("bucket") * every)))

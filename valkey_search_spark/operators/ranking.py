@@ -66,11 +66,12 @@ class BM25Stats:
 def bm25_corpus_stats(df: DataFrame, text_col: str = "text",
                       tokens_col: str | Column | None = None,
                       vocab_limit: int = 50_000) -> BM25Stats:
-    """The ingest-time half of BM25: ONE pass computes N, avgdl, and
-    per-token document frequencies for the top ``vocab_limit`` tokens
-    (df = docs containing the token, via a per-doc distinct explode).
-    Feed the result to ``bm25_rank(corpus_stats=...)`` and every later
-    query against this corpus runs zero eager statistics jobs."""
+    """The ingest-time half of BM25: two bounded jobs over one
+    tokenized projection compute N + avgdl and the per-token document
+    frequencies for the top ``vocab_limit`` tokens (df = docs
+    containing the token, via a per-doc distinct explode). Feed the
+    result to ``bm25_rank(corpus_stats=...)`` and every later query
+    against this corpus runs zero eager statistics jobs."""
     if tokens_col is None:
         toks_src = raw_tokens_column(F.col(text_col))
     elif isinstance(tokens_col, Column):
