@@ -1,0 +1,42 @@
+"""ft_explain: the plan-inspection surface — parsed predicate, pushed
+filters, Python-stage and exchange counts, KNN planner mode."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from valkey_search_spark import (NumericField, SearchEngine, TagField,
+                                 TextField, VectorField)
+
+
+def test_ft_explain_surfaces(spark, sf_dir):
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    eng = SearchEngine(spark)
+    eng.ft_create("exp_parts", part,
+                  [TagField("p_brand"), NumericField("p_retailprice"),
+                   TextField("p_name")], key_column="p_partkey")
+    ex = eng.ft_explain("exp_parts", "@p_brand:{Brand#13} "
+                                     "@p_retailprice:[905 915]")
+    assert "Brand#13" in ex["predicate"]
+    assert {"tag", "numeric"} <= set(ex["operations"])
+    assert ex["knn"] is None
+    # the numeric range reaches the parquet scan
+    assert any("p_retailprice" in f for f in ex["pushed_filters"])
+    assert ex["python_stages"] == 0
+    assert "Scan parquet" in ex["physical_plan"]
+
+    # a fuzzy query surfaces its text operation; plan text is returned
+    ex2 = eng.ft_explain("exp_parts", "%widgot%")
+    assert "text_fuzzy" in ex2["operations"]
+
+
+def test_ft_explain_knn_mode(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    eng = SearchEngine(spark)
+    eng.ft_create("exp_vecs", emb,
+                  [VectorField("embedding", dim=64, metric="l2")],
+                  key_column="vec_id")
+    ex = eng.ft_explain("exp_vecs", "*=>[KNN 5 @embedding $v]",
+                        params={"v": [0.0] * 64})
+    assert ex["knn"]["k"] == 5 and ex["knn"]["attr"] == "embedding"
+    assert ex["knn"]["mode"] in ("exact", "ann", "prefilter", "inline")
+    assert ex["exchanges"] >= 0 and "physical_plan" in ex

@@ -170,6 +170,52 @@ class SearchEngine:
         schema._ann[fdef.attr] = ivf
         return ivf
 
+    def ft_explain(self, index: str, query: str,
+                   params: dict | None = None, **kwargs) -> dict:
+        """Plan inspection for a query — the debugging surface a
+        Spark-native engine can offer that the reference cannot:
+        the parsed predicate, the KNN clause and the planner's
+        pre-filter-vs-inline decision, the executed physical plan,
+        the filters PUSHED into the parquet scan, and the count of
+        Python (Arrow) stages and exchanges. Builds the same lazy plan
+        as ``ft_search`` (same kwargs) without executing it; the only
+        work is Catalyst analysis plus any planner selectivity probe
+        the query itself would run."""
+        import re as _re
+
+        before_inline = self._metrics["inline_filtering_requests_count"]
+        before_pre = self._metrics["prefiltering_requests_count"]
+        df = self.ft_search(index, query, params=params, **kwargs)
+        parsed = self._req.parsed
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # plan toString truncates long scan lines, so the filter list
+        # may lose its closing bracket — capture to bracket OR line end
+        pushed = [f.rstrip(".") for grp in
+                  _re.findall(r"PushedFilters: \[([^\]\n]*)", plan)
+                  for f in grp.split(", ") if f and f != "..."]
+        knn = None
+        if parsed.knn is not None:
+            if self._metrics["inline_filtering_requests_count"] \
+                    > before_inline:
+                mode = "inline"
+            elif self._metrics["prefiltering_requests_count"] \
+                    > before_pre:
+                mode = "prefilter"
+            else:
+                mode = "exact" if "Scan parquet" in plan else "ann"
+            knn = {"attr": parsed.knn.attr, "k": parsed.knn.k,
+                   "mode": mode}
+        return {
+            "predicate": repr(parsed.predicate),
+            "operations": sorted(query_operation_flags(self._req.pred)),
+            "knn": knn,
+            "pushed_filters": pushed,
+            "python_stages": len(_re.findall(
+                r"ArrowEvalPython|BatchEvalPython|MapInPandas", plan)),
+            "exchanges": len(_re.findall(r"Exchange ", plan)),
+            "physical_plan": plan,
+        }
+
     def ft_dropindex(self, name: str) -> None:
         self.catalog.drop(name)
 
