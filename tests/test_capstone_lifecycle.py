@@ -66,10 +66,10 @@ def test_corpus_lifecycle(spark, sf_dir, tmp_path):
         .select("doc_id", "embedding").localCheckpoint()
     qv = emb.where(F.col("doc_id") == 999_999) \
         .select(F.lit("q").alias("qid"), "embedding")
-    knn_run = knn_join(qv, emb, k=50, corpus_key="doc_id",
-                       metric="cosine") \
-        .select(F.lit("q").alias("qid"), "doc_id",
-                (-F.col("distance")).alias("score"))
+    knn_full = knn_join(qv, emb, k=50, corpus_key="doc_id",
+                        metric="cosine")
+    knn_run = knn_full.select(F.lit("q").alias("qid"), "doc_id",
+                              (-F.col("distance")).alias("score"))
     fused = rrf_fuse({"bm25": text_run, "knn": knn_run}, k=60, top_n=30)
     cands = fused.join(emb, "doc_id") \
         .select("qid", "doc_id", F.col("rrf_score").alias("score"),
@@ -82,8 +82,11 @@ def test_corpus_lifecycle(spark, sf_dir, tmp_path):
     assert 2 not in picked                  # deleted doc never surfaces
 
     # 6. measure the hybrid list against exact-KNN qrels
-    qrels = knn_run.select("qid", "doc_id", F.lit(1).alias("grade")) \
-        .limit(10)
+    # deterministic judged set: the TOP-10 by knn rank (a bare limit
+    # without ordering is an arbitrary cut on a distributed frame)
+    qrels = knn_full.where(F.col("rank") <= 10) \
+        .select(F.lit("q").alias("qid"), "doc_id",
+                F.lit(1).alias("grade"))
     results = spark.createDataFrame(
         [("q", r["doc_id"], float(-r["mmr_rank"])) for r in final],
         "qid string, doc_id long, score double")

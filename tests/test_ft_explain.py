@@ -29,14 +29,24 @@ def test_ft_explain_surfaces(spark, sf_dir):
     assert "text_fuzzy" in ex2["operations"]
 
 
-def test_ft_explain_knn_mode(spark, sf_dir):
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+def test_ft_explain_knn_mode_and_metrics_untouched(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .withColumn("grp", F.pmod("vec_id", F.lit(4)).cast("string"))
     eng = SearchEngine(spark)
     eng.ft_create("exp_vecs", emb,
-                  [VectorField("embedding", dim=64, metric="l2")],
-                  key_column="vec_id")
+                  [VectorField("embedding", dim=64, metric="l2"),
+                   TagField("grp")], key_column="vec_id")
+    before = dict(eng._metrics)
+    # no ANN artifact: match-all KNN is FLAT exact
     ex = eng.ft_explain("exp_vecs", "*=>[KNN 5 @embedding $v]",
                         params={"v": [0.0] * 64})
-    assert ex["knn"]["k"] == 5 and ex["knn"]["attr"] == "embedding"
-    assert ex["knn"]["mode"] in ("exact", "ann", "prefilter", "inline")
-    assert ex["exchanges"] >= 0 and "physical_plan" in ex
+    assert ex["knn"] == {"attr": "embedding", "k": 5, "mode": "exact"}
+    # hybrid exact KNN: filter first = prefilter
+    ex2 = eng.ft_explain("exp_vecs", "@grp:{1}=>[KNN 5 @embedding $v]",
+                         params={"v": [0.0] * 64})
+    assert ex2["knn"]["mode"] == "prefilter"
+    # an explain is NOT a served query: every counter is unchanged
+    assert dict(eng._metrics) == before
+    import pytest
+    with pytest.raises(ValueError, match="without executing"):
+        eng.ft_explain("exp_vecs", "*", count_only=True)

@@ -183,28 +183,35 @@ class SearchEngine:
         the query itself would run."""
         import re as _re
 
-        before_inline = self._metrics["inline_filtering_requests_count"]
-        before_pre = self._metrics["prefiltering_requests_count"]
-        df = self.ft_search(index, query, params=params, **kwargs)
+        if kwargs.get("count_only") or kwargs.get("_observe_total"):
+            raise ValueError(
+                "ft_explain inspects a plan without executing; "
+                "count_only/_observe_total would run the query")
+        # _ft_search (not ft_search): an explain must not count as a
+        # served request — and the explaining flag suppresses the two
+        # strategy counters _ft_search itself bumps. The ANN-mode
+        # record rides the THREAD-LOCAL request state, so concurrent
+        # searches cannot misclassify this query (metric deltas would).
+        self._req.explaining = True
+        try:
+            df = self._ft_search(index, query, params=params, **kwargs)
+        finally:
+            self._req.explaining = False
         parsed = self._req.parsed
         plan = df._jdf.queryExecution().executedPlan().toString()
-        # plan toString truncates long scan lines, so the filter list
-        # may lose its closing bracket — capture to bracket OR line end
-        pushed = [f.rstrip(".") for grp in
-                  _re.findall(r"PushedFilters: \[([^\]\n]*)", plan)
-                  for f in grp.split(", ") if f and f != "..."]
+        # plan toString truncates long scan lines: capture to the
+        # closing bracket OR line end, and DROP a trailing fragment
+        # that lost its bracket mid-token
+        pushed = []
+        for m in _re.finditer(r"PushedFilters: \[([^\]\n]*)(\]?)", plan):
+            items = [f for f in m.group(1).split(", ") if f]
+            if m.group(2) != "]" and items:
+                items = items[:-1]          # truncated mid-item
+            pushed.extend(f for f in items if f != "...")
         knn = None
         if parsed.knn is not None:
-            if self._metrics["inline_filtering_requests_count"] \
-                    > before_inline:
-                mode = "inline"
-            elif self._metrics["prefiltering_requests_count"] \
-                    > before_pre:
-                mode = "prefilter"
-            else:
-                mode = "exact" if "Scan parquet" in plan else "ann"
             knn = {"attr": parsed.knn.attr, "k": parsed.knn.k,
-                   "mode": mode}
+                   "mode": self._req.ann_mode}
         return {
             "predicate": repr(parsed.predicate),
             "operations": sorted(query_operation_flags(self._req.pred)),
@@ -212,7 +219,8 @@ class SearchEngine:
             "pushed_filters": pushed,
             "python_stages": len(_re.findall(
                 r"ArrowEvalPython|BatchEvalPython|MapInPandas", plan)),
-            "exchanges": len(_re.findall(r"Exchange ", plan)),
+            # ReusedExchange is a re-read, not a second shuffle
+            "exchanges": len(_re.findall(r"(?<!Reused)Exchange ", plan)),
             "physical_plan": plan,
         }
 
@@ -462,6 +470,10 @@ class SearchEngine:
         parsed.predicate = translator.preprocess(parsed.predicate)
         pred = self._maybe_proximity(parsed, slop, inorder)
         self._req.pred = pred       # post-SLOP/INORDER, for op counters
+        # thread-local ANN-strategy record for ft_explain (None = no
+        # vector clause); set at each physical-choice branch below
+        self._req.ann_mode = None
+        explaining = getattr(self._req, "explaining", False)
         match_all = isinstance(pred, MatchAll)
 
         # ANN planner (the reference's pre-filter vs inline-filter choice,
@@ -508,7 +520,9 @@ class SearchEngine:
             if ann is not None:
                 score = parsed.knn.score_alias()
                 prefilter = None if match_all else translator.translate(pred)
-                if prefilter is not None:
+                self._req.ann_mode = ("inline" if prefilter is not None
+                                      else "ann")
+                if prefilter is not None and not explaining:
                     # predicate evaluated INSIDE the probed lists
                     self._metrics["inline_filtering_requests_count"] += 1
                 df = ann.search(parsed.knn.vector, k=parsed.knn.k,
@@ -532,7 +546,8 @@ class SearchEngine:
         if not match_all:
             df = _apply_predicate(df, translator, pred)
         if parsed.knn is not None:
-            if not match_all:
+            self._req.ann_mode = "prefilter" if not match_all else "exact"
+            if not match_all and not explaining:
                 # exact hybrid: filter first, then distance — pre-filtering
                 self._metrics["prefiltering_requests_count"] += 1
             df = self._knn(schema, df, parsed)
