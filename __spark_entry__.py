@@ -1221,6 +1221,40 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = load_table(spark, sf_dir, "documents")
         return corpus_profile(docs)
 
+    def b_url_dedup(spark, sf_dir):
+        # URL-canonicalization dedup (the C4/RefinedWeb front door):
+        # all-JVM normalize (lowercase/ports/tracking-params/sort) +
+        # one shuffle on the canonical string. URLs are synthesized
+        # from doc_id with planted equivalent-form groups (param order,
+        # fragments, default ports, case) so the canonicalizer has real
+        # collapsing work; DuckDB-oracle-pinned in tests/test_urlops.py
+        from valkey_search_spark.operators.urlops import url_dedup
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id")
+        d = F.col("doc_id")
+        g = d % 200
+        scheme = F.element_at(
+            F.array(F.lit("https"), F.lit("HTTPS"), F.lit("https")),
+            (d % 3 + 1).cast("int"))
+        host = F.concat(
+            F.when(d % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+            F.lit("site"), (g % 37).cast("string"),
+            F.element_at(F.array(F.lit(".example.com"),
+                                 F.lit(".example.co.uk"),
+                                 F.lit(".shop.com.au")),
+                         (g % 3 + 1).cast("int")),
+            F.when(d % 5 == 0, F.lit(":443")).otherwise(F.lit("")))
+        qs = F.element_at(F.array(
+            F.lit("?a=1&b=2"), F.lit("?b=2&a=1"),
+            F.lit("?a=1&utm_source=x&b=2"), F.lit("?b=2&a=1&gclid=9")),
+            (d % 4 + 1).cast("int"))
+        frag = F.when(d % 7 == 0, F.lit("#top")).otherwise(F.lit(""))
+        urls = docs.select(
+            "doc_id",
+            F.concat(scheme, F.lit("://"), host, F.lit("/p/"),
+                     g.cast("string"), qs, frag).alias("url"))
+        return url_dedup(urls, "doc_id")
+
     return {
         "text_proximity_3term": _search("docs", "batch stream window",
                                         DOC_COLS, slop=2, inorder=True),
@@ -1257,6 +1291,7 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mine_bitext": b_bitext,
         "tokenizer_wordpiece": b_wordpiece_tokenize,
         "events_resample": b_resample,
+        "hygiene_url_dedup": b_url_dedup,
     }
 
 

@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "mine_bitext",
     "tokenizer_wordpiece",
     "events_resample",
+    "hygiene_url_dedup",
 ]
 
 
