@@ -1221,6 +1221,49 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = load_table(spark, sf_dir, "documents")
         return corpus_profile(docs)
 
+    _WARC: dict = {}
+
+    def b_warc_ingest(spark, sf_dir):
+        # crawl front door: WARC archive (per-record gzip members, the
+        # Common Crawl layout) -> response records -> HTML extraction.
+        # The archive is a build-once artifact wrapping the real
+        # documents in markup; the timed path is parse + extract.
+        # Forward-writer-pinned in tests/test_warc.py
+        import gzip as _gz
+
+        from valkey_search_spark.operators.html import extract_documents
+        from valkey_search_spark.sources.warc import warc_html_documents
+
+        if sf_dir not in _WARC:
+            d = f"/tmp/valkey_warc_{os.path.basename(sf_dir.rstrip('/'))}"
+            os.makedirs(d, exist_ok=True)
+            docs = load_table(spark, sf_dir, "documents") \
+                .select("doc_id", "text").collect()
+            n_files = 8
+            handles = [open(f"{d}/part{i}.warc.gz", "wb")
+                       for i in range(n_files)]
+            for r in docs:
+                body = (f"<html><head><title>doc {r.doc_id}</title>"
+                        f"</head><body><p>{r.text}</p></body></html>"
+                        ).encode()
+                http = (f"HTTP/1.1 200 OK\r\nContent-Type: text/html"
+                        f"\r\nContent-Length: {len(body)}\r\n\r\n"
+                        ).encode() + body
+                rec = (f"WARC/1.0\r\nWARC-Type: response\r\n"
+                       f"WARC-Record-ID: <urn:uuid:{r.doc_id}>\r\n"
+                       f"WARC-Date: 2026-01-02T03:04:05Z\r\n"
+                       f"WARC-Target-URI: https://ex.com/{r.doc_id}\r\n"
+                       f"Content-Length: {len(http)}\r\n\r\n"
+                       ).encode() + http + b"\r\n\r\n"
+                handles[r.doc_id % n_files].write(_gz.compress(rec))
+            for h in handles:
+                h.close()
+            _WARC[sf_dir] = d
+        docs = warc_html_documents(spark, _WARC[sf_dir])
+        return extract_documents(docs, html_col="html").select(
+            "url", F.length("text").alias("text_len"), "title",
+            F.round("link_density", 4).alias("ld"))
+
     def b_url_dedup(spark, sf_dir):
         # URL-canonicalization dedup (the C4/RefinedWeb front door):
         # all-JVM normalize (lowercase/ports/tracking-params/sort) +
@@ -1292,6 +1335,7 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_wordpiece": b_wordpiece_tokenize,
         "events_resample": b_resample,
         "hygiene_url_dedup": b_url_dedup,
+        "ingest_warc_extract": b_warc_ingest,
     }
 
 

@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "tokenizer_wordpiece",
     "events_resample",
     "hygiene_url_dedup",
+    "ingest_warc_extract",
 ]
 
 

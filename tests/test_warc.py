@@ -1,0 +1,163 @@
+"""WARC reader: independent forward writer pin (stdlib-built archives),
+gzip member layout, HTTP parsing, truncation/malformed contracts, and
+the composed WARC -> html -> url pipeline."""
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from valkey_search_spark.sources.warc import read_warc, warc_html_documents
+
+
+# ---------------------------------------------------------------------------
+# independent forward WARC writer (stdlib only — the reader never sees it)
+
+def _record(rtype: str, rid: str, payload: bytes, uri: str | None = None,
+            extra: dict | None = None) -> bytes:
+    h = ["WARC/1.0",
+         f"WARC-Type: {rtype}",
+         f"WARC-Record-ID: <urn:uuid:{rid}>",
+         "WARC-Date: 2026-01-02T03:04:05Z"]
+    if uri:
+        h.append(f"WARC-Target-URI: {uri}")
+    for k, v in (extra or {}).items():
+        h.append(f"{k}: {v}")
+    h.append(f"Content-Length: {len(payload)}")
+    head = "\r\n".join(h).encode() + b"\r\n\r\n"
+    return head + payload + b"\r\n\r\n"
+
+
+def _http(body: bytes, status: int = 200,
+          ctype: str = "text/html; charset=utf-8") -> bytes:
+    return (f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n").encode() + body
+
+
+def _archive(pages: list[tuple[str, bytes, int, str]],
+             gzipped: bool, per_member: bool = True) -> bytes:
+    recs = [_record("warcinfo", "info-0", b"software: test\r\n")]
+    for i, (uri, body, status, ctype) in enumerate(pages):
+        recs.append(_record("request", f"req-{i}",
+                            b"GET / HTTP/1.1\r\n\r\n", uri))
+        recs.append(_record("response", f"resp-{i}",
+                            _http(body, status, ctype), uri))
+    if not gzipped:
+        return b"".join(recs)
+    if per_member:                      # the real Common Crawl layout
+        return b"".join(gzip.compress(r) for r in recs)
+    return gzip.compress(b"".join(recs))
+
+
+_PAGES = [
+    ("https://example.com/a", b"<html><title>A</title><p>alpha beta</p>"
+     b"</html>", 200, "text/html; charset=utf-8"),
+    ("https://example.com/b?utm_source=x&q=1",
+     "<html><p>gamma &amp; delta é</p></html>".encode(), 200,
+     "text/html"),
+    ("https://example.com/c", b"{\"k\": 1}", 200, "application/json"),
+    ("https://example.com/d", b"gone", 404, "text/html"),
+]
+
+
+@pytest.fixture(scope="module")
+def warc_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("warc")
+    (d / "plain.warc").write_bytes(_archive(_PAGES[:2], gzipped=False))
+    (d / "members.warc.gz").write_bytes(
+        _archive(_PAGES[2:], gzipped=True, per_member=True))
+    (d / "whole.warc.gz").write_bytes(
+        _archive([_PAGES[0]], gzipped=True, per_member=False))
+    (d / "ignored.txt").write_bytes(b"not a warc")
+    return str(d)
+
+
+# ---------------------------------------------------------------------------
+def test_reads_all_layouts_and_filters_responses(spark, warc_dir):
+    rows = read_warc(spark, warc_dir).collect()
+    # 2 + 2 + 1 response records; requests/warcinfo filtered by default
+    assert len(rows) == 5
+    assert {r.record_type for r in rows} == {"response"}
+    by_uri = {}
+    for r in rows:
+        by_uri.setdefault(r.target_uri, []).append(r)
+    a = by_uri["https://example.com/a"]
+    assert len(a) == 2                       # plain + whole-gzip copies
+    assert all(r.http_status == 200 for r in a)
+    assert all(r.payload == _PAGES[0][1] for r in a)
+    assert all("text/html" in r.content_type for r in a)
+    d = by_uri["https://example.com/d"][0]
+    assert d.http_status == 404 and d.payload == b"gone"
+    j = by_uri["https://example.com/c"][0]
+    assert j.content_type == "application/json"
+    assert all(r.warc_date == "2026-01-02T03:04:05Z" for r in rows)
+    assert all(r.record_id.startswith("<urn:uuid:resp-") for r in rows)
+    assert all(not r.payload_truncated for r in rows)
+
+
+def test_record_type_selection(spark, warc_dir):
+    all_rows = read_warc(spark, warc_dir, record_types=None).collect()
+    types = sorted({r.record_type for r in all_rows})
+    assert types == ["request", "response", "warcinfo"]
+    reqs = read_warc(spark, warc_dir, record_types=("request",)).collect()
+    assert len(reqs) == 5 and all(r.http_status is None for r in reqs)
+
+
+def test_payload_cap_flags_truncation(spark, warc_dir):
+    rows = read_warc(spark, warc_dir, max_payload_bytes=10).collect()
+    big = [r for r in rows if r.target_uri == "https://example.com/a"][0]
+    assert big.payload_truncated and len(big.payload) == 10
+    small = [r for r in rows if r.target_uri == "https://example.com/d"][0]
+    assert not small.payload_truncated and small.payload == b"gone"
+
+
+def test_malformed_contracts(spark, tmp_path):
+    good = _archive(_PAGES[:1], gzipped=False)
+    (tmp_path / "cut.warc").write_bytes(good + b"WARC/1.0\r\n"
+                                        b"WARC-Type: response\r\n"
+                                        b"Content-Length: 999\r\n\r\nstub")
+    rows = read_warc(spark, str(tmp_path)).collect()
+    assert len(rows) == 1                    # parsed prefix kept
+    with pytest.raises(Exception, match="truncated record payload"):
+        read_warc(spark, str(tmp_path), on_error="raise").collect()
+    (tmp_path / "cut.warc").write_bytes(b"GARBAGE not warc")
+    with pytest.raises(Exception, match="not a WARC record header"):
+        read_warc(spark, str(tmp_path)).collect()
+    with pytest.raises(ValueError):
+        read_warc(spark, str(tmp_path), on_error="nope")
+
+
+def test_streamed_batches_bound_memory(spark, tmp_path):
+    # 500 records through batch_rows=50 -> the generator yields many
+    # small batches; row count and order-insensitive content survive
+    pages = [(f"https://s.com/{i}", f"<p>doc {i}</p>".encode(), 200,
+              "text/html") for i in range(500)]
+    (tmp_path / "big.warc.gz").write_bytes(
+        _archive(pages, gzipped=True, per_member=True))
+    out = read_warc(spark, str(tmp_path), batch_rows=50)
+    assert out.count() == 500
+    uris = {r.target_uri for r in out.select("target_uri").collect()}
+    assert uris == {p[0] for p in pages}
+
+
+# ---------------------------------------------------------------------------
+def test_composed_crawl_front_door(spark, warc_dir):
+    from valkey_search_spark.operators.html import extract_documents
+    from valkey_search_spark.operators.urlops import normalize_url
+
+    docs = warc_html_documents(spark, warc_dir)
+    rows = docs.collect()
+    # json + 404 filtered; html responses survive (a twice: two layouts)
+    assert sorted(r.url for r in rows) == [
+        "https://example.com/a", "https://example.com/a",
+        "https://example.com/b?utm_source=x&q=1"]
+    out = extract_documents(docs, html_col="html") \
+        .withColumn("norm_url", normalize_url(F.col("url"))) \
+        .collect()
+    by_url = {r.norm_url: r for r in out}
+    assert by_url["https://example.com/a"].text == "alpha beta"
+    assert by_url["https://example.com/a"].title == "A"
+    b = by_url["https://example.com/b?q=1"]   # tracking param stripped
+    assert b.text == "gamma & delta é"   # entity + utf-8 survived

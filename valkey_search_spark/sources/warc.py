@@ -1,0 +1,202 @@
+"""WARC source reader — the Common Crawl front door.
+
+Web-corpus pipelines (C4, RefinedWeb, Gopher, FineWeb) all start from
+WARC archives: concatenated ``WARC/1.x`` records, usually stored as
+per-record gzip members so a reader can skip without decompressing the
+whole file. This reader turns a directory of ``.warc`` / ``.warc.gz``
+files into a DataFrame of records ready for the rest of the pipeline
+(``operators.html.extract_documents`` → ``operators.urlops`` →
+dedup/quality gates).
+
+Shape: ONE ``binaryFile`` scan (one task per file — exactly how
+production crawl processing parallelizes, since WARC is not
+block-splittable) → an Arrow-batched ``mapInPandas`` generator that
+yields record batches as it parses, so peak memory per task is the
+compressed file plus one decompressed record, never the decompressed
+file. Multi-member gzip is handled by stdlib ``gzip`` (it reads
+concatenated members natively).
+
+Per record we emit the WARC envelope fields plus, for ``response``
+records, the parsed HTTP layer (status, Content-Type, body). Payloads
+are capped at ``max_payload_bytes`` (truncation flagged, never an
+error) — a corpus pass wants bounded rows, not 2 GB favicon bombs.
+
+Malformed input contract: a file that does not start with a WARC
+version line raises ``ValueError`` naming the file; a structurally
+broken record mid-file stops that file's parse and, under the default
+``on_error="truncate"``, keeps the records already parsed (the
+standard posture for crawl data, where truncated tails are routine);
+``on_error="raise"`` escalates instead.
+
+Reference analogue: none (beyond-reference source per SURVEY.md §2.10;
+the reference ingests from a live keyspace, not archives).
+"""
+from __future__ import annotations
+
+import gzip
+import io
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, types as T
+
+WARC_SCHEMA = T.StructType([
+    T.StructField("warc_file", T.StringType()),
+    T.StructField("record_id", T.StringType()),
+    T.StructField("record_type", T.StringType()),
+    T.StructField("target_uri", T.StringType()),
+    T.StructField("warc_date", T.StringType()),
+    T.StructField("http_status", T.IntegerType()),
+    T.StructField("content_type", T.StringType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("payload_truncated", T.BooleanType()),
+])
+
+
+def _header_block(stream) -> dict[str, str] | None:
+    """Read one CRLF-terminated header block; None at clean EOF."""
+    line = stream.readline()
+    while line in (b"\r\n", b"\n"):          # inter-record blank lines
+        line = stream.readline()
+    if not line:
+        return None
+    if not line.startswith(b"WARC/"):
+        raise ValueError(f"not a WARC record header: {line[:40]!r}")
+    headers: dict[str, str] = {}
+    while True:
+        line = stream.readline()
+        if line in (b"\r\n", b"\n", b""):
+            return headers
+        if b":" in line:
+            k, v = line.split(b":", 1)
+            headers[k.strip().lower().decode("ascii", "replace")] = \
+                v.strip().decode("utf-8", "replace")
+
+
+def _parse_http(payload: bytes):
+    """Split an HTTP response into (status, content_type, body).
+    Non-HTTP payloads come back as (None, None, payload)."""
+    if not payload.startswith(b"HTTP/"):
+        return None, None, payload
+    sep = payload.find(b"\r\n\r\n")
+    nl = b"\r\n"
+    if sep < 0:
+        sep = payload.find(b"\n\n")
+        nl = b"\n"
+        if sep < 0:
+            return None, None, payload
+    head, body = payload[:sep], payload[sep + 2 * len(nl):]
+    lines = head.split(nl)
+    try:
+        status = int(lines[0].split()[1])
+    except (IndexError, ValueError):
+        return None, None, payload
+    ctype = None
+    for ln in lines[1:]:
+        if ln.lower().startswith(b"content-type:"):
+            ctype = ln.split(b":", 1)[1].strip() \
+                .decode("utf-8", "replace")
+            break
+    return status, ctype, body
+
+
+def _iter_records(raw: bytes, fname: str, record_types, cap: int,
+                  on_error: str):
+    stream: io.BufferedIOBase
+    if raw[:2] == b"\x1f\x8b":
+        # stdlib gzip reads concatenated members (the per-record-gzip
+        # WARC layout) as one stream
+        stream = gzip.GzipFile(fileobj=io.BytesIO(raw))  # type: ignore
+    else:
+        stream = io.BytesIO(raw)
+    first = True
+    while True:
+        try:
+            headers = _header_block(stream)
+            if headers is None:
+                return
+            length = int(headers.get("content-length", "0"))
+            payload = stream.read(length)
+            if len(payload) != length:
+                raise ValueError("truncated record payload")
+        except (ValueError, EOFError, OSError) as e:
+            if first or on_error == "raise":
+                raise ValueError(f"{fname}: {e}") from e
+            return                            # keep what parsed so far
+        first = False
+        rtype = headers.get("warc-type", "")
+        if record_types is not None and rtype not in record_types:
+            continue
+        status, ctype, body = (None, None, payload)
+        if rtype in ("response", "revisit"):
+            status, ctype, body = _parse_http(payload)
+        elif rtype == "conversion":
+            ctype = headers.get("content-type")
+        truncated = len(body) > cap
+        yield {
+            "warc_file": fname,
+            "record_id": headers.get("warc-record-id"),
+            "record_type": rtype,
+            "target_uri": headers.get("warc-target-uri"),
+            "warc_date": headers.get("warc-date"),
+            "http_status": status,
+            "content_type": ctype,
+            "payload": body[:cap],
+            "payload_truncated": truncated,
+        }
+
+
+def read_warc(spark: SparkSession, path: str, *,
+              record_types=("response",),
+              max_payload_bytes: int = 1 << 20,
+              on_error: str = "truncate",
+              batch_rows: int = 200) -> DataFrame:
+    """Read ``.warc`` / ``.warc.gz`` files under ``path`` into a record
+    DataFrame (schema: ``WARC_SCHEMA``). ``record_types=None`` keeps
+    every record type (warcinfo/request/metadata included). Records
+    stream out in ``batch_rows`` batches, so task memory is bounded by
+    the compressed file + one record, not the decompressed archive."""
+    if on_error not in ("truncate", "raise"):
+        raise ValueError("on_error must be 'truncate' or 'raise'")
+    rtypes = tuple(record_types) if record_types is not None else None
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", "*.warc*")
+             .load(path)
+             .select("path", "content"))
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WARC_SCHEMA.fields]
+        for pdf in batches:
+            for fname, raw in zip(pdf["path"], pdf["content"]):
+                rows = []
+                for rec in _iter_records(bytes(raw), fname, rtypes,
+                                         max_payload_bytes, on_error):
+                    rows.append(rec)
+                    if len(rows) >= batch_rows:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(parse, WARC_SCHEMA)
+
+
+def warc_html_documents(spark: SparkSession, path: str,
+                        **read_kwargs) -> DataFrame:
+    """The composed crawl front door: WARC response records with an
+    HTML Content-Type, decoded as UTF-8 (lossy) into an ``html``
+    column keyed by ``target_uri`` — feed straight into
+    ``operators.html.extract_documents`` + ``operators.urlops``."""
+    from pyspark.sql import functions as F
+
+    recs = read_warc(spark, path, **read_kwargs)
+    return (recs
+            .where(F.col("record_type") == "response")
+            .where(F.col("http_status") == 200)
+            .where(F.coalesce(F.col("content_type"), F.lit(""))
+                   .contains("html"))
+            .select(F.col("target_uri").alias("url"),
+                    F.col("warc_date"),
+                    F.decode(F.col("payload"), "UTF-8").alias("html"),
+                    "payload_truncated"))
