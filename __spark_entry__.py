@@ -1221,6 +1221,21 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = load_table(spark, sf_dir, "documents")
         return corpus_profile(docs)
 
+    def b_clean_text(spark, sf_dir):
+        # Unicode cleanup JVM tier + the mojibake probe: pure regexp
+        # codegen, map-only (scalar-reference-pinned in
+        # tests/test_cleaning.py). References the cleaned length AND
+        # the probe so pruning can't drop either chain.
+        from valkey_search_spark.operators.cleaning import (
+            clean_text, mojibake_marker_count,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        out = clean_text(docs, out_col="clean")
+        return out.select(
+            "doc_id", F.length("clean").alias("clean_len"),
+            mojibake_marker_count(F.col("text")).alias("moji"))
+
     _WARC: dict = {}
 
     def b_warc_ingest(spark, sf_dir):
@@ -1336,6 +1351,7 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_resample": b_resample,
         "hygiene_url_dedup": b_url_dedup,
         "ingest_warc_extract": b_warc_ingest,
+        "hygiene_clean_text": b_clean_text,
     }
 
 

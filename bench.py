@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "events_resample",
     "hygiene_url_dedup",
     "ingest_warc_extract",
+    "hygiene_clean_text",
 ]
 
 

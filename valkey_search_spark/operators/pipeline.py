@@ -60,6 +60,12 @@ class CurationConfig:
     # the web-spam shape the signal exists for.
     scripts: tuple[str, ...] | None = None
     script_min_frac: float = 0.5
+    # Unicode cleanup (operators/cleaning.clean_text) runs FIRST so
+    # every downstream signal sees the cleaned text. `clean` alone is
+    # the Python-free JVM tier; the other two enable the Arrow tier.
+    clean: bool = False
+    clean_unicode_form: str | None = None       # "NFC"/"NFKC"/...
+    clean_fix_mojibake: bool = False
     extra: dict = dc_field(default_factory=dict)
 
 
@@ -80,6 +86,12 @@ def curate_documents(df: DataFrame, key: str = "doc_id",
     cfg = config or CurationConfig()
     from pyspark.sql.window import Window
 
+    if cfg.clean or cfg.clean_unicode_form or cfg.clean_fix_mojibake:
+        from .cleaning import clean_text
+
+        df = clean_text(df, text_col,
+                        unicode_form=cfg.clean_unicode_form,
+                        fix_mojibake=cfg.clean_fix_mojibake)
     rep_gates = (cfg.max_rep2_frac is not None
                  or cfg.max_dup_line_frac is not None)
     lm_on = cfg.lm_model is not None or cfg.lm_reference is not None
