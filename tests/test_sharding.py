@@ -83,3 +83,32 @@ def test_argument_contract(spark, docs, tmp_path):
     with pytest.raises(ValueError, match="token_col"):
         write_training_shards(docs, str(tmp_path / "x"), key="doc_id",
                               target_tokens_per_shard=100)
+
+
+def test_jsonl_output(spark, docs, tmp_path):
+    import gzip
+    import json
+
+    man = write_training_shards(docs, str(tmp_path / "j"), key="doc_id",
+                                n_shards=4, seed=1, fmt="jsonl",
+                                compression="gzip").collect()
+    assert sum(r["rows"] for r in man) == docs.count()
+    files = sorted(glob.glob(str(tmp_path / "j" / "__shard=0" / "*.gz")))
+    assert files, "expected gzip jsonl part files"
+    # each line is a standalone JSON object a dataloader can stream
+    with gzip.open(files[0], "rt", encoding="utf-8") as fh:
+        first = json.loads(fh.readline())
+    assert {"doc_id", "text"} <= set(first)
+    # membership identical to the parquet form at the same seed
+    write_training_shards(docs, str(tmp_path / "p"), key="doc_id",
+                          n_shards=4, seed=1)
+    pq = {(r["doc_id"], r["__shard"]) for r in
+          spark.read.parquet(str(tmp_path / "p"))
+          .select("doc_id", "__shard").collect()}
+    js = {(int(r["doc_id"]), int(r["__shard"])) for r in
+          spark.read.json(str(tmp_path / "j"))
+          .select("doc_id", "__shard").collect()}
+    assert pq == js
+    with pytest.raises(ValueError):
+        write_training_shards(docs, str(tmp_path / "x"), key="doc_id",
+                              n_shards=2, fmt="csvish")

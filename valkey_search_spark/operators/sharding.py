@@ -32,18 +32,28 @@ def write_training_shards(df: DataFrame, path: str, key: str,
                           token_col: str | None = None,
                           target_tokens_per_shard: int | None = None,
                           max_records_per_file: int | None = None,
-                          mode: str = "error") -> DataFrame:
-    """Write ``df`` as ``path/__shard=K/`` parquet directories in a
+                          mode: str = "error",
+                          fmt: str = "parquet",
+                          compression: str | None = None) -> DataFrame:
+    """Write ``df`` as ``path/__shard=K/`` directories in a
     deterministic hash-shuffled order; returns the per-shard manifest
     ``(__shard, rows[, tokens])``.
 
     Size shards either explicitly (``n_shards``) or by token budget
     (``token_col`` + ``target_tokens_per_shard`` — one count job derives
     n_shards from the corpus total). Exactly one of the two must be
-    given."""
+    given.
+
+    ``fmt="jsonl"`` writes JSON Lines (the format most training
+    dataloaders stream) instead of parquet, optionally compressed
+    (``compression="gzip"`` — per-file gzip, still shard-parallel).
+    JSONL is for text consumption: binary columns base64-encode and
+    timestamps stringify, so keep analytic round-trips on parquet."""
     if (n_shards is None) == (target_tokens_per_shard is None):
         raise ValueError(
             "pass exactly one of n_shards or target_tokens_per_shard")
+    if fmt not in ("parquet", "jsonl"):
+        raise ValueError("fmt must be 'parquet' or 'jsonl'")
     if target_tokens_per_shard is not None:
         if token_col is None:
             raise ValueError("target_tokens_per_shard requires token_col")
@@ -62,9 +72,14 @@ def write_training_shards(df: DataFrame, path: str, key: str,
     writer = out.write.mode(mode).partitionBy("__shard")
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
-    writer.parquet(path)
-
-    written = df.sparkSession.read.parquet(path)
+    if fmt == "jsonl":
+        if compression is not None:
+            writer = writer.option("compression", compression)
+        writer.json(path)
+        written = df.sparkSession.read.json(path)
+    else:
+        writer.parquet(path)
+        written = df.sparkSession.read.parquet(path)
     aggs = [F.count("*").alias("rows")]
     if token_col is not None:
         aggs.append(F.sum(token_col).alias("tokens"))
