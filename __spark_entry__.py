@@ -1254,7 +1254,9 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             os.makedirs(d, exist_ok=True)
             docs = load_table(spark, sf_dir, "documents") \
                 .select("doc_id", "text").collect()
-            n_files = 8
+            # one task per archive is the format's parallelism: scale
+            # the archive count with the corpus (~600 pages/archive)
+            n_files = max(8, len(docs) // 600)
             handles = [open(f"{d}/part{i}.warc.gz", "wb")
                        for i in range(n_files)]
             for r in docs:

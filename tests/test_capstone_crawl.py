@@ -80,15 +80,17 @@ def test_crawl_lifecycle(spark, sf_dir, tmp_path):
     ex = extract_documents(pages, html_col="html")
     ex = clean_text(ex, "text", fix_mojibake=True)
 
-    # 3. URL canonicalization dedup: the two dup-page variants collapse
-    verdict = url_dedup(ex.withColumn("k", F.monotonically_increasing_id()),
-                        key="k", url_col="url")
+    # 3. URL canonicalization dedup: the two dup-page variants collapse.
+    # The key derives from the RAW url (unique per record here), never
+    # monotonically_increasing_id — that is plan-local and would not
+    # line up across the two separately-planned frames below
+    ex = ex.withColumn("k", F.xxhash64("url"))
+    verdict = url_dedup(ex, key="k", url_col="url")
     assert verdict.count() == 44
     dup = verdict.where(F.col("norm_url") ==
                         "https://dup.example.com/p?a=1&b=2").first()
     assert dup.dup_count == 2
-    survivors = ex.withColumn("k", F.monotonically_increasing_id()) \
-        .join(verdict.select("k"), "k", "left_semi")
+    survivors = ex.join(verdict.select("k"), "k", "left_semi")
 
     # 4. domain blocklist
     kept = domain_filter(survivors, blocklist=["spam.bad"])

@@ -112,3 +112,15 @@ def test_jsonl_output(spark, docs, tmp_path):
     with pytest.raises(ValueError):
         write_training_shards(docs, str(tmp_path / "x"), key="doc_id",
                               n_shards=2, fmt="csvish")
+
+
+def test_jsonl_all_null_column_survives_manifest(spark, docs, tmp_path):
+    # the JSON writer drops all-null fields from every line; the
+    # explicit read schema must keep the column so the token manifest
+    # still aggregates (review finding)
+    d = docs.withColumn("ntok", F.lit(None).cast("long"))
+    man = write_training_shards(d, str(tmp_path / "nj"), key="doc_id",
+                                n_shards=2, fmt="jsonl",
+                                token_col="ntok").collect()
+    assert len(man) == 2
+    assert all(r["tokens"] is None for r in man)

@@ -81,3 +81,15 @@ def test_compare_tokenizers_families(docs, bpe):
     assert all(r.total_tokens > 0 for r in out)
     # wordpiece vocab counts initial+continuation pieces
     assert out[1].vocab_size == len(wp.vocab)
+
+
+def test_zero_word_texts_excluded_and_unicode_words(spark, bpe):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, "   "), (4, "a b"),
+         (5, None)],
+        "doc_id long, text string")
+    row = tokenizer_report(df, bpe).first()
+    # '' and whitespace-only count zero words -> excluded entirely;
+    # NBSP separates words like str.split does
+    assert row.n_docs == 2
+    assert row.total_words == 4

@@ -161,3 +161,35 @@ def test_composed_crawl_front_door(spark, warc_dir):
     assert by_url["https://example.com/a"].title == "A"
     b = by_url["https://example.com/b?q=1"]   # tracking param stripped
     assert b.text == "gamma & delta é"   # entity + utf-8 survived
+
+
+def test_non_utf8_html_decodes_lossily(spark, tmp_path):
+    # latin-1 page + a UTF-8 page cut mid-multibyte by the payload cap:
+    # both must decode with replacement chars, never raise (ANSI mode
+    # makes F.decode fatal on these — review finding)
+    latin = "<html><p>caf\xe9 latin</p></html>".encode("latin-1")
+    cut = ("<html><p>" + "x" * 5 + "é</p></html>").encode("utf-8")
+    arc = (_record("response", "l1", _http(latin), "https://l.com/1")
+           + _record("response", "l2", _http(cut), "https://l.com/2"))
+    (tmp_path / "enc.warc").write_bytes(arc)
+    # cap = 15 body bytes: cuts the second page exactly mid-é (C3|A9)
+    rows = warc_html_documents(spark, str(tmp_path),
+                               max_payload_bytes=15) \
+        .orderBy("url").collect()
+    assert len(rows) == 2
+    assert rows[0].html == "<html><p>caf� l"       # latin-1 é -> U+FFFD
+    assert rows[1].payload_truncated
+    assert rows[1].html == "<html><p>xxxxx�"       # dangling lead byte
+
+
+def test_lf_headers_with_crlf_in_body(spark, tmp_path):
+    # bare-LF HTTP headers whose BODY contains CRLFCRLF: the split must
+    # take the FIRST separator (the LF one), not the body's CRLF pair
+    body = b"before\r\n\r\nafter"
+    http = b"HTTP/1.1 200 OK\nContent-Type: text/plain\n\n" + body
+    (tmp_path / "lf.warc").write_bytes(
+        _record("response", "r1", http, "https://lf.com/x"))
+    r = read_warc(spark, str(tmp_path)).first()
+    assert r.http_status == 200
+    assert r.content_type == "text/plain"
+    assert r.payload == body

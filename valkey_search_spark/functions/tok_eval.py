@@ -44,16 +44,26 @@ def tokenizer_report(df: DataFrame, tokenizer, text_col: str = "text",
     Columns: n_docs, total_tokens, total_words, total_bytes,
     total_chars, bytes_per_token (compression), chars_per_token,
     fertility (tokens/word), tokens_per_doc, vocab_size, vocab_used,
-    vocab_used_frac. Null/empty texts are excluded from every ratio.
+    vocab_used_frac. Null, empty and whitespace-only texts (zero
+    words, Python ``str.split`` semantics) are excluded from the
+    report entirely — they would deflate fertility/tokens_per_doc.
     """
-    toks = tokenizer.tokenize(df, text_col, "__tok") \
-        .where(F.col("__tok").isNotNull())
+    # words per str.split: split on Unicode whitespace, drop empties
+    # (so '' and whitespace-only count ZERO words, unlike a bare
+    # split('\\s+') whose [''] result counts one)
+    words = F.filter(
+        F.split(F.col(text_col), "[\\s\\p{Z}\\u0085\\x1c-\\x1f]+"),
+        lambda w: w != F.lit(""))
+    toks = (tokenizer.tokenize(df, text_col, "__tok")
+            .where(F.col("__tok").isNotNull())
+            .withColumn("__nw", F.size(words))
+            .where(F.col("__nw") > 0))       # vocab_used shares the cut
     staged = toks.select(
         F.col("__tok"),
         F.size("__tok").alias("__nt"),
         F.octet_length(text_col).alias("__nb"),
         F.length(text_col).alias("__nc"),
-        F.size(F.split(F.trim(F.col(text_col)), "\\s+")).alias("__nw"))
+        F.col("__nw"))
     row = staged.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("__nt").alias("total_tokens"),

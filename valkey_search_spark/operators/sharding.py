@@ -76,7 +76,10 @@ def write_training_shards(df: DataFrame, path: str, key: str,
         if compression is not None:
             writer = writer.option("compression", compression)
         writer.json(path)
-        written = df.sparkSession.read.json(path)
+        # explicit schema: avoids a full inference re-parse of what we
+        # just wrote, and keeps columns the writer omitted (all-null
+        # fields are dropped from JSON lines) in the manifest frame
+        written = df.sparkSession.read.schema(out.schema).json(path)
     else:
         writer.parquet(path)
         written = df.sparkSession.read.parquet(path)

@@ -79,13 +79,16 @@ def _parse_http(payload: bytes):
     Non-HTTP payloads come back as (None, None, payload)."""
     if not payload.startswith(b"HTTP/"):
         return None, None, payload
-    sep = payload.find(b"\r\n\r\n")
-    nl = b"\r\n"
-    if sep < 0:
-        sep = payload.find(b"\n\n")
-        nl = b"\n"
-        if sep < 0:
-            return None, None, payload
+    # whichever header/body separator occurs FIRST wins — an LF-header
+    # response whose body merely contains CRLFCRLF must not split there
+    crlf = payload.find(b"\r\n\r\n")
+    lf = payload.find(b"\n\n")
+    if crlf < 0 and lf < 0:
+        return None, None, payload
+    if crlf >= 0 and (lf < 0 or crlf <= lf):
+        sep, nl = crlf, b"\r\n"
+    else:
+        sep, nl = lf, b"\n"
     head, body = payload[:sep], payload[sep + 2 * len(nl):]
     lines = head.split(nl)
     try:
@@ -185,10 +188,22 @@ def read_warc(spark: SparkSession, path: str, *,
 def warc_html_documents(spark: SparkSession, path: str,
                         **read_kwargs) -> DataFrame:
     """The composed crawl front door: WARC response records with an
-    HTML Content-Type, decoded as UTF-8 (lossy) into an ``html``
-    column keyed by ``target_uri`` — feed straight into
-    ``operators.html.extract_documents`` + ``operators.urlops``."""
+    HTML Content-Type, decoded as UTF-8 (LOSSY — replacement chars,
+    never an error) into an ``html`` column keyed by ``target_uri`` —
+    feed straight into ``operators.html.extract_documents`` +
+    ``operators.urlops``.
+
+    The decode is an Arrow map, not ``F.decode``: under ANSI mode the
+    JVM decode raises MALFORMED_CHARACTER_CODING on the first
+    legacy-encoded or truncation-cut page, and real crawls always
+    contain some."""
     from pyspark.sql import functions as F
+
+    @F.pandas_udf(T.StringType())
+    def _lossy_utf8(payloads: pd.Series) -> pd.Series:
+        return payloads.map(
+            lambda b: bytes(b).decode("utf-8", errors="replace")
+            if b is not None else None)
 
     recs = read_warc(spark, path, **read_kwargs)
     return (recs
@@ -198,5 +213,5 @@ def warc_html_documents(spark: SparkSession, path: str,
                    .contains("html"))
             .select(F.col("target_uri").alias("url"),
                     F.col("warc_date"),
-                    F.decode(F.col("payload"), "UTF-8").alias("html"),
+                    _lossy_utf8(F.col("payload")).alias("html"),
                     "payload_truncated"))
