@@ -193,3 +193,36 @@ def test_lf_headers_with_crlf_in_body(spark, tmp_path):
     assert r.http_status == 200
     assert r.content_type == "text/plain"
     assert r.payload == body
+
+
+# ---------------------------------------------------------------------------
+def test_streaming_datasource_parity(spark, warc_dir):
+    from valkey_search_spark.sources.warc import read_warc_stream
+
+    def canon(rows):
+        return sorted((r.warc_file.rsplit("/", 1)[-1], r.record_id,
+                       r.record_type, r.target_uri, r.http_status,
+                       r.content_type, bytes(r.payload or b""),
+                       r.payload_truncated) for r in rows)
+
+    a = canon(read_warc(spark, warc_dir).collect())
+    b = canon(read_warc_stream(spark, warc_dir).collect())
+    assert a == b and len(a) == 5
+    # all record types + caps flow through options too
+    c = read_warc_stream(spark, warc_dir, record_types=None,
+                         max_payload_bytes=10).collect()
+    assert sorted({r.record_type for r in c}) == [
+        "request", "response", "warcinfo"]
+    assert any(r.payload_truncated for r in c)
+
+
+def test_streaming_datasource_contracts(spark, tmp_path):
+    from valkey_search_spark.sources.warc import read_warc_stream
+
+    with pytest.raises(Exception, match="no .warc files"):
+        read_warc_stream(spark, str(tmp_path)).collect()
+    (tmp_path / "bad.warc").write_bytes(b"GARBAGE")
+    with pytest.raises(Exception, match="not a WARC record header"):
+        read_warc_stream(spark, str(tmp_path)).collect()
+    with pytest.raises(ValueError):
+        read_warc_stream(spark, str(tmp_path), on_error="nope")
