@@ -314,3 +314,273 @@ def warc_html_documents(spark: SparkSession, path: str,
                     F.col("warc_date"),
                     _lossy_utf8(F.col("payload")).alias("html"),
                     "payload_truncated"))
+
+
+# ---------------------------------------------------------------------------
+# CDX(J) capture index + ranged record fetch — the Common Crawl
+# selective-fetch workflow: query the index for interesting captures
+# (URL/status/MIME filters pushed to a cheap columnar scan), then fetch
+# ONLY those records by (archive, offset, length) instead of parsing
+# whole archives. Each per-record gzip member decompresses
+# independently, which is exactly why the CC layout is per-record gzip.
+
+CDX_SCHEMA = T.StructType([
+    T.StructField("surt_key", T.StringType()),
+    T.StructField("timestamp", T.StringType()),
+    T.StructField("url", T.StringType()),
+    T.StructField("mime", T.StringType()),
+    T.StructField("status", T.IntegerType()),
+    T.StructField("digest", T.StringType()),
+    T.StructField("length", T.LongType()),
+    T.StructField("offset", T.LongType()),
+    T.StructField("filename", T.StringType()),
+])
+
+
+def read_cdx(spark: SparkSession, path: str) -> DataFrame:
+    """Read CDXJ capture-index lines (``surt timestamp {json}`` — the
+    Common Crawl cdx-00000.gz layout; gzip handled natively by the
+    text reader) into ``CDX_SCHEMA``. Filters on url/status/mime stay
+    a cheap text scan — no archive bytes move until
+    ``fetch_warc_records``."""
+    from pyspark.sql import functions as F
+
+    lines = spark.read.text(path)
+    parts = F.split(F.col("value"), " ", 3)
+    j = F.from_json(
+        F.element_at(parts, 3),
+        "url STRING, mime STRING, status STRING, digest STRING, "
+        "length STRING, offset STRING, filename STRING")
+    return lines.select(
+        F.element_at(parts, 1).alias("surt_key"),
+        F.element_at(parts, 2).alias("timestamp"),
+        j["url"].alias("url"),
+        j["mime"].alias("mime"),
+        j["status"].cast("int").alias("status"),
+        j["digest"].alias("digest"),
+        j["length"].cast("long").alias("length"),
+        j["offset"].cast("long").alias("offset"),
+        j["filename"].alias("filename"))
+
+
+def _iter_gzip_members(fh, chunk: int = 1 << 16):
+    """Yield ``(offset, compressed_length, decompressed_bytes)`` per
+    gzip member of a concatenated-member file, reading in bounded
+    chunks — peak memory is one decompressed member."""
+    import zlib
+
+    offset = 0
+    tail = b""
+    while True:
+        if not tail:
+            tail = fh.read(chunk)
+            if not tail:
+                return
+        d = zlib.decompressobj(31)
+        out = bytearray()
+        fed = 0
+        while not d.eof:
+            if not tail:
+                tail = fh.read(chunk)
+                if not tail:
+                    raise ValueError("truncated gzip member")
+            fed += len(tail)
+            out += d.decompress(tail)
+            tail = b""
+        tail = d.unused_data
+        member_len = fed - len(tail)
+        yield offset, member_len, bytes(out)
+        offset += member_len
+
+
+def _index_one_file(fname: str):
+    """CDX rows for one archive: true byte (offset, length) per WARC
+    record, both layouts. Gzip-member archives index member
+    boundaries; plain archives index stream positions."""
+    rows = []
+
+    def add(headers: dict, http, off: int, ln: int):
+        status, ctype = http
+        uri = headers.get("warc-target-uri")
+        date = headers.get("warc-date", "")
+        surt = None
+        if uri and "://" in uri:
+            rest = uri.split("://", 1)[1]
+            host = rest.split("/", 1)[0].split("?")[0]
+            surt = (",".join(reversed(host.lower().split("."))) + ")" +
+                    rest[len(host):])
+        rows.append({
+            "surt_key": surt,
+            "timestamp": "".join(c for c in date if c.isdigit()),
+            "url": uri, "mime": ctype, "status": status,
+            "digest": headers.get("warc-payload-digest"),
+            "length": ln, "offset": off, "filename": fname,
+        })
+
+    def headers_and_http(stream):
+        headers = _header_block(stream)
+        if headers is None:
+            return None, (None, None)
+        length = int(headers.get("content-length", "0"))
+        payload = stream.read(length)
+        if len(payload) != length:
+            raise ValueError("truncated record payload")
+        if headers.get("warc-type") in ("response", "revisit"):
+            status, ctype, _ = _parse_http(payload)
+        else:
+            status, ctype = None, headers.get("content-type")
+        return headers, (status, ctype)
+
+    with open(fname, "rb") as fh:
+        if fh.read(2) == b"\x1f\x8b":
+            fh.seek(0)
+            for off, ln, blob in _iter_gzip_members(fh):
+                stream = io.BytesIO(blob)
+                while True:     # usually exactly one record per member
+                    h, http = headers_and_http(stream)
+                    if h is None:
+                        break
+                    add(h, http, off, ln)
+        else:
+            fh.seek(0)
+            while True:
+                # skip inter-record blank lines so offset points at
+                # the WARC/ version line (fetch tolerates either)
+                pos = fh.tell()
+                line = fh.readline()
+                while line in (b"\r\n", b"\n"):
+                    pos = fh.tell()
+                    line = fh.readline()
+                if not line:
+                    break
+                fh.seek(pos)
+                h, http = headers_and_http(fh)
+                if h is None:
+                    break
+                add(h, http, pos, fh.tell() - pos)
+    return rows
+
+
+def index_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Build the CDX capture index for every archive under ``path`` —
+    the pay-once pass that makes every later fetch selective. One task
+    per archive (repartitioned so big archive sets parallelize),
+    bounded memory (one gzip member / one record)."""
+    import glob as _glob
+    import os as _os
+
+    if _os.path.isdir(path):
+        files = sorted(_glob.glob(_os.path.join(path, "*.warc*")))
+    else:
+        files = sorted(_glob.glob(path))
+    if not files:
+        raise FileNotFoundError(f"no .warc files under {path}")
+    fdf = spark.createDataFrame([(f,) for f in files], "f string") \
+        .repartition(len(files))
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in CDX_SCHEMA.fields]
+        for pdf in batches:
+            for fname in pdf["f"]:
+                rows = _index_one_file(fname)
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+
+    return fdf.mapInPandas(go, CDX_SCHEMA)
+
+
+def write_cdx(index: DataFrame, path: str, mode: str = "error") -> None:
+    """Persist an ``index_warc`` frame as CDXJ text lines (the Common
+    Crawl cdx layout ``read_cdx`` parses back)."""
+    from pyspark.sql import functions as F
+
+    out = index.select(F.concat_ws(
+        " ",
+        F.col("surt_key"),
+        F.col("timestamp"),
+        F.to_json(F.struct(
+            F.col("url"),
+            F.col("mime"),
+            F.col("status").cast("string").alias("status"),
+            F.col("digest"),
+            F.col("length").cast("string").alias("length"),
+            F.col("offset").cast("string").alias("offset"),
+            F.col("filename"))),
+    ).alias("value"))
+    out.write.mode(mode).text(path)
+
+
+def fetch_warc_records(spark: SparkSession, captures: DataFrame, *,
+                       max_payload_bytes: int = 1 << 20,
+                       batch_rows: int = 200) -> DataFrame:
+    """Fetch exactly the records a CDX query selected: one seek +
+    bounded read per capture (``filename/offset/length`` columns),
+    each per-record gzip member decompressed independently. The
+    captures frame repartitions by archive so one task streams one
+    file's selections in offset order — sequential I/O, no whole-file
+    parse. Plain (non-gzip-member) archives work too: the slice is
+    raw bytes."""
+    from pyspark.sql import functions as F
+
+    has_url = "url" in captures.columns
+    has_status = "status" in captures.columns
+    cols_sel = (["filename", "offset", "length"]
+                + (["url"] if has_url else [])
+                + (["status"] if has_status else []))
+    sel = (captures
+           .select(*cols_sel)
+           .repartition(F.col("filename"))
+           .sortWithinPartitions("filename", "offset"))
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WARC_SCHEMA.fields]
+        rows: list[dict] = []
+        fh = None
+        fh_name = None
+
+        def norm_status(x):
+            return None if x is None or pd.isna(x) else int(x)
+
+        try:
+            for pdf in batches:
+                urls = pdf["url"] if has_url else [None] * len(pdf)
+                stats = pdf["status"] if has_status else [None] * len(pdf)
+                for fname, off, length, url, status in zip(
+                        pdf["filename"], pdf["offset"], pdf["length"],
+                        urls, stats):
+                    status = norm_status(status)
+                    if fh_name != fname:
+                        if fh is not None:
+                            fh.close()
+                        fh = open(fname, "rb")
+                        fh_name = fname
+                    fh.seek(int(off))
+                    blob = fh.read(int(length))
+                    if blob[:2] == b"\x1f\x8b":
+                        blob = gzip.decompress(blob)
+                    stream = io.BytesIO(blob)
+                    for rec in _iter_stream_records(
+                            stream, str(fname), None,
+                            max_payload_bytes, "raise"):
+                        # a slice usually holds exactly one record; a
+                        # whole-file-gzip member holds several — the
+                        # capture's url + status pick the right one
+                        # (a request shares its response's url but has
+                        # no HTTP status)
+                        if url is not None and \
+                                rec["target_uri"] != url:
+                            continue
+                        if has_status and \
+                                rec["http_status"] != status:
+                            continue
+                        rows.append(rec)
+                    if len(rows) >= batch_rows:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+        finally:
+            if fh is not None:
+                fh.close()
+
+    return sel.mapInPandas(fetch, WARC_SCHEMA)
