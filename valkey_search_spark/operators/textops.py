@@ -341,3 +341,58 @@ def script_profile(df: DataFrame, text_col: str = "text",
         "dominant_script",
         F.when(dom_frac >= F.lit(float(min_dominant_frac)), dom_name))
         .drop("__nletters"))
+
+
+# ---------------------------------------------------------------------------
+# sentence segmentation: the unit bitext mining, chunking and dedup work
+# on when "document" is too coarse. One Java-regex split in whole-stage
+# codegen — the abbreviation list and the quote/bracket tolerance are
+# the standard pragmatic heuristics (a trained Punkt-style model is a
+# client-side seam); pinned against an independent scalar state-machine
+# reference in tests/test_sentences.py.
+
+DEFAULT_ABBREVIATIONS = (
+    "Mr", "Mrs", "Ms", "Dr", "Prof", "Sr", "Jr", "St", "Mt", "Gen",
+    "Rep", "Sen", "Gov", "Capt", "Col", "Sgt", "Lt", "vs", "etc", "approx",
+    "Fig", "fig", "Eq", "eq", "No", "no", "Vol", "vol", "Ch", "ch",
+    "pp", "ed", "al", "Inc", "Ltd", "Co", "Corp", "Ave", "Blvd", "Rd",
+    "Jan", "Feb", "Mar", "Apr", "Jun", "Jul", "Aug", "Sep", "Sept",
+    "Oct", "Nov", "Dec", "Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun",
+)
+
+
+def _sentence_break_re(abbreviations) -> str:
+    # break at whitespace that follows a terminator (+ optional closing
+    # quotes/brackets) and precedes a sentence-looking start; never
+    # after a known abbreviation+period, a single capital initial
+    # ("J. Smith"), or inside an ellipsis
+    abbr = "|".join(abbreviations)
+    return (
+        rf"(?<!\b(?:{abbr})\.)"          # not "Dr. ..."
+        r"(?<!\b[A-Z]\.)"                # not an initial "J. Smith"
+        r"(?<!\.\.\.)"                   # not an ellipsis tail
+        r"(?<=[.!?][\"'”’)\]]{0,2})"     # terminator (+ closers) behind
+        r"\s+"
+        r"(?=[\"'“‘(\[]{0,2}[A-Z0-9])"   # sentence-looking start ahead
+    )
+
+
+def sentences_col(text: Column,
+                  abbreviations=DEFAULT_ABBREVIATIONS) -> Column:
+    """array<string> of sentences (trimmed, empties dropped). Text with
+    no terminator comes back whole as one sentence."""
+    parts = F.split(text, _sentence_break_re(abbreviations))
+    return F.filter(F.transform(parts, F.trim), lambda s: s != F.lit(""))
+
+
+def split_sentences(df: DataFrame, text_col: str = "text",
+                    key: str = "doc_id",
+                    abbreviations=DEFAULT_ABBREVIATIONS) -> DataFrame:
+    """Explode documents to ``(key, sent_idx, sentence)`` — one
+    map-only posexplode (no shuffle), the staged-attribute shape that
+    avoids per-output-row re-evaluation of the split."""
+    staged = df.select(F.col(key),
+                       sentences_col(F.col(text_col),
+                                     abbreviations).alias("__sents"))
+    return staged.select(
+        key, F.posexplode("__sents").alias("sent_idx", "sentence"))
