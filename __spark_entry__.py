@@ -1236,6 +1236,29 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.length("clean").alias("clean_len"),
             mojibake_marker_count(F.col("text")).alias("moji"))
 
+    def b_sentences(spark, sf_dir):
+        # abbreviation-aware sentence explode: one codegen split + one
+        # map-only posexplode (scalar-reference-pinned in
+        # tests/test_sentences.py). Sentences are synthesized by
+        # punctuating the word soup every 8 tokens so the splitter has
+        # real boundaries.
+        from valkey_search_spark.operators.textops import split_sentences
+
+        docs = load_table(spark, sf_dir, "documents")
+        toks = F.split(F.col("text"), " ")
+        sent_text = F.array_join(
+            F.transform(
+                F.sequence(F.lit(0),
+                           ((F.size(toks) - 1) / 8).cast("int")),
+                lambda i: F.concat(
+                    F.initcap(F.array_join(
+                        F.slice(toks, i * 8 + 1, 8), " ")),
+                    F.lit("."))), " ")
+        pun = docs.select("doc_id", sent_text.alias("text"))
+        out = split_sentences(pun)
+        return out.select("doc_id", "sent_idx",
+                          F.length("sentence").alias("slen"))
+
     _WARC: dict = {}
 
     def b_warc_ingest(spark, sf_dir):
@@ -1354,6 +1377,7 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hygiene_url_dedup": b_url_dedup,
         "ingest_warc_extract": b_warc_ingest,
         "hygiene_clean_text": b_clean_text,
+        "text_sentences": b_sentences,
     }
 
 

@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "hygiene_url_dedup",
     "ingest_warc_extract",
     "hygiene_clean_text",
+    "text_sentences",
 ]
 
 
