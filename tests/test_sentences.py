@@ -119,3 +119,31 @@ def test_plan_map_only_python_free(spark):
     # Generate must explode the STAGED column reference, not re-run
     # the split chain per output row
     assert re.search(r"Generate posexplode\(__sents#\d+\)", plan)
+
+
+def test_unicode_whitespace_and_trim(spark):
+    # NBSP-separated boundaries split; tabs/newlines trim off (Java \s
+    # is ASCII-only and F.trim strips only spaces — both were review
+    # findings); parity with the Python-\s scalar reference holds
+    cases = ["First. Second one.", "\tHello world. Next.\n",
+             "\n", "Done. Next part."]
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    got = [r.s for r in
+           df.select(sentences_col(F.col("text")).alias("s")).collect()]
+    assert got[0] == ["First.", "Second one."]
+    assert got[1] == ["Hello world.", "Next."]
+    assert got[2] == []
+    assert got[3] == ["Done.", "Next part."]   # em-space boundary
+    for c, g in zip(cases, got):
+        assert g == _scalar_sentences(c), c
+
+
+def test_custom_abbreviations_are_escaped(spark):
+    # an abbreviation containing '.' must be literal, not a wildcard
+    # (unescaped, "e.g" would suppress breaks after any "<x>g.")
+    abbr = DEFAULT_ABBREVIATIONS + ("e.g",)
+    df = spark.createDataFrame(
+        [("See e.g. The example. A keg. Next one.",)], "text string")
+    got = df.select(sentences_col(F.col("text"), abbr).alias("s")) \
+            .first().s
+    assert got == ["See e.g. The example.", "A keg.", "Next one."]

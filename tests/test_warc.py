@@ -282,3 +282,62 @@ def test_fetch_offsets_are_true_byte_ranges(spark, warc_dir):
             blob = gzip.decompress(blob)
         assert blob.lstrip(b"\r\n").startswith(b"WARC/1.0")
         assert r.url.encode() in blob
+
+
+def test_cdx_null_url_rows_roundtrip_and_fetch(spark, warc_dir, tmp_path):
+    # warcinfo rows (no url) must survive the CDXJ text round-trip
+    # ('-' placeholders, review finding) and fetch back ONLY
+    # themselves from multi-record whole-gzip members
+    from valkey_search_spark.sources.warc import (fetch_warc_records,
+                                                  index_warc, read_cdx,
+                                                  write_cdx)
+
+    idx = index_warc(spark, warc_dir)
+    write_cdx(idx, str(tmp_path / "cdx"))
+    back = read_cdx(spark, str(tmp_path / "cdx"))
+    assert back.count() == 13
+    assert back.where("surt_key IS NULL AND url IS NULL").count() == 3
+    info = back.where("url IS NULL")
+    fetched = fetch_warc_records(spark, info).collect()
+    assert len(fetched) == 3
+    assert all(r.record_type == "warcinfo" for r in fetched)
+
+
+def test_index_truncated_tail_keeps_prefix(spark, tmp_path):
+    from valkey_search_spark.sources.warc import index_warc
+
+    good = _archive(_PAGES[:1], gzipped=False)
+    (tmp_path / "cut.warc").write_bytes(
+        good + b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"Content-Length: 999\r\n\r\nstub")
+    rows = index_warc(spark, str(tmp_path)).collect()
+    assert len(rows) == 3                    # the intact prefix
+    with pytest.raises(Exception, match="truncated record payload"):
+        index_warc(spark, str(tmp_path), on_error="raise").collect()
+    with pytest.raises(ValueError):
+        index_warc(spark, str(tmp_path), on_error="nope")
+
+
+def test_cdx_timestamp_and_surt_edge_forms(spark, tmp_path):
+    from valkey_search_spark.sources.warc import index_warc
+
+    recs = []
+    for rid, uri, date in [
+        ("f1", "http://example.com:8080/x", "2026-01-02T03:04:05.123Z"),
+        ("f2", "http://user@sub.Example.com/y?q=1",
+         "2026-01-02T03:04:05+02:00"),
+    ]:
+        http = _http(b"ok", 200, "text/plain")
+        head = (f"WARC/1.0\r\nWARC-Type: response\r\n"
+                f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+                f"WARC-Date: {date}\r\nWARC-Target-URI: {uri}\r\n"
+                f"Content-Length: {len(http)}\r\n\r\n").encode()
+        recs.append(head + http + b"\r\n\r\n")
+    (tmp_path / "e.warc").write_bytes(b"".join(recs))
+    rows = {r.url: r for r in index_warc(spark, str(tmp_path)).collect()}
+    r1 = rows["http://example.com:8080/x"]
+    assert r1.timestamp == "20260102030405"          # 14, not 17
+    assert r1.surt_key == "com,example:8080)/x"      # port after labels
+    r2 = rows["http://user@sub.Example.com/y?q=1"]
+    assert r2.timestamp == "20260102030405"          # tz digits dropped
+    assert r2.surt_key == "com,example,sub)/y?q=1"   # userinfo dropped

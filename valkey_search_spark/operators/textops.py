@@ -361,28 +361,41 @@ DEFAULT_ABBREVIATIONS = (
 )
 
 
+# Java \s is ASCII-only; crawl text separates sentences with NBSP and
+# other Unicode spaces all the time (&nbsp;), so the break class and
+# the trim must cover \p{Z} too (matches Python re's \s semantics,
+# which the scalar reference uses)
+_WS_CLASS = "[\\s\\p{Z}\\u0085]"
+
+
 def _sentence_break_re(abbreviations) -> str:
     # break at whitespace that follows a terminator (+ optional closing
     # quotes/brackets) and precedes a sentence-looking start; never
     # after a known abbreviation+period, a single capital initial
-    # ("J. Smith"), or inside an ellipsis
-    abbr = "|".join(abbreviations)
+    # ("J. Smith"), or inside an ellipsis. Abbreviations are escaped —
+    # a caller-supplied "e.g" must not turn '.' into a wildcard.
+    import re as _re
+
+    abbr = "|".join(_re.escape(a) for a in abbreviations)
     return (
         rf"(?<!\b(?:{abbr})\.)"          # not "Dr. ..."
         r"(?<!\b[A-Z]\.)"                # not an initial "J. Smith"
         r"(?<!\.\.\.)"                   # not an ellipsis tail
         r"(?<=[.!?][\"'”’)\]]{0,2})"     # terminator (+ closers) behind
-        r"\s+"
+        f"{_WS_CLASS}+"
         r"(?=[\"'“‘(\[]{0,2}[A-Z0-9])"   # sentence-looking start ahead
     )
 
 
 def sentences_col(text: Column,
                   abbreviations=DEFAULT_ABBREVIATIONS) -> Column:
-    """array<string> of sentences (trimmed, empties dropped). Text with
-    no terminator comes back whole as one sentence."""
+    """array<string> of sentences (trimmed incl. Unicode whitespace,
+    empties dropped). Text with no terminator comes back whole as one
+    sentence."""
     parts = F.split(text, _sentence_break_re(abbreviations))
-    return F.filter(F.transform(parts, F.trim), lambda s: s != F.lit(""))
+    trimmed = F.transform(parts, lambda s: F.regexp_replace(
+        s, f"^{_WS_CLASS}+|{_WS_CLASS}+$", ""))
+    return F.filter(trimmed, lambda s: s != F.lit(""))
 
 
 def split_sentences(df: DataFrame, text_col: str = "text",

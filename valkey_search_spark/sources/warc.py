@@ -104,6 +104,21 @@ def _parse_http(payload: bytes):
     return status, ctype, body
 
 
+def _list_warc_files(path: str) -> list[str]:
+    """Shared archive discovery: a directory lists ``*.warc*`` inside
+    it, anything else is treated as a glob."""
+    import glob as _glob
+    import os as _os
+
+    if _os.path.isdir(path):
+        files = sorted(_glob.glob(_os.path.join(path, "*.warc*")))
+    else:
+        files = sorted(_glob.glob(path))
+    if not files:
+        raise FileNotFoundError(f"no .warc files under {path}")
+    return files
+
+
 def _iter_records(raw: bytes, fname: str, record_types, cap: int,
                   on_error: str):
     stream: io.BufferedIOBase
@@ -219,18 +234,8 @@ def _warc_datasource_classes():
             self.on_error = options.get("on_error", "truncate")
 
         def partitions(self):
-            import glob as _glob
-            import os as _os
-
-            if _os.path.isdir(self.path):
-                files = sorted(
-                    _glob.glob(_os.path.join(self.path, "*.warc*")))
-            else:
-                files = sorted(_glob.glob(self.path))
-            if not files:
-                raise FileNotFoundError(
-                    f"no .warc files under {self.path}")
-            return [InputPartition(f) for f in files]
+            return [InputPartition(f)
+                    for f in _list_warc_files(self.path)]
 
         def read(self, partition):
             fname = partition.value
@@ -352,8 +357,8 @@ def read_cdx(spark: SparkSession, path: str) -> DataFrame:
         "url STRING, mime STRING, status STRING, digest STRING, "
         "length STRING, offset STRING, filename STRING")
     return lines.select(
-        F.element_at(parts, 1).alias("surt_key"),
-        F.element_at(parts, 2).alias("timestamp"),
+        F.nullif(F.element_at(parts, 1), F.lit("-")).alias("surt_key"),
+        F.nullif(F.element_at(parts, 2), F.lit("-")).alias("timestamp"),
         j["url"].alias("url"),
         j["mime"].alias("mime"),
         j["status"].cast("int").alias("status"),
@@ -393,25 +398,39 @@ def _iter_gzip_members(fh, chunk: int = 1 << 16):
         offset += member_len
 
 
-def _index_one_file(fname: str):
+def _surt_key(uri: str | None) -> str | None:
+    """SURT: reversed host labels (userinfo dropped, port kept after
+    the labels, per the convention) + the path/query tail."""
+    if not uri or "://" not in uri:
+        return None
+    rest = uri.split("://", 1)[1]
+    auth = rest.split("/", 1)[0].split("?")[0]
+    host = auth.rsplit("@", 1)[-1]
+    port = ""
+    if not host.startswith("[") and ":" in host:
+        host, _, port = host.partition(":")
+        port = ":" + port
+    return (",".join(reversed(host.lower().split("."))) + port + ")" +
+            rest[len(auth):])
+
+
+def _index_one_file(fname: str, on_error: str):
     """CDX rows for one archive: true byte (offset, length) per WARC
     record, both layouts. Gzip-member archives index member
-    boundaries; plain archives index stream positions."""
+    boundaries; plain archives index stream positions. A truncated
+    tail keeps the rows already indexed under ``on_error="truncate"``
+    (the same contract as the readers)."""
     rows = []
 
     def add(headers: dict, http, off: int, ln: int):
         status, ctype = http
         uri = headers.get("warc-target-uri")
         date = headers.get("warc-date", "")
-        surt = None
-        if uri and "://" in uri:
-            rest = uri.split("://", 1)[1]
-            host = rest.split("/", 1)[0].split("?")[0]
-            surt = (",".join(reversed(host.lower().split("."))) + ")" +
-                    rest[len(host):])
+        digits = "".join(c for c in date if c.isdigit())
         rows.append({
-            "surt_key": surt,
-            "timestamp": "".join(c for c in date if c.isdigit()),
+            "surt_key": _surt_key(uri),
+            "timestamp": digits[:14],      # the 14-digit CC form;
+            # fractional seconds / tz offsets truncate away
             "url": uri, "mime": ctype, "status": status,
             "digest": headers.get("warc-payload-digest"),
             "length": ln, "offset": off, "filename": fname,
@@ -431,50 +450,53 @@ def _index_one_file(fname: str):
             status, ctype = None, headers.get("content-type")
         return headers, (status, ctype)
 
-    with open(fname, "rb") as fh:
-        if fh.read(2) == b"\x1f\x8b":
-            fh.seek(0)
-            for off, ln, blob in _iter_gzip_members(fh):
-                stream = io.BytesIO(blob)
-                while True:     # usually exactly one record per member
-                    h, http = headers_and_http(stream)
-                    if h is None:
-                        break
-                    add(h, http, off, ln)
-        else:
-            fh.seek(0)
-            while True:
-                # skip inter-record blank lines so offset points at
-                # the WARC/ version line (fetch tolerates either)
-                pos = fh.tell()
-                line = fh.readline()
-                while line in (b"\r\n", b"\n"):
+    try:
+        with open(fname, "rb") as fh:
+            if fh.read(2) == b"\x1f\x8b":
+                fh.seek(0)
+                for off, ln, blob in _iter_gzip_members(fh):
+                    stream = io.BytesIO(blob)
+                    while True:  # usually exactly one record per member
+                        h, http = headers_and_http(stream)
+                        if h is None:
+                            break
+                        add(h, http, off, ln)
+            else:
+                fh.seek(0)
+                while True:
+                    # skip inter-record blank lines so offset points at
+                    # the WARC/ version line (fetch tolerates either)
                     pos = fh.tell()
                     line = fh.readline()
-                if not line:
-                    break
-                fh.seek(pos)
-                h, http = headers_and_http(fh)
-                if h is None:
-                    break
-                add(h, http, pos, fh.tell() - pos)
+                    while line in (b"\r\n", b"\n"):
+                        pos = fh.tell()
+                        line = fh.readline()
+                    if not line:
+                        break
+                    fh.seek(pos)
+                    h, http = headers_and_http(fh)
+                    if h is None:
+                        break
+                    add(h, http, pos, fh.tell() - pos)
+    except (ValueError, EOFError, OSError) as e:
+        if not rows or on_error == "raise":
+            raise ValueError(f"{fname}: {e}") from e
+        # truncated tail: keep what indexed, like the readers do
     return rows
 
 
-def index_warc(spark: SparkSession, path: str) -> DataFrame:
+def index_warc(spark: SparkSession, path: str,
+               on_error: str = "truncate") -> DataFrame:
     """Build the CDX capture index for every archive under ``path`` —
     the pay-once pass that makes every later fetch selective. One task
     per archive (repartitioned so big archive sets parallelize),
-    bounded memory (one gzip member / one record)."""
-    import glob as _glob
-    import os as _os
-
-    if _os.path.isdir(path):
-        files = sorted(_glob.glob(_os.path.join(path, "*.warc*")))
-    else:
-        files = sorted(_glob.glob(path))
-    if not files:
-        raise FileNotFoundError(f"no .warc files under {path}")
+    bounded memory (one gzip member / one record). A truncated tail
+    keeps that file's indexed prefix under the default
+    ``on_error="truncate"`` (one bad archive must not kill a
+    100k-archive indexing job); ``"raise"`` escalates."""
+    if on_error not in ("truncate", "raise"):
+        raise ValueError("on_error must be 'truncate' or 'raise'")
+    files = _list_warc_files(path)
     fdf = spark.createDataFrame([(f,) for f in files], "f string") \
         .repartition(len(files))
 
@@ -482,7 +504,7 @@ def index_warc(spark: SparkSession, path: str) -> DataFrame:
         cols = [f.name for f in CDX_SCHEMA.fields]
         for pdf in batches:
             for fname in pdf["f"]:
-                rows = _index_one_file(fname)
+                rows = _index_one_file(fname, on_error)
                 if rows:
                     yield pd.DataFrame(rows, columns=cols)
 
@@ -494,10 +516,13 @@ def write_cdx(index: DataFrame, path: str, mode: str = "error") -> None:
     Crawl cdx layout ``read_cdx`` parses back)."""
     from pyspark.sql import functions as F
 
+    # '-' placeholders (the CDX convention) keep uri-less records —
+    # warcinfo rows in every archive — three-field lines; concat_ws
+    # would silently SKIP a null and emit an unparseable 2-field line
     out = index.select(F.concat_ws(
         " ",
-        F.col("surt_key"),
-        F.col("timestamp"),
+        F.coalesce(F.col("surt_key"), F.lit("-")),
+        F.coalesce(F.col("timestamp"), F.lit("-")),
         F.to_json(F.struct(
             F.col("url"),
             F.col("mime"),
@@ -541,6 +566,8 @@ def fetch_warc_records(spark: SparkSession, captures: DataFrame, *,
         def norm_status(x):
             return None if x is None or pd.isna(x) else int(x)
 
+        last_slice = None        # (fname, off, length) -> parsed recs
+        last_recs: list[dict] = []
         try:
             for pdf in batches:
                 urls = pdf["url"] if has_url else [None] * len(pdf)
@@ -549,26 +576,32 @@ def fetch_warc_records(spark: SparkSession, captures: DataFrame, *,
                         pdf["filename"], pdf["offset"], pdf["length"],
                         urls, stats):
                     status = norm_status(status)
-                    if fh_name != fname:
-                        if fh is not None:
-                            fh.close()
-                        fh = open(fname, "rb")
-                        fh_name = fname
-                    fh.seek(int(off))
-                    blob = fh.read(int(length))
-                    if blob[:2] == b"\x1f\x8b":
-                        blob = gzip.decompress(blob)
-                    stream = io.BytesIO(blob)
-                    for rec in _iter_stream_records(
-                            stream, str(fname), None,
-                            max_payload_bytes, "raise"):
+                    if url is not None and pd.isna(url):
+                        url = None
+                    key = (fname, int(off), int(length))
+                    if key != last_slice:
+                        if fh_name != fname:
+                            if fh is not None:
+                                fh.close()
+                            fh = open(fname, "rb")
+                            fh_name = fname
+                        fh.seek(int(off))
+                        blob = fh.read(int(length))
+                        if blob[:2] == b"\x1f\x8b":
+                            blob = gzip.decompress(blob)
+                        last_recs = list(_iter_stream_records(
+                            io.BytesIO(blob), str(fname), None,
+                            max_payload_bytes, "raise"))
+                        last_slice = key     # N captures of one
+                        # whole-file-gzip member parse it ONCE
+                    for rec in last_recs:
                         # a slice usually holds exactly one record; a
                         # whole-file-gzip member holds several — the
                         # capture's url + status pick the right one
                         # (a request shares its response's url but has
-                        # no HTTP status)
-                        if url is not None and \
-                                rec["target_uri"] != url:
+                        # no HTTP status; a null-url capture matches
+                        # only uri-less records like warcinfo)
+                        if has_url and rec["target_uri"] != url:
                             continue
                         if has_status and \
                                 rec["http_status"] != status:
