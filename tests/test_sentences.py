@@ -147,3 +147,33 @@ def test_custom_abbreviations_are_escaped(spark):
     got = df.select(sentences_col(F.col("text"), abbr).alias("s")) \
             .first().s
     assert got == ["See e.g. The example.", "A keg.", "Next one."]
+
+
+def test_sentence_level_bitext_composition(spark):
+    # the operator's real downstream: segment two "documents" (one a
+    # shuffled paraphrase corpus of the other), embed each sentence,
+    # and mine_bitext must recover the true sentence alignment
+    from valkey_search_spark.operators.bitext import mine_bitext
+    from valkey_search_spark.operators.textops import hashed_embeddings
+
+    base = ["The cat sat on the mat today.",
+            "Spark engines shuffle data between stages.",
+            "Bitext mining aligns translated sentences.",
+            "Quality gates drop boilerplate pages.",
+            "Tokenizers compress bytes into pieces."]
+    src_doc = " ".join(base)
+    tgt_doc = " ".join(base[::-1])           # same sentences, reordered
+    src = split_sentences(spark.createDataFrame(
+        [(1, src_doc)], "doc_id long, text string"))
+    tgt = split_sentences(spark.createDataFrame(
+        [(2, tgt_doc)], "doc_id long, text string"))
+    s = hashed_embeddings(
+        src.select(F.col("sent_idx").alias("src_id"),
+                   F.col("sentence").alias("text")))
+    t = hashed_embeddings(
+        tgt.select(F.col("sent_idx").alias("tgt_id"),
+                   F.col("sentence").alias("text")))
+    pairs = mine_bitext(s, t, k=2, min_margin=1.0).collect()
+    got = {(p.src_id, p.tgt_id) for p in pairs}
+    want = {(i, len(base) - 1 - i) for i in range(len(base))}
+    assert got == want                       # exact alignment recovered
