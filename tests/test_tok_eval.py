@@ -93,3 +93,25 @@ def test_zero_word_texts_excluded_and_unicode_words(spark, bpe):
     # NBSP separates words like str.split does
     assert row.n_docs == 2
     assert row.total_words == 4
+
+
+def test_grouped_report_by_language(spark, docs, bpe):
+    rows = tokenizer_report(docs, bpe, by=["lang"]).collect()
+    langs = {r.lang for r in rows}
+    assert len(rows) == len(langs) >= 2
+    total = tokenizer_report(docs, bpe).first()
+    assert sum(r.total_tokens for r in rows) == total.total_tokens
+    assert sum(r.n_docs for r in rows) == total.n_docs
+    # per-group vocab_used <= global vocab_used <= vocab_size
+    assert all(0 < r.vocab_used <= total.vocab_used <= total.vocab_size
+               for r in rows)
+    # scalar recomputation for one group
+    import collections
+    texts = collections.defaultdict(list)
+    for r in docs.select("lang", "text").collect():
+        texts[r.lang].append(r.text)
+    lang = sorted(langs)[0]
+    want = _scalar_report(texts[lang], bpe)
+    got = {r.lang: r for r in rows}[lang]
+    for k, v in want.items():
+        assert getattr(got, k) == v, k

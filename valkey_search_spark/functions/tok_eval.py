@@ -38,16 +38,21 @@ def _vocab_size_of(tokenizer) -> int | None:
 
 
 def tokenizer_report(df: DataFrame, tokenizer, text_col: str = "text",
-                     include_vocab_use: bool = True) -> DataFrame:
-    """One-row corpus report for ``tokenizer`` over ``df[text_col]``.
+                     include_vocab_use: bool = True,
+                     by: list | None = None) -> DataFrame:
+    """Corpus report for ``tokenizer`` over ``df[text_col]`` — one row,
+    or one row per ``by`` group (e.g. ``by=["lang"]``: fertility per
+    language is the number a multilingual vocab is judged on; the
+    per-group vocab_used shuffle stays bounded by vocab x groups).
 
-    Columns: n_docs, total_tokens, total_words, total_bytes,
+    Columns: [by...,] n_docs, total_tokens, total_words, total_bytes,
     total_chars, bytes_per_token (compression), chars_per_token,
     fertility (tokens/word), tokens_per_doc, vocab_size, vocab_used,
     vocab_used_frac. Null, empty and whitespace-only texts (zero
     words, Python ``str.split`` semantics) are excluded from the
     report entirely — they would deflate fertility/tokens_per_doc.
     """
+    by = list(by or [])
     # words per str.split: split on Unicode whitespace, drop empties
     # (so '' and whitespace-only count ZERO words, unlike a bare
     # split('\\s+') whose [''] result counts one)
@@ -59,12 +64,13 @@ def tokenizer_report(df: DataFrame, tokenizer, text_col: str = "text",
             .withColumn("__nw", F.size(words))
             .where(F.col("__nw") > 0))       # vocab_used shares the cut
     staged = toks.select(
+        *by,
         F.col("__tok"),
         F.size("__tok").alias("__nt"),
         F.octet_length(text_col).alias("__nb"),
         F.length(text_col).alias("__nc"),
         F.col("__nw"))
-    row = staged.agg(
+    row = staged.groupBy(*by).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("__nt").alias("total_tokens"),
         F.sum("__nw").alias("total_words"),
@@ -82,9 +88,12 @@ def tokenizer_report(df: DataFrame, tokenizer, text_col: str = "text",
     row = row.withColumn("vocab_size",
                          F.lit(vsize).cast("long"))
     if include_vocab_use:
-        used = (toks.select(F.explode("__tok").alias("__t"))
+        used = (toks.select(*by, F.explode("__tok").alias("__t"))
+                    .groupBy(*by)
                     .agg(F.countDistinct("__t").alias("vocab_used")))
-        row = row.crossJoin(used)           # both sides are one row
+        # ungrouped: both sides are one row; grouped: a tiny
+        # groups-sized hash join
+        row = row.crossJoin(used) if not by else row.join(used, by)
     else:
         row = row.withColumn("vocab_used", F.lit(None).cast("long"))
     return row.withColumn(
