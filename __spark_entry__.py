@@ -1304,6 +1304,28 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url", F.length("text").alias("text_len"), "title",
             F.round("link_density", 4).alias("ld"))
 
+    _CDX: dict = {}
+
+    def b_warc_cdx_fetch(spark, sf_dir):
+        # the selective-reprocessing path: CDX index built once (the
+        # pay-once artifact, like _PQ/_ZPATH), the timed path filters
+        # the index to ~5% of captures and seek+reads exactly those
+        # records. Byte-range fidelity pinned in tests/test_warc.py.
+        from valkey_search_spark.sources.warc import (fetch_warc_records,
+                                                      index_warc)
+
+        b_warc_ingest(spark, sf_dir)          # ensure archives exist
+        if sf_dir not in _CDX:
+            p = f"/tmp/valkey_cdx_{os.path.basename(sf_dir.rstrip('/'))}"
+            index_warc(spark, _WARC[sf_dir]) \
+                .write.mode("overwrite").parquet(p)
+            _CDX[sf_dir] = p
+        idx = spark.read.parquet(_CDX[sf_dir])
+        sel = idx.where(F.abs(F.xxhash64("url")) % 20 == 0)
+        out = fetch_warc_records(spark, sel)
+        return out.select("target_uri",
+                          F.length("payload").alias("nbytes"))
+
     def b_url_dedup(spark, sf_dir):
         # URL-canonicalization dedup (the C4/RefinedWeb front door):
         # all-JVM normalize (lowercase/ports/tracking-params/sort) +
@@ -1378,6 +1400,7 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_warc_extract": b_warc_ingest,
         "hygiene_clean_text": b_clean_text,
         "text_sentences": b_sentences,
+        "ingest_warc_cdx_fetch": b_warc_cdx_fetch,
     }
 
 

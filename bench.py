@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "ingest_warc_extract",
     "hygiene_clean_text",
     "text_sentences",
+    "ingest_warc_cdx_fetch",
 ]
 
 
