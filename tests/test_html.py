@@ -217,3 +217,59 @@ def test_link_density_measures_decoded_anchor_text(spark):
     row = extract_documents(df).collect()[0]
     assert row["text"] == "a & b plus twenty more chars"
     assert row["link_density"] == pytest.approx(5 / 28)
+
+
+# ---------------------------------------------------------------------------
+def test_canonical_and_meta_robots(spark):
+    from valkey_search_spark.operators.html import (html_canonical_col,
+                                                    html_meta_robots_col)
+    from valkey_search_spark.operators.urlops import normalize_url
+
+    pages = [
+        # canonical first attr order, tracking junk in the fetch url
+        ('<html><head><link rel="canonical" '
+         'href="https://ex.com/p?id=1"/></head><body>a</body></html>'),
+        # reversed attr order + entity in href + meta robots
+        ("<html><head><link href='https://ex.com/p?id=1&amp;x=2' "
+         "rel='canonical'><meta name=ROBOTS "
+         "content='NOINDEX, nofollow'></head></html>"),
+        "<html><head></head><body>no canonical</body></html>",
+        # meta robots reversed attr order
+        ('<html><head><meta content="index, follow" '
+         'name="robots"></head></html>'),
+    ]
+    df = spark.createDataFrame([(p,) for p in pages], "html string")
+    rows = df.select(
+        html_canonical_col(F.col("html")).alias("canon"),
+        html_meta_robots_col(F.col("html")).alias("robots")).collect()
+    assert rows[0].canon == "https://ex.com/p?id=1"
+    assert rows[0].robots is None
+    assert rows[1].canon == "https://ex.com/p?id=1&x=2"   # entity decoded
+    assert rows[1].robots == "noindex, nofollow"
+    assert rows[2].canon is None and rows[2].robots is None
+    assert rows[3].robots == "index, follow"
+    # the intended composition: canonical -> normalize_url -> dedup key
+    norm = df.select(normalize_url(
+        html_canonical_col(F.col("html"))).alias("n")).collect()
+    assert norm[0].n == "https://ex.com/p?id=1"
+    assert norm[1].n == "https://ex.com/p?id=1&x=2"
+
+
+def test_extract_documents_optional_columns(spark):
+    from valkey_search_spark.operators.html import extract_documents
+
+    df = spark.createDataFrame(
+        [('<html><head><link rel="canonical" href="https://c.com/x">'
+          '<meta name="robots" content="noindex"></head>'
+          "<body><p>hello</p></body></html>",)], "html string")
+    base = extract_documents(df)
+    assert "canonical_url" not in base.columns       # defaults off
+    full = extract_documents(df, with_canonical=True,
+                             with_meta_robots=True).first()
+    assert full.canonical_url == "https://c.com/x"
+    assert full.meta_robots == "noindex"
+    assert full.text == "hello"
+    plan = extract_documents(df, with_canonical=True,
+                             with_meta_robots=True) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "Exchange" not in plan

@@ -119,6 +119,42 @@ def html_title_col(col: Column) -> Column:
     return F.when(t != "", _normalize_ws(_decode_entities_jvm(t)))
 
 
+def html_canonical_col(col: Column) -> Column:
+    """The ``<link rel="canonical" href=...>`` target, null when
+    absent — the dedup key crawl pipelines PREFER over the fetch URL
+    (mirrors and tracking-parameter variants all declare the same
+    canonical). Both attribute orders handled; feed the result through
+    ``urlops.normalize_url`` before grouping."""
+    attr = r"""["']?canonical["']?"""
+    href = r"""["']?([^"'\s>]+)"""
+    a = F.regexp_extract(
+        col, rf"(?is)<link\b[^>]*rel\s*=\s*{attr}[^>]*href\s*=\s*{href}",
+        1)
+    b = F.regexp_extract(
+        col, rf"(?is)<link\b[^>]*href\s*=\s*{href}[^>]*rel\s*=\s*{attr}",
+        1)
+    got = F.when(a != "", a).when(b != "", b)
+    return _decode_entities_jvm(got)
+
+
+def html_meta_robots_col(col: Column) -> Column:
+    """The ``<meta name="robots" content=...>`` directives, lowercased
+    ('noindex, nofollow' etc.), null when absent — pipelines honoring
+    publisher opt-outs gate on ``contains('noindex')``."""
+    attr = r"""["']?robots["']?"""
+    content = r"""["']?([^"'>]+)"""
+    a = F.regexp_extract(
+        col,
+        rf"(?is)<meta\b[^>]*name\s*=\s*{attr}[^>]*content\s*=\s*{content}",
+        1)
+    b = F.regexp_extract(
+        col,
+        rf"(?is)<meta\b[^>]*content\s*=\s*{content}[^>]*name\s*=\s*{attr}",
+        1)
+    got = F.when(a != "", a).when(b != "", b)
+    return F.lower(F.trim(got))
+
+
 def link_density_col(col: Column, text: Column | None = None) -> Column:
     """Fraction of extracted text characters that sit inside <a> anchors
     — the jusText/RefinedWeb boilerplate signal (nav bars and footers
@@ -145,14 +181,25 @@ def link_density_col(col: Column, text: Column | None = None) -> Column:
 
 
 def extract_documents(df: DataFrame, html_col: str = "html",
-                      full_entities: bool = False) -> DataFrame:
-    """One-pass web-document extraction: text + title + link_density.
-    Map-only codegen scan (one Arrow hop only when full_entities); the
-    density denominator reuses the extracted text column instead of
-    re-running the strip/decode/normalize chain per row."""
+                      full_entities: bool = False,
+                      with_canonical: bool = False,
+                      with_meta_robots: bool = False) -> DataFrame:
+    """One-pass web-document extraction: text + title + link_density
+    (+ ``canonical_url`` / ``meta_robots`` on request — the dedup key
+    and opt-out gate real crawl curation adds next). Map-only codegen
+    scan (one Arrow hop only when full_entities); the density
+    denominator reuses the extracted text column instead of re-running
+    the strip/decode/normalize chain per row."""
     out = html_to_text(df, html_col, "text", full_entities)
-    return (out
-            .withColumn("title", html_title_col(F.col(html_col)))
-            .withColumn("link_density",
-                        link_density_col(F.col(html_col),
-                                         text=F.col("text"))))
+    out = (out
+           .withColumn("title", html_title_col(F.col(html_col)))
+           .withColumn("link_density",
+                       link_density_col(F.col(html_col),
+                                        text=F.col("text"))))
+    if with_canonical:
+        out = out.withColumn("canonical_url",
+                             html_canonical_col(F.col(html_col)))
+    if with_meta_robots:
+        out = out.withColumn("meta_robots",
+                             html_meta_robots_col(F.col(html_col)))
+    return out
