@@ -74,3 +74,36 @@ def test_crash_window_recovers(spark, tmp_path):
     res = compact_parquet(spark, p, target_file_mb=128)
     assert res["compacted"] and res["files_after"] == 1
     assert spark.read.parquet(p).count() == 2000
+
+
+def test_partitioned_table_layout_survives(spark, tmp_path):
+    p = str(tmp_path / "t")
+    df = spark.range(4000).select(
+        F.col("id"), (F.col("id") % 3).alias("part"),
+        F.repeat(F.lit("y"), 100).alias("pad"))
+    df.repartition(16).write.partitionBy("part").parquet(p)
+    before = sorted((r.id, r.part) for r in
+                    spark.read.parquet(p).select("id", "part").collect())
+    res = compact_parquet(spark, p, target_file_mb=128)
+    assert res["compacted"] and res["partitions"] == 3
+    # hive dirs intact -> pruning + later partitioned MERGE still work
+    dirs = sorted(e for e in os.listdir(p) if e.startswith("part="))
+    assert dirs == ["part=0", "part=1", "part=2"]
+    for d in dirs:
+        assert len(glob.glob(f"{p}/{d}/*.parquet")) == 1
+    after = sorted((r.id, r.part) for r in
+                   spark.read.parquet(p).select("id", "part").collect())
+    assert after == before
+
+
+def test_empty_and_float_target_edges(spark, tmp_path):
+    p = str(tmp_path / "empty")
+    os.makedirs(p)
+    open(f"{p}/_SUCCESS", "w").close()
+    res = compact_parquet(spark, p)            # zero files: clean no-op
+    assert not res["compacted"] and res["files_after"] == 0
+    assert res["rows"] is None
+    q = str(tmp_path / "t")
+    _write_slivers(spark, q, n_files=8)
+    res = compact_parquet(spark, q, target_file_mb=0.5)  # float target
+    assert res["compacted"] and res["files_after"] >= 1

@@ -273,3 +273,20 @@ def test_extract_documents_optional_columns(spark):
                              with_meta_robots=True) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "Exchange" not in plan
+
+
+def test_canonical_ignores_commented_out_markup(spark):
+    from valkey_search_spark.operators.html import (html_canonical_col,
+                                                    html_meta_robots_col)
+
+    page = ('<html><head>'
+            '<!-- <link rel="canonical" href="https://old.example/"> -->'
+            '<script>var x = \'<meta name="robots" content="noindex">\';'
+            '</script>'
+            '<link rel="canonical" href="https://ex.com/real">'
+            '</head></html>')
+    row = spark.createDataFrame([(page,)], "html string").select(
+        html_canonical_col(F.col("html")).alias("c"),
+        html_meta_robots_col(F.col("html")).alias("r")).first()
+    assert row.c == "https://ex.com/real"     # not the commented one
+    assert row.r is None                      # script string ignored

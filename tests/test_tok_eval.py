@@ -115,3 +115,16 @@ def test_grouped_report_by_language(spark, docs, bpe):
     got = {r.lang: r for r in rows}[lang]
     for k, v in want.items():
         assert getattr(got, k) == v, k
+
+
+def test_grouped_report_keeps_null_groups(spark, bpe):
+    df = spark.createDataFrame(
+        [(1, "hello world", "en"), (2, "bon jour", None),
+         (3, "more text", "en")],
+        "doc_id long, text string, lang string")
+    rows = tokenizer_report(df, bpe, by=["lang"]).collect()
+    bylang = {r.lang: r for r in rows}
+    assert set(bylang) == {"en", None}       # null group survives
+    assert bylang[None].n_docs == 1 and bylang[None].total_words == 2
+    assert bylang[None].vocab_used > 0
+    assert sum(r.n_docs for r in rows) == 3

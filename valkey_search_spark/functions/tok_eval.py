@@ -91,9 +91,18 @@ def tokenizer_report(df: DataFrame, tokenizer, text_col: str = "text",
         used = (toks.select(*by, F.explode("__tok").alias("__t"))
                     .groupBy(*by)
                     .agg(F.countDistinct("__t").alias("vocab_used")))
-        # ungrouped: both sides are one row; grouped: a tiny
-        # groups-sized hash join
-        row = row.crossJoin(used) if not by else row.join(used, by)
+        if not by:
+            row = row.crossJoin(used)        # both sides are one row
+        else:
+            # tiny groups-sized join — NULL-SAFE on the keys, or a
+            # null-valued group (lang=None rows) would vanish from
+            # the report entirely (inner equi-join: null != null)
+            import functools
+            import operator
+
+            cond = functools.reduce(operator.and_, [
+                row[c].eqNullSafe(used[c]) for c in by])
+            row = row.join(used, cond).drop(*[used[c] for c in by])
     else:
         row = row.withColumn("vocab_used", F.lit(None).cast("long"))
     return row.withColumn(

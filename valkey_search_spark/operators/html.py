@@ -119,21 +119,38 @@ def html_title_col(col: Column) -> Column:
     return F.when(t != "", _normalize_ws(_decode_entities_jvm(t)))
 
 
+# commented-out markup must never feed head-tag extraction (a templated
+# header's old canonical would become the dedup key), nor may tags
+# quoted inside scripts — but <head> itself must SURVIVE (canonical and
+# robots live there), so this is a narrower drop set than html_to_text's
+_NON_MARKUP = (
+    r"(?is)<(script|style|noscript|template)\b[^>]*>.*?</\1\s*>")
+
+
+def _head_attr_pair_col(col: Column, tag: str, key_attr: str,
+                        key_val: str, val_attr: str,
+                        val_re: str) -> Column:
+    """First ``<tag key_attr=key_val ... val_attr=VALUE>`` VALUE in the
+    (comment/script-stripped) markup, either attribute order, '' when
+    absent."""
+    c = F.regexp_replace(col, _COMMENT, " ")
+    c = F.regexp_replace(c, _NON_MARKUP, " ")
+    key = rf"""{key_attr}\s*=\s*["']?{key_val}["']?"""
+    val = rf"""{val_attr}\s*=\s*["']?({val_re})"""
+    a = F.regexp_extract(c, rf"(?is)<{tag}\b[^>]*{key}[^>]*{val}", 1)
+    b = F.regexp_extract(c, rf"(?is)<{tag}\b[^>]*{val}[^>]*{key}", 1)
+    return F.when(a != "", a).when(b != "", b)
+
+
 def html_canonical_col(col: Column) -> Column:
     """The ``<link rel="canonical" href=...>`` target, null when
     absent — the dedup key crawl pipelines PREFER over the fetch URL
     (mirrors and tracking-parameter variants all declare the same
-    canonical). Both attribute orders handled; feed the result through
-    ``urlops.normalize_url`` before grouping."""
-    attr = r"""["']?canonical["']?"""
-    href = r"""["']?([^"'\s>]+)"""
-    a = F.regexp_extract(
-        col, rf"(?is)<link\b[^>]*rel\s*=\s*{attr}[^>]*href\s*=\s*{href}",
-        1)
-    b = F.regexp_extract(
-        col, rf"(?is)<link\b[^>]*href\s*=\s*{href}[^>]*rel\s*=\s*{attr}",
-        1)
-    got = F.when(a != "", a).when(b != "", b)
+    canonical). Both attribute orders handled; commented-out markup
+    ignored; feed the result through ``urlops.normalize_url`` before
+    grouping."""
+    got = _head_attr_pair_col(col, "link", "rel", "canonical",
+                              "href", r"[^\"'\s>]+")
     return _decode_entities_jvm(got)
 
 
@@ -141,17 +158,8 @@ def html_meta_robots_col(col: Column) -> Column:
     """The ``<meta name="robots" content=...>`` directives, lowercased
     ('noindex, nofollow' etc.), null when absent — pipelines honoring
     publisher opt-outs gate on ``contains('noindex')``."""
-    attr = r"""["']?robots["']?"""
-    content = r"""["']?([^"'>]+)"""
-    a = F.regexp_extract(
-        col,
-        rf"(?is)<meta\b[^>]*name\s*=\s*{attr}[^>]*content\s*=\s*{content}",
-        1)
-    b = F.regexp_extract(
-        col,
-        rf"(?is)<meta\b[^>]*content\s*=\s*{content}[^>]*name\s*=\s*{attr}",
-        1)
-    got = F.when(a != "", a).when(b != "", b)
+    got = _head_attr_pair_col(col, "meta", "name", "robots",
+                              "content", r"[^\"'>]+")
     return F.lower(F.trim(got))
 
 

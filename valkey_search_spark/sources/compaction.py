@@ -41,23 +41,51 @@ def parquet_file_stats(spark: SparkSession, path: str) -> dict:
     return {k: row[k] for k in ("files", "bytes", "smallest", "largest")}
 
 
+def _partition_dirs(path: str) -> list[str]:
+    return sorted(e for e in os.listdir(path)
+                  if "=" in e and os.path.isdir(os.path.join(path, e)))
+
+
 def compact_parquet(spark: SparkSession, path: str,
-                    target_file_mb: int = 128,
+                    target_file_mb: float = 128,
                     min_files_to_compact: int = 2) -> dict:
     """Rewrite the table at ``path`` into ~``target_file_mb`` files.
 
-    No-op (returns the stats with ``compacted=False``) when the table
-    already has fewer than ``min_files_to_compact`` files or one
-    target-sized file would not reduce the count. Returns the before/
-    after stats; row count is preserved (asserted via one count on
-    each side of the swap)."""
+    Hive-partitioned tables (``col=value`` directories) compact each
+    partition directory independently — the layout, partition pruning,
+    and the dir-name-encoded values all survive, and each partition
+    gets its own right-sizing (a flattening rewrite would silently
+    destroy the layout and break later partitioned MERGEs). The
+    driver loop is one entry per partition directory.
+
+    No-op (``compacted=False, rows=None``) when the table already has
+    fewer than ``min_files_to_compact`` files or one target-sized file
+    would not reduce the count. Row count is preserved (asserted via
+    one count on each side of the swap)."""
+    import math
+
+    parts = _partition_dirs(path)
+    if parts:
+        results = [compact_parquet(spark, os.path.join(path, p),
+                                   target_file_mb, min_files_to_compact)
+                   for p in parts]
+        return {
+            "files": sum(r["files"] for r in results),
+            "bytes": sum(r["bytes"] or 0 for r in results),
+            "compacted": any(r["compacted"] for r in results),
+            "files_after": sum(r["files_after"] for r in results),
+            "partitions": len(results),
+        }
+
     before = parquet_file_stats(spark, path)
+    noop = {**before, "compacted": False, "rows": None,
+            "files_after": before["files"]}
+    if before["files"] < min_files_to_compact:
+        return noop
     target_bytes = target_file_mb * (1 << 20)
-    n_files = max(1, -(-int(before["bytes"]) // target_bytes))
-    if before["files"] < min_files_to_compact \
-            or n_files >= before["files"]:
-        return {**before, "compacted": False,
-                "files_after": before["files"]}
+    n_files = max(1, math.ceil(int(before["bytes"]) / target_bytes))
+    if n_files >= before["files"]:
+        return noop
 
     df = spark.read.parquet(path)
     rows_before = df.count()
