@@ -341,3 +341,47 @@ def test_cdx_timestamp_and_surt_edge_forms(spark, tmp_path):
     r2 = rows["http://user@sub.Example.com/y?q=1"]
     assert r2.timestamp == "20260102030405"          # tz digits dropped
     assert r2.surt_key == "com,example,sub)/y?q=1"   # userinfo dropped
+
+
+# ---------------------------------------------------------------------------
+def test_write_warc_roundtrip(spark, warc_dir, tmp_path):
+    from valkey_search_spark.sources.warc import index_warc, write_warc
+
+    orig = read_warc(spark, warc_dir, record_types=None)
+    out = str(tmp_path / "export")
+    write_warc(orig, out)
+    back = read_warc(spark, out, record_types=None)
+
+    def canon(df):
+        return sorted((r.record_id, r.record_type, r.target_uri,
+                       r.warc_date, r.http_status, r.content_type,
+                       bytes(r.payload or b"")) for r in df.collect())
+
+    assert canon(back) == canon(orig)
+    # the export is immediately CDX-indexable (per-record gzip members)
+    idx = index_warc(spark, out)
+    assert idx.where("status = 200").count() == \
+        orig.where("http_status = 200").count()
+
+
+def test_write_warc_minimal_columns_and_overwrite(spark, tmp_path):
+    from valkey_search_spark.sources.warc import write_warc
+
+    df = spark.createDataFrame(
+        [("https://a.com/1", b"payload one"),
+         ("https://a.com/2", b"payload two")],
+        "target_uri string, payload binary")
+    out = str(tmp_path / "min")
+    write_warc(df, out)
+    back = read_warc(spark, out, record_types=None).orderBy("target_uri")
+    rows = back.collect()
+    assert [r.target_uri for r in rows] == \
+        ["https://a.com/1", "https://a.com/2"]
+    assert all(r.record_type == "resource" for r in rows)
+    assert all(r.record_id.startswith("<urn:uuid:") for r in rows)
+    assert rows[0].payload == b"payload one"
+    # append grows, overwrite resets
+    write_warc(df, out)
+    assert read_warc(spark, out, record_types=None).count() == 4
+    write_warc(df, out, mode="overwrite")
+    assert read_warc(spark, out, record_types=None).count() == 2

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import os
 from typing import Iterator
 
 import pandas as pd
@@ -617,3 +618,120 @@ def fetch_warc_records(spark: SparkSession, captures: DataFrame, *,
                 fh.close()
 
     return sel.mapInPandas(fetch, WARC_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WARC writer (Spark 4 Python DataSourceWriter): export a curated
+# corpus back to the archive format the rest of the ecosystem reads —
+# the symmetric close of the source. One .warc.gz per task, per-record
+# gzip members (the Common Crawl layout, so the output is immediately
+# index_warc-able), task files named uniquely and removed on abort.
+
+
+def _build_warc_record(row: dict) -> bytes:
+    """One WARC record from a WARC_SCHEMA-shaped row. Response rows
+    (http_status set) are re-wrapped in a minimal HTTP envelope so a
+    later read_warc parses status/content-type back out; others write
+    their payload verbatim."""
+    payload = bytes(row.get("payload") or b"")
+    rtype = row.get("record_type") or "resource"
+    status = row.get("http_status")
+    ctype = row.get("content_type")
+    if rtype in ("response", "revisit") and status is not None:
+        head = f"HTTP/1.1 {int(status)} \r\n"
+        if ctype:
+            head += f"Content-Type: {ctype}\r\n"
+        head += f"Content-Length: {len(payload)}\r\n\r\n"
+        payload = head.encode() + payload
+    h = [f"WARC/1.0", f"WARC-Type: {rtype}"]
+    rid = row.get("record_id")
+    if not rid:
+        import uuid
+
+        rid = f"<urn:uuid:{uuid.uuid4()}>"
+    h.append(f"WARC-Record-ID: {rid}")
+    date = row.get("warc_date") or "1970-01-01T00:00:00Z"
+    h.append(f"WARC-Date: {date}")
+    uri = row.get("target_uri")
+    if uri:
+        h.append(f"WARC-Target-URI: {uri}")
+    h.append(f"Content-Length: {len(payload)}")
+    return ("\r\n".join(h) + "\r\n\r\n").encode() + payload + b"\r\n\r\n"
+
+
+def _warc_write_datasource_classes():
+    from dataclasses import dataclass
+
+    from pyspark.sql.datasource import (DataSource, DataSourceWriter,
+                                        WriterCommitMessage)
+
+    @dataclass
+    class _Done(WriterCommitMessage):
+        file: str
+        records: int
+
+    class _WarcWriter(DataSourceWriter):
+        def __init__(self, options, overwrite: bool):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("warc writer requires a path")
+            if overwrite:
+                import glob as _glob
+
+                for f in _glob.glob(os.path.join(self.path, "*.warc.gz")) \
+                        if os.path.isdir(self.path) else []:
+                    os.remove(f)
+
+        def write(self, it):
+            import uuid
+
+            os.makedirs(self.path, exist_ok=True)
+            fname = os.path.join(self.path,
+                                 f"part-{uuid.uuid4().hex}.warc.gz")
+            n = 0
+            with open(fname, "wb") as fh:
+                for row in it:
+                    fh.write(gzip.compress(
+                        _build_warc_record(row.asDict())))
+                    n += 1
+            if n == 0:
+                os.remove(fname)
+                return _Done("", 0)
+            return _Done(fname, n)
+
+        def commit(self, messages):
+            return None                     # task files are final
+
+        def abort(self, messages):
+            for m in messages:
+                if m is not None and m.file:
+                    try:
+                        os.remove(m.file)
+                    except OSError:
+                        pass
+
+    class WarcWriteDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "warc_out"
+
+        def writer(self, schema, overwrite: bool):
+            return _WarcWriter(self.options, overwrite)
+
+    return WarcWriteDataSource
+
+
+
+def write_warc(df: DataFrame, path: str,
+               mode: str = "append") -> None:
+    """Write a WARC_SCHEMA-shaped frame (``read_warc``'s output, or
+    anything with target_uri/payload [+ record_type/http_status/
+    content_type/record_id/warc_date]) as per-record-gzip ``.warc.gz``
+    archives under ``path`` — one archive per task, immediately
+    readable by ``read_warc``/``read_warc_stream`` and indexable by
+    ``index_warc``. Modes: ``append`` (default — task files are
+    uniquely named) or ``overwrite`` (clears existing ``.warc.gz``
+    first)."""
+    spark = df.sparkSession
+    spark.dataSource.register(_warc_write_datasource_classes())
+    df.write.format("warc_out").mode(mode).save(path)
