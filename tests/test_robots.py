@@ -1,0 +1,106 @@
+"""robots.txt gate: RFC 9309 semantics pinned (longest match, allow
+ties, wildcards, $ anchor, agent-group specificity), stdlib
+urllib.robotparser as an independent oracle on the wildcard-free
+subset, end-to-end gate over a URL corpus."""
+from __future__ import annotations
+
+import urllib.robotparser
+
+import pytest
+
+from valkey_search_spark.operators.robots import (_allowed,
+                                                  _parse_robots_body,
+                                                  parse_robots,
+                                                  robots_gate)
+
+_BODY = """
+# comments ignored
+User-agent: *
+Disallow: /private
+Allow: /private/ok
+Disallow: /*.json$
+Disallow: /tmp*
+Allow: /page
+Disallow: /page
+
+User-agent: goodbot
+Disallow:
+
+User-agent: badbot
+Disallow: /
+"""
+
+
+def _rules(agent="*"):
+    return _parse_robots_body(_BODY, agent)
+
+
+@pytest.mark.parametrize("path,want", [
+    ("/", True),
+    ("/private", False),
+    ("/private/file", False),
+    ("/private/ok/x", True),          # longer Allow wins
+    ("/data/feed.json", False),       # * wildcard + $ anchor
+    ("/data/feed.json?x=1", True),    # $ anchor: query breaks the match
+    ("/tmpfiles/a", False),           # trailing *
+    ("/page", True),                  # equal length: Allow wins the tie
+])
+def test_rfc_semantics(path, want):
+    assert _allowed(path, _rules()) is want
+
+
+def test_agent_group_selection():
+    assert _allowed("/private", _rules("GoodBot/1.0")) is True
+    assert _allowed("/anything", _rules("BadBot")) is False
+    assert _allowed("/private", _rules("otherbot")) is False  # * group
+
+
+def test_stdlib_robotparser_oracle():
+    # stdlib RobotFileParser is FIRST-match-in-file-order (pre-RFC
+    # semantics); listing the wildcard-free rules longest-first makes
+    # first-match coincide with RFC longest-match, giving an
+    # independent oracle over generated paths
+    body = ("User-agent: *\nAllow: /a/b\nDisallow: /c/d\n"
+            "Disallow: /a\nAllow: /c\nDisallow: /e\n")
+    rp = urllib.robotparser.RobotFileParser()
+    rp.parse(body.splitlines())
+    rules = _parse_robots_body(body, "*")
+    paths = ["/", "/a", "/a/", "/a/b", "/a/bc", "/a/b/c", "/ab",
+             "/c", "/c/d", "/c/de", "/c/x", "/e", "/e/f", "/x"]
+    for p in paths:
+        assert _allowed(p, rules) == \
+            rp.can_fetch("*", f"https://h.com{p}"), p
+
+
+def test_gate_end_to_end(spark):
+    robots = spark.createDataFrame([
+        ("Site.com", "User-agent: *\nDisallow: /private\n"),
+        ("other.com", "User-agent: *\nDisallow: /\nAllow: /pub\n"),
+    ], "host string, robots_txt string")
+    rules = parse_robots(robots)
+    docs = spark.createDataFrame([
+        (1, "https://site.com/ok"),
+        (2, "https://SITE.com/private/x"),      # host case-folded
+        (3, "https://other.com/pub/a?x=1"),
+        (4, "https://other.com/secret"),
+        (5, "https://norobots.com/anything"),   # no robots -> allowed
+        (6, None),                              # null url -> allowed
+    ], "k long, url string")
+    kept = sorted(r.k for r in robots_gate(docs, rules).collect())
+    assert kept == [1, 3, 5, 6]
+    dropped = sorted(r.k for r in
+                     robots_gate(docs, rules, keep_allowed=False)
+                     .collect())
+    assert dropped == [2, 4]
+    # the rules frame is tiny and the join side broadcasts
+    plan = robots_gate(docs, rules) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_empty_and_malformed_bodies(spark):
+    assert _parse_robots_body("", "*") == []
+    assert _parse_robots_body("garbage no colons\n<<>>", "*") == []
+    assert _allowed("/x", []) is True
+    # rules before any User-agent line are ignored (no group)
+    assert _parse_robots_body("Disallow: /\n", "*") == []
