@@ -104,3 +104,28 @@ def test_empty_and_malformed_bodies(spark):
     assert _allowed("/x", []) is True
     # rules before any User-agent line are ignored (no group)
     assert _parse_robots_body("Disallow: /\n", "*") == []
+
+
+def test_duplicate_star_groups_merge():
+    # RFC 9309 2.2.1: every matching group's rules apply — duplicate
+    # 'User-agent: *' groups are routine in real robots files
+    body = "User-agent: *\nDisallow: /a\n\nUser-agent: *\nDisallow: /b\n"
+    rules = _parse_robots_body(body, "*")
+    assert _allowed("/a/x", rules) is False
+    assert _allowed("/b/x", rules) is False
+    assert _allowed("/c", rules) is True
+
+
+def test_gate_survives_rules_column_and_dup_hosts(spark):
+    robots = spark.createDataFrame(
+        [("h.com", "User-agent: *\nDisallow: /no\n"),
+         ("h.com", "User-agent: *\nDisallow: /no\n")],   # refetch
+        "host string, robots_txt string")
+    rules = parse_robots(robots)
+    docs = spark.createDataFrame(
+        [(1, "https://h.com/ok", "user-rules"),
+         (2, "https://h.com/no/x", "user-rules")],
+        "k long, url string, rules string")       # colliding column
+    out = robots_gate(docs, rules).collect()
+    assert [r.k for r in out] == [1]              # no row multiplication
+    assert out[0].rules == "user-rules"           # user column intact

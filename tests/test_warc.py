@@ -385,3 +385,33 @@ def test_write_warc_minimal_columns_and_overwrite(spark, tmp_path):
     assert read_warc(spark, out, record_types=None).count() == 4
     write_warc(df, out, mode="overwrite")
     assert read_warc(spark, out, record_types=None).count() == 2
+
+
+def test_write_warc_ecosystem_headers_and_crash_window(spark, tmp_path):
+    from valkey_search_spark.sources.warc import write_warc
+
+    df = spark.createDataFrame(
+        [("response", "https://a.com/1", 200, "text/html", b"<p>x</p>")],
+        "record_type string, target_uri string, http_status int, "
+        "content_type string, payload binary")
+    out = str(tmp_path / "eco")
+    write_warc(df, out)
+    raw = gzip.decompress(
+        open(next(iter(__import__("glob").glob(f"{out}/*.warc.gz"))),
+             "rb").read())
+    # the WARC-level media type warcio/pywb key HTTP parsing off
+    assert b"Content-Type: application/http; msgtype=response" in raw
+    assert b"HTTP/1.1 200" in raw
+    # an orphaned in-progress file from a killed task: reads ignore it,
+    # the next write's commit sweeps it, overwrite clears stale .warc
+    open(f"{out}/.part-dead.warc.gz.inprogress", "wb").write(b"junk")
+    (pathlib := __import__("pathlib")).Path(
+        f"{out}/stale.warc").write_bytes(b"GARBAGE")
+    import os as _os
+    _os.remove(f"{out}/stale.warc")       # (reader would reject garbage)
+    assert read_warc(spark, out).count() == 1
+    write_warc(df, out)                   # append + sweep
+    assert not __import__("glob").glob(f"{out}/.*.inprogress")
+    assert read_warc(spark, out).count() == 2
+    write_warc(df, out, mode="overwrite")
+    assert read_warc(spark, out).count() == 1

@@ -24,6 +24,7 @@ Reference analogue: none (beyond-reference operator per SURVEY.md
 """
 from __future__ import annotations
 
+from functools import lru_cache as _lru_cache
 from typing import Iterator
 
 import pandas as pd
@@ -69,15 +70,43 @@ def _parse_robots_body(body: str, agent: str) -> list[tuple[bool, str]]:
     if cur_agents:
         groups.append((cur_agents, cur_rules))
     # most specific agent token: longest agent name that is a
-    # substring of ours; '*' matches with specificity 0
-    best, best_len = None, -1
-    for agents, rules in groups:
+    # substring of ours; '*' matches with specificity 0. ALL groups at
+    # the winning specificity merge (RFC 9309 §2.2.1 — duplicate
+    # 'User-agent: *' groups are routine in real robots files and
+    # every rule of every matching group must apply)
+    def spec(agents):
+        s = -1
         for a in agents:
-            if a == "*" and best_len < 0:
-                best, best_len = rules, 0
-            elif a and a != "*" and a in agent and len(a) > best_len:
-                best, best_len = rules, len(a)
-    return best or []
+            if a == "*":
+                s = max(s, 0)
+            elif a and a in agent:
+                s = max(s, len(a))
+        return s
+
+    specs = [spec(agents) for agents, _ in groups]
+    best_len = max(specs, default=-1)
+    if best_len < 0:
+        return []
+    merged: list[tuple[bool, str]] = []
+    for s, (_, rules) in zip(specs, groups):
+        if s == best_len:
+            merged.extend(rules)
+    return merged
+
+
+@_lru_cache(maxsize=65536)
+def _compiled(pattern: str):
+    """Compiled matcher for one rule pattern, memoized per process —
+    the gate evaluates (page x rule) pairs, so the translate/compile
+    must not re-run per row. Consecutive '*' collapse (they compile to
+    chained '.*' whose backtracking is the classic stall)."""
+    import re
+
+    anchored = pattern.endswith("$")
+    core = pattern[:-1] if anchored else pattern
+    core = re.sub(r"\*{2,}", "*", core)
+    rx = "".join(".*" if ch == "*" else re.escape(ch) for ch in core)
+    return re.compile("^" + rx + ("$" if anchored else ""))
 
 
 def _pattern_matches(pattern: str, path: str) -> int:
@@ -85,13 +114,7 @@ def _pattern_matches(pattern: str, path: str) -> int:
     matches, -1 otherwise. '*' = any run, '$' = end anchor."""
     if pattern == "":
         return -1                          # empty rule: no effect
-    import re
-
-    anchored = pattern.endswith("$")
-    core = pattern[:-1] if anchored else pattern
-    rx = "".join(".*" if ch == "*" else re.escape(ch) for ch in core)
-    rx = "^" + rx + ("$" if anchored else "")
-    return len(pattern) if re.match(rx, path) else -1
+    return len(pattern) if _compiled(pattern).match(path) else -1
 
 
 def _allowed(path: str, rules) -> bool:
@@ -110,8 +133,12 @@ def parse_robots(robots_df: DataFrame, host_col: str = "host",
                  body_col: str = "robots_txt",
                  agent: str = "*") -> DataFrame:
     """(host, rules) frame from a robots corpus — one Arrow map over
-    the (tiny) robots side; feed to ``robots_gate``."""
+    the (tiny) robots side; feed to ``robots_gate``. Hosts
+    deduplicate FIRST (refetches are routine in crawl fetch tables;
+    which fetch survives is unspecified) — a duplicated host would
+    multiply page rows through the gate's join."""
     cols = [host_col, body_col]
+    robots_df = robots_df.dropDuplicates([host_col])
 
     def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -140,10 +167,11 @@ def robots_gate(df: DataFrame, rules_df: DataFrame,
     full_path = F.concat(
         F.when(_path(u) == "", F.lit("/")).otherwise(_path(u)),
         F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)))
+    side = (rules_df.withColumnRenamed("host", "__host")
+                    .withColumnRenamed("rules", "__rules"))
     tagged = (df.withColumn("__host", _host(u))
                 .withColumn("__path", full_path)
-                .join(F.broadcast(rules_df.withColumnRenamed(
-                    "host", "__host")), "__host", "left"))
+                .join(F.broadcast(side), "__host", "left"))
 
     @F.pandas_udf(T.BooleanType())
     def verdict(paths: pd.Series, rules: pd.Series) -> pd.Series:
@@ -153,6 +181,6 @@ def robots_gate(df: DataFrame, rules_df: DataFrame,
             for p, rs in zip(paths, rules)])
 
     out = tagged.withColumn("__ok", verdict(F.col("__path"),
-                                            F.col("rules")))
+                                            F.col("__rules")))
     keep = F.col("__ok") if keep_allowed else ~F.col("__ok")
-    return out.where(keep).drop("__host", "__path", "__ok", "rules")
+    return out.where(keep).drop("__host", "__path", "__ok", "__rules")

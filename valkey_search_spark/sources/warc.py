@@ -637,13 +637,21 @@ def _build_warc_record(row: dict) -> bytes:
     rtype = row.get("record_type") or "resource"
     status = row.get("http_status")
     ctype = row.get("content_type")
+    warc_ctype = None
     if rtype in ("response", "revisit") and status is not None:
         head = f"HTTP/1.1 {int(status)} \r\n"
         if ctype:
             head += f"Content-Type: {ctype}\r\n"
         head += f"Content-Length: {len(payload)}\r\n\r\n"
         payload = head.encode() + payload
-    h = [f"WARC/1.0", f"WARC-Type: {rtype}"]
+        # the WARC-level media type ecosystem tools (warcio/pywb) key
+        # HTTP parsing off — without it the payload is opaque bytes
+        warc_ctype = "application/http; msgtype=response"
+    elif rtype == "request":
+        warc_ctype = "application/http; msgtype=request"
+    elif ctype:
+        warc_ctype = ctype
+    h = ["WARC/1.0", f"WARC-Type: {rtype}"]
     rid = row.get("record_id")
     if not rid:
         import uuid
@@ -655,6 +663,8 @@ def _build_warc_record(row: dict) -> bytes:
     uri = row.get("target_uri")
     if uri:
         h.append(f"WARC-Target-URI: {uri}")
+    if warc_ctype:
+        h.append(f"Content-Type: {warc_ctype}")
     h.append(f"Content-Length: {len(payload)}")
     return ("\r\n".join(h) + "\r\n\r\n").encode() + payload + b"\r\n\r\n"
 
@@ -675,32 +685,51 @@ def _warc_write_datasource_classes():
             self.path = options.get("path")
             if not self.path:
                 raise ValueError("warc writer requires a path")
-            if overwrite:
+            if overwrite and os.path.isdir(self.path):
                 import glob as _glob
 
-                for f in _glob.glob(os.path.join(self.path, "*.warc.gz")) \
-                        if os.path.isdir(self.path) else []:
+                # match the READER's discovery glob, or stale plain
+                # .warc archives would survive and re-appear in reads;
+                # clear orphaned in-progress files too
+                for f in (_glob.glob(os.path.join(self.path, "*.warc*"))
+                          + _glob.glob(os.path.join(self.path,
+                                                    ".*.inprogress"))):
                     os.remove(f)
 
         def write(self, it):
             import uuid
 
             os.makedirs(self.path, exist_ok=True)
-            fname = os.path.join(self.path,
-                                 f"part-{uuid.uuid4().hex}.warc.gz")
+            # write under an in-progress name the reader glob
+            # ("*.warc*") can never match, rename on task success: a
+            # killed/retried task leaves only an orphaned .inprogress
+            # file that reads ignore and commit() sweeps
+            base = f"part-{uuid.uuid4().hex}.warc.gz"
+            tmp = os.path.join(self.path, f".{base}.inprogress")
             n = 0
-            with open(fname, "wb") as fh:
+            with open(tmp, "wb") as fh:
                 for row in it:
                     fh.write(gzip.compress(
                         _build_warc_record(row.asDict())))
                     n += 1
             if n == 0:
-                os.remove(fname)
+                os.remove(tmp)
                 return _Done("", 0)
-            return _Done(fname, n)
+            final = os.path.join(self.path, base)
+            os.rename(tmp, final)
+            return _Done(final, n)
 
         def commit(self, messages):
-            return None                     # task files are final
+            # task files are final; sweep orphans from failed attempts
+            import glob as _glob
+
+            for f in _glob.glob(os.path.join(self.path,
+                                             ".*.inprogress")):
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
+            return None
 
         def abort(self, messages):
             for m in messages:
