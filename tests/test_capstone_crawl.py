@@ -97,13 +97,26 @@ def test_crawl_lifecycle(spark, sf_dir, tmp_path):
     assert kept.count() == 43
     assert kept.where(F.col("url").contains("spam.bad")).count() == 0
 
+    # 4b. robots.txt compliance: site0 disallows /page/*5 paths
+    from valkey_search_spark.operators.robots import (parse_robots,
+                                                      robots_gate)
+
+    robots = spark.createDataFrame(
+        [("site0.example.com", "User-agent: *\nDisallow: /page/*5$\n")],
+        "host string, robots_txt string")
+    n_before = kept.count()
+    kept = robots_gate(kept, parse_robots(robots))
+    blocked = [r.doc_id for r in docs
+               if r.doc_id % 5 == 0 and str(r.doc_id).endswith("5")]
+    assert kept.count() == n_before - len(blocked)
+
     # 5. curation gates (quality + min tokens drop the stub)
     clean, funnel = curate_documents(
         kept.withColumn("doc_id", F.col("k")),
         config=CurationConfig(min_tokens=10, min_quality=0.0,
                               near_dup_threshold=None))
-    assert funnel["input"] == 43
-    assert funnel["quality_gate"] == 42          # stub gated
+    assert funnel["input"] == 39                 # 43 - 4 robots-blocked
+    assert funnel["quality_gate"] == 38          # stub gated
     rows = clean.collect()
     # the mojibake page came out repaired
     m = [r for r in rows if "m.example.com" in r.url]
