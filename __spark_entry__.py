@@ -1304,6 +1304,35 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url", F.length("text").alias("text_len"), "title",
             F.round("link_density", 4).alias("ld"))
 
+    _ROBOTS: dict = {}
+
+    def b_robots_gate(spark, sf_dir):
+        # crawl-compliance gate: broadcast host-rules join + Arrow
+        # verdict map (RFC-semantics pinned in tests/test_robots.py).
+        # Rules parse once (cached artifact); urls synthesized with
+        # four path shapes so every rule kind evaluates.
+        from valkey_search_spark.operators.robots import (parse_robots,
+                                                          robots_gate)
+
+        if sf_dir not in _ROBOTS:
+            robots = spark.createDataFrame(
+                [(f"site{i}.example.com",
+                  "User-agent: *\nDisallow: /private\n"
+                  "Allow: /private/ok\nDisallow: /*.json$\n")
+                 for i in range(200)], "host string, robots_txt string")
+            _ROBOTS[sf_dir] = parse_robots(robots).cache()
+            _ROBOTS[sf_dir].count()
+        docs = load_table(spark, sf_dir, "documents").select("doc_id")
+        d = F.col("doc_id")
+        urls = docs.select("doc_id", F.concat(
+            F.lit("https://site"), (d % 300).cast("string"),
+            F.lit(".example.com"),
+            F.element_at(F.array(F.lit("/public/x"), F.lit("/private/y"),
+                                 F.lit("/private/ok/z"),
+                                 F.lit("/data/f.json")),
+                         (d % 4 + 1).cast("int"))).alias("url"))
+        return robots_gate(urls, _ROBOTS[sf_dir]).select("doc_id")
+
     _CDX: dict = {}
 
     def b_warc_cdx_fetch(spark, sf_dir):
@@ -1401,6 +1430,7 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hygiene_clean_text": b_clean_text,
         "text_sentences": b_sentences,
         "ingest_warc_cdx_fetch": b_warc_cdx_fetch,
+        "hygiene_robots_gate": b_robots_gate,
     }
 
 

@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "hygiene_clean_text",
     "text_sentences",
     "ingest_warc_cdx_fetch",
+    "hygiene_robots_gate",
 ]
 
 
