@@ -1,0 +1,91 @@
+"""C4-style line-level cleanup — the published heuristics between raw
+page text and document-level quality gates (Raffel et al., C4;
+variants in MassiveText/RefinedWeb).
+
+Line rules (each a flag, conjunction = keep):
+- ends in terminal punctuation (. ! ? " ' — the "sentence line" rule),
+- at least ``min_words`` words (C4 uses 3 as the page-level sentence
+  count; 5 words/line is the common line rule — both configurable),
+- no blocklisted phrase (lorem ipsum, javascript-required notices,
+  cookie/privacy boilerplate),
+- not a curly-brace line (leaked code/markup).
+
+Page rules after line filtering:
+- at least ``min_kept_lines`` surviving lines,
+- pages containing any ``page_blocklist`` phrase ("lorem ipsum" and
+  the obscenity placeholder hook) drop entirely.
+
+Everything is ONE map-only codegen scan: lines stage as a split array,
+per-line predicates run inside a single ``F.filter`` lambda over it,
+and the page verdict is arithmetic on the staged arrays — no Python,
+no shuffle, no explode (the rebuild is array_join, so no
+Generate-re-evaluation hazard either).
+
+Deviation note: C4's original langdetect/bad-words steps live in this
+repo as ``textops.lang_id_col`` and the quality gates; this module is
+the line-shape subset, pinned against an independent scalar
+implementation of the published rules.
+
+Reference analogue: none (beyond-reference operator per SURVEY.md
+§2.10).
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# phrases whose presence disqualifies a LINE (case-insensitive)
+LINE_BLOCKLIST = (
+    "javascript", "cookie policy", "cookies enabled", "privacy policy",
+    "terms of use", "all rights reserved", "read more", "click here",
+)
+# phrases that disqualify the whole PAGE
+PAGE_BLOCKLIST = ("lorem ipsum", "{")
+
+_TERMINAL = ("[.!?][\"'”’)\\]]{0,2}$", )
+
+
+def _line_ok(line: Column, min_words: int, blocklist) -> Column:
+    words = F.filter(F.split(F.trim(line), "[\\s\\p{Z}]+"),
+                     lambda w: w != F.lit(""))
+    ok = (F.size(words) >= min_words) & \
+        F.trim(line).rlike(_TERMINAL[0])
+    low = F.lower(line)
+    for phrase in blocklist:
+        ok = ok & ~low.contains(phrase)
+    return ok
+
+
+def c4_line_flags(df: DataFrame, text_col: str = "text",
+                  min_words: int = 5,
+                  min_kept_lines: int = 3,
+                  line_blocklist=LINE_BLOCKLIST,
+                  page_blocklist=PAGE_BLOCKLIST) -> DataFrame:
+    """Add ``text_c4`` (the line-filtered text), ``c4_lines_kept`` /
+    ``c4_lines_total``, and ``c4_keep_page`` — one map-only scan."""
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(lines, lambda ln: _line_ok(ln, min_words,
+                                               line_blocklist))
+    out = (df.withColumn("__kept", kept)
+             .withColumn("c4_lines_total", F.size(lines))
+             .withColumn("c4_lines_kept", F.size(F.col("__kept")))
+             .withColumn("text_c4",
+                         F.array_join(F.transform(F.col("__kept"),
+                                                  F.trim), "\n"))
+             .drop("__kept"))
+    page_ok = F.col("c4_lines_kept") >= min_kept_lines
+    low = F.lower(F.col(text_col))
+    for phrase in page_blocklist:
+        page_ok = page_ok & ~low.contains(phrase)
+    return out.withColumn("c4_keep_page",
+                          F.coalesce(page_ok, F.lit(False)))
+
+
+def c4_clean(df: DataFrame, text_col: str = "text",
+             **kwargs) -> DataFrame:
+    """The composed filter: pages that survive, with ``text_col``
+    REPLACED by the line-filtered text (the C4 output shape)."""
+    flagged = c4_line_flags(df, text_col, **kwargs)
+    return (flagged.where(F.col("c4_keep_page"))
+            .withColumn(text_col, F.col("text_c4"))
+            .drop("text_c4", "c4_lines_kept", "c4_lines_total",
+                  "c4_keep_page"))
