@@ -1304,6 +1304,26 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url", F.length("text").alias("text_len"), "title",
             F.round("link_density", 4).alias("ld"))
 
+    def b_c4_lines(spark, sf_dir):
+        # C4 line filters: one map-only codegen scan (scalar-reference
+        # pinned in tests/test_c4.py). Lines synthesized by wrapping
+        # the word soup every 9 tokens with terminal punctuation on
+        # ~2/3 of them so both rule outcomes occur.
+        from valkey_search_spark.operators.c4 import c4_line_flags
+
+        docs = load_table(spark, sf_dir, "documents")
+        toks = F.split(F.col("text"), " ")
+        lined = docs.select("doc_id", F.array_join(F.transform(
+            F.sequence(F.lit(0), ((F.size(toks) - 1) / 9).cast("int")),
+            lambda i: F.concat(
+                F.array_join(F.slice(toks, i * 9 + 1, 9), " "),
+                F.when(i % 3 != 2, F.lit(".")).otherwise(F.lit("")))),
+            "\n").alias("text"))
+        out = c4_line_flags(lined)
+        return out.select("doc_id", "c4_lines_kept", "c4_lines_total",
+                          "c4_keep_page",
+                          F.length("text_c4").alias("clen"))
+
     _ROBOTS: dict = {}
 
     def b_robots_gate(spark, sf_dir):
@@ -1431,6 +1451,7 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_sentences": b_sentences,
         "ingest_warc_cdx_fetch": b_warc_cdx_fetch,
         "hygiene_robots_gate": b_robots_gate,
+        "hygiene_c4_lines": b_c4_lines,
     }
 
 

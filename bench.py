@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "text_sentences",
     "ingest_warc_cdx_fetch",
     "hygiene_robots_gate",
+    "hygiene_c4_lines",
 ]
 
 
