@@ -1312,8 +1312,12 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from valkey_search_spark.operators.c4 import c4_line_flags
 
         docs = load_table(spark, sf_dir, "documents")
-        toks = F.split(F.col("text"), " ")
-        lined = docs.select("doc_id", F.array_join(F.transform(
+        # stage the split BEFORE the lambda: a captured expression
+        # re-evaluates per array element (the documented trap) and
+        # would make the synthesis quadratic in document length
+        staged = docs.withColumn("__toks", F.split(F.col("text"), " "))
+        toks = F.col("__toks")
+        lined = staged.select("doc_id", F.array_join(F.transform(
             F.sequence(F.lit(0), ((F.size(toks) - 1) / 9).cast("int")),
             lambda i: F.concat(
                 F.array_join(F.slice(toks, i * 9 + 1, 9), " "),

@@ -20,7 +20,7 @@ def _scalar_c4(text: str, min_words=5, min_kept=3):
         words = t.split()
         if len(words) < min_words:
             continue
-        if not re.search(r"[.!?][\"'”’)\]]{0,2}$", t):
+        if not re.search(r"[.!?\"”'’][\"'”’)\]]{0,2}$", t):
             continue
         low = ln.lower()
         if any(p in low for p in LINE_BLOCKLIST):
@@ -34,6 +34,8 @@ def _scalar_c4(text: str, min_words=5, min_kept=3):
 _GOOD = "This is a proper sentence with enough words."
 _LINES = [
     _GOOD,
+    'He said "this line ends with a bare quote"',   # end-quote terminal
+    "\tGood sentence padded with a tab ends here.\t",  # unicode trim
     "Another complete sentence sits right here today.",
     "And a third full sentence closes the page out!",
     "too short.",                           # < 5 words
@@ -73,7 +75,7 @@ def test_page_rules(spark):
     cleaned = c4_clean(df)
     rows = cleaned.collect()
     assert [r.k for r in rows] == [1]
-    assert rows[0].text == three_good
+    assert rows[0].text == _scalar_c4(three_good)[0]   # trimmed lines
     assert "text_c4" not in cleaned.columns
 
 
@@ -82,10 +84,10 @@ def test_counts_and_custom_thresholds(spark):
                                "k long, text string")
     r = c4_line_flags(df).first()
     assert r.c4_lines_total == len(_LINES)
-    assert r.c4_lines_kept == 3
-    # loosened thresholds admit the 4-word line
+    assert r.c4_lines_kept == 5
+    # loosened thresholds admit the 2-word "too short." line
     r2 = c4_line_flags(df, min_words=2, min_kept_lines=4).first()
-    assert r2.c4_lines_kept == 4 and r2.c4_keep_page
+    assert r2.c4_lines_kept == 6 and r2.c4_keep_page
 
 
 def test_plan_map_only(spark):

@@ -3,17 +3,20 @@ page text and document-level quality gates (Raffel et al., C4;
 variants in MassiveText/RefinedWeb).
 
 Line rules (each a flag, conjunction = keep):
-- ends in terminal punctuation (. ! ? " ' — the "sentence line" rule),
+- ends in terminal punctuation (. ! ? or an end quotation mark,
+  optionally followed by closing quotes/brackets — the published
+  "sentence line" rule),
 - at least ``min_words`` words (C4 uses 3 as the page-level sentence
   count; 5 words/line is the common line rule — both configurable),
-- no blocklisted phrase (lorem ipsum, javascript-required notices,
-  cookie/privacy boilerplate),
-- not a curly-brace line (leaked code/markup).
+- no blocklisted phrase (javascript-required notices, cookie/privacy
+  boilerplate).
 
 Page rules after line filtering:
 - at least ``min_kept_lines`` surviving lines,
-- pages containing any ``page_blocklist`` phrase ("lorem ipsum" and
-  the obscenity placeholder hook) drop entirely.
+- pages containing any ``page_blocklist`` phrase drop ENTIRELY — the
+  defaults are "lorem ipsum" and the C4 curly-brace rule (a "{"
+  anywhere marks leaked code/markup and discards the page; extend the
+  tuple with a bad-words list for the original's obscenity filter).
 
 Everything is ONE map-only codegen scan: lines stage as a split array,
 per-line predicates run inside a single ``F.filter`` lambda over it,
@@ -41,14 +44,21 @@ LINE_BLOCKLIST = (
 # phrases that disqualify the whole PAGE
 PAGE_BLOCKLIST = ("lorem ipsum", "{")
 
-_TERMINAL = ("[.!?][\"'”’)\\]]{0,2}$", )
+# terminal = . ! ? OR a bare end quotation mark (the published rule),
+# optionally followed by up to two closing quotes/brackets
+_TERMINAL = "[.!?\"”'’][\"'”’)\\]]{0,2}$"
+_EDGE_WS = "^[\\s\\p{Z}]+|[\\s\\p{Z}]+$"   # F.trim is ASCII-space-only
+
+
+def _wtrim(col: Column) -> Column:
+    return F.regexp_replace(col, _EDGE_WS, "")
 
 
 def _line_ok(line: Column, min_words: int, blocklist) -> Column:
-    words = F.filter(F.split(F.trim(line), "[\\s\\p{Z}]+"),
+    words = F.filter(F.split(_wtrim(line), "[\\s\\p{Z}]+"),
                      lambda w: w != F.lit(""))
     ok = (F.size(words) >= min_words) & \
-        F.trim(line).rlike(_TERMINAL[0])
+        _wtrim(line).rlike(_TERMINAL)
     low = F.lower(line)
     for phrase in blocklist:
         ok = ok & ~low.contains(phrase)
@@ -62,16 +72,18 @@ def c4_line_flags(df: DataFrame, text_col: str = "text",
                   page_blocklist=PAGE_BLOCKLIST) -> DataFrame:
     """Add ``text_c4`` (the line-filtered text), ``c4_lines_kept`` /
     ``c4_lines_total``, and ``c4_keep_page`` — one map-only scan."""
-    lines = F.split(F.col(text_col), "\n")
-    kept = F.filter(lines, lambda ln: _line_ok(ln, min_words,
-                                               line_blocklist))
-    out = (df.withColumn("__kept", kept)
-             .withColumn("c4_lines_total", F.size(lines))
-             .withColumn("c4_lines_kept", F.size(F.col("__kept")))
-             .withColumn("text_c4",
-                         F.array_join(F.transform(F.col("__kept"),
-                                                  F.trim), "\n"))
-             .drop("__kept"))
+    # stage the split ONCE (referenced twice below — CollapseProject
+    # would otherwise inline two split() copies into the map stage)
+    staged = df.withColumn("__lines", F.split(F.col(text_col), "\n"))
+    kept = F.filter(F.col("__lines"),
+                    lambda ln: _line_ok(ln, min_words, line_blocklist))
+    out = (staged.withColumn("__kept", kept)
+           .withColumn("c4_lines_total", F.size(F.col("__lines")))
+           .withColumn("c4_lines_kept", F.size(F.col("__kept")))
+           .withColumn("text_c4",
+                       F.array_join(F.transform(F.col("__kept"),
+                                                _wtrim), "\n"))
+           .drop("__kept", "__lines"))
     page_ok = F.col("c4_lines_kept") >= min_kept_lines
     low = F.lower(F.col(text_col))
     for phrase in page_blocklist:
