@@ -162,6 +162,28 @@ def test_partition_emptied_by_delete_does_not_resurrect(spark, tmp_path):
     assert after.count() == 30
 
 
+def test_boolean_partition_emptied_does_not_resurrect(spark, tmp_path):
+    # review finding: touched-partition naming used Python str() of the
+    # collected value — str(True)='True' but hive writes 'flag=true',
+    # so a boolean partition fully emptied by deletes was treated as
+    # untouched and hard-linked back (deleted rows resurrected)
+    path = str(tmp_path / "tb")
+    df = spark.range(20).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text-"), F.col("id")).alias("text"),
+        (F.col("id") % 2 == 0).alias("flag"))
+    df.write.mode("overwrite").partitionBy("flag").parquet(path)
+    dels = spark.createDataFrame([(i, True) for i in range(0, 20, 2)],
+                                 "doc_id long, flag boolean")
+    merge_parquet(spark, path, deletes=dels, key="doc_id",
+                  partition_by="flag")
+    after = spark.read.parquet(path)
+    assert after.where("flag = true").count() == 0
+    assert after.count() == 10
+    # the untouched flag=false partition was still carried
+    assert after.where("flag = false").count() == 10
+
+
 def test_null_partition_value_rejected(spark, tmp_path):
     path = str(tmp_path / "tn")
     _write_base(spark, path, n=10)

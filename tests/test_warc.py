@@ -303,6 +303,23 @@ def test_cdx_null_url_rows_roundtrip_and_fetch(spark, warc_dir, tmp_path):
     assert all(r.record_type == "warcinfo" for r in fetched)
 
 
+def test_minimal_captures_dedupe_duplicate_slices(spark, warc_dir):
+    # review finding: with only the minimum documented columns
+    # (filename/offset/length), repeat captures of ONE whole-file-gzip
+    # member slice re-emitted every record in it. Identical slices must
+    # fetch once.
+    from valkey_search_spark.sources.warc import (fetch_warc_records,
+                                                  index_warc)
+
+    idx = index_warc(spark, warc_dir) \
+        .where(F.col("filename").endswith("whole.warc.gz"))
+    caps = idx.select("filename", "offset", "length")
+    assert caps.count() == 3             # 3 records share one member
+    fetched = fetch_warc_records(spark, caps).collect()
+    ids = sorted(r.record_id for r in fetched)
+    assert len(ids) == len(set(ids)) == 3
+
+
 def test_index_truncated_tail_keeps_prefix(spark, tmp_path):
     from valkey_search_spark.sources.warc import index_warc
 

@@ -97,9 +97,18 @@ def merge_parquet(spark, path: str, updates: DataFrame | None = None,
                 f"partition_by={partition_by!r} must be present in "
                 "updates and deletes")
         touched_parts = set()
+        touched_strs = set()
         for s in sides:
-            touched_parts |= {r[0] for r in
-                              s.select(partition_by).distinct().collect()}
+            # collect the value (for the isin prune) AND Spark's own
+            # string rendering (for hive dir-name comparison below) —
+            # Python str() diverges from hive naming for e.g. booleans
+            # (str(True)='True' but hive writes 'flag=true'), which made
+            # fully-emptied partitions resurrect via the carry link
+            for r in (s.select(F.col(partition_by).alias("v"),
+                               F.col(partition_by).cast("string")
+                               .alias("s")).distinct().collect()):
+                touched_parts.add(r["v"])
+                touched_strs.add(r["s"])
         if None in touched_parts:
             raise ValueError(
                 "null partition values in updates/deletes are not "
@@ -131,7 +140,6 @@ def merge_parquet(spark, path: str, updates: DataFrame | None = None,
 
         written = {e for e in os.listdir(tmp)
                    if e.startswith(f"{partition_by}=")}
-        touched_strs = {str(p) for p in touched_parts}
         for entry in os.listdir(path):
             if not entry.startswith(f"{partition_by}="):
                 continue

@@ -595,6 +595,14 @@ def fetch_warc_records(spark: SparkSession, captures: DataFrame, *,
                             max_payload_bytes, "raise"))
                         last_slice = key     # N captures of one
                         # whole-file-gzip member parse it ONCE
+                    elif not has_url and not has_status:
+                        # minimal captures (no url/status columns) sort
+                        # adjacent per slice; a repeat capture of the
+                        # same slice has nothing to disambiguate WHICH
+                        # record it means, so emitting again would
+                        # duplicate every record in a whole-file-gzip
+                        # member — dedupe the slice instead
+                        continue
                     for rec in last_recs:
                         # a slice usually holds exactly one record; a
                         # whole-file-gzip member holds several — the
