@@ -138,6 +138,73 @@ def _r(col, nd=4):
     return F.round(col, nd) + F.lit(0.0)
 
 
+def _synth_urls(docs: DataFrame) -> DataFrame:
+    """(doc_id, url) with planted equivalent-form groups (param order,
+    fragments, default ports, case) from doc_id arithmetic — shared by
+    the hygiene_url_dedup driver row and the bench entry, and replicated
+    analytically in the DuckDB oracle."""
+    d = F.col("doc_id")
+    g = d % 200
+    scheme = F.element_at(
+        F.array(F.lit("https"), F.lit("HTTPS"), F.lit("https")),
+        (d % 3 + 1).cast("int"))
+    host = F.concat(
+        F.when(d % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("site"), (g % 37).cast("string"),
+        F.element_at(F.array(F.lit(".example.com"),
+                             F.lit(".example.co.uk"),
+                             F.lit(".shop.com.au")),
+                     (g % 3 + 1).cast("int")),
+        F.when(d % 5 == 0, F.lit(":443")).otherwise(F.lit("")))
+    qs = F.element_at(F.array(
+        F.lit("?a=1&b=2"), F.lit("?b=2&a=1"),
+        F.lit("?a=1&utm_source=x&b=2"), F.lit("?b=2&a=1&gclid=9")),
+        (d % 4 + 1).cast("int"))
+    frag = F.when(d % 7 == 0, F.lit("#top")).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id",
+        F.concat(scheme, F.lit("://"), host, F.lit("/p/"),
+                 g.cast("string"), qs, frag).alias("url"))
+
+
+_WARC_DIRS: dict = {}
+
+
+def warc_archive_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once WARC archives (per-record gzip members, the Common
+    Crawl layout) wrapping the real documents in HTML — the input for
+    the warc_extract_clean driver row and the ingest bench entries."""
+    import gzip as _gz
+
+    if sf_dir in _WARC_DIRS:
+        return _WARC_DIRS[sf_dir]
+    d = f"/tmp/valkey_warc_{os.path.basename(sf_dir.rstrip('/'))}"
+    os.makedirs(d, exist_ok=True)
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text").collect()
+    # one task per archive is the format's parallelism: scale the
+    # archive count with the corpus (~600 pages/archive)
+    n_files = max(8, len(docs) // 600)
+    handles = [open(f"{d}/part{i}.warc.gz", "wb") for i in range(n_files)]
+    for r in docs:
+        body = (f"<html><head><title>doc {r.doc_id}</title>"
+                f"</head><body><p>{r.text}</p></body></html>").encode()
+        http = (f"HTTP/1.1 200 OK\r\nContent-Type: text/html"
+                f"\r\nContent-Length: {len(body)}\r\n\r\n"
+                ).encode() + body
+        rec = (f"WARC/1.0\r\nWARC-Type: response\r\n"
+               f"WARC-Record-ID: <urn:uuid:{r.doc_id}>\r\n"
+               f"WARC-Date: 2026-01-02T03:04:05Z\r\n"
+               f"WARC-Target-URI: https://ex.com/{r.doc_id}\r\n"
+               f"Content-Length: {len(http)}\r\n\r\n"
+               ).encode() + http + b"\r\n\r\n"
+        handles[r.doc_id % n_files].write(_gz.compress(rec))
+    for h in handles:
+        h.close()
+    _WARC_DIRS[sf_dir] = d
+    return d
+
+
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: hybrid filtered KNN on sf0.001."""
@@ -207,21 +274,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         PART_COLS,
         ("exact", "parts", "@p_brand:{Brand#13|Brand#42}", {}),
         ("prefix", "parts", "@p_brand:{Brand#1*}", {}))
+    # PARAMS substitution (round-6 slot consolidation: the old
+    # params_sub row rides as a 4th form — same §2.2 PARAMS coverage,
+    # one slot)
     q["numeric_ranges"] = _union_search(
         PART_COLS,
         ("closed", "parts", "@p_retailprice:[905 915]", {}),
         ("exclusive", "parts", "@p_retailprice:[(905 (915]", {}),
-        ("halfopen", "parts", "@p_retailprice:[910 +inf]", {}))
+        ("halfopen", "parts", "@p_retailprice:[910 +inf]", {}),
+        ("params", "parts", "@p_brand:{$b} @p_retailprice:[$lo $hi]",
+         {"params": {"b": "Brand#13", "lo": 900, "hi": 910}}))
     q["and_or"] = _search(
         "parts", "(@p_brand:{Brand#13}|@p_brand:{Brand#42}) @p_size:[20 40]", PART_COLS)
     q["negation"] = _search(
         "parts", "-@p_brand:{Brand#13} @p_retailprice:[900 905]", PART_COLS)
-    q["params_sub"] = _search("parts", "@p_brand:{$b} @p_retailprice:[$lo $hi]",
-                              PART_COLS, params={"b": "Brand#13", "lo": 900, "hi": 910})
 
     # -- text search (SURVEY §2.2 text rows) ----------------------------
-    q["text_term"] = _search("parts", "widget", ["p_partkey", "p_name"])
-    q["text_term_stem"] = _search("docs", "tables", DOC_COLS)  # + verbatim below
+    # term / stem / verbatim forms in ONE discriminated-union row
+    # (round-6 slot consolidation of text_term + text_term_stem +
+    # text_term_verbatim), normalized to (k, v, form) like text_affixes
+    def q_term_forms(spark, sf_dir):
+        e = _eng(spark, sf_dir)
+        term = (e.ft_search("parts", "widget", limit=ALL)
+                .select(F.col("p_partkey").cast("string").alias("k"),
+                        F.col("p_name").alias("v"),
+                        F.lit("term").alias("form")))
+        stem = (e.ft_search("docs", "tables", limit=ALL)
+                .select(F.col("doc_id").cast("string").alias("k"),
+                        F.col("source").alias("v"),
+                        F.lit("stem").alias("form")))
+        # VERBATIM routes around stem expansion; the stemmed twin of the
+        # same query keeps asserting the toggle's OTHER side
+        verb = (e.ft_search("docs", "table", verbatim=True, limit=ALL)
+                .select(F.col("doc_id").cast("string").alias("k"),
+                        F.col("source").alias("v"),
+                        F.lit("verbatim").alias("form")))
+        stmd = (e.ft_search("docs", "table", limit=ALL)
+                .select(F.col("doc_id").cast("string").alias("k"),
+                        F.col("source").alias("v"),
+                        F.lit("stemmed").alias("form")))
+        out = term
+        for x in (stem, verb, stmd):
+            out = out.unionByName(x)
+        return out
+
+    q["text_term_forms"] = q_term_forms
     q["text_field_group"] = _search("parts", "@p_name:(widget|bolt)",
                                     ["p_partkey", "p_name"])
     def q_affixes(spark, sf_dir):
@@ -255,9 +352,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_phrase"] = q_text_phrase
     q["text_fuzzy"] = _search("docs", "%windo%", DOC_COLS)
-    q["text_proximity"] = _search("docs", "batch stream", DOC_COLS,
-                                  slop=1, inorder=True)
     # proximity variants, one discriminated-union row (driver cap is 50):
+    #  2term   — SLOP 1 + INORDER (the old text_proximity row, folded in
+    #            as a form in the round-6 slot consolidation)
     #  stem    — stem-expanded slots (src/query/search.cc:226-298)
     #  inorder — INORDER without SLOP: ordering only, unbounded span
     #            (proximity.h: span checked only when slop is set)
@@ -266,6 +363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #            .github/benchmark_configs/fts-benchmarks-arm.json)
     q["text_proximity_multi"] = _union_search(
         DOC_COLS,
+        ("2term", "docs", "batch stream", {"slop": 1, "inorder": True}),
         ("stem", "docs", "tables streaming", {"slop": 1}),
         ("inorder", "docs", "window sort", {"inorder": True}),
         ("3term", "docs", "batch stream window",
@@ -287,11 +385,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return fl.unionByName(st)
 
     q["text_field_explosion"] = q_field_explosion
-
-    q["text_term_verbatim"] = _union_search(
-        DOC_COLS,
-        ("verbatim", "docs", "table", {"verbatim": True}),
-        ("stemmed", "docs", "table", {}))
 
     # -- FT.SEARCH SORTBY / RETURN (SURVEY §2.3, §2.5) ------------------
     def q_sortby(spark, sf_dir):
@@ -337,11 +430,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "li", "*",
         "GROUPBY 1 @l_quantity REDUCE COUNT 0 AS n "
         "SORTBY 2 @l_quantity ASC LIMIT 3 7")
-    q["agg_apply_time"] = _agg(
-        "ords", "*",
-        'APPLY "year(@o_orderdate)" AS y APPLY "month(@o_orderdate)" AS m0 '
-        'APPLY "dayofweek(@o_orderdate)" AS dw '
-        "GROUPBY 3 @y @m0 @dw REDUCE COUNT 0 AS n")
+    # time-part APPLYs in one union row (round-6 slot consolidation of
+    # agg_apply_time + agg_events_time): ymd form = year/month/dayofweek
+    # over orders, hour form = hour over events (-1 pads)
+    def q_apply_time(spark, sf_dir):
+        e = _eng(spark, sf_dir)
+        ymd = e.ft_aggregate(
+            "ords", "*",
+            'APPLY "year(@o_orderdate)" AS y APPLY "month(@o_orderdate)" AS m0 '
+            'APPLY "dayofweek(@o_orderdate)" AS dw '
+            "GROUPBY 3 @y @m0 @dw REDUCE COUNT 0 AS n").select(
+                F.col("y").alias("a"), F.col("m0").alias("b"),
+                F.col("dw").alias("c"), "n", F.lit("ymd").alias("form"))
+        hr = e.ft_aggregate(
+            "events", "*",
+            'APPLY "hour(@ts)" AS h GROUPBY 1 @h REDUCE COUNT 0 AS n '
+            "SORTBY 2 @h ASC").select(
+                F.col("h").alias("a"), F.lit(-1.0).alias("b"),
+                F.lit(-1.0).alias("c"), "n", F.lit("hour").alias("form"))
+        return ymd.unionByName(hr)
+
+    q["agg_apply_time"] = q_apply_time
     q["agg_apply_strings"] = _agg(
         "ords", "*",
         'APPLY "upper(@o_orderpriority)" AS up '
@@ -350,39 +459,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'APPLY "contains(@o_orderpriority, \'e\')" AS ce '
         'APPLY "concat(@o_orderstatus, \'-\', @o_orderpriority)" AS cc '
         "GROUPBY 5 @up @sl @s3 @ce @cc REDUCE COUNT 0 AS n")
-    q["agg_expr_math"] = _agg(
-        "ords", "@o_totalprice:[100000 +inf]",
-        'APPLY "sqrt(@o_totalprice)" AS sq APPLY "floor(@o_totalprice/1000)" AS kb '
-        "GROUPBY 1 @kb REDUCE COUNT 0 AS n REDUCE SUM 1 @sq AS sum_sq",
-        post=lambda df: df.select("kb", "n", _r(F.col("sum_sq"), 2).alias("sum_sq")))
     q["agg_tag_filter_search_phase"] = _agg(
         "li", "@l_returnflag:{A} @l_quantity:[10 +inf]",
         "GROUPBY 1 @l_linestatus REDUCE COUNT 0 AS n "
         "REDUCE SUM 1 @l_extendedprice AS s",
         post=lambda df: df.select("l_linestatus", "n", _r(F.col("s"), 2).alias("s")))
-    q["agg_events_json"] = _agg(
-        "events", "@event_type:{click|purchase}",
-        "GROUPBY 1 @event_type REDUCE COUNT 0 AS n REDUCE AVG 1 @props_k AS avg_k "
-        "REDUCE SUM 1 @value AS sum_v",
-        post=lambda df: df.select("event_type", "n",
-                                  _r(F.col("avg_k"), 4).alias("avg_k"),
-                                  _r(F.col("sum_v"), 2).alias("sum_v")))
-    q["agg_events_time"] = _agg(
-        "events", "*",
-        'APPLY "hour(@ts)" AS h GROUPBY 1 @h REDUCE COUNT 0 AS n '
-        "SORTBY 2 @h ASC")
-    q["agg_expr_funcs"] = _agg(
-        "ords", "*",
-        'APPLY "floor(log(@o_totalprice))" AS lnb '
-        'APPLY "floor(log2(@o_totalprice))" AS l2b '
-        'APPLY "exp(@o_totalprice/100000)" AS ex '
-        "GROUPBY 2 @lnb @l2b REDUCE COUNT 0 AS n REDUCE SUM 1 @ex AS sum_ex",
-        post=lambda df: df.select("lnb", "l2b", "n",
-                                  _r(F.col("sum_ex"), 4).alias("sum_ex")))
-    q["agg_exists"] = _agg(
-        "events", "*",
-        'APPLY "exists(@props_k) + exists(@props_m)" AS ek '
-        "GROUPBY 1 @ek REDUCE COUNT 0 AS n")
+    # ON-JSON aggregation + exists() in one union row (round-6 slot
+    # consolidation of agg_events_json + agg_exists): json form groups
+    # on the tag with $.k AVG; exists form groups on the
+    # exists(k)+exists(m) APPLY ($.m is the always-missing path)
+    def q_events_json(spark, sf_dir):
+        e = _eng(spark, sf_dir)
+        js = e.ft_aggregate(
+            "events", "@event_type:{click|purchase}",
+            "GROUPBY 1 @event_type REDUCE COUNT 0 AS n "
+            "REDUCE AVG 1 @props_k AS avg_k "
+            "REDUCE SUM 1 @value AS sum_v").select(
+                F.col("event_type").alias("k"), "n",
+                _r(F.col("avg_k"), 4).alias("d1"),
+                _r(F.col("sum_v"), 2).alias("d2"),
+                F.lit("json").alias("form"))
+        ex = e.ft_aggregate(
+            "events", "*",
+            'APPLY "exists(@props_k) + exists(@props_m)" AS ek '
+            "GROUPBY 1 @ek REDUCE COUNT 0 AS n").select(
+                F.col("ek").cast("string").alias("k"), "n",
+                F.lit(0.0).alias("d1"), F.lit(0.0).alias("d2"),
+                F.lit("exists").alias("form"))
+        return js.unionByName(ex)
+
+    q["agg_events_json"] = q_events_json
+
+    # expression-function APPLYs in one union row (round-6 slot
+    # consolidation of agg_expr_funcs + agg_expr_math): funcs form =
+    # log/log2/exp buckets over orders; math form = sqrt/floor-division
+    # buckets over the filtered search phase (-1 pads)
+    def q_expr_funcs(spark, sf_dir):
+        e = _eng(spark, sf_dir)
+        fn = e.ft_aggregate(
+            "ords", "*",
+            'APPLY "floor(log(@o_totalprice))" AS lnb '
+            'APPLY "floor(log2(@o_totalprice))" AS l2b '
+            'APPLY "exp(@o_totalprice/100000)" AS ex '
+            "GROUPBY 2 @lnb @l2b REDUCE COUNT 0 AS n "
+            "REDUCE SUM 1 @ex AS sum_ex").select(
+                F.col("lnb").alias("a"), F.col("l2b").alias("b"), "n",
+                _r(F.col("sum_ex"), 4).alias("s"),
+                F.lit("funcs").alias("form"))
+        ma = e.ft_aggregate(
+            "ords", "@o_totalprice:[100000 +inf]",
+            'APPLY "sqrt(@o_totalprice)" AS sq '
+            'APPLY "floor(@o_totalprice/1000)" AS kb '
+            "GROUPBY 1 @kb REDUCE COUNT 0 AS n "
+            "REDUCE SUM 1 @sq AS sum_sq").select(
+                F.col("kb").alias("a"), F.lit(-1.0).alias("b"), "n",
+                _r(F.col("sum_sq"), 2).alias("s"),
+                F.lit("math").alias("form"))
+        return fn.unionByName(ma)
+
+    q["agg_expr_funcs"] = q_expr_funcs
     # timefmt + parsetime round-trip in ONE aggregate (merged round-1
     # entries agg_timefmt / agg_parsetime)
     q["agg_timefmt_parsetime"] = _agg(
@@ -390,19 +525,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'APPLY "timefmt(@ts, \'%F\')" AS day '
         'APPLY "parsetime(@day, \'%F\')" AS day_ts '
         "GROUPBY 2 @day @day_ts REDUCE COUNT 0 AS n")
-    q["agg_load"] = _agg(
-        "ords", "*",
-        'LOAD 2 @o_orderpriority @o_totalprice FILTER "@o_totalprice > 400000"',
-        post=lambda df: df.select("o_orderpriority",
-                                  _r(F.col("o_totalprice"), 2).alias("price")))
-    # LOAD f AS alias binds the record slot to the alias; n counts RESP
-    # tokens including AS (ft_aggregate_parser.cc:252)
-    q["agg_load_alias"] = _agg(
-        "ords", "*",
-        'LOAD 4 @o_orderpriority AS prio @o_totalprice '
-        'FILTER "@o_totalprice > 400000" '
-        "GROUPBY 1 @prio REDUCE COUNT 0 AS n REDUCE MAX 1 @o_totalprice AS mx",
-        post=lambda df: df.select("prio", "n", _r(F.col("mx"), 2).alias("mx")))
+    # LOAD n and LOAD f AS alias in one union row (round-6 slot
+    # consolidation of agg_load + agg_load_alias). The alias form's n
+    # counts RESP tokens including AS (ft_aggregate_parser.cc:252).
+    def q_load(spark, sf_dir):
+        e = _eng(spark, sf_dir)
+        ld = e.ft_aggregate(
+            "ords", "*",
+            'LOAD 2 @o_orderpriority @o_totalprice '
+            'FILTER "@o_totalprice > 400000"').select(
+                F.col("o_orderpriority").alias("s"),
+                _r(F.col("o_totalprice"), 2).alias("d1"),
+                F.lit(0.0).alias("d2"), F.lit("load").alias("form"))
+        al = e.ft_aggregate(
+            "ords", "*",
+            'LOAD 4 @o_orderpriority AS prio @o_totalprice '
+            'FILTER "@o_totalprice > 400000" '
+            "GROUPBY 1 @prio REDUCE COUNT 0 AS n "
+            "REDUCE MAX 1 @o_totalprice AS mx").select(
+                F.col("prio").alias("s"), F.col("n").alias("d1"),
+                _r(F.col("mx"), 2).alias("d2"),
+                F.lit("alias").alias("form"))
+        return ld.unionByName(al)
+
+    q["agg_load"] = q_load
     # TPC-H Q6 shape: selective multi-predicate search phase feeding a
     # global (keyless) aggregation — revenue = sum(price * discount)
     q["agg_tpch_q6"] = _agg(
@@ -628,6 +774,165 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _r(F.col("top_2gram_char_frac"), 6).alias("rep2_frac"))
 
     q["text_analysis"] = q_text_analysis
+
+    # -- round-7 rotation: crawl-ingest / curation operators get their
+    # own hash-checked driver rows (freed by the union consolidations
+    # above; the judge's round-6 top_next) ------------------------------
+    def q_url_dedup(spark, sf_dir):
+        # URL-canonicalization dedup (the C4/RefinedWeb front door):
+        # all-JVM normalize (case/ports/tracking-params/param-sort/
+        # fragment) + one shuffle on the canonical string. The oracle
+        # recomputes the canonical form analytically from the planted
+        # synthesis, so every normalization step is value-checked.
+        from valkey_search_spark.operators.urlops import url_dedup
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id")
+        return url_dedup(_synth_urls(docs), "doc_id")
+
+    q["hygiene_url_dedup"] = q_url_dedup
+
+    def q_c4_lines(spark, sf_dir):
+        # C4 line filters over synthesized lines (word soup wrapped
+        # every 9 tokens, terminal '.' on 2/3 of lines): one map-only
+        # codegen scan; the oracle replicates line synthesis + the
+        # min-words/terminal-punctuation rules in SQL (the soup
+        # vocabulary contains no blocklist phrase, checked in-test).
+        from valkey_search_spark.operators.c4 import c4_line_flags
+
+        docs = load_table(spark, sf_dir, "documents")
+        staged = docs.withColumn("__toks", F.split(F.col("text"), " "))
+        toks = F.col("__toks")
+        lined = staged.select("doc_id", F.array_join(F.transform(
+            F.sequence(F.lit(0), ((F.size(toks) - 1) / 9).cast("int")),
+            lambda i: F.concat(
+                F.array_join(F.slice(toks, i * 9 + 1, 9), " "),
+                F.when(i % 3 != 2, F.lit(".")).otherwise(F.lit("")))),
+            "\n").alias("text"))
+        out = c4_line_flags(lined)
+        return out.select("doc_id",
+                          F.col("c4_lines_kept").cast("long").alias("kept"),
+                          F.col("c4_lines_total").cast("long").alias("total"),
+                          "c4_keep_page",
+                          F.length("text_c4").cast("long").alias("clen"))
+
+    q["hygiene_c4_lines"] = q_c4_lines
+
+    def q_line_dedup(spark, sf_dir):
+        # cross-document boilerplate-line removal (CCNet/RefinedWeb):
+        # line doc-frequency agg + verdict join + positional
+        # reassembly, with a planted shared footer; the oracle
+        # recomputes doc frequencies and the rebuilt text in SQL.
+        from valkey_search_spark.operators.contamination import (
+            cross_doc_line_dedup,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        toks = F.split(F.col("text"), " ")
+        lined = docs.select(
+            "doc_id",
+            F.concat_ws("\n",
+                        F.array_join(F.slice(toks, 1, 8), " "),
+                        F.lit("all rights reserved"),
+                        F.array_join(F.slice(toks, 9, 8), " "),
+                        F.array_join(F.slice(toks, 17, 8), " ")
+                        ).alias("text"))
+        out = cross_doc_line_dedup(lined, "doc_id")
+        return out.select("doc_id", "lines_kept", "lines_dropped",
+                          F.length("text_deduped").cast("long").alias("len"))
+
+    q["hygiene_line_dedup"] = q_line_dedup
+
+    def q_bm25(spark, sf_dir):
+        # BM25 relevance over the real corpus (beyond-reference
+        # ranking): one stats job + map-only codegen scoring; the
+        # oracle recomputes the full Robertson/Sparck-Jones formula in
+        # SQL ('cat' is an out-of-lexicon term pinning the df=0 path).
+        from valkey_search_spark.operators.ranking import bm25_rank
+
+        docs = load_table(spark, sf_dir, "documents")
+        out = bm25_rank(docs, ["merge", "window", "cat"])
+        return out.select("doc_id",
+                          _r(F.col("bm25_score"), 4).alias("bm25_score"))
+
+    q["search_bm25"] = q_bm25
+
+    def q_rrf(spark, sf_dir):
+        # reciprocal-rank fusion of two deterministic runs over the
+        # same corpus (chars-ranked vs token-ranked); two shuffles at
+        # any run count. Plain-SQL oracle: two rank windows + union +
+        # sum(w/(k+rank)) + the fused-rank cutoff.
+        from valkey_search_spark.operators.fusion import rrf_fuse
+
+        docs = load_table(spark, sf_dir, "documents")
+        a = docs.select(F.lit("q0").alias("qid"), "doc_id",
+                        F.col("n_chars").cast("double").alias("score"))
+        b = docs.select(F.lit("q0").alias("qid"), "doc_id",
+                        F.size(F.split("text", " "))
+                        .cast("double").alias("score"))
+        out = rrf_fuse({"chars": a, "toks": b}, k=60, top_n=50)
+        return out.select("doc_id", _r(F.col("rrf_score"), 6)
+                          .alias("rrf_score"), "n_runs", "fused_rank")
+
+    q["search_hybrid_rrf"] = q_rrf
+
+    def q_ir_metrics(spark, sf_dir):
+        # per-query IR metrics over the events log (qrels = purchases):
+        # rank window + qrels join + per-query aggregation, TREC
+        # conventions; DuckDB recomputes every metric.
+        from valkey_search_spark.operators.evaluation import ir_metrics
+
+        ev = load_table(spark, sf_dir, "events")
+        results = ev.select(F.col("user_id").alias("qid"),
+                            F.col("event_id").alias("doc_id"),
+                            F.col("value").alias("score"))
+        qrels = ev.where("event_type = 'purchase'").select(
+            F.col("user_id").alias("qid"),
+            F.col("event_id").alias("doc_id"), F.lit(1).alias("grade"))
+        out = ir_metrics(results, qrels, k=10)
+        return out.select(
+            "qid", "n_results", "n_relevant",
+            _r(F.col("precision_at_k"), 6).alias("p_at_k"),
+            _r(F.col("recall_at_k"), 6).alias("r_at_k"),
+            _r(F.col("mrr"), 6).alias("mrr"),
+            _r(F.col("ndcg_at_k"), 6).alias("ndcg"))
+
+    q["eval_ir_metrics"] = q_ir_metrics
+
+    def q_profile(spark, sf_dir):
+        # dataset-card statistics as ONE grouping-sets pass (single
+        # Expand + shuffle, plan-pinned in tests); the approximate
+        # percentile columns stay bench/pytest-side — the driver row
+        # hash-checks the exact counts per (dimension, bucket).
+        from valkey_search_spark.operators.profile import corpus_profile
+
+        docs = load_table(spark, sf_dir, "documents")
+        return corpus_profile(docs).select(
+            "dimension", "bucket", "docs", "chars", "tokens")
+
+    q["corpus_profile"] = q_profile
+
+    def q_warc_extract_clean(spark, sf_dir):
+        # the composed crawl front door: WARC responses (per-record
+        # gzip members) -> lossy-UTF8 html -> text/title/link-density
+        # extraction -> Unicode cleaning. The oracle knows the page
+        # synthesis, so extraction fidelity (text EXACTLY the wrapped
+        # document) and the cleaner's identity on clean text are both
+        # value-checked.
+        from valkey_search_spark.operators.cleaning import clean_text
+        from valkey_search_spark.operators.html import extract_documents
+        from valkey_search_spark.sources.warc import warc_html_documents
+
+        d = warc_archive_dir(spark, sf_dir)
+        pages = warc_html_documents(spark, d)
+        ext = extract_documents(pages, html_col="html")
+        out = clean_text(ext, text_col="text", out_col="clean")
+        return out.select(
+            "url", "title",
+            F.length("text").cast("long").alias("text_len"),
+            F.length("clean").cast("long").alias("clean_len"),
+            _r(F.col("link_density"), 4).alias("ld"))
+
+    q["warc_extract_clean"] = q_warc_extract_clean
 
     return q
 
@@ -1259,47 +1564,17 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", "sent_idx",
                           F.length("sentence").alias("slen"))
 
-    _WARC: dict = {}
-
     def b_warc_ingest(spark, sf_dir):
         # crawl front door: WARC archive (per-record gzip members, the
         # Common Crawl layout) -> response records -> HTML extraction.
-        # The archive is a build-once artifact wrapping the real
-        # documents in markup; the timed path is parse + extract.
-        # Forward-writer-pinned in tests/test_warc.py
-        import gzip as _gz
-
+        # The archive is a build-once artifact (warc_archive_dir,
+        # shared with the warc_extract_clean driver row); the timed
+        # path is parse + extract. Forward-writer-pinned in
+        # tests/test_warc.py
         from valkey_search_spark.operators.html import extract_documents
         from valkey_search_spark.sources.warc import warc_html_documents
 
-        if sf_dir not in _WARC:
-            d = f"/tmp/valkey_warc_{os.path.basename(sf_dir.rstrip('/'))}"
-            os.makedirs(d, exist_ok=True)
-            docs = load_table(spark, sf_dir, "documents") \
-                .select("doc_id", "text").collect()
-            # one task per archive is the format's parallelism: scale
-            # the archive count with the corpus (~600 pages/archive)
-            n_files = max(8, len(docs) // 600)
-            handles = [open(f"{d}/part{i}.warc.gz", "wb")
-                       for i in range(n_files)]
-            for r in docs:
-                body = (f"<html><head><title>doc {r.doc_id}</title>"
-                        f"</head><body><p>{r.text}</p></body></html>"
-                        ).encode()
-                http = (f"HTTP/1.1 200 OK\r\nContent-Type: text/html"
-                        f"\r\nContent-Length: {len(body)}\r\n\r\n"
-                        ).encode() + body
-                rec = (f"WARC/1.0\r\nWARC-Type: response\r\n"
-                       f"WARC-Record-ID: <urn:uuid:{r.doc_id}>\r\n"
-                       f"WARC-Date: 2026-01-02T03:04:05Z\r\n"
-                       f"WARC-Target-URI: https://ex.com/{r.doc_id}\r\n"
-                       f"Content-Length: {len(http)}\r\n\r\n"
-                       ).encode() + http + b"\r\n\r\n"
-                handles[r.doc_id % n_files].write(_gz.compress(rec))
-            for h in handles:
-                h.close()
-            _WARC[sf_dir] = d
-        docs = warc_html_documents(spark, _WARC[sf_dir])
+        docs = warc_html_documents(spark, warc_archive_dir(spark, sf_dir))
         return extract_documents(docs, html_col="html").select(
             "url", F.length("text").alias("text_len"), "title",
             F.round("link_density", 4).alias("ld"))
@@ -1367,10 +1642,10 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from valkey_search_spark.sources.warc import (fetch_warc_records,
                                                       index_warc)
 
-        b_warc_ingest(spark, sf_dir)          # ensure archives exist
+        wdir = warc_archive_dir(spark, sf_dir)
         if sf_dir not in _CDX:
             p = f"/tmp/valkey_cdx_{os.path.basename(sf_dir.rstrip('/'))}"
-            index_warc(spark, _WARC[sf_dir]) \
+            index_warc(spark, wdir) \
                 .write.mode("overwrite").parquet(p)
             _CDX[sf_dir] = p
         idx = spark.read.parquet(_CDX[sf_dir])
@@ -1380,40 +1655,25 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.length("payload").alias("nbytes"))
 
     def b_url_dedup(spark, sf_dir):
-        # URL-canonicalization dedup (the C4/RefinedWeb front door):
-        # all-JVM normalize (lowercase/ports/tracking-params/sort) +
-        # one shuffle on the canonical string. URLs are synthesized
-        # from doc_id with planted equivalent-form groups (param order,
-        # fragments, default ports, case) so the canonicalizer has real
-        # collapsing work; DuckDB-oracle-pinned in tests/test_urlops.py
+        # URL-canonicalization dedup (the C4/RefinedWeb front door) —
+        # shares the driver row's planted synthesis (_synth_urls);
+        # DuckDB-oracle-pinned there and in tests/test_urlops.py
         from valkey_search_spark.operators.urlops import url_dedup
 
         docs = load_table(spark, sf_dir, "documents").select("doc_id")
-        d = F.col("doc_id")
-        g = d % 200
-        scheme = F.element_at(
-            F.array(F.lit("https"), F.lit("HTTPS"), F.lit("https")),
-            (d % 3 + 1).cast("int"))
-        host = F.concat(
-            F.when(d % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
-            F.lit("site"), (g % 37).cast("string"),
-            F.element_at(F.array(F.lit(".example.com"),
-                                 F.lit(".example.co.uk"),
-                                 F.lit(".shop.com.au")),
-                         (g % 3 + 1).cast("int")),
-            F.when(d % 5 == 0, F.lit(":443")).otherwise(F.lit("")))
-        qs = F.element_at(F.array(
-            F.lit("?a=1&b=2"), F.lit("?b=2&a=1"),
-            F.lit("?a=1&utm_source=x&b=2"), F.lit("?b=2&a=1&gclid=9")),
-            (d % 4 + 1).cast("int"))
-        frag = F.when(d % 7 == 0, F.lit("#top")).otherwise(F.lit(""))
-        urls = docs.select(
-            "doc_id",
-            F.concat(scheme, F.lit("://"), host, F.lit("/p/"),
-                     g.cast("string"), qs, frag).alias("url"))
-        return url_dedup(urls, "doc_id")
+        return url_dedup(_synth_urls(docs), "doc_id")
 
     return {
+        # single-form twins of the consolidated driver-union rows, kept
+        # here so bench timings stay name-comparable round-over-round
+        "text_term": _search("parts", "widget", ["p_partkey", "p_name"]),
+        "text_term_stem": _search("docs", "tables", DOC_COLS),
+        "text_proximity": _search("docs", "batch stream", DOC_COLS,
+                                  slop=1, inorder=True),
+        "agg_events_time": _agg(
+            "events", "*",
+            'APPLY "hour(@ts)" AS h GROUPBY 1 @h REDUCE COUNT 0 AS n '
+            "SORTBY 2 @h ASC"),
         "text_proximity_3term": _search("docs", "batch stream window",
                                         DOC_COLS, slop=2, inorder=True),
         "text_proximity_5term": _search(
@@ -1473,20 +1733,27 @@ def oracle_sql() -> dict[str, str]:
     o["numeric_ranges"] = _part_union(
         ("closed", "p_retailprice BETWEEN 905 AND 915"),
         ("exclusive", "p_retailprice > 905 AND p_retailprice < 915"),
-        ("halfopen", "p_retailprice >= 910"))
+        ("halfopen", "p_retailprice >= 910"),
+        ("params", "p_brand = 'Brand#13' AND p_retailprice BETWEEN 900 AND 910"))
     o["and_or"] = _part_where(
         "p_brand IN ('Brand#13','Brand#42') AND p_size BETWEEN 20 AND 40")
     o["negation"] = _part_where(
         "p_brand <> 'Brand#13' AND p_retailprice BETWEEN 900 AND 905")
-    o["params_sub"] = _part_where(
-        "p_brand = 'Brand#13' AND p_retailprice BETWEEN 900 AND 910")
 
     W = "[^a-z0-9]"
-    o["text_term"] = (
-        "SELECT p_partkey, p_name FROM part WHERE "
-        f"regexp_matches(p_name, '(^|{W})widget({W}|$)')")
-    o["text_term_stem"] = _doc_where(
-        f"regexp_matches(text, '(^|{W})tables?({W}|$)')")
+    # verbatim matches only the literal token; the stemmed twin of the
+    # same query also matches plural forms etc. — both legs assert the
+    # VERBATIM toggle routes around stem expansion
+    o["text_term_forms"] = (
+        "SELECT CAST(p_partkey AS VARCHAR) AS k, p_name AS v,"
+        " 'term' AS form FROM part"
+        f" WHERE regexp_matches(p_name, '(^|{W})widget({W}|$)')"
+        " UNION ALL SELECT CAST(doc_id AS VARCHAR), source, 'stem'"
+        f" FROM documents WHERE regexp_matches(text, '(^|{W})tables?({W}|$)')"
+        " UNION ALL SELECT CAST(doc_id AS VARCHAR), source, 'verbatim'"
+        f" FROM documents WHERE regexp_matches(text, '(^|{W})table({W}|$)')"
+        " UNION ALL SELECT CAST(doc_id AS VARCHAR), source, 'stemmed'"
+        f" FROM documents WHERE regexp_matches(text, '(^|{W})tables?({W}|$)')")
     o["text_field_group"] = (
         "SELECT p_partkey, p_name FROM part WHERE "
         f"regexp_matches(p_name, '(^|{W})(widget|bolt)({W}|$)')")
@@ -1513,11 +1780,8 @@ def oracle_sql() -> dict[str, str]:
     o["text_fuzzy"] = _doc_where(
         "EXISTS (SELECT 1 FROM unnest(string_split(text, ' ')) AS u(tok)"
         " WHERE levenshtein(tok, 'windo') <= 1)")
-    o["text_proximity"] = (
-        f"{_toks} SELECT doc_id, source FROM toks WHERE len(list_filter("
-        "range(1, len(t)), i -> t[i]='batch'"
-        " AND (t[i+1]='stream' OR t[i+2]='stream'))) > 0")
     # proximity-variant union (matches queries()["text_proximity_multi"]):
+    #  2term: the old text_proximity row (SLOP 1 + INORDER), folded in.
     #  stem: "tables streaming" stems to table/stream; corpus holds only
     #   the base forms, so match those at |i-j| <= 2 in either order.
     #  inorder: ordering only, unbounded span.
@@ -1532,7 +1796,11 @@ def oracle_sql() -> dict[str, str]:
         f" j -> t[j]='{w}'))>0"
         for w in ["batch", "stream", "window", "sort", "merge"])
     o["text_proximity_multi"] = (
-        f"{_toks} SELECT doc_id, source, 'stem' AS form FROM toks"
+        f"{_toks} SELECT doc_id, source, '2term' AS form FROM toks"
+        " WHERE len(list_filter("
+        "range(1, len(t)), i -> t[i]='batch'"
+        " AND (t[i+1]='stream' OR t[i+2]='stream'))) > 0"
+        " UNION ALL SELECT doc_id, source, 'stem' FROM toks"
         " WHERE len(list_filter("
         "range(1, len(t) + 1), i -> (t[i]='table'"
         " AND (t[i+1]='stream' OR t[i+2]='stream'))"
@@ -1564,15 +1832,6 @@ def oracle_sql() -> dict[str, str]:
         " WHERE doc_id % 10 = 0")
     o["text_and_numeric"] = _doc_where(
         f"regexp_matches(text, '(^|{W})vector({W}|$)') AND n_chars >= 300")
-    # verbatim matches only the literal token; the stemmed form of the
-    # same query also matches docs holding "tables" etc. (none in corpus,
-    # so the two legs differ only by the form tag -- both still assert the
-    # VERBATIM toggle routes around stem expansion)
-    o["text_term_verbatim"] = (
-        f"SELECT doc_id, source, 'verbatim' AS form FROM documents"
-        f" WHERE regexp_matches(text, '(^|{W})table({W}|$)')"
-        f" UNION ALL SELECT doc_id, source, 'stemmed' FROM documents"
-        f" WHERE regexp_matches(text, '(^|{W})tables?({W}|$)')")
 
     o["agg_q1"] = (
         "SELECT l_returnflag, l_linestatus, CAST(count(*) AS DOUBLE) AS n,"
@@ -1594,11 +1853,13 @@ def oracle_sql() -> dict[str, str]:
         "SELECT l_quantity, CAST(count(*) AS DOUBLE) AS n FROM lineitem"
         " GROUP BY l_quantity ORDER BY l_quantity ASC LIMIT 7 OFFSET 3")
     o["agg_apply_time"] = (
-        "SELECT CAST(year(o_orderdate) AS DOUBLE) AS y,"
-        " CAST(month(o_orderdate)-1 AS DOUBLE) AS m0,"
-        " CAST(dayofweek(o_orderdate) AS DOUBLE) AS dw,"
-        " CAST(count(*) AS DOUBLE) AS n"
-        " FROM orders GROUP BY 1, 2, 3")
+        "SELECT CAST(year(o_orderdate) AS DOUBLE) AS a,"
+        " CAST(month(o_orderdate)-1 AS DOUBLE) AS b,"
+        " CAST(dayofweek(o_orderdate) AS DOUBLE) AS c,"
+        " CAST(count(*) AS DOUBLE) AS n, 'ymd' AS form"
+        " FROM orders GROUP BY 1, 2, 3"
+        " UNION ALL SELECT CAST(hour(ts) AS DOUBLE), -1.0, -1.0,"
+        " CAST(count(*) AS DOUBLE), 'hour' FROM events GROUP BY 1")
     o["agg_apply_strings"] = (
         "SELECT upper(o_orderpriority) AS up,"
         " CAST(strlen(o_orderpriority) AS DOUBLE) AS sl,"
@@ -1608,25 +1869,26 @@ def oracle_sql() -> dict[str, str]:
         " o_orderstatus || '-' || o_orderpriority AS cc,"
         " CAST(count(*) AS DOUBLE) AS n"
         " FROM orders GROUP BY 1, 2, 3, 4, 5")
-    o["agg_expr_math"] = (
-        "SELECT floor(o_totalprice/1000) AS kb, CAST(count(*) AS DOUBLE) AS n,"
-        " ROUND(sum(sqrt(o_totalprice)), 2) + 0.0 AS sum_sq"
-        " FROM orders WHERE o_totalprice >= 100000 GROUP BY 1")
     o["agg_tag_filter_search_phase"] = (
         "SELECT l_linestatus, CAST(count(*) AS DOUBLE) AS n,"
         " ROUND(sum(l_extendedprice), 2) + 0.0 AS s"
         " FROM lineitem WHERE l_returnflag = 'A' AND l_quantity >= 10"
         " GROUP BY l_linestatus")
+    # ek derived FROM DATA (not constant-folded) so dataset drift — e.g.
+    # events missing $.k — breaks the row; $.m is the always-missing path
     o["agg_events_json"] = (
-        "SELECT event_type, CAST(count(*) AS DOUBLE) AS n,"
+        "SELECT event_type AS k, CAST(count(*) AS DOUBLE) AS n,"
         " ROUND(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4)"
-        "  + 0.0 AS avg_k,"
-        " ROUND(sum(value), 2) + 0.0 AS sum_v"
+        "  + 0.0 AS d1,"
+        " ROUND(sum(value), 2) + 0.0 AS d2, 'json' AS form"
         " FROM events WHERE event_type IN ('click','purchase')"
-        " GROUP BY event_type")
-    o["agg_events_time"] = (
-        "SELECT CAST(hour(ts) AS DOUBLE) AS h, CAST(count(*) AS DOUBLE) AS n"
-        " FROM events GROUP BY 1 ORDER BY 1")
+        " GROUP BY event_type"
+        " UNION ALL SELECT CAST(ek AS VARCHAR), CAST(count(*) AS DOUBLE),"
+        " 0.0, 0.0, 'exists' FROM (SELECT"
+        " (CASE WHEN json_extract_string(props,'$.k') IS NOT NULL"
+        " THEN 1.0 ELSE 0.0 END"
+        " + CASE WHEN json_extract_string(props,'$.m') IS NOT NULL"
+        " THEN 1.0 ELSE 0.0 END) AS ek FROM events) GROUP BY 1")
 
     o["search_sortby_limit"] = (
         "SELECT o_orderkey, o_totalprice FROM orders"
@@ -1636,29 +1898,25 @@ def oracle_sql() -> dict[str, str]:
         " p_retailprice FROM part WHERE p_size BETWEEN 1 AND 5")
 
     o["agg_expr_funcs"] = (
-        "SELECT floor(ln(o_totalprice)) AS lnb,"
-        " floor(log2(o_totalprice)) AS l2b,"
+        "SELECT floor(ln(o_totalprice)) AS a,"
+        " floor(log2(o_totalprice)) AS b,"
         " CAST(count(*) AS DOUBLE) AS n,"
-        " ROUND(sum(exp(o_totalprice/100000)), 4) + 0.0 AS sum_ex"
-        " FROM orders GROUP BY 1, 2")
-    # ek derived FROM DATA (not constant-folded) so dataset drift — e.g.
-    # events missing $.k — breaks the row; $.m is the always-missing path
-    o["agg_exists"] = (
-        "SELECT (CASE WHEN json_extract_string(props,'$.k') IS NOT NULL"
-        " THEN 1.0 ELSE 0.0 END"
-        " + CASE WHEN json_extract_string(props,'$.m') IS NOT NULL"
-        " THEN 1.0 ELSE 0.0 END) AS ek,"
-        " CAST(count(*) AS DOUBLE) AS n FROM events GROUP BY 1")
+        " ROUND(sum(exp(o_totalprice/100000)), 4) + 0.0 AS s,"
+        " 'funcs' AS form FROM orders GROUP BY 1, 2"
+        " UNION ALL SELECT floor(o_totalprice/1000), -1.0,"
+        " CAST(count(*) AS DOUBLE),"
+        " ROUND(sum(sqrt(o_totalprice)), 2) + 0.0, 'math'"
+        " FROM orders WHERE o_totalprice >= 100000 GROUP BY 1")
     o["agg_timefmt_parsetime"] = (
         "SELECT strftime(ts, '%Y-%m-%d') AS day,"
         " CAST(epoch(date_trunc('day', ts)) AS DOUBLE) AS day_ts,"
         " CAST(count(*) AS DOUBLE) AS n FROM events GROUP BY 1, 2")
     o["agg_load"] = (
-        "SELECT o_orderpriority, ROUND(o_totalprice, 2) + 0.0 AS price"
-        " FROM orders WHERE o_totalprice > 400000")
-    o["agg_load_alias"] = (
-        "SELECT o_orderpriority AS prio, CAST(count(*) AS DOUBLE) AS n,"
-        " ROUND(max(o_totalprice), 2) + 0.0 AS mx"
+        "SELECT o_orderpriority AS s, ROUND(o_totalprice, 2) + 0.0 AS d1,"
+        " 0.0 AS d2, 'load' AS form"
+        " FROM orders WHERE o_totalprice > 400000"
+        " UNION ALL SELECT o_orderpriority, CAST(count(*) AS DOUBLE),"
+        " ROUND(max(o_totalprice), 2) + 0.0, 'alias'"
         " FROM orders WHERE o_totalprice > 400000 GROUP BY 1")
     o["agg_tpch_q6"] = (
         "SELECT ROUND(sum(l_extendedprice*l_discount), 2) + 0.0 AS revenue,"
@@ -1844,4 +2102,148 @@ def oracle_sql() -> dict[str, str]:
         " g AS (SELECT * FROM a WHERE qs >= 0.5 AND tc >= 10)"
         " SELECT doc_id FROM (SELECT doc_id,"
         "  min(doc_id) OVER (PARTITION BY fp) AS m FROM g) WHERE doc_id = m")
+
+    # -- round-7 rotation: crawl-ingest / curation oracles --------------
+    # canonical form recomputed analytically from the planted synthesis
+    # (_synth_urls): lowercased scheme, :443 dropped, fragment dropped,
+    # tracking params stripped, params sorted to 'a=1&b=2'
+    o["hygiene_url_dedup"] = (
+        "WITH u AS (SELECT doc_id, 'https://'"
+        " || CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END"
+        " || 'site' || CAST((doc_id % 200) % 37 AS VARCHAR)"
+        " || CASE ((doc_id % 200) % 3) WHEN 0 THEN '.example.com'"
+        "    WHEN 1 THEN '.example.co.uk' ELSE '.shop.com.au' END"
+        " || '/p/' || CAST(doc_id % 200 AS VARCHAR) || '?a=1&b=2'"
+        " AS norm_url FROM documents)"
+        " SELECT norm_url, min(doc_id) AS doc_id,"
+        " count(*) AS dup_count FROM u GROUP BY norm_url")
+    # line synthesis (9-token wrap, '.' on i%3!=2) + the C4 line rules
+    # (>=5 words AND terminal punctuation; the soup vocabulary holds no
+    # blocklist phrase, no '{', no 'lorem ipsum')
+    o["hygiene_c4_lines"] = (
+        "WITH t AS (SELECT doc_id, string_split(text,' ') tk FROM documents),"
+        " l AS (SELECT doc_id, list_transform("
+        "   range(0, CAST(floor((len(tk)-1)/9) AS BIGINT) + 1),"
+        "   i -> array_to_string(list_slice(tk, i*9+1, i*9+9), ' ')"
+        "        || CASE WHEN i % 3 <> 2 THEN '.' ELSE '' END) ls FROM t),"
+        " k AS (SELECT doc_id, ls, list_filter(ls,"
+        "   x -> len(string_split(x, ' ')) >= 5 AND x LIKE '%.') ks FROM l)"
+        " SELECT doc_id, len(ks) AS kept, len(ls) AS total,"
+        " len(ks) >= 3 AS c4_keep_page,"
+        " length(array_to_string(ks, chr(10))) AS clen FROM k")
+    # 4 planted lines per doc (8-token slices + shared footer); a line
+    # in >= 2 distinct docs is boilerplate, blank lines never count
+    o["hygiene_line_dedup"] = (
+        "WITH t AS (SELECT doc_id, string_split(text,' ') tk FROM documents),"
+        " l AS (SELECT doc_id,"
+        "   [coalesce(array_to_string(list_slice(tk,1,8),' '), ''),"
+        "   'all rights reserved',"
+        "   coalesce(array_to_string(list_slice(tk,9,16),' '), ''),"
+        "   coalesce(array_to_string(list_slice(tk,17,24),' '), '')]"
+        "   ls FROM t),"
+        " e AS (SELECT doc_id, p, ls[p] AS ln FROM l,"
+        "   (SELECT unnest([1,2,3,4]) AS p)),"
+        " b AS (SELECT ln FROM e WHERE trim(ln) <> '' GROUP BY ln"
+        "   HAVING count(DISTINCT doc_id) >= 2),"
+        " m AS (SELECT doc_id, p, ln,"
+        "   ln IN (SELECT ln FROM b) AS boiler FROM e)"
+        " SELECT doc_id,"
+        " count(*) FILTER (WHERE NOT boiler) AS lines_kept,"
+        " count(*) FILTER (WHERE boiler) AS lines_dropped,"
+        " length(coalesce(string_agg(ln, chr(10) ORDER BY p)"
+        "   FILTER (WHERE NOT boiler), '')) AS len"
+        " FROM m GROUP BY doc_id")
+    # full Robertson/Sparck-Jones BM25 (k1=1.2, b=0.75) with match_only
+    # semantics; 'cat' is out-of-lexicon (df=0 -> max idf, tf=0)
+    o["search_bm25"] = (
+        "WITH t AS (SELECT doc_id, string_split(text,' ') ts FROM documents),"
+        " c AS (SELECT count(*) n, avg(len(ts)) avgdl FROM t),"
+        " d AS (SELECT q.term, (SELECT count(*) FROM t"
+        "   WHERE list_contains(ts, q.term)) dft"
+        "   FROM (SELECT unnest(['merge','window','cat']) term) q)"
+        " SELECT doc_id, ROUND((SELECT sum("
+        "   ln((c.n - d.dft + 0.5)/(d.dft + 0.5) + 1)"
+        "   * len(list_filter(ts, x -> x = d.term)) * (1.2 + 1)"
+        "   / (len(list_filter(ts, x -> x = d.term))"
+        "      + 1.2 * (1 - 0.75 + 0.75 * len(ts)/c.avgdl)))"
+        "   FROM d, c), 4) + 0.0 AS bm25_score"
+        " FROM t WHERE list_contains(ts, 'merge')"
+        " OR list_contains(ts, 'window') OR list_contains(ts, 'cat')")
+    # two rank windows + union + sum(w/(k+rank)) + fused-rank cutoff,
+    # ties broken by doc id everywhere (the rrf_fuse contract)
+    o["search_hybrid_rrf"] = (
+        "WITH a AS (SELECT doc_id, CAST(n_chars AS DOUBLE) score"
+        "   FROM documents),"
+        " b AS (SELECT doc_id,"
+        "   CAST(len(string_split(text,' ')) AS DOUBLE) score"
+        "   FROM documents),"
+        " u AS ("
+        "  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)"
+        "   rnk FROM a"
+        "  UNION ALL"
+        "  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)"
+        "   rnk FROM b),"
+        " f AS (SELECT doc_id, sum(1.0/(60 + rnk)) s, count(*) n_runs"
+        "   FROM u GROUP BY doc_id),"
+        " r AS (SELECT doc_id, s, n_runs,"
+        "   CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT)"
+        "   fused_rank FROM f)"
+        " SELECT doc_id, ROUND(s, 6) + 0.0 AS rrf_score, n_runs,"
+        " fused_rank FROM r WHERE fused_rank <= 50")
+    # per-query TREC metrics; qrels = purchase events at grade 1,
+    # ranking ties broken by doc id on both sides
+    o["eval_ir_metrics"] = (
+        "WITH res AS (SELECT user_id qid, event_id doc_id, value score"
+        "   FROM events),"
+        " rel AS (SELECT user_id qid, event_id doc_id, 1 grade"
+        "   FROM events WHERE event_type = 'purchase'),"
+        " ranked AS (SELECT qid, doc_id, row_number() OVER ("
+        "   PARTITION BY qid ORDER BY score DESC, doc_id) rnk FROM res),"
+        " hits AS (SELECT r.qid, r.rnk, l.grade FROM ranked r"
+        "   JOIN rel l USING (qid, doc_id)),"
+        " perq AS (SELECT qid,"
+        "   sum(CASE WHEN rnk <= 10 THEN 1 ELSE 0 END) relk,"
+        "   min(rnk) frst,"
+        "   sum(CASE WHEN rnk <= 10 THEN (pow(2, grade) - 1)"
+        "     / log2(rnk + 1) ELSE 0 END) dcg FROM hits GROUP BY qid),"
+        " ideal AS (SELECT qid, sum((pow(2, grade) - 1) / log2(irank + 1))"
+        "   idcg FROM (SELECT qid, grade, row_number() OVER ("
+        "     PARTITION BY qid ORDER BY grade DESC, doc_id) irank FROM rel)"
+        "   WHERE irank <= 10 GROUP BY qid),"
+        " nrel AS (SELECT qid, count(*) nr FROM rel GROUP BY qid),"
+        " nres AS (SELECT qid, count(*) ns FROM res GROUP BY qid)"
+        " SELECT n.qid, coalesce(s.ns, 0) AS n_results,"
+        " n.nr AS n_relevant,"
+        " ROUND(coalesce(p.relk, 0) / 10.0, 6) + 0.0 AS p_at_k,"
+        " ROUND(coalesce(p.relk, 0) / CAST(n.nr AS DOUBLE), 6) + 0.0"
+        "  AS r_at_k,"
+        " ROUND(coalesce(1.0 / p.frst, 0.0), 6) + 0.0 AS mrr,"
+        " ROUND(coalesce(p.dcg / i.idcg, 0.0), 6) + 0.0 AS ndcg"
+        " FROM nrel n JOIN ideal i USING (qid)"
+        " LEFT JOIN nres s USING (qid) LEFT JOIN perq p USING (qid)")
+    # exact counts per (dimension, bucket): total / source / lang /
+    # floor(log2(chars)) histogram, tokens = non-empty whitespace runs
+    _prof_tok = ("CASE WHEN text IS NOT NULL AND length(text) > 0"
+                 " THEN len(list_filter(regexp_split_to_array(text,"
+                 " '\\s+'), x -> x <> '')) ELSE 0 END")
+    o["corpus_profile"] = (
+        f"WITH t AS (SELECT source, lang, length(text) ch, {_prof_tok} tk,"
+        " CASE WHEN length(text) > 0 THEN CAST(floor(log2(length(text)))"
+        " AS INT) ELSE 0 END lb FROM documents)"
+        " SELECT 'total' AS dimension, 'all' AS bucket, count(*) AS docs,"
+        " sum(ch) AS chars, sum(tk) AS tokens FROM t"
+        " UNION ALL SELECT 'source', source, count(*), sum(ch), sum(tk)"
+        " FROM t GROUP BY source"
+        " UNION ALL SELECT 'lang', lang, count(*), sum(ch), sum(tk)"
+        " FROM t GROUP BY lang"
+        " UNION ALL SELECT 'len_log2', CAST(lb AS VARCHAR), count(*),"
+        " sum(ch), sum(tk) FROM t GROUP BY lb")
+    # page synthesis is known (title 'doc <id>', body = the document
+    # text, no links), so extraction fidelity and the cleaner's
+    # identity on already-clean text are both value-checked
+    o["warc_extract_clean"] = (
+        "SELECT 'https://ex.com/' || CAST(doc_id AS VARCHAR) AS url,"
+        " 'doc ' || CAST(doc_id AS VARCHAR) AS title,"
+        " length(text) AS text_len, length(text) AS clean_len,"
+        " 0.0 AS ld FROM documents")
     return o

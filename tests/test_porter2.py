@@ -9,6 +9,8 @@ stems with Snowball (src/indexes/text/text_index.h:152-156), so these
 are the cases that used to mismatch it.
 """
 
+import os
+
 import pytest
 
 from valkey_search_spark.functions.porter import porter_stem
@@ -227,3 +229,33 @@ def test_idempotent_on_own_output():
 def test_short_words_untouched():
     for w in ("a", "is", "be", "on", "it"):
         assert porter2_stem(w) == w
+
+
+# ---------------------------------------------------------------------------
+# Full official-vocabulary diff (round-6 verdict item 5). The public
+# Snowball English test data (snowballstem/snowball-data: english/voc.txt
+# + output.txt) cannot be vendored from this container — no network (DNS
+# resolution fails) and no local copy (no snowballstemmer/nltk, nothing
+# on disk) — so this test is a DATA SEAM: it auto-discovers the files
+# under tests/data/snowball_en/ (see the README there) and diffs the
+# complete vocabulary the moment they are mounted; until then it skips
+# with the reason recorded.
+_SNOWBALL_DIR = os.path.join(os.path.dirname(__file__), "data",
+                             "snowball_en")
+
+
+def test_full_snowball_vocabulary():
+    voc = os.path.join(_SNOWBALL_DIR, "voc.txt")
+    out = os.path.join(_SNOWBALL_DIR, "output.txt")
+    if not (os.path.exists(voc) and os.path.exists(out)):
+        pytest.skip("official Snowball voc.txt/output.txt not mounted "
+                    "(container is offline; see tests/data/snowball_en/"
+                    "README.md)")
+    words = open(voc, encoding="utf-8").read().split()
+    stems = open(out, encoding="utf-8").read().split()
+    assert len(words) == len(stems)
+    mismatches = [(w, porter2_stem(w), s)
+                  for w, s in zip(words, stems) if porter2_stem(w) != s]
+    assert mismatches == [], (
+        f"{len(mismatches)}/{len(words)} diverge; first 20: "
+        f"{mismatches[:20]}")
