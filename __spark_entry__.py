@@ -1284,11 +1284,11 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pipeline: HLL pass + threshold-filtered bottom-k collect —
         # the shuffle carries ~margin*k rows per group, not the grams
         # (exactness + estimator bounds pinned in tests/test_sketches.py)
-        from valkey_search_spark.operators.contamination import _gram_set
+        from valkey_search_spark.operators.contamination import gram_set
         from valkey_search_spark.operators.sketches import kmv_sketch
 
         docs = load_table(spark, sf_dir, "documents")
-        grams = (_gram_set(docs, "doc_id", "text", 13, "__k")
+        grams = (gram_set(docs, "doc_id", "text", 13, "__k")
                  .select((F.col("__k") % 2).alias("half"), "__gram"))
         out = kmv_sketch(grams, "__gram", "half", k=4096)
         return out.select("half", F.size("kmv").alias("k_held"),

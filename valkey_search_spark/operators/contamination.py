@@ -30,9 +30,15 @@ from ..functions.analysis import raw_tokens_column
 
 
 # ---------------------------------------------------------------------------
-def _gram_set(df: DataFrame, key: str, text_col: str, n: int,
-              out_key: str) -> DataFrame:
-    """(key, gram-hash) rows, one per n-gram window occurrence.
+def gram_set(df: DataFrame, key: str, text_col: str, n: int,
+             out_key: str) -> DataFrame:
+    """(``out_key``, ``__gram``) rows, one per n-gram window occurrence
+    — the shared gram front end of decontamination, the KMV corpus-
+    overlap sketches, and the bench's sketch entries. PUBLIC CONTRACT:
+    one row per window position (no dedup on either side — callers
+    dedup where their plan gets it free), gram identity is xxhash64 of
+    the token slice (array hash, not a joined string), and the scan is
+    map-only: no shuffle is introduced here at any corpus size.
 
     Built on dedup's shared staged-token helper (posexplode over the
     materialized token attribute + per-position slice — see
@@ -85,8 +91,8 @@ def ngram_decontaminate(train: DataFrame, benchmark: DataFrame,
     deduplicates the bounded post-join rows); pass
     ``broadcast_benchmark=False`` for an oversized benchmark to fall
     back to a shuffle equi-join (AQE handles gram skew)."""
-    tg = _gram_set(train, key, text_col, n, "__tk")
-    bg = (_gram_set(benchmark, benchmark_key, benchmark_text_col, n, "__bk")
+    tg = gram_set(train, key, text_col, n, "__tk")
+    bg = (gram_set(benchmark, benchmark_key, benchmark_text_col, n, "__bk")
           .select("__gram").distinct())
     if broadcast_benchmark:
         bg = F.broadcast(bg)

@@ -168,16 +168,16 @@ def corpus_gram_overlap(corpus_a: DataFrame, corpus_b: DataFrame,
     pre-flight, at ~margin*k shuffled rows per corpus instead of a
     gram-level join. Gram hashing is IDENTICAL to
     ``ngram_decontaminate`` (xxhash64 of the token-slice array via
-    ``contamination._gram_set``), so the estimated intersection predicts
+    ``contamination.gram_set``), so the estimated intersection predicts
     exactly what that operator would flag.
 
     Both corpora sketch in ONE tagged pipeline (union + grouped
     ``kmv_sketch``) — a single job scans both sides concurrently instead
     of two serialized collect()s."""
-    from .contamination import _gram_set
+    from .contamination import gram_set
 
     def tagged(df, side):
-        return (_gram_set(df, key, text_col, n, "__k")
+        return (gram_set(df, key, text_col, n, "__k")
                 .select(F.lit(side).alias("__side"), "__gram"))
 
     grams = tagged(corpus_a, "a").unionByName(tagged(corpus_b, "b"))

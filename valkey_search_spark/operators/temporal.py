@@ -42,7 +42,9 @@ from pyspark.sql.window import Window
 def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
               by: str | None = None, direction: str = "backward",
               tolerance: str | None = None,
-              right_prefix: str = "r_") -> DataFrame:
+              right_prefix: str = "r_",
+              tiebreak: str | None = None,
+              bin_width: int = 3600) -> DataFrame:
     """For each left row, attach the closest right row at-or-before
     (``backward``) or at-or-after (``forward``) its ``on`` timestamp,
     matching within ``by`` when given. Every left row survives (left
@@ -53,7 +55,19 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     ``{right_prefix}{on}``.
 
     Ties at equal timestamps match (the right row sorts first), as in
-    pandas.merge_asof / DuckDB ASOF semantics with >= / <=.
+    pandas.merge_asof / DuckDB ASOF semantics with >= / <=. Among
+    MULTIPLE right rows at the same timestamp the winner is
+    sort-nondeterministic unless ``tiebreak`` names a right column —
+    then the row with the GREATEST tiebreak value wins, on every path.
+
+    Scale shape: with ``by``, one shuffle on the key and a per-key
+    window — per-key order is the inherent cost (split hot keys
+    upstream). WITHOUT ``by`` the join is bin-bucketed (the
+    ``interval_join`` trick): both sides hash to ``bin_width``-second
+    time bins, each bin scans locally, and bins are stitched with a
+    carry computed over the per-bin summary table — the only
+    single-task step, bounded by the number of DISTINCT bins (time
+    span / bin_width, a caller knob), never by corpus size.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
@@ -61,10 +75,15 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
         raise ValueError(f"both frames need the '{on}' column")
     if by is not None and (by not in left.columns or by not in right.columns):
         raise ValueError(f"both frames need the '{by}' column")
+    if tiebreak is not None and tiebreak not in right.columns:
+        raise ValueError(f"right frame lacks tiebreak column '{tiebreak}'")
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive seconds")
 
     rcols = [c for c in right.columns if c not in (on, by)]
     payload = F.struct(F.col(on).alias("__rts"),
                        *[F.col(c) for c in rcols])
+    backward = direction == "backward"
 
     keys = [by] if by else []
     lt = left.select(*keys, F.col(on), F.lit(1).alias("__side"),
@@ -77,18 +96,75 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
                           left.select(F.struct(*left.columns)).schema[0]
                           .dataType).alias("__l"),
                       payload.alias("__r"))
-    both = lt.unionByName(rt)
 
     # backward: latest right at ts' <= ts  -> ascending scan, right rows
-    # sort BEFORE left at equal ts (side 0 < 1) so equal-ts rows match.
-    # forward: mirror with a descending scan.
-    if direction == "backward":
-        order = [F.col(on).asc(), F.col("__side").asc()]
+    # sort BEFORE left at equal ts (side 0 < 1) so equal-ts rows match;
+    # among equal-ts rights the tiebreak sorts ascending, so the running
+    # last() lands on the greatest. forward: mirror with a descending
+    # scan (side/tiebreak orientation unchanged — see the tie contract).
+    def scan_order(ts_col):
+        order = [ts_col.asc() if backward else ts_col.desc(),
+                 F.col("__side").asc()]
+        if tiebreak is not None:
+            order.append(F.col(f"__r.{tiebreak}").asc_nulls_first())
+        return order
+
+    if keys:
+        both = lt.unionByName(rt)
+        w = Window.partitionBy(*keys) \
+            .orderBy(*scan_order(F.col(on))) \
+            .rowsBetween(Window.unboundedPreceding, 0)
+        matched = both.withColumn(
+            "__m", F.last("__r", ignorenulls=True).over(w))
     else:
-        order = [F.col(on).desc(), F.col("__side").asc()]
-    w = (Window.partitionBy(*keys) if keys else Window.partitionBy()) \
-        .orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
-    matched = both.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+        # keyless: bucket by time bin; stitch bins with a carry so a
+        # left row whose own bin holds no match still sees the closest
+        # right row from the neighboring bins
+        eps_l = F.floor(_epoch_seconds(left, on) / bin_width)
+        eps_r = F.floor(_epoch_seconds(right, on) / bin_width)
+        ltb = lt.withColumn("__bin", eps_l.cast("long")) \
+            .withColumn("__ord", _epoch_seconds(left, on))
+        rtb = rt.withColumn("__bin", eps_r.cast("long")) \
+            .withColumn("__ord", _epoch_seconds(right, on))
+
+        # per-bin winner on the right side (the row the scan below
+        # would choose if the bin were scanned alone): closest-to-the-
+        # boundary timestamp, greatest tiebreak among equals
+        summ_order = [F.col("__ord").desc() if backward
+                      else F.col("__ord").asc()]
+        if tiebreak is not None:
+            summ_order.append(F.col(f"__r.{tiebreak}").desc_nulls_last())
+        rn = F.row_number().over(
+            Window.partitionBy("__bin").orderBy(*summ_order))
+        summ = (rtb.withColumn("__rn", rn).where(F.col("__rn") == 1)
+                .select("__bin", F.col("__r").alias("__last")))
+
+        # bin axis = every non-empty bin on either side; the carry for
+        # bin b is the latest(/earliest) right payload in any strictly
+        # earlier(/later) bin — ONE ordered pass over the axis rows
+        # (#bins, not corpus rows)
+        axis = (ltb.select("__bin").distinct()
+                .unionByName(summ.select("__bin")).distinct())
+        wc = Window.orderBy(
+            F.col("__bin").asc() if backward else F.col("__bin").desc()) \
+            .rowsBetween(Window.unboundedPreceding, -1)
+        carry = (axis.join(summ, "__bin", "left")
+                 .withColumn("__c",
+                             F.last("__last", ignorenulls=True).over(wc))
+                 .where(F.col("__c").isNotNull()))
+        inf = float("-inf") if backward else float("inf")
+        seeds = carry.select(
+            "__bin", F.lit(None).cast(lt.schema[on].dataType).alias(on),
+            F.lit(-1).alias("__side"),
+            F.lit(None).cast(lt.schema["__l"].dataType).alias("__l"),
+            F.col("__c").alias("__r"), F.lit(inf).alias("__ord"))
+
+        both = ltb.unionByName(rtb).unionByName(seeds)
+        w = Window.partitionBy("__bin") \
+            .orderBy(*scan_order(F.col("__ord"))) \
+            .rowsBetween(Window.unboundedPreceding, 0)
+        matched = both.withColumn(
+            "__m", F.last("__r", ignorenulls=True).over(w))
 
     out = matched.where(F.col("__side") == 1)
     if tolerance is not None:
