@@ -54,7 +54,27 @@ def attach_media_metadata(df: DataFrame, binary_col: str, meta: dict) -> DataFra
 
 
 # ---------------------------------------------------------------------------
-def _decode_image(payload: bytes, fake: bool) -> np.ndarray:
+def sniff_format(payload: bytes) -> str:
+    """Cheap container-signature sniff for the decoder-injection seam:
+    the format tag handed to a caller-supplied ``decode_fn`` so it can
+    dispatch without re-sniffing (full decode-free metadata lives in
+    ``media_metadata``)."""
+    p = payload or b""
+    if p[:4] == b"RIFF" and p[8:12] == b"WEBP":
+        return "webp"
+    if p[4:8] == b"ftyp":
+        return "mp4"
+    if p[:4] == b"\x1aE\xdf\xa3":
+        return "webm"
+    if p[:4] == b"OggS":
+        return "ogg"
+    if p[:3] == b"ID3" or (len(p) >= 2 and p[0] == 0xFF
+                           and (p[1] & 0xE0) == 0xE0):
+        return "mp3"
+    return "unknown"
+
+
+def _decode_image(payload: bytes, fake: bool, decode_fn=None) -> np.ndarray:
     """Image decode seam. ``fake`` derives a deterministic 8x8x3 uint8
     array from the payload bytes (plumbing tests over arbitrary binary).
     The REAL path decodes BMP, 8-bit PNG (incl. Adam7), JPEG (baseline
@@ -79,10 +99,19 @@ def _decode_image(payload: bytes, fake: bool) -> np.ndarray:
             return decode_gif(payload)
         if payload[:4] in (b"II*\x00", b"MM\x00*"):
             return decode_tiff(payload)
+        # decoder-injection seam: a deployment with PIL/opencv plugs in
+        # here for the formats the vendored codecs don't cover — the
+        # vendored path above stays the default and is never bypassed
+        if decode_fn is not None:
+            arr = decode_fn(sniff_format(payload), payload)
+            if arr is not None:
+                return np.asarray(arr, dtype=np.uint8)
         raise NotImplementedError(
             "only BMP/PNG/JPEG/GIF/baseline-TIFF decode "
             "without PIL/opencv (not in this container); pass fake=True "
-            "for the deterministic test decode of other payloads")
+            "for the deterministic test decode of other payloads, or "
+            "supply decode_fn(format, bytes) -> HxWx3 uint8 array to "
+            "plug an external decoder in")
     seed = np.frombuffer((payload or b"\0")[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
     rng = np.random.default_rng(seed)
     return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
@@ -90,7 +119,7 @@ def _decode_image(payload: bytes, fake: bool) -> np.ndarray:
 
 def image_features(df: DataFrame, binary_col: str = "image",
                    fake: bool = True, batch_size: int = 256,
-                   on_error: str = "raise") -> DataFrame:
+                   on_error: str = "raise", decode_fn=None) -> DataFrame:
     """Per-image feature extraction via mapInPandas: mean/std per channel +
     a 64-bit content hash. Output schema is stable regardless of decoder.
 
@@ -122,7 +151,7 @@ def image_features(df: DataFrame, binary_col: str = "image",
                     errs.append(None)
                     continue
                 try:
-                    arr = _decode_image(bytes(payload), fake)
+                    arr = _decode_image(bytes(payload), fake, decode_fn)
                 except (ValueError, NotImplementedError) as e:
                     if on_error == "raise":
                         raise
@@ -158,7 +187,8 @@ def image_features(df: DataFrame, binary_col: str = "image",
 
 def image_resize(df: DataFrame, binary_col: str = "image", size: int = 224,
                  fake: bool = True, on_error: str = "raise",
-                 out_format: str = "bmp", quality: int = 85) -> DataFrame:
+                 out_format: str = "bmp", quality: int = 85,
+                 decode_fn=None) -> DataFrame:
     """Resize-and-reencode plumbing: binary in -> binary out + new meta.
     ``on_error="null"`` nulls undecodable payloads and adds a
     ``decode_error`` message column (same contract as image_features).
@@ -187,7 +217,7 @@ def image_resize(df: DataFrame, binary_col: str = "image", size: int = 224,
                     errs.append(None)
                     continue
                 try:
-                    arr = _decode_image(bytes(payload), fake)
+                    arr = _decode_image(bytes(payload), fake, decode_fn)
                 except (ValueError, NotImplementedError) as e:
                     if on_error == "raise":
                         raise
@@ -228,7 +258,8 @@ def image_resize(df: DataFrame, binary_col: str = "image", size: int = 224,
 
 
 # ---------------------------------------------------------------------------
-def _decode_audio(payload: bytes, fake: bool) -> tuple[np.ndarray, int]:
+def _decode_audio(payload: bytes, fake: bool,
+                  decode_fn=None) -> tuple[np.ndarray, int]:
     """Audio decode seam returning (mono float32 wave, sample_rate). The
     REAL path decodes PCM RIFF/WAVE (manual parser, independent of the
     stdlib `wave` the tests use as second implementation), native FLAC
@@ -251,17 +282,27 @@ def _decode_audio(payload: bytes, fake: bool) -> tuple[np.ndarray, int]:
         if dec is not None:
             frames, rate, _ = dec(payload)
             return frames.mean(axis=1).astype(np.float32), rate
+        # decoder-injection seam (see _decode_image): ffmpeg/soundfile
+        # users close the MP3/AAC/Vorbis gap without forking
+        if decode_fn is not None:
+            res = decode_fn(sniff_format(payload), payload)
+            if res is not None:
+                wave, rate = res
+                return np.asarray(wave, dtype=np.float32), int(rate)
         raise NotImplementedError(
             "only PCM WAV, FLAC, AIFF, and Sun AU decode without "
             "ffmpeg/soundfile (not in this container); pass fake=True "
-            "for the deterministic test decode of other payloads")
+            "for the deterministic test decode of other payloads, or "
+            "supply decode_fn(format, bytes) -> (wave, sample_rate) to "
+            "plug an external decoder in")
     seed = np.frombuffer((payload or b"\0")[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
     rng = np.random.default_rng(seed)
     return rng.standard_normal(1600).astype(np.float32), 16000
 
 
 def audio_features(df: DataFrame, binary_col: str = "audio",
-                   fake: bool = True, on_error: str = "raise") -> DataFrame:
+                   fake: bool = True, on_error: str = "raise",
+                   decode_fn=None) -> DataFrame:
     """RMS energy + zero-crossing rate + duration via mapInPandas.
     ``on_error="null"`` nulls undecodable payloads (+ ``decode_error``
     column) instead of failing the task — see image_features."""
@@ -284,7 +325,8 @@ def audio_features(df: DataFrame, binary_col: str = "audio",
                     errs.append(None)
                     continue
                 try:
-                    wave, sr = _decode_audio(bytes(payload), fake)
+                    wave, sr = _decode_audio(bytes(payload), fake,
+                                             decode_fn)
                 except (ValueError, NotImplementedError) as e:
                     if on_error == "raise":
                         raise
@@ -312,7 +354,7 @@ def audio_features(df: DataFrame, binary_col: str = "audio",
 # ---------------------------------------------------------------------------
 def video_frame_sample(df: DataFrame, binary_col: str = "video",
                        every_n: int = 30, fake: bool = True,
-                       max_frames: int = 256) -> DataFrame:
+                       max_frames: int = 256, decode_fn=None) -> DataFrame:
     """Frame sampling: one output row per sampled frame (explode-shaped
     mapInPandas — output cardinality > input is part of the tested
     contract). The REAL path (``fake=False``) decodes ANIMATED GIFs via
@@ -349,6 +391,12 @@ def video_frame_sample(df: DataFrame, binary_col: str = "video",
                           and payload[8:12] == b"AVI "):
                         frames, _ = decode_avi_frames(
                             payload, max_frames=max_frames)
+                    elif decode_fn is not None and (res := decode_fn(
+                            sniff_format(payload), payload)) is not None:
+                        # decoder-injection seam: ffmpeg users return a
+                        # frame list for MP4/WebM; max_frames still caps
+                        frames = [np.asarray(f, dtype=np.uint8)
+                                  for f in res][:max_frames]
                     else:
                         raise NotImplementedError(
                             "only animated-GIF and AVI (MJPG / DIB) "
