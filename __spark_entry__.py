@@ -1066,6 +1066,22 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count(F.lit(1)).alias("n"),
             *[F.count_if(F.col(f)).alias(f) for f in flags])
 
+    def b_gopher_rep(spark, sf_dir):
+        # the COMPLETE Gopher repetition table (top-2/3/4 + dup-5..10
+        # char fractions + line/para signals, 13 thresholded flags) as
+        # one map-only codegen scan; scalar- and DuckDB-pinned in
+        # tests/test_repetition_full.py
+        from valkey_search_spark.operators.contamination import (
+            gopher_repetition_flags,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        out = gopher_repetition_flags(docs)
+        return out.groupBy("rep_pass").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.count_if(F.col(c)).alias(c)
+              for c in out.columns if c.startswith("g_")])
+
     def b_span_dedup(spark, sf_dir):
         # Lee-et-al exact-substring span removal: window explode ->
         # gram doc-frequency agg -> verdict join -> interval-merge
@@ -1685,6 +1701,7 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_partial": b_knn_ivf_partial,
         "hygiene_line_dedup": b_line_dedup,
         "hygiene_gopher": b_gopher,
+        "hygiene_gopher_repetition": b_gopher_rep,
         "hygiene_span_dedup": b_span_dedup,
         "hygiene_lm_perplexity": b_lm_perplexity,
         "search_bm25": b_bm25,

@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "knn_ivf_partial",
     "hygiene_line_dedup",
     "hygiene_gopher",
+    "hygiene_gopher_repetition",
     "hygiene_span_dedup",
     "hygiene_lm_perplexity",
     "search_bm25",

@@ -224,44 +224,23 @@ def cross_doc_line_dedup(df: DataFrame, key: str = "doc_id",
     return df.join(rebuilt, key, "left")
 
 
-def repetition_stats(df: DataFrame, text_col: str = "text",
-                     tokens_col: str | None = None) -> DataFrame:
-    """Gopher-style repetition quality signals:
+def _ngram_col(toks: Column, cnt: Column, n: int) -> Column:
+    """Word n-gram strings from a STAGED token attribute (lambdas may
+    reference attributes freely — only computed expressions re-evaluate
+    per element). n=2 keeps the cheaper zip_with form."""
+    if n == 2:
+        return F.when(cnt >= 2, F.zip_with(
+            F.slice(toks, 1, cnt - 1), F.slice(toks, 2, cnt - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b)))
+    return F.when(cnt >= n, F.transform(
+        F.sequence(F.lit(1), cnt - n + 1),
+        lambda i: F.array_join(F.slice(toks, i, n), " ")))
 
-    - ``dup_line_frac`` / ``dup_para_frac``: fraction of duplicate lines
-      (split on newline) and paragraphs (split on blank line)
-    - ``top_2gram_char_frac``: the Gopher top-n-gram rule as a
-      deterministic max-coverage form — the highest value of
-      (occurrences x gram length) over all word 2-grams, as a fraction
-      of the text's characters. (Choosing "the most frequent gram" is
-      ambiguous under count ties with different-length grams; taking the
-      max of the product makes the statistic total-order-free and
-      portable to the SQL oracle.)
 
-    One map-only scan, all array expressions. Two expression-plumbing
-    rules keep it fast (measured 40x between them on this operator):
-    the tokenizer stages through a NAMED column (CollapseProject keeps a
-    non-cheap alias referenced more than once, so the regex runs once
-    per row), and the 2-grams build with zip_with(tokens, tail) whose
-    lambda touches only its own variables — expressions captured inside
-    array lambdas are re-evaluated per element, never CSE'd.
-
-    ``tokens_col`` names an already-materialized token array (e.g. the
-    one a composed analysis pass staged) to skip the second tokenize."""
-    text = F.col(text_col)
-    if tokens_col is None:
-        df = df.withColumn("__rt", raw_tokens_column(text))
-        toks = F.col("__rt")
-    else:
-        toks = F.col(tokens_col)
-    cnt = F.size(toks)
-    grams = F.when(cnt >= 2, F.zip_with(
-        F.slice(toks, 1, cnt - 1), F.slice(toks, 2, cnt - 1),
-        lambda a, b: F.concat(a, F.lit(" "), b)))
-    # occurrence counting via sort + one aggregate fold over equal-runs
-    # (state: previous gram, current run length, best coverage) — the
-    # fold's lambdas also reference only lambda variables.
-    best_cover = F.aggregate(
+def _top_cover(grams: Column) -> Column:
+    """max over distinct grams of occurrences x char length — one fold
+    over the sorted gram array (state: prev gram, run length, best)."""
+    return F.aggregate(
         F.array_sort(grams),
         F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
                  F.lit(0).alias("best")),
@@ -274,15 +253,150 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
                 (F.when(g == acc["prev"], acc["run"] + 1)
                   .otherwise(F.lit(1))) * F.length(g)).alias("best")),
         lambda acc: acc["best"])
-    top_frac = F.when(
-        (cnt >= 2) & (F.length(text) > 0),
-        best_cover.cast("double") / F.length(text)
-    ).otherwise(F.lit(0.0))
-    return df.withColumns({
-        "dup_line_frac": _dup_fraction(F.split(text, "\n")),
-        "dup_para_frac": _dup_fraction(F.split(text, "\n\\s*\n")),
-        "top_2gram_char_frac": F.round(top_frac, 6),
-    }).drop("__rt")
+
+
+def _dup_cover(grams: Column, count_first: bool) -> Column:
+    """Characters inside duplicated grams, via the same sorted-run fold.
+    ``count_first`` includes every occurrence of a duplicated gram (the
+    n-gram convention); False counts only occurrences AFTER the first
+    (the duplicate-line/paragraph convention)."""
+    first_add = F.length if count_first else (lambda g: F.lit(0))
+    return F.aggregate(
+        F.array_sort(grams),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("acc")),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+             .alias("run"),
+            (acc["acc"] + F.when(
+                g == acc["prev"],
+                # run hits 2: charge the withheld first occurrence too
+                F.when(acc["run"] == 1,
+                       F.length(g) + first_add(g))
+                 .otherwise(F.length(g)))
+             .otherwise(F.lit(0))).alias("acc")),
+        lambda acc: acc["acc"])
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     tokens_col: str | None = None,
+                     top_ns: tuple = (2,),
+                     dup_ns: tuple = ()) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. table A1):
+
+    - ``dup_line_frac`` / ``dup_para_frac``: fraction of duplicate lines
+      (split on newline) and paragraphs (split on blank line)
+    - ``dup_line_char_frac`` / ``dup_para_char_frac``: fraction of
+      characters inside duplicate lines/paragraphs (occurrences AFTER
+      the first, the published convention for these two)
+    - ``top_{n}gram_char_frac`` for each n in ``top_ns``: the Gopher
+      top-n-gram rule as a deterministic max-coverage form — the
+      highest value of (occurrences x gram length) over all word
+      n-grams, as a fraction of the text's characters. (Choosing "the
+      most frequent gram" is ambiguous under count ties with
+      different-length grams; the max product is total-order-free and
+      portable to the SQL oracle.)
+    - ``dup_{n}gram_char_frac`` for each n in ``dup_ns``: characters
+      inside ALL occurrences of duplicated n-grams (the n-gram
+      convention counts the first occurrence too) over total
+      characters, capped at 1.0 — overlapping windows double-count by
+      construction, exactly like the published weighted form.
+
+    One map-only scan, all array expressions. Two expression-plumbing
+    rules keep it fast (measured 40x between them on this operator):
+    the tokenizer stages through a NAMED column (CollapseProject keeps a
+    non-cheap alias referenced more than once, so the regex runs once
+    per row), and gram builders' lambdas touch only their own variables
+    and staged ATTRIBUTES — computed expressions captured inside array
+    lambdas are re-evaluated per element, never CSE'd.
+
+    ``tokens_col`` names an already-materialized token array (e.g. the
+    one a composed analysis pass staged) to skip the second tokenize.
+    The defaults produce exactly the historical three-signal output;
+    ``gopher_repetition_flags`` composes the full thresholded table."""
+    text = F.col(text_col)
+    if tokens_col is None:
+        df = df.withColumn("__rt", raw_tokens_column(text))
+        toks = F.col("__rt")
+    else:
+        toks = F.col(tokens_col)
+    cnt = F.size(toks)
+    chars = F.length(text)
+
+    def frac(val, n, cap=False):
+        # the historical top_{n} signal is uncapped (overlapping
+        # occurrences can exceed 1.0 — the driver oracle replicates the
+        # raw ratio); the dup_{n} weighted form caps at 1.0
+        v = val.cast("double") / chars
+        if cap:
+            v = F.least(v, F.lit(1.0))
+        return F.when((cnt >= n) & (chars > 0), v).otherwise(F.lit(0.0))
+
+    lines = F.split(text, "\n")
+    paras = F.split(text, "\n\\s*\n")
+    cols = {
+        "dup_line_frac": _dup_fraction(lines),
+        "dup_para_frac": _dup_fraction(paras),
+        "dup_line_char_frac": F.round(F.when(
+            chars > 0,
+            F.least(_dup_cover(F.filter(
+                lines, lambda x: F.trim(x) != ""), False)
+                .cast("double") / chars, F.lit(1.0))).otherwise(0.0), 6),
+        "dup_para_char_frac": F.round(F.when(
+            chars > 0,
+            F.least(_dup_cover(F.filter(
+                paras, lambda x: F.trim(x) != ""), False)
+                .cast("double") / chars, F.lit(1.0))).otherwise(0.0), 6),
+    }
+    for n in top_ns:
+        cols[f"top_{n}gram_char_frac"] = F.round(
+            frac(_top_cover(_ngram_col(toks, cnt, n)), n), 6)
+    for n in dup_ns:
+        cols[f"dup_{n}gram_char_frac"] = F.round(
+            frac(_dup_cover(_ngram_col(toks, cnt, n), True), n,
+                 cap=True), 6)
+    return df.withColumns(cols).drop("__rt")
+
+
+# the MassiveText/Gopher table A1 repetition thresholds (value above ->
+# document filtered); public constants from Rae et al. 2021
+GOPHER_REPETITION_THRESHOLDS = {
+    "dup_line_frac": 0.30, "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20, "dup_para_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20, "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15, "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13, "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11, "dup_10gram_char_frac": 0.10,
+}
+
+
+def gopher_repetition_flags(df: DataFrame, text_col: str = "text",
+                            tokens_col: str | None = None,
+                            thresholds: dict | None = None) -> DataFrame:
+    """The COMPLETE Gopher repetition filter table: every signal from
+    ``repetition_stats`` at the published thresholds, one boolean
+    ``g_<signal>`` per rule (True = passes) plus the ``rep_pass``
+    conjunction — the companion to ``textops.gopher_quality_flags``'
+    document-shape rules. Still ONE map-only codegen scan; at 100 TB
+    this rides the same scan as every other quality signal."""
+    th = dict(GOPHER_REPETITION_THRESHOLDS)
+    if thresholds:
+        unknown = set(thresholds) - set(th)
+        if unknown:
+            raise ValueError(f"unknown repetition signals: {unknown}")
+        th.update(thresholds)
+    out = repetition_stats(df, text_col, tokens_col,
+                           top_ns=(2, 3, 4), dup_ns=tuple(range(5, 11)))
+    flags = {f"g_{sig}": (F.col(sig) <= F.lit(limit))
+             for sig, limit in th.items()}
+    out = out.withColumns(flags)
+    allpass = None
+    for name in flags:
+        c = F.col(name)
+        allpass = c if allpass is None else (allpass & c)
+    return out.withColumn("rep_pass", allpass)
 
 
 # ---------------------------------------------------------------------------
