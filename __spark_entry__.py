@@ -1670,6 +1670,40 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("target_uri",
                           F.length("payload").alias("nbytes"))
 
+    def b_pagerank(spark, sf_dir):
+        # domain-ranking capstone: synthesized pages with real anchors
+        # -> JVM href extract + resolve -> domain graph (one agg) ->
+        # 8 power-iteration rounds with in-plan dangling correction and
+        # per-round lineage cuts (numpy-reference-pinned in
+        # tests/test_graph.py)
+        from valkey_search_spark.operators.graph import (
+            domain_link_graph, extract_links, pagerank,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id")
+        d = F.col("doc_id")
+        # distinct REGISTRABLE domains (siteN.com) — a shared
+        # parent (siteN.example.com) would collapse every edge into one
+        # intra-domain self-link and empty the graph
+        page_url = F.concat(F.lit("https://www.site"),
+                            (d % 100).cast("string"),
+                            F.lit(".com/p/"), d.cast("string"))
+        anchors = F.concat(*[
+            F.concat(F.lit('<a href="https://site'),
+                     ((d * k + k) % 100).cast("string"),
+                     F.lit('.com/x">l</a>'))
+            for k in (3, 7, 11)])
+        pages = docs.select(
+            page_url.alias("url"),
+            F.concat(F.lit("<html><body>"), anchors,
+                     F.lit("</body></html>")).alias("html"))
+        g = domain_link_graph(extract_links(pages))
+        # 4 rounds / cut every 2: the bench tracks per-round cost (the
+        # convergence run is the numpy-pinned pytest's job)
+        return pagerank(g, weight="n_links", n_iter=4,
+                        checkpoint_every=2) \
+            .orderBy(F.col("rank").desc(), "node").limit(20)
+
     def b_url_dedup(spark, sf_dir):
         # URL-canonicalization dedup (the C4/RefinedWeb front door) —
         # shares the driver row's planted synthesis (_synth_urls);
@@ -1727,6 +1761,7 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_wordpiece": b_wordpiece_tokenize,
         "events_resample": b_resample,
         "hygiene_url_dedup": b_url_dedup,
+        "graph_pagerank": b_pagerank,
         "ingest_warc_extract": b_warc_ingest,
         "hygiene_clean_text": b_clean_text,
         "text_sentences": b_sentences,

@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "tokenizer_wordpiece",
     "events_resample",
     "hygiene_url_dedup",
+    "graph_pagerank",
     "ingest_warc_extract",
     "hygiene_clean_text",
     "text_sentences",

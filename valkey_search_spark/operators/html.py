@@ -142,6 +142,28 @@ def _head_attr_pair_col(col: Column, tag: str, key_attr: str,
     return F.when(a != "", a).when(b != "", b)
 
 
+def html_hrefs_col(col: Column, decode: bool = True) -> Column:
+    """array<string> of raw ``<a href>`` values in document order, from
+    the comment/script-stripped markup (a link inside a <script> string
+    is not a link) — one JVM ``regexp_extract_all``, entity-decoded
+    (``&amp;`` in query strings). Resolution against the page URL is
+    ``urlops.resolve_href``'s job; ``operators.graph.extract_links``
+    composes the two. ``decode=False`` returns the raw values so a
+    caller that EXPLODES the array first can decode per row instead —
+    the entity chain inside an array lambda is what pushes the
+    generated stage past the 64 KB codegen limit (interpreted-mode
+    fallback, measured ~an order of magnitude slower)."""
+    cleaned = F.regexp_replace(
+        F.regexp_replace(col, _DROP_SUBTREES, " "), _COMMENT, " ")
+    raw = F.regexp_extract_all(
+        cleaned,
+        F.lit(r"""(?is)<a\b[^>]*?href\s*=\s*["']?([^"'\s>]+)"""),
+        F.lit(1))
+    if not decode:
+        return raw
+    return F.transform(raw, _decode_entities_jvm)
+
+
 def html_canonical_col(col: Column) -> Column:
     """The ``<link rel="canonical" href=...>`` target, null when
     absent — the dedup key crawl pipelines PREFER over the fetch URL

@@ -181,6 +181,45 @@ def parse_urls(df: DataFrame, url_col: str = "url",
             .withColumn(f"{prefix}query", query_col(u)))
 
 
+# non-navigational href schemes a link graph must not follow
+_NON_NAV_RE = "(?i)^(javascript|mailto|tel|data|about|blob):"
+
+
+def resolve_href(base: Column, href: Column) -> Column:
+    """Resolve an ``<a href>`` against its page URL — the link-graph
+    subset of RFC 3986, all JVM:
+
+    - absolute (``scheme://...``) passes through,
+    - protocol-relative (``//host/p``) takes the base scheme,
+    - root-relative (``/p``) takes the base origin,
+    - path-relative (``p`` / ``./p`` / ``?q`` ) joins the base
+      directory WITHOUT dot-segment normalization (``../`` survives
+      textually — documented deviation; host/domain analytics are
+      unaffected since the host comes from the base),
+    - fragment-only and non-navigational schemes (``javascript:``,
+      ``mailto:``, ``tel:``, ``data:``...) resolve to NULL, as does an
+      unparseable base.
+    """
+    h = F.trim(href)
+    scheme = scheme_col(base)
+    auth = F.regexp_extract(_nofrag(base), _AUTH_RE, 1)
+    origin = F.concat(scheme, F.lit("://"), auth)
+    bpath = path_col(base)
+    bpath = F.when(bpath == "", F.lit("/")).otherwise(bpath)
+    bdir = F.regexp_replace(bpath, "[^/]*$", "")
+    return F.when(
+        (h == "") | h.startswith("#") | h.rlike(_NON_NAV_RE)
+        | (scheme == ""),
+        F.lit(None).cast("string")
+    ).when(h.rlike(_SCHEME_RE), h) \
+     .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h)) \
+     .when(h.startswith("/"), F.concat(origin, h)) \
+     .when(h.startswith("?"), F.concat(origin, bpath, h)) \
+     .otherwise(F.concat(
+         origin, bdir,
+         F.regexp_replace(h, "^\\./", "")))
+
+
 # ---------------------------------------------------------------------------
 def url_dedup(df: DataFrame, key: str, url_col: str = "url",
               **normalize_kwargs) -> DataFrame:

@@ -556,7 +556,11 @@ def fetch_warc_records(spark: SparkSession, captures: DataFrame, *,
     sel = (captures
            .select(*cols_sel)
            .repartition(F.col("filename"))
-           .sortWithinPartitions("filename", "offset"))
+           # length in the sort keeps identical minimal captures
+           # ADJACENT, so the slice cache + duplicate-slice dedupe see
+           # them (offset alone would let two same-offset slices
+           # interleave)
+           .sortWithinPartitions("filename", "offset", "length"))
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in WARC_SCHEMA.fields]
