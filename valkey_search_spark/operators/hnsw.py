@@ -1,0 +1,564 @@
+"""HNSW ANN tier: segment-local navigable small-world graphs.
+
+The reference's flagship vector index is an hnswlib HNSW graph
+(/root/reference/src/indexes/vector_hnsw.cc:315-340) — one mutable
+in-memory graph per shard, searched with a beam (ef_runtime) and
+filtered IN-traversal when a predicate is attached. This module is the
+Spark-native restatement of that design:
+
+- The corpus is hash-split into **segments** of bounded size
+  (``max_segment_rows``); each segment builds an immutable HNSW graph
+  in one ``applyInPandas`` task (numpy kernel, Malkov & Yashunin
+  algorithm with the Alg-4 neighbor-selection heuristic) and persists
+  it as parquet partitioned by segment id. This is the Lucene/Vespa
+  per-segment-graph shape: build parallelism == segments, graph memory
+  per task is capped by the segment cap, and at 100 TB the build is a
+  single pass with no shuffle beyond the hash partition.
+- Search fans each query out to every segment (queries are the small
+  side: a broadcast cross join against the tiny segment-id range, then
+  ONE cogroup with the graph parquet), beam-searches each segment
+  locally, and merges per-segment top-k with a window — shuffle volume
+  is |Q|·segments in and |Q|·segments·k candidate rows out, never the
+  corpus.
+- Inline filtering == the reference's in-traversal predicate
+  (vector_hnsw.cc's filtered search): an arbitrary SQL predicate over
+  payload columns is evaluated JVM-side in the segment scan into an
+  ``__allowed`` mask; the beam TRAVERSES the full graph (termination
+  is driven by an unfiltered working heap, so a sparse filter widens
+  the explored region exactly like hnswlib's filtered search) but only
+  allowed nodes are collected as results.
+- Mutations mirror hnswlib's add/markDelete under the segment model:
+  ``append`` builds NEW segments (graphs stay immutable), ``delete``
+  writes generation tombstones that mask results without touching the
+  graph (the reference marks nodes deleted in place), ``compact``
+  rebuilds from live rows.
+
+With ``ef >= segment rows`` the beam degenerates to an exhaustive
+walk of each (connected) graph, so full-explore search is EXACT and
+shares the brute-force oracle — the property the driver row pins.
+
+Metrics follow vector_base.h:106-110: l2 -> euclidean, ip/cosine ->
+1 - dot (cosine vectors are normalized at ingest, queries here).
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import math
+import os
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..functions.distance import normalize_query
+
+_META = "_hnsw_meta.json"
+_TOMBS = "_hnsw_tombstones"
+
+
+# ---------------------------------------------------------------------------
+# numpy kernel — internal distances are squared-L2 / (1 - dot); squared-L2 is
+# order-isomorphic to L2 so sqrt is applied only on emitted scores
+# ---------------------------------------------------------------------------
+
+def _kdist(vecs: np.ndarray, idx, q: np.ndarray, metric: str) -> np.ndarray:
+    v = vecs[idx]
+    if metric == "l2":
+        d = v - q
+        return (d * d).sum(axis=1)
+    return 1.0 - v @ q
+
+
+def _emit(d: np.ndarray, metric: str) -> np.ndarray:
+    return np.sqrt(np.maximum(d, 0.0)) if metric == "l2" else d
+
+
+def _select_heuristic(vecs, q, cand, cap, metric):
+    """Alg. 4 neighbor selection: walk candidates by distance, keep c only
+    if it is closer to q than to every already-kept neighbor (diversity),
+    then fill to ``cap`` from the pruned list (keepPrunedConnections) —
+    the fill is what keeps level-0 graphs connected on clustered data."""
+    sel: list[tuple[float, int]] = []
+    skipped: list[tuple[float, int]] = []
+    for d, c in cand:
+        if len(sel) >= cap:
+            break
+        if sel:
+            ds = _kdist(vecs, np.fromiter((s for _, s in sel), dtype=np.int64),
+                        vecs[c], metric)
+            ok = bool((d < ds).all())
+        else:
+            ok = True
+        (sel if ok else skipped).append((d, c))
+    for d, c in skipped:
+        if len(sel) >= cap:
+            break
+        sel.append((d, c))
+    return sel
+
+
+def _search_layer(vecs, nbrs, lev, q, eps, ef, metric):
+    """Beam search one layer. ``eps``: sorted [(dist, node)] seeds.
+    Returns ascending [(dist, node)] of the ef best reached."""
+    visited = {n for _, n in eps}
+    cand = list(eps)
+    heapq.heapify(cand)
+    res = [(-d, n) for d, n in eps]
+    heapq.heapify(res)
+    while cand:
+        d, c = heapq.heappop(cand)
+        if len(res) >= ef and d > -res[0][0]:
+            break
+        neigh = [x for x in nbrs[c][lev] if x not in visited]
+        if not neigh:
+            continue
+        visited.update(neigh)
+        ds = _kdist(vecs, np.asarray(neigh, dtype=np.int64), q, metric)
+        for dd, nn in zip(ds.tolist(), neigh):
+            if len(res) < ef or dd < -res[0][0]:
+                heapq.heappush(res, (-dd, nn))
+                heapq.heappush(cand, (dd, nn))
+                if len(res) > ef:
+                    heapq.heappop(res)
+    return sorted((-nd, nn) for nd, nn in res)
+
+
+def _build_graph(vecs: np.ndarray, m: int, ef_c: int, seed: int,
+                 metric: str):
+    """Insert-at-a-time HNSW build (Malkov & Yashunin Alg. 1).
+    Returns (levels int32[n], nbrs list[node][level] -> list[int],
+    entry, top_level)."""
+    n = len(vecs)
+    rng = np.random.RandomState(seed)
+    ml = 1.0 / math.log(max(m, 2))
+    levels = np.minimum(
+        (-np.log(1.0 - rng.random_sample(n)) * ml).astype(np.int64), 60
+    ).astype(np.int32)
+    m0 = 2 * m
+    nbrs = [[[] for _ in range(int(levels[i]) + 1)] for i in range(n)]
+    if n == 0:
+        return levels, nbrs, -1, -1
+    entry, top = 0, int(levels[0])
+    for i in range(1, n):
+        q = vecs[i]
+        l = int(levels[i])
+        ep = entry
+        epd = float(_kdist(vecs, np.array([ep]), q, metric)[0])
+        for lev in range(top, l, -1):          # greedy descent above l
+            improved = True
+            while improved:
+                improved = False
+                cand = nbrs[ep][lev]
+                if cand:
+                    ds = _kdist(vecs, np.asarray(cand, dtype=np.int64), q,
+                                metric)
+                    j = int(np.argmin(ds))
+                    if ds[j] < epd:
+                        ep, epd, improved = cand[j], float(ds[j]), True
+        eps = [(epd, ep)]
+        for lev in range(min(l, top), -1, -1):
+            w = _search_layer(vecs, nbrs, lev, q, eps, ef_c, metric)
+            cap = m0 if lev == 0 else m
+            for dj, j in _select_heuristic(vecs, q, w, m, metric):
+                nbrs[i][lev].append(j)
+                nbrs[j][lev].append(i)
+                if len(nbrs[j][lev]) > cap:    # prune j with the heuristic
+                    cj = np.asarray(nbrs[j][lev], dtype=np.int64)
+                    ds = _kdist(vecs, cj, vecs[j], metric)
+                    wj = sorted(zip(ds.tolist(), cj.tolist()))
+                    nbrs[j][lev] = [
+                        nd for _, nd in
+                        _select_heuristic(vecs, vecs[j], wj, cap, metric)]
+            eps = w
+        if l > top:
+            entry, top = i, l
+    return levels, nbrs, entry, top
+
+
+def _search_graph(vecs, levels, nbrs, entry, top, q, k, ef, metric,
+                  allowed=None):
+    """Full query: greedy descent to layer 1, filtered beam at layer 0.
+
+    ``allowed`` (bool[n] or None) is the reference's in-traversal
+    filter: termination is governed by an UNFILTERED working heap of
+    size ef (traversal is identical to the unfiltered search), while
+    results collect only allowed nodes — so a sparse filter keeps
+    exploring instead of starving (vector_hnsw.cc filtered search).
+    Returns ascending [(internal_dist, node)] of <= k allowed nodes."""
+    if entry < 0:
+        return []
+    ep = entry
+    epd = float(_kdist(vecs, np.array([ep]), q, metric)[0])
+    for lev in range(top, 0, -1):
+        improved = True
+        while improved:
+            improved = False
+            cand = nbrs[ep][lev] if lev < len(nbrs[ep]) else []
+            if cand:
+                ds = _kdist(vecs, np.asarray(cand, dtype=np.int64), q, metric)
+                j = int(np.argmin(ds))
+                if ds[j] < epd:
+                    ep, epd, improved = cand[j], float(ds[j]), True
+    ef = max(ef, k)
+    visited = {ep}
+    cand = [(epd, ep)]
+    wall = [(-epd, ep)]                        # unfiltered termination heap
+    res: list[tuple[float, int]] = []          # allowed-only, capped at k
+    if allowed is None or allowed[ep]:
+        res.append((-epd, ep))
+    while cand:
+        d, c = heapq.heappop(cand)
+        if len(wall) >= ef and d > -wall[0][0]:
+            break
+        neigh = [x for x in nbrs[c][0] if x not in visited]
+        if not neigh:
+            continue
+        visited.update(neigh)
+        ds = _kdist(vecs, np.asarray(neigh, dtype=np.int64), q, metric)
+        for dd, nn in zip(ds.tolist(), neigh):
+            if len(wall) < ef or dd < -wall[0][0]:
+                heapq.heappush(wall, (-dd, nn))
+                heapq.heappush(cand, (dd, nn))
+                if len(wall) > ef:
+                    heapq.heappop(wall)
+                if allowed is None or allowed[nn]:
+                    heapq.heappush(res, (-dd, nn))
+                    if len(res) > k:
+                        heapq.heappop(res)
+    return sorted((-nd, nn) for nd, nn in res)
+
+
+def _graph_arrays(right: pd.DataFrame, vec_col: str):
+    """Reassemble one segment's graph from its parquet rows (expects
+    rows already sorted by __node — build-local dense node ids)."""
+    vecs = np.stack(right[vec_col].to_numpy()).astype(np.float64)
+    levels = right["__level"].to_numpy()
+    nbrs = [[list(lv) for lv in node] for node in right["__nbrs"]]
+    # entry = max level, tiebreak smallest node — derived, not stored
+    entry = int(np.lexsort((np.arange(len(levels)), -levels))[0])
+    top = int(levels[entry]) if len(levels) else -1
+    return vecs, levels, nbrs, entry, top
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+class HNSWIndex:
+    """Persisted per-segment HNSW graphs over one vector column."""
+
+    def __init__(self, spark: SparkSession, path: str, vec_col: str,
+                 key_col: str, metric: str, m: int, ef_construction: int,
+                 n_segments: int, seed: int,
+                 payload_cols: tuple[str, ...] = (), gen: int = 0):
+        self.spark = spark
+        self.path = path
+        self.vec_col = vec_col
+        self.key_col = key_col
+        self.metric = metric
+        self.m = m
+        self.ef_construction = ef_construction
+        self.n_segments = n_segments      # total physical segments (incl. appends)
+        self.seed = seed
+        self.payload_cols = tuple(payload_cols)
+        self.gen = gen
+
+    # -- build ----------------------------------------------------------
+    @classmethod
+    def build(cls, df: DataFrame, path: str, vec_col: str = "embedding",
+              key_col: str = "vec_id", metric: str = "l2", m: int = 16,
+              ef_construction: int = 100,
+              max_segment_rows: int = 1_000_000,
+              n_segments: int | None = None, seed: int = 42,
+              payload_cols: tuple[str, ...] = ()) -> "HNSWIndex":
+        """One hash-partition pass + one graph build per segment.
+
+        ``max_segment_rows`` is the scale dial: it caps the numpy graph
+        one executor task holds (a 1M x d float64 matrix + adjacency),
+        and segment count == build/search parallelism. ``payload_cols``
+        are persisted next to the graph so inline filters can be
+        evaluated in the segment scan without a join."""
+        spark = df.sparkSession
+        cols = [key_col, vec_col, *payload_cols]
+        work = df.select(*cols).where(F.col(vec_col).isNotNull())
+        if metric == "cosine":
+            norm = F.sqrt(F.aggregate(
+                F.col(vec_col), F.lit(0.0),
+                lambda a, x: a + x.cast("double") * x))
+            work = work.withColumn(
+                vec_col,
+                F.when(norm > 0, F.transform(
+                    F.col(vec_col), lambda x: (x / norm).cast("float"))))
+            work = work.where(F.col(vec_col).isNotNull())
+        if n_segments is None:
+            n = work.count()
+            n_segments = max(1, -(-n // max_segment_rows))
+        work = work.withColumn(
+            "__seg", F.pmod(F.xxhash64(F.col(key_col)),
+                            F.lit(n_segments)).cast("int"))
+        index = cls(spark, path, vec_col, key_col, metric, m,
+                    ef_construction, n_segments, seed,
+                    payload_cols=tuple(payload_cols), gen=0)
+        graph = index._build_segments(work, gen=0)
+        graph.write.mode("overwrite").partitionBy("__seg").parquet(path)
+        index._save_meta()
+        return index
+
+    def _graph_schema(self, work: DataFrame) -> T.StructType:
+        fields = [T.StructField("__seg", T.IntegerType()),
+                  T.StructField("__node", T.IntegerType()),
+                  work.schema[self.key_col],
+                  work.schema[self.vec_col]]
+        for c in self.payload_cols:
+            fields.append(work.schema[c])
+        fields += [T.StructField("__level", T.IntegerType()),
+                   T.StructField("__nbrs", T.ArrayType(
+                       T.ArrayType(T.IntegerType()))),
+                   T.StructField("__gen", T.IntegerType())]
+        return T.StructType(fields)
+
+    def _build_segments(self, work: DataFrame, gen: int) -> DataFrame:
+        """groupBy(__seg).applyInPandas graph build; rows within a segment
+        are sorted by key first so node ids (and thus tiebreaks and the
+        graph itself) are deterministic under any input partitioning."""
+        vec_col, key_col = self.vec_col, self.key_col
+        payload = self.payload_cols
+        m, ef_c, seed, metric = (self.m, self.ef_construction, self.seed,
+                                 self.metric)
+        schema = self._graph_schema(work)
+
+        def build_seg(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(key_col).reset_index(drop=True)
+            seg = int(pdf["__seg"].iloc[0])
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            levels, nbrs, _entry, _top = _build_graph(
+                vecs, m, ef_c, seed + seg, metric)
+            out = pd.DataFrame({
+                "__seg": np.full(len(pdf), seg, dtype=np.int32),
+                "__node": np.arange(len(pdf), dtype=np.int32),
+                key_col: pdf[key_col],
+                vec_col: pdf[vec_col],
+            })
+            for c in payload:
+                out[c] = pdf[c]
+            out["__level"] = levels
+            out["__nbrs"] = [nbrs[i] for i in range(len(pdf))]
+            out["__gen"] = np.int32(gen)
+            return out
+
+        return work.groupBy("__seg").applyInPandas(build_seg, schema)
+
+    # -- persistence ------------------------------------------------------
+    def _save_meta(self) -> None:
+        meta = {"vec_col": self.vec_col, "key_col": self.key_col,
+                "metric": self.metric, "m": self.m,
+                "ef_construction": self.ef_construction,
+                "n_segments": self.n_segments, "seed": self.seed,
+                "payload_cols": list(self.payload_cols), "gen": self.gen}
+        with open(os.path.join(self.path, _META), "w") as fh:
+            json.dump(meta, fh)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "HNSWIndex":
+        with open(os.path.join(path, _META)) as fh:
+            meta = json.load(fh)
+        return cls(spark, path, meta["vec_col"], meta["key_col"],
+                   meta["metric"], meta["m"], meta["ef_construction"],
+                   meta["n_segments"], meta["seed"],
+                   payload_cols=tuple(meta.get("payload_cols", ())),
+                   gen=meta.get("gen", 0))
+
+    # -- reads ------------------------------------------------------------
+    def _read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def _tomb_path(self) -> str:
+        return os.path.join(self.path, _TOMBS)
+
+    def _tombstones(self) -> DataFrame | None:
+        if not os.path.isdir(self._tomb_path()):
+            return None
+        return self.spark.read.parquet(self._tomb_path())
+
+    def _with_alive(self, df: DataFrame) -> DataFrame:
+        """Mark each row __alive: dead iff a tombstone for its key exists
+        at gen >= the row's own gen (later appends re-insert). One
+        broadcast join against the tiny tombstone table — the graph is
+        never rewritten, exactly hnswlib's markDelete economics."""
+        tombs = self._tombstones()
+        if tombs is None:
+            return df.withColumn("__alive", F.lit(True))
+        t = (tombs.groupBy(F.col(self.key_col).alias("__tkey"))
+                  .agg(F.max("__tgen").alias("__tgen")))
+        return (df.join(F.broadcast(t),
+                        df[self.key_col] == F.col("__tkey"), "left")
+                  .withColumn("__alive", F.col("__tgen").isNull()
+                              | (F.col("__tgen") < F.col("__gen")))
+                  .drop("__tkey", "__tgen"))
+
+    def scan_raw(self) -> DataFrame:
+        """Live rows with original columns (key, vector, payloads)."""
+        df = self._with_alive(self._read()).where(F.col("__alive"))
+        return df.select(self.key_col, self.vec_col, *self.payload_cols)
+
+    # -- mutations ----------------------------------------------------------
+    def append(self, df: DataFrame, n_new_segments: int = 1) -> None:
+        """New rows -> NEW segments (graphs are immutable, the Lucene
+        model); a re-appended key outlives any older tombstone for it
+        (generation check). Size appended batches like build segments;
+        frequent tiny appends -> many tiny graphs -> call compact()."""
+        self.gen += 1
+        cols = [self.key_col, self.vec_col, *self.payload_cols]
+        work = df.select(*cols).where(F.col(self.vec_col).isNotNull())
+        if self.metric == "cosine":
+            norm = F.sqrt(F.aggregate(
+                F.col(self.vec_col), F.lit(0.0),
+                lambda a, x: a + x.cast("double") * x))
+            work = (work.withColumn(
+                self.vec_col,
+                F.when(norm > 0, F.transform(
+                    F.col(self.vec_col),
+                    lambda x: (x / norm).cast("float"))))
+                .where(F.col(self.vec_col).isNotNull()))
+        base = self.n_segments
+        work = work.withColumn(
+            "__seg", (F.lit(base) + F.pmod(F.xxhash64(F.col(self.key_col)),
+                                           F.lit(n_new_segments))).cast("int"))
+        graph = self._build_segments(work, gen=self.gen)
+        graph.write.mode("append").partitionBy("__seg").parquet(self.path)
+        self.n_segments = base + n_new_segments
+        self._save_meta()
+
+    def delete(self, keys) -> None:
+        """Generation tombstones; the graphs keep the nodes (they still
+        route traversal, like hnswlib's soft deletes) but search masks
+        them out of results."""
+        self.gen += 1
+        if isinstance(keys, DataFrame):
+            kdf = keys.select(F.col(keys.columns[0]).alias(self.key_col))
+        else:
+            kdf = self.spark.createDataFrame(
+                [(k,) for k in keys], [self.key_col])
+        (kdf.withColumn("__tgen", F.lit(self.gen))
+            .write.mode("append").parquet(self._tomb_path()))
+        self._save_meta()
+
+    def compact(self, max_segment_rows: int = 1_000_000) -> None:
+        """Rebuild live rows into fresh right-sized segments and drop
+        tombstones. Crash-safe: build to a staging dir, then swap —
+        a crash before the final move leaves the old index readable.
+        Cosine rows are already ingest-normalized (idempotent)."""
+        import shutil
+
+        live = self.scan_raw()
+        staging = self.path.rstrip("/") + ".compact"
+        rebuilt = HNSWIndex.build(
+            live, staging, vec_col=self.vec_col, key_col=self.key_col,
+            metric=self.metric, m=self.m,
+            ef_construction=self.ef_construction,
+            max_segment_rows=max_segment_rows,
+            seed=self.seed, payload_cols=self.payload_cols)
+        old = self.path.rstrip("/") + ".old"
+        shutil.move(self.path, old)
+        shutil.move(staging, self.path)
+        shutil.rmtree(old)
+        self.n_segments = rebuilt.n_segments
+        self.gen = 0
+        self._save_meta()
+
+    # -- search -------------------------------------------------------------
+    def search(self, qvec: list[float], k: int = 10, ef: int = 64,
+               where: str | None = None) -> DataFrame:
+        """Single-query convenience over ``knn_join_hnsw``: returns
+        (key_col, __score) — scores in the reference convention."""
+        q = self.spark.createDataFrame(
+            [(0, [float(x) for x in qvec])],
+            T.StructType([
+                T.StructField("__qid", T.LongType()),
+                T.StructField(self.vec_col, T.ArrayType(T.FloatType()))]))
+        out = knn_join_hnsw(q, self, k=k, ef=ef, where=where,
+                            query_key="__qid")
+        return out.select(self.key_col, F.col("distance").alias("__score"))
+
+
+def knn_join_hnsw(queries: DataFrame, index: HNSWIndex, k: int = 10,
+                  ef: int = 64, where: str | None = None,
+                  query_key: str = "qid",
+                  query_vec_col: str | None = None) -> DataFrame:
+    """Batch KNN join against the segment graphs.
+
+    Plan shape: queries cross-join the segment-id RANGE (a broadcast of
+    ``n_segments`` ints — no corpus job), cogroup with the graph parquet
+    on segment id, one beam search per (segment, query) inside the
+    Arrow kernel, then a global (distance, key) window top-k. The graph
+    side never shuffles more than its own parquet scan; parallelism ==
+    segments (size segments to >= cluster cores, same dial as IVF
+    lists). ``where`` is an arbitrary SQL predicate over the persisted
+    payload columns, evaluated JVM-side in the scan and honored
+    IN-traversal (reference inline filtering); deleted rows are masked
+    through the same path. Output: query_key, key_col, distance, rank.
+    """
+    from pyspark.sql.window import Window
+
+    qvec = query_vec_col or index.vec_col
+    vec_col = index.vec_col
+    key_col = index.key_col
+    metric = index.metric
+    kk, eff = int(k), max(int(ef), int(k))
+
+    seg_ids = index.spark.range(index.n_segments).select(
+        F.col("id").cast("int").alias("__seg"))
+    probed = (queries.select(query_key, F.col(qvec).alias("__qvec"))
+              .dropna().crossJoin(F.broadcast(seg_ids)))
+
+    graph = index._with_alive(index._read())
+    allowed = F.col("__alive")
+    if where is not None:
+        allowed = allowed & F.expr(where)
+    graph = graph.select(
+        "__seg", "__node", key_col, vec_col, "__level", "__nbrs",
+        allowed.alias("__ok"))
+
+    qkey_field = queries.schema[query_key]
+    ckey_type = graph.schema[key_col].dataType
+    cand_schema = T.StructType([
+        qkey_field, T.StructField(key_col, ckey_type),
+        T.StructField("distance", T.DoubleType())])
+
+    def search_seg(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        cols = [query_key, key_col, "distance"]
+        if left.empty or right.empty:
+            return pd.DataFrame(columns=cols)
+        right = right.sort_values("__node").reset_index(drop=True)
+        vecs, levels, nbrs, entry, top = _graph_arrays(right, vec_col)
+        keys = right[key_col].to_numpy()
+        okv = right["__ok"].to_numpy()
+        mask = None if bool(okv.all()) else okv.astype(bool)
+        qids, rkeys, dists = [], [], []
+        for qid, qv in zip(left[query_key].to_numpy(),
+                           left["__qvec"].to_numpy()):
+            q = np.asarray(qv, dtype=np.float64)
+            if metric == "cosine":
+                n = np.linalg.norm(q)
+                if n > 0:
+                    q = q / n
+            hits = _search_graph(vecs, levels, nbrs, entry, top, q,
+                                 kk, eff, metric, allowed=mask)
+            for d, node in hits:
+                qids.append(qid)
+                rkeys.append(keys[node])
+                dists.append(d)
+        d = np.asarray(dists, dtype=np.float64)
+        return pd.DataFrame({query_key: qids, key_col: rkeys,
+                             "distance": _emit(d, metric)}, columns=cols)
+
+    cand = (probed.groupBy("__seg")
+            .cogroup(graph.groupBy("__seg"))
+            .applyInPandas(search_seg, cand_schema))
+    w = Window.partitionBy(query_key).orderBy(
+        F.col("distance").asc(), F.col(key_col).asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= kk))
