@@ -47,6 +47,22 @@ _LANG_SQL_MARKERS = {
 
 _ENGINES: dict[tuple[int, str], SearchEngine] = {}
 _IVF: dict = {}
+_HNSW: dict = {}
+
+
+def hnsw_index(spark: SparkSession, sf_dir: str):
+    """Shared per-SF HNSW artifact (built once; the knn_hnsw row and the
+    bench's hnsw entries reuse it). label is persisted as a payload
+    column so inline filters evaluate in the segment scan."""
+    from valkey_search_spark.operators.hnsw import HNSWIndex
+
+    if sf_dir not in _HNSW:
+        emb = load_table(spark, sf_dir, "embeddings")
+        path = f"/tmp/valkey_hnsw_{os.path.basename(sf_dir.rstrip('/'))}"
+        _HNSW[sf_dir] = HNSWIndex.build(
+            emb, path, metric="l2", m=8, ef_construction=60,
+            max_segment_rows=512, payload_cols=("label",))
+    return _HNSW[sf_dir]
 
 
 def ivf_index(spark: SparkSession, sf_dir: str):
@@ -601,38 +617,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["knn_ivf"] = q_knn_ivf
 
     def q_knn_join(spark, sf_dir):
-        from valkey_search_spark.operators.ann import knn_join
+        # both batch-KNN-join paths in one union row, each leg
+        # hash-checked against the same brute-force oracle: "broadcast"
+        # = knn_join (corpus collected driver-side, auto-routed under
+        # 1 GB), "bucketed" = IVF-cogroup at full probe (== brute
+        # force; never materializes the corpus,
+        # tests/test_knn_join.py::test_bucketed_never_collects_corpus)
+        from valkey_search_spark.operators.ann import (knn_join,
+                                                       knn_join_bucketed)
+
         emb = load_table(spark, sf_dir, "embeddings")
         queries_df = emb.where(F.col("vec_id") < 500).select(
             F.col("vec_id").alias("qid"), "embedding")
         corpus = emb.select(F.col("vec_id").alias("cid"), "embedding")
-        out = knn_join(queries_df, corpus, k=3, metric="l2")
-        return out.select(F.col("qid").cast("long").alias("qid"),
-                          F.col("cid").cast("long").alias("cid"),
-                          _r(F.col("distance")).alias("distance"),
-                          F.col("rank").cast("int").alias("rank"))
+        idx = _ivf_index(spark, sf_dir)
+        broad = knn_join(queries_df, corpus, k=3, metric="l2").select(
+            F.col("qid").cast("long").alias("qid"),
+            F.col("cid").cast("long").alias("cid"),
+            _r(F.col("distance")).alias("distance"),
+            F.col("rank").cast("int").alias("rank"),
+            F.lit("broadcast").alias("form"))
+        buck = knn_join_bucketed(queries_df, idx, k=3, nprobe=idx.n_lists,
+                                 corpus_key="vec_id").select(
+            F.col("qid").cast("long").alias("qid"),
+            F.col("vec_id").cast("long").alias("cid"),
+            _r(F.col("distance")).alias("distance"),
+            F.col("rank").cast("int").alias("rank"),
+            F.lit("bucketed").alias("form"))
+        return broad.unionByName(buck)
 
     q["knn_join"] = q_knn_join
 
-    def q_knn_join_bucketed(spark, sf_dir):
-        # beyond-broadcast batch KNN join: queries probe IVF lists, per-list
-        # BLAS scoring, global window top-k. Full probe == brute force, so
-        # it shares knn_join's oracle; no driver-side corpus materialization
-        # (tests/test_knn_join.py::test_bucketed_never_collects_corpus).
-        from valkey_search_spark.operators.ann import knn_join_bucketed
+    def q_knn_hnsw(spark, sf_dir):
+        # the reference's flagship index shape (segment-local HNSW
+        # graphs, operators/hnsw.py): with ef >= segment rows the beam
+        # is an exhaustive walk, so full-explore results are EXACT and
+        # share the brute-force oracle — the "filtered" leg exercises
+        # inline (in-traversal) predicate filtering the same way
+        # vector_hnsw.cc's filtered search does
+        idx = hnsw_index(spark, sf_dir)
+        full = idx.search(QVEC, k=10, ef=10 ** 6).select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            _r(F.col("__score")).alias("dist"),
+            F.lit("full").alias("form"))
+        filt = idx.search(QVEC, k=10, ef=10 ** 6,
+                          where="label BETWEEN 3 AND 5").select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            _r(F.col("__score")).alias("dist"),
+            F.lit("filtered").alias("form"))
+        return full.unionByName(filt)
 
-        emb = load_table(spark, sf_dir, "embeddings")
-        idx = _ivf_index(spark, sf_dir)
-        queries_df = emb.where(F.col("vec_id") < 500).select(
-            F.col("vec_id").alias("qid"), "embedding")
-        out = knn_join_bucketed(queries_df, idx, k=3, nprobe=idx.n_lists,
-                                corpus_key="vec_id")
-        return out.select(F.col("qid").cast("long").alias("qid"),
-                          F.col("vec_id").cast("long").alias("cid"),
-                          _r(F.col("distance")).alias("distance"),
-                          F.col("rank").cast("int").alias("rank"))
-
-    q["knn_join_bucketed"] = q_knn_join_bucketed
+    q["knn_hnsw"] = q_knn_hnsw
 
     # -- LLM-pipeline: dedup -------------------------------------------
     def q_dedup_exact(spark, sf_dir):
@@ -1134,6 +1169,31 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = load_table(spark, sf_dir, "documents")
         return bm25_rank(docs, ["merge", "window", "sort"],
                          top_k=100).select("doc_id", "bm25_score")
+
+    def b_knn_join_bucketed(spark, sf_dir):
+        # bench twin of the "bucketed" leg of queries()["knn_join"] —
+        # kept standalone so its timing stays name-comparable across
+        # rounds (correctness coverage lives in the union row)
+        from valkey_search_spark.operators.ann import knn_join_bucketed
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        idx = ivf_index(spark, sf_dir)
+        queries_df = emb.where(F.col("vec_id") < 500).select(
+            F.col("vec_id").alias("qid"), "embedding")
+        return knn_join_bucketed(queries_df, idx, k=3, nprobe=idx.n_lists,
+                                 corpus_key="vec_id")
+
+    def b_knn_hnsw(spark, sf_dir):
+        # HNSW speed path: 500-query batch at beam ef=48 against the
+        # segment graphs (recall for this shape is tracked in the bench
+        # ann_recall_hnsw sweep; exactness at full ef is the driver row)
+        from valkey_search_spark.operators.hnsw import knn_join_hnsw
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        idx = hnsw_index(spark, sf_dir)
+        queries_df = emb.where(F.col("vec_id") < 500).select(
+            F.col("vec_id").alias("qid"), "embedding")
+        return knn_join_hnsw(queries_df, idx, k=10, ef=48)
 
     def b_knn_ivf_partial(spark, sf_dir):
         # partial probe (nprobe = n_lists/4): the speed side of the
@@ -1733,6 +1793,8 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_pq": b_knn_pq,
         "knn_binary": b_knn_binary,
         "knn_ivf_partial": b_knn_ivf_partial,
+        "knn_join_bucketed": b_knn_join_bucketed,
+        "knn_hnsw": b_knn_hnsw,
         "hygiene_line_dedup": b_line_dedup,
         "hygiene_gopher": b_gopher,
         "hygiene_gopher_repetition": b_gopher_rep,
@@ -2011,8 +2073,9 @@ def oracle_sql() -> dict[str, str]:
     o["knn_hybrid"] = _knn_sql(f"list_distance({_EMB_D}, {_QVEC_SQL})",
                                "label BETWEEN 3 AND 5")
     o["knn_ivf"] = _knn_sql(f"list_distance({_EMB_D}, {_QVEC_SQL})")
-    o["knn_join"] = (
-        "SELECT qid, cid, ROUND(d, 4) + 0.0 AS distance, rank FROM ("
+    _knn_join_brute = (
+        "SELECT qid, cid, ROUND(d, 4) + 0.0 AS distance, rank,"
+        " '{form}' AS form FROM ("
         " SELECT CAST(q.vec_id AS BIGINT) AS qid,"
         "  CAST(c.vec_id AS BIGINT) AS cid,"
         "  list_distance(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS d,"
@@ -2021,7 +2084,17 @@ def oracle_sql() -> dict[str, str]:
         "   c.vec_id) AS INT) AS rank"
         " FROM embeddings q CROSS JOIN embeddings c WHERE q.vec_id < 500)"
         " WHERE rank <= 3")
-    o["knn_join_bucketed"] = o["knn_join"]     # full probe == brute force
+    # both join paths against the same brute force (bucketed at full
+    # probe == brute force), each leg keeping its own hash-checked form
+    o["knn_join"] = " UNION ALL ".join(
+        _knn_join_brute.format(form=f) for f in ("broadcast", "bucketed"))
+    o["knn_hnsw"] = " UNION ALL ".join(
+        f"SELECT * FROM (SELECT CAST(vec_id AS BIGINT) AS vec_id,"
+        f" ROUND(list_distance({_EMB_D}, {_QVEC_SQL}), 4) + 0.0 AS dist,"
+        f" '{form}' AS form FROM embeddings WHERE {w}"
+        f" ORDER BY list_distance({_EMB_D}, {_QVEC_SQL}), vec_id LIMIT 10)"
+        for form, w in (("full", "TRUE"),
+                        ("filtered", "label BETWEEN 3 AND 5")))
 
     o["dedup_exact"] = (
         "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,"

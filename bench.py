@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "ingest_warc_cdx_fetch",
     "hygiene_robots_gate",
     "hygiene_c4_lines",
+    "knn_hnsw",
 ]
 
 
@@ -215,6 +216,27 @@ def main():
     ann_recall_realistic = {"n_lists": n_lists_big, "n_vectors": n_vecs,
                             "k": 10, "queries": 100, "curve": curve_big}
 
+    # HNSW tier (the reference's flagship index shape): beam-width sweep
+    # on the same 100-query batch vs the exact join — ef is the
+    # recall/latency dial (the reference's EF_RUNTIME)
+    from valkey_search_spark.operators.hnsw import knn_join_hnsw
+
+    hidx = entrymod.hnsw_index(spark, sf_dir)
+    curve_h = []
+    for ef in (16, 48, 128):
+        approx = knn_join_hnsw(qdf, hidx, k=10, ef=ef) \
+            .select("qid", "vec_id")
+        t0 = time.perf_counter()
+        approx.count()
+        sec = round(time.perf_counter() - t0, 3)
+        hits = approx.join(exact, ["qid", "vec_id"]).count()
+        rec = round(hits / max(n_exact, 1), 3)
+        curve_h.append({"ef": ef, "recall_at_10": rec, "batch_sec": sec})
+        if rec >= 0.99:
+            break
+    ann_recall_hnsw = {"m": hidx.m, "segments": hidx.n_segments,
+                       "k": 10, "queries": 100, "curve": curve_h}
+
     # write-side workload (BASELINE.md "FTS write workload": 50 TEXT
     # fields ingest): one timed build of a cached 50-field index over a
     # 10k-doc slice — reported SEPARATELY so the query aggregate stays
@@ -296,6 +318,7 @@ def main():
         "sentinel": sentinel,
         "ann_recall": ann_recall,
         "ann_recall_realistic": ann_recall_realistic,
+        "ann_recall_hnsw": ann_recall_hnsw,
         "ingest": {"workload": "50field_text_ingest_10k",
                    "docs": n_docs, "sec": round(ingest_sec, 3),
                    "docs_per_sec": round(n_docs / max(ingest_sec, 1e-9), 1)},
