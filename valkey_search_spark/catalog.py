@@ -192,11 +192,17 @@ class VectorField(FieldDef):
     """VECTOR: fixed-DIM FLOAT32, metric L2 / IP / COSINE; cosine vectors are
     L2-normalized at ingest (/root/reference/src/indexes/vector_base.h:46,106-110).
     ``algo`` is advisory: FLAT -> always exact scan; HNSW -> eligible for the
-    ANN (IVF) path when an index artifact is built (SURVEY.md §2.6)."""
+    ANN path when an index artifact is built (SURVEY.md §2.6) — IVF or
+    segment-graph HNSW (operators/hnsw.py), chosen at ft_build_ann.
+    ``m`` / ``ef_construction`` are the reference's HNSW build params
+    (ft.create.md M / EF_CONSTRUCTION), consumed when the artifact is
+    built with algorithm="hnsw"; EF_RUNTIME is a query-time dial."""
 
     dim: int = 0
     metric: str = "l2"           # l2 | ip | cosine
     algo: str = "flat"           # flat | hnsw
+    m: int = 16                  # HNSW max links/node (ft.create.md M)
+    ef_construction: int = 100   # HNSW build beam (EF_CONSTRUCTION)
 
     def derived(self, df: DataFrame) -> dict[str, Column]:
         if self.json_source:
@@ -468,17 +474,21 @@ class Catalog:
                 a["NO_STEM"] = int(f.nostem)
                 text_fields.append(f)
             elif isinstance(f, VectorField):
+                algo = {"name": f.algo.upper()}
+                if f.algo == "hnsw":
+                    algo["m"] = f.m
+                    algo["ef_construction"] = f.ef_construction
                 a["index"] = {
                     "dimensions": f.dim,
                     "distance_metric": f.metric.upper(),
                     "data_type": "FLOAT32",
-                    "algorithm": {"name": f.algo.upper()},
+                    "algorithm": algo,
                 }
                 # live ANN artifact state (ft_build_ann): the mutation
                 # generation and layout mirror the reference's per-index
                 # observables (its HNSW reports node/level counts)
                 ann = getattr(s, "_ann", {}).get(f.attr)
-                if ann is not None:
+                if ann is not None and hasattr(ann, "n_lists"):
                     a["index"]["ann"] = {
                         "n_lists": ann.n_lists,
                         "n_physical_lists": ann.n_physical_lists,
@@ -488,6 +498,15 @@ class Catalog:
                                     else "pq" if ann.pq is not None
                                     else "int8" if ann.quantized
                                     else "float32"),
+                    }
+                elif ann is not None:
+                    # segment-graph HNSW artifact (operators/hnsw.py)
+                    a["index"]["ann"] = {
+                        "segments": ann.n_segments,
+                        "m": ann.m,
+                        "ef_construction": ann.ef_construction,
+                        "mutation_generation": ann.gen,
+                        "storage": "float32_graph",
                     }
             attributes.append(a)
         first_text = text_fields[0] if text_fields else None

@@ -471,9 +471,10 @@ class HNSWIndex:
 
     # -- search -------------------------------------------------------------
     def search(self, qvec: list[float], k: int = 10, ef: int = 64,
-               where: str | None = None) -> DataFrame:
+               where=None) -> DataFrame:
         """Single-query convenience over ``knn_join_hnsw``: returns
-        (key_col, __score) — scores in the reference convention."""
+        (key_col, __score) — scores in the reference convention.
+        ``where``: SQL string or Column over the payload columns."""
         q = self.spark.createDataFrame(
             [(0, [float(x) for x in qvec])],
             T.StructType([
@@ -485,7 +486,7 @@ class HNSWIndex:
 
 
 def knn_join_hnsw(queries: DataFrame, index: HNSWIndex, k: int = 10,
-                  ef: int = 64, where: str | None = None,
+                  ef: int = 64, where=None,
                   query_key: str = "qid",
                   query_vec_col: str | None = None) -> DataFrame:
     """Batch KNN join against the segment graphs.
@@ -514,10 +515,13 @@ def knn_join_hnsw(queries: DataFrame, index: HNSWIndex, k: int = 10,
     probed = (queries.select(query_key, F.col(qvec).alias("__qvec"))
               .dropna().crossJoin(F.broadcast(seg_ids)))
 
+    from pyspark.sql import Column
+
     graph = index._with_alive(index._read())
     allowed = F.col("__alive")
     if where is not None:
-        allowed = allowed & F.expr(where)
+        allowed = allowed & (where if isinstance(where, Column)
+                             else F.expr(where))
     graph = graph.select(
         "__seg", "__node", key_col, vec_col, "__level", "__nbrs",
         allowed.alias("__ok"))

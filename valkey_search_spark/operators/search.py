@@ -138,19 +138,29 @@ class SearchEngine:
 
     def ft_build_ann(self, index: str, attr: str, path: str,
                      n_lists: int = 64, sample_fraction: float | None = None,
-                     seed: int = 42, **build_kwargs):
-        """Build the IVF ANN artifact for a VECTOR field — the Spark-batch
+                     seed: int = 42, algorithm: str = "ivf",
+                     **build_kwargs):
+        """Build the ANN artifact for a VECTOR field — the Spark-batch
         equivalent of the reference's HNSW graph build
-        (/root/reference/src/indexes/vector_hnsw.cc). The artifact is a
-        parquet table partitioned by centroid list; ft_search uses it for
-        match-all KNN when ``ann_nprobe`` is given. The index key column
-        rides along as the artifact's mutation key, so the returned
-        IVFIndex supports append/delete/upsert by document key (the
-        reference's live AddRecord/RemoveRecord surface). Extra kwargs
-        (``quantize``, ``pq_m``, ``max_list_rows``) pass through to
-        IVFIndex.build."""
-        from .ann import IVFIndex
+        (/root/reference/src/indexes/vector_hnsw.cc).
 
+        ``algorithm="ivf"`` (default): parquet partitioned by centroid
+        list; ft_search probes it when ``ann_nprobe`` is given (or via
+        the EF_RUNTIME mapping). ``algorithm="hnsw"``: segment-local
+        navigable-small-world graphs (operators/hnsw.py) — the
+        reference's actual index shape — honoring the field's
+        M / EF_CONSTRUCTION declaration; ft_search beams through it
+        when ``ann_ef`` or the query's EF_RUNTIME is given. Every
+        indexed column is persisted alongside the graph so hybrid
+        predicates evaluate inline, in-traversal, exactly like the
+        reference's filtered HNSW search.
+
+        The index key column rides along as the artifact's mutation key,
+        so both artifact kinds support append/delete by document key
+        (the reference's live AddRecord/RemoveRecord surface). Extra
+        kwargs pass through to the builder (IVF: ``quantize``, ``pq_m``,
+        ``max_list_rows``; HNSW: ``m``, ``ef_construction``,
+        ``max_segment_rows``)."""
         schema = self.catalog.get(index)
         fdef = schema.field(attr)
         if not isinstance(fdef, VectorField):
@@ -161,14 +171,32 @@ class SearchEngine:
                 f"ft_build_ann sets {sorted(reserved)} itself — the "
                 "engine owns the vector column, metric and document key")
         df = schema.indexed_df()  # _v_<attr> is validated (+normalized if cosine)
-        ivf = IVFIndex.build(df, path, vec_col=vec_col(fdef.attr),
-                             metric=fdef.metric, n_lists=n_lists,
-                             sample_fraction=sample_fraction, seed=seed,
-                             key_col="__key", **build_kwargs)
+        if algorithm == "hnsw":
+            from .hnsw import HNSWIndex
+
+            vcol = vec_col(fdef.attr)
+            payload = tuple(c for c in df.columns
+                            if c not in (vcol, "__key"))
+            build_kwargs.setdefault("m", fdef.m)
+            build_kwargs.setdefault("ef_construction", fdef.ef_construction)
+            art = HNSWIndex.build(df, path, vec_col=vcol,
+                                  key_col="__key", metric=fdef.metric,
+                                  seed=seed, payload_cols=payload,
+                                  **build_kwargs)
+        elif algorithm == "ivf":
+            from .ann import IVFIndex
+
+            art = IVFIndex.build(df, path, vec_col=vec_col(fdef.attr),
+                                 metric=fdef.metric, n_lists=n_lists,
+                                 sample_fraction=sample_fraction, seed=seed,
+                                 key_col="__key", **build_kwargs)
+        else:
+            raise QuerySyntaxError(
+                f"unknown ANN algorithm `{algorithm}` (ivf | hnsw)")
         if not hasattr(schema, "_ann"):
             schema._ann = {}
-        schema._ann[fdef.attr] = ivf
-        return ivf
+        schema._ann[fdef.attr] = art
+        return art
 
     def ft_explain(self, index: str, query: str,
                    params: dict | None = None, **kwargs) -> dict:
@@ -346,6 +374,7 @@ class SearchEngine:
         inorder: bool = False,
         count_only: bool = False,
         ann_nprobe: int | None = None,
+        ann_ef: int | None = None,
         dialect: int = 2,
         timeout_ms: int | None = None,
         withsortkeys: bool = False,
@@ -373,7 +402,7 @@ class SearchEngine:
                 sortby_desc=sortby_desc, return_fields=return_fields,
                 nocontent=nocontent, verbatim=verbatim, slop=slop,
                 inorder=inorder, count_only=count_only,
-                ann_nprobe=ann_nprobe, dialect=dialect,
+                ann_nprobe=ann_nprobe, ann_ef=ann_ef, dialect=dialect,
                 timeout_ms=timeout_ms, withsortkeys=withsortkeys,
                 _observe_total=_observe_total)
         except Exception:
@@ -427,6 +456,7 @@ class SearchEngine:
         inorder: bool = False,
         count_only: bool = False,
         ann_nprobe: int | None = None,
+        ann_ef: int | None = None,
         dialect: int = 2,
         timeout_ms: int | None = None,
         withsortkeys: bool = False,
@@ -476,18 +506,31 @@ class SearchEngine:
         explaining = getattr(self._req, "explaining", False)
         match_all = isinstance(pred, MatchAll)
 
+        # the field's ANN artifact (ft_build_ann), if any: an IVFIndex or
+        # a segment-graph HNSWIndex — the physical branches below differ
+        artifact = None
+        graph_art = False
+        if parsed.knn is not None:
+            artifact = getattr(schema, "_ann", {}).get(
+                schema.field(parsed.knn.attr).attr)
+            if artifact is not None:
+                from .hnsw import HNSWIndex as _HNSWIndex
+
+                graph_art = isinstance(artifact, _HNSWIndex)
+
         # ANN planner (the reference's pre-filter vs inline-filter choice,
-        # planner.cc:21-46). Explicit dials (ann_nprobe / EF_RUNTIME) win;
-        # otherwise, for a HYBRID query on an algo=hnsw field with an
-        # artifact, estimate the filter's selectivity from a bounded prefix
-        # probe — selective filters pre-filter exactly, loose filters run
-        # the predicate INSIDE the probed IVF lists (the inline-filtering
+        # planner.cc:21-46). Explicit dials (ann_nprobe / ann_ef /
+        # EF_RUNTIME) win; otherwise, for a HYBRID query on an algo=hnsw
+        # field with an artifact, estimate the filter's selectivity from a
+        # bounded prefix probe — selective filters pre-filter exactly,
+        # loose filters run the predicate INSIDE the index (probed IVF
+        # lists, or in-traversal on the graph — the inline-filtering
         # branch, search.cc:102-133 InlineVectorFilter).
-        if (parsed.knn is not None and ann_nprobe is None
+        if (parsed.knn is not None and artifact is not None
+                and ann_nprobe is None and ann_ef is None
                 and not parsed.knn.ef_runtime and not match_all):
             fdef_v = schema.field(parsed.knn.attr)
-            ann = getattr(schema, "_ann", {}).get(fdef_v.attr)
-            if ann is not None and getattr(fdef_v, "algo", "flat") == "hnsw":
+            if getattr(fdef_v, "algo", "flat") == "hnsw":
                 from ..plans.planner import (
                     estimate_match_fraction, use_prefiltering,
                 )
@@ -495,28 +538,65 @@ class SearchEngine:
                 frac = estimate_match_fraction(
                     schema.indexed_df(), translator.translate(pred))
                 if not use_prefiltering(frac, "hnsw"):
-                    # default probe budget for the inline path: an eighth
-                    # of the lists (the EF_RUNTIME dial overrides this)
-                    ann_nprobe = max(1, ann.n_lists // 8)
+                    if graph_art:
+                        # default beam for the inline path (EF_RUNTIME
+                        # overrides): wide enough that a loose filter
+                        # keeps recall, 4x the reference's default dial
+                        ann_ef = max(4 * parsed.knn.k, 40)
+                    else:
+                        # default probe budget for the inline path: an
+                        # eighth of the lists (EF_RUNTIME overrides)
+                        ann_nprobe = max(1, artifact.n_lists // 8)
 
-        if (parsed.knn is not None and ann_nprobe is None
+        if (parsed.knn is not None and artifact is not None
                 and parsed.knn.ef_runtime):
-            # map the reference's recall dial onto ours: EF_RUNTIME is the
-            # HNSW candidate-queue size (~ef/k times more candidates than
-            # results); probe proportionally many IVF lists
-            # (/root/reference/src/query/search.cc EF_RUNTIME handling)
-            ann = getattr(schema, "_ann", {}).get(
-                schema.field(parsed.knn.attr).attr)
-            if ann is not None:
+            if graph_art:
+                # EF_RUNTIME is natively the graph beam width — no
+                # mapping needed (vector_hnsw.cc ef_runtime)
+                if ann_ef is None:
+                    ann_ef = parsed.knn.ef_runtime
+            elif ann_nprobe is None:
+                # map the reference's recall dial onto IVF: EF_RUNTIME is
+                # the HNSW candidate-queue size (~ef/k times more
+                # candidates than results); probe proportionally many
+                # lists (/root/reference/src/query/search.cc)
                 import math as _math
 
                 ann_nprobe = max(1, min(
-                    ann.n_lists,
+                    artifact.n_lists,
                     _math.ceil(parsed.knn.ef_runtime / max(parsed.knn.k, 1))))
 
+        if parsed.knn is not None and graph_art and ann_ef is not None:
+            # segment-graph HNSW branch: beam each segment, merge top-k,
+            # then fetch the winners' records with a broadcast join (the
+            # reference's post-HNSW hash fetch, SURVEY §2.1 row 3)
+            score = parsed.knn.score_alias()
+            prefilter = None if match_all else translator.translate(pred)
+            self._req.ann_mode = ("inline" if prefilter is not None
+                                  else "ann")
+            if prefilter is not None and not explaining:
+                # predicate evaluated IN-traversal on the graph
+                self._metrics["inline_filtering_requests_count"] += 1
+            hits = artifact.search(parsed.knn.vector, k=parsed.knn.k,
+                                   ef=ann_ef, where=prefilter)
+            hits = hits.withColumnRenamed("__score", score)
+            df = schema.indexed_df().join(F.broadcast(hits), "__key")
+            if count_only:
+                n = self._run_with_timeout(df.count, timeout_ms)
+                self._metrics["hnsw_vector_index_search_latency_usec"] += \
+                    int((_time.perf_counter() - _t0) * 1e6)
+                return n
+            if _observe_total is not None:
+                # ANN replies report the (<=k) probed result count
+                df = df.observe(_observe_total,
+                                F.count(F.lit(1)).alias("n"))
+            return self._finish(schema, df, parsed, sortby, sortby_desc,
+                                limit, return_fields, nocontent,
+                                observed=_observe_total is not None,
+                                withsortkeys=withsortkeys)
+
         if parsed.knn is not None and ann_nprobe is not None:
-            ann = getattr(schema, "_ann", {}).get(
-                schema.field(parsed.knn.attr).attr)
+            ann = artifact if not graph_art else None
             if ann is not None:
                 score = parsed.knn.score_alias()
                 prefilter = None if match_all else translator.translate(pred)
