@@ -300,10 +300,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ("halfopen", "parts", "@p_retailprice:[910 +inf]", {}),
         ("params", "parts", "@p_brand:{$b} @p_retailprice:[$lo $hi]",
          {"params": {"b": "Brand#13", "lo": 900, "hi": 910}}))
-    q["and_or"] = _search(
-        "parts", "(@p_brand:{Brand#13}|@p_brand:{Brand#42}) @p_size:[20 40]", PART_COLS)
-    q["negation"] = _search(
-        "parts", "-@p_brand:{Brand#13} @p_retailprice:[900 905]", PART_COLS)
+    # round-7 slot consolidation: AND/OR and NOT (§2.2 rows 19-21) share
+    # one union row — each form keeps its own hash-checked leg
+    q["bool_algebra"] = _union_search(
+        PART_COLS,
+        ("and_or", "parts",
+         "(@p_brand:{Brand#13}|@p_brand:{Brand#42}) @p_size:[20 40]", {}),
+        ("negation", "parts",
+         "-@p_brand:{Brand#13} @p_retailprice:[900 905]", {}))
 
     # -- text search (SURVEY §2.2 text rows) ----------------------------
     # term / stem / verbatim forms in ONE discriminated-union row
@@ -329,14 +333,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select(F.col("doc_id").cast("string").alias("k"),
                         F.col("source").alias("v"),
                         F.lit("stemmed").alias("form")))
+        # field-group modifier @f:(a|b) (§2.2 row 12's field-scoped
+        # union) — round-7 slot consolidation of the old
+        # text_field_group row, same normalization
+        grp = (e.ft_search("parts", "@p_name:(widget|bolt)", limit=ALL)
+               .select(F.col("p_partkey").cast("string").alias("k"),
+                       F.col("p_name").alias("v"),
+                       F.lit("field_group").alias("form")))
         out = term
-        for x in (stem, verb, stmd):
+        for x in (stem, verb, stmd, grp):
             out = out.unionByName(x)
         return out
 
     q["text_term_forms"] = q_term_forms
-    q["text_field_group"] = _search("parts", "@p_name:(widget|bolt)",
-                                    ["p_partkey", "p_name"])
     def q_affixes(spark, sf_dir):
         # prefix (win* on docs), suffix (*get on parts) and infix (*art*
         # on docs) share one row, normalized to (k, v, form)
@@ -706,29 +715,96 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_embedding_cosine"] = q_emb_pairs
 
     # -- streaming operators (batch-mode parity; stream path in tests) --
-    def q_windowed(spark, sf_dir):
-        from valkey_search_spark.streaming.windows import windowed_event_counts
+    # round-7 slot consolidation: tumbling windows and session windows
+    # share one union row on a coerced schema — "window" legs carry
+    # (a=window start, b=value sum), "session" legs (a=session start,
+    # b=session end); each form stays hash-checked
+    def q_stream_windows(spark, sf_dir):
+        from valkey_search_spark.streaming.windows import (
+            sessionized_counts, windowed_event_counts,
+        )
         ev = load_table(spark, sf_dir, "events")
-        out = windowed_event_counts(ev, window="1 hour")
-        return out.select(
-            F.col("window_start").cast("double").alias("wstart"),
+        win = windowed_event_counts(ev, window="1 hour").select(
+            F.col("window_start").cast("double").alias("a"),
+            _r(F.col("sum_value"), 2).alias("b"),
             "event_type", F.col("n").cast("double").alias("n"),
-            _r(F.col("sum_value"), 2).alias("sum_v"))
+            F.lit("window").alias("form"))
+        # whole-second rounding on session bounds: epoch<->timestamp
+        # conversion differs by ~1e-6s between Spark and DuckDB
+        ses = sessionized_counts(ev, gap="30 minutes").select(
+            _r(F.col("session_start").cast("double"), 0).alias("a"),
+            _r(F.col("session_end").cast("double"), 0).alias("b"),
+            "event_type", F.col("n").cast("double").alias("n"),
+            F.lit("session").alias("form"))
+        return win.unionByName(ses)
 
-    q["stream_windowed_counts"] = q_windowed
+    q["stream_windows"] = q_stream_windows
 
-    def q_sessions(spark, sf_dir):
-        from valkey_search_spark.streaming.windows import sessionized_counts
+    # -- temporal / event analytics (round-7 rotation) -------------------
+    def q_temporal_asof(spark, sf_dir):
+        # keyed as-of join vs DuckDB's NATIVE ASOF JOIN, all three
+        # forms; only the matched TIMESTAMP is compared (deterministic
+        # under equal-timestamp ties on both engines — the tied ROW is
+        # tiebreak-defined here, arbitrary in DuckDB)
+        from valkey_search_spark.operators.temporal import asof_join
+
         ev = load_table(spark, sf_dir, "events")
-        out = sessionized_counts(ev, gap="30 minutes")
-        # whole-second rounding: epoch<->timestamp conversion differs by
-        # ~1e-6s between Spark and DuckDB
-        return out.select(
-            _r(F.col("session_start").cast("double"), 0).alias("sstart"),
-            _r(F.col("session_end").cast("double"), 0).alias("send"),
-            "event_type", F.col("n").cast("double").alias("n"))
+        left = ev.where("event_type = 'purchase'").select(
+            "event_id", "ts", "user_id")
+        right = ev.where("event_type = 'signup'").select("ts", "user_id")
+        parts = []
+        for form, kw in (("backward", {}),
+                         ("forward", {"direction": "forward"}),
+                         ("tolerance", {"tolerance": "30 minutes"})):
+            j = asof_join(left, right, on="ts", by="user_id", **kw)
+            parts.append(j.select(
+                "event_id",
+                (F.unix_micros(F.col("r_ts").cast("timestamp"))
+                 .cast("double") / 1e6).alias("r_epoch"),
+                F.lit(form).alias("form")))
+        out = parts[0]
+        for x in parts[1:]:
+            out = out.unionByName(x)
+        return out
 
-    q["stream_session_windows"] = q_sessions
+    q["temporal_asof"] = q_temporal_asof
+
+    def q_events_sessionize(spark, sf_dir):
+        from valkey_search_spark.operators.events import sessionize
+
+        ev = load_table(spark, sf_dir, "events")
+        out = sessionize(ev, gap="30 minutes")
+        return out.select(
+            "event_id",
+            F.col("session_seq").cast("long").alias("session_seq"),
+            _r(F.element_at(F.split("session_id", "/"), 2)
+               .cast("double"), 0).alias("sstart"))
+
+    q["events_sessionize"] = q_events_sessionize
+
+    def q_graph_pagerank(spark, sf_dir):
+        # power-iteration PageRank on a deterministic synthetic link
+        # graph over documents (two arithmetic out-edges per non-%3
+        # node; %3==0 nodes become danglers) — the oracle replays 3
+        # iterations as chained SQL CTEs. Ranks are scaled by the doc
+        # count so the 6-decimal hash floor keeps ~6 significant digits.
+        from valkey_search_spark.operators.graph import pagerank
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id")
+        n = docs.count()
+        src = docs.where("doc_id % 3 != 0")
+        edges = (src.select(F.col("doc_id").alias("src"),
+                            ((F.col("doc_id") * 7 + 3) % n).alias("dst"))
+                 .unionByName(
+                     src.select(F.col("doc_id").alias("src"),
+                                ((F.col("doc_id") * 13 + 5) % n)
+                                .alias("dst"))))
+        pr = pagerank(edges, n_iter=3)
+        return pr.select(F.col("node").cast("long").alias("node"),
+                         _r(F.col("rank") * F.lit(float(n)), 6)
+                         .alias("rank_scaled"))
+
+    q["graph_pagerank"] = q_graph_pagerank
 
     # -- LLM-pipeline: composed curation (SQL-expressible stages) -------
     def q_curation(spark, sf_dir):
@@ -1169,6 +1245,24 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = load_table(spark, sf_dir, "documents")
         return bm25_rank(docs, ["merge", "window", "sort"],
                          top_k=100).select("doc_id", "bm25_score")
+
+    def b_and_or(spark, sf_dir):
+        return _search(
+            "parts",
+            "(@p_brand:{Brand#13}|@p_brand:{Brand#42}) @p_size:[20 40]",
+            PART_COLS)(spark, sf_dir)
+
+    def b_negation(spark, sf_dir):
+        return _search("parts", "-@p_brand:{Brand#13} @p_retailprice:[900 905]",
+                       PART_COLS)(spark, sf_dir)
+
+    def b_stream_windowed(spark, sf_dir):
+        from valkey_search_spark.streaming.windows import (
+            windowed_event_counts,
+        )
+
+        ev = load_table(spark, sf_dir, "events")
+        return windowed_event_counts(ev, window="1 hour")
 
     def b_knn_join_bucketed(spark, sf_dir):
         # bench twin of the "bucketed" leg of queries()["knn_join"] —
@@ -1795,6 +1889,9 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_partial": b_knn_ivf_partial,
         "knn_join_bucketed": b_knn_join_bucketed,
         "knn_hnsw": b_knn_hnsw,
+        "and_or": b_and_or,
+        "negation": b_negation,
+        "stream_windowed_counts": b_stream_windowed,
         "hygiene_line_dedup": b_line_dedup,
         "hygiene_gopher": b_gopher,
         "hygiene_gopher_repetition": b_gopher_rep,
@@ -1849,10 +1946,11 @@ def oracle_sql() -> dict[str, str]:
         ("exclusive", "p_retailprice > 905 AND p_retailprice < 915"),
         ("halfopen", "p_retailprice >= 910"),
         ("params", "p_brand = 'Brand#13' AND p_retailprice BETWEEN 900 AND 910"))
-    o["and_or"] = _part_where(
-        "p_brand IN ('Brand#13','Brand#42') AND p_size BETWEEN 20 AND 40")
-    o["negation"] = _part_where(
-        "p_brand <> 'Brand#13' AND p_retailprice BETWEEN 900 AND 905")
+    o["bool_algebra"] = _part_union(
+        ("and_or", "p_brand IN ('Brand#13','Brand#42')"
+                   " AND p_size BETWEEN 20 AND 40"),
+        ("negation", "p_brand <> 'Brand#13'"
+                     " AND p_retailprice BETWEEN 900 AND 905"))
 
     W = "[^a-z0-9]"
     # verbatim matches only the literal token; the stemmed twin of the
@@ -1867,10 +1965,10 @@ def oracle_sql() -> dict[str, str]:
         " UNION ALL SELECT CAST(doc_id AS VARCHAR), source, 'verbatim'"
         f" FROM documents WHERE regexp_matches(text, '(^|{W})table({W}|$)')"
         " UNION ALL SELECT CAST(doc_id AS VARCHAR), source, 'stemmed'"
-        f" FROM documents WHERE regexp_matches(text, '(^|{W})tables?({W}|$)')")
-    o["text_field_group"] = (
-        "SELECT p_partkey, p_name FROM part WHERE "
-        f"regexp_matches(p_name, '(^|{W})(widget|bolt)({W}|$)')")
+        f" FROM documents WHERE regexp_matches(text, '(^|{W})tables?({W}|$)')"
+        " UNION ALL SELECT CAST(p_partkey AS VARCHAR), p_name, 'field_group'"
+        f" FROM part WHERE regexp_matches(p_name,"
+        f" '(^|{W})(widget|bolt)({W}|$)')")
     o["text_affixes"] = (
         "SELECT CAST(doc_id AS VARCHAR) AS k, source AS v, 'prefix' AS form"
         f" FROM documents WHERE regexp_matches(text, '(^|{W})win')"
@@ -2044,12 +2142,7 @@ def oracle_sql() -> dict[str, str]:
         " SELECT label, CAST(count(*) AS DOUBLE) AS n,"
         " ROUND(min(dist), 4) + 0.0 AS min_d FROM top GROUP BY label")
 
-    o["stream_windowed_counts"] = (
-        "SELECT CAST(epoch(date_trunc('hour', ts)) AS DOUBLE) AS wstart,"
-        " event_type, CAST(count(*) AS DOUBLE) AS n,"
-        " ROUND(sum(value), 2) + 0.0 AS sum_v"
-        " FROM events GROUP BY 1, 2")
-    o["stream_session_windows"] = (
+    o["stream_windows"] = (
         "WITH lagd AS (SELECT event_type, ts,"
         "  CASE WHEN lag(ts) OVER w IS NULL"
         "   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk"
@@ -2057,10 +2150,85 @@ def oracle_sql() -> dict[str, str]:
         " sess AS (SELECT event_type, ts,"
         "  sum(brk) OVER (PARTITION BY event_type ORDER BY ts"
         "   ROWS UNBOUNDED PRECEDING) AS sid FROM lagd)"
-        " SELECT ROUND(CAST(epoch(min(ts)) AS DOUBLE), 0) + 0.0 AS sstart,"
-        " ROUND(CAST(epoch(max(ts)) + 1800 AS DOUBLE), 0) + 0.0 AS send,"
-        " event_type, CAST(count(*) AS DOUBLE) AS n"
+        " SELECT CAST(epoch(date_trunc('hour', ts)) AS DOUBLE) AS a,"
+        " ROUND(sum(value), 2) + 0.0 AS b,"
+        " event_type, CAST(count(*) AS DOUBLE) AS n, 'window' AS form"
+        " FROM events GROUP BY 1, 3"
+        " UNION ALL"
+        " SELECT ROUND(CAST(epoch(min(ts)) AS DOUBLE), 0) + 0.0 AS a,"
+        " ROUND(CAST(epoch(max(ts)) + 1800 AS DOUBLE), 0) + 0.0 AS b,"
+        " event_type, CAST(count(*) AS DOUBLE) AS n, 'session' AS form"
         " FROM sess GROUP BY event_type, sid")
+
+    # DuckDB's NATIVE ASOF JOIN (only the matched timestamp is compared
+    # — deterministic under right-side ties in both engines)
+    _asof_leg = (
+        " SELECT l.event_id, {expr} AS r_epoch, '{form}' AS form"
+        " FROM l ASOF LEFT JOIN r"
+        "   ON l.user_id = r.user_id AND l.ts {op} r.ts")
+    o["temporal_asof"] = (
+        "WITH l AS (SELECT event_id, ts, user_id FROM events"
+        "           WHERE event_type = 'purchase'),"
+        "     r AS (SELECT ts, user_id FROM events"
+        "           WHERE event_type = 'signup')"
+        + " UNION ALL ".join((
+            _asof_leg.format(form="backward", op=">=",
+                             expr="CAST(epoch(r.ts) AS DOUBLE)"),
+            _asof_leg.format(form="forward", op="<=",
+                             expr="CAST(epoch(r.ts) AS DOUBLE)"),
+            _asof_leg.format(
+                form="tolerance", op=">=",
+                expr="CASE WHEN r.ts >= l.ts - INTERVAL 30 MINUTE"
+                     " THEN CAST(epoch(r.ts) AS DOUBLE) END"))))
+    o["events_sessionize"] = (
+        "WITH lagd AS ("
+        "  SELECT event_id, user_id, ts,"
+        "    epoch(ts) - epoch(lag(ts) OVER"
+        "      (PARTITION BY user_id ORDER BY ts, event_id)) AS d"
+        "  FROM events),"
+        " seq AS ("
+        "  SELECT event_id, user_id, ts,"
+        "    sum(CASE WHEN d IS NULL OR d > 1800 THEN 1 ELSE 0 END)"
+        "      OVER (PARTITION BY user_id ORDER BY ts, event_id"
+        "            ROWS UNBOUNDED PRECEDING) AS session_seq"
+        "  FROM lagd)"
+        " SELECT event_id, CAST(session_seq AS BIGINT) AS session_seq,"
+        "  ROUND(min(epoch(ts)) OVER"
+        "    (PARTITION BY user_id, session_seq), 0) + 0.0 AS sstart"
+        " FROM seq")
+    # 3 power iterations replayed as chained CTEs; same recurrence as
+    # operators/graph.pagerank: r' = (1-d)/M + d*(in-contrib + dangling/M)
+    _pr_iter = (
+        " r{i} AS (SELECT n.node,"
+        "   0.15/(SELECT c FROM m) + 0.85*(COALESCE(c.contrib, 0)"
+        "   + (SELECT COALESCE(sum(p.rank), 0) FROM r{p} p"
+        "      ANTI JOIN outw o ON p.node = o.src)/(SELECT c FROM m))"
+        "   AS rank"
+        "  FROM nodes n LEFT JOIN"
+        "   (SELECT e.dst AS node, sum(p.rank / o.w) AS contrib"
+        "    FROM edges e JOIN r{p} p ON p.node = e.src"
+        "    JOIN outw o ON o.src = e.src GROUP BY e.dst) c USING (node))")
+    o["graph_pagerank"] = (
+        "WITH nn AS (SELECT count(*) AS c FROM documents),"
+        " edges AS ("
+        "  SELECT doc_id AS src, (doc_id*7+3) % (SELECT c FROM nn) AS dst"
+        "  FROM documents WHERE doc_id % 3 <> 0"
+        "  UNION ALL"
+        "  SELECT doc_id, (doc_id*13+5) % (SELECT c FROM nn)"
+        "  FROM documents WHERE doc_id % 3 <> 0),"
+        " nodes AS (SELECT DISTINCT node FROM"
+        "  (SELECT src AS node FROM edges"
+        "   UNION ALL SELECT dst FROM edges)),"
+        " m AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM nodes),"
+        " outw AS (SELECT src, CAST(count(*) AS DOUBLE) AS w"
+        "  FROM edges GROUP BY src),"
+        " r0 AS (SELECT node, 1.0/(SELECT c FROM m) AS rank FROM nodes),"
+        + _pr_iter.format(i=1, p=0) + ","
+        + _pr_iter.format(i=2, p=1) + ","
+        + _pr_iter.format(i=3, p=2) +
+        " SELECT CAST(node AS BIGINT) AS node,"
+        "  ROUND(rank * (SELECT c FROM nn), 6) + 0.0 AS rank_scaled"
+        " FROM r3")
 
     o["knn_metrics"] = " UNION ALL ".join(
         f"SELECT * FROM (SELECT CAST(vec_id AS BIGINT) AS vec_id,"
