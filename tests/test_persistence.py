@@ -117,3 +117,46 @@ def test_with_offsets_survives_roundtrip(spark, tmp_path):
     assert e2.catalog.get("noffp").field("p_name").with_offsets is False
     with pytest.raises(QuerySyntaxError, match="offsets"):
         e2.ft_search("noffp", '@p_name:"cold anvil"', count_only=True)
+
+
+def test_hnsw_artifact_round_trip(spark, tmp_path):
+    """Save/load re-attaches a segment-graph HNSW artifact by kind
+    (the RDB-save analogue for the reference's HNSW graph,
+    rdb_serialization.cc) — engine KNN results identical after load."""
+    import math
+
+    from valkey_search_spark import SearchEngine
+    from valkey_search_spark.catalog import NumericField, VectorField
+    from valkey_search_spark.operators.hnsw import HNSWIndex
+    from valkey_search_spark.sources.persistence import (
+        load_index_def, save_index_def,
+    )
+
+    qvec = [round(math.sin(i + 1), 6) for i in range(64)]
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    e = SearchEngine(spark)
+    e.ft_create("hsave", emb, [
+        VectorField("embedding", dim=64, metric="l2", algo="hnsw",
+                    m=6, ef_construction=40),
+        NumericField("label")], key_column="vec_id")
+    e.ft_build_ann("hsave", "embedding", str(tmp_path / "art"),
+                   algorithm="hnsw", max_segment_rows=120)
+    before = [(r["vec_id"], round(r["dist"], 6)) for r in
+              e.ft_search("hsave", "*=>[KNN 5 @embedding $v AS dist]",
+                          params={"v": qvec}, ann_ef=10 ** 6)
+              .orderBy("dist", "vec_id").collect()]
+
+    save_index_def(e.catalog.get("hsave"), str(tmp_path / "def.json"),
+                   doc_path=str(tmp_path / "docs"))
+    schema = load_index_def(spark, str(tmp_path / "def.json"))
+    assert isinstance(schema._ann["embedding"], HNSWIndex)
+    f = schema.field("embedding")
+    assert (f.algo, f.m, f.ef_construction) == ("hnsw", 6, 40)
+
+    e2 = SearchEngine(spark)
+    e2.catalog.create(schema)
+    after = [(r["vec_id"], round(r["dist"], 6)) for r in
+             e2.ft_search("hsave", "*=>[KNN 5 @embedding $v AS dist]",
+                          params={"v": qvec}, ann_ef=10 ** 6)
+             .orderBy("dist", "vec_id").collect()]
+    assert before == after

@@ -192,3 +192,45 @@ def test_span_dedup_plan_bounded_and_python_free(spark):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "__starts" not in ln and "__iv" not in ln, ln
+
+
+def test_hnsw_join_plan_one_python_node_and_bounded_topk(spark, tmp_path):
+    """knn_join_hnsw: exactly ONE cogroup Python node (the beam kernel);
+    the global top-k is group-limited BEFORE its exchange; the inline
+    predicate is JVM-evaluated in the graph scan (no extra Python node,
+    no Filter above the kernel)."""
+    from pyspark.sql import functions as F
+    from valkey_search_spark.operators.hnsw import HNSWIndex, knn_join_hnsw
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = HNSWIndex.build(emb, str(tmp_path / "h"), m=6, ef_construction=40,
+                          max_segment_rows=100, payload_cols=("label",))
+    q = emb.limit(20).select(F.col("vec_id").alias("qid"), "embedding")
+    plan = knn_join_hnsw(q, idx, k=3, ef=16, where="label >= 2") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FlatMapCoGroupsInPandas") == 1    # one beam kernel
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan                 # mask is JVM expr
+    assert "WindowGroupLimit" in plan                    # bounded top-k
+    assert "CartesianProduct" not in plan                # seg fan-out is a
+    assert "BroadcastNestedLoopJoin" in plan             # BROADCAST range
+
+
+def test_hnsw_build_is_single_shuffle(spark, tmp_path):
+    """The graph build plan is one hash exchange on __seg feeding
+    FlatMapGroupsInPandas — no extra shuffles, no driver collect of
+    corpus rows (n_segments given: zero count jobs)."""
+    from pyspark.sql import functions as F
+    from valkey_search_spark.operators.hnsw import HNSWIndex
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = HNSWIndex(spark, str(tmp_path / "h2"), "embedding", "vec_id",
+                    "l2", 6, 40, 4, 42)
+    work = emb.select("vec_id", "embedding") \
+        .where(F.col("embedding").isNotNull()) \
+        .withColumn("__seg", F.pmod(F.xxhash64(F.col("vec_id")),
+                                    F.lit(4)).cast("int"))
+    plan = idx._build_segments(work, gen=0)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert plan.count("Exchange") == 1

@@ -38,7 +38,8 @@ def _field_to_dict(f: FieldDef) -> dict:
                  with_suffixtrie=f.with_suffixtrie,
                  with_offsets=f.with_offsets)
     elif isinstance(f, VectorField):
-        d.update(dim=f.dim, metric=f.metric, algo=f.algo)
+        d.update(dim=f.dim, metric=f.metric, algo=f.algo,
+                 m=f.m, ef_construction=f.ef_construction)
     return d
 
 
@@ -63,10 +64,12 @@ def save_index_def(schema: IndexSchema, path: str, doc_path: str | None = None) 
         "fields": [_field_to_dict(f) for f in schema.fields],
         # ANN artifacts are already durable parquet+meta at their build
         # paths (the reference's RDB saves its HNSW graph,
-        # rdb_serialization.cc); the declaration records attr -> path so
-        # load re-attaches without a rebuild
-        "ann": {attr: ivf.path
-                for attr, ivf in getattr(schema, "_ann", {}).items()},
+        # rdb_serialization.cc); the declaration records attr ->
+        # (kind, path) so load re-attaches without a rebuild
+        "ann": {attr: {"path": art.path,
+                       "kind": ("hnsw" if hasattr(art, "n_segments")
+                                else "ivf")}
+                for attr, art in getattr(schema, "_ann", {}).items()},
     }
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as fh:
@@ -93,7 +96,14 @@ def load_index_def(spark: SparkSession, path: str,
     ann = payload.get("ann") or {}
     if ann:
         from ..operators.ann import IVFIndex
+        from ..operators.hnsw import HNSWIndex
 
-        schema._ann = {attr: IVFIndex.load(spark, p)
-                       for attr, p in ann.items()}
+        def _load_art(entry):
+            # pre-round-7 declarations stored a bare path (always IVF)
+            if isinstance(entry, str):
+                return IVFIndex.load(spark, entry)
+            loader = HNSWIndex if entry.get("kind") == "hnsw" else IVFIndex
+            return loader.load(spark, entry["path"])
+
+        schema._ann = {attr: _load_art(e) for attr, e in ann.items()}
     return schema
