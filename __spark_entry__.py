@@ -697,22 +697,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_minhash_lsh"] = q_minhash          # rows-only (hash-based)
 
-    def q_simhash(spark, sf_dir):
-        # md5-derived 60-bit codes: bit-identical in standard SQL, so the
-        # driver's DuckDB oracle verifies the WHOLE simhash pipeline
+    def q_simhash_cosine(spark, sf_dir):
+        # round-7 slot consolidation: the two banded-verify pair
+        # generators share one union row on (a, b, score, form).
+        # simhash leg: md5-derived 60-bit codes are bit-identical in
+        # standard SQL, so the oracle verifies the WHOLE pipeline
         # value-for-value (the xxhash64 default stays pinned by the
-        # exact-Hamming numpy golden in tests/test_simhash.py)
+        # exact-Hamming numpy golden in tests/test_simhash.py); score =
+        # Hamming distance. cosine leg: exact pair cosine, score = the
+        # 6-decimal-rounded similarity the threshold applies to.
         docs = load_table(spark, sf_dir, "documents")
-        return dd.simhash_pairs(docs, "doc_id", max_hamming=6,
-                                hash_fn="md5")
-
-    q["dedup_simhash"] = q_simhash
-
-    def q_emb_pairs(spark, sf_dir):
         emb = load_table(spark, sf_dir, "embeddings")
-        return dd.embedding_cosine_pairs(emb, "vec_id", threshold=0.4)
+        sim = dd.simhash_pairs(docs, "doc_id", max_hamming=6,
+                               hash_fn="md5").select(
+            "a", "b", F.col("hamming").cast("double").alias("score"),
+            F.lit("simhash").alias("form"))
+        cos = dd.embedding_cosine_pairs(emb, "vec_id",
+                                        threshold=0.4).select(
+            "a", "b", _r(F.col("cosine"), 6).alias("score"),
+            F.lit("cosine").alias("form"))
+        return sim.unionByName(cos)
 
-    q["dedup_embedding_cosine"] = q_emb_pairs
+    q["dedup_simhash_cosine"] = q_simhash_cosine
 
     # -- streaming operators (batch-mode parity; stream path in tests) --
     # round-7 slot consolidation: tumbling windows and session windows
@@ -805,6 +811,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          .alias("rank_scaled"))
 
     q["graph_pagerank"] = q_graph_pagerank
+
+    def q_search_maxsim(spark, sf_dir):
+        # late-interaction (ColBERT MaxSim) retrieval over multi-vector
+        # bags built from the real embeddings table: docs = one token
+        # bag per label, queries = one bag per vec_id%8 — the oracle
+        # replays score = sum_q max_d dot as unnest + cross join SQL
+        from valkey_search_spark.operators.late_interaction import (
+            maxsim_join,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        docs = (emb.groupBy(F.col("label").alias("did"))
+                .agg(F.sort_array(F.collect_list(
+                    F.struct("vec_id", "embedding"))).alias("s"))
+                .select("did", F.col("s.embedding").alias("vecs")))
+        queries = (emb.where(F.col("vec_id") < 40)
+                   .groupBy((F.col("vec_id") % 8).alias("qid"))
+                   .agg(F.sort_array(F.collect_list(
+                       F.struct("vec_id", "embedding"))).alias("s"))
+                   .select("qid", F.col("s.embedding").alias("vecs")))
+        out = maxsim_join(queries, docs, k=3, doc_key="did")
+        return out.select(F.col("qid").cast("long").alias("qid"),
+                          F.col("did").cast("long").alias("did"),
+                          _r(F.col("score")).alias("score"),
+                          F.col("rank").cast("int").alias("rank"))
+
+    q["search_maxsim"] = q_search_maxsim
 
     # -- LLM-pipeline: composed curation (SQL-expressible stages) -------
     def q_curation(spark, sf_dir):
@@ -1245,6 +1278,23 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = load_table(spark, sf_dir, "documents")
         return bm25_rank(docs, ["merge", "window", "sort"],
                          top_k=100).select("doc_id", "bm25_score")
+
+    def b_emb_cosine(spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        return dd.embedding_cosine_pairs(emb, "vec_id", threshold=0.4)
+
+    def b_maxsim(spark, sf_dir):
+        from valkey_search_spark.operators.late_interaction import (
+            maxsim_join,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        docs = (emb.groupBy(F.col("label").alias("did"))
+                .agg(F.collect_list("embedding").alias("vecs")))
+        queries = (emb.where(F.col("vec_id") < 400)
+                   .groupBy((F.col("vec_id") % 80).alias("qid"))
+                   .agg(F.collect_list("embedding").alias("vecs")))
+        return maxsim_join(queries, docs, k=3, doc_key="did")
 
     def b_and_or(spark, sf_dir):
         return _search(
@@ -1892,6 +1942,8 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "and_or": b_and_or,
         "negation": b_negation,
         "stream_windowed_counts": b_stream_windowed,
+        "dedup_embedding_cosine": b_emb_cosine,
+        "search_maxsim_wide": b_maxsim,
         "hygiene_line_dedup": b_line_dedup,
         "hygiene_gopher": b_gopher,
         "hygiene_gopher_repetition": b_gopher_rep,
@@ -2283,11 +2335,7 @@ def oracle_sql() -> dict[str, str]:
         " FROM shared JOIN sizes sa ON sa.doc_id = a"
         " JOIN sizes sb ON sb.doc_id = b"
         " WHERE ROUND(CAST(inter AS DOUBLE)/(sa.n + sb.n - inter), 6) >= 0.3")
-    o["dedup_embedding_cosine"] = (
-        "SELECT a.vec_id AS a, b.vec_id AS b,"
-        f" ROUND(list_cosine_similarity(a.{_EMB_D}, b.{_EMB_D}), 6) AS cosine"
-        " FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id"
-        f" WHERE ROUND(list_cosine_similarity(a.{_EMB_D}, b.{_EMB_D}), 6) >= 0.4")
+
     # dedup_minhash_lsh's VERIFY step computes exact Jaccard over hashed
     # shingle sets (== string-shingle Jaccard up to 64-bit collisions), so
     # the exact-Jaccard SQL is a valid oracle whenever banding recall is
@@ -2301,7 +2349,7 @@ def oracle_sql() -> dict[str, str]:
     # a 60-bit int; code bit b set iff strictly more than half the token
     # hashes have bit b; pairs at Hamming <= 6 (banding is recall-total
     # by the pigeonhole guarantee, so candidates == all-pairs here)
-    o["dedup_simhash"] = (
+    o["dedup_simhash_cosine"] = (
         "WITH hs AS (SELECT doc_id, list_transform(string_split(text,' '),"
         " s -> CAST(('0x' || left(md5(s),15)) AS BIGINT)) AS h"
         " FROM documents),"
@@ -2311,9 +2359,31 @@ def oracle_sql() -> dict[str, str]:
         " THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS code"
         " FROM hs WHERE len(h) > 0)"
         " SELECT l.doc_id AS a, r.doc_id AS b,"
-        " CAST(bit_count(xor(l.code, r.code)) AS INT) AS hamming"
+        " CAST(bit_count(xor(l.code, r.code)) AS DOUBLE) AS score,"
+        " 'simhash' AS form"
         " FROM codes l JOIN codes r ON l.doc_id < r.doc_id"
-        " WHERE bit_count(xor(l.code, r.code)) <= 6")
+        " WHERE bit_count(xor(l.code, r.code)) <= 6"
+        " UNION ALL"
+        " SELECT a.vec_id AS a, b.vec_id AS b,"
+        f" ROUND(list_cosine_similarity(a.{_EMB_D}, b.{_EMB_D}), 6) + 0.0"
+        " AS score, 'cosine' AS form"
+        " FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id"
+        f" WHERE ROUND(list_cosine_similarity(a.{_EMB_D}, b.{_EMB_D}), 6)"
+        " >= 0.4")
+    o["search_maxsim"] = (
+        "WITH qt AS (SELECT vec_id % 8 AS qid, vec_id AS qtok, embedding"
+        "            FROM embeddings WHERE vec_id < 40),"
+        " dt AS (SELECT label AS did, embedding FROM embeddings),"
+        " dots AS (SELECT qid, qtok, did,"
+        f"           max(list_inner_product(qt.{_EMB_D}, dt.{_EMB_D})) AS m"
+        "          FROM qt CROSS JOIN dt GROUP BY qid, qtok, did),"
+        " sc AS (SELECT qid, did, sum(m) AS s FROM dots GROUP BY qid, did),"
+        " ranked AS (SELECT qid, did, s,"
+        "             row_number() OVER (PARTITION BY qid"
+        "               ORDER BY s DESC, did) AS rank FROM sc)"
+        " SELECT CAST(qid AS BIGINT) AS qid, CAST(did AS BIGINT) AS did,"
+        "  ROUND(s, 4) + 0.0 AS score, CAST(rank AS INT) AS rank"
+        " FROM ranked WHERE rank <= 3")
     # real-decode multimodal row: means recomputed from the pixel
     # formula (see q_multimodal) — no decoding needed SQL-side; the meta
     # form pins the sniffed header geometry of the generated 4x4 BMPs

@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "hygiene_robots_gate",
     "hygiene_c4_lines",
     "knn_hnsw",
+    "search_maxsim_wide",
 ]
 
 

@@ -1,0 +1,173 @@
+"""Late-interaction (multi-vector) retrieval: MaxSim scoring.
+
+ColBERT-style scoring (Khattab & Zaharia, SIGIR 2020): query and
+document are each a BAG of token vectors; score(q, d) = sum over query
+tokens of the max dot product against any document token. The reference
+engine scores one vector per key (vector_base.h) — late interaction is
+the multi-vector extension a retrieval-training pipeline needs for
+hard-negative mining and reranking corpora.
+
+Scale shape (the ``knn_join`` broadcast recipe): the query side is the
+small one — ALL query token matrices are broadcast to executors as one
+concatenated numpy matrix + offsets; documents stream through
+``mapInPandas``, each Arrow batch scoring with ONE BLAS matmul per
+document (Q_all @ D.T, a (total_q_tokens x doc_tokens) block), a
+segment-max/sum per query, and a per-partition top-k heap so the
+shuffle carries <= |Q|*k rows per partition into the final
+(score, key) window — never |Q|x|C|.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+
+def _stack_query_tokens(queries: DataFrame, query_key: str,
+                        qvecs_col: str, metric: str):
+    """Collect the query token bags (the SMALL side, like knn_join's
+    corpus broadcast) into (keys, Q matrix, row offsets)."""
+    rows = (queries.select(query_key, qvecs_col)
+            .where(F.col(qvecs_col).isNotNull())
+            .where(F.size(F.col(qvecs_col)) > 0).collect())
+    keys, mats = [], []
+    for r in rows:
+        m = np.asarray([list(v) for v in r[qvecs_col]], dtype=np.float64)
+        if metric == "cosine":
+            n = np.linalg.norm(m, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            m = m / n
+        keys.append(r[query_key])
+        mats.append(m)
+    if not keys:
+        return [], np.zeros((0, 1)), np.zeros(1, dtype=np.int64)
+    offs = np.zeros(len(mats) + 1, dtype=np.int64)
+    np.cumsum([len(m) for m in mats], out=offs[1:])
+    return keys, np.vstack(mats), offs
+
+
+def maxsim_join(queries: DataFrame, docs: DataFrame, k: int = 10,
+                query_key: str = "qid", doc_key: str = "doc_id",
+                qvecs_col: str = "vecs", dvecs_col: str = "vecs",
+                metric: str = "ip") -> DataFrame:
+    """Top-k documents per query under MaxSim. ``metric``: "ip" (raw
+    dot, ColBERT's convention) or "cosine" (both token sets
+    L2-normalized first). Returns (query_key, doc_key, score, rank),
+    rank 1 = best, ties broken on doc key. Documents with empty/null
+    token bags never match; queries with empty bags return no rows."""
+    from pyspark.sql.window import Window
+
+    if metric not in ("ip", "cosine"):
+        raise ValueError(f"unknown metric {metric!r}")
+    qkeys, qmat, qoffs = _stack_query_tokens(
+        queries, query_key, qvecs_col, metric)
+    nq = len(qkeys)
+    kk = int(k)
+
+    qkey_field = queries.schema[query_key]
+    dkey_type = docs.schema[doc_key].dataType
+    out_schema = T.StructType([
+        qkey_field, T.StructField(doc_key, dkey_type),
+        T.StructField("score", T.DoubleType())])
+
+    corpus = (docs.select(doc_key, dvecs_col)
+              .where(F.col(dvecs_col).isNotNull())
+              .where(F.size(F.col(dvecs_col)) > 0))
+
+    def score_batches(batches):
+        # per-partition top-k heaps: (score, doc_key) min-heaps per query
+        heaps: list[list] = [[] for _ in range(nq)]
+        for pdf in batches:
+            for dkey, toks in zip(pdf[doc_key].to_numpy(),
+                                  pdf[dvecs_col].to_numpy()):
+                d = np.asarray([np.asarray(t, dtype=np.float64)
+                                for t in toks])
+                if metric == "cosine":
+                    n = np.linalg.norm(d, axis=1, keepdims=True)
+                    n[n == 0] = 1.0
+                    d = d / n
+                sims = qmat @ d.T                    # (Tq_total, t_d)
+                tokmax = sims.max(axis=1)
+                for i in range(nq):
+                    s = float(tokmax[qoffs[i]:qoffs[i + 1]].sum())
+                    h = heaps[i]
+                    if len(h) < kk:
+                        heapq.heappush(h, (s, dkey))
+                    elif s > h[0][0]:
+                        heapq.heapreplace(h, (s, dkey))
+        out_q, out_d, out_s = [], [], []
+        for i, h in enumerate(heaps):
+            for s, dkey in h:
+                out_q.append(qkeys[i])
+                out_d.append(dkey)
+                out_s.append(s)
+        yield pd.DataFrame({query_key: out_q, doc_key: out_d,
+                            "score": out_s},
+                           columns=[query_key, doc_key, "score"])
+
+    cand = corpus.mapInPandas(score_batches, out_schema)
+    w = Window.partitionBy(query_key).orderBy(
+        F.col("score").desc(), F.col(doc_key).asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= kk))
+
+
+def maxsim_score(queries: DataFrame, docs: DataFrame,
+                 pairs: DataFrame | None = None,
+                 query_key: str = "qid", doc_key: str = "doc_id",
+                 qvecs_col: str = "vecs", dvecs_col: str = "vecs",
+                 metric: str = "ip") -> DataFrame:
+    """MaxSim for EXPLICIT (query, doc) pairs — the reranking shape
+    (a first-stage retriever supplies candidates; late interaction
+    rescores them). ``pairs`` (query_key, doc_key) defaults to the full
+    cross product ONLY when omitted and both sides are DataFrames the
+    caller accepts crossing. One broadcast-queries join against the
+    candidate docs, all scoring in one Arrow pass; returns pairs +
+    score."""
+    if metric not in ("ip", "cosine"):
+        raise ValueError(f"unknown metric {metric!r}")
+    q = (queries.select(F.col(query_key), F.col(qvecs_col).alias("__qv"))
+         .where(F.col(qvecs_col).isNotNull()))
+    d = (docs.select(F.col(doc_key), F.col(dvecs_col).alias("__dv"))
+         .where(F.col(dvecs_col).isNotNull()))
+    if pairs is not None:
+        joined = (pairs.join(F.broadcast(q), query_key)
+                  .join(d, doc_key))
+    else:
+        joined = F.broadcast(q).crossJoin(d)
+
+    out_fields = [joined.schema[query_key], joined.schema[doc_key],
+                  T.StructField("score", T.DoubleType())]
+    out_schema = T.StructType(out_fields)
+    cols = [query_key, doc_key, "score"]
+
+    def score_batch(batches):
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame(columns=cols)
+                continue
+            scores = np.empty(len(pdf))
+            for i, (qtoks, dtoks) in enumerate(zip(pdf["__qv"], pdf["__dv"])):
+                qm = np.asarray([np.asarray(t, dtype=np.float64)
+                                 for t in qtoks])
+                dm = np.asarray([np.asarray(t, dtype=np.float64)
+                                 for t in dtoks])
+                if len(qm) == 0 or len(dm) == 0:
+                    scores[i] = float("nan")
+                    continue
+                if metric == "cosine":
+                    qn = np.linalg.norm(qm, axis=1, keepdims=True)
+                    qn[qn == 0] = 1.0
+                    dn = np.linalg.norm(dm, axis=1, keepdims=True)
+                    dn[dn == 0] = 1.0
+                    qm, dm = qm / qn, dm / dn
+                scores[i] = float((qm @ dm.T).max(axis=1).sum())
+            out = pdf[[query_key, doc_key]].copy()
+            out["score"] = scores
+            yield out[cols]
+
+    return joined.mapInPandas(score_batch, out_schema)
