@@ -1,0 +1,96 @@
+"""Structured-Streaming maintenance of the HNSW tier: a mutation
+stream applied via foreachBatch keeps the graph index live — the
+reference's keyspace-notification -> AddRecord/RemoveRecord loop
+(/root/reference/src/indexes/vector_base.cc:131+), restated as
+micro-batch appends + generation tombstones on immutable segments."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import Row, functions as F
+
+from valkey_search_spark.operators.hnsw import HNSWIndex
+
+
+@pytest.fixture()
+def base(spark, tmp_path):
+    rng = np.random.RandomState(3)
+    rows = [(int(i), [float(x) for x in rng.randn(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    idx = HNSWIndex.build(df, str(tmp_path / "idx"), metric="l2", m=6,
+                          ef_construction=40, max_segment_rows=30)
+    return idx, rows
+
+
+def test_stream_appends_and_deletes_apply_in_order(spark, tmp_path, base):
+    idx, rows = base
+    rng = np.random.RandomState(9)
+
+    mut_dir = tmp_path / "muts"
+    mut_dir.mkdir()
+    new_rows = [Row(vec_id=int(i), embedding=[float(x) for x in rng.randn(8)],
+                    __op="SET") for i in range(60, 80)]
+    dels = [Row(vec_id=int(i), embedding=[0.0] * 8, __op="DEL")
+            for i in (2, 3, 61)]        # 61: delete a row set in the SAME run
+    df = spark.createDataFrame(new_rows + dels)
+    df.write.mode("append").parquet(str(mut_dir))
+
+    def apply_batch(batch_df, epoch_id):
+        # SETs before DELs within a batch: a DEL's tombstone generation
+        # must exceed the generation of any same-batch insert it kills
+        sets = batch_df.where("__op = 'SET'").select("vec_id", "embedding")
+        if sets.count():
+            idx.append(sets)
+        dels_df = batch_df.where("__op = 'DEL'").select("vec_id")
+        if dels_df.count():
+            idx.delete(dels_df)
+
+    stream = spark.readStream.schema(df.schema).parquet(str(mut_dir))
+    q = (stream.writeStream.foreachBatch(apply_batch)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {r["vec_id"] for r in
+           idx.search([0.0] * 8, k=200, ef=10 ** 6).collect()}
+    assert got == set(range(80)) - {2, 3, 61}
+
+    # a second micro-batch re-inserting a deleted key must win (newer gen)
+    df2 = spark.createDataFrame(
+        [Row(vec_id=2, embedding=[0.0] * 8, __op="SET")])
+    df2.write.mode("append").parquet(str(mut_dir))
+    q = (spark.readStream.schema(df.schema).parquet(str(mut_dir))
+         .writeStream.foreachBatch(apply_batch)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    res = idx.search([0.0] * 8, k=1, ef=10 ** 6).collect()
+    assert res[0]["vec_id"] == 2 and res[0]["__score"] == 0.0
+
+    # reload from disk sees the same state (all mutations are durable)
+    re = HNSWIndex.load(spark, idx.path)
+    got = {r["vec_id"] for r in
+           re.search([0.0] * 8, k=200, ef=10 ** 6).collect()}
+    assert got == set(range(80)) - {3, 61}
+
+
+def test_compact_after_stream_restores_segment_sizing(spark, tmp_path,
+                                                      base):
+    idx, _ = base
+    rng = np.random.RandomState(11)
+    for i in range(3):                      # three tiny appends
+        df = spark.createDataFrame(
+            [(int(100 + 10 * i + j),
+              [float(x) for x in rng.randn(8)]) for j in range(10)],
+            "vec_id: long, embedding: array<float>")
+        idx.append(df)
+    idx.delete([0, 1])
+    assert idx.n_segments == 2 + 3
+    idx.compact(max_segment_rows=30)
+    assert idx.n_segments == 3              # ceil(88 / 30)
+    assert idx.gen == 0
+    got = {r["vec_id"] for r in
+           idx.search([0.0] * 8, k=200, ef=10 ** 6).collect()}
+    assert got == (set(range(2, 60)) | set(range(100, 130)))

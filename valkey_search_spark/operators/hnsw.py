@@ -284,6 +284,10 @@ class HNSWIndex:
         spark = df.sparkSession
         cols = [key_col, vec_col, *payload_cols]
         work = df.select(*cols).where(F.col(vec_col).isNotNull())
+        # FLOAT32 storage (vector_base.h data_type): also guards appends
+        # from writing a mixed-type parquet dataset (double vs float
+        # elements in one directory break the vectorized reader)
+        work = work.withColumn(vec_col, F.col(vec_col).cast("array<float>"))
         if metric == "cosine":
             norm = F.sqrt(F.aggregate(
                 F.col(vec_col), F.lit(0.0),
@@ -413,6 +417,8 @@ class HNSWIndex:
         self.gen += 1
         cols = [self.key_col, self.vec_col, *self.payload_cols]
         work = df.select(*cols).where(F.col(self.vec_col).isNotNull())
+        work = work.withColumn(self.vec_col,
+                               F.col(self.vec_col).cast("array<float>"))
         if self.metric == "cosine":
             norm = F.sqrt(F.aggregate(
                 F.col(self.vec_col), F.lit(0.0),
