@@ -386,6 +386,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #  3term/5term — k-slot shapes on the pure-JVM paths (the reference CI
     #            stresses 5-term proximity: proximity_5term_1combo_100k,
     #            .github/benchmark_configs/fts-benchmarks-arm.json)
+    #  and_numeric — combined text term + numeric range conjunction
+    #            (round-7 slot consolidation of the old text_and_numeric
+    #            row; same DOC_COLS shape, own hash-checked leg)
     q["text_proximity_multi"] = _union_search(
         DOC_COLS,
         ("2term", "docs", "batch stream", {"slop": 1, "inorder": True}),
@@ -393,8 +396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ("inorder", "docs", "window sort", {"inorder": True}),
         ("3term", "docs", "batch stream window",
          {"slop": 2, "inorder": True}),
-        ("5term", "docs", "batch stream window sort merge", {"slop": 10}))
-    q["text_and_numeric"] = _search("docs", "vector @n_chars:[300 +inf]", DOC_COLS)
+        ("5term", "docs", "batch stream window sort merge", {"slop": 10}),
+        ("and_numeric", "docs", "vector @n_chars:[300 +inf]", {}))
 
     def q_field_explosion(spark, sf_dir):
         # field-explosion workload shape (reference CI field_explosion_50k,
@@ -838,6 +841,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.col("rank").cast("int").alias("rank"))
 
     q["search_maxsim"] = q_search_maxsim
+
+    def q_quality_expectations(spark, sf_dir):
+        # pre-publish data-quality gate: the five constraint kinds in
+        # ONE aggregation pass, each check's (passed, observed) verdict
+        # replayed by the oracle as plain SQL aggregates
+        from valkey_search_spark.operators.expectations import (
+            Expect, check_expectations,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        out = check_expectations(docs, [
+            Expect("null_fraction", "text", max_null_fraction=0.0),
+            Expect("unique", "doc_id"),
+            Expect("bounds", "n_chars", lo=0, hi=10_000_000),
+            Expect("in_set", "lang",
+                   allowed=["en", "de", "fr", "es", "zh"]),
+            Expect("row_count", min_rows=1),
+        ])
+        return out.select("name", "passed",
+                          _r(F.col("observed"), 6).alias("observed"))
+
+    q["quality_expectations"] = q_quality_expectations
 
     # -- LLM-pipeline: composed curation (SQL-expressible stages) -------
     def q_curation(spark, sf_dir):
@@ -2082,7 +2107,10 @@ def oracle_sql() -> dict[str, str]:
         " UNION ALL SELECT doc_id, source, '5term' FROM toks WHERE"
         " len(list_filter(range(1, len(t)+1), i ->"
         " t[i] IN ('batch','stream','window','sort','merge')"
-        f" AND {_w5_conds})) > 0")
+        f" AND {_w5_conds})) > 0"
+        " UNION ALL SELECT doc_id, source, 'and_numeric' FROM documents"
+        f" WHERE regexp_matches(text, '(^|{W})vector({W}|$)')"
+        " AND n_chars >= 300")
     # fieldless search over the 50 sliced TEXT fields == the word appears
     # at raw token position <= 54 (field i covers tokens i+1..i+5,
     # i = 0..49); the sentinel lives in field0 for doc_id % 10 == 0
@@ -2094,8 +2122,6 @@ def oracle_sql() -> dict[str, str]:
         " p -> t[p]='merge')) > 0"
         " UNION ALL SELECT doc_id, 'sentinel' FROM documents"
         " WHERE doc_id % 10 = 0")
-    o["text_and_numeric"] = _doc_where(
-        f"regexp_matches(text, '(^|{W})vector({W}|$)') AND n_chars >= 300")
 
     o["agg_q1"] = (
         "SELECT l_returnflag, l_linestatus, CAST(count(*) AS DOUBLE) AS n,"
@@ -2370,6 +2396,27 @@ def oracle_sql() -> dict[str, str]:
         " FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id"
         f" WHERE ROUND(list_cosine_similarity(a.{_EMB_D}, b.{_EMB_D}), 6)"
         " >= 0.4")
+    o["quality_expectations"] = (
+        "WITH s AS (SELECT"
+        "  CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS DOUBLE)"
+        "    / count(*) AS nullfrac,"
+        "  CAST(count(doc_id) - count(DISTINCT doc_id) AS DOUBLE) AS dups,"
+        "  CAST(sum(CASE WHEN n_chars < 0 OR n_chars > 10000000"
+        "      THEN 1 ELSE 0 END) AS DOUBLE) AS oob,"
+        "  CAST(sum(CASE WHEN lang IS NOT NULL AND lang NOT IN"
+        "      ('en','de','fr','es','zh') THEN 1 ELSE 0 END) AS DOUBLE)"
+        "    AS outset,"
+        "  CAST(count(*) AS DOUBLE) AS n FROM documents)"
+        " SELECT 'null_fraction(text)' AS name, nullfrac <= 0.0 AS passed,"
+        "  ROUND(nullfrac, 6) + 0.0 AS observed FROM s"
+        " UNION ALL SELECT 'unique(doc_id)', dups = 0,"
+        "  ROUND(dups, 6) + 0.0 FROM s"
+        " UNION ALL SELECT 'bounds(n_chars)', oob = 0,"
+        "  ROUND(oob, 6) + 0.0 FROM s"
+        " UNION ALL SELECT 'in_set(lang)', outset = 0,"
+        "  ROUND(outset, 6) + 0.0 FROM s"
+        " UNION ALL SELECT 'row_count(*)', n >= 1, ROUND(n, 6) + 0.0"
+        " FROM s")
     o["search_maxsim"] = (
         "WITH qt AS (SELECT vec_id % 8 AS qid, vec_id AS qtok, embedding"
         "            FROM embeddings WHERE vec_id < 40),"
