@@ -197,9 +197,12 @@ def test_info_documented_field_set(spark):
     vinfo = e.ft_info("ix_vec")
     vattr = vinfo["attributes"][0]
     assert vattr["type"] == "VECTOR"
+    # HNSW algorithm reports its build params, like the reference's
+    # FT.INFO (m / ef_construction default to ft.create.md's 16 / 100)
     assert vattr["index"] == {"dimensions": 64, "distance_metric": "COSINE",
                               "data_type": "FLOAT32",
-                              "algorithm": {"name": "HNSW"}}
+                              "algorithm": {"name": "HNSW", "m": 16,
+                                            "ef_construction": 100}}
 
 
 def test_info_search_metrics(spark):
