@@ -450,14 +450,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "REDUCE COUNT 0 AS n REDUCE AVG 1 @o_totalprice AS avg_p",
         post=lambda df: df.select("o_orderpriority", "n",
                                   _r(F.col("avg_p"), 2).alias("avg_p")))
-    q["agg_sortby_max"] = _agg(
-        "li", "*",
-        "GROUPBY 1 @l_quantity REDUCE COUNT 0 AS n "
-        "SORTBY 4 @n DESC @l_quantity ASC MAX 5")
-    q["agg_limit_offset"] = _agg(
-        "li", "*",
-        "GROUPBY 1 @l_quantity REDUCE COUNT 0 AS n "
-        "SORTBY 2 @l_quantity ASC LIMIT 3 7")
+    # round-7 slot consolidation: SORTBY..MAX top-k and LIMIT off cnt
+    # paging (§2.5 rows 37-38) share one union row, each form
+    # hash-checked on its own leg
+    def q_agg_topk_paging(spark, sf_dir):
+        a = _agg("li", "*",
+                 "GROUPBY 1 @l_quantity REDUCE COUNT 0 AS n "
+                 "SORTBY 4 @n DESC @l_quantity ASC MAX 5")(spark, sf_dir)
+        b = _agg("li", "*",
+                 "GROUPBY 1 @l_quantity REDUCE COUNT 0 AS n "
+                 "SORTBY 2 @l_quantity ASC LIMIT 3 7")(spark, sf_dir)
+        return (a.withColumn("form", F.lit("sortby_max"))
+                .unionByName(b.withColumn("form", F.lit("limit_offset"))))
+
+    q["agg_topk_paging"] = q_agg_topk_paging
     # time-part APPLYs in one union row (round-6 slot consolidation of
     # agg_apply_time + agg_events_time): ymd form = year/month/dayofweek
     # over orders, hour form = hour over events (-1 pads)
@@ -863,6 +869,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           _r(F.col("observed"), 6).alias("observed"))
 
     q["quality_expectations"] = q_quality_expectations
+
+    def q_snapshot_diff(spark, sf_dir):
+        # per-row snapshot diff (added/removed/changed/unchanged + the
+        # changed column list) between two derived views of events —
+        # the oracle is the plain FULL OUTER JOIN replay
+        from valkey_search_spark.operators.diff import diff_tables
+
+        ev = load_table(spark, sf_dir, "events")
+        before = ev.where("event_id % 3 != 0").select(
+            "event_id", "user_id", "value")
+        after = ev.where("event_id % 5 != 0").select(
+            "event_id", "user_id",
+            F.when(F.col("event_id") % 7 == 0, F.col("value") + 1)
+            .otherwise(F.col("value")).alias("value"))
+        out = diff_tables(before, after, key="event_id")
+        return out.select(
+            "event_id", "verdict",
+            F.array_join(F.array_sort("changed_columns"), ",")
+            .alias("changed"))
+
+    q["snapshot_diff"] = q_snapshot_diff
 
     # -- LLM-pipeline: composed curation (SQL-expressible stages) -------
     def q_curation(spark, sf_dir):
@@ -2136,12 +2163,32 @@ def oracle_sql() -> dict[str, str]:
         "SELECT o_orderpriority, CAST(count(*) AS DOUBLE) AS n,"
         " ROUND(avg(o_totalprice), 2) + 0.0 AS avg_p"
         " FROM orders WHERE o_totalprice > 200000 GROUP BY o_orderpriority")
-    o["agg_sortby_max"] = (
-        "SELECT l_quantity, CAST(count(*) AS DOUBLE) AS n FROM lineitem"
-        " GROUP BY l_quantity ORDER BY n DESC, l_quantity ASC LIMIT 5")
-    o["agg_limit_offset"] = (
-        "SELECT l_quantity, CAST(count(*) AS DOUBLE) AS n FROM lineitem"
-        " GROUP BY l_quantity ORDER BY l_quantity ASC LIMIT 7 OFFSET 3")
+    o["agg_topk_paging"] = (
+        "SELECT *, 'sortby_max' AS form FROM ("
+        " SELECT l_quantity, CAST(count(*) AS DOUBLE) AS n FROM lineitem"
+        " GROUP BY l_quantity ORDER BY n DESC, l_quantity ASC LIMIT 5)"
+        " UNION ALL SELECT *, 'limit_offset' FROM ("
+        " SELECT l_quantity, CAST(count(*) AS DOUBLE) AS n FROM lineitem"
+        " GROUP BY l_quantity ORDER BY l_quantity ASC LIMIT 7 OFFSET 3)")
+    o["snapshot_diff"] = (
+        "WITH b AS (SELECT event_id, user_id, value FROM events"
+        "           WHERE event_id % 3 != 0),"
+        " a AS (SELECT event_id, user_id,"
+        "        CASE WHEN event_id % 7 = 0 THEN value + 1 ELSE value END"
+        "        AS value FROM events WHERE event_id % 5 != 0)"
+        " SELECT COALESCE(b.event_id, a.event_id) AS event_id,"
+        "  CASE WHEN b.event_id IS NULL THEN 'added'"
+        "       WHEN a.event_id IS NULL THEN 'removed'"
+        "       WHEN a.value IS DISTINCT FROM b.value"
+        "            OR a.user_id IS DISTINCT FROM b.user_id"
+        "       THEN 'changed' ELSE 'unchanged' END AS verdict,"
+        "  CASE WHEN b.event_id IS NULL OR a.event_id IS NULL THEN ''"
+        "       ELSE concat_ws(',',"
+        "        CASE WHEN a.user_id IS DISTINCT FROM b.user_id"
+        "             THEN 'user_id' END,"
+        "        CASE WHEN a.value IS DISTINCT FROM b.value"
+        "             THEN 'value' END) END AS changed"
+        " FROM b FULL OUTER JOIN a ON b.event_id = a.event_id")
     o["agg_apply_time"] = (
         "SELECT CAST(year(o_orderdate) AS DOUBLE) AS a,"
         " CAST(month(o_orderdate)-1 AS DOUBLE) AS b,"
