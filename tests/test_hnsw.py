@@ -322,3 +322,40 @@ def test_quantized_tier_recall_and_round_trip(spark, sf_dir, tmp_path):
     re.delete([quant[0]])
     after = [r["vec_id"] for r in re.search(qvec, k=10, ef=10 ** 6).collect()]
     assert quant[0] not in after
+
+
+def test_result_heap_ties_keep_smallest_keys(spark, tmp_path):
+    """Duplicate vectors tied exactly at the k boundary: the kept set
+    must be the smallest keys (distance asc, key asc) — the eviction
+    order of the bounded result heap, and what the brute-force oracle
+    returns."""
+    rows = [(int(i), [1.0, 1.0]) for i in range(5)]          # 5-way tie
+    rows += [(int(100 + i), [50.0 + i, 50.0]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    idx = HNSWIndex.build(df, str(tmp_path / "ties"), m=4,
+                          ef_construction=20, max_segment_rows=100)
+    got = [r["vec_id"] for r in idx.search([0.0, 0.0], k=3, ef=10 ** 6)
+           .orderBy("__score", "vec_id").collect()]
+    assert got == [0, 1, 2]
+
+
+def test_every_node_reachable_across_seeds():
+    """Build-time reachability repair: heuristic pruning may orphan a
+    node (out-edges only); the repair pass guarantees directed BFS from
+    the entry reaches every node, which the full-explore==exact
+    contract depends on."""
+    for seed in range(6):
+        rng = np.random.RandomState(seed)
+        centers = rng.randn(6, 8) * 6
+        vecs = np.vstack([centers[i % 6] + 0.05 * rng.randn(8)
+                          for i in range(300)])
+        levels, nbrs, entry, top = _build_graph(vecs, m=4, ef_c=20,
+                                                seed=seed, metric="l2")
+        seen, stack = {entry}, [entry]
+        while stack:
+            c = stack.pop()
+            for j in nbrs[c][0]:
+                if j not in seen:
+                    seen.add(j)
+                    stack.append(j)
+        assert len(seen) == len(vecs), f"seed {seed}: orphaned nodes"

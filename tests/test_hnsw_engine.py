@@ -126,3 +126,20 @@ def test_unknown_algorithm_rejected(eng, tmp_path):
     with pytest.raises(QuerySyntaxError):
         e.ft_build_ann("hemb", "embedding", str(tmp_path / "x"),
                        algorithm="faiss")
+
+
+def test_wrong_dial_for_artifact_kind_raises(eng):
+    e, _ = eng
+    with pytest.raises(QuerySyntaxError):
+        e.ft_search("hemb", "*=>[KNN 5 @embedding $v AS dist]",
+                    params={"v": QVEC}, ann_nprobe=4)
+
+
+def test_graph_payload_excludes_raw_columns(eng):
+    # the artifact persists only predicate-visible derived columns —
+    # raw source columns / the corpus text never duplicate into it
+    e, _ = eng
+    art = e.catalog.get("hemb")._ann["embedding"]
+    assert all(c.startswith(("_t_", "_n_", "_x_", "_s_", "_sp_", "__fm_"))
+               for c in art.payload_cols)
+    assert any(c == "_n_label" for c in art.payload_cols)

@@ -144,3 +144,26 @@ def test_bad_metric_rejected(spark, sf_dir):
     queries, docs = _frames(spark, sf_dir)
     with pytest.raises(ValueError):
         maxsim_join(queries, docs, metric="l2")
+
+
+def test_all_empty_query_bags_return_no_rows(spark):
+    queries = spark.createDataFrame(
+        [(1, []), (2, None)], "qid int, vecs array<array<float>>")
+    docs = spark.createDataFrame(
+        [(10, [[1.0, 0.0]])], "doc_id int, vecs array<array<float>>")
+    assert maxsim_join(queries, docs, k=3).collect() == []
+
+
+def test_score_ties_keep_smallest_doc_keys(spark):
+    # four docs with IDENTICAL score in one partition; k=3 must keep the
+    # three smallest keys (score desc, key asc) regardless of arrival
+    # order — the per-partition heap's eviction contract
+    queries = spark.createDataFrame(
+        [(1, [[1.0, 0.0]])], "qid int, vecs array<array<float>>")
+    docs = spark.createDataFrame(
+        [(40, [[1.0, 0.0]]), (30, [[1.0, 0.0]]),
+         (20, [[1.0, 0.0]]), (10, [[1.0, 0.0]])],
+        "doc_id int, vecs array<array<float>>").coalesce(1)
+    got = [(r["doc_id"], r["rank"]) for r in
+           maxsim_join(queries, docs, k=3).orderBy("rank").collect()]
+    assert got == [(10, 1), (20, 2), (30, 3)]

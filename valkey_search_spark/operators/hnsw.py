@@ -53,8 +53,6 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from ..functions.distance import normalize_query
-
 _META = "_hnsw_meta.json"
 _TOMBS = "_hnsw_tombstones"
 
@@ -202,6 +200,43 @@ def _build_graph(vecs: np.ndarray, m: int, ef_c: int, seed: int,
             eps = w
         if l > top:
             entry, top = i, l
+    # Reachability repair: heuristic pruning can leave a node with OUT
+    # edges but zero IN edges, making it unreachable from the entry and
+    # silently breaking the full-explore==exact contract. Directed BFS
+    # from the entry, then each unreachable node gets one in-edge from
+    # its nearest reachable node (cap overflow allowed for repair
+    # edges — hnswlib tolerates the same). Orphans are rare, so the
+    # per-orphan O(n) distance scan is negligible.
+    reach = bytearray(n)
+    reach[entry] = 1
+    stack = [entry]
+    while stack:
+        c = stack.pop()
+        for j in nbrs[c][0]:
+            if not reach[j]:
+                reach[j] = 1
+                stack.append(j)
+    if not all(reach):
+        reachable = np.flatnonzero(np.frombuffer(bytes(reach),
+                                                 dtype=np.uint8))
+        for i in range(n):
+            if reach[i]:
+                continue
+            ds = _kdist(vecs, reachable, vecs[i], metric, sq,
+                        sq[i] if sq is not None else None)
+            j = int(reachable[int(np.argmin(ds))])
+            nbrs[j][0].append(i)
+            # newly linked subtree becomes reachable
+            reach[i] = 1
+            stack = [i]
+            while stack:
+                c = stack.pop()
+                for t in nbrs[c][0]:
+                    if not reach[t]:
+                        reach[t] = 1
+                        stack.append(t)
+            reachable = np.flatnonzero(np.frombuffer(bytes(reach),
+                                                     dtype=np.uint8))
     return levels, nbrs, entry, top
 
 
@@ -238,7 +273,7 @@ def _search_graph(vecs, levels, nbrs, entry, top, q, k, ef, metric,
     wall = [(-epd, ep)]                        # unfiltered termination heap
     res: list[tuple[float, int]] = []          # allowed-only, capped at k
     if allowed is None or allowed[ep]:
-        res.append((-epd, ep))
+        res.append((-epd, -ep))
     while cand:
         d, c = heapq.heappop(cand)
         if len(wall) >= ef and d > -wall[0][0]:
@@ -257,10 +292,14 @@ def _search_graph(vecs, levels, nbrs, entry, top, q, k, ef, metric,
                 if len(wall) > ef:
                     heapq.heappop(wall)
                 if allowed is None or allowed[nn]:
-                    heapq.heappush(res, (-dd, nn))
+                    # (-dist, -node): on distance ties at the k boundary
+                    # the heap must evict the LARGEST node id so the
+                    # kept set matches the (distance asc, node asc)
+                    # output contract and the brute-force oracle
+                    heapq.heappush(res, (-dd, -nn))
                     if len(res) > k:
                         heapq.heappop(res)
-    out = sorted((-nd, nn) for nd, nn in res)
+    out = sorted((-nd, -nn) for nd, nn in res)
     if sq is not None and out:
         # traversal used the norm-expansion form (cancellation error
         # ~1e-8 near zero); re-emit the <= k results with the exact
@@ -285,6 +324,27 @@ def _graph_arrays(right: pd.DataFrame, vec_col: str):
     entry = int(np.lexsort((np.arange(len(levels)), -levels))[0])
     top = int(levels[entry]) if len(levels) else -1
     return vecs, levels, nbrs, entry, top
+
+
+def _prepare_vectors(df: DataFrame, vec_col: str, cols: list[str],
+                     metric: str) -> DataFrame:
+    """Shared build/append vector prep: null filter, FLOAT32 cast
+    (vector_base.h data_type — also guards appends from writing a
+    mixed-element-type parquet dataset, which breaks the vectorized
+    reader), and cosine ingest-normalization (zero vectors dropped,
+    vector_base.h:46)."""
+    work = df.select(*cols).where(F.col(vec_col).isNotNull())
+    work = work.withColumn(vec_col, F.col(vec_col).cast("array<float>"))
+    if metric == "cosine":
+        norm = F.sqrt(F.aggregate(
+            F.col(vec_col), F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x))
+        work = work.withColumn(
+            vec_col,
+            F.when(norm > 0, F.transform(
+                F.col(vec_col), lambda x: (x / norm).cast("float"))))
+        work = work.where(F.col(vec_col).isNotNull())
+    return work
 
 
 # ---------------------------------------------------------------------------
@@ -337,24 +397,19 @@ class HNSWIndex:
         see quantization error (recall pinned in tests, same contract
         as IVFIndex's int8 tier)."""
         spark = df.sparkSession
-        cols = [key_col, vec_col, *payload_cols]
-        work = df.select(*cols).where(F.col(vec_col).isNotNull())
-        # FLOAT32 storage (vector_base.h data_type): also guards appends
-        # from writing a mixed-type parquet dataset (double vs float
-        # elements in one directory break the vectorized reader)
-        work = work.withColumn(vec_col, F.col(vec_col).cast("array<float>"))
-        if metric == "cosine":
-            norm = F.sqrt(F.aggregate(
-                F.col(vec_col), F.lit(0.0),
-                lambda a, x: a + x.cast("double") * x))
-            work = work.withColumn(
-                vec_col,
-                F.when(norm > 0, F.transform(
-                    F.col(vec_col), lambda x: (x / norm).cast("float"))))
-            work = work.where(F.col(vec_col).isNotNull())
+        work = _prepare_vectors(df, vec_col,
+                                [key_col, vec_col, *payload_cols], metric)
         if n_segments is None:
             n = work.count()
+            if n == 0:
+                raise ValueError(
+                    "no indexable vectors (all null/zero) — an empty "
+                    "partitioned write would be unreadable later")
             n_segments = max(1, -(-n // max_segment_rows))
+        elif work.isEmpty():
+            raise ValueError(
+                "no indexable vectors (all null/zero) — an empty "
+                "partitioned write would be unreadable later")
         work = work.withColumn(
             "__seg", F.pmod(F.xxhash64(F.col(key_col)),
                             F.lit(n_segments)).cast("int"))
@@ -489,20 +544,9 @@ class HNSWIndex:
         (generation check). Size appended batches like build segments;
         frequent tiny appends -> many tiny graphs -> call compact()."""
         self.gen += 1
-        cols = [self.key_col, self.vec_col, *self.payload_cols]
-        work = df.select(*cols).where(F.col(self.vec_col).isNotNull())
-        work = work.withColumn(self.vec_col,
-                               F.col(self.vec_col).cast("array<float>"))
-        if self.metric == "cosine":
-            norm = F.sqrt(F.aggregate(
-                F.col(self.vec_col), F.lit(0.0),
-                lambda a, x: a + x.cast("double") * x))
-            work = (work.withColumn(
-                self.vec_col,
-                F.when(norm > 0, F.transform(
-                    F.col(self.vec_col),
-                    lambda x: (x / norm).cast("float"))))
-                .where(F.col(self.vec_col).isNotNull()))
+        work = _prepare_vectors(
+            df, self.vec_col,
+            [self.key_col, self.vec_col, *self.payload_cols], self.metric)
         base = self.n_segments
         work = work.withColumn(
             "__seg", (F.lit(base) + F.pmod(F.xxhash64(F.col(self.key_col)),
@@ -533,8 +577,11 @@ class HNSWIndex:
 
     def compact(self, max_segment_rows: int = 1_000_000) -> None:
         """Rebuild live rows into fresh right-sized segments and drop
-        tombstones. Crash-safe: build to a staging dir, then swap —
-        a crash before the final move leaves the old index readable.
+        tombstones. The rebuild happens in a staging dir, so a crash
+        BEFORE the swap leaves the live index untouched; the swap
+        itself is two local renames with a narrow window where the old
+        index sits at ``<path>.old`` (recover by moving it back —
+        same recovery contract as merge_parquet/IVFIndex.compact).
         Cosine rows are already ingest-normalized (idempotent)."""
         import shutil
 

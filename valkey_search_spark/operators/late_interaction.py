@@ -27,6 +27,20 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 
+class _RevKey:
+    """Inverts comparison so a MIN-heap of (score, _RevKey(key)) evicts
+    the LARGEST key among equal scores — matching the output contract
+    (score desc, key asc) at the top-k boundary."""
+
+    __slots__ = ("k",)
+
+    def __init__(self, k):
+        self.k = k
+
+    def __lt__(self, other):
+        return other.k < self.k
+
+
 def _stack_query_tokens(queries: DataFrame, query_key: str,
                         qvecs_col: str, metric: str):
     """Collect the query token bags (the SMALL side, like knn_join's
@@ -78,6 +92,14 @@ def maxsim_join(queries: DataFrame, docs: DataFrame, k: int = 10,
               .where(F.col(dvecs_col).isNotNull())
               .where(F.size(F.col(dvecs_col)) > 0))
 
+    if nq == 0:
+        # every query bag empty/null: no rows, not a shape error
+        cand = queries.sparkSession.createDataFrame([], out_schema)
+        w = Window.partitionBy(query_key).orderBy(
+            F.col("score").desc(), F.col(doc_key).asc())
+        return (cand.withColumn("rank", F.row_number().over(w))
+                    .where(F.col("rank") <= kk))
+
     def score_batches(batches):
         # per-partition top-k heaps: (score, doc_key) min-heaps per query
         heaps: list[list] = [[] for _ in range(nq)]
@@ -95,15 +117,20 @@ def maxsim_join(queries: DataFrame, docs: DataFrame, k: int = 10,
                 for i in range(nq):
                     s = float(tokmax[qoffs[i]:qoffs[i + 1]].sum())
                     h = heaps[i]
+                    # (score, _RevKey): score ties at the k boundary
+                    # keep the SMALLEST doc keys, deterministically
+                    # under any partition/batch order (the final
+                    # window sorts score desc, key asc)
+                    entry = (s, _RevKey(dkey))
                     if len(h) < kk:
-                        heapq.heappush(h, (s, dkey))
-                    elif s > h[0][0]:
-                        heapq.heapreplace(h, (s, dkey))
+                        heapq.heappush(h, entry)
+                    elif h[0] < entry:
+                        heapq.heapreplace(h, entry)
         out_q, out_d, out_s = [], [], []
         for i, h in enumerate(heaps):
-            for s, dkey in h:
+            for s, rk in h:
                 out_q.append(qkeys[i])
-                out_d.append(dkey)
+                out_d.append(rk.k)
                 out_s.append(s)
         yield pd.DataFrame({query_key: out_q, doc_key: out_d,
                             "score": out_s},

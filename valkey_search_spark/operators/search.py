@@ -175,8 +175,15 @@ class SearchEngine:
             from .hnsw import HNSWIndex
 
             vcol = vec_col(fdef.attr)
-            payload = tuple(c for c in df.columns
-                            if c not in (vcol, "__key"))
+            # payload = ONLY the predicate-visible derived index columns
+            # (tag arrays, numeric doubles, token/stem structs, field
+            # masks): inline filters compile against these, never raw
+            # source columns or other fields' vectors — persisting the
+            # whole frame would duplicate the corpus inside the artifact
+            payload = tuple(
+                c for c in df.columns
+                if c.startswith(("_t_", "_n_", "_x_", "_s_", "_sp_",
+                                 "__fm_")))
             build_kwargs.setdefault("m", fdef.m)
             build_kwargs.setdefault("ef_construction", fdef.ef_construction)
             art = HNSWIndex.build(df, path, vec_col=vcol,
@@ -517,6 +524,20 @@ class SearchEngine:
                 from .hnsw import HNSWIndex as _HNSWIndex
 
                 graph_art = isinstance(artifact, _HNSWIndex)
+            # a dial of the WRONG KIND for the built artifact must not
+            # silently fall through to the exact full scan (a latency
+            # cliff at scale); a dial with NO artifact still means
+            # exact, like the reference before backfill completes
+            if ann_nprobe is not None and graph_art:
+                raise QuerySyntaxError(
+                    "ann_nprobe applies to IVF artifacts; this field's "
+                    "artifact is an HNSW graph — use ann_ef (or query "
+                    "EF_RUNTIME)")
+            if ann_ef is not None and artifact is not None                     and not graph_art:
+                raise QuerySyntaxError(
+                    "ann_ef applies to HNSW graph artifacts; this "
+                    "field's artifact is IVF — use ann_nprobe (or "
+                    "query EF_RUNTIME)")
 
         # ANN planner (the reference's pre-filter vs inline-filter choice,
         # planner.cc:21-46). Explicit dials (ann_nprobe / ann_ef /
