@@ -1348,6 +1348,21 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    .agg(F.collect_list("embedding").alias("vecs")))
         return maxsim_join(queries, docs, k=3, doc_key="did")
 
+    def b_mine_negatives(spark, sf_dir):
+        # contrastive-training data step: retrieve, drop labeled
+        # positives, margin-filter near-positives, keep k hardest
+        from valkey_search_spark.operators.negatives import (
+            mine_hard_negatives,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries = emb.where(F.col("vec_id") < 200).select(
+            F.col("vec_id").alias("qid"), "embedding")
+        corpus = emb.select(F.col("vec_id").alias("cid"), "embedding")
+        positives = queries.select("qid", F.col("qid").alias("cid"))
+        return mine_hard_negatives(queries, corpus, positives, k=10,
+                                   margin=0.05, metric="cosine")
+
     def b_and_or(spark, sf_dir):
         return _search(
             "parts",
@@ -1996,6 +2011,7 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_counts": b_stream_windowed,
         "dedup_embedding_cosine": b_emb_cosine,
         "search_maxsim_wide": b_maxsim,
+        "mine_negatives": b_mine_negatives,
         "hygiene_line_dedup": b_line_dedup,
         "hygiene_gopher": b_gopher,
         "hygiene_gopher_repetition": b_gopher_rep,

@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "hygiene_c4_lines",
     "knn_hnsw",
     "search_maxsim_wide",
+    "mine_negatives",
 ]
 
 
@@ -235,6 +236,23 @@ def main():
         curve_h.append({"ef": ef, "recall_at_10": rec, "batch_sec": sec})
         if rec >= 0.99:
             break
+    # the int8 storage tier at the same operating point (graph built on
+    # floats; only storage + search-time distances see int8 error)
+    from valkey_search_spark.operators.hnsw import HNSWIndex
+
+    hq_path = (f"/tmp/valkey_hnsw_q_"
+               f"{os.path.basename(sf_dir.rstrip('/'))}")
+    hq = HNSWIndex.build(spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+                         hq_path, metric="l2", m=8, ef_construction=60,
+                         max_segment_rows=512, quantize=True)
+    approx = knn_join_hnsw(qdf, hq, k=10, ef=48).select("qid", "vec_id")
+    t0 = time.perf_counter()
+    approx.count()
+    sec = round(time.perf_counter() - t0, 3)
+    hits = approx.join(exact, ["qid", "vec_id"]).count()
+    curve_h.append({"ef": 48, "tier": "int8",
+                    "recall_at_10": round(hits / max(n_exact, 1), 3),
+                    "batch_sec": sec})
     ann_recall_hnsw = {"m": hidx.m, "segments": hidx.n_segments,
                        "k": 10, "queries": 100, "curve": curve_h}
 
