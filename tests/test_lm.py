@@ -8,7 +8,7 @@ from collections import Counter
 import pytest
 from pyspark.sql import Row
 
-from valkey_search_spark.operators.lm import BigramLM, lm_perplexity
+from valkey_search_spark.operators.lm import BigramLM
 
 REF_TEXTS = ["the cat sat on the mat", "the dog sat on the rug",
              "a cat and a dog sat", "the cat and the dog"]
@@ -343,3 +343,30 @@ def test_bigram_lm_tables_are_persisted(spark):
     assert lm.bi.storageLevel.useMemory
     lm.unpersist()
     assert not lm.uni.storageLevel.useMemory
+
+
+def test_lm_save_load_score_parity(spark, sf_dir, tmp_path):
+    """Saved artifact scores identically to the trained model —
+    the KenLM-arpa-style reuse contract (train once, score anywhere)."""
+    from valkey_search_spark.operators.lm import BigramLM
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ref = docs.where("doc_id % 2 = 0")
+    held = docs.where("doc_id % 2 = 1").limit(50)
+    lm = BigramLM.train(ref, order=3)
+    lm.save(str(tmp_path / "lm"))
+    re = BigramLM.load(spark, str(tmp_path / "lm"))
+    assert (re.n_tokens, re.n_types, re.discount) == \
+        (lm.n_tokens, lm.n_types, lm.discount)
+    a = {r["doc_id"]: r["lm_perplexity"]
+         for r in lm.score(held).collect()}
+    b = {r["doc_id"]: r["lm_perplexity"]
+         for r in re.score(held).collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        if a[k] is None:
+            assert b[k] is None
+        else:
+            assert abs(a[k] - b[k]) < 1e-9
+    lm.unpersist()
+    re.unpersist()

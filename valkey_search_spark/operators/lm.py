@@ -126,6 +126,42 @@ class BigramLM:
             if t is not None:
                 t.unpersist()
 
+    def save(self, path: str) -> None:
+        """Persist the count tables (parquet) + scalars (json) so later
+        jobs score without re-aggregating the reference corpus — the
+        same artifact contract as the tokenizer/quality-model families
+        (an LM artifact is a KenLM .arpa's moral equivalent)."""
+        import json
+        import os
+
+        tables = {"uni": self.uni, "ctx": self.ctx, "bi": self.bi}
+        if self.tri is not None:
+            tables.update(tri=self.tri, tctx=self.tctx)
+        for name, df in tables.items():
+            df.write.mode("overwrite").parquet(os.path.join(path, name))
+        with open(os.path.join(path, "_lm_meta.json"), "w") as fh:
+            json.dump({"n_tokens": self.n_tokens, "n_types": self.n_types,
+                       "discount": self.discount,
+                       "order": 3 if self.tri is not None else 2}, fh)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "BigramLM":
+        import json
+        import os
+
+        with open(os.path.join(path, "_lm_meta.json")) as fh:
+            meta = json.load(fh)
+        rd = spark.read.parquet
+        tri = tctx = None
+        if meta["order"] == 3:
+            tri = rd(os.path.join(path, "tri")).persist()
+            tctx = rd(os.path.join(path, "tctx")).persist()
+        return cls(uni=rd(os.path.join(path, "uni")).persist(),
+                   ctx=rd(os.path.join(path, "ctx")).persist(),
+                   bi=rd(os.path.join(path, "bi")).persist(),
+                   n_tokens=meta["n_tokens"], n_types=meta["n_types"],
+                   discount=meta["discount"], tri=tri, tctx=tctx)
+
     def _p_uni(self, c_w):
         d, n, t = self.discount, self.n_tokens, self.n_types
         floor = (d * t / n) * (1.0 / (t + 1))
