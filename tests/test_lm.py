@@ -8,7 +8,7 @@ from collections import Counter
 import pytest
 from pyspark.sql import Row
 
-from valkey_search_spark.operators.lm import BigramLM
+from valkey_search_spark.operators.lm import BigramLM, lm_perplexity
 
 REF_TEXTS = ["the cat sat on the mat", "the dog sat on the rug",
              "a cat and a dog sat", "the cat and the dog"]

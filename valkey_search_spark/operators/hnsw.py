@@ -111,15 +111,18 @@ def _select_heuristic(vecs, q, cand, cap, metric, sq=None):
 
 
 def _search_layer(vecs, nbrs, lev, q, eps, ef, metric, sq=None, qq=None,
-                  visited=None):
+                  visited=None, stamp=1):
     """Beam search one layer. ``eps``: sorted [(dist, node)] seeds.
     Returns ascending [(dist, node)] of the ef best reached.
-    ``visited``: a zeroed bytearray(n) scratch (membership tests beat a
-    set on the hot path); freshly allocated when not supplied."""
+    ``visited``/``stamp``: a reusable bytearray(n) scratch with a
+    generation stamp — membership == (value == stamp), so the caller
+    resets it by bumping the stamp instead of an O(n) clear per call
+    (the clear would add O(n) traffic per insert per layer — O(n^2)
+    per segment build at the 1M-row segment dial)."""
     if visited is None:
         visited = bytearray(len(vecs))
     for _, n in eps:
-        visited[n] = 1
+        visited[n] = stamp
     cand = list(eps)
     heapq.heapify(cand)
     res = [(-d, n) for d, n in eps]
@@ -128,11 +131,11 @@ def _search_layer(vecs, nbrs, lev, q, eps, ef, metric, sq=None, qq=None,
         d, c = heapq.heappop(cand)
         if len(res) >= ef and d > -res[0][0]:
             break
-        neigh = [x for x in nbrs[c][lev] if not visited[x]]
+        neigh = [x for x in nbrs[c][lev] if visited[x] != stamp]
         if not neigh:
             continue
         for x in neigh:
-            visited[x] = 1
+            visited[x] = stamp
         ds = _kdist(vecs, np.asarray(neigh, dtype=np.int64), q, metric,
                     sq, qq)
         for dd, nn in zip(ds.tolist(), neigh):
@@ -161,7 +164,8 @@ def _build_graph(vecs: np.ndarray, m: int, ef_c: int, seed: int,
         return levels, nbrs, -1, -1
     sq = _sqnorms(vecs) if metric == "l2" else None
     entry, top = 0, int(levels[0])
-    visited = bytearray(n)                     # reused scratch
+    visited = bytearray(n)                     # reused stamped scratch
+    stamp = 0
     for i in range(1, n):
         q = vecs[i]
         qq = sq[i] if sq is not None else None
@@ -181,9 +185,12 @@ def _build_graph(vecs: np.ndarray, m: int, ef_c: int, seed: int,
                         ep, epd, improved = cand[j], float(ds[j]), True
         eps = [(epd, ep)]
         for lev in range(min(l, top), -1, -1):
-            visited[:] = bytes(n)
+            stamp += 1
+            if stamp == 256:                   # byte stamps wrap at 255
+                visited[:] = bytes(n)
+                stamp = 1
             w = _search_layer(vecs, nbrs, lev, q, eps, ef_c, metric,
-                              sq, qq, visited)
+                              sq, qq, visited, stamp)
             cap = m0 if lev == 0 else m
             for dj, j in _select_heuristic(vecs, q, w, m, metric, sq):
                 nbrs[i][lev].append(j)
@@ -267,6 +274,11 @@ def _search_graph(vecs, levels, nbrs, entry, top, q, k, ef, metric,
                 if ds[j] < epd:
                     ep, epd, improved = cand[j], float(ds[j]), True
     ef = max(ef, k)
+    # the bounded result heap selects on the (norm-expansion) traversal
+    # distances; float cancellation (~1e-8) could pick the wrong member
+    # at an exact-k boundary between NEAR-tied distinct vectors, so keep
+    # a small slack and re-cut on exact distances at emission
+    kres = k + 8
     visited = bytearray(len(vecs))
     visited[ep] = 1
     cand = [(epd, ep)]
@@ -292,23 +304,24 @@ def _search_graph(vecs, levels, nbrs, entry, top, q, k, ef, metric,
                 if len(wall) > ef:
                     heapq.heappop(wall)
                 if allowed is None or allowed[nn]:
-                    # (-dist, -node): on distance ties at the k boundary
-                    # the heap must evict the LARGEST node id so the
-                    # kept set matches the (distance asc, node asc)
-                    # output contract and the brute-force oracle
+                    # (-dist, -node): on distance ties at the k(+slack)
+                    # boundary the heap must evict the LARGEST node id
+                    # so the kept set matches the (distance asc, node
+                    # asc) output contract and the brute-force oracle
                     heapq.heappush(res, (-dd, -nn))
-                    if len(res) > k:
+                    if len(res) > kres:
                         heapq.heappop(res)
     out = sorted((-nd, -nn) for nd, nn in res)
     if sq is not None and out:
         # traversal used the norm-expansion form (cancellation error
-        # ~1e-8 near zero); re-emit the <= k results with the exact
+        # ~1e-8 near zero); re-emit the kept slack set with the exact
         # subtract-square distance so scores match brute force bitwise
+        # AND the final k-cut happens on exact values
         nodes = np.fromiter((nn for _, nn in out), dtype=np.int64)
         diff = vecs[nodes] - q
         exact = (diff * diff).sum(axis=1)
         out = sorted(zip(exact.tolist(), nodes.tolist()))
-    return out
+    return out[:k]
 
 
 def _graph_arrays(right: pd.DataFrame, vec_col: str):

@@ -20,7 +20,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from .ann import knn_join
-from ..functions.distance import distance_column
 
 
 def positive_distances(positives: DataFrame, queries: DataFrame,
@@ -31,7 +30,10 @@ def positive_distances(positives: DataFrame, queries: DataFrame,
     """(query_key, __pos_dist): each query's BEST (smallest) labeled
     positive distance — the margin rule's anchor. Pure JVM: join the
     two vector tables onto the (qid, cid) pairs, zip_with distance,
-    min per query."""
+    min per query. A zero-norm cosine vector yields a NULL distance
+    (undefined cosine) and simply doesn't anchor — F.min skips NULLs;
+    note ann.py's rerank block instead treats the norm as 1.0 (raw
+    dot) because there a score must always exist."""
     q = queries.select(F.col(query_key),
                        F.col(vec_col).alias("__qv"))
     c = corpus.select(F.col(corpus_key), F.col(vec_col).alias("__cv"))

@@ -533,7 +533,8 @@ class SearchEngine:
                     "ann_nprobe applies to IVF artifacts; this field's "
                     "artifact is an HNSW graph — use ann_ef (or query "
                     "EF_RUNTIME)")
-            if ann_ef is not None and artifact is not None                     and not graph_art:
+            if (ann_ef is not None and artifact is not None
+                    and not graph_art):
                 raise QuerySyntaxError(
                     "ann_ef applies to HNSW graph artifacts; this "
                     "field's artifact is IVF — use ann_nprobe (or "
