@@ -94,3 +94,41 @@ def test_compact_after_stream_restores_segment_sizing(spark, tmp_path,
     got = {r["vec_id"] for r in
            idx.search([0.0] * 8, k=200, ef=10 ** 6).collect()}
     assert got == (set(range(2, 60)) | set(range(100, 130)))
+
+
+def test_document_store_mirrors_into_hnsw_artifact(spark, tmp_path):
+    """DocumentStore.apply_mutations(ann_indexes=[hnsw]) — the
+    notification -> AddRecord/RemoveRecord loop against the GRAPH tier:
+    DEL keys tombstone out, SET rows upsert (replace-by-key), vectorless
+    SETs leave the index."""
+    from pyspark.sql import Row, functions as F
+    from valkey_search_spark.streaming.ingest import (OP_DEL, OP_SET,
+                                                      DocumentStore)
+
+    rng = np.random.RandomState(21)
+    docs = spark.createDataFrame(
+        [(str(i), [float(x) for x in rng.randn(8)]) for i in range(50)],
+        "__key: string, embedding: array<float>")
+    store = DocumentStore(spark, str(tmp_path / "docs"), num_buckets=4)
+    store.backfill(docs)
+    idx = HNSWIndex.build(docs, str(tmp_path / "idx"), key_col="__key",
+                          metric="l2", m=6, ef_construction=40,
+                          max_segment_rows=30)
+
+    moved = [0.0] * 8
+    muts = spark.createDataFrame([
+        Row(__key="3", embedding=moved, __op=OP_SET),      # replace
+        Row(__key="7", embedding=None, __op=OP_SET),       # unembedded
+        Row(__key="9", embedding=moved, __op=OP_DEL),      # delete
+        Row(__key="60", embedding=[9.0] * 8, __op=OP_SET),  # insert
+    ])
+    store.apply_mutations(muts, ann_indexes=[idx])
+
+    res = idx.search([0.0] * 8, k=100, ef=10 ** 6).collect()
+    got = {r["__key"] for r in res}
+    assert got == {str(i) for i in range(50) if i not in (7, 9)} | {"60"}
+    # the replaced row moved to the new vector: rank 1 at distance 0
+    best = idx.search(moved, k=1, ef=10 ** 6).collect()[0]
+    assert best["__key"] == "3" and best["__score"] == 0.0
+    # store and index agree on membership
+    assert store.read().where("__key = '9'").count() == 0

@@ -588,6 +588,15 @@ class HNSWIndex:
             .write.mode("append").parquet(self._tomb_path()))
         self._save_meta()
 
+    def upsert(self, df: DataFrame, n_new_segments: int = 1) -> None:
+        """Replace-by-key: tombstone the incoming keys, then append the
+        rows as new segments at a LATER generation (so the fresh rows
+        outlive their own tombstones) — the reference's AddRecord
+        replace path, and the contract DocumentStore's ann_indexes
+        mirror drives (streaming/ingest.py)."""
+        self.delete(df.select(self.key_col))
+        self.append(df, n_new_segments=n_new_segments)
+
     def compact(self, max_segment_rows: int = 1_000_000) -> None:
         """Rebuild live rows into fresh right-sized segments and drop
         tombstones. The rebuild happens in a staging dir, so a crash
