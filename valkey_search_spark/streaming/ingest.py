@@ -97,7 +97,9 @@ class DocumentStore:
         semi-join the CURRENT table to the touched buckets only -> merge ->
         dynamic-partition-overwrite those buckets.
 
-        ``ann_indexes``: IVFIndex artifacts to mirror the batch into —
+        ``ann_indexes``: ANN artifacts (IVFIndex or HNSWIndex — any
+        object with key_col/vec_col/delete/upsert) to mirror the batch
+        into —
         the reference's notification -> index AddRecord/RemoveRecord loop
         (vector_base.cc): DEL keys tombstone out, SET rows upsert
         (replace-by-key). Each index must be keyed on this store's key
