@@ -283,7 +283,7 @@ def _search_graph(vecs, levels, nbrs, entry, top, q, k, ef, metric,
     visited[ep] = 1
     cand = [(epd, ep)]
     wall = [(-epd, ep)]                        # unfiltered termination heap
-    res: list[tuple[float, int]] = []          # allowed-only, capped at k
+    res: list[tuple[float, int]] = []          # allowed-only, cap k+slack
     if allowed is None or allowed[ep]:
         res.append((-epd, -ep))
     while cand:
