@@ -359,3 +359,36 @@ def test_every_node_reachable_across_seeds():
                     seen.add(j)
                     stack.append(j)
         assert len(seen) == len(vecs), f"seed {seed}: orphaned nodes"
+
+
+def test_full_explore_exactness_property():
+    """Property: for ANY small vector set (random, clustered, or with
+    duplicates) and both metrics, full-explore beam == brute force,
+    including the (distance, node) tiebreak — the contract the
+    knn_hnsw driver row stands on, fuzzed beyond the fixed fixtures."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.integers(1, 120), st.integers(2, 6), st.integers(0, 10 ** 6),
+           st.sampled_from(["l2", "ip"]), st.booleans())
+    def check(n, dim, seed, metric, with_dups):
+        rng = np.random.RandomState(seed)
+        vecs = rng.randn(n, dim)
+        if with_dups and n >= 4:
+            vecs[n // 2] = vecs[0]             # exact duplicates
+            vecs[n // 2 + 1] = vecs[1]
+        levels, nbrs, entry, top = _build_graph(vecs, m=4, ef_c=16,
+                                                seed=seed, metric=metric)
+        q = rng.randn(dim)
+        k = min(5, n)
+        sq = (vecs * vecs).sum(axis=1) if metric == "l2" else None
+        got = [nn for _, nn in _search_graph(
+            vecs, levels, nbrs, entry, top, q, k, n + 10, metric, sq=sq)]
+        if metric == "l2":
+            d = ((vecs - q) ** 2).sum(1)
+        else:
+            d = 1.0 - vecs @ q
+        want = [nn for _, nn in sorted(zip(d.tolist(), range(n)))[:k]]
+        assert got == want, (n, dim, seed, metric, with_dups)
+
+    check()
