@@ -2703,14 +2703,21 @@ def oracle_sql() -> dict[str, str]:
         f"WITH t AS (SELECT source, lang, length(text) ch, {_prof_tok} tk,"
         " CASE WHEN length(text) > 0 THEN CAST(floor(log2(length(text)))"
         " AS INT) ELSE 0 END lb FROM documents)"
+        # CAST the sums: DuckDB sum(BIGINT) yields HUGEINT which
+        # surfaces as decimal128 through Arrow while Spark emits int64
+        # — identical values, divergent type-sensitive hash.
         " SELECT 'total' AS dimension, 'all' AS bucket, count(*) AS docs,"
-        " sum(ch) AS chars, sum(tk) AS tokens FROM t"
-        " UNION ALL SELECT 'source', source, count(*), sum(ch), sum(tk)"
+        " CAST(sum(ch) AS BIGINT) AS chars, CAST(sum(tk) AS BIGINT)"
+        " AS tokens FROM t"
+        " UNION ALL SELECT 'source', source, count(*),"
+        " CAST(sum(ch) AS BIGINT), CAST(sum(tk) AS BIGINT)"
         " FROM t GROUP BY source"
-        " UNION ALL SELECT 'lang', lang, count(*), sum(ch), sum(tk)"
+        " UNION ALL SELECT 'lang', lang, count(*),"
+        " CAST(sum(ch) AS BIGINT), CAST(sum(tk) AS BIGINT)"
         " FROM t GROUP BY lang"
         " UNION ALL SELECT 'len_log2', CAST(lb AS VARCHAR), count(*),"
-        " sum(ch), sum(tk) FROM t GROUP BY lb")
+        " CAST(sum(ch) AS BIGINT), CAST(sum(tk) AS BIGINT)"
+        " FROM t GROUP BY lb")
     # page synthesis is known (title 'doc <id>', body = the document
     # text, no links), so extraction fidelity and the cleaner's
     # identity on already-clean text are both value-checked

@@ -324,16 +324,24 @@ def main():
     }
 
     total = round(sum(times.values()), 3)
+    # the stdout line carries ONLY the machine-comparable core — the r6/r7
+    # artifacts overflowed the driver's stdout capture (parsed: null two
+    # rounds running) because the recall curves / ingest / concurrency
+    # sections rode the same line; those now live exclusively in
+    # bench_details.json, pointed to by details_file
+    details = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_details.json")
     result = {
-        # queries FIRST and 3-decimal rounding: the r6 artifact overflowed
-        # the driver's stdout capture and parsed as null — keep the line
-        # compact with the per-query dict at the front
         "queries": times,
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "sf": sf,
         "runs_per_query": 3,
+        "details_file": details,
+    }
+    full = dict(result)
+    full.update({
         "sentinel": sentinel,
         "ann_recall": ann_recall,
         "ann_recall_realistic": ann_recall_realistic,
@@ -344,15 +352,24 @@ def main():
         "concurrent": {"threads": n_threads, "queries": n_queries,
                        "sec": round(conc_sec, 3),
                        "qps": round(n_queries / max(conc_sec, 1e-9), 1)},
-    }
-    # full copy on disk for the judge / round-over-round tooling, in case
-    # a future run's stdout line is ever truncated again
-    details = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "bench_details.json")
+    })
     with open(details, "w") as fh:
-        json.dump(result, fh, indent=1)
-    # the ONLY stdout line
-    print(json.dumps(result, separators=(",", ":")))
+        json.dump(full, fh, indent=1)
+    # the ONLY stdout line. The driver's capture window is ~2.2 KB (the
+    # r7 artifact kept only the last 2231 bytes of a 3070-byte line and
+    # parsed null) — guard hard at 2000, shedding sections until it fits
+    line = json.dumps(result, separators=(",", ":"))
+    if len(line) > 2000:
+        result.pop("details_file", None)
+        line = json.dumps(result, separators=(",", ":"))
+    if len(line) > 2000:  # keep the queries map; shed precision first
+        result["queries"] = {k: round(v, 2) for k, v in times.items()}
+        line = json.dumps(result, separators=(",", ":"))
+    if len(line) > 2000:  # last resort: point at the details file
+        slim = {k: v for k, v in result.items() if k != "queries"}
+        slim["queries_in"] = details
+        line = json.dumps(slim, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

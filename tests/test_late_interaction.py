@@ -167,3 +167,57 @@ def test_score_ties_keep_smallest_doc_keys(spark):
     got = [(r["doc_id"], r["rank"]) for r in
            maxsim_join(queries, docs, k=3).orderBy("rank").collect()]
     assert got == [(10, 1), (20, 2), (30, 3)]
+
+
+def test_query_broadcast_size_guard_raises_before_collect(spark):
+    # 3 queries x 2 tokens x 2 dims x 8B = 96 bytes stacked; a 64-byte
+    # cap must raise with chunking guidance BEFORE any driver collect
+    queries = spark.createDataFrame(
+        [(i, [[1.0, 0.0], [0.0, 1.0]]) for i in range(3)],
+        "qid int, vecs array<array<float>>")
+    docs = spark.createDataFrame(
+        [(10, [[1.0, 0.0]])], "doc_id int, vecs array<array<float>>")
+    with pytest.raises(ValueError, match="max_broadcast_bytes"):
+        maxsim_join(queries, docs, k=3, max_broadcast_bytes=64)
+    # explicit opt-out still runs
+    rows = maxsim_join(queries, docs, k=3,
+                       max_broadcast_bytes=None).collect()
+    assert len(rows) == 3
+
+
+def test_ragged_query_bag_raises_with_key(spark):
+    queries = spark.createDataFrame(
+        [(7, [[1.0, 0.0], [0.5]])], "qid int, vecs array<array<float>>")
+    docs = spark.createDataFrame(
+        [(10, [[1.0, 0.0]])], "doc_id int, vecs array<array<float>>")
+    with pytest.raises(ValueError, match="ragged token bag.*query key 7"):
+        maxsim_join(queries, docs, k=3)
+
+
+def test_ragged_doc_bag_raises_with_key(spark):
+    from pyspark.errors.exceptions.captured import PythonException
+
+    queries = spark.createDataFrame(
+        [(1, [[1.0, 0.0]])], "qid int, vecs array<array<float>>")
+    docs = spark.createDataFrame(
+        [(99, [[1.0, 0.0], [0.5]])], "doc_id int, vecs array<array<float>>")
+    with pytest.raises(PythonException, match="ragged token bag.*doc key 99"):
+        maxsim_join(queries, docs, k=3).collect()
+
+
+def test_maxsim_score_empty_bag_scores_null_not_nan(spark):
+    # empty bags score NULL so a `score desc` rerank (default
+    # desc_nulls_last) puts them LAST — NaN would sort them FIRST
+    queries = spark.createDataFrame(
+        [(1, [[1.0, 0.0]])], "qid int, vecs array<array<float>>")
+    docs = spark.createDataFrame(
+        [(10, [[1.0, 0.0]]), (11, [])],
+        "doc_id int, vecs array<array<float>>")
+    pairs = spark.createDataFrame([(1, 10), (1, 11)], "qid int, doc_id int")
+    res = maxsim_score(queries, docs, pairs=pairs)
+    got = {r["doc_id"]: r["score"] for r in res.collect()}
+    assert got[10] == pytest.approx(1.0)
+    assert got[11] is None
+    ranked = [r["doc_id"] for r in
+              res.orderBy(F.col("score").desc()).collect()]
+    assert ranked == [10, 11]

@@ -41,16 +41,53 @@ class _RevKey:
         return other.k < self.k
 
 
+def _stack_bag(toks, key, side: str) -> np.ndarray:
+    """Stack one token bag into a (tokens, dim) float64 matrix.
+    ``np.stack`` (not ``np.asarray``) so a RAGGED bag — token vectors of
+    differing dims — raises a clear ValueError naming the offending key
+    instead of silently becoming an object array that fails deep inside
+    the executor matmul."""
+    try:
+        return np.stack([np.asarray(t, dtype=np.float64) for t in toks])
+    except ValueError as e:
+        raise ValueError(
+            f"ragged token bag for {side} key {key!r}: token vectors "
+            f"must all share one dimension ({e})") from None
+
+
 def _stack_query_tokens(queries: DataFrame, query_key: str,
-                        qvecs_col: str, metric: str):
+                        qvecs_col: str, metric: str,
+                        max_broadcast_bytes: int | None = 1 << 30):
     """Collect the query token bags (the SMALL side, like knn_join's
-    corpus broadcast) into (keys, Q matrix, row offsets)."""
-    rows = (queries.select(query_key, qvecs_col)
-            .where(F.col(qvecs_col).isNotNull())
-            .where(F.size(F.col(qvecs_col)) > 0).collect())
+    corpus broadcast) into (keys, Q matrix, row offsets).
+
+    SIZE-CHECKED with the same contract as ``knn_join``'s
+    ``max_broadcast_bytes`` (ann.py): a cheap aggregate estimates the
+    stacked matrix (total tokens x dim x 8 bytes) BEFORE any collect and
+    raises with guidance past the cap — token bags make auto-routing to
+    a bucketed plan ambiguous, so an explicit error beats a driver OOM.
+    Pass ``max_broadcast_bytes=None`` to skip the check for a query
+    frame known to fit."""
+    pruned = (queries.select(query_key, qvecs_col)
+              .where(F.col(qvecs_col).isNotNull())
+              .where(F.size(F.col(qvecs_col)) > 0))
+    if max_broadcast_bytes is not None:
+        probe = pruned.select(
+            F.sum(F.size(F.col(qvecs_col))).alias("toks"),
+            F.max(F.size(F.element_at(F.col(qvecs_col), 1))).alias("dim"),
+        ).first()
+        est = int(probe["toks"] or 0) * int(probe["dim"] or 0) * 8
+        if est > max_broadcast_bytes:
+            raise ValueError(
+                f"maxsim query side estimates {est} bytes stacked "
+                f"(> max_broadcast_bytes={max_broadcast_bytes}); the "
+                f"query bags are broadcast whole — shrink the query "
+                f"batch (chunk and union results), or pass "
+                f"max_broadcast_bytes=None if it is known to fit")
+    rows = pruned.collect()
     keys, mats = [], []
     for r in rows:
-        m = np.asarray([list(v) for v in r[qvecs_col]], dtype=np.float64)
+        m = _stack_bag(r[qvecs_col], r[query_key], "query")
         if metric == "cosine":
             n = np.linalg.norm(m, axis=1, keepdims=True)
             n[n == 0] = 1.0
@@ -67,18 +104,26 @@ def _stack_query_tokens(queries: DataFrame, query_key: str,
 def maxsim_join(queries: DataFrame, docs: DataFrame, k: int = 10,
                 query_key: str = "qid", doc_key: str = "doc_id",
                 qvecs_col: str = "vecs", dvecs_col: str = "vecs",
-                metric: str = "ip") -> DataFrame:
+                metric: str = "ip",
+                max_broadcast_bytes: int | None = 1 << 30) -> DataFrame:
     """Top-k documents per query under MaxSim. ``metric``: "ip" (raw
     dot, ColBERT's convention) or "cosine" (both token sets
     L2-normalized first). Returns (query_key, doc_key, score, rank),
-    rank 1 = best, ties broken on doc key. Documents with empty/null
-    token bags never match; queries with empty bags return no rows."""
+    rank 1 = best, ties broken on doc key.
+
+    Null handling: documents AND queries with empty/null token bags are
+    dropped up front (a query with no tokens has no MaxSim score by
+    definition — callers needing to attribute missing query groups
+    should pre-filter and count). The query side is size-checked before
+    collection (``max_broadcast_bytes``, same contract as ``knn_join``);
+    a too-large query frame raises with chunking guidance instead of
+    OOMing the driver."""
     from pyspark.sql.window import Window
 
     if metric not in ("ip", "cosine"):
         raise ValueError(f"unknown metric {metric!r}")
     qkeys, qmat, qoffs = _stack_query_tokens(
-        queries, query_key, qvecs_col, metric)
+        queries, query_key, qvecs_col, metric, max_broadcast_bytes)
     nq = len(qkeys)
     kk = int(k)
 
@@ -106,8 +151,7 @@ def maxsim_join(queries: DataFrame, docs: DataFrame, k: int = 10,
         for pdf in batches:
             for dkey, toks in zip(pdf[doc_key].to_numpy(),
                                   pdf[dvecs_col].to_numpy()):
-                d = np.asarray([np.asarray(t, dtype=np.float64)
-                                for t in toks])
+                d = _stack_bag(toks, dkey, "doc")
                 if metric == "cosine":
                     n = np.linalg.norm(d, axis=1, keepdims=True)
                     n[n == 0] = 1.0
@@ -154,7 +198,14 @@ def maxsim_score(queries: DataFrame, docs: DataFrame,
     cross product ONLY when omitted and both sides are DataFrames the
     caller accepts crossing. One broadcast-queries join against the
     candidate docs, all scoring in one Arrow pass; returns pairs +
-    score."""
+    score.
+
+    Empty-bag convention (matches ``maxsim_join``, which drops such
+    bags): a pair where either token bag is empty after null filtering
+    scores NULL — not NaN, which Spark orders ABOVE every real double
+    and would rank no-signal pairs first in the `score desc` rerank this
+    function exists for. NULL sorts last under the default
+    ``desc_nulls_last``."""
     if metric not in ("ip", "cosine"):
         raise ValueError(f"unknown metric {metric!r}")
     q = (queries.select(F.col(query_key), F.col(qvecs_col).alias("__qv"))
@@ -177,15 +228,14 @@ def maxsim_score(queries: DataFrame, docs: DataFrame,
             if pdf.empty:
                 yield pd.DataFrame(columns=cols)
                 continue
-            scores = np.empty(len(pdf))
+            scores: list[float | None] = [None] * len(pdf)
+            qkeys_b = pdf[query_key].to_numpy()
+            dkeys_b = pdf[doc_key].to_numpy()
             for i, (qtoks, dtoks) in enumerate(zip(pdf["__qv"], pdf["__dv"])):
-                qm = np.asarray([np.asarray(t, dtype=np.float64)
-                                 for t in qtoks])
-                dm = np.asarray([np.asarray(t, dtype=np.float64)
-                                 for t in dtoks])
-                if len(qm) == 0 or len(dm) == 0:
-                    scores[i] = float("nan")
-                    continue
+                if len(qtoks) == 0 or len(dtoks) == 0:
+                    continue  # NULL score: empty bag has no MaxSim
+                qm = _stack_bag(qtoks, qkeys_b[i], "query")
+                dm = _stack_bag(dtoks, dkeys_b[i], "doc")
                 if metric == "cosine":
                     qn = np.linalg.norm(qm, axis=1, keepdims=True)
                     qn[qn == 0] = 1.0
@@ -194,7 +244,8 @@ def maxsim_score(queries: DataFrame, docs: DataFrame,
                     qm, dm = qm / qn, dm / dn
                 scores[i] = float((qm @ dm.T).max(axis=1).sum())
             out = pdf[[query_key, doc_key]].copy()
-            out["score"] = scores
+            out["score"] = pd.Series(scores, index=out.index,
+                                     dtype="Float64")
             yield out[cols]
 
     return joined.mapInPandas(score_batch, out_schema)
