@@ -31,6 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.distance import distance_column
+from ..sources.swap import require_local_path, sibling_swap
 
 
 class IVFIndex:
@@ -104,6 +105,7 @@ class IVFIndex:
 
         # pure argument validation FIRST — failing after the KMeans fit
         # would waste an entire distributed clustering job
+        path = require_local_path(path, "IVFIndex artifacts")
         if quantize and pq_m:
             raise ValueError("quantize and pq_m are mutually exclusive")
         if pq_opq_iters and not pq_m:
@@ -192,6 +194,7 @@ class IVFIndex:
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "IVFIndex":
+        path = require_local_path(path, "IVFIndex artifacts")
         with open(os.path.join(path, "_ivf_meta.json")) as fh:
             meta = json.load(fh)
         pq = None
@@ -412,10 +415,7 @@ class IVFIndex:
                 "index or rebuild it from a fresh corpus instead")
         self.gen = 0
         self._save_meta(into=tmp)                  # tmp is self-contained
-        bak = self.path.rstrip("/") + ".old"
-        os.rename(self.path, bak)
-        os.rename(tmp, self.path)
-        shutil.rmtree(bak)
+        sibling_swap(self.path, tmp)
 
     def rebuild(self, source: DataFrame | None = None,
                 n_lists: int | None = None,
@@ -446,10 +446,7 @@ class IVFIndex:
             source, tmp, vec_col=self.vec_col, metric=self.metric,
             n_lists=n_lists or self.n_lists, key_col=self.key_col,
             **kwargs)
-        bak = self.path.rstrip("/") + ".old"
-        os.rename(self.path, bak)
-        os.rename(tmp, self.path)
-        shutil.rmtree(bak)
+        sibling_swap(self.path, tmp)
         self.centroids = fresh.centroids
         self.list_map = fresh.list_map
         self.quantized = fresh.quantized

@@ -39,6 +39,12 @@ shares the brute-force oracle — the property the driver row pins.
 
 Metrics follow vector_base.h:106-110: l2 -> euclidean, ip/cosine ->
 1 - dot (cosine vectors are normalized at ingest, queries here).
+
+Artifact paths must be LOCAL (or shared-POSIX) filesystem paths: the
+graph data is written via Spark, but the meta file, tombstone listing
+and compact()'s crash-safe sibling-swap use os.path/open/rename
+(sources/swap.py's contract) — scheme-qualified paths (hdfs://,
+s3a://) are rejected at build/load.
 """
 
 from __future__ import annotations
@@ -52,6 +58,8 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..sources.swap import require_local_path, sibling_swap
 
 _META = "_hnsw_meta.json"
 _TOMBS = "_hnsw_tombstones"
@@ -409,6 +417,7 @@ class HNSWIndex:
         quality is unchanged); only storage and search-time distances
         see quantization error (recall pinned in tests, same contract
         as IVFIndex's int8 tier)."""
+        path = require_local_path(path, "HNSWIndex artifacts")
         spark = df.sparkSession
         work = _prepare_vectors(df, vec_col,
                                 [key_col, vec_col, *payload_cols], metric)
@@ -497,6 +506,7 @@ class HNSWIndex:
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "HNSWIndex":
+        path = require_local_path(path, "HNSWIndex artifacts")
         with open(os.path.join(path, _META)) as fh:
             meta = json.load(fh)
         return cls(spark, path, meta["vec_col"], meta["key_col"],
@@ -616,10 +626,7 @@ class HNSWIndex:
             max_segment_rows=max_segment_rows,
             seed=self.seed, payload_cols=self.payload_cols,
             quantize=self.quantized)
-        old = self.path.rstrip("/") + ".old"
-        shutil.move(self.path, old)
-        shutil.move(staging, self.path)
-        shutil.rmtree(old)
+        sibling_swap(self.path, staging)
         self.n_segments = rebuilt.n_segments
         self.gen = 0
         self._save_meta()
@@ -656,6 +663,13 @@ def knn_join_hnsw(queries: DataFrame, index: HNSWIndex, k: int = 10,
     payload columns, evaluated JVM-side in the scan and honored
     IN-traversal (reference inline filtering); deleted rows are masked
     through the same path. Output: query_key, key_col, distance, rank.
+
+    Null handling: query rows with a null key OR null vector are
+    DROPPED up front (a null vector has no distance to anything; a null
+    key would make its results unattributable) — callers that need
+    every input query represented should pre-filter and count, same
+    convention as the documented corpus-side null handling in
+    ``HNSWIndex.build``.
     """
     from pyspark.sql.window import Window
 

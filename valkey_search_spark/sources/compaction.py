@@ -25,6 +25,8 @@ import shutil
 
 from pyspark.sql import SparkSession, functions as F
 
+from .swap import sibling_swap
+
 
 def parquet_file_stats(spark: SparkSession, path: str) -> dict:
     """(files, bytes, smallest, largest) from the listing only — no
@@ -98,11 +100,7 @@ def compact_parquet(spark: SparkSession, path: str,
         shutil.rmtree(tmp, ignore_errors=True)
         raise RuntimeError(
             f"compaction row mismatch: {rows_before} -> {rows_after}")
-    bak = path.rstrip("/") + ".old"
-    shutil.rmtree(bak, ignore_errors=True)
-    os.rename(path, bak)
-    os.rename(tmp, path)
-    shutil.rmtree(bak)
+    sibling_swap(path, tmp)
     after = parquet_file_stats(spark, path)
     return {**before, "compacted": True, "rows": rows_before,
             "files_after": after["files"],

@@ -38,6 +38,8 @@ import shutil
 
 from pyspark.sql import DataFrame, functions as F
 
+from .swap import sibling_swap
+
 
 def merge_parquet(spark, path: str, updates: DataFrame | None = None,
                   key: str = "doc_id", deletes: DataFrame | None = None,
@@ -157,10 +159,6 @@ def merge_parquet(spark, path: str, updates: DataFrame | None = None,
                 except OSError:
                     shutil.copy2(os.path.join(src, f),
                                  os.path.join(dst, f))
-    bak = path.rstrip("/") + ".old"
-    shutil.rmtree(bak, ignore_errors=True)
-    os.rename(path, bak)
-    os.rename(tmp, path)
-    shutil.rmtree(bak)
+    sibling_swap(path, tmp)
     total = spark.read.parquet(path).count()
     return {"rows": total, "upserts": n_up, "deletes_requested": n_del}
