@@ -253,6 +253,36 @@ def main():
     curve_h.append({"ef": 48, "tier": "int8",
                     "recall_at_10": round(hits / max(n_exact, 1), 3),
                     "batch_sec": sec})
+    # segment ROUTING (the 100 TB cost shape: r·beam per query instead
+    # of segments·beam): kmeans-partitioned index, unrouted vs a routed
+    # r-sweep at the same ef. NOTE the testdata embeddings are isotropic
+    # (intra-cluster spread ~1.0 vs inter-centroid ~0.1 — measured), the
+    # WORST case for spatial pruning: recall-at-fixed-r here is a floor,
+    # while the per-query cost cut (probed segments / total) is
+    # structural and holds on any distribution
+    hr_path = (f"/tmp/valkey_hnsw_r_"
+               f"{os.path.basename(sf_dir.rstrip('/'))}")
+    hr = HNSWIndex.build(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), hr_path,
+        metric="l2", m=8, ef_construction=60, max_segment_rows=256,
+        partitioner="kmeans")
+    n_cl = len(hr.seg_map)
+    for route in (None, max(1, n_cl // 4), max(1, n_cl // 2),
+                  max(1, (3 * n_cl) // 4)):
+        label = ("kmeans_unrouted" if route is None
+                 else f"kmeans_routed_r{route}")
+        approx = knn_join_hnsw(qdf, hr, k=10, ef=48,
+                               route_segments=route) \
+            .select("qid", "vec_id")
+        approx.count()                       # warm the routed plan once
+        t0 = time.perf_counter()
+        approx.count()
+        sec = round(time.perf_counter() - t0, 3)
+        hits = approx.join(exact, ["qid", "vec_id"]).count()
+        curve_h.append({"ef": 48, "tier": label,
+                        "segments": hr.n_segments, "clusters": n_cl,
+                        "recall_at_10": round(hits / max(n_exact, 1), 3),
+                        "batch_sec": sec})
     ann_recall_hnsw = {"m": hidx.m, "segments": hidx.n_segments,
                        "k": 10, "queries": 100, "curve": curve_h}
 

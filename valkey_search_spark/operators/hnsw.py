@@ -379,7 +379,9 @@ class HNSWIndex:
                  key_col: str, metric: str, m: int, ef_construction: int,
                  n_segments: int, seed: int,
                  payload_cols: tuple[str, ...] = (), gen: int = 0,
-                 quantized: bool = False):
+                 quantized: bool = False, partitioner: str = "hash",
+                 centroids: np.ndarray | None = None,
+                 seg_map: list[list[int]] | None = None):
         self.spark = spark
         self.path = path
         self.vec_col = vec_col
@@ -392,6 +394,22 @@ class HNSWIndex:
         self.payload_cols = tuple(payload_cols)
         self.gen = gen
         self.quantized = quantized
+        # partitioner="kmeans" makes segments spatially coherent
+        # (cluster -> segment, like IVF lists) so per-query routing can
+        # prune segments; "hash" segments all share the global mean, so
+        # they are never routable and every query beams every segment
+        self.partitioner = partitioner
+        self.centroids = centroids        # (n_clusters, dim) or None
+        self.seg_map = seg_map            # cluster -> [physical seg ids]
+
+    def routable_segments(self) -> set[int]:
+        """Physical segment ids coverable by centroid routing. Segments
+        added by ``append`` after the build (and every segment of a
+        hash-partitioned index) are NOT routable — search always probes
+        them; ``compact`` re-clusters and restores full routability."""
+        if self.seg_map is None:
+            return set()
+        return {s for ids in self.seg_map for s in ids}
 
     # -- build ----------------------------------------------------------
     @classmethod
@@ -401,14 +419,31 @@ class HNSWIndex:
               max_segment_rows: int = 1_000_000,
               n_segments: int | None = None, seed: int = 42,
               payload_cols: tuple[str, ...] = (),
-              quantize: bool = False) -> "HNSWIndex":
-        """One hash-partition pass + one graph build per segment.
+              quantize: bool = False, partitioner: str = "hash",
+              sample_fraction: float | None = None) -> "HNSWIndex":
+        """One partition pass + one graph build per segment.
 
         ``max_segment_rows`` is the scale dial: it caps the numpy graph
         one executor task holds (a 1M x d float64 matrix + adjacency),
         and segment count == build/search parallelism. ``payload_cols``
         are persisted next to the graph so inline filters can be
         evaluated in the segment scan without a join.
+
+        ``partitioner``: "hash" (default) splits rows by key hash —
+        segments are statistically identical, every query must beam
+        every segment, and per-query cost grows linearly with segment
+        count. "kmeans" clusters rows into spatially coherent segments
+        (one MLlib KMeans job, fit bounded by ``sample_fraction``; hot
+        clusters are hash-split under ``max_segment_rows`` exactly like
+        IVF's ``max_list_rows``) and persists per-cluster centroids, so
+        ``knn_join_hnsw(..., route_segments=r)`` can prune to the r
+        nearest segments per query — the SPANN/DiskANN clustered-shard
+        shape, and the piece that keeps ANN cost sublinear in corpus
+        size at 10^5 segments (the reference sidesteps this with one
+        giant in-memory graph per shard; a 100 TB Spark corpus cannot).
+        Routing changes NOTHING unless asked for: route_segments=None
+        still probes everything, so the full-explore exactness contract
+        is untouched.
 
         ``quantize=True`` stores the vector column as symmetric
         per-vector int8 (functions/quantize struct) — ~4x fewer scan
@@ -418,6 +453,8 @@ class HNSWIndex:
         see quantization error (recall pinned in tests, same contract
         as IVFIndex's int8 tier)."""
         path = require_local_path(path, "HNSWIndex artifacts")
+        if partitioner not in ("hash", "kmeans"):
+            raise ValueError(f"unknown partitioner {partitioner!r}")
         spark = df.sparkSession
         work = _prepare_vectors(df, vec_col,
                                 [key_col, vec_col, *payload_cols], metric)
@@ -432,13 +469,22 @@ class HNSWIndex:
             raise ValueError(
                 "no indexable vectors (all null/zero) — an empty "
                 "partitioned write would be unreadable later")
-        work = work.withColumn(
-            "__seg", F.pmod(F.xxhash64(F.col(key_col)),
-                            F.lit(n_segments)).cast("int"))
+        centroids, seg_map = None, None
+        if partitioner == "kmeans" and n_segments > 1:
+            work, centroids, seg_map, n_segments = cls._kmeans_assign(
+                work, vec_col, n_segments, seed, max_segment_rows,
+                sample_fraction)
+        else:
+            if partitioner == "kmeans":      # one segment: nothing to route
+                partitioner = "hash"
+            work = work.withColumn(
+                "__seg", F.pmod(F.xxhash64(F.col(key_col)),
+                                F.lit(n_segments)).cast("int"))
         index = cls(spark, path, vec_col, key_col, metric, m,
                     ef_construction, n_segments, seed,
                     payload_cols=tuple(payload_cols), gen=0,
-                    quantized=quantize)
+                    quantized=quantize, partitioner=partitioner,
+                    centroids=centroids, seg_map=seg_map)
         graph = index._build_segments(work, gen=0)
         if quantize:
             from ..functions.quantize import quantize_vector_expr
@@ -448,6 +494,54 @@ class HNSWIndex:
         graph.write.mode("overwrite").partitionBy("__seg").parquet(path)
         index._save_meta()
         return index
+
+    @staticmethod
+    def _kmeans_assign(work: DataFrame, vec_col: str, n_segments: int,
+                       seed: int, max_segment_rows: int,
+                       sample_fraction: float | None):
+        """Cluster rows into spatially coherent segments (the IVF list
+        recipe, ann.py): one KMeans fit (sample-bounded), assignment of
+        every row, and a deterministic hash-split of clusters whose
+        (summary-estimated) size exceeds ``max_segment_rows`` — targeting
+        ~75% fill so hash fluctuation stays under the numpy-graph memory
+        cap. Returns (assigned work, centroid matrix, cluster->physical
+        seg ids, total physical segments)."""
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feats = work.withColumn("__feat", array_to_vector(
+            F.col(vec_col).cast("array<double>")))
+        fit_on = feats.sample(sample_fraction, seed=seed) \
+            if sample_fraction else feats
+        model = KMeans(k=n_segments, seed=seed, maxIter=20,
+                       featuresCol="__feat",
+                       predictionCol="__seg").fit(fit_on)
+        assigned = (model.transform(feats).drop("__feat")
+                    .withColumn("__seg", F.col("__seg").cast("int")))
+        seg_map = [[c] for c in range(n_segments)]
+        sizes = [int(s) for s in model.summary.clusterSizes]
+        if sample_fraction:
+            sizes = [int(s / sample_fraction) for s in sizes]
+        nxt = n_segments
+        remap = F.col("__seg")
+        for c, cnt in enumerate(sizes):
+            if cnt <= max_segment_rows:
+                continue
+            s = max(2, -(-cnt // max(1, int(0.75 * max_segment_rows))))
+            ids = [c] + list(range(nxt, nxt + s - 1))
+            nxt += s - 1
+            seg_map[c] = ids
+            sub = F.pmod(F.xxhash64(F.col(vec_col)), F.lit(s))
+            remap = F.when(
+                F.col("__seg") == c,
+                F.element_at(F.array(*[F.lit(i) for i in ids]),
+                             sub.cast("int") + 1)).otherwise(remap)
+        if nxt > n_segments:
+            assigned = assigned.withColumn("__seg",
+                                           remap.cast("int"))
+        centroids = np.vstack([np.asarray(c)
+                               for c in model.clusterCenters()])
+        return assigned, centroids, seg_map, nxt
 
     def _graph_schema(self, work: DataFrame) -> T.StructType:
         fields = [T.StructField("__seg", T.IntegerType()),
@@ -500,7 +594,14 @@ class HNSWIndex:
                 "ef_construction": self.ef_construction,
                 "n_segments": self.n_segments, "seed": self.seed,
                 "payload_cols": list(self.payload_cols), "gen": self.gen,
-                "quantized": self.quantized}
+                "quantized": self.quantized,
+                "partitioner": self.partitioner,
+                # centroid matrix rides the meta JSON like IVF's — at
+                # the routing design point (10^3-10^5 clusters) this is
+                # MBs, and it is broadcast whole at search anyway
+                "centroids": (self.centroids.tolist()
+                              if self.centroids is not None else None),
+                "seg_map": self.seg_map}
         with open(os.path.join(self.path, _META), "w") as fh:
             json.dump(meta, fh)
 
@@ -509,12 +610,17 @@ class HNSWIndex:
         path = require_local_path(path, "HNSWIndex artifacts")
         with open(os.path.join(path, _META)) as fh:
             meta = json.load(fh)
+        cents = meta.get("centroids")
         return cls(spark, path, meta["vec_col"], meta["key_col"],
                    meta["metric"], meta["m"], meta["ef_construction"],
                    meta["n_segments"], meta["seed"],
                    payload_cols=tuple(meta.get("payload_cols", ())),
                    gen=meta.get("gen", 0),
-                   quantized=meta.get("quantized", False))
+                   quantized=meta.get("quantized", False),
+                   partitioner=meta.get("partitioner", "hash"),
+                   centroids=(np.asarray(cents, dtype=np.float64)
+                              if cents is not None else None),
+                   seg_map=meta.get("seg_map"))
 
     # -- reads ------------------------------------------------------------
     def _read(self) -> DataFrame:
@@ -565,7 +671,10 @@ class HNSWIndex:
         """New rows -> NEW segments (graphs are immutable, the Lucene
         model); a re-appended key outlives any older tombstone for it
         (generation check). Size appended batches like build segments;
-        frequent tiny appends -> many tiny graphs -> call compact()."""
+        frequent tiny appends -> many tiny graphs -> call compact().
+        Appended segments are hash-assigned and therefore NOT routable
+        (every routed search still probes them in full); compact()
+        re-clusters them back under the centroids."""
         self.gen += 1
         work = _prepare_vectors(
             df, self.vec_col,
@@ -619,21 +728,32 @@ class HNSWIndex:
 
         live = self.scan_raw()
         staging = self.path.rstrip("/") + ".compact"
+        # a kmeans index keeps its routing granularity (cluster count)
+        # across compactions — deriving it from rows/cap alone could
+        # collapse a small index to one unroutable segment
+        n_seg = (len(self.seg_map)
+                 if self.partitioner == "kmeans" and self.seg_map
+                 else None)
         rebuilt = HNSWIndex.build(
             live, staging, vec_col=self.vec_col, key_col=self.key_col,
             metric=self.metric, m=self.m,
             ef_construction=self.ef_construction,
-            max_segment_rows=max_segment_rows,
+            max_segment_rows=max_segment_rows, n_segments=n_seg,
             seed=self.seed, payload_cols=self.payload_cols,
-            quantize=self.quantized)
+            quantize=self.quantized, partitioner=self.partitioner)
         sibling_swap(self.path, staging)
         self.n_segments = rebuilt.n_segments
+        # re-clustering folds appended (non-routable) segments back
+        # under fresh centroids — routability is fully restored
+        self.partitioner = rebuilt.partitioner
+        self.centroids = rebuilt.centroids
+        self.seg_map = rebuilt.seg_map
         self.gen = 0
         self._save_meta()
 
     # -- search -------------------------------------------------------------
     def search(self, qvec: list[float], k: int = 10, ef: int = 64,
-               where=None) -> DataFrame:
+               where=None, route_segments: int | None = None) -> DataFrame:
         """Single-query convenience over ``knn_join_hnsw``: returns
         (key_col, __score) — scores in the reference convention.
         ``where``: SQL string or Column over the payload columns."""
@@ -643,17 +763,54 @@ class HNSWIndex:
                 T.StructField("__qid", T.LongType()),
                 T.StructField(self.vec_col, T.ArrayType(T.FloatType()))]))
         out = knn_join_hnsw(q, self, k=k, ef=ef, where=where,
-                            query_key="__qid")
+                            query_key="__qid",
+                            route_segments=route_segments)
         return out.select(self.key_col, F.col("distance").alias("__score"))
+
+
+def _route_queries(qside: DataFrame, index: HNSWIndex,
+                   r: int) -> DataFrame:
+    """Assign each query its ``r`` nearest segment centroids (one Arrow
+    matmul against the broadcast centroid matrix — the IVF probe_lists
+    recipe) expanded to physical sub-segments, PLUS every non-routable
+    segment (post-build appends), exploded to (query, __seg) rows."""
+    cents = index.centroids
+    seg_map = index.seg_map
+    metric = index.metric
+    non_routable = sorted(set(range(index.n_segments))
+                          - index.routable_segments())
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_segs(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        q = np.stack(vs.to_numpy()).astype(np.float64)
+        if metric == "cosine":
+            n = np.linalg.norm(q, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            q = q / n
+        if metric == "l2":
+            d = ((q * q).sum(1)[:, None] - 2.0 * (q @ cents.T)
+                 + (cents * cents).sum(1)[None, :])
+        else:                                   # ip / cosine: highest dot
+            d = -(q @ cents.T)
+        idx = np.argsort(d, axis=1)[:, :r]
+        return pd.Series([
+            np.array([p for c in row for p in seg_map[c]]
+                     + non_routable, dtype="int32")
+            for row in idx])
+
+    return qside.withColumn("__seg", F.explode(probe_segs(F.col("__qvec"))))
 
 
 def knn_join_hnsw(queries: DataFrame, index: HNSWIndex, k: int = 10,
                   ef: int = 64, where=None,
                   query_key: str = "qid",
-                  query_vec_col: str | None = None) -> DataFrame:
+                  query_vec_col: str | None = None,
+                  route_segments: int | None = None) -> DataFrame:
     """Batch KNN join against the segment graphs.
 
-    Plan shape: queries cross-join the segment-id RANGE (a broadcast of
+    Plan shape: queries fan out to segment ids (a broadcast of at most
     ``n_segments`` ints — no corpus job), cogroup with the graph parquet
     on segment id, one beam search per (segment, query) inside the
     Arrow kernel, then a global (distance, key) window top-k. The graph
@@ -663,6 +820,17 @@ def knn_join_hnsw(queries: DataFrame, index: HNSWIndex, k: int = 10,
     payload columns, evaluated JVM-side in the scan and honored
     IN-traversal (reference inline filtering); deleted rows are masked
     through the same path. Output: query_key, key_col, distance, rank.
+
+    ``route_segments``: None (default) probes EVERY segment — required
+    for the full-explore exactness contract, and the only option on a
+    hash-partitioned index. An int r on a ``partitioner="kmeans"``
+    index prunes each query to its r nearest segment centroids (the IVF
+    probe trick, one Arrow matmul against the tiny broadcast centroid
+    matrix) plus every non-routable segment (post-build appends) — so
+    per-query cost stays ~r·beam as the corpus (and segment count)
+    grows, instead of linear in corpus size. The pruned graph scan is
+    partition-pruned to the probed-segment union. r >= the cluster
+    count degrades gracefully to the full probe.
 
     Null handling: query rows with a null key OR null vector are
     DROPPED up front (a null vector has no distance to anything; a null
@@ -679,14 +847,32 @@ def knn_join_hnsw(queries: DataFrame, index: HNSWIndex, k: int = 10,
     metric = index.metric
     kk, eff = int(k), max(int(ef), int(k))
 
-    seg_ids = index.spark.range(index.n_segments).select(
-        F.col("id").cast("int").alias("__seg"))
-    probed = (queries.select(query_key, F.col(qvec).alias("__qvec"))
-              .dropna().crossJoin(F.broadcast(seg_ids)))
+    qside = (queries.select(query_key, F.col(qvec).alias("__qvec"))
+             .dropna())
+    n_clusters = len(index.seg_map) if index.seg_map is not None else 0
+    routed = route_segments is not None and route_segments < n_clusters
+    if routed:
+        probed = _route_queries(qside, index, int(route_segments))
+    else:
+        if route_segments is not None and index.centroids is None:
+            raise ValueError(
+                "route_segments needs a kmeans-partitioned index "
+                "(HNSWIndex.build(..., partitioner='kmeans')): hash "
+                "segments all share the global mean, so centroid "
+                "routing cannot prune them")
+        seg_ids = index.spark.range(index.n_segments).select(
+            F.col("id").cast("int").alias("__seg"))
+        probed = qside.crossJoin(F.broadcast(seg_ids))
 
     from pyspark.sql import Column
 
     graph = index._dequantized(index._with_alive(index._read()))
+    if routed:
+        # partition-prune the graph scan to the probed-segment union —
+        # a driver-side distinct of at most n_segments ints (the only
+        # driver materialization on this path, same as IVF's)
+        segs = [r[0] for r in probed.select("__seg").distinct().collect()]
+        graph = graph.where(F.col("__seg").isin(segs))
     allowed = F.col("__alive")
     if where is not None:
         allowed = allowed & (where if isinstance(where, Column)
