@@ -465,8 +465,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["agg_topk_paging"] = q_agg_topk_paging
     # time-part APPLYs in one union row (round-6 slot consolidation of
-    # agg_apply_time + agg_events_time): ymd form = year/month/dayofweek
-    # over orders, hour form = hour over events (-1 pads)
+    # agg_apply_time + agg_events_time; round-8 adds the old
+    # agg_timefmt_parsetime row as the "fmt" leg): ymd form =
+    # year/month/dayofweek over orders, hour form = hour over events,
+    # fmt form = the timefmt/parsetime round-trip (a = the %F string,
+    # b = the parsed-back epoch). Numeric parts render through BIGINT
+    # so the string column is rendering-stable on both engines.
     def q_apply_time(spark, sf_dir):
         e = _eng(spark, sf_dir)
         ymd = e.ft_aggregate(
@@ -474,15 +478,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             'APPLY "year(@o_orderdate)" AS y APPLY "month(@o_orderdate)" AS m0 '
             'APPLY "dayofweek(@o_orderdate)" AS dw '
             "GROUPBY 3 @y @m0 @dw REDUCE COUNT 0 AS n").select(
-                F.col("y").alias("a"), F.col("m0").alias("b"),
+                F.col("y").cast("long").cast("string").alias("a"),
+                F.col("m0").alias("b"),
                 F.col("dw").alias("c"), "n", F.lit("ymd").alias("form"))
         hr = e.ft_aggregate(
             "events", "*",
             'APPLY "hour(@ts)" AS h GROUPBY 1 @h REDUCE COUNT 0 AS n '
             "SORTBY 2 @h ASC").select(
-                F.col("h").alias("a"), F.lit(-1.0).alias("b"),
+                F.col("h").cast("long").cast("string").alias("a"),
+                F.lit(-1.0).alias("b"),
                 F.lit(-1.0).alias("c"), "n", F.lit("hour").alias("form"))
-        return ymd.unionByName(hr)
+        fmt = e.ft_aggregate(
+            "events", "*",
+            'APPLY "timefmt(@ts, \'%F\')" AS day '
+            'APPLY "parsetime(@day, \'%F\')" AS day_ts '
+            "GROUPBY 2 @day @day_ts REDUCE COUNT 0 AS n").select(
+                F.col("day").alias("a"),
+                F.col("day_ts").cast("double").alias("b"),
+                F.lit(-1.0).alias("c"), "n", F.lit("fmt").alias("form"))
+        return ymd.unionByName(hr).unionByName(fmt)
 
     q["agg_apply_time"] = q_apply_time
     q["agg_apply_strings"] = _agg(
@@ -552,13 +566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return fn.unionByName(ma)
 
     q["agg_expr_funcs"] = q_expr_funcs
-    # timefmt + parsetime round-trip in ONE aggregate (merged round-1
-    # entries agg_timefmt / agg_parsetime)
-    q["agg_timefmt_parsetime"] = _agg(
-        "events", "*",
-        'APPLY "timefmt(@ts, \'%F\')" AS day '
-        'APPLY "parsetime(@day, \'%F\')" AS day_ts '
-        "GROUPBY 2 @day @day_ts REDUCE COUNT 0 AS n")
+    # (timefmt + parsetime moved into agg_apply_time's "fmt" leg in the
+    # round-8 rotation; the standalone shape stays in bench_extra)
     # LOAD n and LOAD f AS alias in one union row (round-6 slot
     # consolidation of agg_load + agg_load_alias). The alias form's n
     # counts RESP tokens including AS (ft_aggregate_parser.cc:252).
@@ -688,15 +697,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["knn_hnsw"] = q_knn_hnsw
 
     # -- LLM-pipeline: dedup -------------------------------------------
-    def q_dedup_exact(spark, sf_dir):
-        docs = load_table(spark, sf_dir, "documents")
-        return dd.exact_dedup(docs, "doc_id")
-
-    q["dedup_exact"] = q_dedup_exact
-
+    # round-8 rotation: exact dedup rides as the "exact" leg of the
+    # ngram row (a = surviving min doc_id, score = dup_count) so its
+    # slot could fund a new operator row; jaccard leg unchanged
     def q_ngram_jaccard(spark, sf_dir):
         docs = load_table(spark, sf_dir, "documents")
-        return dd.ngram_jaccard_pairs(docs, "doc_id", threshold=0.3)
+        jac = dd.ngram_jaccard_pairs(docs, "doc_id",
+                                     threshold=0.3).select(
+            "a", "b", F.col("jaccard").alias("score"),
+            F.lit("jaccard").alias("form"))
+        ex = dd.exact_dedup(docs, "doc_id").select(
+            F.col("doc_id").alias("a"),
+            F.lit(-1).cast("long").alias("b"),
+            F.col("dup_count").cast("double").alias("score"),
+            F.lit("exact").alias("form"))
+        return jac.unionByName(ex)
 
     q["dedup_ngram_jaccard"] = q_ngram_jaccard
 
@@ -760,7 +775,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # keyed as-of join vs DuckDB's NATIVE ASOF JOIN, all three
         # forms; only the matched TIMESTAMP is compared (deterministic
         # under equal-timestamp ties on both engines — the tied ROW is
-        # tiebreak-defined here, arbitrary in DuckDB)
+        # tiebreak-defined here, arbitrary in DuckDB). Round-8 rotation:
+        # the old snapshot_diff row rides as the "diff" leg (s carries
+        # verdict|changed-columns, r_epoch pads -1) so its slot could
+        # fund a new operator row.
+        from valkey_search_spark.operators.diff import diff_tables
         from valkey_search_spark.operators.temporal import asof_join
 
         ev = load_table(spark, sf_dir, "events")
@@ -776,7 +795,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "event_id",
                 (F.unix_micros(F.col("r_ts").cast("timestamp"))
                  .cast("double") / 1e6).alias("r_epoch"),
-                F.lit(form).alias("form")))
+                F.lit("").alias("s"), F.lit(form).alias("form")))
+        before = ev.where("event_id % 3 != 0").select(
+            "event_id", "user_id", "value")
+        after = ev.where("event_id % 5 != 0").select(
+            "event_id", "user_id",
+            F.when(F.col("event_id") % 7 == 0, F.col("value") + 1)
+            .otherwise(F.col("value")).alias("value"))
+        d = diff_tables(before, after, key="event_id")
+        parts.append(d.select(
+            "event_id", F.lit(-1.0).alias("r_epoch"),
+            F.concat_ws("|", "verdict",
+                        F.array_join(F.array_sort("changed_columns"), ","))
+            .alias("s"),
+            F.lit("diff").alias("form")))
         out = parts[0]
         for x in parts[1:]:
             out = out.unionByName(x)
@@ -796,6 +828,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                .cast("double"), 0).alias("sstart"))
 
     q["events_sessionize"] = q_events_sessionize
+
+    def q_events_resample(spark, sf_dir):
+        # per-user hourly grid with gap materialization — zero-fill and
+        # forward-fill legs share one union row; the oracle replays the
+        # grid as a range() unnest + left join and the ffill as
+        # last_value IGNORE NULLS
+        from valkey_search_spark.operators.diff import resample
+
+        ev = load_table(spark, sf_dir, "events")
+        parts = []
+        for form in ("zero", "ffill"):
+            out = resample(ev, every=3600, agg={"value": "sum"},
+                           key="user_id", fill=form)
+            parts.append(out.select(
+                "user_id", F.col("bucket").cast("long").alias("bucket"),
+                _r(F.col("sum_value"), 2).alias("v"),
+                F.lit(form).alias("form")))
+        return parts[0].unionByName(parts[1])
+
+    q["events_resample"] = q_events_resample
 
     def q_graph_pagerank(spark, sf_dir):
         # power-iteration PageRank on a deterministic synthetic link
@@ -848,6 +900,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_maxsim"] = q_search_maxsim
 
+    def q_maxsim_score(spark, sf_dir):
+        # the RERANK surface: MaxSim over EXPLICIT (query, doc) pairs —
+        # same bags as search_maxsim, pairs picked by the SQL-replayable
+        # rule (qid + did) % 3 == 0; one broadcast join + one Arrow pass
+        from valkey_search_spark.operators.late_interaction import (
+            maxsim_score,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        docs = (emb.groupBy(F.col("label").alias("did"))
+                .agg(F.sort_array(F.collect_list(
+                    F.struct("vec_id", "embedding"))).alias("s"))
+                .select("did", F.col("s.embedding").alias("vecs")))
+        queries = (emb.where(F.col("vec_id") < 40)
+                   .groupBy((F.col("vec_id") % 8).alias("qid"))
+                   .agg(F.sort_array(F.collect_list(
+                       F.struct("vec_id", "embedding"))).alias("s"))
+                   .select("qid", F.col("s.embedding").alias("vecs")))
+        pairs = (queries.select("qid").crossJoin(docs.select("did"))
+                 .where((F.col("qid") + F.col("did")) % 3 == 0))
+        out = maxsim_score(queries, docs, pairs=pairs, doc_key="did")
+        return out.select(F.col("qid").cast("long").alias("qid"),
+                          F.col("did").cast("long").alias("did"),
+                          _r(F.col("score")).alias("score"))
+
+    q["maxsim_score"] = q_maxsim_score
+
+    def q_mine_negatives(spark, sf_dir):
+        # hard-negative mining in the exact regime (fetch covers the
+        # corpus): self-pairs are the labeled positives (anchor distance
+        # 0), so the margin leg provably applies the
+        # best-positive+margin cut; the oracle replays both legs as
+        # brute-force SQL
+        from valkey_search_spark.operators.negatives import (
+            mine_hard_negatives,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries = emb.where(F.col("vec_id") < 30).select(
+            F.col("vec_id").alias("qid"), "embedding")
+        corpus = emb.select(F.col("vec_id").alias("cid"), "embedding")
+        positives = queries.select(
+            "qid", F.col("qid").alias("cid"))
+        parts = []
+        for form, kw in (("plain", {}), ("margin", {"margin": 0.3})):
+            out = mine_hard_negatives(queries, corpus, positives, k=5,
+                                      fetch_factor=200, **kw)
+            parts.append(out.select(
+                "qid", "cid", _r(F.col("distance"), 6).alias("d"),
+                F.col("rank").cast("int").alias("rank"),
+                F.lit(form).alias("form")))
+        return parts[0].unionByName(parts[1])
+
+    q["mine_negatives"] = q_mine_negatives
+
     def q_quality_expectations(spark, sf_dir):
         # pre-publish data-quality gate: the five constraint kinds in
         # ONE aggregation pass, each check's (passed, observed) verdict
@@ -870,26 +977,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quality_expectations"] = q_quality_expectations
 
-    def q_snapshot_diff(spark, sf_dir):
-        # per-row snapshot diff (added/removed/changed/unchanged + the
-        # changed column list) between two derived views of events —
-        # the oracle is the plain FULL OUTER JOIN replay
-        from valkey_search_spark.operators.diff import diff_tables
-
-        ev = load_table(spark, sf_dir, "events")
-        before = ev.where("event_id % 3 != 0").select(
-            "event_id", "user_id", "value")
-        after = ev.where("event_id % 5 != 0").select(
-            "event_id", "user_id",
-            F.when(F.col("event_id") % 7 == 0, F.col("value") + 1)
-            .otherwise(F.col("value")).alias("value"))
-        out = diff_tables(before, after, key="event_id")
-        return out.select(
-            "event_id", "verdict",
-            F.array_join(F.array_sort("changed_columns"), ",")
-            .alias("changed"))
-
-    q["snapshot_diff"] = q_snapshot_diff
+    # (snapshot_diff moved into temporal_asof's "diff" leg in the
+    # round-8 rotation; the standalone shape stays in bench_extra)
 
     # -- LLM-pipeline: composed curation (SQL-expressible stages) -------
     def q_curation(spark, sf_dir):
@@ -1984,9 +2073,21 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = load_table(spark, sf_dir, "documents").select("doc_id")
         return url_dedup(_synth_urls(docs), "doc_id")
 
+    def b_dedup_exact(spark, sf_dir):
+        # round-8 rotation twin: exact dedup now rides queries()'s
+        # dedup_ngram_jaccard union; the standalone shape keeps its
+        # bench timing name
+        docs = load_table(spark, sf_dir, "documents")
+        return dd.exact_dedup(docs, "doc_id")
+
+    def b_maxsim_score(spark, sf_dir):
+        return queries()["maxsim_score"](spark, sf_dir)
+
     return {
         # single-form twins of the consolidated driver-union rows, kept
         # here so bench timings stay name-comparable round-over-round
+        "dedup_exact": b_dedup_exact,
+        "maxsim_score": b_maxsim_score,
         "text_term": _search("parts", "widget", ["p_partkey", "p_name"]),
         "text_term_stem": _search("docs", "tables", DOC_COLS),
         "text_proximity": _search("docs", "batch stream", DOC_COLS,
@@ -2186,33 +2287,18 @@ def oracle_sql() -> dict[str, str]:
         " UNION ALL SELECT *, 'limit_offset' FROM ("
         " SELECT l_quantity, CAST(count(*) AS DOUBLE) AS n FROM lineitem"
         " GROUP BY l_quantity ORDER BY l_quantity ASC LIMIT 7 OFFSET 3)")
-    o["snapshot_diff"] = (
-        "WITH b AS (SELECT event_id, user_id, value FROM events"
-        "           WHERE event_id % 3 != 0),"
-        " a AS (SELECT event_id, user_id,"
-        "        CASE WHEN event_id % 7 = 0 THEN value + 1 ELSE value END"
-        "        AS value FROM events WHERE event_id % 5 != 0)"
-        " SELECT COALESCE(b.event_id, a.event_id) AS event_id,"
-        "  CASE WHEN b.event_id IS NULL THEN 'added'"
-        "       WHEN a.event_id IS NULL THEN 'removed'"
-        "       WHEN a.value IS DISTINCT FROM b.value"
-        "            OR a.user_id IS DISTINCT FROM b.user_id"
-        "       THEN 'changed' ELSE 'unchanged' END AS verdict,"
-        "  CASE WHEN b.event_id IS NULL OR a.event_id IS NULL THEN ''"
-        "       ELSE concat_ws(',',"
-        "        CASE WHEN a.user_id IS DISTINCT FROM b.user_id"
-        "             THEN 'user_id' END,"
-        "        CASE WHEN a.value IS DISTINCT FROM b.value"
-        "             THEN 'value' END) END AS changed"
-        " FROM b FULL OUTER JOIN a ON b.event_id = a.event_id")
     o["agg_apply_time"] = (
-        "SELECT CAST(year(o_orderdate) AS DOUBLE) AS a,"
+        "SELECT CAST(CAST(year(o_orderdate) AS BIGINT) AS VARCHAR) AS a,"
         " CAST(month(o_orderdate)-1 AS DOUBLE) AS b,"
         " CAST(dayofweek(o_orderdate) AS DOUBLE) AS c,"
         " CAST(count(*) AS DOUBLE) AS n, 'ymd' AS form"
         " FROM orders GROUP BY 1, 2, 3"
-        " UNION ALL SELECT CAST(hour(ts) AS DOUBLE), -1.0, -1.0,"
-        " CAST(count(*) AS DOUBLE), 'hour' FROM events GROUP BY 1")
+        " UNION ALL SELECT CAST(CAST(hour(ts) AS BIGINT) AS VARCHAR),"
+        " -1.0, -1.0,"
+        " CAST(count(*) AS DOUBLE), 'hour' FROM events GROUP BY 1"
+        " UNION ALL SELECT strftime(ts, '%Y-%m-%d'),"
+        " CAST(epoch(date_trunc('day', ts)) AS DOUBLE), -1.0,"
+        " CAST(count(*) AS DOUBLE), 'fmt' FROM events GROUP BY 1, 2")
     o["agg_apply_strings"] = (
         "SELECT upper(o_orderpriority) AS up,"
         " CAST(strlen(o_orderpriority) AS DOUBLE) AS sl,"
@@ -2260,10 +2346,6 @@ def oracle_sql() -> dict[str, str]:
         " CAST(count(*) AS DOUBLE),"
         " ROUND(sum(sqrt(o_totalprice)), 2) + 0.0, 'math'"
         " FROM orders WHERE o_totalprice >= 100000 GROUP BY 1")
-    o["agg_timefmt_parsetime"] = (
-        "SELECT strftime(ts, '%Y-%m-%d') AS day,"
-        " CAST(epoch(date_trunc('day', ts)) AS DOUBLE) AS day_ts,"
-        " CAST(count(*) AS DOUBLE) AS n FROM events GROUP BY 1, 2")
     o["agg_load"] = (
         "SELECT o_orderpriority AS s, ROUND(o_totalprice, 2) + 0.0 AS d1,"
         " 0.0 AS d2, 'load' AS form"
@@ -2304,14 +2386,35 @@ def oracle_sql() -> dict[str, str]:
     # DuckDB's NATIVE ASOF JOIN (only the matched timestamp is compared
     # — deterministic under right-side ties in both engines)
     _asof_leg = (
-        " SELECT l.event_id, {expr} AS r_epoch, '{form}' AS form"
+        " SELECT l.event_id, {expr} AS r_epoch, '' AS s,"
+        " '{form}' AS form"
         " FROM l ASOF LEFT JOIN r"
         "   ON l.user_id = r.user_id AND l.ts {op} r.ts")
+    _diff_leg = (
+        " SELECT COALESCE(b.event_id, a.event_id), -1.0,"
+        "  (CASE WHEN b.event_id IS NULL THEN 'added'"
+        "       WHEN a.event_id IS NULL THEN 'removed'"
+        "       WHEN a.value IS DISTINCT FROM b.value"
+        "            OR a.user_id IS DISTINCT FROM b.user_id"
+        "       THEN 'changed' ELSE 'unchanged' END)"
+        "  || '|' || CASE WHEN b.event_id IS NULL OR a.event_id IS NULL"
+        "       THEN ''"
+        "       ELSE concat_ws(',',"
+        "        CASE WHEN a.user_id IS DISTINCT FROM b.user_id"
+        "             THEN 'user_id' END,"
+        "        CASE WHEN a.value IS DISTINCT FROM b.value"
+        "             THEN 'value' END) END, 'diff'"
+        " FROM b FULL OUTER JOIN a ON b.event_id = a.event_id")
     o["temporal_asof"] = (
         "WITH l AS (SELECT event_id, ts, user_id FROM events"
         "           WHERE event_type = 'purchase'),"
         "     r AS (SELECT ts, user_id FROM events"
-        "           WHERE event_type = 'signup')"
+        "           WHERE event_type = 'signup'),"
+        "     b AS (SELECT event_id, user_id, value FROM events"
+        "           WHERE event_id % 3 != 0),"
+        "     a AS (SELECT event_id, user_id,"
+        "        CASE WHEN event_id % 7 = 0 THEN value + 1 ELSE value END"
+        "        AS value FROM events WHERE event_id % 5 != 0)"
         + " UNION ALL ".join((
             _asof_leg.format(form="backward", op=">=",
                              expr="CAST(epoch(r.ts) AS DOUBLE)"),
@@ -2320,7 +2423,8 @@ def oracle_sql() -> dict[str, str]:
             _asof_leg.format(
                 form="tolerance", op=">=",
                 expr="CASE WHEN r.ts >= l.ts - INTERVAL 30 MINUTE"
-                     " THEN CAST(epoch(r.ts) AS DOUBLE) END"))))
+                     " THEN CAST(epoch(r.ts) AS DOUBLE) END"),
+            _diff_leg)))
     o["events_sessionize"] = (
         "WITH lagd AS ("
         "  SELECT event_id, user_id, ts,"
@@ -2405,10 +2509,6 @@ def oracle_sql() -> dict[str, str]:
         for form, w in (("full", "TRUE"),
                         ("filtered", "label BETWEEN 3 AND 5")))
 
-    o["dedup_exact"] = (
-        "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,"
-        " CAST(count(*) AS BIGINT) AS dup_count"
-        " FROM documents GROUP BY md5(text)")
     o["dedup_ngram_jaccard"] = (
         "WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),"
         " grams AS (SELECT DISTINCT doc_id,"
@@ -2420,10 +2520,14 @@ def oracle_sql() -> dict[str, str]:
         "   FROM grams l JOIN grams r ON l.g = r.g AND l.doc_id < r.doc_id"
         "   GROUP BY 1, 2)"
         " SELECT a, b,"
-        "  ROUND(CAST(inter AS DOUBLE)/(sa.n + sb.n - inter), 6) AS jaccard"
+        "  ROUND(CAST(inter AS DOUBLE)/(sa.n + sb.n - inter), 6) AS score,"
+        "  'jaccard' AS form"
         " FROM shared JOIN sizes sa ON sa.doc_id = a"
         " JOIN sizes sb ON sb.doc_id = b"
-        " WHERE ROUND(CAST(inter AS DOUBLE)/(sa.n + sb.n - inter), 6) >= 0.3")
+        " WHERE ROUND(CAST(inter AS DOUBLE)/(sa.n + sb.n - inter), 6) >= 0.3"
+        " UNION ALL SELECT CAST(min(doc_id) AS BIGINT),"
+        " CAST(-1 AS BIGINT), CAST(count(*) AS DOUBLE), 'exact'"
+        " FROM documents GROUP BY md5(text)")
 
     # dedup_minhash_lsh's VERIFY step computes exact Jaccard over hashed
     # shingle sets (== string-shingle Jaccard up to 64-bit collisions), so
@@ -2480,6 +2584,56 @@ def oracle_sql() -> dict[str, str]:
         "  ROUND(outset, 6) + 0.0 FROM s"
         " UNION ALL SELECT 'row_count(*)', n >= 1, ROUND(n, 6) + 0.0"
         " FROM s")
+    # explicit-pairs rerank: same dots CTE as search_maxsim, restricted
+    # to the deterministic (qid + did) % 3 = 0 pair rule
+    o["maxsim_score"] = (
+        "WITH qt AS (SELECT vec_id % 8 AS qid, vec_id AS qtok, embedding"
+        "            FROM embeddings WHERE vec_id < 40),"
+        " dt AS (SELECT label AS did, embedding FROM embeddings),"
+        " dots AS (SELECT qid, qtok, did,"
+        f"           max(list_inner_product(qt.{_EMB_D}, dt.{_EMB_D})) AS m"
+        "          FROM qt CROSS JOIN dt"
+        "          WHERE (qid + did) % 3 = 0 GROUP BY qid, qtok, did)"
+        " SELECT CAST(qid AS BIGINT) AS qid, CAST(did AS BIGINT) AS did,"
+        "  ROUND(sum(m), 4) + 0.0 AS score"
+        " FROM dots GROUP BY qid, did")
+    # hard-negative mining replay: brute-force cosine distances, self
+    # pair excluded always; margin leg additionally drops candidates
+    # closer than best-positive (= 0, self) + 0.3
+    _neg_leg = (
+        " SELECT qid, cid, ROUND(d, 6) AS d, CAST(rnk AS INT) AS rank,"
+        " '{form}' AS form FROM ("
+        "  SELECT qid, cid, d,"
+        "   row_number() OVER (PARTITION BY qid ORDER BY d, cid) rnk"
+        "  FROM scored WHERE cid != qid{extra}) WHERE rnk <= 5")
+    o["mine_negatives"] = (
+        "WITH scored AS ("
+        f" SELECT q.vec_id AS qid, c.vec_id AS cid,"
+        f" 1 - list_cosine_similarity(q.{_EMB_D}, c.{_EMB_D}) AS d"
+        " FROM embeddings q CROSS JOIN embeddings c WHERE q.vec_id < 30)"
+        + _neg_leg.format(form="plain", extra="")
+        + " UNION ALL"
+        + _neg_leg.format(form="margin", extra=" AND d >= 0.3"))
+    # per-user hourly resample: grid = range() unnest per user span,
+    # zero leg coalesces gaps, ffill leg propagates the previous
+    # non-null bucket value
+    o["events_resample"] = (
+        "WITH g AS (SELECT user_id,"
+        "   CAST(floor(epoch(ts)/3600) AS BIGINT) AS b,"
+        "   ROUND(sum(value), 2) + 0.0 AS sv"
+        "  FROM events GROUP BY 1, 2),"
+        " span AS (SELECT user_id, min(b) AS lo, max(b) AS hi FROM g"
+        "          GROUP BY 1),"
+        " grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS bucket"
+        "          FROM span),"
+        " j AS (SELECT grid.user_id, grid.bucket, g.sv FROM grid"
+        "       LEFT JOIN g ON g.user_id = grid.user_id"
+        "        AND g.b = grid.bucket)"
+        " SELECT user_id, bucket, COALESCE(sv, 0.0) AS v,"
+        "  'zero' AS form FROM j"
+        " UNION ALL SELECT user_id, bucket,"
+        "  last_value(sv IGNORE NULLS) OVER (PARTITION BY user_id"
+        "   ORDER BY bucket ROWS UNBOUNDED PRECEDING), 'ffill' FROM j")
     o["search_maxsim"] = (
         "WITH qt AS (SELECT vec_id % 8 AS qid, vec_id AS qtok, embedding"
         "            FROM embeddings WHERE vec_id < 40),"

@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "knn_hnsw",
     "search_maxsim_wide",
     "mine_negatives",
+    "maxsim_score",
 ]
 
 
