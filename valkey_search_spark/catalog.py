@@ -506,7 +506,11 @@ class Catalog:
                         "m": ann.m,
                         "ef_construction": ann.ef_construction,
                         "mutation_generation": ann.gen,
-                        "storage": "float32_graph",
+                        "storage": ("int8_graph" if ann.quantized
+                                    else "float32_graph"),
+                        "partitioner": ann.partitioner,
+                        "routable_segments":
+                            len(ann.routable_segments()),
                     }
             attributes.append(a)
         first_text = text_fields[0] if text_fields else None

@@ -189,6 +189,7 @@ class SearchEngine:
             art = HNSWIndex.build(df, path, vec_col=vcol,
                                   key_col="__key", metric=fdef.metric,
                                   seed=seed, payload_cols=payload,
+                                  sample_fraction=sample_fraction,
                                   **build_kwargs)
         elif algorithm == "ivf":
             from .ann import IVFIndex
@@ -382,6 +383,7 @@ class SearchEngine:
         count_only: bool = False,
         ann_nprobe: int | None = None,
         ann_ef: int | None = None,
+        ann_route: int | None = None,
         dialect: int = 2,
         timeout_ms: int | None = None,
         withsortkeys: bool = False,
@@ -409,7 +411,8 @@ class SearchEngine:
                 sortby_desc=sortby_desc, return_fields=return_fields,
                 nocontent=nocontent, verbatim=verbatim, slop=slop,
                 inorder=inorder, count_only=count_only,
-                ann_nprobe=ann_nprobe, ann_ef=ann_ef, dialect=dialect,
+                ann_nprobe=ann_nprobe, ann_ef=ann_ef,
+                ann_route=ann_route, dialect=dialect,
                 timeout_ms=timeout_ms, withsortkeys=withsortkeys,
                 _observe_total=_observe_total)
         except Exception:
@@ -464,6 +467,7 @@ class SearchEngine:
         count_only: bool = False,
         ann_nprobe: int | None = None,
         ann_ef: int | None = None,
+        ann_route: int | None = None,
         dialect: int = 2,
         timeout_ms: int | None = None,
         withsortkeys: bool = False,
@@ -539,6 +543,14 @@ class SearchEngine:
                     "ann_ef applies to HNSW graph artifacts; this "
                     "field's artifact is IVF — use ann_nprobe (or "
                     "query EF_RUNTIME)")
+            if ann_route is not None and (artifact is None
+                                          or not graph_art):
+                raise QuerySyntaxError(
+                    "ann_route prunes segments of a kmeans-partitioned "
+                    "HNSW artifact; this field has "
+                    + ("no ANN artifact" if artifact is None
+                       else "an IVF artifact — its probe dial is "
+                            "ann_nprobe"))
 
         # ANN planner (the reference's pre-filter vs inline-filter choice,
         # planner.cc:21-46). Explicit dials (ann_nprobe / ann_ef /
@@ -600,7 +612,8 @@ class SearchEngine:
                 # predicate evaluated IN-traversal on the graph
                 self._metrics["inline_filtering_requests_count"] += 1
             hits = artifact.search(parsed.knn.vector, k=parsed.knn.k,
-                                   ef=ann_ef, where=prefilter)
+                                   ef=ann_ef, where=prefilter,
+                                   route_segments=ann_route)
             hits = hits.withColumnRenamed("__score", score)
             df = schema.indexed_df().join(F.broadcast(hits), "__key")
             if count_only:
