@@ -220,3 +220,31 @@ def test_realdata_routed_recall(spark, sf_dir, tmp_path):
     hits = routed.join(exact, ["qid", "vec_id"]).count()
     assert n == 40 * 10
     assert hits / n >= 0.9
+
+
+def test_quantized_kmeans_routing(spark, tmp_path):
+    # int8 storage + kmeans partitioning compose: centroids come from
+    # the pre-quantize floats, search dequantizes in the pruned scan.
+    # int8 rounding (step ~0.8 at |v|~100) legitimately reorders
+    # within-blob near-ties, so the pin is the routing CONTRACT — the
+    # routed r=1 full-explore equals the unrouted full-explore on the
+    # same quantized index, and every hit is from the query's own blob
+    df = _clustered_df(spark, n_clusters=4, per=30)
+    idx = HNSWIndex.build(df, str(tmp_path / "qk"), metric="l2", m=6,
+                          ef_construction=32, n_segments=4,
+                          partitioner="kmeans", quantize=True,
+                          max_segment_rows=10_000)
+    assert idx.quantized and idx.partitioner == "kmeans"
+    qids = [0, 35, 70, 105]
+    q = df.where(F.col("vec_id").isin(qids)) \
+          .select(F.col("vec_id").alias("qid"), "embedding")
+    res = knn_join_hnsw(q, idx, k=5, ef=10**6, route_segments=1)
+    base = knn_join_hnsw(q, idx, k=5, ef=10**6)
+    a = sorted((r["qid"], r["vec_id"], r["rank"]) for r in res.collect())
+    b = sorted((r["qid"], r["vec_id"], r["rank"]) for r in base.collect())
+    assert a == b and len(a) == 20
+    for qid, vid, _ in a:                 # same blob of 30 ids
+        assert vid // 30 == qid // 30
+    # persistence round-trips the combination
+    loaded = HNSWIndex.load(spark, idx.path)
+    assert loaded.quantized and loaded.seg_map == idx.seg_map
