@@ -78,11 +78,12 @@ def _decode_image(payload: bytes, fake: bool, decode_fn=None) -> np.ndarray:
     """Image decode seam. ``fake`` derives a deterministic 8x8x3 uint8
     array from the payload bytes (plumbing tests over arbitrary binary).
     The REAL path decodes BMP, 8-bit PNG (incl. Adam7), JPEG (baseline
-    AND progressive), GIF (LZW, incl. interlaced), and baseline TIFF
-    (uncompressed/LZW/PackBits) via the vendored pure-Python codecs
-    (`multimodal/codecs.py`); the remaining exotics (WebP,
-    JPEG-in-TIFF, arithmetic JPEG, ...) are where PIL/opencv would
-    plug in and still raise."""
+    AND progressive), GIF (LZW, incl. interlaced), baseline TIFF
+    (uncompressed/LZW/PackBits), and WebP-lossless (full VP8L:
+    transforms, color cache, meta-huffman, LZ77) via the vendored
+    pure-Python codecs (`multimodal/codecs.py`, `multimodal/webp.py`);
+    the remaining exotics (lossy VP8, JPEG-in-TIFF, arithmetic JPEG,
+    ...) are where PIL/opencv would plug in and still raise."""
     if not fake:
         from .codecs import (
             PNG_SIGNATURE, decode_bmp, decode_gif, decode_jpeg, decode_png,
@@ -99,6 +100,10 @@ def _decode_image(payload: bytes, fake: bool, decode_fn=None) -> np.ndarray:
             return decode_gif(payload)
         if payload[:4] in (b"II*\x00", b"MM\x00*"):
             return decode_tiff(payload)
+        if payload[:4] == b"RIFF" and payload[8:16] == b"WEBPVP8L":
+            from .webp import decode_webp
+
+            return decode_webp(payload)
         # decoder-injection seam: a deployment with PIL/opencv plugs in
         # here for the formats the vendored codecs don't cover — the
         # vendored path above stays the default and is never bypassed
@@ -107,7 +112,7 @@ def _decode_image(payload: bytes, fake: bool, decode_fn=None) -> np.ndarray:
             if arr is not None:
                 return np.asarray(arr, dtype=np.uint8)
         raise NotImplementedError(
-            "only BMP/PNG/JPEG/GIF/baseline-TIFF decode "
+            "only BMP/PNG/JPEG/GIF/baseline-TIFF/WebP-lossless decode "
             "without PIL/opencv (not in this container); pass fake=True "
             "for the deterministic test decode of other payloads, or "
             "supply decode_fn(format, bytes) -> HxWx3 uint8 array to "

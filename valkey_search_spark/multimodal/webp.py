@@ -1,0 +1,949 @@
+"""WebP-lossless (VP8L) codec — pure Python/numpy, public-spec only.
+
+Decoder implements the complete VP8L bitstream (RFC 9649 / the WebP
+lossless bitstream specification): LSB-first bit packing, simple and
+normal (code-length-coded) canonical Huffman codes, color cache,
+meta-Huffman groups, LZ77 backward references with the 2D distance
+map, and all four transforms (predictor, color, subtract-green,
+color-indexing incl. sub-byte pixel packing) inverted in reverse read
+order. ``encode_webp_lossless`` is an INDEPENDENT minimal encoder used
+as the test pin (same role as codecs.py's JPEG/PNG/GIF encoders): it
+can exercise every decoder feature (each transform, cache hits, LZ77
+runs, multiple Huffman groups) without ever sharing decode-path code.
+
+Closes the image half of the "lossy/exotic formats" seam noted in
+multimodal/columns.py — WebP-lossless payloads now decode in-repo;
+VP8 (lossy) remains behind the decode_fn injection seam.
+
+Error contract matches codecs.py: malformed payloads raise
+MediaDecodeError, never a raw IndexError/ValueError from the parser.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+from .codecs import MediaDecodeError, _check_pixel_budget, _decode_guard
+
+# code-length alphabet symbol order (spec kCodeLengthCodeOrder)
+_CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8,
+              9, 10, 11, 12, 13, 14, 15, 16)
+_GREEN_BASE = 256          # literal green values
+_N_LENGTH_CODES = 24       # LZ77 length prefix codes
+_N_DISTANCE_CODES = 40
+
+
+def _distance_map():
+    """The 120 'close neighborhood' 2D offsets for distance codes
+    1..120: all (x, y) with y in 0..8 (y=0 -> x>0), |x| <= 8, ordered
+    by (x^2 + y^2, |x|, x<0). The first 22 entries are pinned against
+    the spec table in tests (the ordering rule reproduces it)."""
+    cand = []
+    for y in range(0, 9):
+        for x in range(-8, 9):
+            if y == 0 and x <= 0:
+                continue
+            if y > 0 or x > 0:
+                cand.append((x, y))
+    cand.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1],
+                             abs(p[0]), p[0] < 0))
+    return cand[:120]
+
+
+_DIST_MAP = _distance_map()
+
+
+# ---------------------------------------------------------------------------
+# LSB-first bit I/O
+# ---------------------------------------------------------------------------
+
+class _BitReader:
+    __slots__ = ("data", "pos", "n")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.n = len(data) * 8
+
+    def bit(self) -> int:
+        p = self.pos
+        if p >= self.n:
+            raise MediaDecodeError("vp8l bitstream truncated")
+        self.pos = p + 1
+        return (self.data[p >> 3] >> (p & 7)) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for i in range(k):
+            v |= self.bit() << i
+        return v
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "nacc")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nacc = 0
+
+    def bits(self, v: int, k: int) -> None:
+        self.acc |= (v & ((1 << k) - 1)) << self.nacc
+        self.nacc += k
+        while self.nacc >= 8:
+            self.buf.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nacc -= 8
+
+    def code(self, code: int, length: int) -> None:
+        """Huffman codewords are consumed bit-by-bit from the MSB of
+        the canonical code, so they are written MSB-first."""
+        for i in range(length - 1, -1, -1):
+            self.bits((code >> i) & 1, 1)
+
+    def bytes(self) -> bytes:
+        out = bytearray(self.buf)
+        if self.nacc:
+            out.append(self.acc & 0xFF)
+        return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# canonical Huffman (shared helpers — decoder walk + encoder builder)
+# ---------------------------------------------------------------------------
+
+def _canonical_codes(lengths) -> dict:
+    """symbol -> (code, length), canonical assignment: sort by
+    (length, symbol), codes count upward (the DEFLATE/VP8L rule)."""
+    syms = sorted((l, s) for s, l in enumerate(lengths) if l > 0)
+    codes = {}
+    code = 0
+    prev_len = 0
+    for l, s in syms:
+        code <<= (l - prev_len)
+        codes[s] = (code, l)
+        code += 1
+        prev_len = l
+    return codes
+
+
+class _HuffDecoder:
+    """Bit-by-bit canonical-tree walk. A single-symbol code is the
+    'trivial' zero-bit code (the spec's simple 1-symbol form and
+    libwebp's degenerate normal form); any other code must be COMPLETE
+    (Kraft sum == 1) or the stream is malformed."""
+
+    __slots__ = ("trivial", "table", "max_len")
+
+    def __init__(self, lengths):
+        nz = [(s, l) for s, l in enumerate(lengths) if l > 0]
+        if not nz:
+            raise MediaDecodeError("empty huffman code")
+        if len(nz) == 1:
+            self.trivial = nz[0][0]
+            self.table = None
+            self.max_len = 0
+            return
+        kraft = sum(1 / (1 << l) for _, l in nz)
+        if abs(kraft - 1.0) > 1e-12:
+            raise MediaDecodeError(
+                f"incomplete/oversubscribed huffman code (kraft={kraft})")
+        self.trivial = None
+        self.table = {(l, c): s
+                      for s, (c, l) in _canonical_codes(lengths).items()}
+        self.max_len = max(l for _, l in nz)
+
+    def read(self, br: _BitReader) -> int:
+        if self.trivial is not None:
+            return self.trivial
+        code = 0
+        for length in range(1, self.max_len + 1):
+            code = (code << 1) | br.bit()
+            s = self.table.get((length, code))
+            if s is not None:
+                return s
+        raise MediaDecodeError("invalid huffman codeword")
+
+
+def _limited_lengths(freqs: dict, limit: int) -> list:
+    """Canonical Huffman code lengths from frequencies, depth-limited
+    by the classic flattening pass (package-merge is overkill at these
+    alphabet sizes). Returns lengths indexed by symbol (0 = unused)."""
+    syms = [s for s, f in freqs.items() if f > 0]
+    n_alpha = (max(syms) + 1) if syms else 1
+    lengths = [0] * n_alpha
+    if not syms:
+        raise ValueError("no symbols")
+    if len(syms) == 1:
+        lengths[syms[0]] = 1        # caller maps 1-symbol codes to simple
+        return lengths
+    # heap of (weight, tiebreak, tree); depth computed after
+    heap = [(freqs[s], s, s) for s in syms]
+    heapq.heapify(heap)
+    parent: dict = {}
+    nxt = n_alpha
+    while len(heap) > 1:
+        w1, t1, a = heapq.heappop(heap)
+        w2, t2, b = heapq.heappop(heap)
+        parent[a] = nxt
+        parent[b] = nxt
+        heapq.heappush(heap, (w1 + w2, min(t1, t2), nxt))
+        nxt += 1
+    for s in syms:
+        d = 0
+        node = s
+        while node in parent:
+            node = parent[node]
+            d += 1
+        lengths[s] = d
+    # depth-limit: push overlong leaves up, stealing slack greedily
+    if max(lengths[s] for s in syms) > limit:
+        cnt = [0] * (max(lengths) + 1)
+        for s in syms:
+            cnt[lengths[s]] += 1
+        # JPEG Annex-K style redistribution onto [1, limit]
+        bl = list(cnt) + [0] * (64 - len(cnt))
+        for i in range(len(bl) - 1, limit, -1):
+            while bl[i] > 0:
+                j = i - 2
+                while bl[j] == 0:
+                    j -= 1
+                bl[i] -= 2
+                bl[i - 1] += 1
+                bl[j + 1] += 2
+                bl[j] -= 1
+        # reassign: shortest lengths to most frequent symbols
+        order = sorted(syms, key=lambda s: (-freqs[s], s))
+        out = [0] * n_alpha
+        i = 0
+        for length in range(1, limit + 1):
+            for _ in range(bl[length]):
+                out[order[i]] = length
+                i += 1
+        lengths = out
+    return lengths
+
+
+# ---------------------------------------------------------------------------
+# reading huffman codes from the stream
+# ---------------------------------------------------------------------------
+
+def _read_huffman_code(br: _BitReader, alphabet: int) -> _HuffDecoder:
+    if br.bit():                                   # simple code
+        num_symbols = br.bit() + 1
+        if br.bit():                               # first symbol is 8-bit
+            s0 = br.bits(8)
+        else:
+            s0 = br.bits(1)
+        lengths = [0] * alphabet
+        if s0 >= alphabet:
+            raise MediaDecodeError("simple-code symbol out of alphabet")
+        if num_symbols == 2:
+            s1 = br.bits(8)
+            if s1 >= alphabet or s1 == s0:
+                raise MediaDecodeError("bad simple-code second symbol")
+            lengths[s0] = lengths[s1] = 1
+        else:
+            lengths[s0] = 1
+        return _HuffDecoder(lengths)
+    # normal: code-length-coded lengths
+    num_clc = 4 + br.bits(4)
+    clc_lengths = [0] * 19
+    for i in range(num_clc):
+        clc_lengths[_CLC_ORDER[i]] = br.bits(3)
+    clc = _HuffDecoder(clc_lengths)
+    lengths = [0] * alphabet
+    if br.bit():                                   # explicit max symbol
+        length_nbits = 2 + 2 * br.bits(3)
+        max_symbol = 2 + br.bits(length_nbits)
+    else:
+        max_symbol = alphabet
+    symbol = 0
+    prev_len = 8
+    while symbol < alphabet:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        code_len = clc.read(br)
+        if code_len < 16:
+            lengths[symbol] = code_len
+            symbol += 1
+            if code_len:
+                prev_len = code_len
+        else:
+            use_prev = code_len == 16
+            extra, offset = {16: (2, 3), 17: (3, 3), 18: (7, 11)}[code_len]
+            repeat = br.bits(extra) + offset
+            if symbol + repeat > alphabet:
+                raise MediaDecodeError("code-length repeat overflows")
+            fill = prev_len if use_prev else 0
+            for _ in range(repeat):
+                lengths[symbol] = fill
+                symbol += 1
+    return _HuffDecoder(lengths)
+
+
+def _prefix_value(br: _BitReader, code: int) -> int:
+    """LZ77 length/distance prefix decoding."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.bits(extra) + 1
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+def _read_pixels(br: _BitReader, w: int, h: int, level0: bool):
+    """One 'image' stream: [transforms if level0] + color cache bit +
+    [meta-huffman if level0] + huffman groups + pixel loop. Returns
+    (argb uint32 ndarray (h, w), transforms list) — transforms only at
+    level 0."""
+    transforms = []
+    seen = set()
+    eff_w = w
+    if level0:
+        while br.bit():
+            ttype = br.bits(2)
+            if ttype in seen:
+                raise MediaDecodeError("duplicate vp8l transform")
+            seen.add(ttype)
+            if ttype in (0, 1):                    # predictor / color
+                size_bits = br.bits(3) + 2
+                bw = -(-eff_w // (1 << size_bits))
+                bh = -(-h // (1 << size_bits))
+                data, _ = _read_pixels(br, bw, bh, False)
+                transforms.append((ttype, size_bits, data))
+            elif ttype == 2:                       # subtract green
+                transforms.append((2, None, None))
+            else:                                  # color indexing
+                n_colors = br.bits(8) + 1
+                pal, _ = _read_pixels(br, n_colors, 1, False)
+                pal = pal[0]
+                # palette is delta-coded per channel
+                out = pal.copy()
+                for i in range(1, n_colors):
+                    a = (out[i - 1] >> 24) + (pal[i] >> 24)
+                    r = ((out[i - 1] >> 16) & 0xFF) + ((pal[i] >> 16) & 0xFF)
+                    g = ((out[i - 1] >> 8) & 0xFF) + ((pal[i] >> 8) & 0xFF)
+                    b = (out[i - 1] & 0xFF) + (pal[i] & 0xFF)
+                    out[i] = ((a & 0xFF) << 24) | ((r & 0xFF) << 16) \
+                        | ((g & 0xFF) << 8) | (b & 0xFF)
+                if n_colors <= 2:
+                    wbits = 3
+                elif n_colors <= 4:
+                    wbits = 2
+                elif n_colors <= 16:
+                    wbits = 1
+                else:
+                    wbits = 0
+                transforms.append((3, wbits, out))
+                eff_w = -(-eff_w // (1 << wbits))
+
+    cache_bits = 0
+    if br.bit():
+        cache_bits = br.bits(4)
+        if not 1 <= cache_bits <= 11:
+            raise MediaDecodeError(f"bad color-cache bits {cache_bits}")
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+
+    meta = None
+    hbits = 0
+    n_groups = 1
+    if level0 and br.bit():                        # meta huffman
+        hbits = br.bits(3) + 2
+        mw = -(-eff_w // (1 << hbits))
+        mh = -(-h // (1 << hbits))
+        meta, _ = _read_pixels(br, mw, mh, False)
+        meta = ((meta >> 8) & 0xFFFF).astype(np.int64)
+        n_groups = int(meta.max()) + 1
+
+    green_alpha = _GREEN_BASE + _N_LENGTH_CODES + (1 << cache_bits
+                                                   if cache_bits else 0)
+    groups = []
+    for _ in range(n_groups):
+        groups.append((
+            _read_huffman_code(br, green_alpha),
+            _read_huffman_code(br, 256),           # red
+            _read_huffman_code(br, 256),           # blue
+            _read_huffman_code(br, 256),           # alpha
+            _read_huffman_code(br, _N_DISTANCE_CODES)))
+
+    npx = eff_w * h
+    out = np.zeros(npx, dtype=np.uint32)
+    pos = 0
+    while pos < npx:
+        if meta is not None:
+            x, y = pos % eff_w, pos // eff_w
+            g = groups[int(meta[y >> hbits, x >> hbits])]
+        else:
+            g = groups[0]
+        s = g[0].read(br)
+        if s < 256:
+            red = g[1].read(br)
+            blue = g[2].read(br)
+            alpha = g[3].read(br)
+            px = (alpha << 24) | (red << 16) | (s << 8) | blue
+            out[pos] = px
+            pos += 1
+            if cache is not None:
+                cache[((0x1E35A7BD * px) & 0xFFFFFFFF)
+                      >> (32 - cache_bits)] = px
+        elif s < _GREEN_BASE + _N_LENGTH_CODES:
+            length = _prefix_value(br, s - _GREEN_BASE)
+            dist_code = _prefix_value(br, g[4].read(br))
+            if dist_code > 120:
+                dist = dist_code - 120
+            else:
+                xoff, yoff = _DIST_MAP[dist_code - 1]
+                dist = max(1, xoff + yoff * eff_w)
+            if dist > pos or pos + length > npx:
+                raise MediaDecodeError("lz77 reference out of range")
+            for _ in range(length):                # overlap-safe copy
+                px = int(out[pos - dist])
+                out[pos] = px
+                pos += 1
+                if cache is not None:
+                    cache[((0x1E35A7BD * px) & 0xFFFFFFFF)
+                          >> (32 - cache_bits)] = px
+        else:
+            if cache is None:
+                raise MediaDecodeError("cache symbol without color cache")
+            out[pos] = cache[s - _GREEN_BASE - _N_LENGTH_CODES]
+            pos += 1
+    return out.reshape(h, eff_w), transforms
+
+
+def _avg2(a, b):
+    return (a + b) >> 1
+
+
+def _predictor(mode: int, L, T, TL, TR):
+    """Per-channel uint arrays (vectorized over channels)."""
+    if mode == 0:
+        return np.array([255, 0, 0, 0], dtype=np.int64)
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return _avg2(_avg2(L, TR), T)
+    if mode == 6:
+        return _avg2(L, TL)
+    if mode == 7:
+        return _avg2(L, T)
+    if mode == 8:
+        return _avg2(TL, T)
+    if mode == 9:
+        return _avg2(T, TR)
+    if mode == 10:
+        return _avg2(_avg2(L, TL), _avg2(T, TR))
+    if mode == 11:                                 # Select
+        p = L.astype(np.int64) + T - TL
+        pl = np.abs(p - L).sum()
+        pt = np.abs(p - T).sum()
+        return L if pl < pt else T
+    if mode == 12:                                 # ClampAddSubtractFull
+        return np.clip(L.astype(np.int64) + T - TL, 0, 255)
+    if mode == 13:                                 # ClampAddSubtractHalf
+        ave = _avg2(L.astype(np.int64), T)
+        return np.clip(ave + (ave - TL) // 2, 0, 255)
+    raise MediaDecodeError(f"bad predictor mode {mode}")
+
+
+def _split_argb(img32):
+    return np.stack([(img32 >> 24) & 0xFF, (img32 >> 16) & 0xFF,
+                     (img32 >> 8) & 0xFF, img32 & 0xFF],
+                    axis=-1).astype(np.int64)
+
+
+def _join_argb(ch):
+    ch = ch.astype(np.uint32) & 0xFF
+    return (ch[..., 0] << 24) | (ch[..., 1] << 16) \
+        | (ch[..., 2] << 8) | ch[..., 3]
+
+
+def _ct_delta(t, c):
+    """ColorTransformDelta: (int8)t * (int8)c >> 5 (arithmetic)."""
+    t8 = ((int(t) + 128) & 0xFF) - 128
+    c8 = ((int(c) + 128) & 0xFF) - 128
+    return (t8 * c8) >> 5
+
+
+def _apply_inverse(img32, transforms, w: int, h: int):
+    """Inverse transforms in reverse read order."""
+    for ttype, arg, data in reversed(transforms):
+        if ttype == 3:                             # color indexing
+            wbits, palette = arg, data
+            if wbits:
+                per = 1 << wbits                   # pixels per packed unit
+                bits = 8 >> wbits
+                mask = (1 << bits) - 1
+                packed = ((img32 >> 8) & 0xFF).astype(np.int64)
+                idx = np.zeros((h, w), dtype=np.int64)
+                for sub in range(per):
+                    cols = np.arange(sub, w, per)
+                    src = packed[:, (cols // per)]
+                    idx[:, cols] = (src >> (sub * bits)) & mask
+            else:
+                idx = ((img32 >> 8) & 0xFF).astype(np.int64)
+            if int(idx.max(initial=0)) >= len(palette):
+                raise MediaDecodeError("palette index out of range")
+            img32 = palette[idx].astype(np.uint32)
+        elif ttype == 2:                           # add green back
+            ch = _split_argb(img32)
+            ch[..., 1] = (ch[..., 1] + ch[..., 2]) & 0xFF
+            ch[..., 3] = (ch[..., 3] + ch[..., 2]) & 0xFF
+            img32 = _join_argb(ch)
+        elif ttype == 1:                           # color transform
+            size_bits, cte = arg, data
+            ch = _split_argb(img32)
+            for y in range(h):
+                cy = cte[y >> size_bits]
+                for x in range(w):
+                    e = int(cy[x >> size_bits])
+                    g2r = e & 0xFF
+                    g2b = (e >> 8) & 0xFF
+                    r2b = (e >> 16) & 0xFF
+                    g = ch[y, x, 2]
+                    r = (ch[y, x, 1] + _ct_delta(g2r, g)) & 0xFF
+                    b = (ch[y, x, 3] + _ct_delta(g2b, g)
+                         + _ct_delta(r2b, r)) & 0xFF
+                    ch[y, x, 1] = r
+                    ch[y, x, 3] = b
+            img32 = _join_argb(ch)
+        elif ttype == 0:                           # predictor
+            size_bits, modes = arg, data
+            modes_g = ((modes >> 8) & 0xFF).astype(np.int64)
+            ch = _split_argb(img32)
+            flat = ch.reshape(-1, 4)
+            for y in range(h):
+                for x in range(w):
+                    p = y * w + x
+                    if x == 0 and y == 0:
+                        pred = _predictor(0, None, None, None, None)
+                    elif y == 0:
+                        pred = flat[p - 1]         # L
+                    elif x == 0:
+                        pred = flat[p - w]         # T
+                    else:
+                        mode = int(modes_g[y >> size_bits, x >> size_bits])
+                        # TR at the last column wraps to flat index
+                        # pos - w + 1 (the libwebp flat-buffer rule)
+                        pred = _predictor(mode, flat[p - 1],
+                                          flat[p - w], flat[p - w - 1],
+                                          flat[p - w + 1])
+                    flat[p] = (flat[p] + pred) & 0xFF
+            img32 = _join_argb(flat.reshape(h, w, 4))
+    return img32
+
+
+@_decode_guard
+def decode_webp(payload: bytes) -> np.ndarray:
+    """RIFF/WEBP with a VP8L (lossless) chunk -> (h, w, 3) uint8 RGB
+    (alpha dropped, matching the other image decoders). Lossy VP8
+    chunks raise with a pointer at the decode_fn injection seam."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise MediaDecodeError("not a WEBP RIFF container")
+    pos = 12
+    chunk = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + size]
+        if tag == b"VP8L":
+            chunk = body
+            break
+        if tag in (b"VP8 ", b"VP8X"):
+            raise MediaDecodeError(
+                f"WEBP chunk {tag.decode('ascii', 'replace').strip()} is "
+                "lossy/extended — only VP8L (lossless) decodes in-repo; "
+                "plug an external decoder via decode_fn for VP8")
+        pos += 8 + size + (size & 1)
+    if chunk is None:
+        raise MediaDecodeError("no VP8L chunk in WEBP container")
+    if not chunk or chunk[0] != 0x2F:
+        raise MediaDecodeError("bad VP8L signature byte")
+    br = _BitReader(chunk[1:])
+    w = br.bits(14) + 1
+    h = br.bits(14) + 1
+    br.bit()                                       # alpha hint
+    if br.bits(3) != 0:
+        raise MediaDecodeError("unsupported VP8L version")
+    _check_pixel_budget("vp8l", w, h)
+    img32, transforms = _read_pixels(br, w, h, True)
+    img32 = _apply_inverse(img32, transforms, w, h)
+    ch = _split_argb(img32).astype(np.uint8)
+    return ch[..., 1:4][..., [0, 1, 2]]            # RGB from A,R,G,B
+
+
+# ---------------------------------------------------------------------------
+# minimal independent encoder (test pin)
+# ---------------------------------------------------------------------------
+
+def _write_huffman_code(bw: _BitWriter, lengths, alphabet: int) -> dict:
+    """Write one huffman code; returns symbol -> (code, len)."""
+    nz = [(s, l) for s, l in enumerate(lengths) if l > 0]
+    if len(nz) <= 2 and all(s < 256 for s, _ in nz):
+        bw.bits(1, 1)                              # simple
+        bw.bits(len(nz) - 1, 1)
+        s0 = nz[0][0]
+        if s0 > 1:
+            bw.bits(1, 1)
+            bw.bits(s0, 8)
+        else:
+            bw.bits(0, 1)
+            bw.bits(s0, 1)
+        if len(nz) == 2:
+            bw.bits(nz[1][0], 8)
+            return {nz[0][0]: (0, 1), nz[1][0]: (1, 1)}
+        return {nz[0][0]: (0, 0)}
+    bw.bits(0, 1)                                  # normal
+    # full-alphabet literal code lengths (no repeats, no max_symbol)
+    used = sorted({lengths[s] if s < len(lengths) else 0
+                   for s in range(alphabet)})
+    clc_freq = {}
+    for s in range(alphabet):
+        l = lengths[s] if s < len(lengths) else 0
+        clc_freq[l] = clc_freq.get(l, 0) + 1
+    clc_lengths_full = [0] * 19
+    if len(used) == 1:
+        clc_lengths_full[used[0]] = 1              # trivial 0-bit code
+        clc_codes = {used[0]: (0, 0)}
+    else:
+        ll = _limited_lengths(clc_freq, 7)
+        for s, l in enumerate(ll):
+            clc_lengths_full[s] = l
+        clc_codes = _canonical_codes(clc_lengths_full)
+    num_clc = max(i for i, s in enumerate(_CLC_ORDER)
+                  if clc_lengths_full[s] > 0) + 1
+    num_clc = max(num_clc, 4)
+    bw.bits(num_clc - 4, 4)
+    for i in range(num_clc):
+        bw.bits(clc_lengths_full[_CLC_ORDER[i]], 3)
+    bw.bits(0, 1)                                  # no explicit max_symbol
+    for s in range(alphabet):
+        l = lengths[s] if s < len(lengths) else 0
+        c, cl = clc_codes[l]
+        bw.code(c, cl)
+    return _canonical_codes(
+        list(lengths) + [0] * (alphabet - len(lengths)))
+
+
+def _code_for(freqs: dict) -> list:
+    """Frequencies -> lengths list, mapping 1-2 symbol codes to the
+    forms _write_huffman_code will emit as simple codes."""
+    syms = [s for s, f in freqs.items() if f > 0]
+    if not syms:
+        return [1]                                 # 1-symbol code of {0}
+    if len(syms) <= 2 and all(s < 256 for s in syms):
+        lengths = [0] * (max(syms) + 1)
+        for s in syms:
+            lengths[s] = 1
+        return lengths
+    return _limited_lengths(freqs, 15)
+
+
+def _emit_image(bw: _BitWriter, argb, cache_bits: int = 0,
+                groups_split: int | None = None, lz77: bool = False,
+                level0: bool = False) -> None:
+    """Entropy-code one (h, w) uint32 image. groups_split: column at
+    which a second huffman group starts (exercises meta-huffman); the
+    actual boundary snaps to the meta block grid, exactly as the
+    decoder will resolve it."""
+    h, w = argb.shape
+    flat = argb.reshape(-1)
+    cache = [None] * (1 << cache_bits) if cache_bits else None
+    _HB = 2                                        # meta block = 4 px
+
+    # token stream per group: (kind, payload). Group membership MUST
+    # mirror the decoder's meta lookup (per 1<<_HB block, not per
+    # column), or a split not on the block grid misassigns tokens.
+    def group_of(pos):
+        if groups_split is None:
+            return 0
+        return 1 if (((pos % w) >> _HB) << _HB) >= groups_split else 0
+
+    tokens = []
+    pos = 0
+    n = len(flat)
+    while pos < n:
+        px = int(flat[pos])
+        if lz77 and pos > 0 and px == int(flat[pos - 1]):
+            run = 1
+            while (pos + run < n and int(flat[pos + run]) == px
+                   and run < 4096 and group_of(pos + run) == group_of(pos)):
+                run += 1
+            if run >= 3:
+                tokens.append((group_of(pos), "lz", run, 1))
+                if cache is not None:
+                    cache[((0x1E35A7BD * px) & 0xFFFFFFFF)
+                          >> (32 - cache_bits)] = px
+                pos += run
+                continue
+        if cache is not None:
+            slot = ((0x1E35A7BD * px) & 0xFFFFFFFF) >> (32 - cache_bits)
+            if cache[slot] == px:
+                tokens.append((group_of(pos), "cache", slot, None))
+                pos += 1
+                continue
+            cache[slot] = px
+        tokens.append((group_of(pos), "lit", px, None))
+        pos += 1
+
+    def prefix_encode(v):
+        """value -> (code, extra_bits_value, extra_bits_count)."""
+        if v <= 4:
+            return v - 1, 0, 0
+        extra = max(0, (v - 1).bit_length() - 2)
+        base1 = 2 << extra
+        if v - 1 >= base1 + (1 << extra):
+            code = 2 * extra + 3
+            rem = (v - 1) - base1 - (1 << extra)
+        else:
+            code = 2 * extra + 2
+            rem = (v - 1) - base1
+        return code, rem, extra
+
+    n_groups = 1 if groups_split is None else 2
+    cache_syms = (1 << cache_bits) if cache_bits else 0
+    green_alpha = _GREEN_BASE + _N_LENGTH_CODES + cache_syms
+    freqs = [[{} for _ in range(5)] for _ in range(n_groups)]
+    for gi, kind, a, b in tokens:
+        f = freqs[gi]
+        if kind == "lit":
+            f[0][(a >> 8) & 0xFF] = f[0].get((a >> 8) & 0xFF, 0) + 1
+            f[1][(a >> 16) & 0xFF] = f[1].get((a >> 16) & 0xFF, 0) + 1
+            f[2][a & 0xFF] = f[2].get(a & 0xFF, 0) + 1
+            f[3][(a >> 24) & 0xFF] = f[3].get((a >> 24) & 0xFF, 0) + 1
+        elif kind == "lz":
+            lc, _, _ = prefix_encode(a)
+            f[0][256 + lc] = f[0].get(256 + lc, 0) + 1
+            dc, _, _ = prefix_encode(b + 120)      # always the direct form
+            f[4][dc] = f[4].get(dc, 0) + 1
+        else:
+            s = _GREEN_BASE + _N_LENGTH_CODES + a
+            f[0][s] = f[0].get(s, 0) + 1
+
+    # cache bit + size
+    if cache_bits:
+        bw.bits(1, 1)
+        bw.bits(cache_bits, 4)
+    else:
+        bw.bits(0, 1)
+
+    # the meta-huffman bit exists ONLY on level-0 images; sub-images
+    # (transform data, palettes, the entropy image itself) skip it
+    if n_groups == 2:
+        bw.bits(1, 1)                              # meta huffman present
+        bw.bits(_HB - 2, 3)
+        mw = -(-w // (1 << _HB))
+        mh = -(-h // (1 << _HB))
+        cols = (np.arange(mw) << _HB) >= groups_split
+        meta_img = np.tile((cols.astype(np.uint32) << 8), (mh, 1))
+        _emit_image(bw, meta_img)                  # recursive sub-image
+    elif level0:
+        bw.bits(0, 1)                              # level0, no meta
+
+    codes = []
+    for gi in range(n_groups):
+        f = freqs[gi]
+        if not f[4]:
+            f[4] = {0: 1}
+        for ch in (1, 2, 3):
+            if not f[ch]:
+                f[ch] = {0: 1}
+        g = (_write_huffman_code(bw, _code_for(f[0]), green_alpha),
+             _write_huffman_code(bw, _code_for(f[1]), 256),
+             _write_huffman_code(bw, _code_for(f[2]), 256),
+             _write_huffman_code(bw, _code_for(f[3]), 256),
+             _write_huffman_code(bw, _code_for(f[4]), _N_DISTANCE_CODES))
+        codes.append(g)
+
+    for gi, kind, a, b in tokens:
+        g = codes[gi]
+        if kind == "lit":
+            c, l = g[0][(a >> 8) & 0xFF]
+            bw.code(c, l)
+            c, l = g[1][(a >> 16) & 0xFF]
+            bw.code(c, l)
+            c, l = g[2][a & 0xFF]
+            bw.code(c, l)
+            c, l = g[3][(a >> 24) & 0xFF]
+            bw.code(c, l)
+        elif kind == "lz":
+            lc, rem, extra = prefix_encode(a)
+            c, l = g[0][256 + lc]
+            bw.code(c, l)
+            bw.bits(rem, extra)
+            dc, rem, extra = prefix_encode(b + 120)
+            c, l = g[4][dc]
+            bw.code(c, l)
+            bw.bits(rem, extra)
+        else:
+            c, l = g[0][_GREEN_BASE + _N_LENGTH_CODES + a]
+            bw.code(c, l)
+
+
+def encode_webp_lossless(arr: np.ndarray, subtract_green: bool = False,
+                         predictor_mode: int | None = None,
+                         palette: bool = False, cache_bits: int = 0,
+                         two_groups: bool = False,
+                         lz77: bool = False,
+                         color_transform: tuple | None = None) -> bytes:
+    """Independent minimal VP8L encoder for decoder tests: each option
+    exercises one decoder feature. ``predictor_mode`` applies ONE fixed
+    mode to every block (residuals computed with the same border rules
+    the decoder inverts); ``palette`` requires <= 256 distinct colors
+    and exercises sub-byte packing when <= 16; ``color_transform`` =
+    (g2r, g2b, r2b) int8 multipliers applied as one fixed
+    ColorTransformElement across all blocks."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = arr.shape
+    ch = np.zeros((h, w, 4), dtype=np.int64)
+    ch[..., 0] = 255
+    ch[..., 1] = arr[..., 0]
+    ch[..., 2] = arr[..., 1]
+    ch[..., 3] = arr[..., 2]
+
+    bw = _BitWriter()
+    bw.bits(w - 1, 14)
+    bw.bits(h - 1, 14)
+    bw.bits(0, 1)                                  # no alpha
+    bw.bits(0, 3)                                  # version
+
+    eff = _join_argb(ch)
+    # transforms are INVERTED in reverse read order, so the forward
+    # pipeline here applies them in reverse of how they are written
+    wrote = []
+    if palette:
+        colors = np.unique(eff.reshape(-1))
+        if len(colors) > 256:
+            raise ValueError("palette encoding needs <= 256 colors")
+        lut = {int(c): i for i, c in enumerate(colors)}
+        idx = np.vectorize(lambda p: lut[int(p)])(eff)
+        n_colors = len(colors)
+        if n_colors <= 2:
+            wbits = 3
+        elif n_colors <= 4:
+            wbits = 2
+        elif n_colors <= 16:
+            wbits = 1
+        else:
+            wbits = 0
+        if wbits:
+            per = 1 << wbits
+            bits = 8 >> wbits
+            pw = -(-w // per)
+            packed = np.zeros((h, pw), dtype=np.uint32)
+            for sub in range(per):
+                cols = np.arange(sub, w, per)
+                packed[:, cols // per] |= \
+                    (idx[:, cols].astype(np.uint32) << (sub * bits))
+            eff = (packed << 8) | 0xFF000000
+        else:
+            eff = (idx.astype(np.uint32) << 8) | 0xFF000000
+        wrote.append(("palette", colors, wbits))
+    if subtract_green:
+        c2 = _split_argb(eff)
+        c2[..., 1] = (c2[..., 1] - c2[..., 2]) & 0xFF
+        c2[..., 3] = (c2[..., 3] - c2[..., 2]) & 0xFF
+        eff = _join_argb(c2)
+        wrote.append(("subgreen",))
+    if color_transform is not None:
+        g2r, g2b, r2b = color_transform
+        size_bits = 3
+        c2 = _split_argb(eff)
+        hh, ww = eff.shape
+        for y in range(hh):
+            for x in range(ww):
+                g = c2[y, x, 2]
+                r = c2[y, x, 1]
+                # forward subtracts what the decoder's inverse adds;
+                # r2b is keyed on the ORIGINAL red (= the restored red)
+                c2[y, x, 1] = (r - _ct_delta(g2r, g)) & 0xFF
+                c2[y, x, 3] = (c2[y, x, 3] - _ct_delta(g2b, g)
+                               - _ct_delta(r2b, r)) & 0xFF
+        eff = _join_argb(c2)
+        bwid = -(-ww // (1 << size_bits))
+        bhei = -(-hh // (1 << size_bits))
+        cte = (0xFF000000 | ((r2b & 0xFF) << 16) | ((g2b & 0xFF) << 8)
+               | (g2r & 0xFF))
+        wrote.append(("color", size_bits,
+                      np.full((bhei, bwid), cte, dtype=np.uint32)))
+    if predictor_mode is not None:
+        size_bits = 4
+        c2 = _split_argb(eff)
+        flat = c2.reshape(-1, 4).copy()
+        res = flat.copy()
+        hh, ww = eff.shape
+        for y in range(hh):
+            for x in range(ww):
+                p = y * ww + x
+                if x == 0 and y == 0:
+                    pred = _predictor(0, None, None, None, None)
+                elif y == 0:
+                    pred = flat[p - 1]
+                elif x == 0:
+                    pred = flat[p - ww]
+                else:
+                    pred = _predictor(predictor_mode, flat[p - 1],
+                                      flat[p - ww], flat[p - ww - 1],
+                                      flat[p - ww + 1])
+                res[p] = (flat[p] - pred) & 0xFF
+        eff = _join_argb(res.reshape(hh, ww, 4))
+        bwid = -(-ww // (1 << size_bits))
+        bhei = -(-hh // (1 << size_bits))
+        modes = np.full((bhei, bwid),
+                        0xFF000000 | (predictor_mode << 8),
+                        dtype=np.uint32)
+        wrote.append(("predictor", size_bits, modes))
+
+    # write transform headers in REVERSE of the forward application
+    for t in reversed(wrote):
+        bw.bits(1, 1)
+        if t[0] == "predictor":
+            bw.bits(0, 2)
+            bw.bits(t[1] - 2, 3)
+            _emit_image(bw, t[2])
+        elif t[0] == "color":
+            bw.bits(1, 2)
+            bw.bits(t[1] - 2, 3)
+            _emit_image(bw, t[2])
+        elif t[0] == "subgreen":
+            bw.bits(2, 2)
+        else:
+            bw.bits(3, 2)
+            colors = t[1]
+            deltas = np.zeros(len(colors), dtype=np.uint32)
+            prev = 0
+            for i, c in enumerate(colors):
+                c = int(c)
+                a = ((c >> 24) - (prev >> 24)) & 0xFF
+                r = (((c >> 16) & 0xFF) - ((prev >> 16) & 0xFF)) & 0xFF
+                g = (((c >> 8) & 0xFF) - ((prev >> 8) & 0xFF)) & 0xFF
+                b = ((c & 0xFF) - (prev & 0xFF)) & 0xFF
+                deltas[i] = (a << 24) | (r << 16) | (g << 8) | b
+                prev = c
+            bw.bits(len(colors) - 1, 8)
+            _emit_image(bw, deltas.reshape(1, -1))
+    bw.bits(0, 1)                                  # no more transforms
+
+    _emit_image(bw, eff, cache_bits=cache_bits,
+                groups_split=(eff.shape[1] // 2 if two_groups else None),
+                lz77=lz77, level0=True)
+
+    payload = b"\x2f" + bw.bytes()
+    chunk = b"VP8L" + len(payload).to_bytes(4, "little") + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + len(riff).to_bytes(4, "little") + riff
