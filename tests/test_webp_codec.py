@@ -156,3 +156,35 @@ def test_image_features_corrupt_webp_nulls(spark):
     assert "webp" in (got[1]["decode_error"] or "").lower() or \
         "truncated" in (got[1]["decode_error"] or "").lower() or \
         got[1]["decode_error"]
+
+
+@pytest.mark.parametrize("kw", [
+    {"subtract_green": True, "predictor_mode": 7},
+    {"subtract_green": True, "color_transform": (12, -7, 3)},
+    {"color_transform": (12, -7, 3), "predictor_mode": 2},
+    {"subtract_green": True, "color_transform": (5, 9, -4),
+     "predictor_mode": 11, "cache_bits": 4, "lz77": True},
+])
+def test_stacked_transforms_order(kw):
+    # multi-transform streams: headers in forward application order,
+    # inverses applied reverse-read — the ordering contract that a
+    # single-transform round-trip can never catch
+    img = _img(10, 14)
+    assert np.array_equal(decode_webp(encode_webp_lossless(img, **kw)),
+                          img)
+
+
+@pytest.mark.parametrize("kw", [
+    {"palette": True, "predictor_mode": 1},
+    {"palette": True, "subtract_green": True},
+    {"palette": True, "predictor_mode": 8, "subtract_green": True},
+])
+def test_transforms_on_packed_palette_image(kw):
+    # transforms applied AFTER color-indexing operate at the PACKED
+    # width: the decoder must size their block grids and inverse loops
+    # at the current (packed) dims, not the final image dims
+    vals = RNG.randint(0, 256, size=(4, 3), dtype=np.uint8)  # 2-bit pack
+    idx = RNG.randint(0, 4, size=(9, 22))
+    img = vals[idx]
+    assert np.array_equal(decode_webp(encode_webp_lossless(img, **kw)),
+                          img)

@@ -341,7 +341,9 @@ def _read_pixels(br: _BitReader, w: int, h: int, level0: bool):
                     wbits = 1
                 else:
                     wbits = 0
-                transforms.append((3, wbits, out))
+                # record the PRE-palette width: the inverse unpacks back
+                # to it (transforms read before this one operate there)
+                transforms.append((3, (wbits, eff_w), out))
                 eff_w = -(-eff_w // (1 << wbits))
 
     cache_bits = 0
@@ -479,18 +481,22 @@ def _ct_delta(t, c):
 
 
 def _apply_inverse(img32, transforms, w: int, h: int):
-    """Inverse transforms in reverse read order."""
+    """Inverse transforms in reverse read order. Each step works at
+    the image's CURRENT dims (a predictor/color transform read after
+    color-indexing operates at the packed width); the palette inverse
+    expands back to the width recorded at read time."""
     for ttype, arg, data in reversed(transforms):
+        h, cur_w = img32.shape
         if ttype == 3:                             # color indexing
-            wbits, palette = arg, data
+            (wbits, out_w), palette = arg, data
             if wbits:
                 per = 1 << wbits                   # pixels per packed unit
                 bits = 8 >> wbits
                 mask = (1 << bits) - 1
                 packed = ((img32 >> 8) & 0xFF).astype(np.int64)
-                idx = np.zeros((h, w), dtype=np.int64)
+                idx = np.zeros((h, out_w), dtype=np.int64)
                 for sub in range(per):
-                    cols = np.arange(sub, w, per)
+                    cols = np.arange(sub, out_w, per)
                     src = packed[:, (cols // per)]
                     idx[:, cols] = (src >> (sub * bits)) & mask
             else:
@@ -508,7 +514,7 @@ def _apply_inverse(img32, transforms, w: int, h: int):
             ch = _split_argb(img32)
             for y in range(h):
                 cy = cte[y >> size_bits]
-                for x in range(w):
+                for x in range(cur_w):
                     e = int(cy[x >> size_bits])
                     g2r = e & 0xFF
                     g2b = (e >> 8) & 0xFF
@@ -526,23 +532,24 @@ def _apply_inverse(img32, transforms, w: int, h: int):
             ch = _split_argb(img32)
             flat = ch.reshape(-1, 4)
             for y in range(h):
-                for x in range(w):
-                    p = y * w + x
+                for x in range(cur_w):
+                    p = y * cur_w + x
                     if x == 0 and y == 0:
                         pred = _predictor(0, None, None, None, None)
                     elif y == 0:
                         pred = flat[p - 1]         # L
                     elif x == 0:
-                        pred = flat[p - w]         # T
+                        pred = flat[p - cur_w]     # T
                     else:
                         mode = int(modes_g[y >> size_bits, x >> size_bits])
                         # TR at the last column wraps to flat index
                         # pos - w + 1 (the libwebp flat-buffer rule)
                         pred = _predictor(mode, flat[p - 1],
-                                          flat[p - w], flat[p - w - 1],
-                                          flat[p - w + 1])
+                                          flat[p - cur_w],
+                                          flat[p - cur_w - 1],
+                                          flat[p - cur_w + 1])
                     flat[p] = (flat[p] + pred) & 0xFF
-            img32 = _join_argb(flat.reshape(h, w, 4))
+            img32 = _join_argb(flat.reshape(h, cur_w, 4))
     return img32
 
 
@@ -907,8 +914,13 @@ def encode_webp_lossless(arr: np.ndarray, subtract_green: bool = False,
                         dtype=np.uint32)
         wrote.append(("predictor", size_bits, modes))
 
-    # write transform headers in REVERSE of the forward application
-    for t in reversed(wrote):
+    # transform headers are written in FORWARD application order: the
+    # decoder inverts in reverse READ order, which then equals reverse
+    # application order — undoing the last-applied transform first.
+    # (Also keeps sub-image dims consistent: a predictor read after
+    # color-indexing declares its block grid at the packed width, which
+    # is the width it was computed at here.)
+    for t in wrote:
         bw.bits(1, 1)
         if t[0] == "predictor":
             bw.bits(0, 2)
