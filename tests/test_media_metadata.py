@@ -625,3 +625,25 @@ def test_sniff_tiff_orientation_tag():
     m = sniff_media(bytes(out), 0)
     assert (m["format"], m["width"], m["height"], m["orientation"]) == \
         ("tiff", 10, 20, 8)
+
+
+def test_vp8l_alpha_hint_drives_channels():
+    from valkey_search_spark.multimodal.metadata import _sniff_webp
+
+    def vp8l(alpha):
+        bits = (9 - 1) | ((7 - 1) << 14) | (int(alpha) << 28)
+        payload = bytes([0x2F]) + struct.pack("<I", bits)
+        return (b"RIFF" + struct.pack("<I", 4 + 8 + len(payload))
+                + b"WEBP" + b"VP8L" + struct.pack("<I", len(payload))
+                + payload)
+
+    assert _sniff_webp(vp8l(False))["channels"] == 3
+    assert _sniff_webp(vp8l(True))["channels"] == 4
+    # and the in-repo encoder's (alpha-less) output sniffs as 3-channel
+    import numpy as np
+
+    from valkey_search_spark.multimodal.webp import encode_webp_lossless
+
+    p = encode_webp_lossless(np.zeros((7, 9, 3), dtype=np.uint8))
+    m = _sniff_webp(p)
+    assert (m["width"], m["height"], m["channels"]) == (9, 7, 3)

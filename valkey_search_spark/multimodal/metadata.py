@@ -231,8 +231,10 @@ def _sniff_webp(p: bytes):
         return _img("webp", w, h, 3, 8)
     if cid == b"VP8L" and len(p) >= 25 and p[20] == 0x2F:
         bits = struct.unpack_from("<I", p, 21)[0]
+        # bit 28 is the alpha HINT: channels 4 only when it is set
         return _img("webp", (bits & 0x3FFF) + 1,
-                    ((bits >> 14) & 0x3FFF) + 1, 4, 8)
+                    ((bits >> 14) & 0x3FFF) + 1,
+                    4 if (bits >> 28) & 1 else 3, 8)
     if cid == b"VP8X" and len(p) >= 30:
         w = int.from_bytes(p[24:27], "little") + 1
         h = int.from_bytes(p[27:30], "little") + 1
