@@ -284,6 +284,45 @@ def main():
                         "segments": hr.n_segments, "clusters": n_cl,
                         "recall_at_10": round(hits / max(n_exact, 1), 3),
                         "batch_sec": sec})
+    # clustered-corpus routing leg: real embedding corpora cluster
+    # (that is why IVF works); derive that structure from the
+    # testdata's own label column (embedding + 25*e_label, the same
+    # derive-from-testdata precedent as _synth_urls) so the routed row
+    # can demonstrate its design point — equal recall at lower cost —
+    # rather than the isotropic floor above
+    embc = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select("vec_id", "label",
+                    F.transform(
+                        F.col("embedding").cast("array<double>"),
+                        lambda x, i: F.when(
+                            i == F.col("label") % 64,
+                            x + F.lit(25.0)).otherwise(x))
+                    .cast("array<float>").alias("embedding")))
+    hc_path = (f"/tmp/valkey_hnsw_c_"
+               f"{os.path.basename(sf_dir.rstrip('/'))}")
+    hc = HNSWIndex.build(embc, hc_path, metric="l2", m=8,
+                         ef_construction=60, max_segment_rows=256,
+                         partitioner="kmeans")
+    qc = embc.where(F.col("vec_id") < 100) \
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    exact_c = knn_join_hnsw(qc, hc, k=10, ef=10**6).select("qid", "vec_id")
+    n_exact_c = exact_c.count()
+    for route in (None, 2):
+        approx = knn_join_hnsw(qc, hc, k=10, ef=48,
+                               route_segments=route) \
+            .select("qid", "vec_id")
+        approx.count()
+        t0 = time.perf_counter()
+        approx.count()
+        sec = round(time.perf_counter() - t0, 3)
+        hits = approx.join(exact_c, ["qid", "vec_id"]).count()
+        curve_h.append({
+            "ef": 48,
+            "tier": ("clustered_unrouted" if route is None
+                     else f"clustered_routed_r{route}"),
+            "segments": hc.n_segments, "clusters": len(hc.seg_map),
+            "recall_at_10": round(hits / max(n_exact_c, 1), 3),
+            "batch_sec": sec})
     ann_recall_hnsw = {"m": hidx.m, "segments": hidx.n_segments,
                        "k": 10, "queries": 100, "curve": curve_h}
 
