@@ -2083,11 +2083,29 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def b_maxsim_score(spark, sf_dir):
         return queries()["maxsim_score"](spark, sf_dir)
 
+    def b_fuzzy_decontaminate(spark, sf_dir):
+        # whole-document fuzzy contamination: every 7th doc is the
+        # benchmark; flags ride the asymmetric LSH (benchmark = small
+        # side); exact-Jaccard-verified in tests/test_fuzzy_decontaminate
+        from valkey_search_spark.operators.contamination import (
+            fuzzy_decontaminate,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text")
+        bench = (docs.where("doc_id % 7 = 0")
+                 .select(F.col("doc_id").alias("bid"),
+                         F.col("text").alias("btext")))
+        return fuzzy_decontaminate(docs, bench, benchmark_key="bid",
+                                   benchmark_text_col="btext",
+                                   threshold=0.9).where("contaminated")
+
     return {
         # single-form twins of the consolidated driver-union rows, kept
         # here so bench timings stay name-comparable round-over-round
         "dedup_exact": b_dedup_exact,
         "maxsim_score": b_maxsim_score,
+        "hygiene_fuzzy_decontaminate": b_fuzzy_decontaminate,
         "text_term": _search("parts", "widget", ["p_partkey", "p_name"]),
         "text_term_stem": _search("docs", "tables", DOC_COLS),
         "text_proximity": _search("docs", "batch stream", DOC_COLS,

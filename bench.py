@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "search_maxsim_wide",
     "mine_negatives",
     "maxsim_score",
+    "hygiene_fuzzy_decontaminate",
 ]
 
 

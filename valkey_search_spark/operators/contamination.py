@@ -108,6 +108,67 @@ def ngram_decontaminate(train: DataFrame, benchmark: DataFrame,
                          ).alias("contaminated")))
 
 
+def fuzzy_decontaminate(train: DataFrame, benchmark: DataFrame,
+                        key: str = "doc_id", text_col: str = "text",
+                        benchmark_key: str = "doc_id",
+                        benchmark_text_col: str = "text",
+                        threshold: float = 0.8,
+                        **lsh_kwargs) -> DataFrame:
+    """WHOLE-DOCUMENT fuzzy contamination: flag training docs that are
+    near-duplicates (shingle Jaccard >= ``threshold``) of any benchmark
+    document — the complement of ``ngram_decontaminate``'s exact
+    n-gram check, catching reformatted / lightly-paraphrased test
+    documents that no 13-gram survives verbatim.
+
+    Returns (key, max_benchmark_jaccard double — 0.0 when clean,
+    contaminated bool) with one row per training doc.
+
+    Scale shape: rides ``minhash_lsh_pairs``' ASYMMETRIC incremental
+    join with the benchmark as the small "new" side — candidate pairs
+    always involve a benchmark doc, so the training corpus is never
+    self-joined (no train x train quadratic term) and the benchmark
+    bands broadcast while the corpus bands stream map-side. Candidates
+    are verified with exact hashed-shingle Jaccard before flagging
+    (no banding false positives); exact duplicates are always caught
+    (identical signatures collide in every band). ``lsh_kwargs`` pass
+    through (num_hashes, bands, shingle_n).
+    """
+    from .dedup import minhash_lsh_pairs
+
+    # surrogate string keys: the two corpora may reuse key values, and
+    # the LSH contract needs global uniqueness. "t:"/"b:" prefixes also
+    # classify each pair side for free.
+    t = train.select(
+        F.concat(F.lit("t:"), F.col(key).cast("string")).alias("__ck"),
+        F.col(text_col).alias("__ctext"), F.lit(False).alias("__bench"))
+    b = benchmark.select(
+        F.concat(F.lit("b:"), F.col(benchmark_key).cast("string"))
+        .alias("__ck"),
+        F.col(benchmark_text_col).alias("__ctext"),
+        F.lit(True).alias("__bench"))
+    pairs = minhash_lsh_pairs(t.unionByName(b), "__ck", "__ctext",
+                              threshold=threshold, new_col="__bench",
+                              **lsh_kwargs)
+    # keep train<->benchmark pairs only (benchmark-benchmark pairs are
+    # a byproduct of the asymmetric mode), reorient to the train side
+    hit = (pairs.where(F.col("a").startswith("t:")
+                       != F.col("b").startswith("t:"))
+           .select(F.when(F.col("a").startswith("t:"), F.col("a"))
+                   .otherwise(F.col("b")).alias("__ck"),
+                   F.col("jaccard"))
+           .groupBy("__ck")
+           .agg(F.max("jaccard").alias("max_benchmark_jaccard")))
+    keys = train.select(
+        F.col(key),
+        F.concat(F.lit("t:"), F.col(key).cast("string")).alias("__ck"))
+    return (keys.join(hit, "__ck", "left")
+            .select(key,
+                    F.coalesce(F.col("max_benchmark_jaccard"),
+                               F.lit(0.0)).alias("max_benchmark_jaccard"),
+                    F.col("max_benchmark_jaccard").isNotNull()
+                    .alias("contaminated")))
+
+
 # ---------------------------------------------------------------------------
 # PII patterns (RE2-safe: no lookaround). Published/standard shapes:
 # emails, international-ish phone numbers, dotted-quad IPv4, SSN-style.
