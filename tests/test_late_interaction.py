@@ -221,3 +221,20 @@ def test_maxsim_score_empty_bag_scores_null_not_nan(spark):
     ranked = [r["doc_id"] for r in
               res.orderBy(F.col("score").desc()).collect()]
     assert ranked == [10, 11]
+
+
+def test_query_size_hint_skips_probe_but_keeps_guard(spark):
+    queries = spark.createDataFrame(
+        [(1, [[1.0, 0.0], [0.0, 1.0]])],
+        "qid int, vecs array<array<float>>")
+    docs = spark.createDataFrame(
+        [(10, [[1.0, 0.0]])], "doc_id int, vecs array<array<float>>")
+    # hint exceeding the cap raises WITHOUT running the probe job
+    with pytest.raises(ValueError, match="max_broadcast_bytes"):
+        maxsim_join(queries, docs, k=2, max_broadcast_bytes=64,
+                    query_size_hint=(1_000_000, 2))
+    # accurate hint under the cap runs and matches the unhinted result
+    a = sorted(map(tuple, maxsim_join(
+        queries, docs, k=2, query_size_hint=(2, 2)).collect()))
+    b = sorted(map(tuple, maxsim_join(queries, docs, k=2).collect()))
+    assert a == b and len(a) == 1

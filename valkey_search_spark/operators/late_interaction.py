@@ -57,7 +57,8 @@ def _stack_bag(toks, key, side: str) -> np.ndarray:
 
 def _stack_query_tokens(queries: DataFrame, query_key: str,
                         qvecs_col: str, metric: str,
-                        max_broadcast_bytes: int | None = 1 << 30):
+                        max_broadcast_bytes: int | None = 1 << 30,
+                        query_size_hint: tuple[int, int] | None = None):
     """Collect the query token bags (the SMALL side, like knn_join's
     corpus broadcast) into (keys, Q matrix, row offsets).
 
@@ -67,16 +68,24 @@ def _stack_query_tokens(queries: DataFrame, query_key: str,
     raises with guidance past the cap — token bags make auto-routing to
     a bucketed plan ambiguous, so an explicit error beats a driver OOM.
     Pass ``max_broadcast_bytes=None`` to skip the check for a query
-    frame known to fit."""
+    frame known to fit, or ``query_size_hint=(total_tokens, dim)`` to
+    keep the check without the probe job (the ``corpus_size_hint``
+    recipe from knn_join)."""
     pruned = (queries.select(query_key, qvecs_col)
               .where(F.col(qvecs_col).isNotNull())
               .where(F.size(F.col(qvecs_col)) > 0))
     if max_broadcast_bytes is not None:
-        probe = pruned.select(
-            F.sum(F.size(F.col(qvecs_col))).alias("toks"),
-            F.max(F.size(F.element_at(F.col(qvecs_col), 1))).alias("dim"),
-        ).first()
-        est = int(probe["toks"] or 0) * int(probe["dim"] or 0) * 8
+        if query_size_hint is not None:
+            toks, dim = query_size_hint
+        else:
+            probe = pruned.select(
+                F.sum(F.size(F.col(qvecs_col))).alias("toks"),
+                F.max(F.size(F.element_at(F.col(qvecs_col), 1)))
+                .alias("dim"),
+            ).first()
+            toks = int(probe["toks"] or 0)
+            dim = int(probe["dim"] or 0)
+        est = toks * dim * 8
         if est > max_broadcast_bytes:
             raise ValueError(
                 f"maxsim query side estimates {est} bytes stacked "
@@ -105,7 +114,9 @@ def maxsim_join(queries: DataFrame, docs: DataFrame, k: int = 10,
                 query_key: str = "qid", doc_key: str = "doc_id",
                 qvecs_col: str = "vecs", dvecs_col: str = "vecs",
                 metric: str = "ip",
-                max_broadcast_bytes: int | None = 1 << 30) -> DataFrame:
+                max_broadcast_bytes: int | None = 1 << 30,
+                query_size_hint: tuple[int, int] | None = None
+                ) -> DataFrame:
     """Top-k documents per query under MaxSim. ``metric``: "ip" (raw
     dot, ColBERT's convention) or "cosine" (both token sets
     L2-normalized first). Returns (query_key, doc_key, score, rank),
@@ -123,7 +134,8 @@ def maxsim_join(queries: DataFrame, docs: DataFrame, k: int = 10,
     if metric not in ("ip", "cosine"):
         raise ValueError(f"unknown metric {metric!r}")
     qkeys, qmat, qoffs = _stack_query_tokens(
-        queries, query_key, qvecs_col, metric, max_broadcast_bytes)
+        queries, query_key, qvecs_col, metric, max_broadcast_bytes,
+        query_size_hint)
     nq = len(qkeys)
     kk = int(k)
 
