@@ -671,6 +671,15 @@ def _emit_image(bw: _BitWriter, argb, cache_bits: int = 0,
     cache = [None] * (1 << cache_bits) if cache_bits else None
     _HB = 2                                        # meta block = 4 px
 
+    # the split snaps to the meta block grid; when no block actually
+    # lands past it (narrow image), the meta image would be all-zeros
+    # and the DECODER would infer ONE group (max+1) — writing two would
+    # desync the stream, so degrade to the single-group form
+    if groups_split is not None:
+        mw = -(-w // (1 << _HB))
+        if not (((mw - 1) << _HB) >= groups_split):
+            groups_split = None
+
     # token stream per group: (kind, payload). Group membership MUST
     # mirror the decoder's meta lookup (per 1<<_HB block, not per
     # column), or a split not on the block grid misassigns tokens.
