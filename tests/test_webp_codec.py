@@ -188,3 +188,23 @@ def test_transforms_on_packed_palette_image(kw):
     img = vals[idx]
     assert np.array_equal(decode_webp(encode_webp_lossless(img, **kw)),
                           img)
+
+
+def test_vp8x_wrapped_lossless_decodes():
+    # cwebp wraps VP8L in a VP8X extended container when metadata rides
+    # along; the decoder must skip VP8X/EXIF chunks and find the frame
+    img = _img(5, 6)
+    plain = encode_webp_lossless(img)
+    vp8l_chunk_at = plain.index(b"VP8L")
+    inner = plain[vp8l_chunk_at:]
+    vp8x = b"VP8X" + (10).to_bytes(4, "little") + bytes(10)
+    exif = b"EXIF" + (3).to_bytes(4, "little") + b"abc\x00"  # odd->pad
+    body = b"WEBP" + vp8x + exif + inner
+    wrapped = b"RIFF" + len(body).to_bytes(4, "little") + body
+    assert np.array_equal(decode_webp(wrapped), img)
+    from valkey_search_spark.multimodal.webp import has_vp8l
+    assert has_vp8l(wrapped) and has_vp8l(plain)
+    assert not has_vp8l(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+    # dispatch routes the wrapped payload too
+    from valkey_search_spark.multimodal.columns import _decode_image
+    assert np.array_equal(_decode_image(wrapped, fake=False), img)

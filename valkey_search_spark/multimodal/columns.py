@@ -100,10 +100,14 @@ def _decode_image(payload: bytes, fake: bool, decode_fn=None) -> np.ndarray:
             return decode_gif(payload)
         if payload[:4] in (b"II*\x00", b"MM\x00*"):
             return decode_tiff(payload)
-        if payload[:4] == b"RIFF" and payload[8:16] == b"WEBPVP8L":
-            from .webp import decode_webp
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            from .webp import decode_webp, has_vp8l
 
-            return decode_webp(payload)
+            # VP8X-wrapped lossless files (cwebp emits the extended
+            # container when metadata rides along) still decode; lossy
+            # VP8 falls through to the decode_fn seam below
+            if has_vp8l(payload):
+                return decode_webp(payload)
         # decoder-injection seam: a deployment with PIL/opencv plugs in
         # here for the formats the vendored codecs don't cover — the
         # vendored path above stays the default and is never bypassed

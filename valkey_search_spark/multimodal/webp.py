@@ -553,6 +553,22 @@ def _apply_inverse(img32, transforms, w: int, h: int):
     return img32
 
 
+def has_vp8l(payload: bytes) -> bool:
+    """Cheap chunk scan: does this RIFF/WEBP container hold a VP8L
+    (lossless) frame? Used by the image dispatch to route VP8X-wrapped
+    lossless files here while lossy VP8 falls through to the
+    decode_fn injection seam."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        return False
+    pos = 12
+    while pos + 8 <= len(payload):
+        if payload[pos:pos + 4] == b"VP8L":
+            return True
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        pos += 8 + size + (size & 1)
+    return False
+
+
 @_decode_guard
 def decode_webp(payload: bytes) -> np.ndarray:
     """RIFF/WEBP with a VP8L (lossless) chunk -> (h, w, 3) uint8 RGB
@@ -562,6 +578,7 @@ def decode_webp(payload: bytes) -> np.ndarray:
         raise MediaDecodeError("not a WEBP RIFF container")
     pos = 12
     chunk = None
+    saw_lossy = False
     while pos + 8 <= len(payload):
         tag = payload[pos:pos + 4]
         size = int.from_bytes(payload[pos + 4:pos + 8], "little")
@@ -569,13 +586,17 @@ def decode_webp(payload: bytes) -> np.ndarray:
         if tag == b"VP8L":
             chunk = body
             break
-        if tag in (b"VP8 ", b"VP8X"):
-            raise MediaDecodeError(
-                f"WEBP chunk {tag.decode('ascii', 'replace').strip()} is "
-                "lossy/extended — only VP8L (lossless) decodes in-repo; "
-                "plug an external decoder via decode_fn for VP8")
+        if tag == b"VP8 ":
+            saw_lossy = True
+        # VP8X (extended container) / EXIF / ICCP / XMP / ANIM chunks
+        # are skipped — a VP8L chunk later in the file still decodes
         pos += 8 + size + (size & 1)
     if chunk is None:
+        if saw_lossy:
+            raise MediaDecodeError(
+                "WEBP carries a lossy VP8 frame — only VP8L (lossless) "
+                "decodes in-repo; plug an external decoder via "
+                "decode_fn for VP8")
         raise MediaDecodeError("no VP8L chunk in WEBP container")
     if not chunk or chunk[0] != 0x2F:
         raise MediaDecodeError("bad VP8L signature byte")
