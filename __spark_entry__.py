@@ -2083,6 +2083,15 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def b_maxsim_score(spark, sf_dir):
         return queries()["maxsim_score"](spark, sf_dir)
 
+    def b_corpus_diversity(spark, sf_dir):
+        # corpus-level distinct-n / cross-doc overlap / entropy (the
+        # synthetic-data curation report; DuckDB-pinned in
+        # tests/test_diversity.py)
+        from valkey_search_spark.operators.textops import diversity_metrics
+
+        docs = load_table(spark, sf_dir, "documents")
+        return diversity_metrics(docs)
+
     def b_fuzzy_decontaminate(spark, sf_dir):
         # whole-document fuzzy contamination: every 7th doc is the
         # benchmark; flags ride the asymmetric LSH (benchmark = small
@@ -2106,6 +2115,7 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": b_dedup_exact,
         "maxsim_score": b_maxsim_score,
         "hygiene_fuzzy_decontaminate": b_fuzzy_decontaminate,
+        "corpus_diversity": b_corpus_diversity,
         "text_term": _search("parts", "widget", ["p_partkey", "p_name"]),
         "text_term_stem": _search("docs", "tables", DOC_COLS),
         "text_proximity": _search("docs", "batch stream", DOC_COLS,

@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "mine_negatives",
     "maxsim_score",
     "hygiene_fuzzy_decontaminate",
+    "corpus_diversity",
 ]
 
 

@@ -178,6 +178,55 @@ def analyze_documents(df: DataFrame, text_col: str = "text",
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
+
+
+def diversity_metrics(df: DataFrame, key: str = "doc_id",
+                      text_col: str = "text",
+                      ns: tuple[int, ...] = (1, 2, 3)) -> DataFrame:
+    """Corpus-level lexical diversity — the standard synthetic-data
+    curation report (distinct-n from Li et al. 2016's Distinct metric;
+    cross-document overlap is the corpus-level complement of Self-BLEU):
+    one row per n with
+
+    - ``total_ngrams`` / ``distinct_ngrams`` and ``distinct_ratio``
+      (distinct/total — low = the corpus repeats itself),
+    - ``cross_doc_fraction``: share of distinct n-grams appearing in
+      MORE THAN ONE document (high = documents echo each other — the
+      mode-collapse signature in generated corpora),
+    - ``entropy_bits``: Shannon entropy of the n-gram distribution
+      (log2(distinct) when perfectly uniform).
+
+    Scale shape: all n values ride the SAME two data shuffles (the
+    line-dedup family) — gram rows for every n union into one
+    (n, gram, doc) pre-aggregation and one (n, gram) aggregation, both
+    combiner-reduced map-side (gram identity = xxhash64 of the token
+    slice, the gram_set contract), then an n-row final aggregate. No
+    driver materialization beyond the len(ns)-row result."""
+    from .contamination import gram_set
+
+    parts = []
+    for n in ns:
+        g = gram_set(df, key, text_col, int(n), "__dk")
+        parts.append(g.select(F.lit(int(n)).alias("n"), "__gram", "__dk"))
+    allg = parts[0]
+    for p in parts[1:]:
+        allg = allg.unionByName(p)
+    per_gram = (allg.groupBy("n", "__gram")
+                .agg(F.count(F.lit(1)).alias("occ"),
+                     F.count_distinct("__dk").alias("docs")))
+    return (per_gram.groupBy("n")
+            .agg(F.sum("occ").alias("total_ngrams"),
+                 F.count(F.lit(1)).alias("distinct_ngrams"),
+                 (F.count(F.lit(1)) / F.sum("occ"))
+                 .alias("distinct_ratio"),
+                 (F.sum(F.when(F.col("docs") > 1, 1).otherwise(0))
+                  / F.count(F.lit(1))).alias("cross_doc_fraction"),
+                 (F.log2(F.sum("occ"))
+                  - F.sum(F.col("occ") * F.log2("occ")) / F.sum("occ"))
+                 .alias("entropy_bits"))
+            .orderBy("n"))
+
+
 def gopher_quality_flags(df: DataFrame, text_col: str = "text",
                          min_words: int = 50,
                          max_words: int = 100_000) -> DataFrame:
