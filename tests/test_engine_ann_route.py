@@ -98,3 +98,15 @@ def test_ft_info_reports_partitioner_and_routability(eng):
     ann = vec["index"]["ann"]
     assert ann["partitioner"] == "kmeans"
     assert ann["routable_segments"] == ann["segments"]
+
+
+def test_info_search_counts_routed_requests(eng):
+    e, df = eng
+    before = e.info_search()["query"].get("routed_requests_count", 0)
+    qv = [float(x) for x in df.first()["embedding"]]
+    e.ft_search("vr", "*=>[KNN 3 @embedding $v]", params={"v": qv},
+                ann_ef=64, ann_route=2, limit=(0, 3)).collect()
+    e.ft_search("vr", "*=>[KNN 3 @embedding $v]", params={"v": qv},
+                ann_ef=64, limit=(0, 3)).collect()   # unrouted: no bump
+    after = e.info_search()["query"]["routed_requests_count"]
+    assert after == before + 1

@@ -339,7 +339,8 @@ class SearchEngine:
                 "successful_requests_count", "failure_requests_count",
                 "vector_requests_count", "nonvector_requests_count",
                 "hybrid_requests_count", "inline_filtering_requests_count",
-                "prefiltering_requests_count")},
+                "prefiltering_requests_count",
+                "routed_requests_count")},
             "latency": {k: int(m[k]) for k in (
                 "flat_vector_index_search_latency_usec",
                 "hnsw_vector_index_search_latency_usec")},
@@ -611,6 +612,10 @@ class SearchEngine:
             if prefilter is not None and not explaining:
                 # predicate evaluated IN-traversal on the graph
                 self._metrics["inline_filtering_requests_count"] += 1
+            if ann_route is not None and not explaining:
+                # segment routing engaged (extension metric — the
+                # reference has no segment concept to route over)
+                self._metrics["routed_requests_count"] += 1
             hits = artifact.search(parsed.knn.vector, k=parsed.knn.k,
                                    ef=ann_ef, where=prefilter,
                                    route_segments=ann_route)
