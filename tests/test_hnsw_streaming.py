@@ -132,3 +132,51 @@ def test_document_store_mirrors_into_hnsw_artifact(spark, tmp_path):
     assert best["__key"] == "3" and best["__score"] == 0.0
     # store and index agree on membership
     assert store.read().where("__key = '9'").count() == 0
+
+
+def test_streamed_rows_found_under_routed_search(spark, tmp_path):
+    """Round-8 routing x streaming: rows appended by a mutation stream
+    land in hash-assigned (non-routable) segments — a ROUTED search
+    must still find them (non-routable segments are always probed),
+    and compact() folds them under fresh centroids."""
+    from valkey_search_spark.operators.hnsw import knn_join_hnsw
+
+    rng = np.random.RandomState(4)
+    # two far-apart clusters, kmeans-partitioned
+    rows = [(int(i), [float(x + (100.0 if i % 2 else 0.0))
+                      for x in rng.randn(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    idx = HNSWIndex.build(df, str(tmp_path / "kidx"), metric="l2", m=6,
+                          ef_construction=40, max_segment_rows=1000,
+                          n_segments=2, partitioner="kmeans")
+
+    mut_dir = tmp_path / "muts2"
+    mut_dir.mkdir()
+    # a brand-new far-away cluster arrives via the stream
+    new_rows = [Row(vec_id=int(900 + i),
+                    embedding=[float(500 + rng.randn())] * 8)
+                for i in range(8)]
+    spark.createDataFrame(new_rows).write.mode("append") \
+        .parquet(str(mut_dir))
+
+    def apply_batch(batch_df, epoch_id):
+        idx.append(batch_df.select("vec_id", "embedding"))
+
+    stream = (spark.readStream
+              .schema(spark.createDataFrame(new_rows).schema)
+              .parquet(str(mut_dir)))
+    (stream.writeStream.foreachBatch(apply_batch)
+     .option("checkpointLocation", str(tmp_path / "ckpt2"))
+     .trigger(availableNow=True).start().awaitTermination(120))
+
+    assert len(idx.routable_segments()) < idx.n_segments
+    q = spark.createDataFrame(
+        [(0, [500.0] * 8)], "qid long, embedding array<float>")
+    hits = knn_join_hnsw(q, idx, k=5, ef=10**6, route_segments=1)
+    got = {r["vec_id"] for r in hits.collect()}
+    assert got <= {900 + i for i in range(8)} and len(got) == 5
+    # compaction restores routability and keeps the streamed rows
+    idx.compact(max_segment_rows=1000)
+    assert idx.routable_segments() == set(range(idx.n_segments))
+    hits2 = knn_join_hnsw(q, idx, k=5, ef=10**6, route_segments=1)
+    assert {r["vec_id"] for r in hits2.collect()} == got
