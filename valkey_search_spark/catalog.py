@@ -506,7 +506,8 @@ class Catalog:
                         "m": ann.m,
                         "ef_construction": ann.ef_construction,
                         "mutation_generation": ann.gen,
-                        "storage": ("int8_graph" if ann.quantized
+                        "storage": ("pq_graph" if ann.pq is not None
+                                    else "int8_graph" if ann.quantized
                                     else "float32_graph"),
                         "partitioner": ann.partitioner,
                         "routable_segments":

@@ -381,7 +381,8 @@ class HNSWIndex:
                  payload_cols: tuple[str, ...] = (), gen: int = 0,
                  quantized: bool = False, partitioner: str = "hash",
                  centroids: np.ndarray | None = None,
-                 seg_map: list[list[int]] | None = None):
+                 seg_map: list[list[int]] | None = None,
+                 pq=None):
         self.spark = spark
         self.path = path
         self.vec_col = vec_col
@@ -401,6 +402,7 @@ class HNSWIndex:
         self.partitioner = partitioner
         self.centroids = centroids        # (n_clusters, dim) or None
         self.seg_map = seg_map            # cluster -> [physical seg ids]
+        self.pq = pq                      # PQCodebook or None (PQ tier)
 
     def routable_segments(self) -> set[int]:
         """Physical segment ids coverable by centroid routing. Segments
@@ -420,7 +422,9 @@ class HNSWIndex:
               n_segments: int | None = None, seed: int = 42,
               payload_cols: tuple[str, ...] = (),
               quantize: bool = False, partitioner: str = "hash",
-              sample_fraction: float | None = None) -> "HNSWIndex":
+              sample_fraction: float | None = None,
+              pq_m: int | None = None,
+              _pq_codebook=None) -> "HNSWIndex":
         """One partition pass + one graph build per segment.
 
         ``max_segment_rows`` is the scale dial: it caps the numpy graph
@@ -451,10 +455,26 @@ class HNSWIndex:
         still built on the full-precision floats (edge selection
         quality is unchanged); only storage and search-time distances
         see quantization error (recall pinned in tests, same contract
-        as IVFIndex's int8 tier)."""
+        as IVFIndex's int8 tier).
+
+        ``pq_m=<m>`` goes further (the IVF parity tier): product-
+        quantized storage, m CODE BYTES per vector (32x smaller at
+        d=64/m=8 — the DiskANN-style codes-in-RAM/graph-in-RAM dial).
+        Reads reconstruct approximate floats JVM-side
+        (PQCodebook.attach_decode), so every search path works
+        unchanged at PQ-reconstruction precision. NOTE this trades the
+        full-explore EXACTNESS contract for storage: distances on a PQ
+        index are approximate at any ef (recall pinned in tests; use
+        the float or int8 tier when exactness matters). Mutually
+        exclusive with ``quantize``; ``append`` encodes with the FROZEN
+        build-time codebook (drift caveat as IVF), ``compact`` keeps
+        it (re-encoding reconstructions with the same codebook is
+        stable — codes are already nearest-centroid)."""
         path = require_local_path(path, "HNSWIndex artifacts")
         if partitioner not in ("hash", "kmeans"):
             raise ValueError(f"unknown partitioner {partitioner!r}")
+        if quantize and (pq_m or _pq_codebook is not None):
+            raise ValueError("quantize and pq_m are mutually exclusive")
         spark = df.sparkSession
         work = _prepare_vectors(df, vec_col,
                                 [key_col, vec_col, *payload_cols], metric)
@@ -480,20 +500,39 @@ class HNSWIndex:
             work = work.withColumn(
                 "__seg", F.pmod(F.xxhash64(F.col(key_col)),
                                 F.lit(n_segments)).cast("int"))
+        codebook = _pq_codebook
+        if codebook is None and pq_m:
+            from ..functions.pq import PQCodebook
+
+            probe = work.select(F.size(F.col(vec_col))).first()
+            if probe is not None and probe[0] % pq_m:
+                raise ValueError(
+                    f"dim {probe[0]} not divisible by m={pq_m}")
+            codebook = PQCodebook.train(work, vec_col, m=pq_m, seed=seed)
         index = cls(spark, path, vec_col, key_col, metric, m,
                     ef_construction, n_segments, seed,
                     payload_cols=tuple(payload_cols), gen=0,
                     quantized=quantize, partitioner=partitioner,
-                    centroids=centroids, seg_map=seg_map)
+                    centroids=centroids, seg_map=seg_map, pq=codebook)
         graph = index._build_segments(work, gen=0)
-        if quantize:
-            from ..functions.quantize import quantize_vector_expr
-
-            graph = graph.withColumn(vec_col,
-                                     quantize_vector_expr(F.col(vec_col)))
+        graph = index._quantize_storage(graph)
         graph.write.mode("overwrite").partitionBy("__seg").parquet(path)
         index._save_meta()
         return index
+
+    def _quantize_storage(self, graph: DataFrame) -> DataFrame:
+        """Apply the storage tier to a float graph frame: int8 struct
+        or PQ code bytes, both kept under the vec column's NAME so the
+        parquet layout is tier-agnostic."""
+        if self.quantized:
+            from ..functions.quantize import quantize_vector_expr
+
+            return graph.withColumn(
+                self.vec_col, quantize_vector_expr(F.col(self.vec_col)))
+        if self.pq is not None:
+            return graph.withColumn(
+                self.vec_col, self.pq.encode_udf()(F.col(self.vec_col)))
+        return graph
 
     @staticmethod
     def _kmeans_assign(work: DataFrame, vec_col: str, n_segments: int,
@@ -601,7 +640,8 @@ class HNSWIndex:
                 # MBs, and it is broadcast whole at search anyway
                 "centroids": (self.centroids.tolist()
                               if self.centroids is not None else None),
-                "seg_map": self.seg_map}
+                "seg_map": self.seg_map,
+                "pq": self.pq.to_json() if self.pq is not None else None}
         with open(os.path.join(self.path, _META), "w") as fh:
             json.dump(meta, fh)
 
@@ -611,6 +651,11 @@ class HNSWIndex:
         with open(os.path.join(path, _META)) as fh:
             meta = json.load(fh)
         cents = meta.get("centroids")
+        pq = None
+        if meta.get("pq"):
+            from ..functions.pq import PQCodebook
+
+            pq = PQCodebook.from_json(meta["pq"])
         return cls(spark, path, meta["vec_col"], meta["key_col"],
                    meta["metric"], meta["m"], meta["ef_construction"],
                    meta["n_segments"], meta["seed"],
@@ -620,7 +665,7 @@ class HNSWIndex:
                    partitioner=meta.get("partitioner", "hash"),
                    centroids=(np.asarray(cents, dtype=np.float64)
                               if cents is not None else None),
-                   seg_map=meta.get("seg_map"))
+                   seg_map=meta.get("seg_map"), pq=pq)
 
     # -- reads ------------------------------------------------------------
     def _read(self) -> DataFrame:
@@ -651,13 +696,21 @@ class HNSWIndex:
                   .drop("__tkey", "__tgen"))
 
     def _dequantized(self, df: DataFrame) -> DataFrame:
-        if not self.quantized:
-            return df
-        from ..functions.quantize import dequantize_vector_expr
+        if self.quantized:
+            from ..functions.quantize import dequantize_vector_expr
 
-        return df.withColumn(
-            self.vec_col,
-            dequantize_vector_expr(F.col(self.vec_col)).cast("array<float>"))
+            return df.withColumn(
+                self.vec_col,
+                dequantize_vector_expr(F.col(self.vec_col))
+                .cast("array<float>"))
+        if self.pq is not None:
+            # JVM reconstruction from code bytes (broadcast codebook)
+            df = df.withColumnRenamed(self.vec_col, "__pqcode")
+            out = self.pq.attach_decode(df, self.vec_col,
+                                        code_col="__pqcode")
+            return out.withColumn(
+                self.vec_col, F.col(self.vec_col).cast("array<float>"))
+        return df
 
     def scan_raw(self) -> DataFrame:
         """Live rows with original columns (key, vector, payloads);
@@ -684,11 +737,9 @@ class HNSWIndex:
             "__seg", (F.lit(base) + F.pmod(F.xxhash64(F.col(self.key_col)),
                                            F.lit(n_new_segments))).cast("int"))
         graph = self._build_segments(work, gen=self.gen)
-        if self.quantized:
-            from ..functions.quantize import quantize_vector_expr
-
-            graph = graph.withColumn(
-                self.vec_col, quantize_vector_expr(F.col(self.vec_col)))
+        # same storage tier as the build (int8 expr or the FROZEN PQ
+        # codebook — the IVF append contract)
+        graph = self._quantize_storage(graph)
         graph.write.mode("append").partitionBy("__seg").parquet(self.path)
         self.n_segments = base + n_new_segments
         self._save_meta()
@@ -740,7 +791,8 @@ class HNSWIndex:
             ef_construction=self.ef_construction,
             max_segment_rows=max_segment_rows, n_segments=n_seg,
             seed=self.seed, payload_cols=self.payload_cols,
-            quantize=self.quantized, partitioner=self.partitioner)
+            quantize=self.quantized, partitioner=self.partitioner,
+            _pq_codebook=self.pq)
         sibling_swap(self.path, staging)
         self.n_segments = rebuilt.n_segments
         # re-clustering folds appended (non-routable) segments back
