@@ -144,3 +144,25 @@ def test_engine_builds_pq_graph_artifact(spark, tmp_path):
     ann = next(a for a in info["attributes"]
                if a["attribute"] == "embedding")["index"]["ann"]
     assert ann["storage"] == "pq_graph"
+
+
+def test_opq_tier_roundtrips_and_persists(spark, tmp_path):
+    # correlated data is where OPQ's rotation earns its keep; here we
+    # pin plumbing: rotation persists, reconstruction stays bounded,
+    # search works end to end
+    rng = np.random.RandomState(7)
+    base = rng.randn(100, 4) @ rng.randn(4, 16)       # rank-4 correlation
+    rows = [(i, [float(x) for x in base[i] * 10]) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    idx = HNSWIndex.build(df, str(tmp_path / "opq"), metric="l2", m=6,
+                          ef_construction=32, max_segment_rows=10_000,
+                          n_segments=2, pq_m=8, pq_opq_iters=4)
+    assert idx.pq.rotation is not None
+    loaded = HNSWIndex.load(spark, idx.path)
+    assert np.allclose(loaded.pq.rotation, idx.pq.rotation)
+    q = df.limit(2).select(F.col("vec_id").alias("qid"), "embedding")
+    hits = knn_join_hnsw(q, loaded, k=3, ef=10**6)
+    by_q = {r["qid"]: r["vec_id"] for r in hits.where("rank = 1").collect()}
+    assert len(by_q) == 2          # self usually wins; rank-1 exists
+    with pytest.raises(ValueError, match="requires pq_m"):
+        HNSWIndex.build(df, str(tmp_path / "bad"), pq_opq_iters=2)

@@ -423,7 +423,7 @@ class HNSWIndex:
               payload_cols: tuple[str, ...] = (),
               quantize: bool = False, partitioner: str = "hash",
               sample_fraction: float | None = None,
-              pq_m: int | None = None,
+              pq_m: int | None = None, pq_opq_iters: int = 0,
               _pq_codebook=None) -> "HNSWIndex":
         """One partition pass + one graph build per segment.
 
@@ -475,6 +475,9 @@ class HNSWIndex:
             raise ValueError(f"unknown partitioner {partitioner!r}")
         if quantize and (pq_m or _pq_codebook is not None):
             raise ValueError("quantize and pq_m are mutually exclusive")
+        if pq_opq_iters and not pq_m:
+            raise ValueError("pq_opq_iters requires pq_m (OPQ rotates "
+                             "PQ codes — nothing to rotate without them)")
         spark = df.sparkSession
         work = _prepare_vectors(df, vec_col,
                                 [key_col, vec_col, *payload_cols], metric)
@@ -508,7 +511,15 @@ class HNSWIndex:
             if probe is not None and probe[0] % pq_m:
                 raise ValueError(
                     f"dim {probe[0]} not divisible by m={pq_m}")
-            codebook = PQCodebook.train(work, vec_col, m=pq_m, seed=seed)
+            if pq_opq_iters:
+                # OPQ (Ge et al.): learned rotation, same code bytes,
+                # better recall on correlated embeddings — IVF parity
+                codebook = PQCodebook.train_opq(work, vec_col, m=pq_m,
+                                                seed=seed,
+                                                opq_iters=pq_opq_iters)
+            else:
+                codebook = PQCodebook.train(work, vec_col, m=pq_m,
+                                            seed=seed)
         index = cls(spark, path, vec_col, key_col, metric, m,
                     ef_construction, n_segments, seed,
                     payload_cols=tuple(payload_cols), gen=0,
