@@ -166,3 +166,17 @@ def test_opq_tier_roundtrips_and_persists(spark, tmp_path):
     assert len(by_q) == 2          # self usually wins; rank-1 exists
     with pytest.raises(ValueError, match="requires pq_m"):
         HNSWIndex.build(df, str(tmp_path / "bad"), pq_opq_iters=2)
+
+
+def test_pq_with_inline_filter_payload(spark, tmp_path):
+    # payload columns ride next to PQ codes; the in-traversal filter
+    # masks results while the beam still walks the whole graph
+    df = _clustered(spark, n_clusters=3, per=20).withColumn(
+        "grp", (F.col("vec_id") % 2).cast("int"))
+    idx = HNSWIndex.build(df, str(tmp_path / "pf"), metric="l2", m=6,
+                          ef_construction=32, max_segment_rows=10_000,
+                          n_segments=2, pq_m=8, payload_cols=("grp",))
+    q = df.limit(1).select(F.col("vec_id").alias("qid"), "embedding")
+    hits = knn_join_hnsw(q, idx, k=5, ef=10**6, where="grp = 1").collect()
+    assert len(hits) == 5
+    assert all(r["vec_id"] % 2 == 1 for r in hits)
