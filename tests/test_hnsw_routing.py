@@ -248,3 +248,10 @@ def test_quantized_kmeans_routing(spark, tmp_path):
     # persistence round-trips the combination
     loaded = HNSWIndex.load(spark, idx.path)
     assert loaded.quantized and loaded.seg_map == idx.seg_map
+
+
+def test_route_segments_zero_rejected(spark, kidx):
+    df, idx = kidx
+    q = df.limit(1).select(F.col("vec_id").alias("qid"), "embedding")
+    with pytest.raises(ValueError, match="route_segments must be >= 1"):
+        knn_join_hnsw(q, idx, k=2, route_segments=0)

@@ -913,6 +913,10 @@ def knn_join_hnsw(queries: DataFrame, index: HNSWIndex, k: int = 10,
     qside = (queries.select(query_key, F.col(qvec).alias("__qvec"))
              .dropna())
     n_clusters = len(index.seg_map) if index.seg_map is not None else 0
+    if route_segments is not None and route_segments < 1:
+        raise ValueError(
+            f"route_segments must be >= 1 (got {route_segments}); "
+            "pass None to probe every segment")
     routed = route_segments is not None and route_segments < n_clusters
     if routed:
         probed = _route_queries(qside, index, int(route_segments))
