@@ -113,3 +113,15 @@ def test_no_train_self_pairs(spark):
                               benchmark_text_col="btext",
                               threshold=0.5).collect()
     assert all(not r["contaminated"] for r in out)
+
+
+def test_empty_benchmark_flags_nothing(spark):
+    train = spark.createDataFrame(
+        [(1, "some training text with several words here")],
+        "doc_id int, text string")
+    bench = spark.createDataFrame([], "bid int, btext string")
+    out = fuzzy_decontaminate(train, bench, benchmark_key="bid",
+                              benchmark_text_col="btext",
+                              threshold=0.5).collect()
+    assert len(out) == 1 and not out[0]["contaminated"]
+    assert out[0]["max_benchmark_jaccard"] == 0.0

@@ -255,3 +255,11 @@ def test_route_segments_zero_rejected(spark, kidx):
     q = df.limit(1).select(F.col("vec_id").alias("qid"), "embedding")
     with pytest.raises(ValueError, match="route_segments must be >= 1"):
         knn_join_hnsw(q, idx, k=2, route_segments=0)
+
+
+def test_routed_with_all_null_queries_returns_empty(spark, kidx):
+    _, idx = kidx
+    q = spark.createDataFrame([(1, None)],
+                              "qid long, embedding array<float>")
+    assert knn_join_hnsw(q, idx, k=3, ef=64, route_segments=1) \
+        .collect() == []

@@ -208,3 +208,10 @@ def test_vp8x_wrapped_lossless_decodes():
     # dispatch routes the wrapped payload too
     from valkey_search_spark.multimodal.columns import _decode_image
     assert np.array_equal(_decode_image(wrapped, fake=False), img)
+
+
+def test_encoder_rejects_oversized_dims():
+    img = np.zeros((1, 3, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="14-bit"):
+        encode_webp_lossless(np.zeros((1, 20000, 3), dtype=np.uint8))
+    assert decode_webp(encode_webp_lossless(img)).shape == (1, 3, 3)

@@ -845,6 +845,9 @@ def encode_webp_lossless(arr: np.ndarray, subtract_green: bool = False,
     ColorTransformElement across all blocks."""
     arr = np.asarray(arr, dtype=np.uint8)
     h, w, _ = arr.shape
+    if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
+        raise ValueError(
+            f"VP8L dimensions are 14-bit: {w}x{h} out of [1, 16384]")
     ch = np.zeros((h, w, 4), dtype=np.int64)
     ch[..., 0] = 255
     ch[..., 1] = arr[..., 0]
