@@ -110,3 +110,36 @@ def test_info_search_counts_routed_requests(eng):
                 ann_ef=64, limit=(0, 3)).collect()   # unrouted: no bump
     after = e.info_search()["query"]["routed_requests_count"]
     assert after == before + 1
+
+
+def test_ann_route_without_ef_raises_not_full_scan(eng):
+    # the dial must never silently fall through to the exact full scan
+    e, df = eng
+    qv = [float(x) for x in df.first()["embedding"]]
+    with pytest.raises(QuerySyntaxError, match="ann_ef"):
+        e.ft_search("vr", "*=>[KNN 3 @embedding $v]", params={"v": qv},
+                    ann_route=1)
+    # EF_RUNTIME in the query text engages the branch without ann_ef
+    rows = e.ft_search("vr",
+                       "*=>[KNN 3 @embedding $v EF_RUNTIME 64]",
+                       params={"v": qv}, ann_route=1,
+                       limit=(0, 3)).collect()
+    assert len(rows) == 3
+
+
+def test_ann_route_on_hash_artifact_is_query_error(spark, eng, tmp_path):
+    e, df = eng
+    e4 = SearchEngine(spark)
+    e4.ft_create("vr_hash", df, [VectorField("embedding", dim=8,
+                                             metric="l2")],
+                 key_column="doc_id")
+    e4.ft_build_ann("vr_hash", "embedding", str(tmp_path / "h"),
+                    algorithm="hnsw", n_segments=2, m=4,
+                    ef_construction=24, max_segment_rows=10_000)
+    before = e4.info_search()["query"].get("routed_requests_count", 0)
+    with pytest.raises(QuerySyntaxError, match="hash-partitioned"):
+        e4.ft_search("vr_hash", "*=>[KNN 3 @embedding $v]",
+                     params={"v": [0.0] * 8}, ann_ef=64, ann_route=1)
+    # the failed dial-misuse never counted as a routed request
+    assert e4.info_search()["query"].get("routed_requests_count",
+                                         0) == before

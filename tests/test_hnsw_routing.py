@@ -263,3 +263,15 @@ def test_routed_with_all_null_queries_returns_empty(spark, kidx):
                               "qid long, embedding array<float>")
     assert knn_join_hnsw(q, idx, k=3, ef=64, route_segments=1) \
         .collect() == []
+
+
+def test_sample_fraction_survives_meta_and_compact(spark, tmp_path):
+    df = _clustered_df(spark, n_clusters=3, per=30)
+    idx = HNSWIndex.build(df, str(tmp_path / "sf"), metric="l2", m=6,
+                          ef_construction=32, n_segments=3,
+                          partitioner="kmeans", max_segment_rows=10_000,
+                          sample_fraction=0.9)
+    assert HNSWIndex.load(spark, idx.path).sample_fraction == 0.9
+    idx.compact(max_segment_rows=10_000)
+    assert idx.sample_fraction == 0.9
+    assert HNSWIndex.load(spark, idx.path).sample_fraction == 0.9

@@ -74,3 +74,10 @@ def test_trailing_slash_paths(tmp_path):
     sibling_swap(str(live) + "/", str(sib))
     assert (live / "g").exists()
     assert os.listdir(live) == ["g"]
+
+
+def test_single_slash_file_uri():
+    # Hadoop/Spark emit file:/path (no authority) — must normalize,
+    # not pass through as a bogus relative path
+    assert require_local_path("file:/tmp/x") == "/tmp/x"
+    assert require_local_path("FILE:/tmp/y") == "/tmp/y"

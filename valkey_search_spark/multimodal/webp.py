@@ -457,7 +457,13 @@ def _predictor(mode: int, L, T, TL, TR):
         return np.clip(L.astype(np.int64) + T - TL, 0, 255)
     if mode == 13:                                 # ClampAddSubtractHalf
         ave = _avg2(L.astype(np.int64), T)
-        return np.clip(ave + (ave - TL) // 2, 0, 255)
+        d = ave - TL
+        # C truncation-toward-zero, NOT Python floor division: for
+        # d = -3 the spec adds -1, floor would add -2 (round-trip tests
+        # share _predictor with the test encoder, so only real external
+        # files would have exposed the difference)
+        half = np.sign(d) * (np.abs(d) // 2)
+        return np.clip(ave + half, 0, 255)
     raise MediaDecodeError(f"bad predictor mode {mode}")
 
 

@@ -137,9 +137,15 @@ def fuzzy_decontaminate(train: DataFrame, benchmark: DataFrame,
 
     # surrogate string keys: the two corpora may reuse key values, and
     # the LSH contract needs global uniqueness. "t:"/"b:" prefixes also
-    # classify each pair side for free.
+    # classify each pair side for free. A NULL key would make its doc
+    # silently unjoinable (reported clean whatever its text) — fail
+    # loudly at execution instead, with no extra validation job.
+    _ck = F.when(F.col(key).isNull(), F.raise_error(F.lit(
+        "fuzzy_decontaminate: null training key — a null-keyed doc "
+        "cannot be attributed a verdict"))).otherwise(
+        F.concat(F.lit("t:"), F.col(key).cast("string")))
     t = train.select(
-        F.concat(F.lit("t:"), F.col(key).cast("string")).alias("__ck"),
+        _ck.alias("__ck"),
         F.col(text_col).alias("__ctext"), F.lit(False).alias("__bench"))
     b = benchmark.select(
         F.concat(F.lit("b:"), F.col(benchmark_key).cast("string"))

@@ -382,7 +382,7 @@ class HNSWIndex:
                  quantized: bool = False, partitioner: str = "hash",
                  centroids: np.ndarray | None = None,
                  seg_map: list[list[int]] | None = None,
-                 pq=None):
+                 pq=None, sample_fraction: float | None = None):
         self.spark = spark
         self.path = path
         self.vec_col = vec_col
@@ -403,6 +403,9 @@ class HNSWIndex:
         self.centroids = centroids        # (n_clusters, dim) or None
         self.seg_map = seg_map            # cluster -> [physical seg ids]
         self.pq = pq                      # PQCodebook or None (PQ tier)
+        # build-time KMeans fit bound, kept so compact() re-clusters at
+        # the same cost profile instead of an unbounded full-corpus fit
+        self.sample_fraction = sample_fraction
 
     def routable_segments(self) -> set[int]:
         """Physical segment ids coverable by centroid routing. Segments
@@ -481,6 +484,13 @@ class HNSWIndex:
         spark = df.sparkSession
         work = _prepare_vectors(df, vec_col,
                                 [key_col, vec_col, *payload_cols], metric)
+        if pq_m and _pq_codebook is None:
+            # dim validation BEFORE the KMeans job — failing after a
+            # distributed clustering fit wastes it (the ann.py rule)
+            probe = work.select(F.size(F.col(vec_col))).first()
+            if probe is not None and probe[0] % pq_m:
+                raise ValueError(
+                    f"dim {probe[0]} not divisible by m={pq_m}")
         if n_segments is None:
             n = work.count()
             if n == 0:
@@ -507,10 +517,6 @@ class HNSWIndex:
         if codebook is None and pq_m:
             from ..functions.pq import PQCodebook
 
-            probe = work.select(F.size(F.col(vec_col))).first()
-            if probe is not None and probe[0] % pq_m:
-                raise ValueError(
-                    f"dim {probe[0]} not divisible by m={pq_m}")
             if pq_opq_iters:
                 # OPQ (Ge et al.): learned rotation, same code bytes,
                 # better recall on correlated embeddings — IVF parity
@@ -524,7 +530,8 @@ class HNSWIndex:
                     ef_construction, n_segments, seed,
                     payload_cols=tuple(payload_cols), gen=0,
                     quantized=quantize, partitioner=partitioner,
-                    centroids=centroids, seg_map=seg_map, pq=codebook)
+                    centroids=centroids, seg_map=seg_map, pq=codebook,
+                    sample_fraction=sample_fraction)
         graph = index._build_segments(work, gen=0)
         graph = index._quantize_storage(graph)
         graph.write.mode("overwrite").partitionBy("__seg").parquet(path)
@@ -652,7 +659,8 @@ class HNSWIndex:
                 "centroids": (self.centroids.tolist()
                               if self.centroids is not None else None),
                 "seg_map": self.seg_map,
-                "pq": self.pq.to_json() if self.pq is not None else None}
+                "pq": self.pq.to_json() if self.pq is not None else None,
+                "sample_fraction": self.sample_fraction}
         with open(os.path.join(self.path, _META), "w") as fh:
             json.dump(meta, fh)
 
@@ -676,7 +684,8 @@ class HNSWIndex:
                    partitioner=meta.get("partitioner", "hash"),
                    centroids=(np.asarray(cents, dtype=np.float64)
                               if cents is not None else None),
-                   seg_map=meta.get("seg_map"), pq=pq)
+                   seg_map=meta.get("seg_map"), pq=pq,
+                   sample_fraction=meta.get("sample_fraction"))
 
     # -- reads ------------------------------------------------------------
     def _read(self) -> DataFrame:
@@ -803,7 +812,8 @@ class HNSWIndex:
             max_segment_rows=max_segment_rows, n_segments=n_seg,
             seed=self.seed, payload_cols=self.payload_cols,
             quantize=self.quantized, partitioner=self.partitioner,
-            _pq_codebook=self.pq)
+            _pq_codebook=self.pq,
+            sample_fraction=self.sample_fraction)
         sibling_swap(self.path, staging)
         self.n_segments = rebuilt.n_segments
         # re-clustering folds appended (non-routable) segments back
@@ -893,7 +903,11 @@ def knn_join_hnsw(queries: DataFrame, index: HNSWIndex, k: int = 10,
     per-query cost stays ~r·beam as the corpus (and segment count)
     grows, instead of linear in corpus size. The pruned graph scan is
     partition-pruned to the probed-segment union. r >= the cluster
-    count degrades gracefully to the full probe.
+    count degrades gracefully to the full probe. NOTE the routed path
+    executes the query-side lineage twice (once for the driver-side
+    probed-segment distinct that drives partition pruning, once in the
+    cogroup — exchange reuse does not bridge the two jobs): ``.cache()``
+    the queries frame upstream if its lineage is expensive.
 
     Null handling: query rows with a null key OR null vector are
     DROPPED up front (a null vector has no distance to anything; a null

@@ -601,6 +601,28 @@ class SearchEngine:
                     artifact.n_lists,
                     _math.ceil(parsed.knn.ef_runtime / max(parsed.knn.k, 1))))
 
+        if ann_route is not None:
+            # ann_route is only meaningful inside the graph beam branch
+            # below — anywhere else it would silently fall through to a
+            # full scan (the exact anti-goal of the dial guards above),
+            # and a hash-partitioned artifact has nothing to route over
+            if parsed.knn is None:
+                raise QuerySyntaxError(
+                    "ann_route applies to KNN queries — this query has "
+                    "no KNN clause")
+            if graph_art and getattr(artifact, "centroids", None) is None:
+                raise QuerySyntaxError(
+                    "ann_route needs a kmeans-partitioned HNSW artifact "
+                    "(ft_build_ann(..., partitioner='kmeans')); this "
+                    "artifact is hash-partitioned — its segments cannot "
+                    "be routed")
+            if ann_ef is None:
+                raise QuerySyntaxError(
+                    "ann_route rides the graph beam — also pass ann_ef "
+                    "(or query EF_RUNTIME) so the HNSW branch engages; "
+                    "without it the query would silently fall back to "
+                    "the exact full scan")
+
         if parsed.knn is not None and graph_art and ann_ef is not None:
             # segment-graph HNSW branch: beam each segment, merge top-k,
             # then fetch the winners' records with a broadcast join (the

@@ -39,6 +39,11 @@ def require_local_path(path: str, what: str = "this operation") -> str:
     the sibling-swap's crash-safety relies on same-filesystem atomic
     renames, which object stores don't provide. ``file://`` URIs are
     accepted and stripped to a plain path."""
+    # Hadoop/Spark also emit the single-slash URI form "file:/path"
+    # (no authority) — strip it before the scheme check would miss it
+    if path.lower().startswith("file:") and not path[5:].startswith("//"):
+        rest = path[5:]
+        return rest if rest.startswith("/") else "/" + rest
     m = _SCHEME.match(path)
     if m:
         scheme = m.group(0)[:-3].lower()
