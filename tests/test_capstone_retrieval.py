@@ -115,11 +115,13 @@ def test_mined_negatives_exclude_self_and_are_ranked(stack):
         assert all(lst[i][1] <= lst[i + 1][1] for i in range(len(lst) - 1))
 
 
-def test_routed_first_stage_matches_unrouted(stack, tmp_path):
-    # round-8: the same first-stage retrieval on a kmeans-partitioned
-    # index with route_segments — self-retrieval still lands rank 1 and
-    # the routed candidate set at full beam matches the unrouted one on
-    # the query's own neighborhood (r covers all clusters -> identical)
+def test_routed_first_stage_self_retrieval(stack, tmp_path):
+    # round-8: the first-stage retrieval on a kmeans-partitioned index
+    # with a REAL routed r=1 — a query's own segment is by construction
+    # its nearest centroid, so self-retrieval still lands rank 1 even
+    # with every other cluster pruned. (r == cluster count dispatches
+    # to the unrouted branch by contract — checked as a dispatch test,
+    # not a routing test.)
     docs, emb, idx = stack
     kidx = HNSWIndex.build(emb, str(tmp_path / "khnsw"),
                            vec_col="embedding", key_col="doc_id",
@@ -128,13 +130,17 @@ def test_routed_first_stage_matches_unrouted(stack, tmp_path):
     queries = (emb.where(F.col("doc_id") < 25)
                .select(F.col("doc_id").alias("qid"), "embedding"))
     full = knn_join_hnsw(queries, kidx, k=5, ef=10 ** 6)
-    routed = knn_join_hnsw(queries, kidx, k=5, ef=10 ** 6,
-                           route_segments=len(kidx.seg_map))
+    dispatch = knn_join_hnsw(queries, kidx, k=5, ef=10 ** 6,
+                             route_segments=len(kidx.seg_map))
     a = sorted((r["qid"], r["doc_id"], r["rank"]) for r in full.collect())
-    b = sorted((r["qid"], r["doc_id"], r["rank"]) for r in routed.collect())
-    assert a == b
+    b = sorted((r["qid"], r["doc_id"], r["rank"])
+               for r in dispatch.collect())
+    assert a == b                       # r >= clusters -> full probe
+    routed = knn_join_hnsw(queries, kidx, k=5, ef=10 ** 6,
+                           route_segments=1)
     texts = {r["doc_id"]: r["text"] for r in docs.collect()}
     rank1 = {r["qid"]: r["doc_id"]
              for r in routed.where("rank = 1").collect()}
+    assert len(rank1) == 25
     for qid, did in rank1.items():
         assert did == qid or texts[did] == texts[qid]

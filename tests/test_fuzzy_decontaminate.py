@@ -125,3 +125,18 @@ def test_empty_benchmark_flags_nothing(spark):
                               threshold=0.5).collect()
     assert len(out) == 1 and not out[0]["contaminated"]
     assert out[0]["max_benchmark_jaccard"] == 0.0
+
+
+def test_null_keys_raise_on_either_side(spark):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    good = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id int, text string")
+    nullkey = spark.createDataFrame(
+        [(None, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id int, text string")
+    with pytest.raises(Exception, match="null training key"):
+        fuzzy_decontaminate(nullkey, good, threshold=0.5).collect()
+    with pytest.raises(Exception, match="null benchmark key"):
+        fuzzy_decontaminate(good, nullkey, threshold=0.5).collect()

@@ -100,6 +100,11 @@ def test_distance_map_matches_spec_prefix():
         (-3, 2)]
     assert len(_DIST_MAP) == 120
     assert len(set(_DIST_MAP)) == 120
+    # every entry must be encodable as the plane-code byte
+    # (yoffset << 4) | (8 - xoffset): y in 0..7, x in -7..8
+    for x, y in _DIST_MAP:
+        assert 0 <= y <= 7 and -7 <= x <= 8, (x, y)
+        assert not (y == 0 and x <= 0), (x, y)
 
 
 def test_corruption_contract():

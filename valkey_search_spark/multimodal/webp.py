@@ -37,19 +37,22 @@ _N_DISTANCE_CODES = 40
 
 def _distance_map():
     """The 120 'close neighborhood' 2D offsets for distance codes
-    1..120: all (x, y) with y in 0..8 (y=0 -> x>0), |x| <= 8, ordered
-    by (x^2 + y^2, |x|, x<0). The first 22 entries are pinned against
-    the spec table in tests (the ordering rule reproduces it)."""
+    1..120. The plane-code LUT packs each offset as one byte
+    (yoffset << 4) | (xoffset + 8) with xoffset = 8 - nibble, so the
+    VALID grid is exactly y in 0..7, x in -7..8, minus the 8 cells
+    (y=0, x<=0): 8*16 - 8 = 120 cells — no truncation. Ordered by
+    (x^2 + y^2, |x|, x<0); the first 22 entries are pinned against the
+    spec table in tests (the ordering rule reproduces them)."""
     cand = []
-    for y in range(0, 9):
-        for x in range(-8, 9):
+    for y in range(0, 8):
+        for x in range(-7, 9):
             if y == 0 and x <= 0:
                 continue
-            if y > 0 or x > 0:
-                cand.append((x, y))
+            cand.append((x, y))
+    assert len(cand) == 120
     cand.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1],
                              abs(p[0]), p[0] < 0))
-    return cand[:120]
+    return cand
 
 
 _DIST_MAP = _distance_map()
@@ -616,7 +619,7 @@ def decode_webp(payload: bytes) -> np.ndarray:
     img32, transforms = _read_pixels(br, w, h, True)
     img32 = _apply_inverse(img32, transforms, w, h)
     ch = _split_argb(img32).astype(np.uint8)
-    return ch[..., 1:4][..., [0, 1, 2]]            # RGB from A,R,G,B
+    return ch[..., 1:4].copy()                     # RGB from A,R,G,B
 
 
 # ---------------------------------------------------------------------------

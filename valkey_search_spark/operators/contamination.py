@@ -147,9 +147,16 @@ def fuzzy_decontaminate(train: DataFrame, benchmark: DataFrame,
     t = train.select(
         _ck.alias("__ck"),
         F.col(text_col).alias("__ctext"), F.lit(False).alias("__bench"))
+    # symmetric guard: a null-keyed BENCHMARK doc would ride the LSH
+    # but every pair involving it dies in the side-classification
+    # filter — contamination against it silently reported clean
+    _bk = F.when(F.col(benchmark_key).isNull(), F.raise_error(F.lit(
+        "fuzzy_decontaminate: null benchmark key — contamination "
+        "against an unkeyed benchmark doc cannot be attributed"))) \
+        .otherwise(F.concat(F.lit("b:"),
+                            F.col(benchmark_key).cast("string")))
     b = benchmark.select(
-        F.concat(F.lit("b:"), F.col(benchmark_key).cast("string"))
-        .alias("__ck"),
+        _bk.alias("__ck"),
         F.col(benchmark_text_col).alias("__ctext"),
         F.lit(True).alias("__bench"))
     pairs = minhash_lsh_pairs(t.unionByName(b), "__ck", "__ctext",

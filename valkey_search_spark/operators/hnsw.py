@@ -63,6 +63,7 @@ from ..sources.swap import require_local_path, sibling_swap
 
 _META = "_hnsw_meta.json"
 _TOMBS = "_hnsw_tombstones"
+_CENTROIDS = "_hnsw_centroids.npy"
 
 
 # ---------------------------------------------------------------------------
@@ -653,14 +654,18 @@ class HNSWIndex:
                 "payload_cols": list(self.payload_cols), "gen": self.gen,
                 "quantized": self.quantized,
                 "partitioner": self.partitioner,
-                # centroid matrix rides the meta JSON like IVF's — at
-                # the routing design point (10^3-10^5 clusters) this is
-                # MBs, and it is broadcast whole at search anyway
-                "centroids": (self.centroids.tolist()
+                # the centroid matrix lives in a BINARY sidecar: at the
+                # 10^5-cluster design point a JSON inlining (the old
+                # form, still readable below) would be ~GBs re-written
+                # on every mutation and json.loads'd on every load
+                "centroids": (_CENTROIDS
                               if self.centroids is not None else None),
                 "seg_map": self.seg_map,
                 "pq": self.pq.to_json() if self.pq is not None else None,
                 "sample_fraction": self.sample_fraction}
+        if self.centroids is not None:
+            np.save(os.path.join(self.path, _CENTROIDS),
+                    np.asarray(self.centroids, dtype=np.float64))
         with open(os.path.join(self.path, _META), "w") as fh:
             json.dump(meta, fh)
 
@@ -670,6 +675,8 @@ class HNSWIndex:
         with open(os.path.join(path, _META)) as fh:
             meta = json.load(fh)
         cents = meta.get("centroids")
+        if cents == _CENTROIDS:                    # binary sidecar form
+            cents = np.load(os.path.join(path, _CENTROIDS))
         pq = None
         if meta.get("pq"):
             from ..functions.pq import PQCodebook
@@ -795,8 +802,6 @@ class HNSWIndex:
         index sits at ``<path>.old`` (recover by moving it back —
         same recovery contract as merge_parquet/IVFIndex.compact).
         Cosine rows are already ingest-normalized (idempotent)."""
-        import shutil
-
         live = self.scan_raw()
         staging = self.path.rstrip("/") + ".compact"
         # a kmeans index keeps its routing granularity (cluster count)
@@ -862,11 +867,13 @@ def _route_queries(qside: DataFrame, index: HNSWIndex,
             n = np.linalg.norm(q, axis=1, keepdims=True)
             n[n == 0] = 1.0
             q = q / n
-        if metric == "l2":
-            d = ((q * q).sum(1)[:, None] - 2.0 * (q @ cents.T)
-                 + (cents * cents).sum(1)[None, :])
-        else:                                   # ip / cosine: highest dot
-            d = -(q @ cents.T)
+        # ALWAYS euclidean: segment membership was decided by euclidean
+        # KMeans (on ingest-normalized vectors for cosine), so routing
+        # must use the SAME rule — a dot-product ranking against the
+        # non-unit centroids can send a corpus member's own vector away
+        # from its own segment (centroid norms skew argmax dot)
+        d = ((q * q).sum(1)[:, None] - 2.0 * (q @ cents.T)
+             + (cents * cents).sum(1)[None, :])
         idx = np.argsort(d, axis=1)[:, :r]
         return pd.Series([
             np.array([p for c in row for p in seg_map[c]]
@@ -903,11 +910,11 @@ def knn_join_hnsw(queries: DataFrame, index: HNSWIndex, k: int = 10,
     per-query cost stays ~r·beam as the corpus (and segment count)
     grows, instead of linear in corpus size. The pruned graph scan is
     partition-pruned to the probed-segment union. r >= the cluster
-    count degrades gracefully to the full probe. NOTE the routed path
-    executes the query-side lineage twice (once for the driver-side
-    probed-segment distinct that drives partition pruning, once in the
-    cogroup — exchange reuse does not bridge the two jobs): ``.cache()``
-    the queries frame upstream if its lineage is expensive.
+    count degrades gracefully to the full probe. The routed probe
+    frame is persisted so the partition-prune job and the cogroup see
+    ONE evaluation of the query lineage — both a correctness guard
+    (a nondeterministic query frame must not route differently per
+    job) and the cost fix for expensive upstream lineages.
 
     Null handling: query rows with a null key OR null vector are
     DROPPED up front (a null vector has no distance to anything; a null
@@ -933,7 +940,15 @@ def knn_join_hnsw(queries: DataFrame, index: HNSWIndex, k: int = 10,
             "pass None to probe every segment")
     routed = route_segments is not None and route_segments < n_clusters
     if routed:
-        probed = _route_queries(qside, index, int(route_segments))
+        # persist pins ONE evaluation of the query lineage + routing
+        # UDF: the driver-side probed-segment distinct below and the
+        # cogroup must see the SAME assignments — a nondeterministic
+        # query frame (sample(), rand()-derived) re-evaluated per job
+        # could route a query to a segment the scan was pruned away
+        # from, silently dropping its results. Spark's ContextCleaner
+        # unpersists the block once the frame is unreferenced.
+        probed = _route_queries(qside, index,
+                                int(route_segments)).persist()
     else:
         if route_segments is not None and index.centroids is None:
             raise ValueError(
