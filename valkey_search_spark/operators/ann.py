@@ -494,10 +494,12 @@ class IVFIndex:
             n = np.linalg.norm(q)
             if n > 0:
                 q = q / n
-        if self.metric == "l2":
-            d = ((self.centroids - q) ** 2).sum(axis=1)
-        else:  # ip / cosine: nearest by highest dot product
-            d = -(self.centroids @ q)
+        # ALWAYS euclidean: list membership was decided by euclidean
+        # KMeans (on ingest-normalized vectors for cosine), so probing
+        # must rank by the SAME rule — dot-product ranking against the
+        # non-unit centroids can miss a vector's own list (centroid
+        # norms skew argmax dot); same fix as hnsw._route_queries
+        d = ((self.centroids - q) ** 2).sum(axis=1)
         return [p for i in np.argsort(d)[:nprobe]
                 for p in self.list_map[int(i)]]
 
@@ -750,11 +752,10 @@ def knn_join_bucketed(queries: DataFrame, index: IVFIndex, k: int = 10,
             n = np.linalg.norm(q, axis=1, keepdims=True)
             n[n == 0] = 1.0
             q = q / n
-        if metric == "l2":
-            d = ((q * q).sum(1)[:, None] - 2.0 * (q @ cents.T)
-                 + (cents * cents).sum(1)[None, :])
-        else:                                   # ip / cosine: highest dot
-            d = -(q @ cents.T)
+        # ALWAYS euclidean — must match the euclidean KMeans list
+        # assignment (see IVFIndex._probe_lists / hnsw._route_queries)
+        d = ((q * q).sum(1)[:, None] - 2.0 * (q @ cents.T)
+             + (cents * cents).sum(1)[None, :])
         idx = np.argsort(d, axis=1)[:, :nprobe]
         # expand probed centroids -> their physical sub-lists (identity
         # unless the build split an oversized list)
