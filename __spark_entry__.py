@@ -2092,6 +2092,21 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = load_table(spark, sf_dir, "documents")
         return diversity_metrics(docs)
 
+    def b_profile_tdigest(spark, sf_dir):
+        # mergeable t-digest distribution profile: per-lang doc-length
+        # digests + named percentiles (the incremental corpus-profile
+        # step; DuckDB quantile_cont-pinned exact regime in
+        # tests/test_quantiles.py)
+        from valkey_search_spark.operators.quantiles import (
+            tdigest_quantiles, tdigest_sketch,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        sk = tdigest_sketch(docs, "n_chars", group_col="lang",
+                            compression=200)
+        return tdigest_quantiles(
+            sk, {"p01": 0.01, "p50": 0.5, "p99": 0.99})
+
     def b_fuzzy_decontaminate(spark, sf_dir):
         # whole-document fuzzy contamination: every 7th doc is the
         # benchmark; flags ride the asymmetric LSH (benchmark = small
@@ -2116,6 +2131,7 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxsim_score": b_maxsim_score,
         "hygiene_fuzzy_decontaminate": b_fuzzy_decontaminate,
         "corpus_diversity": b_corpus_diversity,
+        "profile_tdigest": b_profile_tdigest,
         "text_term": _search("parts", "widget", ["p_partkey", "p_name"]),
         "text_term_stem": _search("docs", "tables", DOC_COLS),
         "text_proximity": _search("docs", "batch stream", DOC_COLS,

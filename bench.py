@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "maxsim_score",
     "hygiene_fuzzy_decontaminate",
     "corpus_diversity",
+    "profile_tdigest",
 ]
 
 

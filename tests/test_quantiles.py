@@ -1,0 +1,245 @@
+"""t-digest quantile sketches: DuckDB quantile_cont oracle in the
+exact regime, published rank-error bounds in the compressed regime,
+merge-vs-rescan equivalence, CDF geometry, and error contracts."""
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR, load
+from valkey_search_spark.operators.quantiles import (
+    tdigest_cdf, tdigest_merge_arrays, tdigest_merge_frames,
+    tdigest_quantile, tdigest_quantiles, tdigest_sketch)
+
+QS = {"p01": 0.01, "p25": 0.25, "p50": 0.5, "p75": 0.75, "p99": 0.99}
+
+
+def _oracle_global(qs):
+    sel = ", ".join(
+        f"quantile_cont(n_chars, {q}) AS {name}" for name, q in qs.items())
+    return duckdb.sql(
+        f"SELECT count(*) AS count, {sel} "
+        f"FROM read_parquet('{SF_DIR}/documents.parquet')").df()
+
+
+def _oracle_by_lang(qs):
+    sel = ", ".join(
+        f"quantile_cont(n_chars, {q}) AS {name}" for name, q in qs.items())
+    return duckdb.sql(
+        f"SELECT lang, count(*) AS count, {sel} "
+        f"FROM read_parquet('{SF_DIR}/documents.parquet') "
+        f"GROUP BY lang ORDER BY lang").df()
+
+
+# -- exact regime: bit-for-bit percentile_cont ---------------------------
+
+def test_exact_regime_global_matches_duckdb(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    # 500 docs < compression=512 -> every centroid a singleton -> exact
+    sk = tdigest_sketch(docs, "n_chars", compression=512)
+    got = tdigest_quantiles(sk, QS).collect()
+    assert len(got) == 1
+    want = _oracle_global(QS).iloc[0]
+    assert got[0]["count"] == int(want["count"])
+    for name in QS:
+        assert got[0][name] == pytest.approx(float(want[name]), abs=1e-9)
+
+
+def test_exact_regime_grouped_matches_duckdb(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    # largest lang group is 193 < compression=200
+    sk = tdigest_sketch(docs, "n_chars", group_col="lang", compression=200)
+    got = {r["lang"]: r
+           for r in tdigest_quantiles(sk, QS).collect()}
+    want = _oracle_by_lang(QS)
+    assert set(got) == set(want["lang"])
+    for _, w in want.iterrows():
+        g = got[w["lang"]]
+        assert g["count"] == int(w["count"])
+        for name in QS:
+            assert g[name] == pytest.approx(float(w[name]), abs=1e-9)
+
+
+def test_nulls_and_nans_dropped(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (None,), (float("nan"),), (3.0,)], ["v"])
+    row = tdigest_quantiles(
+        tdigest_sketch(df, "v", compression=64), {"p50": 0.5}).collect()[0]
+    assert row["count"] == 3
+    assert row["p50"] == pytest.approx(2.0)
+
+
+def test_sketch_one_row_per_group(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").repartition(8)
+    sk = tdigest_sketch(docs, "n_chars", group_col="lang",
+                        compression=50).collect()
+    langs = [r["lang"] for r in sk]
+    assert len(langs) == len(set(langs)) == 5
+    for r in sk:
+        assert len(r["means"]) == len(r["weights"])
+        assert sum(r["weights"]) == pytest.approx(r["count"])
+        assert r["means"] == sorted(r["means"])
+        assert r["vmin"] <= min(r["means"]) <= max(r["means"]) <= r["vmax"]
+
+
+# -- compressed regime: rank-error bounds --------------------------------
+
+def _rank_of(values: np.ndarray, x: float) -> float:
+    return float(np.searchsorted(np.sort(values), x, side="left")) \
+        / values.size
+
+
+# The oracle regenerates vals through Spark itself (one tiny collect)
+# so it sees exactly the sketched population, whatever hash Spark uses.
+@pytest.fixture()
+def uniform50k(spark):
+    n = 50_000
+    df = (spark.range(n)
+          .withColumn("u", (F.abs(F.hash(F.col("id").cast("string")))
+                            % 1_000_003) / 1_000_003.0)
+          .withColumn("v", F.exp(F.col("u") * 6.0)))
+    vals = np.array([r["v"] for r in df.select("v").collect()])
+    return df, vals
+
+
+def test_compressed_bounds_on_real_population(spark, uniform50k):
+    df, vals = uniform50k
+    delta = 100
+    sk = tdigest_sketch(df, "v", compression=delta).collect()[0]
+    assert sk["count"] == vals.size
+    # compressed for real: centroid count far below n, near delta scale
+    assert len(sk["means"]) < 3 * delta
+    # extremes are exact by construction
+    assert tdigest_quantile(sk["means"], sk["weights"], sk["count"],
+                            sk["vmin"], sk["vmax"], 0.0) \
+        == pytest.approx(vals.min())
+    assert tdigest_quantile(sk["means"], sk["weights"], sk["count"],
+                            sk["vmin"], sk["vmax"], 1.0) \
+        == pytest.approx(vals.max())
+    for q in (0.001, 0.01, 0.25, 0.5, 0.75, 0.99, 0.999):
+        est = tdigest_quantile(sk["means"], sk["weights"], sk["count"],
+                               sk["vmin"], sk["vmax"], q)
+        err = abs(_rank_of(vals, est) - q)
+        assert err <= max(0.015, 8.0 * q * (1 - q) / delta), (q, err)
+
+
+# -- merge: incremental == rescan ----------------------------------------
+
+def test_merge_frames_exact_regime_equals_rescan(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    merged = tdigest_merge_frames(
+        tdigest_sketch(a, "n_chars", group_col="lang", compression=200),
+        tdigest_sketch(b, "n_chars", group_col="lang", compression=200),
+        group_col="lang")
+    whole = tdigest_sketch(docs, "n_chars", group_col="lang",
+                           compression=200)
+    got = {r["lang"]: r for r in tdigest_quantiles(merged, QS).collect()}
+    want = {r["lang"]: r for r in tdigest_quantiles(whole, QS).collect()}
+    assert set(got) == set(want)
+    for lang, w in want.items():
+        g = got[lang]
+        assert g["count"] == w["count"]
+        for name in QS:
+            assert g[name] == pytest.approx(w[name], abs=1e-9)
+
+
+def test_merge_frames_disjoint_groups_pass_through(spark):
+    a = spark.createDataFrame([("x", 1.0), ("x", 2.0)], ["g", "v"])
+    b = spark.createDataFrame([("y", 10.0), ("y", 20.0)], ["g", "v"])
+    merged = tdigest_merge_frames(
+        tdigest_sketch(a, "v", group_col="g", compression=64),
+        tdigest_sketch(b, "v", group_col="g", compression=64),
+        group_col="g")
+    rows = {r["g"]: r for r in
+            tdigest_quantiles(merged, {"p50": 0.5}).collect()}
+    assert rows["x"]["p50"] == pytest.approx(1.5)
+    assert rows["y"]["p50"] == pytest.approx(15.0)
+
+
+def test_merge_arrays_compressed_still_bounded(spark, uniform50k):
+    df, vals = uniform50k
+    delta = 100
+    half = vals.size // 2
+    a = tdigest_sketch(df.where(F.col("id") < half), "v",
+                       compression=delta).collect()[0]
+    b = tdigest_sketch(df.where(F.col("id") >= half), "v",
+                       compression=delta).collect()[0]
+    m, w, count, vmin, vmax = tdigest_merge_arrays(
+        [a.asDict(), b.asDict()], delta)
+    assert count == vals.size
+    assert vmin == pytest.approx(vals.min())
+    assert vmax == pytest.approx(vals.max())
+    for q in (0.01, 0.5, 0.99):
+        est = tdigest_quantile(m, w, count, vmin, vmax, q)
+        # one extra merge round can at most double the rank error
+        assert abs(_rank_of(vals, est) - q) \
+            <= max(0.03, 16.0 * q * (1 - q) / delta)
+
+
+# -- CDF geometry ---------------------------------------------------------
+
+def test_cdf_exact_regime_and_inverse(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    sk = tdigest_sketch(docs, "n_chars", compression=512).collect()[0]
+    vals = np.array([r["n_chars"] for r in
+                     docs.select("n_chars").collect()], dtype=float)
+    svals = np.sort(vals)
+    for x in (float(svals[10]), float(svals[250]), float(svals[490])):
+        got = tdigest_cdf(sk["means"], sk["weights"], sk["count"],
+                          sk["vmin"], sk["vmax"], x)
+        want = float(np.searchsorted(svals, x, side="right")) / svals.size
+        assert got == pytest.approx(want, abs=1e-9)
+    assert tdigest_cdf(sk["means"], sk["weights"], sk["count"],
+                       sk["vmin"], sk["vmax"], sk["vmin"] - 1) == 0.0
+    assert tdigest_cdf(sk["means"], sk["weights"], sk["count"],
+                       sk["vmin"], sk["vmax"], sk["vmax"]) == 1.0
+    # cdf(quantile(q)) ~= q in the exact regime
+    for q in (0.1, 0.5, 0.9):
+        est = tdigest_quantile(sk["means"], sk["weights"], sk["count"],
+                               sk["vmin"], sk["vmax"], q)
+        assert tdigest_cdf(sk["means"], sk["weights"], sk["count"],
+                           sk["vmin"], sk["vmax"], est) \
+            == pytest.approx(q, abs=2.0 / sk["count"])
+
+
+def test_cdf_monotone_compressed(spark, uniform50k):
+    df, vals = uniform50k
+    sk = tdigest_sketch(df, "v", compression=100).collect()[0]
+    xs = np.linspace(sk["vmin"], sk["vmax"], 101)
+    cs = [tdigest_cdf(sk["means"], sk["weights"], sk["count"],
+                      sk["vmin"], sk["vmax"], float(x)) for x in xs]
+    assert all(b >= a - 1e-12 for a, b in zip(cs, cs[1:]))
+    assert cs[0] >= 0.0 and cs[-1] == 1.0
+
+
+# -- error contracts ------------------------------------------------------
+
+def test_error_contracts(spark):
+    df = spark.createDataFrame([(1.0,)], ["v"])
+    with pytest.raises(ValueError, match="compression"):
+        tdigest_sketch(df, "v", compression=10)
+    sk64 = tdigest_sketch(df, "v", compression=64)
+    sk65 = tdigest_sketch(df, "v", compression=65)
+    with pytest.raises(ValueError, match="different compressions"):
+        tdigest_merge_frames(sk64, sk65).collect()
+    with pytest.raises(ValueError, match="outside"):
+        tdigest_quantiles(sk64, {"bad": 1.5})
+    with pytest.raises(ValueError, match="quantile must be"):
+        tdigest_quantile([1.0], [1.0], 1, 1.0, 1.0, -0.1)
+    with pytest.raises(ValueError, match="empty"):
+        tdigest_quantile([], [], 0, 0.0, 0.0, 0.5)
+    with pytest.raises(ValueError, match="empty"):
+        tdigest_cdf([], [], 0, 0.0, 0.0, 0.5)
+
+
+def test_empty_group_emits_no_row(spark):
+    df = spark.createDataFrame(
+        [("x", None), ("y", 2.0)], "g string, v double")
+    rows = tdigest_sketch(df, "v", group_col="g",
+                          compression=64).collect()
+    assert [r["g"] for r in rows] == ["y"]
