@@ -12,7 +12,8 @@ from pyspark.sql import functions as F
 from tests.conftest import SF_DIR, load
 from valkey_search_spark.operators.quantiles import (
     tdigest_cdf, tdigest_merge_arrays, tdigest_merge_frames,
-    tdigest_quantile, tdigest_quantiles, tdigest_sketch)
+    tdigest_quantile, tdigest_quantiles, tdigest_sketch,
+    trim_to_quantiles)
 
 QS = {"p01": 0.01, "p25": 0.25, "p50": 0.5, "p75": 0.75, "p99": 0.99}
 
@@ -243,3 +244,75 @@ def test_empty_group_emits_no_row(spark):
     rows = tdigest_sketch(df, "v", group_col="g",
                           compression=64).collect()
     assert [r["g"] for r in rows] == ["y"]
+
+
+# -- trim_to_quantiles ------------------------------------------------------
+
+def _duck_trim_ids(lo, hi, by_lang):
+    if by_lang:
+        return {r[0] for r in duckdb.sql(f"""
+            WITH b AS (
+              SELECT lang, quantile_cont(n_chars, {lo}) lo,
+                     quantile_cont(n_chars, {hi}) hi
+              FROM read_parquet('{SF_DIR}/documents.parquet') GROUP BY lang)
+            SELECT d.doc_id
+            FROM read_parquet('{SF_DIR}/documents.parquet') d JOIN b USING (lang)
+            WHERE d.n_chars BETWEEN b.lo AND b.hi""").fetchall()}
+    return {r[0] for r in duckdb.sql(f"""
+        WITH b AS (
+          SELECT quantile_cont(n_chars, {lo}) lo,
+                 quantile_cont(n_chars, {hi}) hi
+          FROM read_parquet('{SF_DIR}/documents.parquet'))
+        SELECT d.doc_id
+        FROM read_parquet('{SF_DIR}/documents.parquet') d, b
+        WHERE d.n_chars BETWEEN b.lo AND b.hi""").fetchall()}
+
+
+def test_trim_grouped_exact_regime_matches_duckdb(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    got = {r["doc_id"] for r in
+           trim_to_quantiles(docs, "n_chars", lo=0.05, hi=0.95,
+                             group_col="lang", compression=200)
+           .select("doc_id").collect()}
+    assert got == _duck_trim_ids(0.05, 0.95, by_lang=True)
+    assert 0 < len(got) < docs.count()
+
+
+def test_trim_global_exact_regime_matches_duckdb(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    got = {r["doc_id"] for r in
+           trim_to_quantiles(docs, "n_chars", lo=0.01, hi=0.99,
+                             compression=512).select("doc_id").collect()}
+    assert got == _duck_trim_ids(0.01, 0.99, by_lang=False)
+
+
+def test_trim_against_reference_sketch(spark, sf_dir):
+    # cut a NEW shard at the OLD corpus's percentiles: bounds come from
+    # the persisted sketch, not from the trimmed frame
+    docs = load(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    sk = tdigest_sketch(old, "n_chars", group_col="lang",
+                        compression=200)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    got = {r["doc_id"] for r in
+           trim_to_quantiles(new, "n_chars", lo=0.25, hi=0.75,
+                             group_col="lang", sketch_df=sk)
+           .select("doc_id").collect()}
+    bounds = {r["lang"]: (r["lo"], r["hi"]) for r in tdigest_quantiles(
+        sk, {"lo": 0.25, "hi": 0.75}).collect()}
+    want = {r["doc_id"] for r in new.collect()
+            if bounds[r["lang"]][0] <= r["n_chars"]
+            <= bounds[r["lang"]][1]}
+    assert got == want
+    assert 0 < len(got) < new.count()
+
+
+def test_trim_drops_null_values_and_validates(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 20.0), (4, 30.0)], "i int, v double")
+    got = {r["i"] for r in
+           trim_to_quantiles(df, "v", lo=0.0, hi=1.0,
+                             compression=64).collect()}
+    assert got == {1, 3, 4}
+    with pytest.raises(ValueError, match="lo <= hi"):
+        trim_to_quantiles(df, "v", lo=0.9, hi=0.1)

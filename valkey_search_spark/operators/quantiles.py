@@ -59,6 +59,7 @@ from pyspark.sql import DataFrame, functions as F, types as T
 __all__ = [
     "tdigest_sketch", "tdigest_merge_frames", "tdigest_quantiles",
     "tdigest_quantile", "tdigest_cdf", "tdigest_merge_arrays",
+    "trim_to_quantiles",
 ]
 
 _TWO_PI = 2.0 * math.pi
@@ -377,6 +378,46 @@ def tdigest_merge_frames(a: DataFrame, b: DataFrame,
         return _reduce_sketches(both.withColumn("__g", F.lit(1)),
                                 ["__g"], int(deltas[0])).drop("__g")
     return _reduce_sketches(both, gcols, int(deltas[0]))
+
+
+def trim_to_quantiles(df: DataFrame, value_col: str,
+                      lo: float = 0.01, hi: float = 0.99,
+                      group_col: str | None = None,
+                      compression: int = 200,
+                      sketch_df: DataFrame | None = None) -> DataFrame:
+    """Keep rows whose ``value_col`` lies in the CLOSED interval
+    [quantile(lo), quantile(hi)] of its own distribution, per
+    ``group_col`` (or globally) — the outlier-trim step of a curation
+    pass ("drop the shortest 1% and longest 1% of documents per
+    language") without materializing a sorted copy.
+
+    Pass a persisted ``sketch_df`` (from :func:`tdigest_sketch`, same
+    value/group) to trim against a REFERENCE distribution — e.g. cut
+    this week's shard at last month's corpus percentiles — otherwise
+    one is sketched from ``df`` itself. The bounds frame is one tiny
+    row per group, broadcast into the scan; the data never shuffles.
+
+    Rows with a NULL or NaN value are dropped (they hold no position
+    in the distribution — filter them beforehand to keep them). In the
+    exact regime (group fits in ``compression``) the cut equals SQL
+    ``percentile_cont`` bounds bit-for-bit.
+    """
+    if not 0.0 <= lo <= hi <= 1.0:
+        raise ValueError(f"need 0 <= lo <= hi <= 1, got lo={lo} hi={hi}")
+    if sketch_df is None:
+        sketch_df = tdigest_sketch(df, value_col, group_col=group_col,
+                                   compression=compression)
+    bounds = tdigest_quantiles(sketch_df, {"__lo": lo, "__hi": hi}) \
+        .select(*([group_col] if group_col else []), "__lo", "__hi")
+    v = F.col(value_col).cast("double")
+    if group_col:
+        joined = df.join(F.broadcast(bounds),
+                         df[group_col].eqNullSafe(bounds[group_col])) \
+                   .drop(bounds[group_col])
+    else:
+        joined = df.crossJoin(F.broadcast(bounds))
+    return (joined.where((v >= F.col("__lo")) & (v <= F.col("__hi")))
+                  .drop("__lo", "__hi"))
 
 
 def tdigest_quantiles(sketch_df: DataFrame,

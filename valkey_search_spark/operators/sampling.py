@@ -209,6 +209,50 @@ def alpha_sample_to_budget(df: DataFrame, key: str,
                 .drop("__g0", "__g", "__frac"))
 
 
+def weighted_sample(df: DataFrame, weight_col: str, n: int,
+                    by: str | None = None,
+                    salt: str = "weighted") -> DataFrame:
+    """Exactly ``min(n, |group|)`` rows per group (or globally when
+    ``by`` is None), drawn WITHOUT replacement with inclusion chance
+    proportional to ``weight_col`` — the Efraimidis-Spirakis A-Res
+    scheme ("Weighted random sampling with a reservoir", IPL 2006):
+    each row gets key ``-ln(u)/w`` for a uniform u and the n SMALLEST
+    keys win, which is distribution-identical to sequential
+    probability-proportional-to-weight draws. The quality-weighted
+    curation step ("keep 1M documents, favoring high quality_score")
+    that uniform ``stratified_sample`` cannot express.
+
+    u is a salted hash of the full row — membership is a pure function
+    of (row contents, salt), reproducible across re-runs and plan
+    re-evaluations; vary ``salt`` for an independent redraw. Rows with
+    NULL, NaN, or non-positive weight are EXCLUDED from the draw (they
+    have no defined selection probability — same convention as SQL
+    aggregates over null; pre-coalesce a floor weight to keep them
+    eligible).
+
+    One shuffle (window by group). A hot group sorts in one task — the
+    inherent cost of exact-N; at extreme group skew draw per
+    sub-stratum and union."""
+    if n <= 0:
+        raise ValueError("n must be positive")
+    from pyspark.sql.window import Window
+
+    w = F.col(weight_col).cast("double")
+    cells = 1 << 30
+    # u in (0, 1]: +1 keeps ln(u) finite; u=1 -> key 0.0 (best), which
+    # is the correct limit (certain inclusion as w -> inf is monotone)
+    u = (F.pmod(F.xxhash64(*[F.col(c) for c in df.columns],
+                           F.lit(salt)), F.lit(cells))
+         .cast("double") + 1.0) / float(cells)
+    key = -F.log(u) / w
+    win = Window.partitionBy(F.col(by) if by else F.lit(1)).orderBy(
+        key.asc(), F.xxhash64(*[F.col(c) for c in df.columns]).asc())
+    return (df.where(w.isNotNull() & ~F.isnan(w) & (w > 0))
+              .withColumn("__rn", F.row_number().over(win))
+              .where(F.col("__rn") <= n)
+              .drop("__rn"))
+
+
 def stratified_sample(df: DataFrame, by: str, n_per_group: int,
                       salt: str = "stratified") -> DataFrame:
     """Exactly ``min(n_per_group, |group|)`` rows from every ``by``
