@@ -316,3 +316,59 @@ def test_trim_drops_null_values_and_validates(spark):
     assert got == {1, 3, 4}
     with pytest.raises(ValueError, match="lo <= hi"):
         trim_to_quantiles(df, "v", lo=0.9, hi=0.1)
+
+
+# -- streaming composition: running digest via foreachBatch ----------------
+
+def test_streaming_running_digest_equals_rescan(spark, sf_dir, tmp_path):
+    """Maintain a per-lang corpus digest from a document stream (one
+    tdigest_sketch per micro-batch, folded into the persisted digest
+    with tdigest_merge_frames) — the incremental-profile loop. In the
+    exact regime the maintained digest's quantiles equal a full rescan
+    bit-for-bit, so the fold loses nothing batch-over-batch."""
+    import os
+    docs = load(spark, sf_dir, "documents")
+    src = tmp_path / "src"
+    os.makedirs(str(src))
+    state_dir = str(tmp_path / "digest")
+
+    def fold(batch_df, batch_id):
+        sk = tdigest_sketch(batch_df, "n_chars", group_col="lang",
+                            compression=200)
+        if os.path.exists(state_dir):
+            prev = spark.read.parquet(state_dir)
+            sk = tdigest_merge_frames(prev, sk, group_col="lang")
+        # write-then-swap not needed in-test; land to a sibling and move
+        tmp_out = state_dir + ".next"
+        sk.write.mode("overwrite").parquet(tmp_out)
+        import shutil
+        if os.path.exists(state_dir):
+            shutil.rmtree(state_dir)
+        os.rename(tmp_out, state_dir)
+
+    # two micro-batches: evens then odds
+    docs.where(F.col("doc_id") % 2 == 0).write.mode("append") \
+        .parquet(str(src))
+    stream = spark.readStream.schema(docs.schema).parquet(str(src))
+    q = (stream.writeStream.foreachBatch(fold)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    docs.where(F.col("doc_id") % 2 == 1).write.mode("append") \
+        .parquet(str(src))
+    q = (stream.writeStream.foreachBatch(fold)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    maintained = spark.read.parquet(state_dir)
+    got = {r["lang"]: r for r in tdigest_quantiles(maintained, QS).collect()}
+    whole = tdigest_sketch(docs, "n_chars", group_col="lang",
+                           compression=200)
+    want = {r["lang"]: r for r in tdigest_quantiles(whole, QS).collect()}
+    assert set(got) == set(want)
+    for lang, w in want.items():
+        g = got[lang]
+        assert g["count"] == w["count"]
+        for name in QS:
+            assert g[name] == pytest.approx(w[name], abs=1e-9)
