@@ -1,7 +1,8 @@
 """Capstone composition: the full training-data pipeline end to end on
 real corpus text — HTML ingest -> extraction -> profiling -> quality
-gates -> dedup -> decontamination -> BPE tokenization -> packing ->
-shard write. Each stage is the engine's own operator; the assertions
+gates -> dedup -> decontamination -> quantile outlier trim ->
+quality-weighted selection -> BPE tokenization -> packing -> shard
+write. Each stage is the engine's own operator; the assertions
 pin the cross-stage invariants (row conservation, flag monotonicity,
 token accounting) rather than any single operator's internals (those
 have their own suites)."""
@@ -95,7 +96,47 @@ def test_full_pipeline(spark, corpus, tmp_path):
         .where(F.length("text") >= 13).count()
     assert leaked >= min(present, 1)
 
+    # 5b. trim length outliers per source at the corpus's own
+    # percentiles (tiny broadcast bounds; data never shuffles)
+    from valkey_search_spark.operators.quantiles import (
+        tdigest_quantiles, tdigest_sketch, trim_to_quantiles,
+    )
+    sized = clean.withColumn("n_chars", F.length("text"))
+    sk = tdigest_sketch(sized, "n_chars", group_col="source",
+                        compression=512)
+    trimmed = trim_to_quantiles(sized, "n_chars", lo=0.02, hi=0.98,
+                                group_col="source", sketch_df=sk)
+    n5 = trimmed.count()
+    assert 0 < n5 <= n4
+    bounds = {r["source"]: (r["lo"], r["hi"]) for r in
+              tdigest_quantiles(sk, {"lo": 0.02, "hi": 0.98}).collect()}
+    for r in trimmed.select("source", "n_chars").collect():
+        lo, hi = bounds[r["source"]]
+        assert lo <= r["n_chars"] <= hi
+
+    # 5c. quality-weighted selection: exact-N per source, inclusion
+    # chance proportional to quality_score (A-Res)
+    from valkey_search_spark.operators.sampling import weighted_sample
+    weighted = trimmed.join(
+        analyzed.select("doc_id", "quality_score"), "doc_id")
+    n_per = 40
+    selected = weighted_sample(weighted, "quality_score", n_per,
+                               by="source").drop("n_chars")
+    sizes = {r["source"]: r["n"] for r in
+             trimmed.groupBy("source").agg(
+                 F.count(F.lit(1)).alias("n")).collect()}
+    picked = {r["source"]: r["n"] for r in
+              selected.groupBy("source").agg(
+                  F.count(F.lit(1)).alias("n")).collect()}
+    assert picked == {s: min(n_per, n) for s, n in sizes.items()}
+    # the draw favors quality: selected mean >= corpus mean
+    mean_all = weighted.agg(F.avg("quality_score")).collect()[0][0]
+    mean_sel = selected.agg(F.avg("quality_score")).collect()[0][0]
+    assert mean_sel >= mean_all - 1e-9
+    n6 = selected.count()
+
     # 6. tokenize with a corpus-trained BPE; counts feed the packer
+    clean = selected.select("doc_id", "source", "text")
     tok = train_bpe(clean, vocab_size=256 + 200)
     counted = tok.token_count(clean)
     total_tokens = counted.agg(F.sum("bpe_token_count")).collect()[0][0]
@@ -110,7 +151,7 @@ def test_full_pipeline(spark, corpus, tmp_path):
         F.sum("token_count").alias("t"), F.count(F.lit(1)).alias("n"))
     stats = packs.agg(F.max("t"), F.sum("n")).collect()[0]
     assert stats[0] <= 512                     # no pack over budget
-    assert stats[1] == n4                      # every doc packed once
+    assert stats[1] == n6                      # every doc packed once
 
     # 8. shard write with manifest accounting
     out = str(tmp_path / "shards")
@@ -119,7 +160,7 @@ def test_full_pipeline(spark, corpus, tmp_path):
                        F.col("bpe_token_count").alias("token_count")),
         out, key="doc_id", n_shards=4, token_col="token_count")
     m = manifest.agg(F.sum("rows"), F.sum("tokens")).collect()[0]
-    assert m[0] == n4
+    assert m[0] == n6
     assert m[1] == total_tokens
     back = spark.read.parquet(out)
-    assert back.count() == n4
+    assert back.count() == n6
