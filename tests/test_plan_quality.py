@@ -234,3 +234,41 @@ def test_hnsw_build_is_single_shuffle(spark, tmp_path):
         .executedPlan().toString()
     assert plan.count("FlatMapGroupsInPandas") == 1
     assert plan.count("Exchange") == 1
+
+
+def test_tdigest_sketch_single_exchange_centroids_only(spark):
+    from valkey_search_spark.operators.quantiles import tdigest_sketch
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(tdigest_sketch(docs, "n_chars", group_col="lang",
+                                compression=64))
+    # map partials -> ONE group-key shuffle of centroid rows -> merge;
+    # the raw values never shuffle
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("FlatMapGroupsInPandas") == 1
+
+
+def test_trim_to_quantiles_broadcasts_bounds(spark):
+    from valkey_search_spark.operators.quantiles import trim_to_quantiles
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(trim_to_quantiles(docs, "n_chars", lo=0.1, hi=0.9,
+                                   group_col="lang", compression=64))
+    # the data side joins the per-group bounds broadcast — no shuffle
+    # of the trimmed frame itself (the only Exchange is the sketch's)
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_weighted_sample_one_window_shuffle(spark):
+    from valkey_search_spark.operators.sampling import weighted_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .withColumn("w", F.col("n_chars").cast("double"))
+    plan = _plan(weighted_sample(docs, "w", 5, by="lang"))
+    # one shuffle on the group key, zero Python nodes (A-Res key is a
+    # pure JVM expression)
+    assert plan.count("Exchange hashpartitioning") == 1
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
