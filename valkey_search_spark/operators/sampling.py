@@ -209,6 +209,76 @@ def alpha_sample_to_budget(df: DataFrame, key: str,
                 .drop("__g0", "__g", "__frac"))
 
 
+def upsample_to_token_budget(df: DataFrame, key: str,
+                             budget_tokens: int | dict,
+                             text_col: str = "text",
+                             by: str | None = None,
+                             max_epochs: int | None = None,
+                             salt: str = "upsample") -> DataFrame:
+    """Replicate (or thin) each group to ~``budget_tokens`` whitespace
+    tokens — the MULTI-EPOCH side of a data-mixture recipe that
+    ``sample_to_token_budget`` cannot express: a small high-quality
+    source with a share above its size repeats (e.g. 3.2 epochs), a
+    large source thins, and the output carries an ``epoch`` column
+    (0-based replica index) so downstream shuffles/shard writers can
+    interleave replicas instead of emitting them adjacent.
+
+    Per group, ``rate = budget / group_tokens``; every document gets
+    ``floor(rate)`` full copies plus one more iff its salted-hash unit
+    is below ``frac(rate)`` — deterministic in (key, salt), stable
+    under plan recomputation, and the expected output is exactly the
+    budget with whole documents only (the same convention as the other
+    samplers; rate < 1 degenerates to whole-document thinning).
+    ``budget_tokens`` may be a dict ``{group: budget}`` when ``by`` is
+    given — groups missing from the dict pass through at 1 epoch.
+    ``max_epochs`` caps the rate (the published data-recipe guardrail
+    against over-repeating tiny sources); the capped group then
+    undershoots its budget, reported nowhere silently — read the
+    ``epoch`` column distribution.
+
+    Fully distributed: one per-group token aggregation joined back,
+    replication via ``explode(sequence(...))`` on the scan — the
+    group totals frame is the only (tiny) shuffle."""
+    if max_epochs is not None and max_epochs < 1:
+        raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
+    if isinstance(budget_tokens, dict):
+        if not by:
+            raise ValueError("a per-group budget dict requires `by`")
+        budgets = F.create_map(
+            *[F.lit(x) for kv in budget_tokens.items() for x in kv])
+    else:
+        budgets = F.lit(float(budget_tokens))
+    toks = F.size(F.filter(F.split(F.col(text_col), r"\s+"),
+                           lambda w: w != ""))
+    group = F.col(by) if by else F.lit("__all")
+    work = df.withColumn("__g0", group)
+    totals = (work.select(F.col("__g0").alias("__g"), toks.alias("__n"))
+              .groupBy("__g").agg(F.sum("__n").alias("__total")))
+    if isinstance(budget_tokens, dict):
+        budget = budgets[F.col("__g")].cast("double")
+    else:
+        budget = budgets
+    rate = F.when(F.col("__total") > 0, budget / F.col("__total")) \
+        .otherwise(F.lit(None))
+    # a group absent from the budget dict (null budget) passes through
+    # at exactly one epoch
+    rate = F.coalesce(rate, F.lit(1.0))
+    if max_epochs is not None:
+        rate = F.least(rate, F.lit(float(max_epochs)))
+    rates = totals.select("__g", rate.alias("__rate"))
+    cells = 1 << 30
+    u = (F.pmod(F.xxhash64(F.col(key).cast("string"), F.lit(salt)),
+                F.lit(cells)).cast("double") / float(cells))
+    base = F.floor(F.col("__rate")).cast("int")
+    copies = base + F.when(u < F.col("__rate") - base, 1).otherwise(0)
+    return (work.join(rates, F.col("__g0").eqNullSafe(F.col("__g")))
+                .withColumn("epoch", F.explode(
+                    F.when(copies > 0,
+                           F.sequence(F.lit(0), copies - 1))
+                    .otherwise(F.array().cast("array<int>"))))
+                .drop("__g0", "__g", "__rate"))
+
+
 def weighted_sample(df: DataFrame, weight_col: str, n: int,
                     by: str | None = None,
                     salt: str = "weighted") -> DataFrame:
