@@ -816,38 +816,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["temporal_asof"] = q_temporal_asof
 
-    def q_events_sessionize(spark, sf_dir):
+    def q_events_ops(spark, sf_dir):
+        # round-8 slot consolidation: the sessionize row and both
+        # resample legs (zero-fill / forward-fill hourly grid) share one
+        # discriminated-union row normalized to (k, b, v, form) — each
+        # form keeps its own hash-checked leg; the freed slot holds the
+        # new profile_quantiles row
+        from valkey_search_spark.operators.diff import resample
         from valkey_search_spark.operators.events import sessionize
 
         ev = load_table(spark, sf_dir, "events")
-        out = sessionize(ev, gap="30 minutes")
-        return out.select(
-            "event_id",
-            F.col("session_seq").cast("long").alias("session_seq"),
+        sess = sessionize(ev, gap="30 minutes")
+        parts = [sess.select(
+            F.col("event_id").cast("string").alias("k"),
+            F.col("session_seq").cast("long").alias("b"),
             _r(F.element_at(F.split("session_id", "/"), 2)
-               .cast("double"), 0).alias("sstart"))
-
-    q["events_sessionize"] = q_events_sessionize
-
-    def q_events_resample(spark, sf_dir):
-        # per-user hourly grid with gap materialization — zero-fill and
-        # forward-fill legs share one union row; the oracle replays the
-        # grid as a range() unnest + left join and the ffill as
-        # last_value IGNORE NULLS
-        from valkey_search_spark.operators.diff import resample
-
-        ev = load_table(spark, sf_dir, "events")
-        parts = []
+               .cast("double"), 0).alias("v"),
+            F.lit("session").alias("form"))]
         for form in ("zero", "ffill"):
             out = resample(ev, every=3600, agg={"value": "sum"},
                            key="user_id", fill=form)
             parts.append(out.select(
-                "user_id", F.col("bucket").cast("long").alias("bucket"),
+                F.col("user_id").cast("string").alias("k"),
+                F.col("bucket").cast("long").alias("b"),
                 _r(F.col("sum_value"), 2).alias("v"),
                 F.lit(form).alias("form")))
-        return parts[0].unionByName(parts[1])
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
-    q["events_resample"] = q_events_resample
+    q["events_ops"] = q_events_ops
+
+    def q_profile_quantiles(spark, sf_dir):
+        # t-digest distribution profile in the EXACT regime: per-lang
+        # doc-length percentiles; compression=4096 keeps every sf<=0.1
+        # lang group all-singleton, so the estimator IS percentile_cont
+        # and the oracle is DuckDB quantile_cont value-for-value
+        from valkey_search_spark.operators.quantiles import (
+            tdigest_quantiles, tdigest_sketch,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        sk = tdigest_sketch(docs, "n_chars", group_col="lang",
+                            compression=4096)
+        out = tdigest_quantiles(
+            sk, {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p99": 0.99})
+        return out.select(
+            "lang", F.col("count").alias("cnt"),
+            *[_r(F.col(c), 6).alias(c)
+              for c in ("p25", "p50", "p75", "p99")])
+
+    q["profile_quantiles"] = q_profile_quantiles
 
     def q_graph_pagerank(spark, sf_dir):
         # power-iteration PageRank on a deterministic synthetic link
@@ -2469,7 +2489,7 @@ def oracle_sql() -> dict[str, str]:
                 expr="CASE WHEN r.ts >= l.ts - INTERVAL 30 MINUTE"
                      " THEN CAST(epoch(r.ts) AS DOUBLE) END"),
             _diff_leg)))
-    o["events_sessionize"] = (
+    o["events_ops"] = (
         "WITH lagd AS ("
         "  SELECT event_id, user_id, ts,"
         "    epoch(ts) - epoch(lag(ts) OVER"
@@ -2480,11 +2500,35 @@ def oracle_sql() -> dict[str, str]:
         "    sum(CASE WHEN d IS NULL OR d > 1800 THEN 1 ELSE 0 END)"
         "      OVER (PARTITION BY user_id ORDER BY ts, event_id"
         "            ROWS UNBOUNDED PRECEDING) AS session_seq"
-        "  FROM lagd)"
-        " SELECT event_id, CAST(session_seq AS BIGINT) AS session_seq,"
+        "  FROM lagd),"
+        " g AS (SELECT user_id,"
+        "   CAST(floor(epoch(ts)/3600) AS BIGINT) AS b,"
+        "   ROUND(sum(value), 2) + 0.0 AS sv"
+        "  FROM events GROUP BY 1, 2),"
+        " span AS (SELECT user_id, min(b) AS lo, max(b) AS hi FROM g"
+        "          GROUP BY 1),"
+        " grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS bucket"
+        "          FROM span),"
+        " j AS (SELECT grid.user_id, grid.bucket, g.sv FROM grid"
+        "       LEFT JOIN g ON g.user_id = grid.user_id"
+        "        AND g.b = grid.bucket)"
+        " SELECT CAST(event_id AS VARCHAR) AS k,"
+        "  CAST(session_seq AS BIGINT) AS b,"
         "  ROUND(min(epoch(ts)) OVER"
-        "    (PARTITION BY user_id, session_seq), 0) + 0.0 AS sstart"
-        " FROM seq")
+        "    (PARTITION BY user_id, session_seq), 0) + 0.0 AS v,"
+        "  'session' AS form FROM seq"
+        " UNION ALL SELECT CAST(user_id AS VARCHAR), bucket,"
+        "  COALESCE(sv, 0.0), 'zero' FROM j"
+        " UNION ALL SELECT CAST(user_id AS VARCHAR), bucket,"
+        "  last_value(sv IGNORE NULLS) OVER (PARTITION BY user_id"
+        "   ORDER BY bucket ROWS UNBOUNDED PRECEDING), 'ffill' FROM j")
+    o["profile_quantiles"] = (
+        "SELECT lang, count(*) AS cnt,"
+        " ROUND(quantile_cont(n_chars, 0.25), 6) + 0.0 AS p25,"
+        " ROUND(quantile_cont(n_chars, 0.50), 6) + 0.0 AS p50,"
+        " ROUND(quantile_cont(n_chars, 0.75), 6) + 0.0 AS p75,"
+        " ROUND(quantile_cont(n_chars, 0.99), 6) + 0.0 AS p99"
+        " FROM documents GROUP BY lang")
     # 3 power iterations replayed as chained CTEs; same recurrence as
     # operators/graph.pagerank: r' = (1-d)/M + d*(in-contrib + dangling/M)
     _pr_iter = (
@@ -2661,23 +2705,6 @@ def oracle_sql() -> dict[str, str]:
     # per-user hourly resample: grid = range() unnest per user span,
     # zero leg coalesces gaps, ffill leg propagates the previous
     # non-null bucket value
-    o["events_resample"] = (
-        "WITH g AS (SELECT user_id,"
-        "   CAST(floor(epoch(ts)/3600) AS BIGINT) AS b,"
-        "   ROUND(sum(value), 2) + 0.0 AS sv"
-        "  FROM events GROUP BY 1, 2),"
-        " span AS (SELECT user_id, min(b) AS lo, max(b) AS hi FROM g"
-        "          GROUP BY 1),"
-        " grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS bucket"
-        "          FROM span),"
-        " j AS (SELECT grid.user_id, grid.bucket, g.sv FROM grid"
-        "       LEFT JOIN g ON g.user_id = grid.user_id"
-        "        AND g.b = grid.bucket)"
-        " SELECT user_id, bucket, COALESCE(sv, 0.0) AS v,"
-        "  'zero' AS form FROM j"
-        " UNION ALL SELECT user_id, bucket,"
-        "  last_value(sv IGNORE NULLS) OVER (PARTITION BY user_id"
-        "   ORDER BY bucket ROWS UNBOUNDED PRECEDING), 'ffill' FROM j")
     o["search_maxsim"] = (
         "WITH qt AS (SELECT vec_id % 8 AS qid, vec_id AS qtok, embedding"
         "            FROM embeddings WHERE vec_id < 40),"

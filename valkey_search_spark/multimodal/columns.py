@@ -360,6 +360,85 @@ def audio_features(df: DataFrame, binary_col: str = "audio",
     return df.mapInPandas(run, schema=out_schema)
 
 
+AUDIO_RESAMPLE_META = T.StructType([
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("seconds", T.DoubleType()),
+])
+
+
+def audio_resample(df: DataFrame, binary_col: str = "audio",
+                   target_rate: int = 16_000, fake: bool = True,
+                   on_error: str = "raise", decode_fn=None) -> DataFrame:
+    """Normalize audio to ``target_rate`` mono float32 PCM — the
+    16 kHz-mono conditioning step every speech-training pipeline runs
+    before feature extraction. Binary in -> binary out
+    (``audio_resampled``: little-endian float32 samples) + an
+    ``audio_resample_meta`` struct (sample_rate, n_samples, seconds).
+
+    Resampling is linear interpolation on the decoded mono wave
+    (sample i of the output reads source position i*src/target): exact
+    for constant signals, transparent for upsampling and mild ratios;
+    it applies NO anti-aliasing low-pass, so high-ratio DOWNSAMPLING of
+    content near the new Nyquist aliases — plug a DSP decoder through
+    ``decode_fn`` when that matters. ``target_rate == source rate``
+    passes samples through untouched. ``on_error="null"`` nulls
+    undecodable payloads and carries the shared ``decode_error``
+    column (same contract as image_features/audio_features)."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be raise|null, got {on_error!r}")
+    if target_rate < 1:
+        raise ValueError(f"target_rate must be >= 1, got {target_rate}")
+    extra = [T.StructField("audio_resampled", T.BinaryType()),
+             T.StructField("audio_resample_meta", AUDIO_RESAMPLE_META)]
+    has_prev_err = "decode_error" in df.columns
+    if on_error == "null" and not has_prev_err:
+        extra.append(T.StructField("decode_error", T.StringType()))
+    out_schema = T.StructType(df.schema.fields + extra)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs, metas, errs = [], [], []
+            for payload in pdf[binary_col]:
+                if payload is None:
+                    blobs.append(None); metas.append(None)
+                    errs.append(None)
+                    continue
+                try:
+                    wave, sr = _decode_audio(bytes(payload), fake,
+                                             decode_fn)
+                except (ValueError, NotImplementedError) as e:
+                    if on_error == "raise":
+                        raise
+                    blobs.append(None); metas.append(None)
+                    errs.append(str(e))
+                    continue
+                errs.append(None)
+                if sr != target_rate and wave.size:
+                    n_out = max(1, round(wave.size * target_rate / sr))
+                    pos = np.arange(n_out, dtype=np.float64) * (sr / target_rate)
+                    wave = np.interp(pos, np.arange(wave.size,
+                                                    dtype=np.float64),
+                                     wave.astype(np.float64)) \
+                        .astype(np.float32)
+                blobs.append(wave.astype("<f4").tobytes())
+                metas.append({"sample_rate": int(target_rate),
+                              "n_samples": int(wave.size),
+                              "seconds": wave.size / float(target_rate)})
+            out = pdf.copy()
+            out["audio_resampled"], out["audio_resample_meta"] = blobs, metas
+            if on_error == "null":
+                if has_prev_err:
+                    out["decode_error"] = [
+                        old_e if old_e is not None else new_e
+                        for old_e, new_e in zip(pdf["decode_error"], errs)]
+                else:
+                    out["decode_error"] = errs
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 # ---------------------------------------------------------------------------
 def video_frame_sample(df: DataFrame, binary_col: str = "video",
                        every_n: int = 30, fake: bool = True,
