@@ -142,3 +142,71 @@ def test_duplicate_results_and_qrels_collapse(spark):
     # grade 2 kept (max); b actually at rank 2, ideally rank 1
     want = ((2 ** 2 - 1) / math.log2(3)) / ((2 ** 2 - 1) / math.log2(2))
     assert r["ndcg_at_k"] == pytest.approx(want)
+
+
+# -- paired bootstrap significance ----------------------------------------
+
+def _sig_fixture(spark, n_q=60, b_wins=48):
+    """qrels: one relevant doc per query. Run A ranks it 3rd for every
+    query; run B ranks it 1st for the first `b_wins` queries and 3rd
+    for the rest — a large, known effect."""
+    qrels = spark.createDataFrame(
+        [(q, f"rel{q}", 1) for q in range(n_q)], ["qid", "doc_id", "grade"])
+    def run(first_rel_queries):
+        rows = []
+        for q in range(n_q):
+            rel_rank = 1 if q < first_rel_queries else 3
+            docs = ["x1", "x2", "x3"]
+            docs.insert(rel_rank - 1, f"rel{q}")
+            for i, dd in enumerate(docs[:3]):
+                rows.append((q, dd, 10.0 - i))
+        return spark.createDataFrame(rows, ["qid", "doc_id", "score"])
+    return run(0), run(b_wins), qrels
+
+
+def test_paired_bootstrap_detects_real_effect(spark):
+    from valkey_search_spark.operators.evaluation import (
+        ir_summary, paired_bootstrap)
+
+    a, b, qrels = _sig_fixture(spark)
+    r = paired_bootstrap(a, b, qrels, metric="mrr", k=10)
+    assert r["n_queries"] == 60
+    assert r["delta"] > 0.4                      # 48/60 * (1 - 1/3)
+    assert r["p_value"] <= 0.01
+    assert r["ci_lo"] <= r["delta"] <= r["ci_hi"]
+    assert r["ci_lo"] > 0
+    # means cross-pin against the (DuckDB-pinned) ir_summary operator
+    sa = ir_summary(a, qrels, k=10).collect()[0]
+    sb = ir_summary(b, qrels, k=10).collect()[0]
+    assert r["mean_a"] == pytest.approx(sa["mrr"], abs=1e-12)
+    assert r["mean_b"] == pytest.approx(sb["mrr"], abs=1e-12)
+
+
+def test_paired_bootstrap_null_effect_and_symmetry(spark):
+    from valkey_search_spark.operators.evaluation import paired_bootstrap
+
+    a, b, qrels = _sig_fixture(spark)
+    same = paired_bootstrap(a, a, qrels, metric="ndcg_at_k")
+    assert same["delta"] == 0.0
+    assert same["p_value"] == 1.0
+    assert same["mean_a"] == same["mean_b"]
+    ab = paired_bootstrap(a, b, qrels, metric="mrr")
+    ba = paired_bootstrap(b, a, qrels, metric="mrr")
+    assert ab["p_value"] == ba["p_value"]        # two-sided symmetry
+    assert ab["delta"] == -ba["delta"]
+
+
+def test_paired_bootstrap_deterministic_and_contracts(spark):
+    from valkey_search_spark.operators.evaluation import paired_bootstrap
+
+    a, b, qrels = _sig_fixture(spark)
+    r1 = paired_bootstrap(a, b, qrels, metric="mrr", seed=11)
+    r2 = paired_bootstrap(a, b, qrels, metric="mrr", seed=11)
+    assert r1 == r2
+    with pytest.raises(ValueError, match="metric"):
+        paired_bootstrap(a, b, qrels, metric="f1")
+    with pytest.raises(ValueError, match="n_boot"):
+        paired_bootstrap(a, b, qrels, n_boot=10)
+    empty = qrels.where("qid < 0")
+    with pytest.raises(ValueError, match="judged"):
+        paired_bootstrap(a, b, empty)

@@ -116,3 +116,63 @@ def ir_summary(results: DataFrame, qrels: DataFrame, k: int = 10,
         F.avg("recall_at_k").alias("recall_at_k"),
         F.avg("mrr").alias("mrr"),
         F.avg("ndcg_at_k").alias("ndcg_at_k"))
+
+
+def paired_bootstrap(results_a: DataFrame, results_b: DataFrame,
+                     qrels: DataFrame, metric: str = "ndcg_at_k",
+                     k: int = 10, n_boot: int = 2000, seed: int = 7,
+                     **kwargs) -> dict:
+    """Paired bootstrap significance test between two runs over the
+    same judged queries (the Smucker/Allan/Carterette recipe — THE
+    standard answer to "is B actually better than A, or did 50 queries
+    get lucky?"). Per-query ``metric`` values for both runs compute as
+    the usual distributed ir_metrics plans and inner-join on the query
+    (both sides evaluate the identical judged-query set, so the join
+    drops nothing); the per-query DELTA vector — one double per query —
+    comes to the driver, and the bootstrap runs vectorized there: the
+    deltas are re-centered at zero (the null), resampled with
+    replacement ``n_boot`` times, and the two-sided p-value is the
+    fraction of null means at least as extreme as the observed mean.
+
+    Returns a plain dict: metric, n_queries, mean_a, mean_b, delta
+    (b - a), ci_lo/ci_hi (percentile 95% CI of the delta), p_value,
+    n_boot, seed. Deterministic in ``seed``.
+
+    Scale note: the collected vector is 8 bytes per judged query and
+    the resample matrix is n_boot x n_queries driver-side — fine to
+    ~10^5 judged queries at the default n_boot; for a larger log,
+    evaluate on a query sample or lower n_boot (statistical power
+    saturates long before that).
+    """
+    import numpy as np
+
+    valid = ("precision_at_k", "recall_at_k", "mrr", "ndcg_at_k")
+    if metric not in valid:
+        raise ValueError(f"metric must be one of {valid}, got {metric!r}")
+    if n_boot < 100:
+        raise ValueError(f"n_boot must be >= 100, got {n_boot}")
+    qcol = kwargs.get("query_col", "qid")
+    per_a = ir_metrics(results_a, qrels, k=k, **kwargs) \
+        .select(F.col(qcol), F.col(metric).alias("__a"))
+    per_b = ir_metrics(results_b, qrels, k=k, **kwargs) \
+        .select(F.col(qcol), F.col(metric).alias("__b"))
+    rows = per_a.join(per_b, qcol).select("__a", "__b").collect()
+    if not rows:
+        raise ValueError("no judged queries in common — nothing to test")
+    a = np.array([r["__a"] for r in rows], dtype=np.float64)
+    b = np.array([r["__b"] for r in rows], dtype=np.float64)
+    d = b - a
+    obs = float(d.mean())
+    rng = np.random.default_rng(seed)
+    centered = d - d.mean()
+    idx = rng.integers(0, d.size, size=(n_boot, d.size))
+    null_means = centered[idx].mean(axis=1)
+    # +1 smoothing keeps p > 0 (a bootstrap can never certify p = 0)
+    p = float((np.abs(null_means) >= abs(obs)).sum() + 1) / (n_boot + 1)
+    boot_means = d[idx].mean(axis=1)
+    lo, hi = np.percentile(boot_means, [2.5, 97.5])
+    return {"metric": metric, "n_queries": int(d.size),
+            "mean_a": float(a.mean()), "mean_b": float(b.mean()),
+            "delta": obs, "ci_lo": float(lo), "ci_hi": float(hi),
+            "p_value": min(p, 1.0), "n_boot": int(n_boot),
+            "seed": int(seed)}
