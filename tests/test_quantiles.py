@@ -372,3 +372,19 @@ def test_streaming_running_digest_equals_rescan(spark, sf_dir, tmp_path):
         assert g["count"] == w["count"]
         for name in QS:
             assert g[name] == pytest.approx(w[name], abs=1e-9)
+
+
+def test_trim_new_group_passes_through_untrimmed(spark):
+    # a group present in the shard but absent from the reference sketch
+    # (a brand-new language) must pass through, not vanish
+    old = spark.createDataFrame(
+        [("en", float(v)) for v in range(100)], ["g", "v"])
+    sk = tdigest_sketch(old, "v", group_col="g", compression=200)
+    new = spark.createDataFrame(
+        [("en", 50.0), ("en", 9999.0), ("xx", 123.0), ("xx", 456.0)],
+        ["g", "v"])
+    got = sorted((r["g"], r["v"]) for r in
+                 trim_to_quantiles(new, "v", lo=0.05, hi=0.95,
+                                   group_col="g", sketch_df=sk).collect())
+    # en trimmed at the reference bounds; xx kept whole
+    assert got == [("en", 50.0), ("xx", 123.0), ("xx", 456.0)]

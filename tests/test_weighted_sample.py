@@ -108,3 +108,10 @@ def test_n_must_be_positive(spark):
     df = spark.createDataFrame([(1, 1.0)], ["i", "w"])
     with pytest.raises(ValueError, match="positive"):
         weighted_sample(df, "w", 0)
+
+
+def test_global_mode_plans_per_partition_heaps(weighted_docs):
+    df = weighted_sample(weighted_docs, "w", 11)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan  # no single-task global sort

@@ -398,9 +398,13 @@ def trim_to_quantiles(df: DataFrame, value_col: str,
     row per group, broadcast into the scan; the data never shuffles.
 
     Rows with a NULL or NaN value are dropped (they hold no position
-    in the distribution — filter them beforehand to keep them). In the
-    exact regime (group fits in ``compression``) the cut equals SQL
-    ``percentile_cont`` bounds bit-for-bit.
+    in the distribution — filter them beforehand to keep them). A
+    group present in ``df`` but ABSENT from a reference ``sketch_df``
+    (a brand-new language in this week's shard) passes through
+    UNTRIMMED — no reference bounds is not grounds for silent
+    deletion; sketch the new shard and merge if it should count. In
+    the exact regime (group fits in ``compression``) the cut equals
+    SQL ``percentile_cont`` bounds bit-for-bit.
     """
     if not 0.0 <= lo <= hi <= 1.0:
         raise ValueError(f"need 0 <= lo <= hi <= 1, got lo={lo} hi={hi}")
@@ -412,12 +416,15 @@ def trim_to_quantiles(df: DataFrame, value_col: str,
     v = F.col(value_col).cast("double")
     if group_col:
         joined = df.join(F.broadcast(bounds),
-                         df[group_col].eqNullSafe(bounds[group_col])) \
-                   .drop(bounds[group_col])
+                         df[group_col].eqNullSafe(bounds[group_col]),
+                         "left").drop(bounds[group_col])
     else:
         joined = df.crossJoin(F.broadcast(bounds))
-    return (joined.where((v >= F.col("__lo")) & (v <= F.col("__hi")))
-                  .drop("__lo", "__hi"))
+    keep = F.col("__lo").isNull() | \
+        ((v >= F.col("__lo")) & (v <= F.col("__hi")))
+    if not group_col:
+        keep = (v >= F.col("__lo")) & (v <= F.col("__hi"))
+    return joined.where(keep).drop("__lo", "__hi")
 
 
 def tdigest_quantiles(sketch_df: DataFrame,

@@ -300,9 +300,11 @@ def weighted_sample(df: DataFrame, weight_col: str, n: int,
     aggregates over null; pre-coalesce a floor weight to keep them
     eligible).
 
-    One shuffle (window by group). A hot group sorts in one task — the
-    inherent cost of exact-N; at extreme group skew draw per
-    sub-stratum and union."""
+    Grouped mode is one shuffle (window by group; a hot group sorts in
+    one task — the inherent cost of exact-N; at extreme group skew
+    draw per sub-stratum and union). GLOBAL mode compiles to
+    ``TakeOrderedAndProject`` — per-partition top-n heaps merged at
+    the driver, never a single-task global sort."""
     if n <= 0:
         raise ValueError("n must be positive")
     from pyspark.sql.window import Window
@@ -315,12 +317,18 @@ def weighted_sample(df: DataFrame, weight_col: str, n: int,
                            F.lit(salt)), F.lit(cells))
          .cast("double") + 1.0) / float(cells)
     key = -F.log(u) / w
-    win = Window.partitionBy(F.col(by) if by else F.lit(1)).orderBy(
-        key.asc(), F.xxhash64(*[F.col(c) for c in df.columns]).asc())
-    return (df.where(w.isNotNull() & ~F.isnan(w) & (w > 0))
-              .withColumn("__rn", F.row_number().over(win))
-              .where(F.col("__rn") <= n)
-              .drop("__rn"))
+    tiebreak = F.xxhash64(*[F.col(c) for c in df.columns])
+    valid = df.where(w.isNotNull() & ~F.isnan(w) & (w > 0))
+    if by is None:
+        # global exact-N: sort-limit plans as per-partition heaps
+        # (TakeOrderedAndProject), no single-task window
+        return (valid.withColumn("__k", key).withColumn("__t", tiebreak)
+                     .orderBy(F.col("__k").asc(), F.col("__t").asc())
+                     .limit(n).drop("__k", "__t"))
+    win = Window.partitionBy(by).orderBy(key.asc(), tiebreak.asc())
+    return (valid.withColumn("__rn", F.row_number().over(win))
+                 .where(F.col("__rn") <= n)
+                 .drop("__rn"))
 
 
 def stratified_sample(df: DataFrame, by: str, n_per_group: int,
