@@ -221,7 +221,8 @@ def upsample_to_token_budget(df: DataFrame, key: str,
     source with a share above its size repeats (e.g. 3.2 epochs), a
     large source thins, and the output carries an ``epoch`` column
     (0-based replica index) so downstream shuffles/shard writers can
-    interleave replicas instead of emitting them adjacent.
+    interleave replicas instead of emitting them adjacent (pass
+    ``spread_cols=["epoch"]`` to ``write_training_shards``).
 
     Per group, ``rate = budget / group_tokens``; every document gets
     ``floor(rate)`` full copies plus one more iff its salted-hash unit
@@ -269,13 +270,13 @@ def upsample_to_token_budget(df: DataFrame, key: str,
     cells = 1 << 30
     u = (F.pmod(F.xxhash64(F.col(key).cast("string"), F.lit(salt)),
                 F.lit(cells)).cast("double") / float(cells))
-    base = F.floor(F.col("__rate")).cast("int")
+    base = F.floor(F.col("__rate")).cast("long")
     copies = base + F.when(u < F.col("__rate") - base, 1).otherwise(0)
     return (work.join(rates, F.col("__g0").eqNullSafe(F.col("__g")))
                 .withColumn("epoch", F.explode(
                     F.when(copies > 0,
-                           F.sequence(F.lit(0), copies - 1))
-                    .otherwise(F.array().cast("array<int>"))))
+                           F.sequence(F.lit(0).cast("long"), copies - 1))
+                    .otherwise(F.array().cast("array<long>"))))
                 .drop("__g0", "__g", "__rate"))
 
 

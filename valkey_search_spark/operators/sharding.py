@@ -34,7 +34,8 @@ def write_training_shards(df: DataFrame, path: str, key: str,
                           max_records_per_file: int | None = None,
                           mode: str = "error",
                           fmt: str = "parquet",
-                          compression: str | None = None) -> DataFrame:
+                          compression: str | None = None,
+                          spread_cols: list[str] | None = None) -> DataFrame:
     """Write ``df`` as ``path/__shard=K/`` directories in a
     deterministic hash-shuffled order; returns the per-shard manifest
     ``(__shard, rows[, tokens])``.
@@ -48,7 +49,15 @@ def write_training_shards(df: DataFrame, path: str, key: str,
     dataloaders stream) instead of parquet, optionally compressed
     (``compression="gzip"`` — per-file gzip, still shard-parallel).
     JSONL is for text consumption: binary columns base64-encode and
-    timestamps stringify, so keep analytic round-trips on parquet."""
+    timestamps stringify, so keep analytic round-trips on parquet.
+
+    ``spread_cols`` hashes extra columns into BOTH the shard assignment
+    and the intra-shard position. A frame carrying replicas — e.g.
+    ``upsample_to_token_budget``'s ``epoch`` column — MUST pass them
+    here (``spread_cols=["epoch"]``), otherwise every copy of a
+    document hashes to the same shard at the same position and a
+    dataloader sees the epochs back-to-back instead of spread across
+    the corpus order."""
     if (n_shards is None) == (target_tokens_per_shard is None):
         raise ValueError(
             "pass exactly one of n_shards or target_tokens_per_shard")
@@ -60,12 +69,13 @@ def write_training_shards(df: DataFrame, path: str, key: str,
         total = df.agg(F.sum(token_col)).first()[0] or 0
         n_shards = max(1, -(-int(total) // int(target_tokens_per_shard)))
 
-    keyed = F.col(key).cast("string")
+    keyed = [F.col(key).cast("string")] + \
+        [F.col(c).cast("string") for c in (spread_cols or [])]
     out = (df
            .withColumn("__shard",
-                       F.pmod(F.xxhash64(keyed, F.lit(seed)),
+                       F.pmod(F.xxhash64(*keyed, F.lit(seed)),
                               F.lit(n_shards)).cast("int"))
-           .withColumn("__pos", F.xxhash64(keyed, F.lit(seed + 1)))
+           .withColumn("__pos", F.xxhash64(*keyed, F.lit(seed + 1)))
            .repartition(n_shards, F.col("__shard"))
            .sortWithinPartitions("__shard", "__pos")
            .drop("__pos"))
