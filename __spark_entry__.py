@@ -2522,8 +2522,10 @@ def oracle_sql() -> dict[str, str]:
         " UNION ALL SELECT CAST(user_id AS VARCHAR), bucket,"
         "  last_value(sv IGNORE NULLS) OVER (PARTITION BY user_id"
         "   ORDER BY bucket ROWS UNBOUNDED PRECEDING), 'ffill' FROM j")
+    # count(n_chars), not count(*): the digest counts the NON-NULL
+    # population, so the oracle must pin the same one
     o["profile_quantiles"] = (
-        "SELECT lang, count(*) AS cnt,"
+        "SELECT lang, count(n_chars) AS cnt,"
         " ROUND(quantile_cont(n_chars, 0.25), 6) + 0.0 AS p25,"
         " ROUND(quantile_cont(n_chars, 0.50), 6) + 0.0 AS p50,"
         " ROUND(quantile_cont(n_chars, 0.75), 6) + 0.0 AS p75,"

@@ -126,6 +126,36 @@ def _decode_image(payload: bytes, fake: bool, decode_fn=None) -> np.ndarray:
     return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
 
 
+def _error_schema(df: DataFrame, on_error: str,
+                  extra: list) -> tuple["T.StructType", bool]:
+    """Shared on_error plumbing: validate the mode, and append the ONE
+    decode_error column unless an upstream operator already carries it
+    (chained null-mode operators share the column, first error wins —
+    a duplicate field would break the Arrow schema of the very mode
+    built to survive corrupt rows). Returns (out_schema, has_prev_err).
+    """
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be raise|null, got {on_error!r}")
+    fields = list(extra)
+    has_prev_err = "decode_error" in df.columns
+    if on_error == "null" and not has_prev_err:
+        fields.append(T.StructField("decode_error", T.StringType()))
+    return T.StructType(df.schema.fields + fields), has_prev_err
+
+
+def _merge_errors(out, pdf, errs, on_error: str,
+                  has_prev_err: bool) -> None:
+    """First-error-wins merge into the shared decode_error column."""
+    if on_error != "null":
+        return
+    if has_prev_err:
+        out["decode_error"] = [
+            old_e if old_e is not None else new_e
+            for old_e, new_e in zip(pdf["decode_error"], errs)]
+    else:
+        out["decode_error"] = errs
+
+
 def image_features(df: DataFrame, binary_col: str = "image",
                    fake: bool = True, batch_size: int = 256,
                    on_error: str = "raise", decode_fn=None) -> DataFrame:
@@ -138,18 +168,10 @@ def image_features(df: DataFrame, binary_col: str = "image",
     kill a 100 TB job; filter (or inspect) ``decode_error`` afterwards.
     The default ``"raise"`` keeps strict semantics for pipelines that
     treat corruption as a bug."""
-    if on_error not in ("raise", "null"):
-        raise ValueError(f"on_error must be raise|null, got {on_error!r}")
     extra = [T.StructField("img_mean", T.ArrayType(T.DoubleType())),
              T.StructField("img_std", T.ArrayType(T.DoubleType())),
              T.StructField("img_phash", T.LongType())]
-    # chained on_error='null' operators share ONE decode_error column
-    # (first error wins) — appending a duplicate field would break the
-    # Arrow schema of the very mode built to survive corrupt rows
-    has_prev_err = "decode_error" in df.columns
-    if on_error == "null" and not has_prev_err:
-        extra.append(T.StructField("decode_error", T.StringType()))
-    out_schema = T.StructType(df.schema.fields + extra)
+    out_schema, has_prev_err = _error_schema(df, on_error, extra)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -182,13 +204,7 @@ def image_features(df: DataFrame, binary_col: str = "image",
                     np.packbits(bits).view(">u8")[0].astype(np.int64))))
             out = pdf.copy()
             out["img_mean"], out["img_std"], out["img_phash"] = means, stds, hashes
-            if on_error == "null":
-                if has_prev_err:
-                    out["decode_error"] = [
-                        old_e if old_e is not None else new_e
-                        for old_e, new_e in zip(pdf["decode_error"], errs)]
-                else:
-                    out["decode_error"] = errs
+            _merge_errors(out, pdf, errs, on_error, has_prev_err)
             yield out
 
     return df.mapInPandas(run, schema=out_schema)
@@ -205,17 +221,12 @@ def image_resize(df: DataFrame, binary_col: str = "image", size: int = 224,
     (uncompressed), "png" (lossless deflate), or "jpeg" (lossy at
     ``quality`` — the vendored encoder with optimal Huffman tables);
     a thumbnail corpus at 100 TB wants jpeg's ~10-20x byte cut."""
-    if on_error not in ("raise", "null"):
-        raise ValueError(f"on_error must be raise|null, got {on_error!r}")
     if out_format not in ("bmp", "png", "jpeg"):
         raise ValueError(
             f"out_format must be bmp|png|jpeg, got {out_format!r}")
     extra = [T.StructField("image_resized", T.BinaryType()),
              T.StructField("image_resized_meta", IMAGE_META)]
-    has_prev_err = "decode_error" in df.columns
-    if on_error == "null" and not has_prev_err:
-        extra.append(T.StructField("decode_error", T.StringType()))
-    out_schema = T.StructType(df.schema.fields + extra)
+    out_schema, has_prev_err = _error_schema(df, on_error, extra)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -254,13 +265,7 @@ def image_resize(df: DataFrame, binary_col: str = "image", size: int = 224,
                                   "channels": 3, "format": out_format})
             out = pdf.copy()
             out["image_resized"], out["image_resized_meta"] = blobs, metas
-            if on_error == "null":
-                if has_prev_err:
-                    out["decode_error"] = [
-                        old_e if old_e is not None else new_e
-                        for old_e, new_e in zip(pdf["decode_error"], errs)]
-                else:
-                    out["decode_error"] = errs
+            _merge_errors(out, pdf, errs, on_error, has_prev_err)
             yield out
 
     return df.mapInPandas(run, schema=out_schema)
@@ -297,7 +302,14 @@ def _decode_audio(payload: bytes, fake: bool,
             res = decode_fn(sniff_format(payload), payload)
             if res is not None:
                 wave, rate = res
-                return np.asarray(wave, dtype=np.float32), int(rate)
+                wave = np.asarray(wave, dtype=np.float32)
+                if wave.ndim == 2:  # (frames, channels) -> mono, like
+                    wave = wave.mean(axis=1)  # the vendored decoders
+                elif wave.ndim != 1:
+                    raise ValueError(
+                        f"decode_fn returned a {wave.ndim}-D wave; "
+                        "expected 1-D mono or 2-D (frames, channels)")
+                return wave, int(rate)
         raise NotImplementedError(
             "only PCM WAV, FLAC, AIFF, and Sun AU decode without "
             "ffmpeg/soundfile (not in this container); pass fake=True "
@@ -315,15 +327,10 @@ def audio_features(df: DataFrame, binary_col: str = "audio",
     """RMS energy + zero-crossing rate + duration via mapInPandas.
     ``on_error="null"`` nulls undecodable payloads (+ ``decode_error``
     column) instead of failing the task — see image_features."""
-    if on_error not in ("raise", "null"):
-        raise ValueError(f"on_error must be raise|null, got {on_error!r}")
     extra = [T.StructField("audio_rms", T.DoubleType()),
              T.StructField("audio_zcr", T.DoubleType()),
              T.StructField("audio_seconds", T.DoubleType())]
-    has_prev_err = "decode_error" in df.columns
-    if on_error == "null" and not has_prev_err:
-        extra.append(T.StructField("decode_error", T.StringType()))
-    out_schema = T.StructType(df.schema.fields + extra)
+    out_schema, has_prev_err = _error_schema(df, on_error, extra)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -348,13 +355,7 @@ def audio_features(df: DataFrame, binary_col: str = "audio",
                 secs.append(len(wave) / sr)
             out = pdf.copy()
             out["audio_rms"], out["audio_zcr"], out["audio_seconds"] = rms, zcr, secs
-            if on_error == "null":
-                if has_prev_err:
-                    out["decode_error"] = [
-                        old_e if old_e is not None else new_e
-                        for old_e, new_e in zip(pdf["decode_error"], errs)]
-                else:
-                    out["decode_error"] = errs
+            _merge_errors(out, pdf, errs, on_error, has_prev_err)
             yield out
 
     return df.mapInPandas(run, schema=out_schema)
@@ -385,16 +386,11 @@ def audio_resample(df: DataFrame, binary_col: str = "audio",
     passes samples through untouched. ``on_error="null"`` nulls
     undecodable payloads and carries the shared ``decode_error``
     column (same contract as image_features/audio_features)."""
-    if on_error not in ("raise", "null"):
-        raise ValueError(f"on_error must be raise|null, got {on_error!r}")
     if target_rate < 1:
         raise ValueError(f"target_rate must be >= 1, got {target_rate}")
     extra = [T.StructField("audio_resampled", T.BinaryType()),
              T.StructField("audio_resample_meta", AUDIO_RESAMPLE_META)]
-    has_prev_err = "decode_error" in df.columns
-    if on_error == "null" and not has_prev_err:
-        extra.append(T.StructField("decode_error", T.StringType()))
-    out_schema = T.StructType(df.schema.fields + extra)
+    out_schema, has_prev_err = _error_schema(df, on_error, extra)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -427,13 +423,7 @@ def audio_resample(df: DataFrame, binary_col: str = "audio",
                               "seconds": wave.size / float(target_rate)})
             out = pdf.copy()
             out["audio_resampled"], out["audio_resample_meta"] = blobs, metas
-            if on_error == "null":
-                if has_prev_err:
-                    out["decode_error"] = [
-                        old_e if old_e is not None else new_e
-                        for old_e, new_e in zip(pdf["decode_error"], errs)]
-                else:
-                    out["decode_error"] = errs
+            _merge_errors(out, pdf, errs, on_error, has_prev_err)
             yield out
 
     return df.mapInPandas(run, schema=out_schema)

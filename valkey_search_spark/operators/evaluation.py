@@ -156,7 +156,11 @@ def paired_bootstrap(results_a: DataFrame, results_b: DataFrame,
         .select(F.col(qcol), F.col(metric).alias("__a"))
     per_b = ir_metrics(results_b, qrels, k=k, **kwargs) \
         .select(F.col(qcol), F.col(metric).alias("__b"))
-    rows = per_a.join(per_b, qcol).select("__a", "__b").collect()
+    # orderBy the query id: delta MEANS are order-invariant but the
+    # resample indices are positional, so a plan-dependent row order
+    # would break the "deterministic in seed" contract
+    rows = per_a.join(per_b, qcol).orderBy(qcol) \
+        .select("__a", "__b").collect()
     if not rows:
         raise ValueError("no judged queries in common — nothing to test")
     a = np.array([r["__a"] for r in rows], dtype=np.float64)

@@ -397,34 +397,50 @@ def trim_to_quantiles(df: DataFrame, value_col: str,
     one is sketched from ``df`` itself. The bounds frame is one tiny
     row per group, broadcast into the scan; the data never shuffles.
 
-    Rows with a NULL or NaN value are dropped (they hold no position
-    in the distribution — filter them beforehand to keep them). A
-    group present in ``df`` but ABSENT from a reference ``sketch_df``
-    (a brand-new language in this week's shard) passes through
-    UNTRIMMED — no reference bounds is not grounds for silent
-    deletion; sketch the new shard and merge if it should count. In
-    the exact regime (group fits in ``compression``) the cut equals
-    SQL ``percentile_cont`` bounds bit-for-bit.
+    Rows with a NULL or NaN value are dropped — they hold no position
+    in any distribution; this holds in every branch below, including
+    pass-through groups. A GROUP present in ``df`` but absent from a
+    reference ``sketch_df`` (a brand-new language in this week's
+    shard) passes through untrimmed — no reference bounds is not
+    grounds for silent deletion; sketch the new shard and merge if it
+    should count. An EMPTY reference sketch likewise passes everything
+    through (same convention). In the exact regime (group fits in
+    ``compression``) the cut equals SQL ``percentile_cont`` bounds
+    bit-for-bit.
     """
     if not 0.0 <= lo <= hi <= 1.0:
         raise ValueError(f"need 0 <= lo <= hi <= 1, got lo={lo} hi={hi}")
     if sketch_df is None:
         sketch_df = tdigest_sketch(df, value_col, group_col=group_col,
                                    compression=compression)
-    bounds = tdigest_quantiles(sketch_df, {"__lo": lo, "__hi": hi}) \
-        .select(*([group_col] if group_col else []), "__lo", "__hi")
     v = F.col(value_col).cast("double")
+    value_ok = v.isNotNull() & ~F.isnan(v)
+    in_bounds = (v >= F.col("__lo")) & (v <= F.col("__hi"))
     if group_col:
+        bounds = tdigest_quantiles(sketch_df, {"__lo": lo, "__hi": hi}) \
+            .select(group_col, "__lo", "__hi")
         joined = df.join(F.broadcast(bounds),
                          df[group_col].eqNullSafe(bounds[group_col]),
                          "left").drop(bounds[group_col])
-    else:
-        joined = df.crossJoin(F.broadcast(bounds))
-    keep = F.col("__lo").isNull() | \
-        ((v >= F.col("__lo")) & (v <= F.col("__hi")))
-    if not group_col:
-        keep = (v >= F.col("__lo")) & (v <= F.col("__hi"))
-    return joined.where(keep).drop("__lo", "__hi")
+        keep = value_ok & (F.col("__lo").isNull() | in_bounds)
+        return joined.where(keep).drop("__lo", "__hi")
+    # global mode: the sketch must be ungrouped (a grouped bounds frame
+    # would silently multiply rows through a cross join) and its one
+    # bounds row collects eagerly (tiny — same convention as
+    # tdigest_merge_frames' compression check) into literal bounds
+    meta = {"count", "vmin", "vmax", "means", "weights", "compression"}
+    extra = [c for c in sketch_df.columns if c not in meta]
+    if extra:
+        raise ValueError(
+            f"sketch_df carries group columns {extra} but group_col is "
+            "None — pass the matching group_col")
+    brows = tdigest_quantiles(sketch_df, {"__lo": lo, "__hi": hi}) \
+        .limit(2).collect()
+    if not brows:  # empty reference sketch: nothing to trim against
+        return df.where(value_ok)
+    return df.where(value_ok
+                    & (v >= F.lit(float(brows[0]["__lo"])))
+                    & (v <= F.lit(float(brows[0]["__hi"]))))
 
 
 def tdigest_quantiles(sketch_df: DataFrame,

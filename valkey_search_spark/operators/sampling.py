@@ -41,6 +41,19 @@ def split_by_hash(df: DataFrame, key: str,
     return out
 
 
+def _hash_unit(cols, salt: str, open_zero: bool = False):
+    """Salted-hash uniform unit over 2^30 cells — the shared membership
+    primitive (sub-1e-6 fractions still select rows; comparisons run as
+    DOUBLES so no truncation bias). [0, 1) by default; ``open_zero``
+    shifts to (0, 1] so ``-ln(u)`` stays finite (A-Res keys). One
+    definition so memberships can never drift between operators."""
+    cells = 1 << 30
+    h = F.pmod(F.xxhash64(*cols, F.lit(salt)), F.lit(cells)).cast("double")
+    if open_zero:
+        return (h + 1.0) / float(cells)
+    return h / float(cells)
+
+
 def mix_corpora(sources: list[tuple[str, DataFrame, float]],
                 total_rows: int, seed: int = 42) -> DataFrame:
     """Blend ``(name, df, weight)`` sources into ~``total_rows`` rows at
@@ -144,14 +157,8 @@ def sample_to_token_budget(df: DataFrame, key: str,
                  F.least(F.lit(1.0),
                          F.lit(float(budget_tokens)) / F.col("__total")))
                  .otherwise(F.lit(1.0)).alias("__frac")))
-    # 2^30 hash cells: sub-1e-6 fractions (a 1M-token budget over a
-    # trillion-token group) still select rows; the threshold compares
-    # as DOUBLES so no truncation bias
-    cells = 1 << 30
-    u = F.pmod(F.xxhash64(F.col(key).cast("string"), F.lit(salt)),
-               F.lit(cells))
     return (work.join(fracs, F.col("__g0").eqNullSafe(F.col("__g")))
-                .where((u.cast("double") / F.lit(float(cells)))
+                .where(_hash_unit([F.col(key).cast("string")], salt)
                        < F.col("__frac"))
                 .drop("__g0", "__g", "__frac"))
 
@@ -195,17 +202,14 @@ def alpha_sample_to_budget(df: DataFrame, key: str,
                  F.lit(1.0),
                  (F.lit(float(total_budget_tokens)) * F.col("__w")
                   / F.col("__wsum")) / F.col("__total")).alias("__frac")))
-    cells = 1 << 30
-    u = F.pmod(F.xxhash64(F.col(key).cast("string"), F.lit(salt)),
-               F.lit(cells))
+    u = _hash_unit([F.col(key).cast("string")], salt)
     # LEFT join + null-frac -> 1.0: a zero-token group is excluded from
     # the share computation (no meaningful weight) but its documents
     # are not silently deleted — taken whole, the same convention as
     # sample_to_token_budget's under-budget groups
     return (work.join(fracs, F.col("__g0").eqNullSafe(F.col("__g")),
                       "left")
-                .where((u.cast("double") / F.lit(float(cells)))
-                       < F.coalesce(F.col("__frac"), F.lit(1.0)))
+                .where(u < F.coalesce(F.col("__frac"), F.lit(1.0)))
                 .drop("__g0", "__g", "__frac"))
 
 
@@ -267,9 +271,7 @@ def upsample_to_token_budget(df: DataFrame, key: str,
     if max_epochs is not None:
         rate = F.least(rate, F.lit(float(max_epochs)))
     rates = totals.select("__g", rate.alias("__rate"))
-    cells = 1 << 30
-    u = (F.pmod(F.xxhash64(F.col(key).cast("string"), F.lit(salt)),
-                F.lit(cells)).cast("double") / float(cells))
+    u = _hash_unit([F.col(key).cast("string")], salt)
     base = F.floor(F.col("__rate")).cast("long")
     copies = base + F.when(u < F.col("__rate") - base, 1).otherwise(0)
     return (work.join(rates, F.col("__g0").eqNullSafe(F.col("__g")))
@@ -311,12 +313,9 @@ def weighted_sample(df: DataFrame, weight_col: str, n: int,
     from pyspark.sql.window import Window
 
     w = F.col(weight_col).cast("double")
-    cells = 1 << 30
-    # u in (0, 1]: +1 keeps ln(u) finite; u=1 -> key 0.0 (best), which
-    # is the correct limit (certain inclusion as w -> inf is monotone)
-    u = (F.pmod(F.xxhash64(*[F.col(c) for c in df.columns],
-                           F.lit(salt)), F.lit(cells))
-         .cast("double") + 1.0) / float(cells)
+    # u in (0, 1]: open_zero keeps ln(u) finite; u=1 -> key 0.0 (best),
+    # the correct limit (certain inclusion as w -> inf is monotone)
+    u = _hash_unit([F.col(c) for c in df.columns], salt, open_zero=True)
     key = -F.log(u) / w
     tiebreak = F.xxhash64(*[F.col(c) for c in df.columns])
     valid = df.where(w.isNotNull() & ~F.isnan(w) & (w > 0))
