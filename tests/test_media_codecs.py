@@ -2224,3 +2224,147 @@ def test_gif_frames_cumulative_pixel_budget():
     payload = _pack_gif_anim((side, side), _PAL8, frames)
     with pytest.raises(MediaDecodeError, match="pixel budget"):
         decode_gif_frames(payload)
+
+
+# ---------------------------------------------------------------------------
+# JPEG-in-TIFF (compression 7, TIFF Technical Note #2)
+
+def _pack_tiff_jpeg(chunks, w, h, rows_per_strip, bo="<", spp=3,
+                    photometric=6, tables=None, compression=7):
+    """Independent writer for new-style JPEG TIFFs: `chunks` are
+    pre-encoded JPEG interchange streams, one per strip; `tables`
+    (optional) becomes the JPEGTables (347) abbreviated stream."""
+    entries = []
+
+    def short(tag, v):
+        entries.append((tag, 3, 1, struct.pack(bo + "HH", v, 0)))
+
+    short(256, w); short(257, h)
+    short(259, compression); short(262, photometric); short(277, spp)
+    short(278, rows_per_strip)
+    n = len(chunks)
+    ext = []                                 # (tag, typ, cnt, payload)
+    if spp >= 3:
+        ext.append((258, 3, spp, struct.pack(bo + "H" * spp, *[8] * spp)))
+    else:
+        short(258, 8)
+    if tables is not None:
+        ext.append((347, 7, len(tables), tables))
+    n_entries = len(entries) + len(ext) + 2
+    ifd_size = 2 + n_entries * 12 + 4
+    ext_off = 8 + ifd_size
+    ext_blob = bytearray()
+    ext_entries = []
+    for tag, typ, cnt, payload in ext:
+        if len(payload) <= 4:
+            ext_entries.append((tag, typ, cnt, payload))
+        else:
+            ext_entries.append((tag, typ, cnt,
+                                struct.pack(bo + "I", ext_off + len(ext_blob))))
+            ext_blob += payload
+    arr_off = ext_off + len(ext_blob)
+    data_off = arr_off if n == 1 else arr_off + 8 * n
+    offs, cur = [], data_off
+    for c in chunks:
+        offs.append(cur)
+        cur += len(c)
+    alle = list(entries) + ext_entries
+    if n == 1:
+        alle.append((273, 4, 1, struct.pack(bo + "I", offs[0])))
+        alle.append((279, 4, 1, struct.pack(bo + "I", len(chunks[0]))))
+    else:
+        alle.append((273, 4, n, struct.pack(bo + "I", arr_off)))
+        alle.append((279, 4, n, struct.pack(bo + "I", arr_off + 4 * n)))
+    alle.sort()
+    out = bytearray()
+    out += (b"II" if bo == "<" else b"MM") + struct.pack(bo + "H", 42)
+    out += struct.pack(bo + "I", 8)
+    out += struct.pack(bo + "H", len(alle))
+    for tag, typ, cnt, val in alle:
+        out += struct.pack(bo + "HHI", tag, typ, cnt) + val[:4].ljust(4, b"\0")
+    out += struct.pack(bo + "I", 0)
+    out += ext_blob
+    if n > 1:
+        out += struct.pack(bo + "I" * n, *offs)
+        out += struct.pack(bo + "I" * n, *[len(c) for c in chunks])
+    for c in chunks:
+        out += c
+    return bytes(out)
+
+
+def _split_jpeg_tables(stream):
+    """Split a full interchange stream into (tables_stream, lean_strip):
+    DQT/DHT segments move to an abbreviated SOI..EOI tables stream, the
+    rest keeps frame+scan — the TTN2 JPEGTables layout."""
+    assert stream[:2] == b"\xff\xd8"
+    i, tables, rest = 2, bytearray(), bytearray()
+    while i < len(stream):
+        assert stream[i] == 0xFF
+        marker = stream[i + 1]
+        if marker == 0xD9:                   # EOI
+            break
+        (seglen,) = struct.unpack(">H", stream[i + 2:i + 4])
+        seg = stream[i:i + 2 + seglen]
+        if marker in (0xDB, 0xC4):           # DQT / DHT
+            tables += seg
+        else:
+            rest += seg
+        i += 2 + seglen
+        if marker == 0xDA:                   # SOS: entropy data to EOI
+            rest += stream[i:len(stream) - 2]
+            break
+    return (b"\xff\xd8" + bytes(tables) + b"\xff\xd9",
+            b"\xff\xd8" + bytes(rest) + b"\xff\xd9")
+
+
+def _blocky(h, w, seed=3):
+    """8x8-constant-block image: survives quantization ~exactly."""
+    rng = np.random.default_rng(seed)
+    blocks = rng.integers(30, 220, size=(-(-h // 8), -(-w // 8), 3),
+                          dtype=np.uint8)
+    return np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)[:h, :w]
+
+
+def test_decode_tiff_jpeg_single_strip():
+    img = _blocky(16, 16)
+    stream = _encode_jpeg(rgb=img)
+    got = decode_tiff(_pack_tiff_jpeg([stream], 16, 16, 16))
+    # the TIFF path must yield EXACTLY the plain JPEG decode
+    np.testing.assert_array_equal(got, decode_jpeg(stream))
+    assert np.abs(got.astype(int) - img.astype(int)).mean() < 4
+
+
+def test_decode_tiff_jpeg_multi_strip():
+    img = _blocky(32, 16, seed=9)
+    strips = [img[0:16], img[16:32]]
+    streams = [_encode_jpeg(rgb=s) for s in strips]
+    got = decode_tiff(_pack_tiff_jpeg(streams, 16, 32, 16))
+    want = np.concatenate([decode_jpeg(s) for s in streams], axis=0)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_decode_tiff_jpeg_shared_tables():
+    img = _blocky(16, 16, seed=5)
+    full = _encode_jpeg(rgb=img)
+    tables, lean = _split_jpeg_tables(full)
+    got = decode_tiff(_pack_tiff_jpeg([lean], 16, 16, 16, tables=tables))
+    np.testing.assert_array_equal(got, decode_jpeg(full))
+
+
+def test_decode_tiff_jpeg_errors():
+    img = _blocky(16, 16)
+    stream = _encode_jpeg(rgb=img)
+    # strip that is not a JPEG stream
+    with pytest.raises(MediaDecodeError, match="SOI"):
+        decode_tiff(_pack_tiff_jpeg([b"\x00" * 32], 16, 16, 16))
+    # malformed JPEGTables (no SOI/EOI wrapper)
+    with pytest.raises(MediaDecodeError, match="JPEGTables"):
+        decode_tiff(_pack_tiff_jpeg([stream], 16, 16, 16,
+                                    tables=b"\xff\xdb\x00\x02"))
+    # strip smaller than the declared layout
+    small = _encode_jpeg(rgb=_blocky(8, 8))
+    with pytest.raises(MediaDecodeError, match="smaller than"):
+        decode_tiff(_pack_tiff_jpeg([small], 16, 16, 16))
+    # old-style JPEG (6) stays the declared seam
+    with pytest.raises(MediaDecodeError, match="compression 6"):
+        decode_tiff(_pack_tiff_jpeg([stream], 16, 16, 16, compression=6))

@@ -1567,15 +1567,86 @@ def _tiff_read_values(p: bytes, bo: str, typ: int, cnt: int,
     return list(struct.unpack_from(bo + fmt * cnt, p, off))
 
 
+def _tiff_read_raw(p: bytes, bo: str, typ: int, cnt: int,
+                   inline_off: int) -> bytes:
+    """BYTE/UNDEFINED tag payloads (e.g. JPEGTables): <=4 bytes inline,
+    larger blocks at the LONG offset in the value slot."""
+    if typ not in (1, 7):
+        raise MediaDecodeError(f"unsupported TIFF byte-tag type {typ}")
+    if cnt <= 4:
+        off = inline_off
+    else:
+        (off,) = struct.unpack_from(bo + "I", p, inline_off)
+    if off + cnt > len(p):
+        raise MediaDecodeError("TIFF byte tag out of bounds")
+    return p[off:off + cnt]
+
+
+def _tiff_decode_jpeg_strips(payload: bytes, bo: str, tags: dict,
+                             width: int, height: int,
+                             offsets: list[int], counts: list[int],
+                             rows_per_strip: int,
+                             photometric: int) -> np.ndarray:
+    """TIFF compression 7 — "new-style" JPEG-in-TIFF (TIFF Technical
+    Note #2): every strip is a self-contained JPEG interchange stream;
+    the optional JPEGTables tag (347) carries an abbreviated
+    tables-only stream (SOI <DQT/DHT...> EOI) whose segments inject
+    after each strip's SOI before decoding. Strips decode through the
+    in-repo baseline/progressive JPEG decoder and stack vertically;
+    the JPEG stream itself is YCbCr/gray so PhotometricInterpretation
+    6 (YCbCr) and 2/1 all land on the decoder's own RGB output, with
+    MinIsWhite (0) inverted afterwards like the baseline path."""
+    tables_body = b""
+    if 347 in tags:
+        typ, cnt, voff = tags[347]
+        raw = _tiff_read_raw(payload, bo, typ, cnt, voff)
+        if len(raw) >= 4 and raw[:2] == b"\xff\xd8" \
+                and raw[-2:] == b"\xff\xd9":
+            tables_body = raw[2:-2]
+        elif raw:
+            raise MediaDecodeError(
+                "bad TIFF JPEGTables stream (want SOI ... EOI)")
+    parts: list[np.ndarray] = []
+    rows_done = 0
+    for o, c in zip(offsets, counts):
+        if o + c > len(payload):
+            raise MediaDecodeError("TIFF strip out of bounds")
+        strip = payload[o:o + c]
+        if strip[:2] != b"\xff\xd8":
+            raise MediaDecodeError("TIFF JPEG strip missing SOI")
+        if tables_body:
+            strip = b"\xff\xd8" + tables_body + strip[2:]
+        arr = decode_jpeg(strip)
+        strip_rows = min(rows_per_strip, height - rows_done)
+        if arr.shape[0] < strip_rows or arr.shape[1] < width:
+            raise MediaDecodeError(
+                f"TIFF JPEG strip {arr.shape[:2]} smaller than layout "
+                f"({strip_rows}, {width})")
+        parts.append(arr[:strip_rows, :width])
+        rows_done += strip_rows
+        if rows_done >= height:
+            break
+    if rows_done < height:
+        raise MediaDecodeError(
+            f"truncated TIFF JPEG data: {rows_done} < {height} rows")
+    img = np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+    if photometric == 0:
+        img = 255 - img
+    return np.ascontiguousarray(img)
+
+
 @_decode_guard
 def decode_tiff(payload: bytes) -> np.ndarray:
     """Decode a baseline 8-bit TIFF (gray or RGB, chunky planar layout,
     any strip split) to (H, W, 3) uint8 RGB — grayscale replicated,
     alpha/extra samples dropped, MinIsWhite inverted. Compressions:
-    none (1), LZW (5, incl. the horizontal-differencing predictor), and
-    PackBits (32773). JPEG-in-TIFF and exotic schemes raise — that
+    none (1), LZW (5, incl. the horizontal-differencing predictor),
+    PackBits (32773), and new-style JPEG (7, per-strip interchange
+    streams + the shared JPEGTables tag, decoded by the in-repo T.81
+    decoder). Old-style JPEG (6) and exotic schemes raise — that
     remains the PIL seam. Format reference: the public TIFF 6.0
-    specification (baseline Part 1 + Sections 13/14)."""
+    specification (baseline Part 1 + Sections 13/14) and TIFF
+    Technical Note #2 for compression 7."""
     if len(payload) < 8 or payload[:2] not in (b"II", b"MM"):
         raise MediaDecodeError("not a TIFF payload")
     bo = "<" if payload[:2] == b"II" else ">"
@@ -1604,10 +1675,11 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     if not width or not height:
         raise MediaDecodeError("TIFF missing dimensions")
     compression = scalar(259, 1)
-    if compression not in (1, 5, 32773):
+    if compression not in (1, 5, 7, 32773):
         raise MediaDecodeError(
             f"unsupported TIFF compression {compression} (baseline "
-            "none/LZW/PackBits only; JPEG-in-TIFF etc. is the PIL seam)")
+            "none/LZW/PackBits + new-style JPEG; old-style JPEG (6) "
+            "etc. is the PIL seam)")
     predictor = scalar(317, 1)
     if predictor not in (1, 2):
         raise MediaDecodeError(f"unsupported TIFF predictor {predictor}")
@@ -1634,6 +1706,10 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     if len(offsets) != len(counts):
         raise MediaDecodeError("TIFF strip offset/count mismatch")
     rows_per_strip = scalar(278, height)
+    if compression == 7:  # predictor applies to LZW/deflate only
+        return _tiff_decode_jpeg_strips(payload, bo, tags, width, height,
+                                        offsets, counts, rows_per_strip,
+                                        photometric)
     need = width * height * spp
     buf = bytearray()
     for si, (o, c) in enumerate(zip(offsets, counts)):
