@@ -388,3 +388,17 @@ def test_trim_new_group_passes_through_untrimmed(spark):
                                    group_col="g", sketch_df=sk).collect())
     # en trimmed at the reference bounds; xx kept whole
     assert got == [("en", 50.0), ("xx", 123.0), ("xx", 456.0)]
+
+
+def test_trim_invariant_to_partitioning(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    base = {r["doc_id"] for r in
+            trim_to_quantiles(docs, "n_chars", lo=0.05, hi=0.95,
+                              group_col="lang", compression=200)
+            .select("doc_id").collect()}
+    got = {r["doc_id"] for r in
+           trim_to_quantiles(docs.repartition(13), "n_chars", lo=0.05,
+                             hi=0.95, group_col="lang", compression=200)
+           .select("doc_id").collect()}
+    # exact regime: the digest (and so the cut) is layout-independent
+    assert got == base

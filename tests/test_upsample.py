@@ -174,3 +174,16 @@ def test_shard_writer_spreads_epochs(spark, sf_dir, tmp_path):
     assert (back2.groupBy("doc_id")
             .agg(F.count_distinct("__shard").alias("s"))
             .where("s > 1").count()) == 0
+
+
+def test_epochs_invariant_to_partitioning(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    base = sorted((r["doc_id"], r["epoch"]) for r in
+                  upsample_to_token_budget(docs, "doc_id", 30_000,
+                                           by="lang").collect())
+    for parts in (1, 13):
+        got = sorted((r["doc_id"], r["epoch"]) for r in
+                     upsample_to_token_budget(docs.repartition(parts),
+                                              "doc_id", 30_000,
+                                              by="lang").collect())
+        assert got == base

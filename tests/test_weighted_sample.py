@@ -115,3 +115,21 @@ def test_global_mode_plans_per_partition_heaps(weighted_docs):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan  # no single-task global sort
+
+
+def test_membership_invariant_to_partitioning(weighted_docs):
+    """The module's core promise: membership is a pure function of
+    (row contents, salt) — any physical layout yields the same draw."""
+    base = {r["doc_id"] for r in
+            weighted_sample(weighted_docs, "w", 9, by="lang").collect()}
+    for parts in (1, 13):
+        got = {r["doc_id"] for r in
+               weighted_sample(weighted_docs.repartition(parts),
+                               "w", 9, by="lang").collect()}
+        assert got == base
+    glob = {r["doc_id"] for r in
+            weighted_sample(weighted_docs, "w", 17).collect()}
+    got = {r["doc_id"] for r in
+           weighted_sample(weighted_docs.repartition(13), "w",
+                           17).collect()}
+    assert got == glob
