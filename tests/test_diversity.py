@@ -85,3 +85,35 @@ def test_two_data_shuffles_plan(spark, sf_dir):
     gram_shuffles = [h for h in hashes if "__gram" in h]
     assert len(gram_shuffles) == 2, gram_shuffles
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_gram_multiset_identical_to_per_n_gram_set(spark, sf_dir):
+    """The fused single-explode gram front end must emit EXACTLY the
+    multiset of the per-n gram_set union it replaced."""
+    from collections import Counter
+
+    from valkey_search_spark.operators.contamination import gram_set
+    from valkey_search_spark.operators.dedup import _staged_tokens
+
+    docs = load(spark, sf_dir, "documents").limit(150)
+    want: Counter = Counter()
+    for n in (1, 2, 3):
+        for r in gram_set(docs, "doc_id", "text", n, "__dk").collect():
+            want[(n, r["__gram"], r["__dk"])] += 1
+    staged = _staged_tokens(docs, "doc_id", "text", barrier=False)
+    toks = F.col("__toks")
+    gram_structs = F.array_compact(F.array(*[
+        F.when(F.col("__i") <= F.size(toks) - n,
+               F.struct(F.lit(n).alias("n"),
+                        F.xxhash64(F.slice(toks, F.col("__i") + 1, n))
+                        .alias("__gram")))
+        for n in (1, 2, 3)]))
+    got: Counter = Counter()
+    for r in (staged
+              .select("k", "__toks",
+                      F.posexplode("__toks").alias("__i", "__t"))
+              .select(F.col("k").alias("__dk"),
+                      F.explode(gram_structs).alias("__g"))
+              .select("__g.n", "__g.__gram", "__dk")).collect():
+        got[(r["n"], r["__gram"], r["__dk"])] += 1
+    assert got == want

@@ -201,16 +201,31 @@ def diversity_metrics(df: DataFrame, key: str = "doc_id",
     (n, gram, doc) pre-aggregation and one (n, gram) aggregation, both
     combiner-reduced map-side (gram identity = xxhash64 of the token
     slice, the gram_set contract), then an n-row final aggregate. No
-    driver materialization beyond the len(ns)-row result."""
-    from .contamination import gram_set
+    driver materialization beyond the len(ns)-row result. The corpus
+    tokenizes and position-explodes ONCE for every n (each window
+    position emits its ≤len(ns) gram structs inline) instead of once
+    per n — the multiset is pinned identical to the per-n gram_set
+    union in tests."""
+    from .dedup import _staged_tokens
 
-    parts = []
-    for n in ns:
-        g = gram_set(df, key, text_col, int(n), "__dk")
-        parts.append(g.select(F.lit(int(n)).alias("n"), "__gram", "__dk"))
-    allg = parts[0]
-    for p in parts[1:]:
-        allg = allg.unionByName(p)
+    staged = _staged_tokens(df, key, text_col, barrier=False)
+    toks = F.col("__toks")
+    # per position: one (n, gram) struct for each n whose window fits;
+    # nulls (window overrun) drop via array_compact before the explode
+    gram_structs = F.array_compact(F.array(*[
+        F.when(
+            F.col("__i") <= F.size(toks) - int(n),
+            F.struct(
+                F.lit(int(n)).alias("n"),
+                F.xxhash64(F.slice(toks, F.col("__i") + 1, int(n)))
+                .alias("__gram")))
+        for n in ns]))
+    allg = (staged
+            .select("k", "__toks",
+                    F.posexplode("__toks").alias("__i", "__t"))
+            .select(F.col("k").alias("__dk"),
+                    F.explode(gram_structs).alias("__g"))
+            .select("__g.n", "__g.__gram", "__dk"))
     per_gram = (allg.groupBy("n", "__gram")
                 .agg(F.count(F.lit(1)).alias("occ"),
                      F.count_distinct("__dk").alias("docs")))
