@@ -2368,3 +2368,19 @@ def test_decode_tiff_jpeg_errors():
     # old-style JPEG (6) stays the declared seam
     with pytest.raises(MediaDecodeError, match="compression 6"):
         decode_tiff(_pack_tiff_jpeg([stream], 16, 16, 16, compression=6))
+
+
+def test_image_features_real_decode_jpeg_tiff(spark):
+    """Operator-level: a compression-7 TIFF payload decodes on the
+    image_features real path and lands near the source channel means."""
+    from pyspark.sql import Row
+
+    from valkey_search_spark.multimodal.columns import image_features
+
+    src = _blocky(16, 16, seed=21)
+    payload = _pack_tiff_jpeg([_encode_jpeg(rgb=src)], 16, 16, 16)
+    df = spark.createDataFrame([Row(id=0, image=bytearray(payload))])
+    row = image_features(df, fake=False).collect()[0]
+    want = src.reshape(-1, 3).mean(axis=0)
+    for got, exp in zip(row["img_mean"], want):
+        assert abs(got - exp) < 4.0
