@@ -195,6 +195,67 @@ def test_validation(spark):
         knn_join_binary(df, empty.withColumnRenamed("qid", "cid"), k=1)
 
 
+def test_flipped_route_matches_broadcast(spark):
+    # an over-cap corpus auto-routes to the corpus-distributed plan
+    # (query codes broadcast) with IDENTICAL results — rows, order,
+    # distances — and never materializes corpus rows on the driver
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 48)])
+            for i in range(500)]
+    corpus = spark.createDataFrame(rows, "cid long, embedding array<double>")
+    q = spark.createDataFrame(rows[:7], "qid long, embedding array<double>")
+    wide = knn_join_binary(q, corpus, k=6, oversample=5, metric="cosine",
+                           max_broadcast_bytes=None).collect()
+    # corpus codes 500 x 1 word x 8 B = 4000 B > 3000 B cap -> flipped;
+    # query floats 7 x 48 x 8 = 2688 B < cap -> collectable side
+    flip = knn_join_binary(q, corpus, k=6, oversample=5, metric="cosine",
+                           max_broadcast_bytes=3000).collect()
+    key = lambda r: (r["qid"], r["rank"])  # noqa: E731
+    a = {key(r): (r["cid"], round(r["distance"], 9)) for r in wide}
+    b = {key(r): (r["cid"], round(r["distance"], 9)) for r in flip}
+    assert a == b
+    # the size hint skips the probe jobs and routes the same way
+    hint = knn_join_binary(q, corpus, k=6, oversample=5, metric="cosine",
+                           max_broadcast_bytes=3000,
+                           corpus_size_hint=(500, 48)).collect()
+    c = {key(r): (r["cid"], round(r["distance"], 9)) for r in hint}
+    assert a == c
+
+
+def test_flipped_route_with_thresholds_and_code_col(spark):
+    rng = np.random.RandomState(13)
+    rows = [(i, [float(x + 3.0) for x in rng.normal(0, 1, 24)])
+            for i in range(150)]
+    corpus = spark.createDataFrame(rows, "cid long, embedding array<double>")
+    q = spark.createDataFrame(rows[:4], "qid long, embedding array<double>")
+    thr = fit_binary_thresholds(corpus)
+    # corpus codes 150 x 8 = 1200 B > 1000 cap; query floats 768 B < cap
+    wide = knn_join_binary(q, corpus, k=5, oversample=6, thresholds=thr,
+                           max_broadcast_bytes=None).collect()
+    flip = knn_join_binary(q, corpus, k=5, oversample=6, thresholds=thr,
+                           max_broadcast_bytes=1000).collect()
+    assert sorted(map(tuple, wide)) == sorted(map(tuple, flip))
+    # pre-encoded code_col on the flipped path too
+    stored = binary_codes(corpus, "embedding", dim=24, thresholds=thr,
+                          out_col="code")
+    flip2 = knn_join_binary(q, stored, k=5, oversample=6, thresholds=thr,
+                            code_col="code",
+                            max_broadcast_bytes=1000).collect()
+    assert sorted(map(tuple, wide)) == sorted(map(tuple, flip2))
+
+
+def test_both_sides_over_cap_raises_before_collect(spark):
+    rng = np.random.RandomState(17)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 32)])
+            for i in range(64)]
+    df = spark.createDataFrame(rows, "cid long, embedding array<double>")
+    q = df.withColumnRenamed("cid", "qid")
+    # queries: 64 rows x 32 dim x 8 B = 16 KiB float > 1 KiB cap
+    with pytest.raises(ValueError, match="knn_join_bucketed"):
+        knn_join_binary(q, df, k=3, max_broadcast_bytes=1 << 10,
+                        corpus_size_hint=(10**9, 768))
+
+
 def test_recall_scales_with_dimension(spark):
     # resolution = one Hamming level per dim: at 512 dims a clustered
     # corpus reaches recall 1.0 at oversample 8 (the bench's 64-dim

@@ -870,12 +870,35 @@ def knn_join_bucketed(queries: DataFrame, index: IVFIndex, k: int = 10,
                 .where(F.col("rank") <= k))
 
 
+def _pack_sign_codes(qv, n_words, thr=None):
+    """Pack an (n, dim) float64 matrix into (n, n_words) int64 sign
+    codes, bit-identically to ``binary_code_expr``: bit i of word w is
+    set when ``v[64w+i] > thr[64w+i]`` (0.0 untrained); elements past
+    dim are 0 bits. Shared by both knn_join_binary scan directions so
+    query and corpus codes can never disagree on packing."""
+    import numpy as np
+
+    centered = qv - thr[:qv.shape[1]] if thr is not None else qv
+    bits = np.zeros((len(qv), n_words * 64), dtype=np.uint8)
+    bits[:, :qv.shape[1]] = (centered > 0.0)
+    codes = np.zeros((len(qv), n_words), dtype=np.int64)
+    for w in range(n_words):
+        word = np.zeros(len(qv), dtype=np.uint64)
+        for i in range(63, -1, -1):
+            word = (word << np.uint64(1)) | bits[:, w * 64 + i]
+        codes[:, w] = word.astype(np.int64)
+    return codes
+
+
 def knn_join_binary(queries: DataFrame, corpus: DataFrame, k: int = 10,
                     query_key: str = "qid", corpus_key: str = "cid",
                     vec_col: str = "embedding", metric: str = "l2",
                     oversample: int = 8,
                     thresholds: list[float] | None = None,
-                    code_col: str | None = None) -> DataFrame:
+                    code_col: str | None = None,
+                    max_broadcast_bytes: int | None = 1 << 30,
+                    corpus_size_hint: tuple[int, int] | None = None
+                    ) -> DataFrame:
     """Batch KNN through the 1-bit tier: Hamming scan over packed sign
     codes picks ``k * oversample`` candidates per query, then an exact
     float rerank (pure JVM) orders the true top-k.
@@ -890,6 +913,21 @@ def knn_join_binary(queries: DataFrame, corpus: DataFrame, k: int = 10,
     pre-encoded ``code_col`` (written at ingest via ``binary_codes``)
     and the corpus float scan prunes to key+code+vector with zero
     encode work per query batch.
+
+    The collect is SIZE-CHECKED (same estimate-first contract as
+    ``knn_join``): when the corpus CODE matrix estimate (rows x
+    ceil(dim/64) x 8 bytes) exceeds ``max_broadcast_bytes`` (default
+    1 GB ≙ ~10^9 768-dim vectors — 32x past knn_join's float bound),
+    the join FLIPS the broadcast side: the (small) query codes are
+    broadcast instead, the corpus codes stream through the same Arrow
+    Hamming kernel fully distributed with a per-partition running
+    top-``k*oversample`` per query, and one window + the identical
+    float rerank finish — same candidate set, same results, no
+    driver-side corpus materialization. Only when BOTH sides exceed
+    the cap does it raise (use ``knn_join_bucketed`` over an
+    ``IVFIndex`` there). ``corpus_size_hint=(rows, dim)`` skips the
+    probe jobs; ``max_broadcast_bytes=None`` forces the corpus-
+    broadcast path.
 
     Same output contract as ``knn_join``: (query_key, corpus_key,
     distance, rank), reference metric map, ties by corpus key.
@@ -912,63 +950,141 @@ def knn_join_binary(queries: DataFrame, corpus: DataFrame, k: int = 10,
     if k <= 0 or oversample <= 0:
         raise ValueError("k and oversample must be positive")
     spark = queries.sparkSession
-
-    if code_col is None:
-        coded = binary_codes(corpus, vec_col, thresholds=thresholds,
-                             out_col="__bq")
-        code_col = "__bq"
-    else:
-        coded = corpus
-    crows = (coded.select(corpus_key, code_col)
-             .where(F.col(code_col).isNotNull()).collect())
-    if not crows:
-        raise ValueError("empty corpus")
-    ckeys = np.array([r[corpus_key] for r in crows])
-    cmat = np.array([r[code_col] for r in crows], dtype=np.int64)
-    order = np.argsort(ckeys)
-    ckeys, cmat = ckeys[order], cmat[order]
-    dim = cmat.shape[1] * 64
-    bc = spark.sparkContext.broadcast((ckeys, cmat))
-    n_cand = min(k * oversample, len(ckeys))
     thr = (np.asarray(thresholds, dtype=np.float64)
            if thresholds is not None else None)
 
+    flipped = False
+    n_rows = c_dim = None
+    if max_broadcast_bytes is not None:
+        # estimate BEFORE any collect (or encode): rows x words x 8 B
+        if corpus_size_hint is not None:
+            n_rows, c_dim = corpus_size_hint
+            n_words = (c_dim + 63) // 64
+        else:
+            probe_col = vec_col if code_col is None else code_col
+            first = corpus.select(probe_col).where(
+                F.col(probe_col).isNotNull()).first()
+            if first is None:
+                raise ValueError("empty corpus")
+            if code_col is None:
+                c_dim = len(first[0])
+                n_words = (c_dim + 63) // 64
+            else:
+                n_words = len(first[0])
+            n_rows = corpus.count()
+        flipped = n_rows * n_words * 8 > max_broadcast_bytes
+
+    if code_col is None:
+        coded = binary_codes(corpus, vec_col, dim=c_dim,
+                             thresholds=thresholds, out_col="__bq")
+        code_col = "__bq"
+    else:
+        coded = corpus
+
     qkey_field = queries.schema[query_key]
     ckey_type = corpus.schema[corpus_key].dataType
-    cand_schema = T.StructType([
-        qkey_field, T.StructField(corpus_key, ckey_type),
-        T.StructField("__qv", queries.schema[vec_col].dataType),
-    ])
 
-    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        keys, codes = bc.value
-        for pdf in batches:
-            pdf = pdf.dropna(subset=[vec_col])
-            if not len(pdf):
-                continue
-            qv = np.array(list(pdf[vec_col]), dtype=np.float64)
-            centered = qv - thr[:qv.shape[1]] if thr is not None else qv
-            # pack query sign bits exactly like binary_code_expr:
-            # bit i of word w = (v[64w+i] > 0), words high-bit-first fold
-            bits = np.zeros((len(qv), codes.shape[1] * 64), dtype=np.uint8)
-            bits[:, :qv.shape[1]] = (centered > 0.0)
-            qcodes = np.zeros((len(qv), codes.shape[1]), dtype=np.int64)
-            for w in range(codes.shape[1]):
-                word = np.zeros(len(qv), dtype=np.uint64)
-                for i in range(63, -1, -1):
-                    word = (word << np.uint64(1)) | bits[:, w * 64 + i]
-                qcodes[:, w] = word.astype(np.int64)
-            rows = []
-            for qi, qid in enumerate(pdf[query_key].to_numpy()):
-                ham = popcount_words(np.bitwise_xor(codes, qcodes[qi]))
-                idx = np.lexsort((keys, ham))[:n_cand]
-                vec = list(pdf[vec_col].iloc[qi])
-                rows.extend((qid, keys[j], vec) for j in idx)
+    if flipped:
+        # corpus-distributed path: broadcast QUERY codes, stream corpus
+        qrows = (queries.select(query_key, vec_col)
+                 .where(F.col(vec_col).isNotNull()).collect())
+        if not qrows:
+            raise ValueError("no queries")
+        qdim = len(qrows[0][vec_col])
+        if len(qrows) * qdim * 8 > max_broadcast_bytes:
+            raise ValueError(
+                f"both sides of knn_join_binary exceed max_broadcast_bytes"
+                f"={max_broadcast_bytes}: corpus codes ~{n_rows * n_words * 8}"
+                f" B, query vectors ~{len(qrows) * qdim * 8} B. Build an "
+                "IVFIndex and use knn_join_bucketed for huge-x-huge joins.")
+        qkeys = np.array([r[query_key] for r in qrows])
+        qmat = np.array([r[vec_col] for r in qrows], dtype=np.float64)
+        qcodes = _pack_sign_codes(qmat, n_words, thr)
+        bcq = spark.sparkContext.broadcast((qkeys, qcodes))
+        n_cand = min(k * oversample, n_rows)
+
+        ham_schema = T.StructType([
+            qkey_field, T.StructField(corpus_key, ckey_type),
+            T.StructField("__ham", T.LongType()),
+        ])
+
+        def scan_corpus(batches: Iterator[pd.DataFrame]
+                        ) -> Iterator[pd.DataFrame]:
+            qk, qc = bcq.value
+            # per-partition running top-n_cand per query, merged batch
+            # by batch — the shuffle into the global window carries at
+            # most |partitions| x |Q| x n_cand rows, independent of
+            # corpus size
+            run_ham = [np.empty(0, dtype=np.int64) for _ in range(len(qk))]
+            run_key = [np.empty(0, dtype=object) for _ in range(len(qk))]
+            for pdf in batches:
+                pdf = pdf.dropna(subset=[code_col])
+                if not len(pdf):
+                    continue
+                codes = np.array(list(pdf[code_col]), dtype=np.int64)
+                keys = pdf[corpus_key].to_numpy()
+                for qi in range(len(qk)):
+                    ham = popcount_words(np.bitwise_xor(codes, qc[qi]))
+                    allh = np.concatenate([run_ham[qi], ham])
+                    allk = np.concatenate(
+                        [run_key[qi], keys.astype(object)])
+                    idx = np.lexsort((allk, allh))[:n_cand]
+                    run_ham[qi], run_key[qi] = allh[idx], allk[idx]
+            rows = [(qk[qi], run_key[qi][j], int(run_ham[qi][j]))
+                    for qi in range(len(qk))
+                    for j in range(len(run_key[qi]))]
             yield pd.DataFrame(rows, columns=[query_key, corpus_key,
-                                              "__qv"])
+                                              "__ham"])
 
-    cand = queries.select(query_key, vec_col).mapInPandas(
-        scan, cand_schema)
+        scanned = coded.select(corpus_key, code_col).mapInPandas(
+            scan_corpus, ham_schema)
+        wham = Window.partitionBy(query_key).orderBy(
+            F.col("__ham").asc(), F.col(corpus_key).asc())
+        cand = (scanned.withColumn("__hr", F.row_number().over(wham))
+                .where(F.col("__hr") <= n_cand)
+                .select(query_key, corpus_key))
+        # attach the query vector for the rerank — queries fit in a
+        # broadcast by the guard above
+        cand = cand.join(
+            F.broadcast(queries.select(
+                F.col(query_key), F.col(vec_col).alias("__qv"))),
+            query_key)
+    else:
+        crows = (coded.select(corpus_key, code_col)
+                 .where(F.col(code_col).isNotNull()).collect())
+        if not crows:
+            raise ValueError("empty corpus")
+        ckeys = np.array([r[corpus_key] for r in crows])
+        cmat = np.array([r[code_col] for r in crows], dtype=np.int64)
+        order = np.argsort(ckeys)
+        ckeys, cmat = ckeys[order], cmat[order]
+        bc = spark.sparkContext.broadcast((ckeys, cmat))
+        n_cand = min(k * oversample, len(ckeys))
+
+        cand_schema = T.StructType([
+            qkey_field, T.StructField(corpus_key, ckey_type),
+            T.StructField("__qv", queries.schema[vec_col].dataType),
+        ])
+
+        def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            keys, codes = bc.value
+            for pdf in batches:
+                pdf = pdf.dropna(subset=[vec_col])
+                if not len(pdf):
+                    continue
+                qv = np.array(list(pdf[vec_col]), dtype=np.float64)
+                qcodes = _pack_sign_codes(qv, codes.shape[1], thr)
+                rows = []
+                for qi, qid in enumerate(pdf[query_key].to_numpy()):
+                    ham = popcount_words(np.bitwise_xor(codes, qcodes[qi]))
+                    idx = np.lexsort((keys, ham))[:n_cand]
+                    vec = list(pdf[vec_col].iloc[qi])
+                    rows.extend((qid, keys[j], vec) for j in idx)
+                yield pd.DataFrame(rows, columns=[query_key, corpus_key,
+                                                  "__qv"])
+
+        cand = queries.select(query_key, vec_col).mapInPandas(
+            scan, cand_schema)
 
     # exact rerank, all JVM: fetch candidate float vectors by key,
     # score against the carried query vector, window top-k
