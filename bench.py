@@ -98,6 +98,18 @@ BENCH_QUERIES = [
 ]
 
 
+def recall_gate(curve: list[dict], tier: str, threshold: float) -> str:
+    """Pass/fail gate over a recall curve: the row whose ``tier`` label
+    matches must exist and hold ``recall_at_10 >= threshold``. Routing
+    is the 100x cost shape, so a recall regression there should FAIL
+    the bench (nonzero exit), not drift as an informational number."""
+    rows = [r for r in curve if r.get("tier") == tier]
+    if not rows:
+        return "fail: tier missing"
+    rec = rows[-1].get("recall_at_10", 0.0)
+    return "pass" if rec >= threshold else f"fail: {rec} < {threshold}"
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
@@ -116,6 +128,17 @@ def main():
     qs["agg_events_time"](spark, sf_dir).count()  # derive events ON-JSON index
     qs["text_fuzzy"](spark, sf_dir).count()   # start Arrow python workers
     qs["text_field_explosion"](spark, sf_dir).count()  # build the wide index
+
+    # FULL-ROSTER untimed warm pass (round-8 verdict item 2): min-of-3
+    # per query does not warm CROSS-query JIT/codegen/Arrow state — the
+    # r8 sentinel measured -51.9% drift, i.e. every recorded number
+    # carried warm-up tax. TWO discarded passes over the whole roster:
+    # one triggers codegen/cache fills, the second gives HotSpot's C2
+    # tier a re-execution to compile against, so the timed loop
+    # measures steady state (one pass still left -25% residual drift).
+    for _ in range(2):
+        for name in BENCH_QUERIES:
+            qs[name](spark, sf_dir).collect()
 
     # three timed runs per query, report the min: steady-state cost, robust
     # to co-tenant load spikes (the engine/caches are warm either way)
@@ -328,6 +351,10 @@ def main():
             "batch_sec": sec})
     ann_recall_hnsw = {"m": hidx.m, "segments": hidx.n_segments,
                        "k": 10, "queries": 100, "curve": curve_h}
+    # pass/fail recall gate (round-8 verdict item 5): the routed tier is
+    # the shape that matters at 100x — a routing regression must fail
+    # the bench run, not drift informationally
+    gate = recall_gate(curve_h, "clustered_routed_r2", 0.95)
 
     # write-side workload (BASELINE.md "FTS write workload": 50 TEXT
     # fields ingest): one timed build of a cached 50-field index over a
@@ -411,6 +438,7 @@ def main():
         "unit": "sec",
         "sf": sf,
         "runs_per_query": 3,
+        "recall_gate": gate,
         "details_file": details,
     }
     full = dict(result)
@@ -443,6 +471,9 @@ def main():
         slim["queries_in"] = details
         line = json.dumps(slim, separators=(",", ":"))
     print(line)
+    if gate != "pass":
+        print(f"recall gate FAILED: {gate}", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

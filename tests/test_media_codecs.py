@@ -462,12 +462,19 @@ def _blocks(plane):
             yield p[y:y + 8, x:x + 8]
 
 
-def _encode_jpeg(rgb=None, gray=None, subsample=False, restart=0):
-    """Forward baseline-JPEG pipeline, independent of codecs.decode_jpeg."""
+def _encode_jpeg(rgb=None, gray=None, subsample=False, restart=0,
+                 color="ycbcr"):
+    """Forward baseline-JPEG pipeline, independent of codecs.decode_jpeg.
+    ``color="rgb"`` stores the R,G,B planes directly as the three
+    components (no BT.601) — the TIFF photometric-2 stream shape."""
     if gray is not None:
         planes = [gray.astype(np.float64)]
         qts = [(_QL, 0)]
         comp_hv = [(1, 1)]
+    elif color == "rgb":
+        planes = [rgb[:, :, i].astype(np.float64) for i in range(3)]
+        qts = [(_QL, 0)] * 3
+        comp_hv = [(1, 1)] * 3
     else:
         r, g, b = [rgb[:, :, i].astype(np.float64) for i in range(3)]
         y = 0.299 * r + 0.587 * g + 0.114 * b
@@ -2349,6 +2356,41 @@ def test_decode_tiff_jpeg_shared_tables():
     tables, lean = _split_jpeg_tables(full)
     got = decode_tiff(_pack_tiff_jpeg([lean], 16, 16, 16, tables=tables))
     np.testing.assert_array_equal(got, decode_jpeg(full))
+
+
+def test_decode_tiff_jpeg_photometric2_rgb():
+    # TIFF TechNote 2 allows PhotometricInterpretation=2: the JPEG
+    # stream's three components ARE R,G,B (no BT.601). The round-8
+    # ADVICE bug: decode_jpeg applied the YCbCr transform anyway,
+    # silently corrupting colors.
+    img = _blocky(16, 16, seed=3)
+    stream = _encode_jpeg(rgb=img, color="rgb")
+    got = decode_tiff(_pack_tiff_jpeg([stream], 16, 16, 16,
+                                      photometric=2))
+    assert np.abs(got.astype(int) - img.astype(int)).mean() < 4
+    # and it differs from the (wrong) YCbCr interpretation
+    wrong = decode_jpeg(stream, color_transform="ycbcr")
+    assert np.abs(wrong.astype(int) - img.astype(int)).mean() > 10
+    # explicit kwarg path agrees with the TIFF path
+    np.testing.assert_array_equal(
+        got, decode_jpeg(stream, color_transform="rgb"))
+
+
+def test_decode_jpeg_adobe_app14_transform0_auto_rgb():
+    # an Adobe APP14 segment with transform byte 0 declares the
+    # 3-component stream is RGB; "auto" must pick that up
+    img = _blocky(16, 16, seed=8)
+    stream = _encode_jpeg(rgb=img, color="rgb")
+    app14 = b"\xff\xee" + struct.pack(">H", 14) + b"Adobe" \
+        + b"\x00\x65\x00\x00\x00\x00\x00"
+    tagged = stream[:2] + app14 + stream[2:]
+    got = decode_jpeg(tagged)
+    assert np.abs(got.astype(int) - img.astype(int)).mean() < 4
+    # without the tag, auto stays YCbCr (JFIF default)
+    plain = decode_jpeg(stream)
+    assert np.abs(plain.astype(int) - img.astype(int)).mean() > 10
+    with pytest.raises(ValueError):
+        decode_jpeg(stream, color_transform="bgr")
 
 
 def test_decode_tiff_jpeg_errors():

@@ -133,3 +133,35 @@ def test_membership_invariant_to_partitioning(weighted_docs):
            weighted_sample(weighted_docs.repartition(13), "w",
                            17).collect()}
     assert got == glob
+
+
+def test_key_param_stable_under_schema_change(weighted_docs):
+    # hashing (key, salt) instead of all columns: adding an unrelated
+    # upstream column must NOT redraw the sample (the all-columns
+    # fallback redraws — the round-8 ADVICE finding)
+    base = weighted_sample(weighted_docs, "w", 25, key="doc_id")
+    ids = {r["doc_id"] for r in base.collect()}
+    widened = weighted_docs.withColumn("extra", F.length("text"))
+    ids2 = {r["doc_id"]
+            for r in weighted_sample(widened, "w", 25,
+                                     key="doc_id").collect()}
+    assert ids == ids2
+    # grouped mode too
+    g1 = {(r["lang"], r["doc_id"]) for r in weighted_sample(
+        weighted_docs, "w", 5, by="lang", key="doc_id").collect()}
+    g2 = {(r["lang"], r["doc_id"]) for r in weighted_sample(
+        widened, "w", 5, by="lang", key="doc_id").collect()}
+    assert g1 == g2
+
+
+def test_key_param_allows_unhashable_columns(spark):
+    # a MapType column breaks xxhash64-over-all-columns; with key= the
+    # draw never touches it
+    df = spark.createDataFrame(
+        [(i, 1.0, {"k": str(i)}) for i in range(40)],
+        "id long, w double, meta map<string,string>")
+    got = weighted_sample(df, "w", 10, key="id")
+    assert got.count() == 10
+    from pyspark.errors import AnalysisException
+    with pytest.raises(AnalysisException):
+        weighted_sample(df, "w", 10).count()  # documented fallback limit

@@ -551,13 +551,21 @@ def _jpeg_read_dht(seg: bytes, huff_dc: dict, huff_ac: dict) -> None:
 
 
 @_decode_guard
-def decode_jpeg(payload: bytes) -> np.ndarray:
+def decode_jpeg(payload: bytes,
+                color_transform: str = "auto") -> np.ndarray:
     """Decode a baseline sequential JPEG (SOF0, 8-bit, Huffman) to an
     (H, W, 3) uint8 RGB array. Supports 1- and 3-component images with
     arbitrary sampling factors (4:4:4 / 4:2:2 / 4:2:0 included; chroma
     upsampled nearest), restart intervals, and FF00 byte stuffing.
     Progressive (SOF2) decodes via the multi-scan coefficient
     accumulator below; arithmetic coding and 12-bit precision raise.
+
+    ``color_transform``: "auto" treats a 3-component stream as JFIF
+    YCbCr unless the stream itself declares RGB (an Adobe APP14
+    segment with transform 0, or component IDs 'R','G','B'); "ycbcr" /
+    "rgb" force the mapping — TIFF passes "rgb" for
+    PhotometricInterpretation=2 JPEG strips, whose components are
+    stored as RGB with no transform (TIFF Technical Note #2).
 
     Format reference: the public JPEG specification (ITU-T T.81 —
     marker layout, canonical Huffman construction, EXTEND, zigzag,
@@ -566,6 +574,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     encoding with the Annex K example tables) independently, so this
     inverse path is pinned by a second implementation.
     """
+    if color_transform not in ("auto", "ycbcr", "rgb"):
+        raise ValueError(f"unknown color_transform {color_transform!r}")
     d = payload
     if len(d) < 4 or d[0:2] != b"\xff\xd8":
         raise MediaDecodeError("not a JPEG payload")
@@ -574,6 +584,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_ac: dict[int, dict] = {}
     frame = None
     restart_interval = 0
+    adobe_transform = None
     pos = 2
     while pos + 4 <= len(d):
         if d[pos] != 0xFF:
@@ -607,24 +618,32 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 "(only baseline SOF0 / progressive SOF2)")
         elif marker == 0xDD:               # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
+            adobe_transform = seg[11]      # APP14: 0 = no transform (RGB)
         elif marker == 0xDA:               # SOS -> entropy data follows
+            ct = color_transform
+            if ct == "auto":
+                ids = [c["id"] for c in frame["comps"]] if frame else []
+                ct = ("rgb" if adobe_transform == 0
+                      or ids == [0x52, 0x47, 0x42] else "ycbcr")
             if frame is not None and frame.get("progressive"):
                 return _jpeg_decode_progressive(
                     d, pos - 2, frame, qt, huff_dc, huff_ac,
-                    restart_interval)
+                    restart_interval, ct)
             ns = seg[0]
             scan = []
             for i in range(ns):
                 cs, td_ta = struct.unpack_from(">BB", seg, 1 + 2 * i)
                 scan.append({"id": cs, "dc": td_ta >> 4, "ac": td_ta & 15})
             return _jpeg_decode_scan(d, pos + seglen, frame, scan, qt,
-                                     huff_dc, huff_ac, restart_interval)
+                                     huff_dc, huff_ac, restart_interval,
+                                     ct)
         pos += seglen
     raise MediaDecodeError("JPEG missing SOS")
 
 
 def _jpeg_decode_scan(d, pos, frame, scan, qt, huff_dc, huff_ac,
-                      restart_interval):
+                      restart_interval, color_transform="ycbcr"):
     if frame is None:
         raise MediaDecodeError("JPEG SOS before SOF0")
     comps = frame["comps"]
@@ -688,11 +707,13 @@ def _jpeg_decode_scan(d, pos, frame, scan, qt, huff_dc, huff_ac,
                         py = (my * c["v"] + by) * 8
                         px = (mx * c["h"] + bx) * 8
                         planes[c["id"]][py:py + 8, px:px + 8] = spatial
-    return _jpeg_to_rgb(planes, comps, hmax, vmax, h, w)
+    return _jpeg_to_rgb(planes, comps, hmax, vmax, h, w, color_transform)
 
 
-def _jpeg_to_rgb(planes, comps, hmax, vmax, h, w):
-    """Shared output tail: chroma upsample + JFIF BT.601 color mapping."""
+def _jpeg_to_rgb(planes, comps, hmax, vmax, h, w, color_transform="ycbcr"):
+    """Shared output tail: chroma upsample + color mapping (JFIF BT.601
+    for "ycbcr", direct stack for "rgb" streams — Adobe transform 0 /
+    TIFF photometric 2)."""
     out_planes = []
     for c in comps:
         p = planes[c["id"]]
@@ -703,6 +724,10 @@ def _jpeg_to_rgb(planes, comps, hmax, vmax, h, w):
     if len(out_planes) == 1:
         y = np.clip(out_planes[0], 0, 255).astype(np.uint8)
         return np.ascontiguousarray(np.repeat(y[:, :, None], 3, axis=2))
+    if color_transform == "rgb":
+        rgb = np.stack(out_planes, axis=2)
+        return np.ascontiguousarray(np.clip(np.round(rgb), 0, 255
+                                            ).astype(np.uint8))
     y, cb, cr = out_planes
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
@@ -713,7 +738,7 @@ def _jpeg_to_rgb(planes, comps, hmax, vmax, h, w):
 
 
 def _jpeg_decode_progressive(d, pos, frame, qt, huff_dc, huff_ac,
-                             restart_interval):
+                             restart_interval, color_transform="ycbcr"):
     """Progressive JPEG (SOF2): decode every scan into per-component
     coefficient arrays, then dequantize + IDCT once at the end.
 
@@ -787,7 +812,7 @@ def _jpeg_decode_progressive(d, pos, frame, qt, huff_dc, huff_ac,
         spat = np.einsum("ab,yxbc,cd->yxad", _DCT_C.T, blocks,
                          _DCT_C) + 128.0
         planes[c["id"]] = spat.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
-    return _jpeg_to_rgb(planes, comps, hmax, vmax, h, w)
+    return _jpeg_to_rgb(planes, comps, hmax, vmax, h, w, color_transform)
 
 
 def _jpeg_progressive_sos(reader, frame, by_id, scan, ss, se, ah, al, coef,
@@ -1592,10 +1617,13 @@ def _tiff_decode_jpeg_strips(payload: bytes, bo: str, tags: dict,
     the optional JPEGTables tag (347) carries an abbreviated
     tables-only stream (SOI <DQT/DHT...> EOI) whose segments inject
     after each strip's SOI before decoding. Strips decode through the
-    in-repo baseline/progressive JPEG decoder and stack vertically;
-    the JPEG stream itself is YCbCr/gray so PhotometricInterpretation
-    6 (YCbCr) and 2/1 all land on the decoder's own RGB output, with
-    MinIsWhite (0) inverted afterwards like the baseline path."""
+    in-repo baseline/progressive JPEG decoder and stack vertically.
+    PhotometricInterpretation picks the color mapping:
+    6 (YCbCr) and 1 (gray) use the decoder's JFIF output;
+    2 (RGB stored directly in the JPEG stream, valid per TechNote 2)
+    decodes with ``color_transform="rgb"`` — NO BT.601 step, the three
+    components already are R,G,B; MinIsWhite (0) inverts afterwards
+    like the baseline path."""
     tables_body = b""
     if 347 in tags:
         typ, cnt, voff = tags[347]
@@ -1616,7 +1644,9 @@ def _tiff_decode_jpeg_strips(payload: bytes, bo: str, tags: dict,
             raise MediaDecodeError("TIFF JPEG strip missing SOI")
         if tables_body:
             strip = b"\xff\xd8" + tables_body + strip[2:]
-        arr = decode_jpeg(strip)
+        arr = decode_jpeg(strip,
+                          color_transform="rgb" if photometric == 2
+                          else "auto")
         strip_rows = min(rows_per_strip, height - rows_done)
         if arr.shape[0] < strip_rows or arr.shape[1] < width:
             raise MediaDecodeError(

@@ -284,7 +284,8 @@ def upsample_to_token_budget(df: DataFrame, key: str,
 
 def weighted_sample(df: DataFrame, weight_col: str, n: int,
                     by: str | None = None,
-                    salt: str = "weighted") -> DataFrame:
+                    salt: str = "weighted",
+                    key: str | None = None) -> DataFrame:
     """Exactly ``min(n, |group|)`` rows per group (or globally when
     ``by`` is None), drawn WITHOUT replacement with inclusion chance
     proportional to ``weight_col`` — the Efraimidis-Spirakis A-Res
@@ -295,13 +296,18 @@ def weighted_sample(df: DataFrame, weight_col: str, n: int,
     curation step ("keep 1M documents, favoring high quality_score")
     that uniform ``stratified_sample`` cannot express.
 
-    u is a salted hash of the full row — membership is a pure function
-    of (row contents, salt), reproducible across re-runs and plan
-    re-evaluations; vary ``salt`` for an independent redraw. Rows with
-    NULL, NaN, or non-positive weight are EXCLUDED from the draw (they
-    have no defined selection probability — same convention as SQL
-    aggregates over null; pre-coalesce a floor weight to keep them
-    eligible).
+    u is a salted hash of ``key`` (pass the stable id column — the
+    same contract as ``sample_to_token_budget``): membership is then
+    a pure function of (key value, salt), invariant to adding or
+    dropping unrelated columns upstream, and reproducible across
+    re-runs and plan re-evaluations; vary ``salt`` for an independent
+    redraw. With ``key=None`` the hash falls back to ALL columns —
+    schema changes then redraw the whole sample, and unhashable
+    column types (MapType) fail analysis — so prefer passing a key.
+    Rows with NULL, NaN, or non-positive weight are EXCLUDED from the
+    draw (they have no defined selection probability — same
+    convention as SQL aggregates over null; pre-coalesce a floor
+    weight to keep them eligible).
 
     Grouped mode is one shuffle (window by group; a hot group sorts in
     one task — the inherent cost of exact-N; at extreme group skew
@@ -313,19 +319,22 @@ def weighted_sample(df: DataFrame, weight_col: str, n: int,
     from pyspark.sql.window import Window
 
     w = F.col(weight_col).cast("double")
+    hash_cols = ([F.col(key)] if key is not None
+                 else [F.col(c) for c in df.columns])
     # u in (0, 1]: open_zero keeps ln(u) finite; u=1 -> key 0.0 (best),
     # the correct limit (certain inclusion as w -> inf is monotone)
-    u = _hash_unit([F.col(c) for c in df.columns], salt, open_zero=True)
-    key = -F.log(u) / w
-    tiebreak = F.xxhash64(*[F.col(c) for c in df.columns])
+    u = _hash_unit(hash_cols, salt, open_zero=True)
+    ares_key = -F.log(u) / w
+    tiebreak = F.xxhash64(*hash_cols, F.lit(salt), F.lit("tb"))
     valid = df.where(w.isNotNull() & ~F.isnan(w) & (w > 0))
     if by is None:
         # global exact-N: sort-limit plans as per-partition heaps
         # (TakeOrderedAndProject), no single-task window
-        return (valid.withColumn("__k", key).withColumn("__t", tiebreak)
+        return (valid.withColumn("__k", ares_key)
+                     .withColumn("__t", tiebreak)
                      .orderBy(F.col("__k").asc(), F.col("__t").asc())
                      .limit(n).drop("__k", "__t"))
-    win = Window.partitionBy(by).orderBy(key.asc(), tiebreak.asc())
+    win = Window.partitionBy(by).orderBy(ares_key.asc(), tiebreak.asc())
     return (valid.withColumn("__rn", F.row_number().over(win))
                  .where(F.col("__rn") <= n)
                  .drop("__rn"))
