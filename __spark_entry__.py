@@ -592,15 +592,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ld.unionByName(al)
 
     q["agg_load"] = q_load
-    # TPC-H Q6 shape: selective multi-predicate search phase feeding a
-    # global (keyless) aggregation — revenue = sum(price * discount)
-    q["agg_tpch_q6"] = _agg(
-        "li",
-        "@l_shipdate:[820454400 (852076800] @l_discount:[0.02 0.04] "
-        "@l_quantity:[0 (24]",
-        'APPLY "@l_extendedprice*@l_discount" AS rev '
-        "GROUPBY 0 REDUCE SUM 1 @rev AS revenue REDUCE COUNT 0 AS n",
-        post=lambda df: df.select(_r(F.col("revenue"), 2).alias("revenue"), "n"))
+    # rotated OUT to bench-only in r9 (driver cap is 50 slots):
+    # agg_tpch_q6 (reducer shapes covered by agg_q1/agg_filter_stage),
+    # dedup_ngram_jaccard (banded-verify covered by minhash+simhash
+    # rows), hygiene_line_dedup (line ops covered by hygiene_c4_lines).
+    # All three keep their bench_extra() timing rows and pytest oracles.
     q["agg_knn_addscores"] = _agg(
         "emb_l2", "*=>[KNN 20 @embedding $v AS dist]",
         "ADDSCORES GROUPBY 1 @label REDUCE COUNT 0 AS n "
@@ -700,21 +696,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round-8 rotation: exact dedup rides as the "exact" leg of the
     # ngram row (a = surviving min doc_id, score = dup_count) so its
     # slot could fund a new operator row; jaccard leg unchanged
-    def q_ngram_jaccard(spark, sf_dir):
-        docs = load_table(spark, sf_dir, "documents")
-        jac = dd.ngram_jaccard_pairs(docs, "doc_id",
-                                     threshold=0.3).select(
-            "a", "b", F.col("jaccard").alias("score"),
-            F.lit("jaccard").alias("form"))
-        ex = dd.exact_dedup(docs, "doc_id").select(
-            F.col("doc_id").alias("a"),
-            F.lit(-1).cast("long").alias("b"),
-            F.col("dup_count").cast("double").alias("score"),
-            F.lit("exact").alias("form"))
-        return jac.unionByName(ex)
-
-    q["dedup_ngram_jaccard"] = q_ngram_jaccard
-
     def q_minhash(spark, sf_dir):
         docs = load_table(spark, sf_dir, "documents")
         return dd.minhash_lsh_pairs(docs, "doc_id", threshold=0.5)
@@ -1122,30 +1103,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hygiene_c4_lines"] = q_c4_lines
 
-    def q_line_dedup(spark, sf_dir):
-        # cross-document boilerplate-line removal (CCNet/RefinedWeb):
-        # line doc-frequency agg + verdict join + positional
-        # reassembly, with a planted shared footer; the oracle
-        # recomputes doc frequencies and the rebuilt text in SQL.
+    def q_decontaminate(spark, sf_dir):
+        # 13-gram benchmark decontamination (the standard train/test
+        # leak check, rotated INTO the driver in r9): the benchmark
+        # slice is drawn from the corpus itself (doc_id % 20), so every
+        # leak count is independently recomputable — the oracle builds
+        # both gram sets with string_split and counts distinct shared
+        # grams per training doc. Gram identity here is xxhash64 of
+        # the token slice; the oracle compares gram STRINGS, equal up
+        # to 64-bit collisions (none at this corpus size).
         from valkey_search_spark.operators.contamination import (
-            cross_doc_line_dedup,
+            ngram_decontaminate,
         )
 
         docs = load_table(spark, sf_dir, "documents")
-        toks = F.split(F.col("text"), " ")
-        lined = docs.select(
-            "doc_id",
-            F.concat_ws("\n",
-                        F.array_join(F.slice(toks, 1, 8), " "),
-                        F.lit("all rights reserved"),
-                        F.array_join(F.slice(toks, 9, 8), " "),
-                        F.array_join(F.slice(toks, 17, 8), " ")
-                        ).alias("text"))
-        out = cross_doc_line_dedup(lined, "doc_id")
-        return out.select("doc_id", "lines_kept", "lines_dropped",
-                          F.length("text_deduped").cast("long").alias("len"))
+        bench = docs.where(F.col("doc_id") % 20 == 0).select(
+            "doc_id", "text")
+        out = ngram_decontaminate(docs, bench, n=13)
+        return out.where("contaminated").select("doc_id", "leaked_ngrams")
 
-    q["hygiene_line_dedup"] = q_line_dedup
+    q["hygiene_decontaminate"] = q_decontaminate
+
+    _BPE_Q: dict = {}
+
+    def q_bpe_roundtrip(spark, sf_dir):
+        # corpus-trained byte-level BPE, hash-checked via the LOSSLESS
+        # contract: decode(encode(x)) must equal x byte-for-byte on
+        # EVERY document, and the trained token count can never exceed
+        # the byte count (merges only shrink). The merge loop itself is
+        # not SQL-expressible, but these invariants are — the oracle
+        # states them as constants, so any tokenizer corruption
+        # (dropped bytes, broken merges, miscount) breaks the hash.
+        from valkey_search_spark.functions.bpe import train_bpe
+
+        docs = load_table(spark, sf_dir, "documents")
+        if sf_dir not in _BPE_Q:
+            _BPE_Q[sf_dir] = train_bpe(docs, vocab_size=256 + 512)
+        tok = _BPE_Q[sf_dir]
+        enc = tok.tokenize(docs)
+        dec = tok.detokenize(enc)
+        return dec.select(
+            "doc_id",
+            F.octet_length("text").alias("n_bytes"),
+            (F.col("text_decoded") == F.col("text")).alias("roundtrip_ok"),
+            (F.size("bpe_tokens") <= F.octet_length("text"))
+            .alias("tokens_bounded"))
+
+    q["tokenizer_bpe"] = q_bpe_roundtrip
+
+    _LM_Q: dict = {}
+
+    def q_lm_perplexity(spark, sf_dir):
+        # CCNet-style bigram-LM scoring with absolute-discount backoff:
+        # train on even docs, score odd docs < 480; the oracle
+        # recomputes the counts and the closed-form probabilities in
+        # SQL (the same CTE pinned in tests/test_lm.py). Both sides
+        # round to 4 decimals so summation-order float noise cannot
+        # flip the driver's 6-decimal hash.
+        from valkey_search_spark.operators.lm import BigramLM
+
+        docs = load_table(spark, sf_dir, "documents")
+        if sf_dir not in _LM_Q:
+            _LM_Q[sf_dir] = BigramLM.train(docs.where("doc_id % 2 = 0"))
+        out = _LM_Q[sf_dir].score(
+            docs.where("doc_id % 2 = 1 AND doc_id < 480"))
+        return (out.where(F.col("lm_logprob_per_token").isNotNull())
+                .select("doc_id",
+                        F.round(F.col("lm_logprob_per_token"), 4)
+                        .alias("lp4")))
+
+    q["hygiene_lm_perplexity"] = q_lm_perplexity
 
     def q_bm25(spark, sf_dir):
         # BM25 relevance over the real corpus (beyond-reference
@@ -1280,6 +1307,17 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = load_table(spark, sf_dir, "documents")
         bench = docs.where(F.col("doc_id") % 20 == 0).select("doc_id", "text")
         return ngram_decontaminate(docs, bench, n=13).where("contaminated")
+
+    # rotated out of queries() in r9 (driver slot budget); the TPC-H Q6
+    # shape keeps its timing row here
+    b_tpch_q6 = _agg(
+        "li",
+        "@l_shipdate:[820454400 (852076800] @l_discount:[0.02 0.04] "
+        "@l_quantity:[0 (24]",
+        'APPLY "@l_extendedprice*@l_discount" AS rev '
+        "GROUPBY 0 REDUCE SUM 1 @rev AS revenue REDUCE COUNT 0 AS n",
+        post=lambda df: df.select(_r(F.col("revenue"), 2).alias("revenue"),
+                                  "n"))
 
     _PQ: dict = {}
 
@@ -2165,6 +2203,7 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_proximity_5term": _search(
             "docs", "batch stream window sort merge", DOC_COLS, slop=10),
         "hygiene_decontaminate": b_decontaminate,
+        "agg_tpch_q6": b_tpch_q6,
         "hygiene_pii_repetition": b_pii_repetition,
         "knn_pq": b_knn_pq,
         "knn_binary": b_knn_binary,
@@ -2417,11 +2456,6 @@ def oracle_sql() -> dict[str, str]:
         " UNION ALL SELECT o_orderpriority, CAST(count(*) AS DOUBLE),"
         " ROUND(max(o_totalprice), 2) + 0.0, 'alias'"
         " FROM orders WHERE o_totalprice > 400000 GROUP BY 1")
-    o["agg_tpch_q6"] = (
-        "SELECT ROUND(sum(l_extendedprice*l_discount), 2) + 0.0 AS revenue,"
-        " CAST(count(*) AS DOUBLE) AS n FROM lineitem"
-        " WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'"
-        " AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24")
     o["agg_knn_addscores"] = (
         "WITH top AS (SELECT CAST(label AS DOUBLE) AS label,"
         f" list_distance({_EMB_D}, {_QVEC_SQL}) AS dist"
@@ -2599,25 +2633,6 @@ def oracle_sql() -> dict[str, str]:
         for form, w in (("full", "TRUE"),
                         ("filtered", "label BETWEEN 3 AND 5")))
 
-    o["dedup_ngram_jaccard"] = (
-        "WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),"
-        " grams AS (SELECT DISTINCT doc_id,"
-        "   unnest(list_transform(range(1, len(t)-1),"
-        "     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g"
-        "   FROM toks WHERE len(t) >= 3),"
-        " sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),"
-        " shared AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter"
-        "   FROM grams l JOIN grams r ON l.g = r.g AND l.doc_id < r.doc_id"
-        "   GROUP BY 1, 2)"
-        " SELECT a, b,"
-        "  ROUND(CAST(inter AS DOUBLE)/(sa.n + sb.n - inter), 6) AS score,"
-        "  'jaccard' AS form"
-        " FROM shared JOIN sizes sa ON sa.doc_id = a"
-        " JOIN sizes sb ON sb.doc_id = b"
-        " WHERE ROUND(CAST(inter AS DOUBLE)/(sa.n + sb.n - inter), 6) >= 0.3"
-        " UNION ALL SELECT CAST(min(doc_id) AS BIGINT),"
-        " CAST(-1 AS BIGINT), CAST(count(*) AS DOUBLE), 'exact'"
-        " FROM documents GROUP BY md5(text)")
 
     # dedup_minhash_lsh's VERIFY step computes exact Jaccard over hashed
     # shingle sets (== string-shingle Jaccard up to 64-bit collisions), so
@@ -2833,26 +2848,61 @@ def oracle_sql() -> dict[str, str]:
         " length(array_to_string(ks, chr(10))) AS clen FROM k")
     # 4 planted lines per doc (8-token slices + shared footer); a line
     # in >= 2 distinct docs is boilerplate, blank lines never count
-    o["hygiene_line_dedup"] = (
-        "WITH t AS (SELECT doc_id, string_split(text,' ') tk FROM documents),"
-        " l AS (SELECT doc_id,"
-        "   [coalesce(array_to_string(list_slice(tk,1,8),' '), ''),"
-        "   'all rights reserved',"
-        "   coalesce(array_to_string(list_slice(tk,9,16),' '), ''),"
-        "   coalesce(array_to_string(list_slice(tk,17,24),' '), '')]"
-        "   ls FROM t),"
-        " e AS (SELECT doc_id, p, ls[p] AS ln FROM l,"
-        "   (SELECT unnest([1,2,3,4]) AS p)),"
-        " b AS (SELECT ln FROM e WHERE trim(ln) <> '' GROUP BY ln"
-        "   HAVING count(DISTINCT doc_id) >= 2),"
-        " m AS (SELECT doc_id, p, ln,"
-        "   ln IN (SELECT ln FROM b) AS boiler FROM e)"
-        " SELECT doc_id,"
-        " count(*) FILTER (WHERE NOT boiler) AS lines_kept,"
-        " count(*) FILTER (WHERE boiler) AS lines_dropped,"
-        " length(coalesce(string_agg(ln, chr(10) ORDER BY p)"
-        "   FILTER (WHERE NOT boiler), '')) AS len"
-        " FROM m GROUP BY doc_id")
+    # 13-gram decontamination: both gram sets from string_split (the
+    # corpus is single-space word soup, so split == the tokenizer),
+    # distinct shared grams per training doc; only contaminated rows
+    o["hygiene_decontaminate"] = (
+        "WITH doc AS (SELECT doc_id, string_split(text,' ') ts"
+        "   FROM documents),"
+        " tg AS (SELECT doc_id, array_to_string(ts[i:i+12],' ') g"
+        "   FROM doc, LATERAL unnest(range(1, len(ts)-11)) u(i)),"
+        " bg AS (SELECT DISTINCT array_to_string(ts[i:i+12],' ') g"
+        "   FROM doc, LATERAL unnest(range(1, len(ts)-11)) u(i)"
+        "   WHERE doc_id % 20 = 0)"
+        " SELECT tg.doc_id, count(DISTINCT tg.g) AS leaked_ngrams"
+        " FROM tg JOIN bg USING (g) GROUP BY tg.doc_id")
+    # BPE invariants (the merge loop is not SQL-expressible; the
+    # lossless byte-level contract is): decode(encode(x)) == x and
+    # token count <= byte count must hold for EVERY document
+    o["tokenizer_bpe"] = (
+        "SELECT doc_id, CAST(strlen(text) AS INT) AS n_bytes,"
+        " true AS roundtrip_ok, true AS tokens_bounded FROM documents")
+    # bigram LM with 0.75 absolute discount + unigram backoff — the
+    # exact closed form from tests/test_lm.py, rounded to 4 decimals
+    # on both sides
+    o["hygiene_lm_perplexity"] = (
+        "WITH tok AS ("
+        "  SELECT doc_id, unnest(string_split(text, ' ')) w,"
+        "         generate_subscripts(string_split(text, ' '), 1) i"
+        "  FROM documents WHERE doc_id % 2 = 0),"
+        " uni AS (SELECT w, count(*) c_w FROM tok GROUP BY w),"
+        " pair AS ("
+        "  SELECT a.w v, b.w w FROM tok a JOIN tok b"
+        "    ON a.doc_id = b.doc_id AND b.i = a.i + 1),"
+        " bi AS (SELECT v, w, count(*) c_vw FROM pair GROUP BY v, w),"
+        " ctx AS (SELECT v, sum(c_vw) c_v, count(*) t_v FROM bi GROUP BY v),"
+        " consts AS (SELECT sum(c_w) n, count(*) t FROM uni),"
+        " ttok AS ("
+        "  SELECT doc_id, string_split(text, ' ') ts"
+        "  FROM documents WHERE doc_id % 2 = 1 AND doc_id < 480),"
+        " tpair AS ("
+        "  SELECT doc_id, ts[i] v, ts[i+1] w"
+        "  FROM ttok, lateral unnest(range(1, len(ts))) u(i)),"
+        " scored AS ("
+        "  SELECT doc_id,"
+        "    log2(CASE WHEN c.c_v IS NOT NULL THEN"
+        "      (greatest(coalesce(b.c_vw, 0) - 0.75, 0)"
+        "       + 0.75 * c.t_v * (greatest(coalesce(u.c_w,0)-0.75,0)/k.n"
+        "                         + (0.75*k.t/k.n)/(k.t+1))) / c.c_v"
+        "    ELSE greatest(coalesce(u.c_w,0)-0.75,0)/k.n"
+        "         + (0.75*k.t/k.n)/(k.t+1) END) lp"
+        "  FROM tpair p"
+        "  LEFT JOIN bi b ON b.v = p.v AND b.w = p.w"
+        "  LEFT JOIN ctx c ON c.v = p.v"
+        "  LEFT JOIN uni u ON u.w = p.w"
+        "  CROSS JOIN consts k)"
+        " SELECT doc_id, ROUND(avg(lp), 4) + 0.0 AS lp4"
+        " FROM scored GROUP BY doc_id")
     # full Robertson/Sparck-Jones BM25 (k1=1.2, b=0.75) with match_only
     # semantics; 'cat' is out-of-lexicon (df=0 -> max idf, tf=0)
     o["search_bm25"] = (

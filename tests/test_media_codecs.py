@@ -2412,6 +2412,67 @@ def test_decode_tiff_jpeg_errors():
         decode_tiff(_pack_tiff_jpeg([stream], 16, 16, 16, compression=6))
 
 
+def _pack_tiff_oldjpeg(stream, w, h, bo="<", photometric=6,
+                       with_length=True):
+    """Independent writer for OLD-style JPEG TIFFs (compression 6,
+    TIFF 6.0 Section 22): one full interchange stream pointed at by
+    JPEGInterchangeFormat (513) [+ length (514)] — no strip tags."""
+    entries = []
+
+    def short(tag, v):
+        entries.append((tag, 3, 1, struct.pack(bo + "HH", v, 0)))
+
+    def long_(tag, v):
+        entries.append((tag, 4, 1, struct.pack(bo + "I", v)))
+
+    short(256, w); short(257, h); short(259, 6); short(262, photometric)
+    short(277, 3); short(258, 8)
+    n_entries = len(entries) + (2 if with_length else 1)
+    data_off = 8 + 2 + n_entries * 12 + 4
+    long_(513, data_off)
+    if with_length:
+        long_(514, len(stream))
+    entries.sort()
+    out = bytearray((b"II" if bo == "<" else b"MM")
+                    + struct.pack(bo + "H", 42) + struct.pack(bo + "I", 8))
+    out += struct.pack(bo + "H", len(entries))
+    for tag, typ, cnt, val in entries:
+        out += struct.pack(bo + "HHI", tag, typ, cnt) + val[:4].ljust(4, b"\0")
+    out += struct.pack(bo + "I", 0)
+    out += stream
+    return bytes(out)
+
+
+def test_decode_tiff_oldstyle_jpeg_interchange():
+    # the common compression-6 form: full interchange stream at tag 513
+    img = _blocky(16, 16, seed=4)
+    stream = _encode_jpeg(rgb=img)
+    got = decode_tiff(_pack_tiff_oldjpeg(stream, 16, 16))
+    np.testing.assert_array_equal(got, decode_jpeg(stream))
+    # missing length tag (514) defaults to rest-of-payload
+    got2 = decode_tiff(_pack_tiff_oldjpeg(stream, 16, 16,
+                                          with_length=False))
+    np.testing.assert_array_equal(got2, decode_jpeg(stream))
+    # big-endian IFD too
+    got3 = decode_tiff(_pack_tiff_oldjpeg(stream, 16, 16, bo=">"))
+    np.testing.assert_array_equal(got3, decode_jpeg(stream))
+
+
+def test_decode_tiff_oldstyle_jpeg_photometric2_and_seam():
+    img = _blocky(16, 16, seed=6)
+    rgb_stream = _encode_jpeg(rgb=img, color="rgb")
+    got = decode_tiff(_pack_tiff_oldjpeg(rgb_stream, 16, 16,
+                                         photometric=2))
+    assert np.abs(got.astype(int) - img.astype(int)).mean() < 4
+    # tables-split variant (no 513) stays the NAMED seam
+    ycc = _encode_jpeg(rgb=img)
+    with pytest.raises(MediaDecodeError, match="tables-split"):
+        decode_tiff(_pack_tiff_jpeg([ycc], 16, 16, 16, compression=6))
+    # garbage at the 513 offset
+    with pytest.raises(MediaDecodeError, match="SOI"):
+        decode_tiff(_pack_tiff_oldjpeg(b"\x00" * 40, 16, 16))
+
+
 def test_image_features_real_decode_jpeg_tiff(spark):
     """Operator-level: a compression-7 TIFF payload decodes on the
     image_features real path and lands near the source channel means."""

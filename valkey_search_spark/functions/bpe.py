@@ -200,6 +200,25 @@ class BPETokenizer:
         return df.withColumn(out_col,
                              self._apply_udf(spark, True)(F.col(text_col)))
 
+    @staticmethod
+    def detokenize(df: DataFrame, tokens_col: str = "bpe_tokens",
+                   out_col: str = "text_decoded") -> DataFrame:
+        """Add ``out_col`` (string): the decoded text for a BPE token
+        array. Decoding is merge-free (the static byte<->unicode table
+        only), so this is one Arrow-batched map with nothing broadcast
+        — any pipeline can assert decode(encode(x)) == x distributed,
+        the lossless-byte-level contract pinned in tests/test_bpe.py."""
+        @F.pandas_udf(T.StringType())
+        def udf(tok_arrays: pd.Series) -> pd.Series:
+            def dec(ts):
+                if ts is None:
+                    return None
+                return bytes(_UNI_TO_BYTE[c] for t in ts
+                             for c in t).decode("utf-8", errors="replace")
+            return tok_arrays.map(dec)
+
+        return df.withColumn(out_col, udf(F.col(tokens_col)))
+
 
 # Executor-side tokenizer rebuild: one instance (and one pre-token cache)
 # per MERGE TABLE per worker — shared bounded cache in _cache.py.

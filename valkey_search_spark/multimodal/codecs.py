@@ -1705,11 +1705,11 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     if not width or not height:
         raise MediaDecodeError("TIFF missing dimensions")
     compression = scalar(259, 1)
-    if compression not in (1, 5, 7, 32773):
+    if compression not in (1, 5, 6, 7, 32773):
         raise MediaDecodeError(
             f"unsupported TIFF compression {compression} (baseline "
-            "none/LZW/PackBits + new-style JPEG; old-style JPEG (6) "
-            "etc. is the PIL seam)")
+            "none/LZW/PackBits + JPEG-in-TIFF; exotic schemes are the "
+            "PIL seam)")
     predictor = scalar(317, 1)
     if predictor not in (1, 2):
         raise MediaDecodeError(f"unsupported TIFF predictor {predictor}")
@@ -1727,6 +1727,40 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             raise MediaDecodeError(f"unsupported TIFF bit depths {depths}")
     if 284 in tags and scalar(284) != 1:
         raise MediaDecodeError("unsupported TIFF planar configuration")
+    if compression == 6:
+        # old-style JPEG-in-TIFF (TIFF 6.0 Section 22, withdrawn by
+        # TechNote 2): the COMMON form stores one complete interchange
+        # stream at JPEGInterchangeFormat (513) [+ length (514)] —
+        # decodable by the in-repo T.81 decoder directly. The
+        # tables-split variant (per-strip entropy data with JPEGProc/
+        # JPEGQTables/JPEGDCTables/JPEGACTables pointers, tags
+        # 512/519-521, no interchange stream) stays the documented PIL
+        # seam: the spec is ambiguous enough that TechNote 2 withdrew
+        # it, and real files are vanishingly rare.
+        if 513 not in tags:
+            raise MediaDecodeError(
+                "old-style TIFF JPEG (compression 6) without a "
+                "JPEGInterchangeFormat stream: the tables-split "
+                "variant is the PIL seam (decode_fn)")
+        jo = scalar(513)
+        if jo is None or not 0 <= jo < len(payload):
+            raise MediaDecodeError(
+                "bad TIFF JPEGInterchangeFormat offset")
+        jl = scalar(514, len(payload) - jo)
+        stream = payload[jo:jo + max(jl, 0)]
+        if stream[:2] != b"\xff\xd8":
+            raise MediaDecodeError(
+                "TIFF JPEGInterchangeFormat stream missing SOI")
+        arr = decode_jpeg(stream, color_transform="rgb"
+                          if photometric == 2 else "auto")
+        if arr.shape[0] < height or arr.shape[1] < width:
+            raise MediaDecodeError(
+                f"TIFF old-style JPEG {arr.shape[:2]} smaller than "
+                f"layout ({height}, {width})")
+        img = arr[:height, :width]
+        if photometric == 0:
+            img = 255 - img
+        return np.ascontiguousarray(img)
     if 273 not in tags or 279 not in tags:
         raise MediaDecodeError("TIFF missing strip layout")
     typ, cnt, voff = tags[273]
