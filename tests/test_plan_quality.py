@@ -272,3 +272,24 @@ def test_weighted_sample_one_window_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan
+
+
+def test_knn_binary_flipped_plan_no_corpus_collect(spark):
+    # past the broadcast cap the binary tier flips sides: the corpus
+    # codes stay DISTRIBUTED (one MapInPandas over the corpus scan),
+    # candidates reduce through one window, and the float rerank joins
+    # back — building the plan must run zero corpus-sized collects
+    # (only the probe first()/count() jobs fire during planning)
+    from valkey_search_spark.operators.ann import knn_join_binary
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet") \
+        .select(F.col("vec_id").alias("cid"), "embedding")
+    q = emb.limit(4).select(F.col("cid").alias("qid"), "embedding")
+    out = knn_join_binary(q, emb, k=5, metric="cosine",
+                          max_broadcast_bytes=3000)
+    plan = _plan(out)
+    # exactly one Python kernel (the distributed Hamming scan); the
+    # window + rerank are JVM
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
+    assert "Window" in plan

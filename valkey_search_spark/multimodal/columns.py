@@ -78,12 +78,15 @@ def _decode_image(payload: bytes, fake: bool, decode_fn=None) -> np.ndarray:
     """Image decode seam. ``fake`` derives a deterministic 8x8x3 uint8
     array from the payload bytes (plumbing tests over arbitrary binary).
     The REAL path decodes BMP, 8-bit PNG (incl. Adam7), JPEG (baseline
-    AND progressive), GIF (LZW, incl. interlaced), baseline TIFF
-    (uncompressed/LZW/PackBits), and WebP-lossless (full VP8L:
-    transforms, color cache, meta-huffman, LZ77) via the vendored
-    pure-Python codecs (`multimodal/codecs.py`, `multimodal/webp.py`);
-    the remaining exotics (lossy VP8, JPEG-in-TIFF, arithmetic JPEG,
-    ...) are where PIL/opencv would plug in and still raise."""
+    AND progressive, YCbCr/RGB), GIF (LZW, incl. interlaced), baseline
+    TIFF (uncompressed/LZW/PackBits + JPEG-in-TIFF: new-style
+    compression 7 and the interchange form of old-style 6), and
+    WebP-lossless (full VP8L: transforms, color cache, meta-huffman,
+    LZ77) via the vendored pure-Python codecs (`multimodal/codecs.py`,
+    `multimodal/webp.py`); the remaining exotics (lossy VP8 — see
+    webp.py's header for why that seam is a data-fidelity boundary,
+    not effort — arithmetic JPEG, tables-split old-style TIFF) are
+    where PIL/opencv would plug in and still raise."""
     if not fake:
         from .codecs import (
             PNG_SIGNATURE, decode_bmp, decode_gif, decode_jpeg, decode_png,

@@ -13,7 +13,22 @@ runs, multiple Huffman groups) without ever sharing decode-path code.
 
 Closes the image half of the "lossy/exotic formats" seam noted in
 multimodal/columns.py — WebP-lossless payloads now decode in-repo;
-VP8 (lossy) remains behind the decode_fn injection seam.
+VP8 (lossy) remains behind the decode_fn injection seam, PERMANENTLY
+under this build environment, for a concrete technical reason rather
+than effort: a VP8 keyframe decoder needs ~3,000 exact byte constants
+from RFC 6386 that live in the SPEC, not the bitstream —
+default_coef_probs[4][8][3][11] (#13.5), coeff_update_probs
+[4][8][3][11] (#13.4), kf_bmode_prob[10][10][9] (#11.5), and the
+dc/ac quantizer lookups (#14.1). JPEG was implementable offline
+because its Huffman tables travel inside each file; VP8's default
+probabilities do not, the offline sandbox has no copy of the RFC or
+libvpx/libwebp to transcribe them from, and a boolean-arithmetic
+decoder with even one wrong table value desynchronizes and emits
+plausible-looking garbage — the silent-corruption failure mode this
+codebase treats as worse than an explicit raise. The structural
+machinery (RIFF/VP8X dispatch below, the bool-decoder pattern, YUV
+reconstruction) is well understood; the seam is a data-fidelity
+boundary, not a capability one.
 
 Error contract matches codecs.py: malformed payloads raise
 MediaDecodeError, never a raw IndexError/ValueError from the parser.
