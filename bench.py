@@ -129,19 +129,33 @@ def main():
     qs["text_fuzzy"](spark, sf_dir).count()   # start Arrow python workers
     qs["text_field_explosion"](spark, sf_dir).count()  # build the wide index
 
-    # FULL-ROSTER untimed warm pass (round-8 verdict item 2): min-of-3
+    # FULL-ROSTER untimed warm passes (round-8 verdict item 2): min-of-3
     # per query does not warm CROSS-query JIT/codegen/Arrow state — the
     # r8 sentinel measured -51.9% drift, i.e. every recorded number
-    # carried warm-up tax. TWO discarded passes over the whole roster:
-    # one triggers codegen/cache fills, the second gives HotSpot's C2
-    # tier a re-execution to compile against, so the timed loop
-    # measures steady state (one pass still left -25% residual drift).
-    for _ in range(2):
+    # carried warm-up tax. The warm phase is ADAPTIVE because a fixed
+    # count is not enough: measured roster totals kept dropping
+    # 97 -> 84 -> 78 s across passes 3-5 of a session (HotSpot keeps
+    # maturing shared Catalyst/Tungsten/Py4J paths for minutes), so
+    # passes repeat until the total stabilizes within 5% (cap 5).
+    warm_totals = []
+    for _ in range(5):
+        t0 = time.perf_counter()
         for name in BENCH_QUERIES:
             qs[name](spark, sf_dir).collect()
+        warm_totals.append(round(time.perf_counter() - t0, 3))
+        print(f"  warm pass: {warm_totals[-1]}s", file=sys.stderr,
+              flush=True)
+        if len(warm_totals) >= 2 and \
+                warm_totals[-1] > 0.95 * warm_totals[-2]:
+            break
 
-    # three timed runs per query, report the min: steady-state cost, robust
-    # to co-tenant load spikes (the engine/caches are warm either way)
+    # three timed runs per query, report the min — but as three separate
+    # FULL-ROSTER PASSES, not back-to-back repetitions: a co-tenant CPU
+    # burst of a few seconds covers all 3 consecutive runs of one query
+    # (run 1 of r9 measured a uniform 1.3x inflation that vanished on
+    # re-run), while with whole-roster passes it would have to span an
+    # entire pass to survive the per-query min. Per-pass totals are
+    # reported so cross-pass spread quantifies host noise directly.
     def time_query(name: str, runs: int = 3) -> float:
         best = None
         for _ in range(runs):
@@ -151,9 +165,21 @@ def main():
             best = dt if best is None else min(best, dt)
         return round(best, 3)
 
-    times: dict[str, float] = {}
+    raw: dict[str, float] = {}
+    pass_totals: list[float] = []
+    for p in range(3):
+        tot = 0.0
+        for name in BENCH_QUERIES:
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).collect()
+            dt = time.perf_counter() - t0
+            tot += dt
+            raw[name] = min(raw.get(name, dt), dt)
+        pass_totals.append(round(tot, 3))
+        print(f"  pass {p + 1}/3: {pass_totals[-1]}s", file=sys.stderr,
+              flush=True)
+    times = {name: round(v, 3) for name, v in raw.items()}
     for name in BENCH_QUERIES:
-        times[name] = time_query(name)
         print(f"  {name}: {times[name]}s", file=sys.stderr, flush=True)
 
     # partial-probe ANN speed/recall tradeoff (the reference's headline
@@ -421,6 +447,12 @@ def main():
         "end_sec": sentinel_end,
         "drift_pct": round(100.0 * (sentinel_end - times[sentinel_q])
                            / max(times[sentinel_q], 1e-9), 1),
+        # cross-pass spread: >1.15 means a co-tenant burst contaminated
+        # at least one pass and the per-query mins absorbed it
+        "pass_totals": pass_totals,
+        "pass_spread": round(max(pass_totals) / max(min(pass_totals),
+                                                    1e-9), 3),
+        "warm_totals": warm_totals,
     }
 
     total = round(sum(times.values()), 3)
