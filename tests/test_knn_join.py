@@ -196,3 +196,62 @@ def test_corpus_size_hint_skips_metadata_jobs(spark, emb, monkeypatch):
     assert sorted(map(tuple, routed.select(
         "qid", "cid", F.round("distance", 6), "rank").collect())) == sorted(
         map(tuple, (r[:2] + (round(r[2], 6), r[3]) for r in expect)))
+
+
+def test_flipped_route_matches_broadcast_all_metrics(spark, emb):
+    """Over-cap WITHOUT index_path now takes the one-shot flipped plan
+    (query matrix broadcast, corpus streamed): rows, tie order, and
+    distances must match the broadcast join on every metric."""
+    q = emb.limit(8).select(F.col("vec_id").alias("qid"), "embedding")
+    c = emb.select(F.col("vec_id").alias("cid"), "embedding")
+    for metric in ("l2", "cosine", "ip"):
+        wide = sorted((r["qid"], r["rank"], r["cid"],
+                       round(r["distance"], 6))
+                      for r in knn_join(q, c, k=4, metric=metric,
+                                        max_broadcast_bytes=None).collect())
+        flip = sorted((r["qid"], r["rank"], r["cid"],
+                       round(r["distance"], 6))
+                      for r in knn_join(q, c, k=4, metric=metric,
+                                        max_broadcast_bytes=8192).collect())
+        assert wide == flip, metric
+
+
+def test_flipped_route_never_collects_corpus(spark, emb, monkeypatch):
+    q = emb.limit(5).select(F.col("vec_id").alias("qid"), "embedding")
+    c = emb.select(F.col("vec_id").alias("cid"), "embedding")
+    n_corpus = c.count()
+    cls = type(emb)
+    sizes = []
+    orig = cls.collect
+
+    def spy(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(cls, "collect", spy)
+    out = knn_join(q, c, k=3, metric="l2", max_broadcast_bytes=8192)
+    rows = orig(out)
+    monkeypatch.undo()
+    # only the 5-row query collect happened during planning
+    assert sizes and max(sizes) < n_corpus
+    assert len(rows) == 15
+
+
+def test_flipped_route_tie_order_and_both_sides_raise(spark, emb):
+    # duplicate vectors under distinct keys: low key must win ties,
+    # matching the broadcast path exactly
+    c1 = emb.select(F.col("vec_id").alias("cid"), "embedding")
+    c2 = emb.select((F.col("vec_id") + 100000).alias("cid"), "embedding")
+    corpus = c1.unionAll(c2)
+    q = emb.limit(5).select(F.col("vec_id").alias("qid"), "embedding")
+    wide = sorted((r["qid"], r["rank"], r["cid"]) for r in
+                  knn_join(q, corpus, k=4, metric="l2",
+                           max_broadcast_bytes=None).collect())
+    flip = sorted((r["qid"], r["rank"], r["cid"]) for r in
+                  knn_join(q, corpus, k=4, metric="l2",
+                           max_broadcast_bytes=8192).collect())
+    assert wide == flip
+    with pytest.raises(ValueError, match="IVFIndex"):
+        knn_join(q, corpus, k=3, max_broadcast_bytes=64,
+                 corpus_size_hint=(10**9, 768))

@@ -574,6 +574,106 @@ def batch_recall(approx: DataFrame, exact: DataFrame,
     return a.join(e, [query_key, corpus_key]).count() / max(n, 1)
 
 
+def _knn_join_flipped(queries: DataFrame, corpus: DataFrame, k: int,
+                      query_key: str, corpus_key: str, vec_col: str,
+                      metric: str, batch_size: int,
+                      max_broadcast_bytes: int | None) -> DataFrame:
+    """Over-cap ``knn_join`` without an index: broadcast the QUERY
+    matrix, stream the corpus through one distributed BLAS scan with a
+    per-partition running (distance, key) top-k per query, reduce
+    through one window. Exactly one corpus pass, no KMeans fit, no
+    artifact — the cheapest exact plan for a one-shot join of a
+    moderate query batch against a corpus too big to broadcast. The
+    shuffle into the window carries at most partitions x |Q| x k rows.
+
+    Same semantics as the broadcast direction: reference metric map,
+    expanded-norm l2, (distance, corpus key) tie order, NaN distances
+    sort last. Raises when the query matrix ALSO exceeds the cap —
+    build an ``IVFIndex`` (``index_path=``) for huge-x-huge joins."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    spark = queries.sparkSession
+    qrows = (queries.select(query_key, vec_col)
+             .where(F.col(vec_col).isNotNull()).collect())
+    out_schema_full = T.StructType([
+        queries.schema[query_key],
+        T.StructField(corpus_key, corpus.schema[corpus_key].dataType),
+        T.StructField("distance", T.DoubleType()),
+        T.StructField("rank", T.IntegerType()),
+    ])
+    if not qrows:
+        return spark.createDataFrame([], out_schema_full)
+    qdim = len(qrows[0][vec_col])
+    if max_broadcast_bytes is not None and \
+            len(qrows) * qdim * 8 > max_broadcast_bytes:
+        raise ValueError(
+            f"both sides of knn_join exceed max_broadcast_bytes="
+            f"{max_broadcast_bytes} (query matrix ~{len(qrows) * qdim * 8}"
+            " B). Build an IVFIndex (pass index_path=) so the corpus is "
+            "list-partitioned once and probed per query batch.")
+    qkeys = np.array([r[query_key] for r in qrows])
+    qmat = np.array([r[vec_col] for r in qrows], dtype=np.float64)
+    if metric == "cosine":
+        qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+        qn[qn == 0] = 1.0
+        qmat = qmat / qn
+    bcq = spark.sparkContext.broadcast((qkeys, qmat))
+
+    scan_schema = T.StructType([
+        queries.schema[query_key],
+        T.StructField(corpus_key, corpus.schema[corpus_key].dataType),
+        T.StructField("distance", T.DoubleType()),
+    ])
+
+    def scan_corpus(batches: Iterator[pd.DataFrame]
+                    ) -> Iterator[pd.DataFrame]:
+        qk, qm = bcq.value
+        nq = len(qk)
+        qsq = (qm * qm).sum(1)
+        run_d = [np.empty(0, dtype=np.float64) for _ in range(nq)]
+        run_key = [np.empty(0, dtype=object) for _ in range(nq)]
+        for arrow_batch in batches:
+            arrow_batch = arrow_batch.dropna(subset=[vec_col])
+            # re-chunk to batch_size: the distance matrix is |Q| x chunk
+            for lo in range(0, len(arrow_batch), batch_size):
+                pdf = arrow_batch.iloc[lo:lo + batch_size]
+                cmat = np.array(list(pdf[vec_col]), dtype=np.float64)
+                keys = pdf[corpus_key].to_numpy().astype(object)
+                if metric == "l2":
+                    d = qsq[:, None] - 2.0 * (qm @ cmat.T) \
+                        + (cmat * cmat).sum(1)[None, :]
+                    d = np.sqrt(np.maximum(d, 0.0))
+                else:
+                    if metric == "cosine":
+                        cn = np.linalg.norm(cmat, axis=1, keepdims=True)
+                        cn[cn == 0] = 1.0
+                        cmat = cmat / cn
+                    d = 1.0 - qm @ cmat.T
+                for qi in range(nq):
+                    alld = np.concatenate([run_d[qi], d[qi]])
+                    allk = np.concatenate([run_key[qi], keys])
+                    idx = np.lexsort((allk, alld))[:k]
+                    run_d[qi], run_key[qi] = alld[idx], allk[idx]
+        rows = [(qk[qi], run_key[qi][j], float(run_d[qi][j]))
+                for qi in range(nq) for j in range(len(run_key[qi]))]
+        yield pd.DataFrame(rows, columns=[query_key, corpus_key,
+                                          "distance"])
+
+    scanned = corpus.select(corpus_key, vec_col).dropna().mapInPandas(
+        scan_corpus, scan_schema)
+    w = Window.partitionBy(query_key).orderBy(
+        F.col("distance").asc_nulls_last(), F.col(corpus_key).asc())
+    return (scanned.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(query_key, corpus_key, "distance", "rank"))
+
+
 def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 10,
              query_key: str = "qid", corpus_key: str = "cid",
              vec_col: str = "embedding", metric: str = "l2",
@@ -591,11 +691,18 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 10,
 
     The broadcast contract is SIZE-CHECKED: when the corpus vector matrix
     estimate (rows x dim x 8 bytes, two cheap metadata jobs) exceeds
-    ``max_broadcast_bytes`` (default 1 GB), the join auto-routes to
-    ``knn_join_bucketed`` at FULL probe — the exact distributed plan, same
-    results, no driver-side corpus materialization (the IVF artifact is
-    built at ``index_path`` or a temp dir). Pass ``max_broadcast_bytes=
-    None`` to force the broadcast path for a corpus known to fit.
+    ``max_broadcast_bytes`` (default 1 GB), the join auto-routes to an
+    exact distributed plan with no driver-side corpus materialization.
+    WHICH plan depends on whether the index is worth keeping: with
+    ``index_path`` set, an ``IVFIndex`` is built there and the join runs
+    ``knn_join_bucketed`` at FULL probe (pay the KMeans fit once, reuse
+    the artifact for every later batch); without it, the one-shot
+    FLIPPED plan runs instead — query matrix broadcast, corpus streamed
+    through one BLAS scan with per-partition running top-k, one window
+    (``_knn_join_flipped``; no fit, no artifact, exactly one corpus
+    pass). Both return the same rows as the broadcast path. Pass
+    ``max_broadcast_bytes=None`` to force the broadcast path for a
+    corpus known to fit.
 
     Ties broken by corpus key ascending, so results are deterministic and
     oracle-comparable. Distances follow the reference metric map
@@ -624,9 +731,16 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 10,
             n_rows = corpus.count()
         est = n_rows * dim * 8
         if est > max_broadcast_bytes:
-            import tempfile
-
-            path = index_path or tempfile.mkdtemp(prefix="knn_join_ivf_")
+            if index_path is None:
+                # one-shot over-cap join: FLIP the broadcast side — one
+                # pass over the corpus, no KMeans fit, no index artifact
+                # (build an IVFIndex via index_path= when the join is
+                # repeated or the query batch is itself huge)
+                return _knn_join_flipped(
+                    queries, corpus, k=k, query_key=query_key,
+                    corpus_key=corpus_key, vec_col=vec_col, metric=metric,
+                    batch_size=batch_size,
+                    max_broadcast_bytes=max_broadcast_bytes)
             n_lists = max(16, spark.sparkContext.defaultParallelism)
             # bound the KMeans fit at ~200k sampled rows — assignment still
             # scans everything once, but the iterative fit must not
@@ -636,8 +750,8 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 10,
             # blow a task (hash-split at build, recall unchanged)
             cap = max(1024, (256 << 20) // max(dim * 8, 1))
             index = IVFIndex.build(
-                corpus.select(corpus_key, vec_col), path, vec_col=vec_col,
-                metric=metric, n_lists=n_lists,
+                corpus.select(corpus_key, vec_col), path=index_path,
+                vec_col=vec_col, metric=metric, n_lists=n_lists,
                 sample_fraction=None if frac >= 1.0 else frac,
                 max_list_rows=cap)
             return knn_join_bucketed(
