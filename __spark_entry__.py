@@ -1351,6 +1351,32 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return knn_join_binary(q, emb, k=10, metric="cosine",
                                oversample=8)
 
+    def b_knn_join_flipped(spark, sf_dir):
+        # the over-cap one-shot plan, forced via a tiny cap: query
+        # matrix broadcast, corpus streamed through one BLAS scan with
+        # per-partition running top-k + one window (equivalence pinned
+        # in tests/test_knn_join.py; this row tracks its wall-clock)
+        from valkey_search_spark.operators.ann import knn_join
+
+        emb = load_table(spark, sf_dir, "embeddings") \
+            .select(F.col("vec_id").alias("cid"), "embedding")
+        q = emb.orderBy("cid").limit(64) \
+            .select(F.col("cid").alias("qid"), "embedding")
+        return knn_join(q, emb, k=10, metric="l2",
+                        max_broadcast_bytes=1 << 16)
+
+    def b_knn_binary_flipped(spark, sf_dir):
+        # the binary tier's over-cap direction: query CODES broadcast,
+        # corpus codes streamed through the distributed Hamming kernel
+        from valkey_search_spark.operators.ann import knn_join_binary
+
+        emb = load_table(spark, sf_dir, "embeddings") \
+            .select(F.col("vec_id").alias("cid"), "embedding")
+        q = emb.orderBy("cid").limit(4) \
+            .select(F.col("cid").alias("qid"), "embedding")
+        return knn_join_binary(q, emb, k=10, metric="cosine",
+                               oversample=8, max_broadcast_bytes=3000)
+
     def b_pii_repetition(spark, sf_dir):
         from valkey_search_spark.operators.contamination import (
             redact_pii, repetition_stats,
@@ -2207,6 +2233,8 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hygiene_pii_repetition": b_pii_repetition,
         "knn_pq": b_knn_pq,
         "knn_binary": b_knn_binary,
+        "knn_join_flipped": b_knn_join_flipped,
+        "knn_binary_flipped": b_knn_binary_flipped,
         "knn_ivf_partial": b_knn_ivf_partial,
         "knn_join_bucketed": b_knn_join_bucketed,
         "knn_hnsw": b_knn_hnsw,

@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "hygiene_pii_repetition",
     "knn_pq",
     "knn_binary",
+    "knn_join_flipped",
+    "knn_binary_flipped",
     "knn_ivf_partial",
     "hygiene_line_dedup",
     "hygiene_gopher",
