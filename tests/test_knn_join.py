@@ -255,3 +255,58 @@ def test_flipped_route_tie_order_and_both_sides_raise(spark, emb):
     with pytest.raises(ValueError, match="IVFIndex"):
         knn_join(q, corpus, k=3, max_broadcast_bytes=64,
                  corpus_size_hint=(10**9, 768))
+
+
+def test_flipped_fuzz_edge_semantics(spark):
+    """Seeded sweep: duplicate vectors, NaN components, and near-tie
+    distances. Tie order among distances that differ at ULP scale is
+    NOT bit-stable across plan shapes (BLAS accumulation is
+    position-dependent: identical vectors at different matrix columns
+    can score 0.0 vs -2.2e-16 — observed on this very seed), so the
+    contract checked here is the float-honest one: per query, the
+    rounded distance sequences match exactly, every result's distance
+    is within the top-k band, and the cid sets agree outside the
+    boundary-tie group."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    for trial in range(4):
+        n = int(rng.randint(20, 60))
+        dim = int(rng.randint(3, 9))
+        mat = rng.randint(-3, 4, size=(n, dim)).astype(float)  # many ties
+        mat[rng.randint(0, n)] [rng.randint(0, dim)] = float("nan")
+        rows = [(i, [float(x) for x in mat[i]]) for i in range(n)]
+        rows += [(i + 1000, r[1]) for i, r in enumerate(rows[:5])]  # dups
+        corpus = spark.createDataFrame(
+            rows, "cid long, embedding array<double>")
+        q = spark.createDataFrame(rows[:6],
+                                  "qid long, embedding array<double>")
+        metric = ("l2", "cosine", "ip")[trial % 3]
+
+        def by_query(df):
+            out = {}
+            for r in df.collect():
+                d = r["distance"]  # NaN crosses Arrow as null, both paths
+                d = float("nan") if d is None else round(d, 9) + 0.0
+                out.setdefault(r["qid"], []).append((r["rank"], r["cid"], d))
+            return {k: sorted(v) for k, v in out.items()}
+
+        wide = by_query(knn_join(q, corpus, k=5, metric=metric,
+                                 max_broadcast_bytes=None))
+        # cap between the 6-query matrix (< 450 B) and the corpus
+        flip = by_query(knn_join(q, corpus, k=5, metric=metric,
+                                 max_broadcast_bytes=500))
+        assert wide.keys() == flip.keys(), (trial, metric)
+        for qid in wide:
+            dw = [d for _, _, d in wide[qid]]
+            df_ = [d for _, _, d in flip[qid]]
+            # NaN distances (the planted NaN row) compare by repr
+            assert [repr(x) for x in dw] == [repr(x) for x in df_], \
+                (trial, metric, qid)
+            kth = dw[-1]
+            inner_w = {c for _, c, d in wide[qid] if repr(d) != repr(kth)}
+            inner_f = {c for _, c, d in flip[qid] if repr(d) != repr(kth)}
+            assert inner_w == inner_f, (trial, metric, qid)
+            bw = {c for _, c, d in wide[qid] if repr(d) == repr(kth)}
+            bf = {c for _, c, d in flip[qid] if repr(d) == repr(kth)}
+            assert len(bw) == len(bf), (trial, metric, qid)

@@ -706,7 +706,13 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 10,
 
     Ties broken by corpus key ascending, so results are deterministic and
     oracle-comparable. Distances follow the reference metric map
-    (/root/reference/src/indexes/vector_base.h:106-110).
+    (/root/reference/src/indexes/vector_base.h:106-110). Float caveat
+    (standard for any distributed distance system): the key tiebreak
+    applies to distances that compare EXACTLY equal; distances within
+    ~1 ulp of each other can order differently across plan shapes,
+    because BLAS accumulation is position-dependent — identical vectors
+    at different matrix positions have been observed scoring 0.0 vs
+    -2.2e-16 (pinned in tests/test_knn_join.py's fuzz).
 
     ``corpus_size_hint=(rows, dim)`` skips the two eager metadata jobs
     (a ``first()`` for the dimension and a ``count()``) that the size
