@@ -1365,6 +1365,23 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return knn_join(q, emb, k=10, metric="l2",
                         max_broadcast_bytes=1 << 16)
 
+    def b_export_webdataset(spark, sf_dir):
+        # multimodal last mile: the full corpus out as deterministic
+        # WebDataset tar shards (text+json+binary members), one task
+        # per shard; round-trip/determinism pinned in
+        # tests/test_webdataset.py
+        from valkey_search_spark.sources.webdataset import write_webdataset
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text",
+            F.struct("lang", "source").alias("meta"),
+            F.encode(F.substring("text", 1, 64), "utf-8").alias("blob"))
+        out = f"/tmp/valkey_wds_{os.path.basename(sf_dir.rstrip('/'))}"
+        return write_webdataset(
+            docs, out, "doc_id",
+            {"text": "txt", "meta": "json", "blob": "bin"},
+            samples_per_shard=512, mode="overwrite")
+
     def b_knn_binary_flipped(spark, sf_dir):
         # the binary tier's over-cap direction: query CODES broadcast,
         # corpus codes streamed through the distributed Hamming kernel
@@ -2235,6 +2252,7 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_binary": b_knn_binary,
         "knn_join_flipped": b_knn_join_flipped,
         "knn_binary_flipped": b_knn_binary_flipped,
+        "export_webdataset": b_export_webdataset,
         "knn_ivf_partial": b_knn_ivf_partial,
         "knn_join_bucketed": b_knn_join_bucketed,
         "knn_hnsw": b_knn_hnsw,

@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "knn_binary",
     "knn_join_flipped",
     "knn_binary_flipped",
+    "export_webdataset",
     "knn_ivf_partial",
     "hygiene_line_dedup",
     "hygiene_gopher",
