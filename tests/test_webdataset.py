@@ -135,3 +135,34 @@ def test_tar_metadata_pinned(spark, tmp_path):
         m = next(iter(tf))
         assert (m.mtime, m.uid, m.gid, m.uname, m.gname, m.mode) == \
             (0, 0, 0, "", "", 0o644)
+
+
+def test_multimodal_loop_wds_to_image_features(spark, tmp_path):
+    """The multimodal last-mile loop end-to-end: curate image binaries
+    in a DataFrame -> write WebDataset shards -> read them back ->
+    REAL decode through image_features; channel means must match the
+    numpy sources exactly (BMP is lossless)."""
+    import numpy as np
+
+    from valkey_search_spark.multimodal.codecs import encode_bmp
+    from valkey_search_spark.multimodal.columns import image_features
+
+    rng = np.random.RandomState(3)
+    imgs = {f"img{i:03d}": rng.randint(0, 256, (9, 7, 3), dtype=np.uint8)
+            for i in range(12)}
+    df = spark.createDataFrame(
+        [(k, bytearray(encode_bmp(v)), f'{{"h":9,"w":7}}')
+         for k, v in imgs.items()],
+        "k string, image binary, meta string")
+    path = str(tmp_path / "imgs")
+    write_webdataset(df, path, "k", {"image": "bmp", "meta": "json"},
+                     n_shards=3)
+    wide = pivot_samples(read_webdataset(spark, path), ["bmp", "json"])
+    feats = image_features(wide.select("key",
+                                       F.col("bmp").alias("image")),
+                           fake=False)
+    got = {r["key"]: r["img_mean"] for r in feats.collect()}
+    assert got.keys() == imgs.keys()
+    for k, arr in imgs.items():
+        want = [float(arr[:, :, c].mean()) for c in range(3)]
+        assert got[k] == pytest.approx(want, abs=1e-9), k
