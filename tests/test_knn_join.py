@@ -310,3 +310,44 @@ def test_flipped_fuzz_edge_semantics(spark):
             bw = {c for _, c, d in wide[qid] if repr(d) == repr(kth)}
             bf = {c for _, c, d in flip[qid] if repr(d) == repr(kth)}
             assert len(bw) == len(bf), (trial, metric, qid)
+
+
+def test_duplicate_query_keys_per_row_semantics(spark):
+    """Duplicate query KEYS (two input rows sharing qid) must each get
+    their own top-k on EVERY route — broadcast, flipped, binary, and
+    flipped-binary (r9 advice: the flipped window used to merge all
+    same-key queries' candidates into one top-k)."""
+    from valkey_search_spark.operators.ann import knn_join_binary
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), float(i % 7)]) for i in range(30)],
+        "cid long, embedding array<double>")
+    # qid=1 appears TWICE with different vectors; qid=2 once
+    q = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (1, [29.0, 1.0]), (2, [15.0, 1.0])],
+        "qid long, embedding array<double>")
+
+    def rowset(df):
+        return sorted((r["qid"], r["cid"], round(r["distance"], 6),
+                       r["rank"]) for r in df.collect())
+
+    wide = rowset(knn_join(q, corpus, k=3, metric="l2",
+                           max_broadcast_bytes=None))
+    # 3 input rows x k=3 = 9 rows; qid=1 contributes 6 (two rows, each
+    # ranked 1..3 against its own vector)
+    assert len(wide) == 9
+    assert sum(1 for t in wide if t[0] == 1) == 6
+    flip = rowset(knn_join(q, corpus, k=3, metric="l2",
+                           max_broadcast_bytes=200))
+    assert flip == wide
+
+    bin_wide = rowset(knn_join_binary(q, corpus, k=3, metric="l2",
+                                      oversample=30,
+                                      max_broadcast_bytes=None))
+    assert len(bin_wide) == 9 and sum(1 for t in bin_wide if t[0] == 1) == 6
+    bin_flip = rowset(knn_join_binary(q, corpus, k=3, metric="l2",
+                                      oversample=30,
+                                      max_broadcast_bytes=200))
+    assert bin_flip == bin_wide
+    # full oversample => binary candidates cover the corpus => exact
+    assert bin_wide == wide

@@ -588,8 +588,11 @@ def _knn_join_flipped(queries: DataFrame, corpus: DataFrame, k: int,
 
     Same semantics as the broadcast direction: reference metric map,
     expanded-norm l2, (distance, corpus key) tie order, NaN distances
-    sort last. Raises when the query matrix ALSO exceeds the cap —
-    build an ``IVFIndex`` (``index_path=``) for huge-x-huge joins."""
+    sort last. Duplicate query KEYS keep per-row semantics too: each
+    input row gets its own top-k (the reduce windows on a per-row
+    query index carried through the scan, not on ``query_key``).
+    Raises when the query matrix ALSO exceeds the cap — build an
+    ``IVFIndex`` (``index_path=``) for huge-x-huge joins."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -626,6 +629,7 @@ def _knn_join_flipped(queries: DataFrame, corpus: DataFrame, k: int,
     bcq = spark.sparkContext.broadcast((qkeys, qmat))
 
     scan_schema = T.StructType([
+        T.StructField("__qidx", T.IntegerType()),
         queries.schema[query_key],
         T.StructField(corpus_key, corpus.schema[corpus_key].dataType),
         T.StructField("distance", T.DoubleType()),
@@ -660,14 +664,17 @@ def _knn_join_flipped(queries: DataFrame, corpus: DataFrame, k: int,
                     allk = np.concatenate([run_key[qi], keys])
                     idx = np.lexsort((allk, alld))[:k]
                     run_d[qi], run_key[qi] = alld[idx], allk[idx]
-        rows = [(qk[qi], run_key[qi][j], float(run_d[qi][j]))
+        rows = [(qi, qk[qi], run_key[qi][j], float(run_d[qi][j]))
                 for qi in range(nq) for j in range(len(run_key[qi]))]
-        yield pd.DataFrame(rows, columns=[query_key, corpus_key,
+        yield pd.DataFrame(rows, columns=["__qidx", query_key, corpus_key,
                                           "distance"])
 
     scanned = corpus.select(corpus_key, vec_col).dropna().mapInPandas(
         scan_corpus, scan_schema)
-    w = Window.partitionBy(query_key).orderBy(
+    # window on the per-ROW query index, not query_key: duplicate keys
+    # in the query batch must each keep their own top-k, exactly as the
+    # broadcast direction scores every input row independently
+    w = Window.partitionBy("__qidx").orderBy(
         F.col("distance").asc_nulls_last(), F.col(corpus_key).asc())
     return (scanned.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
@@ -1024,7 +1031,7 @@ def knn_join_binary(queries: DataFrame, corpus: DataFrame, k: int = 10,
     float rerank (pure JVM) orders the true top-k.
 
     Plan shape for scale: only (key, code) is collected and broadcast —
-    32x smaller than ``knn_join``'s float matrix, so corpora 32x past
+    64x smaller than ``knn_join``'s float64 matrix, so corpora 64x past
     its broadcast bound still take the no-shuffle path. Queries stream
     through ONE Arrow kernel (XOR + LUT popcount against the code
     matrix); the float column is read only for the |Q| x k x oversample
@@ -1037,7 +1044,8 @@ def knn_join_binary(queries: DataFrame, corpus: DataFrame, k: int = 10,
     The collect is SIZE-CHECKED (same estimate-first contract as
     ``knn_join``): when the corpus CODE matrix estimate (rows x
     ceil(dim/64) x 8 bytes) exceeds ``max_broadcast_bytes`` (default
-    1 GB ≙ ~10^9 768-dim vectors — 32x past knn_join's float bound),
+    1 GB ≙ ~1.1x10^7 768-dim vectors at 96 B/code — 64x past
+    knn_join's float64-estimated bound of ~1.7x10^5),
     the join FLIPS the broadcast side: the (small) query codes are
     broadcast instead, the corpus codes stream through the same Arrow
     Hamming kernel fully distributed with a per-partition running
@@ -1051,6 +1059,9 @@ def knn_join_binary(queries: DataFrame, corpus: DataFrame, k: int = 10,
 
     Same output contract as ``knn_join``: (query_key, corpus_key,
     distance, rank), reference metric map, ties by corpus key.
+    Duplicate query keys keep per-row semantics on both routes — every
+    input row gets its own candidate set and top-k (a per-row query
+    index threads through the Hamming scan and the rerank window).
     Sign codes carry angle information: recall is strongest for
     cosine/ip (or L2 on normalized vectors); train ``thresholds``
     (``fit_binary_thresholds``) for uncentered data.
@@ -1123,8 +1134,11 @@ def knn_join_binary(queries: DataFrame, corpus: DataFrame, k: int = 10,
         bcq = spark.sparkContext.broadcast((qkeys, qcodes))
         n_cand = min(k * oversample, n_rows)
 
+        # per-ROW query index: duplicate query keys must each keep
+        # their own candidate set, as the corpus-broadcast route does
         ham_schema = T.StructType([
-            qkey_field, T.StructField(corpus_key, ckey_type),
+            T.StructField("__qidx", T.IntegerType()),
+            T.StructField(corpus_key, ckey_type),
             T.StructField("__ham", T.LongType()),
         ])
 
@@ -1150,25 +1164,30 @@ def knn_join_binary(queries: DataFrame, corpus: DataFrame, k: int = 10,
                         [run_key[qi], keys.astype(object)])
                     idx = np.lexsort((allk, allh))[:n_cand]
                     run_ham[qi], run_key[qi] = allh[idx], allk[idx]
-            rows = [(qk[qi], run_key[qi][j], int(run_ham[qi][j]))
+            rows = [(qi, run_key[qi][j], int(run_ham[qi][j]))
                     for qi in range(len(qk))
                     for j in range(len(run_key[qi]))]
-            yield pd.DataFrame(rows, columns=[query_key, corpus_key,
+            yield pd.DataFrame(rows, columns=["__qidx", corpus_key,
                                               "__ham"])
 
         scanned = coded.select(corpus_key, code_col).mapInPandas(
             scan_corpus, ham_schema)
-        wham = Window.partitionBy(query_key).orderBy(
+        wham = Window.partitionBy("__qidx").orderBy(
             F.col("__ham").asc(), F.col(corpus_key).asc())
         cand = (scanned.withColumn("__hr", F.row_number().over(wham))
                 .where(F.col("__hr") <= n_cand)
-                .select(query_key, corpus_key))
-        # attach the query vector for the rerank — queries fit in a
+                .select("__qidx", corpus_key))
+        # attach the query key + vector for the rerank via a tiny
+        # driver-built frame keyed by __qidx — queries fit in a
         # broadcast by the guard above
-        cand = cand.join(
-            F.broadcast(queries.select(
-                F.col(query_key), F.col(vec_col).alias("__qv"))),
-            query_key)
+        qdf_schema = T.StructType([
+            T.StructField("__qidx", T.IntegerType()), qkey_field,
+            T.StructField("__qv", queries.schema[vec_col].dataType),
+        ])
+        qdf = spark.createDataFrame(
+            [(i, r[query_key], list(r[vec_col]))
+             for i, r in enumerate(qrows)], qdf_schema)
+        cand = cand.join(F.broadcast(qdf), "__qidx")
     else:
         crows = (coded.select(corpus_key, code_col)
                  .where(F.col(code_col).isNotNull()).collect())
@@ -1182,6 +1201,7 @@ def knn_join_binary(queries: DataFrame, corpus: DataFrame, k: int = 10,
         n_cand = min(k * oversample, len(ckeys))
 
         cand_schema = T.StructType([
+            T.StructField("__qidx", T.LongType()),
             qkey_field, T.StructField(corpus_key, ckey_type),
             T.StructField("__qv", queries.schema[vec_col].dataType),
         ])
@@ -1199,12 +1219,14 @@ def knn_join_binary(queries: DataFrame, corpus: DataFrame, k: int = 10,
                     ham = popcount_words(np.bitwise_xor(codes, qcodes[qi]))
                     idx = np.lexsort((keys, ham))[:n_cand]
                     vec = list(pdf[vec_col].iloc[qi])
-                    rows.extend((qid, keys[j], vec) for j in idx)
-                yield pd.DataFrame(rows, columns=[query_key, corpus_key,
-                                                  "__qv"])
+                    qix = int(pdf["__qidx"].iloc[qi])
+                    rows.extend((qix, qid, keys[j], vec) for j in idx)
+                yield pd.DataFrame(rows, columns=["__qidx", query_key,
+                                                  corpus_key, "__qv"])
 
-        cand = queries.select(query_key, vec_col).mapInPandas(
-            scan, cand_schema)
+        cand = (queries.select(query_key, vec_col)
+                .withColumn("__qidx", F.monotonically_increasing_id())
+                .mapInPandas(scan, cand_schema))
 
     # exact rerank, all JVM: fetch candidate float vectors by key,
     # score against the carried query vector, window top-k
@@ -1229,7 +1251,9 @@ def knn_join_binary(queries: DataFrame, corpus: DataFrame, k: int = 10,
                 return F.when(n > 0, n).otherwise(F.lit(1.0))
             dot = dot / (_norm(qc) * _norm(cc))
         dist = F.lit(1.0) - dot
-    w = Window.partitionBy(query_key).orderBy(
+    # rank within the per-row query index, not query_key — duplicate
+    # query keys each keep their own top-k (matching knn_join)
+    w = Window.partitionBy("__qidx").orderBy(
         F.col("distance").asc(), F.col(corpus_key).asc())
     return (joined.withColumn("distance", dist)
             .withColumn("rank", F.row_number().over(w))
