@@ -128,3 +128,78 @@ def test_video_decode_fn_max_frames_cap(spark):
     rows = video_frame_sample(df, fake=False, every_n=1, max_frames=10,
                               decode_fn=stub).collect()
     assert len(rows) == 10
+
+
+def test_seam_end_to_end_all_modalities_through_webdataset(spark, tmp_path):
+    """R9 verdict item 5: drive all three lossy modalities (WebP image,
+    MP3 audio, MP4 video) through the WebDataset loop AND the decode
+    seam in one flow — write shards, read them back, decode with
+    injected decoders — and pin that the result equals the direct
+    (non-WebDataset) path byte-for-byte, while vendored-codec payloads
+    in the same corpus decode without touching the injected decoder."""
+    from pyspark.sql import functions as F
+
+    from valkey_search_spark.multimodal.codecs import encode_bmp, encode_wav
+    from valkey_search_spark.sources.webdataset import (
+        pivot_samples, read_webdataset, write_webdataset)
+
+    bmp = encode_bmp(np.full((4, 4, 3), 9, dtype=np.uint8))
+    wav = encode_wav(np.full(4000, 0.25, dtype=np.float32), 8000)
+    # row 1 carries lossy payloads on every modality, row 2 vendored
+    df = spark.createDataFrame(
+        [("s1", bytearray(WEBP), bytearray(MP3), bytearray(MP4)),
+         ("s2", bytearray(bmp), bytearray(wav), None)],
+        "k string, image binary, audio binary, video binary")
+    path = str(tmp_path / "lossy_wds")
+    write_webdataset(df, path, "k",
+                     {"image": "img", "audio": "aud", "video": "vid"},
+                     n_shards=1)
+    wide = (pivot_samples(read_webdataset(spark, path),
+                          ["img", "aud", "vid"], within_shard=False)
+            .select(F.col("key").alias("k"),
+                    F.col("img").alias("image"),
+                    F.col("aud").alias("audio"),
+                    F.col("vid").alias("video")))
+
+    def img_fn(fmt, payload):
+        return _img_stub(fmt, payload)
+
+    def aud_fn(fmt, payload):
+        if fmt != "mp3":
+            return None
+        return np.ones(8000, dtype=np.float32) * 0.5, 8000
+
+    def vid_fn(fmt, payload):
+        if fmt != "mp4":
+            return None
+        return [np.full((2, 2, 3), i, dtype=np.uint8) for i in range(4)]
+
+    def by_key(rows, *fields):
+        return {r["k"]: tuple(
+            tuple(r[f]) if isinstance(r[f], list) else r[f]
+            for f in fields) for r in rows}
+
+    for src in (df, wide):
+        imgs = by_key(image_features(src.select("k", "image"),
+                                     fake=False, decode_fn=img_fn)
+                      .collect(), "img_mean", "img_phash")
+        auds = by_key(audio_features(src.select("k", "audio"),
+                                     fake=False, decode_fn=aud_fn)
+                      .collect(), "audio_rms", "audio_seconds")
+        vids = sorted(
+            (r["k"], r["frame_no"], bytes(r["frame"])) for r in
+            video_frame_sample(src.select("k", "video").dropna(),
+                               fake=False, every_n=2,
+                               decode_fn=vid_fn).collect())
+        if src is df:
+            direct = (imgs, auds, vids)
+    assert (imgs, auds, vids) == direct
+    # injected outputs flowed: lossy row decoded via the stubs
+    want = _img_stub("webp", WEBP)
+    assert list(imgs["s1"][0]) == pytest.approx(
+        [float(x) for x in want.mean(axis=(0, 1))])
+    assert auds["s1"][0] == pytest.approx(0.5)
+    assert [f for k, f, _ in vids if k == "s1"] == [0, 2]
+    # vendored payloads decoded by the in-repo codecs (stubs declined)
+    assert list(imgs["s2"][0]) == [9.0, 9.0, 9.0]
+    assert auds["s2"][0] == pytest.approx(0.25, abs=1e-3)  # int16 WAV quantization

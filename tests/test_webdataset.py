@@ -166,3 +166,65 @@ def test_multimodal_loop_wds_to_image_features(spark, tmp_path):
     for k, arr in imgs.items():
         want = [float(arr[:, :, c].mean()) for c in range(3)]
         assert got[k] == pytest.approx(want, abs=1e-9), k
+
+
+def test_foreign_corpus_first_dot_and_per_shard_keys(spark, tmp_path):
+    """Foreign-corpus conventions (r9 advice): member names split at
+    the FIRST dot of the basename (multi-part extensions like
+    '.seg.png' stay whole), and keys unique only WITHIN a shard must
+    not merge across shards in pivot_samples' default grouping."""
+    d = tmp_path / "foreign"
+    d.mkdir()
+
+    def make_tar(name, members):
+        with tarfile.open(str(d / name), "w") as tf:
+            for mname, data in members:
+                info = tarfile.TarInfo(name=mname)
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+
+    # same key '000123' in BOTH shards (per-shard uniqueness only),
+    # dotted extension, dotted directory, extension-less member
+    make_tar("shard-000000.tar", [
+        ("000123.seg.png", b"mask-A"), ("000123.txt", b"text-A"),
+        ("v1.2/000999.txt", b"nested"),
+    ])
+    make_tar("shard-000001.tar", [
+        ("000123.seg.png", b"mask-B"), ("000123.txt", b"text-B"),
+        ("README", b"no-ext"),
+    ])
+    long_df = read_webdataset(spark, str(d))
+    rows = {(r["shard"], r["key"], r["ext"]): bytes(r["content"])
+            for r in long_df.collect()}
+    assert rows[("shard-000000.tar", "000123", "seg.png")] == b"mask-A"
+    assert rows[("shard-000001.tar", "000123", "seg.png")] == b"mask-B"
+    # dotted DIRECTORY stays in the key; split is on the basename
+    assert rows[("shard-000000.tar", "v1.2/000999", "txt")] == b"nested"
+    assert rows[("shard-000001.tar", "README", "")] == b"no-ext"
+
+    wide = pivot_samples(long_df, ["seg.png", "txt"])
+    by = {(r["shard"], r["key"]): r for r in wide.collect()}
+    # per-shard grouping: two distinct 000123 samples, nothing merged
+    assert bytes(by[("shard-000000.tar", "000123")]["seg.png"]) == b"mask-A"
+    assert bytes(by[("shard-000001.tar", "000123")]["seg.png"]) == b"mask-B"
+    assert bytes(by[("shard-000000.tar", "000123")]["txt"]) == b"text-A"
+    # corpus-global grouping remains available for writer-produced sets
+    flat = pivot_samples(long_df, ["txt"], within_shard=False)
+    assert "shard" not in flat.columns
+    assert flat.where(F.col("key") == "000123").count() == 1
+
+
+def test_dotted_key_write_guard(spark, tmp_path):
+    # a dotted key basename cannot round-trip (readers split at the
+    # first dot) — the writer must refuse it, not corrupt grouping
+    df = spark.createDataFrame([("img.v2", "t")], "k string, t string")
+    with pytest.raises(Exception, match="first dot"):
+        write_webdataset(df, str(tmp_path / "dk"), "k", {"t": "txt"},
+                         n_shards=1)
+    # dotted DIRECTORY part is fine
+    ok = spark.createDataFrame([("v1.2/img", "t")], "k string, t string")
+    m = write_webdataset(ok, str(tmp_path / "ok"), "k", {"t": "txt"},
+                         n_shards=1)
+    assert sum(r["samples"] for r in m.collect()) == 1
+    back = read_webdataset(spark, str(tmp_path / "ok")).collect()
+    assert [(r["key"], r["ext"]) for r in back] == [("v1.2/img", "txt")]

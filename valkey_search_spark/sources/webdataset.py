@@ -33,8 +33,12 @@ Scale + determinism contract (same scheme as
 
 Reading: ``read_webdataset`` returns the LONG form (shard, key, ext,
 content) via Spark's binaryFile source + one Arrow pass — schema is
-stable regardless of which extensions exist; ``pivot_samples`` turns
-it wide (one column per requested extension) with one aggregation.
+stable regardless of which extensions exist, and member names split
+at the FIRST dot of the basename (the spec convention, so multi-part
+extensions like ``.seg.png`` group as foreign loaders expect);
+``pivot_samples`` turns it wide (one column per requested extension)
+with one aggregation, grouped by (shard, key) by default since
+foreign corpora only guarantee per-shard key uniqueness.
 A whole tar is one binaryFile row, so the same sizing rule applies on
 the way in.
 """
@@ -141,15 +145,26 @@ def write_webdataset(df: DataFrame, path: str, key: str,
             raise ValueError(
                 f"duplicate sample key {dup!r}: WebDataset groups "
                 "members by key, one sample per key")
-        buf = io.BytesIO()
+        fpath = os.path.join(tmp, f"shard-{shard:06d}.tar")
         n = 0
-        # USTAR + zeroed metadata: byte-identical output per (key, seed)
-        with tarfile.open(fileobj=buf, mode="w",
-                          format=tarfile.USTAR_FORMAT) as tf:
+        # USTAR + zeroed metadata: byte-identical output per (key, seed).
+        # The tar streams straight to disk — peak task memory is one
+        # MEMBER, not 2x the shard (the pre-r10 BytesIO double-buffer).
+        with open(fpath, "wb") as fh, \
+                tarfile.open(fileobj=fh, mode="w",
+                             format=tarfile.USTAR_FORMAT) as tf:
             for _, row in pdf.iterrows():
                 k = row["__k"]
                 if k.startswith("/") or ".." in k:
                     raise ValueError(f"unsafe sample key {k!r}")
+                if "." in k.rpartition("/")[2]:
+                    # the spec keys a member at the FIRST dot of its
+                    # basename — a dotted key cannot round-trip through
+                    # any conforming reader (incl. read_webdataset)
+                    raise ValueError(
+                        f"sample key {k!r} contains '.' in its "
+                        "basename: WebDataset readers split members at "
+                        "the first dot, so dotted keys do not round-trip")
                 for i, ext in enumerate(exts):
                     data = _encode_member(row[f"__f_{i}"], ext)
                     if data is None:
@@ -162,10 +177,7 @@ def write_webdataset(df: DataFrame, path: str, key: str,
                     info.mode = 0o644
                     tf.addfile(info, io.BytesIO(data))
                 n += 1
-        blob = buf.getvalue()
-        with open(os.path.join(tmp, f"shard-{shard:06d}.tar"), "wb") as fh:
-            fh.write(blob)
-        return pd.DataFrame([(shard, n, len(blob))],
+        return pd.DataFrame([(shard, n, os.path.getsize(fpath))],
                             columns=["shard", "samples", "bytes"])
 
     manifest_rows = (staged.groupBy("__shard")
@@ -186,7 +198,12 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
     ext, content, size)`` — one row per tar member, schema independent
     of which extensions the corpus carries. One binaryFile scan + one
     Arrow pass; each tar is one input row, so shards must fit task
-    memory (they were sized to, on the way out)."""
+    memory (they were sized to, on the way out).
+
+    Member names split at the FIRST dot of the basename, per the
+    WebDataset convention (torch ``webdataset``/DALI): ``a/b/c.seg.png``
+    is key ``a/b/c``, ext ``seg.png`` — multi-part extensions stay with
+    the field name, matching how external loaders group the corpus."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -211,9 +228,15 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
                     for m in tf:
                         if not m.isfile():
                             continue
-                        base, dot, ext = m.name.rpartition(".")
-                        if not dot:
+                        # first dot of the BASENAME keys the sample
+                        # (spec convention): dirs may be dotted, and
+                        # multi-part extensions belong to the ext
+                        slash = m.name.rfind("/")
+                        dot = m.name.find(".", slash + 1)
+                        if dot == -1:
                             base, ext = m.name, ""
+                        else:
+                            base, ext = m.name[:dot], m.name[dot + 1:]
                         data = tf.extractfile(m).read()
                         rows.append((shard, base, ext, data, len(data)))
                 yield pd.DataFrame(rows, columns=[
@@ -225,10 +248,20 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
     return raw.mapInPandas(parse, schema)
 
 
-def pivot_samples(long_df: DataFrame, extensions: list[str]) -> DataFrame:
+def pivot_samples(long_df: DataFrame, extensions: list[str],
+                  within_shard: bool = True) -> DataFrame:
     """Long form -> one row per sample with a binary column per
     requested extension (missing members stay null). One aggregation;
-    extension list explicit so the schema is plan-time-stable."""
+    extension list explicit so the schema is plan-time-stable.
+
+    Groups by ``(shard, key)`` by default: external WebDataset corpora
+    commonly reuse keys across shards (keys are only unique WITHIN a
+    shard), and a key-only group would silently merge such samples via
+    ``max(content)``. The ``shard`` column rides along in the output.
+    Pass ``within_shard=False`` for corpus-global keys (e.g. this
+    module's own output, whose writer enforces global uniqueness) to
+    drop the shard column and group on ``key`` alone."""
     aggs = [F.max(F.when(F.col("ext") == e, F.col("content"))).alias(e)
             for e in extensions]
-    return long_df.groupBy("key").agg(*aggs)
+    keys = ["shard", "key"] if within_shard else ["key"]
+    return long_df.groupBy(*keys).agg(*aggs)
