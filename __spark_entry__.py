@@ -596,7 +596,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # agg_tpch_q6 (reducer shapes covered by agg_q1/agg_filter_stage),
     # dedup_ngram_jaccard (banded-verify covered by minhash+simhash
     # rows), hygiene_line_dedup (line ops covered by hygiene_c4_lines).
-    # All three keep their bench_extra() timing rows and pytest oracles.
+    # agg_tpch_q6 and hygiene_line_dedup kept bench_extra() timing rows
+    # then; dedup_ngram_jaccard got its own bench_extra row in r10.
+    # All three keep their pytest oracles.
     q["agg_knn_addscores"] = _agg(
         "emb_l2", "*=>[KNN 20 @embedding $v AS dist]",
         "ADDSCORES GROUPBY 1 @label REDUCE COUNT 0 AS n "
@@ -874,36 +876,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_pagerank"] = q_graph_pagerank
 
-    def q_search_maxsim(spark, sf_dir):
-        # late-interaction (ColBERT MaxSim) retrieval over multi-vector
-        # bags built from the real embeddings table: docs = one token
-        # bag per label, queries = one bag per vec_id%8 — the oracle
-        # replays score = sum_q max_d dot as unnest + cross join SQL
-        from valkey_search_spark.operators.late_interaction import (
-            maxsim_join,
-        )
-
-        emb = load_table(spark, sf_dir, "embeddings")
-        docs = (emb.groupBy(F.col("label").alias("did"))
-                .agg(F.sort_array(F.collect_list(
-                    F.struct("vec_id", "embedding"))).alias("s"))
-                .select("did", F.col("s.embedding").alias("vecs")))
-        queries = (emb.where(F.col("vec_id") < 40)
-                   .groupBy((F.col("vec_id") % 8).alias("qid"))
-                   .agg(F.sort_array(F.collect_list(
-                       F.struct("vec_id", "embedding"))).alias("s"))
-                   .select("qid", F.col("s.embedding").alias("vecs")))
-        out = maxsim_join(queries, docs, k=3, doc_key="did")
-        return out.select(F.col("qid").cast("long").alias("qid"),
-                          F.col("did").cast("long").alias("did"),
-                          _r(F.col("score")).alias("score"),
-                          F.col("rank").cast("int").alias("rank"))
-
-    q["search_maxsim"] = q_search_maxsim
-
+    # (search_maxsim rotated OUT to bench in r10 after 3 green rounds —
+    # the MaxSim oracle lives on in maxsim_score below, and the search
+    # shape keeps its bench_extra timing row "search_maxsim_wide")
     def q_maxsim_score(spark, sf_dir):
         # the RERANK surface: MaxSim over EXPLICIT (query, doc) pairs —
-        # same bags as search_maxsim, pairs picked by the SQL-replayable
+        # same bags as the bench search_maxsim_wide row, pairs picked
+        # by the SQL-replayable
         # rule (qid + did) % 3 == 0; one broadcast join + one Arrow pass
         from valkey_search_spark.operators.late_interaction import (
             maxsim_score,
@@ -956,6 +935,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mine_negatives"] = q_mine_negatives
 
+    def q_mine_bitext(spark, sf_dir):
+        # margin-based bitext mining (Artetxe & Schwenk) between the
+        # two halves of the embeddings table, rotated INTO the driver
+        # in r10: two cosine knn_joins (k=4), per-side neighborhood
+        # density averages, margin = cos / (sden/2 + tden/2), mutual
+        # best filter. Fully SQL-expressible — the oracle replays both
+        # KNN directions brute-force (list_cosine_similarity + rank
+        # windows with the same corpus-key tie order), the density
+        # aggregates, and the mutual-best semi-join. min_margin=0 keeps
+        # every mutual pair so the hash pins the full margin surface.
+        from valkey_search_spark.operators.bitext import mine_bitext
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        src = emb.where("vec_id % 2 = 0").select(
+            F.col("vec_id").alias("src_id"), "embedding")
+        tgt = emb.where("vec_id % 2 = 1").select(
+            F.col("vec_id").alias("tgt_id"), "embedding")
+        out = mine_bitext(src, tgt, k=4, min_margin=0.0, mutual=True)
+        return out.select(
+            F.col("src_id").cast("long").alias("src_id"),
+            F.col("tgt_id").cast("long").alias("tgt_id"),
+            _r(F.col("cos")).alias("cos"),
+            _r(F.col("margin")).alias("margin"))
+
+    q["mine_bitext"] = q_mine_bitext
+
     def q_quality_expectations(spark, sf_dir):
         # pre-publish data-quality gate: the five constraint kinds in
         # ONE aggregation pass, each check's (passed, observed) verdict
@@ -981,18 +986,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (snapshot_diff moved into temporal_asof's "diff" leg in the
     # round-8 rotation; the standalone shape stays in bench_extra)
 
-    # -- LLM-pipeline: composed curation (SQL-expressible stages) -------
-    def q_curation(spark, sf_dir):
-        from valkey_search_spark.operators.pipeline import (
-            CurationConfig, curate_documents,
-        )
-        docs = load_table(spark, sf_dir, "documents")
-        clean, _ = curate_documents(docs, with_funnel=False,
-                                    config=CurationConfig(
-            min_quality=0.5, min_tokens=10, near_dup_threshold=None))
-        return clean.select("doc_id")
-
-    q["curation_quality_dedup"] = q_curation
+    # (curation_quality_dedup rotated OUT in r10 after 8 green rounds:
+    # the composite's stages are each hash-checked via text_analysis /
+    # quality_expectations / the dedup rows; the end-to-end shape keeps
+    # a new bench_extra timing row "curation_pipeline" + its pytest
+    # oracle in tests/test_pipeline.py)
 
     # -- LLM-pipeline: multimodal REAL decode, oracle-checked ----------
     def q_multimodal(spark, sf_dir):
@@ -1064,18 +1062,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- round-7 rotation: crawl-ingest / curation operators get their
     # own hash-checked driver rows (freed by the union consolidations
     # above; the judge's round-6 top_next) ------------------------------
-    def q_url_dedup(spark, sf_dir):
-        # URL-canonicalization dedup (the C4/RefinedWeb front door):
-        # all-JVM normalize (case/ports/tracking-params/param-sort/
-        # fragment) + one shuffle on the canonical string. The oracle
-        # recomputes the canonical form analytically from the planted
-        # synthesis, so every normalization step is value-checked.
-        from valkey_search_spark.operators.urlops import url_dedup
-
-        docs = load_table(spark, sf_dir, "documents").select("doc_id")
-        return url_dedup(_synth_urls(docs), "doc_id")
-
-    q["hygiene_url_dedup"] = q_url_dedup
+    # (hygiene_url_dedup rotated OUT in r10 after 3 green rounds — the
+    # urlops shape keeps its bench_extra timing row "hygiene_url_dedup"
+    # and the DuckDB-pinned pytest oracle in tests/test_urlops.py)
 
     def q_c4_lines(spark, sf_dir):
         # C4 line filters over synthesized lines (word soup wrapped
@@ -1124,6 +1113,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hygiene_decontaminate"] = q_decontaminate
 
+    def q_sketch_overlap(spark, sf_dir):
+        # KMV bottom-k corpus-overlap pre-flight (rotated INTO the
+        # driver in r10), pinned in its EXACT regime: corpus A = all
+        # docs' 13-gram set (~21k distinct), corpus B = the doc_id%3
+        # subset, k = 32768 > |A ∪ B| — the sketches hold the whole
+        # hash sets, so every estimator returns the TRUE distinct /
+        # Jaccard / intersection / containment values and the oracle
+        # recomputes them from gram STRINGS (equal up to 64-bit
+        # collisions; none at this size). Formulas are replicated
+        # structurally (j*u, then /d) so float ops match bit-for-bit.
+        from valkey_search_spark.operators.sketches import (
+            corpus_gram_overlap,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        sub = docs.where("doc_id % 3 = 0")
+        st = corpus_gram_overlap(docs, sub, n=13, k=32768)
+        assert not st["underfull"]
+        row = [(st["distinct_a"], st["distinct_b"], st["jaccard"],
+                st["union"], st["intersection"],
+                st["containment_a_in_b"], st["containment_b_in_a"])]
+        df = spark.createDataFrame(
+            row, "da double, db double, j double, u double, i double,"
+                 " cab double, cba double")
+        return df.select(*[_r(F.col(c), 6).alias(c) for c in df.columns])
+
+    q["sketch_overlap"] = q_sketch_overlap
+
     _BPE_Q: dict = {}
 
     def q_bpe_roundtrip(spark, sf_dir):
@@ -1150,6 +1167,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("tokens_bounded"))
 
     q["tokenizer_bpe"] = q_bpe_roundtrip
+
+    _WPQ: dict = {}
+
+    def q_wordpiece_roundtrip(spark, sf_dir):
+        # corpus-trained WordPiece (rotated INTO the driver in r10),
+        # hash-checked the same way as tokenizer_bpe: the merge loop is
+        # not SQL-expressible, but the LOSSLESS contract is —
+        # decode(encode(x)) == x byte-for-byte on EVERY document (the
+        # ##-continuation namespace split makes this hold even for
+        # '##'-initial text), piece count bracketed between the
+        # whitespace word count (>= 1 piece per pretoken) and the byte
+        # count (every piece covers >= 1 byte; whitespace pretokens only
+        # add pieces). n_words/n_bytes are real per-row data values the
+        # oracle recomputes, so the hash pins more than constants.
+        from valkey_search_spark.functions.wordpiece import train_wordpiece
+
+        docs = load_table(spark, sf_dir, "documents")
+        if sf_dir not in _WPQ:
+            _WPQ[sf_dir] = train_wordpiece(docs, vocab_size=512 + 512)
+        tok = _WPQ[sf_dir]
+        enc = tok.tokenize(docs)
+        dec = tok.detokenize(enc)
+        return dec.select(
+            "doc_id",
+            F.size(F.split("text", " ")).alias("n_words"),
+            F.octet_length("text").alias("n_bytes"),
+            (F.col("text_decoded") == F.col("text")).alias("roundtrip_ok"),
+            (F.size("wordpiece_tokens")
+             .between(F.size(F.split("text", " ")),
+                      F.octet_length("text"))).alias("tokens_bounded"))
+
+    q["tokenizer_wordpiece"] = q_wordpiece_roundtrip
 
     _LM_Q: dict = {}
 
@@ -2175,11 +2224,35 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return url_dedup(_synth_urls(docs), "doc_id")
 
     def b_dedup_exact(spark, sf_dir):
-        # round-8 rotation twin: exact dedup now rides queries()'s
-        # dedup_ngram_jaccard union; the standalone shape keeps its
-        # bench timing name
+        # standalone exact-dedup timing row (its driver-slot twin,
+        # the dedup_ngram_jaccard union, rotated out to bench in r9)
         docs = load_table(spark, sf_dir, "documents")
         return dd.exact_dedup(docs, "doc_id")
+
+    def b_ngram_jaccard(spark, sf_dir):
+        # n-gram Jaccard near-dup pairs (rotated out of the driver in
+        # r9; timing row restored in r10 — its banded candidate-join +
+        # exact-verify shape is distinct from minhash/simhash):
+        # DuckDB-pinned in tests/test_dedup.py
+        docs = load_table(spark, sf_dir, "documents")
+        return dd.ngram_jaccard_pairs(docs, "doc_id", threshold=0.3) \
+            .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+    def b_curation_pipeline(spark, sf_dir):
+        # composed quality+dedup curation (rotated out of the driver in
+        # r10 after 8 green rounds; stage-level hash coverage lives in
+        # text_analysis / quality_expectations / the dedup rows):
+        # end-to-end shape keeps its timing here, oracle in
+        # tests/test_pipeline.py
+        from valkey_search_spark.operators.pipeline import (
+            CurationConfig, curate_documents,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        clean, _ = curate_documents(docs, with_funnel=False,
+                                    config=CurationConfig(
+            min_quality=0.5, min_tokens=10, near_dup_threshold=None))
+        return clean.select("doc_id")
 
     def b_maxsim_score(spark, sf_dir):
         return queries()["maxsim_score"](spark, sf_dir)
@@ -2229,6 +2302,8 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # single-form twins of the consolidated driver-union rows, kept
         # here so bench timings stay name-comparable round-over-round
         "dedup_exact": b_dedup_exact,
+        "dedup_ngram_jaccard": b_ngram_jaccard,
+        "curation_pipeline": b_curation_pipeline,
         "maxsim_score": b_maxsim_score,
         "hygiene_fuzzy_decontaminate": b_fuzzy_decontaminate,
         "corpus_diversity": b_corpus_diversity,
@@ -2735,7 +2810,7 @@ def oracle_sql() -> dict[str, str]:
         "  ROUND(outset, 6) + 0.0 FROM s"
         " UNION ALL SELECT 'row_count(*)', n >= 1, ROUND(n, 6) + 0.0"
         " FROM s")
-    # explicit-pairs rerank: same dots CTE as search_maxsim, restricted
+    # explicit-pairs rerank: unnest + cross-join dots CTE, restricted
     # to the deterministic (qid + did) % 3 = 0 pair rule
     o["maxsim_score"] = (
         "WITH qt AS (SELECT vec_id % 8 AS qid, vec_id AS qtok, embedding"
@@ -2768,20 +2843,45 @@ def oracle_sql() -> dict[str, str]:
     # per-user hourly resample: grid = range() unnest per user span,
     # zero leg coalesces gaps, ffill leg propagates the previous
     # non-null bucket value
-    o["search_maxsim"] = (
-        "WITH qt AS (SELECT vec_id % 8 AS qid, vec_id AS qtok, embedding"
-        "            FROM embeddings WHERE vec_id < 40),"
-        " dt AS (SELECT label AS did, embedding FROM embeddings),"
-        " dots AS (SELECT qid, qtok, did,"
-        f"           max(list_inner_product(qt.{_EMB_D}, dt.{_EMB_D})) AS m"
-        "          FROM qt CROSS JOIN dt GROUP BY qid, qtok, did),"
-        " sc AS (SELECT qid, did, sum(m) AS s FROM dots GROUP BY qid, did),"
-        " ranked AS (SELECT qid, did, s,"
-        "             row_number() OVER (PARTITION BY qid"
-        "               ORDER BY s DESC, did) AS rank FROM sc)"
-        " SELECT CAST(qid AS BIGINT) AS qid, CAST(did AS BIGINT) AS did,"
-        "  ROUND(s, 4) + 0.0 AS score, CAST(rank AS INT) AS rank"
-        " FROM ranked WHERE rank <= 3")
+    # bitext margins replayed brute-force: both KNN directions as rank
+    # windows (cosine desc == distance asc, corpus-key tie), densities
+    # as avg over the k=4 candidates, margin formula, mutual-best
+    # semi-join — structurally the same float ops as the engine
+    o["mine_bitext"] = (
+        "WITH s AS (SELECT vec_id id, embedding::DOUBLE[] v"
+        "           FROM embeddings WHERE vec_id % 2 = 0),"
+        " t AS (SELECT vec_id id, embedding::DOUBLE[] v"
+        "       FROM embeddings WHERE vec_id % 2 = 1),"
+        " fa AS (SELECT s.id sid, t.id tid,"
+        "         list_cosine_similarity(s.v, t.v) c,"
+        "         row_number() OVER (PARTITION BY s.id"
+        "          ORDER BY list_cosine_similarity(s.v, t.v) DESC, t.id)"
+        "          rk FROM s CROSS JOIN t),"
+        " fwd AS (SELECT * FROM fa WHERE rk <= 4),"
+        " ba AS (SELECT t.id tid, s.id sid,"
+        "         list_cosine_similarity(s.v, t.v) c,"
+        "         row_number() OVER (PARTITION BY t.id"
+        "          ORDER BY list_cosine_similarity(s.v, t.v) DESC, s.id)"
+        "          rk FROM t CROSS JOIN s),"
+        " bwd AS (SELECT * FROM ba WHERE rk <= 4),"
+        " sden AS (SELECT sid, avg(c) d FROM fwd GROUP BY sid),"
+        " tden AS (SELECT tid, avg(c) d FROM bwd GROUP BY tid),"
+        " pairs AS (SELECT f.sid, f.tid, f.c,"
+        "            f.c / (sd.d/2 + td.d/2) margin FROM fwd f"
+        "           JOIN sden sd USING (sid) JOIN tden td USING (tid)),"
+        " bestf AS (SELECT * FROM (SELECT *, row_number() OVER"
+        "            (PARTITION BY sid ORDER BY margin DESC, tid) r"
+        "            FROM pairs) WHERE r = 1),"
+        " bpairs AS (SELECT b.sid, b.tid, b.c,"
+        "             b.c / (sd.d/2 + td.d/2) margin FROM bwd b"
+        "            JOIN sden sd USING (sid) JOIN tden td USING (tid)),"
+        " bestb AS (SELECT sid, tid FROM (SELECT *, row_number() OVER"
+        "            (PARTITION BY tid ORDER BY margin DESC, sid) r"
+        "            FROM bpairs) WHERE r = 1)"
+        " SELECT CAST(f.sid AS BIGINT) AS src_id,"
+        "  CAST(f.tid AS BIGINT) AS tgt_id, ROUND(f.c, 4) + 0.0 AS cos,"
+        "  ROUND(f.margin, 4) + 0.0 AS margin"
+        " FROM bestf f JOIN bestb USING (sid, tid)")
     # real-decode multimodal row: means recomputed from the pixel
     # formula (see q_multimodal) — no decoding needed SQL-side; the meta
     # form pins the sniffed header geometry of the generated 4x4 BMPs
@@ -2854,30 +2954,32 @@ def oracle_sql() -> dict[str, str]:
         " md5(text) AS fingerprint,"
         f" {rep2_sql} AS rep2_frac"
         " FROM documents")
-    o["curation_quality_dedup"] = (
-        "WITH a AS (SELECT doc_id, md5(text) AS fp,"
-        f" CAST({n_sql} AS BIGINT) AS tc,"
-        f" ROUND((LEAST({n_sql}/100.0, 1.0) + LEAST({sw_sql}*4, 1.0) +"
-        f"  CASE WHEN {alen_sql} BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)/3,"
-        " 6) AS qs FROM documents),"
-        " g AS (SELECT * FROM a WHERE qs >= 0.5 AND tc >= 10)"
-        " SELECT doc_id FROM (SELECT doc_id,"
-        "  min(doc_id) OVER (PARTITION BY fp) AS m FROM g) WHERE doc_id = m")
-
-    # -- round-7 rotation: crawl-ingest / curation oracles --------------
-    # canonical form recomputed analytically from the planted synthesis
-    # (_synth_urls): lowercased scheme, :443 dropped, fragment dropped,
-    # tracking params stripped, params sorted to 'a=1&b=2'
-    o["hygiene_url_dedup"] = (
-        "WITH u AS (SELECT doc_id, 'https://'"
-        " || CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END"
-        " || 'site' || CAST((doc_id % 200) % 37 AS VARCHAR)"
-        " || CASE ((doc_id % 200) % 3) WHEN 0 THEN '.example.com'"
-        "    WHEN 1 THEN '.example.co.uk' ELSE '.shop.com.au' END"
-        " || '/p/' || CAST(doc_id % 200 AS VARCHAR) || '?a=1&b=2'"
-        " AS norm_url FROM documents)"
-        " SELECT norm_url, min(doc_id) AS doc_id,"
-        " count(*) AS dup_count FROM u GROUP BY norm_url")
+    # KMV overlap in the exact regime: both gram sets from string_split
+    # (single-space word soup => split == tokenizer), estimators equal
+    # the true set statistics; formulas replicated structurally so the
+    # float ops ((i/u)*u, then /d) match the driver's bit-for-bit
+    o["sketch_overlap"] = (
+        "WITH doc AS (SELECT doc_id, string_split(text,' ') ts"
+        "             FROM documents),"
+        " ga AS (SELECT DISTINCT array_to_string(ts[i:i+12],' ') g"
+        "        FROM doc, LATERAL unnest(range(1, len(ts)-11)) u(i)),"
+        " gb AS (SELECT DISTINCT array_to_string(ts[i:i+12],' ') g"
+        "        FROM doc, LATERAL unnest(range(1, len(ts)-11)) u(i)"
+        "        WHERE doc_id % 3 = 0),"
+        " st AS (SELECT (SELECT count(*) FROM ga) da,"
+        "               (SELECT count(*) FROM gb) db,"
+        "               (SELECT count(*) FROM ga JOIN gb USING (g)) i,"
+        "               (SELECT count(*) FROM"
+        "                (SELECT g FROM ga UNION SELECT g FROM gb)) u),"
+        " f AS (SELECT CAST(da AS DOUBLE) da, CAST(db AS DOUBLE) db,"
+        "        CAST(i AS DOUBLE) / u j, CAST(u AS DOUBLE) u FROM st)"
+        " SELECT ROUND(da, 6) + 0.0 AS da, ROUND(db, 6) + 0.0 AS db,"
+        "  ROUND(j, 6) + 0.0 AS j, ROUND(u, 6) + 0.0 AS u,"
+        "  ROUND(j * u, 6) + 0.0 AS i,"
+        "  ROUND(CASE WHEN da > 0 THEN (j * u) / da ELSE 0 END, 6)"
+        "   + 0.0 AS cab,"
+        "  ROUND(CASE WHEN db > 0 THEN (j * u) / db ELSE 0 END, 6)"
+        "   + 0.0 AS cba FROM f")
     # line synthesis (9-token wrap, '.' on i%3!=2) + the C4 line rules
     # (>=5 words AND terminal punctuation; the soup vocabulary holds no
     # blocklist phrase, no '{', no 'lorem ipsum')
@@ -2912,6 +3014,15 @@ def oracle_sql() -> dict[str, str]:
     # token count <= byte count must hold for EVERY document
     o["tokenizer_bpe"] = (
         "SELECT doc_id, CAST(strlen(text) AS INT) AS n_bytes,"
+        " true AS roundtrip_ok, true AS tokens_bounded FROM documents")
+    # WordPiece invariants (same contract family as tokenizer_bpe):
+    # lossless decode(encode(x)) == x and word-count <= pieces <=
+    # byte-count must hold for EVERY document; n_words/n_bytes are
+    # real per-row values
+    o["tokenizer_wordpiece"] = (
+        "SELECT doc_id,"
+        " CAST(len(string_split(text, ' ')) AS INT) AS n_words,"
+        " CAST(strlen(text) AS INT) AS n_bytes,"
         " true AS roundtrip_ok, true AS tokens_bounded FROM documents")
     # bigram LM with 0.75 absolute discount + unigram backoff — the
     # exact closed form from tests/test_lm.py, rounded to 4 decimals

@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "agg_tpch_q6",
     "stream_windowed_counts",
     "dedup_exact",
+    "dedup_ngram_jaccard",
+    "curation_pipeline",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "knn_join_bucketed",

@@ -171,3 +171,30 @@ def test_base_tokenizer_hash_text_roundtrip():
     tok = WordPieceTokenizer()
     for t in ("###", "##", "#", "a##b", "## ##"):
         assert tok.decode(tok.encode(t)) == t, t
+
+
+def test_detokenize_distributed_roundtrip(spark, sf_dir):
+    # the r10 driver row's contract: decode(encode(x)) == x asserted
+    # DISTRIBUTED (Arrow map, static table only), plus the piece-count
+    # bracket [whitespace words, bytes] — including '##'-leading and
+    # multi-space texts that stress the continuation namespace
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(150)
+    extra = spark.createDataFrame(
+        [(100001, "## header  double  spaced"),
+         (100002, "tail unicode café 中文"),
+         (100003, None)],
+        "doc_id long, text string")
+    df = docs.select("doc_id", "text").unionByName(extra)
+    tok = train_wordpiece(docs, vocab_size=512 + 64)
+    out = tok.detokenize(tok.tokenize(df)).select(
+        "doc_id", "text",
+        (F.col("text_decoded") == F.col("text")).alias("ok"),
+        F.size("wordpiece_tokens").alias("n"),
+        F.size(F.split("text", " ")).alias("w"),
+        F.octet_length("text").alias("b")).collect()
+    for r in out:
+        if r["text"] is None:
+            assert r["ok"] is None
+            continue
+        assert r["ok"], r["doc_id"]
+        assert r["w"] <= r["n"] <= r["b"], r
