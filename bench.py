@@ -142,11 +142,21 @@ def main():
     # 97 -> 84 -> 78 s across passes 3-5 of a session (HotSpot keeps
     # maturing shared Catalyst/Tungsten/Py4J paths for minutes), so
     # passes repeat until the total stabilizes within 5% (cap 5).
+    # Per-row FIRST-PASS times ride along on warm pass 1 (round-9
+    # verdict item 3): first_pass - min_warm isolates one-time plan
+    # compile (Janino) + artifact builds from steady-state execution,
+    # so expression-heavy rows (gopher_repetition is ~67% compile) stop
+    # reading as cross-round perf regressions. Lives in bench_details
+    # only — the stdout line stays machine-comparable and small.
+    first_pass: dict[str, float] = {}
     warm_totals = []
-    for _ in range(5):
+    for p in range(5):
         t0 = time.perf_counter()
         for name in BENCH_QUERIES:
+            tq = time.perf_counter()
             qs[name](spark, sf_dir).collect()
+            if p == 0:
+                first_pass[name] = round(time.perf_counter() - tq, 3)
         warm_totals.append(round(time.perf_counter() - t0, 3))
         print(f"  warm pass: {warm_totals[-1]}s", file=sys.stderr,
               flush=True)
@@ -480,6 +490,13 @@ def main():
     }
     full = dict(result)
     full.update({
+        # per-row compile-vs-exec split: first_pass includes one-time
+        # plan compile + artifact builds; queries (min_warm) is the
+        # steady state; compile_sec is the difference, floored at 0
+        "first_pass": first_pass,
+        "compile_sec": {n: round(max(first_pass.get(n, 0.0)
+                                     - times[n], 0.0), 3)
+                        for n in times},
         "sentinel": sentinel,
         "ann_recall": ann_recall,
         "ann_recall_realistic": ann_recall_realistic,

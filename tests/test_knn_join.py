@@ -351,3 +351,38 @@ def test_duplicate_query_keys_per_row_semantics(spark):
     assert bin_flip == bin_wide
     # full oversample => binary candidates cover the corpus => exact
     assert bin_wide == wide
+
+
+def test_duplicate_query_keys_bucketed_and_hnsw(spark, tmp_path):
+    """Same per-row contract on the index-backed routes: IVF bucketed
+    (full probe == exact) and HNSW full-explore must return one top-k
+    PER INPUT ROW when query keys repeat."""
+    from valkey_search_spark.operators.hnsw import (
+        HNSWIndex, knn_join_hnsw)
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), float(i % 5)]) for i in range(40)],
+        "cid long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (1, [39.0, 4.0]), (2, [20.0, 0.0])],
+        "qid long, embedding array<double>")
+
+    def rowset(df):
+        return sorted((r["qid"], r[df.columns[1]], round(r["distance"], 6),
+                       r["rank"]) for r in df.collect())
+
+    wide = rowset(knn_join(q, corpus, k=3, metric="l2",
+                           max_broadcast_bytes=None))
+    assert len(wide) == 9 and sum(1 for t in wide if t[0] == 1) == 6
+
+    ivf = IVFIndex.build(corpus, path=str(tmp_path / "ivf"),
+                         vec_col="embedding", metric="l2", n_lists=4)
+    bucketed = rowset(knn_join_bucketed(q, ivf, k=3, nprobe=ivf.n_lists))
+    assert bucketed == wide
+
+    hnsw = HNSWIndex.build(corpus, path=str(tmp_path / "hnsw"),
+                           vec_col="embedding", key_col="cid",
+                           metric="l2", m=8, ef_construction=40,
+                           max_segment_rows=20)
+    hj = rowset(knn_join_hnsw(q, hnsw, k=3, ef=40))
+    assert hj == wide

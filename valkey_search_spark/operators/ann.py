@@ -197,6 +197,10 @@ class IVFIndex:
         path = require_local_path(path, "IVFIndex artifacts")
         with open(os.path.join(path, "_ivf_meta.json")) as fh:
             meta = json.load(fh)
+        # pre-r10 artifacts carry no tag but the identical v1 layout
+        from ..artifact import check_format
+
+        check_format(meta, "ivf-index-v1", path)
         pq = None
         if meta.get("pq"):
             from ..functions.pq import PQCodebook
@@ -209,9 +213,12 @@ class IVFIndex:
                    gen=meta.get("gen", 0), key_col=meta.get("key_col"))
 
     def _save_meta(self, into: str | None = None) -> None:
+        # versioned like the reference's RDB chunks
+        # (src/rdb_serialization.cc); see artifact.check_format
         with open(os.path.join(into or self.path, "_ivf_meta.json"),
                   "w") as fh:
-            json.dump({"vec_col": self.vec_col, "metric": self.metric,
+            json.dump({"format": "ivf-index-v1",
+                       "vec_col": self.vec_col, "metric": self.metric,
                        "quantized": self.quantized,
                        "pq": self.pq.to_json() if self.pq else None,
                        "centroids": self.centroids.tolist(),
@@ -849,6 +856,8 @@ def knn_join_bucketed(queries: DataFrame, index: IVFIndex, k: int = 10,
     """Batch KNN join against an IVF-partitioned corpus — the
     beyond-broadcast path (``knn_join`` collects the corpus to the driver,
     fine to ~1 GB; this never materializes the corpus anywhere).
+    Duplicate query keys keep per-row semantics: every input row gets
+    its own top-k, exactly as ``knn_join``'s broadcast direction.
 
     Plan shape: each query is assigned its ``nprobe`` nearest centroid
     lists (one Arrow batch matmul against the tiny centroid matrix, then
@@ -898,9 +907,11 @@ def knn_join_bucketed(queries: DataFrame, index: IVFIndex, k: int = 10,
         all_lists = F.sequence(
             F.lit(0), F.lit(index.n_physical_lists - 1)).cast("array<int>")
         probed = (queries.select(query_key, vec_col).dropna()
+                  .withColumn("__qidx", F.monotonically_increasing_id())
                   .withColumn("__list", F.explode(all_lists)))
     else:
         probed = (queries.select(query_key, vec_col).dropna()
+                  .withColumn("__qidx", F.monotonically_increasing_id())
                   .withColumn("__list",
                               F.explode(probe_lists(F.col(vec_col)))))
 
@@ -930,12 +941,13 @@ def knn_join_bucketed(queries: DataFrame, index: IVFIndex, k: int = 10,
     qkey_field = queries.schema[query_key]
     ckey_type = corpus.schema[corpus_key].dataType
     cand_schema = T.StructType([
+        T.StructField("__qidx", T.LongType()),
         qkey_field, T.StructField(corpus_key, ckey_type),
         T.StructField("distance", T.DoubleType()),
     ])
 
     def score_list(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        cols = [query_key, corpus_key, "distance"]
+        cols = ["__qidx", query_key, corpus_key, "distance"]
         if left.empty or right.empty:
             return pd.DataFrame(columns=cols)
         q = np.stack(left[vec_col].to_numpy()).astype(np.float64)
@@ -982,6 +994,7 @@ def knn_join_bucketed(queries: DataFrame, index: IVFIndex, k: int = 10,
         order = np.lexsort(
             (np.broadcast_to(ckeys, d.shape), d), axis=1)[:, :kk]
         return pd.DataFrame({
+            "__qidx": np.repeat(left["__qidx"].to_numpy(), kk),
             query_key: np.repeat(left[query_key].to_numpy(), kk),
             corpus_key: ckeys[order].ravel(),
             "distance": np.take_along_axis(d, order, axis=1).ravel(),
@@ -991,10 +1004,14 @@ def knn_join_bucketed(queries: DataFrame, index: IVFIndex, k: int = 10,
             .cogroup(corpus.groupBy("__list"))
             .applyInPandas(score_list, cand_schema))
 
-    w = Window.partitionBy(query_key).orderBy(
+    # window on the per-ROW query index (not query_key): duplicate keys
+    # in the query batch each keep their own top-k, matching knn_join's
+    # broadcast semantics (same r10 fix as the flipped/binary paths)
+    w = Window.partitionBy("__qidx").orderBy(
         F.col("distance").asc(), F.col(corpus_key).asc())
     return (cand.withColumn("rank", F.row_number().over(w))
-                .where(F.col("rank") <= k))
+                .where(F.col("rank") <= k)
+                .select(query_key, corpus_key, "distance", "rank"))
 
 
 def _pack_sign_codes(qv, n_words, thr=None):

@@ -647,7 +647,11 @@ class HNSWIndex:
 
     # -- persistence ------------------------------------------------------
     def _save_meta(self) -> None:
-        meta = {"vec_col": self.vec_col, "key_col": self.key_col,
+        # versioned like the reference's RDB chunks
+        # (src/rdb_serialization.cc): load rejects a foreign tag with a
+        # versioned error instead of deserializing garbage
+        meta = {"format": "hnsw-index-v1",
+                "vec_col": self.vec_col, "key_col": self.key_col,
                 "metric": self.metric, "m": self.m,
                 "ef_construction": self.ef_construction,
                 "n_segments": self.n_segments, "seed": self.seed,
@@ -674,6 +678,10 @@ class HNSWIndex:
         path = require_local_path(path, "HNSWIndex artifacts")
         with open(os.path.join(path, _META)) as fh:
             meta = json.load(fh)
+        # pre-r10 artifacts carry no tag but the identical v1 layout
+        from ..artifact import check_format
+
+        check_format(meta, "hnsw-index-v1", path)
         cents = meta.get("centroids")
         if cents == _CENTROIDS:                    # binary sidecar form
             cents = np.load(os.path.join(path, _CENTROIDS))
@@ -900,6 +908,8 @@ def knn_join_hnsw(queries: DataFrame, index: HNSWIndex, k: int = 10,
     payload columns, evaluated JVM-side in the scan and honored
     IN-traversal (reference inline filtering); deleted rows are masked
     through the same path. Output: query_key, key_col, distance, rank.
+    Duplicate query keys keep per-row semantics — each input row gets
+    its own top-k (the reduce windows on a per-row query index).
 
     ``route_segments``: None (default) probes EVERY segment — required
     for the full-explore exactness contract, and the only option on a
@@ -931,8 +941,11 @@ def knn_join_hnsw(queries: DataFrame, index: HNSWIndex, k: int = 10,
     metric = index.metric
     kk, eff = int(k), max(int(ef), int(k))
 
+    # per-ROW query index: duplicate query keys each keep their own
+    # top-k (matching knn_join's broadcast semantics, r10 fix)
     qside = (queries.select(query_key, F.col(qvec).alias("__qvec"))
-             .dropna())
+             .dropna()
+             .withColumn("__qidx", F.monotonically_increasing_id()))
     n_clusters = len(index.seg_map) if index.seg_map is not None else 0
     if route_segments is not None and route_segments < 1:
         raise ValueError(
@@ -980,11 +993,12 @@ def knn_join_hnsw(queries: DataFrame, index: HNSWIndex, k: int = 10,
     qkey_field = queries.schema[query_key]
     ckey_type = graph.schema[key_col].dataType
     cand_schema = T.StructType([
+        T.StructField("__qidx", T.LongType()),
         qkey_field, T.StructField(key_col, ckey_type),
         T.StructField("distance", T.DoubleType())])
 
     def search_seg(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        cols = [query_key, key_col, "distance"]
+        cols = ["__qidx", query_key, key_col, "distance"]
         if left.empty or right.empty:
             return pd.DataFrame(columns=cols)
         right = right.sort_values("__node").reset_index(drop=True)
@@ -993,9 +1007,10 @@ def knn_join_hnsw(queries: DataFrame, index: HNSWIndex, k: int = 10,
         keys = right[key_col].to_numpy()
         okv = right["__ok"].to_numpy()
         mask = None if bool(okv.all()) else okv.astype(bool)
-        qids, rkeys, dists = [], [], []
-        for qid, qv in zip(left[query_key].to_numpy(),
-                           left["__qvec"].to_numpy()):
+        qixs, qids, rkeys, dists = [], [], [], []
+        for qix, qid, qv in zip(left["__qidx"].to_numpy(),
+                                left[query_key].to_numpy(),
+                                left["__qvec"].to_numpy()):
             q = np.asarray(qv, dtype=np.float64)
             if metric == "cosine":
                 n = np.linalg.norm(q)
@@ -1004,17 +1019,22 @@ def knn_join_hnsw(queries: DataFrame, index: HNSWIndex, k: int = 10,
             hits = _search_graph(vecs, levels, nbrs, entry, top, q,
                                  kk, eff, metric, allowed=mask, sq=sq)
             for d, node in hits:
+                qixs.append(qix)
                 qids.append(qid)
                 rkeys.append(keys[node])
                 dists.append(d)
         d = np.asarray(dists, dtype=np.float64)
-        return pd.DataFrame({query_key: qids, key_col: rkeys,
+        return pd.DataFrame({"__qidx": qixs, query_key: qids,
+                             key_col: rkeys,
                              "distance": _emit(d, metric)}, columns=cols)
 
     cand = (probed.groupBy("__seg")
             .cogroup(graph.groupBy("__seg"))
             .applyInPandas(search_seg, cand_schema))
-    w = Window.partitionBy(query_key).orderBy(
+    # window on the per-ROW query index (not query_key): duplicate keys
+    # each keep their own top-k, same r10 fix as the IVF/flipped paths
+    w = Window.partitionBy("__qidx").orderBy(
         F.col("distance").asc(), F.col(key_col).asc())
     return (cand.withColumn("rank", F.row_number().over(w))
-                .where(F.col("rank") <= kk))
+                .where(F.col("rank") <= kk)
+                .select(query_key, key_col, "distance", "rank"))

@@ -140,7 +140,8 @@ class BigramLM:
         for name, df in tables.items():
             df.write.mode("overwrite").parquet(os.path.join(path, name))
         with open(os.path.join(path, "_lm_meta.json"), "w") as fh:
-            json.dump({"n_tokens": self.n_tokens, "n_types": self.n_types,
+            json.dump({"format": "bigram-lm-v1",
+                       "n_tokens": self.n_tokens, "n_types": self.n_types,
                        "discount": self.discount,
                        "order": 3 if self.tri is not None else 2}, fh)
 
@@ -151,6 +152,9 @@ class BigramLM:
 
         with open(os.path.join(path, "_lm_meta.json")) as fh:
             meta = json.load(fh)
+        from ..artifact import check_format
+
+        check_format(meta, "bigram-lm-v1", path)
         rd = spark.read.parquet
         tri = tctx = None
         if meta["order"] == 3:

@@ -156,7 +156,8 @@ class QualityClassifier:
 
         self._model.write().overwrite().save(os.path.join(path, "model"))
         with open(os.path.join(path, "_qc_meta.json"), "w") as fh:
-            json.dump({"num_features": self.num_features,
+            json.dump({"format": "quality-model-v1",
+                       "num_features": self.num_features,
                        "binary": self.binary}, fh)
 
     @classmethod
@@ -168,6 +169,9 @@ class QualityClassifier:
 
         with open(os.path.join(path, "_qc_meta.json")) as fh:
             meta = json.load(fh)
+        from ..artifact import check_format
+
+        check_format(meta, "quality-model-v1", path)
         model = PipelineModel.load(os.path.join(path, "model"))
         return cls(model, meta["num_features"], meta["binary"])
 

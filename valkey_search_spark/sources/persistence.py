@@ -57,6 +57,7 @@ def save_index_def(schema: IndexSchema, path: str, doc_path: str | None = None) 
     if doc_path is not None:
         schema.doc_df.write.mode("overwrite").parquet(doc_path)
     payload = {
+        "format": "index-def-v1",
         "name": schema.name,
         "key_column": schema.key_column,
         "doc_path": doc_path,
@@ -82,6 +83,9 @@ def load_index_def(spark: SparkSession, path: str,
     recomputed lazily over the snapshot (rebuild-on-load)."""
     with open(path) as fh:
         payload = json.load(fh)
+    from ..artifact import check_format
+
+    check_format(payload, "index-def-v1", path)
     dp = doc_path or payload.get("doc_path")
     if dp is None:
         raise ValueError(f"no document snapshot path for index {payload['name']!r}")
