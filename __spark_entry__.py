@@ -1065,6 +1065,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (hygiene_url_dedup rotated OUT in r10 after 3 green rounds — the
     # urlops shape keeps its bench_extra timing row "hygiene_url_dedup"
     # and the DuckDB-pinned pytest oracle in tests/test_urlops.py)
+    #
+    # r11 rotation queue (long-tail rows with clean oracle paths, in
+    # descending value): tokenizer_unigram (Viterbi replayable as the
+    # BPE/wordpiece invariant contract), sketch_heavy_hitters (exact
+    # regime when summary_size >= distinct tokens => plain GROUP BY
+    # count oracle), hygiene_robots_gate (rule verdicts replay as SQL
+    # CASE over the planted host rules), hygiene_span_dedup (gram
+    # frequency + interval SQL, see _scalar_span_dedup). NOT eligible:
+    # dsir_select (DuckDB 1.0 lacks crc32 — scores not SQL-replayable),
+    # hygiene_quality_model (trained LR weights are data-derived).
 
     def q_c4_lines(spark, sf_dir):
         # C4 line filters over synthesized lines (word soup wrapped
