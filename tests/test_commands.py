@@ -1,0 +1,171 @@
+"""RESP command front end (commands.py): the reference's FT.* argv
+grammar must drive the engine identically to the Python API — every
+clause parsed here cites /root/reference/docs/commands/ft.create.md's
+grammar and the search/aggregate arg lists."""
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from valkey_search_spark import (
+    CommandDispatcher, NumericField, QuerySyntaxError, SearchEngine,
+    TagField, TextField,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def part(spark):
+    return spark.read.parquet(f"{SF}/part.parquet")
+
+
+@pytest.fixture()
+def disp(spark, part):
+    eng = SearchEngine(spark)
+    return CommandDispatcher(eng, part, key_column="p_partkey"), eng
+
+
+def test_create_and_search_matches_python_api(spark, part, disp):
+    d, eng = disp
+    d.execute("FT.CREATE", "parts", "ON", "HASH", "SCHEMA",
+              "p_brand", "TAG",
+              "p_retailprice", "NUMERIC",
+              "p_name", "TEXT")
+    got = d.execute("FT.SEARCH", "parts",
+                    "@p_brand:{Brand#13} @p_retailprice:[905 915]",
+                    "SORTBY", "p_retailprice", "ASC",
+                    "LIMIT", "0", "5")
+    eng2 = SearchEngine(spark)
+    eng2.ft_create("parts2", part,
+                   [TagField("p_brand"), NumericField("p_retailprice"),
+                    TextField("p_name")], key_column="p_partkey")
+    want = eng2.ft_search(
+        "parts2", "@p_brand:{Brand#13} @p_retailprice:[905 915]",
+        sortby="p_retailprice", limit=(0, 5))
+    assert [r["p_partkey"] for r in got.collect()] == \
+        [r["p_partkey"] for r in want.collect()]
+
+
+def test_search_options_params_return_count(spark, disp):
+    d, eng = disp
+    d.execute("FT.CREATE", "p2", "SCHEMA", "p_brand", "TAG",
+              "p_retailprice", "NUMERIC")
+    # PARAMS substitution + RETURN n f AS alias (token-counted)
+    out = d.execute("FT.SEARCH", "p2", "@p_brand:{$b}",
+                    "RETURN", "3", "p_retailprice", "AS", "price",
+                    "PARAMS", "2", "b", "Brand#13",
+                    "LIMIT", "0", "3", "DIALECT", "2")
+    rows = out.collect()
+    assert rows and "price" in rows[0].asDict()
+    # LIMIT 0 0 == count-only (search.h:77-80)
+    n = d.execute("FT.SEARCH", "p2", "@p_brand:{Brand#13}",
+                  "LIMIT", "0", "0")
+    assert isinstance(n, int) and n == len(
+        d.execute("FT.SEARCH", "p2", "@p_brand:{Brand#13}",
+                  "LIMIT", "0", "10000").collect())
+    # string form with shell quoting is the CLI convenience
+    out2 = d.execute(
+        'FT.SEARCH p2 "@p_brand:{Brand#13}" NOCONTENT LIMIT 0 2')
+    assert out2.columns == ["__key"]
+
+
+def test_aggregate_stage_passthrough(spark, disp):
+    d, eng = disp
+    d.execute("FT.CREATE", "p3", "SCHEMA", "p_brand", "TAG",
+              "p_retailprice", "NUMERIC")
+    out = d.execute(
+        "FT.AGGREGATE", "p3", "*",
+        "GROUPBY", "1", "@p_brand",
+        "REDUCE", "COUNT", "0", "AS", "n",
+        "REDUCE", "AVG", "1", "@p_retailprice", "AS", "avg_price",
+        "SORTBY", "2", "@n", "DESC",
+        "LIMIT", "0", "3")
+    rows = out.collect()
+    assert len(rows) == 3 and rows[0]["n"] >= rows[-1]["n"]
+    # quoted APPLY expression survives the argv round-trip (shlex.join
+    # must re-quote tokens containing spaces/operators)
+    out2 = d.execute(
+        "FT.AGGREGATE", "p3", "*",
+        "APPLY", "@p_retailprice * 2", "AS", "dbl",
+        "LIMIT", "0", "1")
+    assert "dbl" in out2.columns
+
+
+def test_create_index_level_text_options(spark, part):
+    eng = SearchEngine(spark)
+    d = CommandDispatcher(eng, part, key_column="p_partkey")
+    # NOSTOPWORDS + MINSTEMSIZE flow into every TEXT field
+    schema = d.execute("FT.CREATE", "pt", "NOSTOPWORDS",
+                       "MINSTEMSIZE", "6",
+                       "SCHEMA", "p_name", "TEXT", "NOSUFFIXTRIE")
+    tf = schema.fields[0]
+    assert tf.stopwords == frozenset()
+    assert tf.min_stem_size == 6
+    assert tf.with_suffixtrie is False
+    # suffix queries are rejected on a NOSUFFIXTRIE field
+    with pytest.raises(Exception, match="suffix|SUFFIXTRIE"):
+        eng.ft_search("pt", "@p_name:*old").collect()
+
+
+def test_vector_create_and_knn(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    eng = SearchEngine(spark)
+    d = CommandDispatcher(eng, emb, key_column="vec_id")
+    d.execute("FT.CREATE", "vecs", "SCHEMA", "embedding", "VECTOR",
+              "HNSW", "12", "TYPE", "FLOAT32", "DIM", "64",
+              "DISTANCE_METRIC", "L2", "M", "16",
+              "EF_CONSTRUCTION", "100", "INITIAL_CAP", "1000")
+    import struct
+
+    qv = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    blob = struct.pack(f"<{len(qv)}f", *qv)   # the RESP wire form
+    out = d.execute("FT.SEARCH", "vecs", "*=>[KNN 3 @embedding $v AS d]",
+                    "PARAMS", "2", "v", blob, "LIMIT", "0", "3")
+    rows = out.collect()
+    assert len(rows) == 3 and rows[0]["d"] < 1e-5
+
+
+def test_on_json_model(spark):
+    docs = spark.createDataFrame(
+        [(1, '{"title": "cold widget", "price": 7}'),
+         (2, '{"title": "large bolt", "price": 9}')],
+        "id long, props string")
+    eng = SearchEngine(spark)
+    d = CommandDispatcher(eng, docs, json_column="props",
+                          key_column="id")
+    d.execute("FT.CREATE", "j", "ON", "JSON", "SCHEMA",
+              "$.title", "AS", "title", "TEXT",
+              "$.price", "AS", "price", "NUMERIC")
+    out = d.execute("FT.SEARCH", "j", "@title:widget @price:[5 8]",
+                    "LIMIT", "0", "10")
+    # default ON-JSON reply carries the key + the whole document ($)
+    assert [r["__key"] for r in out.collect()] == ["1"]
+
+
+def test_lifecycle_and_errors(spark, part):
+    eng = SearchEngine(spark)
+    d = CommandDispatcher(eng, part, key_column="p_partkey")
+    d.execute("FT.CREATE", "lx", "SCHEMA", "p_brand", "TAG")
+    assert "lx" in d.execute("FT._LIST")
+    info = d.execute("FT.INFO", "lx")
+    assert info["index_name"] == "lx" or "lx" in str(info)
+    assert "predicate" in d.execute("FT.EXPLAIN", "lx",
+                                    "@p_brand:{Brand#13}")
+    assert d.execute("FT.DROPINDEX", "lx") == "OK"
+    assert "lx" not in d.execute("FT._LIST")
+    # reference-parity errors
+    for bad in (
+        ["FT.CREATE", "e1", "SCHEMA", "f", "BOGUS"],
+        ["FT.CREATE", "e2", "LANGUAGE", "FRENCH", "SCHEMA", "f", "TAG"],
+        ["FT.CREATE", "e3", "SCHEMA", "f", "TEXT", "WEIGHT", "2.0"],
+        ["FT.CREATE", "e4", "SCHEMA"],
+        ["FT.CREATE", "e5", "SCHEMA", "f", "VECTOR", "FLAT", "2",
+         "TYPE", "FLOAT64"],
+        ["FT.SEARCH", "nope_no_index"],          # missing query arg
+        ["FT.SEARCH", "x", "*", "BOGUSARG"],
+        ["FT.BOGUS"],
+    ):
+        with pytest.raises(QuerySyntaxError):
+            d.execute(*bad)

@@ -4,8 +4,10 @@ data-processing capabilities of valkey-io/valkey-search.
 Public surface:
     SearchEngine        FT.CREATE / FT.SEARCH / FT.AGGREGATE / FT.INFO ...
     TagField / NumericField / TextField / VectorField
+    CommandDispatcher   reference-style FT.* argv -> engine calls
 """
 
+from .commands import CommandDispatcher
 from .catalog import (
     Catalog, IndexSchema, NumericField, TagField, TextField, VectorField,
 )
@@ -20,6 +22,7 @@ from .session import get_spark
 __all__ = [
     "Catalog", "IndexSchema", "NumericField", "TagField", "TextField",
     "VectorField", "SearchEngine", "ReturnField", "QueryLimits", "get_spark",
+    "CommandDispatcher",
     "SearchError", "QuerySyntaxError", "UnknownFieldError",
     "UnknownIndexError", "ExpressionError", "SearchTimeoutError",
 ]
