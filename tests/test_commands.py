@@ -169,3 +169,26 @@ def test_lifecycle_and_errors(spark, part):
     ):
         with pytest.raises(QuerySyntaxError):
             d.execute(*bad)
+
+
+def test_execute_reply_wire_shapes(spark, part):
+    eng = SearchEngine(spark)
+    d = CommandDispatcher(eng, part, key_column="p_partkey")
+    d.execute("FT.CREATE", "wire", "SCHEMA", "p_brand", "TAG",
+              "p_retailprice", "NUMERIC")
+    rep = d.execute_reply("FT.SEARCH", "wire", "@p_brand:{Brand#13}",
+                          "LIMIT", "0", "2")
+    # [total, key, [f, v, ...], key, [f, v, ...]] with total >= shown
+    assert isinstance(rep[0], int) and rep[0] >= 2
+    assert isinstance(rep[1], str) and isinstance(rep[2], list)
+    # count-only wire shape
+    assert d.execute_reply("FT.SEARCH", "wire", "@p_brand:{Brand#13}",
+                           "LIMIT", "0", "0") == [rep[0]]
+    arep = d.execute_reply("FT.AGGREGATE", "wire", "*",
+                           "GROUPBY", "1", "@p_brand",
+                           "REDUCE", "COUNT", "0", "AS", "n",
+                           "LIMIT", "0", "2")
+    assert isinstance(arep[0], int) and isinstance(arep[1], list)
+    # reply mode is scoped: the next execute() is a DataFrame again
+    assert hasattr(d.execute("FT.SEARCH", "wire", "*", "LIMIT", "0", "1"),
+                   "collect")

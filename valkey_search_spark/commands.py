@@ -218,8 +218,20 @@ class CommandDispatcher:
         self.source = source
         self.json_column = json_column
         self.key_column = key_column
+        self._reply_mode = False
 
     # -- entry points -----------------------------------------------------
+    def execute_reply(self, *args):
+        """Like ``execute`` but FT.SEARCH / FT.AGGREGATE return the
+        RESP-shaped reply list (``[total, key, [f, v, ...], ...]`` /
+        ``[n, [k, v, ...], ...]``) instead of a DataFrame — the wire
+        form a reference client sees (ft_search.cc:74)."""
+        self._reply_mode = True
+        try:
+            return self.execute(*args)
+        finally:
+            self._reply_mode = False
+
     def execute(self, *args):
         """Dispatch one command. ``args`` is the RESP argv (the command
         name may be the first element or passed as separate words), or
@@ -376,6 +388,13 @@ class CommandDispatcher:
             else:
                 raise QuerySyntaxError(
                     f"unknown FT.SEARCH argument {opt!r}")
+        if self._reply_mode:
+            kw2 = dict(kw)
+            if kw2.pop("count_only", False):
+                kw2["limit"] = (0, 0)
+            return self.engine.ft_search_reply(index, query,
+                                               params=params or None,
+                                               **kw2)
         return self.engine.ft_search(index, query,
                                      params=params or None, **kw)
 
@@ -418,8 +437,13 @@ class CommandDispatcher:
         # re-serialize argv for the stage parser with exact-inverse
         # quoting (parse_stages shlex-splits; shlex.join round-trips)
         stages = shlex.join(stage_toks)
-        return self.engine.ft_aggregate(index, query, stages,
-                                        params=params or None, **kw)
+        out = self.engine.ft_aggregate(index, query, stages,
+                                       params=params or None, **kw)
+        if self._reply_mode:
+            from .operators.reply import aggregate_reply
+
+            return aggregate_reply(out)
+        return out
 
     # -- the rest -----------------------------------------------------------
     def _dropindex(self, a: _Args):
