@@ -192,3 +192,37 @@ def test_execute_reply_wire_shapes(spark, part):
     # reply mode is scoped: the next execute() is a DataFrame again
     assert hasattr(d.execute("FT.SEARCH", "wire", "*", "LIMIT", "0", "1"),
                    "collect")
+
+
+def test_repl_main_end_to_end(spark):
+    """python -m valkey_search_spark: script a session through main()
+    with a StringIO stdin and check the RESP-shaped output."""
+    import io
+
+    from valkey_search_spark.__main__ import main
+
+    script = "\n".join([
+        "# comment lines and blanks are ignored",
+        "",
+        "FT.CREATE parts SCHEMA p_brand TAG p_retailprice NUMERIC",
+        'FT.SEARCH parts "@p_brand:{Brand#13}" LIMIT 0 0',
+        "FT._LIST",
+        "FT.SEARCH parts bogus_syntax_here(((",
+        "QUIT",
+    ]) + "\n"
+    out = io.StringIO()
+    rc = main(["--table", f"parts={SF}/part.parquet",
+               "--key", "p_partkey"],
+              stdin=io.StringIO(script), stdout=out)
+    assert rc == 0
+    text = out.getvalue()
+    lines = [ln for ln in text.splitlines() if ln.strip()]
+    assert lines[0] == "'OK'"                       # FT.CREATE
+    import duckdb
+
+    want = duckdb.sql(
+        f"select count(*) from '{SF}/part.parquet'"
+        " where p_brand='Brand#13'").fetchone()[0]
+    assert lines[1] == repr(want)                   # count-only reply
+    assert "parts" in lines[2]                      # FT._LIST
+    assert lines[3].startswith("(error)")           # parse error shape
