@@ -65,9 +65,11 @@ def test_search_options_params_return_count(spark, disp):
     assert isinstance(n, int) and n == len(
         d.execute("FT.SEARCH", "p2", "@p_brand:{Brand#13}",
                   "LIMIT", "0", "10000").collect())
-    # string form with shell quoting is the CLI convenience
+    # string form with shell quoting is the CLI convenience; cluster
+    # fan-out hints (ft.search.md:5-6) parse as single-engine no-ops
     out2 = d.execute(
-        'FT.SEARCH p2 "@p_brand:{Brand#13}" NOCONTENT LIMIT 0 2')
+        'FT.SEARCH p2 "@p_brand:{Brand#13}" NOCONTENT ALLSHARDS'
+        ' CONSISTENT LIMIT 0 2')
     assert out2.columns == ["__key"]
 
 

@@ -334,6 +334,10 @@ class CommandDispatcher:
             opt = a.next("option").upper()
             if opt == "NOCONTENT":
                 kw["nocontent"] = True
+            elif opt in ("ALLSHARDS", "SOMESHARDS", "CONSISTENT",
+                         "INCONSISTENT"):
+                pass  # cluster fan-out / consistency hints
+                      # (ft.search.md:5-6): parsed, single-engine no-op
             elif opt == "VERBATIM":
                 kw["verbatim"] = True
             elif opt == "WITHSORTKEYS":
