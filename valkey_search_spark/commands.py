@@ -465,6 +465,14 @@ class CommandDispatcher:
 
     def _info(self, a: _Args):
         name = a.next("index name")
+        while not a.done():
+            # scope + fan-out/consistency hints (ft.info.md:4-8):
+            # parsed for command-line parity, single-engine no-ops
+            opt = a.next("option").upper()
+            if opt not in ("LOCAL", "PRIMARY", "CLUSTER", "ALLSHARDS",
+                           "SOMESHARDS", "CONSISTENT", "INCONSISTENT"):
+                raise QuerySyntaxError(
+                    f"unknown FT.INFO argument {opt!r}")
         return self.engine.ft_info(name)
 
     def _explain(self, a: _Args):
