@@ -416,8 +416,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # -- FT.SEARCH SORTBY / RETURN (SURVEY §2.3, §2.5) ------------------
     def q_sortby(spark, sf_dir):
-        df = _eng(spark, sf_dir).ft_search(
-            "ords", "*", sortby="o_totalprice", sortby_desc=True, limit=(0, 15))
+        # driven through the RESP argv front end (commands.py, r10): the
+        # dispatcher parses the reference's command line and must return
+        # the same frame as the Python API — this row's green hash is
+        # the driver-level pin of the argv path
+        from valkey_search_spark.commands import CommandDispatcher
+
+        d = CommandDispatcher(_eng(spark, sf_dir), source=None)
+        df = d.execute("FT.SEARCH", "ords", "*", "SORTBY", "o_totalprice",
+                       "DESC", "LIMIT", "0", "15")
         return df.select("o_orderkey", "o_totalprice")
 
     q["search_sortby_limit"] = q_sortby
