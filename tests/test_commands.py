@@ -228,3 +228,38 @@ def test_repl_main_end_to_end(spark):
     assert lines[1] == repr(want)                   # count-only reply
     assert "parts" in lines[2]                      # FT._LIST
     assert lines[3].startswith("(error)")           # parse error shape
+
+
+def test_dispatcher_equivalence_fuzz(spark, part):
+    """Property: any command the dispatcher accepts returns exactly the
+    frame the Python API builds from the same clauses — swept over the
+    option lattice (sortby x direction x limit x nocontent x filter),
+    deterministic full enumeration rather than random sampling so the
+    pin is stable across runs."""
+    eng = SearchEngine(spark)
+    d = CommandDispatcher(eng, part, key_column="p_partkey")
+    d.execute("FT.CREATE", "fz", "SCHEMA", "p_brand", "TAG",
+              "p_retailprice", "NUMERIC", "p_size", "NUMERIC")
+    queries = ["*", "@p_brand:{Brand#13}",
+               "@p_retailprice:[905 915]",
+               "-@p_brand:{Brand#13} @p_size:[1 25]"]
+    for query in queries:
+        for sortby in (None, "p_retailprice", "p_size"):
+            for desc in (False, True):
+                for off, num in ((0, 4), (2, 3)):
+                    argv = ["FT.SEARCH", "fz", query]
+                    kw = {"limit": (off, num)}
+                    if sortby:
+                        argv += ["SORTBY", sortby,
+                                 "DESC" if desc else "ASC"]
+                        kw.update(sortby=sortby, sortby_desc=desc)
+                    argv += ["LIMIT", str(off), str(num)]
+                    got = d.execute(*argv).collect()
+                    want = eng.ft_search("fz", query, **kw).collect()
+                    if sortby is None:
+                        got, want = sorted(map(tuple, got)), \
+                            sorted(map(tuple, want))
+                    else:
+                        got, want = list(map(tuple, got)), \
+                            list(map(tuple, want))
+                    assert got == want, (query, sortby, desc, off, num)
