@@ -198,3 +198,30 @@ def test_detokenize_distributed_roundtrip(spark, sf_dir):
             continue
         assert r["ok"], r["doc_id"]
         assert r["w"] <= r["n"] <= r["b"], r
+
+
+def test_marker_prefixed_pieces_roundtrip(tmp_path):
+    """r10 ADVICE asked __init__/load() to reject '##'-text pieces;
+    investigating showed the trainer itself emits them (markdown '##'
+    headers train a continuation with text '##', serialized '####'),
+    and round-trip holds for EVERY classification because encode/decode
+    share one marker convention: decode strips exactly one '##'. This
+    pins the rebuttal: marker-prefixed entries are accepted and
+    lossless, through the constructor and through load()."""
+    import json
+
+    from valkey_search_spark.functions.wordpiece import WordPieceTokenizer
+
+    t = WordPieceTokenizer(["hello", "##lo", "###x", "####", "####y"])
+    for text in ("hello", "## header", "#### deep", "a##b", "##", "####"):
+        assert t.decode(t.encode(text)) == text, text
+    # continuation table holds the TEXTS (marker stripped once)
+    assert {"##", "##y", "#x", "lo"} <= t.cont
+    # and the same vocabulary survives the save/load door losslessly
+    p = tmp_path / "vocab.json"
+    p.write_text(json.dumps({"format": "wordpiece-vocab-v1",
+                             "pieces": ["ok", "##fine", "####deep"]}))
+    t2 = WordPieceTokenizer.load(str(p))
+    assert "##deep" in t2.cont and "ok" in t2.initial
+    for text in ("ok ##deep", "####deep fine"):
+        assert t2.decode(t2.encode(text)) == text, text

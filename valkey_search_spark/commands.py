@@ -51,10 +51,36 @@ class _Args:
         return self.i >= len(self.toks)
 
     def peek(self) -> str | None:
+        """Next token as text, or None at end-of-argv / on a binary
+        blob that is not valid UTF-8 (so keyword probes like accept()
+        simply don't match a binary value)."""
         if self.done():
             return None
         t = self.toks[self.i]
-        return t if isinstance(t, str) else None
+        if isinstance(t, (bytes, bytearray)):
+            try:
+                return bytes(t).decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        return t if isinstance(t, str) else str(t)
+
+    def peek_keyword(self, what: str) -> str:
+        """Peek the next token as an upper-cased keyword. RESP args are
+        binary-safe, but keyword POSITIONS must be text: a bytes token
+        decodes via UTF-8 when possible, and a binary blob where the
+        grammar expects a keyword is a syntax error (binary values are
+        only accepted as PARAMS values), never an engine crash."""
+        if self.done():
+            raise QuerySyntaxError(f"{self.command}: missing {what}")
+        t = self.toks[self.i]
+        if isinstance(t, (bytes, bytearray)):
+            try:
+                t = bytes(t).decode("utf-8")
+            except UnicodeDecodeError:
+                raise QuerySyntaxError(
+                    f"{self.command}: unexpected binary token "
+                    f"{bytes(t)[:16]!r} where {what} expected")
+        return str(t).upper()
 
     def next(self, what: str, raw: bool = False):
         if self.done():
@@ -175,13 +201,21 @@ def _parse_schema_fields(a: _Args, on_json: str | None,
             if metric not in ("l2", "ip", "cosine"):
                 raise QuerySyntaxError(
                     f"unknown DISTANCE_METRIC {metric!r}")
-            kwargs = dict(dim=int(attrs.pop("DIM")), metric=metric,
-                          algo=algo.lower())
+            def _attr_int(name: str, v: str) -> int:
+                try:
+                    return int(v)
+                except ValueError:
+                    raise QuerySyntaxError(
+                        f"VECTOR {name} must be an integer, got {v!r}"
+                    ) from None
+
+            kwargs = dict(dim=_attr_int("DIM", attrs.pop("DIM")),
+                          metric=metric, algo=algo.lower())
             if "M" in attrs:
-                kwargs["m"] = int(attrs.pop("M"))
+                kwargs["m"] = _attr_int("M", attrs.pop("M"))
             if "EF_CONSTRUCTION" in attrs:
-                kwargs["ef_construction"] = int(
-                    attrs.pop("EF_CONSTRUCTION"))
+                kwargs["ef_construction"] = _attr_int(
+                    "EF_CONSTRUCTION", attrs.pop("EF_CONSTRUCTION"))
             # accepted-but-inert build knobs (capacity pre-allocation
             # has no parquet analogue; EF_RUNTIME is a query-time dial
             # passed per-search as ann_ef)
@@ -270,7 +304,7 @@ class CommandDispatcher:
         prefixes: list[str] | None = None
         text_defaults: dict = {}
         while not a.done():
-            kw = a.peek().upper()
+            kw = a.peek_keyword("FT.CREATE option")
             if kw == "SCHEMA":
                 a.next("SCHEMA")
                 break
@@ -412,7 +446,7 @@ class CommandDispatcher:
         stage_kws = {"LOAD", "APPLY", "FILTER", "GROUPBY", "REDUCE",
                      "SORTBY", "LIMIT", "ADDSCORES"}
         while not a.done():
-            opt = a.peek().upper()
+            opt = a.peek_keyword("FT.AGGREGATE option")
             if opt == "PARAMS":
                 a.next("PARAMS")
                 n = a.next_int("PARAMS count")
@@ -439,7 +473,11 @@ class CommandDispatcher:
                 raise QuerySyntaxError(
                     f"unknown FT.AGGREGATE argument {opt!r}")
         # re-serialize argv for the stage parser with exact-inverse
-        # quoting (parse_stages shlex-splits; shlex.join round-trips)
+        # quoting (parse_stages shlex-splits; shlex.join round-trips).
+        # stage_toks is all-str by construction (next() decodes bytes
+        # or raises); the assert keeps shlex.join's TypeError
+        # unreachable if a new branch ever appends a raw token
+        assert all(isinstance(t, str) for t in stage_toks)
         stages = shlex.join(stage_toks)
         out = self.engine.ft_aggregate(index, query, stages,
                                        params=params or None, **kw)
@@ -454,7 +492,7 @@ class CommandDispatcher:
         name = a.next("index name")
         if not a.done():
             raise QuerySyntaxError(
-                f"unknown FT.DROPINDEX argument {a.peek()!r}")
+                f"unknown FT.DROPINDEX argument {a.toks[a.i]!r}")
         self.engine.ft_dropindex(name)
         return "OK"
 
@@ -483,6 +521,9 @@ class CommandDispatcher:
             opt = a.next("option").upper()
             if opt == "PARAMS":
                 n = a.next_int("PARAMS count")
+                if n % 2:
+                    raise QuerySyntaxError(
+                        "PARAMS count must be even (name value pairs)")
                 for _ in range(n // 2):
                     k = a.next("param name")
                     params[k] = a.next("param value", raw=True)

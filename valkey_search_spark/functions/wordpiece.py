@@ -71,6 +71,20 @@ class WordPieceTokenizer:
         self.cont = set(singles)          # stored WITHOUT the marker
         for p in pieces:
             if p.startswith("##"):
+                # In the serialized form a leading '##' IS the
+                # continuation marker (the HF-BERT convention), so an
+                # entry like '####' denotes a continuation whose TEXT
+                # is '##' — the trainer legitimately emits these from
+                # markdown-header corpora, and they round-trip because
+                # decode strips exactly ONE marker. A "word-initial
+                # piece with '##' text" is therefore UNREPRESENTABLE
+                # here rather than silently reclassified (r10 ADVICE
+                # asked for a constructor raise; that would reject the
+                # trainer's own output — see
+                # tests/test_wordpiece.py::test_marker_prefixed_pieces
+                # _roundtrip for the proof that round-trip holds for
+                # every classification, so there is no invalid shape
+                # to detect).
                 self.cont.add(p[2:])
             else:
                 self.initial.add(p)

@@ -102,6 +102,21 @@ def parse_stages(stage_str: str, params: dict | None = None) -> list[Stage]:
         if i + n > len(toks):
             raise QuerySyntaxError(f"truncated {what} clause")
 
+    # counted clauses must fail as grammar errors, never leak a
+    # ValueError/IndexError stack trace (the reference parser reports
+    # the offending clause — ft_aggregate_parser.cc error paths)
+    def _int(s: str, what: str) -> int:
+        try:
+            return int(s)
+        except ValueError:
+            raise QuerySyntaxError(
+                f"{what} expects an integer, got {s!r}") from None
+
+    def tok(idx: int, what: str) -> str:
+        if idx >= len(toks):
+            raise QuerySyntaxError(f"truncated {what} clause")
+        return toks[idx]
+
     def strip_at(s: str) -> str:
         return s[1:] if s.startswith("@") else s
 
@@ -115,12 +130,12 @@ def parse_stages(stage_str: str, params: dict | None = None) -> list[Stage]:
                 continue
             # n counts RESP arg tokens, so `f AS g` consumes 3 of the count
             # (ft_aggregate_parser.cc:252 binds the slot to the alias)
-            n = int(toks[i + 1])
+            n = _int(toks[i + 1], "LOAD count")
             fields = []
             j = i + 2
             consumed = 0
             while consumed < n:
-                name = strip_at(toks[j])
+                name = strip_at(tok(j, "LOAD"))
                 if consumed + 3 <= n and j + 2 < len(toks) \
                         and toks[j + 1].upper() == "AS":
                     fields.append((name, strip_at(toks[j + 2])))
@@ -144,19 +159,20 @@ def parse_stages(stage_str: str, params: dict | None = None) -> list[Stage]:
             i += 2
         elif kw == "GROUPBY":
             need(2, "GROUPBY")
-            n = int(toks[i + 1])
-            fields = [strip_at(toks[i + 2 + k]) for k in range(n)]
+            n = _int(toks[i + 1], "GROUPBY count")
+            fields = [strip_at(tok(i + 2 + k, "GROUPBY"))
+                      for k in range(n)]
             i += 2 + n
             reducers: list[Reduce] = []
             while i < len(toks) and toks[i].upper() == "REDUCE":
-                func = toks[i + 1].upper()
+                func = tok(i + 1, "REDUCE").upper()
                 if func not in REDUCERS:
                     raise QuerySyntaxError(f"unknown reducer {func}")
-                nargs = int(toks[i + 2])
-                rargs = [toks[i + 3 + k] for k in range(nargs)]
+                nargs = _int(tok(i + 2, "REDUCE"), "REDUCE nargs")
+                rargs = [tok(i + 3 + k, "REDUCE") for k in range(nargs)]
                 i += 3 + nargs
                 if i < len(toks) and toks[i].upper() == "AS":
-                    out = toks[i + 1]
+                    out = tok(i + 1, "REDUCE AS")
                     i += 2
                 else:
                     # default name `name(args)` (ft_aggregate_exec.cc:390-398)
@@ -165,12 +181,12 @@ def parse_stages(stage_str: str, params: dict | None = None) -> list[Stage]:
             stages.append(GroupBy(fields, reducers))
         elif kw == "SORTBY":
             need(2, "SORTBY")
-            n = int(toks[i + 1])
+            n = _int(toks[i + 1], "SORTBY count")
             j = i + 2
             keys: list[SortKey] = []
             consumed = 0
             while consumed < n:
-                text = toks[j]
+                text = tok(j, "SORTBY")
                 desc = False
                 j += 1
                 consumed += 1
@@ -181,13 +197,14 @@ def parse_stages(stage_str: str, params: dict | None = None) -> list[Stage]:
                 keys.append(SortKey(parse_expr(_at_to_expr(text), params), desc, text))
             mx = None
             if j < len(toks) and toks[j].upper() == "MAX":
-                mx = int(toks[j + 1])
+                mx = _int(tok(j + 1, "SORTBY MAX"), "SORTBY MAX")
                 j += 2
             stages.append(SortBy(keys, mx))
             i = j
         elif kw == "LIMIT":
             need(3, "LIMIT")
-            stages.append(Limit(int(toks[i + 1]), int(toks[i + 2])))
+            stages.append(Limit(_int(toks[i + 1], "LIMIT offset"),
+                                _int(toks[i + 2], "LIMIT num")))
             i += 3
         elif kw == "ADDSCORES":
             stages.append(AddScores())

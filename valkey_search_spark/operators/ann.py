@@ -906,14 +906,27 @@ def knn_join_bucketed(queries: DataFrame, index: IVFIndex, k: int = 10,
         # (physical ids are contiguous 0..n_physical-1 by construction)
         all_lists = F.sequence(
             F.lit(0), F.lit(index.n_physical_lists - 1)).cast("array<int>")
+        # single-job lineage (no prune collect at full probe): __qidx,
+        # key, and vector travel in the same row of one evaluation, so
+        # no persist is needed — ids only shift if a stage retry
+        # re-evaluates a nondeterministic source, the same caveat
+        # knn_join_hnsw documents for its unrouted path
         probed = (queries.select(query_key, vec_col).dropna()
                   .withColumn("__qidx", F.monotonically_increasing_id())
                   .withColumn("__list", F.explode(all_lists)))
     else:
+        # persist pins ONE evaluation of the id stamp + probe UDF: the
+        # probed-list distinct/collect below and the cogroup are
+        # separate jobs — a nondeterministic query frame (sample(),
+        # rand()-derived) re-evaluated per job could reassign __qidx
+        # and pair a query row with another row's candidates under the
+        # per-row window (same hazard knn_join_hnsw's routed path
+        # pins). ContextCleaner unpersists once unreferenced.
         probed = (queries.select(query_key, vec_col).dropna()
                   .withColumn("__qidx", F.monotonically_increasing_id())
                   .withColumn("__list",
-                              F.explode(probe_lists(F.col(vec_col)))))
+                              F.explode(probe_lists(F.col(vec_col))))
+                  .persist())
 
     # PQ indexes ship m CODE BYTES per corpus row through the cogroup
     # shuffle instead of the float vector (1/32 the bytes at d=64/m=8)
@@ -1241,6 +1254,11 @@ def knn_join_binary(queries: DataFrame, corpus: DataFrame, k: int = 10,
                 yield pd.DataFrame(rows, columns=["__qidx", query_key,
                                                   corpus_key, "__qv"])
 
+        # single-job lineage: the scan kernel reads __qidx, key, and
+        # vector from the same Arrow row, so pairing is consistent per
+        # evaluation without a persist; ids only shift if a stage
+        # retry re-evaluates a nondeterministic source (the caveat
+        # knn_join_hnsw documents for its unrouted path)
         cand = (queries.select(query_key, vec_col)
                 .withColumn("__qidx", F.monotonically_increasing_id())
                 .mapInPandas(scan, cand_schema))

@@ -17,7 +17,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import Catalog, FieldDef, IndexSchema, NumericField, TagField, TextField, num_col, vec_col, VectorField
-from ..errors import QuerySyntaxError
+from ..errors import QuerySyntaxError, UnknownFieldError
 from ..functions.distance import distance_column
 from ..parser.ast import (
     And, MatchAll, ParsedQuery, Proximity, TextPred, TERM,
@@ -504,6 +504,22 @@ class SearchEngine:
             raise QuerySyntaxError(
                 f"KNN k {parsed.knn.k} exceeds max-vector-knn "
                 f"{self.limits.max_vector_knn}")
+        if parsed.knn is not None:
+            # blob-size validation BEFORE any physical branch: the
+            # reference rejects a query blob whose byte length isn't
+            # DIM*4 (vector_base.cc record validation); without this, a
+            # wrong-dim vector would silently null out every zip_with
+            # distance and return an empty result instead of an error
+            _vf = schema.field(parsed.knn.attr)
+            if not isinstance(_vf, VectorField):
+                raise QuerySyntaxError(
+                    f"KNN field `{parsed.knn.attr}` is not VECTOR")
+            if _vf.dim and len(parsed.knn.vector) != _vf.dim:
+                raise QuerySyntaxError(
+                    f"query vector has {len(parsed.knn.vector)} "
+                    f"dimensions; field `{parsed.knn.attr}` is DIM "
+                    f"{_vf.dim} (FLOAT32 blob must be {4 * _vf.dim} "
+                    "bytes)")
         translator = PredicateTranslator(schema, verbatim=verbatim,
                                          limits=self.limits)
         # stopword pass BEFORE the SLOP/INORDER upgrade: a dropped term must
@@ -919,6 +935,16 @@ class SearchEngine:
                 out.append(F.col(rf.name).alias(rf.alias or rf.name))
                 continue
             fdef = schema.field(rf.name) if rf.name in schema._by_attr else None
+            # a RETURN identifier must name an indexed attribute or a
+            # record (hash) field. The reference silently omits a field
+            # absent from the hash (per-row reply maps can do that); a
+            # fixed-schema frame cannot, so an unknown name is reported
+            # as the field error it almost certainly is instead of
+            # leaking Spark's AnalysisException
+            if fdef is None and rf.name not in df.columns:
+                raise UnknownFieldError(
+                    f"RETURN field `{rf.name}` is neither an indexed "
+                    "attribute nor a record field")
             # fdef.source handles ON-JSON attributes: the returned value is
             # the JSONPath extraction, not a frame column
             src = fdef.source(df) if fdef else F.col(rf.name)

@@ -91,6 +91,24 @@ class FilterParser:
         self._params_used.add(name)
         return self.params[name]
 
+    def _param_str(self, name: str) -> str:
+        """A PARAMS value substituted into a TEXT position (tag value,
+        numeric bound, term, k, EF_RUNTIME). RESP clients send every
+        value as bytes, so valid UTF-8 decodes transparently; a binary
+        blob here is a query error — Python's ``str(bytes)`` repr would
+        otherwise become a phantom tag/term that could even match a
+        document containing the literal repr text."""
+        v = self._param(name)
+        if isinstance(v, (bytes, bytearray)):
+            try:
+                return bytes(v).decode("utf-8")
+            except UnicodeDecodeError:
+                raise QuerySyntaxError(
+                    f"PARAMS value for ${name} is not valid UTF-8 "
+                    "(binary blobs are only accepted as vector "
+                    "parameters)") from None
+        return str(v)
+
     def _read_until(self, stops: set[str]) -> str:
         return "".join(ch for ch, _ in self._read_until_marked(stops))
 
@@ -256,7 +274,7 @@ class FilterParser:
                               for ch, esc in marked)
             if raw:
                 if raw.startswith("$") and not marked[0][1]:
-                    raw = str(self._param(raw[1:]))
+                    raw = self._param_str(raw[1:])
                     raw_esc = raw
                 # shipped semantics (tag.cc:145-196 ParseSearchTags;
                 # predicate.cc:352-355,369-380): the backslash protects
@@ -307,7 +325,7 @@ class FilterParser:
         if not tok:
             raise QuerySyntaxError("empty numeric bound")
         if tok.startswith("$"):
-            tok = str(self._param(tok[1:]))
+            tok = self._param_str(tok[1:])
         t = tok.lower()
         # ±inf is lexed specially, then a STRICT digits/dot/exponent
         # numeral with optional leading `-` (ParseNumber,
@@ -400,7 +418,7 @@ class FilterParser:
             trailing_star = True
             self.i += 1
         if word.startswith("$"):
-            word = str(self._param(word[1:]))
+            word = self._param_str(word[1:])
         word = fold_case(word)
         if not word:
             raise QuerySyntaxError(f"empty term at offset {self.i} in {self.q!r}")
@@ -422,8 +440,8 @@ class FilterParser:
         try:
             # K accepts a $param like the vector/EF slots do
             # (search.cc:1143 SubstituteParam on k_string)
-            k = (int(self._param(toks[1][1:])) if toks[1].startswith("$")
-                 else int(toks[1]))
+            k = (int(self._param_str(toks[1][1:]))
+                 if toks[1].startswith("$") else int(toks[1]))
             attr_tok = toks[2]
             vec_tok = toks[3]
         except (IndexError, ValueError):
@@ -438,15 +456,24 @@ class FilterParser:
         j = 4
         while j < len(toks):
             kw = toks[j].upper()
+            if kw not in ("EF_RUNTIME", "AS"):
+                raise QuerySyntaxError(f"unknown KNN option {toks[j]!r}")
+            if j + 1 >= len(toks):
+                raise QuerySyntaxError(
+                    f"KNN option {toks[j]!r} missing its value")
             if kw == "EF_RUNTIME":
                 raw = toks[j + 1]
-                ef = int(self._param(raw[1:])) if raw.startswith("$") else int(raw)
-                j += 2
-            elif kw == "AS":
-                score_name = toks[j + 1]
+                try:
+                    ef = (int(self._param_str(raw[1:]))
+                          if raw.startswith("$") else int(raw))
+                except ValueError:
+                    raise QuerySyntaxError(
+                        f"EF_RUNTIME must be an integer, got {raw!r}"
+                    ) from None
                 j += 2
             else:
-                raise QuerySyntaxError(f"unknown KNN option {toks[j]!r}")
+                score_name = toks[j + 1]
+                j += 2
         return KnnClause(k=k, attr=attr_tok[1:], vector=vec, ef_runtime=ef,
                          score_name=score_name)
 
