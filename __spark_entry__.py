@@ -806,58 +806,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["temporal_asof"] = q_temporal_asof
 
-    def q_events_ops(spark, sf_dir):
-        # round-8 slot consolidation: the sessionize row and both
-        # resample legs (zero-fill / forward-fill hourly grid) share one
-        # discriminated-union row normalized to (k, b, v, form) — each
-        # form keeps its own hash-checked leg; the freed slot holds the
-        # new profile_quantiles row
-        from valkey_search_spark.operators.diff import resample
-        from valkey_search_spark.operators.events import sessionize
+    # (events_ops — sessionize + both resample fills — and
+    # profile_quantiles rotated OUT to bench-only in r11 after 3 green
+    # rounds each; their timing rows stay in bench_extra as
+    # events_session_funnel / events_resample / profile_tdigest and
+    # their oracles in tests/test_events.py + tests/test_quantiles.py.
+    # The freed slots fund events_retention and sketch_heavy_hitters.)
+
+    def q_events_retention(spark, sf_dir):
+        # cohort retention (events.py retention_cohorts): users bucket
+        # by their FIRST event's week; per-offset distinct-user counts
+        # divide by the cohort's offset-0 size. The oracle replays the
+        # two date_trunc aggregations + the offset division in SQL
+        # (same CTE shape as tests/test_events.py); WEEK truncation is
+        # ISO-Monday on both engines and the session tz is UTC, so
+        # epochs compare exactly.
+        from valkey_search_spark.operators.events import retention_cohorts
 
         ev = load_table(spark, sf_dir, "events")
-        sess = sessionize(ev, gap="30 minutes")
-        parts = [sess.select(
-            F.col("event_id").cast("string").alias("k"),
-            F.col("session_seq").cast("long").alias("b"),
-            _r(F.element_at(F.split("session_id", "/"), 2)
-               .cast("double"), 0).alias("v"),
-            F.lit("session").alias("form"))]
-        for form in ("zero", "ffill"):
-            out = resample(ev, every=3600, agg={"value": "sum"},
-                           key="user_id", fill=form)
-            parts.append(out.select(
-                F.col("user_id").cast("string").alias("k"),
-                F.col("bucket").cast("long").alias("b"),
-                _r(F.col("sum_value"), 2).alias("v"),
-                F.lit(form).alias("form")))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+        out = retention_cohorts(ev, period="week")
+        return out.select(
+            F.unix_timestamp(F.col("cohort").cast("timestamp"))
+             .alias("cohort"),
+            F.col("offset").cast("int").alias("offset"),
+            F.col("n_users").cast("long").alias("n_users"),
+            _r(F.col("retention"), 6).alias("retention"))
 
-    q["events_ops"] = q_events_ops
+    q["events_retention"] = q_events_retention
 
-    def q_profile_quantiles(spark, sf_dir):
-        # t-digest distribution profile in the EXACT regime: per-lang
-        # doc-length percentiles; compression=4096 keeps every sf<=0.1
-        # lang group all-singleton, so the estimator IS percentile_cont
-        # and the oracle is DuckDB quantile_cont value-for-value
-        from valkey_search_spark.operators.quantiles import (
-            tdigest_quantiles, tdigest_sketch,
-        )
+    def q_sketch_heavy_hitters(spark, sf_dir):
+        # Misra-Gries top-k corpus tokens pinned in its EXACT regime:
+        # summary_size far above the soup vocabulary means zero
+        # decrements, so count_lb == count_ub == the exact count and
+        # the row is a plain GROUP BY count oracle (the
+        # pressure-regime bounds stay pytest-pinned in
+        # tests/test_heavy_hitters.py; the bench keeps the bounded
+        # summary_size=1024 shape as sketch_heavy_hitters).
+        from valkey_search_spark.operators.sketches import heavy_hitters
 
         docs = load_table(spark, sf_dir, "documents")
-        sk = tdigest_sketch(docs, "n_chars", group_col="lang",
-                            compression=4096)
-        out = tdigest_quantiles(
-            sk, {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p99": 0.99})
-        return out.select(
-            "lang", F.col("count").alias("cnt"),
-            *[_r(F.col(c), 6).alias(c)
-              for c in ("p25", "p50", "p75", "p99")])
+        toks = docs.select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+        out = heavy_hitters(toks, "tok", k=25, summary_size=100_000,
+                            exact_recount=True)
+        return out.select("item", "count_lb", "count_ub", "count")
 
-    q["profile_quantiles"] = q_profile_quantiles
+    q["sketch_heavy_hitters"] = q_sketch_heavy_hitters
 
     def q_graph_pagerank(spark, sf_dir):
         # power-iteration PageRank on a deterministic synthetic link
@@ -1073,41 +1067,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # urlops shape keeps its bench_extra timing row "hygiene_url_dedup"
     # and the DuckDB-pinned pytest oracle in tests/test_urlops.py)
     #
-    # r11 rotation queue (long-tail rows with clean oracle paths, in
-    # descending value): tokenizer_unigram (Viterbi replayable as the
-    # BPE/wordpiece invariant contract), sketch_heavy_hitters (exact
-    # regime when summary_size >= distinct tokens => plain GROUP BY
-    # count oracle), hygiene_robots_gate (rule verdicts replay as SQL
-    # CASE over the planted host rules), hygiene_span_dedup (gram
-    # frequency + interval SQL, see _scalar_span_dedup). NOT eligible:
-    # dsir_select (DuckDB 1.0 lacks crc32 — scores not SQL-replayable),
+    # r12 rotation queue (long-tail rows with clean oracle paths, in
+    # descending value — sketch_heavy_hitters, hygiene_span_dedup and
+    # events_retention landed in r11): tokenizer_unigram (Viterbi
+    # replayable as the BPE/wordpiece invariant contract),
+    # hygiene_robots_gate (rule verdicts replay as SQL CASE over the
+    # planted host rules), hygiene_clean_text (unicode normalization
+    # replayable with DuckDB string ops), temporal_scd2 (interval
+    # parity vs asof is a SQL join). NOT eligible: dsir_select (DuckDB
+    # 1.0 lacks crc32 — scores not SQL-replayable),
     # hygiene_quality_model (trained LR weights are data-derived).
 
-    def q_c4_lines(spark, sf_dir):
-        # C4 line filters over synthesized lines (word soup wrapped
-        # every 9 tokens, terminal '.' on 2/3 of lines): one map-only
-        # codegen scan; the oracle replicates line synthesis + the
-        # min-words/terminal-punctuation rules in SQL (the soup
-        # vocabulary contains no blocklist phrase, checked in-test).
-        from valkey_search_spark.operators.c4 import c4_line_flags
+    # (hygiene_c4_lines rotated OUT to bench-only in r11 after 4 green
+    # rounds — the line-filter shape keeps its bench_extra timing row
+    # and its oracle in tests/test_c4.py; the freed slot funds the
+    # span-dedup row below.)
 
-        docs = load_table(spark, sf_dir, "documents")
-        staged = docs.withColumn("__toks", F.split(F.col("text"), " "))
-        toks = F.col("__toks")
-        lined = staged.select("doc_id", F.array_join(F.transform(
-            F.sequence(F.lit(0), ((F.size(toks) - 1) / 9).cast("int")),
-            lambda i: F.concat(
-                F.array_join(F.slice(toks, i * 9 + 1, 9), " "),
-                F.when(i % 3 != 2, F.lit(".")).otherwise(F.lit("")))),
-            "\n").alias("text"))
-        out = c4_line_flags(lined)
-        return out.select("doc_id",
-                          F.col("c4_lines_kept").cast("long").alias("kept"),
-                          F.col("c4_lines_total").cast("long").alias("total"),
-                          "c4_keep_page",
-                          F.length("text_c4").cast("long").alias("clen"))
+    def q_span_dedup(spark, sf_dir):
+        # Lee-et-al exact-substring span dedup at 4-gram granularity
+        # (contamination.py exact_substring_dedup): any 4-gram shared
+        # by >= 2 distinct docs marks its window, overlapping windows
+        # merge, the min-key holder keeps its copy, spans are cut out.
+        # The oracle replays gram doc-frequency + keeper + interval
+        # merge + token rebuild as SQL (the scalar reference in
+        # tests/test_contamination.py::_scalar_span_dedup, expressed as
+        # CTEs; COALESCE('') because DuckDB's array_to_string of an
+        # empty list is NULL where Spark's array_join is '').
+        from valkey_search_spark.operators.contamination import (
+            exact_substring_dedup,
+        )
 
-    q["hygiene_c4_lines"] = q_c4_lines
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text")
+        out = exact_substring_dedup(docs, n=4, min_doc_freq=2)
+        return out.select(
+            "doc_id", "text_deduped",
+            F.col("tokens_kept").cast("long").alias("tokens_kept"),
+            F.col("tokens_dropped").cast("long").alias("tokens_dropped"),
+            F.col("spans_dropped").cast("long").alias("spans_dropped"))
+
+    q["hygiene_span_dedup"] = q_span_dedup
 
     def q_decontaminate(spark, sf_dir):
         # 13-gram benchmark decontamination (the standard train/test
@@ -1520,15 +1519,21 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def b_gopher_rep(spark, sf_dir):
         # the COMPLETE Gopher repetition table (top-2/3/4 + dup-5..10
-        # char fractions + line/para signals, 13 thresholded flags) as
-        # one map-only codegen scan; scalar- and DuckDB-pinned in
-        # tests/test_repetition_full.py
+        # char fractions + line/para signals, 13 thresholded flags) in
+        # one map-only pass. engine="arrow": the r10 verdict's profile
+        # showed the 6 s steady state was interpreted Catalyst HOF
+        # evaluation (transform/aggregate lambdas run outside codegen,
+        # x9 gram arrays per row), not compile; the Arrow kernel
+        # computes the same signals bit-identically (parity pinned in
+        # tests/test_repetition_full.py) at ~2.5-4x — the JVM engine
+        # stays the default for scans that compose this with other
+        # quality signals.
         from valkey_search_spark.operators.contamination import (
             gopher_repetition_flags,
         )
 
         docs = load_table(spark, sf_dir, "documents")
-        out = gopher_repetition_flags(docs)
+        out = gopher_repetition_flags(docs, engine="arrow")
         return out.groupBy("rep_pass").agg(
             F.count(F.lit(1)).alias("n"),
             *[F.count_if(F.col(c)).alias(c)
@@ -2661,48 +2666,30 @@ def oracle_sql() -> dict[str, str]:
                 expr="CASE WHEN r.ts >= l.ts - INTERVAL 30 MINUTE"
                      " THEN CAST(epoch(r.ts) AS DOUBLE) END"),
             _diff_leg)))
-    o["events_ops"] = (
-        "WITH lagd AS ("
-        "  SELECT event_id, user_id, ts,"
-        "    epoch(ts) - epoch(lag(ts) OVER"
-        "      (PARTITION BY user_id ORDER BY ts, event_id)) AS d"
-        "  FROM events),"
-        " seq AS ("
-        "  SELECT event_id, user_id, ts,"
-        "    sum(CASE WHEN d IS NULL OR d > 1800 THEN 1 ELSE 0 END)"
-        "      OVER (PARTITION BY user_id ORDER BY ts, event_id"
-        "            ROWS UNBOUNDED PRECEDING) AS session_seq"
-        "  FROM lagd),"
-        " g AS (SELECT user_id,"
-        "   CAST(floor(epoch(ts)/3600) AS BIGINT) AS b,"
-        "   ROUND(sum(value), 2) + 0.0 AS sv"
-        "  FROM events GROUP BY 1, 2),"
-        " span AS (SELECT user_id, min(b) AS lo, max(b) AS hi FROM g"
-        "          GROUP BY 1),"
-        " grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS bucket"
-        "          FROM span),"
-        " j AS (SELECT grid.user_id, grid.bucket, g.sv FROM grid"
-        "       LEFT JOIN g ON g.user_id = grid.user_id"
-        "        AND g.b = grid.bucket)"
-        " SELECT CAST(event_id AS VARCHAR) AS k,"
-        "  CAST(session_seq AS BIGINT) AS b,"
-        "  ROUND(min(epoch(ts)) OVER"
-        "    (PARTITION BY user_id, session_seq), 0) + 0.0 AS v,"
-        "  'session' AS form FROM seq"
-        " UNION ALL SELECT CAST(user_id AS VARCHAR), bucket,"
-        "  COALESCE(sv, 0.0), 'zero' FROM j"
-        " UNION ALL SELECT CAST(user_id AS VARCHAR), bucket,"
-        "  last_value(sv IGNORE NULLS) OVER (PARTITION BY user_id"
-        "   ORDER BY bucket ROWS UNBOUNDED PRECEDING), 'ffill' FROM j")
-    # count(n_chars), not count(*): the digest counts the NON-NULL
-    # population, so the oracle must pin the same one
-    o["profile_quantiles"] = (
-        "SELECT lang, count(n_chars) AS cnt,"
-        " ROUND(quantile_cont(n_chars, 0.25), 6) + 0.0 AS p25,"
-        " ROUND(quantile_cont(n_chars, 0.50), 6) + 0.0 AS p50,"
-        " ROUND(quantile_cont(n_chars, 0.75), 6) + 0.0 AS p75,"
-        " ROUND(quantile_cont(n_chars, 0.99), 6) + 0.0 AS p99"
-        " FROM documents GROUP BY lang")
+    # cohort retention: two date_trunc aggregations + per-cohort
+    # offset-0 division (tests/test_events.py CTE shape); '/' in DuckDB
+    # is float division like Spark's
+    o["events_retention"] = (
+        "WITH first AS (SELECT user_id, date_trunc('week', min(ts)) c"
+        "   FROM events GROUP BY user_id),"
+        " act AS (SELECT DISTINCT user_id, date_trunc('week', ts) p"
+        "   FROM events),"
+        " grid AS (SELECT c,"
+        "   CAST(round((epoch(p) - epoch(c)) / (86400 * 7.0)) AS INT) o,"
+        "   count(DISTINCT user_id) n FROM act JOIN first USING (user_id)"
+        "   WHERE p >= c GROUP BY 1, 2)"
+        " SELECT CAST(epoch(c) AS BIGINT) AS cohort, o AS offset,"
+        "  n AS n_users,"
+        "  ROUND(n / (max(CASE WHEN o = 0 THEN n END)"
+        "   OVER (PARTITION BY c)), 6) + 0.0 AS retention FROM grid")
+    # exact-regime Misra-Gries == plain GROUP BY count; the (count
+    # DESC, item ASC) tiebreak makes the top-25 cut deterministic on
+    # both engines
+    o["sketch_heavy_hitters"] = (
+        "SELECT w AS item, count(*) AS count_lb, count(*) AS count_ub,"
+        " count(*) AS count FROM (SELECT unnest(string_split("
+        "  lower(text), ' ')) w FROM documents)"
+        " GROUP BY w ORDER BY count DESC, w ASC LIMIT 25")
     # 3 power iterations replayed as chained CTEs; same recurrence as
     # operators/graph.pagerank: r' = (1-d)/M + d*(in-contrib + dangling/M)
     _pr_iter = (
@@ -2997,20 +2984,41 @@ def oracle_sql() -> dict[str, str]:
         "   + 0.0 AS cab,"
         "  ROUND(CASE WHEN db > 0 THEN (j * u) / db ELSE 0 END, 6)"
         "   + 0.0 AS cba FROM f")
-    # line synthesis (9-token wrap, '.' on i%3!=2) + the C4 line rules
-    # (>=5 words AND terminal punctuation; the soup vocabulary holds no
-    # blocklist phrase, no '{', no 'lorem ipsum')
-    o["hygiene_c4_lines"] = (
-        "WITH t AS (SELECT doc_id, string_split(text,' ') tk FROM documents),"
-        " l AS (SELECT doc_id, list_transform("
-        "   range(0, CAST(floor((len(tk)-1)/9) AS BIGINT) + 1),"
-        "   i -> array_to_string(list_slice(tk, i*9+1, i*9+9), ' ')"
-        "        || CASE WHEN i % 3 <> 2 THEN '.' ELSE '' END) ls FROM t),"
-        " k AS (SELECT doc_id, ls, list_filter(ls,"
-        "   x -> len(string_split(x, ' ')) >= 5 AND x LIKE '%.') ks FROM l)"
-        " SELECT doc_id, len(ks) AS kept, len(ls) AS total,"
-        " len(ks) >= 3 AS c4_keep_page,"
-        " length(array_to_string(ks, chr(10))) AS clen FROM k")
+    # span dedup: gram doc-frequency + min-key keeper + same-length
+    # interval merge (all windows are n=4 tokens, so after sorting the
+    # running end is always prev_start + 4 and a new span opens iff
+    # i - lag(i) > 4) + positional token rebuild. COALESCE('') because
+    # DuckDB's array_to_string of an empty list is NULL.
+    o["hygiene_span_dedup"] = (
+        "WITH doc AS (SELECT doc_id, string_split(text, ' ') ts"
+        "   FROM documents),"
+        " w AS (SELECT doc_id, CAST(i AS INT) i,"
+        "   array_to_string(ts[i+1:i+4], ' ') g"
+        "   FROM doc, LATERAL unnest(range(0, len(ts) - 3)) u(i)),"
+        " dup AS (SELECT g, min(doc_id) keeper FROM w GROUP BY g"
+        "   HAVING count(DISTINCT doc_id) >= 2),"
+        " m2 AS (SELECT DISTINCT w.doc_id, w.i FROM w JOIN dup USING (g)"
+        "   WHERE w.doc_id <> dup.keeper),"
+        " sp AS (SELECT doc_id, i,"
+        "   lag(i) OVER (PARTITION BY doc_id ORDER BY i) pi FROM m2),"
+        " spans AS (SELECT doc_id, CAST(sum(CASE WHEN pi IS NULL"
+        "   OR i - pi > 4 THEN 1 ELSE 0 END) AS BIGINT) s"
+        "   FROM sp GROUP BY doc_id),"
+        " cov AS (SELECT DISTINCT doc_id, i + d AS p FROM m2,"
+        "   LATERAL unnest(range(0, 4)) v(d)),"
+        " covl AS (SELECT doc_id, list(p) ps FROM cov GROUP BY doc_id),"
+        " reb AS (SELECT d.doc_id, d.ts, c.ps FROM doc d"
+        "   LEFT JOIN covl c USING (doc_id)),"
+        " fin AS (SELECT doc_id, len(ts) nt, CASE WHEN ps IS NULL"
+        "   THEN ts ELSE list_transform(list_filter(range(0, len(ts)),"
+        "     i -> NOT list_contains(ps, i)), i -> ts[i+1]) END kt"
+        "   FROM reb)"
+        " SELECT f.doc_id,"
+        "  COALESCE(array_to_string(kt, ' '), '') AS text_deduped,"
+        "  CAST(len(kt) AS BIGINT) AS tokens_kept,"
+        "  CAST(nt - len(kt) AS BIGINT) AS tokens_dropped,"
+        "  COALESCE(s.s, 0) AS spans_dropped"
+        " FROM fin f LEFT JOIN spans s USING (doc_id)")
     # 4 planted lines per doc (8-token slices + shared footer); a line
     # in >= 2 distinct docs is boilerplate, blank lines never count
     # 13-gram decontamination: both gram sets from string_split (the

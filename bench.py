@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "mine_bitext",
     "tokenizer_wordpiece",
     "events_resample",
+    "events_retention",
     "hygiene_url_dedup",
     "graph_pagerank",
     "ingest_warc_extract",
@@ -144,9 +145,14 @@ def main():
     # passes repeat until the total stabilizes within 5% (cap 5).
     # Per-row FIRST-PASS times ride along on warm pass 1 (round-9
     # verdict item 3): first_pass - min_warm isolates one-time plan
-    # compile (Janino) + artifact builds from steady-state execution,
-    # so expression-heavy rows (gopher_repetition is ~67% compile) stop
-    # reading as cross-round perf regressions. Lives in bench_details
+    # compile (Janino) + artifact builds from steady-state execution.
+    # (The r10 compile split DISPROVED the old "gopher_repetition is
+    # ~67% compile" claim: compile_sec was 0.125 of 6.17 s. The r11
+    # profile pinned the steady state to interpreted Catalyst
+    # higher-order functions — transform/aggregate lambdas run outside
+    # whole-stage codegen, and the row builds nine gram arrays per
+    # document; the row now runs the bit-identical Arrow kernel,
+    # engine="arrow", measured ~2.5-4x faster.) Lives in bench_details
     # only — the stdout line stays machine-comparable and small.
     first_pass: dict[str, float] = {}
     warm_totals = []

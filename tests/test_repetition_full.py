@@ -170,3 +170,53 @@ def test_default_output_backward_compatible(spark):
     assert cols == {"dup_line_frac", "dup_para_frac",
                     "dup_line_char_frac", "dup_para_char_frac",
                     "top_2gram_char_frac"}
+
+
+def test_arrow_engine_bit_identical(spark, sf_dir):
+    """engine="arrow" (one Arrow kernel pass) must produce EXACTLY the
+    JVM expression engine's signals — same rounding (HALF_UP via
+    BigDecimal's shortest-repr path), same trim semantics (space chars
+    only), same null/empty gating — over the real corpus plus
+    adversarial rows (unicode case folds, tabs, blank-para runs)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    extra = spark.createDataFrame(
+        [(90001, "a b a b a b a b a b a b a b a b"),
+         (90002, "x\n\nx\n\nx\n  \nyy zz"),
+         (90003, None),
+         (90004, ""),
+         (90005, "one two"),
+         (90006, "CAFÉ Café café ß ẞ straße STRASSE " * 5),
+         (90007, "tab\there spaces   multiple\nline1\nline1\n \nline1")],
+        "doc_id long, text string")
+    base = docs.unionByName(extra)
+    j = gopher_repetition_flags(base, engine="jvm")
+    a = gopher_repetition_flags(base, engine="arrow")
+    assert j.columns == a.columns
+    cols = [c for c in j.columns if c != "text"]
+    ja = {r["doc_id"]: tuple(r[c] for c in cols) for r in j.collect()}
+    aa = {r["doc_id"]: tuple(r[c] for c in cols) for r in a.collect()}
+    assert ja == aa
+
+
+def test_arrow_engine_tokens_col_and_errors(spark):
+    docs = spark.createDataFrame(
+        [(1, "w w w w w q"), (2, "a b c d e f")],
+        "doc_id long, text string")
+    from valkey_search_spark.operators.contamination import (
+        repetition_stats,
+    )
+    from valkey_search_spark.functions.analysis import raw_tokens_column
+
+    staged = docs.withColumn("tk", raw_tokens_column(F.col("text")))
+    j = repetition_stats(staged, tokens_col="tk", top_ns=(2,),
+                         dup_ns=(3,), engine="jvm")
+    a = repetition_stats(staged, tokens_col="tk", top_ns=(2,),
+                         dup_ns=(3,), engine="arrow")
+    cols = [c for c in j.columns if c not in ("text", "tk")]
+    assert sorted(map(tuple, j.select(*cols).collect())) == \
+        sorted(map(tuple, a.select(*cols).collect()))
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown engine"):
+        repetition_stats(docs, engine="duck")
