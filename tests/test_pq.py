@@ -193,3 +193,30 @@ def test_pq_recall_on_clusterable_data(spark, tmp_path):
     d_exact = np.linalg.norm(qnp - vec[exact.collect()[0]["vec_id"]])
     d_approx = np.linalg.norm(qnp - vec[approx.collect()[0]["vec_id"]])
     assert d_approx <= 2.0 * d_exact
+
+
+def test_pq_codebook_json_stamped():
+    """r11 artifact stamping: to_json carries pq-codebook-v1;
+    from_json accepts the untagged pre-r11 form (embedded in r10 IVF
+    metas) and fails a foreign tag with a versioned error."""
+    import json
+
+    import numpy as np
+    import pytest
+
+    from valkey_search_spark.artifact import ArtifactFormatError
+    from valkey_search_spark.functions.pq import PQCodebook
+
+    cents = np.zeros((2, 4, 2), dtype=np.float32)
+    cb = PQCodebook(cents)
+    d = json.loads(cb.to_json())
+    assert d["format"] == "pq-codebook-v1"
+    back = PQCodebook.from_json(cb.to_json())
+    assert back.centroids.shape == cents.shape
+    # legacy untagged form still loads
+    del d["format"]
+    assert PQCodebook.from_json(json.dumps(d)).centroids.shape == \
+        cents.shape
+    d["format"] = "pq-codebook-v9"
+    with pytest.raises(ArtifactFormatError, match="v9"):
+        PQCodebook.from_json(json.dumps(d))

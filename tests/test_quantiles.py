@@ -402,3 +402,43 @@ def test_trim_invariant_to_partitioning(spark, sf_dir):
            .select("doc_id").collect()}
     # exact regime: the digest (and so the cut) is layout-independent
     assert got == base
+
+
+def test_tdigest_save_load_stamped(spark, tmp_path):
+    """r11 artifact stamping: tdigest_save writes sketch parquet +
+    versioned meta BESIDE it; tdigest_load round-trips, accepts the
+    legacy bare-parquet layout (checked-in v1 fixture), and fails a
+    foreign tag with a versioned error."""
+    import json
+    import os
+
+    import pytest
+
+    from valkey_search_spark.artifact import ArtifactFormatError
+    from valkey_search_spark.operators.quantiles import (
+        tdigest_load, tdigest_quantiles, tdigest_save, tdigest_sketch,
+    )
+
+    df = spark.createDataFrame([(float(i), "g") for i in range(10)],
+                               "v double, lang string")
+    sk = tdigest_sketch(df, "v", group_col="lang", compression=64)
+    path = str(tmp_path / "td")
+    tdigest_save(sk, path)
+    meta = json.load(open(os.path.join(path, "_tdigest_meta.json")))
+    assert meta["format"] == "tdigest-sketch-v1"
+    assert meta["group_cols"] == ["lang"]
+    back = tdigest_load(spark, path)
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, sk.collect()))
+    q = tdigest_quantiles(back, {"p50": 0.5}).collect()[0]
+    assert q["p50"] == 4.5
+    # legacy bare-parquet layout (the pre-stamp persistence convention)
+    legacy = os.path.join(os.path.dirname(__file__), "data",
+                          "artifacts_v1", "tdigest")
+    lg = tdigest_load(spark, legacy)
+    assert lg.collect()[0]["count"] == 12
+    # foreign tag fails versioned
+    meta["format"] = "tdigest-sketch-v9"
+    json.dump(meta, open(os.path.join(path, "_tdigest_meta.json"), "w"))
+    with pytest.raises(ArtifactFormatError, match="v9"):
+        tdigest_load(spark, path)

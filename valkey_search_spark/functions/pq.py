@@ -175,14 +175,23 @@ class PQCodebook:
 
     # -- persistence ----------------------------------------------------
     def to_json(self) -> str:
+        # format-stamped like every persisted model artifact
+        # (artifact.check_format); pre-r11 IVF metas embed the untagged
+        # form, which from_json still accepts as the identical legacy
+        # layout
         return json.dumps({
+            "format": "pq-codebook-v1",
             "centroids": self.centroids.tolist(),
             "rotation": (None if self.rotation is None
                          else self.rotation.tolist())})
 
     @classmethod
     def from_json(cls, s: str) -> "PQCodebook":
+        from ..artifact import check_format
+
         d = json.loads(s)
+        check_format(d, "pq-codebook-v1", "<pq-codebook json>",
+                     allow_missing=True)
         rot = d.get("rotation")
         return cls(np.asarray(d["centroids"], dtype=np.float32),
                    rotation=(None if rot is None

@@ -360,6 +360,46 @@ def _reduce_sketches(partial_df: DataFrame, gcols: list[str],
     return partial_df.groupBy(*gcols).applyInPandas(merge, schema=schema)
 
 
+def tdigest_save(sketch_df: DataFrame, path: str) -> None:
+    """Persist a sketch frame with a format stamp: the centroid rows
+    land as parquet under ``<path>/sketch`` and a
+    ``<path>/_tdigest_meta.json`` carries ``tdigest-sketch-v1`` plus
+    the group-column names — the same versioned-load contract as the
+    HNSW/IVF/tokenizer artifacts (reference analogue:
+    src/rdb_serialization.cc chunk version tags). The meta lives
+    BESIDE the parquet directory, never inside it (a stray JSON file
+    inside a parquet dir poisons later reads of that dir)."""
+    import json
+    import os
+
+    fixed = {"count", "vmin", "vmax", "means", "weights", "compression"}
+    gcols = [c for c in sketch_df.columns if c not in fixed]
+    sketch_df.write.mode("overwrite").parquet(os.path.join(path, "sketch"))
+    with open(os.path.join(path, "_tdigest_meta.json"), "w") as f:
+        json.dump({"format": "tdigest-sketch-v1", "group_cols": gcols}, f)
+
+
+def tdigest_load(spark, path: str) -> DataFrame:
+    """Load a sketch persisted by ``tdigest_save``; a bare parquet
+    directory (the pre-stamp layout — sketches always persisted as
+    plain parquet) still loads as the legacy form, and a FOREIGN
+    format tag fails with a versioned error instead of deserializing
+    garbage."""
+    import json
+    import os
+
+    from ..artifact import check_format
+
+    meta_path = os.path.join(path, "_tdigest_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        check_format(meta, "tdigest-sketch-v1", path, allow_missing=False)
+        return spark.read.parquet(os.path.join(path, "sketch"))
+    # legacy: the sketch frame written directly as parquet
+    return spark.read.parquet(path)
+
+
 def tdigest_merge_frames(a: DataFrame, b: DataFrame,
                          group_col: str | None = None) -> DataFrame:
     """Fold two sketch frames (same schema, same compression) into one —
