@@ -263,3 +263,40 @@ def test_dispatcher_equivalence_fuzz(spark, part):
                         got, want = list(map(tuple, got)), \
                             list(map(tuple, want))
                     assert got == want, (query, sortby, desc, off, num)
+
+
+def test_repl_table_glob_and_multipath(spark, tmp_path):
+    """--table PATH accepts globs / directories / comma-separated
+    lists (README REPL section): a glob over two parquet directories
+    scans their union as one frame."""
+    import io
+
+    from valkey_search_spark.__main__ import main
+
+    a = spark.createDataFrame(
+        [(1, '{"title": "cold widget", "price": 7}')],
+        "doc_id long, props string")
+    b = spark.createDataFrame(
+        [(2, '{"title": "large bolt", "price": 9}')],
+        "doc_id long, props string")
+    a.write.parquet(str(tmp_path / "2024-01.parquet"))
+    b.write.parquet(str(tmp_path / "2024-02.parquet"))
+    script = "\n".join([
+        "FT.CREATE docs ON JSON SCHEMA $.title AS title TEXT"
+        " $.price AS price NUMERIC",
+        "FT.SEARCH docs * LIMIT 0 0",
+        'FT.SEARCH docs "@title:widget @price:[5 8]" LIMIT 0 3',
+        "QUIT",
+    ]) + "\n"
+    for spec in (f"docs={tmp_path}/2024-*.parquet",
+                 f"docs={tmp_path}/2024-01.parquet,"
+                 f"{tmp_path}/2024-02.parquet"):
+        out = io.StringIO()
+        rc = main(["--table", spec, "--key", "doc_id",
+                   "--json-column", "props"],
+                  stdin=io.StringIO(script), stdout=out)
+        assert rc == 0
+        lines = [ln for ln in out.getvalue().splitlines() if ln.strip()]
+        assert lines[0] == "'OK'"
+        assert lines[1] == "2"          # both directories scanned
+        assert lines[2] == "1" and "cold widget" in lines[-1]

@@ -86,6 +86,30 @@ def replicate_vecs(emb, r: int):
         "label")
 
 
+def replicate_vecs_spread(emb, r: int):
+    """Unique vectors with REAL spread for the recall-gate leg: the
+    1e-3 replica clouds above are the HONEST stress case for dedup-ish
+    workloads but DEGENERATE for graph recall (near-coincident points
+    starve the neighbor-diversity heuristic — that is what capped the
+    r10 ef=64 measurement at 0.917, a corpus property, not an index
+    bug). Here each replica adds a deterministic per-(replica, dim)
+    offset 0.35*sin((r+1)*(dim+1.3)) — pseudo-random in [-0.35, 0.35],
+    expected inter-replica L2 ~2 on the 64-dim unit-ish base, the same
+    order as the base corpus's own spread — so brute-force truth is
+    well-defined AND the graph sees a realistic point distribution."""
+    rep = emb.select(
+        "vec_id", "embedding", "label",
+        F.explode(F.sequence(F.lit(0), F.lit(r - 1))).alias("r"))
+    return rep.select(
+        (F.col("vec_id") * r + F.col("r")).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x + F.lit(0.35) * F.sin(
+                (F.col("r") + 1).cast("double")
+                * (i.cast("double") + F.lit(1.3)))).alias("embedding"),
+        "label")
+
+
 def main():
     r_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     r_vecs = int(sys.argv[2]) if len(sys.argv) > 2 else 200
@@ -176,6 +200,62 @@ def main():
           f"full-probe {t_full}s recall {frec:.3f}; "
           f"pins {plan_pins(hj)}", flush=True)
 
+    gate_leg(spark, r_vecs)
+
+
+def gate_leg(spark, r_vecs: int):
+    """The bench's pass/fail recall tier (clustered_routed_r2: kmeans
+    partitioner, route_segments=2, ef=48, recall@10 >= 0.95) at 400k
+    vectors — r10 verdict item 3. Corpus: spread replicas (see
+    ``replicate_vecs_spread``) + the SAME label shift the bench
+    injects (+25.0 on dim label%64), so kmeans has genuine cluster
+    structure and brute-force truth is non-degenerate. Build params
+    match the bench tier (m=8, ef_construction=60); segment size
+    scales with the corpus (8192 rows — the tier gates ROUTING
+    recall, not segment granularity). Asserts the gate threshold:
+    a regression here fails the leg, same semantics as bench.py's
+    recall_gate."""
+    from valkey_search_spark.operators.ann import batch_recall, knn_join
+    from valkey_search_spark.operators.hnsw import HNSWIndex, knn_join_hnsw
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = "/tmp/scale100_vecs_gate.parquet"
+    (replicate_vecs_spread(emb, r_vecs)
+     .select(F.col("vec_id").alias("cid"),
+             F.transform(
+                 F.col("embedding"),
+                 lambda x, i: F.when(i == F.col("label") % 64,
+                                     x + F.lit(25.0)).otherwise(x))
+             .cast("array<float>").alias("embedding"))
+     .write.mode("overwrite").parquet(path))
+    cl = spark.read.parquet(path)
+    nvec = cl.count()
+    qcl = (cl.where(F.col("cid") % r_vecs == 0).limit(500)
+           .select(F.col("cid").alias("qid"), "embedding"))
+    _, t_build = timed(lambda: HNSWIndex.build(
+        cl, path="/tmp/scale100_hnsw_gate", vec_col="embedding",
+        key_col="cid", metric="l2", m=8, ef_construction=60,
+        max_segment_rows=8192, partitioner="kmeans",
+        sample_fraction=min(1.0, 60_000 / nvec)))
+    gidx = HNSWIndex.load(spark, "/tmp/scale100_hnsw_gate")
+    exact = knn_join(qcl, cl, k=10, metric="l2",
+                     max_broadcast_bytes=None)
+    _, t_exact = timed(exact.count)
+    routed = knn_join_hnsw(qcl, gidx, k=10, ef=48, route_segments=2)
+    _, t_routed = timed(routed.count)
+    grec = batch_recall(routed, exact, corpus_key="cid")
+    print(f"GATE clustered_routed_r2 @ {nvec}: build {t_build}s "
+          f"({gidx.n_segments} segs, {len(gidx.seg_map or {})} "
+          f"clusters), brute {t_exact}s, routed(2) ef=48 {t_routed}s, "
+          f"recall@10 {grec:.3f} -> "
+          f"{'pass' if grec >= 0.95 else 'FAIL'}", flush=True)
+    assert grec >= 0.95, f"gate tier recall {grec:.3f} < 0.95 at {nvec}"
+
 
 if __name__ == "__main__":
-    main()
+    if "gate" in sys.argv[1:]:
+        spark = get_spark("scale100")
+        spark.sparkContext.setLogLevel("ERROR")
+        gate_leg(spark, int(sys.argv[1]) if sys.argv[1].isdigit() else 200)
+    else:
+        main()

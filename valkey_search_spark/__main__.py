@@ -41,7 +41,10 @@ def main(argv: list[str] | None = None,
     ap.add_argument("--table", action="append", default=[],
                     metavar="NAME=PATH", required=True,
                     help="parquet table an FT.CREATE of that index "
-                         "name will index (repeatable)")
+                         "name will index (repeatable). PATH may be a "
+                         "single file, a directory of parquet parts, "
+                         "a glob (data/2024-*.parquet), or a "
+                         "comma-separated list of any of those")
     ap.add_argument("--key", default=None,
                     help="document key column (default: synthesized)")
     ap.add_argument("--json-column", default="json",
@@ -75,7 +78,10 @@ def main(argv: list[str] | None = None,
             raise SearchError(
                 f"no --table mapping for index {index_name!r} "
                 f"(known: {sorted(tables)})")
-        return spark.read.parquet(path)
+        # spark.read.parquet natively resolves directories and globs;
+        # a comma-separated spec fans out to a multi-path union scan
+        # (one DataFrame, partition-pruned like any parquet read)
+        return spark.read.parquet(*path.split(","))
 
     disp = CommandDispatcher(SearchEngine(spark), source,
                              json_column=args.json_column,
