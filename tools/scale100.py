@@ -201,6 +201,51 @@ def main():
           f"pins {plan_pins(hj)}", flush=True)
 
     gate_leg(spark, r_vecs)
+    span_leg(spark, min(100, max(2, r_vecs // 2)))
+
+
+def span_leg(spark, r: int):
+    """exact_substring_dedup at scale (new r11 driver row): the
+    word-suffix replication scheme shares ZERO grams across replica
+    ids, so the true duplicated-span structure of the Rx corpus is
+    exactly R disjoint copies of the base corpus's — an EXACT
+    correctness pin at scale (total tokens_dropped and spans_dropped
+    must be exactly R times the base totals), alongside the usual
+    wall-time exponent and plan-shape pins."""
+    from valkey_search_spark.operators.contamination import (
+        exact_substring_dedup,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text")
+    base_path = "/tmp/scale100_span_base.parquet"
+    big_path = "/tmp/scale100_span_big.parquet"
+    replicate_docs(docs, 1).write.mode("overwrite").parquet(base_path)
+    replicate_docs(docs, r).write.mode("overwrite").parquet(big_path)
+    d1 = spark.read.parquet(base_path)
+    dR = spark.read.parquet(big_path)
+    n1, nR = d1.count(), dR.count()
+
+    def run(df):
+        out = exact_substring_dedup(df, n=4, min_doc_freq=2)
+        agg = out.agg(F.sum("tokens_dropped").alias("td"),
+                      F.sum("spans_dropped").alias("sd"))
+        row, sec = timed(lambda: agg.collect()[0])
+        return out, row, sec
+
+    out1, t1_row, t1 = run(d1)
+    outR, tR_row, tR = run(dR)
+    pins1, pinsR = plan_pins(out1), plan_pins(outR)
+    exp = math.log(tR / t1) / math.log(nR / n1)
+    ok = (tR_row["td"] == r * t1_row["td"]
+          and tR_row["sd"] == r * t1_row["sd"])
+    print(f"span_dedup: {n1} docs {t1}s (dropped {t1_row['td']} toks /"
+          f" {t1_row['sd']} spans) -> {nR} docs {tR}s "
+          f"(dropped {tR_row['td']} / {tR_row['sd']}); exact-Rx "
+          f"{'pass' if ok else 'FAIL'}; exponent {exp:.2f}; "
+          f"pins {pins1} vs {pinsR}", flush=True)
+    assert pins1 == pinsR, "plan shape grew with scale"
+    assert ok, (t1_row, tR_row, r)
 
 
 def gate_leg(spark, r_vecs: int):
@@ -253,9 +298,13 @@ def gate_leg(spark, r_vecs: int):
 
 
 if __name__ == "__main__":
-    if "gate" in sys.argv[1:]:
+    if "gate" in sys.argv[1:] or "span" in sys.argv[1:]:
         spark = get_spark("scale100")
         spark.sparkContext.setLogLevel("ERROR")
-        gate_leg(spark, int(sys.argv[1]) if sys.argv[1].isdigit() else 200)
+        r = int(sys.argv[1]) if sys.argv[1].isdigit() else 200
+        if "gate" in sys.argv[1:]:
+            gate_leg(spark, r)
+        if "span" in sys.argv[1:]:
+            span_leg(spark, r)
     else:
         main()

@@ -33,6 +33,48 @@ def _render(x, indent: int = 0) -> str:
     return f"{pad}{x!r}"
 
 
+# FT.* grammar words for interactive tab-completion: command names
+# first (line start), option/clause keywords after. Purely a typing
+# aid — the dispatcher stays the single source of grammar truth.
+_COMPLETIONS = (
+    "FT.CREATE", "FT.SEARCH", "FT.AGGREGATE", "FT.DROPINDEX",
+    "FT._LIST", "FT.INFO", "FT.EXPLAIN", "QUIT", "EXIT",
+    # FT.CREATE
+    "ON", "HASH", "JSON", "PREFIX", "LANGUAGE", "SCHEMA", "AS",
+    "NUMERIC", "TAG", "TEXT", "VECTOR", "FLAT", "HNSW", "TYPE",
+    "FLOAT32", "DIM", "DISTANCE_METRIC", "L2", "IP", "COSINE", "M",
+    "EF_CONSTRUCTION", "INITIAL_CAP", "EF_RUNTIME", "SEPARATOR",
+    "CASESENSITIVE", "NOSTEM", "WEIGHT", "STOPWORDS", "NOSTOPWORDS",
+    "MINSTEMSIZE", "WITHSUFFIXTRIE", "NOSUFFIXTRIE", "SORTABLE",
+    # FT.SEARCH / FT.AGGREGATE
+    "NOCONTENT", "VERBATIM", "RETURN", "SORTBY", "ASC", "DESC",
+    "LIMIT", "PARAMS", "DIALECT", "TIMEOUT", "SLOP", "INORDER",
+    "WITHSORTKEYS", "LOAD", "APPLY", "FILTER", "GROUPBY", "REDUCE",
+    "COUNT", "COUNT_DISTINCT", "SUM", "MIN", "MAX", "AVG", "STDDEV",
+    "ADDSCORES", "KNN",
+)
+
+
+def _install_completer() -> None:  # pragma: no cover - needs a tty
+    try:
+        import readline
+    except ImportError:
+        return
+
+    def complete(text: str, state: int):
+        up = text.upper()
+        at_start = readline.get_begidx() == 0
+        pool = [w for w in _COMPLETIONS
+                if (w.startswith("FT.") or w in ("QUIT", "EXIT"))
+                == at_start]
+        hits = [w + " " for w in pool if w.startswith(up)]
+        return hits[state] if state < len(hits) else None
+
+    readline.set_completer_delims(" \t")
+    readline.set_completer(complete)
+    readline.parse_and_bind("tab: complete")
+
+
 def main(argv: list[str] | None = None,
          stdin=None, stdout=None) -> int:
     ap = argparse.ArgumentParser(
@@ -88,6 +130,8 @@ def main(argv: list[str] | None = None,
                              key_column=args.key)
 
     interactive = stdin.isatty() if hasattr(stdin, "isatty") else False
+    if interactive and stdin is sys.stdin:
+        _install_completer()
     while True:
         if interactive:
             stdout.write("ft> ")
