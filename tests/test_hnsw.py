@@ -387,7 +387,16 @@ def test_full_explore_exactness_property():
         if metric == "l2":
             d = ((vecs - q) ** 2).sum(1)
         else:
-            d = 1.0 - vecs @ q
+            # the CANONICAL elementwise form, matching _search_graph's
+            # exact re-emission. `vecs @ q` is NOT row-deterministic:
+            # BLAS GEMV summation order varies with matrix shape, so
+            # two bit-identical duplicate rows can score 1 ulp apart
+            # and flip the (distance, node) tiebreak — the r11
+            # falsifying example (n=6, seed=0, ip, dups) had the
+            # MATMUL oracle itself ranking the duplicate pair
+            # inconsistently. (v*q).sum(1) pairwise-sums per row, so
+            # identical rows always tie exactly.
+            d = 1.0 - (vecs * q).sum(axis=1)
         want = [nn for _, nn in sorted(zip(d.tolist(), range(n)))[:k]]
         assert got == want, (n, dim, seed, metric, with_dups)
 

@@ -321,14 +321,25 @@ def _search_graph(vecs, levels, nbrs, entry, top, q, k, ef, metric,
                     if len(res) > kres:
                         heapq.heappop(res)
     out = sorted((-nd, -nn) for nd, nn in res)
-    if sq is not None and out:
-        # traversal used the norm-expansion form (cancellation error
-        # ~1e-8 near zero); re-emit the kept slack set with the exact
-        # subtract-square distance so scores match brute force bitwise
-        # AND the final k-cut happens on exact values
+    if out and (sq is not None or metric != "l2"):
+        # re-emit the kept slack set with the CANONICAL per-row
+        # distance so the final k-cut happens on batch-independent
+        # values. Two reasons: (a) l2 traversal may use the
+        # norm-expansion form (cancellation error ~1e-8 near zero);
+        # (b) ip/cosine traversal computes 1 - v@q as a sub-matrix
+        # GEMV whose per-row summation order depends on BATCH
+        # COMPOSITION — the same node scored in two beam batches (or
+        # vs a full-matrix oracle) can differ by 1 ulp, which flips
+        # (distance, node) tie order between EXACT-DUPLICATE vectors.
+        # The elementwise (v*q).sum(axis=1) form is pairwise-summed
+        # per row, so identical rows always get identical distances
+        # and ties resolve by node id deterministically.
         nodes = np.fromiter((nn for _, nn in out), dtype=np.int64)
-        diff = vecs[nodes] - q
-        exact = (diff * diff).sum(axis=1)
+        if metric == "l2":
+            diff = vecs[nodes] - q
+            exact = (diff * diff).sum(axis=1)
+        else:
+            exact = 1.0 - (vecs[nodes] * q).sum(axis=1)
         out = sorted(zip(exact.tolist(), nodes.tolist()))
     return out[:k]
 
