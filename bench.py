@@ -456,6 +456,24 @@ def main():
         assert len(done) == n_threads
     n_queries = n_threads * per_thread
 
+    # batch contrast for the point-query floor (r10 verdict item 6,
+    # SCALE.md "The point-query floor"): the same lookup volume as ONE
+    # batched join plan — 128 query vectors through knn_join against
+    # the sf embeddings — so the concurrent QPS number ships next to
+    # the throughput shape users should actually run
+    from valkey_search_spark.operators.ann import knn_join
+
+    emb_b = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qbatch = (emb_b.limit(128)
+              .select(F.col("vec_id").alias("qid"), "embedding"))
+    corpus_b = emb_b.select(F.col("vec_id").alias("cid"), "embedding")
+    bj = knn_join(qbatch, corpus_b, k=10, metric="l2")
+    bj.count()                                   # warm
+    t0 = time.perf_counter()
+    bj.count()
+    batch_sec = time.perf_counter() - t0
+    batch_qps = round(128 / max(batch_sec, 1e-9), 1)
+
     # drift sentinel (round-6 verdict item 2b): re-time the first serial
     # query after the whole session — accumulated cache/GC pressure in
     # the shared JVM shows up as end-of-session inflation here instead
@@ -520,7 +538,11 @@ def main():
                        # API instead of point-query loops (see
                        # SCALE.md "The point-query floor")
                        "note": "floor = driver plan build + scheduling;"
-                               " batch via knn_join, not query loops"},
+                               " batch via knn_join, not query loops",
+                       "batch_contrast": {
+                           "workload": "128q knn_join k=10 vs corpus",
+                           "sec": round(batch_sec, 3),
+                           "qps": batch_qps}},
     })
     with open(details, "w") as fh:
         json.dump(full, fh, indent=1)
