@@ -386,7 +386,6 @@ def _repetition_stats_arrow(df: DataFrame, text_col: str,
     out_schema = T.StructType(
         list(df.schema.fields)
         + [T.StructField(s, T.DoubleType()) for s in sig_names])
-    in_cols = [f.name for f in df.schema.fields]
     para_re = _re.compile(r"\n\s*\n")
     top_list, dup_list = tuple(top_ns), tuple(dup_ns)
     tok_col = tokens_col
