@@ -175,3 +175,53 @@ def test_composes_into_curation_pipeline(spark):
     rows = clean.collect()
     assert funnel["input"] == 2 and len(rows) == 1
     assert rows[0].text.endswith("café end")     # repaired + NBSP->space
+
+
+def test_clean_text_duckdb_oracle_real_corpus(spark, sf_dir, tmp_path):
+    """DuckDB-replayable pin for the JVM cleaning chain (r12 rotation
+    candidate): dirty text synthesized from the real corpus (CRLF,
+    C0/C1 controls, zero-widths, unicode spaces, double spaces, blank
+    runs, edge padding) cleaned by clean_text must equal the same
+    8-step regex chain replayed in DuckDB/RE2 (\\uXXXX classes become
+    \\x{...}; \\p{Zs} is shared syntax)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from valkey_search_spark.operators.cleaning import clean_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text").limit(300)
+    dirty = docs.select(
+        "doc_id",
+        F.concat(F.lit("  ​"), F.lit("\r\n"),
+                 F.regexp_replace("text", " ", " "),
+                 F.lit("\x07mid\x9fdle"),
+                 F.lit("\n\n\n\n tail  padded  x \n ")
+                 ).alias("text"))
+    path = str(tmp_path / "dirty.parquet")
+    dirty.write.parquet(path)
+    back = spark.read.parquet(path)
+    got = {r["doc_id"]: r["text"]
+           for r in clean_text(back).collect()}
+    want = dict(duckdb.sql(f"""
+        SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            text,
+            '\\r\\n?', chr(10), 'g'),
+            '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F' ||
+            '\\x{{0080}}-\\x{{0084}}\\x{{0086}}-\\x{{009F}}]', '', 'g'),
+            '[\\x{{200B}}-\\x{{200F}}\\x{{202A}}-\\x{{202E}}' ||
+            '\\x{{2060}}-\\x{{2064}}\\x{{FEFF}}\\x{{180E}}]', '', 'g'),
+            '[\\p{{Zs}}\\x{{0085}}\\x{{2028}}\\x{{2029}}]', ' ', 'g'),
+            ' {{2,}}', ' ', 'g'),
+            ' ?\\n ?', chr(10), 'g'),
+            '\\n{{3,}}', chr(10) || chr(10), 'g'),
+            '^[ \\n]+|[ \\n]+$', '', 'g') AS cleaned
+        FROM '{path}/*.parquet'
+    """).fetchall())
+    assert len(got) == len(want) > 0
+    bad = [k for k in got if got[k] != want[k]]
+    assert not bad, (bad[:3], got[bad[0]][:80] if bad else None,
+                     want[bad[0]][:80] if bad else None)

@@ -129,3 +129,48 @@ def test_gate_survives_rules_column_and_dup_hosts(spark):
     out = robots_gate(docs, rules).collect()
     assert [r.k for r in out] == [1]              # no row multiplication
     assert out[0].rules == "user-rules"           # user column intact
+
+
+def test_gate_duckdb_oracle_real_corpus(spark, sf_dir):
+    """DuckDB-replayable pin over the real documents table (the bench
+    workload's shape): with the planted rule set, a doc's verdict is a
+    pure function of (has-robots host?, path slot) — hosts site200+
+    carry no robots.txt (allowed), and of the four synthesized paths
+    /public/x and /private/ok/z pass (longest-match Allow beats the
+    shorter Disallow) while /private/y and /data/f.json fail. The SQL
+    CASE replays exactly that, making the Arrow verdict map
+    independently checkable end-to-end (r12 rotation candidate)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from valkey_search_spark.operators.robots import (parse_robots,
+                                                      robots_gate)
+
+    robots = spark.createDataFrame(
+        [(f"site{i}.example.com",
+          "User-agent: *\nDisallow: /private\n"
+          "Allow: /private/ok\nDisallow: /*.json$\n")
+         for i in range(200)], "host string, robots_txt string")
+    rules = parse_robots(robots)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    d = F.col("doc_id")
+    urls = docs.select("doc_id", F.concat(
+        F.lit("https://site"), (d % 300).cast("string"),
+        F.lit(".example.com"),
+        F.element_at(F.array(F.lit("/public/x"), F.lit("/private/y"),
+                             F.lit("/private/ok/z"),
+                             F.lit("/data/f.json")),
+                     (d % 4 + 1).cast("int"))).alias("url"))
+    got = sorted(r["doc_id"] for r in
+                 robots_gate(urls, rules).select("doc_id").collect())
+    want = sorted(r[0] for r in duckdb.sql(f"""
+        SELECT doc_id FROM '{sf_dir}/documents.parquet'
+        WHERE doc_id % 300 >= 200         -- no robots.txt -> allowed
+           OR doc_id % 4 IN (0, 2)        -- /public/x, /private/ok/z
+    """).fetchall())
+    assert got == want and len(got) > 0
+    # and the complement gate partitions the corpus exactly
+    blocked = robots_gate(urls, rules, keep_allowed=False).count()
+    assert blocked + len(got) == docs.count()
