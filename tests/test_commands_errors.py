@@ -258,3 +258,37 @@ def test_mutation_sweep_raises_only_search_errors(disp, base):
             except Exception:
                 pass
     assert n_err > 0 and n_ok > 0   # the sweep exercises both sides
+
+
+def test_mutation_sweep_vector_argvs(vdisp):
+    """Same single-token mutation sweep over the VECTOR surface: the
+    schema clause with its counted attribute pairs, and a KNN search
+    whose PARAMS value is a real FLOAT32 blob (so mutations land on
+    and around binary tokens)."""
+    blob = struct.pack("<64f", *([0.25] * 64))
+    argvs = [
+        ["FT.CREATE", "vmut", "SCHEMA", "embedding", "VECTOR", "FLAT",
+         "6", "TYPE", "FLOAT32", "DIM", "64", "DISTANCE_METRIC", "L2"],
+        ["FT.SEARCH", "vx", "*=>[KNN 3 @embedding $v AS d]",
+         "PARAMS", "2", "v", blob, "LIMIT", "0", "3"],
+    ]
+    n_ok = n_err = 0
+    for argv in argvs:
+        for mut in _mutants(argv):
+            try:
+                out = vdisp.execute(*mut)
+                if hasattr(out, "limit"):
+                    out.limit(1).collect()
+                n_ok += 1
+            except SearchError:
+                n_err += 1
+            except Exception as e:
+                raise AssertionError(
+                    f"mutant {mut!r} leaked {type(e).__name__}: {e}"
+                ) from e
+            finally:
+                try:
+                    vdisp.engine.ft_dropindex("vmut")
+                except Exception:
+                    pass
+    assert n_err > 0 and n_ok > 0

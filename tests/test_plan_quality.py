@@ -293,3 +293,43 @@ def test_knn_binary_flipped_plan_no_corpus_collect(spark):
     assert plan.count("MapInPandas") == 1
     assert "BatchEvalPython" not in plan
     assert "Window" in plan
+
+
+def test_heavy_hitters_plan_candidates_only(spark):
+    """Misra-Gries (the r11 sketch_heavy_hitters driver row): the
+    distinct-value set never shuffles — one MapInPandas summary pass
+    (<= summary_size rows out per partition), then exchanges carry
+    only the tiny candidate frame; the exact recount adds ONE
+    broadcast semi-join over the corpus (no corpus shuffle)."""
+    from valkey_search_spark.operators.sketches import heavy_hitters
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+    plan = _plan(heavy_hitters(toks, "tok", k=10, summary_size=4096,
+                               exact_recount=True))
+    # the recount branches the summary lineage twice; the operator
+    # persists `top` so the Arrow kernel executes ONCE per action —
+    # visible as the cached scan in the plan (the second MapInPandas
+    # occurrence is the cached lineage's echo, not a second execution)
+    assert "InMemoryTableScan" in plan
+    assert plan.count("MapInPandas") <= 2
+    assert "BroadcastHashJoin" in plan        # recount is a semi-join
+    # corpus-sized rows cross no exchange: every hashpartitioning
+    # operates on the post-summary candidate set (bounded by
+    # summary_size x partitions), visible as <= 4 small exchanges
+    assert plan.count("Exchange hashpartitioning") <= 4
+
+
+def test_retention_cohorts_plan_two_aggs_one_join(spark):
+    """events_retention (r11 driver row): two date_trunc aggregations
+    + one user-keyed join + the cohort window — all JVM, zero Python
+    stages, no corpus-wide (unpartitioned) window over event rows
+    (the only Window partitions by cohort over the tiny grid)."""
+    from valkey_search_spark.operators.events import retention_cohorts
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(retention_cohorts(ev, period="week"))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+    assert "HashAggregate" in plan

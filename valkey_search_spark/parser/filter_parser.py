@@ -45,12 +45,23 @@ _NUM_RE = re.compile(r"^-?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?$")
 
 def _decode_vector(v) -> list[float]:
     """Accept list[float], or the reference's raw little-endian FLOAT32 blob
-    (docs/topics/search-data-formats.md:104-150)."""
+    (docs/topics/search-data-formats.md:104-150). A plain string is a
+    grammar error — iterating it as floats would leak a ValueError per
+    character (the reference accepts only the binary wire form here)."""
     if isinstance(v, (bytes, bytearray)):
         if len(v) % 4:
             raise QuerySyntaxError("vector blob length not a multiple of 4")
         return list(_struct.unpack(f"<{len(v) // 4}f", v))
-    return [float(x) for x in v]
+    if isinstance(v, str):
+        raise QuerySyntaxError(
+            "KNN vector parameter must be a FLOAT32 blob (bytes) or a "
+            f"numeric sequence, got the string {v[:24]!r}")
+    try:
+        return [float(x) for x in v]
+    except (TypeError, ValueError):
+        raise QuerySyntaxError(
+            "KNN vector parameter must be a FLOAT32 blob (bytes) or a "
+            "numeric sequence") from None
 
 
 class FilterParser:
