@@ -292,3 +292,58 @@ def test_mutation_sweep_vector_argvs(vdisp):
                 except Exception:
                     pass
     assert n_err > 0 and n_ok > 0
+
+
+def test_unbalanced_quoting_is_syntax_error(disp):
+    # single-string commands shlex-split; unbalanced quotes must be a
+    # grammar error, not shlex's ValueError
+    with pytest.raises(QuerySyntaxError, match="quoting"):
+        disp.execute('FT.SEARCH ix "unclosed')
+    with pytest.raises(QuerySyntaxError, match="quoting"):
+        disp.execute('FT.AGGREGATE ix * FILTER "@x > 1')
+    # and the stage parser's own door (the Python ft_aggregate API
+    # takes one shell-quoted stage string)
+    from valkey_search_spark.operators.aggregate import parse_stages
+
+    with pytest.raises(QuerySyntaxError, match="quoting"):
+        parse_stages('FILTER "@x > 1')
+
+
+def test_mutation_sweep_on_json_argvs(spark):
+    """Mutation sweep over the ON JSON surface: $.path identifiers,
+    AS aliases, and searches against the JSON index must only ever
+    raise SearchError subclasses."""
+    docs = spark.createDataFrame(
+        [(1, '{"title": "cold widget", "price": 7}'),
+         (2, '{"title": "large bolt", "price": 9}')],
+        "id long, props string")
+    d = CommandDispatcher(SearchEngine(spark), docs,
+                          json_column="props", key_column="id")
+    argvs = [
+        ["FT.CREATE", "jmut", "ON", "JSON", "SCHEMA",
+         "$.title", "AS", "title", "TEXT",
+         "$.price", "AS", "price", "NUMERIC"],
+        ["FT.SEARCH", "jx", "@title:widget @price:[5 8]",
+         "RETURN", "1", "title", "LIMIT", "0", "3"],
+    ]
+    d.execute(*argvs[0][:1], "jx", *argvs[0][2:])   # real index to hit
+    n_ok = n_err = 0
+    for argv in argvs:
+        for mut in _mutants(argv):
+            try:
+                out = d.execute(*mut)
+                if hasattr(out, "limit"):
+                    out.limit(1).collect()
+                n_ok += 1
+            except SearchError:
+                n_err += 1
+            except Exception as e:
+                raise AssertionError(
+                    f"mutant {mut!r} leaked {type(e).__name__}: {e}"
+                ) from e
+            finally:
+                try:
+                    d.engine.ft_dropindex("jmut")
+                except Exception:
+                    pass
+    assert n_err > 0 and n_ok > 0

@@ -128,8 +128,12 @@ class _Args:
 def split_command_line(line: str) -> list[str]:
     """CLI convenience: one command line -> argv, shell quoting rules
     (the same convention as ``parse_stages``; RESP clients pass argv
-    directly and never need this)."""
-    return shlex.split(line)
+    directly and never need this). Unbalanced quoting is a syntax
+    error, not a shlex ValueError stack trace."""
+    try:
+        return shlex.split(line)
+    except ValueError as e:
+        raise QuerySyntaxError(f"bad command quoting: {e}") from None
 
 
 def _parse_schema_fields(a: _Args, on_json: str | None,

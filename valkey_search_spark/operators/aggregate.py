@@ -93,7 +93,10 @@ def parse_stages(stage_str: str, params: dict | None = None) -> list[Stage]:
     ``LOAD 2 @a @b APPLY "@a*2" AS x GROUPBY 1 @x REDUCE SUM 1 @a AS s``.
     Quoting follows shell rules (expressions with spaces must be quoted —
     the same shape as the RESP arg list the reference parses)."""
-    toks = shlex.split(stage_str)
+    try:
+        toks = shlex.split(stage_str)
+    except ValueError as e:           # unbalanced quoting is grammar
+        raise QuerySyntaxError(f"bad stage quoting: {e}") from None
     params = params or {}
     stages: list[Stage] = []
     i = 0
