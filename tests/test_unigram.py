@@ -131,3 +131,31 @@ def test_unk_single_symbol_piece(tok):
     pieces = tok.encode("\x00\x01")
     assert pieces and all(len(p) == 1 for p in pieces)
     assert tok.decode(pieces) == "\x00\x01"
+
+
+def test_detokenize_distributed_roundtrip(spark, sf_dir):
+    """decode(encode(x)) == x distributed, the lossless contract the
+    BPE/WordPiece rows already drive — detokenize added in r11 so the
+    unigram tokenizer can take a driver rotation slot with the same
+    invariant oracle."""
+    from pyspark.sql import functions as F
+
+    from valkey_search_spark.functions.unigram import train_unigram
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    extra = spark.createDataFrame(
+        [(900001, "unicode café 中文 mixed"), (900002, None),
+         (900003, "double  spaced\ttab")],
+        "doc_id long, text string")
+    df = docs.select("doc_id", "text").unionByName(extra)
+    tok = train_unigram(docs, vocab_size=512 + 128)
+    out = tok.detokenize(tok.tokenize(df)).select(
+        "doc_id",
+        (F.col("text_decoded") == F.col("text")).alias("ok"),
+        F.size("unigram_tokens").alias("n"),
+        F.octet_length("text").alias("b")).collect()
+    for r in out:
+        if r["ok"] is None:
+            continue
+        assert r["ok"], r["doc_id"]
+        assert 0 < r["n"] <= r["b"], r

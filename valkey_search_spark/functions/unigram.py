@@ -169,6 +169,26 @@ class UnigramTokenizer:
         return df.withColumn(
             out_col, self._apply_udf(df.sparkSession, True)(F.col(text_col)))
 
+    @staticmethod
+    def detokenize(df: DataFrame, tokens_col: str = "unigram_tokens",
+                   out_col: str = "text_decoded") -> DataFrame:
+        """Add ``out_col`` (string): decoded text for a unigram piece
+        array. Decoding needs only the static byte<->unicode table, so
+        it is one Arrow map with nothing broadcast — pipelines can
+        assert decode(encode(x)) == x distributed, the same lossless
+        contract as ``BPETokenizer`` / ``WordPieceTokenizer`` (r11,
+        completing the family for the rotation roster)."""
+        @F.pandas_udf(T.StringType())
+        def udf(tok_arrays: pd.Series) -> pd.Series:
+            def dec(ts):
+                if ts is None:
+                    return None
+                return bytes(_UNI_TO_BYTE[c] for t in ts
+                             for c in t).decode("utf-8", errors="replace")
+            return tok_arrays.map(dec)
+
+        return df.withColumn(out_col, udf(F.col(tokens_col)))
+
 
 def _tokenizer_from_broadcast(bid: int, bc) -> UnigramTokenizer:
     from ._cache import worker_cached
