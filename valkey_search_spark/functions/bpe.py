@@ -159,8 +159,11 @@ class BPETokenizer:
     def load(cls, path: str) -> "BPETokenizer":
         with open(path, encoding="utf-8") as f:
             obj = json.load(f)
-        if obj.get("format") != "bpe-merges-v1":
-            raise ValueError(f"not a BPE merge table: {path}")
+        from ..artifact import check_format
+
+        # ArtifactFormatError (a ValueError) like every other stamped
+        # artifact — a foreign tag fails versioned, never deserializes
+        check_format(obj, "bpe-merges-v1", path, allow_missing=False)
         return cls([tuple(m) for m in obj["merges"]])
 
     # -- distributed apply --------------------------------------------------

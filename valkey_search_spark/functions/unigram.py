@@ -132,8 +132,11 @@ class UnigramTokenizer:
     def load(cls, path: str) -> "UnigramTokenizer":
         with open(path, encoding="utf-8") as f:
             obj = json.load(f)
-        if obj.get("format") != "unigram-vocab-v1":
-            raise ValueError(f"not a unigram vocab: {path}")
+        from ..artifact import check_format
+
+        # ArtifactFormatError (a ValueError) like every other stamped
+        # artifact — a foreign tag fails versioned, never deserializes
+        check_format(obj, "unigram-vocab-v1", path, allow_missing=False)
         return cls({p: lp for p, lp in obj["vocab"]})
 
     # -- distributed apply ------------------------------------------------

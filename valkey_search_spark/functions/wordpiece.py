@@ -134,8 +134,11 @@ class WordPieceTokenizer:
     def load(cls, path: str) -> "WordPieceTokenizer":
         with open(path, encoding="utf-8") as f:
             obj = json.load(f)
-        if obj.get("format") != "wordpiece-vocab-v1":
-            raise ValueError(f"not a wordpiece vocab: {path}")
+        from ..artifact import check_format
+
+        # ArtifactFormatError (a ValueError) like every other stamped
+        # artifact — a foreign tag fails versioned, never deserializes
+        check_format(obj, "wordpiece-vocab-v1", path, allow_missing=False)
         return cls(obj["pieces"])
 
     # -- distributed apply ------------------------------------------------
