@@ -129,15 +129,24 @@ def _gram_rows(df: DataFrame, key: str, text_col: str, n: int,
     array and each gram derives from a per-position slice. Exploding a
     BUILT grams array instead would cost O(windows^2) per document —
     Generate re-evaluates a computed child array once per output
-    element. Shared by the Jaccard join and benchmark decontamination."""
+    element. Consumed by the Jaccard inverted join.
+
+    Gram identity is ``xxhash64`` of the TOKEN SLICE (the gram_set
+    contract — array hash, not a joined string; r11): the inverted
+    join shuffles and groups on 8-byte longs instead of gram strings
+    (~2-3x less shuffle payload), token boundaries can't conflate
+    ("a b"+"c" vs "a"+"b c"), and Jaccard over hashed grams equals
+    string-gram Jaccard up to 2^-64 collisions — the approximation the
+    whole dedup family already makes (minhash verify, span dedup,
+    line dedup)."""
     staged = _staged_tokens(df, key, text_col, carry=carry)
     toks = F.col("__toks")
     return (staged.select("k", "__toks",
                           F.posexplode("__toks").alias("__i", "__t"),
                           *carry)
             .where(F.col("__i") <= F.size(toks) - n)
-            .select("k", F.array_join(
-                F.slice(toks, F.col("__i") + 1, n), " ").alias("g"),
+            .select("k", F.xxhash64(
+                F.slice(toks, F.col("__i") + 1, n)).alias("g"),
                 *carry))
 
 
