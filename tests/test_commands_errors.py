@@ -347,3 +347,22 @@ def test_mutation_sweep_on_json_argvs(spark):
                 except Exception:
                     pass
     assert n_err > 0 and n_ok > 0
+
+
+def test_aggregate_knn_wrong_dim_blob_errors(vdisp):
+    # the dim check must cover FT.AGGREGATE too (its KNN executes
+    # through _knn directly, not ft_search) — review finding, r11
+    blob = struct.pack("<16f", *([0.5] * 16))
+    with pytest.raises(QuerySyntaxError, match="DIM 64"):
+        vdisp.execute("FT.AGGREGATE", "vx", "*=>[KNN 3 @embedding $v]",
+                      "PARAMS", "2", "v", blob,
+                      "GROUPBY", "0", "REDUCE", "COUNT", "0", "AS", "n")
+
+
+def test_aggregate_knn_right_dim_ok(vdisp):
+    blob = struct.pack("<64f", *([0.25] * 64))
+    out = vdisp.execute("FT.AGGREGATE", "vx",
+                        "*=>[KNN 3 @embedding $v AS d]",
+                        "PARAMS", "2", "v", blob,
+                        "GROUPBY", "0", "REDUCE", "COUNT", "0", "AS", "n")
+    assert out.collect()[0]["n"] == 3

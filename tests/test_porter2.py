@@ -259,3 +259,25 @@ def test_full_snowball_vocabulary():
     assert mismatches == [], (
         f"{len(mismatches)}/{len(words)} diverge; first 20: "
         f"{mismatches[:20]}")
+
+
+def test_lexer_twin_ascii_whitespace_parity(spark):
+    """lex_query_text must tokenize EXACTLY like raw_tokens_column —
+    including unicode whitespace, where Java regex \\s is ASCII-only
+    (NBSP / U+2028 / U+2007 / ideographic space stay INSIDE tokens);
+    Python's default Unicode \\s split them (r11 review finding, fixed
+    with re.ASCII)."""
+    from pyspark.sql import functions as F
+
+    from valkey_search_spark.functions.analysis import (
+        lex_query_text, raw_tokens_column,
+    )
+
+    texts = ["foo bar und　ideo a b nb sp",
+             "plain ascii words", "tabs\there", "mixed  split"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, text string")
+    jvm = {r["i"]: r["t"] for r in df.select(
+        "i", raw_tokens_column(F.col("text")).alias("t")).collect()}
+    for i, t in enumerate(texts):
+        assert lex_query_text(t) == jvm[i], (i, t)

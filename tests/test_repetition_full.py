@@ -187,7 +187,12 @@ def test_arrow_engine_bit_identical(spark, sf_dir):
          (90004, ""),
          (90005, "one two"),
          (90006, "CAFÉ Café café ß ẞ straße STRASSE " * 5),
-         (90007, "tab\there spaces   multiple\nline1\nline1\n \nline1")],
+         (90007, "tab\there spaces   multiple\nline1\nline1\n \nline1"),
+         # unicode whitespace: Java-regex \s is ASCII-only, so NBSP /
+         # U+2028 / ideographic space live INSIDE tokens on the JVM
+         # side and the Arrow kernel must agree (re.ASCII twin)
+         (90008, "nb\u00a0sp und\u3000ideo a\u2028b " * 3
+                 + "\nx\n\u00a0\ny y y y y"),],
         "doc_id long, text string")
     base = docs.unionByName(extra)
     j = gopher_repetition_flags(base, engine="jvm")

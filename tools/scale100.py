@@ -301,7 +301,10 @@ if __name__ == "__main__":
     if "gate" in sys.argv[1:] or "span" in sys.argv[1:]:
         spark = get_spark("scale100")
         spark.sparkContext.setLogLevel("ERROR")
-        r = int(sys.argv[1]) if sys.argv[1].isdigit() else 200
+        # the replica count may appear on either side of the leg
+        # keyword ("200 gate" and "gate 200" both honor the count)
+        digits = [a for a in sys.argv[1:] if a.isdigit()]
+        r = int(digits[0]) if digits else 200
         if "gate" in sys.argv[1:]:
             gate_leg(spark, r)
         if "span" in sys.argv[1:]:

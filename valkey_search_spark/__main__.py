@@ -130,13 +130,24 @@ def main(argv: list[str] | None = None,
                              key_column=args.key)
 
     interactive = stdin.isatty() if hasattr(stdin, "isatty") else False
-    if interactive and stdin is sys.stdin:
+    # completion (and line editing/history) only engages when input
+    # flows through input()/PyOS_Readline — a plain stdin.readline()
+    # bypasses GNU readline entirely, so the interactive path must use
+    # input() for the completer to ever fire
+    use_readline = interactive and stdin is sys.stdin
+    if use_readline:
         _install_completer()
     while True:
-        if interactive:
-            stdout.write("ft> ")
-            stdout.flush()
-        line = stdin.readline()
+        if use_readline:
+            try:
+                line = input("ft> ") + "\n"
+            except EOFError:
+                break
+        else:
+            if interactive:
+                stdout.write("ft> ")
+                stdout.flush()
+            line = stdin.readline()
         if not line:
             break
         line = line.strip()

@@ -145,7 +145,14 @@ def lex_query_text(text: str,
     "hello,")."""
     import re
 
-    toks = re.findall(_token_re(punctuation), fold_case(text))
+    # re.ASCII pins `\s` inside the token class to Java-regex semantics
+    # (ASCII-only): Spark's regexp_extract_all keeps NBSP/U+2028/
+    # ideographic spaces INSIDE tokens, and this twin must match —
+    # Python's default Unicode `\s` split such tokens apart (r11 fix,
+    # found by the arrow-engine parity review; also closes the same
+    # divergence for phrase/term query lexing)
+    toks = re.findall(_token_re(punctuation), fold_case(text),
+                      flags=re.ASCII)
     return [t.replace("\\", "").lower() for t in toks]
 
 

@@ -386,7 +386,10 @@ def _repetition_stats_arrow(df: DataFrame, text_col: str,
     out_schema = T.StructType(
         list(df.schema.fields)
         + [T.StructField(s, T.DoubleType()) for s in sig_names])
-    para_re = _re.compile(r"\n\s*\n")
+    # re.ASCII: Java-regex `\s` is ASCII-only, so a paragraph break of
+    # "\n\xa0\n" is NOT blank-line-joined by the JVM engine and must
+    # not be here either
+    para_re = _re.compile(r"\n\s*\n", _re.ASCII)
     top_list, dup_list = tuple(top_ns), tuple(dup_ns)
     tok_col = tokens_col
 

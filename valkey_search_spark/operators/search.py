@@ -505,21 +505,10 @@ class SearchEngine:
                 f"KNN k {parsed.knn.k} exceeds max-vector-knn "
                 f"{self.limits.max_vector_knn}")
         if parsed.knn is not None:
-            # blob-size validation BEFORE any physical branch: the
-            # reference rejects a query blob whose byte length isn't
-            # DIM*4 (vector_base.cc record validation); without this, a
-            # wrong-dim vector would silently null out every zip_with
-            # distance and return an empty result instead of an error
-            _vf = schema.field(parsed.knn.attr)
-            if not isinstance(_vf, VectorField):
-                raise QuerySyntaxError(
-                    f"KNN field `{parsed.knn.attr}` is not VECTOR")
-            if _vf.dim and len(parsed.knn.vector) != _vf.dim:
-                raise QuerySyntaxError(
-                    f"query vector has {len(parsed.knn.vector)} "
-                    f"dimensions; field `{parsed.knn.attr}` is DIM "
-                    f"{_vf.dim} (FLOAT32 blob must be {4 * _vf.dim} "
-                    "bytes)")
+            # validated BEFORE any physical branch (the ANN-artifact
+            # paths below bypass _knn); ft_aggregate gets the same
+            # check through _knn itself
+            self._validate_knn(schema, parsed.knn)
         translator = PredicateTranslator(schema, verbatim=verbatim,
                                          limits=self.limits)
         # stopword pass BEFORE the SLOP/INORDER upgrade: a dropped term must
@@ -887,14 +876,30 @@ class SearchEngine:
                     )
         return pred
 
+    def _validate_knn(self, schema: IndexSchema, knn) -> VectorField:
+        """Shared FT.SEARCH / FT.AGGREGATE KNN validation: the field
+        must be VECTOR and the query vector must match its DIM — the
+        reference rejects a query blob whose byte length isn't DIM*4
+        (vector_base.cc record validation). Without this, a wrong-dim
+        vector silently nulls every zip_with distance and returns an
+        EMPTY result instead of an error."""
+        vf = schema.field(knn.attr)
+        if not isinstance(vf, VectorField):
+            raise QuerySyntaxError(f"KNN field `{knn.attr}` is not VECTOR")
+        if vf.dim and len(knn.vector) != vf.dim:
+            raise QuerySyntaxError(
+                f"query vector has {len(knn.vector)} dimensions; field "
+                f"`{knn.attr}` is DIM {vf.dim} (FLOAT32 blob must be "
+                f"{4 * vf.dim} bytes)")
+        return vf
+
     def _knn(self, schema: IndexSchema, df: DataFrame,
              parsed: ParsedQuery) -> DataFrame:
         """Exact KNN over the (possibly pre-filtered) frame; the ANN path
-        is chosen earlier in ft_search."""
+        is chosen earlier in ft_search. Validation lives here too so
+        ft_aggregate's direct call gets the same dim/type errors."""
         knn = parsed.knn
-        fdef = schema.field(knn.attr)
-        if not isinstance(fdef, VectorField):
-            raise QuerySyntaxError(f"KNN field `{knn.attr}` is not VECTOR")
+        fdef = self._validate_knn(schema, knn)
         score = knn.score_alias()
         dist = distance_column(F.col(vec_col(fdef.attr)), knn.vector, fdef.metric)
         df = df.withColumn(score, dist).where(F.col(score).isNotNull())
