@@ -152,15 +152,20 @@ def test_decontaminate_never_shuffles_training_grams(spark):
 
 
 def test_gopher_flags_map_only_jvm_plan(spark):
-    """gopher_quality_flags is one map-only codegen scan: no exchange,
-    no Python node — the rule set must ride the same scan as the other
-    quality signals at 100 TB."""
+    """gopher_quality_flags is one map-only codegen scan: no Python
+    node, and no exchange beyond the optional input-spread round-robin
+    (r12: an under-partitioned 1-file scan repartitions once so the
+    rule expressions don't run on a single task; a well-partitioned
+    100 TB input gets none — the rules themselves introduce no
+    shuffle either way)."""
     from valkey_search_spark.operators.textops import gopher_quality_flags
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = gopher_quality_flags(docs)._jdf.queryExecution() \
         .executedPlan().toString()
-    assert "Exchange" not in plan
+    assert plan.count("Exchange") <= 1
+    if "Exchange" in plan:
+        assert "ROUND_ROBIN" in plan or "RoundRobin" in plan, plan
     assert "Python" not in plan
 
 

@@ -138,12 +138,18 @@ def test_bm25_edge_cases(spark):
 
 def test_bm25_scoring_plan_map_only(spark):
     """After the one statistics job, scoring is a map-only codegen
-    expression: no Python node, and without top_k no exchange at all."""
+    expression: no Python node, and without top_k no exchange beyond
+    the optional input-spread round-robin (r12: an under-partitioned
+    1-file scan repartitions once so the scoring expressions don't run
+    on a single task; a well-partitioned input gets none — scoring
+    itself introduces no shuffle either way)."""
     df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = (bm25_rank(df, ["merge", "window"])
             ._jdf.queryExecution().executedPlan().toString())
     assert "Python" not in plan
-    assert "Exchange" not in plan
+    assert plan.count("Exchange") <= 1
+    if "Exchange" in plan:
+        assert "ROUND_ROBIN" in plan or "RoundRobin" in plan, plan
 
 
 def test_bm25_tokenizer_not_duplicated_in_plan(spark):

@@ -51,15 +51,46 @@ def mine_bitext(src: DataFrame, tgt: DataFrame, k: int = 4,
     s = src.select(F.col(src_key).alias("__s"), F.col(vec_col))
     t = tgt.select(F.col(tgt_key).alias("__t"), F.col(vec_col))
 
-    # forward and backward KNN in cosine space; cos = 1 - distance
+    # ONE tagged size-probe job for both sides: each knn_join otherwise
+    # runs its own first() + count() metadata pair to size-check the
+    # broadcast — four eager jobs per call collapse into one
+    hints = None
+    if max_broadcast_bytes is not None:
+        probe = {r["side"]: r for r in
+                 (s.select(F.lit("s").alias("side"),
+                           F.col(vec_col).alias("__v"))
+                  .unionByName(t.select(F.lit("t").alias("side"),
+                                        F.col(vec_col).alias("__v")))
+                  .groupBy("side")
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       F.max(F.size("__v")).alias("d"))).collect()}
+
+        def hint(side):
+            r = probe.get(side)
+            return (int(r["n"]), int(r["d"] or 0)) if r else (0, 0)
+
+        hints = {"s": hint("s"), "t": hint("t")}
+
+    # forward and backward KNN in cosine space; cos = 1 - distance.
+    # Each KNN frame feeds TWO consumers (its density aggregate + the
+    # margin pair assembly) — plans are trees and the BLAS scoring
+    # stage is a Python stage with no exchange to reuse, so without a
+    # persist each kernel executes once per branch (measured 2x per
+    # direction). The persisted frame is bounded at |side| * k rows of
+    # (key, key, distance) — never corpus-scale; ContextCleaner
+    # unpersists once the returned frame is unreferenced.
     fwd = knn_join(s, t, k=k, query_key="__s", corpus_key="__t",
                    vec_col=vec_col, metric="cosine",
-                   max_broadcast_bytes=max_broadcast_bytes) \
-        .withColumn("__cos", 1.0 - F.col("distance"))
+                   max_broadcast_bytes=max_broadcast_bytes,
+                   corpus_size_hint=hints["t"] if hints else None) \
+        .withColumn("__cos", 1.0 - F.col("distance")) \
+        .select("__s", "__t", "__cos").persist()
     bwd = knn_join(t, s, k=k, query_key="__t", corpus_key="__s",
                    vec_col=vec_col, metric="cosine",
-                   max_broadcast_bytes=max_broadcast_bytes) \
-        .withColumn("__cos", 1.0 - F.col("distance"))
+                   max_broadcast_bytes=max_broadcast_bytes,
+                   corpus_size_hint=hints["s"] if hints else None) \
+        .withColumn("__cos", 1.0 - F.col("distance")) \
+        .select("__t", "__s", "__cos").persist()
 
     # neighborhood densities: avg cos over each side's k neighbors
     s_den = fwd.groupBy("__s").agg(F.avg("__cos").alias("__sden"))

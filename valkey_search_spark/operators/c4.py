@@ -72,6 +72,9 @@ def c4_line_flags(df: DataFrame, text_col: str = "text",
                   page_blocklist=PAGE_BLOCKLIST) -> DataFrame:
     """Add ``text_c4`` (the line-filtered text), ``c4_lines_kept`` /
     ``c4_lines_total``, and ``c4_keep_page`` — one map-only scan."""
+    from .dedup import _parallelize
+
+    df = _parallelize(df)        # spread 1-task scans; no-op at scale
     # stage the split ONCE (referenced twice below — CollapseProject
     # would otherwise inline two split() copies into the map stage)
     staged = df.withColumn("__lines", F.split(F.col(text_col), "\n"))

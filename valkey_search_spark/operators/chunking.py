@@ -69,6 +69,9 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
         raise ValueError("overlap must satisfy 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
 
+    from .dedup import _parallelize
+
+    df = _parallelize(df)        # spread 1-task scans; no-op at scale
     toks = F.split(F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""),
                    r"\s+")
     staged = df.withColumn("__toks", toks)

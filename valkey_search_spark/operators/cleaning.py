@@ -149,8 +149,11 @@ def clean_text(df: DataFrame, text_col: str = "text",
     ``unicode_form``/``fix_mojibake`` enable the Arrow tier (one
     batched Python hop BEFORE the JVM chain, so normalization-created
     spaces still collapse); without them the scan is Python-free."""
+    from .dedup import _parallelize
+
     if unicode_form not in (None, "NFC", "NFKC", "NFD", "NFKD"):
         raise ValueError(f"unknown unicode_form: {unicode_form!r}")
+    df = _parallelize(df)        # spread 1-task scans; no-op at scale
     out_col = out_col or text_col
     src: Column = F.col(text_col)
     if unicode_form or fix_mojibake:

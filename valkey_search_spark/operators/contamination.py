@@ -216,8 +216,12 @@ def redact_pii(df: DataFrame, text_col: str = "text",
     pattern wins the redaction, so per-kind counts can exceed the number
     of substitutions actually performed — counts are exposure signals,
     not a substitution ledger."""
+    from .dedup import _parallelize
+
     pats = patterns or PII_PATTERNS
-    out = df
+    # spread an under-partitioned scan (1-file inputs otherwise run the
+    # whole regex chain on ONE core); no-op on production inputs
+    out = _parallelize(df)
     for kind, pat in pats.items():
         out = out.withColumn(
             f"pii_{kind}_count",
@@ -272,6 +276,9 @@ def cross_doc_line_dedup(df: DataFrame, key: str = "doc_id",
     sort_array(collect_list(struct(pos, line))) — order restored by
     position, one groupBy shuffle. No window over the whole corpus, no
     driver materialization."""
+    from .dedup import _parallelize
+
+    df = _parallelize(df)        # spread 1-task scans; no-op at scale
     # F.split takes a Java regex but array_join rejoins literally:
     # \Q...\E-quote the separator so both sides agree on metacharacters
     # ('|', '.', ...) as literal text
@@ -518,6 +525,14 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     whole-stage codegen), and this operator builds nine gram arrays
     per row. Signals are bit-identical between engines (parity pinned
     in tests/test_repetition_full.py)."""
+    from .dedup import _parallelize
+
+    # spread an under-partitioned scan before either kernel: a 1-file
+    # input otherwise runs the whole signal computation on ONE task
+    # (for engine="arrow" that is ONE Python worker — measured ~2x on
+    # the bench's gopher-repetition row); no-op on production inputs
+    # and on composed upstreams that already repartitioned
+    df = _parallelize(df)
     if engine == "arrow":
         return _repetition_stats_arrow(df, text_col, tokens_col,
                                        top_ns, dup_ns)

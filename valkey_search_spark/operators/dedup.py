@@ -351,42 +351,60 @@ def ngram_jaccard_pairs(
     enumerate in either branch."""
     carry = (new_col,) if new_col else ()
     if stop_gram_df is None:
-        # dropDuplicates restores the per-document SET semantics the
-        # Jaccard needs (one row per distinct (doc, gram))
-        grams = (_gram_rows(df, key, text_col, shingle_n, carry=carry)
-                 .dropDuplicates(["k", "g"]))
-        sizes = grams.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+        # per-document DISTINCT gram-hash array, materialized ONCE by a
+        # persist (the same base shape as the stop-gram branch and the
+        # minhash verify): exploding the persisted attribute restores
+        # the one-row-per-(doc, gram) SET semantics without a
+        # dropDuplicates shuffle, and the per-doc set size rides each
+        # gram row as one long — so the old separate `sizes`
+        # aggregation and its two post-agg equi-joins disappear
+        # entirely. Gram identity is unchanged (xxhash64 of the token
+        # slice), so emitted jaccard values are bit-identical.
+        staged = _staged_tokens(df, key, text_col, carry=carry)
+        toks = F.col("__toks")
+        hs = F.when(F.size(toks) >= shingle_n, F.array_distinct(
+            F.transform(F.sequence(F.lit(1),
+                                   F.size(toks) - shingle_n + 1),
+                        lambda i: F.xxhash64(
+                            F.slice(toks, i, shingle_n)))))
+        base = staged.select("k", hs.alias("hs"), *carry).persist()
+        grams = base.select("k", F.size("hs").alias("n"),
+                            F.explode("hs").alias("g"), *carry)
         if new_col:
             # asymmetric: new-only grams vs all grams — old-old pairs
             # never enumerate. A new-new pair would match in both
             # orientations, so the right side contributes it only when
             # l.k < r.k; new-old pairs join once whatever the key order,
-            # then least/greatest normalizes.
+            # then least/greatest normalizes (sizes swap with the keys).
             left = grams.where(F.col(new_col)).drop(new_col)
+            lt = F.col("l.k") < F.col("r.k")
             shared = (
                 left.alias("l").join(grams.alias("r"), on="g")
-                .where(~F.col(f"r.{new_col}")
-                       | (F.col("l.k") < F.col("r.k")))
+                .where(~F.col(f"r.{new_col}") | lt)
                 .groupBy(F.least(F.col("l.k"), F.col("r.k")).alias("a"),
                          F.greatest(F.col("l.k"), F.col("r.k"))
-                         .alias("b"))
+                         .alias("b"),
+                         F.when(lt, F.col("l.n")).otherwise(F.col("r.n"))
+                         .alias("na"),
+                         F.when(lt, F.col("r.n")).otherwise(F.col("l.n"))
+                         .alias("nb"))
                 .agg(F.count(F.lit(1)).alias("inter"))
             )
         else:
             shared = (
                 grams.alias("l").join(grams.alias("r"), on="g")
                 .where(F.col("l.k") < F.col("r.k"))
-                .groupBy(F.col("l.k").alias("a"), F.col("r.k").alias("b"))
+                .groupBy(F.col("l.k").alias("a"), F.col("r.k").alias("b"),
+                         F.col("l.n").alias("na"), F.col("r.n").alias("nb"))
                 .agg(F.count(F.lit(1)).alias("inter"))
             )
-        return (
-            shared.join(sizes.withColumnRenamed("k", "a").withColumnRenamed("n", "na"), "a")
-            .join(sizes.withColumnRenamed("k", "b").withColumnRenamed("n", "nb"), "b")
-            .withColumn("jaccard", F.round(
+        out = (
+            shared.withColumn("jaccard", F.round(
                 F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
             .where(F.col("jaccard") >= threshold)
             .select("a", "b", "jaccard")
         )
+        return _with_handles(out, base)
 
     # candidate-then-verify with a stop-gram cutoff: hashed gram sets are
     # the verify payload (Jaccard over 64-bit hashed grams == string-gram

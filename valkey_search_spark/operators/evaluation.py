@@ -66,31 +66,41 @@ def ir_metrics(results: DataFrame, qrels: DataFrame, k: int = 10,
          .where(F.col(grade_col) > 0)
          .groupBy(q, d).agg(F.max("__g").alias("__g")))
 
-    hits = (ranked.join(j, [q, d], "inner")
-            .select(q, "__rank", "__g"))
-    per_q_hits = hits.groupBy(q).agg(
-        F.sum(F.when(F.col("__rank") <= k, 1).otherwise(0))
-         .alias("__rel_at_k"),
-        F.min("__rank").alias("__first_rel"),
-        F.sum(F.when(F.col("__rank") <= k,
-                     (F.pow(F.lit(2.0), F.col("__g")) - 1)
-                     / F.log2(F.col("__rank") + 1)).otherwise(0.0))
-         .alias("__dcg"))
+    # ONE pass over the ranked results (left-join the judgments, then a
+    # single per-query aggregate carrying n_results alongside the hit
+    # stats) and ONE windowed pass over the judgments (ideal DCG +
+    # n_relevant on the same query-keyed exchange). The former 4-branch
+    # shape re-executed the rank window for the n_results count and the
+    # judgment aggregation for n_relevant — plans are trees, and pruned
+    # projections defeat exchange reuse; this shape computes each
+    # subtree once and joins two frames instead of four.
+    per_q = (ranked.join(j, [q, d], "left")
+             .groupBy(q).agg(
+                 F.count("*").alias("n_results"),
+                 F.sum(F.when((F.col("__rank") <= k)
+                              & F.col("__g").isNotNull(), 1).otherwise(0))
+                  .alias("__rel_at_k"),
+                 F.min(F.when(F.col("__g").isNotNull(), F.col("__rank")))
+                  .alias("__first_rel"),
+                 F.sum(F.when((F.col("__rank") <= k)
+                              & F.col("__g").isNotNull(),
+                              (F.pow(F.lit(2.0), F.col("__g")) - 1)
+                              / F.log2(F.col("__rank") + 1))
+                       .otherwise(0.0)).alias("__dcg")))
 
-    # ideal DCG: grades sorted descending, discounted at ranks 1..k
+    # ideal DCG: grades sorted descending, discounted at ranks 1..k;
+    # n_relevant rides the same aggregation (count of ALL judged rows)
     ideal = (j.withColumn("__irank", F.row_number().over(
         Window.partitionBy(q).orderBy(F.col("__g").desc(),
                                       F.col(d).asc())))
-        .where(F.col("__irank") <= k)
         .groupBy(q).agg(
-            F.sum((F.pow(F.lit(2.0), F.col("__g")) - 1)
-                  / F.log2(F.col("__irank") + 1)).alias("__idcg")))
-    n_rel = j.groupBy(q).agg(F.count("*").alias("n_relevant"))
-    n_res = distinct_res.groupBy(q).agg(F.count("*").alias("n_results"))
+            F.sum(F.when(F.col("__irank") <= k,
+                         (F.pow(F.lit(2.0), F.col("__g")) - 1)
+                         / F.log2(F.col("__irank") + 1)))
+             .alias("__idcg"),
+            F.count("*").alias("n_relevant")))
 
-    return (n_rel.join(ideal, q)
-            .join(n_res, q, "left")
-            .join(per_q_hits, q, "left")
+    return (ideal.join(per_q, q, "left")
             .select(
                 F.col(q),
                 F.coalesce("n_results", F.lit(0)).alias("n_results"),

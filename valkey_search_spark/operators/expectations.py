@@ -135,7 +135,6 @@ def psi_drift(baseline: DataFrame, current: DataFrame, columns: list[str],
     (column, psi, n_bins_used)."""
     if not columns:
         raise ValueError("no columns given")
-    rows = []
     dtypes = dict(baseline.dtypes)
     cur_cols = dict(current.dtypes)
     for col in columns:
@@ -151,22 +150,59 @@ def psi_drift(baseline: DataFrame, current: DataFrame, columns: list[str],
         qs = baseline.approxQuantile(
             ordered, [i / n_bins for i in range(1, n_bins)], 0.001)
         all_edges = {c: sorted(set(e)) for c, e in zip(ordered, qs)}
-    for col in columns:
+    # categorical lexicons for EVERY string column in one job (per-doc
+    # explode of (column, value) structs -> one grouped count + one
+    # rank window) instead of one groupBy/collect per column
+    str_cols = [c for c in columns if c not in numeric_set]
+    tops: dict[str, set] = {c: set() for c in str_cols}
+    if str_cols:
+        from pyspark.sql.window import Window
+        pairs = baseline.select(F.explode(F.array(*[
+            F.struct(F.lit(c).alias("__col"),
+                     F.col(c).cast("string").alias("__v"))
+            for c in str_cols])).alias("p")).select("p.__col", "p.__v") \
+            .where(F.col("__v").isNotNull())
+        ranked = (pairs.groupBy("__col", "__v")
+                  .agg(F.count("*").alias("__n"))
+                  .withColumn("__r", F.row_number().over(
+                      Window.partitionBy("__col").orderBy(
+                          F.desc("__n"), F.asc("__v"))))
+                  .where(F.col("__r") <= max_categories))
+        for r in ranked.select("__col", "__v").collect():
+            tops[r["__col"]].add(r["__v"])
+
+    def bucket_of(col: str):
         if col in numeric_set:
-            bucket = _bucket_expr(F.col(col), all_edges[col])
-        else:
-            top = [r[0] for r in
-                   baseline.where(F.col(col).isNotNull())
-                   .groupBy(col).count()
-                   .orderBy(F.desc("count"), F.asc(col))
-                   .limit(max_categories).collect()]
-            c = F.col(col).cast("string")
-            bucket = F.when(c.isin(top), c).otherwise(F.lit("__OTHER__"))
-        b = baseline.where(F.col(col).isNotNull()) \
-            .groupBy(bucket.alias("__b")).agg(F.count("*").alias("nb"))
-        c = current.where(F.col(col).isNotNull()) \
-            .groupBy(bucket.alias("__b")).agg(F.count("*").alias("nc"))
-        merged = b.join(c, "__b", "full").collect()
+            return _bucket_expr(F.col(col), all_edges[col])
+        c = F.col(col).cast("string")
+        return F.when(c.isin(list(tops[col])), c) \
+            .otherwise(F.lit("__OTHER__"))
+
+    # ONE aggregation per side covering every column: explode each
+    # row's (column, bucket) structs, drop the per-column nulls, count
+    # per (column, bucket). The former per-column loop re-scanned both
+    # sides once per column; bucket semantics and PSI terms are
+    # unchanged.
+    def side_counts(df, alias):
+        structs = [F.struct(
+            F.lit(c).alias("__col"),
+            F.when(F.col(c).isNotNull(), bucket_of(c)).alias("__b"))
+            for c in columns]
+        return (df.select(F.explode(F.array(*structs)).alias("p"))
+                .select("p.__col", "p.__b")
+                .where(F.col("__b").isNotNull())
+                .groupBy("__col", "__b")
+                .agg(F.count("*").alias(alias)))
+
+    merged_rows = (side_counts(baseline, "nb")
+                   .join(side_counts(current, "nc"),
+                         ["__col", "__b"], "full").collect())
+    by_col: dict[str, list] = {c: [] for c in columns}
+    for r in merged_rows:
+        by_col[r["__col"]].append(r)
+    rows = []
+    for col in columns:
+        merged = by_col[col]
         tb = sum(r["nb"] or 0 for r in merged)
         tc = sum(r["nc"] or 0 for r in merged)
         psi = 0.0

@@ -118,41 +118,43 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
          else F.lit(1.0)).alias("w")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w)
     # pin the loop-invariant frames ONCE: every iteration joins the
-    # edge set twice — without this the caller's whole upstream lineage
-    # (extract/resolve/aggregate) re-executes 2x per round (measured
+    # edge set — without this the caller's whole upstream lineage
+    # (extract/resolve/aggregate) re-executes per round (measured
     # ~10x on the bench capstone)
     e = e.localCheckpoint(eager=True)
 
+    # one checkpointed loop-invariant frame instead of two: every node
+    # with its total out-weight attached (null for danglers). The rank
+    # state carries __outw through each round, so iterations never
+    # re-join the out-weight table.
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))
-             .distinct().localCheckpoint(eager=True))
-    # one row per node: its total out-weight (null for danglers)
-    outw = e.groupBy("src").agg(F.sum("w").alias("__outw")) \
-        .localCheckpoint(eager=True)
-    n_nodes = nodes.count()
+             .distinct())
+    outw = e.groupBy(F.col("src").alias("node")) \
+        .agg(F.sum("w").alias("__outw"))
+    nodesw = nodes.join(outw, "node", "left").localCheckpoint(eager=True)
+    n_nodes = nodesw.count()
     if n_nodes == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
+        return nodesw.select("node").withColumn("rank", F.lit(0.0))
 
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    ranks = nodesw.withColumn("rank", F.lit(1.0 / n_nodes))
     base = (1.0 - damping) / n_nodes
     for i in range(n_iter):
-        r = ranks.join(outw, ranks["node"] == outw["src"], "left") \
-            .select("node", "rank", "__outw")
         # dangling mass stays IN the plan as a broadcast one-row frame —
         # no driver action per iteration beyond the lineage-cut
         # checkpoint itself
-        dang = r.where(F.col("__outw").isNull()).agg(
+        dang = ranks.where(F.col("__outw").isNull()).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang"))
-        contribs = (e.join(r.where(F.col("__outw").isNotNull())
+        contribs = (e.join(ranks.where(F.col("__outw").isNotNull())
                            .select(F.col("node").alias("src"),
                                    "rank", "__outw"), "src")
                     .groupBy("dst")
                     .agg(F.sum(F.col("rank") * F.col("w")
                                / F.col("__outw")).alias("__in")))
-        ranks = (nodes.join(contribs,
-                            nodes["node"] == contribs["dst"], "left")
+        ranks = (nodesw.join(contribs,
+                             nodesw["node"] == contribs["dst"], "left")
                  .crossJoin(F.broadcast(dang))
-                 .select("node",
+                 .select("node", "__outw",
                          (F.lit(base)
                           + F.lit(damping)
                           * (F.coalesce(F.col("__in"), F.lit(0.0))
@@ -162,7 +164,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
             # cut the lineage: without this the plan nests one
             # join+agg per iteration and round 20 replans round 1
             ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def degree_stats(edges: DataFrame, src: str = "src",

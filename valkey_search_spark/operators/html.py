@@ -220,6 +220,9 @@ def extract_documents(df: DataFrame, html_col: str = "html",
     scan (one Arrow hop only when full_entities); the density
     denominator reuses the extracted text column instead of re-running
     the strip/decode/normalize chain per row."""
+    from .dedup import _parallelize
+
+    df = _parallelize(df)        # spread 1-task scans; no-op at scale
     out = html_to_text(df, html_col, "text", full_entities)
     out = (out
            .withColumn("title", html_title_col(F.col(html_col)))

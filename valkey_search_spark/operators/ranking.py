@@ -72,6 +72,9 @@ def bm25_corpus_stats(df: DataFrame, text_col: str = "text",
     containing the token, via a per-doc distinct explode). Feed the
     result to ``bm25_rank(corpus_stats=...)`` and every later query
     against this corpus runs zero eager statistics jobs."""
+    from .dedup import _parallelize
+
+    df = _parallelize(df)        # spread 1-task scans; no-op at scale
     if tokens_col is None:
         toks_src = raw_tokens_column(F.col(text_col))
     elif isinstance(tokens_col, Column):
@@ -121,6 +124,9 @@ def bm25_rank(df: DataFrame, terms: list[str], key: str = "doc_id",
     term the indexer never saw."""
     if not terms:
         raise ValueError("BM25 needs at least one query term")
+    from .dedup import _parallelize
+
+    df = _parallelize(df)        # spread 1-task scans; no-op at scale
     terms = list(dict.fromkeys(terms))          # dedup, keep order
     if tokens_col is None:
         toks_src = raw_tokens_column(F.col(text_col))

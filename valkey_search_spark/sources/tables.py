@@ -17,6 +17,14 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # NOTE (r12, measured): a blanket repartition-after-read here was
+    # tried to fix the 1-file/1-row-group testdata scans executing as a
+    # single task, and REVERTED — the round-robin exchange cost more
+    # than the parallelism bought on every cheap scan (agg_q1 1.03 ->
+    # 1.65 s, knn_binary 1.41 -> 1.81 s, events_resample 0.98 -> 1.31 s
+    # isolated min-of-3). The CPU-bound text operators instead spread
+    # their own input (dedup._parallelize at operator entry), which is
+    # a no-op on well-partitioned production inputs.
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         # events.ts is TIMESTAMP(NANOS); Spark reads it only as long
