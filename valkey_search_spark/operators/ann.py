@@ -560,6 +560,36 @@ class IVFIndex:
         return sum(len(ids) for ids in self.list_map)
 
 
+
+def _collect_matrix(df: DataFrame, key_col: str, vec_col: str,
+                    dtype=np.float64):
+    """Collect a (key, vector) frame to ``(keys ndarray, matrix
+    ndarray)`` through ONE Arrow fetch. The row path —
+    ``np.array([r[c] for r in df.collect()])`` — converts every cell
+    through a boxed Python object (measured ~2 s per 5k x 256 collect
+    on the bench's hybrid row); reshaping the Arrow list column's
+    values buffer is ~50x cheaper and byte-identical. Falls back to
+    the row path for ragged vectors, element nulls, or any Arrow
+    surprise (the contract is the OLD behavior, faster)."""
+    try:
+        tbl = df.select(key_col, vec_col).toArrow()
+        keys = tbl.column(0).to_numpy(zero_copy_only=False)
+        col = tbl.column(1).combine_chunks()
+        if len(col) and col.null_count == 0 and col.values.null_count == 0:
+            off = col.offsets.to_numpy()
+            widths = np.diff(off)
+            if widths.size and widths[0] > 0 and (widths == widths[0]).all():
+                flat = col.values.to_numpy(zero_copy_only=False)
+                mat = np.asarray(flat[off[0]:off[-1]], dtype=dtype) \
+                    .reshape(len(col), int(widths[0]))
+                return keys, mat
+        return keys, np.array(col.to_pylist(), dtype=dtype)
+    except Exception:
+        rows = df.select(key_col, vec_col).collect()
+        keys = np.array([r[0] for r in rows])
+        return keys, np.array([r[1] for r in rows], dtype=dtype)
+
+
 def recall_at_k(approx: DataFrame, exact: DataFrame, key: str, k: int) -> float:
     """Fraction of the exact top-k present in the approximate top-k —
     for SINGLE-query result frames (``IVFIndex.search`` output). For
@@ -777,9 +807,8 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 10,
             return knn_join_bucketed(
                 queries, index, k=k, nprobe=index.n_lists,
                 query_key=query_key, corpus_key=corpus_key, vec_col=vec_col)
-    corpus_rows = (corpus.select(corpus_key, vec_col).dropna().collect())
-    ckeys = np.array([r[corpus_key] for r in corpus_rows])
-    cmat = np.array([r[vec_col] for r in corpus_rows], dtype=np.float64)
+    ckeys, cmat = _collect_matrix(
+        corpus.select(corpus_key, vec_col).dropna(), corpus_key, vec_col)
     if metric == "cosine":
         norms = np.linalg.norm(cmat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
@@ -1006,11 +1035,29 @@ def knn_join_bucketed(queries: DataFrame, index: IVFIndex, k: int = 10,
         # Python loop: rows are assembled with numpy fancy indexing.
         order = np.lexsort(
             (np.broadcast_to(ckeys, d.shape), d), axis=1)[:, :kk]
+        if pq is None:
+            # re-emit the kept set with the CANONICAL per-pair distance
+            # (same fix as hnsw._search_layer): the gemm's per-cell
+            # rounding depends on the LIST's block shape, so the same
+            # (query, vector) pair scored in two differently-sized
+            # lists (split vs unsplit index, or exact duplicates
+            # landing in different lists) can differ by 1 ulp, which
+            # flips the global (distance, key) window's tie order. The
+            # elementwise row form depends only on the pair itself.
+            # O(nq*k*dim) — negligible next to the (nq, n_list) gemm.
+            sel = c[order]                          # (nq, kk, dim)
+            if metric == "l2":
+                diff = q[:, None, :] - sel
+                dsel = np.sqrt((diff * diff).sum(axis=2))
+            else:
+                dsel = 1.0 - (q[:, None, :] * sel).sum(axis=2)
+        else:
+            dsel = np.take_along_axis(d, order, axis=1)
         return pd.DataFrame({
             "__qidx": np.repeat(left["__qidx"].to_numpy(), kk),
             query_key: np.repeat(left[query_key].to_numpy(), kk),
             corpus_key: ckeys[order].ravel(),
-            "distance": np.take_along_axis(d, order, axis=1).ravel(),
+            "distance": dsel.ravel(),
         }, columns=cols)
 
     cand = (probed.groupBy("__list")
@@ -1219,12 +1266,12 @@ def knn_join_binary(queries: DataFrame, corpus: DataFrame, k: int = 10,
              for i, r in enumerate(qrows)], qdf_schema)
         cand = cand.join(F.broadcast(qdf), "__qidx")
     else:
-        crows = (coded.select(corpus_key, code_col)
-                 .where(F.col(code_col).isNotNull()).collect())
-        if not crows:
+        ckeys, cmat = _collect_matrix(
+            coded.select(corpus_key, code_col)
+            .where(F.col(code_col).isNotNull()),
+            corpus_key, code_col, dtype=np.int64)
+        if not len(ckeys):
             raise ValueError("empty corpus")
-        ckeys = np.array([r[corpus_key] for r in crows])
-        cmat = np.array([r[code_col] for r in crows], dtype=np.int64)
         order = np.argsort(ckeys)
         ckeys, cmat = ckeys[order], cmat[order]
         bc = spark.sparkContext.broadcast((ckeys, cmat))

@@ -184,6 +184,9 @@ class BigramLM:
         ``tokens_col`` names an already-materialized token array (e.g.
         the one a composed analysis pass staged) to skip the second
         tokenizer scan — the same reuse hook as ``repetition_stats``."""
+        from .dedup import _parallelize
+
+        df = _parallelize(df)    # spread 1-task scans; no-op at scale
         toks_src = (F.col(tokens_col) if tokens_col
                     else raw_tokens_column(F.col(text_col)))
         staged = (df.select(F.col(key).alias("k"),
