@@ -74,16 +74,18 @@ def test_mode_collapse_signature(spark):
             math.log2(d[n]["distinct_ngrams"]), rel=1e-9)
 
 
-def test_two_data_shuffles_plan(spark, sf_dir):
+def test_one_data_shuffle_plan(spark, sf_dir):
     df = diversity_metrics(load(spark, sf_dir, "documents"), ns=(1, 2))
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # exactly two gram-keyed data shuffles (the count_distinct
-    # pre-aggregation on (n, gram, doc) + the (n, gram) aggregation);
-    # the rest are input repartitions and the n-row final/sort
+    # exactly ONE gram-keyed data shuffle: cross_doc uses
+    # min(doc) != max(doc) instead of count_distinct(doc), so the
+    # expand rewrite's extra (n, gram, doc)-clustered exchange is gone
+    # and everything aggregates on the single (n, gram) exchange; the
+    # rest are input repartitions and the n-row final/sort
     import re
     hashes = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     gram_shuffles = [h for h in hashes if "__gram" in h]
-    assert len(gram_shuffles) == 2, gram_shuffles
+    assert len(gram_shuffles) == 1, gram_shuffles
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 

@@ -288,11 +288,18 @@ def cross_doc_line_dedup(df: DataFrame, key: str = "doc_id",
     exploded = (staged.select(key,
                               F.posexplode("__lines").alias("__p", "__l"))
                 .withColumn("__h", F.xxhash64("__l")))
-    freq = (exploded.where(F.trim(F.col("__l")) != "")
-            .groupBy("__h")
-            .agg(F.count_distinct(key).alias("__df"))
-            .where(F.col("__df") >= min_doc_freq)
-            .select("__h", F.lit(True).alias("__boiler")))
+    base = exploded.where(F.trim(F.col("__l")) != "").groupBy("__h")
+    if min_doc_freq == 2:
+        # >= 2 distinct docs == min(key) != max(key): one (hash)-keyed
+        # exchange instead of count_distinct's expand rewrite (which
+        # first clusters every (hash, DOC) line row on its own exchange)
+        freq = (base.agg((F.min(key) != F.max(key)).alias("__multi"))
+                .where("__multi")
+                .select("__h", F.lit(True).alias("__boiler")))
+    else:
+        freq = (base.agg(F.count_distinct(key).alias("__df"))
+                .where(F.col("__df") >= min_doc_freq)
+                .select("__h", F.lit(True).alias("__boiler")))
     marked = exploded.join(freq, "__h", "left")
     rebuilt = (marked.groupBy(key).agg(
         F.array_join(
@@ -716,11 +723,23 @@ def exact_substring_dedup(df: DataFrame, key: str = "doc_id",
                .where(F.col("__i") <= F.size(toks) - n)
                .select("k", "__i", F.xxhash64(
                    F.slice(toks, F.col("__i") + 1, n)).alias("__gram")))
-    dup = (windows.groupBy("__gram")
-           .agg(F.count_distinct("k").alias("__df"),
-                F.min("k").alias("__keeper"))
-           .where(F.col("__df") >= min_doc_freq)
-           .select("__gram", "__keeper"))
+    if min_doc_freq == 2:
+        # the common case only asks WHETHER >= 2 distinct docs hold the
+        # gram, which min(k) != max(k) answers in the same single
+        # (gram)-keyed exchange as the keeper min — count_distinct
+        # would force Spark's expand rewrite, an extra exchange
+        # clustering every (gram, DOC) window row first
+        dup = (windows.groupBy("__gram")
+               .agg(F.min("k").alias("__keeper"),
+                    F.max("k").alias("__mx"))
+               .where(F.col("__keeper") != F.col("__mx"))
+               .select("__gram", "__keeper"))
+    else:
+        dup = (windows.groupBy("__gram")
+               .agg(F.count_distinct("k").alias("__df"),
+                    F.min("k").alias("__keeper"))
+               .where(F.col("__df") >= min_doc_freq)
+               .select("__gram", "__keeper"))
     marked = windows.join(dup, "__gram")
     if keep_one:
         marked = marked.where(F.col("k") != F.col("__keeper"))

@@ -226,15 +226,22 @@ def diversity_metrics(df: DataFrame, key: str = "doc_id",
             .select(F.col("k").alias("__dk"),
                     F.explode(gram_structs).alias("__g"))
             .select("__g.n", "__g.__gram", "__dk"))
+    # cross_doc only needs WHETHER a gram spans >1 document, so
+    # min(doc) != max(doc) replaces count_distinct(doc): the exact
+    # distinct count forced Spark's two-phase expand — an extra
+    # Exchange clustering per-(n, gram, DOC) rows before the (n, gram)
+    # one — while min/max ride the same single (n, gram) exchange with
+    # map-side partials (plan: 3 data exchanges -> 2; the widest one,
+    # keyed on (n, gram, doc), is gone)
     per_gram = (allg.groupBy("n", "__gram")
                 .agg(F.count(F.lit(1)).alias("occ"),
-                     F.count_distinct("__dk").alias("docs")))
+                     (F.min("__dk") != F.max("__dk")).alias("multi_doc")))
     return (per_gram.groupBy("n")
             .agg(F.sum("occ").alias("total_ngrams"),
                  F.count(F.lit(1)).alias("distinct_ngrams"),
                  (F.count(F.lit(1)) / F.sum("occ"))
                  .alias("distinct_ratio"),
-                 (F.sum(F.when(F.col("docs") > 1, 1).otherwise(0))
+                 (F.sum(F.when(F.col("multi_doc"), 1).otherwise(0))
                   / F.count(F.lit(1))).alias("cross_doc_fraction"),
                  (F.log2(F.sum("occ"))
                   - F.sum(F.col("occ") * F.log2("occ")) / F.sum("occ"))

@@ -147,14 +147,17 @@ def write_webdataset(df: DataFrame, path: str, key: str,
                 "members by key, one sample per key")
         fpath = os.path.join(tmp, f"shard-{shard:06d}.tar")
         n = 0
+        # column arrays once, then a plain zip loop: iterrows() builds
+        # a Series per ROW (measured ~100x the per-member tar cost on
+        # text-sized members); the emitted bytes are identical
+        field_cols = [pdf[f"__f_{i}"].to_numpy() for i in range(len(exts))]
         # USTAR + zeroed metadata: byte-identical output per (key, seed).
         # The tar streams straight to disk — peak task memory is one
         # MEMBER, not 2x the shard (the pre-r10 BytesIO double-buffer).
         with open(fpath, "wb") as fh, \
                 tarfile.open(fileobj=fh, mode="w",
                              format=tarfile.USTAR_FORMAT) as tf:
-            for _, row in pdf.iterrows():
-                k = row["__k"]
+            for j, k in enumerate(pdf["__k"].to_numpy()):
                 if k.startswith("/") or ".." in k:
                     raise ValueError(f"unsafe sample key {k!r}")
                 if "." in k.rpartition("/")[2]:
@@ -166,7 +169,7 @@ def write_webdataset(df: DataFrame, path: str, key: str,
                         "basename: WebDataset readers split members at "
                         "the first dot, so dotted keys do not round-trip")
                 for i, ext in enumerate(exts):
-                    data = _encode_member(row[f"__f_{i}"], ext)
+                    data = _encode_member(field_cols[i][j], ext)
                     if data is None:
                         continue
                     info = tarfile.TarInfo(name=f"{k}.{ext}")
