@@ -103,3 +103,19 @@ def test_stratified_small_groups_taken_whole(spark):
     assert counts == {"g": 3, "h": 10}
     with pytest.raises(ValueError):
         stratified_sample(df, "grp", 0)
+
+
+def test_exact_recount_leaves_no_cached_rdds(spark, sf_dir):
+    """The recount pins one summary-kernel execution by COLLECTING the
+    <= k candidate frame (bounded rows), not by persist — so running it
+    must not grow the session's persistent-RDD set (the r11 lifecycle
+    note: the old persist relied on ContextCleaner)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    out = heavy_hitters(toks, "tok", k=10, summary_size=256,
+                        exact_recount=True).collect()
+    assert len(out) == 10
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after <= before
