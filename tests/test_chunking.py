@@ -108,10 +108,17 @@ def test_validation(spark):
 
 
 def test_plan_is_map_only_single_split(spark, sf_dir):
+    """chunk_documents is map-only: no DATA shuffle, and no exchange
+    beyond the optional input-spread round-robin (r12: an
+    under-partitioned 1-file scan repartitions once so the split/posexplode
+    chain doesn't run on a single task; a well-partitioned 100 TB input
+    gets none — chunking itself introduces no shuffle either way)."""
     docs = load(spark, sf_dir, "documents")
     out = chunk_documents(docs, chunk_tokens=64, overlap=16)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan            # map-only: no shuffle
+    assert plan.count("Exchange") <= 1
+    if "Exchange" in plan:
+        assert "ROUND_ROBIN" in plan or "RoundRobin" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # the split() runs once per document, not once per window/column ref
     assert plan.count("split(") <= 2         # staged column + alias echo
