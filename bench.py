@@ -104,6 +104,91 @@ BENCH_QUERIES = [
 ]
 
 
+# large-SF scaling leg (r12 verdict item 3): at sf0.1 every roster row
+# is orchestration-bound (76/79 rows ran FASTER on 8 cores than 32 in
+# BENCH_r12), so the headline numbers cannot falsify a parallelism
+# regression. This leg re-times a handful of heavy rows on a
+# FACTOR-x replica of the sf documents/embeddings tables, derived
+# deterministically from the parquet inputs AT BENCH TIME (rebuilt
+# every run — nothing cached across runs). Replicas get disjoint
+# token and key spaces (per-replica token suffix / key remap) so the
+# data volume scales LINEARLY — exact replication would blow up the
+# dedup rows quadratically (every gram shared by all copies).
+# Results land in bench_details.json ONLY; the stdout JSON line and
+# the timed-roster methodology are byte-unchanged. Comparing the
+# 32-core and 8-core BENCH files' scale_leg blocks makes parallel
+# speedup measurable (the "done" bar: heavy rows show 32c/8c >= 2).
+SCALE_LEG_ROWS = [
+    "dedup_ngram_jaccard",
+    "hygiene_span_dedup",
+    "hygiene_decontaminate",
+    "corpus_diversity",
+    "graph_pagerank",
+    "search_hybrid_rrf",
+    "mine_bitext",
+    "knn_hnsw",
+]
+
+
+def _build_scale_leg_dir(spark, sf_dir: str, factor: int) -> str:
+    from pyspark.sql import functions as F
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/valkey_scaleleg_{base}_x{factor}"
+    rep = spark.range(factor).select(F.col("id").cast("int").alias("__r"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # replica 0 is the original text; replicas r>0 suffix every token
+    # with _r, keeping gram/shingle spaces disjoint across replicas
+    text = F.when(F.col("__r") == 0, F.col("text")).otherwise(
+        F.array_join(
+            F.transform(F.split(F.col("text"), " "),
+                        lambda t: F.concat(t, F.lit("_"),
+                                           F.col("__r").cast("string"))),
+            " "))
+    (docs.crossJoin(rep)
+     .select((F.col("doc_id") * factor + F.col("__r")).alias("doc_id"),
+             text.alias("text"), "lang", "source", "n_chars")
+     .write.mode("overwrite").parquet(f"{out}/documents.parquet"))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # deterministic per-replica perturbation keeps vectors distinct
+    # (exact copies would give every KNN row factor-way distance ties)
+    shifted = F.transform(
+        F.col("embedding"),
+        lambda x: x + F.col("__r").cast("float") * F.lit(0.001)
+    ).cast("array<float>")
+    (emb.crossJoin(rep)
+     .select((F.col("vec_id") * factor + F.col("__r")).alias("vec_id"),
+             shifted.alias("embedding"), "label")
+     .write.mode("overwrite").parquet(f"{out}/embeddings.parquet"))
+    return out
+
+
+def scale_leg(spark, qs, sf_dir: str) -> dict:
+    factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
+    if factor <= 1:
+        return {"skipped": f"factor={factor}"}
+    t0 = time.perf_counter()
+    leg_dir = _build_scale_leg_dir(spark, sf_dir, factor)
+    prep_sec = round(time.perf_counter() - t0, 3)
+    rows: dict = {}
+    for name in SCALE_LEG_ROWS:
+        try:
+            spark.sparkContext.setJobDescription(f"scale_leg:{name}")
+            qs[name](spark, leg_dir).collect()       # warm: compile +
+            runs = []                                # artifact builds
+            for _ in range(2):
+                tq = time.perf_counter()
+                qs[name](spark, leg_dir).collect()
+                runs.append(round(time.perf_counter() - tq, 3))
+            rows[name] = {"sec": min(runs), "runs": runs}
+        except Exception as e:                        # noqa: BLE001
+            rows[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
+        finally:
+            spark.sparkContext.setJobDescription(None)
+    return {"factor": factor, "prep_sec": prep_sec,
+            "cpus": os.environ.get("SPARK_GRAFT_CPUS"), "rows": rows}
+
+
 def recall_gate(curve: list[dict], tier: str, threshold: float) -> str:
     """Pass/fail gate over a recall curve: the row whose ``tier`` label
     matches must exist and hold ``recall_at_10 >= threshold``. Routing
@@ -521,6 +606,15 @@ def main():
         "warm_totals": warm_totals,
     }
 
+    # large-SF scaling leg: LAST, after every headline measurement
+    # (including the end-of-session sentinel), so its heavy jobs cannot
+    # contaminate them; guarded so a leg failure can never break the
+    # stdout JSON line or the exit code
+    try:
+        leg = scale_leg(spark, qs, sf_dir)
+    except Exception as e:                            # noqa: BLE001
+        leg = {"error": f"{type(e).__name__}: {e}"[:300]}
+
     total = round(sum(times.values()), 3)
     # the stdout line carries ONLY the machine-comparable core — the r6/r7
     # artifacts overflowed the driver's stdout capture (parsed: null two
@@ -551,6 +645,7 @@ def main():
                                      - times[n], 0.0), 3)
                         for n in times},
         "sentinel": sentinel,
+        "scale_leg": leg,
         "ann_recall": ann_recall,
         "ann_recall_realistic": ann_recall_realistic,
         "ann_recall_hnsw": ann_recall_hnsw,

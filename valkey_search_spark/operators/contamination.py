@@ -275,10 +275,19 @@ def cross_doc_line_dedup(df: DataFrame, key: str = "doc_id",
     the per-line verdicts back, and reassemble each document with
     sort_array(collect_list(struct(pos, line))) — order restored by
     position, one groupBy shuffle. No window over the whole corpus, no
-    driver materialization."""
-    from .dedup import _parallelize
+    driver materialization.
 
-    df = _parallelize(df)        # spread 1-task scans; no-op at scale
+    NO input spread here (r13, fixes the one real r12 regression —
+    0.98 -> 1.79 s driver-measured at both core counts): this plan
+    consumes the input from THREE branches (frequency agg, verdict
+    probe, final reattach join), and plans are trees — a RoundRobin
+    spread at entry re-executed once per branch (3 RoundRobin
+    exchanges, total Exchange 10 -> 14). The gram-frequency groupBy is
+    the very next operation and its exchange parallelizes everything
+    downstream; only the split+posexplode map side of an
+    under-partitioned local scan runs narrow, which costs less than
+    one spread execution, let alone three (r11 ran exactly this shape
+    at 0.98 s vs r12's spread 1.79 s)."""
     # F.split takes a Java regex but array_join rejoins literally:
     # \Q...\E-quote the separator so both sides agree on metacharacters
     # ('|', '.', ...) as literal text
