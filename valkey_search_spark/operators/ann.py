@@ -573,7 +573,13 @@ def _collect_matrix(df: DataFrame, key_col: str, vec_col: str,
     surprise (the contract is the OLD behavior, faster)."""
     try:
         tbl = df.select(key_col, vec_col).toArrow()
-        keys = tbl.column(0).to_numpy(zero_copy_only=False)
+        kcol = tbl.column(0)
+        if kcol.null_count:
+            # to_numpy would coerce e.g. int64-with-nulls to float64 NaN;
+            # boxed keys keep the row path's exact null semantics
+            keys = np.array(kcol.to_pylist(), dtype=object)
+        else:
+            keys = kcol.to_numpy(zero_copy_only=False)
         col = tbl.column(1).combine_chunks()
         if len(col) and col.null_count == 0 and col.values.null_count == 0:
             off = col.offsets.to_numpy()
@@ -639,26 +645,27 @@ def _knn_join_flipped(queries: DataFrame, corpus: DataFrame, k: int,
     from pyspark.sql.window import Window
 
     spark = queries.sparkSession
-    qrows = (queries.select(query_key, vec_col)
-             .where(F.col(vec_col).isNotNull()).collect())
+    # ONE Arrow fetch of the query matrix (the _collect_matrix recipe —
+    # the boxed-Row path converted every cell through a Python object)
+    qkeys, qmat = _collect_matrix(
+        queries.select(query_key, vec_col)
+        .where(F.col(vec_col).isNotNull()), query_key, vec_col)
     out_schema_full = T.StructType([
         queries.schema[query_key],
         T.StructField(corpus_key, corpus.schema[corpus_key].dataType),
         T.StructField("distance", T.DoubleType()),
         T.StructField("rank", T.IntegerType()),
     ])
-    if not qrows:
+    if not len(qkeys):
         return spark.createDataFrame([], out_schema_full)
-    qdim = len(qrows[0][vec_col])
+    qdim = qmat.shape[1]
     if max_broadcast_bytes is not None and \
-            len(qrows) * qdim * 8 > max_broadcast_bytes:
+            len(qkeys) * qdim * 8 > max_broadcast_bytes:
         raise ValueError(
             f"both sides of knn_join exceed max_broadcast_bytes="
-            f"{max_broadcast_bytes} (query matrix ~{len(qrows) * qdim * 8}"
+            f"{max_broadcast_bytes} (query matrix ~{len(qkeys) * qdim * 8}"
             " B). Build an IVFIndex (pass index_path=) so the corpus is "
             "list-partitioned once and probed per query batch.")
-    qkeys = np.array([r[query_key] for r in qrows])
-    qmat = np.array([r[vec_col] for r in qrows], dtype=np.float64)
     if metric == "cosine":
         qn = np.linalg.norm(qmat, axis=1, keepdims=True)
         qn[qn == 0] = 1.0
@@ -1193,20 +1200,22 @@ def knn_join_binary(queries: DataFrame, corpus: DataFrame, k: int = 10,
     ckey_type = corpus.schema[corpus_key].dataType
 
     if flipped:
-        # corpus-distributed path: broadcast QUERY codes, stream corpus
-        qrows = (queries.select(query_key, vec_col)
-                 .where(F.col(vec_col).isNotNull()).collect())
-        if not qrows:
+        # corpus-distributed path: broadcast QUERY codes, stream corpus.
+        # ONE Arrow fetch of the query matrix (the _collect_matrix
+        # recipe; the boxed-Row path converted every cell through a
+        # Python object)
+        qkeys, qmat = _collect_matrix(
+            queries.select(query_key, vec_col)
+            .where(F.col(vec_col).isNotNull()), query_key, vec_col)
+        if not len(qkeys):
             raise ValueError("no queries")
-        qdim = len(qrows[0][vec_col])
-        if len(qrows) * qdim * 8 > max_broadcast_bytes:
+        qdim = qmat.shape[1]
+        if len(qkeys) * qdim * 8 > max_broadcast_bytes:
             raise ValueError(
                 f"both sides of knn_join_binary exceed max_broadcast_bytes"
                 f"={max_broadcast_bytes}: corpus codes ~{n_rows * n_words * 8}"
-                f" B, query vectors ~{len(qrows) * qdim * 8} B. Build an "
+                f" B, query vectors ~{len(qkeys) * qdim * 8} B. Build an "
                 "IVFIndex and use knn_join_bucketed for huge-x-huge joins.")
-        qkeys = np.array([r[query_key] for r in qrows])
-        qmat = np.array([r[vec_col] for r in qrows], dtype=np.float64)
         qcodes = _pack_sign_codes(qmat, n_words, thr)
         bcq = spark.sparkContext.broadcast((qkeys, qcodes))
         n_cand = min(k * oversample, n_rows)
@@ -1262,8 +1271,8 @@ def knn_join_binary(queries: DataFrame, corpus: DataFrame, k: int = 10,
             T.StructField("__qv", queries.schema[vec_col].dataType),
         ])
         qdf = spark.createDataFrame(
-            [(i, r[query_key], list(r[vec_col]))
-             for i, r in enumerate(qrows)], qdf_schema)
+            [(i, k, v) for i, (k, v) in
+             enumerate(zip(qkeys.tolist(), qmat.tolist()))], qdf_schema)
         cand = cand.join(F.broadcast(qdf), "__qidx")
     else:
         ckeys, cmat = _collect_matrix(

@@ -120,7 +120,13 @@ def mine_bitext(src: DataFrame, tgt: DataFrame, k: int = 4,
                     .select("__s", "__t"))
         best_fwd = best_fwd.join(best_bwd, ["__s", "__t"], "left_semi")
 
-    return (best_fwd.where(F.col("margin") >= min_margin)
-            .select(F.col("__s").alias(src_key),
-                    F.col("__t").alias(tgt_key),
-                    F.col("__cos").alias("cos"), "margin"))
+    out = (best_fwd.where(F.col("margin") >= min_margin)
+           .select(F.col("__s").alias(src_key),
+                   F.col("__t").alias(tgt_key),
+                   F.col("__cos").alias("cos"), "margin"))
+    # dedup's release() convention: long-lived sessions can free the
+    # two bounded candidate caches once the result is consumed instead
+    # of waiting for ContextCleaner to notice the lineage is dead
+    from .dedup import _with_handles
+
+    return _with_handles(out, fwd, bwd)

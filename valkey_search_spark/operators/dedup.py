@@ -22,6 +22,7 @@ Each operator is expressed as shuffle-conscious DataFrame composition:
 from __future__ import annotations
 
 import math
+import re
 
 import pandas as pd
 
@@ -49,6 +50,15 @@ def release(df: DataFrame, blocking: bool = False) -> None:
     df._vss_cached = []
 
 
+# logical-plan nodes that imply a shuffle (or an ordering that a
+# round-robin spread would destroy); matched at line starts of the plan
+# tree — "+- Join Inner, ..." / "   Window [...]" — never inside column
+# names. Repartition covers both Repartition and RepartitionByExpression.
+_SHUFFLE_NODE_RE = re.compile(
+    r"^[\s:+-]*(?:Window|Join|Aggregate|Repartition|Deduplicate|Sort)\b",
+    re.MULTILINE)
+
+
 def _parallelize(df: DataFrame) -> DataFrame:
     """Round-robin repartition when the input has fewer partitions than
     cores. A single small parquet file reads as ONE task; the per-row
@@ -59,10 +69,14 @@ def _parallelize(df: DataFrame) -> DataFrame:
     Frames that already contain a shuffle (window/join/aggregate) are left
     alone WITHOUT probing partition counts: their layout follows
     spark.sql.shuffle.partitions, and df.rdd on such a plan triggers AQE
-    stage execution — an eager job inside what must stay a lazy builder."""
+    stage execution — an eager job inside what must stay a lazy builder.
+    Node names are matched at LINE STARTS of the plan tree (a user
+    column literally named e.g. 'join_key_Window' must not disable the
+    spread), and 'Sort' is excluded too: appending a round-robin
+    repartition to a caller-sorted single-file frame would silently
+    destroy its row order."""
     plan = df._jdf.queryExecution().logical().toString()
-    if any(k in plan for k in ("Window", "Join", "Aggregate",
-                               "Repartition", "Deduplicate")):
+    if _SHUFFLE_NODE_RE.search(plan):
         return df
     target = df.sparkSession.sparkContext.defaultParallelism
     # file count is a pure-metadata proxy for scan parallelism — unlike
@@ -348,7 +362,14 @@ def ngram_jaccard_pairs(
     ``new_col`` (incremental mode, same contract as the minhash/simhash
     operators): only pairs involving at least one flagged document, via
     the asymmetric new-vs-all gram join — old-vs-old pairs never
-    enumerate in either branch."""
+    enumerate in either branch.
+
+    PRECONDITION: ``key`` values must be unique (one row per document,
+    the contract of every pair generator in this module). With
+    duplicate keys the per-ROW gram staging merges nothing, so a key's
+    shared grams double-count (inflated inter / na / nb) instead of
+    collapsing to one per-key gram set — dropDuplicates([key]) dirty
+    inputs first."""
     carry = (new_col,) if new_col else ()
     if stop_gram_df is None:
         # per-document DISTINCT gram-hash array, materialized ONCE by a

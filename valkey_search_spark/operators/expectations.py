@@ -132,7 +132,15 @@ def psi_drift(baseline: DataFrame, current: DataFrame, columns: list[str],
     folded into one __OTHER__ bin, so the per-column frames stay
     bounded at any cardinality. Empty-side bins are floored at
     ``epsilon`` (the standard smoothing). Returns
-    (column, psi, n_bins_used)."""
+    (column, psi, n_bins_used).
+
+    Tie-break note: count ties at the ``max_categories`` boundary are
+    broken by the STRING-CAST value ascending (the r12 batched-lexicon
+    rewrite; the old per-column loop ordered by the native column
+    type). For string columns — the intended input — the two orders
+    are identical; a NON-string categorical column with boundary ties
+    can select a different top set than the pre-r12 code. Pre-rank on
+    the native value before casting if that parity ever matters."""
     if not columns:
         raise ValueError("no columns given")
     dtypes = dict(baseline.dtypes)

@@ -93,21 +93,72 @@ def _stack_query_tokens(queries: DataFrame, query_key: str,
                 f"query bags are broadcast whole — shrink the query "
                 f"batch (chunk and union results), or pass "
                 f"max_broadcast_bytes=None if it is known to fit")
-    rows = pruned.collect()
-    keys, mats = [], []
-    for r in rows:
-        m = _stack_bag(r[qvecs_col], r[query_key], "query")
-        if metric == "cosine":
-            n = np.linalg.norm(m, axis=1, keepdims=True)
-            n[n == 0] = 1.0
-            m = m / n
-        keys.append(r[query_key])
-        mats.append(m)
-    if not keys:
-        return [], np.zeros((0, 1)), np.zeros(1, dtype=np.int64)
-    offs = np.zeros(len(mats) + 1, dtype=np.int64)
-    np.cumsum([len(m) for m in mats], out=offs[1:])
-    return keys, np.vstack(mats), offs
+    got = _collect_bags_arrow(pruned, query_key, qvecs_col)
+    if got is None:
+        # row-path fallback: ragged bags, element nulls, or any Arrow
+        # surprise — the contract is the OLD behavior (including the
+        # ragged-bag ValueError naming the offending key), just slower
+        rows = pruned.collect()
+        keys, mats = [], []
+        for r in rows:
+            m = _stack_bag(r[qvecs_col], r[query_key], "query")
+            keys.append(r[query_key])
+            mats.append(m)
+        if not keys:
+            return [], np.zeros((0, 1)), np.zeros(1, dtype=np.int64)
+        offs = np.zeros(len(mats) + 1, dtype=np.int64)
+        np.cumsum([len(m) for m in mats], out=offs[1:])
+        qmat = np.vstack(mats)
+    else:
+        keys, qmat, offs = got
+        if not keys:
+            return [], np.zeros((0, 1)), np.zeros(1, dtype=np.int64)
+    if metric == "cosine":
+        # row-wise (per token vector), so normalizing the stacked matrix
+        # is identical to normalizing each bag separately
+        n = np.linalg.norm(qmat, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        qmat = qmat / n
+    return keys, qmat, offs
+
+
+def _collect_bags_arrow(pruned, key_col: str, bag_col: str):
+    """Collect (key, bag-of-token-vectors) through ONE Arrow fetch —
+    the ann.py ``_collect_matrix`` recipe extended one nesting level:
+    the outer list column's offsets give the bag boundaries in token
+    units, the inner list column's values buffer reshapes zero-copy to
+    the stacked (total_tokens, dim) matrix. Returns (keys list, matrix,
+    offsets) or None when any null / ragged dim / Arrow surprise means
+    the caller must take the boxed-row path (whose semantics — errors
+    included — are the contract)."""
+    try:
+        import pyarrow.compute as pc
+
+        tbl = pruned.select(key_col, bag_col).toArrow()
+        keys = tbl.column(0).to_pylist()
+        outer = tbl.column(1).combine_chunks()
+        if len(outer) == 0:
+            return [], np.zeros((0, 1)), np.zeros(1, dtype=np.int64)
+        if outer.null_count:
+            return None
+        inner = outer.flatten()                   # one row per token vec
+        if inner.null_count:
+            return None
+        widths = pc.list_value_length(inner).to_numpy()
+        if not widths.size or widths[0] <= 0 or (widths != widths[0]).any():
+            return None                           # ragged token vectors
+        dim = int(widths[0])
+        elems = inner.flatten()                   # flat element array
+        if elems.null_count:
+            return None
+        qmat = np.asarray(elems.to_numpy(zero_copy_only=False),
+                          dtype=np.float64).reshape(len(inner), dim)
+        bag_lens = pc.list_value_length(outer).to_numpy()
+        offs = np.zeros(len(outer) + 1, dtype=np.int64)
+        np.cumsum(bag_lens, out=offs[1:])
+        return keys, qmat, offs
+    except Exception:
+        return None
 
 
 def maxsim_join(queries: DataFrame, docs: DataFrame, k: int = 10,
