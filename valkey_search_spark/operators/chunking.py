@@ -74,6 +74,10 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
     df = _parallelize(df)        # spread 1-task scans; no-op at scale
     toks = F.split(F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""),
                    r"\s+")
+    # NOTE: deliberately NOT _pin-ned — the whitespace split is cheap
+    # enough that the inferred-filter duplication costs less than the
+    # pin's lost optimizations (interleaved A/B: pinned 0.51/0.53 s vs
+    # 0.35/0.38 s unpinned on the bench row; r13)
     staged = df.withColumn("__toks", toks)
     n = F.size(F.col("__toks"))
     starts = F.sequence(F.lit(0), F.greatest(n - overlap - 1, F.lit(0)),

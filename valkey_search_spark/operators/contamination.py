@@ -292,8 +292,12 @@ def cross_doc_line_dedup(df: DataFrame, key: str = "doc_id",
     # \Q...\E-quote the separator so both sides agree on metacharacters
     # ('|', '.', ...) as literal text
     sep_re = "\\Q" + separator.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+    from .dedup import _pin
+
     lines_col = F.split(F.col(text_col), sep_re)
-    staged = df.withColumn("__lines", lines_col)
+    # _pin: blocks the posexplode's inferred size/isnotnull filter from
+    # inlining the split below the projection (dedup._pin docs)
+    staged = df.withColumn("__lines", _pin(lines_col))
     exploded = (staged.select(key,
                               F.posexplode("__lines").alias("__p", "__l"))
                 .withColumn("__h", F.xxhash64("__l")))
@@ -710,10 +714,13 @@ def exact_substring_dedup(df: DataFrame, key: str = "doc_id",
     the subtrees non-identical so exchange reuse cannot merge them;
     that is extra embarrassingly-parallel map passes, never an extra
     shuffle, the same recompute shape as ``cross_doc_line_dedup``."""
-    from .dedup import _parallelize, _staged_tokens
+    from .dedup import _parallelize, _pin, _staged_tokens
 
     if tokenizer == "analysis":
-        staged = _staged_tokens(df, key, text_col)
+        # barrier=False, same rationale as the whitespace arm below: the
+        # windows subtree re-executes per consuming branch, so a
+        # post-tokenize repartition would be THREE full-corpus shuffles
+        staged = _staged_tokens(df, key, text_col, barrier=False)
     elif tokenizer == "whitespace":
         # _parallelize spreads an under-partitioned input; NO further
         # repartition — a post-tokenize shuffle is re-run per consuming
@@ -721,8 +728,8 @@ def exact_substring_dedup(df: DataFrame, key: str = "doc_id",
         # corpus scale is three full-corpus shuffles for zero benefit
         staged = (_parallelize(df)
                   .select(F.col(key).alias("k"),
-                          F.filter(F.split(F.col(text_col), r"\s+"),
-                                   lambda w: w != "").alias("__toks")))
+                          _pin(F.filter(F.split(F.col(text_col), r"\s+"),
+                                        lambda w: w != "")).alias("__toks")))
     else:
         raise ValueError(f"unknown tokenizer {tokenizer!r} "
                          "(expected 'whitespace' or 'analysis')")

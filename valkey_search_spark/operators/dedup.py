@@ -26,6 +26,7 @@ import re
 
 import pandas as pd
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from ..functions.analysis import raw_tokens_column
@@ -105,33 +106,53 @@ def _parallelize(df: DataFrame) -> DataFrame:
     return df
 
 
+def _pin(col):
+    """Identity wrapper that pins an expensive expression to exactly ONE
+    evaluation in the projection that defines it, by making the defining
+    expression formally nondeterministic: ``spark_partition_id() >= -1``
+    is always true (the wrapped value is returned unchanged for every
+    row, retries included), but the optimizer may not duplicate, inline,
+    constant-fold, or push expressions containing a nondeterministic
+    node. Without it two rules re-run the tokenizer over the corpus:
+    ``InferFiltersFromGenerate`` derives ``size(toks) > 0 AND
+    isnotnull(toks)`` from a posexplode and pushdown substitutes the
+    full tokenizer into that filter BELOW the parallelizing exchange
+    (two extra serial evaluations per row on an under-partitioned
+    scan — measured 6 tokenizer copies in hygiene_decontaminate's plan,
+    2 after the pin), and ``CollapseProject`` inlines the tokenizer
+    into every downstream reference when projections merge. Guardrails:
+    (``rand() > c`` folds — Spark 4 knows rand's range; ``spark_
+    partition_id`` comparisons survive). Side effect to keep in mind:
+    no later filter can be pushed below the pinned projection."""
+    return F.when(F.spark_partition_id() >= -1, col)
+
+
 def _staged_tokens(df: DataFrame, key: str, text_col: str,
                    carry: tuple[str, ...] = (),
                    barrier: bool = True) -> DataFrame:
-    """(k, __toks) with the token array materialized through a shuffle
-    barrier. The shingle expressions below reference the token array many
-    times (size, sequence bound, one slice per position INSIDE an array
-    lambda — lambda-captured expressions re-evaluate per element and are
-    never CSE'd); deriving them from the raw text column re-runs the
-    tokenizer regex per reference — observed 15-20x per row. Tokenizing
-    BEFORE the repartition exchange makes the array a materialized
-    shuffle column computed exactly once.
+    """(k, __toks) with the token array pinned to one evaluation
+    (``_pin``). The shingle expressions below reference the token array
+    many times (size, sequence bound, one slice per position INSIDE an
+    array lambda — lambda-captured expressions re-evaluate per element
+    and are never CSE'd); deriving them from the raw text column re-runs
+    the tokenizer regex per reference — observed 15-20x per row. The
+    nondeterministic pin forbids that inlining outright, so the array
+    is computed exactly once whatever the consumer shape.
+
+    ``barrier=True`` (historical default) additionally materializes the
+    arrays through a repartition exchange — kept for consumers whose
+    plans still want the even re-spread after tokenization; the pin,
+    not the exchange, is what prevents re-evaluation now.
 
     ``barrier=False`` skips the repartition for consumers whose
     downstream references the array only as a TOP-LEVEL projection
-    attribute a bounded number of times (the posexplode window shape:
-    explode + size + slice) — Catalyst refuses to inline an expensive
-    expression referenced more than once, so the array stays staged
-    without paying a corpus shuffle, and the shuffle would otherwise be
-    re-executed per consuming branch (pruned projections defeat
-    exchange reuse)."""
+    attribute (the posexplode window shape: explode + size + slice) —
+    no corpus shuffle, and the shuffle would otherwise be re-executed
+    per consuming branch (pruned projections defeat exchange reuse)."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    # first exchange parallelizes the tokenizer (raw text may be a single
-    # input split); second exchange materializes the token arrays so the
-    # many downstream references read them instead of re-running the regex
     out = (_parallelize(df)
            .select(F.col(key).alias("k"),
-                   raw_tokens_column(F.col(text_col)).alias("__toks"),
+                   _pin(raw_tokens_column(F.col(text_col))).alias("__toks"),
                    *carry))
     return out.repartition(target) if barrier else out
 
@@ -263,13 +284,20 @@ def minhash_lsh_pairs(
     # gets pushed below it, DUPLICATING the expensive expression; null hs
     # rows drop out naturally at the explode and the jaccard threshold
     carry = (new_col,) if new_col else ()
-    staged = _staged_tokens(df, key, text_col, carry=carry)
+    # barrier=False: base persists immediately below, so the token
+    # arrays materialize into the cache — the historical repartition
+    # exchange before it was a full-corpus shuffle for nothing (the
+    # _pin already guarantees one tokenizer evaluation)
+    staged = _staged_tokens(df, key, text_col, carry=carry, barrier=False)
     sh = _shingles_of(F.col("__toks"), shingle_n)
+    # MEMORY_AND_DISK (serialized): the hashed-shingle base is
+    # corpus-scale, so the cache must spill instead of squeezing
+    # execution memory (guide §5); released via _with_handles below
     base = staged.select(
         "k",
         F.transform(sh, lambda g: F.xxhash64(g)).alias("hs"),
         *carry,
-    ).persist()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
@@ -381,14 +409,19 @@ def ngram_jaccard_pairs(
         # aggregation and its two post-agg equi-joins disappear
         # entirely. Gram identity is unchanged (xxhash64 of the token
         # slice), so emitted jaccard values are bit-identical.
-        staged = _staged_tokens(df, key, text_col, carry=carry)
+        # barrier=False: the very next select persists — see
+        # minhash_lsh_pairs
+        staged = _staged_tokens(df, key, text_col, carry=carry,
+                                barrier=False)
         toks = F.col("__toks")
         hs = F.when(F.size(toks) >= shingle_n, F.array_distinct(
             F.transform(F.sequence(F.lit(1),
                                    F.size(toks) - shingle_n + 1),
                         lambda i: F.xxhash64(
                             F.slice(toks, i, shingle_n)))))
-        base = staged.select("k", hs.alias("hs"), *carry).persist()
+        # corpus-scale cache: serialized + disk spill (guide §5)
+        base = staged.select("k", hs.alias("hs"), *carry).persist(
+            StorageLevel.MEMORY_AND_DISK)
         grams = base.select("k", F.size("hs").alias("n"),
                             F.explode("hs").alias("g"), *carry)
         if new_col:
@@ -430,11 +463,12 @@ def ngram_jaccard_pairs(
     # candidate-then-verify with a stop-gram cutoff: hashed gram sets are
     # the verify payload (Jaccard over 64-bit hashed grams == string-gram
     # Jaccard up to collisions, same contract as the minhash verify)
-    staged = _staged_tokens(df, key, text_col, carry=carry)
+    staged = _staged_tokens(df, key, text_col, carry=carry,
+                            barrier=False)   # persists next — no barrier
     sh = _shingles_of(F.col("__toks"), shingle_n)
     base = staged.select(
         "k", F.transform(sh, lambda g: F.xxhash64(g)).alias("hs"),
-        *carry).persist()
+        *carry).persist(StorageLevel.MEMORY_AND_DISK)   # corpus-scale
     grams = base.select("k", F.explode(F.col("hs")).alias("g"), *carry)
     rare = (grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
             .where(F.col("df") <= stop_gram_df).select("g"))
@@ -570,7 +604,9 @@ def simhash_pairs(df: DataFrame, key: str, text_col: str = "text",
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
     carry = (new_col,) if new_col else ()
-    staged = _staged_tokens(df, key, text_col, carry=carry)
+    # barrier=False: one downstream consumer (the pack projection into
+    # hamming_code_pairs); the pin keeps the tokenizer single-shot
+    staged = _staged_tokens(df, key, text_col, carry=carry, barrier=False)
     hashes = F.transform(F.col("__toks"), hasher)
     coded = staged.select(
         "k", _simhash_pack(hashes, bits=nbits).alias("code"), *carry).where(

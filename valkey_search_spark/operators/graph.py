@@ -63,9 +63,18 @@ def extract_links(pages: DataFrame, html_col: str = "html",
         c = F.regexp_replace(c, "&#0*38;|&#x0*26;", "&")
         return F.regexp_replace(c, "&amp;", "&")
 
-    staged = pages.select(
+    from .dedup import _parallelize, _pin
+
+    # spread an under-partitioned input: the href-extraction regex is
+    # the expensive pass here and a 1-split scan would run it on one
+    # core (measured 2.1 s of graph_pagerank's 3.2 s serial; no-op on
+    # well-partitioned production inputs).
+    # _pin: the explode's inferred filter would otherwise re-run the
+    # href extraction regex twice below this projection (dedup._pin)
+    staged = _parallelize(pages).select(
         F.col(url_col).alias("url"),
-        html_hrefs_col(F.col(html_col), decode=False).alias("__hrefs"))
+        _pin(html_hrefs_col(F.col(html_col), decode=False))
+        .alias("__hrefs"))
     out = (staged
            .select("url", F.explode("__hrefs").alias("__raw"))
            .select("url", url_entities(F.col("__raw")).alias("__href"))

@@ -73,8 +73,14 @@ class BigramLM:
         pruning a KenLM build applies."""
         if order not in (2, 3):
             raise ValueError(f"order must be 2 or 3, got {order}")
+        from .dedup import _pin
+
+        # _pin: the posexplode's inferred size/isnotnull filter would
+        # otherwise inline the tokenizer below this projection and run
+        # it two extra times per row (dedup._pin docs)
         toks = (reference
-                .select(raw_tokens_column(F.col(text_col)).alias("__t"))
+                .select(_pin(raw_tokens_column(F.col(text_col)))
+                        .alias("__t"))
                 .select(F.posexplode("__t").alias("__i", "w"),
                         F.col("__t").alias("__toks")))
         pairs = (toks.where(F.col("__i") > 0)
@@ -184,11 +190,13 @@ class BigramLM:
         ``tokens_col`` names an already-materialized token array (e.g.
         the one a composed analysis pass staged) to skip the second
         tokenizer scan — the same reuse hook as ``repetition_stats``."""
-        from .dedup import _parallelize
+        from .dedup import _parallelize, _pin
 
         df = _parallelize(df)    # spread 1-task scans; no-op at scale
+        # _pin (computed-tokens path only): see train() — stops the
+        # generate-inferred filter from re-running the tokenizer
         toks_src = (F.col(tokens_col) if tokens_col
-                    else raw_tokens_column(F.col(text_col)))
+                    else _pin(raw_tokens_column(F.col(text_col))))
         staged = (df.select(F.col(key).alias("k"),
                             toks_src.alias("__toks"))
                   .select("k", F.posexplode("__toks").alias("__i", "w"),

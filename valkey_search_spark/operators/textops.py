@@ -482,14 +482,18 @@ def split_sentences(df: DataFrame, text_col: str = "text",
     """Explode documents to ``(key, sent_idx, sentence)`` — one
     map-only posexplode (no shuffle), the staged-attribute shape that
     avoids per-output-row re-evaluation of the split."""
-    from .dedup import _parallelize
+    from .dedup import _parallelize, _pin
 
     # spread an under-partitioned scan (1-file inputs read as ONE task,
     # serializing the split regexes onto one core — measured 1.4x on
-    # the bench row); no-op on well-partitioned production inputs
+    # the bench row); no-op on well-partitioned production inputs.
+    # _pin: InferFiltersFromGenerate otherwise derives size/isnotnull
+    # from the posexplode and pushdown inlines the WHOLE splitter into
+    # that filter below the spread exchange — two extra serial
+    # evaluations of the sentence regex per row (dedup._pin docs)
     df = _parallelize(df)
     staged = df.select(F.col(key),
-                       sentences_col(F.col(text_col),
-                                     abbreviations).alias("__sents"))
+                       _pin(sentences_col(F.col(text_col),
+                                          abbreviations)).alias("__sents"))
     return staged.select(
         key, F.posexplode("__sents").alias("sent_idx", "sentence"))
