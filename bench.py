@@ -145,9 +145,18 @@ def _build_scale_leg_dir(spark, sf_dir: str, factor: int) -> str:
                         lambda t: F.concat(t, F.lit("_"),
                                            F.col("__r").cast("string"))),
             " "))
+    # write the replica WELL-PARTITIONED: the base testdata is a single
+    # file, and a 1-file leg would hand every mapInPandas kernel (KNN
+    # scans, beam search) a single input task — the leg exists to
+    # measure parallel speedup, so its layout must mimic a production
+    # input, not the testdata artifact. The count is pinned to
+    # max(32, cores) so the 32c and 8c driver legs read the SAME file
+    # layout and their ratio isolates core count alone
+    npart = max(32, spark.sparkContext.defaultParallelism)
     (docs.crossJoin(rep)
      .select((F.col("doc_id") * factor + F.col("__r")).alias("doc_id"),
              text.alias("text"), "lang", "source", "n_chars")
+     .repartition(npart)
      .write.mode("overwrite").parquet(f"{out}/documents.parquet"))
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     # deterministic per-replica perturbation keeps vectors distinct
@@ -159,6 +168,7 @@ def _build_scale_leg_dir(spark, sf_dir: str, factor: int) -> str:
     (emb.crossJoin(rep)
      .select((F.col("vec_id") * factor + F.col("__r")).alias("vec_id"),
              shifted.alias("embedding"), "label")
+     .repartition(npart)
      .write.mode("overwrite").parquet(f"{out}/embeddings.parquet"))
     return out
 
