@@ -734,6 +734,12 @@ def exact_substring_dedup(df: DataFrame, key: str = "doc_id",
         raise ValueError(f"unknown tokenizer {tokenizer!r} "
                          "(expected 'whitespace' or 'analysis')")
     toks = F.col("__toks")
+    # NOTE (r13, measured): persisting `staged` across the three
+    # consuming branches was tried (MEMORY_AND_DISK + release handle)
+    # and REVERTED — interleaved A/B won only 2 of 3 pairs (means
+    # 1.27 vs 1.33 s, within noise) while pinning a corpus-token-scale
+    # cache; with the _pin keeping tokenization single-shot per
+    # branch, the recompute stays the right trade (r12 judgment).
     windows = (staged.select("k", "__toks",
                              F.posexplode("__toks").alias("__i", "__t"))
                .where(F.col("__i") <= F.size(toks) - n)
